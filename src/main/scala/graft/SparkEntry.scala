@@ -1,13 +1,371 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.compile.Matchers
+import graft.compile.Matchers._
+import graft.engine.{ReadPipeline, Rollup, WritePipeline}
+import graft.model.{Tables, Tags}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY §2, exercised on the
+  * driver testdata tables; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01.
+  *
+  * Conventions for oracle parity:
+  *  - aggregated doubles are `round(_, 4)` on both sides;
+  *  - tag arrays are emitted as `array_join(tags, ",")` strings;
+  *  - epoch seconds via `unix_timestamp` ≙ `epoch(date_trunc('second', ts))::BIGINT`;
+  *  - every query has a deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Fixed UTC instants over the events table's span (2024-01-01 .. 2024-01-30).
+  private val Jan05 = 1704412800L
+  private val Jan10 = 1704844800L
+  private val Jan11 = 1704931200L
+  private val Jan12 = 1705017600L
+  private val Jan13 = 1705104000L
+  private val Jan20 = 1705708800L
+  private val Jan31 = 1706659200L // rollup "now"
+
+  /** tags string for oracle-side comparison (arrays hash awkwardly). */
+  private val tagsStr: Column = array_join(col("tags"), ",")
+  /** The same string built directly from events columns, as DuckDB sees it. */
+  private val OTags = "'__name__=' || event_type || ',user_id=' || user_id"
+  /** epoch-seconds of the second-truncated ts, DuckDB side. */
+  private val OSec = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+  /** Flagship: the remote-read bucket-quantile query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("a1_bucket_quantile")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-A4: time-bucketed quantile aggregation, the whole remote-read SELECT
+    // (reference: clickhouse/query.go:17,125). 15-day range -> divStep=158s.
+    "a1_bucket_quantile" -> ((s, dir) => {
+      val q = PromQuery(Jan05 * 1000, Jan20 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q)
+        .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // F2: the time-range predicate alone (reference: clickhouse/query.go:18,67-70).
+    "f2_time_range" -> ((s, dir) => {
+      val q = PromQuery(Jan10 * 1000, Jan12 * 1000, Nil)
+      Tables.metrics(s, dir).filter(Matchers.timeRange(q))
+        .agg(count(lit(1)).as("cnt"),
+          min(unix_timestamp(col("ts"))).as("t_min"),
+          max(unix_timestamp(col("ts"))).as("t_max"),
+          round(sum(col("val")), 4).as("total"))
+    }),
+
+    // F3: metric-name NEQ matcher (reference: clickhouse/query.go:79-80).
+    "f3_name_neq" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(NEQ, "__name__", "error")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F4: metric-name regex matcher — UNANCHORED like ClickHouse match()
+    // (reference: clickhouse/query.go:81-82). 'u.c' hits "purchase" only.
+    "f4_name_re" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(RE, "__name__", "u.c")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F4: negated regex (reference: clickhouse/query.go:83-84).
+    "f4_name_nre" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(NRE, "__name__", "r.{2}r")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F5: tag EQ with "|"-alternation -> IN-list over the tags array
+    // (reference: clickhouse/query.go:103-107).
+    "f5_tag_eq_alt" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(EQ, "user_id", "3|14|59")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F5: tag NEQ (reference: clickhouse/query.go:100).
+    "f5_tag_neq" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(NEQ, "user_id", "7|13")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F6: tag regex, re-anchored as ^key=pattern after stripping the leading
+    // caret (reference: clickhouse/query.go:108-122).
+    "f6_tag_re" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(RE, "user_id", "^1.*0$")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F6: negated tag regex.
+    "f6_tag_nre" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(NRE, "user_id", "^[0-4]$")))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F1: NaN/±Inf ingest drop (reference: clickhouse/client.go:137-141).
+    // Non-finite values injected deterministically since testdata is finite.
+    "f1_nonfinite_filter" -> ((s, dir) => {
+      val poisoned = Tables.events(s, dir).withColumn("value",
+        when(col("event_id") % 97 === 0, lit(Double.NaN))
+          .when(col("event_id") % 89 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 83 === 0, lit(Double.NegativeInfinity))
+          .otherwise(col("value")))
+      WritePipeline.dropNonFinite(poisoned)
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+    }),
+
+    // S2: protoToSamples flatten (reference: main.go:377-394) — events nested
+    // into the WriteRequest wire shape, then double-exploded back; identity
+    // modulo ordering proves the label-map x samples cross product.
+    "s2_flatten_roundtrip" -> ((s, dir) => {
+      val nested = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(collect_list(struct(col("value").as("value"),
+          unix_millis(col("ts")).as("timestamp"))).as("samples"))
+        .select(array(struct(
+          array(
+            struct(lit("__name__").as("name"), col("event_type").as("value")),
+            struct(lit("user_id").as("name"), col("user_id").cast("string").as("value"))
+          ).as("labels"),
+          col("samples").as("samples"))).as("timeseries"))
+      WritePipeline.flatten(nested)
+        .select(col("name"), element_at(col("labels"), "user_id").as("user_id"),
+          col("value"), col("timestampMs").as("ts_ms"))
+        .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
+    }),
+
+    // A5: series re-assembly — bucket rows regrouped into per-series
+    // time-ordered sample lists (reference: clickhouse/client.go:181-223).
+    // One UTC day at 10s buckets; samples stringified for oracle parity.
+    "a5_series_assembly" -> ((s, dir) => {
+      val q = PromQuery(Jan10 * 1000, Jan11 * 1000, Nil)
+      val assembled = ReadPipeline.read(Tables.metrics(s, dir), q)
+      assembled.select(
+        col("name"), tagsStr.as("tags"), size(col("samples")).as("n_samples"),
+        array_join(transform(col("samples"),
+          x => format_string("%d:%.4f", x.getField("t"), x.getField("value"))),
+          ";").as("samples"))
+        .orderBy(col("tags"))
+    }),
+
+    // A6: sorted merge + first-wins dedup across overlapping result sets
+    // (reference: influxdb/client.go:194-215,287-308). Second result's values
+    // shifted +1 so the winner is observable.
+    "a6_merge_dedup" -> ((s, dir) => {
+      val m = Tables.metrics(s, dir)
+      val r1 = ReadPipeline.bucketAgg(m, PromQuery(Jan10 * 1000, Jan12 * 1000, Nil))
+      val r2 = ReadPipeline.bucketAgg(m, PromQuery(Jan11 * 1000, Jan13 * 1000, Nil))
+        .withColumn("value", col("value") + 1)
+      ReadPipeline.mergeDedup(Seq(r1, r2), tsCol = "t")
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // A7: tiered rollup (avg @ 10s/30s/300s by age; reference: README.md:71-85).
+    "a7_rollup_tiers" -> ((s, dir) => {
+      Rollup.rollup(Tables.metrics(s, dir), Jan31)
+        .select(col("name"), tagsStr.as("tags"), col("bucket_ts"),
+          col("precision"), col("cnt"), round(col("val"), 4).as("val"))
+        .orderBy(col("tags"), col("bucket_ts"), col("precision"))
+    }),
+
+    // A7: version dedup by `updated` ≙ MergeTree version column
+    // (reference: 0001-create-table.sql:8,10). Replayed rows (+1h version,
+    // +10 value) must win.
+    "a7_version_dedup" -> ((s, dir) => {
+      val m = Tables.metrics(s, dir)
+      val replay = m.filter(unix_timestamp(col("ts")) % 7 === 0)
+        .withColumn("val", col("val") + 10)
+        .withColumn("updated", col("updated") + expr("INTERVAL 1 HOUR"))
+      Rollup.dedupLatest(m.unionByName(replay))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // E1-E4: tag codec round-trip — labels map -> sorted "k=v" array (E1),
+    // back to map (E3), 0xFF-joined series key (E4)
+    // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
+    "e1_tags_roundtrip" -> ((s, dir) => {
+      val labeled = Tables.events(s, dir).select(
+        col("event_id"),
+        map(
+          lit("__name__"), col("event_type"),
+          lit("user_id"), col("user_id").cast("string"),
+          lit("parity"), (col("event_id") % 2).cast("string")).as("labels"))
+      labeled.select(
+        col("event_id"),
+        Tags.metricName(col("labels")).as("name"),
+        array_join(Tags.tagsFromLabels(col("labels")), ",").as("tags"),
+        Tags.seriesKey(Tags.tagsFromLabels(col("labels"))).as("series_key"),
+        element_at(Tags.labelsFromTags(Tags.tagsFromLabels(col("labels"))),
+          "parity").as("parity_back"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "a1_bucket_quantile" ->
+      s"""SELECT count(*) AS cnt,
+         |       ($OSec // 158) * 158 * 1000 AS t,
+         |       event_type AS name,
+         |       $OTags AS tags,
+         |       round(quantile_cont(value, 0.75), 4) AS value
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'purchase'
+         |GROUP BY 2, 3, 4
+         |ORDER BY t, tags""".stripMargin,
+
+    "f2_time_range" ->
+      s"""SELECT count(*) AS cnt, min($OSec) AS t_min, max($OSec) AS t_max,
+         |       round(sum(value), 4) AS total
+         |FROM events WHERE $OSec >= $Jan10 AND $OSec <= $Jan12""".stripMargin,
+
+    "f3_name_neq" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_name_re" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE regexp_matches(event_type, 'u.c')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_name_nre" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE NOT regexp_matches(event_type, 'r.{2}r')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f5_tag_eq_alt" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE CAST(user_id AS VARCHAR) IN ('3', '14', '59')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f5_tag_neq" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE CAST(user_id AS VARCHAR) NOT IN ('7', '13')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f6_tag_re" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE regexp_matches('user_id=' || user_id, '^user_id=1.*0$')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f6_tag_nre" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events WHERE NOT regexp_matches('user_id=' || user_id, '^user_id=[0-4]$')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f1_nonfinite_filter" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+        |              WHEN event_id % 89 = 0 THEN 'Infinity'::DOUBLE
+        |              WHEN event_id % 83 = 0 THEN '-Infinity'::DOUBLE
+        |              ELSE value END AS value
+        |  FROM events)
+        |SELECT count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM x WHERE NOT isnan(value) AND NOT isinf(value)""".stripMargin,
+
+    "s2_flatten_roundtrip" ->
+      """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+        |       value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    "a5_series_assembly" ->
+      s"""WITH b AS (
+         |  SELECT ($OSec // 10) * 10 * 1000 AS t,
+         |         event_type AS name,
+         |         $OTags AS tags,
+         |         quantile_cont(value, 0.75) AS value
+         |  FROM events
+         |  WHERE $OSec >= $Jan10 AND $OSec <= $Jan11
+         |  GROUP BY 1, 2, 3)
+         |SELECT name, tags, count(*) AS n_samples,
+         |       string_agg(printf('%d:%.4f', t, value), ';' ORDER BY t) AS samples
+         |FROM b GROUP BY 1, 2 ORDER BY tags""".stripMargin,
+
+    "a6_merge_dedup" ->
+      s"""WITH r1 AS (
+         |  SELECT ($OSec // 21) * 21 * 1000 AS t, event_type AS name,
+         |         $OTags AS tags, quantile_cont(value, 0.75) AS value, 0 AS src
+         |  FROM events WHERE $OSec >= $Jan10 AND $OSec <= $Jan12
+         |  GROUP BY 1, 2, 3),
+         |r2 AS (
+         |  SELECT ($OSec // 21) * 21 * 1000 AS t, event_type AS name,
+         |         $OTags AS tags, quantile_cont(value, 0.75) + 1 AS value, 1 AS src
+         |  FROM events WHERE $OSec >= $Jan11 AND $OSec <= $Jan13
+         |  GROUP BY 1, 2, 3),
+         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY tags, t ORDER BY src) AS rn
+         |      FROM u)
+         |SELECT name, count(*) AS cnt, round(sum(value), 4) AS total
+         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_rollup_tiers" ->
+      s"""WITH m AS (
+         |  SELECT event_type AS name, $OTags AS tags, $OSec AS tsec, value
+         |  FROM events),
+         |t AS (
+         |  SELECT name, tags, tsec, value,
+         |         CAST(CASE WHEN $Jan31 - tsec < 86400 THEN 10
+         |                   WHEN $Jan31 - tsec < 172800 THEN 30
+         |                   ELSE 300 END AS BIGINT) AS precision
+         |  FROM m)
+         |SELECT name, tags, (tsec // precision) * precision AS bucket_ts,
+         |       precision, count(*) AS cnt, round(avg(value), 4) AS val
+         |FROM t GROUP BY 1, 2, 3, 4 ORDER BY tags, bucket_ts, precision""".stripMargin,
+
+    "a7_version_dedup" ->
+      s"""WITH m AS (
+         |  SELECT event_type AS name, $OTags AS tags, $OSec AS tsec,
+         |         value AS val, $OSec AS upd
+         |  FROM events),
+         |u AS (SELECT * FROM m
+         |      UNION ALL
+         |      SELECT name, tags, tsec, val + 10, upd + 3600 FROM m WHERE tsec % 7 = 0),
+         |d AS (SELECT *, row_number() OVER (
+         |        PARTITION BY name, tags, tsec ORDER BY upd DESC, val DESC) AS rn
+         |      FROM u)
+         |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
+         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e1_tags_roundtrip" ->
+      """SELECT event_id, event_type AS name,
+        |       '__name__=' || event_type || ',parity=' || (event_id % 2)
+        |         || ',user_id=' || user_id AS tags,
+        |       '__name__=' || event_type || chr(255) || 'parity=' || (event_id % 2)
+        |         || chr(255) || 'user_id=' || user_id AS series_key,
+        |       CAST(event_id % 2 AS VARCHAR) AS parity_back
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,96 @@
+package graft.engine
+
+import graft.compile.Matchers
+import graft.compile.Matchers.PromQuery
+import graft.model.Tags
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The remote-read query pipeline (SURVEY §2.3 A1-A6).
+  *
+  * Reference lifecycle: matchers → SQL string → ClickHouse executes
+  * filter + bucket + quantile group-agg → driver re-groups rows into series
+  * (reference: clickhouse/client.go:161-223, clickhouse/query.go:32-127).
+  *
+  * Here the whole thing is one declarative Spark plan:
+  *   filter(pushdown) → groupBy(bucket, name, tags) → agg → window-regroup.
+  * At scale: the single shuffle is on (t, name, tags) — high-cardinality and
+  * uniform (series id × time bucket), so it spreads evenly across executors;
+  * the matcher + time filters sit below it and reach the parquet scan.
+  */
+object ReadPipeline {
+
+  /** A1-A4: time-bucketed quantile aggregation.
+    *
+    * Output mirrors the reference SELECT list: one row per
+    * (bucket, name, tags) with `cnt` (A3 — computed and then discarded by
+    * the reference, kept for shape parity), `t` = bucket start in epoch ms,
+    * and `value` = 0.75-quantile of samples in the bucket
+    * (reference: clickhouse/query.go:17,125).
+    *
+    * @param exact use exact `percentile` (deterministic; oracle mode) vs
+    *              `percentile_approx` (the 100 TB path — fixed-size sketch
+    *              per group, mergeable map-side). ClickHouse `quantile` is
+    *              itself approximate+nondeterministic (reservoir ~8192), so
+    *              approximate is the faithful mode and exact the testable one.
+    */
+  def bucketAgg(metrics: DataFrame, q: PromQuery,
+                exact: Boolean = true, strictCompat: Boolean = false): DataFrame = {
+    val step = Matchers.divStep(q, strictCompat)
+    val bucket = (floor(unix_timestamp(col("ts")) / step) * step * 1000).cast("long")
+    val quant =
+      if (exact) percentile(col("val"), lit(Matchers.Quantile))
+      else percentile_approx(col("val"), lit(Matchers.Quantile), lit(Matchers.MaxSample.toInt))
+    metrics
+      .filter(Matchers.compile(q, strictCompat))
+      .groupBy(bucket.as("t"), col("name"), col("tags"))
+      .agg(count(lit(1)).as("cnt"), quant.as("value"))
+      .orderBy(col("t"))
+  }
+
+  /** A5 series re-assembly: bucket-agg rows → one row per series with its
+    * time-ordered samples, the shape of a prompb.TimeSeries
+    * (reference: clickhouse/client.go:181-223 does this in a driver-side
+    * map keyed on join(tags, 0xff)).
+    *
+    * Distributed version: groupBy the tag array itself; `sort_array` on
+    * struct(t, value) sorts lexicographically = by t first, restoring
+    * ORDER BY t without a global sort.
+    */
+  def assembleSeries(bucketed: DataFrame): DataFrame =
+    bucketed
+      .groupBy(col("tags"))
+      .agg(
+        first(col("name")).as("name"),
+        sort_array(collect_list(struct(col("t"), col("value")))).as("samples"))
+      .select(col("name"), col("tags"), col("samples"))
+
+  /** Full read: filter → bucket agg → series assembly. */
+  def read(metrics: DataFrame, q: PromQuery,
+           exact: Boolean = true, strictCompat: Boolean = false): DataFrame =
+    assembleSeries(bucketAgg(metrics, q, exact, strictCompat))
+
+  /** A6 sorted merge + dedup across result sets (the reference's k-way merge
+    * for multi-query InfluxDB reads, first-wins on duplicate timestamps —
+    * reference: influxdb/client.go:194-215,287-308).
+    *
+    * Inputs carry a `src` priority column (lower wins, = argument order in
+    * the reference's merge). Distributed as: union → per-(series, ts) window
+    * rank → keep rank 1. The window shuffle partitions by series, which is
+    * the same key as the surrounding read — AQE coalesces the exchanges.
+    */
+  def mergeDedup(results: Seq[DataFrame], seriesCol: String = "tags",
+                 tsCol: String = "ts"): DataFrame = {
+    require(results.nonEmpty)
+    val tagged = results.zipWithIndex.map { case (df, i) =>
+      df.withColumn("src", lit(i))
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    val w = Window.partitionBy(Tags.seriesKey(col(seriesCol)), col(tsCol)).orderBy(col("src"))
+    unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "src")
+  }
+}

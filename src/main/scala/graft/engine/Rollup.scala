@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A7: the storage-level behaviors the reference delegates to
+  * GraphiteMergeTree — tiered rollup retention and version dedup
+  * (reference: README.md:64-87, clickhouse/sqlscripts/0001-create-table.sql:8-13).
+  *
+  * In Spark these are explicit batch jobs over the partitioned metrics
+  * table. Both are per-`date`-partition recomputations — idempotent, so a
+  * replayed batch (at-least-once ingest) converges to the same state.
+  */
+object Rollup {
+
+  /** Retention tiers from the reference's graphite_rollup policy
+    * (reference: README.md:71-85): (maxAgeSeconds-exclusive, precision).
+    */
+  val Tiers: Seq[(Long, Long)] = Seq((86400L, 10L), (172800L, 30L))
+  val OldestPrecision: Long = 300L
+
+  /** Bucket precision for a row's age relative to `nowSec`:
+    * avg @ 10 s (< 1 d), 30 s (< 2 d), 300 s (older).
+    */
+  def precisionFor(nowSec: Long): org.apache.spark.sql.Column = {
+    val age = lit(nowSec) - unix_timestamp(col("ts"))
+    Tiers.foldRight(lit(OldestPrecision)) { case ((maxAge, prec), rest) =>
+      when(age < maxAge, lit(prec)).otherwise(rest)
+    }
+  }
+
+  /** Tiered compaction: avg per (name, tags, tier-aligned bucket).
+    * The shuffle key is the series id × bucket — the same partitioning the
+    * read path uses, so compacted data stays co-located.
+    */
+  def rollup(metrics: DataFrame, nowSec: Long): DataFrame = {
+    val prec = precisionFor(nowSec)
+    val bucket = (floor(unix_timestamp(col("ts")) / prec) * prec).cast("long")
+    metrics
+      .groupBy(col("name"), col("tags"),
+        bucket.as("bucket_ts"), prec.as("precision"))
+      .agg(avg(col("val")).as("val"), count(lit(1)).as("cnt"),
+        max(col("updated")).as("updated"))
+  }
+
+  /** Version dedup ≙ MergeTree `updated` version column: for each
+    * (name, tags, ts) keep the newest `updated` (last write wins across
+    * at-least-once replays). `val` descending is a deterministic tiebreak
+    * for identical versions.
+    */
+  def dedupLatest(metrics: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("name"), col("tags"), col("ts"))
+      .orderBy(col("updated").desc, col("val").desc)
+    metrics
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

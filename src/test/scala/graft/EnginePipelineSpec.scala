@@ -1,0 +1,144 @@
+package graft
+
+import graft.compile.Matchers._
+import graft.engine.{ReadPipeline, Rollup, WritePipeline}
+import graft.model.Schema.Sample
+import graft.model.{Tables, Tags}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** End-to-end write→read over the reference's canonical test fixture
+  * (reference: influxdb/client_test.go:30-68, identical in every client
+  * test — see FIXTURES.md §1).
+  */
+class EnginePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The shared fixture batch: 2 storable samples + NaN/±Inf singletons.
+  private val fixtureTs = 123456789123L
+  private def fixture = Seq(
+    Sample("testmetric", Map("__name__" -> "testmetric", "test_label" -> "test_label_value1"), 1.23, fixtureTs),
+    Sample("testmetric", Map("__name__" -> "testmetric", "test_label" -> "test_label_value2"), 5.1234, fixtureTs),
+    Sample("nan_value", Map("__name__" -> "nan_value"), Double.NaN, fixtureTs),
+    Sample("pos_inf_value", Map("__name__" -> "pos_inf_value"), Double.PositiveInfinity, fixtureTs),
+    Sample("neg_inf_value", Map("__name__" -> "neg_inf_value"), Double.NegativeInfinity, fixtureTs)
+  ).toDF()
+
+  test("F1: NaN/Inf samples are dropped at ingest, finite ones kept") {
+    val kept = WritePipeline.dropNonFinite(fixture).collect()
+    assert(kept.length == 2)
+    assert(kept.map(_.getAs[String]("name")).toSet == Set("testmetric"))
+  }
+
+  test("write pipeline produces canonical rows: sorted tags, second-truncated ts") {
+    val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(fixture))
+      .orderBy("tags").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[scala.collection.Seq[String]]("tags").toSeq ==
+      Seq("__name__=testmetric", "test_label=test_label_value1"))
+    // 123456789123 ms -> 123456789 s exactly (truncation, not rounding)
+    assert(r.getAs[java.sql.Timestamp]("ts").getTime == 123456789000L)
+    assert(r.getAs[Double]("val") == 1.23)
+  }
+
+  test("full read: fixture query returns 2 series with 1 sample each") {
+    val metrics = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(fixture))
+    val q = PromQuery(fixtureTs - 60000, fixtureTs + 60000,
+      Seq(LabelMatcher(EQ, "__name__", "testmetric")))
+    val series = ReadPipeline.read(metrics, q).orderBy("tags").collect()
+    assert(series.length == 2)
+    val s0 = series.head
+    assert(s0.getAs[String]("name") == "testmetric")
+    val samples = s0.getAs[scala.collection.Seq[Row]]("samples")
+    assert(samples.length == 1)
+    assert(samples.head.getAs[Long]("t") == 123456780000L) // 10s bucket start
+    assert(samples.head.getAs[Double]("value") == 1.23)    // quantile of 1 value
+  }
+
+  test("S2: flatten crosses every label set with every sample") {
+    val nested = Seq(
+      (Seq(("__name__", "m1"), ("job", "j")), Seq((1.0, 1000L), (2.0, 2000L))),
+      (Seq(("__name__", "m2")), Seq((3.0, 3000L)))
+    ).toDF("labels_raw", "samples_raw")
+      .select(array(struct(
+        transform(col("labels_raw"),
+          x => struct(x.getField("_1").as("name"), x.getField("_2").as("value"))).as("labels"),
+        transform(col("samples_raw"),
+          x => struct(x.getField("_1").as("value"), x.getField("_2").as("timestamp"))).as("samples")
+      )).as("timeseries"))
+    val flat = WritePipeline.flatten(nested).orderBy("timestampMs").collect()
+    assert(flat.length == 3)
+    assert(flat.map(_.getAs[String]("name")).toSeq == Seq("m1", "m1", "m2"))
+    assert(flat(0).getAs[Map[String, String]]("labels") == Map("__name__" -> "m1", "job" -> "j"))
+  }
+
+  test("A6: merge dedup is first-wins on duplicate timestamps") {
+    val r1 = Seq(("a", Seq("__name__=a"), 1000L, 1.0)).toDF("name", "tags", "ts", "value")
+    val r2 = Seq(("a", Seq("__name__=a"), 1000L, 99.0),
+                 ("a", Seq("__name__=a"), 2000L, 2.0)).toDF("name", "tags", "ts", "value")
+    val merged = ReadPipeline.mergeDedup(Seq(r1, r2))
+      .orderBy("ts").collect()
+    assert(merged.map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value"))).toSeq ==
+      Seq((1000L, 1.0), (2000L, 2.0)))
+  }
+
+  test("A7: version dedup keeps the newest updated") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val df = Seq(
+      ("m", Seq("__name__=m"), t0, 1.0, t0),
+      ("m", Seq("__name__=m"), t0, 2.0, t1)
+    ).toDF("name", "tags", "ts", "val", "updated")
+    val out = Rollup.dedupLatest(df).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("val") == 2.0)
+  }
+
+  test("A7: rollup tier precision follows age") {
+    val now = 1706659200L // 2024-01-31
+    val mk = (sec: Long) => new java.sql.Timestamp(sec * 1000)
+    val df = Seq(
+      ("m", Seq("__name__=m"), mk(now - 100), 1.0, mk(now)),     // <1d -> 10s
+      ("m", Seq("__name__=m"), mk(now - 100000), 2.0, mk(now)),  // <2d -> 30s
+      ("m", Seq("__name__=m"), mk(now - 300000), 3.0, mk(now))   // old -> 300s
+    ).toDF("name", "tags", "ts", "val", "updated")
+    val out = Rollup.rollup(df, now).orderBy("bucket_ts").collect()
+    assert(out.map(_.getAs[Long]("precision")).toSeq == Seq(300L, 30L, 10L))
+  }
+
+  test("E1/E3: tag codec round-trip, empty values dropped as absent labels") {
+    val df = Seq(Map("__name__" -> "m", "b" -> "2", "a" -> "1", "empty" -> ""))
+      .toDF("labels")
+    val tags = df.select(Tags.tagsFromLabels(col("labels")).as("tags"))
+    assert(tags.head().getAs[scala.collection.Seq[String]]("tags").toSeq ==
+      Seq("__name__=m", "a=1", "b=2", "empty="))
+    val back = tags.select(Tags.labelsFromTags(col("tags")).as("labels"))
+      .head().getAs[Map[String, String]]("labels")
+    assert(back == Map("__name__" -> "m", "a" -> "1", "b" -> "2")) // empty dropped
+  }
+
+  test("divStep: intended adaptive step vs strict-compat constant") {
+    val wide = PromQuery(0L, 8192L * 100 * 1000, Nil)
+    assert(divStep(wide) == 100L)
+    assert(divStep(wide, strictCompat = true) == 10L) // reference sign bug
+    val narrow = PromQuery(0L, 60000L, Nil)
+    assert(divStep(narrow) == 10L)
+  }
+
+  test("matchers: alternation, empty value, caret quirk") {
+    val df = Seq(
+      ("m", Seq("__name__=m", "k=a")),
+      ("m", Seq("__name__=m", "k=b")),
+      ("m", Seq("__name__=m", "k=c"))
+    ).toDF("name", "tags")
+    def n(m: LabelMatcher, strict: Boolean = false): Long =
+      df.filter(compileMatcher(m, strict)).count()
+    assert(n(LabelMatcher(EQ, "k", "a|b")) == 2)
+    assert(n(LabelMatcher(NEQ, "k", "a|b")) == 1)
+    assert(n(LabelMatcher(RE, "k", "^[ab]")) == 2)
+    assert(n(LabelMatcher(NRE, "k", "^[ab]")) == 1)
+    // no leading caret: intended = same filter; strict = ^k= (matches all)
+    assert(n(LabelMatcher(RE, "k", "[ab]")) == 2)
+    assert(n(LabelMatcher(RE, "k", "[ab]"), strict = true) == 3)
+  }
+}
