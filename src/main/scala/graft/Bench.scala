@@ -1,24 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, fully materializing each result through the
+  * `noop` sink (exercises the whole plan — a bare `.count()` lets Catalyst
+  * prune projections and sorts), and emits ONE machine-parseable JSON line
+  * on stdout AND to /tmp/bench.json (sbt buries stdout in `[info]` noise,
+  * so the file is the reliable channel for the driver's parser).
+  *
+  * A warm-up run of the flagship query absorbs JVM/Spark startup so
+  * per-query numbers are comparable round-over-round. Failures are NOT
+  * swallowed: a failing query reports its wall time AND lands in "errors",
+  * and the process exits nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, None)
+      } catch {
+        case e: Throwable =>
+          ((System.nanoTime() - t0) / 1e9,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warm-up: flagship query, result discarded.
+    runOne("a1_bucket_quantile")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> runOne(n))
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, (sec, _)) => s"${jstr(k)}:$sec" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+
+    Files.writeString(Paths.get("/tmp/bench.json"), json + "\n")
+    println(json)
     spark.stop()
+    if (results.exists(_._2._2.isDefined)) sys.exit(1)
   }
 }

@@ -48,7 +48,7 @@ object SparkEntry {
     "a1_bucket_quantile" -> ((s, dir) => {
       val q = PromQuery(Jan05 * 1000, Jan20 * 1000,
         Seq(LabelMatcher(EQ, "__name__", "purchase")))
-      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q)
+      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q, exact = true)
         .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
           round(col("value"), 4).as("value"))
         .orderBy(col("t"), col("tags"))
@@ -167,7 +167,7 @@ object SparkEntry {
     // One UTC day at 10s buckets; samples stringified for oracle parity.
     "a5_series_assembly" -> ((s, dir) => {
       val q = PromQuery(Jan10 * 1000, Jan11 * 1000, Nil)
-      val assembled = ReadPipeline.read(Tables.metrics(s, dir), q)
+      val assembled = ReadPipeline.read(Tables.metrics(s, dir), q, exact = true)
       assembled.select(
         col("name"), tagsStr.as("tags"), size(col("samples")).as("n_samples"),
         array_join(transform(col("samples"),
@@ -181,8 +181,8 @@ object SparkEntry {
     // shifted +1 so the winner is observable.
     "a6_merge_dedup" -> ((s, dir) => {
       val m = Tables.metrics(s, dir)
-      val r1 = ReadPipeline.bucketAgg(m, PromQuery(Jan10 * 1000, Jan12 * 1000, Nil))
-      val r2 = ReadPipeline.bucketAgg(m, PromQuery(Jan11 * 1000, Jan13 * 1000, Nil))
+      val r1 = ReadPipeline.bucketAgg(m, PromQuery(Jan10 * 1000, Jan12 * 1000, Nil), exact = true)
+      val r2 = ReadPipeline.bucketAgg(m, PromQuery(Jan11 * 1000, Jan13 * 1000, Nil), exact = true)
         .withColumn("value", col("value") + 1)
       ReadPipeline.mergeDedup(Seq(r1, r2), tsCol = "t")
         .groupBy(col("name"))

@@ -2,7 +2,6 @@ package graft.engine
 
 import graft.compile.Matchers
 import graft.compile.Matchers.PromQuery
-import graft.model.Tags
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,10 +32,19 @@ object ReadPipeline {
     *              `percentile_approx` (the 100 TB path — fixed-size sketch
     *              per group, mergeable map-side). ClickHouse `quantile` is
     *              itself approximate+nondeterministic (reservoir ~8192), so
-    *              approximate is the faithful mode and exact the testable one.
+    *              approximate is the faithful DEFAULT; exact buffers every
+    *              value of a (bucket, series) group on the heap and is only
+    *              for oracle runs, which pass `exact = true` explicitly.
+    *
+    * No ORDER BY here: the reference's `ORDER BY t` exists only because its
+    * driver-side loop consumes rows in arrival order
+    * (reference: clickhouse/client.go:183-209). In Spark a trailing sort is
+    * a full range-exchange that every downstream consumer (assembleSeries,
+    * mergeDedup) immediately destroys by re-shuffling — ordering belongs at
+    * the response edge (sort_array over the ≤8192-bucket per-series lists).
     */
   def bucketAgg(metrics: DataFrame, q: PromQuery,
-                exact: Boolean = true, strictCompat: Boolean = false): DataFrame = {
+                exact: Boolean = false, strictCompat: Boolean = false): DataFrame = {
     val step = Matchers.divStep(q, strictCompat)
     val bucket = (floor(unix_timestamp(col("ts")) / step) * step * 1000).cast("long")
     val quant =
@@ -46,7 +54,6 @@ object ReadPipeline {
       .filter(Matchers.compile(q, strictCompat))
       .groupBy(bucket.as("t"), col("name"), col("tags"))
       .agg(count(lit(1)).as("cnt"), quant.as("value"))
-      .orderBy(col("t"))
   }
 
   /** A5 series re-assembly: bucket-agg rows → one row per series with its
@@ -68,7 +75,7 @@ object ReadPipeline {
 
   /** Full read: filter → bucket agg → series assembly. */
   def read(metrics: DataFrame, q: PromQuery,
-           exact: Boolean = true, strictCompat: Boolean = false): DataFrame =
+           exact: Boolean = false, strictCompat: Boolean = false): DataFrame =
     assembleSeries(bucketAgg(metrics, q, exact, strictCompat))
 
   /** A6 sorted merge + dedup across result sets (the reference's k-way merge
@@ -79,6 +86,12 @@ object ReadPipeline {
     * the reference's merge). Distributed as: union → per-(series, ts) window
     * rank → keep rank 1. The window shuffle partitions by series, which is
     * the same key as the surrounding read — AQE coalesces the exchanges.
+    *
+    * Partitions by the tags ARRAY itself, not a joined scalar key: the
+    * reference's 0xFF byte separator is collision-free in raw bytes
+    * (influxdb/client.go:218-220) but its char equivalent U+00FF is a legal
+    * label-value character, so a joined string key could collide. Arrays
+    * hash/compare element-wise — no separator needed.
     */
   def mergeDedup(results: Seq[DataFrame], seriesCol: String = "tags",
                  tsCol: String = "ts"): DataFrame = {
@@ -87,7 +100,7 @@ object ReadPipeline {
       df.withColumn("src", lit(i))
     }
     val unioned = tagged.reduce(_ unionByName _)
-    val w = Window.partitionBy(Tags.seriesKey(col(seriesCol)), col(tsCol)).orderBy(col("src"))
+    val w = Window.partitionBy(col(seriesCol), col(tsCol)).orderBy(col("src"))
     unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

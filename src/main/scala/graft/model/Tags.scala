@@ -40,10 +40,16 @@ object Tags {
           element_at(split(t, "=", 2), 1).as("key"),
           element_at(split(t, "=", 2), 2).as("value"))))
 
-  /** E4 series key: join tags on 0xFF (never valid inside UTF-8 text), a
-    * collision-free scalar series id for when grouping on the array itself
-    * is inconvenient (reference: clickhouse/client.go:197,
-    * influxdb/client.go:217-226).
+  /** E4 series key ≙ the reference's `strings.Join(tags, "\xff")`
+    * (reference: clickhouse/client.go:197, influxdb/client.go:217-226).
+    *
+    * CAVEAT: the reference's separator is the raw BYTE 0xFF, which cannot
+    * occur in valid UTF-8; the nearest string equivalent here is the
+    * CHARACTER U+00FF ('ÿ'), which is a legal label-value character — so
+    * this scalar key is NOT collision-free and must never be a grouping
+    * key. Engine paths group on the tags array itself (element-wise
+    * hashing, no separator); this function exists only for response-edge /
+    * display parity with the reference.
     */
   def seriesKey(tags: Column): Column = array_join(tags, "ÿ")
 }

@@ -117,6 +117,17 @@ class EnginePipelineSpec extends SparkSpec {
     assert(back == Map("__name__" -> "m", "a" -> "1", "b" -> "2")) // empty dropped
   }
 
+  test("bucketAgg plan carries no Sort and no full-exchange after the agg") {
+    val metrics = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(fixture))
+    val q = PromQuery(fixtureTs - 60000, fixtureTs + 60000,
+      Seq(LabelMatcher(EQ, "__name__", "testmetric")))
+    val plan = ReadPipeline.bucketAgg(metrics, q).queryExecution.executedPlan.toString
+    // The reference's trailing ORDER BY t would show up as a Sort + range
+    // Exchange here — a full shuffle of every read result, discarded by all
+    // downstream consumers. Assert it never sneaks back in.
+    assert(!plan.contains("Sort "), s"unexpected Sort in bucketAgg plan:\n$plan")
+  }
+
   test("divStep: intended adaptive step vs strict-compat constant") {
     val wide = PromQuery(0L, 8192L * 100 * 1000, Nil)
     assert(divStep(wide) == 100L)
