@@ -3,6 +3,7 @@ package graft
 import graft.compile.Matchers
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, Rollup, WritePipeline}
+import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -212,6 +213,71 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // ---- LLM-data-pipeline operators (north-star extensions) ----
+
+    // Text analysis: tokenization (whitespace + BPE-ish regex), type-token
+    // ratio, quality score, stopword-based language ID, rolling-hash
+    // fingerprint — all map-side Catalyst expressions over `documents`.
+    "llm_text_stats" -> ((s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.qualityStats(col("text")).as("q"),
+          TextAnalysis.langId(ws).as("lang_pred"),
+          TextAnalysis.fingerprint(ws).as("fingerprint"))
+        .select(col("doc_id"),
+          col("q.n_words").cast("long").as("n_words"),
+          col("q.n_tokens").cast("long").as("n_tokens"),
+          round(col("q.ttr"), 4).as("ttr"),
+          round(col("q.mean_word_len"), 4).as("mean_word_len"),
+          round(col("q.stop_ratio"), 4).as("stop_ratio"),
+          round(col("q.quality"), 4).as("quality"),
+          col("lang_pred"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact dedup: hash-groupBy, min doc_id wins. Duplicates are injected
+    // deterministically (every 7th doc re-appears with id+10000) since the
+    // corpus itself is duplicate-free; output is the duplicate groups.
+    "llm_dedup_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.exactGroups(d.unionByName(replay))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper_id"), col("n_copies"), col("content_hash"))
+        .orderBy(col("keeper_id"))
+    }),
+
+    // Vector column ops over embeddings (multimodal FLOAT[] handled
+    // natively): ordered-fold dot/norm/normalize so the oracle reproduces
+    // doubles bit-for-bit.
+    "llm_vec_ops" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .select(col("vec_id"),
+          size(col("vec")).cast("long").as("dim"),
+          round(VectorOps.l2Norm(col("vec")), 4).as("l2"),
+          round(VectorOps.dot(col("vec"), col("vec")), 4).as("self_dot"),
+          round(element_at(VectorOps.normalize(col("vec")), 1), 4).as("unit_first"),
+          round(aggregate(col("vec"), lit(0.0), (a, x) => a + x), 4).as("comp_sum"),
+          round(array_max(col("vec")), 4).as("comp_max"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Multimodal columns: text → opaque binary payload + typed metadata
+    // struct (decode stub derives deterministic pseudo-dimensions from the
+    // content hash; see llm/Multimodal.scala).
+    "llm_multimodal_meta" -> ((s, dir) => {
+      Multimodal.toMultimodalRows(Tables.documents(s, dir))
+        .select(col("media_id"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.fingerprint").as("fingerprint"))
+        .orderBy(col("media_id"))
+    }),
+
     // E1-E4: tag codec round-trip — labels map -> sorted "k=v" array (E1),
     // back to map (E3), 0xFF-joined series key (E4)
     // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
@@ -358,6 +424,64 @@ object SparkEntry {
          |      FROM u)
          |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_text_stats" ->
+      """WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, text, ws,
+        |    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(ws, x -> x IN ('el','la','de','y','es'))) AS s_es,
+        |    len(list_filter(ws, x -> x IN ('le','et','les','des','une'))) AS s_fr,
+        |    len(list_filter(ws, x -> x IN ('的','是','了'))) AS s_zh
+        |  FROM w)
+        |SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens,
+        |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS ttr,
+        |  round(list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws), 4) AS mean_word_len,
+        |  round(s_en::DOUBLE / len(ws), 4) AS stop_ratio,
+        |  round(CAST(0.4 AS DOUBLE) * (len(list_distinct(ws))::DOUBLE / len(ws))
+        |      + CAST(0.3 AS DOUBLE) * (s_en::DOUBLE / len(ws))
+        |      + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), len(ws)::DOUBLE / 100), 4) AS quality,
+        |  CASE WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_en > 0 THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_de > 0 THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_es > 0 THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_fr > 0 THEN 'fr'
+        |       WHEN s_zh = greatest(s_en,s_de,s_es,s_fr,s_zh) AND s_zh > 0 THEN 'zh'
+        |       ELSE 'und' END AS lang_pred,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
+        |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS content_hash
+        |FROM all_docs GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
+
+    "llm_vec_ops" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |d AS (SELECT vec_id, vec,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) AS sd,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)], vec), (a,b) -> a+b) AS cs
+        |  FROM v)
+        |SELECT vec_id, len(vec) AS dim, round(sqrt(sd), 4) AS l2,
+        |  round(sd, 4) AS self_dot, round(vec[1]/sqrt(sd), 4) AS unit_first,
+        |  round(cs, 4) AS comp_sum, round(list_max(vec), 4) AS comp_max
+        |FROM d ORDER BY vec_id""".stripMargin,
+
+    "llm_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id AS media_id, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(CAST('0x'||substr(h,1,2) AS INT)+1 AS BIGINT) AS width,
+        |  CAST(CAST('0x'||substr(h,3,2) AS INT)+1 AS BIGINT) AS height,
+        |  substr(h,1,8) AS fingerprint
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "e1_tags_roundtrip" ->
       """SELECT event_id, event_type AS name,

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media payloads travel as opaque `binary`
+  * columns with a typed metadata struct beside them — the standard layout
+  * for image/audio/video in a parquet-backed training-data lake (the bytes
+  * stay out of every shuffle that doesn't need them; metadata predicates
+  * prune without touching payloads).
+  *
+  * The decode step is a STUB by design: real image/audio codecs aren't in
+  * this environment, so `fakeDecodeMeta` derives deterministic pseudo
+  * dimensions from a content hash. Everything around it — the schema, the
+  * binary column plumbing, column pruning, the batch shape — is real and
+  * is what a production decoder (mapPartitions over a JNI codec, or
+  * mapInArrow into a Python worker) would slot into.
+  */
+object Multimodal {
+
+  /** Wrap a text column as a binary payload (UTF-8), standing in for image
+    * bytes in the testdata, which ships no true media blobs.
+    */
+  def asBinaryPayload(text: Column): Column = encode(text, "UTF-8")
+
+  /** STUB DECODER — deterministic fake. A real pipeline replaces this with
+    * an actual codec over the payload bytes; the fake keeps the exact
+    * schema and derives "dimensions" from the payload's md5 so results are
+    * reproducible and oracle-checkable:
+    *   width  = first  md5 byte (hex 1-2)  as int, +1
+    *   height = second md5 byte (hex 3-4)  as int, +1
+    *   n_bytes, fingerprint = md5 prefix.
+    */
+  def fakeDecodeMeta(payload: Column): Column = {
+    val h = md5(payload)
+    struct(
+      length(payload).as("n_bytes"),
+      (conv(substring(h, 1, 2), 16, 10).cast("int") + 1).as("width"),
+      (conv(substring(h, 3, 2), 16, 10).cast("int") + 1).as("height"),
+      substring(h, 1, 8).as("fingerprint"))
+  }
+
+  /** Feature-extraction stub over a decoded payload: byte-level stats a
+    * real extractor would compute post-decode. Deterministic, map-side.
+    */
+  def payloadStats(payload: Column): Column =
+    struct(
+      length(payload).as("n_bytes"),
+      crc32(payload).as("crc"),
+      (length(payload) % 256).as("sample_byte_mod"))
+
+  /** Assemble the canonical multimodal row: id, payload, typed metadata.
+    * Partition-friendly: metadata is a separate struct column so scans
+    * that only filter on metadata never deserialize payload bytes (parquet
+    * column pruning).
+    */
+  def toMultimodalRows(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val payload = asBinaryPayload(col(textCol))
+    docs.select(
+      col(idCol).as("media_id"),
+      payload.as("payload"),
+      fakeDecodeMeta(payload).as("meta"))
+  }
+}

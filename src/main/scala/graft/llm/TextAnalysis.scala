@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization,
+  * shingling, quality statistics, language-ID heuristic, and document
+  * fingerprinting.
+  *
+  * Everything is built-in Catalyst higher-order functions (codegen'd, no
+  * UDFs) operating per-row — map-side only, no shuffle — so each operator
+  * scales linearly with partitions regardless of corpus size. The hash
+  * primitive is md5 (available verbatim in the DuckDB oracle); a production
+  * deployment would swap in xxhash64 for ~10× cheaper hashing with the same
+  * structure.
+  */
+object TextAnalysis {
+
+  /** Whitespace word tokenizer. `split` on single spaces matches the
+    * testdata's clean single-space corpus; `\s+` would merge runs.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, and single
+    * non-alphanumeric symbols — the classic pre-tokenization pass of GPT-2
+    * style BPE vocabularies.
+    */
+  val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(TokenPattern), lit(0))
+
+  /** Contiguous word n-gram shingles, space-joined. Empty when the doc has
+    * fewer than n words (the sequence() guard matters: Spark's sequence(1,0)
+    * would count DOWN).
+    */
+  def wordShingles(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+
+  /** Character n-gram shingles over the raw text. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Small per-language stopword lists for the language-ID heuristic.
+    * Deliberately tiny and deterministic — the operator's value is the
+    * scoring/argmax plumbing, not lexicon quality.
+    */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "et", "les", "des", "une"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Occurrence count of one language's stopwords in the word list. */
+  def stopHits(ws: Column, lang: String): Column = {
+    val set = StopWords.toMap.apply(lang)
+    size(filter(ws, w => w.isin(set: _*)))
+  }
+
+  /** Language-ID: argmax of stopword hits with a fixed preference order on
+    * ties (list order of StopWords); zero hits everywhere → "und"
+    * (undetermined, ISO 639-2 convention).
+    */
+  def langId(ws: Column): Column = {
+    val scores = StopWords.map { case (lang, _) => lang -> stopHits(ws, lang) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality statistics: word count, regex-token count, type-token ratio
+    * (distinct words / words), mean word length, stopword ratio (en), and a
+    * composite quality score in [0, 1]. All ratios are exact-arithmetic
+    * expressions so the DuckDB oracle can reproduce them bit-for-bit.
+    */
+  def qualityStats(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val ttr = size(array_distinct(ws)).cast("double") / nWords
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val stopRatio = stopHits(ws, "en").cast("double") / nWords
+    val quality = lit(0.4) * ttr + lit(0.3) * stopRatio +
+      lit(0.3) * least(lit(1.0), nWords.cast("double") / 100)
+    struct(
+      nWords.as("n_words"),
+      size(regexTokens(text)).as("n_tokens"),
+      ttr.as("ttr"),
+      meanLen.as("mean_word_len"),
+      stopRatio.as("stop_ratio"),
+      quality.as("quality"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash over per-word codes,
+    * mod 1e9+7. code(w) = ascii(first char)*131 + length(w); the fold is a
+    * strict left fold so any engine reproducing the same order gets the
+    * same fingerprint. This is the cheap shift-resistant identity used for
+    * fast page-level dedup candidate generation.
+    */
+  val FingerprintMod = 1000000007L
+  def fingerprint(ws: Column): Column =
+    aggregate(
+      transform(ws, w => (ascii(substring(w, 1, 1)) * 131 + length(w)).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % FingerprintMod)
+}

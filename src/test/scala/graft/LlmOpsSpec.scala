@@ -1,0 +1,130 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the LLM-data-pipeline operator families (dedup,
+  * similarity search, multimodal columns, text analysis).
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqOf[T](r: Row, field: String): Seq[T] =
+    r.getAs[scala.collection.Seq[T]](field).toSeq
+
+  test("text: shingles, tokens, langId, fingerprint determinism") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "der hund und die katze und der vogel"),
+      (3L, "xx yy")).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3).as("sh"),
+      TextAnalysis.regexTokens(lit("ab 12 c!d")).as("toks"),
+      TextAnalysis.langId(TextAnalysis.words(col("text"))).as("lang"),
+      TextAnalysis.fingerprint(TextAnalysis.words(col("text"))).as("fp")
+    ).orderBy("doc_id").collect()
+    assert(seqOf[String](out(0), "sh") ==
+      Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(seqOf[String](out(0), "toks") == Seq("ab", "12", "c", "!", "d"))
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "de")
+    assert(out(2).getAs[String]("lang") == "und")
+    // shorter than n -> empty, not a descending sequence() artifact
+    assert(seqOf[String](out(2), "sh").isEmpty)
+    // fingerprint is stable across evaluations
+    val fp1 = out(0).getAs[Long]("fp")
+    val fp2 = df.select(TextAnalysis.fingerprint(TextAnalysis.words(col("text"))).as("fp"))
+      .orderBy("fp").collect().map(_.getLong(0))
+    assert(fp2.contains(fp1))
+  }
+
+  test("dedup: exact groups keep min id and count copies") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (10L, "aaa"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(docs).orderBy("keeper_id").collect()
+    assert(groups.length == 2)
+    assert(groups(0).getAs[Long]("keeper_id") == 1L)
+    assert(groups(0).getAs[Long]("n_copies") == 3L)
+  }
+
+  test("dedup: minhash finds the injected near-duplicate, not the stranger") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id").collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
+      Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("dedup: jaccard is exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).head.getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("dedup: simhash of identical docs is identical; blocking finds them") {
+    val docs = Seq(
+      (1L, "spark flink beam storm heron samza"),
+      (2L, "spark flink beam storm heron samza"),
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    val sigs = docs.select(Dedup.simhash16(TextAnalysis.words(col("text"))).as("s"))
+      .collect().map(_.getString(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0).length == 16 && sigs(0).forall(c => c == '0' || c == '1'))
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id").collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Int]("hamming") == 0))
+  }
+
+  test("vectors: dot/norm/cosine/normalize") {
+    val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.l2Norm(col("a")).as("n"),
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.normalize(col("a")).as("u")).head
+    assert(r.getAs[Double]("d") == 24.0)
+    assert(r.getAs[Double]("n") == 5.0)
+    assert(math.abs(r.getAs[Double]("c") - 24.0 / 25.0) < 1e-12)
+    assert(seqOf[Double](r, "u") == Seq(0.6, 0.8))
+  }
+
+  test("vectors: brute-force top-k ranks by cosine, excludes self") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val queries = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    val top = VectorOps.bruteForceTopK(corpus, queries, 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L))
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
+
+  test("vectors: lsh bucket agreement for near vectors, pruning for far ones") {
+    val planes = VectorOps.hyperplanes(8, 2)
+    assert(planes == VectorOps.hyperplanes(8, 2)) // seed-deterministic
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)), (3L, Seq(-1.0, -0.02)))
+      .toDF("id", "vec")
+    val queries = Seq((1L, Seq(1.0, 0.01))).toDF("qid", "qvec")
+    val hits = VectorOps.lshTopK(corpus, queries, planes, 5).collect()
+    assert(hits.map(_.getAs[Long]("id")).contains(2L)) // same bucket
+    assert(!hits.map(_.getAs[Long]("id")).contains(3L)) // opposite signs pruned
+  }
+
+  test("multimodal: payload metadata is deterministic and schema-typed") {
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val r1 = Multimodal.toMultimodalRows(docs).select("meta.*").head
+    val r2 = Multimodal.toMultimodalRows(docs).select("meta.*").head
+    assert(r1 == r2)
+    assert(r1.getAs[Int]("n_bytes") == 11)
+    assert(r1.getAs[Int]("width") >= 1 && r1.getAs[Int]("width") <= 256)
+    assert(r1.getAs[String]("fingerprint").length == 8)
+  }
+}
