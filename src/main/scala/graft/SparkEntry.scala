@@ -38,6 +38,14 @@ object SparkEntry {
   /** epoch-seconds of the second-truncated ts, DuckDB side. */
   private val OSec = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
 
+  /** Sign-LSH hyperplanes for llm_ann_lsh — seeded, so the exact same
+    * literals are embedded into the DuckDB oracle SQL below. 6 planes →
+    * 64 buckets over 500 vectors (~8 candidates per bucket).
+    */
+  private val AnnPlanes: Seq[Seq[Double]] = VectorOps.hyperplanes(6, 64)
+  private val OPlanes: String =
+    AnnPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
   /** Flagship: the remote-read bucket-quantile query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("a1_bucket_quantile")(spark, "/root/testdata/sf0.001")
@@ -278,6 +286,61 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
+    // signature → bucket JOIN (never all-pairs) → exact-Jaccard verify.
+    // Near-dups injected (every 11th doc + a 4-word suffix); the corpus
+    // also contains natural near-dup pairs the pipeline finds.
+    "llm_dedup_minhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" graft extra suffix tokens")))
+      Dedup.minhashNearDups(d.unionByName(replay), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup: 16-bit signature, 4-block pigeonhole candidate
+    // generation, hamming ≤ 3. Output aggregated per distance (the tiny
+    // synthetic vocabulary makes individual pairs numerous).
+    "llm_dedup_simhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" graft extra suffix tokens")))
+      Dedup.simhashNearDups(d.unionByName(replay), "text", "doc_id")
+        .groupBy(col("hamming").cast("long").as("hamming"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("id_a")).as("min_id_a"), max(col("id_b")).as("max_id_b"))
+        .orderBy(col("hamming"))
+    }),
+
+    // Brute-force exact top-10 cosine neighbors for 5 probe vectors —
+    // the ANN baseline; two-phase rank keeps the final shuffle tiny.
+    "llm_ann_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.bruteForceTopK(e, q, 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (the scale path): sign-LSH over 6 seeded
+    // hyperplanes prunes to same-bucket candidates before exact cosine.
+    "llm_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.lshTopK(e, q, AnnPlanes, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // E1-E4: tag codec round-trip — labels map -> sorted "k=v" array (E1),
     // back to map (E3), 0xFF-joined series key (E4)
     // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
@@ -424,6 +487,101 @@ object SparkEntry {
          |      FROM u)
          |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graft extra suffix tokens' FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
+        |sig AS (
+        |  SELECT id, shingles,
+        |    [list_min([md5(j||':'||s) FOR s IN shingles]) FOR j IN range(0, 12)] AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT id, b, array_to_string(sg[b*3+1:b*3+3], '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id)
+        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+        |FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_dedup_simhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graft extra suffix tokens' FROM documents WHERE doc_id % 11 = 0),
+        |sig AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string([CASE WHEN list_sum(list_transform(hs,
+        |        h -> CASE WHEN substr(h,p,1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+        |      THEN '1' ELSE '0' END FOR p IN range(1, 17)], '') AS sig
+        |  FROM (SELECT doc_id, list_transform(str_split(text, ' '), w -> md5(w)) AS hs FROM all_docs)),
+        |blocked AS (
+        |  SELECT id, sig, b, substr(sig, b*4+1, 4) AS bval
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bval = b.bval AND a.id < b.id),
+        |h AS (
+        |  SELECT id_a, id_b,
+        |    len(list_filter(range(1, 17), p -> substr(sig_a, p, 1) <> substr(sig_b, p, 1))) AS hamming
+        |  FROM cand)
+        |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS cnt,
+        |  min(id_a) AS min_id_a, max(id_b) AS max_id_b
+        |FROM h WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_ann_cosine" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        |p AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+        |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
+        |  FROM v CROSS JOIN q WHERE id <> qid),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
+        |SELECT qid, rank, id, round(cos, 4) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "llm_ann_lsh" ->
+      s"""WITH planes AS (SELECT $OPlanes AS pl),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |vb AS (
+         |  SELECT id, vec,
+         |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) >= 0
+         |      THEN '1' ELSE '0' END FOR j IN range(1, 7)], '') AS bucket
+         |  FROM v CROSS JOIN planes),
+         |q AS (SELECT id AS qid, vec AS qvec, bucket FROM vb WHERE id < 5),
+         |cand AS (
+         |  SELECT qid, qvec, id, vec FROM vb JOIN q USING (bucket) WHERE id <> qid),
+         |p AS (
+         |  SELECT qid, id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+         |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+         |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
+         |  FROM cand),
+         |r AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
+         |SELECT qid, rank, id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "llm_text_stats" ->
       """WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),
