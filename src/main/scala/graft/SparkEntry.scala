@@ -1,11 +1,13 @@
 package graft
 
+import graft.codec.Prompb
 import graft.compile.Matchers
 import graft.compile.Matchers._
-import graft.engine.{ReadPipeline, Rollup, WritePipeline}
+import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
 import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.streaming.RemoteWriteStream
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,6 +171,51 @@ object SparkEntry {
         .select(col("name"), element_at(col("labels"), "user_id").as("user_id"),
           col("value"), col("timestampMs").as("ts_ms"))
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
+    }),
+
+    // S1: the remote-write byte edge — events marshalled into real
+    // snappy+protobuf WriteRequest payloads (distributed, one per series),
+    // then decoded back through the streaming ingest decoder. Proves the
+    // wire codec + flatten path end-to-end; oracle = the raw events.
+    "s1_prompb_roundtrip" -> ((s, dir) => {
+      val nested = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(collect_list(struct(col("value").as("value"),
+          unix_millis(col("ts")).as("ts_ms"))).as("samples"))
+      val payloads = nested.map { r =>
+        val name = r.getString(0)
+        val uid = String.valueOf(r.get(1))
+        val samples = r.getAs[scala.collection.Seq[Row]]("samples").toSeq
+          .map(x => Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms")))
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(Prompb.PWriteRequest(Seq(
+          Prompb.PTimeSeries(
+            Seq(Prompb.PLabel("__name__", name), Prompb.PLabel("user_id", uid)),
+            samples)))))
+      }(org.apache.spark.sql.Encoders.BINARY)
+      RemoteWriteStream.decodeFlat(payloads.toDF("content"))
+        .select(col("name"), element_at(col("labels"), "user_id").as("user_id"),
+          col("value"), col("timestampMs").as("ts_ms"))
+        .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
+    }),
+
+    // S11: the read-response edge — the full read pipeline's output
+    // marshalled to ReadResponse wire bytes (proto+snappy) and decoded
+    // back; oracle = the same bucket-agg assembly the bytes carry (shape
+    // shared with a5).
+    "s11_readresponse_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val q = PromQuery(Jan10 * 1000, Jan11 * 1000, Nil)
+      val assembled = ReadPipeline.read(Tables.metrics(s, dir), q, exact = true)
+      val resp = Prompb.decodeReadResponse(
+        Prompb.snappyUncompress(ResponseEdge.encode(assembled)))
+      val rows = resp.results.head.timeseries.map { ts =>
+        val labels = ts.labels.map(l => l.name -> l.value).toMap
+        val tags = ts.labels.map(l => s"${l.name}=${l.value}").sorted
+        (labels.getOrElse("__name__", ""), tags.mkString(","),
+          ts.samples.length.toLong,
+          ts.samples.map(x => f"${x.timestampMs}%d:${x.value}%.4f").mkString(";"))
+      }
+      rows.toDF("name", "tags", "n_samples", "samples").orderBy(col("tags"))
     }),
 
     // A5: series re-assembly — bucket rows regrouped into per-series
@@ -429,6 +476,24 @@ object SparkEntry {
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    "s1_prompb_roundtrip" ->
+      """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+        |       value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    "s11_readresponse_roundtrip" ->
+      s"""WITH b AS (
+         |  SELECT ($OSec // 10) * 10 * 1000 AS t,
+         |         event_type AS name,
+         |         $OTags AS tags,
+         |         quantile_cont(value, 0.75) AS value
+         |  FROM events
+         |  WHERE $OSec >= $Jan10 AND $OSec <= $Jan11
+         |  GROUP BY 1, 2, 3)
+         |SELECT name, tags, count(*) AS n_samples,
+         |       string_agg(printf('%d:%.4f', t, value), ';' ORDER BY t) AS samples
+         |FROM b GROUP BY 1, 2 ORDER BY tags""".stripMargin,
 
     "a5_series_assembly" ->
       s"""WITH b AS (

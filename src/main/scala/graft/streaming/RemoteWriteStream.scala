@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.codec.Prompb
+import graft.engine.WritePipeline
+import graft.model.Schema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S1: the remote-write ingest edge — snappy+protobuf payloads decoded and
+  * flattened into the engine's canonical sample stream, batch or
+  * Structured Streaming (reference: main.go:286-320).
+  *
+  * The decode is a Dataset flatMap (the one place imperative code is
+  * genuinely needed — opaque bytes in, rows out); everything downstream is
+  * the declarative WritePipeline. Each payload decodes independently, so
+  * the operation is embarrassingly parallel across partitions, and a
+  * malformed payload fails only its own task.
+  */
+object RemoteWriteStream {
+
+  /** Decode a DataFrame carrying snappy+proto `WriteRequest` payloads in a
+    * binary `content` column into flat samples
+    * (name, labels, value, timestampMs) ≙ `protoToSamples`
+    * (reference: main.go:377-394 after the decode at main.go:294-302).
+    */
+  def decodeFlat(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("content")).as[Array[Byte]].flatMap { bytes =>
+      val wr = Prompb.decodeWriteRequest(Prompb.snappyUncompress(bytes))
+      for (ts <- wr.timeseries; s <- ts.samples) yield {
+        val labels = ts.labels.map(l => l.name -> l.value).toMap
+        Schema.Sample(labels.getOrElse(Schema.MetricNameLabel, ""),
+          labels, s.value, s.timestampMs)
+      }
+    }.toDF()
+  }
+
+  /** Full streaming ingest: watch `inDir` for payload files (each file =
+    * one remote-write POST body), decode, filter non-finite, append to the
+    * partitioned metrics table. `Trigger.AvailableNow` drains everything
+    * pending and stops — the batch-job form of the same pipeline; a
+    * production deployment keeps the default continuous micro-batch
+    * trigger (and would read from Kafka instead of files, same plan).
+    *
+    * No watermark by design: the reference accepts any timestamp at any
+    * time and delegates out-of-order handling to storage-side versioned
+    * dedup (SURVEY §2.4) — our A7 dedupLatest compaction serves that role.
+    */
+  /** The binaryFile source's fixed schema (streaming requires it spelled
+    * out explicitly).
+    */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  def ingestStream(spark: SparkSession, inDir: String, tablePath: String,
+                   checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .load(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flat = decodeFlat(batch)
+        WritePipeline.append(
+          WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flat)),
+          tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.codec.Prompb
+import graft.codec.Prompb._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-level specs for the hand-rolled prompb codec (S1/S11). */
+class PrompbSpec extends AnyFunSuite {
+
+  test("golden bytes: minimal WriteRequest encodes to the exact proto wire") {
+    val wr = PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("__name__", "m")), Seq(PSample(1.5, 1000L)))))
+    val expected: Array[Byte] = Array(
+      0x0A, 29, // WriteRequest.timeseries[0], len 29
+      0x0A, 13, // TimeSeries.labels[0], len 13
+      0x0A, 8, '_', '_', 'n', 'a', 'm', 'e', '_', '_', // Label.name
+      0x12, 1, 'm', // Label.value
+      0x12, 12, // TimeSeries.samples[0], len 12
+      0x09, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F, // 1.5 LE fixed64
+      0x10, 0xE8, 0x07 // timestamp varint 1000
+    ).map(_.toByte)
+    assert(Prompb.encodeWriteRequest(wr).toSeq == expected.toSeq)
+    assert(Prompb.decodeWriteRequest(expected) == wr)
+  }
+
+  test("WriteRequest round-trip: multi-series, zero value, unicode, empty") {
+    val wr = PWriteRequest(Seq(
+      PTimeSeries(
+        Seq(PLabel("__name__", "test:metric"), PLabel("ü", "日")),
+        Seq(PSample(0.0, 0L), PSample(-1.25, 123456789123L),
+          PSample(Double.MaxValue, 1L))),
+      PTimeSeries(Seq(PLabel("__name__", "b")), Seq())))
+    val back = Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(wr))
+    assert(back == wr)
+  }
+
+  test("NaN sample value survives the fixed64 bits") {
+    val wr = PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("__name__", "n")), Seq(PSample(Double.NaN, 5L)))))
+    val back = Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(wr))
+    assert(back.timeseries.head.samples.head.timestampMs == 5L)
+    assert(back.timeseries.head.samples.head.value.isNaN)
+  }
+
+  test("ReadRequest round-trip with matchers") {
+    val rr = PReadRequest(Seq(PQuery(1000L, 2000L, Seq(
+      PLabelMatcher(MatchType.EQ, "__name__", "up"),
+      PLabelMatcher(MatchType.NRE, "job", "node.*")))))
+    assert(Prompb.decodeReadRequest(Prompb.encodeReadRequest(rr)) == rr)
+  }
+
+  test("ReadResponse round-trip") {
+    val resp = PReadResponse(Seq(PQueryResult(Seq(
+      PTimeSeries(Seq(PLabel("__name__", "m"), PLabel("k", "v")),
+        Seq(PSample(1.0, 10L), PSample(2.0, 20L)))))))
+    assert(Prompb.decodeReadResponse(Prompb.encodeReadResponse(resp)) == resp)
+  }
+
+  test("decoder skips unknown fields (forward compatibility)") {
+    val base = Prompb.encodeWriteRequest(PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("__name__", "m")), Seq(PSample(2.0, 7L))))))
+    // Append an unknown field 15, wiretype 2 (e.g. a future metadata blob).
+    val extra = Array((15 << 3 | 2).toByte, 3.toByte, 1.toByte, 2.toByte, 3.toByte)
+    val decoded = Prompb.decodeWriteRequest(base ++ extra)
+    assert(decoded.timeseries.head.samples.head == PSample(2.0, 7L))
+  }
+
+  test("snappy round-trip and wire stack end-to-end") {
+    val wr = PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("__name__", "e2e")), Seq(PSample(3.14, 42L)))))
+    val wire = Prompb.snappyCompress(Prompb.encodeWriteRequest(wr))
+    assert(Prompb.decodeWriteRequest(Prompb.snappyUncompress(wire)) == wr)
+  }
+
+  test("seeded randomized round-trip (100 requests)") {
+    val rnd = new scala.util.Random(7)
+    def rs(): String = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+    (1 to 100).foreach { _ =>
+      val wr = PWriteRequest(Seq.fill(rnd.nextInt(4))(PTimeSeries(
+        Seq.fill(rnd.nextInt(4))(PLabel(rs(), rs())),
+        Seq.fill(rnd.nextInt(5))(
+          PSample(rnd.nextDouble() * 1e6 - 5e5, rnd.nextLong().abs)))))
+      assert(Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(wr)) == wr)
+    }
+  }
+}

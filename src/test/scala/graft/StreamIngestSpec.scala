@@ -1,0 +1,65 @@
+package graft
+
+import graft.codec.Prompb
+import graft.codec.Prompb._
+import graft.engine.{ReadPipeline, ResponseEdge, WritePipeline}
+import graft.streaming.RemoteWriteStream
+import java.nio.file.Files
+
+/** S1 streaming ingest + S11 response edge, end-to-end over real bytes. */
+class StreamIngestSpec extends SparkSpec {
+
+  private def payload(name: String, samples: Seq[PSample]): Array[Byte] =
+    Prompb.snappyCompress(Prompb.encodeWriteRequest(PWriteRequest(Seq(
+      PTimeSeries(Seq(PLabel("__name__", name), PLabel("job", "t")), samples)))))
+
+  test("S1: streaming ingest drains payload files into the metrics table") {
+    val in = Files.createTempDirectory("graft_in").toString
+    val table = Files.createTempDirectory("graft_tbl").toString + "/metrics"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    Files.write(java.nio.file.Paths.get(s"$in/b1.bin"),
+      payload("m1", Seq(PSample(1.0, 123456789123L), PSample(Double.NaN, 123456789123L))))
+    Files.write(java.nio.file.Paths.get(s"$in/b2.bin"),
+      payload("m2", Seq(PSample(2.5, 123456790000L))))
+
+    val q = RemoteWriteStream.ingestStream(spark, in, table, ckpt)
+    q.awaitTermination()
+
+    val rows = spark.read.parquet(table).collect()
+    // NaN dropped (F1), 2 finite samples stored, ts truncated to seconds
+    assert(rows.length == 2)
+    val m1 = rows.find(_.getAs[String]("name") == "m1").get
+    assert(m1.getAs[java.sql.Timestamp]("ts").getTime == 123456789000L)
+    assert(m1.getAs[scala.collection.Seq[String]]("tags").toSeq ==
+      Seq("__name__=m1", "job=t"))
+
+    // restart with no new files: checkpoint prevents re-ingest
+    val q2 = RemoteWriteStream.ingestStream(spark, in, table, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(table).count() == 2)
+  }
+
+  test("S11: response edge emits decodable snappy+proto wire bytes") {
+    import spark.implicits._
+    import graft.compile.Matchers._
+    val metrics = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(Seq(
+      graft.model.Schema.Sample("m", Map("__name__" -> "m", "k" -> "v"), 1.5, 123456789123L),
+      graft.model.Schema.Sample("m", Map("__name__" -> "m", "k" -> "v"), 2.5, 123456799123L)
+    ).toDF()))
+    val q = PromQuery(123456789123L - 60000, 123456789123L + 60000000, Nil)
+    val assembled = ReadPipeline.read(metrics, q, exact = true)
+    val resp = Prompb.decodeReadResponse(
+      Prompb.snappyUncompress(ResponseEdge.encode(assembled)))
+    assert(resp.results.length == 1)
+    val ts = resp.results.head.timeseries
+    assert(ts.length == 1)
+    assert(ts.head.labels.contains(PLabel("__name__", "m")))
+    assert(ts.head.labels.contains(PLabel("k", "v")))
+    assert(ts.head.samples.length == 2)
+    // samples sorted by timestamp, values = the single-sample quantiles
+    assert(ts.head.samples.map(_.value) == Seq(1.5, 2.5))
+    assert(ts.head.samples.map(_.timestampMs) ==
+      ts.head.samples.map(_.timestampMs).sorted)
+  }
+}
