@@ -1,11 +1,12 @@
 package graft
 
-import graft.codec.Prompb
+import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
 import graft.compile.Matchers
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
 import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
+import graft.sinks.Formatters
 import graft.streaming.RemoteWriteStream
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +52,17 @@ object SparkEntry {
   /** Flagship: the remote-read bucket-quantile query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("a1_bucket_quantile")(spark, "/root/testdata/sf0.001")
+
+  /** events as the flat sample stream (name, labels, value, timestampMs) —
+    * the formatters' input shape.
+    */
+  private def flatSamples(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("name"),
+      map(lit("__name__"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"),
+      col("value"),
+      unix_millis(col("ts")).as("timestampMs"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -266,6 +278,65 @@ object SparkEntry {
         .groupBy(col("name"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
         .orderBy(col("name"))
+    }),
+
+    // E7: Graphite percent-escape over event-derived strings with injected
+    // reserved/symbol/multi-byte chars (reference: graphite/escape.go:82-103).
+    "e7_graphite_escape" -> ((s, dir) => {
+      val raw = concat(col("event_type"), lit("/x.y%"),
+        col("user_id").cast("string"), lit(" ö"))
+      Tables.events(s, dir)
+        .select(col("event_id"), GraphiteCodec.escapeUdf(raw).as("escaped"))
+        .orderBy(col("event_id"))
+    }),
+
+    // E8: Graphite path build — prefix + escaped name + sorted
+    // label.value pairs (reference: graphite/client.go:53-80).
+    "e8_graphite_path" -> ((s, dir) => {
+      val labels = map(
+        lit("__name__"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string"),
+        lit("zone"), concat(lit("z%"), col("user_id").cast("string")))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          GraphiteCodec.path(labels, lit("prom.")).as("path"))
+        .orderBy(col("event_id"))
+    }),
+
+    // E9/E10: OpenTSDB TagValue escape state machine and its inverse
+    // (reference: opentsdb/tagvalue.go:65-158).
+    "e9_opentsdb_tagvalue" -> ((s, dir) => {
+      val raw = concat(col("event_type"), lit("_x:y "),
+        col("user_id").cast("string"))
+      val marshaled = OpenTsdbCodec.marshalUdf(raw)
+      Tables.events(s, dir)
+        .select(col("event_id"), marshaled.as("marshaled"),
+          OpenTsdbCodec.unmarshalUdf(marshaled).as("roundtrip"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S6/E12: InfluxDB line protocol formatter (reference:
+    // influxdb/client.go:91-107); fixed %.4f value rendering so the
+    // oracle's printf matches.
+    "s6_influx_lines" -> ((s, dir) => {
+      Formatters.influxLines(flatSamples(s, dir),
+          v => format_string("%.4f", v))
+        .orderBy(col("line"))
+    }),
+
+    // S7/E12: OpenTSDB JSON formatter with sorted, escaped tags
+    // (reference: opentsdb/client.go:57-62,101).
+    "s7_opentsdb_json" -> ((s, dir) => {
+      Formatters.opentsdbJson(flatSamples(s, dir),
+          v => format_string("%.4f", v))
+        .orderBy(col("json"))
+    }),
+
+    // S8/E12: Graphite plaintext formatter, %f fixed rendering + trailing
+    // newline as on the wire (reference: graphite/client.go:93-99).
+    "s8_graphite_lines" -> ((s, dir) => {
+      Formatters.graphiteLines(flatSamples(s, dir), "prom.")
+        .orderBy(col("line"))
     }),
 
     // ---- LLM-data-pipeline operators (north-star extensions) ----
@@ -552,6 +623,46 @@ object SparkEntry {
          |      FROM u)
          |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e7_graphite_escape" ->
+      """SELECT event_id,
+        |  replace(replace(replace(replace(replace(
+        |    event_type || '/x.y%' || user_id || ' ö',
+        |    '%', '%25'), '/', '%2F'), '.', '%2E'), ' ', '%20'), 'ö', '%C3%B6') AS escaped
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e8_graphite_path" ->
+      """SELECT event_id,
+        |  'prom.' || event_type || '.user_id.' || user_id
+        |    || '.zone.z%25' || user_id AS path
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e9_opentsdb_tagvalue" ->
+      """SELECT event_id,
+        |  replace(replace(replace(
+        |    event_type || '_x:y ' || user_id,
+        |    '_', '__'), ':', '_.'), ' ', '_20') AS marshaled,
+        |  event_type || '_x:y ' || user_id AS roundtrip
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "s6_influx_lines" ->
+      """SELECT event_type || ',user_id=' || user_id
+        |  || ' value=' || printf('%.4f', value)
+        |  || ' ' || epoch_ms(ts) AS line
+        |FROM events ORDER BY line""".stripMargin,
+
+    "s7_opentsdb_json" ->
+      """SELECT '{"metric":"' || event_type
+        |  || '","timestamp":' || (epoch_ms(ts) // 1000)
+        |  || ',"value":' || printf('%.4f', value)
+        |  || ',"tags":{"user_id":"' || user_id || '"}}' AS json
+        |FROM events ORDER BY json""".stripMargin,
+
+    "s8_graphite_lines" ->
+      """SELECT 'prom.' || event_type || '.user_id.' || user_id
+        |  || ' ' || printf('%f', value)
+        |  || ' ' || printf('%f', epoch_ms(ts) / 1000.0) || chr(10) AS line
+        |FROM events ORDER BY line""".stripMargin,
 
     "llm_dedup_minhash" ->
       """WITH all_docs AS (

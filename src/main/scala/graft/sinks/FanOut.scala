@@ -1,0 +1,52 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** S3: parallel multi-sink fan-out with per-sink error isolation
+  * (reference: main.go:311-319 — goroutine per writer + WaitGroup;
+  * main.go:396-406 — a failed sink only logs and counts, it never fails
+  * the batch or the other sinks).
+  *
+  * The batch is persisted once so every sink reads the same materialized
+  * data instead of recomputing the lineage per sink — the Spark analogue
+  * of the reference handing the same `samples` slice to each goroutine.
+  */
+object FanOut {
+
+  /** One sink's outcome ≙ sent/failed counters per remote
+    * (reference: main.go:86-103).
+    */
+  case class SinkOutcome(sink: String, sent: Long, failed: Long,
+                         error: Option[String])
+
+  /** Run every sink against the same batch concurrently. A sink throwing
+    * marks its own samples failed; the rest proceed.
+    *
+    * @param sinks (name, write) — write returns the number of samples it
+    *              sent (typically `df.count()` worth after its own filters)
+    */
+  def fanOut(batch: DataFrame, sinks: Seq[(String, DataFrame => Long)],
+             timeout: Duration = 10.minutes): Seq[SinkOutcome] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    batch.persist()
+    try {
+      val total = batch.count()
+      val outcomes = sinks.map { case (name, write) =>
+        Future {
+          try SinkOutcome(name, write(batch), 0L, None)
+          catch {
+            case e: Throwable =>
+              SinkOutcome(name, 0L, total,
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+          }
+        }
+      }
+      Await.result(Future.sequence(outcomes), timeout)
+    } finally {
+      batch.unpersist()
+      ()
+    }
+  }
+}
