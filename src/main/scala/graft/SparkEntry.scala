@@ -1,7 +1,7 @@
 package graft
 
 import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
-import graft.compile.Matchers
+import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
 import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
@@ -151,6 +151,53 @@ object SparkEntry {
         .groupBy(col("name"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
         .orderBy(col("name"))
+    }),
+
+    // F7: InfluxQL matcher dialect — regexes anchored BOTH ends (vs the
+    // ClickHouse dialect's unanchored F4 / start-anchored F6), no
+    // |-alternation on tag EQ (reference: influxdb/client.go:148-184).
+    "f7_influx_matchers" -> ((s, dir) => {
+      val q = PromQuery(Jan05 * 1000, Jan20 * 1000, Seq(
+        LabelMatcher(EQ, "__name__", "purchase"),
+        LabelMatcher(RE, "user_id", "1.*0")))
+      Tables.metrics(s, dir).filter(InfluxMatchers.compile(q))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F7+S10+A6: the Influx READ path end-to-end — raw `SELECT value`
+    // per-series reads (no bucketing), two overlapping queries merged
+    // first-wins (reference: influxdb/client.go:183,194-215,287-308).
+    "f7_influx_raw_merge" -> ((s, dir) => {
+      val m = Tables.metrics(s, dir)
+      def rq(a: Long, b: Long) = PromQuery(a * 1000, b * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      val r1 = InfluxMatchers.rawRead(m, rq(Jan10, Jan12))
+      val r2 = InfluxMatchers.rawRead(m, rq(Jan11, Jan13))
+        .withColumn("value", col("value") + 1)
+      ReadPipeline.mergeDedup(Seq(r1, r2), tsCol = "t")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"),
+          min(col("t")).as("t_min"), max(col("t")).as("t_max"))
+    }),
+
+    // S4/S5: store → read round-trip through a real partitioned parquet
+    // table: ingest events, append (date-partitioned, sorted within
+    // partitions), read BACK from disk, run the flagship bucket agg over
+    // the stored table — proving the storage layout serves reads with
+    // partition pruning (reference: clickhouse/client.go:85-157).
+    "s4_write_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString + "/metrics"
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        tmp)
+      val stored = s.read.parquet(tmp)
+      val q = PromQuery(Jan05 * 1000, Jan20 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      ReadPipeline.bucketAgg(stored, q, exact = true)
+        .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("t"), col("tags"))
     }),
 
     // F1: NaN/±Inf ingest drop (reference: clickhouse/client.go:137-141).
@@ -532,6 +579,39 @@ object SparkEntry {
       """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
         |FROM events WHERE NOT regexp_matches('user_id=' || user_id, '^user_id=[0-4]$')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f7_influx_matchers" ->
+      s"""SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'purchase'
+         |  AND regexp_full_match('user_id=' || user_id, 'user_id=1.*0')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f7_influx_raw_merge" ->
+      s"""WITH r1 AS (
+         |  SELECT $OTags AS tags, $OSec * 1000 AS t, value, 0 AS src
+         |  FROM events
+         |  WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'),
+         |r2 AS (
+         |  SELECT $OTags AS tags, $OSec * 1000 AS t, value + 1 AS value, 1 AS src
+         |  FROM events
+         |  WHERE $OSec >= $Jan11 AND $OSec <= $Jan13 AND event_type = 'purchase'),
+         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY tags, t ORDER BY src) AS rn FROM u)
+         |SELECT count(*) AS cnt, round(sum(value), 4) AS total,
+         |  min(t) AS t_min, max(t) AS t_max
+         |FROM d WHERE rn = 1""".stripMargin,
+
+    "s4_write_roundtrip" ->
+      s"""SELECT count(*) AS cnt,
+         |       ($OSec // 158) * 158 * 1000 AS t,
+         |       event_type AS name,
+         |       $OTags AS tags,
+         |       round(quantile_cont(value, 0.75), 4) AS value
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'purchase'
+         |GROUP BY 2, 3, 4
+         |ORDER BY t, tags""".stripMargin,
 
     "f1_nonfinite_filter" ->
       """WITH x AS (

@@ -59,19 +59,23 @@ object RemoteWriteStream {
     org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
 
   def ingestStream(spark: SparkSession, inDir: String, tablePath: String,
-                   checkpointDir: String): StreamingQuery =
-    spark.readStream
-      .format("binaryFile")
-      .schema(binaryFileSchema)
-      .load(inDir)
+                   checkpointDir: String): StreamingQuery = {
+    val decoded = decodeFlat(
+      spark.readStream
+        .format("binaryFile")
+        .schema(binaryFileSchema)
+        .load(inDir))
+    // received/ignored counters ride the streaming plan itself (§2.7) and
+    // surface per micro-batch in StreamingQueryProgress.observedMetrics.
+    graft.engine.Observability.observedIngest(decoded)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val flat = decodeFlat(batch)
         WritePipeline.append(
-          WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flat)),
+          WritePipeline.toMetricRows(WritePipeline.dropNonFinite(batch)),
           tablePath)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

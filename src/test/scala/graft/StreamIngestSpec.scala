@@ -26,6 +26,10 @@ class StreamIngestSpec extends SparkSpec {
     val q = RemoteWriteStream.ingestStream(spark, in, table, ckpt)
     q.awaitTermination()
 
+    // §2.7: received counts the wire samples BEFORE the F1 drop
+    val stats = graft.engine.Observability.ingestStats(q)
+    assert(stats == graft.engine.Observability.IngestStats(received = 3, ignored = 1))
+
     val rows = spark.read.parquet(table).collect()
     // NaN dropped (F1), 2 finite samples stored, ts truncated to seconds
     assert(rows.length == 2)
