@@ -778,23 +778,21 @@ object SparkEntry {
         |  SELECT doc_id + 20000, text || ' graft extra suffix tokens' FROM documents WHERE doc_id % 11 = 0),
         |sig AS (
         |  SELECT doc_id AS id,
-        |    array_to_string([CASE WHEN list_sum(list_transform(hs,
+        |    list_sum([CASE WHEN list_sum(list_transform(hs,
         |        h -> CASE WHEN substr(h,p,1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
-        |      THEN '1' ELSE '0' END FOR p IN range(1, 17)], '') AS sig
+        |      THEN CAST(1 AS BIGINT) << (16 - p) ELSE 0 END FOR p IN range(1, 17)]) AS sig
         |  FROM (SELECT doc_id, list_transform(str_split(text, ' '), w -> md5(w)) AS hs FROM all_docs)),
         |blocked AS (
-        |  SELECT id, sig, b, substr(sig, b*4+1, 4) AS bval
+        |  SELECT id, sig, b, (sig >> (b*4)) & 15 AS bval
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
-        |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-        |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bval = b.bval AND a.id < b.id),
         |h AS (
-        |  SELECT id_a, id_b,
-        |    len(list_filter(range(1, 17), p -> substr(sig_a, p, 1) <> substr(sig_b, p, 1))) AS hamming
-        |  FROM cand)
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM blocked a JOIN blocked b ON a.b = b.b AND a.bval = b.bval AND a.id < b.id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
         |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS cnt,
         |  min(id_a) AS min_id_a, max(id_b) AS max_id_b
-        |FROM h WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_ann_cosine" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),

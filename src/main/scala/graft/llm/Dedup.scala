@@ -69,14 +69,21 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     val rows = k / bands
+    // Persisted on purpose: `sh` is read by the band join (twice, as both
+    // sides) AND by the verification joins — without materialization every
+    // consumer would re-run the shingle + k×md5 signature pipeline from
+    // the source. The persisted artifacts are O(docs × k) — tiny relative
+    // to the corpus text they summarize.
     val sh = docs.select(
       col(idCol).as("id"),
       array_distinct(TextAnalysis.wordShingles(
         TextAnalysis.words(col(textCol)), shingleWords)).as("shingles"))
+      .persist()
     val banded = sh.select(
-      col("id"), col("shingles"),
+      col("id"),
       posexplode(lshBands(minhashSignature(col("shingles"), k), bands, rows))
         .as(Seq("band", "bucket")))
+      .persist()
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -115,29 +122,52 @@ object Dedup {
     size(filter(sequence(lit(1), lit(n)),
       p => a.substr(p, lit(1)) =!= b.substr(p, lit(1))))
 
+  /** 16-bit SimHash as an integer (bit p of 16..1 set iff the vote sum is
+    * positive — the same bits simhash16 renders as '1' chars). Integer
+    * form so pair hamming is one codegen'd `bit_count(xor)` instead of 16
+    * substring compares — the difference between streaming millions of
+    * skewed candidate pairs through a filter and shuffling them.
+    */
+  def simhash16Int(hashes: org.apache.spark.sql.Column) =
+    (1 to 16).map { p =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.substr(p, 1)
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+      when(vote > 0, lit(1 << (16 - p))).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
     * 4-block pigeonhole candidate generation: split the 16 bits into 4
-    * blocks of 4; any pair within distance 3 must agree on at least one
-    * whole block, so candidates are pairs sharing (block index, block
-    * value) — a bucket join, never all-pairs.
+    * nibbles; any pair within distance 3 must agree on at least one whole
+    * nibble, so candidates are pairs sharing (block index, block value) —
+    * a bucket join, never all-pairs.
+    *
+    * Skew-hardened: the hamming filter runs map-side DIRECTLY on the join
+    * output (ints only, bit_count(xor)), so a degenerate hot bucket costs
+    * a streamed codegen scan of its pairs, never a wide shuffle; the
+    * distinct that collapses multi-block collisions only sees pairs that
+    * already passed the distance cut.
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "4-block pigeonhole only covers distance <= 3")
-    val sigs = docs.select(col(idCol).as("id"),
-      simhash16(TextAnalysis.words(col(textCol))).as("sig"))
+    // Two persisted steps so the md5-per-word array is computed once and
+    // the 16 vote aggregates reuse it (HOF aggregates defeat expression
+    // CSE), and the band join reads tiny (id, sig) ints on both sides.
+    val hs = docs.select(col(idCol).as("id"),
+      transform(TextAnalysis.words(col(textCol)), w => md5(w)).as("hs"))
+    val sigs = hs.select(col("id"), simhash16Int(col("hs")).as("sig")).persist()
     val blocked = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => col("sig").substr(b * 4 + 1, lit(4)))).as(Seq("block", "bval")))
+      posexplode(array((0 to 3).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
+        .as(Seq("block", "bval")))
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        hammingBits(col("sig_a"), col("sig_b"), 16).as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }
