@@ -480,6 +480,18 @@ object SparkEntry {
         .orderBy(col("hamming"))
     }),
 
+    // Character 4-gram Jaccard similarity between adjacent doc pairs —
+    // the exact n-gram similarity measure (also the verify stage of the
+    // MinHash pipeline) standalone over char shingles.
+    "llm_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.charShingles(col("text"), 4).as("sh"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
     // Brute-force exact top-10 cosine neighbors for 5 probe vectors —
     // the ANN baseline; two-phase rank keeps the final shuffle tiny.
     "llm_ann_cosine" -> ((s, dir) => {
@@ -793,6 +805,17 @@ object SparkEntry {
         |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS cnt,
         |  min(id_a) AS min_id_a, max(id_b) AS max_id_b
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(text, i, 4) FOR i IN range(1, length(text)-2)]) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "llm_ann_cosine" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
