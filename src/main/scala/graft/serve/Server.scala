@@ -1,0 +1,135 @@
+package graft.serve
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.codec.Prompb
+import graft.codec.Prompb._
+import graft.compile.Matchers
+import graft.compile.Matchers.{EQ, LabelMatcher, NEQ, NRE, PromQuery, RE}
+import graft.engine.{Observability, ReadPipeline, ResponseEdge, WritePipeline}
+import graft.sinks.FanOut
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The HTTP front door — the reference's serve() loop re-expressed over
+  * the Spark engine (reference: main.go:285-374):
+  *
+  *   POST /write   snappy+proto WriteRequest → flatten → F1 filter →
+  *                 partitioned parquet append (+ optional extra sinks via
+  *                 FanOut, each isolated like main.go:311-319)
+  *   POST /read    snappy+proto ReadRequest → matcher compile → bucket
+  *                 quantile agg → series assembly → ReadResponse bytes
+  *   GET  /metrics Prometheus text exposition of the §2.7 counters
+  *
+  * Driver-hosted: the handlers run on the Spark driver and submit jobs;
+  * at cluster scale this is exactly where the reference's single binary
+  * sits (ingest parallelism comes from the executors, not the HTTP
+  * layer — remote-write bodies are small; heavy lifting is the append
+  * job). A production deployment would put the same handlers behind a
+  * real server framework, unchanged.
+  */
+class Server(spark: SparkSession, tablePath: String,
+             extraSinks: Seq[(String, DataFrame => Long)] = Nil, port: Int = 0) {
+
+  val received = new AtomicLong(0)
+  val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  val failed = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  private val http = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** The bound port (useful when constructed with port 0). */
+  def boundPort: Int = http.getAddress.getPort
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    val in = ex.getRequestBody
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private[serve] def toPromQuery(q: PQuery): PromQuery =
+    PromQuery(q.startMs, q.endMs, q.matchers.map { m =>
+      val t = m.matchType match {
+        case MatchType.EQ => EQ
+        case MatchType.NEQ => NEQ
+        case MatchType.RE => RE
+        case MatchType.NRE => NRE
+        case other => throw new IllegalArgumentException(s"unknown match type $other")
+      }
+      LabelMatcher(t, m.name, m.value)
+    })
+
+  private def handleWrite(ex: HttpExchange): Unit =
+    try {
+      val wr = Prompb.decodeWriteRequest(Prompb.snappyUncompress(readBody(ex)))
+      val samples = for (ts <- wr.timeseries; s <- ts.samples) yield {
+        val labels = ts.labels.map(l => l.name -> l.value).toMap
+        graft.model.Schema.Sample(labels.getOrElse("__name__", ""),
+          labels, s.value, s.timestampMs)
+      }
+      received.addAndGet(samples.size.toLong)
+      import spark.implicits._
+      val flat = samples.toDF()
+      val table: (String, DataFrame => Long) = "parquet" -> { df =>
+        val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
+        WritePipeline.append(rows, tablePath)
+        df.count()
+      }
+      val outcomes = FanOut.fanOut(flat, table +: extraSinks)
+      outcomes.foreach { o =>
+        sent.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.sent)
+        failed.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.failed)
+      }
+      respond(ex, 200, Array.empty)
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
+    }
+
+  private def handleRead(ex: HttpExchange): Unit =
+    try {
+      val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
+      val stored = spark.read.parquet(tablePath)
+      val perQuery = rr.queries.map { q =>
+        ReadPipeline.read(stored, toPromQuery(q))
+      }
+      val body = Prompb.snappyCompress(
+        Prompb.encodeReadResponse(ResponseEdge.toReadResponse(perQuery)))
+      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.set("Content-Encoding", "snappy")
+      respond(ex, 200, body)
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, Option(e.getMessage).getOrElse("read error").getBytes("UTF-8"))
+    }
+
+  private def handleMetrics(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val counters =
+      ("received_samples_total", Map.empty[String, String], received.get()) +:
+        (sent.asScala.toSeq.sorted(Ordering.by((x: (String, AtomicLong)) => x._1))
+          .map { case (k, v) => ("sent_samples_total", Map("remote" -> k), v.get()) } ++
+          failed.asScala.toSeq.sorted(Ordering.by((x: (String, AtomicLong)) => x._1))
+            .map { case (k, v) => ("failed_samples_total", Map("remote" -> k), v.get()) })
+    respond(ex, 200, Observability.prometheusText(counters).getBytes("UTF-8"))
+  }
+
+  def start(): Server = {
+    http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
+    http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
+    http.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
+    http.setExecutor(null) // serial, like one handler goroutine pool
+    http.start()
+    this
+  }
+
+  def stop(): Unit = http.stop(0)
+}
