@@ -77,6 +77,20 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // A2 in its scale-default mode: percentile_approx (mergeable fixed-size
+    // sketch, map-side partials). No SQL oracle exists for the sketch —
+    // ClickHouse's own `quantile` is likewise approximate+nondeterministic —
+    // so this entry is a rows-only check; exact-mode parity is proven by
+    // a1_bucket_quantile.
+    "a2_quantile_approx" -> ((s, dir) => {
+      val q = PromQuery(Jan05 * 1000, Jan20 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q)
+        .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // F2: the time-range predicate alone (reference: clickhouse/query.go:18,67-70).
     "f2_time_range" -> ((s, dir) => {
       val q = PromQuery(Jan10 * 1000, Jan12 * 1000, Nil)

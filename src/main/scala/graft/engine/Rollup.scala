@@ -44,6 +44,37 @@ object Rollup {
         max(col("updated")).as("updated"))
   }
 
+  /** Storage compaction job: version-dedup then tier-rollup the stored
+    * table and REWRITE it — the explicit-batch-job form of what
+    * GraphiteMergeTree does during background merges. Writes to a staging
+    * directory and swaps, so a crash mid-compact leaves the original
+    * table intact (the job is idempotent and can simply rerun).
+    *
+    * Compacted rows return to the canonical 6-column schema with
+    * `ts` = bucket start; per-date partitioning and in-partition
+    * (name, tags, ts) ordering are preserved so reads keep pruning.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+              nowSec: Long): Unit = {
+    val rolled = rollup(dedupLatest(spark.read.parquet(tablePath)), nowSec)
+      .select(
+        to_date(timestamp_seconds(col("bucket_ts"))).as("date"),
+        col("name"), col("tags"), col("val"),
+        timestamp_seconds(col("bucket_ts")).as("ts"),
+        col("updated"))
+    val staging = tablePath + ".compacting"
+    rolled
+      .repartition(col("date"))
+      .sortWithinPartitions(col("name"), col("tags"), col("ts"))
+      .write.mode("overwrite").partitionBy("date").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tablePath).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    ()
+  }
+
   /** Version dedup ≙ MergeTree `updated` version column: for each
     * (name, tags, ts) keep the newest `updated` (last write wins across
     * at-least-once replays). `val` descending is a deterministic tiebreak

@@ -106,6 +106,29 @@ class EnginePipelineSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("precision")).toSeq == Seq(300L, 30L, 10L))
   }
 
+  test("A7: compact rewrites the stored table to tiered buckets, atomically named") {
+    val table = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/metrics"
+    val now = 1706659200L // 2024-01-31
+    val mk = (sec: Long) => new java.sql.Timestamp(sec * 1000)
+    val rows = Seq(
+      ("m", Seq("__name__=m"), mk(now - 11), 1.0, mk(now)),  // fresh tier, bucket A
+      ("m", Seq("__name__=m"), mk(now - 13), 3.0, mk(now)),  // same 10s bucket -> avg 2.0
+      ("m", Seq("__name__=m"), mk(now - 300000), 5.0, mk(now)) // old tier 300s
+    ).toDF("name", "tags", "ts", "val", "updated")
+      .withColumn("date", to_date(col("ts")))
+    rows.write.mode("overwrite").partitionBy("date").parquet(table)
+
+    Rollup.compact(spark, table, now)
+    val out = spark.read.parquet(table).orderBy("ts").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Double]("val")).toSeq == Seq(5.0, 2.0))
+    // canonical schema preserved (date partition restored on read)
+    assert(out.head.schema.fieldNames.toSet ==
+      Set("date", "name", "tags", "val", "ts", "updated"))
+    // no staging directory left behind
+    assert(!new java.io.File(table + ".compacting").exists())
+  }
+
   test("E1/E3: tag codec round-trip, empty values dropped as absent labels") {
     val df = Seq(Map("__name__" -> "m", "b" -> "2", "a" -> "1", "empty" -> ""))
       .toDF("labels")
