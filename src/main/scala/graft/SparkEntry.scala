@@ -77,6 +77,33 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // A1 under strictCompat: the reference's divStep sign bug makes every
+    // query degrade to constant 10 s buckets regardless of range
+    // (reference: clickhouse/query.go:56-59). 2-day range → intended step
+    // would be 21 s; as-written is 10 s. Oracle pins the as-written step.
+    "a1_strict_divstep" -> ((s, dir) => {
+      val q = PromQuery(Jan10 * 1000, Jan12 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q,
+          exact = true, strictCompat = true)
+        .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // F6 under strictCompat: a caret-less tag regex loses its pattern and
+    // degenerates to ^key= — i.e. "tag exists with any value"
+    // (reference: clickhouse/query.go:117-120 only assigns inside the
+    // HasPrefix branch). Every event carries user_id, so this matches all.
+    "f6_tag_re_strict" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .filter(Matchers.compileMatcher(LabelMatcher(RE, "user_id", "[0-4]"),
+          strictCompat = true))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
     // A2 in its scale-default mode: percentile_approx (mergeable fixed-size
     // sketch, map-side partials). No SQL oracle exists for the sketch —
     // ClickHouse's own `quantile` is likewise approximate+nondeterministic —
@@ -498,8 +525,11 @@ object SparkEntry {
     // the exact n-gram similarity measure (also the verify stage of the
     // MinHash pipeline) standalone over char shingles.
     "llm_ngram_jaccard" -> ((s, dir) => {
+      // persisted: both sides of the self-join read the one materialized
+      // shingle set instead of re-deriving ~n_chars substrings per doc
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.charShingles(col("text"), 4).as("sh"))
+        .persist()
       d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           round(Dedup.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
@@ -638,6 +668,21 @@ object SparkEntry {
          |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'purchase'
          |GROUP BY 2, 3, 4
          |ORDER BY t, tags""".stripMargin,
+
+    "a1_strict_divstep" ->
+      s"""SELECT count(*) AS cnt,
+         |       ($OSec // 10) * 10 * 1000 AS t,
+         |       event_type AS name,
+         |       $OTags AS tags,
+         |       round(quantile_cont(value, 0.75), 4) AS value
+         |FROM events
+         |WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'
+         |GROUP BY 2, 3, 4
+         |ORDER BY t, tags""".stripMargin,
+
+    "f6_tag_re_strict" ->
+      """SELECT event_type AS name, count(*) AS cnt, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f1_nonfinite_filter" ->
       """WITH x AS (
@@ -779,12 +824,19 @@ object SparkEntry {
         |  SELECT doc_id AS id,
         |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
         |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
-        |sig AS (
-        |  SELECT id, shingles,
-        |    [list_min([md5(j||':'||s) FOR s IN shingles]) FOR j IN range(0, 12)] AS sg
+        |hv AS (
+        |  SELECT id, list_transform(shingles, s ->
+        |    {'h1': CAST('0x'||substr(md5(s),1,15) AS BIGINT),
+        |     'h2': CAST('0x'||substr(md5(s),17,15) AS BIGINT)}) AS hv
         |  FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    [list_min(list_transform(hv, b ->
+        |      ((b.h1 % 1000000007) + j*(b.h2 % 1000000007)) % 1000000007)) FOR j IN range(0, 12)] AS sg
+        |  FROM hv),
         |bands AS (
-        |  SELECT id, b, array_to_string(sg[b*3+1:b*3+3], '|') AS bucket
+        |  SELECT id, b,
+        |    array_to_string(list_transform(sg[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)), '|') AS bucket
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -28,18 +28,31 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k independent hash functions simulated as
-    * md5(j + ":" + shingle); the signature entry j is the lexicographic min
-    * over the document's distinct shingles. Hex strings of a uniform hash
-    * compare like the underlying 128-bit numbers, so min-of-hex ≙
-    * min-of-hash without any integer parsing (and stays expressible in the
-    * DuckDB oracle).
+  /** Modulus for the derived minhash permutation family. */
+  val MinhashMod = 1000000007L
+
+  /** Per-shingle hash pair (h1, h2): two independent 60-bit values from
+    * one md5 — the standard "one hash, k derived permutations" trick, so
+    * signature width k costs ONE digest per shingle instead of k.
     */
-  def minhashSignature(shingles: org.apache.spark.sql.Column, k: Int) = {
-    val sh = array_distinct(shingles)
+  def shingleHashes(shingles: org.apache.spark.sql.Column) =
+    transform(array_distinct(shingles), s => {
+      val h = md5(s)
+      struct(
+        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
+    })
+
+  /** MinHash signature over precomputed (h1, h2) pairs: permutation j is
+    * (h1 + j·h2) mod p; the signature entry is its min over the document's
+    * shingles. Pure integer arithmetic — cheap per j, and reproducible
+    * verbatim in the DuckDB oracle.
+    */
+  def minhashSignature(hashes: org.apache.spark.sql.Column, k: Int) =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit(":"), s)))))
-  }
+      j => array_min(transform(hashes,
+        b => ((b.getField("h1") % MinhashMod) +
+          j.cast("long") * (b.getField("h2") % MinhashMod)) % MinhashMod)))
 
   /** LSH bands: split the k-entry signature into `bands` contiguous groups
     * of rows and join each group into one bucket key. Two documents are
@@ -47,7 +60,9 @@ object Dedup {
     */
   def lshBands(signature: org.apache.spark.sql.Column, bands: Int, rowsPerBand: Int) =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+      b => array_join(
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")), "|"))
 
   /** Exact Jaccard over two shingle arrays (deduplicated set semantics). */
   def jaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
@@ -71,18 +86,24 @@ object Dedup {
     val rows = k / bands
     // Persisted on purpose: `sh` is read by the band join (twice, as both
     // sides) AND by the verification joins — without materialization every
-    // consumer would re-run the shingle + k×md5 signature pipeline from
+    // consumer would re-run the shingle + md5 signature pipeline from
     // the source. The persisted artifacts are O(docs × k) — tiny relative
     // to the corpus text they summarize.
+    // hv lives INSIDE the persisted projection: the cache is a plan
+    // barrier, so the 12 permutation expressions read the one materialized
+    // md5 pair per shingle instead of CollapseProject inlining the digest
+    // into every j.
+    val shingleExpr = array_distinct(TextAnalysis.wordShingles(
+      TextAnalysis.words(col(textCol)), shingleWords))
     val sh = docs.select(
       col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordShingles(
-        TextAnalysis.words(col(textCol)), shingleWords)).as("shingles"))
+      shingleExpr.as("shingles"),
+      shingleHashes(shingleExpr).as("hv"))
       .persist()
-    val banded = sh.select(
-      col("id"),
-      posexplode(lshBands(minhashSignature(col("shingles"), k), bands, rows))
-        .as(Seq("band", "bucket")))
+    val banded = sh
+      .select(col("id"),
+        posexplode(lshBands(minhashSignature(col("hv"), k), bands, rows))
+          .as(Seq("band", "bucket")))
       .persist()
     val candidates = banded.as("a")
       .join(banded.as("b"),

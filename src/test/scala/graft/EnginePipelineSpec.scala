@@ -151,6 +151,24 @@ class EnginePipelineSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"unexpected Sort in bucketAgg plan:\n$plan")
   }
 
+  test("stored table reads prune date partitions from the time range") {
+    val table = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/m"
+    val mk = (d: String, s: Long) => java.sql.Timestamp.valueOf(s"$d 00:00:0$s")
+    Seq(
+      ("m", Seq("__name__=m"), 1.0, mk("2024-01-10", 1), mk("2024-01-10", 1)),
+      ("m", Seq("__name__=m"), 2.0, mk("2024-01-20", 1), mk("2024-01-20", 1))
+    ).toDF("name", "tags", "val", "ts", "updated")
+      .withColumn("date", to_date(col("ts")))
+      .write.partitionBy("date").parquet(table)
+    // range covering only Jan 20 → the Jan 10 partition must be pruned
+    val q = PromQuery(1705708800000L, 1705795200000L, Nil)
+    val plan = spark.read.parquet(table)
+      .filter(graft.compile.Matchers.timeRange(q))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters:\n$plan")
+    assert(plan.contains("date#"), s"date not in partition filters:\n$plan")
+  }
+
   test("divStep: intended adaptive step vs strict-compat constant") {
     val wide = PromQuery(0L, 8192L * 100 * 1000, Nil)
     assert(divStep(wide) == 100L)
