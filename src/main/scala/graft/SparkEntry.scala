@@ -536,6 +536,28 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // Embedding-cosine near-dup: sign-LSH bucket join → exact cosine ≥
+    // 0.95 within buckets (injected copies of every 13th vector; the
+    // corpus' natural max pairwise cosine is ~0.6, so the threshold
+    // isolates true duplicates and bucket recall is exact for them —
+    // identical vectors always share a bucket). Oracle brute-forces all
+    // pairs, which on this data yields the same set.
+    "llm_dedup_embcos" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val dup = e.filter(col("id") % 13 === 0).withColumn("id", col("id") + 30000)
+      val b = e.unionByName(dup)
+        .withColumn("bucket", VectorOps.lshBucket(col("vec"), AnnPlanes))
+        .persist()
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          VectorOps.cosine(col("a.vec"), col("b.vec")).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Brute-force exact top-10 cosine neighbors for 5 probe vectors —
     // the ANN baseline; two-phase rank keeps the final shuffle tiny.
     "llm_ann_cosine" -> ((s, dir) => {
@@ -882,6 +904,21 @@ object SparkEntry {
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "llm_dedup_embcos" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |all_v AS (SELECT * FROM v UNION ALL SELECT id + 30000, vec FROM v WHERE id % 13 = 0),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [a.vec[i]*b.vec[i] FOR i IN range(1, len(a.vec)+1)]), (x,y) -> x+y) /
+        |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [a.vec[i]*a.vec[i] FOR i IN range(1, len(a.vec)+1)]), (x,y) -> x+y)) *
+        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [b.vec[i]*b.vec[i] FOR i IN range(1, len(b.vec)+1)]), (x,y) -> x+y))) AS cos
+        |  FROM all_v a JOIN all_v b ON a.id < b.id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos
+        |FROM p WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "llm_ann_cosine" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
