@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.codec.Prompb
 import graft.engine.WritePipeline
-import graft.model.Schema
+import graft.model.{Schema, Tags}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -57,6 +57,31 @@ object RemoteWriteStream {
     org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** Streaming windowed pre-aggregation: tumbling `stepSec` windows + avg
+    * per series, state bounded by a watermark — the hot rollup tier (A7's
+    * 10 s avg) applied AT INGEST instead of as a later compaction pass.
+    * The reference has no streaming aggregation (its MergeTree does this
+    * in background merges); this is the Spark-native equivalent for
+    * pipelines that want the hot tier pre-reduced before it ever lands.
+    *
+    * Watermark tradeoff is explicit: samples later than `watermarkDelay`
+    * are dropped from these windows (they still reach the raw table via
+    * ingestStream — the rollup compaction job repairs the tiers), which
+    * is what bounds state for an unbounded series universe.
+    */
+  def streamingRollup(flat: DataFrame, stepSec: Int,
+                      watermarkDelay: String): DataFrame =
+    flat
+      .withColumn("ts", timestamp_millis(col("timestampMs")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), s"$stepSec seconds"),
+        col("name"),
+        Tags.tagsFromLabels(col("labels")).as("tags"))
+      .agg(avg(col("value")).as("val"), count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket_start"), col("name"),
+        col("tags"), col("val"), col("cnt"))
 
   def ingestStream(spark: SparkSession, inDir: String, tablePath: String,
                    checkpointDir: String): StreamingQuery = {

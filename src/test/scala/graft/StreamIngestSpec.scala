@@ -44,6 +44,40 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 2)
   }
 
+  test("streaming windowed rollup: tumbling avg per series under a watermark") {
+    val in = Files.createTempDirectory("graft_win").toString
+    val ckpt = Files.createTempDirectory("graft_wckpt").toString
+    // two samples in one 10s window (avg 2.0), one in the next
+    Files.write(java.nio.file.Paths.get(s"$in/w.bin"),
+      payload("m", Seq(PSample(1.0, 123456780000L), PSample(3.0, 123456783000L),
+        PSample(7.0, 123456791000L))))
+
+    val flat = RemoteWriteStream.decodeFlat(
+      spark.readStream.format("binaryFile")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+        .load(in))
+    val q = RemoteWriteStream.streamingRollup(flat, 10, "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("win_rollup")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val rows = spark.table("win_rollup").orderBy("bucket_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("val") == 2.0) // avg(1, 3)
+    assert(rows(0).getAs[Long]("cnt") == 2L)
+    assert(rows(1).getAs[Double]("val") == 7.0)
+    assert(rows(0).getAs[java.sql.Timestamp]("bucket_start").getTime == 123456780000L)
+  }
+
   test("S11: response edge emits decodable snappy+proto wire bytes") {
     import spark.implicits._
     import graft.compile.Matchers._
