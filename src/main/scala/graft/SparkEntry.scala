@@ -584,6 +584,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // A7 as a storage lifecycle: ingest → append → COMPACT (version dedup
+    // + tier rollup + staging swap rewrite) → read the compacted table.
+    // Proves the rewrite preserves the tier semantics on disk
+    // (reference: GraphiteMergeTree background merges, README.md:64-87).
+    "a7_compact_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a7c").toString + "/metrics"
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        tmp)
+      Rollup.compact(s, tmp, Jan31)
+      s.read.parquet(tmp)
+        .select(col("name"), tagsStr.as("tags"),
+          unix_timestamp(col("ts")).as("bucket_ts"),
+          round(col("val"), 4).as("val"))
+        .orderBy(col("tags"), col("bucket_ts"), col("val"))
+    }),
+
     // E1-E4: tag codec round-trip — labels map -> sorted "k=v" array (E1),
     // back to map (E3), 0xFF-joined series key (E4)
     // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
@@ -1020,6 +1037,21 @@ object SparkEntry {
         |  CAST(CAST('0x'||substr(h,3,2) AS INT)+1 AS BIGINT) AS height,
         |  substr(h,1,8) AS fingerprint
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "a7_compact_roundtrip" ->
+      s"""WITH m AS (
+         |  SELECT event_type AS name, $OTags AS tags, $OSec AS tsec, value
+         |  FROM events),
+         |t AS (
+         |  SELECT name, tags, tsec, value,
+         |         CAST(CASE WHEN $Jan31 - tsec < 86400 THEN 10
+         |                   WHEN $Jan31 - tsec < 172800 THEN 30
+         |                   ELSE 300 END AS BIGINT) AS precision
+         |  FROM m)
+         |SELECT name, tags, (tsec // precision) * precision AS bucket_ts,
+         |       round(avg(value), 4) AS val
+         |FROM t GROUP BY name, tags, bucket_ts, precision
+         |ORDER BY tags, bucket_ts, val""".stripMargin,
 
     "e1_tags_roundtrip" ->
       """SELECT event_id, event_type AS name,

@@ -127,6 +127,13 @@ class EnginePipelineSpec extends SparkSpec {
       Set("date", "name", "tags", "val", "ts", "updated"))
     // no staging directory left behind
     assert(!new java.io.File(table + ".compacting").exists())
+
+    // idempotence: re-compacting with the same `now` is a no-op — each
+    // bucket already holds one row, so avg-of-one preserves it
+    Rollup.compact(spark, table, now)
+    val again = spark.read.parquet(table).orderBy("ts").collect()
+    assert(again.map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("val"))).toSeq ==
+      out.map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("val"))).toSeq)
   }
 
   test("E1/E3: tag codec round-trip, empty values dropped as absent labels") {
