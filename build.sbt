@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parseable JSON line; sbt's
+// default logger buries forked-process stdout under an "[info] " prefix,
+// which breaks the driver's line parser (BENCH "parsed": null). Stream
+// the forked process's output straight to stdout instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

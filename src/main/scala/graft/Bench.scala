@@ -38,13 +38,23 @@ object Bench {
         case e: Throwable =>
           ((System.nanoTime() - t0) / 1e9,
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
+      } finally {
+        // Queries persist() intermediates for their own plan reuse; drop
+        // them so storage-memory churn from one query can't distort the
+        // next one's wall time.
+        spark.sharedState.cacheManager.clearCache()
       }
     }
 
     // Warm-up: flagship query, result discarded.
     runOne("a1_bucket_quantile")
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (local profiling only; the
+    // driver never sets it, so its runs always cover every query).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> runOne(n))
 
     def jstr(s: String): String = "\"" + s.flatMap {

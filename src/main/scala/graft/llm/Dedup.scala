@@ -54,6 +54,30 @@ object Dedup {
         b => ((b.getField("h1") % MinhashMod) +
           j.cast("long") * (b.getField("h2") % MinhashMod)) % MinhashMod)))
 
+  /** Full signature in ONE pass over the shingle array, for use inline in
+    * a projection (no cached hash columns needed). Structured so each
+    * cost tier is evaluated exactly once per shingle: md5 in an inner
+    * transform, the two 60-bit slices in an outer transform, and only the
+    * k cheap modular multiplications inside the per-permutation lambda.
+    * (Naively parameterizing minhashSignature with inline hash expressions
+    * makes Catalyst re-inline the md5 into every permutation — HOF lambdas
+    * get no subexpression elimination — for a k× hashing bill.)
+    * The fold's element-wise-min accumulator starts at MinhashMod ≙ +inf
+    * (permutation values are < MinhashMod).
+    */
+  def minhashSignatureFromShingles(shingles: org.apache.spark.sql.Column, k: Int) = {
+    val hv = transform(transform(shingles, s => md5(s)), d => struct(
+      conv(substring(d, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(d, 17, 15), 16, 10).cast("long").as("h2")))
+    aggregate(hv,
+      array_repeat(lit(MinhashMod), k),
+      (acc, b) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)),
+          j => ((b.getField("h1") % MinhashMod) +
+            j.cast("long") * (b.getField("h2") % MinhashMod)) % MinhashMod),
+        (x, y) => least(x, y)))
+  }
+
   /** LSH bands: split the k-entry signature into `bands` contiguous groups
     * of rows and join each group into one bucket key. Two documents are
     * candidates iff they agree on ALL rows of at least one band.
@@ -84,27 +108,29 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide evenly into bands")
     val rows = k / bands
-    // Persisted on purpose: `sh` is read by the band join (twice, as both
-    // sides) AND by the verification joins — without materialization every
-    // consumer would re-run the shingle + md5 signature pipeline from
-    // the source. The persisted artifacts are O(docs × k) — tiny relative
-    // to the corpus text they summarize.
-    // hv lives INSIDE the persisted projection: the cache is a plan
-    // barrier, so the 12 permutation expressions read the one materialized
-    // md5 pair per shingle instead of CollapseProject inlining the digest
-    // into every j.
+    // ONE persist, of (id, shingles) only. The shingle array is the sole
+    // expensive per-doc artifact every downstream consumer needs (band
+    // join both sides + verify joins both sides); caching exactly it means
+    // (a) the shingle HOF pipeline runs once — projecting derived hash
+    // columns in the same select would make CollapseProject inline the
+    // shingle expression into each of them, and HOF lambdas get no
+    // subexpression elimination — and (b) the cache stores a FLAT
+    // array<string>, which Spark's columnar store encodes ~4× faster than
+    // the equivalent array<struct> of hash pairs (measured at sf0.1).
     val shingleExpr = array_distinct(TextAnalysis.wordShingles(
       TextAnalysis.words(col(textCol)), shingleWords))
     val sh = docs.select(
       col(idCol).as("id"),
-      shingleExpr.as("shingles"),
-      shingleHashes(shingleExpr).as("hv"))
+      shingleExpr.as("shingles"))
       .persist()
     val banded = sh
       .select(col("id"),
-        posexplode(lshBands(minhashSignature(col("hv"), k), bands, rows))
+        posexplode(lshBands(
+          minhashSignatureFromShingles(col("shingles"), k), bands, rows))
           .as(Seq("band", "bucket")))
-      .persist()
+    // NOT persisted: the self-join's two sides build identical shuffle
+    // exchanges over `banded`, so ReusedExchange computes the signature
+    // pipeline once.
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -112,7 +138,11 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    candidates
+    // The confirmed-candidate set is orders of magnitude smaller than the
+    // corpus (LSH's whole point), so it is the BROADCAST side of the
+    // verification joins: `sh` never shuffles, each verify join is a
+    // map-side hash join over the cached shingle table.
+    broadcast(candidates)
       .join(sh.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id"))
       .drop("id")
       .join(sh.select(col("id"), col("shingles").as("sh_b")), col("id_b") === col("id"))
@@ -163,32 +193,39 @@ object Dedup {
     * nibble, so candidates are pairs sharing (block index, block value) —
     * a bucket join, never all-pairs.
     *
-    * Skew-hardened: the hamming filter runs map-side DIRECTLY on the join
-    * output (ints only, bit_count(xor)), so a degenerate hot bucket costs
-    * a streamed codegen scan of its pairs, never a wide shuffle; the
-    * distinct that collapses multi-block collisions only sees pairs that
-    * already passed the distance cut.
+    * Skew-hardened, shuffle-free after the block join: the hamming filter
+    * runs map-side DIRECTLY on the join output (ints only,
+    * bit_count(xor)), and multi-block collisions are collapsed by the
+    * MIN-AGREEING-BLOCK rule — a pair is emitted only from the first
+    * block on which the two signatures agree, evaluated as a map-side
+    * predicate over the sigs already present in the join row. The output
+    * is distinct by construction, so the (at small-vocab skew: millions
+    * of rows) pair stream never needs a distinct() shuffle.
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "4-block pigeonhole only covers distance <= 3")
-    // Two persisted steps so the md5-per-word array is computed once and
-    // the 16 vote aggregates reuse it (HOF aggregates defeat expression
-    // CSE), and the band join reads tiny (id, sig) ints on both sides.
+    // Persisted so the md5-per-word array + 16 vote aggregates compute
+    // once (HOF aggregates defeat expression CSE) and the band join reads
+    // tiny (id, sig) ints on both sides.
     val hs = docs.select(col(idCol).as("id"),
       transform(TextAnalysis.words(col(textCol)), w => md5(w)).as("hs"))
     val sigs = hs.select(col("id"), simhash16Int(col("hs")).as("sig")).persist()
+    def nib(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftright(sig, b * 4).bitwiseAND(lit(15))
     val blocked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 to 3).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*))
+      posexplode(array((0 to 3).map(b => nib(col("sig"), b)): _*))
         .as(Seq("block", "bval")))
+    val firstAgreeingBlock = (0 to 2).map(bp =>
+      col("a.block") <= bp ||
+        nib(col("a.sig"), bp) =!= nib(col("b.sig"), bp)).reduce(_ && _)
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
+      .filter(firstAgreeingBlock)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 }

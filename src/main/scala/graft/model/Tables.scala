@@ -25,8 +25,20 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** documents/embeddings feed map-heavy per-row pipelines (md5 shingles,
+    * signature folds) but arrive as ONE tiny parquet file → one input
+    * split → one core does all the work on local[32]. On a production
+    * cluster the scan parallelizes by file split automatically; this
+    * explicit spread exists so local runs exercise the same parallelism.
+    * The shuffled payload is the raw table (small), far cheaper than
+    * serializing the downstream compute.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
