@@ -571,6 +571,68 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF (inverted-file) ANN — the production index pattern: corpus
+    // partitioned by nearest centroid (map-side literal fold, NO
+    // shuffle), queries probe their nprobe=2 nearest clusters, exact
+    // cosine only within probed clusters. Centroids here are the first 8
+    // vectors (seeding is orthogonal to the search plumbing).
+    "llm_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val cents = e.filter(col("id") < 8).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.ivfTopK(e, q, cents, nprobe = 2, k = 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Corpus vocabulary: term + document frequency, top-50 by tf — the
+    // counting pass behind BPE/vocab training. Two-level agg so the
+    // exploded word stream collapses map-side before the shuffle.
+    "llm_vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabulary(Tables.documents(s, dir))
+        .select(col("word"), col("tf").cast("long").as("tf"),
+          col("df").cast("long").as("df"))
+        .orderBy(col("tf").desc, col("word"))
+        .limit(50)
+    }),
+
+    // Symmetric int8 scalar quantization of the embedding column, with
+    // ordered-fold reconstruction error — the compression step before an
+    // embedding corpus is indexed. Map-side only.
+    "llm_vec_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val qz = VectorOps.quantizeInt8(col("vec"))
+      val qv = qz.getField("q")
+      val scale = qz.getField("scale")
+      e.select(col("vec_id"),
+        round(scale, 6).as("scale"),
+        element_at(qv, 1).as("q_first"),
+        array_min(qv).as("q_min"),
+        array_max(qv).as("q_max"),
+        aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
+        round(VectorOps.dequantMaxErr(col("vec"), qv, scale), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Frame sampling over media payloads: fixed 48-char frames at stride
+    // 96, per-frame md5 fingerprint over the frame's bytes — the
+    // video-style slicing grid with a decoder-shaped batch interface.
+    "llm_multimodal_frames" -> ((s, dir) => {
+      val fr = Multimodal.sampleFrames(col("text"), 48, 96)
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          fr.getField("n_frames").cast("long").as("n_frames"),
+          array_join(transform(fr.getField("offsets"),
+            o => o.cast("string")), ",").as("offsets"),
+          array_join(fr.getField("fingerprints"), ",").as("fps"))
+        .orderBy(col("media_id"))
+    }),
+
     // LSH-bucketed ANN (the scale path): sign-LSH over 6 seeded
     // hyperplanes prunes to same-bucket candidates before exact cosine.
     "llm_ann_lsh" -> ((s, dir) => {
@@ -622,7 +684,77 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB ordered-fold cosine between two list columns — the same left
+    * fold VectorOps.cosine performs, so doubles match bit-for-bit.
+    */
+  private def oCos(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [$a[i]*$b[i] FOR i IN range(1, len($a)+1)]), (x,y) -> x+y) /
+       |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [$a[i]*$a[i] FOR i IN range(1, len($a)+1)]), (x,y) -> x+y)) *
+       |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [$b[i]*$b[i] FOR i IN range(1, len($b)+1)]), (x,y) -> x+y)))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "llm_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+         |ac0 AS (
+         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+         |  FROM v CROSS JOIN c),
+         |ac AS (SELECT id, vec, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+         |  FROM ac0),
+         |assigned AS (SELECT id, vec, cid FROM ac WHERE rn = 1),
+         |qp0 AS (
+         |  SELECT q.id AS qid, q.vec AS qvec, c.cid, ${oCos("q.vec", "cvec")} AS ccos
+         |  FROM v q CROSS JOIN c WHERE q.id < 5),
+         |qp AS (SELECT qid, qvec, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+         |  FROM qp0),
+         |probes AS (SELECT qid, qvec, cid FROM qp WHERE crn <= 2),
+         |sc AS (
+         |  SELECT p.qid, a.id, ${oCos("a.vec", "p.qvec")} AS cos
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.id <> p.qid),
+         |r AS (SELECT qid, id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
+         |SELECT qid, rank, id, round(cos, 4) AS cos
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_vocab_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |g AS (
+        |  SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM w WHERE length(word) > 0 GROUP BY 1)
+        |SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+
+    "llm_vec_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |s AS (SELECT vec_id, vec,
+        |    list_max([abs(x) FOR x IN vec]) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, vec, scale,
+        |    CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) FOR x IN vec]
+        |         ELSE [CAST(floor(x/scale + 0.5) AS BIGINT) FOR x IN vec]
+        |    END AS qv FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale, qv[1] AS q_first,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)], qv), (a,b) -> a+b) AS q_sum,
+        |  round(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |    [abs(vec[i] - qv[i]*scale) FOR i IN range(1, len(vec)+1)]),
+        |    (a,b) -> greatest(a, b)), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "llm_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    CASE WHEN n < 48 THEN 0 ELSE (n - 48) // 96 + 1 END AS nf FROM m)
+        |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  array_to_string([CAST(i*96 + 1 AS VARCHAR) FOR i IN range(0, nf)], ',') AS offsets,
+        |  array_to_string([substr(md5(substr(text, CAST(i*96 + 1 AS BIGINT), 48)), 1, 8)
+        |    FOR i IN range(0, nf)], ',') AS fps
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "a1_bucket_quantile" ->
       s"""SELECT count(*) AS cnt,

@@ -49,6 +49,32 @@ object Multimodal {
       crc32(payload).as("crc"),
       (length(payload) % 256).as("sample_byte_mod"))
 
+  /** Frame sampling over a media payload — the video-style access pattern:
+    * fixed-length frames at a fixed stride, each independently
+    * fingerprinted. The slicing grid is computed per row from the payload
+    * length (no shuffle, no UDF); a real video pipeline swaps the
+    * fingerprint for a decoder call with the SAME offsets/batch shape.
+    *
+    * Frames are sliced from the source text and encoded to bytes per
+    * frame (md5 over the frame's UTF-8 bytes ≙ md5 over a binary slice;
+    * char-grid slicing keeps the DuckDB oracle expressible, which has no
+    * blob substring).
+    *
+    * @return struct(n_frames, offsets array<int> 1-based, fingerprints
+    *         array<string> 8-hex per frame)
+    */
+  def sampleFrames(text: Column, frameLen: Int, stride: Int): Column = {
+    val n = length(text)
+    val nFrames = when(n < frameLen, lit(0L))
+      .otherwise(floor((n - frameLen) / stride) + 1)
+    val offsets = when(nFrames > 0,
+        transform(sequence(lit(0L), nFrames - 1), i => (i * stride + 1).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    val fps = transform(offsets,
+      off => substring(md5(encode(text.substr(off, lit(frameLen)), "UTF-8")), 1, 8))
+    struct(nFrames.as("n_frames"), offsets.as("offsets"), fps.as("fingerprints"))
+  }
+
   /** Assemble the canonical multimodal row: id, payload, typed metadata.
     * Partition-friendly: metadata is a separate struct column so scans
     * that only filter on metadata never deserialize payload bytes (parquet

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
@@ -111,4 +111,25 @@ object TextAnalysis {
       transform(ws, w => (ascii(substring(w, 1, 1)) * 131 + length(w)).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31 + c) % FingerprintMod)
+
+  /** Corpus vocabulary: term frequency + document frequency per word —
+    * the counting pass behind BPE/vocab training and stopword discovery.
+    *
+    * Scale design: explode → two-level aggregation. The (word, doc)
+    * pre-aggregation runs with map-side partial combine, so the wide
+    * exploded stream collapses before the only full shuffle; df is then a
+    * plain count, never a count-distinct over raw occurrences. Top-k is a
+    * global sort LIMIT — Spark executes it as TakeOrdered (per-partition
+    * heap + driver merge of k), no full sort materialization.
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    docs
+      .select(col(idCol).as("doc"), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"), col("doc"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("word"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+  }
 }

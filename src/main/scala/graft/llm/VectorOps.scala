@@ -102,4 +102,79 @@ object VectorOps {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
+
+  /** Map-side nearest-centroid assignment: cosine argmax over a LITERAL
+    * centroid list, evaluated as a fold per row — no shuffle, no window.
+    * This is the 100 TB-critical half of IVF: assigning a trillion corpus
+    * vectors must not cost a per-vector window shuffle; a fold over ≤ a
+    * few thousand broadcast centroid literals is pure map work. Ties break
+    * to the lowest centroid id (strict > keeps the earlier winner).
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val centLit = array(centroids.map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
+    }: _*)
+    aggregate(centLit,
+      struct(lit(-1).as("cid"), lit(-2.0).as("cos")),
+      (acc, c) => {
+        val cs = cosine(vec, c.getField("cvec"))
+        when(cs > acc.getField("cos"),
+          struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** IVF (inverted-file) ANN — the production-scale pattern: partition the
+    * corpus by nearest centroid, then search only the `nprobe` clusters
+    * nearest to each query.
+    *
+    * Scale design: corpus assignment is the map-side fold above (at rest,
+    * an IVF index is simply the table PARTITIONED BY cluster id, so the
+    * probe join prunes partitions); the query side ranks centroids with a
+    * window over (tiny queries × centroids) and probes `nprobe` clusters;
+    * the candidate join is an equi-join on cluster id — the corpus never
+    * meets a query it doesn't share a cluster with.
+    *
+    * @param centroids (cid, cvec) seed centroids, small (broadcast as
+    *                  literals); production would k-means these — seeding
+    *                  is orthogonal to the search plumbing
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroids: Seq[(Int, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    val assigned = corpus
+      .withColumn("cid", nearestCentroid(col("vec"), centroids))
+    val centDf = broadcast(queries.sparkSession.createDataFrame(
+      centroids.map { case (cid, cvec) => (cid, cvec) })
+      .toDF("cid", "cvec"))
+    val cw = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = queries.crossJoin(centDf)
+      .select(col("qid"), col("qvec"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("ccos"))
+      .withColumn("crank", row_number().over(cw)).filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cos"))
+  }
+
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * standard 4× compression step before an embedding corpus is indexed.
+    * scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (round-half-up
+    * spelled as floor so every engine agrees); zero vectors quantize to
+    * zeros. Returns struct(scale, q array<long>). Map-side only.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x))) / 127.0
+    val q = when(scale === 0.0,
+        transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x => floor(x / scale + 0.5).cast("long")))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Max absolute reconstruction error of a quantization (ordered fold). */
+  def dequantMaxErr(vec: Column, q: Column, scale: Column): Column =
+    aggregate(zip_with(vec, q, (x, qq) => abs(x - qq * scale)),
+      lit(0.0), (acc, e) => greatest(acc, e))
 }

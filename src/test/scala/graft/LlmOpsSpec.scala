@@ -118,6 +118,67 @@ class LlmOpsSpec extends SparkSpec {
     assert(!hits.map(_.getAs[Long]("id")).contains(3L)) // opposite signs pruned
   }
 
+  test("vectors: ivf assigns to nearest centroid and probes prune") {
+    // Two obvious clusters around the axes; centroids = the axes.
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val corpus = Seq(
+      (10L, Seq(0.9, 0.1)), (11L, Seq(0.8, 0.2)),   // cluster 0
+      (20L, Seq(0.1, 0.9)), (21L, Seq(0.2, 0.8)))   // cluster 1
+      .toDF("id", "vec")
+    val assigned = corpus
+      .select(col("id"), VectorOps.nearestCentroid(col("vec"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == Map(10L -> 0, 11L -> 0, 20L -> 1, 21L -> 1))
+    // nprobe=1: the query near cluster 0 must only see cluster-0 vectors.
+    val queries = Seq((10L, Seq(0.9, 0.1))).toDF("qid", "qvec")
+    val hits = VectorOps.ivfTopK(corpus, queries, cents, nprobe = 1, k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(hits == Set(11L))
+    // nprobe=2 searches everything.
+    val all = VectorOps.ivfTopK(corpus, queries, cents, nprobe = 2, k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(all == Set(11L, 20L, 21L))
+  }
+
+  test("text: vocabulary counts tf and df with map-side pre-aggregation") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(docs).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("tf"), r.getAs[Long]("df")))).toMap
+    assert(v == Map("a" -> ((3L, 2L)), "b" -> ((2L, 2L)), "c" -> ((1L, 1L))))
+  }
+
+  test("vectors: int8 quantization bounds reconstruction error by scale/2") {
+    val df = Seq((1L, Seq(0.5, -1.25, 3.81)), (2L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val qz = VectorOps.quantizeInt8(col("vec"))
+    val r = df.select(col("id"), qz.getField("scale").as("scale"),
+      qz.getField("q").as("q"),
+      VectorOps.dequantMaxErr(col("vec"), qz.getField("q"), qz.getField("scale")).as("err"))
+      .orderBy("id").collect()
+    val scale = r(0).getAs[Double]("scale")
+    assert(math.abs(scale - 3.81 / 127.0) < 1e-12)
+    assert(seqOf[Long](r(0), "q").last == 127L)
+    assert(r(0).getAs[Double]("err") <= scale / 2 + 1e-12)
+    // zero vector -> zero scale, all-zero codes, zero error
+    assert(r(1).getAs[Double]("scale") == 0.0)
+    assert(seqOf[Long](r(1), "q") == Seq(0L, 0L))
+    assert(r(1).getAs[Double]("err") == 0.0)
+  }
+
+  test("multimodal: frame grid covers the payload at the declared stride") {
+    val text = "x" * 300 // (300-48)//96+1 = 3 frames at 1, 97, 193
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val fr = Multimodal.sampleFrames(col("text"), 48, 96)
+    val r = docs.select(col("doc_id"), fr.getField("n_frames").as("nf"),
+      fr.getField("offsets").as("off"), fr.getField("fingerprints").as("fps"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("nf") == 3L)
+    assert(seqOf[Int](r(0), "off") == Seq(1, 97, 193))
+    val fps = seqOf[String](r(0), "fps")
+    assert(fps.length == 3 && fps.forall(_.length == 8))
+    assert(fps.distinct.length == 1) // identical frames of 'x'*48 hash alike
+    assert(r(1).getAs[Long]("nf") == 0L && seqOf[Int](r(1), "off").isEmpty)
+  }
+
   test("multimodal: payload metadata is deterministic and schema-typed") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val r1 = Multimodal.toMultimodalRows(docs).select("meta.*").head
