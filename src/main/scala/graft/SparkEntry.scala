@@ -4,8 +4,9 @@ import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
 import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
-import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
+import graft.operators.TimeSeriesOps
 import graft.sinks.Formatters
 import graft.streaming.RemoteWriteStream
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -663,6 +664,53 @@ object SparkEntry {
         .orderBy(col("tags"), col("bucket_ts"), col("val"))
     }),
 
+    // As-of join (union+window form — ONE shuffle on the key, no range
+    // join blow-up): each purchase gets the latest click value at or
+    // before it, per user. Oracle = DuckDB's native ASOF JOIN, which
+    // independently validates the >= (inclusive) match semantics.
+    "ts_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"), col("event_type"))
+      val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val r = ev.filter(col("event_type") === "click").drop("event_type")
+      TimeSeriesOps.asofJoin(l, r, Seq("user_id"), "ts", "value", "click_val")
+        .select(col("user_id"), col("ts"), round(col("value"), 4).as("value"),
+          // no-prior-click sentinel: keeps the result null-free (a null
+          // would hash engine-dependently in the driver compare)
+          coalesce(round(col("click_val"), 4), lit(-1.0)).as("click_val"))
+        .orderBy(col("user_id"), col("ts"), col("value"))
+    }),
+
+    // Sessionization: per-user event stream split at >1h gaps; one
+    // shuffle drives both window passes and the per-session rollup keys
+    // include the partition key, so the final agg is skew-free.
+    "ts_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.sessionize(ev, "user_id", "ts", 3600L, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+          round(sum(col("value")), 4).as("total"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Deterministic stratified train/val/test split: hash-of-id buckets
+    // (pure per-row function — reproducible on any cluster layout with
+    // zero coordination), counted per (split, language) stratum.
+    "llm_data_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(Sampling.split(col("doc_id")).as("split"), col("lang"),
+          col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     // E1-E4: tag codec round-trip — labels map -> sorted "k=v" array (E1),
     // back to map (E3), 0xFF-joined series key (E4)
     // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
@@ -1184,6 +1232,47 @@ object SparkEntry {
          |       round(avg(value), 4) AS val
          |FROM t GROUP BY name, tags, bucket_ts, precision
          |ORDER BY tags, bucket_ts, val""".stripMargin,
+
+    "ts_asof_join" ->
+      s"""WITH l AS (
+         |  SELECT user_id, $OSec AS ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |r AS (
+         |  SELECT user_id, $OSec AS ts, max(value) AS click_val FROM events
+         |  WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT l.user_id, l.ts, round(l.value, 4) AS value,
+         |       coalesce(round(r.click_val, 4), -1.0) AS click_val
+         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+         |ORDER BY l.user_id, l.ts, value""".stripMargin,
+
+    "ts_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, $OSec AS ts, value FROM events),
+         |x AS (SELECT *, lag(ts) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         |y AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > 3600
+         |        THEN 1 ELSE 0 END AS isnew FROM x),
+         |z AS (SELECT *, sum(isnew) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id
+         |         ROWS UNBOUNDED PRECEDING) AS session_id FROM y)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end,
+         |  round(sum(value), 4) AS total
+         |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_data_split" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 100 AS b
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN b < 80 THEN 'train'
+        |              WHEN b < 90 THEN 'val'
+        |              ELSE 'test' END AS split, lang, n_chars FROM d)
+        |SELECT split, lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e1_tags_roundtrip" ->
       """SELECT event_id, event_type AS name,

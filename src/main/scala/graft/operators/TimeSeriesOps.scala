@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators beyond the reference's own surface: as-of join
+  * and sessionization. These are the two relational shapes a metrics/event
+  * store user reaches for first that plain SQL joins do badly.
+  *
+  * Both are built on the union+window pattern rather than a range join:
+  * ONE shuffle on the key, a per-key linear sort pass, and no candidate
+  * blow-up — a theta/range join would explode to |left|×|right-per-key|
+  * intermediates before filtering, which is exactly the shape that dies at
+  * 100 TB. The window frame is running (UNBOUNDED PRECEDING..CURRENT), so
+  * Spark evaluates it in a single streaming pass per key.
+  */
+object TimeSeriesOps {
+
+  /** As-of join: for each left row, attach the right side's value at the
+    * greatest right timestamp ≤ the left timestamp, per key (the semantics
+    * of DuckDB/QuestDB `ASOF JOIN`, kdb `aj`).
+    *
+    * Right rows are first collapsed to one per (key, ts) — max value — so
+    * the match is deterministic when the right side carries duplicate
+    * timestamps. The merge tags right rows side=0 and left rows side=1;
+    * sorting by (ts, side) puts a same-timestamp right row BEFORE the left
+    * row, giving `>=` (inclusive) as-of semantics. `last(ignoreNulls)`
+    * over the running frame then carries the latest right value forward.
+    *
+    * @param rightValAlias output column; must not collide with a left column
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightValCol: String,
+               rightValAlias: String): DataFrame = {
+    val groupCols = (keys :+ tsCol).map(col)
+    val rightDedup = right.groupBy(groupCols: _*)
+      .agg(max(col(rightValCol)).as(rightValAlias))
+    val lSide = left
+      .withColumn("_side", lit(1))
+      .withColumn(rightValAlias,
+        lit(null).cast(rightDedup.schema(rightValAlias).dataType))
+    val rSide = rightDedup.withColumn("_side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide, allowMissingColumns = true)
+      .withColumn(rightValAlias,
+        last(col(rightValAlias), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side")
+  }
+
+  /** Sessionization: split each key's event stream into sessions separated
+    * by gaps > `gapSec`. Adds `session_id` (1-based, per key, in time
+    * order). Two window expressions over the SAME (key, order) window, so
+    * Spark plans one shuffle + one sort for both.
+    *
+    * @param orderCols extra tie-break columns after the timestamp (pass a
+    *                  unique event id for a fully deterministic numbering)
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsSecCol: String,
+                 gapSec: Long, orderCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsSecCol) +: orderCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsSecCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsSecCol) - prev > gapSec, 1L)
+      .otherwise(0L)
+    events.withColumn("session_id", sum(isNew).over(wRun))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.llm.Sampling
+import graft.operators.TimeSeriesOps
+import org.apache.spark.sql.functions._
+
+/** Specs for the time-series extension operators (as-of join,
+  * sessionization) and deterministic sampling.
+  */
+class TimeSeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join matches the latest right row at or before each left ts") {
+    val l = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (1L, 5L, 50.0),
+      (2L, 10L, 999.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 30L, 3.0))
+      .toDF("k", "ts", "rv")
+    val out = TimeSeriesOps.asofJoin(l, r, Seq("k"), "ts", "rv", "asof_rv")
+      .orderBy("k", "ts").collect()
+    // k=1: ts=5 -> no match (null); ts=10 -> 1.0 (inclusive >=); ts=20 -> 2.0
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_rv")))
+    assert(out(1).getAs[Double]("asof_rv") == 1.0)
+    assert(out(2).getAs[Double]("asof_rv") == 2.0)
+    // k=2 has no right rows at all
+    assert(out(3).isNullAt(out(3).fieldIndex("asof_rv")))
+  }
+
+  test("asof join collapses duplicate right timestamps deterministically") {
+    val l = Seq((1L, 10L, 0.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 10L, 5.0), (1L, 10L, 7.0)).toDF("k", "ts", "rv")
+    val out = TimeSeriesOps.asofJoin(l, r, Seq("k"), "ts", "rv", "asof_rv")
+    assert(out.head.getAs[Double]("asof_rv") == 7.0) // max wins
+  }
+
+  test("sessionize splits on gap and numbers sessions 1-based in time order") {
+    val ev = Seq(
+      (1L, 100L, 1L), (1L, 200L, 2L), (1L, 5000L, 3L), (1L, 5100L, 4L),
+      (2L, 50L, 5L)).toDF("user", "ts", "eid")
+    val out = TimeSeriesOps.sessionize(ev, "user", "ts", 3600L, Seq("eid"))
+      .orderBy("user", "ts").collect()
+    assert(out.map(_.getAs[Long]("session_id")).toSeq == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("split is a stable pure function of the id with sane proportions") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val splits = ids.select(Sampling.split(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits("train") > 7500 && splits("train") < 8500)
+    assert(splits("val") > 700 && splits("val") < 1300)
+    assert(splits("test") > 700 && splits("test") < 1300)
+    // same id -> same split, always
+    val twice = ids.select(col("id"), Sampling.split(col("id")).as("a"))
+      .join(ids.select(col("id"), Sampling.split(col("id")).as("b")), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(twice == 0)
+  }
+}
