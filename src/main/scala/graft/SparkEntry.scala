@@ -299,6 +299,47 @@ object SparkEntry {
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
     }),
 
+    // S1 as a LIVE STREAM: events marshalled into one snappy+proto
+    // WriteRequest payload file per metric (≙ one remote-write POST
+    // body each), then drained through the actual Structured Streaming
+    // ingest — binaryFile source → decode → non-finite filter →
+    // partitioned append with checkpointing — and the STORED table is
+    // aggregated for the oracle. Proves the streaming front door writes
+    // exactly what the batch pipeline would (reference: main.go:286-320).
+    "s1_stream_ingest" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_s1s").toString
+      val inDir = s"$base/in"
+      JFiles.createDirectories(Paths.get(inDir))
+      val rows = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(collect_list(struct(col("value").as("value"),
+          unix_millis(col("ts")).as("ts_ms"))).as("samples"))
+        .collect()
+      rows.groupBy(_.getString(0)).foreach { case (name, rs) =>
+        val series = rs.toSeq.map { r =>
+          Prompb.PTimeSeries(
+            Seq(Prompb.PLabel("__name__", name),
+              Prompb.PLabel("user_id", String.valueOf(r.get(1)))),
+            r.getAs[scala.collection.Seq[Row]]("samples").toSeq.map(x =>
+              Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms"))))
+        }
+        JFiles.write(Paths.get(s"$inDir/$name.snappy"),
+          Prompb.snappyCompress(Prompb.encodeWriteRequest(
+            Prompb.PWriteRequest(series))))
+      }
+      val table = s"$base/metrics"
+      RemoteWriteStream.ingestStream(s, inDir, table, s"$base/ck")
+        .awaitTermination()
+      s.read.parquet(table)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"),
+          min(unix_timestamp(col("ts"))).as("t_min"),
+          max(unix_timestamp(col("ts"))).as("t_max"),
+          round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
     // S11: the read-response edge — the full read pipeline's output
     // marshalled to ReadResponse wire bytes (proto+snappy) and decoded
     // back; oracle = the same bucket-agg assembly the bytes carry (shape
@@ -922,6 +963,12 @@ object SparkEntry {
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    "s1_stream_ingest" ->
+      s"""SELECT event_type AS name, count(*) AS cnt,
+         |  min($OSec) AS t_min, max($OSec) AS t_max,
+         |  round(sum(value), 4) AS total
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s11_readresponse_roundtrip" ->
       s"""WITH b AS (

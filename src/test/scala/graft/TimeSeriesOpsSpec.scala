@@ -41,6 +41,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("session_id")).toSeq == Seq(1L, 1L, 2L, 2L, 1L))
   }
 
+  test("asof join plans without any join operator (union+window shape)") {
+    val l = Seq((1L, 10L, 1.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 5L, 2.0)).toDF("k", "ts", "rv")
+    val plan = TimeSeriesOps.asofJoin(l, r, Seq("k"), "ts", "rv", "arv")
+      .queryExecution.executedPlan.toString
+    // the scale guarantee: no |left| x |right-per-key| intermediate ever
+    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+  }
+
+  test("sessionize plans one shuffle driving both window passes") {
+    val ev = Seq((1L, 100L, 1L)).toDF("user", "ts", "eid")
+    val plan = TimeSeriesOps.sessionize(ev, "user", "ts", 3600L, Seq("eid"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("split is a stable pure function of the id with sane proportions") {
     val ids = spark.range(0, 10000).toDF("id")
     val splits = ids.select(Sampling.split(col("id")).as("s"))
