@@ -1,5 +1,6 @@
 package graft
 
+import graft.engine.{Rollup, WritePipeline}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -25,15 +26,25 @@ object Scratch {
       r
     }
 
-    // warm-up
-    graft.model.Tables.documents(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    val flat = graft.model.Tables.events(spark, sfDir).select(
+      col("event_type").as("name"),
+      map(lit("__name__"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"),
+      col("value"),
+      unix_millis(col("ts")).as("timestampMs"))
+    flat.write.format("noop").mode("overwrite").save() // warm-up
 
-    for (name <- args) {
-      time(name)(SparkEntry.queries(name)(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prof").toString + "/metrics"
+    time("a7c: append")(WritePipeline.append(
+      WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flat)), tmp))
+    time("a7c: compact")(Rollup.compact(spark, tmp, 1706659200L))
+    time("a7c: final read+sort")(
+      spark.read.parquet(tmp)
+        .select(col("name"), array_join(col("tags"), ",").as("tags"),
+          unix_timestamp(col("ts")).as("bucket_ts"),
+          round(col("val"), 4).as("val"))
+        .orderBy(col("tags"), col("bucket_ts"), col("val"))
         .write.format("noop").mode("overwrite").save())
-      spark.sharedState.cacheManager.clearCache()
-    }
     spark.stop()
   }
 }

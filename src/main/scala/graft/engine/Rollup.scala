@@ -77,15 +77,24 @@ object Rollup {
 
   /** Version dedup ≙ MergeTree `updated` version column: for each
     * (name, tags, ts) keep the newest `updated` (last write wins across
-    * at-least-once replays). `val` descending is a deterministic tiebreak
-    * for identical versions.
+    * at-least-once replays), `val` descending as a deterministic tiebreak
+    * for identical versions — i.e. the row with the lexicographic-max
+    * (updated, val).
+    *
+    * Implemented as max_by over a groupBy rather than a row_number
+    * window: an aggregation gets map-side partial combine (replay
+    * duplicates collapse before the shuffle) and needs no per-group sort,
+    * where the window form shuffles every raw row and sorts each
+    * partition. Same keys, same winner, strictly less work — the
+    * difference compounds at compaction scale.
     */
   def dedupLatest(metrics: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("name"), col("tags"), col("ts"))
-      .orderBy(col("updated").desc, col("val").desc)
+    val keyCols = Seq("name", "tags", "ts")
+    val others = metrics.columns.filterNot(keyCols.contains).toSeq
     metrics
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col("updated"), col("val"))).as("_w"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"_w.$c").as(c)): _*)
   }
 }
