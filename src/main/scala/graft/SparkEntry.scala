@@ -675,6 +675,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // One k-means (Lloyd) iteration over the embeddings — the semantic
+    // clustering pass behind embedding-based data curation, and the
+    // centroid trainer for the IVF index. Assignment is the map-side
+    // fold; the update aggregates (cluster, component) with map-side
+    // partial combine so the exploded stream collapses before the
+    // shuffle. avg is an unordered float reduction on both engines, so
+    // this entry leans on round(4) rather than bit-equality.
+    "llm_kmeans_step" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val cents = e.filter(col("id") < 8).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      VectorOps.kmeansStep(e, cents)
+        .select(col("cid"), col("pos").cast("long").as("pos"),
+          col("n").cast("long").as("n"), round(col("mean"), 4).as("mean"))
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // LSH-bucketed ANN (the scale path): sign-LSH over 6 seeded
     // hyperplanes prunes to same-bucket candidates before exact cosine.
     "llm_ann_lsh" -> ((s, dir) => {
@@ -810,6 +828,24 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
          |SELECT qid, rank, id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "llm_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+         |a0 AS (
+         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+         |  FROM v CROSS JOIN c),
+         |a1 AS (SELECT id, vec, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+         |  FROM a0),
+         |assigned AS (SELECT id, vec, cid FROM a1 WHERE rn = 1),
+         |e AS (
+         |  SELECT cid, u.pos AS pos, u.x AS x
+         |  FROM assigned,
+         |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u))
+         |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+         |  round(avg(x), 4) AS mean
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_vocab_topk" ->
       """WITH w AS (

@@ -159,6 +159,25 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** One Lloyd iteration of k-means over the embedding corpus — the
+    * clustering pass behind semantic dedup / diversity curation of
+    * training data (and the centroid trainer for the IVF index above).
+    *
+    * Scale shape: assignment is the map-side literal fold (no shuffle);
+    * the centroid update posexplodes to (cluster, component) and
+    * aggregates — map-side partial combine collapses each task's stream
+    * to ≤ k·dim partial sums before the one shuffle, so the exploded
+    * volume never crosses the wire. Returns one row per (cid, pos) with
+    * the member count and new centroid component.
+    */
+  def kmeansStep(corpus: DataFrame,
+                 centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus
+      .withColumn("cid", nearestCentroid(col("vec"), centroids))
+      .select(col("cid"), posexplode(col("vec")).as(Seq("pos0", "x")))
+      .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mean"))
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before an embedding corpus is indexed.
     * scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (round-half-up

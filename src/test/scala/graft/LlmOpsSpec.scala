@@ -140,6 +140,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(all == Set(11L, 20L, 21L))
   }
 
+  test("vectors: one kmeans step moves centroids toward cluster means") {
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Seq(2.0, 0.0)), (2L, Seq(4.0, 0.0)),   // cluster 0, mean (3, 0)
+      (3L, Seq(0.0, 6.0)))                        // cluster 1, mean (0, 6)
+      .toDF("id", "vec")
+    val step = VectorOps.kmeansStep(corpus, cents).collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("pos")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean")))).toMap
+    assert(step((0, 1)) == ((2L, 3.0)) && step((0, 2)) == ((2L, 0.0)))
+    assert(step((1, 1)) == ((1L, 0.0)) && step((1, 2)) == ((1L, 6.0)))
+  }
+
   test("text: vocabulary counts tf and df with map-side pre-aggregation") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(docs).collect()
