@@ -723,6 +723,49 @@ object SparkEntry {
         .orderBy(col("tags"), col("bucket_ts"), col("val"))
     }),
 
+    // Multi-way join enrichment over the TPC-H tables: the fact table
+    // joins orders on the shuffle key, then the small dimensions join as
+    // EXPLICIT BROADCASTS (customer 15k, nation 25 — no shuffle of the
+    // fact stream for either). Ship-date filter pushes to the scan.
+    // Money math in exact DECIMAL so the sum is order-independent and
+    // engine-exact (a double sum at 1e9 magnitude rounds differently
+    // across reduction orders).
+    "q_join_enrich" -> ((s, dir) => {
+      val money = "decimal(12,2)"
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast(money) *
+            (lit(java.math.BigDecimal.ONE).cast(money) -
+              col("l_discount").cast(money))).as("rev"))
+      val o = Tables.read(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.read(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.read(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Top-N per group over a plain table: rank inside each order
+    // priority. Spark 4 plans this as WindowGroupLimit — the per-group
+    // limit runs BEFORE the shuffle, so only ≤N rows per group per
+    // partition cross the wire.
+    "q_topn_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.read(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank").cast("long").as("rank"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // As-of join (union+window form — ONE shuffle on the key, no range
     // join blow-up): each purchase gets the latest click value at or
     // before it, per user. Oracle = DuckDB's native ASOF JOIN, which
@@ -1315,6 +1358,28 @@ object SparkEntry {
          |       round(avg(value), 4) AS val
          |FROM t GROUP BY name, tags, bucket_ts, precision
          |ORDER BY tags, bucket_ts, val""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.00 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topn_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
     "ts_asof_join" ->
       s"""WITH l AS (
