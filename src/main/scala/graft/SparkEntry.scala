@@ -534,6 +534,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Resize planning over the multimodal metadata: aspect-preserving fit
+    // into a 224 box + centered letterbox padding, from metadata ONLY
+    // (payload bytes never read — parquet prunes them from the scan).
+    "llm_multimodal_resize" -> ((s, dir) => {
+      val m = Multimodal.toMultimodalRows(Tables.documents(s, dir))
+      val r = Multimodal.resizeStub(col("meta.width"), col("meta.height"), 224)
+      m.select(col("media_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        r.getField("w").cast("long").as("out_w"),
+        r.getField("h").cast("long").as("out_h"),
+        r.getField("pad_x").cast("long").as("pad_x"),
+        r.getField("pad_y").cast("long").as("pad_y"),
+        round(r.getField("scale"), 6).as("scale"))
+        .orderBy(col("media_id"))
+    }),
+
     // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
     // signature → bucket JOIN (never all-pairs) → exact-Jaccard verify.
     // Near-dups injected (every 11th doc + a 4-word suffix); the corpus
@@ -1343,6 +1360,22 @@ object SparkEntry {
         |  CAST(CAST('0x'||substr(h,3,2) AS INT)+1 AS BIGINT) AS height,
         |  substr(h,1,8) AS fingerprint
         |FROM m ORDER BY media_id""".stripMargin,
+
+    "llm_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST('0x'||substr(hx,1,2) AS INT)+1 AS w,
+        |    CAST('0x'||substr(hx,3,2) AS INT)+1 AS h FROM m),
+        |r AS (SELECT doc_id, w, h, 224.0 / greatest(w, h) AS s FROM d),
+        |z AS (SELECT doc_id, w, h, s,
+        |    greatest(1, CAST(floor(w*s + 0.5) AS BIGINT)) AS w2,
+        |    greatest(1, CAST(floor(h*s + 0.5) AS BIGINT)) AS h2 FROM r)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  w2 AS out_w, h2 AS out_h,
+        |  (224 - w2) // 2 AS pad_x, (224 - h2) // 2 AS pad_y,
+        |  round(s, 6) AS scale
+        |FROM z ORDER BY media_id""".stripMargin,
 
     "a7_compact_roundtrip" ->
       s"""WITH m AS (

@@ -75,6 +75,24 @@ object Multimodal {
     struct(nFrames.as("n_frames"), offsets.as("offsets"), fps.as("fingerprints"))
   }
 
+  /** Resize planning stub: fit (w, h) into a square `box` preserving
+    * aspect ratio, with centered letterbox padding — the geometry pass of
+    * an image-resize stage, computed purely from metadata (a real decoder
+    * consumes these numbers; the payload is never touched, so a resize
+    * planning scan reads only the metadata columns). Round-half-up
+    * spelled as floor(x + 0.5) so every engine agrees.
+    */
+  def resizeStub(w: Column, h: Column, box: Int): Column = {
+    val s = lit(box.toDouble) / greatest(w, h).cast("double")
+    val w2 = greatest(lit(1L), floor(w * s + 0.5))
+    val h2 = greatest(lit(1L), floor(h * s + 0.5))
+    struct(
+      w2.as("w"), h2.as("h"),
+      floor((lit(box) - w2) / lit(2)).as("pad_x"),
+      floor((lit(box) - h2) / lit(2)).as("pad_y"),
+      s.as("scale"))
+  }
+
   /** Assemble the canonical multimodal row: id, payload, typed metadata.
     * Partition-friendly: metadata is a separate struct column so scans
     * that only filter on metadata never deserialize payload bytes (parquet
