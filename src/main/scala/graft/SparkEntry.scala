@@ -492,6 +492,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram LM quality score: corpus vocabulary (small) broadcasts
+    // into the per-word scoring join — the exploded word stream never
+    // shuffles; per-doc mean aggregates with map-side partials.
+    "llm_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          round(col("lm_score"), 4).as("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact dedup: hash-groupBy, min doc_id wins. Duplicates are injected
     // deterministically (every 7th doc re-appears with id+10000) since the
     // corpus itself is duplicate-free; output is the duplicate groups.
@@ -1331,6 +1341,17 @@ object SparkEntry {
         |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+        |v AS (SELECT word, count(*) AS tf FROM w2 GROUP BY 1),
+        |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM v)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 4) AS lm_score
+        |FROM w2 JOIN v USING (word) CROSS JOIN t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_dedup_exact" ->
       """WITH all_docs AS (

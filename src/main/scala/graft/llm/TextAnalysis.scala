@@ -132,4 +132,30 @@ object TextAnalysis {
       .groupBy(col("word"))
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
   }
+
+  /** Unigram language-model score per document: mean negative log
+    * probability of the document's words under the corpus unigram
+    * distribution — the classic LM-based quality filter (low score =
+    * typical text, high = outlier/garbled).
+    *
+    * The "corpus stats then apply" idiom at scale: the vocabulary is the
+    * only corpus-wide state, it is orders of magnitude smaller than the
+    * corpus, and it BROADCASTS into the per-word scoring join — the
+    * exploded word stream is never shuffled; the per-doc mean aggregates
+    * with map-side partials on the doc id.
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(docs, textCol, idCol)
+    val total = vocab.agg(sum(col("tf")).as("total"))
+    val wordStream = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    wordStream
+      .join(broadcast(vocab), Seq("word"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        avg(-log(col("tf").cast("double") / col("total"))).as("lm_score"))
+  }
 }
