@@ -777,6 +777,22 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Salted two-phase aggregation over the 5-hot-key event_type column:
+    // phase 1 fans each hot key out to 16 salt buckets, phase 2 combines
+    // the ≤ 80 partials. Result is exactly the plain group-by (the
+    // oracle IS the unsalted SQL) — only the shuffle shape changes.
+    // NOTE: the sum must re-associate identically, so phase-1 partials
+    // use exact DECIMAL and convert to double only at the edge.
+    "q_salted_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("value", col("value").cast("decimal(20,6)"))
+      graft.operators.Salting
+        .saltedSumCount(ev, Seq("event_type"), "value", "user_id", 16)
+        .select(col("event_type").as("name"), col("cnt"),
+          round(col("total").cast("double"), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
     // Top-N per group over a plain table: rank inside each order
     // priority. Spark 4 plans this as WindowGroupLimit — the per-group
     // limit runs BEFORE the shuffle, so only ≤N rows per group per
@@ -1424,6 +1440,11 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type AS name, count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_topn_group" ->
       """WITH r AS (

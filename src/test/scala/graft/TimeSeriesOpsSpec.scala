@@ -58,6 +58,19 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("salted aggregation equals the plain aggregate regardless of salt") {
+    val df = Seq(("a", 1, 1.5), ("a", 2, 2.5), ("a", 3, 3.0), ("b", 4, 10.0))
+      .toDF("k", "seed", "v")
+    for (buckets <- Seq(1, 4, 16)) {
+      val out = graft.operators.Salting
+        .saltedSumCount(df, Seq("k"), "v", "seed", buckets)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("cnt"), r.getAs[Double]("total")))).toMap
+      assert(out == Map("a" -> ((3L, 7.0)), "b" -> ((1L, 10.0))),
+        s"buckets=$buckets")
+    }
+  }
+
   test("split is a stable pure function of the id with sane proportions") {
     val ids = spark.range(0, 10000).toDF("id")
     val splits = ids.select(Sampling.split(col("id")).as("s"))
