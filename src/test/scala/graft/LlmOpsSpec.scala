@@ -192,6 +192,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("nf") == 0L && seqOf[Int](r(1), "off").isEmpty)
   }
 
+  test("multimodal: resize geometry invariants hold over the whole dim range") {
+    val dims = for { w <- 1 to 256; h <- Seq(1, 7, 97, 128, 255, 256) }
+      yield (w.toLong, h.toLong)
+    val df = dims.toDF("w", "h")
+    val r = Multimodal.resizeStub(col("w"), col("h"), 224)
+    val bad = df.select(r.getField("w").as("w2"), r.getField("h").as("h2"),
+      r.getField("pad_x").as("px"), r.getField("pad_y").as("py"))
+      .filter(col("w2") < 1 || col("w2") > 224 || col("h2") < 1 || col("h2") > 224 ||
+        col("px") < 0 || col("py") < 0 ||
+        greatest(col("w2"), col("h2")) =!= 224)  // long edge fills the box
+      .count()
+    assert(bad == 0)
+  }
+
   test("multimodal: payload metadata is deterministic and schema-typed") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val r1 = Multimodal.toMultimodalRows(docs).select("meta.*").head
