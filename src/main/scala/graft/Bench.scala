@@ -41,8 +41,11 @@ object Bench {
       } finally {
         // Queries persist() intermediates for their own plan reuse; drop
         // them so storage-memory churn from one query can't distort the
-        // next one's wall time.
+        // next one's wall time, and collect garbage between queries so
+        // accumulated broadcast/shuffle debris from earlier queries isn't
+        // billed to whichever query happens to trigger the GC.
         spark.sharedState.cacheManager.clearCache()
+        System.gc()
       }
     }
 
