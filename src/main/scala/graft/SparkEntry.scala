@@ -962,9 +962,11 @@ object SparkEntry {
         |f AS (SELECT doc_id, text,
         |    CASE WHEN n < 48 THEN 0 ELSE (n - 48) // 96 + 1 END AS nf FROM m)
         |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
-        |  array_to_string([CAST(i*96 + 1 AS VARCHAR) FOR i IN range(0, nf)], ',') AS offsets,
-        |  array_to_string([substr(md5(substr(text, CAST(i*96 + 1 AS BIGINT), 48)), 1, 8)
-        |    FOR i IN range(0, nf)], ',') AS fps
+        |  coalesce(array_to_string(
+        |    [CAST(i*96 + 1 AS VARCHAR) FOR i IN range(0, nf)], ','), '') AS offsets,
+        |  coalesce(array_to_string(
+        |    [substr(md5(substr(text, CAST(i*96 + 1 AS BIGINT), 48)), 1, 8)
+        |     FOR i IN range(0, nf)], ','), '') AS fps
         |FROM f ORDER BY media_id""".stripMargin,
 
     "a1_bucket_quantile" ->
