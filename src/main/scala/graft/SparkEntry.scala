@@ -492,6 +492,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing: documents binned into 4096-token context windows
+    // per language (first-fit-in-order via a running cumsum window — one
+    // shuffle per group, no sequential packer). Per-bin occupancy stats.
+    "llm_pack_bins" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      Sampling.packBins(d, "lang", "doc_id", "n_tokens", 4096L)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // Unigram LM quality score: corpus vocabulary (small) broadcasts
     // into the per-word scoring join — the exploded word stream never
     // shuffles; per-doc mean aggregates with map-side partials.
@@ -1359,6 +1373,19 @@ object SparkEntry {
         |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_pack_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) - n_tokens AS bin_offset FROM d),
+        |b AS (SELECT *, CAST(bin_offset // 4096 AS BIGINT) AS bin FROM c)
+        |SELECT lang, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_lm_score" ->
       """WITH w AS (

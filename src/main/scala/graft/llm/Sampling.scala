@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -27,5 +28,27 @@ object Sampling {
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
+  }
+
+  /** Sequence packing: assign documents to fixed token-budget bins (the
+    * context-window packing pass of LLM pretraining dataloaders), as the
+    * deterministic parallel approximation — documents are taken in a
+    * canonical order per group and a document starts a new bin when its
+    * START offset crosses a bin boundary (first-fit-in-order, computed
+    * from a running token cumsum; one window shuffle per group key, no
+    * sequential driver loop). A document larger than `budget` gets a bin
+    * of its own, as greedy packers do.
+    *
+    * Adds `bin` (0-based per group) and `bin_offset` (the document's
+    * start offset within its group's token stream).
+    */
+  def packBins(docs: DataFrame, groupCol: String, orderCol: String,
+               tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sum(col(tokenCol)).over(w)
+    docs
+      .withColumn("bin_offset", cum - col(tokenCol))
+      .withColumn("bin", floor(col("bin_offset") / budget).cast("long"))
   }
 }

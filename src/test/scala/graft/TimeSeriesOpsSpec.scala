@@ -71,6 +71,22 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("pack bins: first-fit-in-order by start offset; oversized doc isolated") {
+    val docs = Seq(
+      ("en", 1L, 60L), ("en", 2L, 50L),   // bin 0 (offsets 0, 60)
+      ("en", 3L, 200L),                   // starts at 110 -> bin 1 (oversized)
+      ("en", 4L, 30L),                    // starts at 310 -> bin 3
+      ("de", 5L, 10L))                    // own group, bin 0
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Sampling.packBins(docs, "lang", "doc_id", "n_tokens", 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bin"), r.getAs[Long]("bin_offset")))).toMap
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 60L)))
+    assert(out(3L) == ((1L, 110L)))
+    assert(out(4L) == ((3L, 310L)))
+    assert(out(5L) == ((0L, 0L)))
+  }
+
   test("split is a stable pure function of the id with sane proportions") {
     val ids = spark.range(0, 10000).toDF("id")
     val splits = ids.select(Sampling.split(col("id")).as("s"))
