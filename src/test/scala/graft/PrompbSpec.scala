@@ -72,6 +72,17 @@ class PrompbSpec extends AnyFunSuite {
     assert(Prompb.decodeWriteRequest(Prompb.snappyUncompress(wire)) == wr)
   }
 
+  test("malformed payloads fail loudly, not silently") {
+    // garbage is not snappy-framed
+    intercept[Exception] { Prompb.snappyUncompress(Array[Byte](1, 2, 3, 4)) }
+    // truncated proto: valid frame, body cut mid-message
+    val wire = Prompb.encodeWriteRequest(PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("__name__", "m")), Seq(PSample(1.0, 1L))))))
+    intercept[IllegalArgumentException] {
+      Prompb.decodeWriteRequest(wire.dropRight(3))
+    }
+  }
+
   test("seeded randomized round-trip (100 requests)") {
     val rnd = new scala.util.Random(7)
     def rs(): String = rnd.alphanumeric.take(rnd.nextInt(12)).mkString

@@ -78,6 +78,16 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getAs[java.sql.Timestamp]("bucket_start").getTime == 123456780000L)
   }
 
+  test("a malformed payload fails its task instead of being swallowed") {
+    // the reference returns HTTP 400 per bad request (main.go:294-302);
+    // here the decode failure surfaces through the query
+    import spark.implicits._
+    val bad = Seq(Array[Byte](9, 9, 9)).toDF("content")
+    intercept[org.apache.spark.SparkException] {
+      RemoteWriteStream.decodeFlat(bad).collect()
+    }
+  }
+
   test("S11: response edge emits decodable snappy+proto wire bytes") {
     import spark.implicits._
     import graft.compile.Matchers._
