@@ -54,6 +54,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("a1_bucket_quantile")(spark, "/root/testdata/sf0.001")
 
+  /** Embeddings as (id, vec array<double>) — the vector entries' shape. */
+  private def vecTable(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+
+  /** Deterministic centroid seeds: the first `k` vectors, collected as
+    * literals for the map-side assignment fold (shared by the IVF and
+    * k-means entries; their oracles replicate `id < k`).
+    */
+  private def seedCentroids(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] =
+    e.filter(col("id") < k).orderBy(col("id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+
   /** events as the flat sample stream (name, labels, value, timestampMs) —
     * the formatters' input shape.
     */
@@ -660,10 +674,8 @@ object SparkEntry {
     // cosine only within probed clusters. Centroids here are the first 8
     // vectors (seeding is orthogonal to the search plumbing).
     "llm_ann_ivf" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      val cents = e.filter(col("id") < 8).orderBy(col("id")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      val e = vecTable(s, dir)
+      val cents = seedCentroids(e, 8)
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       VectorOps.ivfTopK(e, q, cents, nprobe = 2, k = 5)
@@ -724,10 +736,8 @@ object SparkEntry {
     // shuffle. avg is an unordered float reduction on both engines, so
     // this entry leans on round(4) rather than bit-equality.
     "llm_kmeans_step" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
-      val cents = e.filter(col("id") < 8).orderBy(col("id")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      val e = vecTable(s, dir)
+      val cents = seedCentroids(e, 8)
       VectorOps.kmeansStep(e, cents)
         .select(col("cid"), col("pos").cast("long").as("pos"),
           col("n").cast("long").as("n"), round(col("mean"), 4).as("mean"))

@@ -31,29 +31,6 @@ object Dedup {
   /** Modulus for the derived minhash permutation family. */
   val MinhashMod = 1000000007L
 
-  /** Per-shingle hash pair (h1, h2): two independent 60-bit values from
-    * one md5 — the standard "one hash, k derived permutations" trick, so
-    * signature width k costs ONE digest per shingle instead of k.
-    */
-  def shingleHashes(shingles: org.apache.spark.sql.Column) =
-    transform(array_distinct(shingles), s => {
-      val h = md5(s)
-      struct(
-        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(h, 17, 15), 16, 10).cast("long").as("h2"))
-    })
-
-  /** MinHash signature over precomputed (h1, h2) pairs: permutation j is
-    * (h1 + j·h2) mod p; the signature entry is its min over the document's
-    * shingles. Pure integer arithmetic — cheap per j, and reproducible
-    * verbatim in the DuckDB oracle.
-    */
-  def minhashSignature(hashes: org.apache.spark.sql.Column, k: Int) =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(hashes,
-        b => ((b.getField("h1") % MinhashMod) +
-          j.cast("long") * (b.getField("h2") % MinhashMod)) % MinhashMod)))
-
   /** Full signature in ONE pass over the shingle array, for use inline in
     * a projection (no cached hash columns needed). Structured so each
     * cost tier is evaluated exactly once per shingle: md5 in an inner
@@ -138,13 +115,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // The confirmed-candidate set is orders of magnitude smaller than the
-    // corpus (LSH's whole point), so it is the BROADCAST side of the
-    // verification joins: `sh` never shuffles, each verify join is a
-    // map-side hash join over the cached shingle table.
-    broadcast(candidates)
-      .join(sh.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id"))
-      .drop("id")
+    // The candidate set is orders of magnitude smaller than the corpus
+    // (LSH's whole point), so it is the BROADCAST side of BOTH
+    // verification joins — the inner hint covers the id_a join and the
+    // outer hint re-marks its (still candidate-sized) output for the
+    // id_b join, so the cached shingle table never shuffles and each
+    // verify join is a map-side hash join.
+    broadcast(
+      broadcast(candidates)
+        .join(sh.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id"))
+        .drop("id"))
       .join(sh.select(col("id"), col("shingles").as("sh_b")), col("id_b") === col("id"))
       .drop("id")
       .select(col("id_a"), col("id_b"),

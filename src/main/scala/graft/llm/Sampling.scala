@@ -33,11 +33,15 @@ object Sampling {
   /** Sequence packing: assign documents to fixed token-budget bins (the
     * context-window packing pass of LLM pretraining dataloaders), as the
     * deterministic parallel approximation — documents are taken in a
-    * canonical order per group and a document starts a new bin when its
-    * START offset crosses a bin boundary (first-fit-in-order, computed
-    * from a running token cumsum; one window shuffle per group key, no
-    * sequential driver loop). A document larger than `budget` gets a bin
-    * of its own, as greedy packers do.
+    * canonical order per group and each is assigned to the bin its START
+    * offset falls in (start-offset binning over a running token cumsum;
+    * one window shuffle per group key, no sequential driver loop).
+    *
+    * Semantics to note: a bin can exceed `budget` by the overhang of its
+    * last document (dataloaders truncate or spill the overhang at
+    * materialization), and an oversized document occupies its start bin
+    * and implicitly spans the following ones — this is offset bookkeeping
+    * for the packer, not a capacity guarantee.
     *
     * Adds `bin` (0-based per group) and `bin_offset` (the document's
     * start offset within its group's token stream).

@@ -29,8 +29,13 @@ object VectorOps {
   /** L2 norm (ordered fold of squares). */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity. NULL when either vector has zero norm (undefined
+    * angle) — try_divide, because ANSI mode (Spark 4 default) turns a
+    * plain division into a query-killing DIVIDE_BY_ZERO for one
+    * degenerate row.
+    */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
 
   /** Unit-normalize a vector (zero vectors pass through as zeros). */
   def normalize(a: Column): Column = {
@@ -115,9 +120,14 @@ object VectorOps {
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
     aggregate(centLit,
-      struct(lit(-1).as("cid"), lit(-2.0).as("cos")),
+      struct(lit(-1).as("cid"), lit(-3.0).as("cos")),
       (acc, c) => {
-        val cs = cosine(vec, c.getField("cvec"))
+        // NULL cosine (zero-norm vector or centroid) coalesces to a
+        // below-everything sentinel so degenerate vectors still land on
+        // the first centroid (the ORDER BY cos DESC, cid tie-break a
+        // SQL row_number assignment would produce) instead of escaping
+        // to a nonexistent cluster.
+        val cs = coalesce(cosine(vec, c.getField("cvec")), lit(-2.0))
         when(cs > acc.getField("cos"),
           struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
       }).getField("cid")

@@ -25,8 +25,11 @@ object TimeSeriesOps {
     * the match is deterministic when the right side carries duplicate
     * timestamps. The merge tags right rows side=0 and left rows side=1;
     * sorting by (ts, side) puts a same-timestamp right row BEFORE the left
-    * row, giving `>=` (inclusive) as-of semantics. `last(ignoreNulls)`
-    * over the running frame then carries the latest right value forward.
+    * row, giving `>=` (inclusive) as-of semantics. The right value rides
+    * in a single-field struct BOX so the running `last(ignoreNulls)`
+    * tracks the latest right ROW, not the latest non-null value — a
+    * matched right row whose value is NULL yields NULL (true ASOF
+    * semantics), never a stale earlier value.
     *
     * @param rightValAlias output column; must not collide with a left column
     */
@@ -36,19 +39,25 @@ object TimeSeriesOps {
     val groupCols = (keys :+ tsCol).map(col)
     val rightDedup = right.groupBy(groupCols: _*)
       .agg(max(col(rightValCol)).as(rightValAlias))
+    val boxType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(rightValAlias,
+        rightDedup.schema(rightValAlias).dataType)))
     val lSide = left
       .withColumn("_side", lit(1))
-      .withColumn(rightValAlias,
-        lit(null).cast(rightDedup.schema(rightValAlias).dataType))
-    val rSide = rightDedup.withColumn("_side", lit(0))
+      .withColumn("_rbox", lit(null).cast(boxType))
+    val rSide = rightDedup
+      .withColumn("_side", lit(0))
+      .withColumn("_rbox", struct(col(rightValAlias)))
+      .drop(rightValAlias)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide, allowMissingColumns = true)
       .withColumn(rightValAlias,
-        last(col(rightValAlias), ignoreNulls = true).over(w))
+        last(col("_rbox"), ignoreNulls = true).over(w)
+          .getField(rightValAlias))
       .filter(col("_side") === 1)
-      .drop("_side")
+      .drop("_side", "_rbox")
   }
 
   /** Sessionization: split each key's event stream into sessions separated

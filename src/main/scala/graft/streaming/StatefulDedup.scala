@@ -33,7 +33,7 @@ object StatefulDedup {
     import spark.implicits._
     docs
       .select(md5(col(textCol)).as("content_hash"),
-        col(idCol).cast("long").as("doc_id"), col(textCol).as(textCol))
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[Doc]
       .groupByKey(_.content_hash)
       .flatMapGroupsWithState[Boolean, Doc](

@@ -129,6 +129,11 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("id"), VectorOps.nearestCentroid(col("vec"), cents).as("cid"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned == Map(10L -> 0, 11L -> 0, 20L -> 1, 21L -> 1))
+    // a zero-norm vector (NULL cosine everywhere) still lands on the
+    // first centroid — the SQL row_number tie-break — never cid=-1
+    val zero = Seq((99L, Seq(0.0, 0.0))).toDF("id", "vec")
+      .select(VectorOps.nearestCentroid(col("vec"), cents).as("cid"))
+    assert(zero.head.getInt(0) == 0)
     // nprobe=1: the query near cluster 0 must only see cluster-0 vectors.
     val queries = Seq((10L, Seq(0.9, 0.1))).toDF("qid", "qvec")
     val hits = VectorOps.ivfTopK(corpus, queries, cents, nprobe = 1, k = 10)

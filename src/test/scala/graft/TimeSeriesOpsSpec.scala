@@ -25,6 +25,14 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(3).isNullAt(out(3).fieldIndex("asof_rv")))
   }
 
+  test("asof join yields the matched row's NULL, not a stale earlier value") {
+    val l = Seq((1L, 12L, 0.0)).toDF("k", "ts", "v")
+    val r = Seq((1L, 5L, Some(2.0)), (1L, 10L, None)).toDF("k", "ts", "rv")
+    val out = TimeSeriesOps.asofJoin(l, r, Seq("k"), "ts", "rv", "asof_rv").head
+    // latest right row at ts<=12 is ts=10 whose value IS null
+    assert(out.isNullAt(out.fieldIndex("asof_rv")))
+  }
+
   test("asof join collapses duplicate right timestamps deterministically") {
     val l = Seq((1L, 10L, 0.0)).toDF("k", "ts", "v")
     val r = Seq((1L, 10L, 5.0), (1L, 10L, 7.0)).toDF("k", "ts", "rv")
