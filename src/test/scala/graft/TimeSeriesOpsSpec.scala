@@ -40,6 +40,53 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("asof_rv") == 7.0) // max wins
   }
 
+  test("asof join matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val lRows = Seq.fill(120)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+      rnd.nextInt(100).toDouble))
+    val rRows = Seq.fill(80)((rnd.nextInt(5).toLong, rnd.nextInt(50).toLong,
+      rnd.nextInt(100).toDouble))
+    val got = TimeSeriesOps.asofJoin(lRows.toDF("k", "ts", "v"),
+        rRows.toDF("k", "ts", "rv"), Seq("k"), "ts", "rv", "arv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .sorted(Ordering.by((t: (Long, Long, Double, Option[Double])) =>
+        (t._1, t._2, t._3, t._4.getOrElse(-1.0))))
+    val want = lRows.map { case (k, ts, v) =>
+      val eligible = rRows.filter(r => r._1 == k && r._2 <= ts)
+      val arv = if (eligible.isEmpty) None
+        else {
+          val maxTs = eligible.map(_._2).max
+          Some(eligible.filter(_._2 == maxTs).map(_._3).max) // dedup = max
+        }
+      (k, ts, v, arv)
+    }.sorted(Ordering.by((t: (Long, Long, Double, Option[Double])) =>
+      (t._1, t._2, t._3, t._4.getOrElse(-1.0))))
+    assert(got.toSeq == want)
+  }
+
+  test("sessionize matches a naive linear scan on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(150)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(10000).toLong, i.toLong))
+    val got = TimeSeriesOps.sessionize(rows.toDF("user", "ts", "eid"),
+        "user", "ts", 600L, Seq("eid"))
+      .collect()
+      .map(r => (r.getLong(2), r.getAs[Long]("session_id"))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      var session = 0L
+      var prev = Long.MinValue
+      ordered.map { case (_, ts, eid) =>
+        if (prev == Long.MinValue || ts - prev > 600L) session += 1
+        prev = ts
+        eid -> session
+      }
+    }
+    assert(got == want)
+  }
+
   test("sessionize splits on gap and numbers sessions 1-based in time order") {
     val ev = Seq(
       (1L, 100L, 1L), (1L, 200L, 2L), (1L, 5000L, 3L), (1L, 5100L, 4L),
