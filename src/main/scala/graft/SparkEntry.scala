@@ -506,6 +506,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII scrubbing: emails/phones injected deterministically, redacted
+    // with counts — the pre-training corpus hygiene pass. Map-side only.
+    "llm_pii_scrub" -> ((s, dir) => {
+      val poisoned = Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          format_string("%03d", col("doc_id") % 1000),
+          lit("-"), format_string("%04d", col("doc_id") % 10000)))
+      val sc = TextAnalysis.scrubPii(col("text"))
+      poisoned.select(col("doc_id"),
+        md5(sc.getField("clean")).as("clean_hash"),
+        sc.getField("n_emails").cast("long").as("n_emails"),
+        sc.getField("n_phones").cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: documents binned into 4096-token context windows
     // per language (first-fit-in-order via a running cumsum window — one
     // shuffle per group, no sequential packer). Per-bin occupancy stats.
@@ -1383,6 +1399,23 @@ object SparkEntry {
         |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |    printf('%03d', doc_id % 1000) || '-' ||
+        |    printf('%04d', doc_id % 10000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_hash,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "llm_pack_bins" ->
       """WITH d AS (

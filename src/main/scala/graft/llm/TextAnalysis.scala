@@ -133,6 +133,29 @@ object TextAnalysis {
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
   }
 
+  /** PII scrubbing patterns — conservative character-class-only regexes
+    * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
+    * them identically. Extend per deployment.
+    */
+  val EmailPattern = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact PII in a text column and count what was removed — the
+    * scrubbing pass every training corpus goes through before use.
+    * Map-side only: one regexp_replace per pattern, counts via
+    * regexp_extract_all on the ORIGINAL text (so counts survive the
+    * replacement). Returns struct(clean, n_emails, n_phones).
+    */
+  def scrubPii(text: Column): Column = {
+    val clean = regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+    struct(
+      clean.as("clean"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+  }
+
   /** Unigram language-model score per document: mean negative log
     * probability of the document's words under the corpus unigram
     * distribution — the classic LM-based quality filter (low score =

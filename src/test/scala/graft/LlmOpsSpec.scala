@@ -158,6 +158,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(step((1, 1)) == ((1L, 0.0)) && step((1, 2)) == ((1L, 6.0)))
   }
 
+  test("text: pii scrub redacts emails and phones and counts them") {
+    val df = Seq((1L, "mail a.b@x.org or call 555-123-4567 twice 555-000-1111"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val sc = TextAnalysis.scrubPii(col("text"))
+    val r = df.select(col("doc_id"), sc.getField("clean").as("clean"),
+      sc.getField("n_emails").as("ne"), sc.getField("n_phones").as("np"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("clean") ==
+      "mail <EMAIL> or call <PHONE> twice <PHONE>")
+    assert(r(0).getAs[Int]("ne") == 1 && r(0).getAs[Int]("np") == 2)
+    assert(r(1).getAs[String]("clean") == "clean text")
+    assert(r(1).getAs[Int]("ne") == 0 && r(1).getAs[Int]("np") == 0)
+  }
+
   test("text: vocabulary counts tf and df with map-side pre-aggregation") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(docs).collect()
