@@ -68,6 +68,35 @@ object SparkEntry {
     e.filter(col("id") < k).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** Marshal the events table into one snappy+proto WriteRequest payload
+    * file per metric (≙ one remote-write POST body each) under a fresh
+    * temp dir; returns (baseDir, inDir). Shared by the streaming entries.
+    */
+  private def writePayloadFiles(s: SparkSession, dir: String): (String, String) = {
+    import java.nio.file.{Files => JFiles, Paths}
+    val base = JFiles.createTempDirectory("graft_s1s").toString
+    val inDir = s"$base/in"
+    JFiles.createDirectories(Paths.get(inDir))
+    val rows = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(collect_list(struct(col("value").as("value"),
+        unix_millis(col("ts")).as("ts_ms"))).as("samples"))
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (name, rs) =>
+      val series = rs.toSeq.map { r =>
+        Prompb.PTimeSeries(
+          Seq(Prompb.PLabel("__name__", name),
+            Prompb.PLabel("user_id", String.valueOf(r.get(1)))),
+          r.getAs[scala.collection.Seq[Row]]("samples").toSeq.map(x =>
+            Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms"))))
+      }
+      JFiles.write(Paths.get(s"$inDir/$name.snappy"),
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(
+          Prompb.PWriteRequest(series))))
+    }
+    (base, inDir)
+  }
+
   /** events as the flat sample stream (name, labels, value, timestampMs) —
     * the formatters' input shape.
     */
@@ -321,27 +350,7 @@ object SparkEntry {
     // aggregated for the oracle. Proves the streaming front door writes
     // exactly what the batch pipeline would (reference: main.go:286-320).
     "s1_stream_ingest" -> ((s, dir) => {
-      import java.nio.file.{Files => JFiles, Paths}
-      val base = JFiles.createTempDirectory("graft_s1s").toString
-      val inDir = s"$base/in"
-      JFiles.createDirectories(Paths.get(inDir))
-      val rows = Tables.events(s, dir)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(collect_list(struct(col("value").as("value"),
-          unix_millis(col("ts")).as("ts_ms"))).as("samples"))
-        .collect()
-      rows.groupBy(_.getString(0)).foreach { case (name, rs) =>
-        val series = rs.toSeq.map { r =>
-          Prompb.PTimeSeries(
-            Seq(Prompb.PLabel("__name__", name),
-              Prompb.PLabel("user_id", String.valueOf(r.get(1)))),
-            r.getAs[scala.collection.Seq[Row]]("samples").toSeq.map(x =>
-              Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms"))))
-        }
-        JFiles.write(Paths.get(s"$inDir/$name.snappy"),
-          Prompb.snappyCompress(Prompb.encodeWriteRequest(
-            Prompb.PWriteRequest(series))))
-      }
+      val (base, inDir) = writePayloadFiles(s, dir)
       val table = s"$base/metrics"
       RemoteWriteStream.ingestStream(s, inDir, table, s"$base/ck")
         .awaitTermination()
@@ -352,6 +361,34 @@ object SparkEntry {
           max(unix_timestamp(col("ts"))).as("t_max"),
           round(sum(col("val")), 4).as("total"))
         .orderBy(col("name"))
+    }),
+
+    // The STREAMING windowed rollup (tumbling 10 s avg per series under
+    // a watermark) drained over the same payload files via a memory
+    // sink, then rolled up per series for the oracle — proves the
+    // streaming aggregation computes exactly what the batch tier
+    // compaction would (reference: GraphiteMergeTree hot tier,
+    // README.md:71-85, done at ingest instead).
+    "s1_stream_rollup" -> ((s, dir) => {
+      val (_, inDir) = writePayloadFiles(s, dir)
+      val flat = RemoteWriteStream.decodeFlat(
+        s.readStream.format("binaryFile")
+          .schema(RemoteWriteStream.binaryFilePayloadSchema).load(inDir))
+      val qname = "rollup_" + math.abs(inDir.hashCode).toString
+      // watermark wider than the data span: if available-now splits the
+      // files across micro-batches, no in-span sample can be dropped as
+      // late (the oracle aggregates everything)
+      RemoteWriteStream.streamingRollup(flat, 10, "90 days")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .groupBy(col("name"), array_join(col("tags"), ",").as("tags"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_samples"),
+          round(sum(col("val")), 4).as("sum_of_avgs"))
+        .orderBy(col("name"), col("tags"))
     }),
 
     // S11: the read-response edge — the full read pipeline's output
@@ -1127,6 +1164,18 @@ object SparkEntry {
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    "s1_stream_rollup" ->
+      s"""WITH f AS (
+         |  SELECT event_type AS name, $OTags AS tags,
+         |    epoch_ms(ts) // 10000 AS bucket, value
+         |  FROM events),
+         |b AS (SELECT name, tags, bucket, avg(value) AS val, count(*) AS cnt
+         |      FROM f GROUP BY 1, 2, 3)
+         |SELECT name, tags, count(*) AS n_buckets,
+         |  CAST(sum(cnt) AS BIGINT) AS n_samples,
+         |  round(sum(val), 4) AS sum_of_avgs
+         |FROM b GROUP BY 1, 2 ORDER BY name, tags""".stripMargin,
 
     "s1_stream_ingest" ->
       s"""SELECT event_type AS name, count(*) AS cnt,

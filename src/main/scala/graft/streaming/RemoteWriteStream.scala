@@ -50,9 +50,10 @@ object RemoteWriteStream {
     * dedup (SURVEY §2.4) — our A7 dedupLatest compaction serves that role.
     */
   /** The binaryFile source's fixed schema (streaming requires it spelled
-    * out explicitly).
+    * out explicitly). Public so callers wiring their own payload streams
+    * (e.g. into streamingRollup) reuse it.
     */
-  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+  val binaryFilePayloadSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
@@ -88,7 +89,7 @@ object RemoteWriteStream {
     val decoded = decodeFlat(
       spark.readStream
         .format("binaryFile")
-        .schema(binaryFileSchema)
+        .schema(binaryFilePayloadSchema)
         .load(inDir))
     // received/ignored counters ride the streaming plan itself (§2.7) and
     // surface per micro-batch in StreamingQueryProgress.observedMetrics.
