@@ -19,11 +19,16 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    val converted = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
+    // Same single-small-file / one-input-split concern as documents
+    // below: spread the scan so per-row work (tag codecs, escape UDFs,
+    // formatters, partial aggregation) parallelizes on local[32]. Filters
+    // still push below the exchange to the parquet scan.
+    converted.repartition(spark.sparkContext.defaultParallelism)
   }
   /** documents/embeddings feed map-heavy per-row pipelines (md5 shingles,
     * signature folds) but arrive as ONE tiny parquet file → one input
