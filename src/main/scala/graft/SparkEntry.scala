@@ -543,6 +543,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Document chunking: overlapping 64-word context windows at stride
+    // 48, exploded to one training row per chunk — per-doc map-side
+    // compute, the explode multiplies rows AFTER the scan so the text
+    // column is read once.
+    "llm_chunking" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordChunks(
+            TextAnalysis.words(col("text")), 64, 48)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"),
+          size(TextAnalysis.words(col("c.text"))).cast("long").as("n_chunk_words"),
+          md5(col("c.text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // Intra-document repetition ratio (duplicate 3-gram fraction) — the
+    // Gopher-style repetition quality filter.
+    "llm_repetition" -> ((s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wordShingles(ws, 3)).cast("long").as("n_grams"),
+          round(TextAnalysis.repetitionRatio(ws), 4).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrubbing: emails/phones injected deterministically, redacted
     // with counts — the pre-training corpus hygiene pass. Map-side only.
     "llm_pii_scrub" -> ((s, dir) => {
@@ -1448,6 +1474,32 @@ object SparkEntry {
         |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "llm_chunking" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, ws,
+        |    CASE WHEN len(ws) <= 64 THEN 1
+        |         ELSE CAST(ceil((len(ws) - 64)::DOUBLE / 48) AS BIGINT) + 1
+        |    END AS nc
+        |  FROM w)
+        |SELECT doc_id, i AS idx,
+        |  CAST(len(ws[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_words,
+        |  md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_hash
+        |FROM c, unnest(range(0, nc)) AS t(i)
+        |ORDER BY doc_id, idx""".stripMargin,
+
+    "llm_repetition" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN range(1, len(ws) - 1)] END AS grams
+        |  FROM w)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  round(CASE WHEN len(grams) <= 0 THEN 0.0
+        |    ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+        |  END, 4) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "llm_pii_scrub" ->
       """WITH p AS (

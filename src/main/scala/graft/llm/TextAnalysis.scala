@@ -133,6 +133,35 @@ object TextAnalysis {
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
   }
 
+  /** Overlapping fixed-size word chunks — the chunking pass that turns
+    * long documents into context-window-sized training rows. Chunks start
+    * every `stride` words and take `chunkWords` words; the chunk count is
+    * the smallest number whose last chunk reaches the document's end (the
+    * last chunk may be shorter). Returns an array of structs (idx, text)
+    * for a later explode — computed per row, map-side, no shuffle.
+    */
+  def wordChunks(ws: Column, chunkWords: Int, stride: Int): Column = {
+    require(stride <= chunkWords, "stride must not exceed chunk size")
+    val n = size(ws)
+    val nChunks = when(n <= chunkWords, lit(1L))
+      .otherwise(ceil((n - chunkWords).cast("double") / stride) + 1)
+    transform(sequence(lit(0L), nChunks - 1),
+      i => struct(i.cast("long").as("idx"),
+        array_join(slice(ws, (i * stride + 1).cast("int"), lit(chunkWords)), " ")
+          .as("text")))
+  }
+
+  /** Intra-document repetition: fraction of word 3-gram occurrences that
+    * are duplicates of an earlier one — the Gopher-style repetition
+    * filter signal. 0 for docs with < 3 words (nothing to repeat).
+    */
+  def repetitionRatio(ws: Column, n: Int = 3): Column = {
+    val grams = wordShingles(ws, n)
+    val total = size(grams)
+    when(total <= 0, lit(0.0))
+      .otherwise((total - size(array_distinct(grams))).cast("double") / total)
+  }
+
   /** PII scrubbing patterns — conservative character-class-only regexes
     * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
     * them identically. Extend per deployment.
