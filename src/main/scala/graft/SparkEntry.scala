@@ -375,9 +375,11 @@ object SparkEntry {
         s.readStream.format("binaryFile")
           .schema(RemoteWriteStream.binaryFilePayloadSchema).load(inDir))
       val qname = "rollup_" + math.abs(inDir.hashCode).toString
-      // watermark wider than the data span: if available-now splits the
-      // files across micro-batches, no in-span sample can be dropped as
-      // late (the oracle aggregates everything)
+      // complete output mode is what guarantees nothing is dropped (it
+      // keeps all aggregation state and re-emits the full result every
+      // trigger); the wide watermark is belt-and-braces so a future
+      // switch to append/update mode — where the watermark DOES gate
+      // emission — still can't drop in-span samples
       RemoteWriteStream.streamingRollup(flat, 10, "90 days")
         .writeStream.format("memory").queryName(qname)
         .outputMode("complete")
@@ -553,7 +555,7 @@ object SparkEntry {
           explode(TextAnalysis.wordChunks(
             TextAnalysis.words(col("text")), 64, 48)).as("c"))
         .select(col("doc_id"), col("c.idx").as("idx"),
-          size(TextAnalysis.words(col("c.text"))).cast("long").as("n_chunk_words"),
+          col("c.n_words").as("n_chunk_words"),
           md5(col("c.text")).as("chunk_hash"))
         .orderBy(col("doc_id"), col("idx"))
     }),
@@ -561,11 +563,11 @@ object SparkEntry {
     // Intra-document repetition ratio (duplicate 3-gram fraction) — the
     // Gopher-style repetition quality filter.
     "llm_repetition" -> ((s, dir) => {
-      val ws = TextAnalysis.words(col("text"))
+      val st = TextAnalysis.repetitionStats(TextAnalysis.words(col("text")))
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(TextAnalysis.wordShingles(ws, 3)).cast("long").as("n_grams"),
-          round(TextAnalysis.repetitionRatio(ws), 4).as("dup_ratio"))
+          st.getField("n_grams").as("n_grams"),
+          round(st.getField("dup_ratio"), 4).as("dup_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1509,14 +1511,16 @@ object SparkEntry {
         |    printf('%04d', doc_id % 10000) AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  md5(regexp_replace(regexp_replace(text,
-        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_hash,
+        |  md5(regexp_replace(ae, '[0-9]{3}-[0-9]{3}-[0-9]{4}',
+        |    '<PHONE>', 'g')) AS clean_hash,
         |  CAST(len(regexp_extract_all(text,
         |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(ae,
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT doc_id, text,
+        |  regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]',
+        |    '<EMAIL>', 'g') AS ae FROM p)
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_pack_bins" ->
       """WITH d AS (

@@ -146,20 +146,29 @@ object TextAnalysis {
     val nChunks = when(n <= chunkWords, lit(1L))
       .otherwise(ceil((n - chunkWords).cast("double") / stride) + 1)
     transform(sequence(lit(0L), nChunks - 1),
-      i => struct(i.cast("long").as("idx"),
-        array_join(slice(ws, (i * stride + 1).cast("int"), lit(chunkWords)), " ")
-          .as("text")))
+      i => {
+        val piece = slice(ws, (i * stride + 1).cast("int"), lit(chunkWords))
+        struct(i.cast("long").as("idx"),
+          size(piece).cast("long").as("n_words"),
+          array_join(piece, " ").as("text"))
+      })
   }
 
-  /** Intra-document repetition: fraction of word 3-gram occurrences that
+  /** Intra-document repetition: fraction of word n-gram occurrences that
     * are duplicates of an earlier one — the Gopher-style repetition
-    * filter signal. 0 for docs with < 3 words (nothing to repeat).
+    * filter signal. Returns struct(n_grams, dup_ratio); ratio is 0 for
+    * docs with < n words (nothing to repeat). Struct form so the shingle
+    * array is constructed once per row (HOF trees get no subexpression
+    * elimination across separate projections).
     */
-  def repetitionRatio(ws: Column, n: Int = 3): Column = {
+  def repetitionStats(ws: Column, n: Int = 3): Column = {
     val grams = wordShingles(ws, n)
     val total = size(grams)
-    when(total <= 0, lit(0.0))
-      .otherwise((total - size(array_distinct(grams))).cast("double") / total)
+    struct(
+      total.cast("long").as("n_grams"),
+      when(total <= 0, lit(0.0))
+        .otherwise((total - size(array_distinct(grams))).cast("double") / total)
+        .as("dup_ratio"))
   }
 
   /** PII scrubbing patterns — conservative character-class-only regexes
@@ -171,18 +180,19 @@ object TextAnalysis {
 
   /** Redact PII in a text column and count what was removed — the
     * scrubbing pass every training corpus goes through before use.
-    * Map-side only: one regexp_replace per pattern, counts via
-    * regexp_extract_all on the ORIGINAL text (so counts survive the
-    * replacement). Returns struct(clean, n_emails, n_phones).
+    * Map-side only: one regexp_replace per pattern, applied
+    * sequentially; each count is taken on the text THAT PASS actually
+    * saw (emails on the original, phones on the email-redacted text), so
+    * the counts equal the redactions performed even when patterns
+    * overlap. Returns struct(clean, n_emails, n_phones).
     */
   def scrubPii(text: Column): Column = {
-    val clean = regexp_replace(
-      regexp_replace(text, EmailPattern, "<EMAIL>"),
-      PhonePattern, "<PHONE>")
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val clean = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
     struct(
       clean.as("clean"),
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).as("n_emails"),
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).as("n_phones"))
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).as("n_phones"))
   }
 
   /** Unigram language-model score per document: mean negative log
