@@ -684,6 +684,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Near-dup pairs resolved into dedup CLUSTERS: connected components
+    // over the MinHash pair graph via iterative min-label propagation
+    // (Pregel-style fixpoint, one join+agg per round, data never leaves
+    // the cluster). Oracle computes true components with a recursive CTE
+    // — both converge to the same fixpoint, so iteration strategy drops
+    // out of the comparison.
+    "llm_dedup_cluster" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" graft extra suffix tokens")))
+      val all = d.unionByName(replay)
+      val pairs = Dedup.minhashNearDups(all, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(all.select(col("doc_id").as("id")), pairs)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("label"))
+    }),
+
     // SimHash near-dup: 16-bit signature, 4-block pigeonhole candidate
     // generation, hamming ≤ 3. Output aggregated per distance (the tiny
     // synthetic vocabulary makes individual pairs numerous).
@@ -1355,6 +1376,49 @@ object SparkEntry {
         |  FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id)
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         |FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "llm_dedup_cluster" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' graft extra suffix tokens' FROM documents WHERE doc_id % 11 = 0),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
+        |hv AS (
+        |  SELECT id, list_transform(shingles, s ->
+        |    {'h1': CAST('0x'||substr(md5(s),1,15) AS BIGINT),
+        |     'h2': CAST('0x'||substr(md5(s),17,15) AS BIGINT)}) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    [list_min(list_transform(hv, b ->
+        |      ((b.h1 % 1000000007) + j*(b.h2 % 1000000007)) % 1000000007)) FOR j IN range(0, 12)] AS sg
+        |  FROM hv),
+        |bands AS (
+        |  SELECT id, b,
+        |    array_to_string(list_transform(sg[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)), '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        |      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id),
+        |es(src, dst) AS (
+        |  SELECT id_a, id_b FROM ver WHERE jaccard >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM ver WHERE jaccard >= 0.5),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM all_docs
+        |  UNION
+        |  SELECT es.dst, reach.r FROM reach JOIN es ON reach.id = es.src),
+        |cc AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label, count(*) AS n_members, max(id) AS max_id
+        |FROM cc GROUP BY label HAVING count(*) > 1 ORDER BY label""".stripMargin,
 
     "llm_dedup_simhash" ->
       """WITH all_docs AS (

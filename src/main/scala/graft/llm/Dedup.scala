@@ -167,6 +167,52 @@ object Dedup {
       when(vote > 0, lit(1 << (16 - p))).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation — the cluster-resolution step that turns
+    * near-dup PAIRS into dedup GROUPS (pick one keeper per component).
+    *
+    * Pregel-style fixpoint: each iteration every node takes the min of
+    * its own label and its neighbors' labels (one equi-join + one
+    * aggregation per iteration, both with map-side partial combine);
+    * convergence when no label changes. Iteration count is bounded by
+    * the component diameter — near-dup graphs are shallow (dup clusters
+    * are quasi-cliques), so a handful of rounds suffice at any corpus
+    * size; `maxIter` caps pathological chains. This driver-side loop is
+    * control flow only — all data stays distributed.
+    *
+    * @param nodes (id); singletons keep their own id as label
+    * @param edges (id_a, id_b) undirected
+    * @return (id, label) with label = min id of the component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.id") === col("dst"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
     * 4-block pigeonhole candidate generation: split the 16 bits into 4
     * nibbles; any pair within distance 3 must agree on at least one whole

@@ -82,6 +82,18 @@ class LlmOpsSpec extends SparkSpec {
       && r.getAs[Int]("hamming") == 0))
   }
 
+  test("dedup: connected components resolve chains and keep singletons") {
+    // chain 1-2-3-4 (diameter forces multiple propagation rounds),
+    // pair 10-11, singleton 99
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("vectors: dot/norm/cosine/normalize") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val r = df.select(
