@@ -196,16 +196,17 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      // carry the previous label through the update so convergence is a
+      // cheap filter-count over the (persisted) update itself, not an
+      // extra join job per iteration
       val updated = labels.as("l")
         .join(neighborMin, col("l.id") === col("dst"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
         .persist()
-      val changed = updated.as("u")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
+      val changed = updated.filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
