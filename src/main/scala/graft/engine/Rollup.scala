@@ -75,6 +75,39 @@ object Rollup {
     ()
   }
 
+  /** Incremental compaction: version-dedup + tier-rollup ONLY the given
+    * `date` partitions and overwrite just those directories (dynamic
+    * partition overwrite) — the per-partition merge MergeTree actually
+    * performs, and the only form that survives 100 TB: the rollup tier a
+    * row belongs to is a function of its age, so each day a date
+    * partition crosses a tier boundary exactly once and only boundary-
+    * crossing partitions (plus freshly written ones) need rework; the
+    * rest of the table is untouched — no full-table read, no full
+    * rewrite, no staging swap.
+    */
+  def compactDates(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   dates: Seq[String], nowSec: Long): Unit = {
+    val selected = spark.read.parquet(tablePath)
+      .filter(col("date").isin(dates: _*)) // prunes to the named partitions
+    val rolled = rollup(dedupLatest(selected), nowSec)
+      .select(
+        to_date(timestamp_seconds(col("bucket_ts"))).as("date"),
+        col("name"), col("tags"), col("val"),
+        timestamp_seconds(col("bucket_ts")).as("ts"),
+        col("updated"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      rolled
+        .repartition(col("date"))
+        .sortWithinPartitions(col("name"), col("tags"), col("ts"))
+        .write.mode("overwrite").partitionBy("date").parquet(tablePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Version dedup ≙ MergeTree `updated` version column: for each
     * (name, tags, ts) keep the newest `updated` (last write wins across
     * at-least-once replays), `val` descending as a deterministic tiebreak

@@ -136,6 +136,33 @@ class EnginePipelineSpec extends SparkSpec {
       out.map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("val"))).toSeq)
   }
 
+  test("A7: incremental compaction rewrites only the named date partitions") {
+    val table = java.nio.file.Files.createTempDirectory("graft_inc").toString + "/metrics"
+    val now = 1706659200L // 2024-01-31
+    val mk = (sec: Long) => new java.sql.Timestamp(sec * 1000)
+    val old1 = now - 300000 // 2024-01-27, old tier (300s)
+    val old2 = now - 400000 // 2024-01-26, old tier
+    val rows = Seq(
+      ("m", Seq("__name__=m"), mk(old1 + 10), 1.0, mk(now)),  // same 300s
+      ("m", Seq("__name__=m"), mk(old1 + 20), 3.0, mk(now)),  //   bucket -> avg 2.0
+      ("m", Seq("__name__=m"), mk(old2 + 10), 7.0, mk(now)),
+      ("m", Seq("__name__=m"), mk(old2 + 20), 9.0, mk(now))
+    ).toDF("name", "tags", "ts", "val", "updated")
+      .withColumn("date", to_date(col("ts")))
+    rows.write.mode("overwrite").partitionBy("date").parquet(table)
+    val d1 = new java.sql.Date(mk(old1).getTime).toString
+
+    Rollup.compactDates(spark, table, Seq(d1), now)
+
+    val out = spark.read.parquet(table)
+    // named partition compacted: 2 rows -> 1 avg row
+    val day1 = out.filter(col("date") === d1).collect()
+    assert(day1.length == 1 && day1.head.getAs[Double]("val") == 2.0)
+    // untouched partition keeps its raw rows
+    val day2 = out.filter(col("date") =!= d1).orderBy("ts").collect()
+    assert(day2.map(_.getAs[Double]("val")).toSeq == Seq(7.0, 9.0))
+  }
+
   test("E1/E3: tag codec round-trip, empty values dropped as absent labels") {
     val df = Seq(Map("__name__" -> "m", "b" -> "2", "a" -> "1", "empty" -> ""))
       .toDF("labels")
