@@ -101,7 +101,7 @@ object SparkEntry {
     * the formatters' input shape.
     */
   private def flatSamples(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
+    Tables.events(s, dir, spread = true).select(
       col("event_type").as("name"),
       map(lit("__name__"), col("event_type"),
         lit("user_id"), col("user_id").cast("string")).as("labels"),
@@ -468,7 +468,7 @@ object SparkEntry {
     "e7_graphite_escape" -> ((s, dir) => {
       val raw = concat(col("event_type"), lit("/x.y%"),
         col("user_id").cast("string"), lit(" ö"))
-      Tables.events(s, dir)
+      Tables.events(s, dir, spread = true)
         .select(col("event_id"), GraphiteCodec.escapeUdf(raw).as("escaped"))
         .orderBy(col("event_id"))
     }),
@@ -480,7 +480,7 @@ object SparkEntry {
         lit("__name__"), col("event_type"),
         lit("user_id"), col("user_id").cast("string"),
         lit("zone"), concat(lit("z%"), col("user_id").cast("string")))
-      Tables.events(s, dir)
+      Tables.events(s, dir, spread = true)
         .select(col("event_id"),
           GraphiteCodec.path(labels, lit("prom.")).as("path"))
         .orderBy(col("event_id"))
@@ -492,7 +492,7 @@ object SparkEntry {
       val raw = concat(col("event_type"), lit("_x:y "),
         col("user_id").cast("string"))
       val marshaled = OpenTsdbCodec.marshalUdf(raw)
-      Tables.events(s, dir)
+      Tables.events(s, dir, spread = true)
         .select(col("event_id"), marshaled.as("marshaled"),
           OpenTsdbCodec.unmarshalUdf(marshaled).as("roundtrip"))
         .orderBy(col("event_id"))
@@ -615,7 +615,11 @@ object SparkEntry {
     // deterministically (every 7th doc re-appears with id+10000) since the
     // corpus itself is duplicate-free; output is the duplicate groups.
     "llm_dedup_exact" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // spread=false: the only per-row work is one md5 before the hash
+      // groupBy shuffles anyway — an up-front full-text shuffle costs
+      // more than it parallelizes (measured +0.6 s at sf0.1).
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("text"))
       val replay = d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 10000)
       Dedup.exactGroups(d.unionByName(replay))
@@ -835,8 +839,11 @@ object SparkEntry {
     // centroid trainer for the IVF index. Assignment is the map-side
     // fold; the update aggregates (cluster, component) with map-side
     // partial combine so the exploded stream collapses before the
-    // shuffle. avg is an unordered float reduction on both engines, so
-    // this entry leans on round(4) rather than bit-equality.
+    // shuffle. The mean is an exact fixed-point integer sum (see
+    // VectorOps.kmeansStep) so the reduction is order-independent and
+    // bit-identical across engines — a float avg drifted across the
+    // round-4 boundary, and a double→decimal cast rounds ties
+    // differently in Spark (half-up) vs DuckDB (half-even).
     "llm_kmeans_step" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val cents = seedCentroids(e, 8)
@@ -986,7 +993,7 @@ object SparkEntry {
     // back to map (E3), 0xFF-joined series key (E4)
     // (reference: clickhouse/tagvalue.go:14-49, clickhouse/client.go:197).
     "e1_tags_roundtrip" -> ((s, dir) => {
-      val labeled = Tables.events(s, dir).select(
+      val labeled = Tables.events(s, dir, spread = true).select(
         col("event_id"),
         map(
           lit("__name__"), col("event_type"),
@@ -1056,7 +1063,8 @@ object SparkEntry {
          |  FROM assigned,
          |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u))
          |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
-         |  round(avg(x), 4) AS mean
+         |  round(sum(CAST(floor(x * 1048576.0) AS BIGINT))
+         |        / (count(*) * 1048576.0), 4) AS mean
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_vocab_topk" ->

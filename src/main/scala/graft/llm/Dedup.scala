@@ -65,11 +65,19 @@ object Dedup {
         transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")), "|"))
 
-  /** Exact Jaccard over two shingle arrays (deduplicated set semantics). */
+  /** Exact Jaccard over two shingle arrays (deduplicated set semantics).
+    * try_divide: two sub-shingle-length docs both have EMPTY shingle sets
+    * (and identical all-MinhashMod signatures, so they always become LSH
+    * candidates) — the 0/0 must yield NULL, not a query-killing
+    * DIVIDE_BY_ZERO under ANSI mode (Spark 4 default). NULL then fails
+    * every `>= threshold` filter, which is the right call: two docs with
+    * no shingles have no evidence of similarity.
+    */
   def jaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
     val da = array_distinct(a)
     val db = array_distinct(b)
-    size(array_intersect(da, db)).cast("double") / size(array_union(da, db))
+    try_divide(size(array_intersect(da, db)).cast("double"),
+      size(array_union(da, db)))
   }
 
   /** Full MinHash/LSH near-dup pipeline: shingle → sign → band → bucket
@@ -115,22 +123,49 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // The candidate set is orders of magnitude smaller than the corpus
-    // (LSH's whole point), so it is the BROADCAST side of BOTH
-    // verification joins — the inner hint covers the id_a join and the
-    // outer hint re-marks its (still candidate-sized) output for the
-    // id_b join, so the cached shingle table never shuffles and each
-    // verify join is a map-side hash join.
-    broadcast(
-      broadcast(candidates)
-        .join(sh.select(col("id"), col("shingles").as("sh_a")), col("id_a") === col("id"))
-        .drop("id"))
-      .join(sh.select(col("id"), col("shingles").as("sh_b")), col("id_b") === col("id"))
-      .drop("id")
+      .persist()
+    // SIZE-GATED verify plan. The candidate set is usually orders of
+    // magnitude smaller than the corpus (LSH's whole point), but on a
+    // crawl-scale corpus with a 30-50% dup rate it is billions of rows —
+    // an unconditional broadcast hint there is a driver/executor OOM, so
+    // the hint is gated on an actual count (the count also materializes
+    // the persisted pairs the two verify joins reuse).
+    //  - Gate passes: broadcast ONLY the bare id pairs (never rows
+    //    carrying shingle arrays — pairs × shingle-array payload is the
+    //    real OOM, not the pair count). The cached shingle table streams
+    //    map-side through the first join; the second join shuffles only
+    //    candidate-implicated rows: the pair side semi-filters `sh`
+    //    map-side (broadcast semi on id_b) so the full corpus never
+    //    shuffles — total shuffle volume is O(candidates), not O(corpus).
+    //  - Gate fails (crawl scale): plain equi-joins; AQE picks the
+    //    strategy. The corpus shuffling on id is the correct cost then.
+    val nPairs = candidates.count()
+    val verified =
+      if (nPairs <= MaxBroadcastPairs) {
+        val candB = broadcast(candidates)
+        val withA = sh.select(col("id"), col("shingles").as("sh_a"))
+          .join(candB, col("id_a") === col("id")).drop("id")
+        val shB = sh.select(col("id").as("idb"), col("shingles").as("sh_b"))
+          .join(broadcast(candidates.select(col("id_b"))),
+            col("idb") === col("id_b"), "left_semi")
+        withA.join(shB, col("id_b") === col("idb")).drop("idb")
+      } else {
+        candidates
+          .join(sh.select(col("id"), col("shingles").as("sh_a")),
+            col("id_a") === col("id")).drop("id")
+          .join(sh.select(col("id"), col("shingles").as("sh_b")),
+            col("id_b") === col("id")).drop("id")
+      }
+    verified
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Broadcast gate for the minhash verify joins: bare (long, long) pairs
+    * at ~32 bytes/row keep the broadcast ≤ ~32 MB.
+    */
+  val MaxBroadcastPairs: Long = 1000000L
 
   /** 16-bit SimHash over the document's word stream. Bit p is the sign of
     * the sum over words of ±1, where the vote of word w is the high bit of
@@ -180,37 +215,53 @@ object Dedup {
     * size; `maxIter` caps pathological chains. This driver-side loop is
     * control flow only — all data stays distributed.
     *
+    * Each iteration the new label frame is `localCheckpoint`ed — the
+    * iterative plan would otherwise GROW per round (persist truncates
+    * compute, not the logical plan, so analysis/optimization cost climbs
+    * every iteration and dominates wall time long before the data does).
+    * The checkpoint both materializes the round and resets the plan to a
+    * leaf scan. localCheckpoint is executor-local (not fault-tolerant to
+    * executor loss); a long-lived production job should point
+    * `sparkContext.setCheckpointDir` at durable storage and use
+    * `checkpoint()` instead — same shape, same truncation.
+    *
     * @param nodes (id); singletons keep their own id as label
     * @param edges (id_a, id_b) undirected
     * @return (id, label) with label = min id of the component
+    * @throws IllegalStateException if maxIter rounds pass without a
+    *         fixpoint — returning unconverged labels would silently split
+    *         clusters, so a diameter > maxIter graph must be loud
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).persist()
-    labels.count()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nl"))
       // carry the previous label through the update so convergence is a
-      // cheap filter-count over the (persisted) update itself, not an
+      // cheap filter-count over the checkpointed round itself, not an
       // extra join job per iteration
       val updated = labels.as("l")
         .join(neighborMin, col("l.id") === col("dst"), "left")
         .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = updated.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -169,6 +169,9 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Fixed-point grid for the k-means mean: 2^20 steps per unit. */
+  private val MeanGrid = 1048576.0 // 2^20
+
   /** One Lloyd iteration of k-means over the embedding corpus — the
     * clustering pass behind semantic dedup / diversity curation of
     * training data (and the centroid trainer for the IVF index above).
@@ -179,6 +182,18 @@ object VectorOps {
     * to ≤ k·dim partial sums before the one shuffle, so the exploded
     * volume never crosses the wire. Returns one row per (cid, pos) with
     * the member count and new centroid component.
+    *
+    * Determinism: the per-cluster mean is computed on a 2^-20 fixed-point
+    * grid — floor(x·2^20) is exact IEEE arithmetic (power-of-two scale,
+    * then an exact floor), the per-cluster reduction is an exact integer
+    * sum (order-independent across partitionings, retries, and engines),
+    * and one final double division recovers the mean. Quantization error
+    * is < 2^-20 per component, far below any k-means convergence
+    * tolerance, and in exchange the step is bit-reproducible — a float
+    * avg() depends on reduction order, and a double→decimal cast is NOT
+    * portable either (Spark rounds the cast half-up via the shortest
+    * string repr, DuckDB half-even via an FP multiply; any float with
+    * exactly 19 fractional bits is a tie that diverges).
     */
   def kmeansStep(corpus: DataFrame,
                  centroids: Seq[(Int, Seq[Double])]): DataFrame =
@@ -186,7 +201,9 @@ object VectorOps {
       .withColumn("cid", nearestCentroid(col("vec"), centroids))
       .select(col("cid"), posexplode(col("vec")).as(Seq("pos0", "x")))
       .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
-      .agg(count(lit(1)).as("n"), avg(col("x")).as("mean"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("x") * MeanGrid)) / (count(lit(1)) * MeanGrid))
+          .as("mean"))
 
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before an embedding corpus is indexed.

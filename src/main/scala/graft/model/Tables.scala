@@ -11,12 +11,33 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** LOCAL-MODE-ONLY scan spread for map-heavy consumers. The testdata
+    * tables arrive as ONE tiny parquet file → one input split → one core
+    * does all per-row work (md5 shingles, signature folds, escape UDFs)
+    * on local[32]. On a real cluster the scan parallelizes by file/
+    * row-group split automatically, so there the repartition would be a
+    * pure pessimization — a full round-robin shuffle of every scan baked
+    * into every consumer — hence the isLocal gate: at cluster scale this
+    * is the identity. Cheap consumers (pushed filters, immediate
+    * re-shuffles) pass spread=false and skip it even locally.
+    */
+  private def spreadLocal(spark: SparkSession, df: DataFrame,
+                          spread: Boolean): DataFrame =
+    if (spread && spark.sparkContext.isLocal)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+
   /** `events.parquet` stores TIMESTAMP(NANOS) which Spark refuses by
     * default; read it as long nanos and convert with integer division
     * (ns epoch does not fit double precision). DuckDB likewise truncates
     * ns → µs, so both engines see identical microsecond timestamps.
+    *
+    * spread defaults to FALSE: most events consumers are pushed-down
+    * filters or immediate groupBys where an up-front shuffle only adds
+    * latency; codec-heavy consumers (escape UDFs, line formatters) opt in.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String,
+             spread: Boolean = false): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     val converted = raw.schema("ts").dataType match {
@@ -24,26 +45,18 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
-    // Same single-small-file / one-input-split concern as documents
-    // below: spread the scan so per-row work (tag codecs, escape UDFs,
-    // formatters, partial aggregation) parallelizes on local[32]. Filters
-    // still push below the exchange to the parquet scan.
-    converted.repartition(spark.sparkContext.defaultParallelism)
+    spreadLocal(spark, converted, spread)
   }
-  /** documents/embeddings feed map-heavy per-row pipelines (md5 shingles,
-    * signature folds) but arrive as ONE tiny parquet file → one input
-    * split → one core does all the work on local[32]. On a production
-    * cluster the scan parallelizes by file split automatically; this
-    * explicit spread exists so local runs exercise the same parallelism.
-    * The shuffled payload is the raw table (small), far cheaper than
-    * serializing the downstream compute.
+  /** documents/embeddings default to spread=true — nearly every consumer
+    * runs a heavy per-row pipeline (shingling, vector folds) where local
+    * single-split execution is the bottleneck.
     */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism)
+  def documents(spark: SparkSession, dir: String,
+                spread: Boolean = true): DataFrame =
+    spreadLocal(spark, read(spark, dir, "documents"), spread)
+  def embeddings(spark: SparkSession, dir: String,
+                 spread: Boolean = true): DataFrame =
+    spreadLocal(spark, read(spark, dir, "embeddings"), spread)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
@@ -68,6 +81,7 @@ object Tables {
       date_trunc("second", col("ts")).as("updated")
     )
 
-  def metrics(spark: SparkSession, dir: String): DataFrame =
-    metricsFromEvents(events(spark, dir))
+  def metrics(spark: SparkSession, dir: String,
+              spread: Boolean = false): DataFrame =
+    metricsFromEvents(events(spark, dir, spread))
 }
