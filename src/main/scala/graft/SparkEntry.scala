@@ -150,15 +150,35 @@ object SparkEntry {
 
     // A2 in its scale-default mode: percentile_approx (mergeable fixed-size
     // sketch, map-side partials). No SQL oracle exists for the sketch —
-    // ClickHouse's own `quantile` is likewise approximate+nondeterministic —
-    // so this entry is a rows-only check; exact-mode parity is proven by
-    // a1_bucket_quantile.
+    // ClickHouse's own `quantile` is likewise approximate+nondeterministic,
+    // so the sketch VALUE can't be hash-compared across engines. Instead
+    // the entry SELF-VALIDATES: each bucket's percentile_approx result is
+    // joined back to that bucket's samples and checked to (a) be an actual
+    // sample value and (b) sit within ±1 rank (+ the sketch's 1/accuracy
+    // rank error) of the 0.75 position. The hashed output is the
+    // deterministic group skeleton + the verdict (1/0); the oracle
+    // reproduces the skeleton from raw events and pins ok=1 everywhere.
+    // The join re-keys on the same (t, name, tags) the agg shuffled on.
     "a2_quantile_approx" -> ((s, dir) => {
       val q = PromQuery(Jan05 * 1000, Jan20 * 1000,
         Seq(LabelMatcher(EQ, "__name__", "purchase")))
-      ReadPipeline.bucketAgg(Tables.metrics(s, dir), q)
+      val m = Tables.metrics(s, dir)
+      val approx = ReadPipeline.bucketAgg(m, q)
+        .select(col("t"), col("name"), col("tags"), col("value").as("qv"))
+      val slack = greatest(lit(1L), ceil(col("cnt") / Matchers.MaxSample.toDouble))
+      m.filter(Matchers.compile(q))
+        .select(ReadPipeline.bucketMs(q).as("t"), col("name"), col("tags"),
+          col("val"))
+        .join(approx, Seq("t", "name", "tags"))
+        .groupBy(col("t"), col("name"), col("tags"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("val") < col("qv"), 1L).otherwise(0L)).as("rank_lt"),
+          sum(when(col("val") <= col("qv"), 1L).otherwise(0L)).as("rank_le"))
         .select(col("cnt"), col("t"), col("name"), tagsStr.as("tags"),
-          round(col("value"), 4).as("value"))
+          when(col("rank_le") > col("rank_lt") &&
+            col("rank_lt") <= ceil(col("cnt") * Matchers.Quantile) + slack &&
+            col("rank_le") >= floor(col("cnt") * Matchers.Quantile) - slack,
+            1L).otherwise(0L).as("ok"))
         .orderBy(col("t"), col("tags"))
     }),
 
@@ -520,6 +540,100 @@ object SparkEntry {
     "s8_graphite_lines" -> ((s, dir) => {
       Formatters.graphiteLines(flatSamples(s, dir), "prom.")
         .orderBy(col("line"))
+    }),
+
+    // S3: parallel fan-out with per-sink error isolation — two healthy
+    // formatter sinks and one poisoned sink run concurrently against the
+    // SAME persisted batch; the poisoned sink marks its own samples
+    // failed and the others are untouched (reference: main.go:311-319,
+    // 396-406). Output = the per-remote sent/failed counters; the oracle
+    // pins them against the events row count.
+    "s3_fanout_isolation" -> ((s, dir) => {
+      val fmt = (v: Column) => format_string("%.4f", v)
+      val outcomes = graft.sinks.FanOut.fanOut(flatSamples(s, dir), Seq(
+        "influx" -> ((df: DataFrame) => Formatters.influxLines(df, fmt).count()),
+        "opentsdb" -> ((df: DataFrame) => Formatters.opentsdbJson(df, fmt).count()),
+        "graphite_poisoned" -> ((_: DataFrame) =>
+          throw new RuntimeException("dial tcp 127.0.0.1:2003: connection refused"))))
+      s.createDataFrame(outcomes.map(o =>
+          (o.sink, o.sent, o.failed, o.error.size.toLong)))
+        .toDF("sink", "sent", "failed", "errored")
+        .orderBy(col("sink"))
+    }),
+
+    // S5: DDL bootstrap — CREATE TABLE IF NOT EXISTS (run twice to prove
+    // idempotence, reference: clickhouse/client.go:85-117), ingest through
+    // the write pipeline, recover the on-disk date partitions into the
+    // catalog, and read back through the CATALOG (spark.table), not the
+    // path — proving the DDL surface serves the stored data.
+    "s5_ddl_bootstrap" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s5").toString
+      // Pre-create the location: CREATE TABLE on a partitioned source runs
+      // partition discovery, which must not see a missing directory.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/metrics"))
+      val tbl = "graft_s5_metrics"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      WritePipeline.ensureTable(s, tbl, s"$base/metrics")
+      WritePipeline.ensureTable(s, tbl, s"$base/metrics") // IF NOT EXISTS
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        s"$base/metrics")
+      s.sql(s"MSCK REPAIR TABLE $tbl")
+      s.table(tbl)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("date")).as("n_dates"),
+          min(unix_timestamp(col("ts"))).as("t_min"),
+          max(unix_timestamp(col("ts"))).as("t_max"),
+          round(sum(col("val")), 4).as("total"))
+        .orderBy(col("name"))
+    }),
+
+    // F8: projection pruning + predicate pushdown, made driver-checkable
+    // by rendering the EXECUTED scan's facts as rows: the pruned parquet
+    // ReadSchema (only the columns the query touches), whether the name
+    // EQ matcher reached the scan as a pushed filter, and the row count
+    // the pruned scan actually produced.
+    "f8_projection_pushdown" -> ((s, dir) => {
+      val q = PromQuery(Jan10 * 1000, Jan12 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      val df = Tables.metrics(s, dir).filter(Matchers.compile(q))
+        .select(col("name"), col("val"))
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(sys.error("no parquet scan in plan"))
+      val readCols = scan.requiredSchema.fieldNames.sorted.mkString(",")
+      val pushed = scan.metadata.getOrElse("PushedFilters", "")
+        .contains("EqualTo(event_type,purchase)")
+      s.createDataFrame(Seq(
+          ("pushed_name_eq", if (pushed) "1" else "0"),
+          ("read_columns", readCols),
+          ("rows", df.count().toString)))
+        .toDF("fact", "value")
+        .orderBy(col("fact"))
+    }),
+
+    // §2.7: the ingest observability counters as data — received/ignored
+    // ride the ingest job itself via df.observe (zero extra pass), stored
+    // is the post-filter count; the poisoning replicates f1's. Oracle
+    // recomputes all three from raw events.
+    "obs_ingest_counters" -> ((s, dir) => {
+      val poisoned = Tables.events(s, dir).withColumn("value",
+        when(col("event_id") % 97 === 0, lit(Double.NaN))
+          .when(col("event_id") % 89 === 0, lit(Double.PositiveInfinity))
+          .when(col("event_id") % 83 === 0, lit(Double.NegativeInfinity))
+          .otherwise(col("value")))
+      val obs = org.apache.spark.sql.Observation("graft_ingest_batch")
+      val stored = WritePipeline.dropNonFinite(
+        graft.engine.Observability.observedIngest(poisoned, obs, "value"))
+        .count()
+      val m = obs.get
+      s.createDataFrame(Seq(
+          ("ignored_samples_total", m("ignored_samples_total").asInstanceOf[Long]),
+          ("received_samples_total", m("received_samples_total").asInstanceOf[Long]),
+          ("stored_samples_total", stored)))
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
     }),
 
     // ---- LLM-data-pipeline operators (north-star extensions) ----
@@ -1114,6 +1228,19 @@ object SparkEntry {
          |GROUP BY 2, 3, 4
          |ORDER BY t, tags""".stripMargin,
 
+    // The approx entry's output is the deterministic bucket skeleton plus
+    // a self-validated verdict — the oracle pins ok=1 for every bucket.
+    "a2_quantile_approx" ->
+      s"""SELECT count(*) AS cnt,
+         |       ($OSec // 158) * 158 * 1000 AS t,
+         |       event_type AS name,
+         |       $OTags AS tags,
+         |       CAST(1 AS BIGINT) AS ok
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'purchase'
+         |GROUP BY 2, 3, 4
+         |ORDER BY t, tags""".stripMargin,
+
     "f2_time_range" ->
       s"""SELECT count(*) AS cnt, min($OSec) AS t_min, max($OSec) AS t_max,
          |       round(sum(value), 4) AS total
@@ -1350,6 +1477,47 @@ object SparkEntry {
         |  || ' ' || printf('%f', value)
         |  || ' ' || printf('%f', epoch_ms(ts) / 1000.0) || chr(10) AS line
         |FROM events ORDER BY line""".stripMargin,
+
+    // Poisoned sink: sent=0, failed=everything, errored; healthy sinks
+    // sent=everything (one formatted line per sample), failed=0.
+    "s3_fanout_isolation" ->
+      """SELECT 'graphite_poisoned' AS sink, CAST(0 AS BIGINT) AS sent,
+        |       count(*) AS failed, CAST(1 AS BIGINT) AS errored FROM events
+        |UNION ALL
+        |SELECT 'influx', count(*), 0, 0 FROM events
+        |UNION ALL
+        |SELECT 'opentsdb', count(*), 0, 0 FROM events
+        |ORDER BY sink""".stripMargin,
+
+    "s5_ddl_bootstrap" ->
+      s"""SELECT event_type AS name, count(*) AS cnt,
+         |       count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_dates,
+         |       min($OSec) AS t_min, max($OSec) AS t_max,
+         |       round(sum(value), 4) AS total
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Plan facts are literals (the pruned ReadSchema and the pushed name
+    // EQ are properties of the executed plan, not the data); the row
+    // count re-derives from raw events.
+    "f8_projection_pushdown" ->
+      s"""SELECT 'pushed_name_eq' AS fact, '1' AS value
+         |UNION ALL
+         |SELECT 'read_columns', 'event_type,ts,value'
+         |UNION ALL
+         |SELECT 'rows', CAST(count(*) AS VARCHAR) FROM events
+         |WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'
+         |ORDER BY fact""".stripMargin,
+
+    "obs_ingest_counters" ->
+      """WITH e AS (SELECT count(*) AS total,
+        |  sum(CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0
+        |           OR event_id % 83 = 0 THEN 1 ELSE 0 END) AS ign FROM events)
+        |SELECT 'ignored_samples_total' AS metric, CAST(ign AS BIGINT) AS value FROM e
+        |UNION ALL
+        |SELECT 'received_samples_total', total FROM e
+        |UNION ALL
+        |SELECT 'stored_samples_total', total - ign FROM e
+        |ORDER BY metric""".stripMargin,
 
     "llm_dedup_minhash" ->
       """WITH all_docs AS (

@@ -19,18 +19,32 @@ object Observability {
 
   val IngestMetricsName = "graft_ingest"
 
+  private def ingestMetricExprs(valueCol: String) = Seq(
+    count(lit(1)).as("received_samples_total"),
+    sum(when(isnan(col(valueCol)) ||
+      col(valueCol) === Double.PositiveInfinity ||
+      col(valueCol) === Double.NegativeInfinity, 1L).otherwise(0L))
+      .as("ignored_samples_total"))
+
   /** Attach received/ignored counters to the flat sample stream — count
     * BEFORE the F1 filter drops non-finite values, exactly where the
     * reference increments receivedSamples (main.go:309) and
     * ignored_samples_total (clickhouse/client.go:137-141).
     */
-  def observedIngest(flat: DataFrame, valueCol: String = "value"): DataFrame =
-    flat.observe(IngestMetricsName,
-      count(lit(1)).as("received_samples_total"),
-      sum(when(isnan(col(valueCol)) ||
-        col(valueCol) === Double.PositiveInfinity ||
-        col(valueCol) === Double.NegativeInfinity, 1L).otherwise(0L))
-        .as("ignored_samples_total"))
+  def observedIngest(flat: DataFrame, valueCol: String = "value"): DataFrame = {
+    val m = ingestMetricExprs(valueCol)
+    flat.observe(IngestMetricsName, m.head, m.tail: _*)
+  }
+
+  /** Batch variant: same counters bound to an [[org.apache.spark.sql.Observation]]
+    * handle, readable after the first action (streaming reads them from
+    * StreamingQueryProgress instead).
+    */
+  def observedIngest(flat: DataFrame, obs: org.apache.spark.sql.Observation,
+                     valueCol: String): DataFrame = {
+    val m = ingestMetricExprs(valueCol)
+    flat.observe(obs, m.head, m.tail: _*)
+  }
 
   case class IngestStats(received: Long, ignored: Long)
 

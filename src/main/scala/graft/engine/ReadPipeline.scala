@@ -45,8 +45,7 @@ object ReadPipeline {
     */
   def bucketAgg(metrics: DataFrame, q: PromQuery,
                 exact: Boolean = false, strictCompat: Boolean = false): DataFrame = {
-    val step = Matchers.divStep(q, strictCompat)
-    val bucket = (floor(unix_timestamp(col("ts")) / step) * step * 1000).cast("long")
+    val bucket = bucketMs(q, strictCompat)
     val quant =
       if (exact) percentile(col("val"), lit(Matchers.Quantile))
       else percentile_approx(col("val"), lit(Matchers.Quantile), lit(Matchers.MaxSample.toInt))
@@ -54,6 +53,16 @@ object ReadPipeline {
       .filter(Matchers.compile(q, strictCompat))
       .groupBy(bucket.as("t"), col("name"), col("tags"))
       .agg(count(lit(1)).as("cnt"), quant.as("value"))
+  }
+
+  /** The query's time-bucket start in epoch ms, from a `ts` column —
+    * shared by bucketAgg and anything that needs to re-derive bucket
+    * membership (e.g. the approx-quantile self-validation entry).
+    */
+  def bucketMs(q: PromQuery, strictCompat: Boolean = false)
+      : org.apache.spark.sql.Column = {
+    val step = Matchers.divStep(q, strictCompat)
+    (floor(unix_timestamp(col("ts")) / step) * step * 1000).cast("long")
   }
 
   /** A5 series re-assembly: bucket-agg rows → one row per series with its
