@@ -68,32 +68,46 @@ object SparkEntry {
     e.filter(col("id") < k).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
-  /** Marshal the events table into one snappy+proto WriteRequest payload
-    * file per metric (≙ one remote-write POST body each) under a fresh
-    * temp dir; returns (baseDir, inDir). Shared by the streaming entries.
+  /** Marshal an event slice into snappy+proto WriteRequest payload files
+    * FROM THE EXECUTORS — repartition by metric so each partition holds
+    * whole metrics, then every non-empty partition writes one payload
+    * file (≙ one remote-write POST body, named `<prefix><partitionId>`).
+    * No driver-side collect: payload building scales with the executors;
+    * on a cluster `outDir` would be shared storage.
     */
+  private def marshalPayloads(events: DataFrame, outDir: String,
+                              prefix: String): Unit =
+    events
+      .select(col("event_type").as("name"),
+        col("user_id").cast("string").as("uid"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+      .repartition(col("name"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val rows = it.toArray
+        if (rows.nonEmpty) {
+          val series = rows.groupBy(r => (r.getString(0), r.getString(1)))
+            .toSeq.sortBy(_._1).map { case ((name, uid), rs) =>
+              Prompb.PTimeSeries(
+                Seq(Prompb.PLabel("__name__", name), Prompb.PLabel("user_id", uid)),
+                rs.toSeq.map(r => Prompb.PSample(r.getDouble(2), r.getLong(3))))
+            }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(
+              s"$outDir/$prefix${org.apache.spark.TaskContext.getPartitionId()}.snappy"),
+            Prompb.snappyCompress(Prompb.encodeWriteRequest(
+              Prompb.PWriteRequest(series))))
+        }
+        ()
+      }
+
+  /** The whole events table as payload files under a fresh temp dir;
+    * returns (baseDir, inDir). Shared by the streaming entries. */
   private def writePayloadFiles(s: SparkSession, dir: String): (String, String) = {
     import java.nio.file.{Files => JFiles, Paths}
     val base = JFiles.createTempDirectory("graft_s1s").toString
     val inDir = s"$base/in"
     JFiles.createDirectories(Paths.get(inDir))
-    val rows = Tables.events(s, dir)
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(collect_list(struct(col("value").as("value"),
-        unix_millis(col("ts")).as("ts_ms"))).as("samples"))
-      .collect()
-    rows.groupBy(_.getString(0)).foreach { case (name, rs) =>
-      val series = rs.toSeq.map { r =>
-        Prompb.PTimeSeries(
-          Seq(Prompb.PLabel("__name__", name),
-            Prompb.PLabel("user_id", String.valueOf(r.get(1)))),
-          r.getAs[scala.collection.Seq[Row]]("samples").toSeq.map(x =>
-            Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms"))))
-      }
-      JFiles.write(Paths.get(s"$inDir/$name.snappy"),
-        Prompb.snappyCompress(Prompb.encodeWriteRequest(
-          Prompb.PWriteRequest(series))))
-    }
+    marshalPayloads(Tables.events(s, dir), inDir, "b")
     (base, inDir)
   }
 
@@ -413,6 +427,53 @@ object SparkEntry {
         .orderBy(col("name"), col("tags"))
     }),
 
+    // The WATERMARK exercised for real: the same streaming rollup in
+    // APPEND output mode, where the watermark actually gates emission
+    // (a window emits exactly once, when watermark passes its end) and
+    // drops late rows. Payload batches arrive in mtime order under
+    // maxFilesPerTrigger=1: on-time events first (advancing the
+    // watermark to max-1h), an empty nudge batch (late-event filtering
+    // uses the PRE-update watermark — SPARK-24634 — so the drop needs a
+    // batch of separation), then the pre-Jan05 slice, which is provably
+    // dropped: the oracle computes the same tumbling aggregation from
+    // on-time events ONLY, keeping windows closed at the final watermark
+    // (window end <= max event time - delay; both pinned by
+    // StreamIngestSpec's append-mode test).
+    "s1_rollup_append" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_s1a").toString
+      val inDir = s"$base/in"
+      JFiles.createDirectories(Paths.get(inDir))
+      val evts = Tables.events(s, dir)
+      marshalPayloads(evts.filter(unix_timestamp(col("ts")) >= Jan05), inDir, "a")
+      JFiles.write(Paths.get(s"$inDir/m_nudge.snappy"),
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(Prompb.PWriteRequest(Nil))))
+      marshalPayloads(evts.filter(unix_timestamp(col("ts")) < Jan05), inDir, "z")
+      // deterministic arrival order: on-time < nudge < late
+      val t0 = System.currentTimeMillis() - 120000
+      JFiles.list(Paths.get(inDir)).toArray.map(_.toString).sorted.zipWithIndex
+        .foreach { case (f, i) =>
+          JFiles.setLastModifiedTime(Paths.get(f),
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+        }
+      val flat = RemoteWriteStream.decodeFlat(
+        s.readStream.format("binaryFile")
+          .schema(RemoteWriteStream.binaryFilePayloadSchema)
+          .option("maxFilesPerTrigger", 1).load(inDir))
+      val qname = "wmrollup_" + math.abs(inDir.hashCode).toString
+      RemoteWriteStream.streamingRollup(flat, 600, "3600 seconds")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .select(unix_timestamp(col("bucket_start")).as("bucket"), col("name"),
+          array_join(col("tags"), ",").as("tags"),
+          round(col("val"), 4).as("val"), col("cnt"))
+        .orderBy(col("bucket"), col("tags"))
+    }),
+
     // S11: the read-response edge — the full read pipeline's output
     // marshalled to ReadResponse wire bytes (proto+snappy) and decoded
     // back; oracle = the same bucket-agg assembly the bytes carry (shape
@@ -540,6 +601,52 @@ object SparkEntry {
     "s8_graphite_lines" -> ((s, dir) => {
       Formatters.graphiteLines(flatSamples(s, dir), "prom.")
         .orderBy(col("line"))
+    }),
+
+    // S9+S11 end-to-end: one ReadRequest carrying TWO queries through the
+    // real HTTP front door — matcher compile → bucket agg → series
+    // assembly → one QueryResult per query, in request order (reference:
+    // main.go:323-374 + the per-query loop clickhouse/client.go:167) —
+    // decoded back into rows tagged by query index. `exactQuantiles`
+    // puts the server in oracle mode (the same exact/approx split a1/a2
+    // make); the plan-cached stored table serves both queries from one
+    // resolved relation.
+    "serve_read_multiquery" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_srvq").toString
+      val table = s"$base/metrics"
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        table)
+      val server = new graft.serve.Server(s, table, Nil, 0,
+        exactQuantiles = true).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(Jan10 * 1000, Jan12 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "purchase"))),
+          Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")))))
+        val conn = java.net.URI.create(s"http://localhost:${server.boundPort}/read")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(bytes))
+        val rows = for {
+          (qr, qi) <- resp.results.zipWithIndex
+          ts <- qr.timeseries
+          sm <- ts.samples
+        } yield (qi.toLong,
+          ts.labels.map(l => s"${l.name}=${l.value}").sorted.mkString(","),
+          sm.timestampMs, sm.value)
+        import s.implicits._
+        rows.toDF("query_idx", "tags", "t", "value")
+          .select(col("query_idx"), col("tags"), col("t"),
+            round(col("value"), 4).as("value"))
+          .orderBy(col("query_idx"), col("tags"), col("t"))
+      } finally server.stop()
     }),
 
     // S3: parallel fan-out with per-sink error isolation — two healthy
@@ -1367,6 +1474,21 @@ object SparkEntry {
          |  round(sum(value), 4) AS total
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Append-mode rollup: on-time events only (the late slice is dropped
+    // by the watermark), restricted to windows the watermark closed
+    // (window end <= max on-time event-time - 3600 s delay).
+    "s1_rollup_append" ->
+      s"""WITH f AS (
+         |  SELECT event_type AS name, $OTags AS tags,
+         |         epoch_ms(ts) // 600000 AS w, value, epoch_ms(ts) AS ms
+         |  FROM events WHERE $OSec >= $Jan05),
+         |b AS (SELECT w, name, tags, round(avg(value), 4) AS val,
+         |             count(*) AS cnt, max(ms) AS mx
+         |      FROM f GROUP BY 1, 2, 3)
+         |SELECT w * 600 AS bucket, name, tags, val, cnt FROM b
+         |WHERE (w + 1) * 600000 <= (SELECT max(mx) FROM b) - 3600000
+         |ORDER BY bucket, tags""".stripMargin,
+
     "s11_readresponse_roundtrip" ->
       s"""WITH b AS (
          |  SELECT ($OSec // 10) * 10 * 1000 AS t,
@@ -1477,6 +1599,26 @@ object SparkEntry {
         |  || ' ' || printf('%f', value)
         |  || ' ' || printf('%f', epoch_ms(ts) / 1000.0) || chr(10) AS line
         |FROM events ORDER BY line""".stripMargin,
+
+    // Per-query bucket quantiles: 2-day range → divStep 21 s; 15-day
+    // range → 158 s (Matchers.divStep), exact quantile ≙ quantile_cont.
+    "serve_read_multiquery" ->
+      s"""WITH q0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS query_idx, $OTags AS tags,
+         |         ($OSec // 21) * 21 * 1000 AS t,
+         |         round(quantile_cont(value, 0.75), 4) AS value
+         |  FROM events
+         |  WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'
+         |  GROUP BY 2, 3),
+         |q1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS query_idx, $OTags AS tags,
+         |         ($OSec // 158) * 158 * 1000 AS t,
+         |         round(quantile_cont(value, 0.75), 4) AS value
+         |  FROM events
+         |  WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
+         |  GROUP BY 2, 3)
+         |SELECT * FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
+         |ORDER BY query_idx, tags, t""".stripMargin,
 
     // Poisoned sink: sent=0, failed=everything, errored; healthy sinks
     // sent=everything (one formatted line per sample), failed=0.

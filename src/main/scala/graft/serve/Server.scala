@@ -29,11 +29,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * real server framework, unchanged.
   */
 class Server(spark: SparkSession, tablePath: String,
-             extraSinks: Seq[(String, DataFrame => Long)] = Nil, port: Int = 0) {
+             extraSinks: Seq[(String, DataFrame => Long)] = Nil, port: Int = 0,
+             exactQuantiles: Boolean = false) {
 
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   val failed = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+
+  /** Plan-cached stored table: /read requests reuse one resolved parquet
+    * relation (schema inference + file listing happen once) instead of
+    * re-planning `spark.read.parquet` per request; /write invalidates it
+    * after each append so the next read lists the new files. The DATA is
+    * not pinned — only the relation — so executors still scan parquet
+    * with full predicate pushdown per query.
+    */
+  @volatile private var cachedTable: Option[DataFrame] = None
+
+  private[graft] def storedTable(): DataFrame = synchronized {
+    cachedTable.getOrElse {
+      val df = spark.read.parquet(tablePath)
+      cachedTable = Some(df)
+      df
+    }
+  }
+
+  private def invalidateTable(): Unit = synchronized { cachedTable = None }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -81,6 +101,7 @@ class Server(spark: SparkSession, tablePath: String,
       val table: (String, DataFrame => Long) = "parquet" -> { df =>
         val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
         WritePipeline.append(rows, tablePath)
+        invalidateTable()
         df.count()
       }
       val outcomes = FanOut.fanOut(flat, table +: extraSinks)
@@ -97,9 +118,9 @@ class Server(spark: SparkSession, tablePath: String,
   private def handleRead(ex: HttpExchange): Unit =
     try {
       val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
-      val stored = spark.read.parquet(tablePath)
+      val stored = storedTable()
       val perQuery = rr.queries.map { q =>
-        ReadPipeline.read(stored, toPromQuery(q))
+        ReadPipeline.read(stored, toPromQuery(q), exact = exactQuantiles)
       }
       val body = Prompb.snappyCompress(
         Prompb.encodeReadResponse(ResponseEdge.toReadResponse(perQuery)))

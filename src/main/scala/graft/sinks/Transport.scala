@@ -1,0 +1,172 @@
+package graft.sinks
+
+import java.io.IOException
+import java.net.{HttpURLConnection, InetSocketAddress, Socket, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** S7/S8 (+S6) real sink transport: the formatters (Formatters.scala)
+  * produce exact wire strings; this layer puts them on the wire from the
+  * EXECUTORS — one connection per partition, never collecting to the
+  * driver (the Spark analogue of the reference's per-batch client Write:
+  * graphite/client.go:83-104, opentsdb/client.go:77-141,
+  * influxdb/client.go:82-113).
+  *
+  * Each partition's writer returns one `WriteStats` row; `totals` reduces
+  * them to the per-remote sent/failed counters the reference exports
+  * (main.go:396-406). Failure isolation is per PARTITION: a refused
+  * connection marks that partition's samples failed and leaves other
+  * partitions (and other sinks, via FanOut) untouched — at cluster scale
+  * each executor dials the backend directly, which is exactly how a
+  * distributed remote-write tier fans into a storage backend.
+  *
+  * Error-count semantics per backend, mirroring the reference:
+  *  - Graphite: plaintext TCP; any dial/write error fails the whole
+  *    partition batch (graphite/client.go: `conn.Write` error returns —
+  *    sendSamples then counts every sample failed).
+  *  - OpenTSDB: HTTP POST to /api/put; 204 = all stored; 400 carries a
+  *    JSON body whose `failed`/`success` counts are the PARTIAL-failure
+  *    contract (opentsdb/client.go:124-141) — we honor the split rather
+  *    than failing the batch.
+  *  - InfluxDB: HTTP POST of line-protocol to /write; 204 = stored, any
+  *    other status fails the partition batch.
+  */
+object Transport {
+
+  /** One partition's write outcome; `totals` folds these into the
+    * per-remote counters. */
+  case class WriteStats(sent: Long, failed: Long, error: Option[String])
+
+  private val ConnectTimeoutMs = 5000
+
+  /** S8: Graphite plaintext over TCP. Input: the `line` column from
+    * Formatters.graphiteLines (each line newline-terminated, so a
+    * partition's concatenation is the exact TCP payload).
+    */
+  def graphitePush(lines: DataFrame, host: String, port: Int,
+                   timeoutMs: Int = 30000): Dataset[WriteStats] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    lines.select(col("line")).as[String].mapPartitions { it =>
+      val batch = it.toArray
+      if (batch.isEmpty) Iterator.empty
+      else Iterator.single(
+        try {
+          val sock = new Socket()
+          try {
+            sock.connect(new InetSocketAddress(host, port), ConnectTimeoutMs)
+            sock.setSoTimeout(timeoutMs)
+            sock.getOutputStream.write(batch.mkString.getBytes(UTF_8))
+            sock.getOutputStream.flush()
+            WriteStats(batch.length.toLong, 0L, None)
+          } finally sock.close()
+        } catch {
+          case e: IOException => WriteStats(0L, batch.length.toLong, errMsg(e))
+        })
+    }
+  }
+
+  /** S7: OpenTSDB HTTP /api/put. Input: the `json` column from
+    * Formatters.opentsdbJson; a partition POSTs one JSON array (the
+    * reference marshals the whole batch into one array the same way).
+    * 204 → all stored; 400 → split by the response body's
+    * {"failed":N,"success":M} exactly like opentsdb/client.go:130-141.
+    */
+  def opentsdbPut(json: DataFrame, baseUrl: String,
+                  timeoutMs: Int = 30000): Dataset[WriteStats] = {
+    val spark = json.sparkSession
+    import spark.implicits._
+    val putUrl = s"${baseUrl.stripSuffix("/")}/api/put"
+    json.select(col("json")).as[String].mapPartitions { it =>
+      val batch = it.toArray
+      if (batch.isEmpty) Iterator.empty
+      else Iterator.single(
+        post(putUrl, batch.mkString("[", ",", "]"), "application/json") match {
+          case Right((204, _)) => WriteStats(batch.length.toLong, 0L, None)
+          case Right((400, body)) =>
+            val failed = jsonIntField(body, "failed").getOrElse(batch.length.toLong)
+            val success = jsonIntField(body, "success").getOrElse(0L)
+            WriteStats(success, failed,
+              Some(s"failed to write $failed samples to OpenTSDB, $success succeeded"))
+          case Right((code, body)) =>
+            WriteStats(0L, batch.length.toLong, Some(s"http $code: ${body.take(200)}"))
+          case Left(err) => WriteStats(0L, batch.length.toLong, Some(err))
+        })
+    }
+  }
+
+  /** S6: InfluxDB HTTP /write (line protocol, ms precision — the params
+    * the reference's BatchPointsConfig sets, influxdb/client.go:103-107).
+    */
+  def influxPush(lines: DataFrame, baseUrl: String, database: String,
+                 retentionPolicy: String = "", timeoutMs: Int = 30000): Dataset[WriteStats] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val rp = if (retentionPolicy.isEmpty) "" else s"&rp=$retentionPolicy"
+    val writeUrl = s"${baseUrl.stripSuffix("/")}/write?db=$database$rp&precision=ms"
+    lines.select(col("line")).as[String].mapPartitions { it =>
+      val batch = it.toArray
+      if (batch.isEmpty) Iterator.empty
+      else Iterator.single(
+        post(writeUrl, batch.mkString("\n"), "text/plain; charset=utf-8") match {
+          case Right((204, _)) => WriteStats(batch.length.toLong, 0L, None)
+          case Right((code, body)) =>
+            WriteStats(0L, batch.length.toLong, Some(s"http $code: ${body.take(200)}"))
+          case Left(err) => WriteStats(0L, batch.length.toLong, Some(err))
+        })
+    }
+  }
+
+  /** Reduce per-partition stats to the per-remote counter pair
+    * (sent_samples_total / failed_samples_total, main.go:86-103). Runs as
+    * one tiny Spark agg so the whole write is a single distributed action.
+    */
+  def totals(stats: Dataset[WriteStats]): WriteStats = {
+    val row = stats.agg(
+      coalesce(sum(col("sent")), lit(0L)).as("sent"),
+      coalesce(sum(col("failed")), lit(0L)).as("failed"),
+      max(col("error")).as("error")).head()
+    WriteStats(row.getLong(0), row.getLong(1), Option(row.getString(2)))
+  }
+
+  // ---- executor-side plumbing (plain JDK, nothing to serialize) ----
+
+  private def errMsg(e: Throwable): Option[String] =
+    Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+
+  /** POST a body, return Right(status, responseBody) or Left(error). */
+  private def post(url: String, body: String,
+                   contentType: String): Either[String, (Int, String)] =
+    try {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      try {
+        conn.setConnectTimeout(ConnectTimeoutMs)
+        conn.setReadTimeout(60000)
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", contentType)
+        conn.setDoOutput(true)
+        val bytes = body.getBytes(UTF_8)
+        conn.setFixedLengthStreamingMode(bytes.length)
+        conn.getOutputStream.write(bytes)
+        conn.getOutputStream.close()
+        val code = conn.getResponseCode
+        val in = Option(if (code >= 400) conn.getErrorStream else conn.getInputStream)
+        val resp = in.map(s => try new String(s.readAllBytes(), UTF_8) finally s.close())
+          .getOrElse("")
+        Right((code, resp))
+      } finally conn.disconnect()
+    } catch { case e: IOException => Left(errMsg(e).get) }
+
+  /** Pull an integer field out of a flat JSON object — the only JSON the
+    * transport ever reads is OpenTSDB's {"failed":N,"success":M} error
+    * body, not worth a parser dependency.
+    */
+  private[graft] def jsonIntField(body: String, field: String): Option[Long] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*(-?\\d+)")
+      .matcher(body)
+    if (m.find()) Some(m.group(1).toLong) else None
+  }
+}

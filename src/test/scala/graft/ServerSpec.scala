@@ -75,6 +75,56 @@ class ServerSpec extends SparkSpec {
       assert(mc == 200)
       assert(metrics.contains("received_samples_total 3"))
       assert(metrics.contains("""sent_samples_total{remote="parquet"} 3"""))
+
+      // plan cache: two sequential reads share one resolved relation...
+      val c1 = server.storedTable()
+      post(s"$base/read", Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+      assert(server.storedTable() eq c1, "second read must reuse the cached relation")
+
+      // ...and a write invalidates it so the next read sees the append
+      val wr2 = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "testmetric"), PLabel("job", "demo")),
+        Seq(PSample(4.56, 123456799123L)))))
+      post(s"$base/write", Prompb.snappyCompress(Prompb.encodeWriteRequest(wr2)))
+      val c2 = server.storedTable()
+      assert(!(c2 eq c1), "append must invalidate the cached relation")
+      val (rc2, body2) = post(s"$base/read",
+        Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(Seq(PQuery(
+          123456789123L - 60000, 123456799123L + 60000,
+          Seq(PLabelMatcher(MatchType.EQ, "__name__", "testmetric"))))))))
+      assert(rc2 == 200)
+      val resp2 = Prompb.decodeReadResponse(Prompb.snappyUncompress(body2))
+      assert(resp2.results.head.timeseries.head.samples.length == 2)
+    } finally server.stop()
+  }
+
+  test("serve: one ReadRequest with two queries yields two QueryResults") {
+    val table = Files.createTempDirectory("graft_srv2").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(Seq(PLabel("__name__", "m1"), PLabel("job", "x")),
+          Seq(PSample(1.0, 1000L), PSample(2.0, 2000L))),
+        PTimeSeries(Seq(PLabel("__name__", "m2"), PLabel("job", "x")),
+          Seq(PSample(9.0, 1500L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+
+      val rr = PReadRequest(Seq(
+        PQuery(0L, 60000L, Seq(PLabelMatcher(MatchType.EQ, "__name__", "m1"))),
+        PQuery(0L, 60000L, Seq(PLabelMatcher(MatchType.EQ, "__name__", "m2")))))
+      val (rc, body) = post(s"$base/read",
+        Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+      assert(rc == 200)
+      val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+      // one QueryResult per query, in request order (main.go read loop ≙
+      // clickhouse/client.go:167)
+      assert(resp.results.length == 2)
+      assert(resp.results(0).timeseries.map(_.labels).forall(_.contains(PLabel("__name__", "m1"))))
+      assert(resp.results(1).timeseries.map(_.labels).forall(_.contains(PLabel("__name__", "m2"))))
+      assert(resp.results(0).timeseries.head.samples.length == 1) // both in one 10s bucket
+      assert(resp.results(1).timeseries.head.samples.map(_.value) == Seq(9.0))
     } finally server.stop()
   }
 }

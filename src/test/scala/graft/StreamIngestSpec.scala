@@ -78,6 +78,60 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getAs[java.sql.Timestamp]("bucket_start").getTime == 123456780000L)
   }
 
+  test("append-mode rollup: watermark drops late rows and emits only closed windows") {
+    val in = Files.createTempDirectory("graft_wm").toString
+    val ckpt = Files.createTempDirectory("graft_wmckpt").toString
+    // batch 0 (on time): samples at 100s, 700s, 7000s, max 10800s
+    //   → watermark = 10800s - 3600s = 7200s, applied from batch 1 on
+    // batch 1 (mid): in-delay sample — late-event FILTERING uses the
+    //   pre-update watermark (SPARK-24634 split), so a late row must
+    //   arrive ≥2 batches after the data that advanced the clock
+    // batch 2 (late): sample at 150s — window [0,600) closed in batch 1,
+    //   and batch 2's late-filter watermark is 7200s → row DROPPED
+    val fA = java.nio.file.Paths.get(s"$in/a_ontime.bin")
+    val fM = java.nio.file.Paths.get(s"$in/b_mid.bin")
+    val fB = java.nio.file.Paths.get(s"$in/c_late.bin")
+    Files.write(fA, payload("m", Seq(PSample(1.0, 100000L), PSample(5.0, 700000L),
+      PSample(3.0, 7000000L), PSample(9.0, 10800000L))))
+    Files.write(fM, payload("m", Seq(PSample(4.0, 10000000L))))
+    Files.write(fB, payload("m", Seq(PSample(100.0, 150000L))))
+    val t0 = System.currentTimeMillis() - 60000
+    Seq(fA, fM, fB).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+    }
+
+    val flat = RemoteWriteStream.decodeFlat(
+      spark.readStream.format("binaryFile")
+        .schema(RemoteWriteStream.binaryFilePayloadSchema)
+        .option("maxFilesPerTrigger", 1)
+        .load(in))
+    val q = RemoteWriteStream.streamingRollup(flat, 600, "3600 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("wm_rollup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    info("progress: " + q.recentProgress.toSeq.map(p =>
+      (p.batchId, p.numInputRows, Option(p.eventTime).map(_.toString))).mkString(" | "))
+    info("state: " + q.recentProgress.toSeq.map(p =>
+      (p.batchId, p.stateOperators.toSeq.map(s =>
+        s"out=${s.numRowsUpdated} evict=${s.numRowsRemoved} late=${s.numRowsDroppedByWatermark} total=${s.numRowsTotal}"))).mkString(" | "))
+
+    val rows = spark.table("wm_rollup").orderBy("bucket_start")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("bucket_start").getTime / 1000,
+        r.getAs[Double]("val"), r.getAs[Long]("cnt")))
+    // emission = eviction at window.end <= watermark: [0,600), [600,1200)
+    // and the boundary window [6600,7200) (end == watermark) all emit,
+    // WITHOUT the late 100.0 sample; [9600,…) and [10800,…) are inside
+    // the delay and never close
+    assert(rows.toSeq == Seq((0L, 1.0, 1L), (600L, 5.0, 1L), (6600L, 3.0, 1L)))
+  }
+
   test("a malformed payload fails its task instead of being swallowed") {
     // the reference returns HTTP 400 per bad request (main.go:294-302);
     // here the decode failure surfaces through the query
