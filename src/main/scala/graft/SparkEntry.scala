@@ -76,12 +76,13 @@ object SparkEntry {
     * on a cluster `outDir` would be shared storage.
     */
   private def marshalPayloads(events: DataFrame, outDir: String,
-                              prefix: String): Unit =
+                              prefix: String, parts: Int = 0): Unit =
     events
       .select(col("event_type").as("name"),
         col("user_id").cast("string").as("uid"),
         col("value"), unix_millis(col("ts")).as("ts_ms"))
-      .repartition(col("name"))
+      .repartition(if (parts > 0) parts else
+        events.sparkSession.sparkContext.defaultParallelism, col("name"))
       .foreachPartition { (it: Iterator[Row]) =>
         val rows = it.toArray
         if (rows.nonEmpty) {
@@ -444,11 +445,16 @@ object SparkEntry {
       val base = JFiles.createTempDirectory("graft_s1a").toString
       val inDir = s"$base/in"
       JFiles.createDirectories(Paths.get(inDir))
+      // small `parts` bounds the file count — each file is one micro-batch
+      // under maxFilesPerTrigger=1, and the entry's point is watermark
+      // sequencing, not ingest parallelism (writePayloadFiles covers that)
       val evts = Tables.events(s, dir)
-      marshalPayloads(evts.filter(unix_timestamp(col("ts")) >= Jan05), inDir, "a")
+      marshalPayloads(evts.filter(unix_timestamp(col("ts")) >= Jan05), inDir, "a",
+        parts = 2)
       JFiles.write(Paths.get(s"$inDir/m_nudge.snappy"),
         Prompb.snappyCompress(Prompb.encodeWriteRequest(Prompb.PWriteRequest(Nil))))
-      marshalPayloads(evts.filter(unix_timestamp(col("ts")) < Jan05), inDir, "z")
+      marshalPayloads(evts.filter(unix_timestamp(col("ts")) < Jan05), inDir, "z",
+        parts = 1)
       // deterministic arrival order: on-time < nudge < late
       val t0 = System.currentTimeMillis() - 120000
       JFiles.list(Paths.get(inDir)).toArray.map(_.toString).sorted.zipWithIndex

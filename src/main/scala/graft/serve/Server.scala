@@ -29,8 +29,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * real server framework, unchanged.
   */
 class Server(spark: SparkSession, tablePath: String,
-             extraSinks: Seq[(String, DataFrame => Long)] = Nil, port: Int = 0,
-             exactQuantiles: Boolean = false) {
+             extraSinks: Seq[(String, DataFrame => graft.sinks.Transport.WriteStats)] = Nil,
+             port: Int = 0, exactQuantiles: Boolean = false,
+             metricsPath: String = "/metrics") {
 
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
@@ -98,13 +99,14 @@ class Server(spark: SparkSession, tablePath: String,
       received.addAndGet(samples.size.toLong)
       import spark.implicits._
       val flat = samples.toDF()
-      val table: (String, DataFrame => Long) = "parquet" -> { df =>
-        val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
-        WritePipeline.append(rows, tablePath)
-        invalidateTable()
-        df.count()
-      }
-      val outcomes = FanOut.fanOut(flat, table +: extraSinks)
+      val table: (String, DataFrame => graft.sinks.Transport.WriteStats) =
+        "parquet" -> { df =>
+          val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
+          WritePipeline.append(rows, tablePath)
+          invalidateTable()
+          graft.sinks.Transport.WriteStats(df.count(), 0L, None)
+        }
+      val outcomes = FanOut.fanOutStats(flat, table +: extraSinks)
       outcomes.foreach { o =>
         sent.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.sent)
         failed.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.failed)
@@ -146,7 +148,7 @@ class Server(spark: SparkSession, tablePath: String,
   def start(): Server = {
     http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
-    http.createContext("/metrics", (ex: HttpExchange) => handleMetrics(ex))
+    http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(null) // serial, like one handler goroutine pool
     http.start()
     this

@@ -28,15 +28,29 @@ object FanOut {
     *              sent (typically `df.count()` worth after its own filters)
     */
   def fanOut(batch: DataFrame, sinks: Seq[(String, DataFrame => Long)],
-             timeout: Duration = 10.minutes): Seq[SinkOutcome] = {
+             timeout: Duration = 10.minutes): Seq[SinkOutcome] =
+    fanOutStats(batch,
+      sinks.map { case (name, write) =>
+        name -> ((df: DataFrame) => Transport.WriteStats(write(df), 0L, None))
+      }, timeout)
+
+  /** Stats-returning variant for sinks with PARTIAL-failure contracts
+    * (e.g. OpenTSDB's 400-body failed/success split carried by
+    * Transport.WriteStats); a throw still fails the sink's whole batch.
+    */
+  def fanOutStats(batch: DataFrame,
+                  sinks: Seq[(String, DataFrame => Transport.WriteStats)],
+                  timeout: Duration = 10.minutes): Seq[SinkOutcome] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     batch.persist()
     try {
       val total = batch.count()
       val outcomes = sinks.map { case (name, write) =>
         Future {
-          try SinkOutcome(name, write(batch), 0L, None)
-          catch {
+          try {
+            val st = write(batch)
+            SinkOutcome(name, st.sent, st.failed, st.error)
+          } catch {
             case e: Throwable =>
               SinkOutcome(name, 0L, total,
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
