@@ -751,6 +751,47 @@ object SparkEntry {
 
     // ---- LLM-data-pipeline operators (north-star extensions) ----
 
+    // Streaming stateful exact-dedup: the documents table split into two
+    // single-file micro-batches (low doc_ids first, mtime-ordered under
+    // maxFilesPerTrigger=1) through flatMapGroupsWithState — checkpointed
+    // per-content state admits only the FIRST occurrence across batches.
+    // Because the earlier batch holds the lower ids, the admitted set is
+    // exactly the batch keeper set (min doc_id per content), which the
+    // oracle recomputes relationally.
+    "llm_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_sdd").toString
+      val in = s"$base/in"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def parquetFiles(): Set[String] = JFiles.list(Paths.get(in)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+      docs.filter(col("doc_id") <= mid).coalesce(1)
+        .write.mode("append").parquet(in)
+      val firstBatch = parquetFiles()
+      docs.filter(col("doc_id") > mid).coalesce(1)
+        .write.mode("append").parquet(in)
+      val t0 = System.currentTimeMillis() - 60000
+      parquetFiles().toSeq.sorted.foreach { f =>
+        JFiles.setLastModifiedTime(Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(
+            if (firstBatch(f)) t0 else t0 + 10000))
+      }
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val qname = "sdd_" + math.abs(in.hashCode).toString
+      graft.streaming.StatefulDedup.firstSeen(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .select(col("content_hash"), col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis: tokenization (whitespace + BPE-ish regex), type-token
     // ratio, quality score, stopword-based language ID, rolling-hash
     // fingerprint — all map-side Catalyst expressions over `documents`.
@@ -1933,6 +1974,12 @@ object SparkEntry {
         |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 4) AS lm_score
         |FROM w2 JOIN v USING (word) CROSS JOIN t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // First-seen streaming dedup admits exactly the min-id copy per
+    // content (earlier micro-batch holds the lower ids).
+    "llm_stream_dedup" ->
+      """SELECT md5(text) AS content_hash, CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_exact" ->
       """WITH all_docs AS (

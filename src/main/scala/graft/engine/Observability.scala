@@ -83,4 +83,41 @@ object Observability {
         ("sent_samples_total", Map("remote" -> o.sink), o.sent),
         ("failed_samples_total", Map("remote" -> o.sink), o.failed))
     }
+
+  /** sent_batch_duration_seconds ≙ prometheus.DefBuckets histogram
+    * (reference: main.go:104-113, observed at main.go:399). Thread-safe
+    * cumulative-bucket accumulator + text exposition.
+    */
+  final class DurationHistogram {
+    private val buckets =
+      Array(0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+    private val counts = new Array[Long](buckets.length + 1) // last = +Inf
+    private var sum = 0.0
+    private var n = 0L
+
+    def observe(seconds: Double): Unit = synchronized {
+      var i = 0
+      while (i < buckets.length && seconds > buckets(i)) i += 1
+      counts(i) += 1
+      sum += seconds
+      n += 1
+    }
+
+    /** Prometheus histogram exposition: cumulative `_bucket` lines,
+      * `_sum`, `_count`. Labels are rendered sorted like the counters.
+      */
+    def text(name: String, labels: Map[String, String]): String = {
+      def lbl(extra: (String, String)*): String = {
+        val all = (labels.toSeq ++ extra).sorted
+        if (all.isEmpty) ""
+        else all.map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+      }
+      val cumulative = counts.scanLeft(0L)(_ + _).drop(1)
+      val bucketLines = buckets.zip(cumulative).map { case (le, c) =>
+        s"${name}_bucket${lbl("le" -> le.toString)} $c"
+      } :+ s"${name}_bucket${lbl("le" -> "+Inf")} $n"
+      (bucketLines :+ s"${name}_sum${lbl()} $sum" :+ s"${name}_count${lbl()} $n")
+        .mkString("", "\n", "\n")
+    }
+  }
 }

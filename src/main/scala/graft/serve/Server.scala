@@ -36,6 +36,8 @@ class Server(spark: SparkSession, tablePath: String,
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   val failed = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  val sendDuration =
+    new java.util.concurrent.ConcurrentHashMap[String, Observability.DurationHistogram]()
 
   /** Plan-cached stored table: /read requests reuse one resolved parquet
     * relation (schema inference + file listing happen once) instead of
@@ -110,6 +112,8 @@ class Server(spark: SparkSession, tablePath: String,
       outcomes.foreach { o =>
         sent.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.sent)
         failed.computeIfAbsent(o.sink, _ => new AtomicLong).addAndGet(o.failed)
+        sendDuration.computeIfAbsent(o.sink, _ => new Observability.DurationHistogram)
+          .observe(o.durationSec)
       }
       respond(ex, 200, Array.empty)
     } catch {
@@ -142,7 +146,11 @@ class Server(spark: SparkSession, tablePath: String,
           .map { case (k, v) => ("sent_samples_total", Map("remote" -> k), v.get()) } ++
           failed.asScala.toSeq.sorted(Ordering.by((x: (String, AtomicLong)) => x._1))
             .map { case (k, v) => ("failed_samples_total", Map("remote" -> k), v.get()) })
-    respond(ex, 200, Observability.prometheusText(counters).getBytes("UTF-8"))
+    val histograms = sendDuration.asScala.toSeq.sortBy(_._1)
+      .map { case (k, h) => h.text("sent_batch_duration_seconds", Map("remote" -> k)) }
+    respond(ex, 200,
+      (Observability.prometheusText(counters) + histograms.mkString)
+        .getBytes("UTF-8"))
   }
 
   def start(): Server = {

@@ -15,11 +15,12 @@ import scala.concurrent.duration._
   */
 object FanOut {
 
-  /** One sink's outcome ≙ sent/failed counters per remote
-    * (reference: main.go:86-103).
+  /** One sink's outcome ≙ sent/failed counters per remote plus the batch
+    * send duration feeding the sent_batch_duration_seconds histogram
+    * (reference: main.go:86-103, timed at main.go:397-399).
     */
   case class SinkOutcome(sink: String, sent: Long, failed: Long,
-                         error: Option[String])
+                         error: Option[String], durationSec: Double = 0.0)
 
   /** Run every sink against the same batch concurrently. A sink throwing
     * marks its own samples failed; the rest proceed.
@@ -47,13 +48,15 @@ object FanOut {
       val total = batch.count()
       val outcomes = sinks.map { case (name, write) =>
         Future {
+          val begin = System.nanoTime()
+          def secs: Double = (System.nanoTime() - begin) / 1e9
           try {
             val st = write(batch)
-            SinkOutcome(name, st.sent, st.failed, st.error)
+            SinkOutcome(name, st.sent, st.failed, st.error, secs)
           } catch {
             case e: Throwable =>
               SinkOutcome(name, 0L, total,
-                Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName)), secs)
           }
         }
       }

@@ -75,6 +75,9 @@ class ServerSpec extends SparkSpec {
       assert(mc == 200)
       assert(metrics.contains("received_samples_total 3"))
       assert(metrics.contains("""sent_samples_total{remote="parquet"} 3"""))
+      // one observed batch send in the duration histogram
+      assert(metrics.contains("""sent_batch_duration_seconds_bucket{le="+Inf",remote="parquet"} 1"""))
+      assert(metrics.contains("""sent_batch_duration_seconds_count{remote="parquet"} 1"""))
 
       // plan cache: two sequential reads share one resolved relation...
       val c1 = server.storedTable()
