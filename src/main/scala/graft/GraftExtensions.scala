@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{ColumnBridge, GraphiteEscape, GraphitePath, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
+
+/** Engine extension point, wired the idiomatic Spark way: set
+  * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
+  * and the native codec/vector expressions become SQL functions —
+  * `SELECT graphite_escape(name) FROM events` plans the same codegen'd
+  * expression the Column API uses, with no UDF registration per session.
+  *
+  * `register(spark)` does the same imperatively for an already-built
+  * session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+                 builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name expects $arity argument(s), got ${children.length}")
+        builder(children)
+      })
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graphite_escape", classOf[GraphiteEscape], 1, c => GraphiteEscape(c.head)),
+    fn("graphite_path", classOf[GraphitePath], 2, c => GraphitePath(c(0), c(1))),
+    fn("opentsdb_marshal", classOf[OpenTsdbMarshal], 1, c => OpenTsdbMarshal(c.head)),
+    fn("opentsdb_unmarshal", classOf[OpenTsdbUnmarshal], 1, c => OpenTsdbUnmarshal(c.head)),
+    fn("vec_dot", classOf[VecDot], 2, c => VecDot(c(0), c(1))),
+    fn("vec_cosine", classOf[VecCosine], 2, c => VecCosine(c(0), c(1))),
+    fn("vec_l2norm", classOf[VecL2Norm], 1, c => VecL2Norm(c.head)))
+
+  /** Imperative registration for an existing session. Idempotent:
+    * re-registering overwrites with the same builder.
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  // Column-level constructors over the native expressions.
+  def graphiteEscape(c: Column): Column =
+    ColumnBridge.col(GraphiteEscape(ColumnBridge.expr(c)))
+  def graphitePath(labels: Column, prefix: Column): Column =
+    ColumnBridge.col(GraphitePath(ColumnBridge.expr(labels), ColumnBridge.expr(prefix)))
+  def opentsdbMarshal(c: Column): Column =
+    ColumnBridge.col(OpenTsdbMarshal(ColumnBridge.expr(c)))
+  def opentsdbUnmarshal(c: Column): Column =
+    ColumnBridge.col(OpenTsdbUnmarshal(ColumnBridge.expr(c)))
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.col(VecDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+  def vecCosine(a: Column, b: Column): Column =
+    ColumnBridge.col(VecCosine(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+  def vecL2Norm(a: Column): Column =
+    ColumnBridge.col(VecL2Norm(ColumnBridge.expr(a)))
+}

@@ -556,7 +556,7 @@ object SparkEntry {
       val raw = concat(col("event_type"), lit("/x.y%"),
         col("user_id").cast("string"), lit(" ö"))
       Tables.events(s, dir, spread = true)
-        .select(col("event_id"), GraphiteCodec.escapeUdf(raw).as("escaped"))
+        .select(col("event_id"), GraphiteCodec.escapeCol(raw).as("escaped"))
         .orderBy(col("event_id"))
     }),
 
@@ -578,10 +578,10 @@ object SparkEntry {
     "e9_opentsdb_tagvalue" -> ((s, dir) => {
       val raw = concat(col("event_type"), lit("_x:y "),
         col("user_id").cast("string"))
-      val marshaled = OpenTsdbCodec.marshalUdf(raw)
+      val marshaled = OpenTsdbCodec.marshalCol(raw)
       Tables.events(s, dir, spread = true)
         .select(col("event_id"), marshaled.as("marshaled"),
-          OpenTsdbCodec.unmarshalUdf(marshaled).as("roundtrip"))
+          OpenTsdbCodec.unmarshalCol(marshaled).as("roundtrip"))
         .orderBy(col("event_id"))
     }),
 

@@ -1,14 +1,15 @@
 package graft.codec
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** E7/E8: Graphite metric-path encoding
   * (reference: graphite/escape.go:82-103, graphite/client.go:53-80).
   *
-  * Byte-level percent-encoding — no Spark built-in walks UTF-8 bytes, so
-  * this is one of the three genuine UDFs in the engine (with the OpenTSDB
-  * pair). Golden-tested against the reference's own test vectors.
+  * Byte-level percent-encoding — no Spark built-in walks UTF-8 bytes.
+  * The Scala functions here are the canonical semantics (golden-tested
+  * against the reference's own test vectors); the Column API plans them
+  * as native codegen'd Catalyst expressions (graft.expressions) rather
+  * than UDFs, so the encode stays inside whole-stage codegen.
   */
 object GraphiteCodec {
 
@@ -51,8 +52,8 @@ object GraphiteCodec {
     sb.toString
   }
 
-  val escapeUdf = udf(escape _)
-  val pathUdf = udf(pathFromMetric _)
+  def escapeCol(s: Column): Column = graft.GraftExtensions.graphiteEscape(s)
 
-  def path(labels: Column, prefix: Column): Column = pathUdf(labels, prefix)
+  def path(labels: Column, prefix: Column): Column =
+    graft.GraftExtensions.graphitePath(labels, prefix)
 }

@@ -1,11 +1,11 @@
 package graft.codec
 
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.Column
 
 /** E9/E10: OpenTSDB TagValue escaping — `_`-escape state machine and its
-  * exact inverse (reference: opentsdb/tagvalue.go:65-158). The other
-  * genuine byte-level UDF pair; golden-tested against the reference's
-  * vectors and round-trip property-tested.
+  * exact inverse (reference: opentsdb/tagvalue.go:65-158). Golden-tested
+  * against the reference's vectors and round-trip property-tested; the
+  * Column API plans the codegen'd expressions in graft.expressions.
   */
 object OpenTsdbCodec {
 
@@ -59,6 +59,6 @@ object OpenTsdbCodec {
     new String(out.toByteArray, "UTF-8")
   }
 
-  val marshalUdf = udf(marshal _)
-  val unmarshalUdf = udf(unmarshal _)
+  def marshalCol(s: Column): Column = graft.GraftExtensions.opentsdbMarshal(s)
+  def unmarshalCol(s: Column): Column = graft.GraftExtensions.opentsdbUnmarshal(s)
 }

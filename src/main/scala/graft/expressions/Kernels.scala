@@ -1,0 +1,109 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the native Catalyst expressions — every method
+  * here is referenced BY NAME from generated Java (whole-stage codegen
+  * resolves the Scala object's static forwarders), so signatures use only
+  * Spark-internal value types (`UTF8String`, `ArrayData`, boxed Double).
+  *
+  * Byte codecs delegate to the canonical implementations in
+  * `graft.codec.*` (golden-tested against the reference vectors) so there
+  * is exactly one definition of each wire format; the vector kernels
+  * re-state the SAME ordered-fold sequence as the `functions.aggregate`
+  * HOFs they replace — a left fold in component index order — so results
+  * are bit-identical to both the HOF spelling and the DuckDB oracle's
+  * `list_reduce` (see VectorOps' determinism contract).
+  */
+object Kernels {
+
+  // ---- byte codecs (reference: graphite/escape.go:82-103,
+  //      graphite/client.go:53-80, opentsdb/tagvalue.go:65-158) ----
+
+  def graphiteEscape(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.codec.GraphiteCodec.escape(s.toString))
+
+  /** Graphite path from a labels map + prefix. MapData carries no
+    * ordering contract, so pairs are materialized and sorted by label
+    * name exactly like the Scala function (Java String order).
+    */
+  def graphitePath(labels: MapData, prefix: UTF8String): UTF8String = {
+    val n = labels.numElements()
+    val keys = labels.keyArray()
+    val values = labels.valueArray()
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < n) {
+      m += (keys.getUTF8String(i).toString -> values.getUTF8String(i).toString)
+      i += 1
+    }
+    UTF8String.fromString(
+      graft.codec.GraphiteCodec.pathFromMetric(m.result(), prefix.toString))
+  }
+
+  def opentsdbMarshal(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.codec.OpenTsdbCodec.marshal(s.toString))
+
+  def opentsdbUnmarshal(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.codec.OpenTsdbCodec.unmarshal(s.toString))
+
+  // ---- vector folds ----
+  // Null contract mirrors the HOF spelling: zip_with pads a length
+  // mismatch with NULL and NULL poisons the fold, so any mismatch or
+  // NULL element yields NULL (boxed null here).
+
+  /** Ordered-fold dot product: ((0 + a0*b0) + a1*b1) + ... */
+  def vecDot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** L2 norm: sqrt of the ordered fold of squares. */
+  def vecL2Norm(a: ArrayData): java.lang.Double = {
+    val d = vecDot(a, a)
+    if (d == null) null else java.lang.Double.valueOf(math.sqrt(d.doubleValue()))
+  }
+
+  /** Cosine similarity with `try_divide` semantics: NULL on a zero (or
+    * NULL) denominator instead of an ANSI DIVIDE_BY_ZERO. The three
+    * accumulators run in one fused pass, but each is an independent
+    * index-ordered fold, so the result is bit-identical to the separate
+    * dot/norm/norm HOF evaluation it replaces.
+    */
+  def vecCosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+}

@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * LSH-bucketed approximate nearest neighbors over an `Array[Float]`
   * embedding column.
   *
-  * Determinism contract: every reduction over vector components is an
-  * explicit LEFT FOLD in component order (functions.aggregate), never an
-  * unordered sum — IEEE doubles folded in the same order are bit-identical
-  * across engines, which is what lets the DuckDB oracle reproduce cosines
-  * exactly instead of within-epsilon.
+  * Determinism contract: every reduction over vector components is a
+  * LEFT FOLD in component index order, never an unordered sum — IEEE
+  * doubles folded in the same order are bit-identical across engines,
+  * which is what lets the DuckDB oracle reproduce cosines exactly instead
+  * of within-epsilon. dot/norm/cosine plan as native codegen'd Catalyst
+  * expressions (graft.expressions.VecDot/VecL2Norm/VecCosine) whose
+  * kernels run that same fold in one fused loop — bit-identical to the
+  * `aggregate(zip_with(...))` HOF spelling they replaced, but without
+  * the interpreted per-element lambda or the intermediate products
+  * array (equivalence asserted by ExpressionSpec).
   *
   * Scale design: embeddings are cast to array<double> once at the edge;
   * per-vector ops are map-side; brute-force top-k uses a two-phase
@@ -23,19 +28,18 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Ordered-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+  def dot(a: Column, b: Column): Column = graft.GraftExtensions.vecDot(a, b)
 
   /** L2 norm (ordered fold of squares). */
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = graft.GraftExtensions.vecL2Norm(a)
 
   /** Cosine similarity. NULL when either vector has zero norm (undefined
-    * angle) — try_divide, because ANSI mode (Spark 4 default) turns a
-    * plain division into a query-killing DIVIDE_BY_ZERO for one
-    * degenerate row.
+    * angle) — the kernel returns null on a zero denominator, the same
+    * contract as the try_divide spelling (ANSI mode, Spark 4 default,
+    * would turn a plain division into a query-killing DIVIDE_BY_ZERO
+    * for one degenerate row).
     */
-  def cosine(a: Column, b: Column): Column =
-    try_divide(dot(a, b), l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = graft.GraftExtensions.vecCosine(a, b)
 
   /** Unit-normalize a vector (zero vectors pass through as zeros). */
   def normalize(a: Column): Column = {

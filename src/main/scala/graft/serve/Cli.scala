@@ -186,6 +186,7 @@ object Main {
           .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.extensions", "graft.GraftExtensions")
           .getOrCreate()
         val server = Cli.buildServer(spark, cfg).start()
         println(s"listening on :${server.boundPort}, storing to ${cfg.tablePath}")

@@ -59,9 +59,9 @@ object Formatters {
   def opentsdbJson(samples: DataFrame, valueRepr: Column => Column = defaultRepr): DataFrame = {
     val tagsPart = array_join(transform(sortedTagEntries(col("labels")),
       e => concat(lit("\""), e.getField("key"),
-        lit("\":\""), OpenTsdbCodec.marshalUdf(e.getField("value")), lit("\""))), ",")
+        lit("\":\""), OpenTsdbCodec.marshalCol(e.getField("value")), lit("\""))), ",")
     samples.select(concat(
-      lit("{\"metric\":\""), OpenTsdbCodec.marshalUdf(col("name")),
+      lit("{\"metric\":\""), OpenTsdbCodec.marshalCol(col("name")),
       lit("\",\"timestamp\":"), floor(col("timestampMs") / 1000).cast("long").cast("string"),
       lit(",\"value\":"), valueRepr(col("value")),
       lit(",\"tags\":{"), tagsPart, lit("}}")).as("json"))

@@ -1,0 +1,150 @@
+package graft
+
+import graft.codec.{GraphiteCodec, OpenTsdbCodec}
+import graft.llm.VectorOps
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst expressions must be drop-in replacements: byte
+  * codecs equal to the canonical Scala functions on adversarial inputs,
+  * vector kernels BIT-identical to the `aggregate(zip_with(...))` HOF
+  * left-fold they replaced (the oracle determinism contract), SQL names
+  * resolvable through the SparkSessionExtensions injection, and the
+  * whole thing planned inside whole-stage codegen, not as a UDF.
+  */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nasty = Seq(
+    "", "plain", "foo.bar%baz/x=y", "(){},='\"\\", "héllo wörld 日本",
+    "_under__score_", "colon:colon", "a\nb\tc", "\u0000\u007f\u00ff",
+    "http://example.org:8080/metrics?a=b&c=d")
+
+  test("graphite_escape expression == canonical function on nasty vectors") {
+    val got = nasty.toDF("s")
+      .select(col("s"), GraphiteCodec.escapeCol(col("s")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    nasty.foreach { s => assert(got(s) == GraphiteCodec.escape(s), s"escape($s)") }
+  }
+
+  test("opentsdb marshal/unmarshal expressions == canonical functions") {
+    val gotM = nasty.toDF("s")
+      .select(col("s"), OpenTsdbCodec.marshalCol(col("s")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    nasty.foreach { s => assert(gotM(s) == OpenTsdbCodec.marshal(s), s"marshal($s)") }
+
+    // Round-trip only inputs the REFERENCE contract can round-trip: its
+    // `_%X` hex is unpadded, so a byte < 0x10 followed by a hex-looking
+    // char is ambiguous and unmarshal (faithfully) rejects it — e.g.
+    // "\nb" marshals to "_Ab" which parses as escape 0xAB. Same behavior
+    // as the canonical function, which is what's asserted above.
+    val roundtrippable = nasty.filter(s =>
+      scala.util.Try(OpenTsdbCodec.unmarshal(OpenTsdbCodec.marshal(s))).isSuccess)
+    assert(roundtrippable.size >= nasty.size - 2)
+    val gotRt = roundtrippable.toDF("s")
+      .select(col("s"),
+        OpenTsdbCodec.unmarshalCol(OpenTsdbCodec.marshalCol(col("s"))).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    roundtrippable.foreach { s => assert(gotRt(s) == s, s"roundtrip($s)") }
+  }
+
+  test("graphite_path expression == canonical function incl. label sort") {
+    val df = Seq((1, "req.count", "us-east", "a b"), (2, "x%y", "z=1", "."))
+      .toDF("id", "name", "zone", "weird")
+    val got = df.select(col("id"), GraphiteCodec.path(
+        map(lit("__name__"), col("name"), lit("zone"), col("zone"),
+          lit("aaa"), col("weird"), lit(""), lit("skipped")),
+        lit("prom.")).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == GraphiteCodec.pathFromMetric(
+      Map("__name__" -> "req.count", "zone" -> "us-east",
+        "aaa" -> "a b", "" -> "skipped"), "prom."))
+    assert(got(2) == GraphiteCodec.pathFromMetric(
+      Map("__name__" -> "x%y", "zone" -> "z=1",
+        "aaa" -> ".", "" -> "skipped"), "prom."))
+  }
+
+  test("vec_dot / vec_cosine / vec_l2norm bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(16)(rnd.nextDouble() * 2 - 1))
+    } :+ (64L, Seq.fill(16)(0.0), Seq.fill(16)(1.0)) // zero-norm → NULL cosine
+    val df = rows.toDF("id", "a", "b")
+
+    // the replaced HOF spelling, verbatim
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    def hofCos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      try_divide(hofDot(a, b), sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
+
+    val out = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      hofDot(col("a"), col("b")).as("hd"),
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      hofCos(col("a"), col("b")).as("hc"),
+      VectorOps.l2Norm(col("a")).as("n"),
+      sqrt(hofDot(col("a"), col("a"))).as("hn")).collect()
+
+    def bits(r: Row, i: Int): Any =
+      if (r.isNullAt(i)) null else java.lang.Double.doubleToRawLongBits(r.getDouble(i))
+    out.foreach { r =>
+      assert(bits(r, 0) == bits(r, 1), "dot bits")
+      assert(bits(r, 2) == bits(r, 3), "cosine bits")
+      assert(bits(r, 4) == bits(r, 5), "norm bits")
+    }
+    assert(out.exists(_.isNullAt(2)), "zero-norm row exercises the NULL path")
+  }
+
+  test("length mismatch and NULL elements poison like zip_with") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("id", "a", "b")
+    val withNull = df.withColumn("an",
+      when(col("id") === 2, array(lit(1.0), lit(null).cast("double")))
+        .otherwise(col("a")))
+    val out = withNull.select(col("id"),
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.dot(col("an"), col("a")).as("dn"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(1)._1 == null, "length mismatch → NULL")
+    assert(out(2)._1 == 11.0)
+    assert(out(2)._2 == null, "NULL element → NULL")
+  }
+
+  test("SQL functions registered via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT graphite_escape('a.b%c') AS e,
+        |       opentsdb_unmarshal(opentsdb_marshal('x:y_z')) AS rt,
+        |       vec_cosine(array(1d, 0d), array(1d, 0d)) AS c,
+        |       vec_l2norm(array(3d, 4d)) AS n,
+        |       vec_dot(array(1d, 2d), array(3d, 4d)) AS d,
+        |       graphite_path(map('__name__', 'm.n', 'z', 'v'), 'p.') AS gp
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "a%2Eb%25c")
+    assert(r.getString(1) == "x:y_z")
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 11.0)
+    assert(r.getString(5) == "p.m%2En.z.v")
+  }
+
+  test("expressions plan inside whole-stage codegen (no UDF boundary)") {
+    // non-foldable inputs (derived from range) so constant folding can't
+    // evaluate the expressions at plan time
+    val plan = spark.range(4)
+      .select(concat(lit("a.b"), col("id").cast("string")).as("s"),
+        array(col("id").cast("double"), lit(2.0)).as("v"))
+      .select(GraphiteCodec.escapeCol(col("s")).as("e"),
+        VectorOps.cosine(col("v"), col("v")).as("c"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' marks a WholeStageCodegen subtree; the project carrying the
+    // expressions must be inside one, and nothing may plan as ScalaUDF.
+    val exprLine = plan.linesIterator
+      .find(l => l.contains("graphite_escape")).getOrElse("")
+    assert(exprLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into plan:\n$plan")
+  }
+}
