@@ -977,6 +977,39 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // Incremental corpus admission: dedup a NEW crawl batch against the
+    // EXISTING kept corpus — exact hash tier + batch-driven MinHash
+    // banding; the corpus is never self-joined (its one map-side
+    // signature pass is the persistent dedup index at scale). Batch mixes
+    // exact dups (%17), near dups (%11, suffix), novel docs (%13,
+    // reversed text → disjoint shingles) and a batch-internal clone pair
+    // (%19 twice): every verdict arm is exercised.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      // both inputs pass UNSPREAD — the operator itself applies the one
+      // local-mode repartition after unioning batch and corpus, so the
+      // heavy shingle/signature pass parallelizes without paying a
+      // spread shuffle per union branch
+      val dRaw = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("text"))
+      val batch0 = dRaw.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"), col("text"))
+        .unionByName(dRaw.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(col("text"), lit(" tiny appended suffix")).as("text")))
+        .unionByName(dRaw.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            reverse(col("text")).as("text")))
+        .unionByName(dRaw.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 60000).as("doc_id"),
+            concat(col("text"), lit(" batch clone")).as("text")))
+        .unionByName(dRaw.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(col("text"), lit(" batch clone")).as("text")))
+      Dedup.incrementalVerdicts(dRaw, batch0, "text", "doc_id")
+        .select(col("id").cast("long").as("doc_id"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup: 16-bit signature, 4-block pigeonhole candidate
     // generation, hamming ≤ 3. Output aggregated per distance (the tiny
     // synthetic vocabulary makes individual pairs numerous).
@@ -1741,6 +1774,61 @@ object SparkEntry {
         |  FROM cand JOIN sh sa ON cand.id_a = sa.id JOIN sh sb ON cand.id_b = sb.id)
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         |FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // batch ids are offset >= 30000 while corpus ids stay below, so one
+    // unified shingle/band table serves both sides of every candidate pair
+    "llm_dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 40000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text || ' tiny appended suffix' FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 50000, reverse(text) FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text || ' batch clone' FROM documents WHERE doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 70000, text || ' batch clone' FROM documents WHERE doc_id % 19 = 0),
+        |exact_ids AS (
+        |  SELECT DISTINCT b.doc_id AS id
+        |  FROM batch b JOIN documents c ON md5(b.text) = md5(c.text)
+        |  UNION
+        |  SELECT DISTINCT b.doc_id
+        |  FROM batch b JOIN batch b2 ON md5(b.text) = md5(b2.text) AND b.doc_id > b2.doc_id),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM batch),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
+        |hv AS (
+        |  SELECT id, list_transform(shingles, s ->
+        |    {'h1': CAST('0x'||substr(md5(s),1,15) AS BIGINT),
+        |     'h2': CAST('0x'||substr(md5(s),17,15) AS BIGINT)}) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    [list_min(list_transform(hv, b ->
+        |      ((b.h1 % 1000000007) + j*(b.h2 % 1000000007)) % 1000000007)) FOR j IN range(0, 12)] AS sg
+        |  FROM hv),
+        |bands AS (
+        |  SELECT id, b,
+        |    array_to_string(list_transform(sg[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)), '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_b, y.id AS id_c
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+        |  WHERE x.id >= 30000 AND (y.id < 30000 OR y.id < x.id)),
+        |near_ids AS (
+        |  SELECT DISTINCT id_b AS id FROM cand
+        |  JOIN sh sb ON cand.id_b = sb.id JOIN sh sc ON cand.id_c = sc.id
+        |  WHERE len(list_intersect(sb.shingles, sc.shingles))::DOUBLE /
+        |    (len(sb.shingles) + len(sc.shingles) - len(list_intersect(sb.shingles, sc.shingles))) >= 0.5)
+        |SELECT b.doc_id, CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+        |                      WHEN n.id IS NOT NULL THEN 'near_dup'
+        |                      ELSE 'admitted' END AS verdict
+        |FROM batch b LEFT JOIN exact_ids e ON b.doc_id = e.id
+        |            LEFT JOIN near_ids n ON b.doc_id = n.id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "llm_dedup_cluster" ->
       """WITH RECURSIVE all_docs AS (

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines: exact
@@ -166,6 +165,131 @@ object Dedup {
     * at ~32 bytes/row keep the broadcast ≤ ~32 MB.
     */
   val MaxBroadcastPairs: Long = 1000000L
+
+  /** Incremental corpus admission — dedup a NEW batch of documents against
+    * an EXISTING kept corpus, the every-crawl-cycle operation of a training
+    * -data pipeline. Returns one verdict row per batch document:
+    * `exact_dup` (byte-identical to a corpus doc, or to a smaller-id batch
+    * doc), `near_dup` (MinHash-confirmed Jaccard ≥ threshold against a
+    * corpus doc or a smaller-id batch doc), else `admitted`.
+    *
+    * Within-batch ties are resolved greedily BY ID against the raw batch
+    * (a doc is rejected if it matches any smaller-id batch doc, whether or
+    * not that doc is itself admitted) — deterministic, one-pass, and free
+    * of the sequential admit-then-compare dependency a streaming dedup
+    * would impose; corpus membership always rejects.
+    *
+    * Scale design — the reason this exists as its own operator: NO
+    * corpus × corpus pairs are ever generated. Corpus work is one
+    * map-side pass (content hash, shingles, band signatures) producing
+    * the side-tagged index table; the banded join's batch side carries
+    * only batch rows (the side predicate pushes below the exchange), so
+    * candidate volume is O(batch × band selectivity) regardless of
+    * corpus size. A production pipeline keeps the corpus half of that
+    * index precomputed, stored bucketed by (band, bucket), making each
+    * crawl cycle's admission a bucket-pruned equi-join driven by the
+    * batch. Exactness rides the same join (identical texts share every
+    * band, so exact dups are always LSH candidates — `h_b = h_c` on the
+    * pair replaces a whole content-hash membership pass). Verification
+    * reuses the size-gated broadcast machinery of [[minhashNearDups]].
+    */
+  def incrementalVerdicts(corpus: DataFrame, batch: DataFrame,
+                          textCol: String, idCol: String,
+                          shingleWords: Int = 3, k: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    val rows = k / bands
+    val shingleExpr = array_distinct(TextAnalysis.wordShingles(
+      TextAnalysis.words(col(textCol)), shingleWords))
+
+    // There is NO separate exact tier: two identical texts have identical
+    // MinHash signatures, hence share every band bucket, hence ALWAYS
+    // surface as LSH candidates — so exactness is just `h_b = h_c` on the
+    // candidate pair, and the whole content-hash membership pass (a
+    // second corpus scan + shuffle) collapses into one carried column.
+    //
+    // Both sides flow through ONE side-tagged shingle table and ONE
+    // banded table: the expensive shingle/md5 and signature HOF
+    // pipelines each appear in exactly one stage (ReusedExchange serves
+    // the self-join's two sides), which matters twice over — the work
+    // runs once, and whole-stage codegen COMPILES once (these generated
+    // classes are huge; a plan that re-states them across four stages
+    // pays multiple sub-second janino compiles before any row moves).
+    // Every downstream consumer (bands, both verify sides, the final
+    // verdict frame) reads this one cache; at scale it IS the persistent
+    // dedup index, materialized bucketed by (band, bucket). The one
+    // spreadLocal repartition is a local-mode identity (see Tables).
+    val sh = graft.model.Tables.spreadLocal(corpus.sparkSession,
+      batch.select(col(idCol).as("id"), lit("b").as("side"),
+        col(textCol).as("text"))
+        .unionByName(corpus.select(col(idCol).as("id"), lit("c").as("side"),
+          col(textCol).as("text"))))
+      .select(col("id"), col("side"), md5(col("text")).as("h"),
+        shingleExpr.as("shingles"))
+      .persist()
+    val banded = sh.select(col("id"), col("side"),
+      posexplode(lshBands(
+        minhashSignatureFromShingles(col("shingles"), k), bands, rows))
+        .as(Seq("band", "bucket")))
+    // One candidate set from one self-join: the left row must be a batch
+    // doc; the right row is either a corpus doc (any band agreement) or
+    // a smaller-id batch doc (greedy within-batch order). The side tag
+    // keeps overlapping batch/corpus id spaces unambiguous.
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.side") === "b" &&
+          (col("y.side") === "c" || col("x.id") > col("y.id")))
+      .select(col("x.id").as("id_b"),
+        col("y.id").as("id_c"), col("y.side").as("side"))
+      .persist()
+    // NOT distinct'ed: multi-band collisions only repeat a (cheap,
+    // broadcast-side) verification, and the verdict aggregation below
+    // dedupes ids anyway — a distinct here is a whole extra shuffle
+    // stage on the hot path.
+    //
+    // size-gated verify, same contract as minhashNearDups: broadcast only
+    // bare id/side pairs, semi-filter the shingle side map-side; past the
+    // gate, plain equi-joins and AQE's own strategy choice.
+    val verified =
+      if (candidates.count() <= MaxBroadcastPairs) {
+        val withB = sh.filter(col("side") === "b")
+          .select(col("id"), col("h").as("h_b"), col("shingles").as("sh_b"))
+          .join(broadcast(candidates), col("id_b") === col("id")).drop("id")
+        val otherSide = sh
+          .select(col("id").as("idc"), col("side").as("oside"),
+            col("h").as("h_c"), col("shingles").as("sh_c"))
+          .join(
+            broadcast(candidates.select(col("id_c").as("sid"), col("side").as("sside"))),
+            col("idc") === col("sid") && col("oside") === col("sside"), "left_semi")
+        withB.join(otherSide,
+          col("id_c") === col("idc") && col("side") === col("oside"))
+      } else {
+        candidates
+          .join(sh.filter(col("side") === "b")
+              .select(col("id"), col("h").as("h_b"), col("shingles").as("sh_b")),
+            col("id_b") === col("id")).drop("id")
+          .join(sh.select(col("id").as("idc"), col("side").as("oside"),
+              col("h").as("h_c"), col("shingles").as("sh_c")),
+            col("id_c") === col("idc") && col("side") === col("oside"))
+      }
+
+    // ---- verdicts (exact wins over near) ----
+    // Per-pair severity (2 = byte-identical, 1 = Jaccard-confirmed near
+    // dup, NULL = band collision that failed verification), max-reduced
+    // per batch doc in one aggregation — the agg IS the dedup of
+    // multi-band / multi-partner collisions — then one left join back.
+    val severity = verified
+      .select(col("id_b").as("id"),
+        when(col("h_b") === col("h_c"), 2)
+          .when(jaccard(col("sh_b"), col("sh_c")) >= threshold, 1).as("sev"))
+      .groupBy(col("id")).agg(max(col("sev")).as("sev"))
+    sh.filter(col("side") === "b").select(col("id"))
+      .join(severity, Seq("id"), "left")
+      .select(col("id"),
+        when(col("sev") === 2, "exact_dup")
+          .when(col("sev") === 1, "near_dup")
+          .otherwise("admitted").as("verdict"))
+  }
 
   /** 16-bit SimHash over the document's word stream. Bit p is the sign of
     * the sum over words of ±1, where the vote of word w is the high bit of

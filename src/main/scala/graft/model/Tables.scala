@@ -21,8 +21,8 @@ object Tables {
     * is the identity. Cheap consumers (pushed filters, immediate
     * re-shuffles) pass spread=false and skip it even locally.
     */
-  private def spreadLocal(spark: SparkSession, df: DataFrame,
-                          spread: Boolean): DataFrame =
+  def spreadLocal(spark: SparkSession, df: DataFrame,
+                  spread: Boolean = true): DataFrame =
     if (spread && spark.sparkContext.isLocal)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df

@@ -94,6 +94,24 @@ class LlmOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((1L, base), (2L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base),                       // exact dup of corpus 1
+      (102L, base + " tail words"),       // near dup of corpus 1
+      (103L, "totally different fresh content with no shingle overlap at all"),
+      (104L, "cloned inside the batch only once twice thrice repeated here"),
+      (105L, "cloned inside the batch only once twice thrice repeated here"))
+      .toDF("doc_id", "text")
+    val v = Dedup.incrementalVerdicts(corpus, batch, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(101L -> "exact_dup", 102L -> "near_dup",
+      103L -> "admitted", 104L -> "admitted", 105L -> "exact_dup"))
+  }
+
   test("vectors: dot/norm/cosine/normalize") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val r = df.select(
