@@ -879,6 +879,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 ranked retrieval against a literal query term set — the
+    // query-focused corpus-curation scorer. tf is map-side (no explode),
+    // corpus stats are one exact-integer aggregation broadcast back, the
+    // score is a fixed-order literal fold, and ordering runs on the
+    // ROUNDED score (ln()'s last-ulp wobble must not flip ranks between
+    // engines). Top-20 is orderBy+limit — Spark executes TakeOrdered.
+    "llm_bm25_rank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val scored = TextAnalysis.bm25Scores(d, Seq("spark", "table", "query"))
+        .select(col("id").cast("long").as("doc_id"),
+          round(col("score"), 4).as("score"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("doc_id"), col("score"))
+        .orderBy(col("rank"))
+    }),
+
     // Exact dedup: hash-groupBy, min doc_id wins. Duplicates are injected
     // deterministically (every 7th doc re-appears with id+10000) since the
     // corpus itself is duplicate-free; output is the duplicate groups.
@@ -2062,6 +2081,39 @@ object SparkEntry {
         |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 4) AS lm_score
         |FROM w2 JOIN v USING (word) CROSS JOIN t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // expression shapes/parenthesization mirror the Spark fold exactly so
+    // every IEEE operation runs in the same order on both engines; only
+    // ln()'s final ulp can differ, absorbed by round(_, 4) which also
+    // drives the ranking
+    "llm_bm25_rank" ->
+      """WITH proj AS (
+        |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS BIGINT) AS tf_0,
+        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'table')) AS BIGINT) AS tf_1,
+        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'query')) AS BIGINT) AS tf_2
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        |  FROM proj),
+        |scored AS (
+        |  SELECT doc_id, tf_0, tf_1, tf_2,
+        |    ((((ln(((n - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_0 AS DOUBLE)) * (1.2 + 1.0))
+        |        / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))
+        |      + ((ln(((n - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_1 AS DOUBLE)) * (1.2 + 1.0))
+        |        / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n))))
+        |      + ((ln(((n - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_2 AS DOUBLE)) * (1.2 + 1.0))
+        |        / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))) AS score
+        |  FROM proj CROSS JOIN stats
+        |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+        |SELECT rank, doc_id, score FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, round(score, 4) AS score
+        |  FROM scored)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // First-seen streaming dedup admits exactly the min-id copy per
     // content (earlier micro-batch holds the lower ids).

@@ -220,4 +220,51 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         avg(-log(col("tf").cast("double") / col("total"))).as("lm_score"))
   }
+
+  /** BM25 relevance of every document against a literal query term set —
+    * the ranked-retrieval scorer behind query-focused corpus curation
+    * ("keep the documents most relevant to these topics").
+    *
+    * score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    * with idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)  (the standard
+    * Robertson/Sparck-Jones smoothed form).
+    *
+    * Determinism + scale, one design: per-term tf is a map-side
+    * `size(filter(words))` — no explode, no shuffle, the corpus is
+    * scanned once; the corpus stats (N, Σ|d|, df per term) are ONE
+    * aggregation producing exact integer counts, broadcast back; the
+    * per-doc score is a FIXED-ORDER sum over the literal term list (a
+    * Scala-side reduce, not a float agg), so the only cross-engine
+    * wobble is ln()'s final ulp — absorbed by the caller rounding.
+    * Emits (id, dl, per-term tf, score) for docs matching ≥1 term.
+    */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
+                 textCol: String = "text", idCol: String = "doc_id",
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val ws = words(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === t)).cast("long").as(s"tf_$i")
+    }
+    val proj = docs.select(
+      (col(idCol).as("id") +: size(ws).cast("long").as("dl") +: tfCols): _*)
+    val statAggs = sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = proj.agg(count(lit(1)).as("n"), statAggs: _*)
+    val scored = proj.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val df = col(s"df_$i").cast("double")
+      val idf = log((col("n") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    scored
+      .withColumn("score", score)
+      .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select((col("id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score")): _*)
+  }
 }

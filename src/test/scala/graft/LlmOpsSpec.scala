@@ -112,6 +112,18 @@ class LlmOpsSpec extends SparkSpec {
       103L -> "admitted", 104L -> "admitted", 105L -> "exact_dup"))
   }
 
+  test("text: bm25 ranks the term-dense doc first, excludes non-matches") {
+    val docs = Seq(
+      (1L, "spark query spark table spark"),    // dense in all terms
+      (2L, "spark runs somewhere in here with many other filler words"),
+      (3L, "nothing relevant at all here")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, Seq("spark", "table", "query"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.length - 1)).toMap
+    assert(out.keySet == Set(1L, 2L), "doc 3 matches no term")
+    assert(out(1L) > out(2L), "denser doc scores higher")
+    assert(out.values.forall(_ > 0))
+  }
+
   test("vectors: dot/norm/cosine/normalize") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val r = df.select(
