@@ -124,6 +124,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(_ > 0))
   }
 
+  test("text: bm25 plans TakeOrdered for top-k and never explodes") {
+    // range-derived source: a Seq-backed LocalRelation would let the
+    // optimizer fold the whole sort+limit at plan time, hiding the
+    // TakeOrdered this test is about
+    val docs = spark.range(30).select(col("id").as("doc_id"),
+      concat(lit("spark table filler word"),
+        when(col("id") % 2 === 0, " spark").otherwise(" other")).as("text"))
+    val scored = TextAnalysis.bm25Scores(docs, Seq("spark", "table"))
+      .orderBy(col("score").desc, col("id")).limit(5)
+    scored.collect() // finalize the adaptive plan before inspecting it
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Generate"), s"explode leaked into bm25 plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup: incremental admission verdict invariants") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    // disjoint batch -> everything admitted
+    val fresh = Seq((10L, "completely different words in this one"),
+      (11L, "and yet another unrelated document text")).toDF("doc_id", "text")
+    val v1 = Dedup.incrementalVerdicts(corpus, fresh, "text", "doc_id")
+      .collect().map(_.getString(1))
+    assert(v1.forall(_ == "admitted"))
+    // batch == corpus (new ids) -> everything exact_dup
+    val clone = corpus.withColumn("doc_id", col("doc_id") + 100)
+    val v2 = Dedup.incrementalVerdicts(corpus, clone, "text", "doc_id")
+      .collect().map(_.getString(1))
+    assert(v2.forall(_ == "exact_dup"))
+  }
+
   test("vectors: dot/norm/cosine/normalize") {
     val df = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
     val r = df.select(
