@@ -898,6 +898,21 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Deterministic stratified sample: cap every length band at 5 docs,
+    // selected by md5 hash-rank — corpus balancing with no random state.
+    // Spark 4 plans the rank filter as WindowGroupLimit (per-task size-n
+    // heap before the stratum shuffle).
+    "llm_stratified_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("text"))
+      val stratum = least(
+        floor(size(TextAnalysis.words(col("text"))) / 20), lit(5L)).cast("long")
+      Sampling.stratifiedSample(d, stratum, "doc_id", 5)
+        .select(col("stratum"), col("sample_rank"),
+          col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("stratum"), col("sample_rank"))
+    }),
+
     // Exact dedup: hash-groupBy, min doc_id wins. Duplicates are injected
     // deterministically (every 7th doc re-appears with id+10000) since the
     // corpus itself is duplicate-free; output is the duplicate groups.
@@ -2114,6 +2129,20 @@ object SparkEntry {
         |         doc_id, round(score, 4) AS score
         |  FROM scored)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "llm_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(least(CAST(floor(len(str_split(text, ' ')) / 20) AS BIGINT), 5) AS BIGINT) AS stratum,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT stratum,
+        |    CAST(row_number() OVER (PARTITION BY stratum ORDER BY k, doc_id) AS BIGINT) AS sample_rank,
+        |    doc_id
+        |  FROM s)
+        |SELECT stratum, sample_rank, doc_id FROM r
+        |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
 
     // First-seen streaming dedup admits exactly the min-id copy per
     // content (earlier micro-batch holds the lower ids).

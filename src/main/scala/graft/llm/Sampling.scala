@@ -55,4 +55,28 @@ object Sampling {
       .withColumn("bin_offset", cum - col(tokenCol))
       .withColumn("bin", floor(col("bin_offset") / budget).cast("long"))
   }
+
+  /** Deterministic stratified sample: keep the `n` hash-lowest records of
+    * each stratum — the corpus-balancing step that caps every language /
+    * source / quality bucket at a fixed size without a random generator.
+    *
+    * The per-stratum rank orders by (md5(id), id): a pure function of the
+    * record, so the selected set is stable across runs, engines and
+    * partitionings, and statistically uniform within the stratum (md5 is
+    * equidistributed). Spark 4 plans the rank-≤-n filter as
+    * WindowGroupLimit: each task keeps a size-n heap per stratum before
+    * the one shuffle on the stratum key, so the exchange carries
+    * O(strata × n), not the corpus.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: Column, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("sample_key"), col(idCol))
+    docs
+      .withColumn("stratum", stratumCol)
+      .withColumn("sample_key", md5(col(idCol).cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("sample_key")
+  }
 }

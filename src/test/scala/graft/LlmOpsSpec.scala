@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,23 @@ class LlmOpsSpec extends SparkSpec {
     val v2 = Dedup.incrementalVerdicts(corpus, clone, "text", "doc_id")
       .collect().map(_.getString(1))
     assert(v2.forall(_ == "exact_dup"))
+  }
+
+  test("sampling: stratified sample caps strata, is deterministic, " +
+       "plans WindowGroupLimit") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      (col("id") % 4).as("bucket"))
+    def run() = Sampling.stratifiedSample(docs, col("bucket"), "doc_id", 7)
+    val rows = run().collect()
+    val byStratum = rows.groupBy(_.getAs[Long]("stratum"))
+    assert(byStratum.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byStratum.values.forall(_.length == 7))
+    assert(rows.map(r => (r.getAs[Long]("stratum"), r.getAs[Long]("doc_id")))
+      .toSet == run().collect()
+      .map(r => (r.getAs[Long]("stratum"), r.getAs[Long]("doc_id"))).toSet)
+    val df = run()
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
   test("vectors: dot/norm/cosine/normalize") {
