@@ -71,4 +71,52 @@ object CodecProperties extends Properties("codecs") {
   property("prompb ReadRequest wire round-trip") = forAll(readRequest) { rr =>
     Prompb.decodeReadRequest(Prompb.encodeReadRequest(rr)) == rr
   }
+
+  // ---- native-expression kernels (pure: ArrayData/UTF8String in-out) ----
+
+  import graft.expressions.Kernels
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def bits(d: java.lang.Double): Long =
+    java.lang.Double.doubleToRawLongBits(d.doubleValue())
+
+  property("codec kernels == canonical functions across the UTF8String edge") =
+    forAll(str) { s =>
+      Kernels.graphiteEscape(UTF8String.fromString(s)).toString ==
+        GraphiteCodec.escape(s) &&
+      Kernels.opentsdbMarshal(UTF8String.fromString(s)).toString ==
+        OpenTsdbCodec.marshal(s)
+    }
+
+  private val vec: Gen[List[Double]] =
+    Gen.listOf(Gen.choose(-1e3, 1e3))
+
+  property("vecDot kernel is the sequential left fold, bitwise") =
+    forAll(vec, vec) { (a, b) =>
+      val r = Kernels.vecDot(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      if (a.length != b.length) r == null
+      else {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        bits(r) == java.lang.Double.doubleToRawLongBits(acc)
+      }
+    }
+
+  property("vecCosine kernel matches dot/(|a||b|) with NULL on zero norm") =
+    forAll(vec) { a =>
+      val ad = new GenericArrayData(a.toArray)
+      val zero = new GenericArrayData(Array.fill(a.length)(0.0))
+      val self = Kernels.vecCosine(ad, ad)
+      val degenerate = Kernels.vecCosine(ad, zero)
+      val selfOk =
+        if (a.isEmpty || a.forall(_ == 0.0)) self == null
+        else {
+          val d = Kernels.vecDot(ad, ad).doubleValue()
+          bits(self) == java.lang.Double.doubleToRawLongBits(
+            d / (math.sqrt(d) * math.sqrt(d)))
+        }
+      selfOk && degenerate == null
+    }
 }
