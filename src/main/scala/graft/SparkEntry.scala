@@ -1044,6 +1044,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: training docs sharing any 5-word n-gram
+    // with an "eval suite" are flagged. The eval set is built as verbatim
+    // substrings of every 37th doc (the realistic contamination mode:
+    // eval examples quoted inside crawl pages), so those docs must flag;
+    // anything else flags only via natural n-gram overlap. Eval n-grams
+    // broadcast; the training side never shuffles its text.
+    "llm_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalSet = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 21, 180).as("text"))
+      Dedup.decontaminate(d, evalSet, n = 5).orderBy(col("id"))
+    }),
+
     // SimHash near-dup: 16-bit signature, 4-block pigeonhole candidate
     // generation, hamming ≤ 3. Output aggregated per distance (the tiny
     // synthetic vocabulary makes individual pairs numerous).
@@ -1863,6 +1876,24 @@ object SparkEntry {
         |FROM batch b LEFT JOIN exact_ids e ON b.doc_id = e.id
         |            LEFT JOIN near_ids n ON b.doc_id = n.id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |      [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)])) AS ng
+        |  FROM (SELECT str_split(substr(text, 21, 180), ' ') AS ws
+        |        FROM documents WHERE doc_id % 37 = 0)),
+        |tr AS (
+        |  SELECT id, unnest(ngs) AS ng FROM (
+        |    SELECT doc_id AS id, list_distinct(
+        |        [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)]) AS ngs
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents))),
+        |h AS (
+        |  SELECT id, count(*) AS n_hits FROM tr JOIN ev USING (ng) GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+        |FROM documents d LEFT JOIN h ON h.id = d.doc_id
+        |ORDER BY id""".stripMargin,
 
     "llm_dedup_cluster" ->
       """WITH RECURSIVE all_docs AS (

@@ -438,4 +438,40 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Benchmark decontamination: flag every training document that shares
+    * at least one contiguous word n-gram with an evaluation corpus — the
+    * GPT-3-style overlap scrub (13-gram there; n is a parameter) that
+    * keeps test-set text out of the training mix.
+    *
+    * Scale shape: the eval side is a benchmark suite — bounded small BY
+    * CONTRACT (thousands of documents, not a crawl), so its distinct
+    * n-gram set broadcasts; that is the point of the algorithm, not an
+    * optimism about data size. The training corpus (the 100 TB side)
+    * explodes to (id, ngram) map-side, hits the broadcast hash join
+    * without shuffling, and only the surviving (id, hit) pairs reach the
+    * per-doc count aggregation (partial→final, bounded by hit count).
+    * No train×train or train×eval pair stream ever exists — candidates
+    * are exact n-gram equality. If the eval side ever outgrows broadcast
+    * (it shouldn't), drop the hint and the same plan degrades to a
+    * shuffle semi-join keyed on the n-gram.
+    *
+    * @return one row per training doc: (id, n_hits = distinct overlapping
+    *         n-grams, contaminated 0/1)
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 13,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def ngrams(c: org.apache.spark.sql.Column) =
+      array_distinct(TextAnalysis.wordShingles(TextAnalysis.words(c), n))
+    val evalNg = evalSet.select(explode(ngrams(col(textCol))).as("ng")).distinct()
+    val hits = train
+      .select(col(idCol).as("id"), explode(ngrams(col(textCol))).as("ng"))
+      .join(broadcast(evalNg), Seq("ng"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
 }

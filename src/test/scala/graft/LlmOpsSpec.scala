@@ -94,6 +94,19 @@ class LlmOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("dedup: decontamination flags docs quoting eval text, spares the rest") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen")).toDF("doc_id", "text")
+    // eval corpus quotes a 5-gram from doc 1 verbatim; nothing from 2 or 3
+    val evalSet = Seq("xx beta gamma delta epsilon zeta yy").toDF("text")
+    val out = Dedup.decontaminate(train, evalSet, n = 5).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+    assert(out(0).getAs[Long]("n_hits") >= 1L)
+  }
+
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
