@@ -913,6 +913,48 @@ object SparkEntry {
         .orderBy(col("stratum"), col("sample_rank"))
     }),
 
+    // Corpus shuffle + shard: write-side deterministic pseudo-random
+    // order over 8 shards. One shuffle on the shard key (the repartition
+    // a sharded write performs anyway) + per-shard rank.
+    "llm_shuffle_shard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("source"))
+      Sampling.shuffleShard(d, "doc_id", 8)
+        .select(col("shard"), col("pos"),
+          col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // Domain-mixture subsampling at temperature 0.5 keyed on language
+    // (the skewed domain in the corpus: en dominates): the rarest
+    // language keeps everything, a k×-larger one keeps sqrt(1/k). Tiny
+    // count agg + broadcast rate join + map-side hash-draw filter — the
+    // corpus never shuffles.
+    "llm_mixture_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("lang"))
+      Sampling.mixtureSampleSqrt(d, "lang", "doc_id")
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget selection: best-quality docs until a 20k-token budget,
+    // quality = fixed-point TTR (integer arithmetic → exact cross-engine
+    // ordering). Bucketed prefix: only the boundary score-bucket ever
+    // sorts; every other accept is a map-side filter.
+    "llm_token_budget" -> ((s, dir) => {
+      val ws = TextAnalysis.words(col("text"))
+      val scored = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("toks"),
+          floor(size(array_distinct(ws)).cast("long") * 1048576L
+            / size(ws)).cast("long").as("score_int"))
+      Sampling.budgetSelect(scored, "doc_id", "score_int", "toks", 20000L)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("score_int"), col("toks"))
+        .orderBy(col("score_int").desc, col("doc_id"))
+    }),
+
     // Exact dedup: hash-groupBy, min doc_id wins. Duplicates are injected
     // deterministically (every 7th doc re-appears with id+10000) since the
     // corpus itself is duplicate-free; output is the duplicate groups.
@@ -2174,6 +2216,39 @@ object SparkEntry {
         |  FROM s)
         |SELECT stratum, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
+
+    "llm_shuffle_shard" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8) AS BIGINT) % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':ord') AS ord_key
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) - 1 AS BIGINT) AS pos,
+        |  doc_id, source
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "llm_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |    sqrt((SELECT min(cnt) FROM c)::DOUBLE / cnt) AS rate FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(floor((len(list_distinct(str_split(text, ' '))) * 1048576)::DOUBLE
+        |        / len(str_split(text, ' '))) AS BIGINT) AS score_int
+        |  FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (ORDER BY score_int DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, score_int, toks FROM c WHERE cum <= 20000
+        |ORDER BY score_int DESC, doc_id""".stripMargin,
 
     // First-seen streaming dedup admits exactly the min-id copy per
     // content (earlier micro-batch holds the lower ids).

@@ -56,6 +56,131 @@ object Sampling {
       .withColumn("bin", floor(col("bin_offset") / budget).cast("long"))
   }
 
+  /** Uniform [0, 1) double from the record id under a named salt: first
+    * 15 md5 hex digits (60 bits) over 2^60. Integer-to-double division of
+    * a value < 2^60 is a single correctly-rounded IEEE op, so any engine
+    * with md5 reproduces the draw bit-for-bit.
+    */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long").cast("double") / 1152921504606846976.0d
+
+  /** Deterministic corpus shuffle + sharding: the write-side pass that
+    * turns a curated corpus into N training shards with a reproducible
+    * pseudo-random document order (dataloaders then read shards
+    * sequentially — the shuffle must happen here, at write time).
+    *
+    * shard = 32-bit md5 slice of the id mod numShards; within-shard
+    * position = rank by a second, independent md5 slice (salted
+    * differently, so shard choice and order are uncorrelated). Both are
+    * pure functions of the id: stable across runs, engines and cluster
+    * sizes, no RNG state.
+    *
+    * Scale shape: exactly Spark's shard-write pattern — one shuffle on
+    * `shard` (the repartition a sharded write performs anyway), then a
+    * per-shard sort for rank. Spark plans the row_number as sort + running
+    * count within each shard's partition; nothing global. At 100 TB with
+    * numShards sized to ~1-4 GB each this is the standard corpus
+    * materialization plan.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    val id = col(idCol)
+    val shard = conv(substring(md5(concat(id.cast("string"), lit(":shard"))),
+      1, 8), 16, 10).cast("long") % numShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord_key"), id)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("ord_key", md5(concat(id.cast("string"), lit(":ord"))))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .drop("ord_key")
+  }
+
+  /** Domain-mixture subsampling at temperature alpha = 0.5 — the
+    * source-rebalancing pass of pretraining mixes (flatten the source
+    * distribution p_s toward p_s^alpha by subsampling overrepresented
+    * sources; the rarest source keeps everything, a source k× larger
+    * keeps sqrt(1/k) of its docs). Acceptance is a deterministic
+    * per-record hash draw, so the sampled corpus is reproducible with no
+    * RNG state and no coordination.
+    *
+    * alpha is fixed at 0.5 because its rate sqrt(c_min/c_s) is built
+    * from two correctly-rounded IEEE ops (long/long divide, sqrt) —
+    * bit-identical on every engine, unlike a general pow whose last ulp
+    * is library-dependent (and would make accept/reject flip on the
+    * u < rate boundary between engines).
+    *
+    * Scale shape: per-source counts is a tiny two-level agg (sources are
+    * a bounded vocabulary); the rate table broadcasts; acceptance is a
+    * map-side filter. The corpus itself never shuffles.
+    */
+  def mixtureSampleSqrt(docs: DataFrame, sourceCol: String,
+                        idCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("src_cnt"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("src_cnt")).as("min_cnt"))))
+      .select(col(sourceCol),
+        sqrt(col("min_cnt").cast("double") / col("src_cnt")).as("accept_rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashUniform(col(idCol), ":mix") < col("accept_rate"))
+      .drop("accept_rate")
+  }
+
+  /** Token-budget selection: keep the highest-quality documents whose
+    * running token total stays within `budget` — the "best N tokens"
+    * curation pass (quality-ranked corpus truncation). Semantics are the
+    * global rule: order by (score desc, id), accept while the inclusive
+    * token cumsum ≤ budget.
+    *
+    * A naive global-order running sum is a single-partition window — the
+    * one Spark shape that cannot scale. Instead: quantize the score into
+    * `score/granularity` buckets, aggregate per-bucket token sums (bounded
+    * by maxScore/granularity rows — driver-safe like seedCentroids),
+    * walk the prefix on the driver to find the boundary bucket, then
+    * (a) accept every doc in buckets strictly above the boundary with a
+    * map-side filter — no shuffle, no sort — and (b) run the exact
+    * windowed cumsum ONLY inside the boundary bucket (~1/granularity of
+    * the corpus). Because the bucket is monotone in the score, the result
+    * is identical to the global rule; only the boundary slice ever sorts.
+    *
+    * `scoreIntCol` must be an integer score (exact cross-engine ordering;
+    * float scores can flip order in the last ulp between engines).
+    */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreIntCol: String,
+                   tokenCol: String, budget: Long,
+                   granularity: Long = 1024L): DataFrame = {
+    val bucket = (col(scoreIntCol).cast("long") / granularity)
+      .cast("long").as("score_bucket")
+    val withB = docs.withColumn("score_bucket", bucket)
+    val sums = withB.groupBy(col("score_bucket"))
+      .agg(sum(col(tokenCol)).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    var running = 0L
+    var boundary = Option.empty[(Long, Long)] // (bucket, remaining budget)
+    sums.foreach { case (b, t) =>
+      if (boundary.isEmpty) {
+        if (running + t <= budget) running += t
+        else boundary = Some(b -> (budget - running))
+      }
+    }
+    val full = withB.filter(boundary match {
+      case Some((b, _)) => col("score_bucket") > b
+      case None         => lit(true)
+    })
+    val edge = boundary match {
+      case None => full.limit(0)
+      case Some((b, remaining)) =>
+        val w = Window.partitionBy(col("score_bucket"))
+          .orderBy(col(scoreIntCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withB.filter(col("score_bucket") === b)
+          .withColumn("cum", sum(col(tokenCol)).over(w))
+          .filter(col("cum") <= remaining)
+          .drop("cum")
+    }
+    full.unionByName(edge).drop("score_bucket")
+  }
+
   /** Deterministic stratified sample: keep the `n` hash-lowest records of
     * each stratum — the corpus-balancing step that caps every language /
     * source / quality bucket at a fixed size without a random generator.

@@ -169,6 +169,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(v2.forall(_ == "exact_dup"))
   }
 
+  test("sampling: shuffle-shard covers 0..n-1 positions per shard, deterministically") {
+    val docs = (0L until 64L).toDF("doc_id")
+    val a = Sampling.shuffleShard(docs, "doc_id", 4).collect()
+    val b = Sampling.shuffleShard(docs, "doc_id", 4).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet) // pure function of id
+    val byShard = a.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 4L).toSet))
+    byShard.foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(pos == (0L until rows.length).toSeq) // dense rank within shard
+    }
+    // order within a shard is NOT id order (it actually shuffled)
+    assert(byShard.values.exists(rows =>
+      rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq !=
+        rows.map(_.getAs[Long]("doc_id")).sorted.toSeq))
+  }
+
+  test("sampling: sqrt mixture keeps the rarest domain whole, thins the rest") {
+    val docs = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 416L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val kept = Sampling.mixtureSampleSqrt(docs, "src", "doc_id")
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 16L) // rate 1.0: rarest source never loses docs
+    // big keeps ~sqrt(16/400) = 20% — allow wide deterministic-hash slack
+    assert(kept("big") > 40L && kept("big") < 160L)
+  }
+
+  test("sampling: budget-select equals the naive global cumsum rule") {
+    val r = new scala.util.Random(7)
+    val docs = (0L until 300L)
+      .map(i => (i, r.nextInt(2048).toLong, 10L + r.nextInt(90)))
+      .toDF("id", "score_int", "toks")
+    for (budget <- Seq(0L, 500L, 7000L, 1000000L)) {
+      val got = Sampling.budgetSelect(docs, "id", "score_int", "toks", budget,
+          granularity = 256L)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val naive = docs.withColumn("cum", sum(col("toks")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_int").desc, col("id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .filter(col("cum") <= budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive, s"budget=$budget")
+    }
+  }
+
   test("sampling: stratified sample caps strata, is deterministic, " +
        "plans WindowGroupLimit") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
