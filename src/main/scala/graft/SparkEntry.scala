@@ -913,6 +913,19 @@ object SparkEntry {
         .orderBy(col("stratum"), col("sample_rank"))
     }),
 
+    // Repeated-passage mining: 64-word chunks at stride 48 duplicated
+    // across documents (replayed every-7th docs inject the duplicates —
+    // the corpus itself is passage-unique). Only chunk HASHES shuffle.
+    "llm_passage_dup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      Dedup.repeatedPassages(d.unionByName(replay), 64, 48)
+        .select(col("chunk_hash"), col("n_docs"), col("n_occurrences"),
+          col("first_doc"))
+        .orderBy(col("first_doc"), col("chunk_hash"))
+    }),
+
     // Corpus shuffle + shard: write-side deterministic pseudo-random
     // order over 8 shards. One shuffle on the shard key (the repartition
     // a sharded write performs anyway) + per-shard rank.
@@ -2216,6 +2229,27 @@ object SparkEntry {
         |  FROM s)
         |SELECT stratum, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
+
+    "llm_passage_dup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |c AS (SELECT doc_id, ws,
+        |    CASE WHEN len(ws) <= 64 THEN 1
+        |         ELSE CAST(ceil((len(ws) - 64)::DOUBLE / 48) AS BIGINT) + 1
+        |    END AS nc
+        |  FROM w),
+        |ch AS (SELECT doc_id, md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_hash
+        |  FROM c, unnest(range(0, nc)) AS t(i)),
+        |pd AS (SELECT chunk_hash, doc_id, count(*) AS n_in_doc
+        |  FROM ch GROUP BY chunk_hash, doc_id)
+        |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_in_doc) AS BIGINT) AS n_occurrences,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM pd GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY first_doc, chunk_hash""".stripMargin,
 
     "llm_shuffle_shard" ->
       """WITH s AS (

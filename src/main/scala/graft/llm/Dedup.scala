@@ -439,6 +439,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Repeated-passage mining: find fixed-size word spans (chunks at a
+    * stride) that occur in MORE THAN ONE document — the exact-substring
+    * duplication signal (boilerplate, licenses, templated pages) that
+    * document-level dedup misses because the surrounding text differs.
+    *
+    * Scale shape: chunks are hashed map-side immediately after the
+    * explode, so only (hash, id) pairs ever shuffle — never chunk text.
+    * Two-level aggregation: the (hash, doc) pre-agg collapses within-doc
+    * repeats with map-side partial combine, then the per-hash agg counts
+    * documents. Both shuffles are keyed on the hash — uniform by
+    * construction, no skew. Output is bounded by the duplicated-passage
+    * count, a small fraction of the corpus.
+    *
+    * Detection is stride-aligned: a shared span is found when it starts
+    * at chunk boundaries in both documents (always true for templated/
+    * boilerplate text, which repeats from the same page offset; stride=1
+    * makes it fully shift-invariant at stride× cost). For arbitrary-
+    * offset robustness see the shift-resistant minhash path.
+    *
+    * @return one row per passage seen in >1 doc: (chunk_hash, n_docs,
+    *         n_occurrences, first_doc)
+    */
+  def repeatedPassages(docs: DataFrame, chunkWords: Int, stride: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wordChunks(
+          TextAnalysis.words(col(textCol)), chunkWords, stride)).as("c"))
+      .select(col("id"), md5(col("c.text")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"), col("id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+    perDoc.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs"), // rows are distinct (hash, doc)
+        sum(col("n_in_doc")).as("n_occurrences"),
+        min(col("id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one contiguous word n-gram with an evaluation corpus — the
     * GPT-3-style overlap scrub (13-gram there; n is a parameter) that

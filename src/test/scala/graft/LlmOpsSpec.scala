@@ -94,6 +94,18 @@ class LlmOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 99L -> 99L))
   }
 
+  test("dedup: repeated-passage mining finds cross-doc spans, skips unique text") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ") // an 8-word passage
+    val docs = Seq(
+      (1L, s"$shared unique tail one"),
+      (2L, s"other head $shared"), // same passage at a stride-aligned offset
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val out = Dedup.repeatedPassages(docs, 4, 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(out.forall(r => r.getAs[Long]("first_doc") == 1L))
+  }
+
   test("dedup: decontamination flags docs quoting eval text, spares the rest") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
