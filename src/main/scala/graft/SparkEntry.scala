@@ -1242,17 +1242,20 @@ object SparkEntry {
     // centroid trainer for the IVF index. Assignment is the map-side
     // fold; the update aggregates (cluster, component) with map-side
     // partial combine so the exploded stream collapses before the
-    // shuffle. The mean is an exact fixed-point integer sum (see
-    // VectorOps.kmeansStep) so the reduction is order-independent and
-    // bit-identical across engines — a float avg drifted across the
-    // round-4 boundary, and a double→decimal cast rounds ties
-    // differently in Spark (half-up) vs DuckDB (half-even).
+    // shuffle. The compared value is the exact fixed-point integer sum
+    // `msum` (see VectorOps.kmeansStep) — integers hash identically on
+    // every engine, whereas a float avg drifted across the round-4
+    // boundary (r3) and even round(mean, 4) of the exact-integer
+    // quotient did (r4): Spark rounds doubles via the shortest decimal
+    // repr half-up, DuckDB rounds the binary value, and quotients near
+    // a 4-decimal boundary land on different sides.
     "llm_kmeans_step" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val cents = seedCentroids(e, 8)
       VectorOps.kmeansStep(e, cents)
-        .select(col("cid"), col("pos").cast("long").as("pos"),
-          col("n").cast("long").as("n"), round(col("mean"), 4).as("mean"))
+        .select(col("cid").cast("long").as("cid"),
+          col("pos").cast("long").as("pos"),
+          col("n").cast("long").as("n"), col("msum"))
         .orderBy(col("cid"), col("pos"))
     }),
 
@@ -1466,8 +1469,7 @@ object SparkEntry {
          |  FROM assigned,
          |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u))
          |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
-         |  round(sum(CAST(floor(x * 1048576.0) AS BIGINT))
-         |        / (count(*) * 1048576.0), 4) AS mean
+         |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_vocab_topk" ->
@@ -1832,15 +1834,20 @@ object SparkEntry {
          |WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'
          |ORDER BY fact""".stripMargin,
 
+    // Every branch casts to BIGINT: sum(CASE...) is HUGEINT in DuckDB and
+    // UNION type-unification would promote the whole `value` column to
+    // HUGEINT, which round-trips to pandas as a non-int64 — the values
+    // look equal but hash differently against Spark's long column.
     "obs_ingest_counters" ->
-      """WITH e AS (SELECT count(*) AS total,
-        |  sum(CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0
-        |           OR event_id % 83 = 0 THEN 1 ELSE 0 END) AS ign FROM events)
-        |SELECT 'ignored_samples_total' AS metric, CAST(ign AS BIGINT) AS value FROM e
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0
+        |           OR event_id % 83 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ign
+        |  FROM events)
+        |SELECT 'ignored_samples_total' AS metric, ign AS value FROM e
         |UNION ALL
         |SELECT 'received_samples_total', total FROM e
         |UNION ALL
-        |SELECT 'stored_samples_total', total - ign FROM e
+        |SELECT 'stored_samples_total', CAST(total - ign AS BIGINT) FROM e
         |ORDER BY metric""".stripMargin,
 
     "llm_dedup_minhash" ->

@@ -155,10 +155,18 @@ object Dedup {
           .join(sh.select(col("id"), col("shingles").as("sh_b")),
             col("id_b") === col("id")).drop("id")
       }
-    verified
+    // Materialize the confirmed pairs (orders of magnitude smaller than
+    // the corpus) so the shingle/candidate caches can be released NOW —
+    // a long-lived session (the serve path, repeated pipeline cycles)
+    // would otherwise accumulate cached blocks until LRU eviction.
+    val confirmed = verified
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sh.unpersist()
+    candidates.unpersist()
+    confirmed
   }
 
   /** Broadcast gate for the minhash verify joins: bare (long, long) pairs
@@ -283,12 +291,19 @@ object Dedup {
         when(col("h_b") === col("h_c"), 2)
           .when(jaccard(col("sh_b"), col("sh_c")) >= threshold, 1).as("sev"))
       .groupBy(col("id")).agg(max(col("sev")).as("sev"))
-    sh.filter(col("side") === "b").select(col("id"))
+    // One row per batch doc — tiny; materialize and release the
+    // side-tagged shingle cache and candidate pairs (same leak contract
+    // as minhashNearDups).
+    val verdicts = sh.filter(col("side") === "b").select(col("id"))
       .join(severity, Seq("id"), "left")
       .select(col("id"),
         when(col("sev") === 2, "exact_dup")
           .when(col("sev") === 1, "near_dup")
           .otherwise("admitted").as("verdict"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    candidates.unpersist()
+    verdicts
   }
 
   /** 16-bit SimHash over the document's word stream. Bit p is the sign of
@@ -429,7 +444,7 @@ object Dedup {
     val firstAgreeingBlock = (0 to 2).map(bp =>
       col("a.block") <= bp ||
         nib(col("a.sig"), bp) =!= nib(col("b.sig"), bp)).reduce(_ && _)
-    blocked.as("a")
+    val pairs = blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
@@ -437,6 +452,11 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      // materialize (hamming-filtered pairs are small) and release the
+      // signature cache — same leak contract as minhashNearDups
+      .localCheckpoint(true)
+    sigs.unpersist()
+    pairs
   }
 
   /** Repeated-passage mining: find fixed-size word spans (chunks at a

@@ -189,15 +189,16 @@ object VectorOps {
     *
     * Determinism: the per-cluster mean is computed on a 2^-20 fixed-point
     * grid — floor(x·2^20) is exact IEEE arithmetic (power-of-two scale,
-    * then an exact floor), the per-cluster reduction is an exact integer
-    * sum (order-independent across partitionings, retries, and engines),
-    * and one final double division recovers the mean. Quantization error
-    * is < 2^-20 per component, far below any k-means convergence
-    * tolerance, and in exchange the step is bit-reproducible — a float
-    * avg() depends on reduction order, and a double→decimal cast is NOT
-    * portable either (Spark rounds the cast half-up via the shortest
-    * string repr, DuckDB half-even via an FP multiply; any float with
-    * exactly 19 fractional bits is a tie that diverges).
+    * then an exact floor), and the per-cluster reduction is an exact
+    * integer sum (order-independent across partitionings, retries, and
+    * engines), exposed as `msum`. Quantization error is < 2^-20 per
+    * component, far below any k-means convergence tolerance, and in
+    * exchange the step is bit-reproducible — a float avg() depends on
+    * reduction order. `mean` = msum/(n·2^20) is derived for consumers;
+    * anything that must compare ACROSS engines should compare the
+    * integers (even round(mean, 4) is not portable: Spark rounds via the
+    * shortest decimal repr half-up, other engines round the binary value,
+    * and quotients near a 4-decimal boundary diverge).
     */
   def kmeansStep(corpus: DataFrame,
                  centroids: Seq[(Int, Seq[Double])]): DataFrame =
@@ -206,8 +207,8 @@ object VectorOps {
       .select(col("cid"), posexplode(col("vec")).as(Seq("pos0", "x")))
       .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("x") * MeanGrid)) / (count(lit(1)) * MeanGrid))
-          .as("mean"))
+        sum(floor(col("x") * MeanGrid)).cast("long").as("msum"))
+      .withColumn("mean", col("msum") / (col("n") * MeanGrid))
 
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before an embedding corpus is indexed.

@@ -82,7 +82,8 @@ object Transport {
       val batch = it.toArray
       if (batch.isEmpty) Iterator.empty
       else Iterator.single(
-        post(putUrl, batch.mkString("[", ",", "]"), "application/json") match {
+        post(putUrl, batch.mkString("[", ",", "]"), "application/json",
+          timeoutMs) match {
           case Right((204, _)) => WriteStats(batch.length.toLong, 0L, None)
           case Right((400, body)) =>
             val failed = jsonIntField(body, "failed").getOrElse(batch.length.toLong)
@@ -109,7 +110,8 @@ object Transport {
       val batch = it.toArray
       if (batch.isEmpty) Iterator.empty
       else Iterator.single(
-        post(writeUrl, batch.mkString("\n"), "text/plain; charset=utf-8") match {
+        post(writeUrl, batch.mkString("\n"), "text/plain; charset=utf-8",
+          timeoutMs) match {
           case Right((204, _)) => WriteStats(batch.length.toLong, 0L, None)
           case Right((code, body)) =>
             WriteStats(0L, batch.length.toLong, Some(s"http $code: ${body.take(200)}"))
@@ -135,15 +137,19 @@ object Transport {
   private def errMsg(e: Throwable): Option[String] =
     Some(Option(e.getMessage).getOrElse(e.getClass.getName))
 
-  /** POST a body, return Right(status, responseBody) or Left(error). */
-  private def post(url: String, body: String,
-                   contentType: String): Either[String, (Int, String)] =
+  /** POST a body, return Right(status, responseBody) or Left(error).
+    * `timeoutMs` is the caller's send timeout (≙ the reference's
+    * --send-timeout flag, main.go:134) applied to the read; the connect
+    * timeout stays a short fixed bound like the reference's dialer.
+    */
+  private def post(url: String, body: String, contentType: String,
+                   timeoutMs: Int): Either[String, (Int, String)] =
     try {
       val conn = URI.create(url).toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
       try {
-        conn.setConnectTimeout(ConnectTimeoutMs)
-        conn.setReadTimeout(60000)
+        conn.setConnectTimeout(math.min(ConnectTimeoutMs, timeoutMs))
+        conn.setReadTimeout(timeoutMs)
         conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", contentType)
         conn.setDoOutput(true)
