@@ -430,12 +430,17 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxDist: Int = 3): DataFrame = {
     require(maxDist < 4, "4-block pigeonhole only covers distance <= 3")
-    // Persisted so the md5-per-word array + 16 vote aggregates compute
-    // once (HOF aggregates defeat expression CSE) and the band join reads
-    // tiny (id, sig) ints on both sides.
+    // NOT persisted and NOT checkpointed: the block self-join's two sides
+    // are the identical subtree, so ReusedExchange computes the
+    // md5-per-word array + 16 vote aggregates exactly once (same pattern
+    // as the banded table in minhashNearDups) — and unlike minhash there
+    // is no SECOND consumer after the join, so a cache would only leak.
+    // The pair stream itself is left LAZY: at small-vocab skew it is
+    // millions of rows, and materializing it (cache or checkpoint) costs
+    // more than the downstream aggregation it feeds.
     val hs = docs.select(col(idCol).as("id"),
       transform(TextAnalysis.words(col(textCol)), w => md5(w)).as("hs"))
-    val sigs = hs.select(col("id"), simhash16Int(col("hs")).as("sig")).persist()
+    val sigs = hs.select(col("id"), simhash16Int(col("hs")).as("sig"))
     def nib(sig: org.apache.spark.sql.Column, b: Int) =
       shiftright(sig, b * 4).bitwiseAND(lit(15))
     val blocked = sigs.select(col("id"), col("sig"),
@@ -444,7 +449,7 @@ object Dedup {
     val firstAgreeingBlock = (0 to 2).map(bp =>
       col("a.block") <= bp ||
         nib(col("a.sig"), bp) =!= nib(col("b.sig"), bp)).reduce(_ && _)
-    val pairs = blocked.as("a")
+    blocked.as("a")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))
@@ -452,11 +457,6 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      // materialize (hamming-filtered pairs are small) and release the
-      // signature cache — same leak contract as minhashNearDups
-      .localCheckpoint(true)
-    sigs.unpersist()
-    pairs
   }
 
   /** Repeated-passage mining: find fixed-size word spans (chunks at a
