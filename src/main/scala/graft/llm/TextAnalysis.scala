@@ -171,6 +171,57 @@ object TextAnalysis {
         .as("dup_ratio"))
   }
 
+  /** Linear quality-classifier weights over the feature vector
+    * (ttr, mean_word_len, stop_ratio, min(1, n_words/100), dup_3gram) —
+    * stand-ins for a trained fastText/logreg quality model; deployment
+    * swaps the literals, the plan shape is identical.
+    */
+  val QualityWeights: Seq[Double] = Seq(1.5, 0.08, 2.0, 1.2, -3.0)
+  val QualityBias: Double = -1.6
+
+  /** The two standard corpus quality filters composed: a Gopher-style
+    * RULE gate (word-count bounds, mean-word-length bounds, ≥2 English
+    * stopword hits, duplicate-3-gram ratio ≤ 0.3 — the repetition rules
+    * of Rae et al. 2021 §A1.1, simplified to this engine's features) and
+    * a LINEAR classifier score (logistic regression ≙ fastText-style
+    * quality model: logit = bias + w·features; keep ⇔ p > 0.5 ⇔
+    * logit > 0, so no exp() ever needs to cross an engine boundary).
+    *
+    * Scale shape: weights and bounds are plan literals; every feature is
+    * a per-row HOF over the word array — pure map work at scan speed, no
+    * shuffle, no UDF; at 100 TB this is the cheapest pass in the
+    * pipeline, which is why production filters run it FIRST.
+    *
+    * Determinism: features are exact-integer ratios (one IEEE division
+    * each), the logit is a fixed literal multiply-add chain, and the
+    * exported score is floor(logit·2^20) — the same fixed-point grid as
+    * the k-means step, immune to cross-engine round() divergence.
+    *
+    * @return struct(n_words, gopher_pass 0/1, logit_fp fixed-point long,
+    *         keep 0/1 = rule gate AND classifier)
+    */
+  def qualityFilter(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val ttr = size(array_distinct(ws)).cast("double") / nWords
+    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords
+    val stopN = stopHits(ws, "en")
+    val stopRatio = stopN.cast("double") / nWords
+    val dup = repetitionStats(ws, 3).getField("dup_ratio")
+    val sizeFeat = least(lit(1.0), nWords.cast("double") / 100)
+    val Seq(w1, w2, w3, w4, w5) = QualityWeights
+    val logit = lit(QualityBias) + lit(w1) * ttr + lit(w2) * meanLen +
+      lit(w3) * stopRatio + lit(w4) * sizeFeat + lit(w5) * dup
+    val gopher = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 && stopN >= 2 && dup <= 0.3
+    struct(
+      nWords.cast("long").as("n_words"),
+      gopher.cast("long").as("gopher_pass"),
+      floor(logit * lit(1048576.0)).cast("long").as("logit_fp"),
+      (gopher && logit > 0).cast("long").as("keep"))
+  }
+
   /** PII scrubbing patterns — conservative character-class-only regexes
     * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
     * them identically. Extend per deployment.

@@ -210,6 +210,52 @@ object VectorOps {
         sum(floor(col("x") * MeanGrid)).cast("long").as("msum"))
       .withColumn("mean", col("msum") / (col("n") * MeanGrid))
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * y_j = <vec, plane_j> for a seeded literal plane set — the cheap
+    * train-free projection that shrinks an embedding corpus before
+    * indexing/clustering (or decorrelates it for sign-LSH).
+    *
+    * Scale shape: the planes are literals (broadcast with the plan), each
+    * output component is an ordered-fold dot — pure map work, no shuffle,
+    * no UDF; at 100 TB this runs at scan speed. Determinism: the fold is
+    * bit-exact cross-engine, so downstream fixed-point grids stay exact.
+    */
+  def randomProjection(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val planeLits = planes.map(p => array(p.map(lit): _*))
+    array(planeLits.map(p => dot(vec, p)): _*)
+  }
+
+  /** Contrastive hard-negative mining: for each query (anchor), the top-k
+    * corpus vectors by cosine INSIDE a band [lo, hi) — similar enough to
+    * be confusable, excluded near the top so positives/duplicates don't
+    * leak into the negative set. The standard retrieval/embedding-training
+    * data op (in-batch negatives are easy; these are the hard ones).
+    *
+    * Same two-phase rank as [[bruteForceTopK]] — the band filter runs
+    * map-side on the scored stream BEFORE either window, so only in-band
+    * candidates are ever ranked, and phase 2 sees ≤ k rows per (query,
+    * partition) no matter the corpus size. An LSH/IVF prefilter composes
+    * upstream when the corpus is indexed (the band's upper bound makes
+    * bucket recall less critical than for true-NN search).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("vec"), col("qvec")).as("cos"),
+        spark_partition_id().as("part"))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val local = Window.partitionBy(col("qid"), col("part"))
+      .orderBy(col("cos").desc, col("id"))
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("lr", row_number().over(local)).filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cos"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before an embedding corpus is indexed.
     * scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (round-half-up
