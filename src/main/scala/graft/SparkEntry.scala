@@ -1272,6 +1272,54 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Gopher-rule + linear-classifier quality filter — the first pass of
+    // every corpus pipeline (map-side only, no shuffle). The synthetic
+    // whitespace-only doc (-1) pins the nWords = 0 contract: every ratio
+    // is defined 0.0 (not 0/0), logit = bias, keep = 0 — deterministic
+    // rejection instead of engine-specific NaN/null propagation.
+    "llm_quality_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionAll(s.range(1).select(lit(-1L).as("doc_id"), lit("  ").as("text")))
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      docs.select(col("doc_id"),
+          qf.getField("n_words").as("n_words"),
+          qf.getField("gopher_pass").as("gopher_pass"),
+          qf.getField("logit_fp").as("logit_fp"),
+          qf.getField("keep").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Johnson–Lindenstrauss random projection onto the seeded ANN planes
+    // (same literals embedded in the oracle) — pure map work at scan
+    // speed. Compared on the floor(y·2^20) fixed-point grid: the dot is
+    // an ordered fold, bit-exact cross-engine, so the grid stays exact
+    // (round(_, 4) of a double is NOT portable — the k-means lesson).
+    "llm_rand_projection" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      e.select(col("id"),
+          posexplode(VectorOps.randomProjection(col("vec"), AnnPlanes))
+            .as(Seq("pos", "y")))
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          floor(col("y") * lit(1048576.0)).cast("long").as("y_fp"))
+        .orderBy(col("id"), col("pos"))
+    }),
+
+    // Contrastive hard-negative mining: top-5 corpus vectors per query
+    // inside the cosine band [0.1, 0.35) — confusable but not duplicate,
+    // calibrated to this corpus's similarity distribution (near-orthogonal
+    // synthetic embeddings top out near cos 0.4). Band filter runs
+    // map-side on the scored stream BEFORE either rank window, so only
+    // in-band candidates are ever ranked.
+    "llm_hard_negatives" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.hardNegatives(e, q, 5, 0.1, 0.35)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // A7 as a storage lifecycle: ingest → append → COMPACT (version dedup
     // + tier rollup + staging swap rewrite) → read the compacted table.
     // Proves the rewrite preserves the tier semantics on disk
@@ -2091,6 +2139,83 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
          |SELECT qid, rank, id, round(cos, 4) AS cos
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // feature arithmetic mirrors the Spark expression tree op-for-op
+    // (same IEEE order); constants are CAST AS DOUBLE because bare
+    // decimal literals are DECIMAL in DuckDB; the n_words = 0 row takes
+    // the CASE branches, never a 0/0 division
+    "llm_quality_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), '  '),
+        |w AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws FROM d),
+        |g AS (SELECT doc_id, ws,
+        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN range(1, len(ws) - 1)] END AS grams
+        |  FROM w),
+        |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr,
+        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+        |    END AS mean_len,
+        |    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS stop_n,
+        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_filter(ws, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(ws)
+        |    END AS stop_ratio,
+        |    least(CAST(1.0 AS DOUBLE), len(ws)::DOUBLE / 100) AS size_feat,
+        |    CASE WHEN len(grams) <= 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+        |    END AS dup
+        |  FROM g),
+        |l AS (SELECT *,
+        |    CAST(-1.6 AS DOUBLE) + CAST(1.5 AS DOUBLE) * ttr
+        |      + CAST(0.08 AS DOUBLE) * mean_len
+        |      + CAST(2.0 AS DOUBLE) * stop_ratio
+        |      + CAST(1.2 AS DOUBLE) * size_feat
+        |      + CAST(-3.0 AS DOUBLE) * dup AS logit,
+        |    (n_words >= 50 AND n_words <= 100000
+        |      AND mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE)
+        |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  CAST(CASE WHEN gopher THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass,
+        |  CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS logit_fp,
+        |  CAST(CASE WHEN gopher AND logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    "llm_rand_projection" ->
+      s"""WITH planes AS (SELECT $OPlanes AS pl),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |p AS (
+         |  SELECT id, CAST(j - 1 AS BIGINT) AS pos,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) AS y
+         |  FROM v CROSS JOIN planes, unnest(range(1, ${AnnPlanes.size + 1})) AS t(j))
+         |SELECT id, pos,
+         |  CAST(floor(y * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS y_fp
+         |FROM p ORDER BY id, pos""".stripMargin,
+
+    "llm_hard_negatives" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+        |p AS (
+        |  SELECT qid, id,
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+        |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
+        |  FROM v CROSS JOIN q WHERE id <> qid),
+        |b AS (SELECT * FROM p
+        |  WHERE cos >= CAST(0.1 AS DOUBLE) AND cos < CAST(0.35 AS DOUBLE)),
+        |r AS (SELECT qid, id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM b)
+        |SELECT qid, rank, id, round(cos, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "llm_text_stats" ->
       """WITH w AS (SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents),

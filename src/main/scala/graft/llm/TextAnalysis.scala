@@ -197,17 +197,25 @@ object TextAnalysis {
     * exported score is floor(logit·2^20) — the same fixed-point grid as
     * the k-means step, immune to cross-engine round() divergence.
     *
+    * Empty documents: tokenization drops empty words (splitting "" on a
+    * space yields [""], which is not a word), so an empty/whitespace doc
+    * has nWords = 0. Every per-word ratio is then defined as 0.0 — NOT
+    * left to 0/0, whose result differs across engines — giving
+    * logit = bias (< 0) and keep = 0: the filter rejects empty docs
+    * deterministically instead of propagating engine-specific NaN/null.
+    *
     * @return struct(n_words, gopher_pass 0/1, logit_fp fixed-point long,
     *         keep 0/1 = rule gate AND classifier)
     */
   def qualityFilter(text: Column): Column = {
-    val ws = words(text)
+    val ws = filter(words(text), w => length(w) > 0)
     val nWords = size(ws)
-    val ttr = size(array_distinct(ws)).cast("double") / nWords
-    val meanLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / nWords
+    def ratio(num: Column): Column =
+      when(nWords === 0, lit(0.0)).otherwise(num.cast("double") / nWords)
+    val ttr = ratio(size(array_distinct(ws)))
+    val meanLen = ratio(aggregate(ws, lit(0L), (acc, w) => acc + length(w)))
     val stopN = stopHits(ws, "en")
-    val stopRatio = stopN.cast("double") / nWords
+    val stopRatio = ratio(stopN)
     val dup = repetitionStats(ws, 3).getField("dup_ratio")
     val sizeFeat = least(lit(1.0), nWords.cast("double") / 100)
     val Seq(w1, w2, w3, w4, w5) = QualityWeights

@@ -397,4 +397,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1.getAs[Int]("width") >= 1 && r1.getAs[Int]("width") <= 256)
     assert(r1.getAs[String]("fingerprint").length == 8)
   }
+
+  test("text: quality filter keeps good prose, rejects repetition, " +
+       "defines the zero-word doc") {
+    val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and", "of"))
+      .mkString(" ")
+    val spammy = Seq.fill(60)("spam").mkString(" ")
+    val docs = Seq((1L, good), (2L, spammy), (3L, "  "), (4L, "short text"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.qualityFilter(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_words"), col("q.gopher_pass"),
+        col("q.logit_fp"), col("q.keep"))
+      .orderBy("doc_id").collect()
+    // good: passes the rule gate AND the classifier
+    assert(out(0).getAs[Long]("n_words") == 63L)
+    assert(out(0).getAs[Long]("gopher_pass") == 1L)
+    assert(out(0).getAs[Long]("keep") == 1L)
+    // spammy: long enough, but dup-3gram ratio ~1 fails the Gopher gate
+    assert(out(1).getAs[Long]("gopher_pass") == 0L)
+    assert(out(1).getAs[Long]("keep") == 0L)
+    // whitespace-only: nWords = 0, every ratio defined 0.0, logit = bias
+    assert(out(2).getAs[Long]("n_words") == 0L)
+    assert(out(2).getAs[Long]("gopher_pass") == 0L)
+    assert(out(2).getAs[Long]("logit_fp") ==
+      math.floor(TextAnalysis.QualityBias * 1048576.0).toLong)
+    assert(out(2).getAs[Long]("keep") == 0L)
+    // short: well-formed but under the 50-word floor
+    assert(out(3).getAs[Long]("gopher_pass") == 0L)
+  }
+
+  test("vectors: random projection is the exact per-plane dot") {
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(3.0, -1.0)))
+      .toDF("id", "vec")
+    val planes = Seq(Seq(1.0, 1.0), Seq(1.0, -1.0))
+    val out = df.select(col("id"),
+        VectorOps.randomProjection(col("vec"), planes).as("y"))
+      .orderBy("id").collect()
+    assert(seqOf[Double](out(0), "y") == Seq(1.0, 1.0))
+    assert(seqOf[Double](out(1), "y") == Seq(2.0, -2.0))
+    assert(seqOf[Double](out(2), "y") == Seq(2.0, 4.0))
+  }
+
+  test("vectors: hard negatives stay inside the band, exclude self and dups") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),   // the query itself
+      (1L, Seq(2.0, 0.0)),   // cos 1.0 — a duplicate, above the band
+      (2L, Seq(1.0, 1.0)),   // cos ~0.707 — the hard negative
+      (3L, Seq(1.0, 0.2)),   // cos ~0.981 — above the band (near-dup)
+      (4L, Seq(0.0, 1.0)),   // cos 0 — easy negative, below the band
+      (5L, Seq(-1.0, 0.0))). // cos -1
+      toDF("id", "vec")
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = VectorOps.hardNegatives(corpus, q, 3, 0.5, 0.95)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    assert(out.head.getAs[Int]("rank") == 1)
+    val c = out.head.getAs[Double]("cos")
+    assert(c >= 0.5 && c < 0.95)
+  }
 }
