@@ -14,6 +14,13 @@ import java.nio.file.{Files, Paths}
   * per-query numbers are comparable round-over-round. Failures are NOT
   * swallowed: a failing query reports its wall time AND lands in "errors",
   * and the process exits nonzero.
+  *
+  * Each query reports the MIN over repeated trials — two normally, a
+  * third when the first two both exceed 2 s. Single-trial timing under
+  * ambient sandbox load produced phantom 4× regressions two rounds in a
+  * row (r5 recorded 28.3 s for a query that takes 6.5 s; r6 on identical
+  * code erased the "regression"); the min over trials is the standard
+  * noise floor estimator — load spikes only ever ADD time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,6 +57,27 @@ object Bench {
       }
     }
 
+    /** Min over trials: 2 normally, 3 when both initial trials run over
+      * 2 s (long queries have the most absolute noise exposure). An
+      * erroring trial short-circuits — its time and error are the report.
+      */
+    def runBest(name: String): (Double, Option[String]) = {
+      val t1 = runOne(name)
+      if (t1._2.isDefined) t1
+      else {
+        val t2 = runOne(name)
+        if (t2._2.isDefined) t2
+        else {
+          val best2 = math.min(t1._1, t2._1)
+          if (best2 <= 2.0) (best2, None)
+          else {
+            val t3 = runOne(name)
+            if (t3._2.isDefined) t3 else (math.min(best2, t3._1), None)
+          }
+        }
+      }
+    }
+
     // Warm-up: flagship query, result discarded.
     runOne("a1_bucket_quantile")
 
@@ -59,7 +87,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> runOne(n))
+    val results = names.map(n => n -> runBest(n))
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

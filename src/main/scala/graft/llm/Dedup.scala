@@ -449,7 +449,14 @@ object Dedup {
     val firstAgreeingBlock = (0 to 2).map(bp =>
       col("a.block") <= bp ||
         nib(col("a.sig"), bp) =!= nib(col("b.sig"), bp)).reduce(_ && _)
-    blocked.as("a")
+    // The merge hint pins a SHUFFLE join: both sides then shuffle on the
+    // identical (block, bval) keys from the identical subtree, and
+    // exchange reuse computes the signatures ONCE. Without it a
+    // stats-driven broadcast join (small corpus, or a future threshold
+    // bump) would silently run the signature aggregation twice — and at
+    // 100 TB the self-join's sides could never broadcast anyway, so the
+    // hint only pins what the big-data plan already does.
+    blocked.as("a").hint("merge")
       .join(blocked.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id"))

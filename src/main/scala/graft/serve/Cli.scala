@@ -49,7 +49,7 @@ object CliConfig {
       |Spark-native remote storage adapter
       |
       |  --graphite-address=""          host:port of the Graphite server. None, if empty.
-      |  --graphite-transport="tcp"     Transport to Graphite ('tcp' supported).
+      |  --graphite-transport="tcp"     Transport to Graphite ('tcp' or 'udp').
       |  --graphite-prefix=""           Prefix prepended to exported metrics.
       |  --opentsdb-url=""              URL of the OpenTSDB server. None, if empty.
       |  --influxdb-url=""              URL of the InfluxDB server. None, if empty.
@@ -122,8 +122,9 @@ object CliConfig {
       }
       rest = tail
     }
-    if (cfg.graphiteAddress.nonEmpty && cfg.graphiteTransport != "tcp")
-      return Left(s"graphite-transport '${cfg.graphiteTransport}' not supported (tcp only)")
+    if (cfg.graphiteAddress.nonEmpty &&
+        cfg.graphiteTransport != "tcp" && cfg.graphiteTransport != "udp")
+      return Left(s"graphite-transport '${cfg.graphiteTransport}' not supported (tcp or udp)")
     if (cfg.graphiteAddress.nonEmpty && !cfg.graphiteAddress.contains(':'))
       return Left(s"graphite-address '${cfg.graphiteAddress}' is not host:port")
     Right(cfg)
@@ -142,7 +143,7 @@ object Cli {
         cfg.graphiteAddress.substring(i + 1).toInt)
       Seq("graphite" -> ((df: DataFrame) => Transport.totals(
         Transport.graphitePush(Formatters.graphiteLines(df, cfg.graphitePrefix),
-          host, port, cfg.sendTimeoutMs.toInt))))
+          host, port, cfg.sendTimeoutMs.toInt, cfg.graphiteTransport))))
     }
     val opentsdb = if (cfg.opentsdbUrl.isEmpty) Nil else
       Seq("opentsdb" -> ((df: DataFrame) => Transport.totals(

@@ -153,14 +153,35 @@ class Server(spark: SparkSession, tablePath: String,
         .getBytes("UTF-8"))
   }
 
+  /** Concurrent request handling: Go's net/http serves every request on
+    * its own goroutine (the reference relies on that default,
+    * main.go:285-374), so concurrent remote-write POSTs and reads must
+    * not queue behind each other here either. A bounded pool stands in
+    * for goroutines — handlers submit Spark jobs, which are thread-safe;
+    * the plan cache is the one shared mutable and is synchronized.
+    */
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(
+    8,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new AtomicLong(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+
   def start(): Server = {
     http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
-    http.setExecutor(null) // serial, like one handler goroutine pool
+    http.setExecutor(handlerPool)
     http.start()
     this
   }
 
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = {
+    http.stop(0)
+    handlerPool.shutdown()
+  }
 }

@@ -1,7 +1,7 @@
 package graft.sinks
 
 import java.io.IOException
-import java.net.{HttpURLConnection, InetSocketAddress, Socket, URI}
+import java.net.{DatagramPacket, DatagramSocket, HttpURLConnection, InetSocketAddress, Socket, URI}
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   * distributed remote-write tier fans into a storage backend.
   *
   * Error-count semantics per backend, mirroring the reference:
-  *  - Graphite: plaintext TCP; any dial/write error fails the whole
-  *    partition batch (graphite/client.go: `conn.Write` error returns —
-  *    sendSamples then counts every sample failed).
+  *  - Graphite: plaintext over TCP or UDP; any dial/write error fails the
+  *    whole partition batch (graphite/client.go: `conn.Write` error
+  *    returns — sendSamples then counts every sample failed).
   *  - OpenTSDB: HTTP POST to /api/put; 204 = all stored; 400 carries a
   *    JSON body whose `failed`/`success` counts are the PARTIAL-failure
   *    contract (opentsdb/client.go:124-141) — we honor the split rather
@@ -40,12 +40,29 @@ object Transport {
 
   private val ConnectTimeoutMs = 5000
 
-  /** S8: Graphite plaintext over TCP. Input: the `line` column from
-    * Formatters.graphiteLines (each line newline-terminated, so a
-    * partition's concatenation is the exact TCP payload).
+  /** HttpURLConnection/Socket treat timeout 0 as INFINITE — a caller
+    * passing 0 (or negative, which would throw inside the executor task)
+    * to mean "no preference" must not silently disable the bound. Any
+    * non-positive timeout falls back to the short fixed connect bound.
+    */
+  private[graft] def effectiveTimeoutMs(timeoutMs: Int): Int =
+    if (timeoutMs > 0) timeoutMs else ConnectTimeoutMs
+
+  /** S8: Graphite plaintext over TCP or UDP — the reference dials either
+    * per config (graphite/client.go:84, flag main.go:149-151) and writes
+    * the whole batch buffer in ONE conn.Write. Input: the `line` column
+    * from Formatters.graphiteLines (each line newline-terminated, so a
+    * partition's concatenation is the exact wire payload). Over UDP the
+    * batch goes as a single datagram, exactly like the reference's
+    * conn.Write on a UDP conn — a partition payload above the ~64 KiB
+    * datagram limit fails that partition's batch (IOException), the same
+    * error the Go Write returns; size partitions accordingly.
     */
   def graphitePush(lines: DataFrame, host: String, port: Int,
-                   timeoutMs: Int = 30000): Dataset[WriteStats] = {
+                   timeoutMs: Int = 30000,
+                   transport: String = "tcp"): Dataset[WriteStats] = {
+    require(transport == "tcp" || transport == "udp",
+      s"graphite transport must be tcp or udp, got '$transport'")
     val spark = lines.sparkSession
     import spark.implicits._
     lines.select(col("line")).as[String].mapPartitions { it =>
@@ -53,14 +70,28 @@ object Transport {
       if (batch.isEmpty) Iterator.empty
       else Iterator.single(
         try {
-          val sock = new Socket()
-          try {
-            sock.connect(new InetSocketAddress(host, port), ConnectTimeoutMs)
-            sock.setSoTimeout(timeoutMs)
-            sock.getOutputStream.write(batch.mkString.getBytes(UTF_8))
-            sock.getOutputStream.flush()
-            WriteStats(batch.length.toLong, 0L, None)
-          } finally sock.close()
+          val payload = batch.mkString.getBytes(UTF_8)
+          if (transport == "udp") {
+            val sock = new DatagramSocket()
+            try {
+              // connect() resolves + pins the peer: unresolvable hosts
+              // fail here, and later ICMP port-unreachable surfaces as
+              // an IOException on send instead of being dropped.
+              sock.connect(new InetSocketAddress(host, port))
+              sock.setSoTimeout(effectiveTimeoutMs(timeoutMs))
+              sock.send(new DatagramPacket(payload, payload.length))
+              WriteStats(batch.length.toLong, 0L, None)
+            } finally sock.close()
+          } else {
+            val sock = new Socket()
+            try {
+              sock.connect(new InetSocketAddress(host, port), ConnectTimeoutMs)
+              sock.setSoTimeout(effectiveTimeoutMs(timeoutMs))
+              sock.getOutputStream.write(payload)
+              sock.getOutputStream.flush()
+              WriteStats(batch.length.toLong, 0L, None)
+            } finally sock.close()
+          }
         } catch {
           case e: IOException => WriteStats(0L, batch.length.toLong, errMsg(e))
         })
@@ -141,6 +172,8 @@ object Transport {
     * `timeoutMs` is the caller's send timeout (≙ the reference's
     * --send-timeout flag, main.go:134) applied to the read; the connect
     * timeout stays a short fixed bound like the reference's dialer.
+    * Non-positive timeouts fall back to the fixed bound (0 would mean
+    * INFINITE to HttpURLConnection, negative would throw mid-task).
     */
   private def post(url: String, body: String, contentType: String,
                    timeoutMs: Int): Either[String, (Int, String)] =
@@ -148,8 +181,9 @@ object Transport {
       val conn = URI.create(url).toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
       try {
-        conn.setConnectTimeout(math.min(ConnectTimeoutMs, timeoutMs))
-        conn.setReadTimeout(timeoutMs)
+        val readTimeout = effectiveTimeoutMs(timeoutMs)
+        conn.setConnectTimeout(math.min(ConnectTimeoutMs, readTimeout))
+        conn.setReadTimeout(readTimeout)
         conn.setRequestMethod("POST")
         conn.setRequestProperty("Content-Type", contentType)
         conn.setDoOutput(true)

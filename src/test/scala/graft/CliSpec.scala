@@ -47,7 +47,11 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("stray"), Map.empty).isLeft)
     assert(CliConfig.parse(Seq("--send-timeout=fast"), Map.empty).isLeft)
     assert(CliConfig.parse(
-      Seq("--graphite-address=h:1", "--graphite-transport=udp"), Map.empty).isLeft)
+      Seq("--graphite-address=h:1", "--graphite-transport=unix"), Map.empty).isLeft)
+    // both reference transports parse (graphite/client.go:84, main.go:149-151)
+    assert(CliConfig.parse(
+      Seq("--graphite-address=h:1", "--graphite-transport=udp"), Map.empty)
+      .exists(_.graphiteTransport == "udp"))
     assert(CliConfig.parse(Seq("--graphite-address=nohostport"), Map.empty).isLeft)
     val Left(usage) = CliConfig.parse(Seq("--help"), Map.empty): @unchecked
     assert(usage.startsWith("usage:"))

@@ -398,6 +398,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(r1.getAs[String]("fingerprint").length == 8)
   }
 
+  test("dedup: simhash self-join reuses ONE signature exchange, never broadcasts") {
+    // range-derived source so stats don't fold the join away at plan time
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta "),
+        when(col("id") % 3 === 0, "epsilon zeta").otherwise("eta theta"),
+        lit(" iota"), (col("id") % 7).cast("string")).as("text"))
+    val df = Dedup.simhashNearDups(docs, "text", "doc_id")
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString
+    // the pinned shuffle join makes the two identical sides share one
+    // exchange — the signature aggregation runs once, not twice
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast join would compute the simhash signatures twice:\n$plan")
+  }
+
   test("text: quality filter keeps good prose, rejects repetition, " +
        "defines the zero-word doc") {
     val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and", "of"))

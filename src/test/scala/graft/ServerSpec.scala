@@ -130,4 +130,71 @@ class ServerSpec extends SparkSpec {
       assert(resp.results(1).timeseries.head.samples.map(_.value) == Seq(9.0))
     } finally server.stop()
   }
+
+  test("serve: handlers run concurrently — a stalled write never blocks reads " +
+       "(Go serves every request on its own goroutine, main.go:285-374)") {
+    val table = Files.createTempDirectory("graft_srv3").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // seed one series so /read has something to scan
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "m1"), PLabel("job", "x")),
+        Seq(PSample(1.0, 1000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+
+      // Hold a /write open: send the headers and PART of the body, then
+      // stall. The handler blocks reading the rest — on the old serial
+      // executor that wedged the ONE dispatch thread and every other
+      // request queued behind it; with the pool the server keeps serving.
+      val stalled = new java.net.Socket("localhost", server.boundPort)
+      stalled.getOutputStream.write(
+        ("POST /write HTTP/1.1\r\nHost: localhost\r\n" +
+          "Content-Length: 1000\r\n\r\npartial").getBytes("UTF-8"))
+      stalled.getOutputStream.flush()
+      Thread.sleep(200) // let the handler enter readBody and block
+
+      // two parallel /read + a /metrics, all while the write is stalled
+      val rr = Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(Seq(
+        PQuery(0L, 60000L, Seq(PLabelMatcher(MatchType.EQ, "__name__", "m1")))))))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val reads = (1 to 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Int] { def call(): Int = post(s"$base/read", rr)._1 }))
+        val metrics = pool.submit(
+          new java.util.concurrent.Callable[Int] { def call(): Int = get(s"$base/metrics")._1 })
+        // generous bound, but BOUNDED: the serial executor hangs forever here
+        reads.foreach(f => assert(f.get(60, java.util.concurrent.TimeUnit.SECONDS) == 200))
+        assert(metrics.get(60, java.util.concurrent.TimeUnit.SECONDS) == 200)
+      } finally { pool.shutdownNow(); stalled.close() }
+
+      // write racing reads against the plan cache: interleaved appends and
+      // reads from 4 threads — every read must see a consistent snapshot
+      // (200 + decodable body), never a half-invalidated relation.
+      val racePool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val tasks = (1 to 4).map { i =>
+          racePool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = (1 to 3).forall { j =>
+              if (i % 2 == 0) {
+                val w = PWriteRequest(Seq(PTimeSeries(
+                  Seq(PLabel("__name__", "m1"), PLabel("job", s"r$i$j")),
+                  Seq(PSample(i + j, 1000L + i * 100L + j)))))
+                post(s"$base/write",
+                  Prompb.snappyCompress(Prompb.encodeWriteRequest(w)))._1 == 200
+              } else {
+                val (c, b) = post(s"$base/read", rr)
+                c == 200 &&
+                  Prompb.decodeReadResponse(Prompb.snappyUncompress(b))
+                    .results.nonEmpty
+              }
+            }
+          })
+        }
+        tasks.foreach(f =>
+          assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS)))
+      } finally racePool.shutdownNow()
+    } finally server.stop()
+  }
 }

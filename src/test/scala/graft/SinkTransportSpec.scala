@@ -150,6 +150,54 @@ class SinkTransportSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S8 transport: udp sends the partition batch as one exact datagram") {
+    val sock = new java.net.DatagramSocket(0)
+    val received = new ConcurrentLinkedQueue[String]()
+    val t = new Thread(() =>
+      try while (true) {
+        val pkt = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
+        sock.receive(pkt)
+        received.add(new String(pkt.getData, pkt.getOffset, pkt.getLength, UTF_8))
+      } catch { case _: java.net.SocketException => () })
+    t.setDaemon(true); t.start()
+    try {
+      val lines = Formatters.graphiteLines(samples, "prefix.")
+      val stats = Transport.totals(Transport.graphitePush(
+        lines.coalesce(1), "127.0.0.1", sock.getLocalPort, transport = "udp"))
+      assert(stats == Transport.WriteStats(5, 0, None))
+      val eventually = (1 to 50).exists { _ =>
+        if (received.size >= 1) true else { Thread.sleep(100); false }
+      }
+      assert(eventually, "UDP sink never received the datagram")
+      // ONE datagram carrying the whole batch, like the reference's
+      // single conn.Write of the batch buffer over a UDP conn
+      assert(received.size == 1)
+      val payload = received.poll()
+      val want = lines.as[String].collect().sorted.mkString
+      assert(payload.split("\n").sorted.mkString("", "\n", "\n") == want)
+    } finally sock.close()
+  }
+
+  test("S8 transport: udp dial failure fails the whole partition batch") {
+    val lines = Formatters.graphiteLines(samples, "prefix.")
+    val stats = Transport.totals(Transport.graphitePush(
+      lines.coalesce(1), "graft-no-such-host.invalid", 2003, transport = "udp"))
+    assert(stats.sent == 0 && stats.failed == 5 && stats.error.nonEmpty)
+  }
+
+  test("transport rejects unknown graphite transports, cli accepts udp") {
+    intercept[IllegalArgumentException] {
+      Transport.graphitePush(Formatters.graphiteLines(samples, ""),
+        "127.0.0.1", 2003, transport = "unix")
+    }
+  }
+
+  test("non-positive send timeouts fall back to the connect bound, never infinite") {
+    assert(Transport.effectiveTimeoutMs(30000) == 30000)
+    assert(Transport.effectiveTimeoutMs(0) == 5000)    // 0 = infinite in the JDK
+    assert(Transport.effectiveTimeoutMs(-7) == 5000)   // negative would throw
+  }
+
   test("jsonIntField parses flat int fields and rejects absent ones") {
     assert(Transport.jsonIntField("""{"failed":2,"success":13}""", "success") == Some(13L))
     assert(Transport.jsonIntField("""{"failed": 2 }""", "failed") == Some(2L))
