@@ -1264,6 +1264,23 @@ object SparkEntry {
         .orderBy(col("cid"), col("pos"))
     }),
 
+    // The full k-means trainer: 3 driver-looped Lloyd iterations from the
+    // seed centroids, then one more assignment+update pass at the trained
+    // centroids whose exact integer sums are the compared value. The
+    // oracle replays the identical 3 iterations as chained CTEs — means
+    // stay on the 2^-20 fixed-point grid, so the trained centroids (and
+    // every assignment they imply) are bit-identical across engines.
+    "llm_kmeans_train" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (trained, _, _) = VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      VectorOps.kmeansStep(e, trained)
+        .select(col("cid").cast("long").as("cid"),
+          col("pos").cast("long").as("pos"),
+          col("n").cast("long").as("n"), col("msum"))
+        .orderBy(col("cid"), col("pos"))
+    }),
+
     // LSH-bucketed ANN (the scale path): sign-LSH over 6 seeded
     // hyperplanes prunes to same-bucket candidates before exact cosine.
     "llm_ann_lsh" -> ((s, dir) => {
@@ -1469,6 +1486,38 @@ object SparkEntry {
     })
   )
 
+  /** Fixed iteration count for the llm_kmeans_train entry — the oracle
+    * replays exactly this many Lloyd iterations as chained CTEs, so the
+    * Spark side trains with tol = 0 (no data-dependent early stop).
+    */
+  private val KmeansTrainIters = 3
+
+  /** One Lloyd iteration as DuckDB CTEs: assign every vector to its
+    * argmax-cosine centroid from `c{i-1}` (ties to the lowest cid, like
+    * the Spark fold's strict >), aggregate exact fixed-point component
+    * sums, and derive `c{i}` — clusters that lost every member keep
+    * their previous position, mirroring kmeansTrain.
+    */
+  private def oKmeansIter(i: Int): String =
+    s"""s$i AS (
+       |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+       |  FROM v CROSS JOIN c${i - 1} c),
+       |r$i AS (SELECT id, vec, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |  FROM s$i),
+       |a$i AS (SELECT id, vec, cid FROM r$i WHERE rn = 1),
+       |u$i AS (
+       |  SELECT cid, u.pos AS pos, count(*) AS n,
+       |    sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS msum
+       |  FROM a$i,
+       |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u)
+       |  GROUP BY 1, 2),
+       |c$i AS (
+       |  SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
+       |  FROM c${i - 1} p LEFT JOIN (
+       |    SELECT cid, list(msum / (n * 1048576.0) ORDER BY pos) AS cvec
+       |    FROM u$i GROUP BY cid) n ON n.cid = p.cid)""".stripMargin
+
   /** DuckDB ordered-fold cosine between two list columns — the same left
     * fold VectorOps.cosine performs, so doubles match bit-for-bit.
     */
@@ -1524,6 +1573,25 @@ object SparkEntry {
          |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
          |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_kmeans_train" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+         |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
+         |sf AS (
+         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+         |  FROM v CROSS JOIN c$KmeansTrainIters c),
+         |rf AS (SELECT id, vec, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+         |  FROM sf),
+         |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1),
+         |ef AS (
+         |  SELECT cid, u.pos AS pos, u.x AS x
+         |  FROM af,
+         |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u))
+         |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
+         |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
+         |FROM ef GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_vocab_topk" ->
       """WITH w AS (

@@ -210,6 +210,57 @@ object VectorOps {
         sum(floor(col("x") * MeanGrid)).cast("long").as("msum"))
       .withColumn("mean", col("msum") / (col("n") * MeanGrid))
 
+  /** Lloyd-iteration driver loop around [[kmeansStep]] — the centroid
+    * trainer for the IVF index (feed the result to [[ivfTopK]]) and for
+    * embedding-based corpus curation.
+    *
+    * Scale shape: each iteration is ONE distributed step (map-side
+    * assignment fold + partial-combined update agg); the only driver
+    * traffic is the k·dim centroid collect per iteration — the centroid
+    * set IS the model, orders of magnitude smaller than the corpus, and
+    * it must round-trip through the driver anyway to become the next
+    * iteration's plan literals. maxIter bounds the loop; `tol` stops it
+    * early once no centroid component moved more than tol (assignments
+    * have stabilized).
+    *
+    * Empty clusters keep their previous position (the standard Lloyd
+    * convention) instead of vanishing from the model.
+    *
+    * Determinism: means are the fixed-point-grid quotients of exact
+    * integer sums (see [[kmeansStep]]), so the trained centroids — and
+    * therefore every downstream assignment — are bit-reproducible across
+    * partitionings, retries, and engines.
+    *
+    * @return (trained centroids sorted by cid, iterations run, last max
+    *         component shift)
+    */
+  def kmeansTrain(corpus: DataFrame, seeds: Seq[(Int, Seq[Double])],
+                  maxIter: Int, tol: Double = 0.0)
+      : (Seq[(Int, Seq[Double])], Int, Double) = {
+    require(maxIter >= 1, "maxIter must be at least 1")
+    var cents = seeds.sortBy(_._1)
+    var iters = 0
+    var shift = Double.MaxValue
+    while (iters < maxIter && shift > tol) {
+      val updated = kmeansStep(corpus, cents)
+        .select(col("cid"), col("pos"), col("mean"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      val next = cents.map { case (cid, old) =>
+        (cid, updated.getOrElse(cid, old))
+      }
+      shift = cents.zip(next).iterator.map { case ((_, a), (_, b)) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      cents = next
+      iters += 1
+    }
+    (cents, iters, shift)
+  }
+
   /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
     * y_j = <vec, plane_j> for a seeded literal plane set — the cheap
     * train-free projection that shrinks an embedding corpus before

@@ -6,14 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** §3.3 startup surface: the reference's kingpin flag set re-expressed
   * (reference: main.go:128-187), with the same flag NAMES, defaults and
-  * env-password convention, minus what has no meaning here (TLS CA
-  * registration, ClickHouse DSN plumbing — the "ClickHouse" of this
-  * engine is the Spark-managed parquet table, addressed by
-  * `--clickhouse.table` for the catalog name plus `--table-path` for its
-  * storage location).
+  * env-password convention. The full ClickHouse option surface (url,
+  * username, CLICKHOUSE_PW, ca-file-path, read/write timeouts, althosts)
+  * parses, validates, and composes the IDENTICAL DSN the reference builds
+  * (main.go:239-276) — the engine's storage is the Spark-managed parquet
+  * table (addressed by `--clickhouse.table` + `--table-path`), so the DSN
+  * is carried for a deployment that fronts a real ClickHouse, not dialed
+  * here.
   *
   * Passwords ride environment variables exactly like the reference
-  * (INFLUXDB_PW, main.go:133): secrets never appear in argv.
+  * (INFLUXDB_PW / CLICKHOUSE_PW, main.go:133-134): secrets never appear
+  * in argv.
   */
 final case class CliConfig(
     graphiteAddress: String = "",
@@ -25,8 +28,15 @@ final case class CliConfig(
     influxdbUsername: String = "",
     influxdbDatabase: String = "prometheus",
     influxdbPassword: String = "",
+    clickhouseUrl: String = "",
+    clickhouseUsername: String = "",
+    clickhousePassword: String = "",
     clickhouseDatabase: String = "prometheus",
     clickhouseTable: String = "metrics",
+    clickhouseCaPath: String = "",
+    clickhouseReadTimeoutMs: Long = 10000,
+    clickhouseWriteTimeoutMs: Long = 10000,
+    clickhouseAltHosts: String = "",
     tablePath: String = "spark-warehouse/prometheus/metrics",
     sendTimeoutMs: Long = 30000,
     listenAddress: String = ":9201",
@@ -39,6 +49,32 @@ final case class CliConfig(
     val p = listenAddress.substring(listenAddress.lastIndexOf(':') + 1)
     p.toInt
   }
+
+  /** The exact DSN the reference assembles (main.go:239-270): scheme tcp,
+    * host from --clickhouse.url, and url.Values-encoded options — which
+    * Go emits SORTED BY KEY, with durations in Go's String() form. When a
+    * CA path is configured the reference registers it under a fixed TLS
+    * config key and turns `secure` on; the same two options appear here.
+    * None when no ClickHouse URL is configured (reference skips the
+    * client entirely, main.go:239).
+    */
+  def clickhouseDsn: Option[String] =
+    if (clickhouseUrl.isEmpty) None
+    else {
+      val base = scala.collection.immutable.TreeMap(
+        "database" -> clickhouseDatabase,
+        "username" -> clickhouseUsername,
+        "password" -> clickhousePassword,
+        "read_timeout" -> CliConfig.goDuration(clickhouseReadTimeoutMs),
+        "write_timeout" -> CliConfig.goDuration(clickhouseWriteTimeoutMs),
+        "alt_hosts" -> clickhouseAltHosts)
+      val opts =
+        if (clickhouseCaPath.isEmpty) base
+        else base + ("tls_config" -> "clickhouse_tls_config_key") + ("secure" -> "true")
+      val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      Some(opts.map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+        .mkString(s"tcp://$clickhouseUrl?", "&", ""))
+    }
 }
 
 object CliConfig {
@@ -56,8 +92,14 @@ object CliConfig {
       |  --influxdb.retention-policy="autogen"
       |  --influxdb.username=""         Password via env INFLUXDB_PW.
       |  --influxdb.database="prometheus"
+      |  --clickhouse.url=""            host:port of the ClickHouse server. None, if empty.
+      |  --clickhouse.username=""       Password via env CLICKHOUSE_PW.
       |  --clickhouse.database="prometheus"  Catalog database for the metrics table.
       |  --clickhouse.table="metrics"   Catalog table name.
+      |  --clickhouse.ca-file-path=""   CA certificate for TLS. None, if empty.
+      |  --clickhouse.read-timeout=10s
+      |  --clickhouse.write-timeout=10s
+      |  --clickhouse.althosts=""       Comma-separated cluster hosts. None, if empty.
       |  --table-path="spark-warehouse/prometheus/metrics"  Parquet location.
       |  --send-timeout=30s             Timeout when sending samples to remotes.
       |  --web.listen-address=":9201"   Address for web endpoints.
@@ -82,7 +124,9 @@ object CliConfig {
     */
   def parse(args: Seq[String],
             env: Map[String, String] = sys.env): Either[String, CliConfig] = {
-    var cfg = CliConfig(influxdbPassword = env.getOrElse("INFLUXDB_PW", ""))
+    var cfg = CliConfig(
+      influxdbPassword = env.getOrElse("INFLUXDB_PW", ""),
+      clickhousePassword = env.getOrElse("CLICKHOUSE_PW", ""))
     var rest = args.toList
     while (rest.nonEmpty) {
       val (flag, value, tail) = rest match {
@@ -108,8 +152,20 @@ object CliConfig {
             case "influxdb.retention-policy" => cfg = cfg.copy(influxdbRetentionPolicy = v)
             case "influxdb.username" => cfg = cfg.copy(influxdbUsername = v)
             case "influxdb.database" => cfg = cfg.copy(influxdbDatabase = v)
+            case "clickhouse.url" => cfg = cfg.copy(clickhouseUrl = v)
+            case "clickhouse.username" => cfg = cfg.copy(clickhouseUsername = v)
             case "clickhouse.database" => cfg = cfg.copy(clickhouseDatabase = v)
             case "clickhouse.table" => cfg = cfg.copy(clickhouseTable = v)
+            case "clickhouse.ca-file-path" => cfg = cfg.copy(clickhouseCaPath = v)
+            case "clickhouse.read-timeout" => parseDurationMs(v) match {
+              case Right(ms) => cfg = cfg.copy(clickhouseReadTimeoutMs = ms)
+              case Left(e) => return Left(e)
+            }
+            case "clickhouse.write-timeout" => parseDurationMs(v) match {
+              case Right(ms) => cfg = cfg.copy(clickhouseWriteTimeoutMs = ms)
+              case Left(e) => return Left(e)
+            }
+            case "clickhouse.althosts" => cfg = cfg.copy(clickhouseAltHosts = v)
             case "table-path" => cfg = cfg.copy(tablePath = v)
             case "send-timeout" => parseDurationMs(v) match {
               case Right(ms) => cfg = cfg.copy(sendTimeoutMs = ms)
@@ -127,7 +183,35 @@ object CliConfig {
       return Left(s"graphite-transport '${cfg.graphiteTransport}' not supported (tcp or udp)")
     if (cfg.graphiteAddress.nonEmpty && !cfg.graphiteAddress.contains(':'))
       return Left(s"graphite-address '${cfg.graphiteAddress}' is not host:port")
+    // ≙ the reference's hard exit when the CA file can't be read
+    // (main.go:248-252) — fail at parse time, not first connection
+    if (cfg.clickhouseCaPath.nonEmpty &&
+        !java.nio.file.Files.isReadable(java.nio.file.Paths.get(cfg.clickhouseCaPath)))
+      return Left(s"cannot read ca-certificate '${cfg.clickhouseCaPath}'")
     Right(cfg)
+  }
+
+  /** Go time.Duration.String() for millisecond-granularity values: the
+    * DSN timeouts must render exactly as the reference encodes them
+    * ("10s", "500ms", "1m30s", "1h0m0s", "10.5s").
+    */
+  private[graft] def goDuration(ms: Long): String = {
+    if (ms == 0) "0s"
+    else if (ms < 1000) s"${ms}ms"
+    else {
+      val h = ms / 3600000
+      val m = (ms % 3600000) / 60000
+      val sMs = ms % 60000
+      val secs =
+        if (sMs % 1000 == 0) s"${sMs / 1000}s"
+        else {
+          val frac = f"${sMs % 1000}%03d".reverse.dropWhile(_ == '0').reverse
+          s"${sMs / 1000}.${frac}s"
+        }
+      if (h > 0) s"${h}h${m}m$secs"
+      else if (m > 0) s"${m}m$secs"
+      else secs
+    }
   }
 }
 

@@ -57,6 +57,46 @@ class CliSpec extends SparkSpec {
     assert(usage.startsWith("usage:"))
   }
 
+  test("clickhouse option surface composes the reference DSN exactly") {
+    val ca = java.nio.file.Files.createTempFile("graft_ca", ".pem")
+    val Right(cfg) = CliConfig.parse(Seq(
+      "--clickhouse.url=ch.example:9000",
+      "--clickhouse.username=writer",
+      "--clickhouse.read-timeout=90s",
+      "--clickhouse.write-timeout=500ms",
+      "--clickhouse.althosts=a:9000,b:9000",
+      s"--clickhouse.ca-file-path=$ca"),
+      Map("CLICKHOUSE_PW" -> "s3cret")): @unchecked
+    // url.Values.Encode() emits options sorted by key; Go duration form;
+    // the CA path flips secure + the fixed tls_config key (main.go:246-270)
+    assert(cfg.clickhouseDsn.contains(
+      "tcp://ch.example:9000?" +
+        "alt_hosts=a%3A9000%2Cb%3A9000&database=prometheus&password=s3cret&" +
+        "read_timeout=1m30s&secure=true&tls_config=clickhouse_tls_config_key&" +
+        "username=writer&write_timeout=500ms"))
+    // no URL → no DSN (reference builds no client, main.go:239)
+    assert(CliConfig.parse(Nil, Map.empty).exists(_.clickhouseDsn.isEmpty))
+    // defaults carry into a URL-only DSN
+    assert(CliConfig.parse(Seq("--clickhouse.url=h:9000"), Map.empty)
+      .exists(_.clickhouseDsn.contains(
+        "tcp://h:9000?alt_hosts=&database=prometheus&password=&" +
+          "read_timeout=10s&username=&write_timeout=10s")))
+    // unreadable CA file is a parse-time error (reference exits 1)
+    assert(CliConfig.parse(
+      Seq("--clickhouse.ca-file-path=/nope/ca.pem"), Map.empty).isLeft)
+  }
+
+  test("go duration rendering matches time.Duration.String()") {
+    assert(CliConfig.goDuration(0) == "0s")
+    assert(CliConfig.goDuration(500) == "500ms")
+    assert(CliConfig.goDuration(10000) == "10s")
+    assert(CliConfig.goDuration(10500) == "10.5s")
+    assert(CliConfig.goDuration(10050) == "10.05s")
+    assert(CliConfig.goDuration(90000) == "1m30s")
+    assert(CliConfig.goDuration(3600000) == "1h0m0s")
+    assert(CliConfig.goDuration(3661000) == "1h1m1s")
+  }
+
   test("config-driven bootstrap: write lands in the table AND the graphite sink") {
     // in-JVM graphite backend
     val tcp = new java.net.ServerSocket(0)

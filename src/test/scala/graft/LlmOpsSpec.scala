@@ -443,6 +443,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3).getAs[Long]("gopher_pass") == 0L)
   }
 
+  test("vectors: kmeans trainer stabilizes assignments, keeps empty clusters, " +
+       "re-seeds IVF") {
+    // two well-separated direction blobs (cosine assignment)
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(1.1, -0.1)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.1, 0.9)), (5L, Seq(-0.1, 1.1)))
+      .toDF("id", "vec")
+    val seeds = Seq(0 -> Seq(0.9, 0.1), 1 -> Seq(0.1, 0.9))
+    val (cents, iters, shift) =
+      VectorOps.kmeansTrain(pts, seeds, maxIter = 10, tol = 1e-9)
+    // assignments stabilize: the loop exits on tol well before maxIter
+    assert(iters < 10, s"did not converge: iters=$iters shift=$shift")
+    assert(shift <= 1e-9)
+    // trained centroids sit on the blob means (fixed-point grid ≈ exact)
+    val c0 = cents.find(_._1 == 0).get._2
+    val c1 = cents.find(_._1 == 1).get._2
+    assert(math.abs(c0.head - 1.0) < 1e-4 && math.abs(c0(1)) < 1e-4)
+    assert(math.abs(c1.head) < 1e-4 && math.abs(c1(1) - 1.0) < 1e-4)
+    // training twice from the trained centroids is a fixed point (1 iter)
+    val (cents2, _, shift2) = VectorOps.kmeansTrain(pts, cents, maxIter = 1)
+    assert(cents2 == cents && shift2 == 0.0)
+    // a cluster that attracts no members keeps its seed position
+    val lonely = Seq(0 -> Seq(1.0, 1.0), 1 -> Seq(-1.0, -1.0))
+    val (cents3, _, _) = VectorOps.kmeansTrain(pts, lonely, maxIter = 2)
+    assert(cents3.find(_._1 == 1).get._2 == Seq(-1.0, -1.0))
+    // trained centroids re-seed the IVF index: a probe near blob A
+    // searches only cluster A and finds exactly its members
+    val q = Seq((100L, Seq(0.95, 0.05))).toDF("qid", "qvec")
+    val nn = VectorOps.ivfTopK(pts, q, cents, nprobe = 1, k = 3).collect()
+    assert(nn.map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L))
+  }
+
   test("vectors: random projection is the exact per-plane dot") {
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(3.0, -1.0)))
       .toDF("id", "vec")
