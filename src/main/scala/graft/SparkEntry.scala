@@ -892,11 +892,13 @@ object SparkEntry {
           round(col("score"), 4).as("score"))
       val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
       // constant partition key: the rank window runs over the 20 rows the
-      // limit already produced — partitionBy(lit) keeps that explicit and
-      // keeps WindowExec's no-partition warning out of the logs, where it
-      // would train readers to ignore the REAL global-window warnings
+      // limit already produced — a degenerate partition keeps that explicit
+      // and keeps WindowExec's no-partition warning out of the logs, where
+      // it would train readers to ignore the REAL global-window warnings.
+      // pmod(doc_id, 1) not lit(0): Catalyst constant-folds a literal key
+      // out of the partition spec, resurrecting the warning.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0))
+        .partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("score").desc, col("doc_id"))
       top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("doc_id"), col("score"))
