@@ -1344,6 +1344,58 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SemDeDup end-to-end: k-means-train the (dup-planted) corpus, then
+    // drop within-cluster cosine near-duplicates — the trained-centroid
+    // composition (kmeansTrain → semanticGroups) that embedding-level
+    // corpus curation actually runs. Every id%13 vector is re-planted
+    // under id+30000: an exact semantic duplicate (cos 1.0) that MUST
+    // land in the same cluster and MUST lose to its lower-id original.
+    "llm_sem_dedup" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val planted = e.filter(col("id") % 13 === 0)
+        .withColumn("id", col("id") + 30000)
+      val corpus = e.unionByName(planted)
+      val seeds = seedCentroids(corpus, 8)
+      val (trained, _, _) =
+        VectorOps.kmeansTrain(corpus, seeds, maxIter = KmeansTrainIters)
+      Dedup.semanticGroups(corpus, trained, tau = 0.95)
+        .orderBy(col("id"))
+    }),
+
+    // CCNet-style head/middle/tail corpus bucketing on the quality logit
+    // (an exact-integer score — float rank keys reintroduce cross-engine
+    // wobble). The rank is the DISTRIBUTED global rank (range partition →
+    // local sort → zipWithIndex), not an unpartitioned ntile window: the
+    // oracle checks rankBuckets' rank is the true total-order rank.
+    "llm_quality_bucket" -> ((s, dir) => {
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), qf.getField("logit_fp").as("logit_fp"))
+      Sampling.rankBuckets(scored, 3, "logit_fp", "doc_id")
+        .select(col("id").as("doc_id"), col("score").as("logit_fp"),
+          col("rank"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source curation report: the mixture dashboard every corpus
+    // pipeline keeps — doc/word volume, quality-filter keep count, and
+    // the exact-integer logit sum per source. ONE partial-combined
+    // aggregation over the map-side quality features; all outputs are
+    // exact integers (sums of fixed-point longs), so the comparison is
+    // hash-exact with no rounding contract.
+    "llm_source_report" -> ((s, dir) => {
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"), qf.getField("n_words").as("n_words"),
+          qf.getField("keep").as("keep"), qf.getField("logit_fp").as("logit_fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(col("keep")).as("n_keep"),
+          sum(col("logit_fp")).as("sum_logit_fp"))
+        .orderBy(col("source"))
+    }),
+
     // A7 as a storage lifecycle: ingest → append → COMPACT (version dedup
     // + tier rollup + staging swap rewrite) → read the compacted table.
     // Proves the rewrite preserves the tier semantics on disk
@@ -1519,6 +1571,46 @@ object SparkEntry {
        |  FROM c${i - 1} p LEFT JOIN (
        |    SELECT cid, list(msum / (n * 1048576.0) ORDER BY pos) AS cvec
        |    FROM u$i GROUP BY cid) n ON n.cid = p.cid)""".stripMargin
+
+  /** The quality-filter feature chain as DuckDB CTEs over a `d(doc_id,
+    * text)` relation — mirrors TextAnalysis.qualityFilter op-for-op (same
+    * IEEE order; CASE branches, never 0/0). Ends at `l(doc_id, n_words,
+    * …features…, logit, gopher)`; shared by the quality filter, bucket,
+    * and source-report oracles.
+    */
+  private val oQualityCtes: String =
+    """w AS (SELECT doc_id,
+      |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws FROM d),
+      |g AS (SELECT doc_id, ws,
+      |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |         ELSE [array_to_string(ws[i:i+2], ' ')
+      |               FOR i IN range(1, len(ws) - 1)] END AS grams
+      |  FROM w),
+      |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr,
+      |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+      |    END AS mean_len,
+      |    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS stop_n,
+      |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE len(list_filter(ws, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(ws)
+      |    END AS stop_ratio,
+      |    least(CAST(1.0 AS DOUBLE), len(ws)::DOUBLE / 100) AS size_feat,
+      |    CASE WHEN len(grams) <= 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+      |    END AS dup
+      |  FROM g),
+      |l AS (SELECT *,
+      |    CAST(-1.6 AS DOUBLE) + CAST(1.5 AS DOUBLE) * ttr
+      |      + CAST(0.08 AS DOUBLE) * mean_len
+      |      + CAST(2.0 AS DOUBLE) * stop_ratio
+      |      + CAST(1.2 AS DOUBLE) * size_feat
+      |      + CAST(-3.0 AS DOUBLE) * dup AS logit,
+      |    (n_words >= 50 AND n_words <= 100000
+      |      AND mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE)
+      |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
+      |  FROM f)""".stripMargin
 
   /** DuckDB ordered-fold cosine between two list columns — the same left
     * fold VectorOps.cosine performs, so doubles match bit-for-bit.
@@ -2220,46 +2312,65 @@ object SparkEntry {
     // decimal literals are DECIMAL in DuckDB; the n_words = 0 row takes
     // the CASE branches, never a 0/0 division
     "llm_quality_filter" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT CAST(-1 AS BIGINT), '  '),
-        |w AS (SELECT doc_id,
-        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws FROM d),
-        |g AS (SELECT doc_id, ws,
-        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-        |         ELSE [array_to_string(ws[i:i+2], ' ')
-        |               FOR i IN range(1, len(ws) - 1)] END AS grams
-        |  FROM w),
-        |f AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE len(list_distinct(ws))::DOUBLE / len(ws) END AS ttr,
-        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
-        |    END AS mean_len,
-        |    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS stop_n,
-        |    CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE len(list_filter(ws, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(ws)
-        |    END AS stop_ratio,
-        |    least(CAST(1.0 AS DOUBLE), len(ws)::DOUBLE / 100) AS size_feat,
-        |    CASE WHEN len(grams) <= 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
-        |    END AS dup
-        |  FROM g),
-        |l AS (SELECT *,
-        |    CAST(-1.6 AS DOUBLE) + CAST(1.5 AS DOUBLE) * ttr
-        |      + CAST(0.08 AS DOUBLE) * mean_len
-        |      + CAST(2.0 AS DOUBLE) * stop_ratio
-        |      + CAST(1.2 AS DOUBLE) * size_feat
-        |      + CAST(-3.0 AS DOUBLE) * dup AS logit,
-        |    (n_words >= 50 AND n_words <= 100000
-        |      AND mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE)
-        |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
-        |  FROM f)
-        |SELECT doc_id, n_words,
-        |  CAST(CASE WHEN gopher THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass,
-        |  CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS logit_fp,
-        |  CAST(CASE WHEN gopher AND logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        |FROM l ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), '  '),
+         |$oQualityCtes
+         |SELECT doc_id, n_words,
+         |  CAST(CASE WHEN gopher THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass,
+         |  CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS logit_fp,
+         |  CAST(CASE WHEN gopher AND logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM l ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_bucket" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |s AS (SELECT doc_id,
+         |    CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS logit_fp
+         |  FROM l),
+         |r AS (SELECT doc_id, logit_fp,
+         |    row_number() OVER (ORDER BY logit_fp, doc_id) AS rank,
+         |    count(*) OVER () AS n FROM s)
+         |SELECT doc_id, logit_fp, CAST(rank AS BIGINT) AS rank,
+         |  CAST((rank - 1) * 3 // n + 1 AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "llm_source_report" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |k AS (SELECT doc_id, n_words,
+         |    CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS logit_fp,
+         |    CASE WHEN gopher AND logit > 0 THEN 1 ELSE 0 END AS keep
+         |  FROM l)
+         |SELECT dd.source, count(*) AS n_docs,
+         |  CAST(sum(k.n_words) AS BIGINT) AS total_words,
+         |  CAST(sum(k.keep) AS BIGINT) AS n_keep,
+         |  CAST(sum(k.logit_fp) AS BIGINT) AS sum_logit_fp
+         |FROM k JOIN documents dd USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_sem_dedup" ->
+      s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |v AS (SELECT id, vec FROM base
+         |      UNION ALL SELECT id + 30000, vec FROM base WHERE id % 13 = 0),
+         |c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+         |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
+         |sf AS (
+         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+         |  FROM v CROSS JOIN c$KmeansTrainIters c),
+         |rf AS (SELECT id, vec, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+         |  FROM sf),
+         |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1),
+         |drp AS (
+         |  SELECT a.id
+         |  FROM af a JOIN af b ON a.cid = b.cid AND a.id > b.id
+         |  WHERE ${oCos("a.vec", "b.vec")} >= CAST(0.95 AS DOUBLE)
+         |  GROUP BY 1)
+         |SELECT af.id, CAST(af.cid AS BIGINT) AS cid,
+         |  CAST(CASE WHEN drp.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM af LEFT JOIN drp ON drp.id = af.id
+         |ORDER BY af.id""".stripMargin,
 
     "llm_rand_projection" ->
       s"""WITH planes AS (SELECT $OPlanes AS pl),

@@ -540,4 +540,52 @@ object Dedup {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding corpus, then drop any vector whose cosine to a LOWER-id
+    * vector in the SAME cluster reaches `tau` — near-duplicates in
+    * meaning, not in surface form, which MinHash/SimHash cannot see.
+    *
+    * Scale design: this is THE reason the clustering exists — exact
+    * pairwise cosine over a corpus is O(n²) and impossible at 100 TB,
+    * but pairwise inside k balanced clusters is n²/k per cluster and the
+    * pair stream only ever materializes per-bucket (the same banding
+    * argument as MinHash LSH, with k-means cells as the buckets).
+    * Assignment is the map-side literal-centroid fold (no shuffle); the
+    * candidate join is a self-equi-join on cluster id; `assigned` is
+    * persisted so the two sides of the self-join and the final verdict
+    * join reuse ONE assignment computation instead of recomputing the
+    * k·dim cosine fold three times (the simhash ReusedExchange lesson —
+    * pinned by a test, not by optimizer luck).
+    *
+    * Recall caveat (inherent to SemDeDup, not this implementation): a
+    * near-dup pair straddling a cluster boundary is missed; production
+    * runs mitigate with more iterations / nprobe>1 assignment, trading
+    * compute for recall. Determinism: assignment ties break to the
+    * lowest cid (see [[VectorOps.nearestCentroid]]), cosine is the
+    * ordered fold, and the keep verdict depends only on id order.
+    *
+    * @param corpus    (id, vec) with vec array<double>
+    * @param centroids trained (cid, cvec) list — feed from
+    *                  [[VectorOps.kmeansTrain]]
+    * @param tau       cosine threshold; identical vectors score 1.0
+    * @return one row per corpus vector: (id, cid, keep 0/1)
+    */
+  def semanticGroups(corpus: DataFrame,
+                     centroids: Seq[(Int, Seq[Double])],
+                     tau: Double): DataFrame = {
+    val assigned = corpus
+      .withColumn("cid", VectorOps.nearestCentroid(col("vec"), centroids))
+      .persist()
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
+      .filter(VectorOps.cosine(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("a.id").as("id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cid").cast("long").as("cid"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

@@ -204,4 +204,61 @@ object Sampling {
       .filter(col("sample_rank") <= n)
       .drop("sample_key")
   }
+
+  /** Exact equal-frequency score buckets (CCNet-style head/middle/tail
+    * corpus partitioning, Wenzek et al. 2020): rank every record by an
+    * INTEGER score (fixed-point grids only — a float rank key reintroduces
+    * the cross-engine ulp wobble everywhere else in this engine avoids),
+    * then bucket by rank so each bucket holds an equal share.
+    *
+    * Scale design — the whole point of this operator: the naive spelling
+    * is `ntile(n) OVER (ORDER BY score)`, and an ORDER BY window with no
+    * PARTITION BY moves the ENTIRE corpus into one task — the single
+    * worst scale killer Spark offers. Instead the global rank is computed
+    * the distributed way: range-repartition on (score, id) (Spark's sort
+    * machinery — sampled range boundaries, each partition gets a disjoint
+    * key range), sort within partitions, then zipWithIndex, which runs
+    * one small job to count per-partition sizes and assigns each row
+    * `partition offset + local index` map-side. Every stage is
+    * distributed; the only global state is the partition-count array on
+    * the driver. Determinism: (score, id) is a total order (id unique),
+    * so ranks — and buckets — are identical regardless of how the range
+    * boundaries fall.
+    *
+    * bucket = rank·n / count + 1 in EXACT integer math (the float
+    * spelling `cast(rank*n/count as long)` can misround at the boundary
+    * for counts past 2^26). Bucket 1 = lowest scores; remainder rows
+    * spread one-per-bucket from the front, the ntile convention.
+    *
+    * @return (id, score, rank 1-based, bucket 1..n), one row per input
+    */
+  def rankBuckets(scored: DataFrame, nBuckets: Int,
+                  scoreCol: String, idCol: String): DataFrame = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val spark = scored.sparkSession
+    val total = scored.count()
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (total / 1000 + 1).toInt))
+    val sorted = scored
+      .select(col(idCol).cast("long"), col(scoreCol).cast("long"))
+      .repartitionByRange(parts, col(scoreCol), col(idCol))
+      .sortWithinPartitions(col(scoreCol), col(idCol))
+    val nb = nBuckets.toLong
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), i + 1L,
+        // ntile: the first (total % nb) buckets get the extra row, i.e.
+        // bucket b covers ranks in [b·total/nb, (b+1)·total/nb)
+        i * nb / total + 1L)
+    }
+    spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

@@ -505,4 +505,49 @@ class LlmOpsSpec extends SparkSpec {
     val c = out.head.getAs[Double]("cos")
     assert(c >= 0.5 && c < 0.95)
   }
+
+  test("dedup: semantic groups drop within-cluster near-dups, keep the " +
+       "lowest id, and read the assignment from ONE cached computation") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),    // cluster 0 anchor
+      (2L, Seq(10.0, 0.0)),   // cos 1.0 with id 1 → dropped
+      (3L, Seq(0.0, 1.0)),    // cluster 1 anchor
+      (4L, Seq(0.1, 1.0)),    // cos ≈0.995 with id 3 → dropped
+      (5L, Seq(0.7, 0.7)))    // exact tie → cluster 0; cos ≈0.707 → kept
+      .toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val df = Dedup.semanticGroups(corpus, cents, tau = 0.95)
+    val out = df.orderBy("id").collect()
+    assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("cid"),
+      r.getAs[Long]("keep"))).toSeq ==
+      Seq((1L, 0L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 1L, 0L),
+        (5L, 0L, 1L)))
+    // the self-join and the verdict join must read the persisted
+    // assignment, not re-run the centroid fold per branch
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).size >= 2, plan)
+    corpus.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("sampling: rank buckets equal the single-node ntile on a total order") {
+    // duplicate scores force the id tie-break; 10 rows / 3 buckets → 4,3,3
+    val scored = Seq((7L, 30L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 5L),
+      (5L, 30L), (6L, 20L), (8L, 1L), (9L, 40L), (10L, 2L))
+      .toDF("doc_id", "score_fp")
+    val out = Sampling.rankBuckets(scored, 3, "score_fp", "doc_id")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("bucket")))
+    val expectOrder = Seq(8L, 10L, 4L, 1L, 2L, 3L, 6L, 5L, 7L, 9L)
+    assert(out.map(_._1).toSeq == expectOrder)
+    assert(out.map(_._2).toSeq == (1L to 10L))
+    assert(out.map(_._3).toSeq ==
+      Seq(1L, 1L, 1L, 1L, 2L, 2L, 2L, 3L, 3L, 3L))
+    // one bucket degenerates to a pure rank
+    val one = Sampling.rankBuckets(scored, 1, "score_fp", "doc_id")
+      .select("bucket").distinct().collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
