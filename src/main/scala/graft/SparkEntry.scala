@@ -8,6 +8,7 @@ import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
 import graft.operators.TimeSeriesOps
 import graft.sinks.Formatters
+import graft.sources.CorpusIO
 import graft.streaming.RemoteWriteStream
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1396,6 +1397,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // JSONL corpus interchange round-trip: export the documents table as
+    // balanced JSONL shards, re-ingest with the EXPLICIT schema (no
+    // inference pass) through the quarantine reader, and return every
+    // row — hash-identity to the source table proves encode/decode
+    // fidelity (unicode escaping, 64-bit ids, null handling) through
+    // the format every public corpus actually ships in.
+    "llm_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        .toString + "/docs"
+      CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), tmp, shards = 4)
+      CorpusIO.readJsonl(s, tmp)
+        .filter(col(CorpusIO.CorruptCol).isNull)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A7 as a storage lifecycle: ingest → append → COMPACT (version dedup
     // + tier rollup + staging swap rewrite) → read the compacted table.
     // Proves the rewrite preserves the tier semantics on disk
@@ -2348,6 +2366,10 @@ object SparkEntry {
          |  CAST(sum(k.logit_fp) AS BIGINT) AS sum_logit_fp
          |FROM k JOIN documents dd USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "llm_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_sem_dedup" ->
       s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** JSONL corpus interchange — the de-facto wire format of LLM training
+  * corpora (one JSON document per line; every public corpus release and
+  * every crawler emits it). The engine's working format stays parquet;
+  * this is the ingest/export edge.
+  *
+  * Scale design:
+  *  - `readJsonl` takes an EXPLICIT schema — schema inference is a full
+  *    extra pass over the data before the real one, a 100 TB scan spent
+  *    guessing what the pipeline already knows. Splittable text input
+  *    parallelizes by HDFS-style line splits, so one giant file still
+  *    fans out across executors.
+  *  - malformed lines are QUARANTINED, not fatal: PERMISSIVE mode parks
+  *    the raw line in a corrupt-record column; crawler output at corpus
+  *    scale always contains some garbage, and one bad line must not kill
+  *    a 1000-executor job (FAILFAST is for curated inputs only).
+  *  - `writeJsonl` shards via a round-robin repartition so downstream
+  *    dataloaders get balanced files — the shard count is the lever that
+  *    matches file size to the consumer, decoupled from the upstream
+  *    partitioning.
+  */
+object CorpusIO {
+
+  /** The canonical document-corpus schema (mirrors the `documents`
+    * table); `_bad_line` is the quarantine column `readJsonl` adds.
+    */
+  val DocumentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
+  val CorruptCol = "_bad_line"
+
+  /** Export a corpus slice as `shards` balanced JSONL files. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int): Unit = {
+    require(shards >= 1, "need at least one shard")
+    df.repartition(shards).write.mode("overwrite").json(path)
+  }
+
+  /** Read a JSONL corpus with a known schema. Rows that fail to parse
+    * come back with every data column null and the raw line in
+    * `_bad_line`; well-formed rows have `_bad_line` null. Callers split
+    * on `col(CorruptCol).isNull`.
+    *
+    * Spelled as a text scan + per-line `from_json` rather than the json
+    * source: the json source forbids filtering on its corrupt-record
+    * column without first caching the whole parse
+    * (QueryCompilationErrors.queryFromRawFilesIncludeCorruptRecordColumn),
+    * and a mandatory cache of a 100 TB ingest is not a contract this
+    * reader can impose. A text scan has the same line-based splits (one
+    * giant file still fans out), JSON documents never contain raw
+    * newlines (the writer escapes control characters), and `from_json`
+    * is a codegen-friendly per-row expression with the identical
+    * PERMISSIVE + corrupt-column semantics.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = DocumentSchema): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"$CorruptCol is reserved for the quarantine column")
+    val withCorrupt = schema.add(StructField(CorruptCol, StringType, nullable = true))
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> CorruptCol).asJava).as("rec"))
+      .select(col("rec.*"))
+  }
+
+  /** Ingest report: good/quarantined line counts — the first number a
+    * corpus ingest job publishes. One partial-combined aggregation.
+    */
+  def ingestStats(parsed: DataFrame): DataFrame =
+    parsed.agg(
+      sum(when(col(CorruptCol).isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col(CorruptCol).isNotNull, 1L).otherwise(0L)).as("n_bad"))
+}
