@@ -1397,6 +1397,38 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Streaming corpus ingest: JSONL shards arrive as a file-source text
+    // stream (2 files per micro-batch), parse through the quarantine
+    // reader, quality-filter map-side INSIDE the stream (stateless — no
+    // watermark needed), admitted docs land in the sink; the per-source
+    // admission report is the batch agg over the sink table. Oracle =
+    // the same quality filter run relationally: streaming and batch
+    // ingest must admit the IDENTICAL set.
+    "llm_stream_quality" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
+      val in = s"$base/in"
+      CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in, shards = 4)
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      val admitted = CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 2)
+        .filter(col(CorpusIO.CorruptCol).isNull)
+        .select(col("doc_id"), col("source"),
+          qf.getField("n_words").as("n_words"),
+          qf.getField("keep").as("keep"))
+        .filter(col("keep") === 1)
+      val qname = "sq_" + math.abs(in.hashCode).toString
+      admitted.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"),
+          sum(col("n_words")).as("total_words"))
+        .orderBy(col("source"))
+    }),
+
     // JSONL corpus interchange round-trip: export the documents table as
     // balanced JSONL shards, re-ingest with the EXPLICIT schema (no
     // inference pass) through the quarantine reader, and return every
@@ -2370,6 +2402,15 @@ object SparkEntry {
     "llm_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_stream_quality" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |k AS (SELECT doc_id, n_words FROM l WHERE gopher AND logit > 0)
+         |SELECT dd.source, count(*) AS n_admitted,
+         |  CAST(sum(k.n_words) AS BIGINT) AS total_words
+         |FROM k JOIN documents dd USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_sem_dedup" ->
       s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -62,11 +62,32 @@ object CorpusIO {
     * PERMISSIVE + corrupt-column semantics.
     */
   def readJsonl(spark: SparkSession, path: String,
-                schema: StructType = DocumentSchema): DataFrame = {
+                schema: StructType = DocumentSchema): DataFrame =
+    parseJsonl(spark.read.text(path), schema)
+
+  /** Streaming form of [[readJsonl]]: the same parse/quarantine contract
+    * over a file-source text stream — the continuously-arriving-crawl
+    * ingest path. `maxFilesPerTrigger` bounds micro-batch size so one
+    * dump of a million shards doesn't become one giant batch.
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+                      schema: StructType = DocumentSchema,
+                      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream
+    val opted = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    parseJsonl(opted.text(path), schema)
+  }
+
+  /** The shared line→row parse: PERMISSIVE `from_json` with the raw line
+    * quarantined in `_bad_line`. Works on any (streaming or batch)
+    * single-column `value: string` frame.
+    */
+  def parseJsonl(lines: DataFrame, schema: StructType = DocumentSchema): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"$CorruptCol is reserved for the quarantine column")
     val withCorrupt = schema.add(StructField(CorruptCol, StringType, nullable = true))
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> CorruptCol).asJava).as("rec"))

@@ -54,4 +54,29 @@ class CorpusIOSpec extends SparkSpec {
     assert(good.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
     assert(good.head.getAs[String]("text") == "good one")
   }
+
+  test("jsonl: the streaming reader admits the same rows as the batch " +
+       "reader over the same shards, in bounded micro-batches") {
+    val docs = (1L to 20L).map(i => (i, s"doc number $i", "en", "web", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = Files.createTempDirectory("graft_jsonl_stream").toString
+    CorpusIO.writeJsonl(docs, s"$base/in", shards = 4)
+    val stream = CorpusIO.readJsonlStream(spark, s"$base/in",
+      maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.filter(col(CorpusIO.CorruptCol).isNull)
+      .writeStream.format("memory").queryName("jsonl_stream_spec")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 4 shards at 1 file/trigger → at least 4 micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+    val got = spark.table("jsonl_stream_spec")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
 }
