@@ -880,6 +880,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram LM with add-1 smoothing — the conditional-probability rung
+    // above the unigram lm_score (CCNet's KenLM filter shape). The
+    // scoring join runs on the bigram key (NOT broadcast: bigram types
+    // grow with the corpus); docs with <2 words take the deterministic
+    // n_bigrams=0 / score 0.0 branch.
+    "llm_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramLmScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bigram_score"), 4).as("bigram_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 ranked retrieval against a literal query term set — the
     // query-focused corpus-curation scorer. tf is map-side (no explode),
     // corpus stats are one exact-integer aggregation broadcast back, the
@@ -1363,6 +1375,43 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Cluster-quality purity report: train k-means, assign, score each
+    // cluster against the embeddings table's ground-truth labels —
+    // member count, majority label, majority count (exact integers;
+    // purity = top_n/n derivable without a float crossing engines).
+    "llm_cluster_purity" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (trained, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val assigned = e
+        .withColumn("cid", VectorOps.nearestCentroid(col("vec"), trained))
+        .select(col("id"), col("cid"))
+      val labels = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+      VectorOps.clusterPurity(assigned, labels)
+        .select(col("cid").cast("long").as("cid"), col("n"),
+          col("top_label"), col("top_n"))
+        .orderBy(col("cid"))
+    }),
+
+    // Cluster-balanced subsampling: trained assignment as the stratum of
+    // the hash-rank stratified sampler — the diversity-preserving corpus
+    // selection that follows semantic clustering (cap every region of
+    // embedding space instead of letting the head cluster dominate).
+    "llm_cluster_sample" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (trained, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val assigned = e
+        .withColumn("cid", VectorOps.nearestCentroid(col("vec"), trained))
+        .select(col("id"), col("cid").cast("long").as("cid"))
+      Sampling.stratifiedSample(assigned, col("cid"), "id", 3)
+        .select(col("stratum").as("cid"), col("sample_rank"), col("id"))
+        .orderBy(col("cid"), col("sample_rank"))
+    }),
+
     // CCNet-style head/middle/tail corpus bucketing on the quality logit
     // (an exact-integer score — float rank keys reintroduce cross-engine
     // wobble). The rank is the DISTRIBUTED global rank (range partition →
@@ -1662,6 +1711,22 @@ object SparkEntry {
       |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
       |  FROM f)""".stripMargin
 
+  /** Seed (id<8) + KmeansTrainIters Lloyd iterations + final assignment
+    * as DuckDB CTEs over a `v(id, vec)` relation — ends at `af(id, vec,
+    * cid)`, the trained-assignment relation the kmeans-train, semantic
+    * dedup, cluster purity, and cluster sampling oracles all build on.
+    */
+  private def oKmeansAssignCtes: String =
+    s"""c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
+       |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
+       |sf AS (
+       |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+       |  FROM v CROSS JOIN c$KmeansTrainIters c),
+       |rf AS (SELECT id, vec, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |  FROM sf),
+       |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1)""".stripMargin
+
   /** DuckDB ordered-fold cosine between two list columns — the same left
     * fold VectorOps.cosine performs, so doubles match bit-for-bit.
     */
@@ -1720,15 +1785,7 @@ object SparkEntry {
 
     "llm_kmeans_train" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
-         |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
-         |sf AS (
-         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
-         |  FROM v CROSS JOIN c$KmeansTrainIters c),
-         |rf AS (SELECT id, vec, cid,
-         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-         |  FROM sf),
-         |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1),
+         |$oKmeansAssignCtes,
          |ef AS (
          |  SELECT cid, u.pos AS pos, u.x AS x
          |  FROM af,
@@ -1736,6 +1793,33 @@ object SparkEntry {
          |SELECT cid, CAST(pos AS BIGINT) AS pos, count(*) AS n,
          |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
          |FROM ef GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "llm_cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |$oKmeansAssignCtes,
+         |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cnt AS (SELECT af.cid, lab.label, count(*) AS n_lab
+         |  FROM af JOIN lab USING (id) GROUP BY 1, 2),
+         |tot AS (SELECT cid, CAST(sum(n_lab) AS BIGINT) AS n FROM cnt GROUP BY 1),
+         |top AS (SELECT cid, label, n_lab,
+         |    row_number() OVER (PARTITION BY cid ORDER BY n_lab DESC, label) AS rn
+         |  FROM cnt)
+         |SELECT CAST(t.cid AS BIGINT) AS cid, tot.n,
+         |  t.label AS top_label, t.n_lab AS top_n
+         |FROM top t JOIN tot USING (cid) WHERE t.rn = 1
+         |ORDER BY 1""".stripMargin,
+
+    "llm_cluster_sample" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |$oKmeansAssignCtes,
+         |s AS (SELECT id, CAST(cid AS BIGINT) AS cid,
+         |    md5(CAST(id AS VARCHAR)) AS k FROM af),
+         |r AS (SELECT cid,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY k, id) AS BIGINT)
+         |      AS sample_rank,
+         |    id FROM s)
+         |SELECT cid, sample_rank, id FROM r
+         |WHERE sample_rank <= 3 ORDER BY cid, sample_rank""".stripMargin,
 
     "llm_vocab_topk" ->
       """WITH w AS (
@@ -2403,6 +2487,33 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "llm_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+1], ' ')
+        |               FOR i IN range(1, len(ws))] END) AS bg
+        |  FROM w),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY 1),
+        |cl AS (SELECT str_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+        |  FROM cb GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u.w) AS vsz
+        |  FROM (SELECT unnest(ws) AS w FROM w) u),
+        |g AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    avg(-ln((c_bg + CAST(1.0 AS DOUBLE)) /
+        |            (c_w1 + CAST(1.0 AS DOUBLE) * vsz))) AS score
+        |  FROM b JOIN cb USING (bg)
+        |    JOIN cl ON cl.w1 = str_split(b.bg, ' ')[1]
+        |    CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(coalesce(g.score, CAST(0.0 AS DOUBLE)), 4) AS bigram_score
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "llm_stream_quality" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
          |$oQualityCtes,
@@ -2416,15 +2527,7 @@ object SparkEntry {
       s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
          |v AS (SELECT id, vec FROM base
          |      UNION ALL SELECT id + 30000, vec FROM base WHERE id % 13 = 0),
-         |c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
-         |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
-         |sf AS (
-         |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
-         |  FROM v CROSS JOIN c$KmeansTrainIters c),
-         |rf AS (SELECT id, vec, cid,
-         |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-         |  FROM sf),
-         |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1),
+         |$oKmeansAssignCtes,
          |drp AS (
          |  SELECT a.id
          |  FROM af a JOIN af b ON a.cid = b.cid AND a.id > b.id

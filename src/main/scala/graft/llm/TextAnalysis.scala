@@ -280,6 +280,54 @@ object TextAnalysis {
         avg(-log(col("tf").cast("double") / col("total"))).as("lm_score"))
   }
 
+  /** Bigram language-model score with add-k smoothing — the next rung
+    * above [[lmScore]]'s unigram model (CCNet's KenLM filter is the
+    * 5-gram version of exactly this shape): per document, the mean
+    * negative log conditional probability of each bigram,
+    * −ln((c(w₁w₂)+k)/(c(w₁·)+k·V)), under corpus counts. Low = fluent
+    * under the corpus distribution, high = outlier/garbled.
+    *
+    * Scale shape: the bigram table is the corpus-wide state and, unlike
+    * the unigram vocab, does NOT reliably fit a broadcast at 100 TB
+    * (bigram types grow near-linearly with corpus size) — so the scoring
+    * join is left to the planner as a plain equi-join on the bigram key:
+    * shuffle-hash/SMJ at scale, broadcast when stats say it fits. The
+    * left-word counts derive from the bigram table (one more tiny agg),
+    * and V is a single count-distinct broadcast with the plan. Docs with
+    * fewer than 2 words have no bigrams: n_bigrams = 0, score defined
+    * 0.0 (the deterministic-empty contract, as in qualityFilter).
+    *
+    * @return (doc_id, n_bigrams, bigram_score) — callers round the score
+    *         (float mean; same cross-engine contract as lmScore)
+    */
+  def bigramLmScore(docs: DataFrame, k: Double = 1.0,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val bgStream = docs.select(col(idCol).as("doc_id"),
+      explode(wordShingles(wsArr, 2)).as("bg"))
+    val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val leftCounts = bgCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
+    val vocabSize = docs.select(explode(wsArr).as("w"))
+      .agg(count_distinct(col("w")).as("vsz"))
+    val scored = bgStream
+      .join(bgCounts, Seq("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(leftCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c_bg") + lit(k)) /
+          (col("c_w1") + lit(k) * col("vsz")))).as("bigram_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bigram_score"), lit(0.0)).as("bigram_score"))
+  }
+
   /** BM25 relevance of every document against a literal query term set —
     * the ranked-retrieval scorer behind query-focused corpus curation
     * ("keep the documents most relevant to these topics").

@@ -307,6 +307,32 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Cluster-quality evaluation against ground-truth labels: per cluster,
+    * member count, the majority label, and its count — the purity report
+    * that decides whether a trained clustering is good enough to drive
+    * semantic dedup / balanced sampling. Ties break to the LOWEST label
+    * (max over struct(count, −label): lexicographic max takes the higher
+    * count first, then the higher negated label = lower label) so the
+    * verdict is deterministic, not hash-order luck.
+    *
+    * Scale shape: two partial-combined aggregations — (cid, label) then
+    * cid — shuffling only counts; purity = top_n/n stays derivable from
+    * the exact integers so nothing floats across an engine boundary.
+    *
+    * @param assigned (id, cid) cluster assignment
+    * @param labels   (id, label) ground truth
+    */
+  def clusterPurity(assigned: DataFrame, labels: DataFrame): DataFrame =
+    assigned.join(labels, Seq("id"))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n_lab"))
+      .groupBy(col("cid"))
+      .agg(sum(col("n_lab")).as("n"),
+        max(struct(col("n_lab"), (-col("label")).as("neg_label"))).as("top"))
+      .select(col("cid"), col("n"),
+        (-col("top.neg_label")).as("top_label"),
+        col("top.n_lab").as("top_n"))
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * standard 4× compression step before an embedding corpus is indexed.
     * scale = max|x| / 127; q_i = floor(x_i/scale + 0.5) (round-half-up

@@ -531,6 +531,41 @@ class LlmOpsSpec extends SparkSpec {
     corpus.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("text: bigram LM score matches hand-computed smoothed conditionals, " +
+       "zero-bigram docs take the defined-empty branch") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs).orderBy("doc_id").collect()
+    // corpus: c(a b)=3, c(b a)=1, c(b c)=1; c(a·)=3, c(b·)=2; V=4
+    val pAB = 4.0 / 7.0; val pBA = 2.0 / 6.0; val pBC = 2.0 / 6.0
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    assert(close(out(0).getAs[Double]("bigram_score"),
+      -(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3))
+    assert(out(1).getAs[Long]("n_bigrams") == 2L)
+    assert(close(out(1).getAs[Double]("bigram_score"),
+      -(math.log(pAB) + math.log(pBC)) / 2))
+    assert(out(2).getAs[Long]("n_bigrams") == 0L)
+    assert(out(2).getAs[Double]("bigram_score") == 0.0)
+  }
+
+  test("vectors: cluster purity reports majority label with lowest-label " +
+       "tie break and exact counts") {
+    val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
+      .toDF("id", "cid")
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 2L), (4L, 9L), (5L, 3L))
+      .toDF("id", "label")
+    val out = VectorOps.clusterPurity(assigned, labels)
+      .orderBy("cid").collect()
+    // cluster 0: label 7 ×2 beats 2 ×1; cluster 1: 1-1 tie → lower label 3
+    assert(out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Long]("top_label") == 7L)
+    assert(out(0).getAs[Long]("top_n") == 2L)
+    assert(out(1).getAs[Long]("n") == 2L)
+    assert(out(1).getAs[Long]("top_label") == 3L)
+    assert(out(1).getAs[Long]("top_n") == 1L)
+  }
+
   test("sampling: rank buckets equal the single-node ntile on a total order") {
     // duplicate scores force the id tie-break; 10 rows / 3 buckets → 4,3,3
     val scored = Seq((7L, 30L), (1L, 10L), (2L, 10L), (3L, 20L), (4L, 5L),
