@@ -15,7 +15,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("a1_bucket_quantile", "llm_ann_cosine", "llm_dedup_minhash",
-        "s4_write_roundtrip", "llm_text_stats")
+        "s4_write_roundtrip", "llm_text_stats", "llm_sem_dedup",
+        "llm_ann_pq", "llm_bigram_lm")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

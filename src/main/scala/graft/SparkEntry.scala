@@ -1375,6 +1375,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Product quantization end-to-end: per-subspace spherical k-means
+    // codebooks (4 × 16-dim, k=8) → PQ codes → ADC top-5 by approximate
+    // inner product. The search never touches the original vectors —
+    // only codes meet the broadcast (query × m × k) lookup table.
+    "llm_ann_pq" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val enc = VectorOps.pqEncode(e, cbs)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.pqAdcTopK(enc, q, cbs, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Cluster-quality purity report: train k-means, assign, score each
     // cluster against the embeddings table's ground-truth labels —
     // member count, majority label, majority count (exact integers;
@@ -1458,7 +1475,11 @@ object SparkEntry {
       val in = s"$base/in"
       CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in, shards = 4)
       val qf = TextAnalysis.qualityFilter(col("text"))
-      val admitted = CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 2)
+      // spread before the heavy HOF filter: a 2-file micro-batch arrives
+      // as 2 input partitions, serializing the expensive map on local[32]
+      // (same reason Tables.documents spreads; identity on a cluster)
+      val admitted = Tables.spreadLocal(s,
+          CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 2))
         .filter(col(CorpusIO.CorruptCol).isNull)
         .select(col("doc_id"), col("source"),
           qf.getField("n_words").as("n_words"),
@@ -1639,6 +1660,18 @@ object SparkEntry {
     })
   )
 
+  /** PQ geometry for llm_ann_pq: 64-dim embeddings → 4 subspaces of 16. */
+  private val PqM = 4
+  private val PqSub = 16
+
+  /** DuckDB ordered-fold dot of a 16-dim slice of `qvec` (offset `off`)
+    * against a codebook `cvec` — the ADC lookup-table entry, same fold
+    * order as `dot(slice(qvec, off+1, n), cvec)`.
+    */
+  private def oDotSlice(off: Int, n: Int): String =
+    s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [qvec[$off + i]*cvec[i] FOR i IN range(1, $n + 1)]), (x,y) -> x+y)""".stripMargin
+
   /** Fixed iteration count for the llm_kmeans_train entry — the oracle
     * replays exactly this many Lloyd iterations as chained CTEs, so the
     * Spark side trains with tol = 0 (no data-dependent early stop).
@@ -1646,30 +1679,33 @@ object SparkEntry {
   private val KmeansTrainIters = 3
 
   /** One Lloyd iteration as DuckDB CTEs: assign every vector to its
-    * argmax-cosine centroid from `c{i-1}` (ties to the lowest cid, like
-    * the Spark fold's strict >), aggregate exact fixed-point component
-    * sums, and derive `c{i}` — clusters that lost every member keep
-    * their previous position, mirroring kmeansTrain.
+    * argmax-cosine centroid from `{p}c{i-1}` (ties to the lowest cid,
+    * like the Spark fold's strict >), aggregate exact fixed-point
+    * component sums, and derive `{p}c{i}` — clusters that lost every
+    * member keep their previous position, mirroring kmeansTrain.
+    * `tbl`/`p` parameterize the corpus relation and the CTE name prefix
+    * so several independent chains (e.g. one per PQ subspace) can live
+    * in one statement.
     */
-  private def oKmeansIter(i: Int): String =
-    s"""s$i AS (
+  private def oKmeansIter(i: Int, tbl: String = "v", p: String = ""): String =
+    s"""${p}s$i AS (
        |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
-       |  FROM v CROSS JOIN c${i - 1} c),
-       |r$i AS (SELECT id, vec, cid,
+       |  FROM $tbl v CROSS JOIN ${p}c${i - 1} c),
+       |${p}r$i AS (SELECT id, vec, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-       |  FROM s$i),
-       |a$i AS (SELECT id, vec, cid FROM r$i WHERE rn = 1),
-       |u$i AS (
+       |  FROM ${p}s$i),
+       |${p}a$i AS (SELECT id, vec, cid FROM ${p}r$i WHERE rn = 1),
+       |${p}u$i AS (
        |  SELECT cid, u.pos AS pos, count(*) AS n,
        |    sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS msum
-       |  FROM a$i,
+       |  FROM ${p}a$i,
        |    unnest([{'pos': i, 'x': vec[i]} FOR i IN range(1, len(vec)+1)]) AS t(u)
        |  GROUP BY 1, 2),
-       |c$i AS (
+       |${p}c$i AS (
        |  SELECT p.cid, coalesce(n.cvec, p.cvec) AS cvec
-       |  FROM c${i - 1} p LEFT JOIN (
+       |  FROM ${p}c${i - 1} p LEFT JOIN (
        |    SELECT cid, list(msum / (n * 1048576.0) ORDER BY pos) AS cvec
-       |    FROM u$i GROUP BY cid) n ON n.cid = p.cid)""".stripMargin
+       |    FROM ${p}u$i GROUP BY cid) n ON n.cid = p.cid)""".stripMargin
 
   /** The quality-filter feature chain as DuckDB CTEs over a `d(doc_id,
     * text)` relation — mirrors TextAnalysis.qualityFilter op-for-op (same
@@ -1712,20 +1748,21 @@ object SparkEntry {
       |  FROM f)""".stripMargin
 
   /** Seed (id<8) + KmeansTrainIters Lloyd iterations + final assignment
-    * as DuckDB CTEs over a `v(id, vec)` relation — ends at `af(id, vec,
-    * cid)`, the trained-assignment relation the kmeans-train, semantic
-    * dedup, cluster purity, and cluster sampling oracles all build on.
+    * as DuckDB CTEs over a `tbl(id, vec)` relation — ends at `{p}af(id,
+    * vec, cid)`, the trained-assignment relation the kmeans-train,
+    * semantic dedup, cluster purity, cluster sampling, and PQ oracles
+    * all build on.
     */
-  private def oKmeansAssignCtes: String =
-    s"""c0 AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
-       |${(1 to KmeansTrainIters).map(oKmeansIter).mkString(",\n")},
-       |sf AS (
+  private def oKmeansAssignCtes(tbl: String = "v", p: String = ""): String =
+    s"""${p}c0 AS (SELECT id AS cid, vec AS cvec FROM $tbl WHERE id < 8),
+       |${(1 to KmeansTrainIters).map(i => oKmeansIter(i, tbl, p)).mkString(",\n")},
+       |${p}sf AS (
        |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
-       |  FROM v CROSS JOIN c$KmeansTrainIters c),
-       |rf AS (SELECT id, vec, cid,
+       |  FROM $tbl v CROSS JOIN ${p}c$KmeansTrainIters c),
+       |${p}rf AS (SELECT id, vec, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
-       |  FROM sf),
-       |af AS (SELECT id, vec, cid FROM rf WHERE rn = 1)""".stripMargin
+       |  FROM ${p}sf),
+       |${p}af AS (SELECT id, vec, cid FROM ${p}rf WHERE rn = 1)""".stripMargin
 
   /** DuckDB ordered-fold cosine between two list columns — the same left
     * fold VectorOps.cosine performs, so doubles match bit-for-bit.
@@ -1785,7 +1822,7 @@ object SparkEntry {
 
     "llm_kmeans_train" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$oKmeansAssignCtes,
+         |${oKmeansAssignCtes()},
          |ef AS (
          |  SELECT cid, u.pos AS pos, u.x AS x
          |  FROM af,
@@ -1794,9 +1831,44 @@ object SparkEntry {
          |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
          |FROM ef GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "llm_ann_pq" -> {
+      val subTables = (0 until PqM).map(s =>
+        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
+        .mkString(",\n")
+      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
+        .mkString(",\n")
+      val luts = (0 until PqM).map(s =>
+        s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
+           |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
+        .mkString(",\n")
+      val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
+        .mkString(" ")
+      val lutJoins = (0 until PqM).map(s =>
+        if (s == 0) s"JOIN lut0 l0 ON l0.cid = a0.cid"
+        else s"JOIN lut$s l$s ON l$s.cid = a$s.cid AND l$s.qid = l0.qid")
+        .mkString("\n  ")
+      val scoreExpr = (1 until PqM)
+        .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |$subTables,
+         |$chains,
+         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+         |$luts,
+         |sc AS (
+         |  SELECT l0.qid, a0.id, $scoreExpr AS score
+         |  FROM p0af a0 $encJoins
+         |  $lutJoins
+         |  WHERE a0.id <> l0.qid),
+         |r AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |  FROM sc)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "llm_cluster_purity" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$oKmeansAssignCtes,
+         |${oKmeansAssignCtes()},
          |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings),
          |cnt AS (SELECT af.cid, lab.label, count(*) AS n_lab
          |  FROM af JOIN lab USING (id) GROUP BY 1, 2),
@@ -1811,7 +1883,7 @@ object SparkEntry {
 
     "llm_cluster_sample" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$oKmeansAssignCtes,
+         |${oKmeansAssignCtes()},
          |s AS (SELECT id, CAST(cid AS BIGINT) AS cid,
          |    md5(CAST(id AS VARCHAR)) AS k FROM af),
          |r AS (SELECT cid,
@@ -2527,7 +2599,7 @@ object SparkEntry {
       s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
          |v AS (SELECT id, vec FROM base
          |      UNION ALL SELECT id + 30000, vec FROM base WHERE id % 13 = 0),
-         |$oKmeansAssignCtes,
+         |${oKmeansAssignCtes()},
          |drp AS (
          |  SELECT a.id
          |  FROM af a JOIN af b ON a.cid = b.cid AND a.id > b.id

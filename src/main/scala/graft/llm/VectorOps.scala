@@ -307,6 +307,92 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Product-quantization codebook training: one independent spherical
+    * k-means (the engine's cosine-assignment Lloyd loop) per contiguous
+    * subspace of the embedding. PQ is the compression half of the
+    * production IVF-PQ index: m codebooks of k centroids encode a
+    * d-dim vector in m·log₂k bits — 64 floats become 4 bytes at
+    * m=4, k=256.
+    *
+    * Scale shape: each subspace trains on a SLICE projection of the same
+    * scan (no data duplication), and training cost is the Lloyd loop's —
+    * the corpus-side work per iteration is one map-side assignment fold
+    * plus a partial-combined aggregation, m times. Determinism: inherits
+    * [[kmeansTrain]]'s fixed-point bit-reproducible centroids.
+    *
+    * @return per subspace, the trained (cid, cvec) codebook
+    */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int,
+              maxIter: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sc = corpus.select(col("id"),
+        slice(col("vec"), s * sub + 1, sub).as("vec"))
+      val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+      kmeansTrain(sc, seeds, maxIter)._1
+    }
+  }
+
+  /** PQ encoding: per subspace, the nearest-codebook-centroid id — pure
+    * map work (m literal-centroid folds per row), the same scan-speed
+    * shape as [[nearestCentroid]]. Output (id, codes array<int>).
+    */
+  def pqEncode(corpus: DataFrame,
+               codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val sub = codebooks.head.head._2.size
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCentroid(slice(col("vec"), s * sub + 1, sub), cb)
+    }
+    corpus.select(col("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * one m·k lookup table of subspace dot products against the
+    * codebooks; a candidate's score is the FIXED-ORDER sum of its m
+    * table entries — dot is additive over subspaces (cosine is not), so
+    * this ranks by approximate inner product, the MIPS convention.
+    *
+    * Scale shape: the lookup table is (queries × m × k) rows — tiny, a
+    * broadcast — while the corpus side only ever ships (id, sub, code)
+    * triples into the join and partial-combined per-(query, candidate)
+    * aggregation; the original vectors are never touched at search time,
+    * which is the entire point of PQ. Determinism: each table entry is
+    * an ordered-fold dot, the per-candidate sum is re-assembled in
+    * subspace order (one single-row conditional sum per subspace, added
+    * left-to-right), so scores are bit-identical cross-engine.
+    */
+  def pqAdcTopK(encoded: DataFrame, queries: DataFrame,
+                codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebooks.size
+    val sub = codebooks.head.head._2.size
+    val lutDf = spark.createDataFrame(
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (cid, cvec) => (s, cid, cvec) }
+      }).toDF("sub", "cid", "cvec")
+    val qlut = queries.crossJoin(broadcast(lutDf))
+      .select(col("qid"), col("sub"), col("cid"),
+        dot(slice(col("qvec"), col("sub") * sub + 1, lit(sub)),
+          col("cvec")).as("p"))
+    val parts = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("p"))).as(s"p$s"))
+    val score = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    encoded
+      .select(col("id"), posexplode(col("codes")).as(Seq("esub", "code")))
+      .join(broadcast(qlut),
+        col("code") === col("cid") && col("esub") === col("sub"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** Cluster-quality evaluation against ground-truth labels: per cluster,
     * member count, the majority label, and its count — the purity report
     * that decides whether a trained clustering is good enough to drive

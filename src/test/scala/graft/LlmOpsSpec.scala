@@ -549,6 +549,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("bigram_score") == 0.0)
   }
 
+  test("vectors: PQ round-trip — codes address the nearest subspace " +
+       "centroid and ADC recovers the true neighbor on separable data") {
+    // two blobs in each 2-dim subspace; ids 0,1 double as the k=2 seeds
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),   // same blobs as 0
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)))   // same blobs as 1
+      .toDF("id", "vec")
+    val cbs = VectorOps.pqTrain(corpus, m = 2, k = 2, maxIter = 2)
+    assert(cbs.size == 2 && cbs.forall(_.size == 2))
+    val enc = VectorOps.pqEncode(corpus, cbs)
+    val codes = enc.orderBy("id").collect()
+      .map(r => seqOf[Int](r, "codes"))
+    // 0 and 2 share every subspace code; 1 and 3 likewise; the blobs differ
+    assert(codes(0) == codes(2) && codes(1) == codes(3))
+    assert(codes(0) != codes(1))
+    // ADC: query 0's best approximate-dot neighbor is its blob-mate 2
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val nn = VectorOps.pqAdcTopK(enc, q, cbs, 1).collect()
+    assert(nn.length == 1 && nn.head.getAs[Long]("id") == 2L)
+  }
+
   test("vectors: cluster purity reports majority label with lowest-label " +
        "tie break and exact counts") {
     val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
@@ -584,5 +608,22 @@ class LlmOpsSpec extends SparkSpec {
     val one = Sampling.rankBuckets(scored, 1, "score_fp", "doc_id")
       .select("bucket").distinct().collect()
     assert(one.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("sampling: rank buckets match a local reference on seeded random " +
+       "data across bucket counts") {
+    val rnd = new scala.util.Random(7)
+    // heavy score duplication to stress the id tie-break across partitions
+    val rows = (1L to 257L).map(i => (i, rnd.nextInt(12).toLong))
+    val df = rows.toDF("doc_id", "score_fp").repartition(7)
+    for (nb <- Seq(2, 3, 5)) {
+      val got = Sampling.rankBuckets(df, nb, "score_fp", "doc_id")
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("bucket")))
+      val ref = rows.sortBy { case (id, s) => (s, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1L, i * nb / rows.size + 1L) }
+      assert(got.toSeq == ref, s"nb=$nb")
+    }
   }
 }
