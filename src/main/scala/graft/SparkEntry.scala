@@ -880,6 +880,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sparse tf-idf top-k through the inverted index — the text-side
+    // similarity search (posting-list join on shared terms, df-capped;
+    // all-pairs never materializes). Per-term contributions land on the
+    // 2^20 grid so the pair score is an order-free sum of longs.
+    "llm_tfidf_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.tfidfNeighbors(d, nQueries = 5, k = 3, maxDf = 400)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          col("score_fp"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Bigram LM with add-1 smoothing — the conditional-probability rung
     // above the unigram lm_score (CCNet's KenLM filter shape). The
     // scoring join runs on the bigram key (NOT broadcast: bigram types
@@ -2558,6 +2570,31 @@ object SparkEntry {
     "llm_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_tfidf_topk" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+        |w1 AS (SELECT doc_id, word FROM w0 WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w1 GROUP BY 1, 2),
+        |dfc AS (SELECT word, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) <= 400),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |tw AS (
+        |  SELECT doc_id, word, tf * ln(nd::DOUBLE / df) AS wgt
+        |  FROM tf JOIN dfc USING (word) CROSS JOIN n),
+        |p AS (
+        |  SELECT a.doc_id AS qid, b.doc_id AS id,
+        |    CAST(sum(CAST(floor(a.wgt * b.wgt * 1048576.0) AS BIGINT))
+        |      AS BIGINT) AS score_fp
+        |  FROM tw a JOIN tw b ON a.word = b.word
+        |  WHERE a.doc_id < 5 AND b.doc_id <> a.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid, id, score_fp,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id)
+        |      AS rank
+        |  FROM p)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score_fp
+        |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "llm_bigram_lm" ->
       """WITH w AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization,
@@ -326,6 +327,56 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("bigram_score"), lit(0.0)).as("bigram_score"))
+  }
+
+  /** Sparse tf-idf top-k neighbors — doc-to-doc similarity through the
+    * INVERTED INDEX, the text-side counterpart of the embedding ANN
+    * family: score(q, d) = Σ_{t ∈ q ∩ d} w(q,t)·w(d,t) with
+    * w(d,t) = tf·ln(N/df). The classic sparse similarity join.
+    *
+    * Scale design: candidate pairs materialize ONLY where a query and a
+    * document share a term (the posting-list join on `word`), never
+    * all-pairs; terms with df > `maxDf` are pruned first — their idf is
+    * near zero AND they are exactly the posting lists that would blow up
+    * the join (a df cap is the standard similarity-join prefix filter).
+    * The query side is tiny and broadcasts; corpus posting rows never
+    * shuffle for the join. Determinism: each per-term contribution is
+    * floored onto the 2^20 fixed-point grid and the per-pair score is a
+    * SUM OF LONGS — order-free, so no float aggregation crosses engines
+    * (ranking by raw inner product, the MIPS convention — a cosine
+    * normalization would reintroduce an order-dependent float norm).
+    *
+    * @param nQueries docs with id < nQueries are the query set
+    * @param k        neighbors per query
+    * @param maxDf    posting-list cap; terms in more docs are dropped
+    */
+  def tfidfNeighbors(docs: DataFrame, nQueries: Int, k: Int, maxDf: Long,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val stream = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val tf = stream.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val tw = tf.join(dfc, Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * log(col("nd").cast("double") / col("df"))).as("wgt"))
+    val q = tw.filter(col("doc_id") < nQueries)
+      .select(col("word"), col("doc_id").as("qid"), col("wgt").as("qwgt"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("id"))
+    tw.join(broadcast(q), Seq("word"))
+      .filter(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("id"),
+        floor(col("qwgt") * col("wgt") * lit(1048576.0)).cast("long").as("pfp"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pfp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score_fp"))
   }
 
   /** BM25 relevance of every document against a literal query term set —

@@ -327,13 +327,24 @@ object VectorOps {
     val dim = corpus.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      val sc = corpus.select(col("id"),
-        slice(col("vec"), s * sub + 1, sub).as("vec"))
-      val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-      kmeansTrain(sc, seeds, maxIter)._1
+    // the m subspace trainings are independent — submit their Lloyd-loop
+    // jobs CONCURRENTLY (Spark's scheduler interleaves them across the
+    // cluster) instead of serializing m × maxIter driver round-trips;
+    // results are per-subspace deterministic, so concurrency cannot
+    // change a single centroid
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { s =>
+      Future {
+        val sc = corpus.select(col("id"),
+          slice(col("vec"), s * sub + 1, sub).as("vec"))
+        val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+        kmeansTrain(sc, seeds, maxIter)._1
+      }
     }
+    trained.map(Await.result(_, Duration.Inf))
   }
 
   /** PQ encoding: per subspace, the nearest-codebook-centroid id — pure

@@ -549,6 +549,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("bigram_score") == 0.0)
   }
 
+  test("text: tfidf neighbors rank by shared rare terms and respect the " +
+       "df cap") {
+    val docs = Seq(
+      (0L, "zebra quark common common"),
+      (1L, "zebra quark common"),      // shares both rare terms with 0
+      (2L, "zebra common common"),     // shares one
+      (3L, "common common common"),    // only the capped/common term
+      (4L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    // maxDf = 3 prunes "common" (df 4); zebra df 3 stays, quark df 2 stays
+    val out = TextAnalysis.tfidfNeighbors(docs, nQueries = 1, k = 3, maxDf = 3)
+      .orderBy("rank").collect()
+    // candidates of query 0: doc1 (zebra+quark), doc2 (zebra); doc3
+    // survives ONLY via common, which is pruned → absent; doc4 disjoint
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("score_fp")).forall(_ > 0))
+    assert(out(0).getAs[Long]("score_fp") > out(1).getAs[Long]("score_fp"))
+  }
+
   test("vectors: PQ round-trip — codes address the nearest subspace " +
        "centroid and ADC recovers the true neighbor on separable data") {
     // two blobs in each 2-dim subspace; ids 0,1 double as the k=2 seeds
