@@ -1404,6 +1404,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // PQ reconstruction error — decode codes back to centroids and
+    // measure the squared L2 loss per vector on the fixed-point grid:
+    // the evaluation that picks m and k before a corpus is indexed.
+    "llm_pq_recon" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      VectorOps.pqReconError(e, cbs)
+        .orderBy(col("id"))
+    }),
+
     // Cluster-quality purity report: train k-means, assign, score each
     // cluster against the embeddings table's ground-truth labels —
     // member count, majority label, majority count (exact integers;
@@ -1487,11 +1498,14 @@ object SparkEntry {
       val in = s"$base/in"
       CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in, shards = 4)
       val qf = TextAnalysis.qualityFilter(col("text"))
-      // spread before the heavy HOF filter: a 2-file micro-batch arrives
-      // as 2 input partitions, serializing the expensive map on local[32]
-      // (same reason Tables.documents spreads; identity on a cluster)
-      val admitted = Tables.spreadLocal(s,
-          CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 2))
+      // spread the RAW LINES before parsing: a 2-file micro-batch arrives
+      // as 2 input partitions, serializing both the from_json parse and
+      // the HOF filter on local[32] (same reason Tables.documents
+      // spreads; identity on a cluster, where many files per trigger
+      // already fan out)
+      val lines = Tables.spreadLocal(s,
+        s.readStream.option("maxFilesPerTrigger", 2).text(in))
+      val admitted = CorpusIO.parseJsonl(lines)
         .filter(col(CorpusIO.CorruptCol).isNull)
         .select(col("doc_id"), col("source"),
           qf.getField("n_words").as("n_words"),
@@ -1876,6 +1890,31 @@ object SparkEntry {
          |  FROM sc)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    "llm_pq_recon" -> {
+      val subTables = (0 until PqM).map(s =>
+        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
+        .mkString(",\n")
+      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
+        .mkString(",\n")
+      val errs = (0 until PqM).map(s =>
+        s"""e$s AS (
+           |  SELECT a.id, CAST(floor(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+           |      [(a.vec[i] - c.cvec[i])*(a.vec[i] - c.cvec[i])
+           |       FOR i IN range(1, ${PqSub + 1})]),
+           |    (x,y) -> x+y) * 1048576.0) AS BIGINT) AS efp
+           |  FROM p${s}af a JOIN p${s}c$KmeansTrainIters c ON c.cid = a.cid)"""
+          .stripMargin).mkString(",\n")
+      val joins = (1 until PqM).map(s => s"JOIN e$s USING (id)").mkString(" ")
+      val errExpr = (1 until PqM)
+        .foldLeft("e0.efp") { (acc, s) => s"($acc + e$s.efp)" }
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |$subTables,
+         |$chains,
+         |$errs
+         |SELECT e0.id, $errExpr AS err_fp
+         |FROM e0 $joins ORDER BY e0.id""".stripMargin
     },
 
     "llm_cluster_purity" ->

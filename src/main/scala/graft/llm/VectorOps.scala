@@ -404,6 +404,37 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** PQ reconstruction error — the "how lossy is my index" evaluation
+    * that decides m and k: decode every vector's codes back to their
+    * centroids and report the squared L2 error between the original and
+    * its reconstruction. Pure map work (assignment fold + literal-array
+    * centroid lookup + one diff fold per subspace per row).
+    *
+    * Determinism: each subspace's squared error is an ordered fold,
+    * floored onto the 2^20 grid; the total is a sum of longs — order-free
+    * and bit-exact cross-engine, like every other score in this engine.
+    *
+    * @return (id, err_fp) with err_fp = Σ_s floor(sqerr_s · 2^20)
+    */
+  def pqReconError(corpus: DataFrame,
+                   codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val sub = codebooks.head.head._2.size
+    val errCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sl = slice(col("vec"), s * sub + 1, sub)
+      val sorted = cb.sortBy(_._1)
+      require(sorted.map(_._1) == sorted.indices.toSeq,
+        "codebook cids must be contiguous from 0 for the decode lookup")
+      val cvecs = array(sorted.map { case (_, cvec) =>
+        array(cvec.map(lit): _*)
+      }: _*)
+      val cvec = element_at(cvecs, nearestCentroid(sl, cb) + 1)
+      floor(aggregate(zip_with(sl, cvec, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, e) => acc + e) * MeanGrid).cast("long")
+    }
+    corpus.select(col("id"),
+      errCols.reduce(_ + _).as("err_fp"))
+  }
+
   /** Cluster-quality evaluation against ground-truth labels: per cluster,
     * member count, the majority label, and its count — the purity report
     * that decides whether a trained clustering is good enough to drive

@@ -592,6 +592,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(nn.length == 1 && nn.head.getAs[Long]("id") == 2L)
   }
 
+  test("vectors: PQ reconstruction error is zero exactly when every " +
+       "vector sits on its centroid") {
+    // two distinct vectors, duplicated: k=2 training lands centroids ON
+    // them (grid means of identical values are exact), so decode is lossless
+    val clean = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val cbs = VectorOps.pqTrain(clean, m = 1, k = 2, maxIter = 2)
+    val errs = VectorOps.pqReconError(clean, cbs)
+      .collect().map(_.getAs[Long]("err_fp"))
+    assert(errs.forall(_ == 0L), errs.toSeq)
+    // an off-centroid vector reconstructs with positive loss
+    val noisy = clean.unionByName(
+      Seq((4L, Seq(0.6, 0.4))).toDF("id", "vec"))
+    val cbs2 = VectorOps.pqTrain(clean, m = 1, k = 2, maxIter = 2)
+    val e4 = VectorOps.pqReconError(noisy, cbs2)
+      .filter(col("id") === 4L).head().getAs[Long]("err_fp")
+    assert(e4 > 0L)
+  }
+
   test("vectors: cluster purity reports majority label with lowest-label " +
        "tie break and exact counts") {
     val assigned = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1))
