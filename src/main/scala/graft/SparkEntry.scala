@@ -880,6 +880,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The corpus-build pipeline COMPOSED end-to-end — quality gate →
+    // exact dedup (min-id keeper) → benchmark decontamination — with the
+    // per-stage funnel counts every production corpus job publishes.
+    // Each stage is the already-verified library operator; this entry
+    // pins that they compose (the quality set feeds the dedup, the
+    // unique set feeds the scrub) rather than merely work in isolation.
+    "llm_corpus_build" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      val quality = d.filter(qf.getField("keep") === 1).persist()
+      val keepers = quality
+        .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val unique = quality.join(keepers, Seq("doc_id")).persist()
+      val evalSet = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 21, 180).as("text"))
+      val clean = Dedup.decontaminate(unique, evalSet, n = 5)
+        .filter(col("contaminated") === 0)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      stage("a_total", d)
+        .unionByName(stage("b_quality", quality))
+        .unionByName(stage("c_unique", unique))
+        .unionByName(stage("d_clean", clean))
+        .orderBy(col("stage"))
+    }),
+
     // Sparse tf-idf top-k through the inverted index — the text-side
     // similarity search (posting-list join on shared terms, df-capped;
     // all-pairs never materializes). Per-term contributions land on the
@@ -2609,6 +2637,32 @@ object SparkEntry {
     "llm_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_corpus_build" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |keepids AS (SELECT doc_id FROM l WHERE gopher AND logit > 0),
+         |q AS (SELECT d.doc_id, d.text FROM d JOIN keepids USING (doc_id)),
+         |kp AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |u AS (SELECT q.doc_id, q.text FROM q JOIN kp USING (doc_id)),
+         |ev AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |      [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)])) AS ng
+         |  FROM (SELECT str_split(substr(text, 21, 180), ' ') AS ws
+         |        FROM documents WHERE doc_id % 37 = 0)),
+         |tr AS (
+         |  SELECT id, unnest(ngs) AS ng FROM (
+         |    SELECT doc_id AS id, list_distinct(
+         |        [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)]) AS ngs
+         |    FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM u))),
+         |contam AS (SELECT DISTINCT id FROM tr JOIN ev USING (ng)),
+         |cln AS (SELECT u.doc_id FROM u
+         |  LEFT JOIN contam ON contam.id = u.doc_id WHERE contam.id IS NULL)
+         |SELECT 'a_total' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 'b_quality', count(*) FROM q
+         |UNION ALL SELECT 'c_unique', count(*) FROM u
+         |UNION ALL SELECT 'd_clean', count(*) FROM cln
+         |ORDER BY stage""".stripMargin,
 
     "llm_tfidf_topk" ->
       """WITH w0 AS (
