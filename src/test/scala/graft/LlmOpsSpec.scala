@@ -648,6 +648,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(one.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("sampling: rank buckets on empty input return an empty frame with " +
+       "the right schema, not a division error") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "score_fp")
+    val out = Sampling.rankBuckets(empty, 3, "score_fp", "doc_id")
+    assert(out.columns.toSeq == Seq("id", "score", "rank", "bucket"))
+    assert(out.count() == 0)
+  }
+
+  test("dedup: semantic groups with no near-dups keep everything") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val out = Dedup.semanticGroups(corpus, cents, tau = 0.95)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("keep")).toSeq == Seq(1L, 1L))
+    corpus.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("sampling: rank buckets match a local reference on seeded random " +
        "data across bucket counts") {
     val rnd = new scala.util.Random(7)
