@@ -889,11 +889,18 @@ object SparkEntry {
     "llm_corpus_build" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val qf = TextAnalysis.qualityFilter(col("text"))
+      // persist AND materialize eagerly: the final union's four count
+      // branches are independent stages Spark schedules CONCURRENTLY,
+      // and concurrent first-readers of a lazy cache each compute the
+      // fill themselves — the expensive quality filter would run 3×.
+      // One count() per stage pins a single fill (4× wall observed).
       val quality = d.filter(qf.getField("keep") === 1).persist()
+      quality.count()
       val keepers = quality
         .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val unique = quality.join(keepers, Seq("doc_id")).persist()
+      unique.count()
       val evalSet = d.filter(col("doc_id") % 37 === 0)
         .select(substring(col("text"), 21, 180).as("text"))
       val clean = Dedup.decontaminate(unique, evalSet, n = 5)
