@@ -887,13 +887,19 @@ object SparkEntry {
     // pins that they compose (the quality set feeds the dedup, the
     // unique set feeds the scrub) rather than merely work in isolation.
     "llm_corpus_build" -> ((s, dir) => {
+      // cache the SPREAD scan before filtering: PushDownPredicate moves a
+      // deterministic Filter below the spread repartition onto the raw
+      // single-split parquet scan, serializing the heavy quality HOFs on
+      // one core (14 s vs 2.5 s at sf0.1, measured); an InMemoryRelation
+      // is a pushdown barrier, so the predicate runs on the 32 cached
+      // partitions. The eager count()s also pin one fill per cache — the
+      // final union's four count branches are independent stages the
+      // scheduler runs concurrently, and concurrent first-readers of a
+      // lazy cache each recompute the fill.
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .persist()
+      d.count()
       val qf = TextAnalysis.qualityFilter(col("text"))
-      // persist AND materialize eagerly: the final union's four count
-      // branches are independent stages Spark schedules CONCURRENTLY,
-      // and concurrent first-readers of a lazy cache each compute the
-      // fill themselves — the expensive quality filter would run 3×.
-      // One count() per stage pins a single fill (4× wall observed).
       val quality = d.filter(qf.getField("keep") === 1).persist()
       quality.count()
       val keepers = quality
@@ -1531,16 +1537,17 @@ object SparkEntry {
     "llm_stream_quality" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
       val in = s"$base/in"
-      CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in, shards = 4)
+      // parallelism comes from the SOURCE: 32 shards, 16 files per
+      // trigger → 2 micro-batches, 16 input splits each. A mid-stream
+      // repartition cannot help here — PushDownPredicate substitutes the
+      // filter's aliases and pushes the parse + quality predicate below
+      // the repartition onto the per-file partitions, so the only lever
+      // that actually spreads the heavy work is shard count (exactly the
+      // production shape: crawls arrive as many files).
+      CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in,
+        shards = 32)
       val qf = TextAnalysis.qualityFilter(col("text"))
-      // spread the RAW LINES before parsing: a 2-file micro-batch arrives
-      // as 2 input partitions, serializing both the from_json parse and
-      // the HOF filter on local[32] (same reason Tables.documents
-      // spreads; identity on a cluster, where many files per trigger
-      // already fan out)
-      val lines = Tables.spreadLocal(s,
-        s.readStream.option("maxFilesPerTrigger", 2).text(in))
-      val admitted = CorpusIO.parseJsonl(lines)
+      val admitted = CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 16)
         .filter(col(CorpusIO.CorruptCol).isNull)
         .select(col("doc_id"), col("source"),
           qf.getField("n_words").as("n_words"),
