@@ -1445,6 +1445,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF+PQ composed — the production ANN index: trained coarse
+    // quantizer prunes to nprobe=2 clusters, ADC ranks only the probed
+    // candidates by 4-byte codes. The index at rest is (id, cid, codes);
+    // original vectors appear in no search plan.
+    "llm_ann_ivfpq" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (coarse, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // PQ reconstruction error — decode codes back to centroids and
     // measure the squared L2 loss per vector on the fixed-point grid:
     // the evaluation that picks m and k before a corpus is indexed.
@@ -1927,6 +1946,50 @@ object SparkEntry {
          |  FROM p0af a0 $encJoins
          |  $lutJoins
          |  WHERE a0.id <> l0.qid),
+         |r AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+         |  FROM sc)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    "llm_ann_ivfpq" -> {
+      val subTables = (0 until PqM).map(s =>
+        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
+        .mkString(",\n")
+      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
+        .mkString(",\n")
+      val luts = (0 until PqM).map(s =>
+        s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
+           |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
+        .mkString(",\n")
+      val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
+        .mkString(" ")
+      val lutJoins = (0 until PqM).map(s =>
+        s"JOIN lut$s l$s ON l$s.qid = cand.qid AND l$s.cid = a$s.cid")
+        .mkString("\n  ")
+      val scoreExpr = (1 until PqM)
+        .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |$subTables,
+         |${oKmeansAssignCtes()},
+         |$chains,
+         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+         |qp0 AS (
+         |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
+         |  FROM q CROSS JOIN c$KmeansTrainIters c),
+         |qp AS (SELECT qid, cid,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+         |  FROM qp0),
+         |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
+         |$luts,
+         |cand AS (
+         |  SELECT p.qid, af.id AS a0_id FROM af JOIN probes p ON p.cid = af.cid
+         |  WHERE af.id <> p.qid),
+         |sc AS (
+         |  SELECT cand.qid, a0.id, $scoreExpr AS score
+         |  FROM cand JOIN p0af a0 ON a0.id = cand.a0_id $encJoins
+         |  $lutJoins),
          |r AS (SELECT qid, id, score,
          |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
          |  FROM sc)

@@ -404,6 +404,66 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** IVF+PQ — the two halves composed into the production ANN index
+    * (FAISS's IVFPQ): a coarse quantizer prunes the corpus to `nprobe`
+    * clusters per query, then ADC ranks ONLY the probed candidates by
+    * their PQ codes. At rest the index is (id, coarse cid, codes) — the
+    * corpus partitioned by cluster with 4-byte payloads; the original
+    * vectors appear in no search plan.
+    *
+    * Scale shape: candidate generation is an equi-join on the coarse
+    * cluster id (the IVF pruning), the per-query lookup tables broadcast
+    * (queries × m × k rows), and the ADC sum is the same fixed-order
+    * exact reassembly as [[pqAdcTopK]] — nothing about the composition
+    * adds a shuffle the parts didn't already have.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                coarse: Seq[(Int, Seq[Double])],
+                codebooks: Seq[Seq[(Int, Seq[Double])]],
+                nprobe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebooks.size
+    val sub = codebooks.head.head._2.size
+    val indexed = corpus
+      .withColumn("cid", nearestCentroid(col("vec"), coarse))
+      .select(col("id"), col("cid"))
+      .join(pqEncode(corpus, codebooks), Seq("id"))
+    val centDf = broadcast(spark.createDataFrame(
+      coarse.map { case (cid, cvec) => (cid, cvec) }).toDF("cid", "cvec"))
+    val cw = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = queries.crossJoin(centDf)
+      .select(col("qid"), col("cid"),
+        cosine(col("qvec"), col("cvec")).as("ccos"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("cid"))
+    val lutDf = spark.createDataFrame(
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (cid, cvec) => (s, cid, cvec) }
+      }).toDF("sub", "code_cid", "cvec")
+    val qlut = queries.crossJoin(broadcast(lutDf))
+      .select(col("qid").as("lqid"), col("sub"), col("code_cid"),
+        dot(slice(col("qvec"), col("sub") * sub + 1, lit(sub)),
+          col("cvec")).as("p"))
+    val parts = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("p"))).as(s"p$s"))
+    val score = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    indexed
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        posexplode(col("codes")).as(Seq("esub", "code")))
+      .join(broadcast(qlut),
+        col("lqid") === col("qid") && col("esub") === col("sub") &&
+          col("code") === col("code_cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** PQ reconstruction error — the "how lossy is my index" evaluation
     * that decides m and k: decode every vector's codes back to their
     * centroids and report the squared L2 error between the original and

@@ -592,6 +592,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(nn.length == 1 && nn.head.getAs[Long]("id") == 2L)
   }
 
+  test("vectors: IVF+PQ probes prune to the query's blob and ADC ranks " +
+       "its members") {
+    // blob A near (1,0,0,1), blob B near (0,1,1,0); coarse k=2 separates
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val (coarse, _, _) = VectorOps.kmeansTrain(corpus, seeds, maxIter = 2)
+    val cbs = VectorOps.pqTrain(corpus, m = 2, k = 2, maxIter = 2)
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val nn = VectorOps.ivfPqTopK(corpus, q, coarse, cbs, nprobe = 1, k = 5)
+      .orderBy("rank").collect()
+    // nprobe=1 → only blob A's cluster is searched: ids 2 and 4, never 1/3
+    assert(nn.map(_.getAs[Long]("id")).toSet == Set(2L, 4L))
+  }
+
   test("vectors: PQ reconstruction error is zero exactly when every " +
        "vector sits on its centroid") {
     // two distinct vectors, duplicated: k=2 training lands centroids ON
