@@ -1464,6 +1464,46 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN recall@k — the evaluation that actually picks nprobe / plane
+    // count / m: each approximate method's top-5 against brute-force
+    // top-5 ground truth, per query, as exact integer hit counts (no
+    // float recall crosses the engine boundary; recall = hits/k is
+    // derivable). Methods run with the same knobs as their own entries
+    // (lsh: 6 seeded planes; ivf: 8 seed centroids, nprobe=2; ivfpq:
+    // trained coarse + PQ codebooks, nprobe=2). The (method × qid) grid
+    // left-join keeps a method that returns nothing for a query visible
+    // as hits = 0 instead of silently vanishing from the report.
+    "llm_ann_recall" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val k = 5
+      val gt = VectorOps.bruteForceTopK(e, q, k)
+        .select(col("qid"), col("id"))
+      val seeds = seedCentroids(e, 8)
+      val (coarse, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val preds = Seq(
+        "lsh" -> VectorOps.lshTopK(e, q, AnnPlanes, k),
+        "ivf" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 2, k = k),
+        "ivfpq" -> VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = k))
+        .map { case (m, df) =>
+          df.select(lit(m).as("method"), col("qid"), col("id")) }
+        .reduce(_ unionByName _)
+      val methods = s.createDataFrame(
+        Seq("ivf", "ivfpq", "lsh").map(Tuple1(_))).toDF("method")
+      val grid = q.select(col("qid")).crossJoin(broadcast(methods))
+      val hits = preds.join(gt, Seq("qid", "id"))
+        .groupBy(col("method"), col("qid"))
+        .agg(count(lit(1)).as("hits"))
+      grid.join(hits, Seq("method", "qid"), "left")
+        .select(col("method"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"), lit(5L).as("k"))
+        .orderBy(col("method"), col("qid"))
+    }),
+
     // PQ reconstruction error — decode codes back to centroids and
     // measure the squared L2 loss per vector on the fixed-point grid:
     // the evaluation that picks m and k before a corpus is indexed.
@@ -1862,10 +1902,14 @@ object SparkEntry {
        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
        |      [$b[i]*$b[i] FOR i IN range(1, len($b)+1)]), (x,y) -> x+y)))""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-
-    "llm_ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+  /** The brute-force / LSH / IVF / IVF+PQ top-k oracle statements are
+    * private defs (not inline map literals) so the recall@k oracle can
+    * re-compose the exact same per-method SQL as nested subqueries —
+    * one source of truth per method, zero drift between an entry and
+    * its recall row.
+    */
+  private def oAnnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
          |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
          |ac0 AS (
          |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
@@ -1887,7 +1931,125 @@ object SparkEntry {
          |r AS (SELECT qid, id, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
          |SELECT qid, rank, id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private def oAnnCosineSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+      |p AS (
+      |  SELECT qid, id,
+      |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+      |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+      |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+      |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+      |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+      |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
+      |  FROM v CROSS JOIN q WHERE id <> qid),
+      |r AS (SELECT qid, id, cos,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
+      |SELECT qid, rank, id, round(cos, 4) AS cos
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private def oAnnLshSql: String =
+    s"""WITH planes AS (SELECT $OPlanes AS pl),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |vb AS (
+       |  SELECT id, vec,
+       |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) >= 0
+       |      THEN '1' ELSE '0' END FOR j IN range(1, 7)], '') AS bucket
+       |  FROM v CROSS JOIN planes),
+       |q AS (SELECT id AS qid, vec AS qvec, bucket FROM vb WHERE id < 5),
+       |cand AS (
+       |  SELECT qid, qvec, id, vec FROM vb JOIN q USING (bucket) WHERE id <> qid),
+       |p AS (
+       |  SELECT qid, id,
+       |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+       |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+       |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
+       |  FROM cand),
+       |r AS (SELECT qid, id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
+       |SELECT qid, rank, id, round(cos, 4) AS cos
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private def oAnnIvfpqSql: String = {
+    val subTables = (0 until PqM).map(s =>
+      s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
+      .mkString(",\n")
+    val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
+      .mkString(",\n")
+    val luts = (0 until PqM).map(s =>
+      s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
+         |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
+      .mkString(",\n")
+    val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
+      .mkString(" ")
+    val lutJoins = (0 until PqM).map(s =>
+      s"JOIN lut$s l$s ON l$s.qid = cand.qid AND l$s.cid = a$s.cid")
+      .mkString("\n  ")
+    val scoreExpr = (1 until PqM)
+      .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |$subTables,
+       |${oKmeansAssignCtes()},
+       |$chains,
+       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+       |qp0 AS (
+       |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
+       |  FROM q CROSS JOIN c$KmeansTrainIters c),
+       |qp AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+       |  FROM qp0),
+       |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
+       |$luts,
+       |cand AS (
+       |  SELECT p.qid, af.id AS a0_id FROM af JOIN probes p ON p.cid = af.cid
+       |  WHERE af.id <> p.qid),
+       |sc AS (
+       |  SELECT cand.qid, a0.id, $scoreExpr AS score
+       |  FROM cand JOIN p0af a0 ON a0.id = cand.a0_id $encJoins
+       |  $lutJoins),
+       |r AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Recall@5 oracle: the four method statements above nested verbatim
+    * as scoped subqueries (DuckDB CTE names inside a subquery shadow the
+    * outer scope, so the shared CTE names can't collide), intersected
+    * per (method, qid) against brute-force ground truth. Exact integer
+    * hit counts only — recall itself never floats across engines.
+    */
+  private def oAnnRecallSql: String =
+    s"""WITH gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= 5),
+       |lsh_k AS (SELECT qid, id FROM ($oAnnLshSql)),
+       |ivf_k AS (SELECT qid, id FROM ($oAnnIvfSql)),
+       |ivfpq_k AS (SELECT qid, id FROM ($oAnnIvfpqSql)),
+       |m AS (
+       |  SELECT 'lsh' AS method, qid, id FROM lsh_k
+       |  UNION ALL SELECT 'ivf', qid, id FROM ivf_k
+       |  UNION ALL SELECT 'ivfpq', qid, id FROM ivfpq_k),
+       |qids AS (SELECT DISTINCT qid FROM gt),
+       |grid AS (SELECT mm.method, q.qid FROM qids q
+       |  CROSS JOIN (SELECT unnest(['ivf','ivfpq','lsh']) AS method) mm),
+       |hits AS (SELECT method, qid, CAST(count(*) AS BIGINT) AS hits
+       |  FROM m JOIN gt USING (qid, id) GROUP BY 1, 2)
+       |SELECT g.method, g.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+       |  CAST(5 AS BIGINT) AS k
+       |FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid
+       |ORDER BY g.method, g.qid""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "llm_ann_recall" -> oAnnRecallSql,
+
+    "llm_ann_ivf" -> oAnnIvfSql,
 
     "llm_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -1953,49 +2115,7 @@ object SparkEntry {
          |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
-    "llm_ann_ivfpq" -> {
-      val subTables = (0 until PqM).map(s =>
-        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
-        .mkString(",\n")
-      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
-        .mkString(",\n")
-      val luts = (0 until PqM).map(s =>
-        s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
-           |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
-        .mkString(",\n")
-      val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
-        .mkString(" ")
-      val lutJoins = (0 until PqM).map(s =>
-        s"JOIN lut$s l$s ON l$s.qid = cand.qid AND l$s.cid = a$s.cid")
-        .mkString("\n  ")
-      val scoreExpr = (1 until PqM)
-        .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
-      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$subTables,
-         |${oKmeansAssignCtes()},
-         |$chains,
-         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
-         |qp0 AS (
-         |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
-         |  FROM q CROSS JOIN c$KmeansTrainIters c),
-         |qp AS (SELECT qid, cid,
-         |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
-         |  FROM qp0),
-         |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
-         |$luts,
-         |cand AS (
-         |  SELECT p.qid, af.id AS a0_id FROM af JOIN probes p ON p.cid = af.cid
-         |  WHERE af.id <> p.qid),
-         |sc AS (
-         |  SELECT cand.qid, a0.id, $scoreExpr AS score
-         |  FROM cand JOIN p0af a0 ON a0.id = cand.a0_id $encJoins
-         |  $lutJoins),
-         |r AS (SELECT qid, id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-         |  FROM sc)
-         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
-         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+    "llm_ann_ivfpq" -> oAnnIvfpqSql,
 
     "llm_pq_recon" -> {
       val subTables = (0 until PqM).map(s =>
@@ -2626,48 +2746,9 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cos, 4) AS cos
         |FROM p WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
-    "llm_ann_cosine" ->
-      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
-        |p AS (
-        |  SELECT qid, id,
-        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-        |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
-        |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-        |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
-        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-        |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
-        |  FROM v CROSS JOIN q WHERE id <> qid),
-        |r AS (SELECT qid, id, cos,
-        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
-        |SELECT qid, rank, id, round(cos, 4) AS cos
-        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "llm_ann_cosine" -> oAnnCosineSql,
 
-    "llm_ann_lsh" ->
-      s"""WITH planes AS (SELECT $OPlanes AS pl),
-         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |vb AS (
-         |  SELECT id, vec,
-         |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) >= 0
-         |      THEN '1' ELSE '0' END FOR j IN range(1, 7)], '') AS bucket
-         |  FROM v CROSS JOIN planes),
-         |q AS (SELECT id AS qid, vec AS qvec, bucket FROM vb WHERE id < 5),
-         |cand AS (
-         |  SELECT qid, qvec, id, vec FROM vb JOIN q USING (bucket) WHERE id <> qid),
-         |p AS (
-         |  SELECT qid, id,
-         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
-         |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
-         |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))) AS cos
-         |  FROM cand),
-         |r AS (SELECT qid, id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
-         |SELECT qid, rank, id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "llm_ann_lsh" -> oAnnLshSql,
 
     // feature arithmetic mirrors the Spark expression tree op-for-op
     // (same IEEE order); constants are CAST AS DOUBLE because bare

@@ -331,20 +331,28 @@ object VectorOps {
     // jobs CONCURRENTLY (Spark's scheduler interleaves them across the
     // cluster) instead of serializing m × maxIter driver round-trips;
     // results are per-subspace deterministic, so concurrency cannot
-    // change a single centroid
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val trained = (0 until m).map { s =>
-      Future {
-        val sc = corpus.select(col("id"),
-          slice(col("vec"), s * sub + 1, sub).as("vec"))
-        val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-        kmeansTrain(sc, seeds, maxIter)._1
+    // change a single centroid. The futures run on a DEDICATED
+    // fixed-size pool, not the global fork-join pool: each future
+    // blocks on collect()s for its whole lifetime, and m parked
+    // threads would starve every other user of the shared pool. The
+    // await is finite — a wedged Lloyd job must surface as a timeout,
+    // not hang the driver forever.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val trained = (0 until m).map { s =>
+        Future {
+          val sc = corpus.select(col("id"),
+            slice(col("vec"), s * sub + 1, sub).as("vec"))
+          val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
+            .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+          kmeansTrain(sc, seeds, maxIter)._1
+        }
       }
-    }
-    trained.map(Await.result(_, Duration.Inf))
+      trained.map(Await.result(_, 1.hour))
+    } finally pool.shutdown()
   }
 
   /** PQ encoding: per subspace, the nearest-codebook-centroid id — pure

@@ -82,16 +82,26 @@ object CorpusIO {
   /** The shared line→row parse: PERMISSIVE `from_json` with the raw line
     * quarantined in `_bad_line`. Works on any (streaming or batch)
     * single-column `value: string` frame.
+    *
+    * Lines `from_json` parses to a NULL struct — blank/whitespace lines
+    * and the JSON literal `null`, both routine in crawler output — carry
+    * no corrupt-record marker of their own (every field of a null struct
+    * reads as null, including `_bad_line`), so the raw line is coalesced
+    * into the quarantine column explicitly: they must count as bad
+    * input, not be admitted as phantom all-null documents.
     */
   def parseJsonl(lines: DataFrame, schema: StructType = DocumentSchema): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"$CorruptCol is reserved for the quarantine column")
     val withCorrupt = schema.add(StructField(CorruptCol, StringType, nullable = true))
-    lines
-      .select(from_json(col("value"), withCorrupt,
+    val parsed = lines
+      .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> CorruptCol).asJava).as("rec"))
-      .select(col("rec.*"))
+    val dataCols = schema.fieldNames.toSeq.map(n => col(s"rec.`$n`").as(n))
+    val badCol = when(col("rec").isNull, col("value"))
+      .otherwise(col(s"rec.`$CorruptCol`")).as(CorruptCol)
+    parsed.select(dataCols :+ badCol: _*)
   }
 
   /** Ingest report: good/quarantined line counts — the first number a

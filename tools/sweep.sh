@@ -18,7 +18,12 @@ for sf in "${sfs[@]}"; do
     > "/tmp/graft_sweep_sf${sf}.log" 2>&1 || { echo "VERIFY FAILED sf${sf}"; fail=1; continue; }
   grep "\[verify\].*failed" "/tmp/graft_sweep_sf${sf}.log" && fail=1
   echo "=== sf${sf}: DuckDB oracle compare"
-  python3 tools/check.py "/root/testdata/sf${sf}" "${out}" | tail -3
-  python3 tools/check.py "/root/testdata/sf${sf}" "${out}" | grep -q "^FAIL" && fail=1
+  # Run check.py ONCE and grep the captured output. Piping check.py
+  # straight into `grep -q` is a trap under pipefail: grep -q exits at
+  # the first match, SIGPIPE kills check.py (141), the pipeline goes
+  # non-zero, and `&& fail=1` is skipped EXACTLY when a FAIL line exists.
+  check_out="$(python3 tools/check.py "/root/testdata/sf${sf}" "${out}")"
+  printf '%s\n' "${check_out}" | tail -3
+  [ "$(printf '%s\n' "${check_out}" | grep -c '^FAIL')" -gt 0 ] && fail=1
 done
 exit $fail
