@@ -43,13 +43,32 @@ object SparkEntry {
   /** epoch-seconds of the second-truncated ts, DuckDB side. */
   private val OSec = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
 
-  /** Sign-LSH hyperplanes for llm_ann_lsh — seeded, so the exact same
-    * literals are embedded into the DuckDB oracle SQL below. 6 planes →
-    * 64 buckets over 500 vectors (~8 candidates per bucket).
+  /** Sign-LSH hyperplanes for the ANN entries — seeded, so the exact same
+    * literals are embedded into the DuckDB oracle SQL below. 8 planes are
+    * generated once; the n-plane variants (the recall sweep's operating
+    * points) are PREFIXES of the same stream, since java.util.Random
+    * draws plane-by-plane in order. llm_ann_lsh uses the first 6 (64
+    * buckets over 500 vectors, ~8 candidates per bucket).
     */
-  private val AnnPlanes: Seq[Seq[Double]] = VectorOps.hyperplanes(6, 64)
+  private val AnnPlanes8: Seq[Seq[Double]] = VectorOps.hyperplanes(8, 64)
+  private val AnnPlanes: Seq[Seq[Double]] = AnnPlanes8.take(6)
   private val OPlanes: String =
-    AnnPlanes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    AnnPlanes8.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** k for every ANN top-k entry and the recall evaluations — ONE
+    * constant threaded into both the Spark plans and the oracle SQL, so
+    * entry and oracle cannot desynchronize.
+    */
+  private val AnnK = 5
+
+  /** Seeded 64×64 orthogonal rotation for the OPQ entry — rows become
+    * plan literals on the Spark side and one list literal in the oracle
+    * (Double.toString round-trips exactly through both parsers, the
+    * OPlanes mechanism).
+    */
+  private lazy val OpqRot: Seq[Seq[Double]] = VectorOps.orthogonalMatrix(64)
+  private lazy val ORot: String =
+    OpqRot.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   /** Flagship: the remote-read bucket-quantile query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -945,6 +964,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated trigram LM (λ₃P₃+λ₂P₂+λ₁P₁, add-1 smoothing per
+    // level) — the rung above llm_bigram_lm. Scores are exact integers:
+    // each trigram TYPE's −ln(p) lands on the 2^20 grid once, the doc
+    // score is a sum of longs; the exploded stream joins the scored
+    // type table exactly once, on the trigram key.
+    "llm_trigram_lm" -> ((s, dir) => {
+      TextAnalysis.trigramLmScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 ranked retrieval against a literal query term set — the
     // query-focused corpus-curation scorer. tf is map-side (no explode),
     // corpus stats are one exact-integer aggregation broadcast back, the
@@ -1084,6 +1113,34 @@ object SparkEntry {
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"),
           col("meta.fingerprint").as("fingerprint"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL multimodal decode: each doc becomes a genuine BMP / PNG / WAV
+    // payload (spec-correct headers assembled around the text bytes,
+    // geometry planted from doc_id) or a raw blob; decodeMeta sniffs the
+    // magic and parses the actual header fields back. The oracle derives
+    // the planted geometry independently — a parser/builder endianness
+    // slip cannot cancel out (plus LlmOpsSpec pins hand-written
+    // spec-example headers byte-for-byte).
+    "llm_multimodal_decode" -> ((s, dir) => {
+      val body = Multimodal.asBinaryPayload(col("text"))
+      val w = pmod(col("doc_id"), lit(253)) + 1
+      val h = pmod(col("doc_id"), lit(199)) + 1
+      val ch = pmod(col("doc_id"), lit(2)) + 1
+      val rate = pmod(col("doc_id"), lit(8)) * 1000 + 8000
+      val kind = pmod(col("doc_id"), lit(4))
+      val payload = when(kind === 1, Multimodal.bmpPayload(w, h, body))
+        .when(kind === 2, Multimodal.pngPayload(w, h, body))
+        .when(kind === 3, Multimodal.wavPayload(ch, rate, body))
+        .otherwise(body)
+      val m = Multimodal.decodeMeta(payload)
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          m.getField("format").as("format"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("n_bytes").as("n_bytes"))
         .orderBy(col("media_id"))
     }),
 
@@ -1464,43 +1521,187 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // ANN recall@k — the evaluation that actually picks nprobe / plane
-    // count / m: each approximate method's top-5 against brute-force
-    // top-5 ground truth, per query, as exact integer hit counts (no
-    // float recall crosses the engine boundary; recall = hits/k is
-    // derivable). Methods run with the same knobs as their own entries
-    // (lsh: 6 seeded planes; ivf: 8 seed centroids, nprobe=2; ivfpq:
-    // trained coarse + PQ codebooks, nprobe=2). The (method × qid) grid
-    // left-join keeps a method that returns nothing for a query visible
-    // as hits = 0 instead of silently vanishing from the report.
+    // IVF+PQ at REST — the index as a TABLE: (id, cid, codes) written
+    // PARTITIONED BY the coarse cluster id, read back cold, and searched
+    // with the probe set as a literal partition predicate (assignment
+    // and encoding never re-run at query time — at 100 TB you cannot
+    // re-encode the corpus per query). parts_read / parts_total are
+    // extracted from the SEARCH plan's own file listing (f8-style plan
+    // facts) and the oracle recomputes both counts from its probe set,
+    // so the hash only matches if the physical scan pruned to EXACTLY
+    // the probed cluster directories. 3 queries × nprobe 2 ≤ 6 probed
+    // clusters of 8 — pruning is structurally non-vacuous.
+    "llm_ann_ivf_stored" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (coarse, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+        .toString + "/index"
+      VectorOps.writeIvfPqIndex(e, coarse, cbs, path)
+      val index = s.read.parquet(path)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
+        nprobe = 2, k = 5)
+      val phys = res.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = phys.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.partitionFilters.exists(
+              _.references.exists(_.name == "cid")) => sc
+      }.getOrElse(sys.error("stored-index scan has no cid partition filter"))
+      // The probe join also plants a runtime dynamicpruning subquery on
+      // the scan (belt on top of our static braces); only the STATIC
+      // literal predicate is listable at plan time — same filterNot
+      // Spark's own selectedPartitions applies.
+      val staticPf = scan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      require(staticPf.exists(_.references.exists(_.name == "cid")),
+        "stored-index scan lost the static cid partition predicate")
+      val partsRead =
+        scan.relation.location.listFiles(staticPf, Nil).length
+      val partsTotal = scan.relation.location.listFiles(Nil, Nil).length
+      res
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"),
+          lit(partsRead.toLong).as("parts_read"),
+          lit(partsTotal.toLong).as("parts_total"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ANN recall@k SWEEP — the tuning curve that actually picks the
+    // index knobs, not a single operating point: each method's top-k vs
+    // brute-force ground truth at lsh planes ∈ {4,6,8} and ivf nprobe ∈
+    // {1,2,4} (+ ivfpq at its entry's nprobe=2), as exact integer hit
+    // counts (no float recall crosses the engine boundary; recall =
+    // hits/k is derivable). ivf hits are provably monotone in nprobe —
+    // a gt member among the candidates always makes the top-k — so the
+    // rows read directly as the pruning/recall trade. The (method × qid)
+    // grid left-join keeps a method that returns nothing for a query
+    // visible as hits = 0 instead of silently vanishing; k comes from
+    // the shared AnnK constant on BOTH sides of the oracle compare.
     "llm_ann_recall" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
-      val k = 5
-      val gt = VectorOps.bruteForceTopK(e, q, k)
+      val gt = VectorOps.bruteForceTopK(e, q, AnnK)
         .select(col("qid"), col("id"))
       val seeds = seedCentroids(e, 8)
       val (coarse, _, _) =
         VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
       val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
         maxIter = KmeansTrainIters)
-      val preds = Seq(
-        "lsh" -> VectorOps.lshTopK(e, q, AnnPlanes, k),
-        "ivf" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 2, k = k),
-        "ivfpq" -> VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = k))
+      val points = Seq(
+        "ivf_n1" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 1, k = AnnK),
+        "ivf_n2" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 2, k = AnnK),
+        "ivf_n4" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 4, k = AnnK),
+        "ivfpq_n2" -> VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = AnnK),
+        "lsh_p4" -> VectorOps.lshTopK(e, q, AnnPlanes8.take(4), AnnK),
+        "lsh_p6" -> VectorOps.lshTopK(e, q, AnnPlanes8.take(6), AnnK),
+        "lsh_p8" -> VectorOps.lshTopK(e, q, AnnPlanes8, AnnK))
+      val preds = points
         .map { case (m, df) =>
           df.select(lit(m).as("method"), col("qid"), col("id")) }
         .reduce(_ unionByName _)
       val methods = s.createDataFrame(
-        Seq("ivf", "ivfpq", "lsh").map(Tuple1(_))).toDF("method")
+        points.map(p => Tuple1(p._1))).toDF("method")
       val grid = q.select(col("qid")).crossJoin(broadcast(methods))
       val hits = preds.join(gt, Seq("qid", "id"))
         .groupBy(col("method"), col("qid"))
         .agg(count(lit(1)).as("hits"))
       grid.join(hits, Seq("method", "qid"), "left")
         .select(col("method"), col("qid"),
-          coalesce(col("hits"), lit(0L)).as("hits"), lit(5L).as("k"))
+          coalesce(col("hits"), lit(0L)).as("hits"), lit(AnnK.toLong).as("k"))
+        .orderBy(col("method"), col("qid"))
+    }),
+
+    // PQ objective comparison — spherical vs squared-L2 Lloyd codebooks
+    // judged on the two numbers that matter: recall@k of the ADC top-k
+    // against brute-force ground truth, and corpus-total reconstruction
+    // error (exact integer sum). The standard PQ form is L2; this entry
+    // is the measurement that justifies (or indicts) either choice.
+    "llm_ann_pq_l2" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val gt = VectorOps.bruteForceTopK(e, q, AnnK)
+        .select(col("qid"), col("id"))
+      val variants = Seq("pq_cos" -> false, "pq_l2" -> true).map {
+        case (name, l2) =>
+          val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+            maxIter = KmeansTrainIters, l2 = l2)
+          val top = VectorOps.pqAdcTopK(
+              VectorOps.pqEncode(e, cbs, l2 = l2), q, cbs, AnnK)
+            .select(lit(name).as("method"), col("qid"), col("id"))
+          val recon = VectorOps.pqReconError(e, cbs, l2 = l2)
+            .agg(sum(col("err_fp")).as("recon_fp"))
+            .select(lit(name).as("method"), col("recon_fp"))
+          (name, top, recon)
+      }
+      val preds = variants.map(_._2).reduce(_ unionByName _)
+      val recs = variants.map(_._3).reduce(_ unionByName _)
+      val methods = s.createDataFrame(
+        variants.map(v => Tuple1(v._1))).toDF("method")
+      val grid = q.select(col("qid")).crossJoin(broadcast(methods))
+      val hits = preds.join(gt, Seq("qid", "id"))
+        .groupBy(col("method"), col("qid"))
+        .agg(count(lit(1)).as("hits"))
+      grid.join(hits, Seq("method", "qid"), "left")
+        .join(broadcast(recs), Seq("method"))
+        .select(col("method"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          lit(AnnK.toLong).as("k"), col("recon_fp"))
+        .orderBy(col("method"), col("qid"))
+    }),
+
+    // OPQ — seeded orthogonal rotation before PQ, judged exactly like
+    // the L2-vs-spherical comparison: recall@k against ORIGINAL-space
+    // ground truth (rotation preserves inner products, so rotated ADC
+    // legitimately ranks original-space similarity) and corpus-total
+    // reconstruction error (rotation preserves L2 norms, so the two
+    // recon_fp numbers are directly comparable). Both variants train
+    // squared-L2 codebooks — the rotation is the only difference.
+    "llm_ann_opq" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val gt = VectorOps.bruteForceTopK(e, q, AnnK)
+        .select(col("qid"), col("id"))
+      val er = e.select(col("id"),
+        VectorOps.randomProjection(col("vec"), OpqRot).as("vec"))
+      val variants = Seq(("pq_l2", e), ("opq_l2", er)).map {
+        case (name, corpus) =>
+          val qr = corpus.filter(col("id") < 5)
+            .select(col("id").as("qid"), col("vec").as("qvec"))
+          val cbs = VectorOps.pqTrain(corpus, m = PqM, k = 8,
+            maxIter = KmeansTrainIters, l2 = true)
+          val top = VectorOps.pqAdcTopK(
+              VectorOps.pqEncode(corpus, cbs, l2 = true), qr, cbs, AnnK)
+            .select(lit(name).as("method"), col("qid"), col("id"))
+          val recon = VectorOps.pqReconError(corpus, cbs, l2 = true)
+            .agg(sum(col("err_fp")).as("recon_fp"))
+            .select(lit(name).as("method"), col("recon_fp"))
+          (name, top, recon)
+      }
+      val preds = variants.map(_._2).reduce(_ unionByName _)
+      val recs = variants.map(_._3).reduce(_ unionByName _)
+      val methods = s.createDataFrame(
+        variants.map(v => Tuple1(v._1))).toDF("method")
+      val grid = q.select(col("qid")).crossJoin(broadcast(methods))
+      val hits = preds.join(gt, Seq("qid", "id"))
+        .groupBy(col("method"), col("qid"))
+        .agg(count(lit(1)).as("hits"))
+      grid.join(hits, Seq("method", "qid"), "left")
+        .join(broadcast(recs), Seq("method"))
+        .select(col("method"), col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          lit(AnnK.toLong).as("k"), col("recon_fp"))
         .orderBy(col("method"), col("qid"))
     }),
 
@@ -1631,15 +1832,25 @@ object SparkEntry {
     // inference pass) through the quarantine reader, and return every
     // row — hash-identity to the source table proves encode/decode
     // fidelity (unicode escaping, 64-bit ids, null handling) through
-    // the format every public corpus actually ships in.
+    // the format every public corpus actually ships in. A fixture shard
+    // of crawler-grade garbage (blank/whitespace lines, the JSON literal
+    // null, a truncated object, a bare scalar) rides along: all five
+    // must land in quarantine — n_quarantined is driver-checked against
+    // the oracle's literal, and a phantom all-null admission would break
+    // the row hash.
     "llm_jsonl_roundtrip" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
         .toString + "/docs"
       CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), tmp, shards = 4)
-      CorpusIO.readJsonl(s, tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "badlines.txt"),
+        java.util.Arrays.asList("", "   ", "null", "{\"doc_id\": 1,", "42"))
+      val parsed = CorpusIO.readJsonl(s, tmp)
+      val nBad = parsed.filter(col(CorpusIO.CorruptCol).isNotNull).count()
+      parsed
         .filter(col(CorpusIO.CorruptCol).isNull)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"))
+          col("n_chars"), lit(nBad).as("n_quarantined"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1814,12 +2025,15 @@ object SparkEntry {
     * so several independent chains (e.g. one per PQ subspace) can live
     * in one statement.
     */
-  private def oKmeansIter(i: Int, tbl: String = "v", p: String = ""): String =
+  private def oKmeansIter(i: Int, tbl: String = "v", p: String = "",
+                          l2: Boolean = false): String =
     s"""${p}s$i AS (
-       |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+       |  SELECT v.id, v.vec, c.cid,
+       |    ${if (l2) oSqDist("vec", "cvec") else oCos("vec", "cvec")} AS ccos
        |  FROM $tbl v CROSS JOIN ${p}c${i - 1} c),
        |${p}r$i AS (SELECT id, vec, cid,
-       |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY ccos ${if (l2) "ASC" else "DESC"}, cid) AS rn
        |  FROM ${p}s$i),
        |${p}a$i AS (SELECT id, vec, cid FROM ${p}r$i WHERE rn = 1),
        |${p}u$i AS (
@@ -1880,16 +2094,26 @@ object SparkEntry {
     * semantic dedup, cluster purity, cluster sampling, and PQ oracles
     * all build on.
     */
-  private def oKmeansAssignCtes(tbl: String = "v", p: String = ""): String =
+  private def oKmeansAssignCtes(tbl: String = "v", p: String = "",
+                                l2: Boolean = false): String =
     s"""${p}c0 AS (SELECT id AS cid, vec AS cvec FROM $tbl WHERE id < 8),
-       |${(1 to KmeansTrainIters).map(i => oKmeansIter(i, tbl, p)).mkString(",\n")},
+       |${(1 to KmeansTrainIters).map(i => oKmeansIter(i, tbl, p, l2)).mkString(",\n")},
        |${p}sf AS (
-       |  SELECT v.id, v.vec, c.cid, ${oCos("vec", "cvec")} AS ccos
+       |  SELECT v.id, v.vec, c.cid,
+       |    ${if (l2) oSqDist("vec", "cvec") else oCos("vec", "cvec")} AS ccos
        |  FROM $tbl v CROSS JOIN ${p}c$KmeansTrainIters c),
        |${p}rf AS (SELECT id, vec, cid,
-       |    row_number() OVER (PARTITION BY id ORDER BY ccos DESC, cid) AS rn
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY ccos ${if (l2) "ASC" else "DESC"}, cid) AS rn
        |  FROM ${p}sf),
        |${p}af AS (SELECT id, vec, cid FROM ${p}rf WHERE rn = 1)""".stripMargin
+
+  /** DuckDB ordered-fold squared L2 distance — the same left fold as
+    * VectorOps.sqDist, bit-identical doubles.
+    */
+  private def oSqDist(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      [($a[i]-$b[i])*($a[i]-$b[i]) FOR i IN range(1, len($a)+1)]), (x,y) -> x+y)""".stripMargin
 
   /** DuckDB ordered-fold cosine between two list columns — the same left
     * fold VectorOps.cosine performs, so doubles match bit-for-bit.
@@ -1908,7 +2132,9 @@ object SparkEntry {
     * one source of truth per method, zero drift between an entry and
     * its recall row.
     */
-  private def oAnnIvfSql: String =
+  private def oAnnIvfSql: String = oAnnIvfSql(2)
+
+  private def oAnnIvfSql(nprobe: Int): String =
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
          |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
          |ac0 AS (
@@ -1924,14 +2150,14 @@ object SparkEntry {
          |qp AS (SELECT qid, qvec, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
          |  FROM qp0),
-         |probes AS (SELECT qid, qvec, cid FROM qp WHERE crn <= 2),
+         |probes AS (SELECT qid, qvec, cid FROM qp WHERE crn <= $nprobe),
          |sc AS (
          |  SELECT p.qid, a.id, ${oCos("a.vec", "p.qvec")} AS cos
          |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.id <> p.qid),
          |r AS (SELECT qid, id, cos,
          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
          |SELECT qid, rank, id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
 
   private def oAnnCosineSql: String =
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -1950,14 +2176,16 @@ object SparkEntry {
       |SELECT qid, rank, id, round(cos, 4) AS cos
       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
-  private def oAnnLshSql: String =
+  private def oAnnLshSql: String = oAnnLshSql(6)
+
+  private def oAnnLshSql(nPlanes: Int): String =
     s"""WITH planes AS (SELECT $OPlanes AS pl),
        |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
        |vb AS (
        |  SELECT id, vec,
        |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
        |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) >= 0
-       |      THEN '1' ELSE '0' END FOR j IN range(1, 7)], '') AS bucket
+       |      THEN '1' ELSE '0' END FOR j IN range(1, ${nPlanes + 1})], '') AS bucket
        |  FROM v CROSS JOIN planes),
        |q AS (SELECT id AS qid, vec AS qvec, bucket FROM vb WHERE id < 5),
        |cand AS (
@@ -1974,9 +2202,15 @@ object SparkEntry {
        |r AS (SELECT qid, id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
        |SELECT qid, rank, id, round(cos, 4) AS cos
-       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
 
-  private def oAnnIvfpqSql: String = {
+  private def oAnnIvfpqSql: String = oAnnIvfpqSql(5)
+
+  /** IVF+PQ oracle, parameterized on the query-set bound so the stored-
+    * index entry (3 queries, for structurally non-vacuous pruning) and
+    * the in-memory entry (5) share one statement builder.
+    */
+  private def oAnnIvfpqSql(qmax: Int): String = {
     val subTables = (0 until PqM).map(s =>
       s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
       .mkString(",\n")
@@ -1997,7 +2231,7 @@ object SparkEntry {
        |$subTables,
        |${oKmeansAssignCtes()},
        |$chains,
-       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
+       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < $qmax),
        |qp0 AS (
        |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
        |  FROM q CROSS JOIN c$KmeansTrainIters c),
@@ -2017,32 +2251,228 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
        |  FROM sc)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
-       |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
   }
 
-  /** Recall@5 oracle: the four method statements above nested verbatim
-    * as scoped subqueries (DuckDB CTE names inside a subquery shadow the
-    * outer scope, so the shared CTE names can't collide), intersected
-    * per (method, qid) against brute-force ground truth. Exact integer
-    * hit counts only — recall itself never floats across engines.
+  /** The OPQ rotation as a DuckDB CTE pair: the orthogonal matrix as a
+    * literal, and the corpus rotated through the same ordered fold the
+    * Spark side's randomProjection performs.
     */
-  private def oAnnRecallSql: String =
-    s"""WITH gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= 5),
-       |lsh_k AS (SELECT qid, id FROM ($oAnnLshSql)),
-       |ivf_k AS (SELECT qid, id FROM ($oAnnIvfSql)),
-       |ivfpq_k AS (SELECT qid, id FROM ($oAnnIvfpqSql)),
+  private def oRotCtes: String =
+    s"""rm AS (SELECT $ORot AS r),
+       |vr AS (SELECT id,
+       |    [list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |       [vec[i]*r[j][i] FOR i IN range(1, len(vec)+1)]), (x,y) -> x+y)
+       |     FOR j IN range(1, ${PqM * PqSub + 1})] AS vec
+       |  FROM v CROSS JOIN rm)""".stripMargin
+
+  /** Full-corpus PQ ADC top-k, parameterized on the training/encode
+    * objective (spherical vs squared-L2 Lloyd) and on the OPQ rotation —
+    * the llm_ann_pq oracle is the (l2=false, rot=false) instance;
+    * llm_ann_pq_l2 and llm_ann_opq nest the variants.
+    */
+  private def oAnnPqSql(l2: Boolean, rot: Boolean = false): String = {
+    val src = if (rot) "vr" else "v"
+    val rotCtes = if (rot) oRotCtes + ",\n" else ""
+    val subTables = (0 until PqM).map(s =>
+      s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM $src)")
+      .mkString(",\n")
+    val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s", l2))
+      .mkString(",\n")
+    val luts = (0 until PqM).map(s =>
+      s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
+         |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
+      .mkString(",\n")
+    val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
+      .mkString(" ")
+    val lutJoins = (0 until PqM).map(s =>
+      if (s == 0) s"JOIN lut0 l0 ON l0.cid = a0.cid"
+      else s"JOIN lut$s l$s ON l$s.cid = a$s.cid AND l$s.qid = l0.qid")
+      .mkString("\n  ")
+    val scoreExpr = (1 until PqM)
+      .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |$rotCtes$subTables,
+       |$chains,
+       |q AS (SELECT id AS qid, vec AS qvec FROM $src WHERE id < 5),
+       |$luts,
+       |sc AS (
+       |  SELECT l0.qid, a0.id, $scoreExpr AS score
+       |  FROM p0af a0 $encJoins
+       |  $lutJoins
+       |  WHERE a0.id <> l0.qid),
+       |r AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |  FROM sc)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+       |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Per-vector PQ reconstruction error, parameterized on the objective
+    * and the OPQ rotation — the llm_pq_recon oracle is the (l2=false,
+    * rot=false) instance.
+    */
+  private def oPqReconSql(l2: Boolean, rot: Boolean = false): String = {
+    val src = if (rot) "vr" else "v"
+    val rotCtes = if (rot) oRotCtes + ",\n" else ""
+    val subTables = (0 until PqM).map(s =>
+      s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM $src)")
+      .mkString(",\n")
+    val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s", l2))
+      .mkString(",\n")
+    val errs = (0 until PqM).map(s =>
+      s"""e$s AS (
+         |  SELECT a.id, CAST(floor(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [(a.vec[i] - c.cvec[i])*(a.vec[i] - c.cvec[i])
+         |       FOR i IN range(1, ${PqSub + 1})]),
+         |    (x,y) -> x+y) * 1048576.0) AS BIGINT) AS efp
+         |  FROM p${s}af a JOIN p${s}c$KmeansTrainIters c ON c.cid = a.cid)"""
+        .stripMargin).mkString(",\n")
+    val joins = (1 until PqM).map(s => s"JOIN e$s USING (id)").mkString(" ")
+    val errExpr = (1 until PqM)
+      .foldLeft("e0.efp") { (acc, s) => s"($acc + e$s.efp)" }
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |$rotCtes$subTables,
+       |$chains,
+       |$errs
+       |SELECT e0.id, $errExpr AS err_fp
+       |FROM e0 $joins ORDER BY e0.id""".stripMargin
+  }
+
+  /** Stored-index oracle: the ivfpq search result (3 queries) crossed
+    * with the two partition-pruning facts, both recomputed from the
+    * oracle's own probe set — parts_read = probed clusters that exist in
+    * the assignment (= directories the pruned scan may list), parts_total
+    * = all non-empty clusters (= directories on disk). A physical scan
+    * that fails to prune (or over-prunes) hash-mismatches here.
+    */
+  private def oIvfStoredSql: String =
+    s"""WITH res AS (${oAnnIvfpqSql(3)}),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |${oKmeansAssignCtes()},
+       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 3),
+       |qp0 AS (
+       |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
+       |  FROM q CROSS JOIN c$KmeansTrainIters c),
+       |qp AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+       |  FROM qp0),
+       |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
+       |parts AS (SELECT
+       |    (SELECT CAST(count(DISTINCT p.cid) AS BIGINT)
+       |       FROM probes p JOIN (SELECT DISTINCT cid FROM af) a ON a.cid = p.cid)
+       |      AS parts_read,
+       |    (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM af) AS parts_total)
+       |SELECT res.qid, res.rank, res.id, res.score,
+       |  parts.parts_read, parts.parts_total
+       |FROM res CROSS JOIN parts ORDER BY res.qid, res.rank""".stripMargin
+
+  /** The recall sweep's operating points: (row label, nested top-k
+    * statement builder) per method × knob — lsh over 4/6/8 hyperplanes,
+    * ivf over nprobe 1/2/4, ivfpq at its entry's nprobe=2. ONE list
+    * drives both the Spark entry and the oracle grid, so the two cannot
+    * drift. (ivf hits are provably monotone in nprobe — a gt member
+    * among the candidates is always in the top-k — so the curve reads
+    * directly as a pruning/recall trade.)
+    */
+  private val RecallSweep: Seq[(String, String)] = Seq(
+    "ivf_n1" -> oAnnIvfSql(1),
+    "ivf_n2" -> oAnnIvfSql(2),
+    "ivf_n4" -> oAnnIvfSql(4),
+    "ivfpq_n2" -> oAnnIvfpqSql(5),
+    "lsh_p4" -> oAnnLshSql(4),
+    "lsh_p6" -> oAnnLshSql(6),
+    "lsh_p8" -> oAnnLshSql(8))
+
+  /** Recall@k oracle over the sweep: every method statement nested
+    * verbatim as a scoped subquery (DuckDB CTE names inside a subquery
+    * shadow the outer scope, so the shared CTE names can't collide),
+    * intersected per (method, qid) against brute-force ground truth.
+    * Exact integer hit counts only — recall itself never floats across
+    * engines.
+    */
+  private def oAnnRecallSql: String = {
+    val methodCtes = RecallSweep.map { case (name, sql) =>
+      s"${name}_k AS (SELECT qid, id FROM ($sql))"
+    }.mkString(",\n")
+    val unioned = RecallSweep.map { case (name, _) =>
+      s"SELECT '$name' AS method, qid, id FROM ${name}_k"
+    }.mkString("\n  UNION ALL ")
+    val methodList = RecallSweep.map(_._1).sorted
+      .map(n => s"'$n'").mkString(", ")
+    s"""WITH gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= $AnnK),
+       |$methodCtes,
        |m AS (
-       |  SELECT 'lsh' AS method, qid, id FROM lsh_k
-       |  UNION ALL SELECT 'ivf', qid, id FROM ivf_k
-       |  UNION ALL SELECT 'ivfpq', qid, id FROM ivfpq_k),
+       |  $unioned),
        |qids AS (SELECT DISTINCT qid FROM gt),
        |grid AS (SELECT mm.method, q.qid FROM qids q
-       |  CROSS JOIN (SELECT unnest(['ivf','ivfpq','lsh']) AS method) mm),
+       |  CROSS JOIN (SELECT unnest([$methodList]) AS method) mm),
        |hits AS (SELECT method, qid, CAST(count(*) AS BIGINT) AS hits
        |  FROM m JOIN gt USING (qid, id) GROUP BY 1, 2)
        |SELECT g.method, g.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
-       |  CAST(5 AS BIGINT) AS k
+       |  CAST($AnnK AS BIGINT) AS k
        |FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid
+       |ORDER BY g.method, g.qid""".stripMargin
+  }
+
+  /** PQ objective comparison oracle: spherical vs squared-L2 codebooks,
+    * each scored twice — recall@k of the ADC top-k against brute-force
+    * ground truth, and the corpus-total reconstruction error (exact
+    * integer sum). One row per (objective, qid) carrying the method's
+    * constant recon_fp.
+    */
+  private def oAnnPqL2Sql: String =
+    s"""WITH gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= $AnnK),
+       |cos_k AS (SELECT qid, id FROM (${oAnnPqSql(l2 = false)})),
+       |l2_k AS (SELECT qid, id FROM (${oAnnPqSql(l2 = true)})),
+       |cos_r AS (SELECT CAST(sum(err_fp) AS BIGINT) AS recon_fp
+       |  FROM (${oPqReconSql(l2 = false)})),
+       |l2_r AS (SELECT CAST(sum(err_fp) AS BIGINT) AS recon_fp
+       |  FROM (${oPqReconSql(l2 = true)})),
+       |m AS (
+       |  SELECT 'pq_cos' AS method, qid, id FROM cos_k
+       |  UNION ALL SELECT 'pq_l2', qid, id FROM l2_k),
+       |rec AS (
+       |  SELECT 'pq_cos' AS method, recon_fp FROM cos_r
+       |  UNION ALL SELECT 'pq_l2', recon_fp FROM l2_r),
+       |qids AS (SELECT DISTINCT qid FROM gt),
+       |grid AS (SELECT mm.method, q.qid FROM qids q
+       |  CROSS JOIN (SELECT unnest(['pq_cos', 'pq_l2']) AS method) mm),
+       |hits AS (SELECT method, qid, CAST(count(*) AS BIGINT) AS hits
+       |  FROM m JOIN gt USING (qid, id) GROUP BY 1, 2)
+       |SELECT g.method, g.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+       |  CAST($AnnK AS BIGINT) AS k, rec.recon_fp
+       |FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid
+       |  JOIN rec ON rec.method = g.method
+       |ORDER BY g.method, g.qid""".stripMargin
+
+  /** OPQ oracle: same shape as [[oAnnPqL2Sql]] — rotated vs plain PQ
+    * (both L2-trained), recall@k against original-space ground truth
+    * plus corpus-total recon error per variant.
+    */
+  private def oAnnOpqSql: String =
+    s"""WITH gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= $AnnK),
+       |pq_k AS (SELECT qid, id FROM (${oAnnPqSql(l2 = true)})),
+       |opq_k AS (SELECT qid, id FROM (${oAnnPqSql(l2 = true, rot = true)})),
+       |pq_r AS (SELECT CAST(sum(err_fp) AS BIGINT) AS recon_fp
+       |  FROM (${oPqReconSql(l2 = true)})),
+       |opq_r AS (SELECT CAST(sum(err_fp) AS BIGINT) AS recon_fp
+       |  FROM (${oPqReconSql(l2 = true, rot = true)})),
+       |m AS (
+       |  SELECT 'pq_l2' AS method, qid, id FROM pq_k
+       |  UNION ALL SELECT 'opq_l2', qid, id FROM opq_k),
+       |rec AS (
+       |  SELECT 'pq_l2' AS method, recon_fp FROM pq_r
+       |  UNION ALL SELECT 'opq_l2', recon_fp FROM opq_r),
+       |qids AS (SELECT DISTINCT qid FROM gt),
+       |grid AS (SELECT mm.method, q.qid FROM qids q
+       |  CROSS JOIN (SELECT unnest(['opq_l2', 'pq_l2']) AS method) mm),
+       |hits AS (SELECT method, qid, CAST(count(*) AS BIGINT) AS hits
+       |  FROM m JOIN gt USING (qid, id) GROUP BY 1, 2)
+       |SELECT g.method, g.qid, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+       |  CAST($AnnK AS BIGINT) AS k, rec.recon_fp
+       |FROM grid g LEFT JOIN hits h ON h.method = g.method AND h.qid = g.qid
+       |  JOIN rec ON rec.method = g.method
        |ORDER BY g.method, g.qid""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -2080,67 +2510,17 @@ object SparkEntry {
          |  CAST(sum(CAST(floor(x * 1048576.0) AS BIGINT)) AS BIGINT) AS msum
          |FROM ef GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "llm_ann_pq" -> {
-      val subTables = (0 until PqM).map(s =>
-        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
-        .mkString(",\n")
-      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
-        .mkString(",\n")
-      val luts = (0 until PqM).map(s =>
-        s"""lut$s AS (SELECT q.qid, c.cid, ${oDotSlice(s * PqSub, PqSub)} AS p
-           |  FROM q CROSS JOIN p${s}c$KmeansTrainIters c)""".stripMargin)
-        .mkString(",\n")
-      val encJoins = (1 until PqM).map(s => s"JOIN p${s}af a$s USING (id)")
-        .mkString(" ")
-      val lutJoins = (0 until PqM).map(s =>
-        if (s == 0) s"JOIN lut0 l0 ON l0.cid = a0.cid"
-        else s"JOIN lut$s l$s ON l$s.cid = a$s.cid AND l$s.qid = l0.qid")
-        .mkString("\n  ")
-      val scoreExpr = (1 until PqM)
-        .foldLeft("l0.p") { (acc, s) => s"($acc + l$s.p)" }
-      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$subTables,
-         |$chains,
-         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 5),
-         |$luts,
-         |sc AS (
-         |  SELECT l0.qid, a0.id, $scoreExpr AS score
-         |  FROM p0af a0 $encJoins
-         |  $lutJoins
-         |  WHERE a0.id <> l0.qid),
-         |r AS (SELECT qid, id, score,
-         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-         |  FROM sc)
-         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
-         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+    "llm_ann_pq" -> oAnnPqSql(l2 = false),
 
     "llm_ann_ivfpq" -> oAnnIvfpqSql,
 
-    "llm_pq_recon" -> {
-      val subTables = (0 until PqM).map(s =>
-        s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
-        .mkString(",\n")
-      val chains = (0 until PqM).map(s => oKmeansAssignCtes(s"v$s", s"p$s"))
-        .mkString(",\n")
-      val errs = (0 until PqM).map(s =>
-        s"""e$s AS (
-           |  SELECT a.id, CAST(floor(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-           |      [(a.vec[i] - c.cvec[i])*(a.vec[i] - c.cvec[i])
-           |       FOR i IN range(1, ${PqSub + 1})]),
-           |    (x,y) -> x+y) * 1048576.0) AS BIGINT) AS efp
-           |  FROM p${s}af a JOIN p${s}c$KmeansTrainIters c ON c.cid = a.cid)"""
-          .stripMargin).mkString(",\n")
-      val joins = (1 until PqM).map(s => s"JOIN e$s USING (id)").mkString(" ")
-      val errExpr = (1 until PqM)
-        .foldLeft("e0.efp") { (acc, s) => s"($acc + e$s.efp)" }
-      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-         |$subTables,
-         |$chains,
-         |$errs
-         |SELECT e0.id, $errExpr AS err_fp
-         |FROM e0 $joins ORDER BY e0.id""".stripMargin
-    },
+    "llm_ann_ivf_stored" -> oIvfStoredSql,
+
+    "llm_pq_recon" -> oPqReconSql(l2 = false),
+
+    "llm_ann_pq_l2" -> oAnnPqL2Sql,
+
+    "llm_ann_opq" -> oAnnOpqSql,
 
     "llm_cluster_purity" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -2793,7 +3173,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "llm_jsonl_roundtrip" ->
-      """SELECT doc_id, text, lang, source, n_chars
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(5 AS BIGINT) AS n_quarantined
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_corpus_build" ->
@@ -2871,6 +3252,53 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  round(coalesce(g.score, CAST(0.0 AS DOUBLE)), 4) AS bigram_score
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_trigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN range(1, len(ws) - 1)] END) AS tg
+        |  FROM w),
+        |b AS (SELECT unnest(
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+1], ' ')
+        |               FOR i IN range(1, len(ws))] END) AS bg
+        |  FROM w),
+        |u AS (SELECT unnest(ws) AS w FROM w),
+        |ct AS (SELECT tg, count(*) AS c_tg FROM t GROUP BY 1),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY 1),
+        |cu AS (SELECT w, count(*) AS c_w FROM u GROUP BY 1),
+        |x2 AS (SELECT str_split(tg, ' ')[1] || ' ' || str_split(tg, ' ')[2] AS w12,
+        |    sum(c_tg) AS c_w12 FROM ct GROUP BY 1),
+        |x1 AS (SELECT str_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+        |  FROM cb GROUP BY 1),
+        |st AS (SELECT count(*) AS ntok, count(DISTINCT w) AS vsz FROM u),
+        |ty AS (
+        |  SELECT ct.tg,
+        |    CAST(floor(-ln(
+        |      CAST(0.6 AS DOUBLE) * ((c_tg + CAST(1.0 AS DOUBLE)) /
+        |        (c_w12 + CAST(1.0 AS DOUBLE) * vsz))
+        |      + CAST(0.3 AS DOUBLE) * ((c_bg + CAST(1.0 AS DOUBLE)) /
+        |        (c_w1 + CAST(1.0 AS DOUBLE) * vsz))
+        |      + CAST(0.1 AS DOUBLE) * ((c_w + CAST(1.0 AS DOUBLE)) /
+        |        (ntok + CAST(1.0 AS DOUBLE) * vsz))
+        |    ) * 1048576.0) AS BIGINT) AS fp
+        |  FROM ct
+        |  JOIN x2 ON x2.w12 = str_split(ct.tg, ' ')[1] || ' ' || str_split(ct.tg, ' ')[2]
+        |  JOIN cb ON cb.bg = str_split(ct.tg, ' ')[2] || ' ' || str_split(ct.tg, ' ')[3]
+        |  JOIN x1 ON x1.w1 = str_split(ct.tg, ' ')[2]
+        |  JOIN cu ON cu.w = str_split(ct.tg, ' ')[3]
+        |  CROSS JOIN st),
+        |g AS (SELECT doc_id, count(*) AS n_trigrams,
+        |    CAST(sum(fp) AS BIGINT) AS score_fp_sum
+        |  FROM t JOIN ty USING (tg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(g.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
         |FROM documents d LEFT JOIN g USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -3161,6 +3589,27 @@ object SparkEntry {
         |  CAST(CAST('0x'||substr(h,1,2) AS INT)+1 AS BIGINT) AS width,
         |  CAST(CAST('0x'||substr(h,3,2) AS INT)+1 AS BIGINT) AS height,
         |  substr(h,1,8) AS fingerprint
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "llm_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS hx,
+        |    octet_length(encode(text)) AS nb, doc_id % 4 AS kind
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE kind WHEN 1 THEN 'bmp' WHEN 2 THEN 'png' WHEN 3 THEN 'wav'
+        |       ELSE 'unknown' END AS format,
+        |  CAST(CASE kind
+        |       WHEN 1 THEN doc_id % 253 + 1
+        |       WHEN 2 THEN doc_id % 253 + 1
+        |       WHEN 3 THEN doc_id % 8 * 1000 + 8000
+        |       ELSE CAST('0x'||substr(hx,1,2) AS INT)+1 END AS BIGINT) AS width,
+        |  CAST(CASE kind
+        |       WHEN 1 THEN doc_id % 199 + 1
+        |       WHEN 2 THEN doc_id % 199 + 1
+        |       WHEN 3 THEN doc_id % 2 + 1
+        |       ELSE CAST('0x'||substr(hx,3,2) AS INT)+1 END AS BIGINT) AS height,
+        |  CAST(nb + CASE kind WHEN 1 THEN 54 WHEN 2 THEN 33 WHEN 3 THEN 44
+        |       ELSE 0 END AS BIGINT) AS n_bytes
         |FROM m ORDER BY media_id""".stripMargin,
 
     "llm_multimodal_resize" ->

@@ -16,6 +16,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object ResponseEdge {
 
+  /** Thrown when an assembled read result exceeds the configured series
+    * budget — the LOUD alternative to collecting an unbounded
+    * match-everything result into driver memory.
+    */
+  final class SeriesLimitExceeded(val limit: Int)
+    extends RuntimeException(
+      s"read result exceeds $limit series; narrow the matchers or raise " +
+        "--read.max-series")
+
   /** tags array → prompb labels. Malformed entries are dropped and empty
     * values are treated as absent labels, the reference's response-edge
     * rule (reference: clickhouse/tagvalue.go:32-49).
@@ -33,8 +42,25 @@ object ResponseEdge {
     * body (the reference iterates a Go map — nondeterministic; determinism
     * is strictly more testable and costs one small driver-side sort).
     */
-  def toQueryResult(assembled: DataFrame): PQueryResult = {
-    val series = assembled.select("tags", "samples").collect().map { r =>
+  def toQueryResult(assembled: DataFrame): PQueryResult =
+    toQueryResult(assembled, 0)
+
+  /** Same, with a series budget: `maxSeries > 0` guards the collect — the
+    * bound goes INTO the plan as limit(maxSeries + 1), so CollectLimit
+    * truncates on the executors before anything reaches the driver; an
+    * over-limit (match-everything) query costs one extra row of driver
+    * memory and a clean [[SeriesLimitExceeded]], never an OOM. The A1
+    * divStep already bounds rows per series (≤ 8192 buckets); this bounds
+    * the series count, the other axis of the product. 0 = unlimited
+    * (embedded/batch callers that own their input).
+    */
+  def toQueryResult(assembled: DataFrame, maxSeries: Int): PQueryResult = {
+    val bounded =
+      if (maxSeries > 0) assembled.limit(maxSeries + 1) else assembled
+    val rows = bounded.select("tags", "samples").collect()
+    if (maxSeries > 0 && rows.length > maxSeries)
+      throw new SeriesLimitExceeded(maxSeries)
+    val series = rows.map { r =>
       val tags = r.getAs[scala.collection.Seq[String]]("tags").toSeq
       val samples = r.getAs[scala.collection.Seq[Row]]("samples").toSeq
         .map(x => PSample(x.getAs[Double]("value"), x.getAs[Long]("t")))
@@ -52,6 +78,9 @@ object ResponseEdge {
 
   def toReadResponse(perQuery: Seq[DataFrame]): PReadResponse =
     PReadResponse(perQuery.map(toQueryResult))
+
+  def toReadResponse(perQuery: Seq[DataFrame], maxSeries: Int): PReadResponse =
+    PReadResponse(perQuery.map(toQueryResult(_, maxSeries)))
 
   /** Full wire body: proto marshal + snappy, ready for the HTTP edge. */
   def encode(assembled: DataFrame): Array[Byte] =

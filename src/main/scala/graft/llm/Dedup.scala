@@ -565,6 +565,28 @@ object Dedup {
     * lowest cid (see [[VectorOps.nearestCentroid]]), cosine is the
     * ordered fold, and the keep verdict depends only on id order.
     *
+    * Skew: a pathologically hot cluster (bad training, or a corpus that
+    * really is one semantic blob) makes the self-join's hot cid key both
+    * QUADRATIC in pairs and, naively, single-task (one shuffle key = one
+    * task doing all h²/2 comparisons). The per-task half is handled by
+    * AQE's skew-join split — the join is a plain shuffle equi-join
+    *  exactly so OptimizeSkewedJoin can cut the hot partition into
+    * bounded chunks (pinned by the hot-cluster test in LlmOpsSpec, not
+    * assumed); the quadratic half is a MODEL problem: h²/k only beats n²
+    * if the clustering is balanced, so cluster-size stats (one groupBy
+    * count) must gate any production run, and a blown-up cluster means
+    * retrain with larger k — re-bucketing inside this operator would
+    * silently change which duplicates are visible.
+    *
+    * Cache contract: the assignment is persisted only for the duration
+    * of the pair materialization (the self-join's two sides reuse ONE
+    * assignment computation), then RELEASED — the dropped-id set is
+    * orders of magnitude smaller than the corpus and is localCheckpointed
+    * eagerly, and the returned verdict recomputes the (id, cid) fold once
+    * more rather than pinning corpus-sized blocks into a long-lived
+    * session (the same release-early contract as every other operator in
+    * this file).
+    *
     * @param corpus    (id, vec) with vec array<double>
     * @param centroids trained (cid, cvec) list — feed from
     *                  [[VectorOps.kmeansTrain]]
@@ -583,7 +605,10 @@ object Dedup {
       .filter(VectorOps.cosine(col("a.vec"), col("b.vec")) >= tau)
       .select(col("a.id").as("id"))
       .distinct()
-    assigned
+      .localCheckpoint(true)
+    assigned.unpersist()
+    corpus
+      .withColumn("cid", VectorOps.nearestCentroid(col("vec"), centroids))
       .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
       .select(col("id"), col("cid").cast("long").as("cid"),
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))

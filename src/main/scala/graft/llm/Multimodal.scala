@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * stay out of every shuffle that doesn't need them; metadata predicates
   * prune without touching payloads).
   *
-  * The decode step is a STUB by design: real image/audio codecs aren't in
-  * this environment, so `fakeDecodeMeta` derives deterministic pseudo
-  * dimensions from a content hash. Everything around it — the schema, the
-  * binary column plumbing, column pruning, the batch shape — is real and
-  * is what a production decoder (mapPartitions over a JNI codec, or
-  * mapInArrow into a Python worker) would slot into.
+  * Header decode is REAL for BMP / PNG / WAV payloads ([[decodeMeta]]
+  * sniffs magic bytes and parses the spec's actual geometry fields, all
+  * composed builtin expressions); unrecognized payloads fall back to
+  * [[fakeDecodeMeta]], the honest stub that derives deterministic pseudo
+  * dimensions from a content hash (full pixel/sample codecs aren't in
+  * this environment). The surrounding plumbing — schema, binary columns,
+  * column pruning, batch shape — is what a production pixel decoder
+  * (mapPartitions over a JNI codec, or mapInArrow into a Python worker)
+  * would slot into, AFTER the metadata prune this header pass provides.
   */
 object Multimodal {
 
@@ -38,6 +41,135 @@ object Multimodal {
       (conv(substring(h, 1, 2), 16, 10).cast("int") + 1).as("width"),
       (conv(substring(h, 3, 2), 16, 10).cast("int") + 1).as("height"),
       substring(h, 1, 8).as("fingerprint"))
+  }
+
+  /** Big-endian hex of an int expression, padded to `bytes` bytes. */
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(v), bytes * 2, "0")
+
+  /** Little-endian hex: the BE byte pairs in reverse order. */
+  private def leHex(v: Column, bytes: Int): Column = {
+    val be = beHex(v, bytes)
+    concat((0 until bytes).reverse.map(i => substring(be, i * 2 + 1, 2)): _*)
+  }
+
+  /** hex chars [off, off+n) of the payload (1-based byte offset). */
+  private def hexAt(payload: Column, off: Int, n: Int): Column =
+    hex(substring(payload, off, n))
+
+  /** Unsigned little-endian integer at a byte offset. */
+  private def leInt(payload: Column, off: Int, n: Int): Column = {
+    val h = hexAt(payload, off, n)
+    conv(concat((0 until n).reverse.map(i => substring(h, i * 2 + 1, 2)): _*),
+      16, 10).cast("long")
+  }
+
+  /** Unsigned big-endian integer at a byte offset. */
+  private def beInt(payload: Column, off: Int, n: Int): Column =
+    conv(hexAt(payload, off, n), 16, 10).cast("long")
+
+  /** A REAL BMP payload: the 54-byte BITMAPFILEHEADER+BITMAPINFOHEADER
+    * per the format spec (magic 'BM', little-endian geometry, 24 bpp,
+    * pixel data offset 54), with `body` standing in for the pixel array.
+    * Any BMP reader accepts the header. Pure hex assembly + one unhex —
+    * map-side, codegen'd, no UDF.
+    */
+  def bmpPayload(w: Column, h: Column, body: Column): Column =
+    concat(unhex(concat(
+      lit("424D"),                       // 'BM'
+      leHex(length(body) + 54, 4),       // file size
+      lit("00000000"),                   // reserved
+      leHex(lit(54), 4),                 // pixel data offset
+      leHex(lit(40), 4),                 // BITMAPINFOHEADER size
+      leHex(w, 4), leHex(h, 4),          // width, height (LE int32)
+      leHex(lit(1), 2), leHex(lit(24), 2), // planes, bpp
+      lit("0" * 48))),                   // compression..clrImportant = 0
+      body)
+
+  /** A REAL PNG prefix: 8-byte signature + the IHDR chunk (big-endian
+    * geometry, 8-bit truecolor) — the part every PNG decoder reads first.
+    * CRC is zeroed (geometry parsing does not validate it).
+    */
+  def pngPayload(w: Column, h: Column, body: Column): Column =
+    concat(unhex(concat(
+      lit("89504E470D0A1A0A"),           // signature
+      lit("0000000D"),                   // IHDR length = 13
+      lit("49484452"),                   // 'IHDR'
+      beHex(w, 4), beHex(h, 4),          // width, height (BE int32)
+      lit("0802000000"),                 // depth 8, color 2, comp/filter/interlace 0
+      lit("00000000"))),                 // CRC (zeroed)
+      body)
+
+  /** A REAL WAV (RIFF) payload: canonical 44-byte PCM header — channels
+    * and sample rate little-endian in the fmt chunk, `body` as the data
+    * chunk.
+    */
+  def wavPayload(channels: Column, rate: Column, body: Column): Column =
+    concat(unhex(concat(
+      lit("52494646"),                   // 'RIFF'
+      leHex(length(body) + 36, 4),       // riff size
+      lit("57415645"), lit("666D7420"),  // 'WAVE' 'fmt '
+      leHex(lit(16), 4),                 // fmt chunk size
+      leHex(lit(1), 2),                  // PCM
+      leHex(channels, 2),
+      leHex(rate, 4),
+      leHex(rate * channels * lit(2), 4), // byte rate (16-bit samples)
+      leHex(channels * lit(2), 2),       // block align
+      leHex(lit(16), 2),                 // bits per sample
+      lit("64617461"),                   // 'data'
+      leHex(length(body), 4))),          // data size
+      body)
+
+  /** REAL header decode — the engine's one former stub made honest for
+    * genuine payloads: sniffs the magic bytes and parses the actual
+    * format geometry (BMP: LE int32 at 19/23, height sign-extended per
+    * spec; PNG: BE int32 in IHDR at 17/21; WAV: channels/sample-rate LE
+    * in the fmt chunk — mapped to the width/height slots as the format's
+    * two principal dimensions). Unrecognized payloads keep the
+    * documented md5-derived stub dimensions, tagged 'unknown', so mixed
+    * corpora degrade loudly rather than failing the scan.
+    *
+    * All of it is composed builtin expressions (substring/hex/conv) —
+    * whole-stage-codegen'd map work, the same scan-speed shape as the
+    * stub it upgrades; a full pixel decode would slot in AFTER this
+    * prune (scan metadata first, decode only survivors).
+    *
+    * @return struct(format, width, height, n_bytes)
+    */
+  def decodeMeta(payload: Column): Column = {
+    val isBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D"
+    val isPng = length(payload) >= 33 &&
+      hexAt(payload, 1, 8) === "89504E470D0A1A0A" &&
+      hexAt(payload, 13, 4) === "49484452"
+    val isWav = length(payload) >= 44 &&
+      hexAt(payload, 1, 4) === "52494646" &&
+      hexAt(payload, 9, 4) === "57415645"
+    // BMP height is SIGNED (negative = top-down row order): sign-extend
+    // and report the magnitude-with-sign the spec means
+    def signed32(v: Column): Column =
+      when(v > 2147483647L, v - 4294967296L).otherwise(v)
+    val fake = fakeDecodeMeta(payload)
+    val meta = when(isBmp, struct(
+        lit("bmp").as("format"),
+        leInt(payload, 19, 4).as("width"),
+        signed32(leInt(payload, 23, 4)).as("height")))
+      .when(isPng, struct(
+        lit("png").as("format"),
+        beInt(payload, 17, 4).as("width"),
+        beInt(payload, 21, 4).as("height")))
+      .when(isWav, struct(
+        lit("wav").as("format"),
+        leInt(payload, 25, 4).as("width"),   // sample rate
+        leInt(payload, 23, 2).as("height"))) // channels
+      .otherwise(struct(
+        lit("unknown").as("format"),
+        fake.getField("width").cast("long").as("width"),
+        fake.getField("height").cast("long").as("height")))
+    struct(
+      meta.getField("format").as("format"),
+      meta.getField("width").as("width"),
+      meta.getField("height").as("height"),
+      length(payload).cast("long").as("n_bytes"))
   }
 
   /** Feature-extraction stub over a decoded payload: byte-level stats a

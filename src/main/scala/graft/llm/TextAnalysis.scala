@@ -329,6 +329,90 @@ object TextAnalysis {
         coalesce(col("bigram_score"), lit(0.0)).as("bigram_score"))
   }
 
+  /** Interpolated trigram language-model score — the rung above
+    * [[bigramLmScore]], and the shape of CCNet/KenLM-style fluency
+    * filters: per document, the mean negative log of the INTERPOLATED
+    * conditional λ₃P₃ + λ₂P₂ + λ₁P₁ over its trigrams, each level add-k
+    * smoothed:
+    *   P₃ = (c(w₁w₂w₃)+k)/(c(w₁w₂·)+kV)   (trigram | left bigram)
+    *   P₂ = (c(w₂w₃)+k)/(c(w₂·)+kV)        (bigram  | left word)
+    *   P₁ = (c(w₃)+k)/(N+kV)               (unigram)
+    * Interpolation is what makes n>2 usable: an unseen trigram backs off
+    * to bigram/unigram evidence instead of collapsing to the smoothing
+    * floor.
+    *
+    * Scale shape: the count tables (trigram, bigram, unigram, their
+    * context sums) are corpus-wide state; the trigram/bigram tables do
+    * NOT reliably fit a broadcast at 100 TB, so the assembly happens on
+    * the DISTINCT-trigram table — tgCounts enriches through the count
+    * joins once per trigram TYPE, and the big exploded document stream
+    * then joins exactly once, on the trigram key (never re-shuffled per
+    * level). Unigram-sized sides (word counts, left-word contexts) do
+    * broadcast.
+    *
+    * Determinism: each trigram type's −ln(p) is floored onto the 2^20
+    * fixed-point grid ONCE (on the type table), and the per-doc score is
+    * an exact integer SUM of those longs — order-free across partitions,
+    * retries, and engines; score = score_fp_sum / (n_trigrams·2^20) is
+    * derivable. λ-interpolation is a fixed-order sum (λ₃p₃ + λ₂p₂) + λ₁p₁
+    * so the IEEE value is reproducible bit-for-bit. Docs with fewer than
+    * 3 words take the defined-empty branch (n_trigrams = 0, sum 0).
+    *
+    * @return (doc_id, n_trigrams, score_fp_sum)
+    */
+  def trigramLmScore(docs: DataFrame, k: Double = 1.0,
+                     lambdas: (Double, Double, Double) = (0.6, 0.3, 0.1),
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val (l3, l2, l1) = lambdas
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val tgStream = docs.select(col(idCol).as("doc_id"),
+      explode(wordShingles(wsArr, 3)).as("tg"))
+    val bgStream = docs.select(explode(wordShingles(wsArr, 2)).as("bg"))
+    val wStream = docs.select(explode(wsArr).as("w"))
+    val tgCounts = tgStream.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+    val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val uniCounts = wStream.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // context sums derive from the next table up, one tiny agg each
+    val ctx2 = tgCounts
+      .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
+        split(col("tg"), " ").getItem(1)).as("w12"))
+      .agg(sum(col("c_tg")).as("c_w12"))
+    val ctx1 = bgCounts
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
+    val stats = wStream
+      .agg(count(lit(1)).as("ntok"), count_distinct(col("w")).as("vsz"))
+    // assemble p per trigram TYPE, then fixed-point the type's -ln(p)
+    val parts = split(col("tg"), " ")
+    val typed = tgCounts
+      .withColumn("w12", concat_ws(" ", parts.getItem(0), parts.getItem(1)))
+      .withColumn("w23", concat_ws(" ", parts.getItem(1), parts.getItem(2)))
+      .withColumn("w2", parts.getItem(1))
+      .withColumn("w3", parts.getItem(2))
+      .join(ctx2, Seq("w12"))
+      .join(bgCounts.withColumnRenamed("bg", "w23"), Seq("w23"))
+      .join(broadcast(ctx1.withColumnRenamed("w1", "w2")), Seq("w2"))
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w3")), Seq("w3"))
+      .crossJoin(broadcast(stats))
+    val kv = lit(k) * col("vsz")
+    val p3 = (col("c_tg") + lit(k)) / (col("c_w12") + kv)
+    val p2 = (col("c_bg") + lit(k)) / (col("c_w1") + kv)
+    val p1 = (col("c_w") + lit(k)) / (col("ntok") + kv)
+    val scoredTypes = typed.select(col("tg"),
+      floor(-log(lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1) * lit(1048576.0))
+        .cast("long").as("fp"))
+    val perDoc = tgStream
+      .join(scoredTypes, Seq("tg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("fp")).as("score_fp_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("score_fp_sum"), lit(0L)).as("score_fp_sum"))
+  }
+
   /** Sparse tf-idf top-k neighbors — doc-to-doc similarity through the
     * INVERTED INDEX, the text-side counterpart of the embedding ANN
     * family: score(q, d) = Σ_{t ∈ q ∩ d} w(q,t)·w(d,t) with

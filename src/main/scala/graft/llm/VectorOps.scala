@@ -112,6 +112,14 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Ordered-fold squared L2 distance between two equal-length arrays —
+    * the same left-fold spelling as [[pqReconError]]'s per-subspace error,
+    * bit-identical cross-engine.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
   /** Map-side nearest-centroid assignment: cosine argmax over a LITERAL
     * centroid list, evaluated as a fold per row — no shuffle, no window.
     * This is the 100 TB-critical half of IVF: assigning a trillion corpus
@@ -136,6 +144,29 @@ object VectorOps {
           struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
       }).getField("cid")
   }
+
+  /** [[nearestCentroid]]'s squared-L2 twin: argMIN of the ordered-fold
+    * squared distance — the textbook Lloyd objective, the assignment to
+    * pair with L2-trained codebooks. Ties break to the lowest centroid id
+    * (strict < keeps the earlier winner), mirroring the cosine fold.
+    */
+  def nearestCentroidL2(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val centLit = array(centroids.map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
+    }: _*)
+    aggregate(centLit,
+      struct(lit(-1).as("cid"), lit(Double.MaxValue).as("dist")),
+      (acc, c) => {
+        val d = sqDist(vec, c.getField("cvec"))
+        when(d < acc.getField("dist"),
+          struct(c.getField("cid").as("cid"), d.as("dist"))).otherwise(acc)
+      }).getField("cid")
+  }
+
+  /** Metric dispatch for the assignment fold. */
+  private def assign(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                     l2: Boolean): Column =
+    if (l2) nearestCentroidL2(vec, centroids) else nearestCentroid(vec, centroids)
 
   /** IVF (inverted-file) ANN — the production-scale pattern: partition the
     * corpus by nearest centroid, then search only the `nprobe` clusters
@@ -201,9 +232,10 @@ object VectorOps {
     * and quotients near a 4-decimal boundary diverge).
     */
   def kmeansStep(corpus: DataFrame,
-                 centroids: Seq[(Int, Seq[Double])]): DataFrame =
+                 centroids: Seq[(Int, Seq[Double])],
+                 l2: Boolean = false): DataFrame =
     corpus
-      .withColumn("cid", nearestCentroid(col("vec"), centroids))
+      .withColumn("cid", assign(col("vec"), centroids, l2))
       .select(col("cid"), posexplode(col("vec")).as(Seq("pos0", "x")))
       .groupBy(col("cid"), (col("pos0") + 1).as("pos"))
       .agg(count(lit(1)).as("n"),
@@ -235,14 +267,14 @@ object VectorOps {
     *         component shift)
     */
   def kmeansTrain(corpus: DataFrame, seeds: Seq[(Int, Seq[Double])],
-                  maxIter: Int, tol: Double = 0.0)
+                  maxIter: Int, tol: Double = 0.0, l2: Boolean = false)
       : (Seq[(Int, Seq[Double])], Int, Double) = {
     require(maxIter >= 1, "maxIter must be at least 1")
     var cents = seeds.sortBy(_._1)
     var iters = 0
     var shift = Double.MaxValue
     while (iters < maxIter && shift > tol) {
-      val updated = kmeansStep(corpus, cents)
+      val updated = kmeansStep(corpus, cents, l2)
         .select(col("cid"), col("pos"), col("mean"))
         .collect()
         .groupBy(_.getInt(0))
@@ -274,6 +306,40 @@ object VectorOps {
   def randomProjection(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val planeLits = planes.map(p => array(p.map(lit): _*))
     array(planeLits.map(p => dot(vec, p)): _*)
+  }
+
+  /** Seeded random ORTHOGONAL matrix (rows orthonormal) via modified
+    * Gram-Schmidt over a deterministic Gaussian draw — the rotation for
+    * OPQ-style preprocessing: rotating the space before product
+    * quantization decorrelates and re-balances variance across the
+    * subspace split, while preserving every dot product and L2 distance
+    * (so ADC rankings in rotated space approximate the ORIGINAL-space
+    * inner products exactly as well as the quantization allows).
+    *
+    * Driver-side double math, bit-deterministic for a given seed
+    * (java.util.Random's stream is JDK-specified; the fold orders are
+    * fixed); the rows become plan literals, the same distribution
+    * mechanism as [[hyperplanes]].
+    */
+  def orthogonalMatrix(dim: Int, seed: Long = 1234L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val m = Array.fill(dim, dim)(rnd.nextGaussian())
+    for (j <- 0 until dim) {
+      for (k <- 0 until j) {
+        var d = 0.0
+        var i = 0
+        while (i < dim) { d += m(j)(i) * m(k)(i); i += 1 }
+        i = 0
+        while (i < dim) { m(j)(i) -= d * m(k)(i); i += 1 }
+      }
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += m(j)(i) * m(j)(i); i += 1 }
+      val n = math.sqrt(n2)
+      i = 0
+      while (i < dim) { m(j)(i) /= n; i += 1 }
+    }
+    m.map(_.toIndexedSeq).toIndexedSeq
   }
 
   /** Contrastive hard-negative mining: for each query (anchor), the top-k
@@ -320,10 +386,16 @@ object VectorOps {
     * plus a partial-combined aggregation, m times. Determinism: inherits
     * [[kmeansTrain]]'s fixed-point bit-reproducible centroids.
     *
+    * `l2 = true` trains with the squared-L2 Lloyd objective instead of
+    * the spherical (cosine) one — the textbook PQ form, whose centroids
+    * are true subspace means; pair with `l2 = true` in [[pqEncode]] /
+    * [[pqReconError]] (the llm_ann_pq_l2 entry reports the recall and
+    * reconstruction-error comparison between the two objectives).
+    *
     * @return per subspace, the trained (cid, cvec) codebook
     */
   def pqTrain(corpus: DataFrame, m: Int, k: Int,
-              maxIter: Int): Seq[Seq[(Int, Seq[Double])]] = {
+              maxIter: Int, l2: Boolean = false): Seq[Seq[(Int, Seq[Double])]] = {
     val dim = corpus.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -348,11 +420,21 @@ object VectorOps {
             slice(col("vec"), s * sub + 1, sub).as("vec"))
           val seeds = sc.filter(col("id") < k).orderBy(col("id")).collect()
             .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
-          kmeansTrain(sc, seeds, maxIter)._1
+          kmeansTrain(sc, seeds, maxIter, l2 = l2)._1
         }
       }
-      trained.map(Await.result(_, 1.hour))
-    } finally pool.shutdown()
+      val out = trained.map(Await.result(_, 1.hour))
+      pool.shutdown()
+      out
+    } catch {
+      case t: Throwable =>
+        // a timeout/failure must TEAR DOWN the in-flight work: orderly
+        // shutdown() would leave the other futures parked on collect()s,
+        // holding driver threads and cluster resources behind a dead
+        // caller — interrupt them so their Spark jobs abort too
+        pool.shutdownNow()
+        throw t
+    }
   }
 
   /** PQ encoding: per subspace, the nearest-codebook-centroid id — pure
@@ -360,10 +442,11 @@ object VectorOps {
     * shape as [[nearestCentroid]]. Output (id, codes array<int>).
     */
   def pqEncode(corpus: DataFrame,
-               codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+               codebooks: Seq[Seq[(Int, Seq[Double])]],
+               l2: Boolean = false): DataFrame = {
     val sub = codebooks.head.head._2.size
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      nearestCentroid(slice(col("vec"), s * sub + 1, sub), cb)
+      assign(slice(col("vec"), s * sub + 1, sub), cb, l2)
     }
     corpus.select(col("id"), array(codeCols: _*).as("codes"))
   }
@@ -412,39 +495,68 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
-  /** IVF+PQ — the two halves composed into the production ANN index
-    * (FAISS's IVFPQ): a coarse quantizer prunes the corpus to `nprobe`
-    * clusters per query, then ADC ranks ONLY the probed candidates by
-    * their PQ codes. At rest the index is (id, coarse cid, codes) — the
-    * corpus partitioned by cluster with 4-byte payloads; the original
-    * vectors appear in no search plan.
-    *
-    * Scale shape: candidate generation is an equi-join on the coarse
-    * cluster id (the IVF pruning), the per-query lookup tables broadcast
-    * (queries × m × k rows), and the ADC sum is the same fixed-order
-    * exact reassembly as [[pqAdcTopK]] — nothing about the composition
-    * adds a shuffle the parts didn't already have.
+  /** The IVF-PQ index rows — (id, coarse cid, PQ codes) — computed in ONE
+    * map-side pass over the corpus: the coarse assignment fold and the m
+    * per-subspace code folds are sibling projections of the same row, so
+    * building the index costs exactly one scan, no join, no shuffle.
     */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
-                coarse: Seq[(Int, Seq[Double])],
-                codebooks: Seq[Seq[(Int, Seq[Double])]],
-                nprobe: Int, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val m = codebooks.size
+  def ivfPqIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                 codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
     val sub = codebooks.head.head._2.size
-    val indexed = corpus
-      .withColumn("cid", nearestCentroid(col("vec"), coarse))
-      .select(col("id"), col("cid"))
-      .join(pqEncode(corpus, codebooks), Seq("id"))
-    val centDf = broadcast(spark.createDataFrame(
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCentroid(slice(col("vec"), s * sub + 1, sub), cb)
+    }
+    corpus.select(col("id"),
+      nearestCentroid(col("vec"), coarse).as("cid"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** Persist the IVF-PQ index at rest: parquet PARTITIONED BY the coarse
+    * cluster id, so a probe-time `cid` predicate prunes whole directories
+    * at file-listing time — the corpus is never re-assigned or re-encoded
+    * per query. `repartition(cid)` first so each cluster directory holds
+    * one file instead of one-per-writing-task (at 100 TB the alternative
+    * is nClusters × nTasks small files).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                      codebooks: Seq[Seq[(Int, Seq[Double])]],
+                      path: String): Unit =
+    ivfPqIndex(corpus, coarse, codebooks)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** The probe set: each query's `nprobe` nearest coarse clusters —
+    * (queries × centroids) is tiny, windowed per query. Shared by the
+    * in-memory and at-rest IVF-PQ search paths.
+    */
+  private def probeClusters(queries: DataFrame,
+                            coarse: Seq[(Int, Seq[Double])],
+                            nprobe: Int): DataFrame = {
+    val centDf = broadcast(queries.sparkSession.createDataFrame(
       coarse.map { case (cid, cvec) => (cid, cvec) }).toDF("cid", "cvec"))
     val cw = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
-    val probes = queries.crossJoin(centDf)
+    queries.crossJoin(centDf)
       .select(col("qid"), col("cid"),
         cosine(col("qvec"), col("cvec")).as("ccos"))
       .withColumn("crank", row_number().over(cw))
       .filter(col("crank") <= nprobe)
       .select(col("qid"), col("cid"))
+  }
+
+  /** ADC ranking over probed candidates — the shared back half of both
+    * IVF-PQ search paths. `cand` is (qid, id, codes) after IVF pruning;
+    * scoring is the same broadcast-LUT + fixed-order reassembly as
+    * [[pqAdcTopK]]: the per-query lookup tables broadcast (queries × m ×
+    * k rows), the corpus side ships only (qid, id, sub, code), and the
+    * score is re-assembled in subspace order so it is bit-identical
+    * cross-engine.
+    */
+  private def adcRank(cand: DataFrame, queries: DataFrame,
+                      codebooks: Seq[Seq[(Int, Seq[Double])]],
+                      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebooks.size
+    val sub = codebooks.head.head._2.size
     val lutDf = spark.createDataFrame(
       codebooks.zipWithIndex.flatMap { case (cb, s) =>
         cb.map { case (cid, cvec) => (s, cid, cvec) }
@@ -457,9 +569,7 @@ object VectorOps {
       sum(when(col("sub") === s, col("p"))).as(s"p$s"))
     val score = (0 until m).map(s => col(s"p$s")).reduce(_ + _)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    indexed
-      .join(broadcast(probes), Seq("cid"))
-      .filter(col("id") =!= col("qid"))
+    cand
       .select(col("qid"), col("id"),
         posexplode(col("codes")).as(Seq("esub", "code")))
       .join(broadcast(qlut),
@@ -470,6 +580,59 @@ object VectorOps {
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** IVF+PQ — the two halves composed into the production ANN index
+    * (FAISS's IVFPQ): a coarse quantizer prunes the corpus to `nprobe`
+    * clusters per query, then ADC ranks ONLY the probed candidates by
+    * their PQ codes. At rest the index is (id, coarse cid, codes) — see
+    * [[writeIvfPqIndex]]/[[ivfPqSearchStored]] for the persisted form;
+    * this overload builds the index frame inline (one map-side pass) for
+    * ad-hoc search. The original vectors appear in no search plan.
+    *
+    * Scale shape: candidate generation is an equi-join on the coarse
+    * cluster id (the IVF pruning), the per-query lookup tables broadcast
+    * (queries × m × k rows), and the ADC sum is the same fixed-order
+    * exact reassembly as [[pqAdcTopK]] — nothing about the composition
+    * adds a shuffle the parts didn't already have.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                coarse: Seq[(Int, Seq[Double])],
+                codebooks: Seq[Seq[(Int, Seq[Double])]],
+                nprobe: Int, k: Int): DataFrame = {
+    val probes = probeClusters(queries, coarse, nprobe)
+    val cand = ivfPqIndex(corpus, coarse, codebooks)
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("codes"))
+    adcRank(cand, queries, codebooks, k)
+  }
+
+  /** Search a PERSISTED IVF-PQ index (written by [[writeIvfPqIndex]]) —
+    * the at-rest half of the production pattern: the probe set's cluster
+    * ids become a LITERAL partition predicate on the cid-partitioned
+    * parquet, so the scan lists and reads ONLY the probed cluster
+    * directories; assignment and encoding never re-run at query time.
+    *
+    * The probe-cid collect is (nqueries × nprobe) ints — driver-side
+    * model metadata, the same traffic class as the centroids themselves —
+    * and it is what makes the pruning STATIC: the predicate is resolved
+    * at file-listing time, visible in the scan's PartitionFilters, rather
+    * than relying on runtime dynamic-pruning heuristics to fire.
+    */
+  def ivfPqSearchStored(index: DataFrame, queries: DataFrame,
+                        coarse: Seq[(Int, Seq[Double])],
+                        codebooks: Seq[Seq[(Int, Seq[Double])]],
+                        nprobe: Int, k: Int): DataFrame = {
+    val probes = probeClusters(queries, coarse, nprobe)
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = index
+      .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("codes"))
+    adcRank(cand, queries, codebooks, k)
   }
 
   /** PQ reconstruction error — the "how lossy is my index" evaluation
@@ -485,7 +648,8 @@ object VectorOps {
     * @return (id, err_fp) with err_fp = Σ_s floor(sqerr_s · 2^20)
     */
   def pqReconError(corpus: DataFrame,
-                   codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+                   codebooks: Seq[Seq[(Int, Seq[Double])]],
+                   l2: Boolean = false): DataFrame = {
     val sub = codebooks.head.head._2.size
     val errCols = codebooks.zipWithIndex.map { case (cb, s) =>
       val sl = slice(col("vec"), s * sub + 1, sub)
@@ -495,9 +659,8 @@ object VectorOps {
       val cvecs = array(sorted.map { case (_, cvec) =>
         array(cvec.map(lit): _*)
       }: _*)
-      val cvec = element_at(cvecs, nearestCentroid(sl, cb) + 1)
-      floor(aggregate(zip_with(sl, cvec, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, e) => acc + e) * MeanGrid).cast("long")
+      val cvec = element_at(cvecs, assign(sl, cb, l2) + 1)
+      floor(sqDist(sl, cvec) * MeanGrid).cast("long")
     }
     corpus.select(col("id"),
       errCols.reduce(_ + _).as("err_fp"))

@@ -40,7 +40,11 @@ final case class CliConfig(
     tablePath: String = "spark-warehouse/prometheus/metrics",
     sendTimeoutMs: Long = 30000,
     listenAddress: String = ":9201",
-    telemetryPath: String = "/metrics") {
+    telemetryPath: String = "/metrics",
+    // graft extension (no reference counterpart): series budget for one
+    // read response — a match-everything query fails with 413 instead of
+    // collecting unbounded series into driver memory. 0 disables.
+    readMaxSeries: Int = 500000) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -104,6 +108,7 @@ object CliConfig {
       |  --send-timeout=30s             Timeout when sending samples to remotes.
       |  --web.listen-address=":9201"   Address for web endpoints.
       |  --web.telemetry-path="/metrics"
+      |  --read.max-series=500000       Series budget per read response (0 = unlimited).
       |""".stripMargin
 
   def usage(): String = Usage
@@ -173,6 +178,11 @@ object CliConfig {
             }
             case "web.listen-address" => cfg = cfg.copy(listenAddress = v)
             case "web.telemetry-path" => cfg = cfg.copy(telemetryPath = v)
+            case "read.max-series" =>
+              v.toIntOption match {
+                case Some(n) if n >= 0 => cfg = cfg.copy(readMaxSeries = n)
+                case _ => return Left(s"--read.max-series needs a non-negative integer, got '$v'")
+              }
             case other => return Left(s"unknown long flag '--$other'")
           }
       }
@@ -249,7 +259,7 @@ object Cli {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.clickhouseDatabase}")
     WritePipeline.ensureTable(spark, cfg.tableName, cfg.tablePath)
     new Server(spark, cfg.tablePath, buildSinks(cfg), cfg.listenPort,
-      metricsPath = cfg.telemetryPath)
+      metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries)
   }
 }
 

@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class Server(spark: SparkSession, tablePath: String,
              extraSinks: Seq[(String, DataFrame => graft.sinks.Transport.WriteStats)] = Nil,
              port: Int = 0, exactQuantiles: Boolean = false,
-             metricsPath: String = "/metrics") {
+             metricsPath: String = "/metrics", readMaxSeries: Int = 500000) {
 
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
@@ -128,12 +128,16 @@ class Server(spark: SparkSession, tablePath: String,
       val perQuery = rr.queries.map { q =>
         ReadPipeline.read(stored, toPromQuery(q), exact = exactQuantiles)
       }
-      val body = Prompb.snappyCompress(
-        Prompb.encodeReadResponse(ResponseEdge.toReadResponse(perQuery)))
+      val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
+        ResponseEdge.toReadResponse(perQuery, readMaxSeries)))
       ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
       ex.getResponseHeaders.set("Content-Encoding", "snappy")
       respond(ex, 200, body)
     } catch {
+      // over-budget reads are the CLIENT's query being too broad, not a
+      // server fault: 413 with the actionable message, never a 500
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        respond(ex, 413, e.getMessage.getBytes("UTF-8"))
       case e: Throwable =>
         respond(ex, 500, Option(e.getMessage).getOrElse("read error").getBytes("UTF-8"))
     }

@@ -388,6 +388,58 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("multimodal: decodeMeta parses hand-written spec-example BMP/PNG/WAV " +
+       "headers, sign-extends BMP height, falls back to the stub on raw bytes") {
+    // byte-for-byte from the format specs, NOT from our own builders —
+    // a builder/parser endianness slip cannot cancel out here
+    val bmp1x2 = "424D360000000000000036000000280000000100000002000000" +
+      "01001800" + "0" * 48                               // BM, 1×2, 24bpp
+    val bmpTopDown = "424D3600000000000000360000002800000001000000FEFFFFFF" +
+      "01001800" + "0" * 48                               // height = -2 (top-down)
+    val png3x5 = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000003" + "00000005" + "0802000000" + "00000000" // IHDR 3×5
+    val wav44k = "52494646" + "24000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" +
+      "0400" + "1000" + "64617461" + "00000000"           // 2ch, 44100Hz
+    val rows = Seq(
+      (1L, bmp1x2), (2L, bmpTopDown), (3L, png3x5), (4L, wav44k))
+      .toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val m = Multimodal.decodeMeta(col("payload"))
+    val got = rows.select(col("id"), m.getField("format"),
+      m.getField("width"), m.getField("height"), m.getField("n_bytes"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "bmp", 1L, 2L, 54L),
+      (2L, "bmp", 1L, -2L, 54L),
+      (3L, "png", 3L, 5L, 33L),
+      (4L, "wav", 44100L, 2L, 44L)))
+    // builders round-trip through the parser with planted geometry, and
+    // raw (headerless) payloads keep the documented md5 stub dims
+    val txt = Seq((10L, "some pixel-ish text body")).toDF("id", "t")
+    val body = Multimodal.asBinaryPayload(col("t"))
+    val built = txt.select(col("id"),
+      Multimodal.decodeMeta(Multimodal.bmpPayload(lit(640L), lit(480L), body))
+        .as("b"),
+      Multimodal.decodeMeta(Multimodal.pngPayload(lit(33L), lit(7L), body))
+        .as("p"),
+      Multimodal.decodeMeta(Multimodal.wavPayload(lit(1L), lit(16000L), body))
+        .as("w"),
+      Multimodal.decodeMeta(body).as("raw"),
+      Multimodal.fakeDecodeMeta(body).as("fake")).head()
+    val b = built.getStruct(1); val p = built.getStruct(2)
+    val w = built.getStruct(3); val raw = built.getStruct(4)
+    val fake = built.getStruct(5)
+    assert((b.getString(0), b.getLong(1), b.getLong(2)) == ("bmp", 640L, 480L))
+    assert((p.getString(0), p.getLong(1), p.getLong(2)) == ("png", 33L, 7L))
+    assert((w.getString(0), w.getLong(1), w.getLong(2)) == ("wav", 16000L, 1L))
+    assert(raw.getString(0) == "unknown")
+    assert(raw.getLong(1) == fake.getAs[Int]("width").toLong)
+    assert(raw.getLong(2) == fake.getAs[Int]("height").toLong)
+  }
+
   test("multimodal: payload metadata is deterministic and schema-typed") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val r1 = Multimodal.toMultimodalRows(docs).select("meta.*").head
@@ -507,7 +559,7 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("dedup: semantic groups drop within-cluster near-dups, keep the " +
-       "lowest id, and read the assignment from ONE cached computation") {
+       "lowest id, and release the assignment cache before returning") {
     val corpus = Seq(
       (1L, Seq(1.0, 0.0)),    // cluster 0 anchor
       (2L, Seq(10.0, 0.0)),   // cos 1.0 with id 1 → dropped
@@ -517,18 +569,72 @@ class LlmOpsSpec extends SparkSpec {
       .toDF("id", "vec")
     val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
     val df = Dedup.semanticGroups(corpus, cents, tau = 0.95)
+    // release-early contract: the pair set was materialized eagerly and
+    // the corpus-sized assignment cache is ALREADY gone — no cached
+    // blocks left behind for a long-lived session to accumulate
+    assert(corpus.sparkSession.sharedState.cacheManager.isEmpty,
+      "semanticGroups left a persisted assignment behind")
     val out = df.orderBy("id").collect()
     assert(out.map(r => (r.getAs[Long]("id"), r.getAs[Long]("cid"),
       r.getAs[Long]("keep"))).toSeq ==
       Seq((1L, 0L, 1L), (2L, 0L, 0L), (3L, 1L, 1L), (4L, 1L, 0L),
         (5L, 0L, 1L)))
-    // the self-join and the verdict join must read the persisted
-    // assignment, not re-run the centroid fold per branch
-    df.write.format("noop").mode("overwrite").save()
+    // the dropped-id side of the verdict join reads the eager checkpoint
+    // (ExistingRDD), not a re-derived self-join
     val plan = df.queryExecution.executedPlan.toString
-    assert("InMemoryTableScan|TableCacheQueryStage".r
-      .findAllIn(plan).size >= 2, plan)
-    corpus.sparkSession.sharedState.cacheManager.clearCache()
+    assert(plan.contains("ExistingRDD"), plan)
+  }
+
+  test("dedup: semantic groups survive a 90%-hot cluster — AQE splits " +
+       "the skewed self-join partition and the verdict stays exact") {
+    val spark0 = spark
+    val conf = spark0.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force the self-join onto the shuffle path at unit-test scale and
+      // lower the skew thresholds so the hot cid triggers the same
+      // OptimizeSkewedJoin a multi-GB hot cluster would at defaults
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB")
+      // 90% of the corpus in one semantic blob: 3 distinct hot bases
+      // (mutual cos ≈ 0.92 < tau) copied 300× each (copies cos 1.0 ≥
+      // tau), plus a cold cluster of one base copied 100×
+      val bases = Seq(Seq(1.0, 0.0), Seq(0.92, 0.39), Seq(0.98, 0.2))
+      val hot = (0L until 900L).map(i => (i, bases((i % 3).toInt)))
+      val cold = (900L until 1000L).map(i => (i, Seq(0.0, 1.0)))
+      val corpus = (hot ++ cold).toDF("id", "vec").repartition(8)
+      val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      val out = Dedup.semanticGroups(corpus, cents, tau = 0.99)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("keep")).toMap
+      assert(out.size == 1000)
+      val keepers = out.filter(_._2 == 1L).keys.toSet
+      assert(keepers == Set(0L, 1L, 2L, 900L), keepers.toSeq.sorted.take(10))
+      // plan evidence: the same hot-key self-join, run standalone, gets
+      // its skewed partition SPLIT by AQE instead of one task computing
+      // all ~405k hot-cluster pairs
+      val assigned = corpus.withColumn("cid",
+        VectorOps.nearestCentroid(col("vec"), cents))
+      val pairs = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
+        .filter(VectorOps.cosine(col("a.vec"), col("b.vec")) >= 0.99)
+        .select(col("a.id").as("id")).distinct()
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert("skew=true|skewed".r.findFirstIn(plan).nonEmpty, plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("text: bigram LM score matches hand-computed smoothed conditionals, " +
@@ -547,6 +653,42 @@ class LlmOpsSpec extends SparkSpec {
       -(math.log(pAB) + math.log(pBC)) / 2))
     assert(out(2).getAs[Long]("n_bigrams") == 0L)
     assert(out(2).getAs[Double]("bigram_score") == 0.0)
+  }
+
+  test("text: trigram LM matches a hand-rolled interpolated reference, " +
+       "short docs take the defined-empty branch") {
+    val docsSeq = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "x y"))
+    val docs = docsSeq.toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_trigrams"),
+        r.getAs[Long]("score_fp_sum")))
+    // reference: same counts and same IEEE order, computed locally
+    val wordsOf = docsSeq.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    def grams(ws: Seq[String], n: Int) = ws.sliding(n).filter(_.size == n)
+      .map(_.mkString(" ")).toSeq
+    val allWs = wordsOf.values.toSeq
+    val cT = allWs.flatMap(grams(_, 3)).groupBy(identity).map { case (g, x) => g -> x.size }
+    val cB = allWs.flatMap(grams(_, 2)).groupBy(identity).map { case (g, x) => g -> x.size }
+    val cU = allWs.flatten.groupBy(identity).map { case (w, x) => w -> x.size }
+    val cX2 = cT.groupBy(_._1.split(" ").take(2).mkString(" "))
+      .map { case (p, m) => p -> m.values.sum }
+    val cX1 = cB.groupBy(_._1.split(" ").head).map { case (p, m) => p -> m.values.sum }
+    val ntok = allWs.map(_.size).sum
+    val vsz = cU.size
+    def fp(tg: String): Long = {
+      val p = tg.split(" ")
+      val kv = 1.0 * vsz
+      val p3 = (cT(tg) + 1.0) / (cX2(p.take(2).mkString(" ")) + kv)
+      val p2 = (cB(p.drop(1).mkString(" ")) + 1.0) / (cX1(p(1)) + kv)
+      val p1 = (cU(p(2)) + 1.0) / (ntok + kv)
+      math.floor(-math.log(0.6 * p3 + 0.3 * p2 + 0.1 * p1) * 1048576.0).toLong
+    }
+    val expected = docsSeq.map { case (id, _) =>
+      val tgs = grams(wordsOf(id), 3)
+      (id, tgs.size.toLong, tgs.map(fp).sum)
+    }
+    assert(out.toSeq == expected)
+    assert(out(2) == ((3L, 0L, 0L))) // < 3 words → defined-empty
   }
 
   test("text: tfidf neighbors rank by shared rare terms and respect the " +
@@ -611,6 +753,89 @@ class LlmOpsSpec extends SparkSpec {
       .orderBy("rank").collect()
     // nprobe=1 → only blob A's cluster is searched: ids 2 and 4, never 1/3
     assert(nn.map(_.getAs[Long]("id")).toSet == Set(2L, 4L))
+  }
+
+  test("vectors: L2 assignment separates by magnitude where cosine cannot, " +
+       "and the L2 Lloyd step takes exact fixed-point cluster means") {
+    // all four vectors share ONE direction — cosine ties everything to
+    // cid 0; squared-L2 splits small from large magnitudes
+    val corpus = Seq(
+      (0L, Seq(0.1, 0.0)), (1L, Seq(10.0, 0.0)),
+      (2L, Seq(0.2, 0.0)), (3L, Seq(9.0, 0.0))).toDF("id", "vec")
+    val cents = Seq((0, Seq(0.1, 0.0)), (1, Seq(10.0, 0.0)))
+    val a = corpus.select(col("id"),
+        VectorOps.nearestCentroidL2(col("vec"), cents).as("l2"),
+        VectorOps.nearestCentroid(col("vec"), cents).as("cos"))
+      .orderBy("id").collect()
+    assert(a.map(_.getAs[Int]("l2")).toSeq == Seq(0, 1, 0, 1))
+    assert(a.map(_.getAs[Int]("cos")).toSeq == Seq(0, 0, 0, 0))
+    // one L2 Lloyd step: exact integer component sums per cluster
+    val step = VectorOps.kmeansStep(corpus, cents, l2 = true)
+      .orderBy("cid", "pos").collect()
+      .map(r => (r.getAs[Int]("cid"), r.getAs[Int]("pos"),
+        r.getAs[Long]("n"), r.getAs[Long]("msum")))
+    assert(step.toSeq == Seq(
+      (0, 1, 2L, 104857L + 209715L),   // {0.1, 0.2} on the 2^20 grid
+      (0, 2, 2L, 0L),
+      (1, 1, 2L, 10485760L + 9437184L), // {10.0, 9.0}
+      (1, 2, 2L, 0L)))
+  }
+
+  test("vectors: the OPQ rotation is orthonormal and preserves dot " +
+       "products through randomProjection") {
+    val r = VectorOps.orthogonalMatrix(8, seed = 99L)
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val d = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-12, s"($i,$j)=$d")
+    }
+    val v = Seq((1L, Seq(1.0, 2.0, -3.0, 0.5, 4.0, -1.0, 0.0, 2.5)),
+      (2L, Seq(0.5, -2.0, 1.0, 3.0, -0.5, 1.5, 2.0, -1.0))).toDF("id", "vec")
+    val rot = v.select(col("id"),
+      VectorOps.randomProjection(col("vec"), r).as("vec"))
+    val dot0 = v.agg(sum(VectorOps.dot(col("vec"), col("vec")))).head().getDouble(0)
+    val dotR = rot.agg(sum(VectorOps.dot(col("vec"), col("vec")))).head().getDouble(0)
+    assert(math.abs(dot0 - dotR) < 1e-9, s"$dot0 vs $dotR")
+  }
+
+  test("vectors: stored IVF+PQ index searches identically to the inline " +
+       "path and physically prunes unprobed cluster directories") {
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val (coarse, _, _) = VectorOps.kmeansTrain(corpus, seeds, maxIter = 2)
+    val cbs = VectorOps.pqTrain(corpus, m = 2, k = 2, maxIter = 2)
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec")
+      .toString + "/index"
+    VectorOps.writeIvfPqIndex(corpus, coarse, cbs, path)
+    val index = spark.read.parquet(path)
+    val stored = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
+      nprobe = 1, k = 5)
+    val inline = VectorOps.ivfPqTopK(corpus, q, coarse, cbs, nprobe = 1, k = 5)
+    assert(stored.orderBy("rank").collect().toSeq ==
+      inline.orderBy("rank").collect().toSeq)
+    // physical pruning: the scan carries a static cid partition predicate
+    // selecting 1 of the 2 cluster directories on disk
+    val phys = stored.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.partitionFilters.exists(_.references.exists(_.name == "cid")) => sc
+    }.getOrElse(fail("no cid-filtered index scan in the stored-search plan"))
+    val staticPf = scan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    assert(staticPf.nonEmpty, scan.partitionFilters.toString)
+    assert(scan.relation.location.listFiles(staticPf, Nil).length == 1)
+    assert(scan.relation.location.listFiles(Nil, Nil).length == 2)
   }
 
   test("vectors: PQ reconstruction error is zero exactly when every " +
@@ -684,7 +909,7 @@ class LlmOpsSpec extends SparkSpec {
     val out = Dedup.semanticGroups(corpus, cents, tau = 0.95)
       .orderBy("id").collect()
     assert(out.map(_.getAs[Long]("keep")).toSeq == Seq(1L, 1L))
-    corpus.sparkSession.sharedState.cacheManager.clearCache()
+    assert(corpus.sparkSession.sharedState.cacheManager.isEmpty)
   }
 
   test("sampling: rank buckets match a local reference on seeded random " +

@@ -131,6 +131,39 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: a read over the series budget fails 413 with the actionable " +
+       "message; under-limit reads are unchanged") {
+    val table = Files.createTempDirectory("graft_srv4").toString + "/metrics"
+    // budget of 2 series: three distinct job labels on one metric trip it
+    val server = new Server(spark, table, readMaxSeries = 2).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest((1 to 3).map(i => PTimeSeries(
+        Seq(PLabel("__name__", "m1"), PLabel("job", s"j$i")),
+        Seq(PSample(i.toDouble, 1000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+
+      // match-everything on the metric → 3 series > budget 2 → 413
+      val wide = Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(Seq(
+        PQuery(0L, 60000L, Seq(PLabelMatcher(MatchType.EQ, "__name__", "m1")))))))
+      val (wc, wbody) = post(s"$base/read", wide)
+      assert(wc == 413, new String(wbody, "UTF-8"))
+      assert(new String(wbody, "UTF-8").contains("exceeds 2 series"))
+
+      // a narrowed query (1 series) still serves normally
+      val narrow = Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(Seq(
+        PQuery(0L, 60000L, Seq(
+          PLabelMatcher(MatchType.EQ, "__name__", "m1"),
+          PLabelMatcher(MatchType.EQ, "job", "j2")))))))
+      val (nc, nbody) = post(s"$base/read", narrow)
+      assert(nc == 200)
+      val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(nbody))
+      assert(resp.results.head.timeseries.length == 1)
+      assert(resp.results.head.timeseries.head.samples.map(_.value) == Seq(2.0))
+    } finally server.stop()
+  }
+
   test("serve: handlers run concurrently — a stalled write never blocks reads " +
        "(Go serves every request on its own goroutine, main.go:285-374)") {
     val table = Files.createTempDirectory("graft_srv3").toString + "/metrics"
