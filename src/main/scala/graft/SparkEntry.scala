@@ -1130,13 +1130,20 @@ object SparkEntry {
       val ch = pmod(col("doc_id"), lit(2)) + 1
       val rate = pmod(col("doc_id"), lit(8)) * 1000 + 8000
       val kind = pmod(col("doc_id"), lit(4))
-      val payload = when(kind === 1, Multimodal.bmpPayload(w, h, body))
-        .when(kind === 2, Multimodal.pngPayload(w, h, body))
-        .when(kind === 3, Multimodal.wavPayload(ch, rate, body))
-        .otherwise(body)
-      val m = Multimodal.decodeMeta(payload)
-      Tables.documents(s, dir)
+      // payload is PROJECTED FIRST, so decodeMeta's ~20 references see an
+      // attribute, not 20 inlined copies of the builder when-chain —
+      // CollapseProject keeps the expensive multiply-referenced alias in
+      // its own projection (inlining it blew the expression tree past the
+      // codegen limit: 18 s → sub-second on the same rows)
+      val staged = Tables.documents(s, dir)
         .select(col("doc_id").as("media_id"),
+          when(kind === 1, Multimodal.bmpPayload(w, h, body))
+            .when(kind === 2, Multimodal.pngPayload(w, h, body))
+            .when(kind === 3, Multimodal.wavPayload(ch, rate, body))
+            .otherwise(body).as("payload"))
+      val m = Multimodal.decodeMeta(col("payload"))
+      staged
+        .select(col("media_id"),
           m.getField("format").as("format"),
           m.getField("width").as("width"),
           m.getField("height").as("height"),
@@ -1673,8 +1680,13 @@ object SparkEntry {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val gt = VectorOps.bruteForceTopK(e, q, AnnK)
         .select(col("qid"), col("id"))
+      // materialize the rotation ONCE: the Lloyd trainer collects per
+      // iteration per subspace, and without the checkpoint every one of
+      // those jobs re-runs the 64×64 literal fold over the corpus
+      // (measured 17 s → the rotation is model prep, not a per-job tax)
       val er = e.select(col("id"),
         VectorOps.randomProjection(col("vec"), OpqRot).as("vec"))
+        .localCheckpoint(true)
       val variants = Seq(("pq_l2", e), ("opq_l2", er)).map {
         case (name, corpus) =>
           val qr = corpus.filter(col("id") < 5)
