@@ -974,6 +974,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's actual pipeline shape composed end-to-end: LM perplexity →
+    // equal-frequency buckets (head/middle/tail). The per-doc perplexity
+    // proxy is the exact integer mean of the trigram type scores
+    // (score_fp_sum div n_trigrams — floor division, defined 0 for
+    // trigram-less docs), so ranking never floats across engines; bucket
+    // 1 = head (most fluent), the slice CCNet keeps.
+    "llm_ccnet_perplexity" -> ((s, dir) => {
+      val tg = TextAnalysis.trigramLmScore(Tables.documents(s, dir))
+      val scored = tg.select(col("doc_id"),
+        when(col("n_trigrams") === 0, lit(0L))
+          .otherwise(expr("score_fp_sum div n_trigrams")).as("ppl_fp"))
+      Sampling.rankBuckets(scored, 3, "ppl_fp", "doc_id")
+        .select(col("id").as("doc_id"), col("score").as("ppl_fp"),
+          col("rank"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 ranked retrieval against a literal query term set — the
     // query-focused corpus-curation scorer. tf is map-side (no explode),
     // corpus stats are one exact-integer aggregation broadcast back, the
@@ -1489,6 +1506,24 @@ object SparkEntry {
       val (trained, _, _) =
         VectorOps.kmeansTrain(corpus, seeds, maxIter = KmeansTrainIters)
       Dedup.semanticGroups(corpus, trained, tau = 0.95)
+        .orderBy(col("id"))
+    }),
+
+    // Multi-probe SemDeDup — the boundary-recall variant: pair
+    // generation under each vector's TOP-2 clusters (one map-side fold,
+    // no window shuffle), so a near-dup pair straddling a cluster
+    // boundary is still compared when the probe sets overlap. Same
+    // planted-dup corpus and tau as llm_sem_dedup; keep counts can only
+    // go DOWN vs single-probe (strictly more pairs examined).
+    "llm_sem_dedup_probe2" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val planted = e.filter(col("id") % 13 === 0)
+        .withColumn("id", col("id") + 30000)
+      val corpus = e.unionByName(planted)
+      val seeds = seedCentroids(corpus, 8)
+      val (trained, _, _) =
+        VectorOps.kmeansTrain(corpus, seeds, maxIter = KmeansTrainIters)
+      Dedup.semanticGroupsMultiProbe(corpus, trained, tau = 0.95)
         .orderBy(col("id"))
     }),
 
@@ -2487,6 +2522,57 @@ object SparkEntry {
        |  JOIN rec ON rec.method = g.method
        |ORDER BY g.method, g.qid""".stripMargin
 
+  /** Interpolated trigram LM oracle — a def so the CCNet perplexity
+    * composition can nest the identical statement (one source of truth,
+    * zero drift between the score entry and its downstream bucketing).
+    */
+  private def oTrigramSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(
+      |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+      |         ELSE [array_to_string(ws[i:i+2], ' ')
+      |               FOR i IN range(1, len(ws) - 1)] END) AS tg
+      |  FROM w),
+      |b AS (SELECT unnest(
+      |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+      |         ELSE [array_to_string(ws[i:i+1], ' ')
+      |               FOR i IN range(1, len(ws))] END) AS bg
+      |  FROM w),
+      |u AS (SELECT unnest(ws) AS w FROM w),
+      |ct AS (SELECT tg, count(*) AS c_tg FROM t GROUP BY 1),
+      |cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY 1),
+      |cu AS (SELECT w, count(*) AS c_w FROM u GROUP BY 1),
+      |x2 AS (SELECT str_split(tg, ' ')[1] || ' ' || str_split(tg, ' ')[2] AS w12,
+      |    sum(c_tg) AS c_w12 FROM ct GROUP BY 1),
+      |x1 AS (SELECT str_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+      |  FROM cb GROUP BY 1),
+      |st AS (SELECT count(*) AS ntok, count(DISTINCT w) AS vsz FROM u),
+      |ty AS (
+      |  SELECT ct.tg,
+      |    CAST(floor(-ln(
+      |      CAST(0.6 AS DOUBLE) * ((c_tg + CAST(1.0 AS DOUBLE)) /
+      |        (c_w12 + CAST(1.0 AS DOUBLE) * vsz))
+      |      + CAST(0.3 AS DOUBLE) * ((c_bg + CAST(1.0 AS DOUBLE)) /
+      |        (c_w1 + CAST(1.0 AS DOUBLE) * vsz))
+      |      + CAST(0.1 AS DOUBLE) * ((c_w + CAST(1.0 AS DOUBLE)) /
+      |        (ntok + CAST(1.0 AS DOUBLE) * vsz))
+      |    ) * 1048576.0) AS BIGINT) AS fp
+      |  FROM ct
+      |  JOIN x2 ON x2.w12 = str_split(ct.tg, ' ')[1] || ' ' || str_split(ct.tg, ' ')[2]
+      |  JOIN cb ON cb.bg = str_split(ct.tg, ' ')[2] || ' ' || str_split(ct.tg, ' ')[3]
+      |  JOIN x1 ON x1.w1 = str_split(ct.tg, ' ')[2]
+      |  JOIN cu ON cu.w = str_split(ct.tg, ' ')[3]
+      |  CROSS JOIN st),
+      |g AS (SELECT doc_id, count(*) AS n_trigrams,
+      |    CAST(sum(fp) AS BIGINT) AS score_fp_sum
+      |  FROM t JOIN ty USING (tg) GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(g.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
+      |FROM documents d LEFT JOIN g USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "llm_ann_recall" -> oAnnRecallSql,
@@ -3267,52 +3353,21 @@ object SparkEntry {
         |FROM documents d LEFT JOIN g USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
-    "llm_trigram_lm" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
-        |  FROM documents),
-        |t AS (SELECT doc_id, unnest(
-        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
-        |         ELSE [array_to_string(ws[i:i+2], ' ')
-        |               FOR i IN range(1, len(ws) - 1)] END) AS tg
-        |  FROM w),
-        |b AS (SELECT unnest(
-        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
-        |         ELSE [array_to_string(ws[i:i+1], ' ')
-        |               FOR i IN range(1, len(ws))] END) AS bg
-        |  FROM w),
-        |u AS (SELECT unnest(ws) AS w FROM w),
-        |ct AS (SELECT tg, count(*) AS c_tg FROM t GROUP BY 1),
-        |cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY 1),
-        |cu AS (SELECT w, count(*) AS c_w FROM u GROUP BY 1),
-        |x2 AS (SELECT str_split(tg, ' ')[1] || ' ' || str_split(tg, ' ')[2] AS w12,
-        |    sum(c_tg) AS c_w12 FROM ct GROUP BY 1),
-        |x1 AS (SELECT str_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
-        |  FROM cb GROUP BY 1),
-        |st AS (SELECT count(*) AS ntok, count(DISTINCT w) AS vsz FROM u),
-        |ty AS (
-        |  SELECT ct.tg,
-        |    CAST(floor(-ln(
-        |      CAST(0.6 AS DOUBLE) * ((c_tg + CAST(1.0 AS DOUBLE)) /
-        |        (c_w12 + CAST(1.0 AS DOUBLE) * vsz))
-        |      + CAST(0.3 AS DOUBLE) * ((c_bg + CAST(1.0 AS DOUBLE)) /
-        |        (c_w1 + CAST(1.0 AS DOUBLE) * vsz))
-        |      + CAST(0.1 AS DOUBLE) * ((c_w + CAST(1.0 AS DOUBLE)) /
-        |        (ntok + CAST(1.0 AS DOUBLE) * vsz))
-        |    ) * 1048576.0) AS BIGINT) AS fp
-        |  FROM ct
-        |  JOIN x2 ON x2.w12 = str_split(ct.tg, ' ')[1] || ' ' || str_split(ct.tg, ' ')[2]
-        |  JOIN cb ON cb.bg = str_split(ct.tg, ' ')[2] || ' ' || str_split(ct.tg, ' ')[3]
-        |  JOIN x1 ON x1.w1 = str_split(ct.tg, ' ')[2]
-        |  JOIN cu ON cu.w = str_split(ct.tg, ' ')[3]
-        |  CROSS JOIN st),
-        |g AS (SELECT doc_id, count(*) AS n_trigrams,
-        |    CAST(sum(fp) AS BIGINT) AS score_fp_sum
-        |  FROM t JOIN ty USING (tg) GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(g.n_trigrams, 0) AS BIGINT) AS n_trigrams,
-        |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
-        |FROM documents d LEFT JOIN g USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "llm_trigram_lm" -> oTrigramSql,
+
+    "llm_ccnet_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, n_trigrams, score_fp_sum FROM ($oTrigramSql)),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN n_trigrams = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE score_fp_sum // n_trigrams END AS ppl_fp
+         |  FROM t),
+         |r AS (SELECT doc_id, ppl_fp,
+         |    row_number() OVER (ORDER BY ppl_fp, doc_id) AS rank,
+         |    count(*) OVER () AS n FROM s)
+         |SELECT doc_id, CAST(ppl_fp AS BIGINT) AS ppl_fp,
+         |  CAST(rank AS BIGINT) AS rank,
+         |  CAST((rank - 1) * 3 // n + 1 AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "llm_stream_quality" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
@@ -3331,6 +3386,22 @@ object SparkEntry {
          |drp AS (
          |  SELECT a.id
          |  FROM af a JOIN af b ON a.cid = b.cid AND a.id > b.id
+         |  WHERE ${oCos("a.vec", "b.vec")} >= CAST(0.95 AS DOUBLE)
+         |  GROUP BY 1)
+         |SELECT af.id, CAST(af.cid AS BIGINT) AS cid,
+         |  CAST(CASE WHEN drp.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM af LEFT JOIN drp ON drp.id = af.id
+         |ORDER BY af.id""".stripMargin,
+
+    "llm_sem_dedup_probe2" ->
+      s"""WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |v AS (SELECT id, vec FROM base
+         |      UNION ALL SELECT id + 30000, vec FROM base WHERE id % 13 = 0),
+         |${oKmeansAssignCtes()},
+         |p2 AS (SELECT id, vec, cid FROM rf WHERE rn <= 2),
+         |drp AS (
+         |  SELECT a.id
+         |  FROM p2 a JOIN p2 b ON a.cid = b.cid AND a.id > b.id
          |  WHERE ${oCos("a.vec", "b.vec")} >= CAST(0.95 AS DOUBLE)
          |  GROUP BY 1)
          |SELECT af.id, CAST(af.cid AS BIGINT) AS cid,

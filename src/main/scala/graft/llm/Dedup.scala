@@ -593,6 +593,45 @@ object Dedup {
     * @param tau       cosine threshold; identical vectors score 1.0
     * @return one row per corpus vector: (id, cid, keep 0/1)
     */
+  /** Multi-probe SemDeDup — [[semanticGroups]] with the documented recall
+    * caveat closed: each vector participates in pair generation under its
+    * TOP-2 clusters (one map-side fold, [[VectorOps.nearest2Centroids]]),
+    * so a near-duplicate pair straddling a cluster boundary is still
+    * compared as long as the two probe sets overlap — the standard
+    * compute-for-recall trade (the pair stream is ≤ 4× the single-probe
+    * one: 2 probes per side).
+    *
+    * The verdict row still reports the PRIMARY (top-1) cluster, and the
+    * keep rule is unchanged: drop iff some lower-id vector within any
+    * shared probed cluster reaches `tau`. Cache contract and skew story
+    * are [[semanticGroups]]'s (the self-join stays a plain shuffle
+    * equi-join on the probed cid for AQE's skew split).
+    *
+    * @return one row per corpus vector: (id, cid primary, keep 0/1)
+    */
+  def semanticGroupsMultiProbe(corpus: DataFrame,
+                               centroids: Seq[(Int, Seq[Double])],
+                               tau: Double): DataFrame = {
+    val probed = corpus
+      .select(col("id"), col("vec"),
+        explode(VectorOps.nearest2Centroids(col("vec"), centroids)).as("cid"))
+      .filter(col("cid") >= 0) // single-centroid models leave a −1 slot
+      .persist()
+    val dropped = probed.as("a")
+      .join(probed.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") > col("b.id"))
+      .filter(VectorOps.cosine(col("a.vec"), col("b.vec")) >= tau)
+      .select(col("a.id").as("id"))
+      .distinct()
+      .localCheckpoint(true)
+    probed.unpersist()
+    corpus
+      .withColumn("cid", VectorOps.nearestCentroid(col("vec"), centroids))
+      .join(dropped.withColumn("is_dup", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cid").cast("long").as("cid"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+  }
+
   def semanticGroups(corpus: DataFrame,
                      centroids: Seq[(Int, Seq[Double])],
                      tau: Double): DataFrame = {

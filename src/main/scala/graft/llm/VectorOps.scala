@@ -145,6 +145,37 @@ object VectorOps {
       }).getField("cid")
   }
 
+  /** The TOP-2 nearest centroids (by cosine) as a 2-element cid array —
+    * the multi-probe assignment for boundary-recall SemDeDup: the same
+    * single map-side fold as [[nearestCentroid]], tracking best and
+    * second-best, never a per-vector window shuffle. Tie order matches
+    * `row_number() OVER (ORDER BY cos DESC, cid)`: an equal-cosine later
+    * centroid ranks second, because the fold only displaces on a STRICT
+    * improvement and the centroid list is walked in ascending cid order.
+    * With a single-centroid model the second slot stays the −1 sentinel —
+    * callers must drop cid < 0 before any equi-join (a shared sentinel
+    * would otherwise pair everything with everything).
+    */
+  def nearest2Centroids(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
+      struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
+    }: _*)
+    val empty = struct(lit(-1).as("cid"), lit(-3.0).as("cos"))
+    val folded = aggregate(centLit,
+      struct(empty.as("b1"), empty.as("b2")),
+      (acc, c) => {
+        val cs = coalesce(cosine(vec, c.getField("cvec")), lit(-2.0))
+        val cand = struct(c.getField("cid").as("cid"), cs.as("cos"))
+        when(cs > acc.getField("b1").getField("cos"),
+          struct(cand.as("b1"), acc.getField("b1").as("b2")))
+          .when(cs > acc.getField("b2").getField("cos"),
+            struct(acc.getField("b1").as("b1"), cand.as("b2")))
+          .otherwise(acc)
+      })
+    array(folded.getField("b1").getField("cid"),
+      folded.getField("b2").getField("cid"))
+  }
+
   /** [[nearestCentroid]]'s squared-L2 twin: argMIN of the ordered-fold
     * squared distance — the textbook Lloyd objective, the assignment to
     * pair with L2-trained codebooks. Ties break to the lowest centroid id

@@ -585,6 +585,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), plan)
   }
 
+  test("dedup: multi-probe semantic groups catch the boundary-straddling " +
+       "near-dup that single-probe misses") {
+    // v1/v2 are a near-dup pair (cos ≈ 0.942) landing in DIFFERENT
+    // primary clusters; v3/v4 anchor the two clusters
+    val corpus = Seq(
+      (1L, Seq(0.85, 0.60)), (2L, Seq(0.60, 0.85)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val single = Dedup.semanticGroups(corpus, cents, tau = 0.9)
+      .orderBy("id").collect().map(r => r.getAs[Long]("keep"))
+    assert(single.toSeq == Seq(1L, 1L, 1L, 1L)) // pair straddles → missed
+    val multi = Dedup.semanticGroupsMultiProbe(corpus, cents, tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cid"), r.getAs[Long]("keep")))
+    // probe sets overlap → pair compared → higher id dropped; primary
+    // cluster reported unchanged
+    assert(multi.toSeq == Seq((1L, 0L, 1L), (2L, 1L, 0L),
+      (3L, 0L, 1L), (4L, 1L, 1L)))
+    assert(corpus.sparkSession.sharedState.cacheManager.isEmpty)
+    // top-2 fold order matches ORDER BY cos DESC, cid (exact tie → both
+    // slots in ascending cid order)
+    val t2 = corpus.filter(col("id") === 3L)
+      .select(VectorOps.nearest2Centroids(col("vec"), cents)).head().getSeq[Int](0)
+    assert(t2 == Seq(0, 1))
+    val tie = Seq((9L, Seq(0.7, 0.7))).toDF("id", "vec")
+      .select(VectorOps.nearest2Centroids(col("vec"), cents)).head().getSeq[Int](0)
+    assert(tie == Seq(0, 1))
+  }
+
   test("dedup: semantic groups survive a 90%-hot cluster — AQE splits " +
        "the skewed self-join partition and the verdict stays exact") {
     val spark0 = spark
