@@ -1617,6 +1617,108 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Incremental index maintenance: write the index for 80% of the
+    // corpus, APPEND the remaining batch under the same frozen model
+    // (new files inside the existing cid directories — the corpus at
+    // rest is never rewritten), then search the read-back union. The
+    // search result must equal the one-shot index (assignment is
+    // deterministic), and files_read/files_total — counted from the
+    // scan's own file listing — must equal the oracle's per-slice
+    // occupancy sums: one file per (write, non-empty cid). An
+    // implementation that rewrote the base on append, or double-wrote
+    // a slice, breaks the file arithmetic.
+    "llm_ann_index_append" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (coarse, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+        .toString + "/index"
+      VectorOps.writeIvfPqIndex(e.filter(pmod(col("id"), lit(5)) =!= 4),
+        coarse, cbs, path)
+      VectorOps.appendIvfPqIndex(e.filter(pmod(col("id"), lit(5)) === 4),
+        coarse, cbs, path)
+      val index = s.read.parquet(path)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
+        nprobe = 2, k = 5)
+      val phys = res.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = phys.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.partitionFilters.exists(
+              _.references.exists(_.name == "cid")) => sc
+      }.getOrElse(sys.error("appended-index scan has no cid partition filter"))
+      val staticPf = scan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      val filesRead = scan.relation.location.listFiles(staticPf, Nil)
+        .map(_.files.size).sum
+      val filesTotal = scan.relation.location.listFiles(Nil, Nil)
+        .map(_.files.size).sum
+      res
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The index lifecycle closed: build → append → COMPACT → search.
+    // Compaction rewrites the accumulated per-batch files back to one
+    // file per cluster directory through a staging swap; the search
+    // result is byte-identical to the one-shot index, and files_read /
+    // files_total drop back to the DIRECTORY counts (1 file per occupied
+    // cid) — the oracle pins both, so a compactor that lost a slice or
+    // left stale files behind fails the compare.
+    "llm_ann_index_compact" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val (coarse, _, _) =
+        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
+      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
+        maxIter = KmeansTrainIters)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfcmp")
+        .toString + "/index"
+      VectorOps.writeIvfPqIndex(e.filter(pmod(col("id"), lit(5)) =!= 4),
+        coarse, cbs, path)
+      VectorOps.appendIvfPqIndex(e.filter(pmod(col("id"), lit(5)) === 4),
+        coarse, cbs, path)
+      VectorOps.compactIvfPqIndex(s, path)
+      val index = s.read.parquet(path)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
+        nprobe = 2, k = 5)
+      val phys = res.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = phys.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.partitionFilters.exists(
+              _.references.exists(_.name == "cid")) => sc
+      }.getOrElse(sys.error("compacted-index scan has no cid partition filter"))
+      val staticPf = scan.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      val filesRead = scan.relation.location.listFiles(staticPf, Nil)
+        .map(_.files.size).sum
+      val filesTotal = scan.relation.location.listFiles(Nil, Nil)
+        .map(_.files.size).sum
+      res
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN recall@k SWEEP — the tuning curve that actually picks the
     // index knobs, not a single operating point: each method's top-k vs
     // brute-force ground truth at lsh planes ∈ {4,6,8} and ivf nprobe ∈
@@ -2414,6 +2516,65 @@ object SparkEntry {
        |  parts.parts_read, parts.parts_total
        |FROM res CROSS JOIN parts ORDER BY res.qid, res.rank""".stripMargin
 
+  /** Append-maintenance oracle: the one-shot ivfpq search result (the
+    * base∪batch index must search identically to an index built in one
+    * write) crossed with the file arithmetic — each of the two writes
+    * lands exactly one file per cid it has members in, so
+    * files_total = Σ_cid (base occupies) + (batch occupies) and
+    * files_read sums the same over the probed clusters only.
+    */
+  private def oIndexAppendSql: String =
+    s"""WITH res AS (${oAnnIvfpqSql(3)}),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |${oKmeansAssignCtes()},
+       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 3),
+       |qp0 AS (
+       |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
+       |  FROM q CROSS JOIN c$KmeansTrainIters c),
+       |qp AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+       |  FROM qp0),
+       |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
+       |slices AS (SELECT cid,
+       |    CAST(max(CASE WHEN id % 5 <> 4 THEN 1 ELSE 0 END)
+       |       + max(CASE WHEN id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS nfiles
+       |  FROM af GROUP BY cid),
+       |files AS (SELECT
+       |    (SELECT CAST(sum(s.nfiles) AS BIGINT) FROM slices s
+       |       JOIN (SELECT DISTINCT cid FROM probes) p ON p.cid = s.cid)
+       |      AS files_read,
+       |    (SELECT CAST(sum(nfiles) AS BIGINT) FROM slices) AS files_total)
+       |SELECT res.qid, res.rank, res.id, res.score,
+       |  files.files_read, files.files_total
+       |FROM res CROSS JOIN files ORDER BY res.qid, res.rank""".stripMargin
+
+  /** Compaction oracle: after the rewrite there is exactly ONE file per
+    * occupied cluster directory, so the file counts collapse to the
+    * directory counts — probed∩occupied for files_read, occupied for
+    * files_total — while the search result stays the one-shot ivfpq
+    * result.
+    */
+  private def oIndexCompactSql: String =
+    s"""WITH res AS (${oAnnIvfpqSql(3)}),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |${oKmeansAssignCtes()},
+       |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 3),
+       |qp0 AS (
+       |  SELECT q.qid, c.cid, ${oCos("qvec", "cvec")} AS ccos
+       |  FROM q CROSS JOIN c$KmeansTrainIters c),
+       |qp AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
+       |  FROM qp0),
+       |probes AS (SELECT qid, cid FROM qp WHERE crn <= 2),
+       |files AS (SELECT
+       |    (SELECT CAST(count(DISTINCT p.cid) AS BIGINT)
+       |       FROM probes p JOIN (SELECT DISTINCT cid FROM af) a ON a.cid = p.cid)
+       |      AS files_read,
+       |    (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM af) AS files_total)
+       |SELECT res.qid, res.rank, res.id, res.score,
+       |  files.files_read, files.files_total
+       |FROM res CROSS JOIN files ORDER BY res.qid, res.rank""".stripMargin
+
   /** The recall sweep's operating points: (row label, nested top-k
     * statement builder) per method × knob — lsh over 4/6/8 hyperplanes,
     * ivf over nprobe 1/2/4, ivfpq at its entry's nprobe=2. ONE list
@@ -2613,6 +2774,10 @@ object SparkEntry {
     "llm_ann_ivfpq" -> oAnnIvfpqSql,
 
     "llm_ann_ivf_stored" -> oIvfStoredSql,
+
+    "llm_ann_index_append" -> oIndexAppendSql,
+
+    "llm_ann_index_compact" -> oIndexCompactSql,
 
     "llm_pq_recon" -> oPqReconSql(l2 = false),
 

@@ -556,6 +556,46 @@ object VectorOps {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incremental index maintenance — APPEND a new batch into an existing
+    * [[writeIvfPqIndex]] layout: the batch is assigned and encoded under
+    * the SAME frozen model (coarse + codebooks are the index's contract;
+    * re-training would silently re-key the existing partitions) and its
+    * rows land as new files inside the existing cid directories. At
+    * 100 TB this is the only viable maintenance mode: per-batch cost is
+    * one map-side pass over the batch — the at-rest corpus is never
+    * rewritten, and compaction of many small per-batch files is an
+    * orthogonal background rewrite (the same story as the rollup tier's
+    * compactor).
+    */
+  def appendIvfPqIndex(batch: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                       codebooks: Seq[Seq[(Int, Seq[Double])]],
+                       path: String): Unit =
+    ivfPqIndex(batch, coarse, codebooks)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(path)
+
+  /** Compact an appended index: rewrite the accumulated small per-batch
+    * files back to one file per cluster directory, via the same staging
+    * swap as the rollup compactor (write staging → delete → rename) so a
+    * concurrent reader never sees a half-rewritten layout. Model-free —
+    * codes are already encoded; this is pure file-count hygiene, the
+    * background pass that keeps probe-time listing cost flat while
+    * [[appendIvfPqIndex]] keeps ingest cost flat.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val staging = path + ".compacting"
+    spark.read.parquet(path)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    ()
+  }
+
   /** The probe set: each query's `nprobe` nearest coarse clusters —
     * (queries × centroids) is tiny, windowed per query. Shared by the
     * in-memory and at-rest IVF-PQ search paths.
