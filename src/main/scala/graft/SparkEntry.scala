@@ -1135,6 +1135,29 @@ object SparkEntry {
         .orderBy(col("keeper_id"))
     }),
 
+    // Quality-aware dedup keeper: the SAME content arrives shouted
+    // (every 7th doc's original row is upper-cased — its stopword hits
+    // vanish, so its quality logit drops) and clean (re-planted at
+    // id+50000); groups key on the case-folded text and the keeper is
+    // the argmax-quality copy — the clean HIGH id, exactly where a
+    // min-id keeper would preserve the shouting crawl instead.
+    "llm_dedup_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("text"))
+      val mangled = d.withColumn("text",
+        when(col("doc_id") % 7 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      val replay = d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 50000)
+      val qf = TextAnalysis.qualityFilter(col("text"))
+      Dedup.bestCopyGroups(mangled.unionByName(replay),
+          qf.getField("logit_fp"), md5(lower(col("text"))))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper_id"), col("keeper_score"), col("n_copies"),
+          col("content_key"))
+        .orderBy(col("keeper_id"))
+    }),
+
     // Vector column ops over embeddings (multimodal FLOAT[] handled
     // natively): ordered-fold dot/norm/normalize so the oracle reproduces
     // doubles bit-for-bit.
@@ -3834,6 +3857,27 @@ object SparkEntry {
         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS content_hash
         |FROM all_docs GROUP BY md5(text) HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
+
+    "llm_dedup_best" ->
+      s"""WITH raw AS (SELECT doc_id, text FROM documents),
+         |d AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |      FROM raw
+         |      UNION ALL
+         |      SELECT doc_id + 50000, text FROM raw WHERE doc_id % 7 = 0),
+         |$oQualityCtes,
+         |sc AS (SELECT l.doc_id,
+         |    CAST(floor(logit * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS score,
+         |    md5(lower(d.text)) AS content_key
+         |  FROM l JOIN d USING (doc_id)),
+         |r AS (SELECT doc_id, score, content_key,
+         |    row_number() OVER (PARTITION BY content_key
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY content_key) AS n_copies
+         |  FROM sc)
+         |SELECT doc_id AS keeper_id, score AS keeper_score,
+         |  CAST(n_copies AS BIGINT) AS n_copies, content_key
+         |FROM r WHERE rn = 1 AND n_copies > 1 ORDER BY keeper_id""".stripMargin,
 
     "llm_vec_ops" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

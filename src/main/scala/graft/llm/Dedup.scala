@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines: exact
@@ -26,6 +26,33 @@ object Dedup {
                   idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Quality-aware exact dedup — the keeper is the BEST copy, not the
+    * first: within each identical-content group (keyed on a caller-chosen
+    * canonical form, e.g. case-folded text) keep the copy with the
+    * highest quality score, ties to the lowest id. This is what
+    * production pipelines actually do with crawl duplicates: the same
+    * content arrives shouted, truncated, or clean, and a min-id keeper
+    * preserves whichever crawl happened first rather than the
+    * best-formatted copy.
+    *
+    * Scale shape: identical to [[exactGroups]] — ONE shuffle on the
+    * content key; the argmax is a struct max with map-side partial
+    * combine (the lexicographic (score, −id) trick, as in clusterPurity),
+    * so no window and no second pass.
+    */
+  def bestCopyGroups(docs: DataFrame, score: Column, key: Column,
+                     idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("id0"), key.as("content_key"), score.as("score0"))
+      .groupBy(col("content_key"))
+      .agg(
+        max(struct(col("score0").as("score"), (-col("id0")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_copies"))
+      .select((-col("best.neg_id")).as("keeper_id"),
+        col("best.score").as("keeper_score"),
+        col("n_copies"), col("content_key"))
 
   /** Modulus for the derived minhash permutation family. */
   val MinhashMod = 1000000007L

@@ -49,6 +49,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(groups(0).getAs[Long]("n_copies") == 3L)
   }
 
+  test("dedup: quality-aware keeper picks the best-scoring copy over the " +
+       "lowest id, singletons pass through") {
+    val docs = Seq(
+      (1L, "THE A OF AND TO SOME MORE WORDS HERE NOW"), // shouted, low id
+      (2L, "the a of and to some more words here now"), // clean → keeper
+      (3L, "entirely unrelated content")).toDF("doc_id", "text")
+    val qf = TextAnalysis.qualityFilter(col("text"))
+    val out = Dedup.bestCopyGroups(docs, qf.getField("logit_fp"),
+        md5(lower(col("text"))))
+      .orderBy("keeper_id").collect()
+      .map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies")))
+    // uppercase kills the stopword hits → lower logit → id 2 wins its
+    // group despite the higher id; the singleton keeps itself
+    assert(out.toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
+
   test("dedup: minhash finds the injected near-duplicate, not the stranger") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
