@@ -49,10 +49,16 @@ object Bench {
       } finally {
         // Queries persist() intermediates for their own plan reuse; drop
         // them so storage-memory churn from one query can't distort the
-        // next one's wall time, and collect garbage between queries so
-        // accumulated broadcast/shuffle debris from earlier queries isn't
-        // billed to whichever query happens to trigger the GC.
+        // next one's wall time. localCheckpoint blocks are NOT in the
+        // cache manager — release every still-registered persistent RDD
+        // explicitly (no entry reuses a checkpointed frame across
+        // queries, so this is always safe here) instead of waiting on
+        // the async ContextCleaner. Then collect garbage so accumulated
+        // broadcast/shuffle debris from earlier queries isn't billed to
+        // whichever query happens to trigger the GC.
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         System.gc()
       }
     }

@@ -420,13 +420,33 @@ object Dedup {
     // hops into one materialized plan halves the round count but the
     // second hop re-derives the first on BOTH sides of its join — the
     // extra AQE stages cost ~2× more than the saved round overhead.)
+    // The convergence check rides the checkpoint job as an observe()
+    // metric instead of a separate filter-count job: one job per round,
+    // not two. The loop's wall time is pure per-job round-trip latency
+    // (the data per round is tiny), so halving the job count halves its
+    // exposure to scheduler noise — this entry benched 3.2× slower on
+    // unchanged code under ambient host load, precisely because many
+    // short sequential jobs amplify per-job scheduling delays.
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val updated = propagate(
+      // metrics must be read from the PRE-checkpoint Dataset: the
+      // checkpointed frame is a fresh LogicalRDD plan that no longer
+      // contains the CollectMetrics node
+      val observed = propagate(
         labels.select(col("id"), col("label").as("old"), col("label")))
-        .localCheckpoint(true)
-      val changed = updated.filter(col("label") =!= col("old")).count()
+        .observe("cc_round",
+          sum(when(col("label") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"))
+      val updated = observed.localCheckpoint(true)
+      val changed = observed.queryExecution.observedMetrics
+        .get("cc_round")
+        // sum over zero rows is NULL — an empty node set is converged
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).getOrElse(
+          // defensive: if the metric didn't surface (never expected —
+          // eager localCheckpoint fully executes the observed plan),
+          // fall back to the explicit count rather than mis-converge
+          updated.filter(col("label") =!= col("old")).count())
       labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1

@@ -120,6 +120,63 @@ object Multimodal {
       leHex(length(body), 4))),          // data size
       body)
 
+  /** Unsigned big-endian integer at a DYNAMIC (Column) byte offset —
+    * the JPEG marker walk needs offsets computed per row.
+    */
+  private def beIntAt(payload: Column, off: Column, n: Int): Column =
+    conv(hex(payload.substr(off, lit(n))), 16, 10).cast("long")
+
+  /** A REAL JPEG prefix: SOI + APP0/JFIF + a baseline SOF0 frame header
+    * (big-endian geometry, 8-bit, 3 components 4:2:0) — the segments
+    * every baseline decoder reads before scan data; `body` stands in for
+    * the entropy-coded stream.
+    */
+  def jpegPayload(w: Column, h: Column, body: Column): Column =
+    concat(unhex(concat(
+      lit("FFD8"),                       // SOI
+      lit("FFE00010"),                   // APP0, length 16
+      lit("4A46494600"),                 // 'JFIF\0'
+      lit("0101"),                       // version 1.1
+      lit("00"), lit("00010001"),        // units 0, density 1×1
+      lit("0000"),                       // no thumbnail
+      lit("FFC00011"),                   // SOF0, length 17
+      lit("08"),                         // precision 8
+      beHex(h, 2), beHex(w, 2),          // height, width (BE int16)
+      lit("03"),                         // 3 components
+      lit("012200"), lit("021101"), lit("031101"))), // Y 2x2, Cb, Cr
+      body)
+
+  /** Offset (1-based) of the SOF0 marker, found by walking the segment
+    * chain from just past SOI: each header segment is FF <marker>
+    * <len16 including itself>, so the walk is a BOUNDED fold (`maxSeg`
+    * steps — APP/COM/DQT/DHT headers come well before the frame header
+    * in any real file) advancing pos → pos + 2 + len. 0 when absent;
+    * the walk halts (−1) at SOS/EOI, a non-FF byte (corrupt chain), or
+    * past-end offsets, so arbitrary binary can never yield garbage
+    * geometry. Pure composed builtins — no UDF.
+    */
+  private def sof0Offset(payload: Column, maxSeg: Int = 12): Column = {
+    val init = struct(lit(3L).as("pos"), lit(0L).as("sof"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSeg)), init,
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val mk = hex(payload.substr(pos, lit(2)))
+        val halted = acc.getField("sof") > 0 || pos < 0
+        val badChain = mk === "FFDA" || mk === "FFD9" ||
+          !mk.startsWith("FF") || pos + 4 > length(payload)
+        when(halted, acc)
+          .when(mk === "FFC0",
+            struct(pos.as("pos"), pos.as("sof")))
+          .when(badChain,
+            struct(lit(-1L).as("pos"), lit(0L).as("sof")))
+          .otherwise(struct(
+            (pos + 2 + beIntAt(payload, pos + 2, 2)).as("pos"),
+            lit(0L).as("sof")))
+      })
+    walked.getField("sof")
+  }
+
   /** REAL header decode — the engine's one former stub made honest for
     * genuine payloads: sniffs the magic bytes and parses the actual
     * format geometry (BMP: LE int32 at 19/23, height sign-extended per
@@ -137,13 +194,23 @@ object Multimodal {
     * @return struct(format, width, height, n_bytes)
     */
   def decodeMeta(payload: Column): Column = {
-    val isBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D"
+    // 'BM' alone is two ASCII letters any text can start with — demand
+    // the fixed header fields too (reserved bytes zero, pixel-data
+    // offset 54, plausible bpp) before taking the bmp branch, so a raw
+    // text payload starting with "BMW ..." stays 'unknown'
+    val isBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D" &&
+      hexAt(payload, 7, 4) === "00000000" &&
+      leInt(payload, 11, 4) === 54 &&
+      leInt(payload, 29, 2).isin(1L, 4L, 8L, 16L, 24L, 32L)
     val isPng = length(payload) >= 33 &&
       hexAt(payload, 1, 8) === "89504E470D0A1A0A" &&
       hexAt(payload, 13, 4) === "49484452"
     val isWav = length(payload) >= 44 &&
       hexAt(payload, 1, 4) === "52494646" &&
       hexAt(payload, 9, 4) === "57415645"
+    val isJpeg = length(payload) >= 4 &&
+      hexAt(payload, 1, 2) === "FFD8" && hexAt(payload, 3, 1) === "FF"
+    val sof = sof0Offset(payload)
     // BMP height is SIGNED (negative = top-down row order): sign-extend
     // and report the magnitude-with-sign the spec means
     def signed32(v: Column): Column =
@@ -161,6 +228,11 @@ object Multimodal {
         lit("wav").as("format"),
         leInt(payload, 25, 4).as("width"),   // sample rate
         leInt(payload, 23, 2).as("height"))) // channels
+      // SOF0 layout: FF C0 len16 precision8 height16 width16 ...
+      .when(isJpeg && sof > 0, struct(
+        lit("jpeg").as("format"),
+        beIntAt(payload, sof + 7, 2).as("width"),
+        beIntAt(payload, sof + 5, 2).as("height")))
       .otherwise(struct(
         lit("unknown").as("format"),
         fake.getField("width").cast("long").as("width"),

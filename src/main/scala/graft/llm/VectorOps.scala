@@ -128,7 +128,10 @@ object VectorOps {
     * to the lowest centroid id (strict > keeps the earlier winner).
     */
   def nearestCentroid(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val centLit = array(centroids.map { case (cid, cvec) =>
+    // Walk ascending cid so the strict-improvement fold honors the
+    // documented tie-break for ANY caller's centroid order, not just
+    // kmeansTrain's (which happens to return cid-sorted output).
+    val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
     aggregate(centLit,
@@ -182,7 +185,9 @@ object VectorOps {
     * (strict < keeps the earlier winner), mirroring the cosine fold.
     */
   def nearestCentroidL2(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val centLit = array(centroids.map { case (cid, cvec) =>
+    // Ascending-cid walk for caller-order-independent tie-breaks, as in
+    // [[nearestCentroid]].
+    val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
     aggregate(centLit,
@@ -530,12 +535,20 @@ object VectorOps {
     * map-side pass over the corpus: the coarse assignment fold and the m
     * per-subspace code folds are sibling projections of the same row, so
     * building the index costs exactly one scan, no join, no shuffle.
+    *
+    * `l2` selects the CODE-assignment objective and must match the
+    * objective the codebooks were trained under ([[pqTrain]]'s flag) —
+    * encoding L2-trained codebooks with the cosine fold would silently
+    * degrade ADC quality. The coarse assignment stays cosine: it is the
+    * probe-side metric ([[probeClusters]]), independent of how the
+    * subspace codebooks quantize.
     */
   def ivfPqIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
-                 codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+                 codebooks: Seq[Seq[(Int, Seq[Double])]],
+                 l2: Boolean = false): DataFrame = {
     val sub = codebooks.head.head._2.size
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      nearestCentroid(slice(col("vec"), s * sub + 1, sub), cb)
+      assign(slice(col("vec"), s * sub + 1, sub), cb, l2)
     }
     corpus.select(col("id"),
       nearestCentroid(col("vec"), coarse).as("cid"),
@@ -551,8 +564,8 @@ object VectorOps {
     */
   def writeIvfPqIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
                       codebooks: Seq[Seq[(Int, Seq[Double])]],
-                      path: String): Unit =
-    ivfPqIndex(corpus, coarse, codebooks)
+                      path: String, l2: Boolean = false): Unit =
+    ivfPqIndex(corpus, coarse, codebooks, l2)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
@@ -569,17 +582,24 @@ object VectorOps {
     */
   def appendIvfPqIndex(batch: DataFrame, coarse: Seq[(Int, Seq[Double])],
                        codebooks: Seq[Seq[(Int, Seq[Double])]],
-                       path: String): Unit =
-    ivfPqIndex(batch, coarse, codebooks)
+                       path: String, l2: Boolean = false): Unit =
+    ivfPqIndex(batch, coarse, codebooks, l2)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
 
   /** Compact an appended index: rewrite the accumulated small per-batch
-    * files back to one file per cluster directory, via the same staging
-    * swap as the rollup compactor (write staging → delete → rename) so a
-    * concurrent reader never sees a half-rewritten layout. Model-free —
-    * codes are already encoded; this is pure file-count hygiene, the
-    * background pass that keeps probe-time listing cost flat while
+    * files back to one file per cluster directory, then swap the staging
+    * dir in via rename-aside (rename live → `.old`, staging → live,
+    * delete `.old`). The swap is NOT atomic — a reader can hit a brief
+    * window where the live path is missing between the two renames — but
+    * every crash point leaves a full index on disk: before the first
+    * rename the live dir is untouched; between renames both complete
+    * copies exist (`.old` and `.compacting`); after the second only the
+    * `.old` cleanup remains. On HDFS each rename is itself atomic; a
+    * production deployment wanting zero-gap reads would swap a pointer
+    * (manifest / view) instead of the directory. Model-free — codes are
+    * already encoded; this is pure file-count hygiene, the background
+    * pass that keeps probe-time listing cost flat while
     * [[appendIvfPqIndex]] keeps ingest cost flat.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -591,8 +611,11 @@ object VectorOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true) // leftover from a prior crashed compaction
+    fs.rename(dst, old)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    fs.delete(old, true)
     ()
   }
 
@@ -677,6 +700,120 @@ object VectorOps {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("codes"))
     adcRank(cand, queries, codebooks, k)
+  }
+
+  /** The corpus re-expressed as RESIDUALS from the coarse quantizer —
+    * (id, cid, vec − coarse_centroid[cid]) — the transform under FAISS
+    * IVFPQ's encoding: PQ quantizes the (small, centered) displacement
+    * from the cluster centroid rather than the raw vector, so the same
+    * m/k codebook budget spends its resolution on the part of the vector
+    * the coarse quantizer didn't already explain. Pure map work: the
+    * assignment fold plus a zip_with subtract against a literal cid →
+    * centroid map — no join, no shuffle, same scan-speed shape as
+    * [[nearestCentroid]].
+    */
+  def residualCorpus(corpus: DataFrame,
+                     coarse: Seq[(Int, Seq[Double])]): DataFrame = {
+    val sorted = coarse.sortBy(_._1)
+    val centMap = map_from_arrays(
+      array(sorted.map { case (cid, _) => lit(cid) }: _*),
+      array(sorted.map { case (_, cvec) => array(cvec.map(lit): _*) }: _*))
+    corpus
+      .select(col("id"), col("vec"),
+        nearestCentroid(col("vec"), coarse).as("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("vec"), element_at(centMap, col("cid")),
+          (x, y) => x - y).as("vec"))
+  }
+
+  /** Train PQ codebooks on the coarse residuals — [[pqTrain]] over
+    * [[residualCorpus]]. Residuals are centered displacements, not
+    * unit-sphere directions, so the squared-L2 objective is the right
+    * default (`l2 = true`), matching FAISS (whose k-means is always L2).
+    */
+  def pqTrainResidual(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                      m: Int, k: Int, maxIter: Int,
+                      l2: Boolean = true): Seq[Seq[(Int, Seq[Double])]] =
+    pqTrain(residualCorpus(corpus, coarse).select(col("id"), col("vec")),
+      m, k, maxIter, l2 = l2)
+
+  /** The residual-encoded IVF-PQ index rows — (id, coarse cid, codes of
+    * vec − coarse_centroid[cid]) — still ONE map-side pass: assignment
+    * fold, literal-map centroid subtract, m code folds, staged as sibling
+    * projections of the same scan. `codebooks` must come from
+    * [[pqTrainResidual]] under the same `coarse` model and `l2` flag.
+    */
+  def ivfPqResidualIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                         codebooks: Seq[Seq[(Int, Seq[Double])]],
+                         l2: Boolean = true): DataFrame = {
+    val sub = codebooks.head.head._2.size
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      assign(slice(col("vec"), s * sub + 1, sub), cb, l2)
+    }
+    residualCorpus(corpus, coarse)
+      .select(col("id"), col("cid"), array(codeCols: _*).as("codes"))
+  }
+
+  /** IVF-PQ search over RESIDUAL codes — the ADC identity that makes
+    * residual encoding searchable at the same cost as plain codes:
+    *
+    *   dot(q, vec) ≈ dot(q, centroid[cid] + recon(residual))
+    *               = dot(q, centroid[cid]) + Σ_s dot(q_s, codebook_s[code_s])
+    *
+    * so a candidate's score is the plain per-subspace LUT sum plus ONE
+    * extra per-(query, probed-cluster) constant — and (queries × nprobe)
+    * constants are model-sized, a broadcast. Candidate generation is the
+    * same coarse-cid equi-join as [[ivfPqTopK]]; nothing about residuals
+    * adds a shuffle. Score assembly is fixed-order (constant first, then
+    * subspaces left-to-right) so it is bit-identical cross-engine.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        coarse: Seq[(Int, Seq[Double])],
+                        codebooks: Seq[Seq[(Int, Seq[Double])]],
+                        nprobe: Int, k: Int,
+                        l2: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val m = codebooks.size
+    val sub = codebooks.head.head._2.size
+    val probes = probeClusters(queries, coarse, nprobe)
+    // per-(qid, probed cid) constant: dot(query, coarse centroid)
+    val centDf = broadcast(spark.createDataFrame(
+      coarse.map { case (cid, cvec) => (cid, cvec) }).toDF("cid", "ccvec"))
+    val qconst = probes
+      .join(queries, Seq("qid")).join(centDf, Seq("cid"))
+      .select(col("qid"), col("cid"),
+        dot(col("qvec"), col("ccvec")).as("cconst"))
+    val cand = ivfPqResidualIndex(corpus, coarse, codebooks, l2)
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("id"), col("codes"))
+    // ADC over residual codes: the same broadcast-LUT reassembly as
+    // adcRank, plus the coarse constant folded in FIRST.
+    val lutDf = spark.createDataFrame(
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.map { case (cid, cvec) => (s, cid, cvec) }
+      }).toDF("sub", "code_cid", "cvec")
+    val qlut = queries.crossJoin(broadcast(lutDf))
+      .select(col("qid").as("lqid"), col("sub"), col("code_cid"),
+        dot(slice(col("qvec"), col("sub") * sub + 1, lit(sub)),
+          col("cvec")).as("p"))
+    val parts = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("p"))).as(s"p$s"))
+    val score = (0 until m).map(s => col(s"p$s"))
+      .foldLeft(col("cconst"))(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    cand
+      .select(col("qid"), col("cid"), col("id"),
+        posexplode(col("codes")).as(Seq("esub", "code")))
+      .join(broadcast(qlut),
+        col("lqid") === col("qid") && col("esub") === col("sub") &&
+          col("code") === col("code_cid"))
+      .groupBy(col("qid"), col("cid"), col("id"))
+      .agg(parts.head, parts.tail: _*)
+      .join(broadcast(qconst), Seq("qid", "cid"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
   /** Search a PERSISTED IVF-PQ index (written by [[writeIvfPqIndex]]) —

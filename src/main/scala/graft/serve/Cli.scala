@@ -108,7 +108,9 @@ object CliConfig {
       |  --send-timeout=30s             Timeout when sending samples to remotes.
       |  --web.listen-address=":9201"   Address for web endpoints.
       |  --web.telemetry-path="/metrics"
-      |  --read.max-series=500000       Series budget per read response (0 = unlimited).
+      |  --read.max-series=500000       Series budget per query in a read request
+      |                                 (a k-query request may return up to
+      |                                 k x budget series; 0 = unlimited).
       |""".stripMargin
 
   def usage(): String = Usage

@@ -106,7 +106,11 @@ class Server(spark: SparkSession, tablePath: String,
           val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
           WritePipeline.append(rows, tablePath)
           invalidateTable()
-          graft.sinks.Transport.WriteStats(df.count(), 0L, None)
+          // The decoded request size IS the row count of `df` — counting
+          // it again would launch a second Spark job per micro-batch
+          // purely for the stat (the reference likewise reports
+          // len(samples), reference main.go:sendSamples).
+          graft.sinks.Transport.WriteStats(samples.size.toLong, 0L, None)
         }
       val outcomes = FanOut.fanOutStats(flat, table +: extraSinks)
       outcomes.foreach { o =>

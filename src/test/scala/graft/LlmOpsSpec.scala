@@ -456,6 +456,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(raw.getLong(2) == fake.getAs[Int]("height").toLong)
   }
 
+  test("multimodal: decodeMeta walks the JPEG segment chain to SOF0 and " +
+       "the tightened BMP sniff rejects text that merely starts with 'BM'") {
+    // hand-written per the JPEG spec (NOT via jpegPayload): SOI, APP0,
+    // a DQT segment the walk must step over, then SOF0 with height=2,
+    // width=3 — total 2+18+69+19 = 108 bytes
+    val jpeg3x2 = "FFD8" +
+      "FFE000104A4649460001010000010001" + "0000" +
+      "FFDB" + "0043" + "00" + "00" * 64 +
+      "FFC0" + "0011" + "08" + "0002" + "0003" +
+      "03" + "012200" + "021101" + "031101"
+    // SOI + APP0 then EOI — a truncated file with no frame header
+    val jpegNoSof = "FFD8" + "FFE000104A4649460001010000010001" + "0000" +
+      "FFD9"
+    val rows = Seq((1L, jpeg3x2), (2L, jpegNoSof)).toDF("id", "hx")
+      .select(col("id"), unhex(col("hx")).as("payload"))
+    val m = Multimodal.decodeMeta(col("payload"))
+    val got = rows.select(col("id"), m.getField("format"),
+      m.getField("width"), m.getField("height"), m.getField("n_bytes"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "jpeg", 3L, 2L, 108L),
+      (2L, "unknown", got(1)._3, got(1)._4, 22L)))
+    // builder round-trip + the ADVICE regression: a ≥54-byte text payload
+    // starting with the letters 'BM' must NOT parse as bmp
+    val txt = Seq((10L,
+      "BMW makes cars, not bitmaps - this is plainly prose and it is " +
+        "definitely longer than fifty-four bytes.")).toDF("id", "t")
+    val body = Multimodal.asBinaryPayload(col("t"))
+    val built = txt.select(
+      Multimodal.decodeMeta(Multimodal.jpegPayload(lit(1280L), lit(720L), body))
+        .as("j"),
+      Multimodal.decodeMeta(body).as("raw")).head()
+    val j = built.getStruct(0); val raw = built.getStruct(1)
+    assert((j.getString(0), j.getLong(1), j.getLong(2)) == ("jpeg", 1280L, 720L))
+    assert(raw.getString(0) == "unknown")
+  }
+
   test("multimodal: payload metadata is deterministic and schema-typed") {
     val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
     val r1 = Multimodal.toMultimodalRows(docs).select("meta.*").head
@@ -972,5 +1011,63 @@ class LlmOpsSpec extends SparkSpec {
         .map { case ((id, _), i) => (id, i + 1L, i * nb / rows.size + 1L) }
       assert(got.toSeq == ref, s"nb=$nb")
     }
+  }
+
+  test("vectors: residualCorpus subtracts the assigned coarse centroid " +
+       "element-wise") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.8, 0.2))).toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+    val res = VectorOps.residualCorpus(corpus, cents)
+      .orderBy("id").collect()
+    // id 2 lands on centroid 0; its residual is (0.8-1.0, 0.2-0.0)
+    assert(res(2).getAs[Int]("cid") == 0)
+    assert(seqOf[Double](res(2), "vec") == Seq(0.8 - 1.0, 0.2 - 0.0))
+    // exact-centroid rows have zero residual
+    assert(seqOf[Double](res(0), "vec") == Seq(0.0, 0.0))
+    assert(seqOf[Double](res(1), "vec") == Seq(0.0, 0.0))
+  }
+
+  test("vectors: residual IVF+PQ prunes to the probed blob and scores " +
+       "dot(q, centroid) + residual LUT sum") {
+    import spark.implicits._
+    // blob A near (1,0,0,1), blob B near (0,1,1,0)
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val (coarse, _, _) = VectorOps.kmeansTrain(corpus, seeds, maxIter = 2)
+    val rcbs = VectorOps.pqTrainResidual(corpus, coarse, m = 2, k = 2,
+      maxIter = 2)
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val nn = VectorOps.ivfPqResidualTopK(corpus, q, coarse, rcbs,
+      nprobe = 1, k = 5).orderBy("rank").collect()
+    // nprobe=1 → only blob A's cluster is searched: ids 2 and 4, never 1/3
+    assert(nn.map(_.getAs[Long]("id")).toSet == Set(2L, 4L))
+    // every candidate in the probed cluster shares the coarse constant,
+    // so scores differ only by the residual LUT sums — and a candidate
+    // whose residual is closer to the query's must rank first
+    assert(nn.head.getAs[Long]("id") == 2L)
+  }
+
+  test("vectors: nearestCentroid tie-breaks to the lowest cid regardless " +
+       "of caller centroid order") {
+    import spark.implicits._
+    val corpus = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    // two identical centroids handed over in DESCENDING cid order: the
+    // documented contract (ties → lowest cid) must still hold
+    val cents = Seq((7, Seq(1.0, 0.0)), (3, Seq(1.0, 0.0)))
+    val cos = corpus.select(
+      VectorOps.nearestCentroid(col("vec"), cents).as("c")).head().getInt(0)
+    val l2c = corpus.select(
+      VectorOps.nearestCentroidL2(col("vec"), cents).as("c")).head().getInt(0)
+    assert(cos == 3 && l2c == 3)
   }
 }
