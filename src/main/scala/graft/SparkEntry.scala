@@ -508,16 +508,20 @@ object SparkEntry {
       val base = JFiles.createTempDirectory("graft_s1a").toString
       val inDir = s"$base/in"
       JFiles.createDirectories(Paths.get(inDir))
-      // small `parts` bounds the file count — each file is one micro-batch
-      // under maxFilesPerTrigger=1, and the entry's point is watermark
-      // sequencing, not ingest parallelism (writePayloadFiles covers that)
-      val evts = Tables.events(s, dir)
+      // `parts = 1` bounds the run to exactly three micro-batches
+      // (on-time, nudge, late) — each file is one micro-batch under
+      // maxFilesPerTrigger=1, the entry's point is watermark sequencing,
+      // not ingest parallelism (writePayloadFiles covers that), and
+      // every extra batch is ~1 s of pure trigger overhead
+      // one scan feeds both payload slices
+      val evts = Tables.events(s, dir).persist()
       marshalPayloads(evts.filter(unix_timestamp(col("ts")) >= Jan05), inDir, "a",
-        parts = 2)
+        parts = 1)
       JFiles.write(Paths.get(s"$inDir/m_nudge.snappy"),
         Prompb.snappyCompress(Prompb.encodeWriteRequest(Prompb.PWriteRequest(Nil))))
       marshalPayloads(evts.filter(unix_timestamp(col("ts")) < Jan05), inDir, "z",
         parts = 1)
+      evts.unpersist()
       // deterministic arrival order: on-time < nudge < late
       val t0 = System.currentTimeMillis() - 120000
       JFiles.list(Paths.get(inDir)).toArray.map(_.toString).sorted.zipWithIndex
@@ -525,8 +529,16 @@ object SparkEntry {
           JFiles.setLastModifiedTime(Paths.get(f),
             java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
         }
+      // the stream runs in a CHILD session with few shuffle partitions:
+      // streaming-agg state is partitioned by spark.sql.shuffle.partitions
+      // and every micro-batch pays a state-store open/commit per
+      // partition — at 3 batches × 32 partitions that fixed cost dwarfs
+      // the actual data here (a real deployment sizes state partitions
+      // to state volume, not to the scan parallelism default)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
       val flat = RemoteWriteStream.decodeFlat(
-        s.readStream.format("binaryFile")
+        s2.readStream.format("binaryFile")
           .schema(RemoteWriteStream.binaryFilePayloadSchema)
           .option("maxFilesPerTrigger", 1).load(inDir))
       val qname = "wmrollup_" + math.abs(inDir.hashCode).toString
@@ -536,7 +548,8 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname)
+      // the memory sink's table is registered in the child session
+      s2.table(qname)
         .select(unix_timestamp(col("bucket_start")).as("bucket"), col("name"),
           array_join(col("tags"), ",").as("tags"),
           round(col("val"), 4).as("val"), col("cnt"))
@@ -1800,6 +1813,49 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Index DELETES — the lifecycle's last missing verb: each query's
+    // FORMER TOP-1 hit is deleted (deterministically non-vacuous: every
+    // query's result must change), via a tombstone file the data scan
+    // never lists; search masks the dead ids with a broadcast anti-join
+    // above the still-pruned scan, and compaction makes the drop
+    // physical. Pinned facts: the post-delete search (oracle recomputes
+    // it by excluding the former rank-1 set), the tombstoned rows still
+    // physically on disk pre-compaction, their absence (0) from a RAW
+    // scan post-compaction, and logical≡physical search equality.
+    "llm_ann_index_delete" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfdel")
+        .toString + "/index"
+      VectorOps.writeIvfPqIndex(e, coarse, cbs, path)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      def search() = VectorOps.ivfPqSearchStored(
+        VectorOps.readIvfPqIndex(s, path), q, coarse, cbs, nprobe = 2, k = AnnK)
+      // materialized driver-side (≤ nqueries ids — model-sized): the
+      // lazy plan would re-list the pre-compaction files, which the
+      // compaction swap deletes
+      val delSeq = search().filter(col("rank") === 1)
+        .select(col("id")).distinct().collect().map(_.getLong(0)).toSeq
+      val delIds = s.createDataFrame(delSeq.map(Tuple1(_))).toDF("id")
+      VectorOps.deleteFromIvfPqIndex(delIds, path)
+      val masked = search().orderBy(col("qid"), col("rank")).collect()
+      val rawTombPre = s.read.parquet(path)
+        .join(broadcast(delIds), Seq("id"), "left_semi").count()
+      VectorOps.compactIvfPqIndex(s, path)
+      val rawTombPost = s.read.parquet(path)
+        .join(broadcast(delIds), Seq("id"), "left_semi").count()
+      val compacted = search().orderBy(col("qid"), col("rank")).collect()
+      search()
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"),
+          lit(rawTombPre).as("tomb_rows_precompact"),
+          lit(rawTombPost).as("tomb_rows_postcompact"),
+          lit(masked.sameElements(compacted)).as("logical_physical_equal"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN recall@k SWEEP — the tuning curve that actually picks the
     // index knobs, not a single operating point: each method's top-k vs
     // brute-force ground truth at lsh planes ∈ {4,6,8} and ivf nprobe ∈
@@ -2024,17 +2080,20 @@ object SparkEntry {
     "llm_stream_quality" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_sq").toString
       val in = s"$base/in"
-      // parallelism comes from the SOURCE: 32 shards, 16 files per
-      // trigger → 2 micro-batches, 16 input splits each. A mid-stream
-      // repartition cannot help here — PushDownPredicate substitutes the
-      // filter's aliases and pushes the parse + quality predicate below
-      // the repartition onto the per-file partitions, so the only lever
-      // that actually spreads the heavy work is shard count (exactly the
-      // production shape: crawls arrive as many files).
+      // parallelism comes from the SOURCE: 32 shards, all in one
+      // AvailableNow trigger → one micro-batch of 32 input splits. A
+      // mid-stream repartition cannot help here — PushDownPredicate
+      // substitutes the filter's aliases and pushes the parse + quality
+      // predicate below the repartition onto the per-file partitions, so
+      // the only lever that actually spreads the heavy work is shard
+      // count (exactly the production shape: crawls arrive as many
+      // files). Batch count is a pure per-trigger overhead knob with no
+      // semantics here (no watermark): fewer, larger batches win —
+      // trigger-capped ingest is s1_rollup_append's subject.
       CorpusIO.writeJsonl(Tables.documents(s, dir, spread = false), in,
         shards = 32)
       val qf = TextAnalysis.qualityFilter(col("text"))
-      val admitted = CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 16)
+      val admitted = CorpusIO.readJsonlStream(s, in, maxFilesPerTrigger = 32)
         .filter(col(CorpusIO.CorruptCol).isNull)
         .select(col("doc_id"), col("source"),
           qf.getField("n_words").as("n_words"),
@@ -2435,9 +2494,11 @@ object SparkEntry {
 
   /** IVF+PQ oracle, parameterized on the query-set bound so the stored-
     * index entry (3 queries, for structurally non-vacuous pruning) and
-    * the in-memory entry (5) share one statement builder.
+    * the in-memory entry (5) share one statement builder, and on an
+    * extra candidate predicate so the tombstone-delete oracle can mask
+    * the dead-id set from the same statement.
     */
-  private def oAnnIvfpqSql(qmax: Int): String = {
+  private def oAnnIvfpqSql(qmax: Int, candPred: String = ""): String = {
     val subTables = (0 until PqM).map(s =>
       s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
       .mkString(",\n")
@@ -2469,7 +2530,7 @@ object SparkEntry {
        |$luts,
        |cand AS (
        |  SELECT p.qid, af.id AS a0_id FROM af JOIN probes p ON p.cid = af.cid
-       |  WHERE af.id <> p.qid),
+       |  WHERE af.id <> p.qid$candPred),
        |sc AS (
        |  SELECT cand.qid, a0.id, $scoreExpr AS score
        |  FROM cand JOIN p0af a0 ON a0.id = cand.a0_id $encJoins
@@ -2722,6 +2783,27 @@ object SparkEntry {
        |  files.files_read, files.files_total
        |FROM res CROSS JOIN files ORDER BY res.qid, res.rank""".stripMargin
 
+  /** Tombstone-delete oracle: the deleted set is each query's former
+    * rank-1 hit (recomputed from the plain stored-index result), the
+    * post-delete search is the same ivfpq statement with that set masked
+    * from the candidates, tomb_rows_precompact is the dead rows still
+    * physically in the index (one per deleted id), 0 after compaction,
+    * and the logical-vs-physical search equality flag must be true.
+    */
+  private def oIndexDeleteSql: String =
+    s"""WITH res0 AS (SELECT * FROM (${oAnnIvfpqSql(3)})),
+       |del AS (SELECT DISTINCT id FROM res0 WHERE rank = 1),
+       |res AS (SELECT * FROM (
+       |  ${oAnnIvfpqSql(3, " AND af.id NOT IN (SELECT id FROM del)")})),
+       |facts AS (SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM del) AS tomb_rows_precompact,
+       |    CAST(0 AS BIGINT) AS tomb_rows_postcompact,
+       |    TRUE AS logical_physical_equal)
+       |SELECT res.qid, res.rank, res.id, res.score,
+       |  facts.tomb_rows_precompact, facts.tomb_rows_postcompact,
+       |  facts.logical_physical_equal
+       |FROM res CROSS JOIN facts ORDER BY res.qid, res.rank""".stripMargin
+
   /** The recall sweep's operating points: (row label, nested top-k
     * statement builder) per method × knob — lsh over 4/6/8 hyperplanes,
     * ivf over nprobe 1/2/4, ivfpq at its entry's nprobe=2. ONE list
@@ -2927,6 +3009,7 @@ object SparkEntry {
     "llm_ann_index_append" -> oIndexAppendSql,
 
     "llm_ann_index_compact" -> oIndexCompactSql,
+    "llm_ann_index_delete" -> oIndexDeleteSql,
 
     "llm_pq_recon" -> oPqReconSql(l2 = false),
 

@@ -587,6 +587,37 @@ object VectorOps {
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(path)
 
+  /** DELETE ids from a persisted index — tombstones, not rewrites: the
+    * batch of dead ids lands as a small parquet file under
+    * `<path>/_tombstones` (the underscore prefix keeps the directory
+    * invisible to the data scan's file listing, so the index stays one
+    * self-contained path). At 100 TB a delete — takedown, re-crawl
+    * retraction — cannot rewrite cid directories synchronously; the
+    * tombstone write is O(batch), reads mask at query time
+    * ([[readIvfPqIndex]]), and the next [[compactIvfPqIndex]] makes the
+    * drop physical. The same mechanics as every log-structured store.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("id")).distinct()
+      .coalesce(1) // tombstone batches are tiny; one file per delete
+      .write.mode("append").parquet(path + "/_tombstones")
+
+  /** Read a persisted index with tombstones applied: the dead-id set is
+    * model-sized (it shrinks to nothing at every compaction), so masking
+    * is a BROADCAST anti-join layered above the scan — cid partition
+    * pruning underneath is untouched, and no shuffle is added.
+    */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val tombs = new org.apache.hadoop.fs.Path(path + "/_tombstones")
+    val fs = tombs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tombs)) idx
+    else idx.join(
+      broadcast(spark.read.parquet(tombs.toString).select(col("id")).distinct()),
+      Seq("id"), "left_anti")
+  }
+
   /** Compact an appended index: rewrite the accumulated small per-batch
     * files back to one file per cluster directory, then swap the staging
     * dir in via rename-aside (rename live → `.old`, staging → live,
@@ -605,7 +636,10 @@ object VectorOps {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     val staging = path + ".compacting"
-    spark.read.parquet(path)
+    // tombstoned rows are dropped in the rewrite (readIvfPqIndex masks
+    // them) and the directory swap discards the applied tombstone files
+    // with the old layout — compaction is where deletes become physical
+    readIvfPqIndex(spark, path)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration

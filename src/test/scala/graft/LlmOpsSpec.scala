@@ -1013,6 +1013,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("vectors: index tombstones mask deleted ids at search and " +
+       "compaction removes their bytes and the tombstone files") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val (coarse, _, _) = VectorOps.kmeansTrain(corpus, seeds, maxIter = 2)
+    val cbs = VectorOps.pqTrain(corpus, m = 2, k = 2, maxIter = 2)
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_del_spec")
+      .toString + "/index"
+    VectorOps.writeIvfPqIndex(corpus, coarse, cbs, path)
+    def ids() = VectorOps.ivfPqSearchStored(
+        VectorOps.readIvfPqIndex(spark, path), q, coarse, cbs,
+        nprobe = 1, k = 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(ids() == Set(2L, 4L))
+    VectorOps.deleteFromIvfPqIndex(Seq(2L).toDF("id"), path)
+    // masked immediately, while the bytes are still on disk
+    assert(ids() == Set(4L))
+    assert(spark.read.parquet(path).filter(col("id") === 2L).count() == 1)
+    VectorOps.compactIvfPqIndex(spark, path)
+    // physically gone, tombstone dir swapped away, search unchanged
+    assert(spark.read.parquet(path).filter(col("id") === 2L).count() == 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "/_tombstones")))
+    assert(ids() == Set(4L))
+  }
+
   test("vectors: residualCorpus subtracts the assigned coarse centroid " +
        "element-wise") {
     import spark.implicits._
