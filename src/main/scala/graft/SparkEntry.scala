@@ -1304,6 +1304,28 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // Large-star/small-star connected components (Kiveris et al.) on a
+    // HIGH-DIAMETER graph — the regime the propagation loop above cannot
+    // touch: chain edges (id, id+1) broken at multiples of 97 give
+    // components of diameter 96, which would need 96 propagation rounds
+    // (the loop's loud maxIter contract refuses) but ~7 star rounds.
+    // Singleton (id 0 loses its only edge) and interval components are
+    // both pinned; the oracle recomputes true components by recursive
+    // transitive closure, so the iteration strategy drops out.
+    "llm_dedup_cluster_star" -> ((s, dir) => {
+      // spread=false: per-row work is a pair of longs — the CC rounds
+      // reshuffle edge-sized data anyway, a spread would only add cost
+      val ids = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id").as("id"))
+      val edges = ids.filter(col("id") % 97 =!= 0)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .join(ids.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      Dedup.connectedComponentsStar(ids, edges)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("label"))
+    }),
+
     // Incremental corpus admission: dedup a NEW crawl batch against the
     // EXISTING kept corpus — exact hash tier + batch-driven MinHash
     // banding; the corpus is never self-joined (its one map-side
@@ -3571,6 +3593,22 @@ object SparkEntry {
         |cc AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
         |SELECT label, count(*) AS n_members, max(id) AS max_id
         |FROM cc GROUP BY label HAVING count(*) > 1 ORDER BY label""".stripMargin,
+
+    "llm_dedup_cluster_star" ->
+      """WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+        |es(src, dst) AS (
+        |  SELECT id, id + 1 FROM nodes
+        |  WHERE id % 97 <> 0 AND id + 1 IN (SELECT id FROM nodes)
+        |  UNION ALL
+        |  SELECT id + 1, id FROM nodes
+        |  WHERE id % 97 <> 0 AND id + 1 IN (SELECT id FROM nodes)),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT es.dst, reach.r FROM reach JOIN es ON reach.id = es.src),
+        |cc AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT label, count(*) AS n_members, max(id) AS max_id
+        |FROM cc GROUP BY label ORDER BY label""".stripMargin,
 
     "llm_dedup_simhash" ->
       """WITH all_docs AS (

@@ -459,6 +459,105 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — same contract as [[connectedComponents]]
+    * ((id, label) with label = component min id), different convergence
+    * class: O(log n)-ish ROUNDS regardless of diameter, where min-label
+    * propagation needs O(diameter) rounds. Near-dup graphs are shallow
+    * quasi-cliques, so propagation wins there (fewer shuffles per
+    * round); this variant is for HIGH-DIAMETER graphs — link chains,
+    * citation paths, re-crawl lineage — where a 10⁴-long chain would
+    * mean 10⁴ propagation rounds but ~15 star rounds.
+    *
+    * Mechanics: edges are kept in canonical orientation (src > dst, no
+    * self-loops, set semantics). Large-star connects every neighbor
+    * v > u to m = min(Γ(u) ∪ {u}); small-star (over larger→smaller
+    * oriented edges) connects the smaller neighbors and u itself to
+    * their min. Both are one groupBy + one equi-join on edge-sized
+    * data — everything stays distributed; the driver sees only per-round
+    * metric scalars. The fixpoint is a star forest: every non-root
+    * points straight at its component's min id.
+    *
+    * Each phase is `localCheckpoint`ed (same plan-truncation reasoning
+    * as [[connectedComponents]] — the iterative plan would grow per
+    * round) and carries an `observe` metric (edge count + xxhash64
+    * hash-sum of the edge set): convergence = NEITHER phase changed the
+    * edge set, detected as both phases' (count, hash-sum) matching
+    * their input's — set equality w.h.p. (a 64-bit hash-sum collision
+    * at equal counts), with zero extra jobs. Two jobs per round ×
+    * O(log n) rounds vs propagation's one × O(diameter).
+    *
+    * @param nodes (id); singletons keep their own id as label
+    * @param edges (id_a, id_b) undirected
+    * @return (id, label) with label = min id of the component
+    * @throws IllegalStateException if maxIter rounds pass without a
+    *         fixpoint — unconverged star edges would silently mislabel,
+    *         so failure must be loud (same contract as propagation)
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 25): DataFrame = {
+    // materialize one phase: eager checkpoint + (edge count, hash-sum)
+    // read from the PRE-checkpoint plan (the checkpointed frame is a
+    // fresh LogicalRDD that no longer contains the CollectMetrics node).
+    // The hash-sum accumulates 64-bit hashes in decimal(38,0) — a long
+    // sum would ANSI-overflow after a handful of large hashes
+    def materialize(df: DataFrame, name: String): (DataFrame, Long, BigDecimal) = {
+      val observed = df.observe(name, count(lit(1)).as("n"),
+        sum(xxhash64(col("src"), col("dst"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("hs"))
+      val cp = observed.localCheckpoint(true)
+      val row = observed.queryExecution.observedMetrics(name)
+      (cp, row.getLong(0),
+        if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    }
+    var (ee, n0, h0) = materialize(
+      edges.select(greatest(col("id_a"), col("id_b")).as("src"),
+          least(col("id_a"), col("id_b")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), "cc_star_init")
+    var iter = 0
+    var converged = n0 == 0L // no edges: every node is its own star
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetrized view: m = min(Γ(u) ∪ {u}),
+      // emit (v, m) for v ∈ Γ(u), v > u — output stays canonical
+      // (m ≤ u < v) with no self-loops by construction
+      val sym = ee.unionByName(
+        ee.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val (ls, n1, h1) = materialize(
+        sym.join(lsMin, col("src") === col("u"))
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .distinct(), "cc_star_ls")
+      // SMALL-STAR over larger→smaller edges as-is: m = min(Γ(u) ∪ {u})
+      // = min(dst), emit (v, m) for the other smaller neighbors plus
+      // (u, m) itself — again canonical by construction
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val (ss, n2, h2) = materialize(
+        ls.join(ssMin, Seq("src"))
+          .filter(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .unionByName(ssMin.select(col("src"), col("m").as("dst")))
+          .distinct(), "cc_star_ss")
+      converged = n1 == n0 && h1 == h0 && n2 == n1 && h2 == h1
+      ee = ss; n0 = n2; h0 = h2
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds; " +
+          "raise maxIter")
+    // star-forest fixpoint: each non-root appears exactly once as src
+    // with its root as dst (min() is a no-cost belt under that
+    // invariant); singletons and roots label themselves
+    nodes.select(col("id"))
+      .join(ee.groupBy(col("src").as("id")).agg(min(col("dst")).as("root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found by
     * 4-block pigeonhole candidate generation: split the 16 bits into 4
     * nibbles; any pair within distance 3 must agree on at least one whole

@@ -108,6 +108,26 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 99L -> 99L))
+    // star variant: identical labels from the same inputs
+    val star = Dedup.connectedComponentsStar(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == cc)
+  }
+
+  test("dedup: star CC converges in O(log n) rounds on a chain where " +
+       "min-label propagation needs O(diameter)") {
+    // one 64-node chain (diameter 63) plus a singleton: propagation
+    // capped at 8 rounds must fail LOUDLY, the star variant capped at
+    // the same 8 rounds must finish — the round-count contrast is
+    // asserted through each loop's own maxIter contract
+    val nodes = (1L to 64L).toDF("id").union(Seq(99L).toDF("id"))
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(nodes, edges, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == ((1L to 64L).map(_ -> 1L) :+ (99L -> 99L)).toMap)
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 8).collect()
+    }
   }
 
   test("dedup: repeated-passage mining finds cross-doc spans, skips unique text") {
