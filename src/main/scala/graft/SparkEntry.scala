@@ -88,6 +88,37 @@ object SparkEntry {
     e.filter(col("id") < k).orderBy(col("id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
 
+  /** The stored-index entries' pruning proof, factored: locate the
+    * cid-partition-filtered file scan under `res`'s executed plan and
+    * count (partition dirs listed, partition dirs total, files listed,
+    * files total) under the STATIC partition predicate — the probe join
+    * also plants a runtime DynamicPruningSubquery on the scan (belt on
+    * top of our static braces), and only the literal predicate is
+    * listable at plan time, so it is filtered out with the same
+    * PlanExpression test Spark's own selectedPartitions applies.
+    */
+  private def storedScanCounts(res: DataFrame,
+                               what: String): (Long, Long, Long, Long) = {
+    val phys = res.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = phys.collectLeaves().collectFirst {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.partitionFilters.exists(
+            _.references.exists(_.name == "cid")) => sc
+    }.getOrElse(sys.error(s"$what scan has no cid partition filter"))
+    val staticPf = scan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    require(staticPf.exists(_.references.exists(_.name == "cid")),
+      s"$what scan lost the static cid partition predicate")
+    val read = scan.relation.location.listFiles(staticPf, Nil)
+    val total = scan.relation.location.listFiles(Nil, Nil)
+    (read.length.toLong, total.length.toLong,
+      read.map(_.files.size).sum.toLong, total.map(_.files.size).sum.toLong)
+  }
+
   /** Driver-side model registry: a trained centroid set / codebook is a
     * DETERMINISTIC function of (corpus dir, spec) — the fixed-point Lloyd
     * contract guarantees a cached model is bit-identical to a retrained
@@ -1030,6 +1061,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Kneser–Ney smoothed bigram LM (absolute discount δ=0.75 +
+    // continuation back-off) — the textbook smoothing KenLM defaults
+    // to, vs the add-k rungs above. All KN statistics are aggregates of
+    // the bigram TYPE table (vocab-sized contexts broadcast, the type
+    // table itself does not); per-type −ln(P_KN) lands on the 2^20 grid
+    // once and doc scores are exact integer sums, so the score never
+    // floats across engines.
+    "llm_kn_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.knBigramLmScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet's actual pipeline shape composed end-to-end: LM perplexity →
     // equal-frequency buckets (head/middle/tail). The per-doc perplexity
     // proxy is the exact integer mean of the trigram type scores
@@ -1708,32 +1751,41 @@ object SparkEntry {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
         nprobe = 2, k = 5)
-      val phys = res.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      val scan = phys.collectLeaves().collectFirst {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.partitionFilters.exists(
-              _.references.exists(_.name == "cid")) => sc
-      }.getOrElse(sys.error("stored-index scan has no cid partition filter"))
-      // The probe join also plants a runtime dynamicpruning subquery on
-      // the scan (belt on top of our static braces); only the STATIC
-      // literal predicate is listable at plan time — same filterNot
-      // Spark's own selectedPartitions applies.
-      val staticPf = scan.partitionFilters.filterNot(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-      require(staticPf.exists(_.references.exists(_.name == "cid")),
-        "stored-index scan lost the static cid partition predicate")
-      val partsRead =
-        scan.relation.location.listFiles(staticPf, Nil).length
-      val partsTotal = scan.relation.location.listFiles(Nil, Nil).length
+      val (partsRead, partsTotal, _, _) = storedScanCounts(res, "stored-index")
       res
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"),
-          lit(partsRead.toLong).as("parts_read"),
-          lit(partsTotal.toLong).as("parts_total"))
+          lit(partsRead).as("parts_read"),
+          lit(partsTotal).as("parts_total"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Plain IVF at rest — RAW vectors cid-partitioned, no quantization:
+    // the exact-distance operating point of the stored family (16-32×
+    // the bytes of PQ codes, zero recall loss inside the probed cells;
+    // the right trade for tight recall tolerances). Same pruning proof
+    // as the PQ index: parts_read/parts_total counted from the scan's
+    // own static-predicate file listing, recomputed by the oracle from
+    // its probe set — hash fails unless PHYSICAL pruning happened, and
+    // the search result must equal in-memory IVF at the same knobs
+    // (raw seeds, nprobe=2) since no codes intervene.
+    "llm_ann_ivf_vec_stored" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val seeds = seedCentroids(e, 8)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfvec")
+        .toString + "/index"
+      VectorOps.writeIvfIndex(e, seeds, path)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val res = VectorOps.ivfSearchStored(s.read.parquet(path), q, seeds,
+        nprobe = 2, k = AnnK)
+      val (partsRead, partsTotal, _, _) =
+        storedScanCounts(res, "vec-stored-index")
+      res
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("cos"), 4).as("cos"),
+          lit(partsRead).as("parts_read"),
+          lit(partsTotal).as("parts_total"))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1763,27 +1815,12 @@ object SparkEntry {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
         nprobe = 2, k = 5)
-      val phys = res.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      val scan = phys.collectLeaves().collectFirst {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.partitionFilters.exists(
-              _.references.exists(_.name == "cid")) => sc
-      }.getOrElse(sys.error("appended-index scan has no cid partition filter"))
-      val staticPf = scan.partitionFilters.filterNot(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-      val filesRead = scan.relation.location.listFiles(staticPf, Nil)
-        .map(_.files.size).sum
-      val filesTotal = scan.relation.location.listFiles(Nil, Nil)
-        .map(_.files.size).sum
+      val (_, _, filesRead, filesTotal) = storedScanCounts(res, "appended-index")
       res
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"),
-          lit(filesRead.toLong).as("files_read"),
-          lit(filesTotal.toLong).as("files_total"))
+          lit(filesRead).as("files_read"),
+          lit(filesTotal).as("files_total"))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -1811,27 +1848,13 @@ object SparkEntry {
         .select(col("id").as("qid"), col("vec").as("qvec"))
       val res = VectorOps.ivfPqSearchStored(index, q, coarse, cbs,
         nprobe = 2, k = 5)
-      val phys = res.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      val scan = phys.collectLeaves().collectFirst {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec
-            if sc.partitionFilters.exists(
-              _.references.exists(_.name == "cid")) => sc
-      }.getOrElse(sys.error("compacted-index scan has no cid partition filter"))
-      val staticPf = scan.partitionFilters.filterNot(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-      val filesRead = scan.relation.location.listFiles(staticPf, Nil)
-        .map(_.files.size).sum
-      val filesTotal = scan.relation.location.listFiles(Nil, Nil)
-        .map(_.files.size).sum
+      val (_, _, filesRead, filesTotal) =
+        storedScanCounts(res, "compacted-index")
       res
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"),
-          lit(filesRead.toLong).as("files_read"),
-          lit(filesTotal.toLong).as("files_total"))
+          lit(filesRead).as("files_read"),
+          lit(filesTotal).as("files_total"))
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -2443,6 +2466,24 @@ object SparkEntry {
   private def oAnnIvfSql: String = oAnnIvfSql(2)
 
   private def oAnnIvfSql(nprobe: Int): String =
+    oAnnIvfSql(nprobe, qmax = 5, parts = false)
+
+  /** In-memory IVF oracle, parameterized on the query bound and on an
+    * optional parts-arithmetic tail: the vec-stored entry pins physical
+    * partition pruning by recomputing parts_read (distinct occupied cids
+    * in the probe set) / parts_total (distinct occupied cids) from the
+    * oracle's own assignment — one file per occupied cid directory.
+    */
+  private def oAnnIvfSql(nprobe: Int, qmax: Int, parts: Boolean): String = {
+    val partsCte = if (!parts) "" else
+      """,
+        |files AS (
+        |  SELECT CAST(count(DISTINCT CASE WHEN cid IN (SELECT cid FROM probes)
+        |        THEN cid END) AS BIGINT) AS parts_read,
+        |    CAST(count(DISTINCT cid) AS BIGINT) AS parts_total
+        |  FROM assigned)""".stripMargin
+    val partsSel = if (parts) ", files.parts_read, files.parts_total" else ""
+    val partsJoin = if (parts) " CROSS JOIN files" else ""
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
          |c AS (SELECT id AS cid, vec AS cvec FROM v WHERE id < 8),
          |ac0 AS (
@@ -2454,7 +2495,7 @@ object SparkEntry {
          |assigned AS (SELECT id, vec, cid FROM ac WHERE rn = 1),
          |qp0 AS (
          |  SELECT q.id AS qid, q.vec AS qvec, c.cid, ${oCos("q.vec", "cvec")} AS ccos
-         |  FROM v q CROSS JOIN c WHERE q.id < 5),
+         |  FROM v q CROSS JOIN c WHERE q.id < $qmax),
          |qp AS (SELECT qid, qvec, cid,
          |    row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS crn
          |  FROM qp0),
@@ -2463,9 +2504,10 @@ object SparkEntry {
          |  SELECT p.qid, a.id, ${oCos("a.vec", "p.qvec")} AS cos
          |  FROM probes p JOIN assigned a ON a.cid = p.cid AND a.id <> p.qid),
          |r AS (SELECT qid, id, cos,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)
-         |SELECT qid, rank, id, round(cos, 4) AS cos
-         |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc)$partsCte
+         |SELECT qid, rank, id, round(cos, 4) AS cos$partsSel
+         |FROM r$partsJoin WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+  }
 
   private def oAnnCosineSql: String =
     """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -2991,6 +3033,8 @@ object SparkEntry {
     "llm_ann_recall" -> oAnnRecallSql,
 
     "llm_ann_ivf" -> oAnnIvfSql,
+
+    "llm_ann_ivf_vec_stored" -> oAnnIvfSql(2, qmax = 3, parts = true),
 
     "llm_kmeans_step" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -3789,6 +3833,37 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_trigram_lm" -> oTrigramSql,
+
+    "llm_kn_bigram_lm" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+1], ' ')
+        |               FOR i IN range(1, len(ws))] END) AS bg
+        |  FROM w),
+        |cb AS (SELECT bg, count(*) AS c_bg,
+        |    str_split(bg, ' ')[1] AS w1, str_split(bg, ' ')[2] AS w2
+        |  FROM b GROUP BY 1),
+        |lc AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1,
+        |    count(*) AS n1p_w1 FROM cb GROUP BY 1),
+        |rc AS (SELECT w2, count(*) AS n1p_w2 FROM cb GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_types FROM cb),
+        |ty AS (
+        |  SELECT cb.bg,
+        |    CAST(floor(-ln(
+        |      greatest(c_bg - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / c_w1
+        |      + (CAST(0.75 AS DOUBLE) * n1p_w1 / c_w1) * (n1p_w2 / n_types)
+        |    ) * 1048576.0) AS BIGINT) AS fp
+        |  FROM cb JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tt),
+        |g AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(fp) AS BIGINT) AS score_fp_sum
+        |  FROM b JOIN ty USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "llm_ccnet_perplexity" ->
       s"""WITH t AS (SELECT doc_id, n_trigrams, score_fp_sum FROM ($oTrigramSql)),

@@ -413,6 +413,72 @@ object TextAnalysis {
         coalesce(col("score_fp_sum"), lit(0L)).as("score_fp_sum"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM score — the standard n-gram
+    * smoothing (Kneser & Ney '95; the KenLM default) rather than the
+    * add-k/interpolation rungs above: absolute discounting plus a
+    * CONTINUATION back-off that asks "in how many contexts does w₂
+    * complete a bigram", not "how frequent is w₂":
+    *   P_KN(w₂|w₁) = max(c(w₁w₂)−δ, 0)/c(w₁·)
+    *               + (δ·N₁₊(w₁,·)/c(w₁·)) · N₁₊(·,w₂)/N₁₊(·,·)
+    * with N₁₊ the distinct-bigram-type counts. The discount mass a
+    * context gives up is exactly what its back-off re-distributes, so
+    * the conditional sums to 1 per context.
+    *
+    * Scale shape: every KN statistic is an aggregate of the bigram TYPE
+    * table — c(w₁·) and N₁₊(w₁,·) from one groupBy(w₁), N₁₊(·,w₂) from
+    * one groupBy(w₂), N₁₊(·,·) a scalar — all vocab-sized or smaller, so
+    * the context sides broadcast; the type table itself does NOT (types
+    * grow with the corpus), and as in [[trigramLmScore]] the exploded
+    * document stream joins the scored type table exactly once, on the
+    * bigram key.
+    *
+    * Determinism: same fixed-point contract as [[trigramLmScore]] —
+    * each bigram type's −ln(P_KN) lands on the 2^20 grid once, the doc
+    * score is an exact integer sum of longs; the P_KN expression is a
+    * fixed-order float chain so the pre-floor IEEE value reproduces
+    * bit-for-bit across engines. Every scored bigram has c ≥ 1 (counts
+    * come from the same corpus), so P_KN > 0 always. Docs with <2 words
+    * take the defined-empty branch (n_bigrams = 0, sum 0).
+    *
+    * @param discount δ ∈ (0,1); 0.75 is the textbook fixed discount
+    * @return (doc_id, n_bigrams, score_fp_sum)
+    */
+  def knBigramLmScore(docs: DataFrame, discount: Double = 0.75,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val bgStream = docs.select(col(idCol).as("doc_id"),
+      explode(wordShingles(wsArr, 2)).as("bg"))
+    val parts = split(col("bg"), " ")
+    val types = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .select(col("bg"), col("c_bg"),
+        parts.getItem(0).as("w1"), parts.getItem(1).as("w2"))
+    val leftCtx = types.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val rightCtx = types.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_w2"))
+    val totTypes = types.agg(count(lit(1)).as("n_types"))
+    val pkn =
+      greatest(col("c_bg") - lit(discount), lit(0.0)) / col("c_w1") +
+        (lit(discount) * col("n1p_w1") / col("c_w1")) *
+          (col("n1p_w2") / col("n_types"))
+    val scoredTypes = types
+      .join(broadcast(leftCtx), Seq("w1"))
+      .join(broadcast(rightCtx), Seq("w2"))
+      .crossJoin(broadcast(totTypes))
+      .select(col("bg"),
+        floor(-log(pkn) * lit(1048576.0)).cast("long").as("fp"))
+    val perDoc = bgStream
+      .join(scoredTypes, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("fp")).as("score_fp_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_fp_sum"), lit(0L)).as("score_fp_sum"))
+  }
+
   /** Sparse tf-idf top-k neighbors — doc-to-doc similarity through the
     * INVERTED INDEX, the text-side counterpart of the embedding ANN
     * family: score(q, d) = Σ_{t ∈ q ∩ d} w(q,t)·w(d,t) with

@@ -850,6 +850,46 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Persist a PLAIN IVF index — raw vectors at rest, cid-partitioned:
+    * the no-quantization operating point of the at-rest family. Same
+    * layout contract as [[writeIvfPqIndex]] (one file per cluster
+    * directory, probe-time literal cid predicate prunes at file-listing
+    * time), but rows keep the full `vec` instead of PQ codes: ~16–32×
+    * more bytes per row, zero quantization loss — the right trade when
+    * the corpus is merely large (not huge) or recall tolerances are
+    * tight. The maintenance verbs are layout-generic and shared:
+    * [[deleteFromIvfPqIndex]] / [[readIvfPqIndex]] / [[compactIvfPqIndex]]
+    * operate on any cid-partitioned layout with an `id` column, this one
+    * included.
+    */
+  def writeIvfIndex(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                    path: String, l2: Boolean = false): Unit =
+    corpus.select(col("id"), col("vec"),
+        assign(col("vec"), coarse, l2).as("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search a [[writeIvfIndex]] layout: literal cid partition predicate
+    * (static pruning, same as [[ivfPqSearchStored]]), then EXACT cosine
+    * inside the probed cells — no ADC approximation; the scan reads the
+    * probed directories' full vectors, which is the price of exactness.
+    */
+  def ivfSearchStored(index: DataFrame, queries: DataFrame,
+                      coarse: Seq[(Int, Seq[Double])],
+                      nprobe: Int, k: Int): DataFrame = {
+    val probes = probeClusters(queries, coarse, nprobe)
+    val probeCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    index.filter(col("cid").isin(probeCids.toIndexedSeq: _*))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("id"), cosine(col("vec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("cos"))
+  }
+
   /** Search a PERSISTED IVF-PQ index (written by [[writeIvfPqIndex]]) —
     * the at-rest half of the production pattern: the probe set's cluster
     * ids become a LITERAL partition predicate on the cid-partitioned

@@ -759,6 +759,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("bigram_score") == 0.0)
   }
 
+  test("text: Kneser-Ney bigram LM matches a hand-rolled reference and " +
+       "its conditionals sum to 1 per context") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // types: (a b)=3, (b a)=1, (b c)=1; contexts: a->(c=3,n1p=1),
+    // b->(c=2,n1p=2); continuations: a=1, b=1, c=1; n_types=3
+    val d = 0.75
+    def pkn(c: Long, cW1: Long, n1pW1: Long, n1pW2: Long): Double =
+      math.max(c - d, 0.0) / cW1 + (d * n1pW1 / cW1) * (n1pW2.toDouble / 3)
+    val pAB = pkn(3, 3, 1, 1); val pBA = pkn(1, 2, 2, 1); val pBC = pkn(1, 2, 2, 1)
+    // context b gives up mass 2*(1-d)/2 and redistributes d*2/2 over the
+    // continuation distribution (which sums to 1): total probability 1
+    assert(math.abs((1 - d) / 2 * 2 + d * 2 / 2 * 1.0 - 1.0) < 1e-12)
+    def fp(p: Double) = math.floor(-math.log(p) * 1048576.0).toLong
+    val out = TextAnalysis.knBigramLmScore(docs).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("score_fp_sum")))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2 * fp(pAB) + fp(pBA)),
+      (2L, 2L, fp(pAB) + fp(pBC)),
+      (3L, 0L, 0L)))
+  }
+
   test("text: trigram LM matches a hand-rolled interpolated reference, " +
        "short docs take the defined-empty branch") {
     val docsSeq = Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "x y"))
@@ -1031,6 +1054,35 @@ class LlmOpsSpec extends SparkSpec {
         .map { case ((id, _), i) => (id, i + 1L, i * nb / rows.size + 1L) }
       assert(got.toSeq == ref, s"nb=$nb")
     }
+  }
+
+  test("vectors: plain vec-at-rest IVF search equals in-memory IVF at " +
+       "the same knobs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfvec_spec")
+      .toString + "/index"
+    VectorOps.writeIvfIndex(corpus, seeds, path)
+    val stored = VectorOps.ivfSearchStored(spark.read.parquet(path), q,
+        seeds, nprobe = 1, k = 5)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("cos")))
+    val mem = VectorOps.ivfTopK(corpus, q, seeds, nprobe = 1, k = 5)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("cos")))
+    assert(stored.nonEmpty && stored.sameElements(mem))
   }
 
   test("vectors: index tombstones mask deleted ids at search and " +
