@@ -1402,6 +1402,90 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING dedup admission — the continuous-crawl form: three
+    // JSONL micro-batches (one file each, modTime-ordered) dedup
+    // against an at-rest hash index seeded from the corpus; admitted
+    // hashes append to the index, so batch 2 dedups against batch 1's
+    // admissions and so on. Arrival order is SEMANTIC and pinned
+    // non-vacuously: the ' order pin' texts arrive in batch 1 under
+    // LARGER ids than their batch-3 clones, so a global min-id dedup
+    // over the pooled stream admits the wrong copies and hash-fails.
+    // Also planted: corpus exact dups (%12 raw text), cross-batch dups
+    // (b2 repeats b1's ' novel alpha' texts), a b3 text whose b1
+    // sibling was rejected as a corpus dup (so its hash never entered
+    // the index and b3 admits it), and same-batch clones (%27).
+    "llm_stream_admission" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_sd").toString
+      val in = s"$base/in"
+      JFiles.createDirectories(Paths.get(in))
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("text"))
+      Dedup.writeHashIndex(d, "text", s"$base/idx")
+      val batches = Seq(
+        d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            when(col("doc_id") % 12 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" novel alpha"))).as("text"),
+            lit(1L).as("batch_no"))
+          .unionByName(d.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 120000).as("doc_id"),
+              concat(col("text"), lit(" order pin")).as("text"),
+              lit(1L).as("batch_no"))),
+        d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            when(col("doc_id") % 12 === 0,
+                concat(col("text"), lit(" novel beta")))
+              .otherwise(concat(col("text"), lit(" novel alpha"))).as("text"),
+            lit(2L).as("batch_no")),
+        d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            when(col("doc_id") % 18 === 0,
+                concat(col("text"), lit(" novel alpha")))
+              .otherwise(concat(col("text"), lit(" novel gamma"))).as("text"),
+            lit(3L).as("batch_no"))
+          .unionByName(d.filter(col("doc_id") % 15 === 0)
+            .select((col("doc_id") + 105000).as("doc_id"),
+              concat(col("text"), lit(" order pin")).as("text"),
+              lit(3L).as("batch_no")))
+          .unionByName(d.filter(col("doc_id") % 27 === 0)
+            .select((col("doc_id") + 110000).as("doc_id"),
+              concat(col("text"), lit(" novel gamma")).as("text"),
+              lit(3L).as("batch_no"))))
+      val t0 = System.currentTimeMillis() - 120000
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val staging = s"$base/stage$i"
+        CorpusIO.writeJsonl(b, staging, shards = 1)
+        val part = JFiles.list(Paths.get(staging)).toArray.map(_.toString)
+          .filter(_.matches(".*part-.*json")).head
+        val dst = Paths.get(s"$in/b$i.jsonl")
+        JFiles.move(Paths.get(part), dst)
+        JFiles.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch_no",
+          org.apache.spark.sql.types.LongType)))
+      // child session with few shuffle partitions: each micro-batch's
+      // window/join state is batch-sized, and 32-partition fixed costs
+      // per batch dwarf the data (same reasoning as s1_rollup_append)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = CorpusIO.readJsonlStream(s2, in, schema,
+          maxFilesPerTrigger = 1)
+        .filter(col(CorpusIO.CorruptCol).isNull)
+        .select(col("doc_id"), col("text"), col("batch_no"))
+      Dedup.runStreamingAdmission(stream, s"$base/idx", s"$base/out",
+        s"$base/cp")
+      s.read.parquet(s"$base/out")
+        .select(col("batch_no"), col("doc_id"), col("verdict"))
+        .orderBy(col("batch_no"), col("doc_id"))
+    }),
+
     // Benchmark decontamination: training docs sharing any 5-word n-gram
     // with an "eval suite" are flagged. The eval set is built as verbatim
     // substrings of every 37th doc (the realistic contamination mode:
@@ -3576,6 +3660,44 @@ object SparkEntry {
         |FROM batch b LEFT JOIN exact_ids e ON b.doc_id = e.id
         |            LEFT JOIN near_ids n ON b.doc_id = n.id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "llm_stream_admission" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |b1 AS (
+        |  SELECT doc_id + 80000 AS doc_id,
+        |    CASE WHEN doc_id % 12 = 0 THEN text
+        |         ELSE text || ' novel alpha' END AS text,
+        |    1 AS batch_no FROM d WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 120000, text || ' order pin', 1
+        |  FROM d WHERE doc_id % 15 = 0),
+        |b2 AS (
+        |  SELECT doc_id + 90000 AS doc_id,
+        |    CASE WHEN doc_id % 12 = 0 THEN text || ' novel beta'
+        |         ELSE text || ' novel alpha' END AS text,
+        |    2 AS batch_no FROM d WHERE doc_id % 6 = 0),
+        |b3 AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN doc_id % 18 = 0 THEN text || ' novel alpha'
+        |         ELSE text || ' novel gamma' END AS text,
+        |    3 AS batch_no FROM d WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 105000, text || ' order pin', 3
+        |  FROM d WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 110000, text || ' novel gamma', 3
+        |  FROM d WHERE doc_id % 27 = 0),
+        |st AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |       UNION ALL SELECT * FROM b3),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM d),
+        |r AS (SELECT batch_no, doc_id, md5(text) AS h,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY batch_no, doc_id) AS rn
+        |  FROM st)
+        |SELECT CAST(batch_no AS BIGINT) AS batch_no, doc_id,
+        |  CASE WHEN h IN (SELECT h FROM ch) THEN 'exact_dup'
+        |       WHEN rn = 1 THEN 'admitted' ELSE 'exact_dup' END AS verdict
+        |FROM r ORDER BY batch_no, doc_id""".stripMargin,
 
     "llm_decontaminate" ->
       """WITH ev AS (

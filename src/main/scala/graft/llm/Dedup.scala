@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM training-data pipelines: exact
@@ -331,6 +332,73 @@ object Dedup {
     sh.unpersist()
     candidates.unpersist()
     verdicts
+  }
+
+  /** Seed the at-rest exact-dedup index: one row per DISTINCT content
+    * hash of the kept corpus. This is the persistent state the streaming
+    * admission loop joins against and appends to — hash-only (no text,
+    * no ids), so at 100 TB it is ~1/1000th the corpus bytes; a real
+    * deployment would additionally partition it by a hash prefix so the
+    * per-batch membership join prunes, exactly like the ANN index's cid
+    * directories.
+    */
+  def writeHashIndex(corpus: DataFrame, textCol: String,
+                     path: String): Unit =
+    corpus.select(md5(col(textCol)).as("h")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** STREAMING exact-dedup admission — the continuous-crawl form of the
+    * batch-vs-corpus admission above: micro-batches of new documents
+    * arrive, each is deduped against the at-rest hash index AND
+    * against itself, verdicts land in `outPath`, and admitted hashes
+    * are APPENDED to the index so later batches dedup against earlier
+    * admissions. Arrival order is semantic: the first copy of a text to
+    * ARRIVE is the one admitted (within a batch, the smallest id), so a
+    * global min-id dedup over the pooled stream is NOT equivalent — the
+    * keeper is decided by the sequence of index states, the same
+    * contract every production admission queue has.
+    *
+    * Per-batch mechanics (inside foreachBatch, all batch-sized):
+    * hash map-side, window rank within the batch per hash, one
+    * left membership join against the index (shuffle on `h` at scale;
+    * prunable if the index is hash-prefix-partitioned), verdicts
+    * materialized with localCheckpoint BEFORE the index append so the
+    * batch never sees its own admissions as duplicates, then two
+    * appends (verdicts, admitted hashes). The index re-read per batch
+    * picks up every prior batch's appends — state lives entirely at
+    * rest; nothing accumulates on the driver or in stream state.
+    */
+  def runStreamingAdmission(stream: DataFrame, indexPath: String,
+                            outPath: String, checkpointDir: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            batchCol: String = "batch_no"): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val idx = s.read.parquet(indexPath)
+          .select(col("h")).withColumn("in_idx", lit(1))
+        val w = Window.partitionBy(col("h")).orderBy(col(idCol))
+        val verdicts = batch
+          .select(col(batchCol), col(idCol), md5(col(textCol)).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .join(idx, Seq("h"), "left")
+          .select(col(batchCol), col(idCol), col("h"),
+            when(col("in_idx").isNotNull || col("rn") > 1, "exact_dup")
+              .otherwise("admitted").as("verdict"))
+          .localCheckpoint(true)
+        verdicts.select(col(batchCol), col(idCol), col("verdict"))
+          .write.mode("append").parquet(outPath)
+        verdicts.filter(col("verdict") === "admitted")
+          .select(col("h")).distinct()
+          .write.mode("append").parquet(indexPath)
+        verdicts.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** 16-bit SimHash over the document's word stream. Bit p is the sign of

@@ -1,6 +1,7 @@
 package graft
 
 import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
+import graft.sources.CorpusIO
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -128,6 +129,54 @@ class LlmOpsSpec extends SparkSpec {
     assertThrows[IllegalStateException] {
       Dedup.connectedComponents(nodes, edges, maxIter = 8).collect()
     }
+  }
+
+  test("dedup: streaming admission dedups each batch against the at-rest " +
+       "index and earlier batches' admissions, in arrival order") {
+    import java.nio.file.{Files => JF, Paths, StandardOpenOption}
+    val base = JF.createTempDirectory("graft_sa_spec").toString
+    JF.createDirectories(Paths.get(s"$base/in"))
+    val corpus = Seq((0L, "base text")).toDF("doc_id", "text")
+    Dedup.writeHashIndex(corpus, "text", s"$base/idx")
+    def writeBatch(name: String, mtime: Long, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"$base/in/$name")
+      JF.write(p, lines.mkString("\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE)
+      JF.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeBatch("b1.jsonl", t0, Seq(
+      """{"doc_id":10,"text":"base text","batch_no":1}""",
+      """{"doc_id":12,"text":"fresh","batch_no":1}""",
+      """{"doc_id":11,"text":"fresh","batch_no":1}"""))
+    writeBatch("b2.jsonl", t0 + 5000, Seq(
+      """{"doc_id":20,"text":"fresh","batch_no":2}""",
+      """{"doc_id":21,"text":"other","batch_no":2}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_no",
+        org.apache.spark.sql.types.LongType)))
+    val stream = CorpusIO.readJsonlStream(spark, s"$base/in", schema,
+        maxFilesPerTrigger = 1)
+      .filter(col(CorpusIO.CorruptCol).isNull)
+      .select(col("doc_id"), col("text"), col("batch_no"))
+    Dedup.runStreamingAdmission(stream, s"$base/idx", s"$base/out",
+      s"$base/cp")
+    val got = spark.read.parquet(s"$base/out")
+      .orderBy("batch_no", "doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
+    assert(got.toSeq == Seq(
+      (10L, "exact_dup"),  // corpus dup
+      (11L, "admitted"),   // smaller id wins in-batch
+      (12L, "exact_dup"),
+      (20L, "exact_dup"),  // dup of batch-1 admission via the index
+      (21L, "admitted")))
+    // the index grew by exactly the two admitted hashes
+    assert(spark.read.parquet(s"$base/idx").count() == 3L)
   }
 
   test("dedup: repeated-passage mining finds cross-doc spans, skips unique text") {
