@@ -1942,6 +1942,66 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // TRAINED OPQ (Ge et al. alternating optimization) judged against
+    // the random-rotation OPQ baseline. The trained rotation is
+    // DATA-DEPENDENT, so the oracle cannot carry it as a literal the
+    // way ORot carries the random one; instead the entry is pinned the
+    // a2_quantile_approx way — facts the oracle can independently
+    // require: the random baseline's recon_fp AND recall total
+    // recomputed EXACTLY from the shared CTE machinery (proves the
+    // comparison anchor didn't drift), and required-true verdicts for
+    // what training must deliver — orthogonality of R·Rᵀ and recon not
+    // worse than the random rotation (each alternation step is
+    // non-increasing in distortion, which IS the OPQ objective; recall
+    // at a 25-pair sample is noise, so it is anchored through the
+    // baseline fact rather than claimed for the trained side — the
+    // recall sweep entry owns recall claims). A training that diverged
+    // or broke orthogonality flips a verdict to 0 → hash fail.
+    "llm_ann_opq_trained" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val gt = VectorOps.bruteForceTopK(e, q, AnnK)
+        .select(col("qid"), col("id"))
+      val er = e.select(col("id"),
+        VectorOps.randomProjection(col("vec"), OpqRot).as("vec"))
+        .localCheckpoint(true)
+      val cbsR = cachedModel(s"pq:true:rot:$dir") {
+        VectorOps.pqTrain(er, m = PqM, k = 8,
+          maxIter = KmeansTrainIters, l2 = true)
+      }
+      val (rotT, cbsT) = cachedModel(s"opq:train:$dir") {
+        VectorOps.opqTrain(e, m = PqM, k = 8, opqIters = 2,
+          kmeansIters = KmeansTrainIters, seedRot = OpqRot)
+      }
+      val et = e.select(col("id"),
+        VectorOps.randomProjection(col("vec"), rotT).as("vec"))
+        .localCheckpoint(true)
+      def reconFp(c: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]]) =
+        VectorOps.pqReconError(c, cbs, l2 = true)
+          .agg(sum(col("err_fp"))).head().getLong(0)
+      def recallHits(c: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]]) = {
+        val qr = c.filter(col("id") < 5)
+          .select(col("id").as("qid"), col("vec").as("qvec"))
+        VectorOps.pqAdcTopK(VectorOps.pqEncode(c, cbs, l2 = true),
+          qr, cbs, AnnK).join(gt, Seq("qid", "id")).count()
+      }
+      val (reconR, reconT) = (reconFp(er, cbsR), reconFp(et, cbsT))
+      val hitsR = recallHits(er, cbsR)
+      val dim = OpqRot.size
+      val dev = (for (a <- 0 until dim; b <- 0 until dim) yield math.abs(
+        (0 until dim).map(i => rotT(a)(i) * rotT(b)(i)).sum -
+          (if (a == b) 1.0 else 0.0))).max
+      er.unpersist(); et.unpersist()
+      s.createDataFrame(Seq(
+        ("opq_rand_recall_total", hitsR),
+        ("opq_rand_recon_fp", reconR),
+        ("recon_improved", if (reconT <= reconR) 1L else 0L),
+        ("rot_orthogonal", if (dev < 1e-9) 1L else 0L)))
+        .toDF("fact", "value")
+        .orderBy(col("fact"))
+    }),
+
     // Index DELETES — the lifecycle's last missing verb: each query's
     // FORMER TOP-1 hit is deleted (deterministically non-vacuous: every
     // query's result must change), via a tombstone file the data scan
@@ -3166,6 +3226,19 @@ object SparkEntry {
     "llm_ann_pq_l2" -> oAnnPqL2Sql,
 
     "llm_ann_opq" -> oAnnOpqSql,
+
+    "llm_ann_opq_trained" ->
+      s"""WITH opq_r AS (SELECT CAST(sum(err_fp) AS BIGINT) AS v
+         |  FROM (${oPqReconSql(l2 = true, rot = true)})),
+         |gt AS (SELECT qid, id FROM ($oAnnCosineSql) WHERE rank <= $AnnK),
+         |opq_k AS (SELECT qid, id FROM (${oAnnPqSql(l2 = true, rot = true)})),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS v
+         |  FROM opq_k JOIN gt USING (qid, id))
+         |SELECT 'opq_rand_recall_total' AS fact, v AS value FROM h
+         |UNION ALL SELECT 'opq_rand_recon_fp', v FROM opq_r
+         |UNION ALL SELECT 'recon_improved', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'rot_orthogonal', CAST(1 AS BIGINT)
+         |ORDER BY fact""".stripMargin,
 
     "llm_cluster_purity" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -917,6 +917,99 @@ object VectorOps {
     adcRank(cand, queries, codebooks, k)
   }
 
+  /** Decoded (reconstructed) vectors under the codebooks — each
+    * subspace's assigned centroid, concatenated. The decode half of
+    * [[pqEncode]]; shared by [[pqReconError]]-style evaluation and the
+    * OPQ rotation update, which needs the reconstruction itself.
+    */
+  def pqReconstruct(corpus: DataFrame,
+                    codebooks: Seq[Seq[(Int, Seq[Double])]],
+                    l2: Boolean = false): DataFrame = {
+    val sub = codebooks.head.head._2.size
+    val parts = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sl = slice(col("vec"), s * sub + 1, sub)
+      val sorted = cb.sortBy(_._1)
+      require(sorted.map(_._1) == sorted.indices.toSeq,
+        "codebook cids must be contiguous from 0 for the decode lookup")
+      val cvecs = array(sorted.map { case (_, cvec) =>
+        array(cvec.map(lit): _*)
+      }: _*)
+      element_at(cvecs, assign(sl, cb, l2) + 1)
+    }
+    corpus.select(col("id"), concat(parts: _*).as("y"))
+  }
+
+  /** TRAINED OPQ rotation (Ge et al., CVPR'13, the non-parametric
+    * alternating form) — instead of a fixed random rotation, alternate:
+    * (1) fix R, train PQ codebooks on the rotated corpus; (2) fix the
+    * codes' reconstructions Y, solve the orthogonal Procrustes problem
+    * min_R Σ‖R·x − y‖² whose closed form is R = V·Uᵀ from the SVD of
+    * the d×d correlation M = Σ x·yᵀ. Each step is non-increasing in
+    * reconstruction error (Lloyd under a fixed R; Procrustes under
+    * fixed Y), which is the property the entry pins.
+    *
+    * Scale shape: the only corpus-wide state is M — d² doubles — so
+    * step (2) is one map-side pass: per-partition imperative
+    * accumulation (the classic treeAggregate shape; this is the rare
+    * spot where RDD mapPartitions IS the right tool — a d×d dense fold
+    * has no columnar form that avoids a d²-wide row explosion), reduced
+    * as FIXED-POINT longs on the 2^20 grid so the sum is exact-integer
+    * and order-free across partitions, retries, and cluster sizes —
+    * the same determinism contract as every score in this engine. The
+    * SVD is driver-side on d×d (model-sized, breeze/LAPACK).
+    *
+    * @return (rotation rows, codebooks) — a CONSISTENT pair: training
+    *         ends on a codebook pass under the final rotation
+    */
+  def opqTrain(corpus: DataFrame, m: Int, k: Int, opqIters: Int,
+               kmeansIters: Int, seedRot: Seq[Seq[Double]]):
+      (Seq[Seq[Double]], Seq[Seq[(Int, Seq[Double])]]) = {
+    val d = seedRot.size
+    var rot = seedRot
+    var cbs: Seq[Seq[(Int, Seq[Double])]] = null
+    for (it <- 0 until opqIters) {
+      val rotated = corpus.select(col("id"),
+        randomProjection(col("vec"), rot).as("vec")).localCheckpoint(true)
+      cbs = pqTrain(rotated, m, k, kmeansIters, l2 = true)
+      if (it < opqIters - 1) {
+        val xy = corpus.select(col("id"), col("vec").as("x"))
+          .join(pqReconstruct(rotated, cbs, l2 = true), Seq("id"))
+          .select(col("x"), col("y"))
+        val mFp = xy.rdd.mapPartitions { rows =>
+          val acc = new Array[Long](d * d)
+          rows.foreach { r =>
+            val x = r.getSeq[Double](0)
+            val y = r.getSeq[Double](1)
+            var a = 0
+            while (a < d) {
+              val xa = x(a)
+              var b = 0
+              while (b < d) {
+                acc(a * d + b) += math.floor(xa * y(b) * 1048576.0).toLong
+                b += 1
+              }
+              a += 1
+            }
+          }
+          Iterator.single(acc)
+        }.reduce { (p, q) =>
+          var i = 0
+          while (i < p.length) { p(i) += q(i); i += 1 }
+          p
+        }
+        // M(a,b) = Σ x(a)·y(b); maximize tr(R·M) over orthogonal R:
+        // M = U·S·Vᵀ → R = V·Uᵀ (breeze is column-major — transpose in)
+        val mMat = new breeze.linalg.DenseMatrix(d, d,
+          mFp.map(_ / 1048576.0)).t
+        val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+        val r = vt.t * u.t
+        rot = (0 until d).map(j => (0 until d).map(i => r(j, i)))
+        rotated.unpersist()
+      }
+    }
+    (rot, cbs)
+  }
+
   /** PQ reconstruction error — the "how lossy is my index" evaluation
     * that decides m and k: decode every vector's codes back to their
     * centroids and report the squared L2 error between the original and

@@ -1170,6 +1170,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(ids() == Set(4L))
   }
 
+  test("vectors: trained OPQ rotation stays orthogonal and does not " +
+       "increase reconstruction error vs the seed rotation") {
+    import spark.implicits._
+    // anisotropic 4-d corpus (strong cross-subspace correlation) so the
+    // rotation update has signal to exploit
+    val corpus = (0 until 40).map { i =>
+      val t = i * 0.37
+      (i.toLong, Seq(math.sin(t), 2.0 * math.sin(t) + 0.1 * math.cos(3 * t),
+        math.cos(t), 2.0 * math.cos(t) + 0.1 * math.sin(2 * t)))
+    }.toDF("id", "vec")
+    val seed = VectorOps.orthogonalMatrix(4, seed = 7L)
+    val (rot, cbs) = VectorOps.opqTrain(corpus, m = 2, k = 4,
+      opqIters = 2, kmeansIters = 3, seedRot = seed)
+    // orthogonality: R·Rᵀ = I
+    val dev = (for (a <- 0 until 4; b <- 0 until 4) yield {
+      val dotRow = (0 until 4).map(i => rot(a)(i) * rot(b)(i)).sum
+      math.abs(dotRow - (if (a == b) 1.0 else 0.0))
+    }).max
+    assert(dev < 1e-9, s"rotation not orthogonal, max dev $dev")
+    def reconFp(r: Seq[Seq[Double]], c: Seq[Seq[(Int, Seq[Double])]]) = {
+      val rotated = corpus.select(col("id"),
+        VectorOps.randomProjection(col("vec"), r).as("vec"))
+      VectorOps.pqReconError(rotated, c, l2 = true)
+        .agg(sum(col("err_fp"))).head().getLong(0)
+    }
+    val seedCbs = VectorOps.pqTrain(
+      corpus.select(col("id"),
+        VectorOps.randomProjection(col("vec"), seed).as("vec")),
+      m = 2, k = 4, maxIter = 3, l2 = true)
+    assert(reconFp(rot, cbs) <= reconFp(seed, seedCbs))
+  }
+
   test("vectors: residualCorpus subtracts the assigned coarse centroid " +
        "element-wise") {
     import spark.implicits._
