@@ -1073,6 +1073,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training (Sennrich 2016): the first 8 learned merges
+    // over the corpus's alphabetic word types — all-integer trajectory
+    // (counts + ASCII tie-breaks), so the model itself is hash-exact.
+    "llm_bpe_train" -> ((s, dir) => {
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), 8)
+        .orderBy(col("step"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    // features, target = the English slice, raw = everything else;
+    // per-doc weight is an exact integer sum of per-bucket fixed-point
+    // log-ratios (order-free), selection is deterministic top-20 by
+    // (weight desc, doc_id) — TakeOrdered, no global window.
+    "llm_dsir_select" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = Sampling.dsirWeights(d, col("lang") === "en", buckets = 64)
+      val top = w.orderBy(col("weight_fp").desc, col("doc_id")).limit(20)
+      // degenerate-partition rank over the 20 surviving rows (the
+      // llm_bm25_rank convention — pmod keeps the key from folding away)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("weight_fp").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(win).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_feats"), col("weight_fp"))
+        .orderBy(col("rank"))
+    }),
+
     // CCNet's actual pipeline shape composed end-to-end: LM perplexity →
     // equal-frequency buckets (head/middle/tail). The per-doc perplexity
     // proxy is the exact integer mean of the trigram type scores
@@ -2562,6 +2589,39 @@ object SparkEntry {
       |      AND mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE)
       |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
       |  FROM f)""".stripMargin
+
+  /** BPE merge-training oracle: the iterative chain unrolled as CTEs —
+    * v0 is the boundary-marked word-type table ([[graft.llm.TextAnalysis
+    * .bpeTrain]]'s encoding), then per step i: pair counts (p_i), the
+    * argmax merge (m_i), and the literal-replace application (v_i).
+    * All-integer, so the unrolled chain is hash-exact vs the Spark loop.
+    */
+  private def oBpeSql(n: Int): String = {
+    val steps = (1 to n).map { i =>
+      s"""p$i AS (SELECT pair, sum(c) AS cnt FROM (
+         |    SELECT c, unnest(CASE WHEN len(ss) < 2 THEN []::VARCHAR[]
+         |        ELSE [array_to_string(ss[i:i+1], ' ')
+         |              FOR i IN range(1, len(ss))] END) AS pair
+         |    FROM (SELECT c, str_split(seq, ' ') AS ss FROM v${i - 1}))
+         |  GROUP BY 1),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS step, pair,
+         |    replace(pair, '> <', '') AS merged, CAST(cnt AS BIGINT) AS cnt
+         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |v$i AS (SELECT c, replace(seq, m.pair, m.merged) AS seq
+         |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH wl AS (SELECT unnest(list_filter(str_split(text, ' '),
+       |    x -> length(x) > 0)) AS w FROM documents),
+       |vt AS (SELECT lower(w) AS w, count(*) AS c FROM wl
+       |  WHERE regexp_matches(w, '^[A-Za-z]+${"$"}') GROUP BY 1),
+       |v0 AS (SELECT c, array_to_string(
+       |    ['<'||x||'>' FOR x IN
+       |     list_append([w[i] FOR i IN range(1, len(w)+1)], '_')],
+       |    ' ') AS seq FROM vt),
+       |$steps
+       |SELECT step, pair, merged, cnt FROM ($union) ORDER BY step""".stripMargin
+  }
 
   /** Seed (id<8) + KmeansTrainIters Lloyd iterations + final assignment
     * as DuckDB CTEs over a `tbl(id, vec)` relation — ends at `{p}af(id,
@@ -4059,6 +4119,40 @@ object SparkEntry {
         |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
         |FROM documents d LEFT JOIN g USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_bpe_train" -> oBpeSql(8),
+
+    "llm_dsir_select" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |fs AS (SELECT doc_id, is_t, unnest(ws ||
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+1], ' ')
+        |               FOR i IN range(1, len(ws))] END) AS f
+        |  FROM w),
+        |bk AS (SELECT doc_id, is_t,
+        |    CAST('0x'||substr(md5(f),1,8) AS BIGINT) % 64 AS b FROM fs),
+        |c AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc,
+        |    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rc FROM bk GROUP BY 1),
+        |t AS (SELECT sum(tc) AS t_tot, sum(rc) AS r_tot FROM c),
+        |lam AS (SELECT b, CAST(floor((
+        |      ln(CAST(tc + 1 AS DOUBLE) / CAST(t_tot + 64 AS DOUBLE))
+        |    - ln(CAST(rc + 1 AS DOUBLE) / CAST(r_tot + 64 AS DOUBLE))
+        |    ) * 1048576.0) AS BIGINT) AS lam_fp
+        |  FROM c CROSS JOIN t),
+        |g AS (SELECT doc_id, count(*) AS n_feats, sum(lam_fp) AS weight_fp
+        |  FROM bk JOIN lam USING (b) WHERE NOT is_t GROUP BY 1),
+        |raw AS (SELECT d.doc_id, coalesce(g.n_feats, 0) AS n_feats,
+        |    coalesce(g.weight_fp, 0) AS weight_fp
+        |  FROM documents d LEFT JOIN g USING (doc_id) WHERE d.lang <> 'en'),
+        |top AS (SELECT *,
+        |    row_number() OVER (ORDER BY weight_fp DESC, doc_id) AS rank
+        |  FROM raw QUALIFY rank <= 20)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(n_feats AS BIGINT) AS n_feats,
+        |  CAST(weight_fp AS BIGINT) AS weight_fp
+        |FROM top ORDER BY rank""".stripMargin,
 
     "llm_ccnet_perplexity" ->
       s"""WITH t AS (SELECT doc_id, n_trigrams, score_fp_sum FROM ($oTrigramSql)),

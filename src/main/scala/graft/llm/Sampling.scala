@@ -205,6 +205,73 @@ object Sampling {
       .drop("sample_key")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how much it resembles a small TARGET domain (the
+    * canonical use: pick web text that looks like Wikipedia), using
+    * hashed n-gram features.
+    *
+    * Model: features are unigrams + adjacent bigrams, hashed into
+    * `buckets` slots (the paper's 10⁴-bucket hashed n-gram model).
+    * Target distribution p and raw distribution q are add-1-smoothed
+    * bucket frequencies; a document's log importance weight is
+    *   log w(doc) = Σ_features [ln p(b(f)) − ln q(b(f))]
+    * Selection is then top-k by weight (the zero-temperature limit of
+    * the paper's Gumbel resampling — deterministic, so the selected set
+    * is reproducible across runs and engines with no RNG state).
+    *
+    * Determinism: each bucket's log-ratio is floored onto the 2^20
+    * fixed-point grid ONCE (on the `buckets`-row table), and the per-doc
+    * weight is an exact integer SUM of those longs — order-free across
+    * partitions, retries, and engines (the trigramLmScore contract).
+    *
+    * Scale shape — why hashed features matter at 100 TB: the corpus-wide
+    * state is exactly `buckets` rows regardless of corpus size (a vocab
+    * or bigram table grows near-linearly and stops broadcasting; the
+    * hashed model never does). One explode, one `buckets`-row broadcast
+    * join, one partially-combined groupBy(doc_id) — the only shuffle is
+    * on doc_id, carrying one row per (doc, feature). The target slice is
+    * typically a separate small corpus; here it is carved from `docs` by
+    * the `isTarget` predicate so both distributions come off one scan.
+    *
+    * @return one row per RAW (non-target) document:
+    *         (doc_id, n_feats, weight_fp) — weight_fp is the 2^20
+    *         fixed-point log importance weight, 0 for featureless docs
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 64,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(TextAnalysis.words(col(textCol)), w => length(w) > 0)
+    val featArr = concat(wsArr, TextAnalysis.wordShingles(wsArr, 2))
+    val stream = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(featArr).as("f"))
+      .withColumn("b",
+        conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % buckets)
+    val counts = stream.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("rc"))
+    val totals = counts.agg(sum(col("tc")).as("t_tot"),
+      sum(col("rc")).as("r_tot"))
+    // log-ratio per bucket, fixed-pointed once on the tiny table; empty
+    // buckets never appear in any document either, so they need no row
+    val lam = counts.crossJoin(broadcast(totals)).select(col("b"),
+      floor((log((col("tc") + 1).cast("double") /
+               (col("t_tot") + lit(buckets)).cast("double"))
+           - log((col("rc") + 1).cast("double") /
+               (col("r_tot") + lit(buckets)).cast("double")))
+        * lit(1048576.0)).cast("long").as("lam_fp"))
+    val weights = stream.filter(!col("is_t"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_fp")).as("weight_fp"))
+    docs.filter(!isTarget).select(col(idCol).as("doc_id"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_fp"), lit(0L)).as("weight_fp"))
+  }
+
   /** Exact equal-frequency score buckets (CCNet-style head/middle/tail
     * corpus partitioning, Wenzek et al. 2020): rank every record by an
     * INTEGER score (fixed-point grids only — a float rank key reintroduces

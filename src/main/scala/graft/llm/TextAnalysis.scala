@@ -134,6 +134,79 @@ object TextAnalysis {
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016): learn the first
+    * `nMerges` byte-pair merges over the corpus's word types — the
+    * classic subword-vocabulary construction pass of GPT-2-style
+    * tokenizers, restricted (as in the original presentation) to
+    * lowercase alphabetic word types plus an end-of-word marker `_`.
+    *
+    * Representation: each word type's symbol sequence is ONE
+    * boundary-marked string — every symbol wrapped as `<sym>`, symbols
+    * joined by spaces (`low` → `<l> <o> <w> <_>`). A merge of pair
+    * (a, b) is then a LITERAL string replace of `<a> <b>` with `<ab>`:
+    * replace-all scans left-to-right non-overlapping, which is exactly
+    * the greedy single-pass BPE merge semantics (for `<a> <a> <a> <a>`
+    * both merge positions 1-2 and 3-4 — identical outcomes). The
+    * boundary braces make cross-symbol false matches impossible because
+    * every symbol is `[a-z_]+` (the alphabetic restriction is what buys
+    * this; markers never appear inside a symbol).
+    *
+    * Scale shape: the one corpus-scale stage is the word-type count
+    * (explode + partially-combined agg — [[vocabulary]]'s shape). Every
+    * iteration then runs on the BOUNDED type table: pair counting is an
+    * explode + agg over symbol shingles, the argmax is orderBy+limit(1)
+    * (TakeOrdered: per-partition top-1 heap, driver merges one row),
+    * and the merge application is a map-side literal replace. Only the
+    * single winning pair ever reaches the driver per step (model-sized,
+    * the kmeansTrain contract); the type table itself stays distributed
+    * and is localCheckpoint-truncated each step so the plan does not
+    * grow with the merge count.
+    *
+    * Determinism: counts are exact integers; ties break by the encoded
+    * pair string (binary ASCII order on both engines). No floats
+    * anywhere — the merge trajectory is hash-exact.
+    *
+    * @return one row per learned merge: (step 1-based, pair — the
+    *         encoded `<a> <b>` form, merged — `<ab>`, cnt — the pair's
+    *         weighted frequency when chosen)
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val vocabTypes = docs
+      .select(explode(wsArr).as("w"))
+      .filter(col("w").rlike("^[A-Za-z]+$"))
+      .select(lower(col("w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val seq0 = array_join(
+      transform(concat(charShingles(col("w"), 1), array(lit("_"))),
+        c => concat(lit("<"), c, lit(">"))), " ")
+    var vocab = vocabTypes.select(col("c"), seq0.as("seq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val syms = split(col("seq"), " ")
+      val best = vocab
+        .select(col("c"), explode(wordShingles(syms, 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val merged = pair.replace("> <", "")
+        merges += ((step.toLong, pair, merged, best(0).getLong(1)))
+        val prev = vocab
+        vocab = vocab
+          .withColumn("seq", replace(col("seq"), lit(pair), lit(merged)))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "pair", "merged", "cnt")
+  }
+
   /** Overlapping fixed-size word chunks — the chunking pass that turns
     * long documents into context-window-sized training rows. Chunks start
     * every `stride` words and take `chunkWords` words; the chunk count is

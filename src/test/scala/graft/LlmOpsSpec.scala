@@ -1259,4 +1259,53 @@ class LlmOpsSpec extends SparkSpec {
       VectorOps.nearestCentroidL2(col("vec"), cents).as("c")).head().getInt(0)
     assert(cos == 3 && l2c == 3)
   }
+
+  test("text: BPE learns the Sennrich-example merges in order") {
+    import spark.implicits._
+    // word types: low:3 lower:2 newest:4 widest:1 — by hand, the first
+    // merge is (w,e) at weighted count 6; after applying it, three pairs
+    // tie at 5 and (l,o) wins on the ASCII encoded-pair order
+    val docs = Seq((1L,
+      "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, 2).orderBy("step").collect()
+    assert(m.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(
+      (1L, "<w> <e>", "<we>", 6L),
+      (2L, "<l> <o>", "<lo>", 5L)))
+  }
+
+  test("text: BPE replace-all equals the greedy left-to-right pass on " +
+       "runs, and self-pairs do not cascade") {
+    import spark.implicits._
+    // 'aaaa' → <a> <a> <a> <a> <_>: pair (a,a) counts 3 per occurrence;
+    // replace-all merges positions 1-2 and 3-4 (never the overlapping
+    // middle), leaving <aa> <aa> <_> — then '<aa> <_>' beats '<aa> <aa>'
+    // on ASCII order at equal count
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, 2).orderBy("step").collect()
+    assert(m.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      == Seq(("<a> <a>", "<aa>", 6L), ("<aa> <_>", "<aa_>", 2L)))
+  }
+
+  test("sampling: DSIR weights rank target-resembling raw docs first " +
+       "and define featureless docs as zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "t"),  // target domain
+      (2L, "alpha beta gamma", "t"),       // target domain
+      (3L, "alpha beta", "r"),             // raw, resembles target
+      (4L, "zeta yota kappa", "r"),        // raw, does not
+      (5L, "", "r")                        // raw, featureless
+    ).toDF("doc_id", "text", "slice")
+    val w = Sampling.dsirWeights(docs, col("slice") === "t", buckets = 32)
+      .orderBy("doc_id").collect()
+    assert(w.map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+    val byId = w.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    // doc 3: 2 unigrams + 1 bigram; doc 5: no features, weight defined 0
+    assert(byId(3L)._1 == 3L && byId(4L)._1 == 5L && byId(5L) == ((0L, 0L)))
+    // the target-resembling doc must outweigh the disjoint-vocab doc
+    assert(byId(3L)._2 > byId(4L)._2)
+  }
 }
