@@ -1081,6 +1081,16 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // Tokenizer lifecycle closed: train 8 merges, then tokenize the
+    // corpus with them — the merge chain is baked into the plan as 8
+    // literal replaces, so application is pure scan-speed map work.
+    "llm_bpe_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, 8).orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSubwordCounts(d, merges).orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // features, target = the English slice, raw = everything else;
     // per-doc weight is an exact integer sum of per-bucket fixed-point
@@ -1798,6 +1808,22 @@ object SparkEntry {
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       VectorOps.pqAdcTopK(enc, q, cbs, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // SQ8 scalar quantization — the third member of the quantization
+    // family (next to PQ and OPQ): per-dim [min,max] trained in one
+    // pass, 256-step codes, asymmetric search by full-precision-query ×
+    // dequantized-candidate dot. Raw vectors appear in no search plan.
+    "llm_ann_sq8" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val bounds = VectorOps.sqTrain(e)
+      val enc = VectorOps.sqEncode(e, bounds)
+      val q = e.filter(col("id") < AnnK)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.sqTopK(enc, q, bounds, AnnK)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("rank"))
@@ -2596,7 +2622,13 @@ object SparkEntry {
     * argmax merge (m_i), and the literal-replace application (v_i).
     * All-integer, so the unrolled chain is hash-exact vs the Spark loop.
     */
-  private def oBpeSql(n: Int): String = {
+  private def oBpeEncode(w: String): String =
+    s"""array_to_string(
+       |    ['<'||x||'>' FOR x IN
+       |     list_append([$w[i] FOR i IN range(1, len($w)+1)], '_')],
+       |    ' ')""".stripMargin
+
+  private def oBpeChain(n: Int): String = {
     val steps = (1 to n).map { i =>
       s"""p$i AS (SELECT pair, sum(c) AS cnt FROM (
          |    SELECT c, unnest(CASE WHEN len(ss) < 2 THEN []::VARCHAR[]
@@ -2610,17 +2642,45 @@ object SparkEntry {
          |v$i AS (SELECT c, replace(seq, m.pair, m.merged) AS seq
          |  FROM v${i - 1} CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    s"""WITH wl AS (SELECT unnest(list_filter(str_split(text, ' '),
+    s"""wl AS (SELECT unnest(list_filter(str_split(text, ' '),
        |    x -> length(x) > 0)) AS w FROM documents),
        |vt AS (SELECT lower(w) AS w, count(*) AS c FROM wl
        |  WHERE regexp_matches(w, '^[A-Za-z]+${"$"}') GROUP BY 1),
-       |v0 AS (SELECT c, array_to_string(
-       |    ['<'||x||'>' FOR x IN
-       |     list_append([w[i] FOR i IN range(1, len(w)+1)], '_')],
-       |    ' ') AS seq FROM vt),
-       |$steps
+       |v0 AS (SELECT c, ${oBpeEncode("w")} AS seq FROM vt),
+       |$steps""".stripMargin
+  }
+
+  private def oBpeSql(n: Int): String = {
+    val union = (1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH ${oBpeChain(n)}
        |SELECT step, pair, merged, cnt FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The apply half: per document, alphabetic word count + total subword
+    * count after running every word through the learned merge chain
+    * (replace-composition over the m_i CTEs, the exact plan
+    * [[graft.llm.TextAnalysis.bpeSubwordCounts]] bakes as literals).
+    */
+  private def oBpeApplySql(n: Int): String = {
+    val chain = (1 to n).foldLeft(oBpeEncode("lower(w)")) {
+      (acc, i) => s"replace($acc, m$i.pair, m$i.merged)"
+    }
+    val joins = (1 to n).map(i => s"CROSS JOIN m$i").mkString(" ")
+    s"""WITH ${oBpeChain(n)},
+       |dw AS (SELECT doc_id, unnest(list_filter(str_split(text, ' '),
+       |    x -> length(x) > 0)) AS w FROM documents),
+       |aw AS (SELECT doc_id, w FROM dw
+       |  WHERE regexp_matches(w, '^[A-Za-z]+${"$"}')),
+       |ap AS (SELECT doc_id,
+       |    len(str_split($chain, ' ')) AS n_sub
+       |  FROM aw $joins),
+       |g AS (SELECT doc_id, count(*) AS n_alpha_words,
+       |    sum(n_sub) AS n_subwords FROM ap GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(g.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+       |  CAST(coalesce(g.n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d LEFT JOIN g USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Seed (id<8) + KmeansTrainIters Lloyd iterations + final assignment
@@ -3960,6 +4020,32 @@ object SparkEntry {
 
     "llm_ann_cosine" -> oAnnCosineSql,
 
+    "llm_ann_sq8" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |b AS (SELECT d, min(x) AS mn, max(x) AS mx FROM
+         |    (SELECT unnest(vec) AS x, unnest(range(1, len(vec)+1)) AS d
+         |     FROM v) GROUP BY d),
+         |bl AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+         |  FROM b),
+         |e AS (SELECT id,
+         |    [CASE WHEN mxs[i] = mns[i] THEN 0
+         |          ELSE least(255, greatest(0, CAST(floor(
+         |            (vec[i] - mns[i]) / (mxs[i] - mns[i]) * 255) AS INT)))
+         |     END FOR i IN range(1, len(vec)+1)] AS codes
+         |  FROM v CROSS JOIN bl),
+         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < $AnnK),
+         |sc AS (SELECT q.qid, e.id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      [qvec[i] * (mns[i] + codes[i] *
+         |         ((mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)))
+         |       FOR i IN range(1, len(qvec)+1)]), (x,y) -> x+y) AS score
+         |  FROM e CROSS JOIN bl, q WHERE e.id <> q.qid),
+         |r AS (SELECT qid, id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+         |      AS rank FROM sc)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+         |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin,
+
     "llm_ann_lsh" -> oAnnLshSql,
 
     // feature arithmetic mirrors the Spark expression tree op-for-op
@@ -4121,6 +4207,8 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_bpe_train" -> oBpeSql(8),
+
+    "llm_bpe_apply" -> oBpeApplySql(8),
 
     "llm_dsir_select" ->
       """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,

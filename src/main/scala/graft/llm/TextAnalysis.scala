@@ -207,6 +207,41 @@ object TextAnalysis {
     merges.result().toDF("step", "pair", "merged", "cnt")
   }
 
+  /** Apply learned BPE merges ([[bpeTrain]]'s trajectory) to tokenize
+    * the corpus and count subwords — the inference half of the
+    * tokenizer lifecycle, and the real token-counting pass once a
+    * vocabulary exists (the regex counter is the pre-BPE
+    * approximation).
+    *
+    * Entirely map-side: each alphabetic word is encoded into the
+    * boundary-marked symbol string and run through the merge chain as
+    * `nMerges` literal replaces baked into the plan — no join against a
+    * merge table, no shuffle, scan speed. Per doc: the alphabetic word
+    * count and the total subword count after merging (an ordered
+    * aggregate fold over the per-word symbol counts).
+    *
+    * @param merges (pair, merged) in training order — order matters:
+    *               later merges can consume earlier ones' output
+    * @return (doc_id, n_alpha_words, n_subwords)
+    */
+  def bpeSubwordCounts(docs: DataFrame, merges: Seq[(String, String)],
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val alpha = filter(wsArr, w => w.rlike("^[A-Za-z]+$"))
+    def enc(w: Column): Column = array_join(transform(
+      concat(charShingles(lower(w), 1), array(lit("_"))),
+      c => concat(lit("<"), c, lit(">"))), " ")
+    def applied(w: Column): Column = merges.foldLeft(enc(w)) {
+      case (acc, (p, m)) => replace(acc, lit(p), lit(m))
+    }
+    docs.select(col(idCol).as("doc_id"),
+      size(alpha).cast("long").as("n_alpha_words"),
+      aggregate(
+        transform(alpha, w => size(split(applied(w), " ")).cast("long")),
+        lit(0L), (a, x) => a + x).as("n_subwords"))
+  }
+
   /** Overlapping fixed-size word chunks — the chunking pass that turns
     * long documents into context-window-sized training rows. Chunks start
     * every `stride` words and take `chunkWords` words; the chunk count is

@@ -531,6 +531,78 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** Scalar-quantization (SQ8) training: per-dimension (min, max) over
+    * the corpus — FAISS's ScalarQuantizer model. The model is 2·dim
+    * doubles (model-sized, the kmeansTrain collect contract), computed
+    * in ONE aggregation pass: 2·dim partially-combined min/max aggs, so
+    * the corpus is scanned exactly once and nothing shuffles but the
+    * per-partition partial rows.
+    */
+  def sqTrain(corpus: DataFrame): Seq[(Double, Double)] = {
+    val dim = corpus.select(size(col("vec"))).head().getInt(0)
+    val aggs = (1 to dim).flatMap(d => Seq(
+      min(element_at(col("vec"), d)).as(s"mn$d"),
+      max(element_at(col("vec"), d)).as(s"mx$d")))
+    val r = corpus.agg(aggs.head, aggs.tail: _*).head()
+    (0 until dim).map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+  }
+
+  /** SQ8 encoding: per dimension, the vector's position in the trained
+    * [min, max] range on a 256-step grid —
+    * `clamp(floor((v−mn)/(mx−mn)·255), 0, 255)`, 0 where the range is
+    * degenerate. 4 bytes/dim of float become 1 (8 with int32 physical
+    * storage here; a binary packing pass would take it to 1) — pure map
+    * work over literal bounds, the same scan-speed shape as
+    * [[pqEncode]]. Output (id, codes array<int>).
+    */
+  def sqEncode(corpus: DataFrame, bounds: Seq[(Double, Double)]): DataFrame = {
+    val codes = bounds.zipWithIndex.map { case ((mn, mx), i) =>
+      val v = element_at(col("vec"), i + 1)
+      if (mx == mn) lit(0)
+      else least(lit(255), greatest(lit(0),
+        floor((v - lit(mn)) / lit(mx - mn) * 255).cast("int")))
+    }
+    corpus.select(col("id"), array(codes.map(_.cast("int")): _*).as("codes"))
+  }
+
+  /** Dequantized vector from SQ8 codes: `v̂_d = mn_d + code_d·Δ_d` with
+    * Δ_d = (mx_d−mn_d)/255 baked as plan literals. Every step is a
+    * single IEEE op in a fixed spelling, so reconstruction is
+    * bit-identical cross-engine.
+    */
+  def sqReconstruct(codes: Column, bounds: Seq[(Double, Double)]): Column = {
+    val mns = array(bounds.map(b => lit(b._1)): _*)
+    val deltas = array(bounds.map { case (mn, mx) =>
+      lit((mx - mn) / 255.0) }: _*)
+    transform(sequence(lit(1), lit(bounds.size)),
+      i => element_at(mns, i) +
+        element_at(codes, i).cast("double") * element_at(deltas, i))
+  }
+
+  /** Asymmetric SQ8 top-k (MIPS, the [[pqAdcTopK]] convention): rank by
+    * the ordered-fold dot of the full-precision query against the
+    * DEQUANTIZED candidate — raw corpus vectors are never touched at
+    * search time, which is the point of the quantized index. Same
+    * two-phase rank as [[bruteForceTopK]]: per-partition top-k heaps,
+    * then a global rank over ≤ k·partitions survivors per query.
+    */
+  def sqTopK(encoded: DataFrame, queries: DataFrame,
+             bounds: Seq[(Double, Double)], k: Int): DataFrame = {
+    val scored = encoded
+      .join(broadcast(queries), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        dot(col("qvec"), sqReconstruct(col("codes"), bounds)).as("score"),
+        spark_partition_id().as("part"))
+    val local = Window.partitionBy(col("qid"), col("part"))
+      .orderBy(col("score").desc, col("id"))
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("lr", row_number().over(local)).filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** The IVF-PQ index rows — (id, coarse cid, PQ codes) — computed in ONE
     * map-side pass over the corpus: the coarse assignment fold and the m
     * per-subspace code folds are sibling projections of the same row, so

@@ -1260,6 +1260,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(cos == 3 && l2c == 3)
   }
 
+  test("vectors: SQ8 codes stay on the 256-grid, degenerate dims encode " +
+       "to zero, and grid-representable corpora search exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(0.0, 255.0, 7.0)),
+      (1L, Seq(255.0, 0.0, 7.0)),
+      (2L, Seq(128.0, 64.0, 7.0))).toDF("id", "vec")
+    val bounds = VectorOps.sqTrain(corpus)
+    assert(bounds == Seq((0.0, 255.0), (0.0, 255.0), (7.0, 7.0)))
+    val enc = VectorOps.sqEncode(corpus, bounds).orderBy("id").collect()
+    // values on the grid encode losslessly; the constant dim → code 0
+    assert(seqOf[Int](enc(2), "codes") == Seq(128, 64, 0))
+    // dequantization is exact here (grid values + degenerate dim back to
+    // its constant), so asymmetric search must equal exact dot ranking:
+    // q=(0,255,7): dot(1)=7·7=49, dot(2)=255·64+49=16369
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val nn = VectorOps.sqTopK(VectorOps.sqEncode(corpus, bounds), q,
+      bounds, 2).orderBy("rank").collect()
+    assert(nn.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1, 2L), (2, 1L)))
+    assert(math.abs(nn(0).getDouble(3) - 16369.0) < 1e-9)
+  }
+
   test("text: BPE learns the Sennrich-example merges in order") {
     import spark.implicits._
     // word types: low:3 lower:2 newest:4 widest:1 — by hand, the first
@@ -1286,6 +1310,21 @@ class LlmOpsSpec extends SparkSpec {
     val m = TextAnalysis.bpeTrain(docs, 2).orderBy("step").collect()
     assert(m.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
       == Seq(("<a> <a>", "<aa>", 6L), ("<aa> <_>", "<aa_>", 2L)))
+  }
+
+  test("text: BPE apply tokenizes with the learned merges at the " +
+       "hand-computed subword counts, skipping non-alpha tokens") {
+    import spark.implicits._
+    val docs = Seq((1L,
+      "low low low lower lower newest newest newest newest widest x9 !"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 2).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // after (w,e) then (l,o): low→3, lower→4, newest→6, widest→7
+    // subword symbols; 'x9' and '!' are not alphabetic words
+    val out = TextAnalysis.bpeSubwordCounts(docs, merges).head()
+    assert(out.getLong(1) == 10L)
+    assert(out.getLong(2) == 3 * 3 + 2 * 4 + 4 * 6 + 7L)
   }
 
   test("sampling: DSIR weights rank target-resembling raw docs first " +
