@@ -1081,6 +1081,15 @@ object SparkEntry {
         .orderBy(col("step"))
     }),
 
+    // Quality-model training: distill the Gopher+logit rule cascade
+    // into a linear model over hashed unigram features — 3 batch
+    // perceptron epochs, all-integer margins/updates, so the trained
+    // weight table itself is hash-exact against the unrolled oracle.
+    "llm_distill_perceptron" -> ((s, dir) => {
+      TextAnalysis.distillPerceptron(Tables.documents(s, dir))
+        .orderBy(col("b"))
+    }),
+
     // Tokenizer lifecycle closed: train 8 merges, then tokenize the
     // corpus with them — the merge chain is baked into the plan as 8
     // literal replaces, so application is pure scan-speed map work.
@@ -2615,6 +2624,21 @@ object SparkEntry {
       |      AND mean_len >= CAST(3.0 AS DOUBLE) AND mean_len <= CAST(10.0 AS DOUBLE)
       |      AND stop_n >= 2 AND dup <= CAST(0.3 AS DOUBLE)) AS gopher
       |  FROM f)""".stripMargin
+
+  /** One unrolled batch-perceptron epoch over the fs/lab feature CTEs:
+    * integer margins (mg_i), the misclassified-set update (up_i), and
+    * the new weight table (w_i). All-integer — hash-exact vs the Spark
+    * driver loop in [[graft.llm.TextAnalysis.distillPerceptron]].
+    */
+  private def oPerceptronEpoch(i: Int): String =
+    s"""mg$i AS (SELECT f.doc_id, lab.y, sum(f.cnt * pw.wt) AS m
+       |  FROM fs f JOIN w${i - 1} pw USING (b) JOIN lab USING (doc_id)
+       |  GROUP BY 1, 2),
+       |up$i AS (SELECT f.b, sum(mg.y * f.cnt) AS du
+       |  FROM fs f JOIN mg$i mg ON f.doc_id = mg.doc_id AND mg.y * mg.m <= 0
+       |  GROUP BY 1),
+       |w$i AS (SELECT pw.b, pw.wt + coalesce(u.du, 0) AS wt
+       |  FROM w${i - 1} pw LEFT JOIN up$i u USING (b))""".stripMargin
 
   /** BPE merge-training oracle: the iterative chain unrolled as CTEs —
     * v0 is the boundary-marked word-type table ([[graft.llm.TextAnalysis
@@ -4209,6 +4233,20 @@ object SparkEntry {
     "llm_bpe_train" -> oBpeSql(8),
 
     "llm_bpe_apply" -> oBpeApplySql(8),
+
+    "llm_distill_perceptron" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN gopher AND logit > 0 THEN 1 ELSE -1 END AS y FROM l),
+         |fw AS (SELECT doc_id, unnest(list_append(
+         |    [CAST('0x'||substr(md5(x),1,8) AS BIGINT) % 64 FOR x IN ws],
+         |    CAST(64 AS BIGINT))) AS b FROM w),
+         |fs AS (SELECT doc_id, b, count(*) AS cnt FROM fw GROUP BY 1, 2),
+         |w0 AS (SELECT unnest(range(0, 65)) AS b, CAST(0 AS BIGINT) AS wt),
+         |${(1 to 3).map(oPerceptronEpoch).mkString(",\n")}
+         |SELECT CAST(b AS BIGINT) AS b, CAST(wt AS BIGINT) AS weight
+         |FROM w3 ORDER BY b""".stripMargin,
 
     "llm_dsir_select" ->
       """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,

@@ -339,6 +339,72 @@ object TextAnalysis {
       (gopher && logit > 0).cast("long").as("keep"))
   }
 
+  /** Distill the composed quality filter into a TRAINED linear model —
+    * batch perceptron over hashed unigram features, teacher-labeled by
+    * [[qualityFilter]]'s keep verdict. This is the training half of the
+    * quality-model story ([[qualityFilter]] applies literals; this
+    * produces them): distill an expensive rule cascade into one cheap
+    * linear pass that runs at scan speed over the next 100 TB.
+    *
+    * Model: features are `buckets` hashed unigram counts plus a bias
+    * feature (bucket id = `buckets`, count 1 — present in every doc, so
+    * even empty docs have a feature row). One batch epoch computes every
+    * doc's integer margin Σ cnt·w[b], selects the misclassified set
+    * (y·margin ≤ 0 — zero margin counts as wrong, the perceptron
+    * convention that makes epoch 1 update on all-zero weights), and
+    * applies the summed update w[b] += Σ y·cnt. Everything is integer:
+    * the trajectory is exactly reproducible and hash-exact across
+    * engines — no learning rate, no float accumulation, no RNG.
+    *
+    * Scale shape: the feature frame (doc, y, [(b, cnt)]) is built once —
+    * two partially-combined aggregations — and localCheckpointed; each
+    * epoch is then one map-side margin fold over plan-literal weights
+    * (the model is `buckets`+1 longs — model-sized, the kmeansTrain
+    * collect contract) plus one ≤ `buckets`+1-row update aggregation.
+    * Nothing corpus-sized ever reaches the driver.
+    *
+    * @return the trained weight table (b, weight), b = `buckets` is the
+    *         bias row
+    */
+  def distillPerceptron(docs: DataFrame, buckets: Int = 64, epochs: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    // label in its own projection: getField on an aliased struct does
+    // not resolve inside a Generate's projection list
+    val labeled = docs.select(col(idCol).as("doc_id"),
+      (qualityFilter(col(textCol)).getField("keep") * 2 - 1).as("y"),
+      col(textCol).as("text"))
+    val feats = labeled
+      .select(col("doc_id"), col("y"), explode(concat(
+        transform(filter(words(col("text")), w => length(w) > 0),
+          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets),
+        array(lit(buckets.toLong)))).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(collect_list(struct(col("b"), col("cnt"))).as("farr"))
+      .localCheckpoint(true)
+    val w = Array.fill(buckets + 1)(0L)
+    for (_ <- 1 to epochs) {
+      val wLit = array(w.map(lit).toIndexedSeq: _*)
+      val margin = aggregate(col("farr"), lit(0L),
+        (acc, e) => acc + e.getField("cnt") *
+          element_at(wLit, (e.getField("b") + 1).cast("int")))
+      feats
+        .withColumn("m", margin)
+        .filter(col("y") * col("m") <= 0)
+        .select(col("y"), explode(col("farr")).as("e"))
+        .groupBy(col("e.b").as("b"))
+        .agg(sum(col("y") * col("e.cnt")).as("du"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    feats.unpersist()
+    import docs.sparkSession.implicits._
+    w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("b", "weight")
+  }
+
   /** PII scrubbing patterns — conservative character-class-only regexes
     * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
     * them identically. Extend per deployment.

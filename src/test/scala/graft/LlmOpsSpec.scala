@@ -1327,6 +1327,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.getLong(2) == 3 * 3 + 2 * 4 + 4 * 6 + 7L)
   }
 
+  test("text: perceptron distillation epoch 1 is the summed y*x batch " +
+       "update (all-zero weights misclassify everything), reproducibly") {
+    import spark.implicits._
+    // good doc: 62 distinct words, 2 stop hits, mean len ~3.95, no dup
+    // 3-grams → gopher passes and the logit is positive → y = +1
+    val good = "the of " + (1 to 60).map(i => f"wd$i%02d").mkString(" ")
+    val docs = Seq((1L, good), (2L, "tiny doc")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.distillPerceptron(docs, buckets = 64, epochs = 1)
+      .orderBy("b").collect()
+    assert(w1.length == 65)
+    // Σ_b w1[b] = Σ_docs y·(n_words + bias) = +63 − 3 = 60
+    assert(w1.map(_.getLong(1)).sum == 60L)
+    // the bias row saw one +1 and one −1 update
+    assert(w1.last.getLong(0) == 64L && w1.last.getLong(1) == 0L)
+    // integer trajectory: a re-run is bit-identical
+    val w1b = TextAnalysis.distillPerceptron(docs, buckets = 64, epochs = 1)
+      .orderBy("b").collect()
+    assert(w1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      w1b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("sampling: DSIR weights rank target-resembling raw docs first " +
        "and define featureless docs as zero") {
     import spark.implicits._
