@@ -1090,6 +1090,22 @@ object SparkEntry {
         .orderBy(col("b"))
     }),
 
+    // The distillation loop closed: train the student, deploy it as one
+    // literal-weight fold, and report the student-vs-teacher confusion —
+    // the agreement check a production distillation ships with.
+    "llm_distill_apply" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val w = TextAnalysis.distillPerceptron(d).orderBy(col("b"))
+        .collect().map(_.getLong(1)).toSeq
+      val scored = TextAnalysis.perceptronScore(d, w)
+      val teacher = d.select(col("doc_id"),
+        (TextAnalysis.qualityFilter(col("text")).getField("keep") * 2 - 1)
+          .as("y"))
+      scored.join(teacher, Seq("doc_id"))
+        .groupBy(col("y"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("pred"))
+    }),
+
     // Tokenizer lifecycle closed: train 8 merges, then tokenize the
     // corpus with them — the merge chain is baked into the plan as 8
     // literal replaces, so application is pure scan-speed map work.
@@ -2630,6 +2646,17 @@ object SparkEntry {
     * the new weight table (w_i). All-integer — hash-exact vs the Spark
     * driver loop in [[graft.llm.TextAnalysis.distillPerceptron]].
     */
+  /** One unrolled batch-perceptron epoch: margins under the previous
+    * raw table (mg_i), the misclassified-set update (up_i), the new raw
+    * table (w_i), the AVERAGED candidate — the running sum ws_i of raw
+    * tables (Freund-Schapire, integer where a mean is not) — its
+    * margins (me_i), and its training-error count (er_i).
+    *
+    * w_i and ws_i are MATERIALIZED: each is referenced 3× downstream,
+    * and DuckDB inlines plain CTEs per reference, so a 16-epoch chain
+    * would otherwise re-expand the whole prefix 3^16 times (observed as
+    * "Too many open files" from thousands of parquet re-scans).
+    */
   private def oPerceptronEpoch(i: Int): String =
     s"""mg$i AS (SELECT f.doc_id, lab.y, sum(f.cnt * pw.wt) AS m
        |  FROM fs f JOIN w${i - 1} pw USING (b) JOIN lab USING (doc_id)
@@ -2637,8 +2664,54 @@ object SparkEntry {
        |up$i AS (SELECT f.b, sum(mg.y * f.cnt) AS du
        |  FROM fs f JOIN mg$i mg ON f.doc_id = mg.doc_id AND mg.y * mg.m <= 0
        |  GROUP BY 1),
-       |w$i AS (SELECT pw.b, pw.wt + coalesce(u.du, 0) AS wt
-       |  FROM w${i - 1} pw LEFT JOIN up$i u USING (b))""".stripMargin
+       |w$i AS MATERIALIZED (SELECT pw.b, pw.wt + coalesce(u.du, 0) AS wt
+       |  FROM w${i - 1} pw LEFT JOIN up$i u USING (b)),
+       |ws$i AS MATERIALIZED (SELECT a.b, a.wt + c.wt AS wt
+       |  FROM ws${i - 1} a JOIN w$i c USING (b)),
+       |me$i AS (SELECT f.doc_id, lab.y, sum(f.cnt * pw.wt) AS m
+       |  FROM fs f JOIN ws$i pw USING (b) JOIN lab USING (doc_id)
+       |  GROUP BY 1, 2),
+       |er$i AS (SELECT count(*) AS n FROM me$i WHERE y * m <= 0)""".stripMargin
+
+  /** The pocket tail: per-epoch error counts of the AVERAGED tables →
+    * the argmin (earliest on ties) epoch's averaged table, as
+    * `pock(b, wt)`.
+    */
+  private def oPerceptronPocket(epochs: Int): String = {
+    val ers = (1 to epochs)
+      .map(i => s"SELECT $i AS i, n FROM er$i").mkString(" UNION ALL ")
+    val allw = (1 to epochs)
+      .map(i => s"SELECT $i AS i, b, wt FROM ws$i").mkString(" UNION ALL ")
+    s"""best AS (SELECT i FROM ($ers) ORDER BY n, i LIMIT 1),
+       |pock AS (SELECT b, wt FROM ($allw) aw JOIN best USING (i))""".stripMargin
+  }
+
+  /** The 6-feature fixed-point fs/lab/w0/ws0 CTE block shared by the
+    * perceptron entries — [[graft.llm.TextAnalysis.perceptronFeatures]]
+    * replicated over oQualityCtes' (ws, grams).
+    */
+  private val oPerceptronBase: String =
+    """lab AS MATERIALIZED (SELECT doc_id,
+      |    CASE WHEN gopher AND logit > 0 THEN 1 ELSE -1 END AS y FROM l),
+      |fs AS MATERIALIZED (SELECT doc_id,
+      |    unnest([CAST(0 AS BIGINT), 1, 2, 3, 4, 5]) AS b,
+      |    unnest([CAST(10000 AS BIGINT),
+      |      CASE WHEN len(ws) = 0 THEN 0
+      |           ELSE (10000 * len(list_distinct(ws))) // len(ws) END,
+      |      CASE WHEN len(ws) = 0 THEN 0
+      |           ELSE (10000 * list_sum(list_transform(ws,
+      |                  x -> CAST(length(x) AS BIGINT)))) // len(ws) END,
+      |      CASE WHEN len(ws) = 0 THEN 0
+      |           ELSE (10000 * len(list_filter(ws,
+      |                  x -> x IN ('the','a','of','and','to')))) // len(ws) END,
+      |      least(10000, 100 * len(ws)),
+      |      CASE WHEN len(grams) = 0 THEN 0
+      |           ELSE (10000 * (len(grams) - len(list_distinct(grams))))
+      |                // len(grams) END
+      |    ]) AS cnt
+      |  FROM g),
+      |w0 AS (SELECT unnest(range(0, 6)) AS b, CAST(0 AS BIGINT) AS wt),
+      |ws0 AS (SELECT b, wt FROM w0)""".stripMargin
 
   /** BPE merge-training oracle: the iterative chain unrolled as CTEs —
     * v0 is the boundary-marked word-type table ([[graft.llm.TextAnalysis
@@ -4237,16 +4310,25 @@ object SparkEntry {
     "llm_distill_perceptron" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
          |$oQualityCtes,
-         |lab AS (SELECT doc_id,
-         |    CASE WHEN gopher AND logit > 0 THEN 1 ELSE -1 END AS y FROM l),
-         |fw AS (SELECT doc_id, unnest(list_append(
-         |    [CAST('0x'||substr(md5(x),1,8) AS BIGINT) % 64 FOR x IN ws],
-         |    CAST(64 AS BIGINT))) AS b FROM w),
-         |fs AS (SELECT doc_id, b, count(*) AS cnt FROM fw GROUP BY 1, 2),
-         |w0 AS (SELECT unnest(range(0, 65)) AS b, CAST(0 AS BIGINT) AS wt),
-         |${(1 to 3).map(oPerceptronEpoch).mkString(",\n")}
+         |$oPerceptronBase,
+         |${(1 to 16).map(oPerceptronEpoch).mkString(",\n")},
+         |${oPerceptronPocket(16)}
          |SELECT CAST(b AS BIGINT) AS b, CAST(wt AS BIGINT) AS weight
-         |FROM w3 ORDER BY b""".stripMargin,
+         |FROM pock ORDER BY b""".stripMargin,
+
+    "llm_distill_apply" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |$oQualityCtes,
+         |$oPerceptronBase,
+         |${(1 to 16).map(oPerceptronEpoch).mkString(",\n")},
+         |${oPerceptronPocket(16)},
+         |sc AS (SELECT f.doc_id, sum(f.cnt * pw.wt) AS m
+         |  FROM fs f JOIN pock pw USING (b) GROUP BY 1)
+         |SELECT CAST(lab.y AS BIGINT) AS y,
+         |  CAST(CASE WHEN sc.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  count(*) AS n
+         |FROM sc JOIN lab USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "llm_dsir_select" ->
       """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,

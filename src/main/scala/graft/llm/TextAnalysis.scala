@@ -339,70 +339,133 @@ object TextAnalysis {
       (gopher && logit > 0).cast("long").as("keep"))
   }
 
-  /** Distill the composed quality filter into a TRAINED linear model —
-    * batch perceptron over hashed unigram features, teacher-labeled by
-    * [[qualityFilter]]'s keep verdict. This is the training half of the
-    * quality-model story ([[qualityFilter]] applies literals; this
-    * produces them): distill an expensive rule cascade into one cheap
-    * linear pass that runs at scan speed over the next 100 TB.
-    *
-    * Model: features are `buckets` hashed unigram counts plus a bias
-    * feature (bucket id = `buckets`, count 1 — present in every doc, so
-    * even empty docs have a feature row). One batch epoch computes every
-    * doc's integer margin Σ cnt·w[b], selects the misclassified set
-    * (y·margin ≤ 0 — zero margin counts as wrong, the perceptron
-    * convention that makes epoch 1 update on all-zero weights), and
-    * applies the summed update w[b] += Σ y·cnt. Everything is integer:
-    * the trajectory is exactly reproducible and hash-exact across
-    * engines — no learning rate, no float accumulation, no RNG.
-    *
-    * Scale shape: the feature frame (doc, y, [(b, cnt)]) is built once —
-    * two partially-combined aggregations — and localCheckpointed; each
-    * epoch is then one map-side margin fold over plan-literal weights
-    * (the model is `buckets`+1 longs — model-sized, the kmeansTrain
-    * collect contract) plus one ≤ `buckets`+1-row update aggregation.
-    * Nothing corpus-sized ever reaches the driver.
-    *
-    * @return the trained weight table (b, weight), b = `buckets` is the
-    *         bias row
+  /** The fixed-point feature grid shared by [[distillPerceptron]] and
+    * [[perceptronScore]]: 2^0..; S scales every ratio onto an integer
+    * grid so margins and updates stay exact longs.
     */
-  def distillPerceptron(docs: DataFrame, buckets: Int = 64, epochs: Int = 3,
+  private val PerceptronScale = 10000L
+
+  /** The 6 integer perceptron features of a document, as an array of
+    * (b, cnt) structs — [[qualityFilter]]'s own feature space, put on
+    * the [[PerceptronScale]] fixed-point grid with floor division:
+    * b0 bias=S, b1 ttr_fp, b2 mean_len_fp, b3 stop_ratio_fp,
+    * b4 size_fp = min(S, 100·n), b5 dup3_fp. Wordless docs define every
+    * ratio 0 (the qualityFilter empty-doc contract). Pure map work.
+    */
+  private def perceptronFeatures(text: Column): Column = {
+    val s = PerceptronScale
+    val ws = filter(words(text), w => length(w) > 0)
+    val n = size(ws).cast("long")
+    val grams = wordShingles(ws, 3)
+    val ng = size(grams).cast("long")
+    def overN(num: Column): Column =
+      when(n === 0, 0L).otherwise(floor(lit(s) * num / n).cast("long"))
+    val fs = Seq(
+      lit(s),
+      overN(size(array_distinct(ws)).cast("long")),
+      overN(aggregate(ws, lit(0L), (acc, w) => acc + length(w))),
+      overN(stopHits(ws, "en").cast("long")),
+      least(lit(s), lit(100L) * n),
+      when(ng === 0, 0L)
+        .otherwise(floor(lit(s) * (ng - size(array_distinct(grams))) / ng)
+          .cast("long")))
+    array(fs.zipWithIndex.map { case (f, b) =>
+      struct(lit(b.toLong).as("b"), f.as("cnt")) }: _*)
+  }
+
+  /** Distill the composed quality filter into a TRAINED linear model —
+    * batch perceptron over the SAME fixed-point feature space
+    * [[qualityFilter]] thresholds by, teacher-labeled by its keep
+    * verdict. This is the training half of the quality-model story
+    * (qualityFilter applies hand-tuned literals; this LEARNS the
+    * weights from labels): distill a rule cascade into one cheap linear
+    * pass that runs at scan speed over the next 100 TB.
+    *
+    * One batch epoch computes every doc's integer margin Σ cnt·w[b],
+    * selects the misclassified set (y·margin ≤ 0 — zero counts as
+    * wrong, which is what makes epoch 1 update on all-zero weights),
+    * and applies the summed update w[b] += Σ y·cnt. Everything is
+    * integer: the trajectory is exactly reproducible and hash-exact
+    * across engines — no learning rate, no float accumulation, no RNG.
+    *
+    * AVERAGED + POCKET selection: full-batch updates oscillate on
+    * non-separable data (the update is corpus-sized, so consecutive
+    * epochs overshoot in alternating directions), so the candidate
+    * model after epoch t is the SUM of the weight tables so far
+    * (Freund & Schapire's averaged perceptron — sign(Σw_t·x) =
+    * sign(avg margin), and the sum stays integer where the average
+    * would not), and the epoch whose averaged table has the fewest
+    * training errors — earliest on ties — is the returned model
+    * (Gallant's pocket). Both statistics are integer counts, so model
+    * selection is as engine-exact as the trajectory.
+    *
+    * Scale shape: the feature frame (doc, y, [(b, cnt)]) is built once
+    * — pure map work, 6 structs per row, no explode — and
+    * localCheckpointed; each epoch is one map-side margin fold over
+    * plan-literal weights plus one 6-row update aggregation and one
+    * count. Nothing corpus-sized ever reaches the driver.
+    *
+    * @return the pocket-averaged weight table (b, weight), b as in
+    *         [[perceptronFeatures]]
+    */
+  def distillPerceptron(docs: DataFrame, epochs: Int = 16,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    val nFeats = 6
     // label in its own projection: getField on an aliased struct does
     // not resolve inside a Generate's projection list
-    val labeled = docs.select(col(idCol).as("doc_id"),
-      (qualityFilter(col(textCol)).getField("keep") * 2 - 1).as("y"),
-      col(textCol).as("text"))
-    val feats = labeled
-      .select(col("doc_id"), col("y"), explode(concat(
-        transform(filter(words(col("text")), w => length(w) > 0),
-          w => conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets),
-        array(lit(buckets.toLong)))).as("b"))
-      .groupBy(col("doc_id"), col("y"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(collect_list(struct(col("b"), col("cnt"))).as("farr"))
+    val feats = docs.select(col(idCol).as("doc_id"),
+        (qualityFilter(col(textCol)).getField("keep") * 2 - 1).as("y"),
+        perceptronFeatures(col(textCol)).as("farr"))
       .localCheckpoint(true)
-    val w = Array.fill(buckets + 1)(0L)
-    for (_ <- 1 to epochs) {
+    def marginUnder(w: Array[Long]) = {
       val wLit = array(w.map(lit).toIndexedSeq: _*)
-      val margin = aggregate(col("farr"), lit(0L),
+      aggregate(col("farr"), lit(0L),
         (acc, e) => acc + e.getField("cnt") *
           element_at(wLit, (e.getField("b") + 1).cast("int")))
+    }
+    val w = Array.fill(nFeats)(0L)
+    val wSum = Array.fill(nFeats)(0L)
+    var pocket = (Long.MaxValue, wSum.clone())
+    for (_ <- 1 to epochs) {
       feats
-        .withColumn("m", margin)
+        .withColumn("m", marginUnder(w))
         .filter(col("y") * col("m") <= 0)
         .select(col("y"), explode(col("farr")).as("e"))
         .groupBy(col("e.b").as("b"))
         .agg(sum(col("y") * col("e.cnt")).as("du"))
         .collect()
         .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      (0 until nFeats).foreach(i => wSum(i) += w(i))
+      val nMis = feats.filter(col("y") * marginUnder(wSum) <= 0).count()
+      if (nMis < pocket._1) pocket = (nMis, wSum.clone())
     }
     feats.unpersist()
     import docs.sparkSession.implicits._
-    w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+    pocket._2.toIndexedSeq.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }
       .toDF("b", "weight")
+  }
+
+  /** Score documents with a trained perceptron weight table
+    * ([[distillPerceptron]]'s output) — the deployment half: the margin
+    * is one fold over the 6 feature structs with the weights baked as a
+    * plan literal. No explode, no join, no shuffle; the cheapest
+    * possible pass at 100 TB, which is the entire point of distilling.
+    *
+    * @return (doc_id, margin, pred ±1 — zero margin predicts −1, the
+    *         training-side convention)
+    */
+  def perceptronScore(docs: DataFrame, weights: Seq[Long],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(weights.size == 6, "expect the 6 perceptronFeatures weights")
+    val wLit = array(weights.map(lit): _*)
+    val margin = aggregate(perceptronFeatures(col(textCol)), lit(0L),
+      (acc, e) => acc + e.getField("cnt") *
+        element_at(wLit, (e.getField("b") + 1).cast("int")))
+    docs.select(col(idCol).as("doc_id"), margin.as("margin"),
+      when(margin > 0, 1L).otherwise(-1L).as("pred"))
   }
 
   /** PII scrubbing patterns — conservative character-class-only regexes

@@ -1331,21 +1331,30 @@ class LlmOpsSpec extends SparkSpec {
        "update (all-zero weights misclassify everything), reproducibly") {
     import spark.implicits._
     // good doc: 62 distinct words, 2 stop hits, mean len ~3.95, no dup
-    // 3-grams → gopher passes and the logit is positive → y = +1
+    // 3-grams → gopher passes and the logit is positive → y = +1.
+    // Fixed-point features by hand —
+    //   good: [10000, 10000, (10000·245) div 62 = 39516,
+    //          (10000·2) div 62 = 322, 6200, 0]
+    //   bad ("tiny doc"): [10000, 10000, 35000, 0, 200, 0]
+    // w1 = (+1)·good + (−1)·bad = [0, 0, 4516, 322, 6000, 0]
     val good = "the of " + (1 to 60).map(i => f"wd$i%02d").mkString(" ")
     val docs = Seq((1L, good), (2L, "tiny doc")).toDF("doc_id", "text")
-    val w1 = TextAnalysis.distillPerceptron(docs, buckets = 64, epochs = 1)
+    val w1 = TextAnalysis.distillPerceptron(docs, epochs = 1)
       .orderBy("b").collect()
-    assert(w1.length == 65)
-    // Σ_b w1[b] = Σ_docs y·(n_words + bias) = +63 − 3 = 60
-    assert(w1.map(_.getLong(1)).sum == 60L)
-    // the bias row saw one +1 and one −1 update
-    assert(w1.last.getLong(0) == 64L && w1.last.getLong(1) == 0L)
+    assert(w1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (1L, 0L), (2L, 4516L), (3L, 322L), (4L, 6000L),
+        (5L, 0L)))
     // integer trajectory: a re-run is bit-identical
-    val w1b = TextAnalysis.distillPerceptron(docs, buckets = 64, epochs = 1)
+    val w1b = TextAnalysis.distillPerceptron(docs, epochs = 1)
       .orderBy("b").collect()
     assert(w1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       w1b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // deployment half: margins are the exact integer dot products
+    // w1·good = 4516·39516 + 322·322 + 6000·6200 and
+    // w1·bad = 4516·35000 + 6000·200
+    val preds = TextAnalysis.perceptronScore(docs,
+      w1.map(_.getLong(1)).toSeq).orderBy("doc_id").collect()
+    assert(preds.map(_.getLong(1)).toSeq == Seq(215757940L, 159260000L))
   }
 
   test("sampling: DSIR weights rank target-resembling raw docs first " +
