@@ -935,6 +935,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // Content-defined chunking: boundaries fall where the rolling 8-char
+    // window hash ≡ 0 mod 64, so chunk hashes survive offset shifts —
+    // the byte-level dedup primitive fixed-stride chunking can't be.
+    "llm_cdc_chunks" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.cdcChunks(col("text"), 8, 64)).as("ck"))
+        .select(col("doc_id"),
+          col("ck.chunk_no").cast("long").as("chunk_no"),
+          col("ck.start").cast("long").as("start_pos"),
+          col("ck.len").cast("long").as("chunk_len"),
+          col("ck.hash").as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
     // Intra-document repetition ratio (duplicate 3-gram fraction) — the
     // Gopher-style repetition quality filter.
     "llm_repetition" -> ((s, dir) => {
@@ -1559,6 +1574,20 @@ object SparkEntry {
       val evalSet = d.filter(col("doc_id") % 37 === 0)
         .select(substring(col("text"), 21, 180).as("text"))
       Dedup.decontaminate(d, evalSet, n = 5).orderBy(col("id"))
+    }),
+
+    // The same decontamination screen with the eval n-grams compressed
+    // into a 2^17-bit Bloom filter baked into the plan — the train side
+    // is one map-only bit-probe pass, no join at all. Same fixture as
+    // llm_decontaminate so the two verdicts are directly comparable
+    // (flagged ⊇ contaminated; the gap rows are the filter's false
+    // positives, bit-exactly reproduced by the oracle).
+    "llm_decon_bloom" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val evalSet = d.filter(col("doc_id") % 37 === 0)
+        .select(substring(col("text"), 21, 180).as("text"))
+      Dedup.decontaminateBloom(d, evalSet, n = 5, mBits = 1 << 17, k = 3)
+        .orderBy(col("id"))
     }),
 
     // SimHash near-dup: 16-bit signature, 4-block pigeonhole candidate
@@ -4007,6 +4036,39 @@ object SparkEntry {
         |FROM documents d LEFT JOIN h ON h.id = d.doc_id
         |ORDER BY id""".stripMargin,
 
+    // Bloom screen: pv is the filter's set-bit positions (union over
+    // eval n-grams × 3 md5-derived probes, mod 2^17); a train n-gram is
+    // admitted iff all 3 of its probe positions are set — kk counts
+    // probe hits, and kk = 3 ⟺ every probe matched (pv is distinct, so
+    // each (ng, j) row joins at most once).
+    "llm_decon_bloom" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |      [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)])) AS ng
+        |  FROM (SELECT str_split(substr(text, 21, 180), ' ') AS ws
+        |        FROM documents WHERE doc_id % 37 = 0)),
+        |pv AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST('0x'||substr(md5(ng||'#'||j),1,8) AS BIGINT) % 131072 AS pos
+        |  FROM ev CROSS JOIN (SELECT unnest([0,1,2]) AS j)),
+        |tr AS (
+        |  SELECT id, unnest(ngs) AS ng FROM (
+        |    SELECT doc_id AS id, list_distinct(
+        |        [array_to_string(ws[i:i+4], ' ') FOR i IN range(1, len(ws)-3)]) AS ngs
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents))),
+        |tp AS (
+        |  SELECT id, ng, count(*) AS kk
+        |  FROM (SELECT id, ng,
+        |          CAST('0x'||substr(md5(ng||'#'||j),1,8) AS BIGINT) % 131072 AS pos
+        |        FROM tr CROSS JOIN (SELECT unnest([0,1,2]) AS j)) t
+        |  JOIN pv USING (pos)
+        |  GROUP BY id, ng),
+        |h AS (SELECT id, count(*) AS n_maybe FROM tp WHERE kk = 3 GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(h.n_maybe, 0)::BIGINT AS n_maybe,
+        |  (coalesce(h.n_maybe, 0) > 0)::BIGINT AS flagged
+        |FROM documents d LEFT JOIN h ON h.id = d.doc_id
+        |ORDER BY id""".stripMargin,
+
     "llm_dedup_cluster" ->
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -4488,6 +4550,26 @@ object SparkEntry {
         |  md5(array_to_string(ws[i*48+1 : i*48+64], ' ')) AS chunk_hash
         |FROM c, unnest(range(0, nc)) AS t(i)
         |ORDER BY doc_id, idx""".stripMargin,
+
+    // CDC: cuts = 0, each boundary window's end offset (i+7 for window
+    // start i where int(md5[0,8)) % 64 = 0), len(text); chunk c spans
+    // (cuts[c], cuts[c+1]]. The trailing zero-length span (boundary
+    // exactly at end of text) is filtered on both sides.
+    "llm_cdc_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text, list_concat(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(i + 7 AS BIGINT) FOR i IN range(1, greatest(len(text) - 6, 1))
+        |       IF CAST('0x'||substr(md5(substr(text, i, 8)),1,8) AS BIGINT) % 64 = 0]),
+        |      [CAST(len(text) AS BIGINT)]) AS cuts
+        |  FROM documents),
+        |sp AS (SELECT doc_id, text, cuts,
+        |    unnest(range(1, len(cuts))) AS c FROM ch)
+        |SELECT doc_id, c AS chunk_no, cuts[c] + 1 AS start_pos,
+        |  cuts[c+1] - cuts[c] AS chunk_len,
+        |  md5(substr(text, CAST(cuts[c] + 1 AS INT),
+        |             CAST(cuts[c+1] - cuts[c] AS INT))) AS chunk_hash
+        |FROM sp WHERE cuts[c+1] - cuts[c] > 0
+        |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "llm_repetition" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),

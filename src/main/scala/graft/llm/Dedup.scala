@@ -755,6 +755,66 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s verdict with the
+    * eval-side n-gram set compressed into an `mBits`-bit Bloom filter
+    * baked into the plan as a literal long array. Same screen the
+    * join-based form implements, but the train side never joins at all:
+    * membership is a k-probe bit test folded into the scan, so the 100 TB
+    * side is one map-only pass with a CONSTANT-size model (mBits/8 bytes,
+    * independent of eval corpus size) instead of a broadcast hash table
+    * proportional to the eval n-gram count. One-sided error by
+    * construction: no false negatives (every true overlap is flagged),
+    * false positives at the classic (1-e^(-kN/m))^k rate — acceptable for
+    * decontamination, where over-dropping a few clean docs is cheap and
+    * missing a contaminated one is not.
+    *
+    * Determinism: bit positions are md5-derived (`pos_j(ng) =
+    * int(md5(ng+'#'+j)[0,8)) mod mBits`) — the proven cross-engine hash
+    * (same as the hashed-feature and LSH paths), so the filter and every
+    * probe are bit-exact reproducible in any engine.
+    *
+    * @return one row per training doc: (id, n_maybe = n-grams the filter
+    *         admits, flagged 0/1); n_maybe ≥ [[decontaminate]]'s n_hits
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame, n: Int = 13,
+                         mBits: Int = 1 << 17, k: Int = 3,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def ngrams(c: Column) =
+      array_distinct(TextAnalysis.wordShingles(TextAnalysis.words(c), n))
+    def pos(ng: Column, j: Int): Column =
+      pmod(conv(substring(md5(concat(ng, lit(s"#$j"))), 1, 8), 16, 10)
+        .cast("long"), lit(mBits.toLong))
+    // build: distinct set-bit positions of the eval n-grams — bounded by
+    // mBits rows, i.e. the size of the filter itself (model-sized by
+    // definition; the kmeansTrain collect contract)
+    val setBits = evalSet
+      .select(explode(ngrams(col(textCol))).as("ng")).distinct()
+      .select(explode(array((0 until k).map(j => pos(col("ng"), j)): _*))
+        .as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = Array.fill(mBits / 64)(0L)
+    setBits.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    val bitsLit = array(words.map(lit).toIndexedSeq: _*)
+    def maybe(ng: Column): Column = (0 until k).map { j =>
+      val p = pos(ng, j)
+      call_function("shiftright",
+        element_at(bitsLit, (p / 64 + 1).cast("int")), (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    // verdict: pure scan-speed map work — explode, bit-test, count.
+    val hits = train
+      .select(col(idCol).as("id"), explode(ngrams(col(textCol))).as("ng"))
+      .filter(maybe(col("ng")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_maybe"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).cast("long").as("flagged"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding corpus, then drop any vector whose cosine to a LOWER-id
     * vector in the SAME cluster reaches `tau` — near-duplicates in

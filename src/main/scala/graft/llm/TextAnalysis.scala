@@ -468,6 +468,44 @@ object TextAnalysis {
       when(margin > 0, 1L).otherwise(-1L).as("pred"))
   }
 
+  /** Content-defined chunking (the Rabin/LBFS idea, MD5-windowed for
+    * cross-engine determinism): a chunk boundary falls after any `w`-char
+    * window whose hash ≡ 0 mod `divisor`, so boundaries depend only on
+    * LOCAL content — insert a prefix and every later chunk still cuts at
+    * the same places and hashes identically, which fixed-offset chunking
+    * ([[wordChunks]]) cannot do. This is the byte-level dedup primitive:
+    * chunk the corpus, groupBy chunk hash, and shared runs between
+    * near-identical documents dedup regardless of offset shift.
+    *
+    * Scale shape: pure map work per document (no shuffle, no explode
+    * until the caller wants rows); expected chunk length is `divisor`
+    * chars, tail chunk keeps the remainder, docs shorter than `w` are a
+    * single unsplit chunk. All positions/hashes are integer/md5 — the
+    * unrolled list computation is reproducible in any engine.
+    *
+    * @return array of (chunk_no 1-based, start 1-based, len, hash),
+    *         covering the text exactly; empty array for empty text
+    */
+  def cdcChunks(text: Column, w: Int = 8, divisor: Int = 64): Column = {
+    val n = length(text)
+    val idxs = when(n >= w, sequence(lit(1), n - (w - 1)))
+      .otherwise(array().cast("array<int>"))
+    val ends = transform(
+      filter(idxs, i => pmod(
+        conv(substring(md5(text.substr(i, lit(w))), 1, 8), 16, 10)
+          .cast("long"), lit(divisor.toLong)) === 0L),
+      i => i + lit(w - 1))
+    val cuts = concat(array(lit(0)), ends, array(n))
+    filter(
+      transform(sequence(lit(1), size(cuts) - 1), c => {
+        val a = element_at(cuts, c)
+        val b = element_at(cuts, c + 1)
+        struct(c.as("chunk_no"), (a + 1).as("start"), (b - a).as("len"),
+          md5(text.substr(a + 1, b - a)).as("hash"))
+      }),
+      s => s.getField("len") > 0)
+  }
+
   /** PII scrubbing patterns — conservative character-class-only regexes
     * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
     * them identically. Extend per deployment.
