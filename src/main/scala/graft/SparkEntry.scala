@@ -4,7 +4,7 @@ import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
 import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
-import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
 import graft.operators.TimeSeriesOps
 import graft.sinks.Formatters
@@ -1680,6 +1680,26 @@ object SparkEntry {
           col("df").cast("long").as("df"))
         .orderBy(col("tf").desc, col("word"))
         .limit(50)
+    }),
+
+    // Count-min sketch vs ground truth: build the 3×1024 sketch (one
+    // fixed-size agg regardless of corpus size — the 100 TB form of
+    // "how often does each hot term occur"), estimate the exact top-20
+    // words through it, and report the guaranteed-nonnegative overcount.
+    "llm_cms_topk" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val exact = d
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      val est = Sketches.cmsEstimate(
+        Sketches.cmsBuild(d, depth = 3, width = 1024), exact,
+        depth = 3, width = 1024)
+      exact.join(est, Seq("term"))
+        .select(col("term").as("word"), col("exact_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("word"))
     }),
 
     // Symmetric int8 scalar quantization of the embedding column, with
@@ -3520,6 +3540,30 @@ object SparkEntry {
         |  SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
         |  FROM w WHERE length(word) > 0 GROUP BY 1)
         |SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+
+    // CMS: sk is the 3×1024 sketch (cell = stream count hashing there);
+    // est(word) = min over the 3 rows of that word's bucket cell.
+    "llm_cms_topk" ->
+      """WITH wf AS MATERIALIZED (
+        |  SELECT w FROM (SELECT unnest(str_split(text, ' ')) AS w
+        |                 FROM documents) WHERE length(w) > 0),
+        |ex AS MATERIALIZED (
+        |  SELECT w, count(*) AS exact_cnt FROM wf GROUP BY w
+        |  ORDER BY exact_cnt DESC, w LIMIT 20),
+        |sk AS MATERIALIZED (
+        |  SELECT j, CAST('0x'||substr(md5(w||'#'||j),1,8) AS BIGINT) % 1024
+        |      AS bucket, count(*) AS cnt
+        |  FROM wf CROSS JOIN (SELECT unnest([0,1,2]) AS j) js GROUP BY 1, 2),
+        |es AS (
+        |  SELECT e.w, min(s.cnt) AS est_cnt
+        |  FROM ex e CROSS JOIN (SELECT unnest([0,1,2]) AS j) js
+        |  JOIN sk s ON s.j = js.j AND s.bucket =
+        |    CAST('0x'||substr(md5(e.w||'#'||js.j),1,8) AS BIGINT) % 1024
+        |  GROUP BY e.w)
+        |SELECT e.w AS word, e.exact_cnt, es.est_cnt,
+        |  es.est_cnt - e.exact_cnt AS overcount
+        |FROM ex e JOIN es ON es.w = e.w
+        |ORDER BY e.exact_cnt DESC, word""".stripMargin,
 
     "llm_vec_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Sampling, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.sources.CorpusIO
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -255,6 +255,27 @@ class LlmOpsSpec extends SparkSpec {
     val h2 = byDoc(2L).map(_.getString(4)).toSet
     assert((h1 intersect h2).size >= h1.size - 2,
       s"expected near-total hash overlap, got ${(h1 intersect h2).size}/${h1.size}")
+  }
+
+  test("sketch: count-min estimates never undercount and are exact when " +
+       "no collision exists") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa bb"), (2L, "aa bb cc"), (3L, "cc dd")).toDF("doc_id", "text")
+    val sketch = Sketches.cmsBuild(docs, depth = 3, width = 1024)
+    // total mass per row equals the stream length (9 words)
+    val rowMass = sketch.groupBy("j").agg(sum("cnt").as("m")).collect()
+    assert(rowMass.length == 3 && rowMass.forall(_.getAs[Long]("m") == 9L))
+    val cand = Seq("aa", "bb", "cc", "dd", "zz").toDF("term")
+    val est = Sketches.cmsEstimate(sketch, cand, depth = 3, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("aa" -> 4L, "bb" -> 2L, "cc" -> 2L, "dd" -> 1L)
+    // CMS guarantee: est >= exact; with 4 terms in 1024 buckets × 3 rows
+    // a full 3-row collision is (4/1024)^3-improbable — expect exact
+    exact.foreach { case (t, n) => assert(est(t) == n) }
+    // a term absent from the stream estimates 0 (bucket rows absent →
+    // no join match → term drops out of the estimate table)
+    assert(!est.contains("zz"))
   }
 
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
