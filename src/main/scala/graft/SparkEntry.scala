@@ -1682,6 +1682,23 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // HyperLogLog cardinality of the corpus 3-shingle set vs the exact
+    // distinct count — 256 registers of constant state instead of a
+    // corpus-sized distinct shuffle, with the estimate computed in
+    // all-integer arithmetic so it is engine-exact. within20 pins the
+    // estimator's accuracy contract into the oracle compare.
+    "llm_hll_distinct" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sh = d.select(explode(TextAnalysis.wordShingles(
+        TextAnalysis.words(col("text")), 3)).as("item"))
+      val exact = sh.agg(countDistinct(col("item")).as("n_exact"))
+      Sketches.hllDistinct(sh).crossJoin(exact)
+        .select(col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <=
+            call_function("div", col("n_exact"), lit(5L)))
+            .cast("long").as("within20"))
+    }),
+
     // Count-min sketch vs ground truth: build the 3×1024 sketch (one
     // fixed-size agg regardless of corpus size — the 100 TB form of
     // "how often does each hot term occur"), estimate the exact top-20
@@ -3540,6 +3557,33 @@ object SparkEntry {
         |  SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
         |  FROM w WHERE length(word) > 0 GROUP BY 1)
         |SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+
+    // HLL: rg maps each shingle to (register, rank); mr maxes ranks over
+    // ALL 256 registers (empty → 0); the estimate is the integer
+    // rational (ALPHA_FP·m²·2^25 div S') div 10^6 with
+    // S' = Σ 2^(25−Mj) — the same division order as the Spark plan.
+    "llm_hll_distinct" ->
+      """WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(ws[i:i+2], ' ')
+        |            FOR i IN range(1, len(ws) - 1)] END) AS sh
+        |  FROM w),
+        |hx AS (SELECT CAST('0x'||substr(md5(sh),1,8) AS BIGINT) AS h FROM g),
+        |rg AS (SELECT h % 256 AS j,
+        |    CASE WHEN h // 256 = 0 THEN 25
+        |         ELSE 25 - length(ltrim(bin(h // 256), '0')) END AS rho
+        |  FROM hx),
+        |mr AS (SELECT r.j, coalesce(max(rg.rho), 0) AS mj
+        |  FROM range(0, 256) r(j) LEFT JOIN rg ON rg.j = r.j GROUP BY r.j),
+        |s AS (SELECT sum(1::BIGINT << CAST(25 - mj AS INT)) AS sp FROM mr),
+        |e AS (SELECT ((718272::BIGINT * 256 * 256 * 33554432) // sp)
+        |    // 1000000 AS n_est FROM s)
+        |SELECT (SELECT count(DISTINCT sh) FROM g)::BIGINT AS n_exact,
+        |  n_est::BIGINT AS n_est,
+        |  (abs(n_est - (SELECT count(DISTINCT sh) FROM g)) <=
+        |   (SELECT count(DISTINCT sh) FROM g) // 5)::BIGINT AS within20
+        |FROM e""".stripMargin,
 
     // CMS: sk is the 3×1024 sketch (cell = stream count hashing there);
     // est(word) = min over the 3 rows of that word's bucket cell.

@@ -61,4 +61,54 @@ object Sketches {
     probes.join(broadcast(sketch), Seq("j", "bucket"))
       .groupBy(col("term")).agg(min(col("cnt")).as("est_cnt"))
   }
+
+  /** Fixed-point alpha for the m=256 HyperLogLog estimator:
+    * floor(10^6 · 0.7213/(1 + 1.079/256)). The estimate is defined by
+    * THIS rational, in THIS division order — both the Spark plan and the
+    * oracle compute `(ALPHA_FP·m²·2^25 div S') div 10^6` in exact long
+    * arithmetic, so the estimate is engine-identical to the last digit.
+    */
+  private val HllAlphaFp = 718272L
+
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) over an
+    * item column, in ALL-INTEGER register arithmetic: md5 32-bit hash,
+    * b=8 → m=256 registers (bucket = h mod 256, remaining 24 bits), rank
+    * ρ = 25 − bitlength(v) (v=0 → 25), register = max ρ. Instead of the
+    * float Σ2^−Mj, the plan sums S' = Σ 2^(25−Mj) as a long (≤ 2^33) and
+    * divides the fixed-point alpha rational once at the end — no float
+    * ever exists, so the estimate is bit-exact across engines, which a
+    * textbook double implementation is not (float sum order varies).
+    *
+    * Raw-regime estimator only (no small/large-range correction): valid
+    * when n ≳ 5/2·m ≈ 640 — corpus-cardinality territory, which is the
+    * use case. Scale shape: one partial-combined 256-row max
+    * aggregation; the register table is CONSTANT-size state mergeable
+    * across shards/streams (max per register), the reason HLL is the
+    * production cardinality operator.
+    *
+    * @return one row: (n_est)
+    */
+  def hllDistinct(items: DataFrame, itemCol: String = "item"): DataFrame = {
+    val m = 256L
+    val width1 = 25 // 24 remaining hash bits + 1
+    val h = conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long")
+    val v = floor(h / lit(m)).cast("long")
+    val rho = when(v === 0L, lit(width1))
+      .otherwise(lit(width1) - length(ltrim(bin(v), "0")))
+    val regs = items
+      .select(pmod(h, lit(m)).as("j"), rho.cast("long").as("rho"))
+      .groupBy(col("j")).agg(max(col("rho")).as("mj"))
+    val spark = items.sparkSession
+    val all = spark.range(m).select(col("id").as("j"))
+      .join(regs, Seq("j"), "left")
+      .select(coalesce(col("mj"), lit(0L)).as("mj"))
+    // `div` = IntegralDivide: exact long division (floor(a/b) via double
+    // would corrupt the ~2^60 numerator past double's 53-bit mantissa)
+    all.agg(sum(call_function("shiftleft", lit(1L),
+        (lit(width1) - col("mj")).cast("int"))).as("sp"))
+      .select(call_function("div",
+        call_function("div",
+          lit(HllAlphaFp * m * m) * lit(1L << width1), col("sp")),
+        lit(1000000L)).cast("long").as("n_est"))
+  }
 }

@@ -278,6 +278,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(!est.contains("zz"))
   }
 
+  test("sketch: integer HLL estimates 5000 distincts within the m=256 " +
+       "error envelope, ignores duplicates, and reproduces exactly") {
+    import spark.implicits._
+    val items = (1 to 5000).map(i => s"item-$i")
+    // duplicates must not move the registers (max is idempotent)
+    val est1 = Sketches.hllDistinct(items.toDF("item")).collect()(0).getLong(0)
+    val est2 = Sketches.hllDistinct((items ++ items.take(2000)).toDF("item"))
+      .collect()(0).getLong(0)
+    assert(est1 == est2)
+    // 1.04/sqrt(256) = 6.5% typical; assert a loose 20% envelope
+    assert(math.abs(est1 - 5000L) <= 1000L, s"est $est1 off >20%")
+    val est3 = Sketches.hllDistinct(items.toDF("item")).collect()(0).getLong(0)
+    assert(est1 == est3)
+  }
+
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
