@@ -27,10 +27,16 @@ object Tables {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
 
-  /** `events.parquet` stores TIMESTAMP(NANOS) which Spark refuses by
-    * default; read it as long nanos and convert with integer division
-    * (ns epoch does not fit double precision). DuckDB likewise truncates
-    * ns → µs, so both engines see identical microsecond timestamps.
+  /** `events.parquet` has shipped with two physical `ts` encodings
+    * across driver testdata generations, both normalized here to a
+    * session-UTC TimestampType:
+    *  - TIMESTAMP(NANOS): Spark refuses it by default; read as long
+    *    nanos (`nanosAsLong`) and convert with integer division (a ns
+    *    epoch does not fit double precision);
+    *  - TIMESTAMP(µs, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ;
+    *    cast interprets the wall-clock in the session zone (pinned UTC),
+    *    which is exactly how DuckDB reads the same naive values.
+    * Either way both engines see identical microsecond timestamps.
     *
     * spread defaults to FALSE: most events consumers are pushed-down
     * filters or immediate groupBys where an up-front shuffle only adds
@@ -43,6 +49,9 @@ object Tables {
     val converted = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
     spreadLocal(spark, converted, spread)
