@@ -4,7 +4,7 @@ import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
 import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
-import graft.llm.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
 import graft.operators.TimeSeriesOps
 import graft.sinks.Formatters
@@ -1221,6 +1221,62 @@ object SparkEntry {
         .orderBy(col("first_doc"), col("chunk_hash"))
     }),
 
+    // Fixed-point PageRank over a deterministic doc→doc link graph (3
+    // hash-derived out-links per doc) — the crawl-side centrality signal
+    // (Common Crawl rank files) next to the content-side quality scores.
+    // 5 Pregel-shaped iterations: one rank⋈edges join + one groupBy(dst)
+    // sum each, localCheckpoint-truncated; all-integer 10^12 fixed point,
+    // so the trajectory hash-matches a 5×-unrolled CTE oracle.
+    "llm_pagerank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":l$j"))), 1, 8), 16, 10).cast("long"), lit(n))): _*))
+          .as("dst"))
+      LinkGraph.pageRank(d.select(col("doc_id").as("id")), edges, iters = 5)
+        .select(col("id").cast("long").as("doc_id"), col("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+    }),
+
+    // Exact-substring duplicated-span dedup (Lee et al. ExactSubstr):
+    // stride-1 8-word windows, corpus-duplicated windows marked by ONE
+    // hash-keyed shuffle (window count, not groupBy+join), maximal spans
+    // via per-doc gaps-and-islands merge. Partial replays are planted
+    // (words 11..40 of every 5th long doc + a unique tail), so the spans
+    // found are genuine sub-document overlaps, not whole-doc copies.
+    "llm_dup_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val part = d.filter(col("doc_id") % 5 === 0 && size(ws) >= 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(array_join(slice(ws, 11, 30), " "),
+            lit(" uniqtail"), col("doc_id").cast("string")).as("text"))
+      Dedup.duplicatedSpans(d.unionByName(part), 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_tokens"), col("n_windows"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // The ExactSubstr CUT composed end-to-end: duplicated windows →
+    // covered token positions → anti-join the token stream → per-doc
+    // ordered rebuild. Same planted partial replays as llm_dup_spans;
+    // output is the cleaned corpus itself (clean_text) plus the
+    // kept/cut token accounting per document.
+    "llm_dup_cut" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val part = d.filter(col("doc_id") % 5 === 0 && size(ws) >= 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(array_join(slice(ws, 11, 30), " "),
+            lit(" uniqtail"), col("doc_id").cast("string")).as("text"))
+      Dedup.cutDuplicatedSpans(d.unionByName(part), 8)
+        .select(col("doc_id").cast("long").as("doc_id"), col("clean_text"),
+          col("n_kept"), col("n_cut"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus shuffle + shard: write-side deterministic pseudo-random
     // order over 8 shards. One shuffle on the shard key (the repartition
     // a sharded write performs anyway) + per-shard rank.
@@ -1699,6 +1755,47 @@ object SparkEntry {
             .cast("long").as("within20"))
     }),
 
+    // HLL corpus-overlap by inclusion–exclusion: the union sketch is the
+    // per-register MAX of the two register tables (the HLL merge
+    // identity — no third pass, no join between the corpora), overlap ≈
+    // E(A)+E(B)−E(A∪B). Same all-integer estimator as llm_hll_distinct,
+    // so every number including the overlap is engine-exact; the exact
+    // intersection cardinality rides along as ground truth.
+    "llm_hll_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def sh(f: DataFrame) = f.select(explode(TextAnalysis.wordShingles(
+        TextAnalysis.words(col("text")), 3)).as("item"))
+      val a = sh(d.filter(col("doc_id") % 2 === 0))
+      val b = sh(d.filter(col("doc_id") % 3 === 0))
+      val exact = a.intersect(b).agg(count(lit(1)).as("n_exact_overlap"))
+      Sketches.hllOverlap(a, b).crossJoin(exact)
+        .select(col("n_exact_overlap"), col("n_est_a"), col("n_est_b"),
+          col("n_est_union"), col("n_est_overlap"),
+          (abs(col("n_est_overlap") - col("n_exact_overlap")) <=
+            call_function("div", col("n_exact_overlap"), lit(4L)))
+            .cast("long").as("within25"))
+    }),
+
+    // Per-group HLL: distinct 3-shingles per source through ≤256 rows of
+    // register state PER GROUP (the fixed-memory replacement for a
+    // per-group count(DISTINCT), whose key sets grow with the corpus —
+    // "distinct URLs per domain" at 100 TB). Exact per-source counts
+    // ride along; the within-20% contract is pinned per group.
+    "llm_hll_group" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val its = d.select(col("source"), explode(TextAnalysis.wordShingles(
+        TextAnalysis.words(col("text")), 3)).as("item"))
+      val exact = its.groupBy(col("source"))
+        .agg(countDistinct(col("item")).as("n_exact"))
+      exact.join(Sketches.hllDistinctBy(its, "source")
+          .withColumnRenamed("grp", "source"), Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_est"),
+          (abs(col("n_est") - col("n_exact")) <=
+            call_function("div", col("n_exact"), lit(5L)))
+            .cast("long").as("within20"))
+        .orderBy(col("source"))
+    }),
+
     // Count-min sketch vs ground truth: build the 3×1024 sketch (one
     // fixed-size agg regardless of corpus size — the 100 TB form of
     // "how often does each hot term occur"), estimate the exact top-20
@@ -1932,6 +2029,24 @@ object SparkEntry {
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       VectorOps.ivfPqTopK(e, q, coarse, cbs, nprobe = 2, k = 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // ADC-then-refine (FAISS IndexRefine): IVF+PQ proposes 15 candidates
+    // per query from codes alone, only those 15 rows touch the raw
+    // vectors (point-lookup join) for an exact cosine re-rank of the top
+    // 5. Quantization error now only affects WHICH candidates surface,
+    // never their final order — LlmOpsSpec pins the refined order ≥ plain ADC.
+    "llm_ann_rerank" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val coarse = trainedCoarse(s, dir)
+      val cbs = pqBooks(s, dir, l2 = false)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      VectorOps.ivfPqRefineTopK(e, q, coarse, cbs,
+          nprobe = 2, rcand = 15, k = AnnK)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"))
         .orderBy(col("qid"), col("rank"))
@@ -2989,7 +3104,8 @@ object SparkEntry {
     * extra candidate predicate so the tombstone-delete oracle can mask
     * the dead-id set from the same statement.
     */
-  private def oAnnIvfpqSql(qmax: Int, candPred: String = ""): String = {
+  private def oAnnIvfpqSql(qmax: Int, candPred: String = "",
+                           topk: Int = AnnK): String = {
     val subTables = (0 until PqM).map(s =>
       s"v$s AS (SELECT id, vec[${s * PqSub + 1}:${(s + 1) * PqSub}] AS vec FROM v)")
       .mkString(",\n")
@@ -3030,7 +3146,56 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
        |  FROM sc)
        |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
-       |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+       |FROM r WHERE rank <= $topk ORDER BY qid, rank""".stripMargin
+  }
+
+  /** ADC-then-refine oracle: the full IVF+PQ statement at rank ≤ 15
+    * becomes the candidate CTE, and the final order is the EXACT cosine
+    * between each candidate's raw vector and the query — the same
+    * ordered-fold float expression every exact-scoring oracle uses, so
+    * the refined scores and ranks are engine-identical.
+    */
+  private def oAnnRerankSql: String =
+    s"""WITH resr AS (${oAnnIvfpqSql(5, "", 15)}),
+       |vv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |qq AS (SELECT id AS qid, vec AS qvec FROM vv WHERE id < 5),
+       |sc AS (SELECT r.qid, r.id, ${oCos("qvec", "vec")} AS score
+       |  FROM resr r JOIN vv ON vv.id = r.id JOIN qq ON qq.qid = r.qid),
+       |rr AS (SELECT qid, id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+       |      AS rank
+       |  FROM sc)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, round(score, 4) AS score
+       |FROM rr WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+
+  /** PageRank oracle: the 5 iterations unrolled as chained CTEs in the
+    * same 10^12 fixed-point arithmetic (every division an integral
+    * floor, every sum an integer), over the same hash-derived
+    * 3-out-link graph — so the full trajectory, not just the ranking,
+    * is engine-exact.
+    */
+  private def oPageRankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""p$i AS (SELECT p.id,
+         |    (SELECT base FROM c) + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+         |  FROM p${i - 1} p LEFT JOIN (
+         |    SELECT e.dst AS id, sum(q.pr // dg.outdeg) AS inflow
+         |    FROM e JOIN p${i - 1} q ON q.id = e.src
+         |    JOIN dg ON dg.src = e.src
+         |    GROUP BY e.dst) f USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT count(*) AS n,
+       |    1000000000000 // count(*) AS pr0,
+       |    ((15 * 1000000000000) // 100) // count(*) AS base
+       |  FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src,
+       |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':l'||j),1,8)
+       |      AS BIGINT) % (SELECT n FROM c) AS dst
+       |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+       |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |p0 AS (SELECT doc_id AS id, (SELECT pr0 FROM c) AS pr FROM documents),
+       |$iters
+       |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
   }
 
   /** Residual IVF+PQ oracle: the coarse chain assigns and centers the
@@ -3495,6 +3660,8 @@ object SparkEntry {
     "llm_ann_pq" -> oAnnPqSql(l2 = false),
 
     "llm_ann_ivfpq" -> oAnnIvfpqSql,
+    "llm_ann_rerank" -> oAnnRerankSql,
+    "llm_pagerank" -> oPageRankSql,
     "llm_ann_ivfpq_res" -> oAnnIvfpqResSql(5),
 
     "llm_ann_ivf_stored" -> oIvfStoredSql,
@@ -3584,6 +3751,75 @@ object SparkEntry {
         |  (abs(n_est - (SELECT count(DISTINCT sh) FROM g)) <=
         |   (SELECT count(DISTINCT sh) FROM g) // 5)::BIGINT AS within20
         |FROM e""".stripMargin,
+
+    "llm_hll_overlap" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(ws[i:i+2], ' ')
+        |            FOR i IN range(1, len(ws) - 1)] END) AS sh
+        |  FROM w),
+        |ha AS (SELECT CAST('0x'||substr(md5(sh),1,8) AS BIGINT) AS h
+        |  FROM g WHERE doc_id % 2 = 0),
+        |hb AS (SELECT CAST('0x'||substr(md5(sh),1,8) AS BIGINT) AS h
+        |  FROM g WHERE doc_id % 3 = 0),
+        |ra AS (SELECT h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 25
+        |        ELSE 25 - length(ltrim(bin(h // 256), '0')) END) AS mj
+        |  FROM ha GROUP BY 1),
+        |rb AS (SELECT h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 25
+        |        ELSE 25 - length(ltrim(bin(h // 256), '0')) END) AS mj
+        |  FROM hb GROUP BY 1),
+        |ru AS (SELECT j, max(mj) AS mj FROM
+        |    (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY j),
+        |ea AS (SELECT ((718272::BIGINT * 256 * 256 * 33554432) //
+        |    (sum(1::BIGINT << CAST(25 - mj AS INT)) +
+        |     (256 - count(*)) * 33554432)) // 1000000 AS n_est_a FROM ra),
+        |eb AS (SELECT ((718272::BIGINT * 256 * 256 * 33554432) //
+        |    (sum(1::BIGINT << CAST(25 - mj AS INT)) +
+        |     (256 - count(*)) * 33554432)) // 1000000 AS n_est_b FROM rb),
+        |eu AS (SELECT ((718272::BIGINT * 256 * 256 * 33554432) //
+        |    (sum(1::BIGINT << CAST(25 - mj AS INT)) +
+        |     (256 - count(*)) * 33554432)) // 1000000 AS n_est_union FROM ru),
+        |ex AS (SELECT count(*) AS n_exact_overlap FROM
+        |    (SELECT DISTINCT sh FROM g WHERE doc_id % 2 = 0
+        |     INTERSECT
+        |     SELECT DISTINCT sh FROM g WHERE doc_id % 3 = 0))
+        |SELECT n_exact_overlap::BIGINT AS n_exact_overlap,
+        |  n_est_a::BIGINT AS n_est_a, n_est_b::BIGINT AS n_est_b,
+        |  n_est_union::BIGINT AS n_est_union,
+        |  greatest(0, n_est_a + n_est_b - n_est_union)::BIGINT
+        |    AS n_est_overlap,
+        |  (abs(greatest(0, n_est_a + n_est_b - n_est_union)
+        |       - n_exact_overlap) <= n_exact_overlap // 4)::BIGINT
+        |    AS within25
+        |FROM ea, eb, eu, ex""".stripMargin,
+
+    "llm_hll_group" ->
+      """WITH w AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT source, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(ws[i:i+2], ' ')
+        |            FOR i IN range(1, len(ws) - 1)] END) AS sh
+        |  FROM w),
+        |hx AS (SELECT source,
+        |    CAST('0x'||substr(md5(sh),1,8) AS BIGINT) AS h FROM g),
+        |rg AS (SELECT source, h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 25
+        |        ELSE 25 - length(ltrim(bin(h // 256), '0')) END) AS mj
+        |  FROM hx GROUP BY 1, 2),
+        |es AS (SELECT source, ((718272::BIGINT * 256 * 256 * 33554432) //
+        |    (sum(1::BIGINT << CAST(25 - mj AS INT)) +
+        |     (256 - count(*)) * 33554432)) // 1000000 AS n_est
+        |  FROM rg GROUP BY source),
+        |ex AS (SELECT source, count(DISTINCT sh) AS n_exact
+        |  FROM g GROUP BY source)
+        |SELECT ex.source, ex.n_exact::BIGINT AS n_exact,
+        |  es.n_est::BIGINT AS n_est,
+        |  (abs(es.n_est - ex.n_exact) <= ex.n_exact // 5)::BIGINT
+        |    AS within20
+        |FROM ex JOIN es USING (source) ORDER BY ex.source""".stripMargin,
 
     // CMS: sk is the 3×1024 sketch (cell = stream count hashing there);
     // est(word) = min over the 3 rows of that word's bucket cell.
@@ -4782,6 +5018,75 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM pd GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY first_doc, chunk_hash""".stripMargin,
+
+    "llm_dup_spans" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(str_split(text, ' ')[11:40], ' ')
+        |      || ' uniqtail' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(str_split(text, ' ')) >= 40),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |win AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(ws[i+1:i+8], ' ')) AS whash
+        |  FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS n_occ
+        |    FROM win) WHERE n_occ >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dup),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM isl),
+        |island AS (SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS isl_id
+        |  FROM brk)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+        |  count(*) AS n_windows
+        |FROM island GROUP BY doc_id, isl_id
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "llm_dup_cut" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(str_split(text, ' ')[11:40], ' ')
+        |      || ' uniqtail' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(str_split(text, ' ')) >= 40),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |win AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(ws[i+1:i+8], ' ')) AS whash
+        |  FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY whash) AS n_occ
+        |    FROM win) WHERE n_occ >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS tp
+        |  FROM dup, unnest(range(0, 8)) AS r(o)),
+        |toks AS (SELECT doc_id, i - 1 AS tp, ws[i] AS w
+        |  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |kept AS (SELECT t.doc_id, t.tp, t.w FROM toks t
+        |  ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.tp = t.tp),
+        |o AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY tp) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(o.clean_text, '') AS clean_text,
+        |  CAST(coalesce(o.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(str_split(d.text, ' ')) - coalesce(o.n_kept, 0)
+        |    AS BIGINT) AS n_cut
+        |FROM all_docs d LEFT JOIN o ON o.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "llm_shuffle_shard" ->
       """WITH s AS (

@@ -906,6 +906,120 @@ object Dedup {
         when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Exact-substring duplicated-span extraction — the dedup semantics of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr pass): find every maximal token span all of
+    * whose length-k windows occur at least twice in the corpus — the text
+    * a suffix-array dedup would cut out of each document. The suffix
+    * array itself is a single-machine structure; the Spark-native
+    * equivalent is the stride-1 k-gram window stream: equality of a
+    * length-k window IS a suffix match of length ≥ k, and the maximal
+    * duplicated spans are exactly the unions of overlapping duplicated
+    * windows (touching spans merge — their token union is contiguous, so
+    * the cut text is identical either way).
+    *
+    * Scale shape: the window stream is one row per corpus token — the
+    * same cardinality a suffix array indexes. It shuffles ONCE, keyed on
+    * the window hash, where an in-partition window count marks
+    * duplicated windows (a window-function count, not groupBy +
+    * self-join — the token-scale stream moves once, not twice). Only
+    * the surviving duplicated windows (a tiny fraction at crawl scale)
+    * re-shuffle on doc id for the per-doc interval merge (classic
+    * gaps-and-islands over the per-doc pos sort). A pathologically hot
+    * window (one phrase duplicated millions of times) skews its hash
+    * partition; AQE splits it, and every output row it yields is still
+    * bounded by that partition's input.
+    *
+    * @return one row per maximal duplicated span: (doc_id, span_start,
+    *         span_end) inclusive 0-based token positions, span_tokens its
+    *         length, n_windows the duplicated k-windows merged into it
+    */
+  /** The duplicated length-k windows of the corpus: (id, pos) for every
+    * stride-1 window whose hash occurs ≥ 2 times corpus-wide. ONE
+    * token-scale shuffle (window-function count keyed on the hash).
+    * Shared by [[duplicatedSpans]] (interval merge) and
+    * [[cutDuplicatedSpans]] (token removal).
+    */
+  private def duplicatedWindows(docs: DataFrame, k: Int, textCol: String,
+                                idCol: String): DataFrame = {
+    val win = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wordShingles(
+          TextAnalysis.words(col(textCol)), k)).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), md5(col("sh")).as("whash"))
+    val byHash = Window.partitionBy(col("whash"))
+    win
+      .withColumn("n_occ", count(lit(1)).over(byHash))
+      .filter(col("n_occ") >= 2)
+      .select(col("id"), col("pos"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, k: Int, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val dup = duplicatedWindows(docs, k, textCol, idCol)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = dup
+      .withColumn("prev_end", max(col("pos") + (k - 1)).over(prev))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+    islands.groupBy(col("id").as("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** The cut itself — ExactSubstr's OUTPUT: every token covered by a
+    * duplicated window removed from every document, the remainder
+    * re-joined in order. (This is the aggressive cut-everywhere variant:
+    * no occurrence is privileged, so two copies of a passage both lose
+    * it — the conservative keep-one policy is [[duplicatedSpans]] plus a
+    * keeper rule on the span groups.)
+    *
+    * Scale shape: [[duplicatedWindows]]'s one hash-keyed shuffle, then
+    * the rare duplicated windows fan out to their k covered positions
+    * (k× the SMALL side, map-side) and anti-join the token stream on
+    * (id, pos); the survivors re-shuffle on the doc id for the ordered
+    * rebuild. Three token-scale exchanges end to end — a document
+    * rewrite pass cannot avoid re-gathering the token stream per doc,
+    * and the anti join stays a linear hash probe even for a
+    * pathological fully-duplicated mega-doc (an (id, covered-set)
+    * array join would go quadratic there).
+    *
+    * @return one row per input doc: (doc_id, clean_text, n_kept, n_cut)
+    */
+  def cutDuplicatedSpans(docs: DataFrame, k: Int, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val covered = duplicatedWindows(docs, k, textCol, idCol)
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("tp", "w")))
+    val kept = toks.join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("w")))),
+          x => x.getField("w"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("id"),
+        size(TextAnalysis.words(col(textCol))).cast("long").as("n_total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   def semanticGroups(corpus: DataFrame,
                      centroids: Seq[(Int, Seq[Double])],
                      tau: Double): DataFrame = {

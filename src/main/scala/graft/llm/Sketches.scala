@@ -111,4 +111,98 @@ object Sketches {
           lit(HllAlphaFp * m * m) * lit(1L << width1), col("sp")),
         lit(1000000L)).cast("long").as("n_est"))
   }
+
+  private val HllM = 256L
+  private val HllWidth1 = 25 // 24 remaining hash bits + 1
+
+  /** Sparse HLL register table of an item stream: (j, mj) for the
+    * registers at least one item hashed into (absent registers are mj=0
+    * by definition). One partial-combined max aggregation, ≤ 256 output
+    * rows regardless of corpus size — the mergeable sketch state: union
+    * of two corpora = per-register MAX of their tables, which is what
+    * makes HLL the production cardinality operator across shards,
+    * streams, and time windows.
+    */
+  def hllRegisters(items: DataFrame, itemCol: String = "item"): DataFrame = {
+    val h = conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long")
+    val v = floor(h / lit(HllM)).cast("long")
+    val rho = when(v === 0L, lit(HllWidth1))
+      .otherwise(lit(HllWidth1) - length(ltrim(bin(v), "0")))
+    items.select(pmod(h, lit(HllM)).as("j"), rho.cast("long").as("rho"))
+      .groupBy(col("j")).agg(max(col("rho")).as("mj"))
+  }
+
+  /** Estimate from a sparse register table WITHOUT densifying: an absent
+    * register contributes 2^25 to S', so S' = Σ_present 2^(25−mj) +
+    * (m − n_present)·2^25 — same exact-integer rational as
+    * [[hllDistinct]], minus its range join. One row: (n_est).
+    */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.agg(
+        sum(call_function("shiftleft", lit(1L),
+          (lit(HllWidth1) - col("mj")).cast("int"))).as("spp"),
+        count(lit(1)).as("npres"))
+      .select(call_function("div",
+        call_function("div",
+          lit(HllAlphaFp * HllM * HllM) * lit(1L << HllWidth1),
+          col("spp") + (lit(HllM) - col("npres")) * lit(1L << HllWidth1)),
+        lit(1000000L)).cast("long").as("n_est"))
+
+  /** Corpus-overlap cardinality estimate by HLL inclusion–exclusion:
+    * |A∩B| ≈ E(A) + E(B) − E(A∪B), where the union sketch is the
+    * per-register max of the two register tables — the merge identity,
+    * no third pass over either corpus. This is how "how much of crawl B
+    * is already in corpus A" is answered at 100 TB without a join:
+    * three constant-size sketches, one subtraction. The estimate can go
+    * ≤ 0 when the true overlap is small relative to the ±1.04/√m noise
+    * of the three estimates — clamped at 0, and that behavior is part of
+    * the contract (inclusion–exclusion differences are noisier than the
+    * individual estimates).
+    *
+    * @return one row: (n_est_a, n_est_b, n_est_union, n_est_overlap)
+    */
+  def hllOverlap(a: DataFrame, b: DataFrame,
+                 itemCol: String = "item"): DataFrame = {
+    val ra = hllRegisters(a, itemCol)
+    val rb = hllRegisters(b, itemCol)
+    val ru = ra.unionByName(rb).groupBy(col("j")).agg(max(col("mj")).as("mj"))
+    hllEstimate(ra).withColumnRenamed("n_est", "n_est_a")
+      .crossJoin(hllEstimate(rb).withColumnRenamed("n_est", "n_est_b"))
+      .crossJoin(hllEstimate(ru).withColumnRenamed("n_est", "n_est_union"))
+      .withColumn("n_est_overlap",
+        greatest(lit(0L), col("n_est_a") + col("n_est_b") - col("n_est_union")))
+  }
+
+  /** Per-group HLL distinct: one register table per group key — the
+    * "distinct URLs per domain" / "distinct shingles per source" shape.
+    * State is ≤ 256 rows PER GROUP however large the group's item stream
+    * is, and the (group, j) max aggregation partial-combines map-side,
+    * so the shuffle carries at most 256 rows per group per task — the
+    * fixed-memory replacement for count(DISTINCT) per group, whose
+    * per-group key sets grow with the corpus.
+    *
+    * @return one row per group: (group, n_est)
+    */
+  def hllDistinctBy(items: DataFrame, groupCol: String,
+                    itemCol: String = "item"): DataFrame = {
+    val h = conv(substring(md5(col(itemCol)), 1, 8), 16, 10).cast("long")
+    val v = floor(h / lit(HllM)).cast("long")
+    val rho = when(v === 0L, lit(HllWidth1))
+      .otherwise(lit(HllWidth1) - length(ltrim(bin(v), "0")))
+    items
+      .select(col(groupCol).as("grp"), pmod(h, lit(HllM)).as("j"),
+        rho.cast("long").as("rho"))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("mj"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(call_function("shiftleft", lit(1L),
+          (lit(HllWidth1) - col("mj")).cast("int"))).as("spp"),
+        count(lit(1)).as("npres"))
+      .select(col("grp"),
+        call_function("div",
+          call_function("div",
+            lit(HllAlphaFp * HllM * HllM) * lit(1L << HllWidth1),
+            col("spp") + (lit(HllM) - col("npres")) * lit(1L << HllWidth1)),
+          lit(1000000L)).cast("long").as("n_est"))
+  }
 }

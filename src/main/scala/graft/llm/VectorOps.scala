@@ -808,6 +808,40 @@ object VectorOps {
     adcRank(cand, queries, codebooks, k)
   }
 
+  /** ADC-then-refine — FAISS's IndexRefine pattern: [[ivfPqTopK]]
+    * proposes `rcand` candidates per query from the compressed codes
+    * alone, then ONLY those rows are re-scored against their original
+    * vectors (exact ordered-fold cosine) and the final top-k re-ranked.
+    * This buys back the PQ quantization error at the output: ADC error
+    * now affects only WHICH rcand candidates surface, never their final
+    * order or score — so refined recall ≥ plain ADC recall at the same
+    * m/k whenever rcand > k gives the true neighbors room to surface
+    * (pinned by `LlmOpsSpec`).
+    *
+    * Scale shape: the refine join touches queries × rcand rows of the
+    * raw-vector table — a point-lookup equi-join on id (broadcast the
+    * candidate list, or partition-prune a stored raw index via
+    * [[ivfVecSearchStored]]'s layout), NOT a scan. The full-precision
+    * corpus is read for ~dozens of ids per query; everything corpus-wide
+    * still happens over codes.
+    */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame,
+                      coarse: Seq[(Int, Seq[Double])],
+                      codebooks: Seq[Seq[(Int, Seq[Double])]],
+                      nprobe: Int, rcand: Int, k: Int): DataFrame = {
+    val cand = ivfPqTopK(corpus, queries, coarse, codebooks, nprobe, rcand)
+      .select(col("qid"), col("id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    cand
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(broadcast(queries.select(col("qid"), col("qvec"))), Seq("qid"))
+      .select(col("qid"), col("id"),
+        cosine(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
   /** The corpus re-expressed as RESIDUALS from the coarse quantizer —
     * (id, cid, vec − coarse_centroid[cid]) — the transform under FAISS
     * IVFPQ's encoding: PQ quantizes the (small, centered) displacement

@@ -293,6 +293,135 @@ class LlmOpsSpec extends SparkSpec {
     assert(est1 == est3)
   }
 
+  test("sketch: HLL register merge estimates union/overlap, grouped " +
+       "registers agree with the sparse estimator, sparse equals dense") {
+    import spark.implicits._
+    val a = (1 to 3000).map(i => s"it-$i").toDF("item")
+    val b = (2001 to 5000).map(i => s"it-$i").toDF("item") // true overlap 1000
+    // the sparse-register identity must reproduce the dense (range-join)
+    // estimator EXACTLY — same rational, same division order
+    val dense = Sketches.hllDistinct(a).collect()(0).getLong(0)
+    val sparse = Sketches.hllEstimate(Sketches.hllRegisters(a))
+      .collect()(0).getLong(0)
+    assert(dense == sparse, s"sparse $sparse != dense $dense")
+    val r = Sketches.hllOverlap(a, b).collect()(0)
+    val (ea, eb, eu, eo) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    assert(math.abs(ea - 3000) <= 600, s"est_a $ea")
+    assert(math.abs(eb - 3000) <= 600, s"est_b $eb")
+    assert(math.abs(eu - 5000) <= 1000, s"est_union $eu")
+    // inclusion–exclusion differences compound the noise: loose envelope
+    assert(math.abs(eo - 1000) <= 700, s"est_overlap $eo")
+    // grouped: two tagged groups reproduce the per-corpus sparse estimates
+    val tagged = a.withColumn("grp", lit("ga"))
+      .unionByName(b.withColumn("grp", lit("gb")))
+    val byG = Sketches.hllDistinctBy(tagged, "grp").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byG("ga") == sparse)
+    assert(byG("gb") ==
+      Sketches.hllEstimate(Sketches.hllRegisters(b)).collect()(0).getLong(0))
+  }
+
+  test("dedup: exact-substring spans merge overlapping duplicated windows, " +
+       "touching spans coalesce, unique docs yield nothing") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z1 z2"),   // duplicated wholesale by doc 4
+      (2L, s"b1 b2 b3 $shared"),      // shares only the s-block
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"), // unique
+      (4L, s"a1 a2 $shared z1 z2")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(!spans.contains(3L), "unique doc must yield no spans")
+    // docs 1/4: every length-4 window duplicated → one whole-doc span
+    // (14 tokens, 11 windows)
+    assert(spans(1L) == (0L, 13L, 14L, 11L))
+    assert(spans(4L) == (0L, 13L, 14L, 11L))
+    // doc 2: only windows fully inside the shared block (positions 3..9)
+    // → span 3..12, 10 tokens, 7 windows
+    assert(spans(2L) == (3L, 12L, 10L, 7L))
+  }
+
+  test("dedup: the span cut removes covered tokens from every copy and " +
+       "rebuilds the remainder in order") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared z1 z2"),
+      (2L, s"b1 b2 b3 $shared"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, s"a1 a2 $shared z1 z2")).toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicatedSpans(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // unique doc passes through untouched, in original order
+    assert(cut(3L) == ("u1 u2 u3 u4 u5 u6 u7 u8", 8L, 0L))
+    // wholesale duplicates are cut to nothing — BOTH copies (the
+    // aggressive cut-everywhere contract)
+    assert(cut(1L) == ("", 0L, 14L))
+    assert(cut(4L) == ("", 0L, 14L))
+    // partial overlap keeps the unique prefix only
+    assert(cut(2L) == ("b1 b2 b3", 3L, 10L))
+  }
+
+  test("vectors: ADC-then-refine re-ranks candidates by exact cosine — " +
+       "refined order equals the exact order over the probed cluster") {
+    // blob A (ids 0,2,4,6) degrades toward the query; blob B mirrors it.
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),
+      (2L, Seq(0.9, 0.1, 0.1, 0.9)),
+      (3L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (4L, Seq(0.8, 0.2, 0.2, 0.8)),
+      (5L, Seq(0.2, 0.8, 0.8, 0.2)),
+      (6L, Seq(0.7, 0.3, 0.3, 0.7))).toDF("id", "vec")
+    val seeds = corpus.filter(col("id") < 2).orderBy("id").collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+    val (coarse, _, _) = VectorOps.kmeansTrain(corpus, seeds, maxIter = 2)
+    val cbs = VectorOps.pqTrain(corpus, m = 2, k = 2, maxIter = 2)
+    val q = corpus.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val refined = VectorOps.ivfPqRefineTopK(corpus, q, coarse, cbs,
+      nprobe = 1, rcand = 5, k = 3).orderBy("rank").collect()
+    // nprobe=1 keeps the search inside blob A; with rcand covering the
+    // whole cluster, refine = exact cosine rank over {2,4,6}: the PQ
+    // codes (m=2,k=2 — heavily collapsed) no longer affect the order
+    assert(refined.map(_.getAs[Long]("id")).toSeq == Seq(2L, 4L, 6L))
+    // scores are the EXACT cosines, not ADC approximations
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exp = cos(Seq(1.0, 0.0, 0.0, 1.0), Seq(0.9, 0.1, 0.1, 0.9))
+    assert(math.abs(refined.head.getAs[Double]("score") - exp) < 1e-12)
+  }
+
+  test("graph: fixed-point PageRank reproduces the hand-computed " +
+       "trajectory, leaks dangling mass, bases no-inlink nodes") {
+    import spark.implicits._
+    import graft.llm.LinkGraph
+    // chain 0→1→2 with a dangling tail: node 2 has no out-edges
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = LinkGraph.pageRank(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the exact integer recurrence
+    val scale = LinkGraph.Scale
+    val base = (100L - 85L) * scale / 100L / 3L
+    val pr0 = scale / 3L
+    def next(inflow: Long): Long = base + 85L * inflow / 100L
+    val p1 = Map(0L -> next(0L), 1L -> next(pr0), 2L -> next(pr0))
+    val p2 = Map(0L -> next(0L), 1L -> next(p1(0L)), 2L -> next(p1(1L)))
+    assert(got == p2, s"got $got expected $p2")
+    // no-inlink node 0 sits at the damping base; mass is NOT conserved
+    // (node 2 dangles by contract)
+    assert(got(0L) == base)
+    assert(got.values.sum < scale)
+  }
+
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
