@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ColumnBridge, GraphiteEscape, GraphitePath, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
+import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, GraphiteEscape, GraphitePath, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -64,4 +64,6 @@ object GraftExtensions {
     ColumnBridge.col(VecCosine(ColumnBridge.expr(a), ColumnBridge.expr(b)))
   def vecL2Norm(a: Column): Column =
     ColumnBridge.col(VecL2Norm(ColumnBridge.expr(a)))
+  def cdcChunks(text: Column, w: Int, divisor: Int): Column =
+    ColumnBridge.col(CdcChunks(ColumnBridge.expr(text), w, divisor))
 }

@@ -899,6 +899,80 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style blocklist screen: drop any doc containing a listed term;
+    // blocked-occurrence count + keep verdict per doc, map-side only.
+    "llm_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistScreen(Tables.documents(s, dir),
+          Seq("slow", "big", "deprecated"))
+        .select(col("id").cast("long").as("doc_id"), col("n_blocked"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming cardinality: HLL registers maintained AT REST across
+    // micro-batches — each batch max-merges its own ≤256-row register
+    // table into the stored one (the mergeable-sketch contract in its
+    // streaming form; state is constant-size BY CONSTRUCTION, which is
+    // why the driver may pin it between batches). Because register max
+    // is associative and commutative, the streamed estimate equals the
+    // one-shot batch estimator over the full corpus EXACTLY — the
+    // equality column the oracle pins to 1.
+    "llm_stream_hll" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_shll").toString
+      val in = s"$base/in"
+      val regDir = s"$base/regs"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      def parquetFiles(): Set[String] = JFiles.list(Paths.get(in)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).toSet
+      docs.filter(col("doc_id") <= mid).coalesce(1)
+        .write.mode("append").parquet(in)
+      val firstBatch = parquetFiles()
+      docs.filter(col("doc_id") > mid).coalesce(1)
+        .write.mode("append").parquet(in)
+      val t0 = System.currentTimeMillis() - 60000
+      parquetFiles().toSeq.sorted.foreach { f =>
+        JFiles.setLastModifiedTime(Paths.get(f),
+          java.nio.file.attribute.FileTime.fromMillis(
+            if (firstBatch(f)) t0 else t0 + 10000))
+      }
+      def shingles(df: DataFrame) = df.select(explode(
+        TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3))
+        .as("item"))
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val newRegs = Sketches.hllRegisters(shingles(df))
+          val merged =
+            if (JFiles.exists(Paths.get(regDir))) {
+              df.sparkSession.read.parquet(regDir).unionByName(newRegs)
+                .groupBy(col("j")).agg(max(col("mj")).as("mj"))
+            } else newRegs
+          // ≤256 rows by construction: pin on the driver so the
+          // overwrite can't race its own input scan
+          val pinned = merged.collect().toSeq
+          val sp = df.sparkSession
+          sp.createDataFrame(sp.sparkContext.parallelize(pinned, 1),
+              merged.schema)
+            .write.mode("overwrite").parquet(regDir)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val streamEst = Sketches.hllEstimate(s.read.parquet(regDir))
+        .select(col("n_est").as("n_est_stream"))
+      val batchEst = Sketches.hllEstimate(Sketches.hllRegisters(
+        shingles(docs)))
+      streamEst.crossJoin(batchEst)
+        .select(col("n_est_stream"), col("n_est").as("n_est_batch"),
+          (col("n_est_stream") === col("n_est")).cast("long")
+            .as("stream_equals_batch"))
+    }),
+
     // Text analysis: tokenization (whitespace + BPE-ish regex), type-token
     // ratio, quality score, stopword-based language ID, rolling-hash
     // fingerprint — all map-side Catalyst expressions over `documents`.
@@ -3751,6 +3825,36 @@ object SparkEntry {
         |  (abs(n_est - (SELECT count(DISTINCT sh) FROM g)) <=
         |   (SELECT count(DISTINCT sh) FROM g) // 5)::BIGINT AS within20
         |FROM e""".stripMargin,
+
+    "llm_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(len([w FOR w IN str_split(text, ' ')
+        |            IF w IN ('slow', 'big', 'deprecated')]) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(CASE WHEN len([w FOR w IN str_split(text, ' ')
+        |                     IF w IN ('slow', 'big', 'deprecated')]) = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The streamed register merge is exact (max is associative and
+    // commutative), so the stream estimate IS the batch estimate — one
+    // sparse-register evaluation over the whole corpus.
+    "llm_stream_hll" ->
+      """WITH w AS (SELECT str_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |      ELSE [array_to_string(ws[i:i+2], ' ')
+        |            FOR i IN range(1, len(ws) - 1)] END) AS sh
+        |  FROM w),
+        |hx AS (SELECT CAST('0x'||substr(md5(sh),1,8) AS BIGINT) AS h FROM g),
+        |rg AS (SELECT h % 256 AS j,
+        |    max(CASE WHEN h // 256 = 0 THEN 25
+        |        ELSE 25 - length(ltrim(bin(h // 256), '0')) END) AS mj
+        |  FROM hx GROUP BY 1),
+        |e AS (SELECT ((718272::BIGINT * 256 * 256 * 33554432) //
+        |    (sum(1::BIGINT << CAST(25 - mj AS INT)) +
+        |     (256 - count(*)) * 33554432)) // 1000000 AS n_est FROM rg)
+        |SELECT n_est::BIGINT AS n_est_stream, n_est::BIGINT AS n_est_batch,
+        |  1::BIGINT AS stream_equals_batch FROM e""".stripMargin,
 
     "llm_hll_overlap" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),

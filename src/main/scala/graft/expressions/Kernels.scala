@@ -106,4 +106,83 @@ object Kernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
+
+  // ---- content-defined chunking (Rabin/LBFS shape, md5-windowed) ----
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(digest: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(digest(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Content-defined chunk rows for one document — the whole rolling
+    * pass in one eval: window md5s, boundary test, chunk cut, chunk
+    * md5s. Semantics are EXACTLY the former HOF spelling (and the
+    * DuckDB oracle): positions are CODE POINTS (Spark `substr`
+    * semantics), window hash value = first 8 md5 hex digits of the
+    * window's UTF-8 bytes as an unsigned 32-bit int, boundary ⇔ value %
+    * divisor == 0, chunk hash = md5 hex of the chunk's bytes, chunk_no
+    * numbered over the cut list BEFORE zero-length filtering (only a
+    * boundary flush at end-of-text produces one).
+    *
+    * One MessageDigest reused across every window and chunk, zero
+    * per-window allocation — the interpreted-lambda spelling paid a
+    * digest instance + UTF8String per window and ran ~6× slower.
+    */
+  def cdcChunks(text: UTF8String, w: Int, divisor: Int): ArrayData = {
+    val bytes = text.getBytes
+    // code-point byte offsets: off(i) = byte start of code point i;
+    // off(nCp) = bytes.length
+    var nCp = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) nCp += 1
+      bi += 1
+    }
+    val off = new Array[Int](nCp + 1)
+    var cp = 0
+    bi = 0
+    while (bi < bytes.length) {
+      if ((bytes(bi) & 0xC0) != 0x80) { off(cp) = bi; cp += 1 }
+      bi += 1
+    }
+    off(nCp) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // cut positions in code points: 0, every boundary window end, nCp
+    val cutsBuf = new java.util.ArrayList[Integer]()
+    cutsBuf.add(0)
+    var i = 0 // window start, 0-based code point
+    while (i + w <= nCp) {
+      md.reset()
+      md.update(bytes, off(i), off(i + w) - off(i))
+      val digest = md.digest()
+      val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      if (v % divisor == 0) cutsBuf.add(i + w)
+      i += 1
+    }
+    cutsBuf.add(nCp)
+    val rows = new java.util.ArrayList[Any](cutsBuf.size - 1)
+    var c = 1
+    while (c < cutsBuf.size) {
+      val a = cutsBuf.get(c - 1).intValue()
+      val b = cutsBuf.get(c).intValue()
+      if (b - a > 0) {
+        md.reset()
+        md.update(bytes, off(a), off(b) - off(a))
+        rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](c, a + 1, b - a,
+            UTF8String.fromString(toHex(md.digest())))))
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
 }

@@ -480,31 +480,18 @@ object TextAnalysis {
     * Scale shape: pure map work per document (no shuffle, no explode
     * until the caller wants rows); expected chunk length is `divisor`
     * chars, tail chunk keeps the remainder, docs shorter than `w` are a
-    * single unsplit chunk. All positions/hashes are integer/md5 — the
-    * unrolled list computation is reproducible in any engine.
+    * single unsplit chunk. All positions/hashes are integer/md5 —
+    * reproducible in any engine. Implemented as the native codegen'd
+    * [[org.apache.spark.sql.graft.CdcChunks]] expression (one kernel
+    * eval per document, one reused digest); the earlier composed
+    * higher-order-function spelling evaluated its per-window lambda
+    * interpreted and ran ~6× slower.
     *
     * @return array of (chunk_no 1-based, start 1-based, len, hash),
     *         covering the text exactly; empty array for empty text
     */
-  def cdcChunks(text: Column, w: Int = 8, divisor: Int = 64): Column = {
-    val n = length(text)
-    val idxs = when(n >= w, sequence(lit(1), n - (w - 1)))
-      .otherwise(array().cast("array<int>"))
-    val ends = transform(
-      filter(idxs, i => pmod(
-        conv(substring(md5(text.substr(i, lit(w))), 1, 8), 16, 10)
-          .cast("long"), lit(divisor.toLong)) === 0L),
-      i => i + lit(w - 1))
-    val cuts = concat(array(lit(0)), ends, array(n))
-    filter(
-      transform(sequence(lit(1), size(cuts) - 1), c => {
-        val a = element_at(cuts, c)
-        val b = element_at(cuts, c + 1)
-        struct(c.as("chunk_no"), (a + 1).as("start"), (b - a).as("len"),
-          md5(text.substr(a + 1, b - a)).as("hash"))
-      }),
-      s => s.getField("len") > 0)
-  }
+  def cdcChunks(text: Column, w: Int = 8, divisor: Int = 64): Column =
+    graft.GraftExtensions.cdcChunks(text, w, divisor)
 
   /** PII scrubbing patterns — conservative character-class-only regexes
     * (no lookaround, no lazy quantifiers) so Java regex and RE2 evaluate
@@ -849,5 +836,25 @@ object TextAnalysis {
       .filter(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .select((col("id") +: col("dl") +:
         terms.indices.map(i => col(s"tf_$i")) :+ col("score")): _*)
+  }
+
+  /** C4-style blocklist screen (the "bad words" filter that drops any
+    * page containing a listed term): per-document blocked-token count
+    * and the keep verdict (zero hits). Map-side only — the list rides in
+    * the plan as a literal array. At a realistic list size (hundreds to
+    * thousands of terms) swap the literal for a broadcast join on the
+    * word stream or fold the list into a Bloom screen à la
+    * [[Dedup.decontaminateBloom]]; the per-doc semantics are unchanged.
+    *
+    * @return one row per doc: (id, n_blocked, keep 0/1)
+    */
+  def blocklistScreen(docs: DataFrame, blocklist: Seq[String],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val blocked = filter(words(col(textCol)),
+      w => array_contains(lit(blocklist.toArray), w))
+    docs.select(col(idCol).as("id"),
+      size(blocked).cast("long").as("n_blocked"),
+      (size(blocked) === 0).cast("long").as("keep"))
   }
 }

@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graft
+
+import graft.expressions.Kernels
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-pipeline expressions (same placement rationale as
+  * `CodecExpressions`).
+  */
+
+/** Content-defined chunking as ONE codegen'd expression: the whole
+  * rolling-window pass (window md5s, boundary test, cut, chunk md5s)
+  * runs in a single kernel eval per document with one reused
+  * MessageDigest. The composed higher-order-function spelling evaluated
+  * its lambda per window INTERPRETED — a fresh digest instance and
+  * UTF8String per window — and was the most expensive entry in the
+  * whole bench (~6× this kernel). Semantics unchanged; the DuckDB
+  * oracle still pins them.
+  */
+case class CdcChunks(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1 && divisor >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = CdcChunks.Schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cdcChunks(input.asInstanceOf[UTF8String], w, divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.cdcChunks($c, $w, $divisor)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_no", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("hash", StringType, nullable = false))),
+    containsNull = false)
+}

@@ -399,6 +399,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(refined.head.getAs[Double]("score") - exp) < 1e-12)
   }
 
+  test("text: blocklist screen counts occurrences (not types) and keeps " +
+       "only hit-free docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good text only"),
+      (2L, "bad bad words here"),
+      (3L, "one bad word")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScreen(docs, Seq("bad", "worse"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (0L, 1L))
+    assert(got(2L) == (2L, 0L)) // two OCCURRENCES of one type
+    assert(got(3L) == (1L, 0L))
+  }
+
   test("graph: fixed-point PageRank reproduces the hand-computed " +
        "trajectory, leaks dangling mass, bases no-inlink nodes") {
     import spark.implicits._
