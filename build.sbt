@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 127-entry bench/verify suites run one driver JVM
+  // end to end; at 8g the late-suite entries paid multi-second GC walls
+  // that looked like (phantom) per-entry regressions. The driver box
+  // has 128 GiB; a real cluster sizes spark.driver.memory the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -33,6 +33,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // static conf, default 100: a 100-entry generated-class cache
+      // thrashes under a 120+-query suite — late entries then RECOMPILE
+      // their codegen on every trial, which read as phantom 4-5x
+      // regressions on unchanged code (r9's llm_dedup_cluster, r11's
+      // minhash/incremental). Size it to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

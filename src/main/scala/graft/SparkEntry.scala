@@ -1315,9 +1315,9 @@ object SparkEntry {
     }),
 
     // Exact-substring duplicated-span dedup (Lee et al. ExactSubstr):
-    // stride-1 8-word windows, corpus-duplicated windows marked by ONE
-    // hash-keyed shuffle (window count, not groupBy+join), maximal spans
-    // via per-doc gaps-and-islands merge. Partial replays are planted
+    // stride-1 8-word windows, duplicates marked by a partial-combined
+    // hash count + skew-splittable join back onto the window stream,
+    // maximal spans via gaps-and-islands. Partial replays are planted
     // (words 11..40 of every 5th long doc + a unique tail), so the spans
     // found are genuine sub-document overlaps, not whole-doc copies.
     "llm_dup_spans" -> ((s, dir) => {

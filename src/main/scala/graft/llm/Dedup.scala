@@ -919,26 +919,30 @@ object Dedup {
     * the cut text is identical either way).
     *
     * Scale shape: the window stream is one row per corpus token — the
-    * same cardinality a suffix array indexes. It shuffles ONCE, keyed on
-    * the window hash, where an in-partition window count marks
-    * duplicated windows (a window-function count, not groupBy +
-    * self-join — the token-scale stream moves once, not twice). Only
-    * the surviving duplicated windows (a tiny fraction at crawl scale)
-    * re-shuffle on doc id for the per-doc interval merge (classic
-    * gaps-and-islands over the per-doc pos sort). A pathologically hot
-    * window (one phrase duplicated millions of times) skews its hash
-    * partition; AQE splits it, and every output row it yields is still
-    * bounded by that partition's input.
+    * same cardinality a suffix array indexes. Duplicated windows are
+    * marked by [[duplicatedWindows]]' partial-combined hash count +
+    * skew-splittable join; only the survivors (a tiny fraction at crawl
+    * scale) re-shuffle on doc id for the per-doc interval merge
+    * (classic gaps-and-islands over the per-doc pos sort).
     *
     * @return one row per maximal duplicated span: (doc_id, span_start,
     *         span_end) inclusive 0-based token positions, span_tokens its
     *         length, n_windows the duplicated k-windows merged into it
     */
   /** The duplicated length-k windows of the corpus: (id, pos) for every
-    * stride-1 window whose hash occurs ≥ 2 times corpus-wide. ONE
-    * token-scale shuffle (window-function count keyed on the hash).
-    * Shared by [[duplicatedSpans]] (interval merge) and
-    * [[cutDuplicatedSpans]] (token removal).
+    * stride-1 window whose hash occurs ≥ 2 times corpus-wide. Shared by
+    * [[duplicatedSpans]] (interval merge) and [[cutDuplicatedSpans]]
+    * (token removal).
+    *
+    * Deliberately a partial-combined groupBy + equi-join rather than a
+    * `count over (partition by whash)` window: the window form shuffles
+    * the FULL token-scale row stream once but then must SORT every
+    * partition, gets no map-side combine, and — decisive at 100 TB — a
+    * pathologically hot window hash lands one unsplittable partition
+    * (AQE's skew handling applies to joins, not window sorts). The
+    * groupBy's shuffle carries only per-task distinct-hash partial
+    * counts, and the join back onto the window stream is a plain
+    * shuffle join AQE CAN skew-split.
     */
   private def duplicatedWindows(docs: DataFrame, k: Int, textCol: String,
                                 idCol: String): DataFrame = {
@@ -947,10 +951,11 @@ object Dedup {
         posexplode(TextAnalysis.wordShingles(
           TextAnalysis.words(col(textCol)), k)).as(Seq("pos", "sh")))
       .select(col("id"), col("pos"), md5(col("sh")).as("whash"))
-    val byHash = Window.partitionBy(col("whash"))
-    win
-      .withColumn("n_occ", count(lit(1)).over(byHash))
+    val dupHashes = win.groupBy(col("whash"))
+      .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+      .select(col("whash"))
+    win.join(dupHashes, Seq("whash"))
       .select(col("id"), col("pos"))
   }
 
@@ -984,7 +989,7 @@ object Dedup {
     * it — the conservative keep-one policy is [[duplicatedSpans]] plus a
     * keeper rule on the span groups.)
     *
-    * Scale shape: [[duplicatedWindows]]'s one hash-keyed shuffle, then
+    * Scale shape: [[duplicatedWindows]] finds the dups, then
     * the rare duplicated windows fan out to their k covered positions
     * (k× the SMALL side, map-side) and anti-join the token stream on
     * (id, pos); the survivors re-shuffle on the doc id for the ordered
