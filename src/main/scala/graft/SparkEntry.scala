@@ -1333,6 +1333,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // Asymmetric containment (quote detection): excerpts of every 6th
+    // long doc are planted (words 5..24 re-issued as new short docs) —
+    // Jaccard vs the source is far below any dedup threshold (the long
+    // doc dominates the union), but containment of the excerpt is 100%.
+    // df-capped inverted-index join, exact-integer ppm scores.
+    "llm_containment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val excerpt = d.filter(col("doc_id") % 6 === 0 && size(ws) >= 30)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          array_join(slice(ws, 5, 20), " ").as("text"))
+      Dedup.containmentPairs(d.unionByName(excerpt))
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("n_shared"),
+          col("n_a"), col("cont_ppm"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // The ExactSubstr CUT composed end-to-end: duplicated windows →
     // covered token positions → anti-join the token stream → per-doc
     // ordered rebuild. Same planted partial replays as llm_dup_spans;
@@ -5158,6 +5176,38 @@ object SparkEntry {
         |  count(*) AS n_windows
         |FROM island GROUP BY doc_id, isl_id
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "llm_containment" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    array_to_string(str_split(text, ' ')[5:24], ' ')
+        |  FROM documents
+        |  WHERE doc_id % 6 = 0 AND len(str_split(text, ' ')) >= 30),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |        ELSE [array_to_string(ws[i:i+2], ' ')
+        |              FOR i IN range(1, len(ws) - 1)] END) AS sh
+        |    FROM w)),
+        |keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+        |capped AS MATERIALIZED (
+        |  SELECT s.doc_id, s.sh FROM sh s JOIN keepsh USING (sh)),
+        |na AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM capped a JOIN capped b
+        |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(na.n AS BIGINT) AS n_a,
+        |  (n_shared * 1000000) // na.n AS cont_ppm
+        |FROM pairs JOIN na ON na.doc_id = pairs.id_a
+        |WHERE (n_shared * 1000000) // na.n >= 800000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "llm_dup_cut" ->
       """WITH all_docs AS (

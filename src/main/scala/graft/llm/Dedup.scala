@@ -1025,6 +1025,58 @@ object Dedup {
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — quote/excerpt detection:
+    * containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+    * Jaccard structurally misses a short document quoted inside a long
+    * one (the union denominator is dominated by the long side);
+    * containment normalizes by the QUOTED side only, which is how
+    * "this crawl page embeds that reference document" is actually
+    * asked. Returns both directions of every qualifying ordered pair.
+    *
+    * Scale shape: the inverted-index candidate join — distinct doc
+    * shingles self-joined on the shingle — with the df-CAP that makes
+    * it tractable: a shingle appearing in more than `dfCap` documents
+    * is boilerplate, not evidence of quoting, and is dropped BEFORE the
+    * join (same posting-list capping as the tf-idf retrieval join), so
+    * the pair stream is bounded by Σ df² over capped shingles, never
+    * n². Containment is then computed over the capped shingle space on
+    * BOTH sides (count and denominator from the same filtered stream —
+    * self-consistent semantics, exact integers).
+    *
+    * @return (id_a, id_b, n_shared, n_a, cont_ppm) with containment of
+    *         A in B as parts-per-million, cont_ppm ≥ tauPpm
+    */
+  def containmentPairs(docs: DataFrame, shingleWords: Int = 3,
+                       dfCap: Int = 50, tauPpm: Long = 800000L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.words(col(textCol)), shingleWords))).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("sh"))
+    val capped = sh.join(df, Seq("sh")).persist()
+    val na = capped.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = pairs
+      .join(na.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("n").as("n_a"),
+        call_function("div", col("n_shared") * lit(1000000L), col("n"))
+          .as("cont_ppm"))
+      .filter(col("cont_ppm") >= tauPpm)
+    // materialize before releasing the shared shingle cache (the
+    // release-early contract the other candidate-join ops follow)
+    val ck = out.localCheckpoint(true)
+    capped.unpersist()
+    ck
+  }
+
   def semanticGroups(corpus: DataFrame,
                      centroids: Seq[(Int, Seq[Double])],
                      tau: Double): DataFrame = {

@@ -399,6 +399,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(refined.head.getAs[Double]("score") - exp) < 1e-12)
   }
 
+  test("dedup: containment flags the quoted excerpt Jaccard misses, and " +
+       "the df-cap drops boilerplate shingles before the join") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (8 to 19).map(i => s"w$i").mkString(" ") // fully inside base
+    val docs = Seq((1L, base), (2L, quote), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 3, 50, 800000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // quote ⊂ base: all 10 of the quote's shingles shared → 100%
+    assert(got((2L, 1L)) == (10L, 10L, 1000000L))
+    // the reverse direction (base in quote) is 10/28 — filtered; for
+    // the record that pair's JACCARD is also 10/28 ≈ 0.36, under any
+    // dedup threshold: this is exactly the pair Jaccard misses
+    assert(got.size == 1)
+    // boilerplate: one shingle shared across three docs, nothing else
+    val bp = Seq((10L, "c1 c2 c3 a1 a2"), (11L, "c1 c2 c3 b1 b2"),
+      (12L, "c1 c2 c3 d1 d2")).toDF("doc_id", "text")
+    // df-cap 2 drops the df=3 shingle pre-join → no candidate pairs
+    assert(Dedup.containmentPairs(bp, 3, 2, 1L).count() == 0)
+    // df-cap 5 keeps it → all 6 ordered pairs surface
+    assert(Dedup.containmentPairs(bp, 3, 5, 1L).count() == 6)
+  }
+
   test("text: blocklist screen counts occurrences (not types) and keeps " +
        "only hit-free docs") {
     import spark.implicits._
