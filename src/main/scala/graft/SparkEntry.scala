@@ -4,7 +4,7 @@ import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
 import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
-import graft.llm.{Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
+import graft.llm.{CrawlOps, Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.model.{Tables, Tags}
 import graft.operators.TimeSeriesOps
 import graft.sinks.Formatters
@@ -69,6 +69,73 @@ object SparkEntry {
   private lazy val OpqRot: Seq[Seq[Double]] = VectorOps.orthogonalMatrix(64)
   private lazy val ORot: String =
     OpqRot.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** Deterministic messy-URL synthesis for the crawl entries (the corpus
+    * has no URL column): four alias spellings per doc keyed on doc_id%4 —
+    * upper-case www + default port + tracking + fragment, clean https +
+    * tracking tail, explicit non-default port, and a mobile subdomain.
+    * Spellings 0 and 1 of the same (source, doc_id%50) canonicalize to
+    * the SAME URL, so alias collapse is exercised, not just formatting.
+    */
+  private def messyUrl: Column = {
+    val idMod = (col("doc_id") % 50).cast("long").cast("string")
+    val base = concat(col("source"), lit(".com"))
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW."), upper(base), lit(":443/a/b/?utm_source=feed&id="),
+        idMod, lit("#top")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), base, lit("/a/b?id="), idMod,
+          lit("&utm_campaign=x&ref=rss")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://"), base, lit(":8443/a/b?z=2&id="), idMod))
+      .otherwise(concat(lit("http://m."), base, lit("/c/"),
+        (col("doc_id") % 30).cast("long").cast("string")))
+      .as("url")
+  }
+
+  /** Oracle-side messy-URL synthesis — the SQL mirror of [[messyUrl]],
+    * shared by the two crawl oracles so they cannot drift apart.
+    */
+  private val UrlSynthSql: String =
+    "SELECT doc_id, " +
+      "CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com') || ':443/a/b/?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) || '#top' " +
+      "WHEN 1 THEN 'https://' || source || '.com/a/b?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x&ref=rss' " +
+      "WHEN 2 THEN 'https://' || source || '.com:8443/a/b?z=2&id=' || CAST(doc_id % 50 AS VARCHAR) " +
+      "ELSE 'http://m.' || source || '.com/c/' || CAST(doc_id % 30 AS VARCHAR) END AS url " +
+      "FROM documents"
+
+  /** Oracle-side URL canonicalization (CTEs `p`→`c`→`f` over `u`) — the
+    * SQL mirror of [[graft.llm.CrawlOps.canonicalizeUrl]], step for step.
+    */
+  private val UrlCanonSql: String =
+    """p AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS hostraw,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS pathraw,
+      |    regexp_extract(url, '^[^#]*?\?([^#]*)', 1) AS qraw
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, url, scheme,
+      |    CASE WHEN starts_with(hostraw, 'www.') THEN substr(hostraw, 5) ELSE hostraw END AS host,
+      |    CASE WHEN (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') OR port = ''
+      |         THEN '' ELSE ':' || port END AS portpart,
+      |    CASE WHEN pathraw = '' THEN '/' ELSE pathraw END AS path0,
+      |    list_sort(list_filter(string_split(qraw, '&'),
+      |      x -> NOT (starts_with(x, 'utm_')
+      |                OR list_contains(['fbclid','gclid','msclkid','ref','mc_cid','mc_eid'], string_split(x, '=')[1])
+      |                OR x = ''))) AS params
+      |  FROM p),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme = '' OR host = '' THEN url
+      |         ELSE scheme || '://' || host || portpart ||
+      |              (CASE WHEN path0 <> '/' AND path0 LIKE '%/' THEN substr(path0, 1, length(path0) - 1) ELSE path0 END) ||
+      |              (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+      |    END AS canonical_url
+      |  FROM c)""".stripMargin
 
   /** Flagship: the remote-read bucket-quantile query on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
@@ -1295,6 +1362,30 @@ object SparkEntry {
         .orderBy(col("first_doc"), col("chunk_hash"))
     }),
 
+    // C4 line-level dedup: 10-word lines, twice-replayed every-7th docs
+    // push their lines to 3 corpus occurrences > the max of 2, so every
+    // copy (original included) loses them — the global boilerplate rule.
+    // Only (hash, id, pos) triples shuffle; text is re-split map-side at
+    // reconstruction, and untouched docs ride the left-join null path.
+    "llm_line_dedup" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rep1 = d0.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val rep2 = d0.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val ws = TextAnalysis.words(col("text"))
+      val nl = floor((size(ws) + lit(9)) / lit(10)).cast("int")
+      val lineArr = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(ws, i * 10 + 1, lit(10)), " "))
+      val docs = d0.unionByName(rep1).unionByName(rep2)
+        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      Dedup.lineDedup(docs, maxOccurrences = 2)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("clean_hash"),
+          col("n_lines"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fixed-point PageRank over a deterministic doc→doc link graph (3
     // hash-derived out-links per doc) — the crawl-side centrality signal
     // (Common Crawl rank files) next to the content-side quality scores.
@@ -1392,6 +1483,71 @@ object SparkEntry {
       Sampling.mixtureSampleSqrt(d, "lang", "doc_id")
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Weighted sampling without replacement (A-ES, Efraimidis-Spirakis):
+    // 10 docs per language, selection probability ∝ n_chars. Exponential
+    // keys ln(u)/w on the 2^20 fixed-point grid from a deterministic md5
+    // draw; WindowGroupLimit keeps a 10-heap per task so the one shuffle
+    // carries O(strata × 10), not the corpus.
+    "llm_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      Sampling.weightedSample(d, col("lang"), "doc_id", col("n_chars"), 10)
+        .select(col("stratum"), col("sample_rank"),
+          col("doc_id").cast("long").as("doc_id"), col("sample_key"))
+        .orderBy(col("stratum"), col("sample_rank"))
+    }),
+
+    // Canonical text cleanup: NFC composition + invisible/control strip +
+    // whitespace canonicalization, pinned by planted mess on every 3rd doc
+    // (decomposed é, zero-width space, CRLF, BEL, tab runs, edge spaces).
+    // Pure map — no shuffle; the native nfc_normalize expression keeps the
+    // pass inside whole-stage codegen with an isNormalized zero-alloc fast
+    // path for already-clean rows.
+    "llm_text_normalize" -> ((s, dir) => {
+      val mess = concat(
+        lit("\r\n  caf"), decode(unhex(lit("65CC81")), "UTF-8"),
+        decode(unhex(lit("E2808B")), "UTF-8"), lit("\tmenu"),
+        decode(unhex(lit("07")), "UTF-8"), lit("  x  "))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0, mess).otherwise(lit(""))).as("t"))
+      d.select(col("doc_id"), TextAnalysis.normalizeText(col("t")).as("norm"),
+          col("t"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("norm")).as("norm_hash"),
+          length(col("norm")).cast("long").as("n_chars_norm"),
+          (length(col("t")) - length(col("norm"))).cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + fetch dedup: scheme/host case, www, default
+    // ports, fragments, tracking params, param order, trailing slashes all
+    // collapse before the groupBy — the alias classes (4 deterministic
+    // spellings per doc) shrink map-side under partial combine.
+    "llm_url_canon" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), messyUrl)
+      val canon = d.select(col("doc_id"),
+        CrawlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+      canon.groupBy(col("canonical_url")).agg(
+          min(col("doc_id")).cast("long").as("keeper_id"),
+          count(lit(1)).as("n_aliases"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Host-level crawl rollup over the deduped canonical URLs: pages,
+    // total fetch aliases, first id per host — the crawler-trap /
+    // tail-host policy table. Second shuffle is host-cardinality sized.
+    "llm_host_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), messyUrl)
+      CrawlOps.hostReport(d, "url", "doc_id")
+        .select(col("host"), col("n_pages"), col("n_fetches"),
+          col("first_id").cast("long").as("first_id"))
+        .orderBy(col("host"))
     }),
 
     // Token-budget selection: best-quality docs until a 20k-token budget,
@@ -1535,6 +1691,28 @@ object SparkEntry {
         r.getField("pad_y").cast("long").as("pad_y"),
         round(r.getField("scale"), 6).as("scale"))
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual image near-dup: REAL pixel math — deterministic 10×8
+    // 24-bpp BMPs (stride-padded, bottom-up), dHash sampled from the
+    // payload BYTES via header geometry, brightness-shifted twins (+32
+    // every channel) provably collide while different seeds diverge.
+    // Only the 16-hex hash shuffles; the oracle recomputes every hash
+    // closed-form from the pixel formula, so any byte of the Spark-side
+    // plumbing (stride, row order, sampling grid, bit order) being wrong
+    // breaks the compare.
+    "llm_image_dhash" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val base = d.select(col("doc_id").cast("long").as("media_id"),
+        Multimodal.patternBmp(col("doc_id"), 10, 8, lit(0)).as("payload"))
+      val bright = d.select((col("doc_id") + 100000).cast("long").as("media_id"),
+        Multimodal.patternBmp(col("doc_id"), 10, 8, lit(32)).as("payload"))
+      base.unionByName(bright)
+        .select(col("media_id"), Multimodal.dHashBmp(col("payload")).as("dhash"))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("first_id"))
+        .filter(col("n_images") > 1)
+        .orderBy(col("first_id"))
     }),
 
     // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
@@ -5141,6 +5319,34 @@ object SparkEntry {
         |FROM pd GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY first_doc, chunk_hash""".stripMargin,
 
+    "llm_line_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |d AS (SELECT doc_id,
+        |    [array_to_string(ws[i*10+1 : i*10+10], ' ')
+        |     for i in range(0, CAST((len(ws)+9)//10 AS BIGINT))] AS lines
+        |  FROM w),
+        |l AS (SELECT doc_id, i AS pos, lines[i+1] AS line
+        |  FROM d, unnest(range(0, len(lines))) AS t(i)),
+        |f AS (SELECT md5(line) AS lh, count(*) AS n FROM l GROUP BY 1),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |  JOIN f ON md5(l.line) = f.lh WHERE f.n <= 2),
+        |agg AS (SELECT doc_id,
+        |    array_to_string(list(line ORDER BY pos), chr(10)) AS clean,
+        |    count(*) AS kept
+        |  FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(lines) AS n_lines FROM d)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  md5(coalesce(a.clean, '')) AS clean_hash,
+        |  CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(t.n_lines - coalesce(a.kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "llm_dup_spans" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -5263,6 +5469,67 @@ object SparkEntry {
         |        / 1152921504606846976.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
 
+    "llm_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    CAST(floor(ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 15) AS BIGINT)
+        |          / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) * 1048576.0) AS BIGINT) AS sample_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT stratum, sample_key, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY stratum ORDER BY sample_key DESC, doc_id) AS BIGINT) AS sample_rank
+        |  FROM k)
+        |SELECT stratum, sample_rank, CAST(doc_id AS BIGINT) AS doc_id, sample_key
+        |FROM r WHERE sample_rank <= 10 ORDER BY stratum, sample_rank""".stripMargin,
+
+    "llm_text_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |      THEN chr(13) || chr(10) || '  caf' || decode(from_hex('65CC81')) || decode(from_hex('E2808B')) || chr(9) || 'menu' || chr(7) || '  x  '
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(nfc_normalize(t), '\r\n|\r', chr(10), 'g'),
+        |            '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |          '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]', '', 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |      '(?m)^ | $', '', 'g') AS norm
+        |  FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(norm) AS norm_hash,
+        |       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        |       CAST(length(t) - length(norm) AS BIGINT) AS n_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "llm_url_canon" ->
+      s"""WITH u AS ($UrlSynthSql),
+        |$UrlCanonSql
+        |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_aliases
+        |FROM f GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "llm_host_report" ->
+      s"""WITH u AS ($UrlSynthSql),
+        |$UrlCanonSql,
+        |perurl AS (
+        |  SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_aliases
+        |  FROM f GROUP BY canonical_url),
+        |h AS (
+        |  SELECT
+        |    CASE WHEN starts_with(lower(regexp_extract(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), 'www.')
+        |         THEN substr(lower(regexp_extract(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)), 5)
+        |         ELSE lower(regexp_extract(canonical_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) END AS host,
+        |    keeper_id, n_aliases
+        |  FROM perurl)
+        |SELECT host, count(*) AS n_pages, CAST(sum(n_aliases) AS BIGINT) AS n_fetches,
+        |       CAST(min(keeper_id) AS BIGINT) AS first_id
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
+
     "llm_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -5369,6 +5636,33 @@ object SparkEntry {
         |  (224 - w2) // 2 AS pad_x, (224 - h2) // 2 AS pad_y,
         |  round(s, 6) AS scale
         |FROM z ORDER BY media_id""".stripMargin,
+
+    // dHash closed form: gray(gx,gy) from the pixel formula directly —
+    // an INDEPENDENT derivation (no byte parsing), so the byte-level
+    // Spark path is cross-checked, not mirrored.
+    "llm_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id + 100000 AS BIGINT) FROM documents),
+        |hsh AS (
+        |  SELECT media_id,
+        |    array_to_string([
+        |      lpad(hex(list_sum([
+        |        CASE WHEN
+        |          (((doc_id*7 + gy*29 + ((gx*10)//9)*13) % 192)
+        |           + ((doc_id*7 + gy*29 + ((gx*10)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + gy*29 + ((gx*10)//9)*13 + 10) % 192)) // 3
+        |          >
+        |          (((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13) % 192)
+        |           + ((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13 + 10) % 192)) // 3
+        |        THEN (1::BIGINT << (7 - gx)) ELSE 0 END
+        |        for gx in range(0, 8)])), 2, '0')
+        |      for gy in range(0, 8)], '') AS dhash
+        |  FROM ids)
+        |SELECT dhash, count(*) AS n_images, CAST(min(media_id) AS BIGINT) AS first_id
+        |FROM hsh GROUP BY dhash HAVING count(*) > 1 ORDER BY first_id""".stripMargin,
 
     "a7_compact_roundtrip" ->
       s"""WITH m AS (

@@ -185,4 +185,18 @@ object Kernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
+
+  /** Unicode NFC normalization (canonical composition). Fast path: the
+    * JDK's `isNormalized` is a cheap scan that is true for all-ASCII and
+    * already-composed text — the overwhelming share of a web corpus — and
+    * then the input UTF8String is returned as-is, zero allocation. Both
+    * the JDK and DuckDB's utf8proc implement the same Unicode
+    * normalization algorithm (UAX #15), so results agree byte-for-byte.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-side curation operators: URL canonicalization and host-level
+  * rollups — the steps between "raw crawl" and "document corpus" that the
+  * content-side operators ([[Dedup]], [[TextAnalysis]]) assume have
+  * already happened. The same page is typically fetched under dozens of
+  * URL spellings (scheme/host case, default ports, tracking parameters,
+  * fragments, parameter order); canonicalization collapses them BEFORE
+  * fetch dedup, which at crawl scale is the difference between fetching a
+  * page once and fetching it forty times.
+  *
+  * Everything is built-in string/array Catalyst expressions (codegen'd,
+  * no UDFs), per-row map-side only — the canonical form is a pure
+  * function of the URL string, so the pass scales linearly and the
+  * DuckDB oracle reproduces it verbatim.
+  */
+object CrawlOps {
+
+  /** Query parameters that identify a CLICK, not a PAGE — the standard
+    * tracking families (Google Analytics utm_*, Facebook fbclid, Google
+    * gclid, Mailchimp mc_*) plus the bare `ref` referrer tag. Dropped by
+    * [[canonicalizeUrl]]; extend per deployment.
+    */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+  private def isTracking(p: Column): Column =
+    p.startsWith("utm_") || substring_index(p, "=", 1).isin(TrackingParams: _*) ||
+      p === ""
+
+  /** Canonical URL form:
+    *
+    *  - scheme and host lowercased; a leading `www.` host label dropped
+    *    (the near-universal alias — `www.x.com` and `x.com` serve the
+    *    same page);
+    *  - default ports stripped (`:80` for http, `:443` for https; other
+    *    ports kept — they address different servers);
+    *  - fragment dropped entirely (client-side only, never reaches the
+    *    server);
+    *  - tracking query parameters dropped ([[TrackingParams]] + `utm_*`),
+    *    remaining parameters sorted by byte order (parameter order is
+    *    irrelevant to virtually all servers but splits hash keys);
+    *  - empty path becomes `/`; a trailing slash on a non-root path is
+    *    dropped (`/a/b/` ≡ `/a/b`, the common server behavior).
+    *
+    * Inputs that don't look like `scheme://host...` are returned
+    * unchanged (canonicalization must never invent structure).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    val hostClean = when(hostRaw.startsWith("www."), substring(hostRaw, 5, 1000000))
+      .otherwise(hostRaw)
+    val port = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)", 1)
+    val pathRaw = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    // anchored before any '#': a '?' inside the fragment is not a query
+    val queryRaw = regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443") || port === ""
+    val portPart = when(defaultPort, lit("")).otherwise(concat(lit(":"), port))
+
+    val path0 = when(pathRaw === "", lit("/")).otherwise(pathRaw)
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+      path0.substr(lit(1), length(path0) - 1))
+      .otherwise(path0)
+
+    val params = array_sort(filter(split(queryRaw, "&"), p => !isTracking(p)))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+
+    when(scheme === "" || hostRaw === "", url)
+      .otherwise(concat(scheme, lit("://"), hostClean, portPart, path, queryPart))
+  }
+
+  /** Host of a URL under the same normalization as [[canonicalizeUrl]]
+    * (lowercase, `www.` dropped) — the grouping key for host-level
+    * curation policy. Empty string for non-URL inputs.
+    */
+  def hostOf(url: Column): Column = {
+    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    when(hostRaw.startsWith("www."), substring(hostRaw, 5, 1000000))
+      .otherwise(hostRaw)
+  }
+
+  /** URL-level fetch dedup + host rollup in one pass: canonicalize,
+    * collapse to one row per canonical URL (keeper = min id — first
+    * fetch wins), and report per-host page and alias counts. This is the
+    * crawl-frontier curation table: hosts with huge alias fan-out are
+    * crawler traps; hosts with one page are tail noise.
+    *
+    * Scale shape: one groupBy on the canonical URL (partial combine
+    * collapses alias groups map-side), then a host-level re-agg over the
+    * already-deduped rows — host cardinality ≪ URL cardinality, so the
+    * second shuffle is small. No window, no driver state.
+    */
+  def hostReport(urls: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val canon = urls.select(col(idCol).as("id"),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val perUrl = canon.groupBy(col("canonical_url")).agg(
+      min(col("id")).as("keeper_id"),
+      count(lit(1)).as("n_aliases"))
+    perUrl
+      .withColumn("host", hostOf(col("canonical_url")))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(col("n_aliases")).as("n_fetches"),
+        min(col("keeper_id")).as("first_id"))
+  }
+}

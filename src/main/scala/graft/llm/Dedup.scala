@@ -719,6 +719,56 @@ object Dedup {
       .filter(col("n_docs") > 1)
   }
 
+  /** C4-style corpus LINE dedup (Raffel et al. 2020: "we discarded any
+    * line that occurred more than [k] times in the dataset"): count every
+    * line's corpus-wide occurrences, drop ALL occurrences of lines over
+    * the threshold from every document, and reassemble the documents —
+    * the boilerplate killer (nav bars, cookie banners, license footers)
+    * that document- and passage-level dedup both miss because the
+    * surrounding text differs everywhere.
+    *
+    * Scale shape — the document text NEVER shuffles: lines are hashed
+    * map-side right after the posexplode and the text column is dropped,
+    * so the counting agg and the bad-line join move only (hash, id, pos)
+    * triples. The bad-line set (hashes over the threshold) is a small
+    * fraction of line types by construction (most lines are unique);
+    * per-doc bad POSITIONS aggregate to one bounded int-array row per
+    * affected doc, and the final join back to `docs` is keyed on the doc
+    * id with that tiny side — AQE broadcasts it when it fits. Documents
+    * with no bad line take the left-join null fast path: text passes
+    * through untouched, no per-line work at all. Reconstruction re-splits
+    * the original text map-side and drops the flagged positions — exact,
+    * order-preserving, and the only place full text is touched.
+    */
+  def lineDedup(docs: DataFrame, maxOccurrences: Long,
+                delim: String = "\n", textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val pat = java.util.regex.Pattern.quote(delim)
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), pat)).as(Seq("pos", "line")))
+      .select(col("id"), col("pos"), md5(col("line")).as("lhash"))
+    val bad = lines.groupBy(col("lhash"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxOccurrences)
+      .select(col("lhash"))
+    val badPos = lines.join(bad, Seq("lhash"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("bad_pos"))
+    val ws = split(col(textCol), pat)
+    val kept = filter(
+      transform(sequence(lit(0), size(ws) - 1),
+        i => struct(i.as("i"), element_at(ws, i + 1).as("line"))),
+      s => !array_contains(col("bad_pos"), s.getField("i")))
+    docs.join(badPos, docs(idCol) === badPos("id"), "left")
+      .select(col(idCol),
+        when(col("bad_pos").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, s => s.getField("line")), delim))
+          .as(textCol),
+        size(ws).cast("long").as("n_lines"),
+        coalesce(size(col("bad_pos")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one contiguous word n-gram with an evaluation corpus — the
     * GPT-3-style overlap scrub (13-gram there; n is a parameter) that

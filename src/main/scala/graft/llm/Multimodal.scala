@@ -244,6 +244,74 @@ object Multimodal {
       length(payload).cast("long").as("n_bytes"))
   }
 
+  /** Perceptual difference hash (dHash) over a 24-bpp BMP payload — REAL
+    * pixel math on real bytes: geometry comes from the header (LE width/
+    * height at 19/23, spec row stride = ceil(3w/4)·4, bottom-up row
+    * order), a 9×8 grayscale grid is nearest-neighbor sampled from the
+    * pixel array, and each of the 64 bits records whether gray(x,y) >
+    * gray(x+1,y). Returned as a 16-hex string (row bytes MSB-first, top
+    * row first).
+    *
+    * This is the canonical image near-dup key: invariant to uniform
+    * brightness shifts (all comparisons preserved) and robust to small
+    * local edits, while byte-level hashes (md5/crc) break under either.
+    * Pure composed builtins over the payload — map-side, no UDF; at
+    * corpus scale only the 16-char hash ever shuffles, exactly the
+    * repeatedPassages contract. A full decoder pipeline would swap the
+    * sampling arithmetic for a codec call with the SAME output column.
+    *
+    * Null for payloads that don't pass the BMP sniff or whose pixel
+    * array is shorter than the header geometry claims (truncated file) —
+    * a garbage-geometry hash must never enter a dedup key space.
+    */
+  def dHashBmp(payload: Column): Column = {
+    val w = leInt(payload, 19, 4)
+    val h = leInt(payload, 23, 4)
+    val stride = floor((w * 3 + 3) / 4) * 4
+    def byteAt(off: Column): Column =
+      conv(hex(payload.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
+    // gray at grid cell (gx ∈ 0..8, gy ∈ 0..7): nearest-neighbor pixel
+    // (x, y) = (⌊gx·w/9⌋, ⌊gy·h/8⌋); image row y sits at file row h−1−y
+    def grayAt(gx: Column, gy: Column): Column = {
+      val x = floor(gx * w / 9)
+      val y = floor(gy * h / 8)
+      val off = lit(55) + (h - 1 - y) * stride + x * 3
+      floor((byteAt(off) + byteAt(off + 1) + byteAt(off + 2)) / 3)
+    }
+    val okBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D" &&
+      leInt(payload, 29, 2) === 24 &&
+      length(payload) >= lit(54) + h * stride
+    val rowHex = transform(sequence(lit(0L), lit(7L)), gy =>
+      lpad(hex(aggregate(sequence(lit(0L), lit(7L)), lit(0L),
+        (acc, gx) =>
+          acc * 2 + when(grayAt(gx, gy) > grayAt(gx + 1, gy), 1L).otherwise(0L))),
+        2, "0"))
+    when(okBmp, array_join(rowHex, "")).otherwise(lit(null).cast("string"))
+  }
+
+  /** Deterministic 24-bpp test image: pixel channel bytes follow
+    * byte(x, y, ch) = (seed·7 + y·29 + x·13 + ch·5) mod 192 (+ an
+    * optional uniform `shift`, the brightness-invariance probe), rows
+    * padded to the spec stride and stored bottom-up, wrapped in the real
+    * [[bmpPayload]] header. Hex assembly + one unhex — the established
+    * payload-builder shape; every byte position (padding included) is
+    * pinned, so header-driven consumers like [[dHashBmp]] are exercised
+    * against known ground truth.
+    */
+  def patternBmp(seed: Column, w: Int, h: Int, shift: Column): Column = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val bodyHex = array_join(
+      transform(sequence(lit(0), lit(h * stride - 1)), k => {
+        val r = floor(k / stride)            // file row (bottom-up)
+        val c = k % stride
+        val y = lit(h - 1) - r               // image row
+        val x = floor(c / 3)
+        val b = pmod(seed * 7 + y * 29 + x * 13 + (c % 3) * 5, lit(192)) + shift
+        when(c < 3 * w, lpad(hex(b), 2, "0")).otherwise(lit("00"))
+      }), "")
+    bmpPayload(lit(w), lit(h), unhex(bodyHex))
+  }
+
   /** Feature-extraction stub over a decoded payload: byte-level stats a
     * real extractor would compute post-decode. Deterministic, map-side.
     */

@@ -205,6 +205,46 @@ object Sampling {
       .drop("sample_key")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, n per stratum —
+    * the quality-weighted corpus subsampling pass (keep n docs per
+    * language/source, preferring high-weight docs, but with randomized
+    * diversity rather than a hard top-n-by-weight cutoff).
+    *
+    * Algorithm A-ES (Efraimidis & Spirakis 2006): each record draws
+    * u ~ U(0,1) and gets key u^(1/w); the top-n keys per stratum are an
+    * exact weighted sample without replacement. Ordering by u^(1/w) is
+    * equivalent to ordering by ln(u)/w (ln is monotone, w > 0), which
+    * avoids the engine-dependent last-ulp of a general pow. The draw is
+    * the [[hashUniform]] md5 construction — a pure function of the record
+    * id, so the sample is reproducible across runs, engines, and cluster
+    * sizes with no RNG state. The key is floored onto the 2^20 fixed-point
+    * grid with id as the final tie-break (the trigramLmScore / dsirWeights
+    * determinism contract: comparisons happen on exact longs, never on
+    * engine-rounded doubles).
+    *
+    * Scale shape: identical to [[stratifiedSample]] — Spark plans the
+    * rank-≤-n filter as WindowGroupLimit, so each task keeps a size-n heap
+    * per stratum before the one shuffle on the stratum key; the exchange
+    * carries O(strata × n) rows, not the corpus.
+    *
+    * `weightCol` must be strictly positive (rows with w ≤ 0 are dropped —
+    * they have zero selection probability in the A-ES model).
+    */
+  def weightedSample(docs: DataFrame, stratumCol: Column, idCol: String,
+                     weightCol: Column, n: Int): DataFrame = {
+    val u = hashUniform(col(idCol), ":wsamp")
+    val keyFp = floor(log(u) / weightCol.cast("double") * lit(1048576.0))
+      .cast("long")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("sample_key").desc, col(idCol))
+    docs
+      .filter(weightCol > 0)
+      .withColumn("stratum", stratumCol)
+      .withColumn("sample_key", keyFp)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every RAW
     * document by how much it resembles a small TARGET domain (the

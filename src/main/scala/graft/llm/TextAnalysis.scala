@@ -40,6 +40,36 @@ object TextAnalysis {
         sequence(lit(1), size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))
 
+  /** Canonical text cleanup — the first pass of every web-corpus pipeline,
+    * run before any hashing/dedup so that byte-level encoding noise cannot
+    * split identical content into distinct hash keys:
+    *
+    *  1. Unicode NFC composition (native [[graft.GraftExtensions.nfcNormalize]]
+    *     expression — `e` + COMBINING ACUTE becomes the single `é` code
+    *     point, so the two spellings dedup together);
+    *  2. line-ending canonicalization (`\r\n` and bare `\r` → `\n`);
+    *  3. invisible-character strip: zero-width space/joiner/non-joiner,
+    *     BOM/ZWNBSP, soft hyphen — characters HTML extraction leaves
+    *     behind that are invisible to readers but poison exact hashes;
+    *  4. control-character strip (C0 except `\t`/`\n`, plus DEL);
+    *  5. horizontal-whitespace collapse (`[ \t]+` → one space) and
+    *     per-line edge trim.
+    *
+    * Pure per-row map — no shuffle, scales with partitions. Every step is
+    * reproduced verbatim by the DuckDB oracle (utf8proc NFC + RE2), which
+    * pins the semantics cross-engine.
+    */
+  def normalizeText(text: Column): Column = {
+    val nfc = graft.GraftExtensions.nfcNormalize(text)
+    val newlines = regexp_replace(nfc, "\\r\\n|\\r", "\n")
+    val invisibles = regexp_replace(newlines,
+      "[\u200B\u200C\u200D\uFEFF\u00AD]", "")
+    val controls = regexp_replace(invisibles,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+    val collapsed = regexp_replace(controls, "[ \\t]+", " ")
+    regexp_replace(collapsed, "(?m)^ | $", "")
+  }
+
   /** Character n-gram shingles over the raw text. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) < n, array().cast("array<string>"))

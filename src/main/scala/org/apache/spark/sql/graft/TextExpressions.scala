@@ -43,3 +43,24 @@ object CdcChunks {
     StructField("hash", StringType, nullable = false))),
     containsNull = false)
 }
+
+/** Unicode NFC normalization as a native codegen'd expression. Spark has
+  * no normalization builtin; the alternative — a Scala UDF around
+  * `java.text.Normalizer` — would break whole-stage codegen at every
+  * call site of the text-cleanup pipeline's first pass. The kernel keeps
+  * the JDK's `isNormalized` fast path, so already-clean (notably
+  * all-ASCII) rows pay one scan and zero allocations.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

@@ -1634,4 +1634,123 @@ class LlmOpsSpec extends SparkSpec {
     // the target-resembling doc must outweigh the disjoint-vocab doc
     assert(byId(3L)._2 > byId(4L)._2)
   }
+
+  test("multimodal: dHashBmp is brightness-invariant, seed-sensitive, " +
+       "and refuses non-BMP or truncated payloads") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L).toDF("seed").select(col("seed"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, lit(0))).as("h0"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, lit(32))).as("h32"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 16, 8, lit(0))).as("h16w"))
+    // truncated: header claims 10×8 but the body is chopped
+    val p = Seq(3L).toDF("seed").select(
+      Multimodal.patternBmp(col("seed"), 10, 8, lit(0)).as("payload"))
+    val trunc = p.select(
+      Multimodal.dHashBmp(expr("substring(payload, 1, 60)")).as("t"),
+      Multimodal.dHashBmp(encode(lit("just some text"), "UTF-8")).as("nb"),
+      Multimodal.dHashBmp(col("payload")).as("full")).collect()(0)
+    assert(trunc.isNullAt(0) && trunc.isNullAt(1))
+    assert(trunc.getString(2).length == 16)
+    val r = rows.collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getString(2), x.getString(3))).toMap
+    // brightness shift: identical hash; different seed or geometry: differs
+    assert(r(1L)._1 == r(1L)._2 && r(2L)._1 == r(2L)._2)
+    assert(r(1L)._1 != r(2L)._1)
+    assert(r(1L)._1 != r(1L)._3)
+  }
+
+  test("dedup: lineDedup drops every occurrence of an over-threshold " +
+       "line, keeps order, and passes untouched docs through verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\ncookie banner"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "unique a\nunique b"),
+      (4L, "cookie banner")
+    ).toDF("doc_id", "text")
+    // "cookie banner" occurs 4 times > 3 → dropped everywhere
+    val out = Dedup.lineDedup(docs, maxOccurrences = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "real content one")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
+    assert(out(1).getString(1) == "real content two")
+    assert(out(2).getString(1) == "unique a\nunique b")
+    assert(out(2).getLong(3) == 0L)
+    assert(out(3).getString(1) == "" && out(3).getLong(3) == 1L)
+    // threshold not reached → nothing dropped
+    val none = Dedup.lineDedup(docs, maxOccurrences = 4)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
+  test("text: normalizeText composes NFC, strips invisibles/controls, " +
+       "canonicalizes line endings, and collapses horizontal whitespace") {
+    import spark.implicits._
+    // 'cafe' + COMBINING ACUTE (decomposed é), zero-width space, CRLF,
+    // BEL, tab run, per-line edge spaces
+    val messy = "  cafe\u0301\u200B menu\r\nline\u0007\ttwo  end "
+    val out = Seq((1L, messy), (2L, "plain ascii"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "café menu\nline two end")
+    // ASCII fast path: byte-identical passthrough
+    assert(out(1).getString(1) == "plain ascii")
+    // composed and decomposed spellings hash together after normalization
+    val both = Seq(("café", 1), ("café", 2)).toDF("t", "i")
+      .select(TextAnalysis.normalizeText(col("t")).as("n")).distinct().count()
+    assert(both == 1L)
+  }
+
+  test("crawl: canonicalizeUrl collapses case/www/default-port/tracking/" +
+       "param-order/fragment/trailing-slash aliases and keeps real " +
+       "distinctions") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=f&id=7#top"),
+      (2L, "https://example.com/a/b?id=7&utm_campaign=x&ref=rss"),
+      (3L, "https://example.com/a/b?id=7&z=2"),       // extra real param
+      (4L, "https://example.com:8443/a/b?id=7"),      // non-default port
+      (5L, "http://example.com:80/"),                 // default http port
+      (6L, "https://example.com/a/b?z=2&id=7"),       // param order only
+      (7L, "not a url at all")
+    ).toDF("id", "url")
+      .select(col("id"), graft.llm.CrawlOps.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(urls(1L) == "https://example.com/a/b?id=7")
+    assert(urls(2L) == urls(1L))                      // alias class collapses
+    assert(urls(3L) == "https://example.com/a/b?id=7&z=2")
+    assert(urls(6L) == urls(3L))                      // order-insensitive
+    assert(urls(4L) == "https://example.com:8443/a/b?id=7") // port kept
+    assert(urls(5L) == "http://example.com/")
+    assert(urls(7L) == "not a url at all")            // passthrough
+  }
+
+  test("sampling: weightedSample is exact A-ES — matches the brute-force " +
+       "u^(1/w) top-n per stratum and never exceeds n") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 7 + 1) * 100)).toDF("doc_id", "stratum_in", "w")
+    val got = Sampling.weightedSample(docs, col("stratum_in"), "doc_id",
+      col("w"), 5)
+      .select(col("stratum"), col("sample_rank"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 5)
+    // brute-force reference: same md5 draw, key = ln(u)/w on the fp grid
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:wsamp".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0d
+    }
+    val want = (1L to 60L).map { i =>
+      val w = (i % 7 + 1) * 100
+      (if (i % 2 == 0) "a" else "b", i,
+        math.floor(math.log(u(i)) / w * 1048576.0).toLong)
+    }.groupBy(_._1).flatMap { case (s, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+        .map { case ((_, id, _), rk) => (s, rk + 1L, id) }
+    }.toSet
+    assert(got.toSet == want)
+  }
 }
