@@ -86,6 +86,30 @@ object CrawlOps {
       .otherwise(hostRaw)
   }
 
+  /** Corpus snapshot diff — the recrawl bookkeeping pass: classify every
+    * document id across two corpus versions as `added` (new snapshot
+    * only), `removed` (old only), `changed` (both, content hash differs)
+    * or `same`. Drives incremental downstream work (re-embed/re-dedup
+    * only `added`+`changed`; retract `removed` from indexes via the
+    * at-rest tombstone path).
+    *
+    * Scale shape: text is hashed map-side on each scan and DROPPED — the
+    * full-outer join moves only (id, hash) pairs, two narrow shuffles on
+    * the id regardless of document size. No window, no driver state.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val n = newDocs.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** URL-level fetch dedup + host rollup in one pass: canonicalize,
     * collapse to one row per canonical URL (keeper = min id — first
     * fetch wins), and report per-host page and alias counts. This is the

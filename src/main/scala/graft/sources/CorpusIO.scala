@@ -104,6 +104,55 @@ object CorpusIO {
     parsed.select(dataCols :+ badCol: _*)
   }
 
+  /** Export a corpus slice as `shards` balanced headerless CSV files —
+    * the schema travels out of band (as it must: a header line breaks
+    * line-based splitting, since every split but the first would need to
+    * know it isn't looking at data). Quoting/escaping is the Spark CSV
+    * writer's standard contract, which [[readCsv]] inverts exactly.
+    */
+  def writeCsv(df: DataFrame, path: String, shards: Int): Unit = {
+    require(shards >= 1, "need at least one shard")
+    df.repartition(shards).write.mode("overwrite")
+      .option("header", "false").csv(path)
+  }
+
+  /** CSV twin of [[readJsonl]]: text scan + per-line `from_csv` with the
+    * PERMISSIVE corrupt-record quarantine — same rationale (the csv
+    * source imposes the same cache-before-filtering restriction on its
+    * corrupt column as json, and schema inference would be a wasted full
+    * pass). Targets line-safe CSV (no embedded newlines — the big-data
+    * interchange contract; the writer's escaping keeps control characters
+    * out of the stream). Type-invalid fields AND token-count mismatches
+    * both quarantine the raw line (`from_csv` PERMISSIVE treats a short
+    * row as malformed — stricter than the csv file source's null-fill,
+    * and the right call for ingest: a truncated record is damage, not
+    * data).
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType = DocumentSchema): DataFrame =
+    parseCsvLines(spark.read.text(path), schema)
+
+  /** The shared CSV line→row parse (see [[parseJsonl]] for the null-struct
+    * quarantine rationale — blank lines must count as bad input, not
+    * phantom all-null documents).
+    */
+  def parseCsvLines(lines: DataFrame, schema: StructType = DocumentSchema): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"$CorruptCol is reserved for the quarantine column")
+    val withCorrupt = schema.add(StructField(CorruptCol, StringType, nullable = true))
+    val parsed = lines
+      .select(col("value"), from_csv(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> CorruptCol)).as("rec"))
+    val dataCols = schema.fieldNames.toSeq.map(n => col(s"rec.`$n`").as(n))
+    // blank lines: from_csv("") yields an all-null row with NO corrupt
+    // marker (unlike short rows, which it rejects) — same phantom-document
+    // hazard parseJsonl handles for the JSON literal `null`
+    val badCol = when(col("rec").isNull || trim(col("value")) === "", col("value"))
+      .otherwise(col(s"rec.`$CorruptCol`")).as(CorruptCol)
+    parsed.select(dataCols :+ badCol: _*)
+  }
+
   /** Ingest report: good/quarantined line counts — the first number a
     * corpus ingest job publishes. One partial-combined aggregation.
     */

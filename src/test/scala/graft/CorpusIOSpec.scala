@@ -55,6 +55,47 @@ class CorpusIOSpec extends SparkSpec {
     assert(good.head.getAs[String]("text") == "good one")
   }
 
+  test("csv: write/read round-trips rows exactly, including commas, " +
+       "quotes and unicode in fields") {
+    val docs = Seq(
+      (1L, "plain ascii text", "en", "webA", 16L),
+      (2L, "comma, inside \"quoted\" field", "en", "webB", 28L),
+      (3L, "unicode é中文", "zh", "webC", 10L),
+      (4L, null.asInstanceOf[String], "und", "webC", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = Files.createTempDirectory("graft_csv_spec").toString + "/d"
+    CorpusIO.writeCsv(docs, tmp, shards = 2)
+    val back = CorpusIO.readCsv(spark, tmp)
+    assert(back.filter(col(CorpusIO.CorruptCol).isNotNull).count() == 0)
+    val got = back.select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect()
+    val want = docs.orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    assert(Files.list(Paths.get(tmp)).toArray
+      .map(_.toString).count(_.endsWith(".csv")) == 2)
+  }
+
+  test("csv: type-invalid and short lines are quarantined with the raw " +
+       "line, not fatal and not null-filled") {
+    val tmp = Files.createTempDirectory("graft_csv_bad").toString
+    Files.createDirectories(Paths.get(tmp, "d"))
+    Files.write(Paths.get(tmp, "d", "part-00000.csv"),
+      ("1,good one,en,a,8\n" +
+       "2,also good,en,b,9\n" +
+       "notanumber,text,en,src,7\n" +
+       "3,short row,en\n").getBytes(StandardCharsets.UTF_8))
+    val parsed = CorpusIO.readCsv(spark, s"$tmp/d")
+    val bad = parsed.filter(col(CorpusIO.CorruptCol).isNotNull)
+      .select(CorpusIO.CorruptCol).as[String].collect().sorted
+    assert(bad.length == 2)
+    assert(bad.exists(_.startsWith("notanumber")))
+    assert(bad.exists(_.startsWith("3,short row")))
+    val good = parsed.filter(col(CorpusIO.CorruptCol).isNull)
+      .orderBy("doc_id").collect()
+    assert(good.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(good.head.getAs[String]("text") == "good one")
+  }
+
   test("jsonl: the streaming reader admits the same rows as the batch " +
        "reader over the same shards, in bounded micro-batches") {
     val docs = (1L to 20L).map(i => (i, s"doc number $i", "en", "web", 12L))
