@@ -1429,6 +1429,23 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("doc_id"))
     }),
 
+    // HITS hubs/authorities over the same hash-derived link graph — the
+    // complementary centrality pair (hubs flag link farms / nav pages,
+    // authorities flag canonical content). 3 all-integer iterations,
+    // trajectory hash-matched against a 3×-unrolled CTE oracle.
+    "llm_hits" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      val n = d.count()
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 until 3).map(j =>
+          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s":l$j"))), 1, 8), 16, 10).cast("long"), lit(n))): _*))
+          .as("dst"))
+      LinkGraph.hits(d.select(col("doc_id").as("id")), edges, iters = 3)
+        .select(col("id").cast("long").as("doc_id"), col("auth"), col("hub"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact-substring duplicated-span dedup (Lee et al. ExactSubstr):
     // stride-1 8-word windows, duplicates marked by a partial-combined
     // hash count + skew-splittable join back onto the window stream,
@@ -3528,6 +3545,40 @@ object SparkEntry {
        |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
   }
 
+  /** HITS oracle: 3 unrolled iterations of the two half-steps, each sum
+    * normalized by `total div 10^6` clamped to ≥ 1 (the overflow-safe
+    * two-step division [[graft.llm.LinkGraph.hits]] uses). MATERIALIZED
+    * per half-step — the chain re-references each prior table twice.
+    */
+  private def oHitsSql: String = {
+    val iters = (1 to 3).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT nd.id, coalesce(f.raw, 0) AS raw
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst AS id, sum(q.hub) AS raw
+         |    FROM e JOIN h${i - 1} q ON q.id = e.src GROUP BY e.dst) f USING (id)),
+         |a$i AS MATERIALIZED (SELECT id,
+         |    raw // greatest((SELECT sum(raw) FROM a${i}r) // 1000000, 1) AS auth
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT nd.id, coalesce(f.raw, 0) AS raw
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.src AS id, sum(q.auth) AS raw
+         |    FROM e JOIN a$i q ON q.id = e.dst GROUP BY e.src) f USING (id)),
+         |h$i AS MATERIALIZED (SELECT id,
+         |    raw // greatest((SELECT sum(raw) FROM h${i}r) // 1000000, 1) AS hub
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT count(*) AS n FROM documents),
+       |nd AS (SELECT doc_id AS id FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src,
+       |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':l'||j),1,8)
+       |      AS BIGINT) % (SELECT n FROM c) AS dst
+       |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+       |h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS hub FROM documents),
+       |$iters
+       |SELECT a.id AS doc_id, a.auth, h.hub FROM a3 a JOIN h3 h USING (id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Residual IVF+PQ oracle: the coarse chain assigns and centers the
     * corpus (rv = vec − centroid[cid]), the m subspace chains train
     * L2-objective codebooks ON THE RESIDUALS (seeded by residual rows
@@ -3992,6 +4043,7 @@ object SparkEntry {
     "llm_ann_ivfpq" -> oAnnIvfpqSql,
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
+    "llm_hits" -> oHitsSql,
     "llm_ann_ivfpq_res" -> oAnnIvfpqResSql(5),
 
     "llm_ann_ivf_stored" -> oIvfStoredSql,

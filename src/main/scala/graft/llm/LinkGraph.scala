@@ -49,6 +49,73 @@ object LinkGraph {
     * @param edges (src, dst), parallel edges count separately
     * @return (id, pr) — pr on the 10^12 fixed-point scale
     */
+  /** HITS scale: hub/auth values live near [0, 10^6] after each
+    * normalization (see [[hits]] — normalization is overflow-safe at any
+    * node count, unlike a multiply-then-divide spelling which would
+    * overflow long at ~10^7 nodes).
+    */
+  val HitsScale = 1000000L
+
+  /** Fixed-iteration HITS (Kleinberg 1999): authorities are pages good
+    * hubs point TO, hubs are pages that point to good authorities — the
+    * complementary centrality pair to PageRank for link-directory-heavy
+    * web graphs (a hub score identifies link farms and navigation pages;
+    * an authority score identifies canonical content).
+    *
+    *   auth_{t+1}(v) = normalize(Σ_{u→v} hub_t(u))
+    *   hub_{t+1}(u)  = normalize(Σ_{u→v} auth_{t+1}(v))
+    *
+    * All-integer like [[pageRank]]: the normalize step divides raw sums
+    * by `max(total div HitsScale, 1)` — a two-step integral division
+    * (never a multiply-then-divide, whose `raw·SCALE` intermediate
+    * overflows long once n·SCALE exceeds 2^63 ≈ 9·10^18, i.e. at ~10^7
+    * nodes) — so values return to ≈ HitsScale magnitude each half-step
+    * and the whole trajectory is bit-reproducible cross-engine. For
+    * graphs whose raw total is still under HitsScale the divisor clamps
+    * to 1 (values stay small; ordering unaffected).
+    *
+    * Scale shape per iteration: two shuffle joins of a one-row-per-node
+    * score table onto the edge list (keyed src then dst) + two
+    * partial-combined groupBy sums + two single-row total aggs that
+    * broadcast back — the same Pregel shape as [[pageRank]] at exactly
+    * 2× the work, localCheckpoint-truncated per half-step. Nodes with no
+    * in/out links stay in the output at score 0.
+    *
+    * @return (id, auth, hub) on the ≈10^6 fixed-point scale
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"),
+          call_function("div", col("raw"),
+            greatest(call_function("div", col("tot"), lit(HitsScale)), lit(1L)))
+            .as(outCol))
+        .localCheckpoint(true)
+    }
+    def halfStep(scores: DataFrame, inCol: String, joinKey: String,
+                 groupKey: String, outCol: String): DataFrame = {
+      val summed = edges
+        .join(scores.select(col("id").as(joinKey), col(inCol)), Seq(joinKey))
+        .groupBy(col(groupKey).as("id"))
+        .agg(sum(col(inCol)).as("raw"))
+      val full = nodes.select(col("id")).join(summed, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      normalized(full, outCol)
+    }
+    var hub = nodes.select(col("id"), lit(HitsScale).as("hub"))
+      .localCheckpoint(true)
+    var auth = hub.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to iters) {
+      val nextAuth = halfStep(hub, "hub", "src", "dst", "auth")
+      val nextHub = halfStep(nextAuth, "auth", "dst", "src", "hub")
+      hub.unpersist(); auth.unpersist()
+      auth = nextAuth; hub = nextHub
+    }
+    auth.join(hub, Seq("id"))
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                dampNum: Int = 85): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)

@@ -1635,6 +1635,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(byId(3L)._2 > byId(4L)._2)
   }
 
+  test("graph: HITS separates hubs from authorities and zeroes " +
+       "disconnected nodes") {
+    import spark.implicits._
+    // pure hubs {1,2,3} point at authorities {4,5}; 6 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = graft.llm.LinkGraph.hits(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 4 has 3 in-links from hubs, 5 has 2: auth(4) > auth(5) > 0
+    assert(out(4L)._1 > out(5L)._1 && out(5L)._1 > 0)
+    // hubs have zero authority; authorities have zero hub score
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0L))
+    assert(Seq(4L, 5L).forall(out(_)._2 == 0L))
+    // 1 and 2 point at both authorities, 3 only at the stronger one:
+    // hub(1) = hub(2) > hub(3) > 0
+    assert(out(1L)._2 == out(2L)._2 && out(2L)._2 > out(3L)._2)
+    assert(out(3L)._2 > 0)
+    // disconnected node: present, both scores zero
+    assert(out(6L) == ((0L, 0L)))
+  }
+
   test("multimodal: dHashBmp is brightness-invariant, seed-sensitive, " +
        "and refuses non-BMP or truncated payloads") {
     import spark.implicits._
