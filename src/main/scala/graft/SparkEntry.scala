@@ -1429,6 +1429,40 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("doc_id"))
     }),
 
+    // Per-source doc-length quantiles via percentile_approx — Spark's
+    // built-in Greenwald-Khanna sketch: partial-combined and MERGEABLE,
+    // so per-group state is constant-size regardless of corpus size (the
+    // length-distribution profile a curation pipeline publishes per
+    // source). Self-validating like a2_quantile_approx: the reported
+    // quantile's true rank within its group is checked in-plan against
+    // the sketch's rank-error contract (±n/accuracy, +1 slack), and the
+    // oracle pins ok=1 per group — a broken sketch fails the compare.
+    "llm_len_quantiles" -> ((s, dir) => {
+      val acc = 1000
+      val d = Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("len"))
+      val approx = d.groupBy(col("source")).agg(
+        percentile_approx(col("len"), lit(0.5), lit(acc)).as("q50"),
+        percentile_approx(col("len"), lit(0.9), lit(acc)).as("q90"))
+      val slack = greatest(lit(1L), ceil(col("cnt") / acc.toDouble))
+      def ok(q: Double, lt: String, le: String): Column =
+        when(col(le) > col(lt) &&
+          col(lt) <= ceil(col("cnt") * q) + slack &&
+          col(le) >= floor(col("cnt") * q) - slack, 1L).otherwise(0L)
+      d.join(approx, Seq("source"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("len") < col("q50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("len") <= col("q50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("len") < col("q90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("len") <= col("q90"), 1L).otherwise(0L)).as("le90"))
+        .select(col("source"), col("cnt"),
+          ok(0.5, "lt50", "le50").as("ok50"),
+          ok(0.9, "lt90", "le90").as("ok90"))
+        .orderBy(col("source"))
+    }),
+
     // HITS hubs/authorities over the same hash-derived link graph — the
     // complementary centrality pair (hubs flag link farms / nav pages,
     // authorities flag canonical content). 3 all-integer iterations,
@@ -4044,6 +4078,11 @@ object SparkEntry {
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
     "llm_hits" -> oHitsSql,
+
+    "llm_len_quantiles" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "llm_ann_ivfpq_res" -> oAnnIvfpqResSql(5),
 
     "llm_ann_ivf_stored" -> oIvfStoredSql,
