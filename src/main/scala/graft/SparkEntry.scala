@@ -1358,6 +1358,35 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Hybrid retrieval: BM25 top-20 (lexical) fused with brute-force
+    // cosine top-10 (dense, query = embedding 0) by reciprocal-rank
+    // fusion — rank-only combining, no score calibration across the two
+    // incomparable scorers. Fusion is exact-integer (2^20 div (60+rank)),
+    // so the fused order is engine-exact.
+    "llm_hybrid_rrf" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bmTop = TextAnalysis.bm25Scores(d, Seq("spark", "table", "query"))
+        .select(col("id").cast("long").as("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(20)
+      val bm = bmTop.withColumn("rank", row_number().over(
+          W.partitionBy(pmod(col("id"), lit(1)))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rank"))
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") === 0).select(col("vec").as("qvec"))
+      val annTop = e.crossJoin(broadcast(q)).filter(col("id") =!= 0)
+        .select(col("id").cast("long").as("id"),
+          round(VectorOps.cosine(col("vec"), col("qvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("id")).limit(10)
+      val ann = annTop.withColumn("rank", row_number().over(
+          W.partitionBy(pmod(col("id"), lit(1)))
+            .orderBy(col("cos").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rank"))
+      VectorOps.rrfFuse(Seq(bm, ann)).orderBy(col("rank"))
+    }),
+
     // Deterministic stratified sample: cap every length band at 5 docs,
     // selected by md5 hash-rank — corpus balancing with no random state.
     // Spark 4 plans the rank filter as WindowGroupLimit (per-task size-n
@@ -3579,6 +3608,34 @@ object SparkEntry {
        |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
   }
 
+  /** BM25 oracle CTE chain (`proj` → `stats` → `scored`), shared by the
+    * bm25 entry and the hybrid-RRF fusion so the lexical side cannot
+    * drift between them.
+    */
+  private val OBm25Core: String =
+    """proj AS (
+      |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS BIGINT) AS tf_0,
+      |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'table')) AS BIGINT) AS tf_1,
+      |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'query')) AS BIGINT) AS tf_2
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n, sum(dl) AS sum_dl,
+      |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+      |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+      |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      |  FROM proj),
+      |scored AS (
+      |  SELECT doc_id, tf_0, tf_1, tf_2,
+      |    ((((ln(((n - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_0 AS DOUBLE)) * (1.2 + 1.0))
+      |        / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))
+      |      + ((ln(((n - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_1 AS DOUBLE)) * (1.2 + 1.0))
+      |        / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n))))
+      |      + ((ln(((n - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_2 AS DOUBLE)) * (1.2 + 1.0))
+      |        / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))) AS score
+      |  FROM proj CROSS JOIN stats
+      |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)""".stripMargin
+
   /** HITS oracle: 3 unrolled iterations of the two half-steps, each sum
     * normalized by `total div 10^6` clamped to ≥ 1 (the overflow-safe
     * two-step division [[graft.llm.LinkGraph.hits]] uses). MATERIALIZED
@@ -5427,33 +5484,44 @@ object SparkEntry {
     // ln()'s final ulp can differ, absorbed by round(_, 4) which also
     // drives the ranking
     "llm_bm25_rank" ->
-      """WITH proj AS (
-        |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'spark')) AS BIGINT) AS tf_0,
-        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'table')) AS BIGINT) AS tf_1,
-        |    CAST(len(list_filter(str_split(text, ' '), w -> w = 'query')) AS BIGINT) AS tf_2
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) AS n, sum(dl) AS sum_dl,
-        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
-        |  FROM proj),
-        |scored AS (
-        |  SELECT doc_id, tf_0, tf_1, tf_2,
-        |    ((((ln(((n - CAST(df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_0 AS DOUBLE)) * (1.2 + 1.0))
-        |        / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))
-        |      + ((ln(((n - CAST(df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_1 AS DOUBLE)) * (1.2 + 1.0))
-        |        / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n))))
-        |      + ((ln(((n - CAST(df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5)) + 1.0) * CAST(tf_2 AS DOUBLE)) * (1.2 + 1.0))
-        |        / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))) AS score
-        |  FROM proj CROSS JOIN stats
-        |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+      s"""WITH $OBm25Core
         |SELECT rank, doc_id, score FROM (
         |  SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
         |         doc_id, round(score, 4) AS score
         |  FROM scored)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // RRF: 2^20 div (60 + rank) per list, summed — exact integers, so the
+    // fused order is engine-exact even though both input rankings come
+    // from float scorers (their ROUNDED rank orders are already pinned by
+    // the bm25/cosine entries).
+    "llm_hybrid_rrf" ->
+      s"""WITH $OBm25Core,
+        |bmr AS (SELECT CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank,
+        |    doc_id AS id FROM scored),
+        |bm AS (SELECT id, rank FROM bmr WHERE rank <= 20),
+        |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |qv AS (SELECT vec AS qvec FROM v WHERE id = 0),
+        |ac AS (
+        |  SELECT v.id, round(
+        |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*qvec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) /
+        |    (sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [vec[i]*vec[i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b)) *
+        |     sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      [qvec[i]*qvec[i] FOR i IN range(1, len(qvec)+1)]), (a,b) -> a+b))), 4) AS cos
+        |  FROM v CROSS JOIN qv WHERE v.id <> 0),
+        |anr AS (SELECT CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS rank, id FROM ac),
+        |ann AS (SELECT id, rank FROM anr WHERE rank <= 10),
+        |pts AS (
+        |  SELECT id, 1048576 // (60 + rank) AS p FROM bm
+        |  UNION ALL
+        |  SELECT id, 1048576 // (60 + rank) FROM ann),
+        |f AS (SELECT id, CAST(sum(p) AS BIGINT) AS rrf_fp, count(*) AS n_lists
+        |  FROM pts GROUP BY id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, id) AS BIGINT) AS rank,
+        |  CAST(id AS BIGINT) AS id, rrf_fp, n_lists
+        |FROM f ORDER BY rank""".stripMargin,
 
     "llm_stratified_sample" ->
       """WITH s AS (

@@ -75,6 +75,40 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * 1/(k+rank) per item, summed across rankings; items surfaced by
+    * several retrievers (lexical BM25, dense ANN, …) rise without any
+    * score calibration between them — RRF only reads RANKS, which is why
+    * it beats score interpolation across incomparable scorers.
+    *
+    * Integer form: the contribution is the EXACT integral division
+    * 2^20 div (k + rank) — no float exists anywhere, so fused scores and
+    * the fused order are engine-exact (the trigramLmScore contract).
+    * Ties break on id.
+    *
+    * Scale shape: input rankings are already top-k-bounded by their
+    * retrievers, so this is a union of tiny tables + one
+    * partial-combined groupBy(id) — negligible next to the retrieval
+    * stages it fuses.
+    *
+    * @param rankings each (id, rank) with rank 1-based
+    * @return (rank, id, rrf_fp, n_lists) ordered by fused rank
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty)
+    val points = rankings.map(_.select(col("id"),
+        call_function("div", lit(1048576L), lit(k.toLong) + col("rank"))
+          .as("p")))
+      .reduce(_ unionByName _)
+    val fused = points.groupBy(col("id"))
+      .agg(sum(col("p")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(pmod(col("id"), lit(1)))
+      .orderBy(col("rrf_fp").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"), col("rrf_fp"), col("n_lists"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, seeded so the exact
     * same literals can be embedded in the oracle SQL. java.util.Random's
     * stream is specified by the JDK (LCG), so this is stable everywhere.

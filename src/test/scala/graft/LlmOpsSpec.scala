@@ -1635,6 +1635,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(byId(3L)._2 > byId(4L)._2)
   }
 
+  test("vectors: rrfFuse sums exact-integer reciprocal ranks and " +
+       "promotes items surfaced by both retrievers") {
+    import spark.implicits._
+    val lexical = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val dense = Seq((12L, 1L), (13L, 2L)).toDF("id", "rank")
+    val out = VectorOps.rrfFuse(Seq(lexical, dense))
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    def pts(rank: Long) = 1048576L / (60L + rank)
+    // 12 appears in both lists: rank-3 + rank-1 beats 10's solo rank-1
+    assert(out(12L)._2 == pts(3) + pts(1) && out(12L)._3 == 2L)
+    assert(out(10L)._2 == pts(1) && out(10L)._3 == 1L)
+    assert(out(12L)._1 == 1L && out(10L)._1 == 2L)
+    // remaining order: 11 (rank2 solo) vs 13 (rank2 solo) tie on points
+    // → id tie-break
+    assert(out(11L)._2 == out(13L)._2 && out(11L)._1 < out(13L)._1)
+  }
+
   test("graph: HITS separates hubs from authorities and zeroes " +
        "disconnected nodes") {
     import spark.implicits._
