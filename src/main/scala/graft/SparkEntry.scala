@@ -3048,6 +3048,44 @@ object SparkEntry {
     // oracle IS the unsalted SQL) — only the shuffle shape changes.
     // NOTE: the sum must re-associate identically, so phase-1 partials
     // use exact DECIMAL and convert to double only at the edge.
+    // Bucketed co-located join: both sides written ONCE per process as
+    // 8-bucket tables (bucketBy doc_id, repartitioned so each bucket is
+    // one file), then joined WITHOUT any shuffle — bucketing satisfies
+    // the join's clustering requirement, so EnsureRequirements inserts
+    // no Exchange. That absence is the entry's pinned fact: the final
+    // adaptive plan is scanned for shuffle exchanges and the count rides
+    // the output row, oracle-pinned to 0 — a plan that silently
+    // reshuffles turns the round red. At 100 TB this is THE repeated-
+    // join amortizer: pay one write-side shuffle, join for free forever.
+    "q_bucketed_join" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode).toString
+      val (ta, tb) = (s"graft_bd_$tag", s"graft_bs_$tag")
+      cachedModel(s"bucketed:$dir") {
+        val base = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+        val d = Tables.documents(s, dir, spread = false)
+        d.select(col("doc_id"), col("lang"), col("source"))
+          .repartition(8, col("doc_id"))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .option("path", s"$base/a").mode("overwrite").saveAsTable(ta)
+        d.select(col("doc_id"),
+            size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+          .repartition(8, col("doc_id"))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .option("path", s"$base/b").mode("overwrite").saveAsTable(tb)
+        tag
+      }
+      val joined = s.table(ta).hint("merge")
+        .join(s.table(tb), Seq("doc_id"))
+      joined.count() // finalize the adaptive plan before inspecting it
+      val shuffles = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      joined.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          lit(shuffles).cast("long").as("join_shuffles"))
+        .orderBy(col("lang"))
+    }),
+
     "q_salted_agg" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("value", col("value").cast("decimal(20,6)"))
@@ -5929,6 +5967,12 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_words,
+        |  CAST(0 AS BIGINT) AS join_shuffles
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type AS name, count(*) AS cnt,
