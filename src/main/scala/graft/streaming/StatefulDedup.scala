@@ -48,4 +48,63 @@ object StatefulDedup {
           }
       }
   }
+
+  case class TsDoc(content_hash: String, doc_id: Long, text: String,
+                   ts: java.sql.Timestamp)
+
+  /** BOUNDED-state [[firstSeen]]: per-hash state is evicted once the
+    * EVENT-TIME watermark passes the admitted occurrence's timestamp +
+    * `ttl` — the production answer to the keep-forever policy's unbounded
+    * state growth (at crawl scale, state = all content ever seen; with a
+    * TTL, state = content seen in the sliding recency window, a constant
+    * for a steady-state crawl). The accepted trade is documented
+    * re-admission: content unseen for `ttl` of event time dedups afresh.
+    *
+    * Event-time (not processing-time) timeout keeps the semantics a pure
+    * function of the DATA — replaying the same files through the same
+    * watermark schedule admits the same documents, which is what makes
+    * the contract testable and the pipeline reproducible. The watermark
+    * on `tsCol` is applied HERE (`watermarkDelay`), after the
+    * projection — a caller's upstream watermark would be severed by the
+    * column rewrite, and event-time timeout without a live watermark is
+    * an analysis error. Eviction happens at the first micro-batch whose
+    * watermark exceeds the deadline.
+    */
+  def firstSeenWithTtl(docs: DataFrame, ttl: String,
+                       watermarkDelay: String = "0 seconds",
+                       textCol: String = "text", idCol: String = "doc_id",
+                       tsCol: String = "ts"): Dataset[TsDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    docs
+      .select(md5(col(textCol)).as("content_hash"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TsDoc]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, TsDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[Long]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.exists) {
+            // every invocation CLEARS the group's registered timeout
+            // (GroupState contract) — re-arm the original deadline here,
+            // or a hash that keeps arriving would never be evicted and
+            // the drop path would silently revert to keep-forever state
+            state.setTimeoutTimestamp(state.get + ttlMillis)
+            Iterator.empty
+          } else {
+            val first = rows.minBy(d => (d.ts.getTime, d.doc_id))
+            state.update(first.ts.getTime)
+            state.setTimeoutTimestamp(first.ts.getTime + ttlMillis)
+            Iterator.single(first)
+          }
+      }
+  }
 }

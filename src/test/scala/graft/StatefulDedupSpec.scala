@@ -29,4 +29,35 @@ class StatefulDedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id")).toSet
     assert(admitted == Set(1L, 2L, 5L))
   }
+
+  test("TTL dedup evicts state once the watermark passes ts+ttl and " +
+       "re-admits; inside the window it still dedups") {
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val ckpt = Files.createTempDirectory("graft_sdttl").toString
+    val src = input.toDF.toDF("doc_id", "text", "ts")
+    val q = StatefulDedup.firstSeenWithTtl(src, ttl = "10 minutes")
+      .writeStream.format("memory").queryName("sdttl_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+
+    input.addData((1L, "aaa", t(0)), (2L, "bbb", t(0)))
+    q.processAllAvailable()
+    // inside the window (watermark ~10:05 < 10:00+10min): still a dup
+    input.addData((3L, "aaa", t(5)))
+    q.processAllAvailable()
+    // watermark jumps past 10:10 -> "aaa" state evicted, re-admitted;
+    // "bbb" deadline also passed, its re-arrival re-admits too
+    input.addData((4L, "zzz", t(30)))
+    q.processAllAvailable()
+    input.addData((5L, "aaa", t(31)), (6L, "bbb", t(31)))
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = spark.table("sdttl_out").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(admitted == Set(1L, 2L, 4L, 5L, 6L))
+  }
 }
