@@ -1654,6 +1654,20 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Explicit-weights mixture: the Pile-style spec — en half the target
+    // corpus, the rest split by stated shares; fr omitted → dropped (a
+    // mixture is a whitelist). en clamps at rate < 1, tiny zh share
+    // subsamples hard. Count agg + broadcast rates + map-side draw.
+    "llm_mixture_target" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false)
+        .select(col("doc_id"), col("lang"))
+      Sampling.mixtureSampleTarget(d, "lang", "doc_id",
+        Seq("en" -> 50, "de" -> 25, "es" -> 20, "zh" -> 5),
+        weightDen = 100, budget = 200L)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget selection: best-quality docs until a 20k-token budget,
     // quality = fixed-point TTR (integer arithmetic → exact cross-engine
     // ordering). Bucketed prefix: only the boundary score-bucket ever
@@ -5743,6 +5757,18 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)
+        |        / 1152921504606846976.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_mixture_target" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |w(lang, w_num) AS (VALUES ('en', 50), ('de', 25), ('es', 20), ('zh', 5)),
+        |r AS (SELECT lang,
+        |    least(1.0, (CAST(w_num AS DOUBLE) * 200) / (CAST(100 AS DOUBLE) * cnt)) AS rate
+        |  FROM c JOIN w USING (lang))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mixt'), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -205,6 +205,42 @@ object Sampling {
       .drop("sample_key")
   }
 
+  /** Explicit-target-weights mixture subsampling — the Pile-style
+    * mixture spec: the caller states each source's intended SHARE of a
+    * `budget`-document corpus as an integer numerator over `weightDen`
+    * (integers, not floats, so the spec itself is engine-exact), and
+    * each source keeps rate_s = min(1, (w_s · budget) / (weightDen · c_s))
+    * of its documents. Sources absent from the spec are dropped — an
+    * explicit mixture is a whitelist. Under-represented sources clamp at
+    * rate 1 (subsampling cannot invent data; upsampling is the
+    * dataloader's job at read time).
+    *
+    * The acceptance draw is the [[hashUniform]] md5 construction; the
+    * rate is two exact long→double conversions, one multiply each side,
+    * one divide — a fixed rounding sequence both engines reproduce.
+    *
+    * Scale shape: identical to [[mixtureSampleSqrt]] — a tiny per-source
+    * count agg, a broadcast rate table, and a map-side filter; the
+    * corpus never shuffles.
+    */
+  def mixtureSampleTarget(docs: DataFrame, sourceCol: String, idCol: String,
+                          weights: Seq[(String, Int)], weightDen: Int,
+                          budget: Long): DataFrame = {
+    require(weights.nonEmpty && weightDen > 0 && budget > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(sourceCol, "w_num")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("src_cnt"))
+    val rates = counts.join(w, Seq(sourceCol))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          (col("w_num").cast("double") * budget) /
+            (lit(weightDen).cast("double") * col("src_cnt"))).as("accept_rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashUniform(col(idCol), ":mixt") < col("accept_rate"))
+      .drop("accept_rate")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, n per stratum —
     * the quality-weighted corpus subsampling pass (keep n docs per
     * language/source, preferring high-weight docs, but with randomized
