@@ -1654,6 +1654,33 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    // Schema evolution across corpus generations: v1 files carry
+    // (doc_id, text), v2 files add a fixed-point TTR quality column;
+    // one mergeSchema read presents both generations as one table and
+    // the missing v1 column is BACKFILLED in-plan from the text — the
+    // standard no-rewrite lake migration (a 100 TB corpus is never
+    // rewritten to add a column; readers reconcile). Oracle recomputes
+    // every score from scratch, so backfill ≡ native must hold exactly.
+    "llm_schema_evolve" -> ((s, dir) => {
+      val ttrFp = floor(size(array_distinct(TextAnalysis.words(col("text"))))
+        .cast("long") * 1048576L / size(TextAnalysis.words(col("text"))))
+        .cast("long")
+      val in = cachedInputDir(s"sev${math.abs(dir.hashCode)}") { d =>
+        val docs = Tables.documents(s, dir, spread = false)
+          .select(col("doc_id"), col("text"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(d)
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .withColumn("quality_fp", ttrFp)
+          .write.mode("append").parquet(d)
+      }
+      s.read.option("mergeSchema", "true").parquet(in)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("quality_fp").isNull.cast("long").as("from_v1"),
+          coalesce(col("quality_fp"), ttrFp).as("quality_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Explicit-weights mixture: the Pile-style spec — en half the target
     // corpus, the rest split by stated shares; fr omitted → dropped (a
     // mixture is a whitelist). en clamps at rate < 1, tiny zh share
@@ -5759,6 +5786,13 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)
         |        / 1152921504606846976.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+
+    "llm_schema_evolve" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS from_v1,
+        |  CAST(floor((len(list_distinct(str_split(text, ' '))) * 1048576)::DOUBLE
+        |      / len(str_split(text, ' '))) AS BIGINT) AS quality_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "llm_mixture_target" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
