@@ -119,4 +119,37 @@ object CodecProperties extends Properties("codecs") {
         }
       selfOk && degenerate == null
     }
+
+  // unicode soup biased toward the characters NFC actually moves:
+  // combining marks, precomposed accents, CJK, zero-widths, ASCII
+  private val unicodeChar: Gen[Char] = Gen.frequency(
+    6 -> Gen.choose(32.toChar, 126.toChar),
+    2 -> Gen.oneOf('é', 'ü', 'ñ', 'å', '日', '本', '中'),
+    2 -> Gen.oneOf('\u0301', '\u0308', '\u0327', '\u030A'), // combining
+    1 -> Gen.oneOf('\u200B', '\uFEFF', '\u00AD'))
+  private val unicodeStr: Gen[String] =
+    Gen.listOf(unicodeChar).map(_.mkString)
+
+  property("nfc normalize is idempotent") = forAll(unicodeStr) { s =>
+    import org.apache.spark.unsafe.types.UTF8String
+    val once = graft.expressions.Kernels
+      .nfcNormalize(UTF8String.fromString(s)).toString
+    graft.expressions.Kernels
+      .nfcNormalize(UTF8String.fromString(once)).toString == once
+  }
+
+  property("nfc normalize agrees with java.text.Normalizer") =
+    forAll(unicodeStr) { s =>
+      import org.apache.spark.unsafe.types.UTF8String
+      graft.expressions.Kernels
+        .nfcNormalize(UTF8String.fromString(s)).toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+
+  property("nfc fast path returns the input object untouched for " +
+    "already-composed text") = forAll(Gen.asciiPrintableStr) { s =>
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = UTF8String.fromString(s)
+    graft.expressions.Kernels.nfcNormalize(u) eq u
+  }
 }
