@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
+import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DHashBmp, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -40,7 +40,8 @@ object GraftExtensions {
     fn("vec_dot", classOf[VecDot], 2, c => VecDot(c(0), c(1))),
     fn("vec_cosine", classOf[VecCosine], 2, c => VecCosine(c(0), c(1))),
     fn("vec_l2norm", classOf[VecL2Norm], 1, c => VecL2Norm(c.head)),
-    fn("nfc_normalize", classOf[NfcNormalize], 1, c => NfcNormalize(c.head)))
+    fn("nfc_normalize", classOf[NfcNormalize], 1, c => NfcNormalize(c.head)),
+    fn("dhash_bmp", classOf[DHashBmp], 1, c => DHashBmp(c.head)))
 
   /** Imperative registration for an existing session. Idempotent:
     * re-registering overwrites with the same builder.
@@ -69,4 +70,6 @@ object GraftExtensions {
     ColumnBridge.col(CdcChunks(ColumnBridge.expr(text), w, divisor))
   def nfcNormalize(text: Column): Column =
     ColumnBridge.col(NfcNormalize(ColumnBridge.expr(text)))
+  def dhashBmp(payload: Column): Column =
+    ColumnBridge.col(DHashBmp(ColumnBridge.expr(payload)))
 }

@@ -186,6 +186,53 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
 
+  /** Perceptual dHash over a 24-bpp BMP payload — one fused pass over
+    * the raw bytes (the composed-builtin spelling evaluated ~500
+    * interpreted substring/conv lambdas per row). Semantics are the
+    * documented [[graft.llm.Multimodal.dHashBmp]] contract: header
+    * geometry (LE width/height at byte 18/22, bpp 24 at 28, spec row
+    * stride, bottom-up rows), 9×8 nearest-neighbor gray grid,
+    * 64 gray(x,y) > gray(x+1,y) bits as a 16-hex string (row bytes
+    * MSB-first, top row first). Null for payloads that fail the BMP
+    * sniff, claim implausible geometry (non-positive or > 2^24 px per
+    * side), or are shorter than the claimed pixel array.
+    */
+  def dHashBmp(payload: Array[Byte]): UTF8String = {
+    if (payload.length < 54) return null
+    if (payload(0) != 'B' || payload(1) != 'M') return null
+    def le(off: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (payload(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    if (le(28, 2) != 24L) return null
+    val w = le(18, 4); val h = le(22, 4)
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24)) return null
+    val stride = (w * 3 + 3) / 4 * 4
+    if (payload.length < 54 + h * stride) return null
+    def gray(gx: Long, gy: Long): Long = {
+      val x = gx * w / 9
+      val y = gy * h / 8
+      val off = (54 + (h - 1 - y) * stride + x * 3).toInt
+      ((payload(off) & 0xffL) + (payload(off + 1) & 0xffL) +
+        (payload(off + 2) & 0xffL)) / 3
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var gy = 0L
+    while (gy < 8) {
+      var rb = 0
+      var gx = 0L
+      while (gx < 8) {
+        rb = rb * 2 + (if (gray(gx, gy) > gray(gx + 1, gy)) 1 else 0)
+        gx += 1
+      }
+      sb.append("0123456789ABCDEF".charAt(rb >> 4))
+      sb.append("0123456789ABCDEF".charAt(rb & 0xf))
+      gy += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Unicode NFC normalization (canonical composition). Fast path: the
     * JDK's `isNormalized` is a cheap scan that is true for all-ASCII and
     * already-composed text — the overwhelming share of a web corpus — and

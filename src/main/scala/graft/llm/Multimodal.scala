@@ -260,34 +260,19 @@ object Multimodal {
     * repeatedPassages contract. A full decoder pipeline would swap the
     * sampling arithmetic for a codec call with the SAME output column.
     *
-    * Null for payloads that don't pass the BMP sniff or whose pixel
-    * array is shorter than the header geometry claims (truncated file) —
-    * a garbage-geometry hash must never enter a dedup key space.
+    * Null for payloads that don't pass the BMP sniff, claim implausible
+    * geometry (non-positive or > 2^24 px per side), or whose pixel array
+    * is shorter than the header geometry claims (truncated file) — a
+    * garbage-geometry hash must never enter a dedup key space.
+    *
+    * One fused native kernel per row ([[graft.expressions.Kernels
+    * .dHashBmp]], codegen'd) — the composed-builtin spelling evaluated
+    * ~500 interpreted HOF lambdas per row (the CdcChunks lesson); the
+    * closed-form pixel-formula oracle pins that the kernel's byte
+    * arithmetic (stride, row order, grid, bit order) is unchanged.
     */
-  def dHashBmp(payload: Column): Column = {
-    val w = leInt(payload, 19, 4)
-    val h = leInt(payload, 23, 4)
-    val stride = floor((w * 3 + 3) / 4) * 4
-    def byteAt(off: Column): Column =
-      conv(hex(payload.substr(off.cast("int"), lit(1))), 16, 10).cast("long")
-    // gray at grid cell (gx ∈ 0..8, gy ∈ 0..7): nearest-neighbor pixel
-    // (x, y) = (⌊gx·w/9⌋, ⌊gy·h/8⌋); image row y sits at file row h−1−y
-    def grayAt(gx: Column, gy: Column): Column = {
-      val x = floor(gx * w / 9)
-      val y = floor(gy * h / 8)
-      val off = lit(55) + (h - 1 - y) * stride + x * 3
-      floor((byteAt(off) + byteAt(off + 1) + byteAt(off + 2)) / 3)
-    }
-    val okBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D" &&
-      leInt(payload, 29, 2) === 24 &&
-      length(payload) >= lit(54) + h * stride
-    val rowHex = transform(sequence(lit(0L), lit(7L)), gy =>
-      lpad(hex(aggregate(sequence(lit(0L), lit(7L)), lit(0L),
-        (acc, gx) =>
-          acc * 2 + when(grayAt(gx, gy) > grayAt(gx + 1, gy), 1L).otherwise(0L))),
-        2, "0"))
-    when(okBmp, array_join(rowHex, "")).otherwise(lit(null).cast("string"))
-  }
+  def dHashBmp(payload: Column): Column =
+    graft.GraftExtensions.dhashBmp(payload)
 
   /** Deterministic 24-bpp test image: pixel channel bytes follow
     * byte(x, y, ch) = (seed·7 + y·29 + x·13 + ch·5) mod 192 (+ an

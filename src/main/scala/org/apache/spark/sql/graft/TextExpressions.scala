@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import graft.expressions.Kernels
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-pipeline expressions (same placement rationale as
@@ -42,6 +42,35 @@ object CdcChunks {
     StructField("len", IntegerType, nullable = false),
     StructField("hash", StringType, nullable = false))),
     containsNull = false)
+}
+
+/** Perceptual BMP dHash as a native codegen'd expression — one fused
+  * byte-loop kernel per row instead of ~500 interpreted higher-order-
+  * function lambda evaluations (the CdcChunks rationale). Nullable:
+  * non-BMP, implausible-geometry, and truncated payloads hash to null
+  * (a garbage hash must never enter a dedup key space), so codegen goes
+  * through `nullSafeCodeGen` like the vector kernels.
+  */
+case class DHashBmp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dhash_bmp"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.dHashBmp(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |UTF8String $r = graft.expressions.Kernels.dHashBmp($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): DHashBmp =
+    copy(child = newChild)
 }
 
 /** Unicode NFC normalization as a native codegen'd expression. Spark has
