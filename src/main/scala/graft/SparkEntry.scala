@@ -1849,9 +1849,9 @@ object SparkEntry {
     "llm_image_dhash" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"))
       val base = d.select(col("doc_id").cast("long").as("media_id"),
-        Multimodal.patternBmp(col("doc_id"), 10, 8, lit(0)).as("payload"))
+        Multimodal.patternBmp(col("doc_id"), 10, 8, 0).as("payload"))
       val bright = d.select((col("doc_id") + 100000).cast("long").as("media_id"),
-        Multimodal.patternBmp(col("doc_id"), 10, 8, lit(32)).as("payload"))
+        Multimodal.patternBmp(col("doc_id"), 10, 8, 32).as("payload"))
       base.unionByName(bright)
         .select(col("media_id"), Multimodal.dHashBmp(col("payload")).as("dhash"))
         .groupBy(col("dhash"))
@@ -3117,7 +3117,11 @@ object SparkEntry {
       }
       val joined = s.table(ta).hint("merge")
         .join(s.table(tb), Seq("doc_id"))
-      joined.count() // finalize the adaptive plan before inspecting it
+      // EnsureRequirements has already run on executedPlan, so shuffle
+      // exchanges the join would need are visible WITHOUT executing it
+      // (a count() would be a separate QueryExecution anyway and would
+      // finalize nothing on this one); the merge hint pins the physical
+      // join shape, so AQE has no re-planning latitude to add one later
       val shuffles = joined.queryExecution.executedPlan.toString
         .linesIterator.count(_.contains("Exchange hashpartitioning"))
       joined.groupBy(col("lang"))

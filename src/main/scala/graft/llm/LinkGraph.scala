@@ -86,13 +86,20 @@ object LinkGraph {
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      raw.crossJoin(broadcast(tot))
+      // the raw table is referenced twice (total agg + projection) —
+      // checkpoint it first or the edge join + aggregation behind it
+      // would be planned and EXECUTED twice per half-step, doubling the
+      // per-iteration work the scale-shape contract advertises
+      val pinned = raw.localCheckpoint(true)
+      val tot = pinned.agg(sum(col("raw")).as("tot"))
+      val out = pinned.crossJoin(broadcast(tot))
         .select(col("id"),
           call_function("div", col("raw"),
             greatest(call_function("div", col("tot"), lit(HitsScale)), lit(1L)))
             .as(outCol))
         .localCheckpoint(true)
+      pinned.unpersist()
+      out
     }
     def halfStep(scores: DataFrame, inCol: String, joinKey: String,
                  groupKey: String, outCol: String): DataFrame = {

@@ -195,12 +195,16 @@ object Multimodal {
     */
   def decodeMeta(payload: Column): Column = {
     // 'BM' alone is two ASCII letters any text can start with — demand
-    // the fixed header fields too (reserved bytes zero, pixel-data
-    // offset 54, plausible bpp) before taking the bmp branch, so a raw
-    // text payload starting with "BMW ..." stays 'unknown'
+    // the fixed header fields too (reserved bytes zero, plausible
+    // pixel-data offset, plausible bpp) before taking the bmp branch, so
+    // a raw text payload starting with "BMW ..." stays 'unknown'. The
+    // offset is ≥ 54 and within the payload, not exactly 54: palettized
+    // formats (bpp 1/4/8) carry a color table between the headers and
+    // the pixel array, so their offset is 54 + table size.
     val isBmp = length(payload) >= 54 && hexAt(payload, 1, 2) === "424D" &&
       hexAt(payload, 7, 4) === "00000000" &&
-      leInt(payload, 11, 4) === 54 &&
+      leInt(payload, 11, 4) >= 54 &&
+      leInt(payload, 11, 4) <= length(payload) &&
       leInt(payload, 29, 2).isin(1L, 4L, 8L, 16L, 24L, 32L)
     val isPng = length(payload) >= 33 &&
       hexAt(payload, 1, 8) === "89504E470D0A1A0A" &&
@@ -283,7 +287,12 @@ object Multimodal {
     * pinned, so header-driven consumers like [[dHashBmp]] are exercised
     * against known ground truth.
     */
-  def patternBmp(seed: Column, w: Int, h: Int, shift: Column): Column = {
+  def patternBmp(seed: Column, w: Int, h: Int, shift: Int): Column = {
+    // pattern bytes live in [0, 191]; a shift outside [0, 64] would push
+    // a byte out of [0, 255] and lpad(hex(b), 2) would silently TRUNCATE
+    // the hex — corrupt pixels defeating the pinned-ground-truth contract
+    require(shift >= 0 && shift <= 64,
+      s"brightness shift $shift outside [0, 64] would overflow a byte")
     val stride = ((3 * w + 3) / 4) * 4
     val bodyHex = array_join(
       transform(sequence(lit(0), lit(h * stride - 1)), k => {

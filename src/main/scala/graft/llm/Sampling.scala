@@ -227,6 +227,11 @@ object Sampling {
                           weights: Seq[(String, Int)], weightDen: Int,
                           budget: Long): DataFrame = {
     require(weights.nonEmpty && weightDen > 0 && budget > 0)
+    // a duplicated source row would fan the rate join out and emit every
+    // surviving doc of that source TWICE — duplicate doc_ids are exactly
+    // what a dedup'd training mixture must never produce
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate source in mixture spec: ${weights.map(_._1).diff(weights.map(_._1).distinct).distinct.mkString(", ")}")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toDF(sourceCol, "w_num")

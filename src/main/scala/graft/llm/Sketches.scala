@@ -58,8 +58,14 @@ object Sketches {
         struct(lit(j).as("j"), cmsBucket(col(termCol), j, width).as("bucket"))
       ): _*)).as("jb"))
       .select(col("term"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-    probes.join(broadcast(sketch), Seq("j", "bucket"))
-      .groupBy(col("term")).agg(min(col("cnt")).as("est_cnt"))
+    // LEFT join + zero-fill: an absent cell IS a zero count, and it must
+    // participate in the min — an inner join would silently drop empty
+    // cells, inflating a cold term that collides with one hot bucket to
+    // that bucket's count (the exact overestimate the k-row min exists
+    // to kill) and dropping all-cold terms from the output entirely
+    probes.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
   /** Fixed-point alpha for the m=256 HyperLogLog estimator:
@@ -139,8 +145,11 @@ object Sketches {
     */
   def hllEstimate(regs: DataFrame): DataFrame =
     regs.agg(
-        sum(call_function("shiftleft", lit(1L),
-          (lit(HllWidth1) - col("mj")).cast("int"))).as("spp"),
+        // empty register table (empty corpus): sum over zero rows is
+        // NULL, which would propagate NULL estimates through hllOverlap —
+        // zero-fill so an empty sketch estimates like an all-zero one
+        coalesce(sum(call_function("shiftleft", lit(1L),
+          (lit(HllWidth1) - col("mj")).cast("int"))), lit(0L)).as("spp"),
         count(lit(1)).as("npres"))
       .select(call_function("div",
         call_function("div",

@@ -1144,8 +1144,12 @@ object VectorOps {
         val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
         val r = vt.t * u.t
         rot = (0 until d).map(j => (0 until d).map(i => r(j, i)))
-        rotated.unpersist()
       }
+      // ALL iterations release their corpus-sized checkpoint, including
+      // the last (codebooks are already collected driver-side literals;
+      // leaking the final copy would cost one corpus of block storage
+      // per opqTrain call in a library caller)
+      rotated.unpersist()
     }
     (rot, cbs)
   }

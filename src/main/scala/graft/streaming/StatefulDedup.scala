@@ -78,7 +78,12 @@ object StatefulDedup {
     import spark.implicits._
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    // a month has no fixed millisecond length; silently dropping it would
+    // turn "1 month" into a zero TTL (every duplicate re-admitted)
+    require(ttlMs.months == 0,
+      s"ttl '$ttl' uses months — specify the TTL in days or smaller units")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    require(ttlMillis > 0, s"ttl '$ttl' must be positive")
     docs
       .select(md5(col(textCol)).as("content_hash"),
         col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
@@ -92,7 +97,15 @@ object StatefulDedup {
           state.remove()
           Iterator.empty
         case (_, rows, state: GroupState[Long]) =>
-          if (state.exists) {
+          // data is processed BEFORE timeouts within a batch, so a
+          // re-arrival in the very batch whose watermark passed the
+          // deadline still sees the stale state — treat it as expired
+          // here (re-admit), and never register a deadline at or below
+          // the watermark (GroupState rejects that with an exception
+          // that would kill the whole query)
+          val wm = state.getCurrentWatermarkMs()
+          val live = state.exists && state.get + ttlMillis > wm
+          if (live) {
             // every invocation CLEARS the group's registered timeout
             // (GroupState contract) — re-arm the original deadline here,
             // or a hash that keeps arriving would never be evicted and
@@ -102,7 +115,8 @@ object StatefulDedup {
           } else {
             val first = rows.minBy(d => (d.ts.getTime, d.doc_id))
             state.update(first.ts.getTime)
-            state.setTimeoutTimestamp(first.ts.getTime + ttlMillis)
+            state.setTimeoutTimestamp(
+              math.max(first.ts.getTime + ttlMillis, wm + 1))
             Iterator.single(first)
           }
       }

@@ -273,9 +273,20 @@ class LlmOpsSpec extends SparkSpec {
     // CMS guarantee: est >= exact; with 4 terms in 1024 buckets × 3 rows
     // a full 3-row collision is (4/1024)^3-improbable — expect exact
     exact.foreach { case (t, n) => assert(est(t) == n) }
-    // a term absent from the stream estimates 0 (bucket rows absent →
-    // no join match → term drops out of the estimate table)
-    assert(!est.contains("zz"))
+    // a term absent from the stream estimates 0 — empty cells are zero
+    // and PARTICIPATE in the min (left join + zero-fill); dropping them
+    // would inflate a cold term colliding with one hot bucket to that
+    // bucket's whole count
+    assert(est("zz") == 0L)
+  }
+
+  test("sketch: empty HLL register table estimates without NULLs") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("item")
+    val row = Sketches.hllEstimate(Sketches.hllRegisters(empty)).collect()(0)
+    assert(!row.isNullAt(0))
+    val ov = Sketches.hllOverlap(empty, Seq("x", "y").toDF("item")).collect()(0)
+    assert((0 until 4).forall(i => !ov.isNullAt(i)))
   }
 
   test("sketch: integer HLL estimates 5000 distincts within the m=256 " +
@@ -1678,12 +1689,12 @@ class LlmOpsSpec extends SparkSpec {
        "and refuses non-BMP or truncated payloads") {
     import spark.implicits._
     val rows = Seq(1L, 2L).toDF("seed").select(col("seed"),
-      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, lit(0))).as("h0"),
-      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, lit(32))).as("h32"),
-      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 16, 8, lit(0))).as("h16w"))
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, 0)).as("h0"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 10, 8, 32)).as("h32"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 16, 8, 0)).as("h16w"))
     // truncated: header claims 10×8 but the body is chopped
     val p = Seq(3L).toDF("seed").select(
-      Multimodal.patternBmp(col("seed"), 10, 8, lit(0)).as("payload"))
+      Multimodal.patternBmp(col("seed"), 10, 8, 0).as("payload"))
     val trunc = p.select(
       Multimodal.dHashBmp(expr("substring(payload, 1, 60)")).as("t"),
       Multimodal.dHashBmp(encode(lit("just some text"), "UTF-8")).as("nb"),
