@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DHashBmp, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, VecCosine, VecDot, VecL2Norm}
+import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DeflateLen, DHashBmp, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, VecCosine, VecDot, VecL2Norm}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -41,7 +41,11 @@ object GraftExtensions {
     fn("vec_cosine", classOf[VecCosine], 2, c => VecCosine(c(0), c(1))),
     fn("vec_l2norm", classOf[VecL2Norm], 1, c => VecL2Norm(c.head)),
     fn("nfc_normalize", classOf[NfcNormalize], 1, c => NfcNormalize(c.head)),
-    fn("dhash_bmp", classOf[DHashBmp], 1, c => DHashBmp(c.head)))
+    fn("dhash_bmp", classOf[DHashBmp], 1, c => DHashBmp(c.head)),
+    fn("deflate_len", classOf[DeflateLen], 1, c => DeflateLen(c.head)))
+  // pcm_features takes a compile-time frame length, so it is exposed via
+  // the Column constructor below rather than as a SQL function (the SQL
+  // surface has no literal-only parameter convention here).
 
   /** Imperative registration for an existing session. Idempotent:
     * re-registering overwrites with the same builder.
@@ -72,4 +76,8 @@ object GraftExtensions {
     ColumnBridge.col(NfcNormalize(ColumnBridge.expr(text)))
   def dhashBmp(payload: Column): Column =
     ColumnBridge.col(DHashBmp(ColumnBridge.expr(payload)))
+  def pcmFeatures(payload: Column, frameLen: Int): Column =
+    ColumnBridge.col(PcmFrameFeatures(ColumnBridge.expr(payload), frameLen))
+  def deflateLen(payload: Column): Column =
+    ColumnBridge.col(DeflateLen(ColumnBridge.expr(payload)))
 }

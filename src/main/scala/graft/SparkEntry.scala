@@ -283,19 +283,24 @@ object SparkEntry {
     }
 
   /** Two-micro-batch parquet input: the ≤mid slice as batch 1, the rest
-    * as batch 2, mtime-staggered so `maxFilesPerTrigger=1` replays them
-    * in deterministic order. Shared by the streaming dedup/HLL entries
-    * (always under [[cachedInputDir]]).
+    * as batch 2 (order flipped when `firstLow` is false), mtime-staggered
+    * so `maxFilesPerTrigger=1` replays them in deterministic order.
+    * Shared by the streaming dedup/HLL/join entries (always under
+    * [[cachedInputDir]]).
     */
   private def writeTwoBatchParquet(docs: DataFrame, mid: Long,
-                                   in: String): Unit = {
+                                   in: String,
+                                   firstLow: Boolean = true): Unit = {
     import java.nio.file.{Files => JFiles, Paths}
     def parquetFiles(): Set[String] = JFiles.list(Paths.get(in)).toArray
       .map(_.toString).filter(_.endsWith(".parquet")).toSet
-    docs.filter(col("doc_id") <= mid).coalesce(1)
+    val (first, second) =
+      if (firstLow) (col("doc_id") <= mid, col("doc_id") > mid)
+      else (col("doc_id") > mid, col("doc_id") <= mid)
+    docs.filter(first).coalesce(1)
       .write.mode("append").parquet(in)
     val firstBatch = parquetFiles()
-    docs.filter(col("doc_id") > mid).coalesce(1)
+    docs.filter(second).coalesce(1)
       .write.mode("append").parquet(in)
     val t0 = System.currentTimeMillis() - 60000
     parquetFiles().toSeq.sorted.foreach { f =>
@@ -1058,6 +1063,55 @@ object SparkEntry {
             .as("stream_equals_batch"))
     }),
 
+    // Stream-STREAM inner join with event-time watermarks — the late-
+    // arrival join surface: a document stream joined to a score stream
+    // on key + a bounded time range. The two sources are deliberately
+    // batch-MISALIGNED (docs replay low-ids-first, scores high-ids-
+    // first), so EVERY match crosses a micro-batch boundary and can only
+    // come from the join's watermark-bounded state buffer — a per-batch
+    // join would emit zero rows. The oracle is the static join the
+    // stream must converge to. The 24h watermark delay out-spans the
+    // planted event-time range so the test drops nothing; production
+    // sets the delay to its real lateness bound and the SAME plan
+    // evicts buffered state as the watermark advances — that eviction
+    // is what makes the join's state bounded at 100 TB.
+    "llm_stream_join" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles}
+      val base = JFiles.createTempDirectory("graft_ssj").toString
+      val in = cachedInputDir(s"ssj${math.abs(dir.hashCode)}") { d =>
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          timestamp_seconds(col("doc_id") + lit(1704067200L)).as("ts"))
+        val scores = Tables.documents(s, dir).select(col("doc_id"),
+          pmod(col("doc_id") * 7919, lit(1000)).as("score"),
+          timestamp_seconds(col("doc_id") + lit(1704067205L)).as("ts"))
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        writeTwoBatchParquet(docs, mid, s"$d/docs")
+        writeTwoBatchParquet(scores, mid, s"$d/scores", firstLow = false)
+      }
+      val left = s.readStream.schema("doc_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/docs")
+        .withWatermark("ts", "24 hours")
+      val right = s.readStream
+        .schema("doc_id BIGINT, score BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(s"$in/scores")
+        .select(col("doc_id").as("s_doc_id"), col("score"),
+          col("ts").as("s_ts"))
+        .withWatermark("s_ts", "24 hours")
+      val qname = "ssj_" + math.abs(in.hashCode).toString
+      left.join(right,
+          col("doc_id") === col("s_doc_id") &&
+            col("s_ts") >= col("ts") &&
+            col("s_ts") <= col("ts") + expr("interval 10 seconds"))
+        .select(col("doc_id"), col("score"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname).orderBy(col("doc_id"))
+    }),
+
     // Text analysis: tokenization (whitespace + BPE-ish regex), type-token
     // ratio, quality score, stopword-based language ID, rolling-hash
     // fingerprint — all map-side Catalyst expressions over `documents`.
@@ -1076,6 +1130,33 @@ object SparkEntry {
           round(col("q.stop_ratio"), 4).as("stop_ratio"),
           round(col("q.quality"), 4).as("quality"),
           col("lang_pred"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Compression-ratio quality signal, SELF-VALIDATING (DuckDB has no
+    // deflate, so exact lengths are out of oracle reach — instead two
+    // planted texts per doc pin the kernel's behavior by BAND: 200
+    // repetitions of the doc's first word must land deep in the
+    // compressible tail (< 0.1), a 640-hex-char md5 chain must land in
+    // the incompressible mid-band (0.3–0.9), and repetition must always
+    // compress below noise. A broken compressor — identity, constant,
+    // truncated — fails at least one band for every row.) Real-corpus
+    // application is the same map-side expression over `text`.
+    "llm_compress_ratio" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(coalesce(TextAnalysis.words(col("text")).getItem(0),
+            lit("x")), 1, 20).as("w"))
+      val rep = concat_ws(" ", array_repeat(col("w"), 200))
+      val rnd = concat((0 until 20).map(i =>
+        md5(concat(col("doc_id").cast("string"), lit(s"_$i")))): _*)
+      d.select(col("doc_id"),
+          TextAnalysis.compressionRatio(rep).as("r_rep"),
+          TextAnalysis.compressionRatio(rnd).as("r_rnd"))
+        .select(col("doc_id"),
+          (col("r_rep") < 0.1).as("rep_compressible"),
+          (col("r_rnd") > 0.3 && col("r_rnd") < 0.9).as("rnd_mid_band"),
+          (col("r_rep") < col("r_rnd")).as("rep_below_rnd"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1858,6 +1939,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("first_id"))
         .filter(col("n_images") > 1)
         .orderBy(col("first_id"))
+    }),
+
+    // REAL audio feature extraction: each doc becomes a genuine RIFF/WAV
+    // clip (canonical PCM16 header, 192 closed-form samples planted from
+    // doc_id), and the native pcm_features kernel walks the actual chunk
+    // chain and decodes the actual LE int16 bytes into per-frame RMS /
+    // peak / zero-crossing features. The oracle recomputes all three
+    // from the sample formula — independent of the bytes — so any parser
+    // slip (chunk walk, endianness, sign, frame split) breaks the match.
+    "llm_audio_features" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("media_id"),
+          Multimodal.patternWav(col("doc_id"), 192, lit(16000)).as("payload"))
+      staged
+        .select(col("media_id"),
+          explode(Multimodal.pcmFrameFeatures(col("payload"), 64)).as("f"))
+        .select(col("media_id"),
+          col("f.frame_no").as("frame_no"),
+          col("f.rms").as("rms"),
+          col("f.peak").as("peak"),
+          col("f.zcr").as("zcr"))
+        .orderBy(col("media_id"), col("frame_no"))
     }),
 
     // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
@@ -4343,6 +4446,14 @@ object SparkEntry {
         |SELECT n_est::BIGINT AS n_est_stream, n_est::BIGINT AS n_est_batch,
         |  1::BIGINT AS stream_equals_batch FROM e""".stripMargin,
 
+    // The static join the misaligned two-source stream must converge to:
+    // every doc matches its score exactly once (score ts = doc ts + 5 s,
+    // inside the 10 s range condition).
+    "llm_stream_join" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id * 7919 % 1000 AS BIGINT) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "llm_hll_overlap" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         |g AS MATERIALIZED (
@@ -5473,6 +5584,14 @@ object SparkEntry {
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Self-validating bands (no deflate in DuckDB): every row must land
+    // repetition < 0.1, hex-noise in (0.3, 0.9), repetition < noise.
+    "llm_compress_ratio" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  true AS rep_compressible, true AS rnd_mid_band,
+        |  true AS rep_below_rnd
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "llm_chunking" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, ws,
@@ -5977,6 +6096,26 @@ object SparkEntry {
         |  (224 - w2) // 2 AS pad_x, (224 - h2) // 2 AS pad_y,
         |  round(s, 6) AS scale
         |FROM z ORDER BY media_id""".stripMargin,
+
+    // PCM features closed form: v(k) = ((doc_id·31 + k·17) mod 4001) −
+    // 2000 from the sample formula directly — an INDEPENDENT derivation
+    // (no byte parsing), so the Spark-side RIFF walk + int16 decode is
+    // cross-checked, not mirrored. The integer sum-of-squares is exact
+    // in both engines (≤ 2^46), /64 is a power-of-two, and sqrt is
+    // correctly rounded IEEE in both, so rms compares bit-stable.
+    "llm_audio_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, fr,
+        |    [((doc_id*31 + (fr*64 + i)*17) % 4001) - 2000
+        |     for i in range(0, 64)] AS vs
+        |  FROM documents, range(0, 3) t(fr))
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(fr AS INT) AS frame_no,
+        |  sqrt(CAST(list_sum([v*v for v in vs]) AS DOUBLE) / 64) AS rms,
+        |  CAST(list_max([abs(v) for v in vs]) AS INT) AS peak,
+        |  CAST(list_sum([CASE WHEN (vs[i] < 0) != (vs[i+1] < 0)
+        |                      THEN 1 ELSE 0 END
+        |                 for i in range(1, 64)]) AS INT) AS zcr
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
     // dHash closed form: gray(gx,gy) from the pixel formula directly —
     // an INDEPENDENT derivation (no byte parsing), so the byte-level

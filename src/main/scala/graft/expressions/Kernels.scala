@@ -233,6 +233,106 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Raw-deflate compressed length of a byte payload — the kernel under
+    * the compression-ratio quality signal (near-incompressible text is
+    * high-entropy noise, near-totally-compressible text is boilerplate
+    * repetition; both tails are what a corpus curation pass drops). One
+    * Deflater per eval at a FIXED level with nowrap (no zlib header), so
+    * the length is a pure function of the input bytes for a given JVM's
+    * zlib; consumers must band/threshold the resulting ratio, never
+    * compare exact lengths across environments.
+    */
+  def deflateLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  /** Per-frame PCM audio features over a WAV payload — the audio
+    * feature-extraction pass of a multimodal pipeline, REAL byte math on
+    * real RIFF bytes: the chunk chain is walked from offset 12 (each
+    * chunk is id(4) + LE size(4) + data, word-aligned per the RIFF
+    * spec), the `fmt ` chunk must declare integer PCM (format 1) at 16
+    * bits/sample, and the `data` chunk's interleaved LE int16 samples
+    * are split into consecutive non-overlapping frames of `frameLen`
+    * samples. Per frame: RMS amplitude (sqrt of the exact integer
+    * sum-of-squares over frameLen — the sum is ≤ 2^46 so the double
+    * conversion is lossless and the result bit-deterministic), peak
+    * (max |v|), and zero-crossing count (adjacent pairs whose sign bit
+    * differs, negative vs non-negative). Null for anything that fails
+    * the sniff (not RIFF/WAVE, no fmt/data chunk, compressed or non-16-
+    * bit audio) — garbage features must never enter a filter threshold.
+    * A truncated data chunk keeps the frames its actual bytes cover.
+    */
+  def pcmFeatures(payload: Array[Byte], frameLen: Int): ArrayData = {
+    val n = payload.length
+    if (n < 12) return null
+    def ascii(off: Int, s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (payload(off + i) != s.charAt(i).toByte) return false
+        i += 1
+      }
+      true
+    }
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return null
+    def le(off: Int, w: Int): Long = {
+      var v = 0L; var i = w - 1
+      while (i >= 0) { v = (v << 8) | (payload(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    var pos = 12
+    var pcm16 = false
+    var fmtSeen = false
+    var dataOff = -1
+    var dataLen = 0L
+    while (pos + 8 <= n && dataOff < 0) {
+      val size = le(pos + 4, 4)
+      if (ascii(pos, "fmt ") && size >= 16 && pos + 8 + 16 <= n) {
+        fmtSeen = true
+        pcm16 = le(pos + 8, 2) == 1L && le(pos + 8 + 14, 2) == 16L
+      } else if (ascii(pos, "data")) {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += (8 + size + (size & 1L)).toInt
+    }
+    if (!fmtSeen || !pcm16 || dataOff < 0) return null
+    val avail = math.min(dataLen, (n - dataOff).toLong)
+    val nSamples = (avail / 2).toInt
+    val nFrames = nSamples / frameLen
+    val rows = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var sumSq = 0L
+      var peak = 0
+      var zcr = 0
+      var prevNeg = false
+      var k = 0
+      while (k < frameLen) {
+        val off = dataOff + 2 * (f * frameLen + k)
+        val v = ((payload(off) & 0xff) | (payload(off + 1) << 8)).toShort.toInt
+        sumSq += v.toLong * v
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (k > 0 && neg != prevNeg) zcr += 1
+        prevNeg = neg
+        k += 1
+      }
+      rows(f) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](f, math.sqrt(sumSq.toDouble / frameLen), peak, zcr))
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Unicode NFC normalization (canonical composition). Fast path: the
     * JDK's `isNormalized` is a cheap scan that is true for all-ASCII and
     * already-composed text — the overwhelming share of a web corpus — and

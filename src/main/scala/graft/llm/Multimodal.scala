@@ -306,6 +306,42 @@ object Multimodal {
     bmpPayload(lit(w), lit(h), unhex(bodyHex))
   }
 
+  /** Deterministic 16-bit mono PCM test clip: sample k is
+    * v(k) = ((seed·31 + k·17) mod 4001) − 2000, stored as little-endian
+    * int16 in the data chunk of a real [[wavPayload]] RIFF container.
+    * Hex assembly + one unhex (the [[patternBmp]] shape); every sample
+    * byte is pinned by the closed form, so byte-level consumers like
+    * [[pcmFrameFeatures]] are exercised against independent ground truth
+    * (an endianness or sign slip in the parser cannot cancel against the
+    * builder — the oracle recomputes features from the formula, not the
+    * bytes).
+    */
+  def patternWav(seed: Column, nSamples: Int, rate: Column): Column = {
+    val bodyHex = array_join(
+      transform(sequence(lit(0), lit(nSamples - 1)), k => {
+        val v = pmod(seed * 31 + k * 17, lit(4001)) - 2000
+        val be = lpad(hex(pmod(v, lit(65536))), 4, "0") // two's-complement int16
+        concat(substring(be, 3, 2), substring(be, 1, 2)) // LE byte order
+      }), "")
+    wavPayload(lit(1), rate, unhex(bodyHex))
+  }
+
+  /** Per-frame PCM features (RMS / peak / zero-crossing count) over a WAV
+    * payload — REAL audio feature extraction on real bytes, the audio
+    * counterpart of [[dHashBmp]]: the RIFF chunk chain is walked, PCM16
+    * is demanded, and consecutive non-overlapping `frameLen`-sample
+    * frames each yield the three features every audio curation pipeline
+    * filters on (silence ⇔ low RMS, clipping ⇔ peak at full scale,
+    * noisiness ⇔ zero-crossing rate). One fused native kernel per row
+    * ([[graft.expressions.Kernels.pcmFeatures]], codegen'd); null for
+    * payloads that fail the WAV/PCM16 sniff. Map-side — at corpus scale
+    * only the small feature rows ever shuffle, never payload bytes.
+    *
+    * @return array of struct(frame_no, rms, peak, zcr), 0-based frames
+    */
+  def pcmFrameFeatures(payload: Column, frameLen: Int): Column =
+    graft.GraftExtensions.pcmFeatures(payload, frameLen)
+
   /** Feature-extraction stub over a decoded payload: byte-level stats a
     * real extractor would compute post-decode. Deterministic, map-side.
     */

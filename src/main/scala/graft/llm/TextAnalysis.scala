@@ -130,6 +130,24 @@ object TextAnalysis {
       quality.as("quality"))
   }
 
+  /** Compression-ratio quality signal: deflate(utf8(text)).length /
+    * utf8(text).length — the classic curation filter for both quality
+    * tails. Near-zero ⇔ machine-generated repetition (keyword stuffing,
+    * boilerplate, template spam); near-or-above 1 ⇔ high-entropy noise
+    * (minified blobs, base64, binary-in-text). Runs on the native
+    * codegen'd [[org.apache.spark.sql.graft.DeflateLen]] kernel —
+    * map-side, one pass, no UDF boundary. Consumers band the ratio
+    * (e.g. keep 0.1–0.9); exact lengths are a property of the JVM's
+    * zlib and must never cross an equality comparison. NULL for empty
+    * text (no bytes to measure, `try_divide` semantics).
+    */
+  def compressionRatio(text: Column): Column = {
+    val bytes = encode(text, "UTF-8")
+    try_divide(
+      graft.GraftExtensions.deflateLen(bytes).cast("double"),
+      octet_length(bytes).cast("double"))
+  }
+
   /** Document fingerprint: polynomial rolling hash over per-word codes,
     * mod 1e9+7. code(w) = ascii(first char)*131 + length(w); the fold is a
     * strict left fold so any engine reproducing the same order gets the

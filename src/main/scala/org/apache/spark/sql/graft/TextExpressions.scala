@@ -73,6 +73,67 @@ case class DHashBmp(child: Expression)
     copy(child = newChild)
 }
 
+/** Raw-deflate compressed length as a native codegen'd expression — the
+  * primitive under the compression-ratio text-quality signal. A Scala
+  * UDF would break whole-stage codegen at a site that runs once per
+  * document over the full corpus; the kernel allocates one Deflater per
+  * eval and nothing else.
+  */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_len"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.deflateLen(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Kernels.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
+/** Per-frame PCM audio features (RMS / peak / zero-crossings) over a WAV
+  * payload as ONE codegen'd kernel eval per row — the audio sibling of
+  * [[DHashBmp]]: the RIFF chunk walk, sample decode, and the three
+  * per-frame folds fuse into a single byte loop instead of thousands of
+  * interpreted higher-order-function lambdas per payload. Nullable:
+  * non-WAV and non-PCM16 payloads yield null (the DHashBmp rationale —
+  * garbage features must never enter a filter threshold).
+  */
+case class PcmFrameFeatures(child: Expression, frameLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(frameLen >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = PcmFrameFeatures.Schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pcm_features"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.pcmFeatures(input.asInstanceOf[Array[Byte]], frameLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.Kernels.pcmFeatures($c, $frameLen);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): PcmFrameFeatures =
+    copy(child = newChild)
+}
+
+object PcmFrameFeatures {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("rms", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zcr", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 /** Unicode NFC normalization as a native codegen'd expression. Spark has
   * no normalization builtin; the alternative — a Scala UDF around
   * `java.text.Normalizer` — would break whole-stage codegen at every

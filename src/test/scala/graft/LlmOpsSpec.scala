@@ -1709,6 +1709,89 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(1L)._1 != r(1L)._3)
   }
 
+  test("multimodal: pcmFrameFeatures decodes real RIFF bytes (chunk walk, " +
+       "LE int16 sign, word-aligned skip) and refuses non-PCM16 payloads") {
+    import spark.implicits._
+
+    // hand-assembled WAV: canonical header builder, little-endian fields
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def wav(samples: Seq[Int], bits: Int = 16, fmt: Int = 1,
+            preChunk: Array[Byte] = Array.empty,
+            dataLenOverride: Option[Int] = None): Array[Byte] = {
+      val data = samples.flatMap(v => le(v.toLong & 0xffff, 2)).toArray
+      val fmtCh = "fmt ".getBytes ++ le(16, 4) ++ le(fmt, 2) ++ le(1, 2) ++
+        le(16000, 4) ++ le(32000, 4) ++ le(2, 2) ++ le(bits, 2)
+      val dataCh = "data".getBytes ++
+        le(dataLenOverride.getOrElse(data.length).toLong, 4) ++ data
+      val body = fmtCh ++ preChunk ++ dataCh
+      "RIFF".getBytes ++ le(body.length + 4L, 4) ++ "WAVE".getBytes ++ body
+    }
+
+    val samples = Seq(100, -200, 300, -400, 0, 50, -50, 32767)
+    // an odd-sized junk chunk between fmt and data exercises the RIFF
+    // word-alignment rule (size 3 chunk occupies 4 bytes)
+    val junk = "LIST".getBytes ++ le(3, 4) ++ Array[Byte](1, 2, 3, 0)
+    val rows = Seq(
+      (1L, wav(samples)),                           // plain
+      (2L, wav(samples, preChunk = junk)),          // chunk walk
+      (3L, wav(samples, bits = 8)),                 // non-16-bit → null
+      (4L, wav(samples, fmt = 3)),                  // float PCM → null
+      (5L, "just some text".getBytes("UTF-8")),     // not RIFF → null
+      // header claims 8 samples but only 6 are present → 1 full frame
+      (6L, wav(samples, dataLenOverride = Some(16)).dropRight(4)))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.pcmFrameFeatures(col("payload"), 4).as("f"))
+      .orderBy("id").collect()
+
+    def frames(i: Int): Seq[Row] = seqOf[Row](rows(i), "f")
+    // frame 0: sumSq = 100²+200²+300²+400² = 300000; all adjacent pairs flip
+    val f0 = frames(0).head
+    assert(f0.getInt(0) == 0)
+    assert(math.abs(f0.getDouble(1) - math.sqrt(300000.0 / 4)) < 1e-12)
+    assert(f0.getInt(2) == 400 && f0.getInt(3) == 3)
+    // frame 1: peak at full scale, zcr counts only sign-bit changes
+    val f1 = frames(0)(1)
+    assert(f1.getInt(0) == 1)
+    assert(math.abs(f1.getDouble(1) - math.sqrt(1073681289.0 / 4)) < 1e-12)
+    assert(f1.getInt(2) == 32767 && f1.getInt(3) == 2)
+    // junk chunk before data: identical features
+    assert(frames(1) == frames(0))
+    // non-PCM16 / non-RIFF: null, not garbage
+    assert(rows(2).isNullAt(1) && rows(3).isNullAt(1) && rows(4).isNullAt(1))
+    // truncated data chunk: only the frame its actual bytes cover
+    assert(frames(5).size == 1 && frames(5).head == f0)
+  }
+
+  test("text: compressionRatio separates repetition from noise, nulls on " +
+       "empty text, and the kernel is genuine raw deflate at level 6") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rep = ("spam " * 300).trim
+    val noise = (0 until 20).map(i => md5hex(s"seed_$i")).mkString
+    val out = Seq((1L, rep), (2L, noise), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) < 0.1)
+    assert(out(1).getDouble(1) > 0.3 && out(1).getDouble(1) < 0.9)
+    assert(out(0).getDouble(1) < out(1).getDouble(1))
+    assert(out(2).isNullAt(1))
+    // the kernel is the real thing: exact agreement with an
+    // independently-constructed raw Deflater at the documented settings
+    val ref = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(noise.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val n = d.deflate(buf); d.end(); n
+    }
+    val got = Seq(noise).toDF("t")
+      .select(expr("deflate_len(encode(t, 'UTF-8'))")).collect()(0).getInt(0)
+    assert(got == ref)
+  }
+
   test("dedup: lineDedup drops every occurrence of an over-threshold " +
        "line, keeps order, and passes untouched docs through verbatim") {
     import spark.implicits._
