@@ -242,26 +242,37 @@ object Kernels {
     * zlib; consumers must band/threshold the resulting ratio, never
     * compare exact lengths across environments.
     */
+  // One Deflater + scratch buffer per executor thread, reused via
+  // reset(): deflateInit/deflateEnd allocate ~256 KB of native
+  // workspace, far too heavy to pay once per ROW on a corpus-scale map
+  // path. reset() restores the exact initial stream state, so output
+  // is byte-identical to a fresh instance. Never end()ed — the native
+  // memory is bounded by the thread count and lives for the executor.
+  private val deflaterTL =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(6, true), new Array[Byte](8192))
+    }
+
   def deflateLen(bytes: Array[Byte]): Int = {
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = deflaterTL.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** Per-frame PCM audio features over a WAV payload — the audio
     * feature-extraction pass of a multimodal pipeline, REAL byte math on
     * real RIFF bytes: the chunk chain is walked from offset 12 (each
     * chunk is id(4) + LE size(4) + data, word-aligned per the RIFF
-    * spec), the `fmt ` chunk must declare integer PCM (format 1) at 16
-    * bits/sample, and the `data` chunk's interleaved LE int16 samples
-    * are split into consecutive non-overlapping frames of `frameLen`
-    * samples. Per frame: RMS amplitude (sqrt of the exact integer
+    * spec), the `fmt ` chunk must declare MONO integer PCM (format 1,
+    * 1 channel) at 16 bits/sample — multi-channel interleaving would
+    * silently turn zcr into a cross-channel artifact — and the `data`
+    * chunk's LE int16 samples are split into consecutive
+    * non-overlapping frames of `frameLen` samples. Per frame: RMS amplitude (sqrt of the exact integer
     * sum-of-squares over frameLen — the sum is ≤ 2^46 so the double
     * conversion is lossless and the result bit-deterministic), peak
     * (max |v|), and zero-crossing count (adjacent pairs whose sign bit
@@ -287,21 +298,28 @@ object Kernels {
       while (i >= 0) { v = (v << 8) | (payload(off + i) & 0xffL); i -= 1 }
       v
     }
-    var pos = 12
+    // pos is a Long: chunk sizes are unsigned 32-bit, so an Int walk
+    // over a corrupt size (e.g. 0xFFFFFFF8) would truncate the advance
+    // to 0 (infinite loop) or overflow negative (index crash); the Long
+    // walk just runs off the end and degrades to null like the contract
+    // promises for any corrupt file.
+    var pos = 12L
     var pcm16 = false
     var fmtSeen = false
     var dataOff = -1
     var dataLen = 0L
     while (pos + 8 <= n && dataOff < 0) {
-      val size = le(pos + 4, 4)
-      if (ascii(pos, "fmt ") && size >= 16 && pos + 8 + 16 <= n) {
+      val p = pos.toInt
+      val size = le(p + 4, 4)
+      if (ascii(p, "fmt ") && size >= 16 && pos + 8 + 16 <= n) {
         fmtSeen = true
-        pcm16 = le(pos + 8, 2) == 1L && le(pos + 8 + 14, 2) == 16L
-      } else if (ascii(pos, "data")) {
-        dataOff = pos + 8
+        pcm16 = le(p + 8, 2) == 1L && le(p + 8 + 2, 2) == 1L &&
+          le(p + 8 + 14, 2) == 16L
+      } else if (ascii(p, "data")) {
+        dataOff = p + 8
         dataLen = size
       }
-      pos += (8 + size + (size & 1L)).toInt
+      pos += 8 + size + (size & 1L)
     }
     if (!fmtSeen || !pcm16 || dataOff < 0) return null
     val avail = math.min(dataLen, (n - dataOff).toLong)

@@ -320,16 +320,15 @@ object Multimodal {
     val bodyHex = array_join(
       transform(sequence(lit(0), lit(nSamples - 1)), k => {
         val v = pmod(seed * 31 + k * 17, lit(4001)) - 2000
-        val be = lpad(hex(pmod(v, lit(65536))), 4, "0") // two's-complement int16
-        concat(substring(be, 3, 2), substring(be, 1, 2)) // LE byte order
+        leHex(pmod(v, lit(65536)), 2) // two's-complement LE int16
       }), "")
     wavPayload(lit(1), rate, unhex(bodyHex))
   }
 
   /** Per-frame PCM features (RMS / peak / zero-crossing count) over a WAV
     * payload — REAL audio feature extraction on real bytes, the audio
-    * counterpart of [[dHashBmp]]: the RIFF chunk chain is walked, PCM16
-    * is demanded, and consecutive non-overlapping `frameLen`-sample
+    * counterpart of [[dHashBmp]]: the RIFF chunk chain is walked, mono
+    * PCM16 is demanded, and consecutive non-overlapping `frameLen`-sample
     * frames each yield the three features every audio curation pipeline
     * filters on (silence ⇔ low RMS, clipping ⇔ peak at full scale,
     * noisiness ⇔ zero-crossing rate). One fused native kernel per row

@@ -1716,11 +1716,11 @@ class LlmOpsSpec extends SparkSpec {
     // hand-assembled WAV: canonical header builder, little-endian fields
     def le(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
-    def wav(samples: Seq[Int], bits: Int = 16, fmt: Int = 1,
+    def wav(samples: Seq[Int], bits: Int = 16, fmt: Int = 1, nch: Int = 1,
             preChunk: Array[Byte] = Array.empty,
             dataLenOverride: Option[Int] = None): Array[Byte] = {
       val data = samples.flatMap(v => le(v.toLong & 0xffff, 2)).toArray
-      val fmtCh = "fmt ".getBytes ++ le(16, 4) ++ le(fmt, 2) ++ le(1, 2) ++
+      val fmtCh = "fmt ".getBytes ++ le(16, 4) ++ le(fmt, 2) ++ le(nch, 2) ++
         le(16000, 4) ++ le(32000, 4) ++ le(2, 2) ++ le(bits, 2)
       val dataCh = "data".getBytes ++
         le(dataLenOverride.getOrElse(data.length).toLong, 4) ++ data
@@ -1739,7 +1739,14 @@ class LlmOpsSpec extends SparkSpec {
       (4L, wav(samples, fmt = 3)),                  // float PCM → null
       (5L, "just some text".getBytes("UTF-8")),     // not RIFF → null
       // header claims 8 samples but only 6 are present → 1 full frame
-      (6L, wav(samples, dataLenOverride = Some(16)).dropRight(4)))
+      (6L, wav(samples, dataLenOverride = Some(16)).dropRight(4)),
+      // stereo: interleaved channels would corrupt zcr → refused
+      (7L, wav(samples, nch = 2)),
+      // corrupt unsigned chunk size (0xFFFFFFF8): the walk must run off
+      // the end and return null, not loop forever or crash on a
+      // truncated-int advance
+      (8L, "RIFF".getBytes ++ le(100, 4) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ le(0xFFFFFFF8L, 4) ++ new Array[Byte](16)))
       .toDF("id", "payload")
       .select(col("id"), Multimodal.pcmFrameFeatures(col("payload"), 4).as("f"))
       .orderBy("id").collect()
@@ -1761,6 +1768,8 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows(2).isNullAt(1) && rows(3).isNullAt(1) && rows(4).isNullAt(1))
     // truncated data chunk: only the frame its actual bytes cover
     assert(frames(5).size == 1 && frames(5).head == f0)
+    // stereo and corrupt-chunk-size payloads: null, not garbage/crash
+    assert(rows(6).isNullAt(1) && rows(7).isNullAt(1))
   }
 
   test("text: compressionRatio separates repetition from noise, nulls on " +
