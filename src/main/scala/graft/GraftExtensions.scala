@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DeflateLen, DHashBmp, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, VecCosine, VecDot, VecL2Norm}
+import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DeflateLen, DHashBmp, GraphiteEscape, GraphitePath, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -80,4 +80,10 @@ object GraftExtensions {
     ColumnBridge.col(PcmFrameFeatures(ColumnBridge.expr(payload), frameLen))
   def deflateLen(payload: Column): Column =
     ColumnBridge.col(DeflateLen(ColumnBridge.expr(payload)))
+  def unigramExpected(word: Column, pieces: Seq[String], logps: Seq[Double],
+                      scale: Long): Column =
+    ColumnBridge.col(UnigramExpected(ColumnBridge.expr(word), pieces, logps, scale))
+  def unigramSegment(word: Column, pieces: Seq[String],
+                     logps: Seq[Double]): Column =
+    ColumnBridge.col(UnigramSegment(ColumnBridge.expr(word), pieces, logps))
 }

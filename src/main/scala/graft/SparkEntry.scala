@@ -1133,6 +1133,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SentencePiece-style unigram-LM tokenizer: candidate inventory from
+    // distributed substring counts, EM via per-type forward-backward in
+    // a native kernel (fixed-point expected counts → bit-reproducible
+    // distributed M-step sums), Viterbi application corpus-wide. DuckDB
+    // cannot run forward-backward, so the entry pins (a) hand-computable
+    // Viterbi segmentations under a PLANTED model — engine-evaluated,
+    // constants in the oracle, (b) the EM trajectory invariant (corpus
+    // log-likelihood non-decreasing once the inventory freezes after
+    // round 1 — the EM guarantee; a broken E- or M-step breaks it),
+    // (c) lossless round-trip of every corpus word under the TRAINED
+    // model, (d) pieces ≥ words. Unsegmentable probe → 'null', refused
+    // not mangled.
+    "llm_unigram_tokenizer" -> ((s, dir) => {
+      val model = cachedModel(s"unigram:$dir") {
+        TextAnalysis.unigramTrain(Tables.documents(s, dir),
+          vocabSize = 256, rounds = 4)
+      }
+      val pp = Seq("a", "ab", "b", "bc", "c")
+      val lp = Seq(-3.0, -1.0, -3.0, -2.5, -3.0)
+      def segStr(w: String): Column = coalesce(
+        array_join(graft.GraftExtensions.unigramSegment(lit(w), pp, lp), "|"),
+        lit("null"))
+      val llMono = model.llByRound.drop(1).sliding(2).forall {
+        case scala.collection.Seq(a, b) => b >= a - 1e-6 * (1 + math.abs(a))
+        case _ => true
+      }
+      val stats = TextAnalysis.unigramSegmentStats(
+        Tables.documents(s, dir), model.pieces, model.logps)
+      stats.agg(
+          bool_and(col("lossless")).cast("string").as("corpus_lossless_all"),
+          (sum(col("n_pieces")) >= sum(col("n_alpha_words"))).cast("string")
+            .as("pieces_at_least_words"))
+        .select(
+          segStr("abc").as("seg_abc"),
+          segStr("bab").as("seg_bab"),
+          segStr("cabc").as("seg_cabc"),
+          segStr("axc").as("seg_axc"),
+          col("corpus_lossless_all"),
+          col("pieces_at_least_words"),
+          lit(llMono.toString).as("ll_monotone"))
+        .select(expr(
+          """stack(7,
+            |  'seg_abc', seg_abc, 'seg_bab', seg_bab,
+            |  'seg_cabc', seg_cabc, 'seg_axc', seg_axc,
+            |  'corpus_lossless_all', corpus_lossless_all,
+            |  'pieces_at_least_words', pieces_at_least_words,
+            |  'll_monotone', ll_monotone) AS (name, value)""".stripMargin))
+        .orderBy(col("name"))
+    }),
+
     // Compression-ratio quality signal, SELF-VALIDATING (DuckDB has no
     // deflate, so exact lengths are out of oracle reach — instead two
     // planted texts per doc pin the kernel's behavior by BAND: 200
@@ -5583,6 +5633,21 @@ object SparkEntry {
         |      list_transform(ws, x -> CAST(ascii(substr(x,1,1))*131 + length(x) AS BIGINT))),
         |    (a,b) -> (a*31+b) % 1000000007) AS fingerprint
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Hand-computed Viterbi under the planted model (a=-3, ab=-1, b=-3,
+    // bc=-2.5, c=-3): abc → ab|c (-4 beats a|bc -5.5); bab → b|ab (-4);
+    // cabc → c|ab|c (-7); axc has no path ('x' not in vocab) → 'null'.
+    // The corpus/trajectory verdicts must all hold by construction.
+    "llm_unigram_tokenizer" ->
+      """SELECT * FROM (VALUES
+        |  ('corpus_lossless_all', 'true'),
+        |  ('ll_monotone', 'true'),
+        |  ('pieces_at_least_words', 'true'),
+        |  ('seg_abc', 'ab|c'),
+        |  ('seg_axc', 'null'),
+        |  ('seg_bab', 'b|ab'),
+        |  ('seg_cabc', 'c|ab|c')) AS t(name, value)
+        |ORDER BY name""".stripMargin,
 
     // Self-validating bands (no deflate in DuckDB): every row must land
     // repetition < 0.1, hex-noise in (0.3, 0.9), repetition < noise.

@@ -16,6 +16,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * are bit-identical to both the HOF spelling and the DuckDB oracle's
   * `list_reduce` (see VectorOps' determinism contract).
   */
+/** Unigram-LM tokenizer model shared by the expected-count and Viterbi
+  * kernels: the piece inventory with log-probabilities, plus the derived
+  * lookup structures the per-word DP needs. Ships to executors inside
+  * the plan (codegen references array / serialized expression), so the
+  * hash index and max piece length rebuild lazily after
+  * deserialization.
+  */
+final class UnigramModel(val pieces: Array[String], val logps: Array[Double])
+    extends Serializable {
+  require(pieces.length == logps.length && pieces.nonEmpty)
+  @transient lazy val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), i); i += 1 }
+    m
+  }
+  @transient lazy val maxLen: Int = {
+    var m = 1
+    var i = 0
+    while (i < pieces.length) {
+      if (pieces(i).length > m) m = pieces(i).length
+      i += 1
+    }
+    m
+  }
+}
+
 object Kernels {
 
   // ---- byte codecs (reference: graphite/escape.go:82-103,
@@ -349,6 +376,162 @@ object Kernels {
       f += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  // ---- unigram-LM tokenizer (SentencePiece-style) ----
+
+  private def logAddExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val m = math.max(a, b)
+      m + math.log1p(math.exp(-math.abs(a - b)))
+    }
+
+  /** E-step of unigram-LM EM for ONE word: forward-backward over the
+    * segmentation lattice (an arc at [i, j) exists when s[i, j) is a
+    * vocabulary piece), returning the word's log-likelihood alpha(n)
+    * and each touched piece's expected count — posterior arc mass
+    * exp(alpha(i) + logp + beta(j) − alpha(n)) summed per piece.
+    *
+    * Expected counts leave the kernel as FIXED-POINT longs
+    * (round(e·scale)): the driver's M-step sums them across a
+    * distributed aggregation, and long addition is associative and
+    * order-independent where a double sum is not — the k-means
+    * bit-reproducibility contract applied to EM. Rounding is per-word
+    * and deterministic, so the whole training trajectory is exact.
+    *
+    * A word containing characters outside the vocabulary has no path:
+    * ll = −∞ and an empty expected array (the caller's coverage rule —
+    * every corpus character is a piece — makes this unreachable in
+    * training; it is the honest answer for foreign probes).
+    */
+  def unigramExpected(word: UTF8String, m: UnigramModel, scale: Long)
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val s = word.toString
+    val n = s.length
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0.0, empty))
+    val NegInf = Double.NegativeInfinity
+    val maxL = m.maxLen
+    val alpha = Array.fill(n + 1)(NegInf)
+    alpha(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxL, j)) {
+        if (alpha(j - l) != NegInf) {
+          val idx = m.index.get(s.substring(j - l, j))
+          if (idx != null)
+            alpha(j) = logAddExp(alpha(j), alpha(j - l) + m.logps(idx))
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (alpha(n) == NegInf)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](NegInf, empty))
+    val beta = Array.fill(n + 1)(NegInf)
+    beta(n) = 0.0
+    var i = n - 1
+    while (i >= 0) {
+      var l = 1
+      while (l <= math.min(maxL, n - i)) {
+        if (beta(i + l) != NegInf) {
+          val idx = m.index.get(s.substring(i, i + l))
+          if (idx != null)
+            beta(i) = logAddExp(beta(i), m.logps(idx) + beta(i + l))
+        }
+        l += 1
+      }
+      i -= 1
+    }
+    // arcs touched by a word: ≤ n·maxLen, so accumulate in a small map
+    // keyed by piece index rather than a vocab-sized scratch array
+    val acc = new java.util.HashMap[Integer, java.lang.Double]()
+    i = 0
+    while (i < n) {
+      var l = 1
+      while (l <= math.min(maxL, n - i)) {
+        if (alpha(i) != NegInf && beta(i + l) != NegInf) {
+          val idx = m.index.get(s.substring(i, i + l))
+          if (idx != null) {
+            val e = math.exp(alpha(i) + m.logps(idx) + beta(i + l) - alpha(n))
+            val prev = acc.get(idx)
+            acc.put(idx, if (prev == null) e else prev + e)
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val rows = new java.util.ArrayList[Any](acc.size)
+    // deterministic emit order (by piece index) so the row bytes are
+    // stable; the downstream agg is order-insensitive anyway
+    val keys = new java.util.ArrayList[Integer](acc.keySet)
+    java.util.Collections.sort(keys)
+    var k = 0
+    while (k < keys.size) {
+      val idx = keys.get(k)
+      val fx = math.round(acc.get(idx) * scale)
+      if (fx > 0)
+        rows.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](idx.intValue(), fx)))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](alpha(n),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)))
+  }
+
+  /** Viterbi segmentation for ONE word under a unigram-LM model: the
+    * max-probability piece sequence. Ties break to the LONGER piece at
+    * the latest decision point (deterministic for any model). Null when
+    * the word has no segmentation (character outside the vocabulary) —
+    * a tokenizer must refuse, not mangle.
+    */
+  def unigramViterbi(word: UTF8String, m: UnigramModel): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val NegInf = Double.NegativeInfinity
+    val maxL = m.maxLen
+    val best = Array.fill(n + 1)(NegInf)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      while (l <= math.min(maxL, j)) {
+        if (best(j - l) != NegInf) {
+          val idx = m.index.get(s.substring(j - l, j))
+          if (idx != null) {
+            val sc = best(j - l) + m.logps(idx)
+            // strict > plus longer-piece preference on exact ties
+            if (sc > best(j) || (sc == best(j) && l > back(j))) {
+              best(j) = sc
+              back(j) = l
+            }
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    if (best(n) == NegInf) return null
+    val out = new java.util.ArrayList[Any]()
+    var p = n
+    while (p > 0) {
+      out.add(0, UTF8String.fromString(s.substring(p - back(p), p)))
+      p -= back(p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Unicode NFC normalization (canonical composition). Fast path: the

@@ -218,15 +218,24 @@ object TextAnalysis {
     *         encoded `<a> <b>` form, merged — `<ab>`, cnt — the pair's
     *         weighted frequency when chosen)
     */
-  def bpeTrain(docs: DataFrame, nMerges: Int,
-               textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+  /** The corpus collapsed to weighted WORD TYPES — (w, c): distinct
+    * lowercased alphabetic words with occurrence counts. Every tokenizer
+    * trainer iterates on this bounded table instead of the token stream
+    * (types grow ~log of corpus size; tokens grow linearly — the
+    * difference between a feasible and an infeasible 100 TB train).
+    */
+  private def wordTypes(docs: DataFrame, textCol: String): DataFrame = {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
-    val vocabTypes = docs
-      .select(explode(wsArr).as("w"))
+    docs.select(explode(wsArr).as("w"))
       .filter(col("w").rlike("^[A-Za-z]+$"))
       .select(lower(col("w")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+  }
+
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val vocabTypes = wordTypes(docs, textCol)
     val seq0 = array_join(
       transform(concat(charShingles(col("w"), 1), array(lit("_"))),
         c => concat(lit("<"), c, lit(">"))), " ")
@@ -288,6 +297,130 @@ object TextAnalysis {
       aggregate(
         transform(alpha, w => size(split(applied(w), " ")).cast("long")),
         lit(0L), (a, x) => a + x).as("n_subwords"))
+  }
+
+  /** A trained unigram-LM tokenizer: piece inventory with log-probs,
+    * plus the per-EM-round corpus log-likelihood (llByRound(k) is
+    * evaluated under the model ENTERING round k+1) and the candidate
+    * count before pruning.
+    */
+  case class UnigramModel(pieces: Seq[String], logps: Seq[Double],
+                          llByRound: Seq[Double], nCandidates: Int)
+
+  /** SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    * "Subword Regularization"): seed a candidate inventory from
+    * corpus substring counts, then EM — E-step computes each piece's
+    * expected count per word type via forward-backward over the
+    * segmentation lattice (one native kernel eval per type, the model
+    * riding the codegen references array), M-step re-estimates piece
+    * probabilities from the summed counts.
+    *
+    * Spark shape: everything iterates on the bounded [[wordTypes]]
+    * table; per round ONE distributed agg sums fixed-point expected
+    * counts (long addition — associative, so the training trajectory is
+    * bit-reproducible run-to-run, the k-means contract) and collects
+    * only the model-sized totals. Candidate generation is an explode +
+    * partial-combined count, never a driver loop over text.
+    *
+    * Pruning (simplified vs SentencePiece's likelihood-loss rank): the
+    * 4×vocabSize seed inventory is cut to vocabSize by expected count
+    * after the FIRST M-step; later rounds run pure EM on the fixed
+    * inventory, so corpus log-likelihood is non-decreasing from round 2
+    * onward (the EM guarantee — a trajectory invariant the entry pins).
+    * Single characters are never pruned and their totals floor at 1
+    * fixed-point unit: full coverage means every alphabetic word stays
+    * segmentable.
+    */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, rounds: Int,
+                   maxPieceLen: Int = 6, textCol: String = "text")
+      : UnigramModel = {
+    require(vocabSize >= 2 && rounds >= 1)
+    val Scale = 1L << 20
+    val types = wordTypes(docs, textCol).localCheckpoint(true)
+    try {
+      // seed inventory: every corpus character (coverage floor) + the
+      // top multi-char substrings by weighted occurrence count
+      val chars = types
+        .select(col("c"), explode(charShingles(col("w"), 1)).as("p"))
+        .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val subs = flatten(transform(
+        sequence(lit(1), length(col("w"))), i =>
+          filter(transform(sequence(lit(2), lit(maxPieceLen)),
+              l => when(i + l - 1 <= length(col("w")), col("w").substr(i, l))),
+            s => s.isNotNull)))
+      val multi = types.select(col("c"), explode(subs).as("p"))
+        .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p"))
+        .limit(math.max(0, 4 * vocabSize - chars.length))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var inv: Array[(String, Long)] = chars ++ multi
+      val nCandidates = inv.length
+
+      def logpsOf(inv: Array[(String, Long)]): Array[Double] = {
+        val total = inv.iterator.map(_._2).sum.toDouble
+        inv.map(p => math.log(p._2 / total))
+      }
+
+      var logps = logpsOf(inv)
+      val lls = Seq.newBuilder[Double]
+      for (round <- 1 to rounds) {
+        val pieces = inv.map(_._1).toSeq
+        val e = types.select(col("c"),
+            graft.GraftExtensions.unigramExpected(col("w"), pieces,
+              logps.toSeq, Scale).as("e"))
+          .localCheckpoint(true)
+        try {
+          lls += e.agg(sum(col("c").cast("double") * col("e.ll")))
+            .head().getDouble(0)
+          val totals = e
+            .select(col("c"), explode(col("e.exp")).as("x"))
+            .groupBy(col("x.idx"))
+            .agg(sum(col("x.fx") * col("c")).as("t"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          // single chars floor at one fixed-point unit: coverage never
+          // prunes away, no piece logs log(0)
+          val updated = inv.zipWithIndex.map { case ((p, _), i) =>
+            (p, math.max(totals.getOrElse(i, 0L),
+              if (p.length == 1) 1L else 0L))
+          }
+          val kept =
+            if (round == 1) {
+              val (cs, ms) = updated.partition(_._1.length == 1)
+              cs ++ ms.filter(_._2 > 0)
+                .sortBy { case (p, t) => (-t, p) }
+                .take(math.max(0, vocabSize - cs.length))
+            } else updated
+          inv = kept.sortBy(_._1)
+          logps = logpsOf(inv)
+        } finally e.unpersist()
+      }
+      UnigramModel(inv.map(_._1).toSeq, logps.toSeq, lls.result(), nCandidates)
+    } finally types.unpersist()
+  }
+
+  /** Corpus-wide Viterbi application of a trained unigram model:
+    * per-doc alphabetic word count, total piece count, and whether every
+    * word round-trips losslessly (concat(pieces) == word — null
+    * segmentations count as failures, never as zero pieces). Map-side;
+    * the per-word DP runs inside the array lambdas.
+    */
+  def unigramSegmentStats(docs: DataFrame, pieces: Seq[String],
+                          logps: Seq[Double], textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    val alpha = transform(
+      filter(wsArr, w => w.rlike("^[A-Za-z]+$")), w => lower(w))
+    def seg(w: Column): Column =
+      graft.GraftExtensions.unigramSegment(w, pieces, logps)
+    docs.select(col(idCol).as("doc_id"),
+      size(alpha).cast("long").as("n_alpha_words"),
+      aggregate(transform(alpha, w => coalesce(size(seg(w)), lit(0))),
+        lit(0L), (a, x) => a + x).as("n_pieces"),
+      aggregate(transform(alpha,
+          w => coalesce(array_join(seg(w), "") === w, lit(false))),
+        lit(true), (a, x) => a && x).as("lossless"))
   }
 
   /** Overlapping fixed-size word chunks — the chunking pass that turns

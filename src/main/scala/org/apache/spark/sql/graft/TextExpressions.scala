@@ -134,6 +134,81 @@ object PcmFrameFeatures {
     containsNull = false)
 }
 
+/** Unigram-LM E-step (forward-backward expected piece counts +
+  * log-likelihood) for one word as a native codegen'd expression. The
+  * model (piece inventory + log-probs) is a plan-time constant: it
+  * rides to executors via the codegen references array
+  * (`addReferenceObj`) — the Catalyst idiom for model-sized state a
+  * kernel needs per row, the same role the centroid literals play in
+  * the k-means expressions but without re-parsing an array literal per
+  * row. Fixed-point output makes the distributed M-step sum exact (see
+  * the kernel doc).
+  */
+case class UnigramExpected(child: Expression, pieces: Seq[String],
+    logps: Seq[Double], scale: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.length == logps.length && pieces.nonEmpty && scale >= 1)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = UnigramExpected.Schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_expected"
+  @transient private lazy val model =
+    new graft.expressions.UnigramModel(pieces.toArray, logps.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.unigramExpected(input.asInstanceOf[UTF8String], model, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("unigramModel", model,
+      classOf[graft.expressions.UnigramModel].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.unigramExpected($c, $m, ${scale}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramExpected =
+    copy(child = newChild)
+}
+
+object UnigramExpected {
+  val Schema: DataType = StructType(Seq(
+    StructField("ll", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("exp", ArrayType(StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("fx", org.apache.spark.sql.types.LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+}
+
+/** Viterbi unigram-LM segmentation for one word (model via the same
+  * references-array mechanism as [[UnigramExpected]]). Nullable: a word
+  * with no path through the vocabulary refuses rather than mangles.
+  */
+case class UnigramSegment(child: Expression, pieces: Seq[String],
+    logps: Seq[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(pieces.length == logps.length && pieces.nonEmpty)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_segment"
+  @transient private lazy val model =
+    new graft.expressions.UnigramModel(pieces.toArray, logps.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.unigramViterbi(input.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("unigramModel", model,
+      classOf[graft.expressions.UnigramModel].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.Kernels.unigramViterbi($c, $m);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
 /** Unicode NFC normalization as a native codegen'd expression. Spark has
   * no normalization builtin; the alternative — a Scala UDF around
   * `java.text.Normalizer` — would break whole-stage codegen at every

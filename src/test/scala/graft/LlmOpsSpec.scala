@@ -1801,6 +1801,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("text: unigram tokenizer — Viterbi hand cases, EM non-decreasing " +
+       "likelihood, lossless coverage, bit-identical retrain") {
+    import spark.implicits._
+    // hand model: exact path scores are checkable by hand
+    val pp = Seq("a", "ab", "b", "bc", "c")
+    val lp = Seq(-3.0, -1.0, -3.0, -2.5, -3.0)
+    val probes = Seq("abc", "bab", "cabc", "axc").toDF("w")
+      .select(col("w"), graft.GraftExtensions.unigramSegment(
+        col("w"), pp, lp).as("seg"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else seqOf[String](r, "seg"))).toMap
+    assert(probes("abc") == Seq("ab", "c"))   // -4 beats a|bc at -5.5
+    assert(probes("bab") == Seq("b", "ab"))
+    assert(probes("cabc") == Seq("c", "ab", "c"))
+    assert(probes("axc") == null)             // 'x' not in vocab: refuse
+
+    // EM on a corpus dominated by 'ab': the piece survives pruning and
+    // outweighs its single-char decomposition
+    val docs = Seq(
+      (1L, "abab abab cd"), (2L, "abab ab cd"), (3L, "ab cd ab"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.unigramTrain(docs, vocabSize = 8, rounds = 4)
+    val byPiece = m.pieces.zip(m.logps).toMap
+    assert(byPiece.contains("ab"))
+    assert(byPiece("ab") > byPiece("a"))
+    // EM guarantee once the inventory freezes after round 1
+    m.llByRound.drop(1).sliding(2).foreach {
+      case scala.collection.Seq(a, b) =>
+        assert(b >= a - 1e-6 * (1 + math.abs(a)), s"LL dropped: $a -> $b")
+      case _ =>
+    }
+    // coverage: every corpus word round-trips losslessly
+    val stats = TextAnalysis.unigramSegmentStats(docs, m.pieces, m.logps)
+      .collect()
+    assert(stats.forall(_.getAs[Boolean]("lossless")))
+    assert(stats.forall(r =>
+      r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_alpha_words")))
+    // fixed-point E-step sums are longs: retraining is bit-identical
+    val m2 = TextAnalysis.unigramTrain(docs, vocabSize = 8, rounds = 4)
+    assert(m2.pieces == m.pieces && m2.logps == m.logps &&
+      m2.llByRound == m.llByRound)
+  }
+
   test("dedup: lineDedup drops every occurrence of an over-threshold " +
        "line, keeps order, and passes untouched docs through verbatim") {
     import spark.implicits._
