@@ -16,33 +16,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * are bit-identical to both the HOF spelling and the DuckDB oracle's
   * `list_reduce` (see VectorOps' determinism contract).
   */
-/** Unigram-LM tokenizer model shared by the expected-count and Viterbi
-  * kernels: the piece inventory with log-probabilities, plus the derived
-  * lookup structures the per-word DP needs. Ships to executors inside
-  * the plan (codegen references array / serialized expression), so the
-  * hash index and max piece length rebuild lazily after
-  * deserialization.
-  */
-final class UnigramModel(val pieces: Array[String], val logps: Array[Double])
-    extends Serializable {
-  require(pieces.length == logps.length && pieces.nonEmpty)
-  @transient lazy val index: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](pieces.length * 2)
-    var i = 0
-    while (i < pieces.length) { m.put(pieces(i), i); i += 1 }
-    m
-  }
-  @transient lazy val maxLen: Int = {
-    var m = 1
-    var i = 0
-    while (i < pieces.length) {
-      if (pieces(i).length > m) m = pieces(i).length
-      i += 1
-    }
-    m
-  }
-}
-
 object Kernels {
 
   // ---- byte codecs (reference: graphite/escape.go:82-103,
@@ -546,5 +519,32 @@ object Kernels {
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unigram-LM tokenizer model shared by the expected-count and Viterbi
+  * kernels: the piece inventory with log-probabilities, plus the derived
+  * lookup structures the per-word DP needs. Ships to executors inside
+  * the plan (codegen references array / serialized expression), so the
+  * hash index and max piece length rebuild lazily after
+  * deserialization.
+  */
+final class UnigramModel(val pieces: Array[String], val logps: Array[Double])
+    extends Serializable {
+  require(pieces.length == logps.length && pieces.nonEmpty)
+  @transient lazy val index: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), i); i += 1 }
+    m
+  }
+  @transient lazy val maxLen: Int = {
+    var m = 1
+    var i = 0
+    while (i < pieces.length) {
+      if (pieces(i).length > m) m = pieces(i).length
+      i += 1
+    }
+    m
   }
 }

@@ -182,6 +182,20 @@ object TextAnalysis {
       .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
   }
 
+  /** The corpus collapsed to weighted WORD TYPES — (w, c): distinct
+    * lowercased alphabetic words with occurrence counts. Every tokenizer
+    * trainer iterates on this bounded table instead of the token stream
+    * (types grow ~log of corpus size; tokens grow linearly — the
+    * difference between a feasible and an infeasible 100 TB train).
+    */
+  private def wordTypes(docs: DataFrame, textCol: String): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    docs.select(explode(wsArr).as("w"))
+      .filter(col("w").rlike("^[A-Za-z]+$"))
+      .select(lower(col("w")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+  }
+
   /** BPE merge training (Sennrich et al. 2016): learn the first
     * `nMerges` byte-pair merges over the corpus's word types — the
     * classic subword-vocabulary construction pass of GPT-2-style
@@ -218,20 +232,6 @@ object TextAnalysis {
     *         encoded `<a> <b>` form, merged — `<ab>`, cnt — the pair's
     *         weighted frequency when chosen)
     */
-  /** The corpus collapsed to weighted WORD TYPES — (w, c): distinct
-    * lowercased alphabetic words with occurrence counts. Every tokenizer
-    * trainer iterates on this bounded table instead of the token stream
-    * (types grow ~log of corpus size; tokens grow linearly — the
-    * difference between a feasible and an infeasible 100 TB train).
-    */
-  private def wordTypes(docs: DataFrame, textCol: String): DataFrame = {
-    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
-    docs.select(explode(wsArr).as("w"))
-      .filter(col("w").rlike("^[A-Za-z]+$"))
-      .select(lower(col("w")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-  }
-
   def bpeTrain(docs: DataFrame, nMerges: Int,
                textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -304,8 +304,8 @@ object TextAnalysis {
     * evaluated under the model ENTERING round k+1) and the candidate
     * count before pruning.
     */
-  case class UnigramModel(pieces: Seq[String], logps: Seq[Double],
-                          llByRound: Seq[Double], nCandidates: Int)
+  case class TrainedUnigramModel(pieces: Seq[String], logps: Seq[Double],
+                                 llByRound: Seq[Double], nCandidates: Int)
 
   /** SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
     * "Subword Regularization"): seed a candidate inventory from
@@ -317,10 +317,19 @@ object TextAnalysis {
     *
     * Spark shape: everything iterates on the bounded [[wordTypes]]
     * table; per round ONE distributed agg sums fixed-point expected
-    * counts (long addition — associative, so the training trajectory is
-    * bit-reproducible run-to-run, the k-means contract) and collects
-    * only the model-sized totals. Candidate generation is an explode +
-    * partial-combined count, never a driver loop over text.
+    * counts and collects only the model-sized totals. Candidate
+    * generation is an explode + partial-combined count, never a driver
+    * loop over text.
+    *
+    * Determinism: the per-word kernel rounds expected counts (and the
+    * word log-likelihood) to fixed-point integers, and the distributed
+    * sums run in exact DECIMAL/long arithmetic — associative and
+    * order-independent where a double sum is not — so the whole
+    * training trajectory, llByRound included, is bit-identical across
+    * retrains (the k-means reproducibility contract applied to EM).
+    * The decimal totals also make the M-step overflow-proof: fx·c
+    * products near 2^63 at web-corpus type counts would silently wrap
+    * a long sum.
     *
     * Pruning (simplified vs SentencePiece's likelihood-loss rank): the
     * 4×vocabSize seed inventory is cut to vocabSize by expected count
@@ -333,9 +342,14 @@ object TextAnalysis {
     */
   def unigramTrain(docs: DataFrame, vocabSize: Int, rounds: Int,
                    maxPieceLen: Int = 6, textCol: String = "text")
-      : UnigramModel = {
+      : TrainedUnigramModel = {
     require(vocabSize >= 2 && rounds >= 1)
+    // a sub-2 cap would flip sequence(2, maxPieceLen) into a DESCENDING
+    // range (Spark defaults the step to -1), silently generating the
+    // very lengths the cap should exclude
+    require(maxPieceLen >= 2, "maxPieceLen must be at least 2")
     val Scale = 1L << 20
+    val dec = "decimal(38,0)"
     val types = wordTypes(docs, textCol).localCheckpoint(true)
     try {
       // seed inventory: every corpus character (coverage floor) + the
@@ -343,8 +357,10 @@ object TextAnalysis {
       val chars = types
         .select(col("c"), explode(charShingles(col("w"), 1)).as("p"))
         .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .collect().map(r => (r.getString(0), BigDecimal(r.getLong(1))))
         .sortBy(_._1)
+      require(chars.nonEmpty,
+        "unigramTrain: the corpus has no alphabetic words to train on")
       val subs = flatten(transform(
         sequence(lit(1), length(col("w"))), i =>
           filter(transform(sequence(lit(2), lit(maxPieceLen)),
@@ -354,39 +370,47 @@ object TextAnalysis {
         .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("p"))
         .limit(math.max(0, 4 * vocabSize - chars.length))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      var inv: Array[(String, Long)] = chars ++ multi
+        .collect().map(r => (r.getString(0), BigDecimal(r.getLong(1))))
+      var inv: Array[(String, BigDecimal)] = chars ++ multi
       val nCandidates = inv.length
 
-      def logpsOf(inv: Array[(String, Long)]): Array[Double] = {
+      def logpsOf(inv: Array[(String, BigDecimal)]): Array[Double] = {
         val total = inv.iterator.map(_._2).sum.toDouble
-        inv.map(p => math.log(p._2 / total))
+        inv.map(p => math.log(p._2.toDouble / total))
       }
 
       var logps = logpsOf(inv)
       val lls = Seq.newBuilder[Double]
-      for (round <- 1 to rounds) {
+      for (rnd <- 1 to rounds) {
         val pieces = inv.map(_._1).toSeq
         val e = types.select(col("c"),
             graft.GraftExtensions.unigramExpected(col("w"), pieces,
               logps.toSeq, Scale).as("e"))
           .localCheckpoint(true)
         try {
-          lls += e.agg(sum(col("c").cast("double") * col("e.ll")))
-            .head().getDouble(0)
+          // corpus LL in the same fixed-point discipline as the counts:
+          // per-type rounding is deterministic, the decimal sum exact,
+          // so llByRound is bit-identical across retrains (the rounding
+          // error, ≤ c/2Scale per type, is far inside the monotonicity
+          // tolerance)
+          lls += e.agg(sum((round(col("e.ll") * Scale).cast("long"))
+              .cast(dec) * col("c").cast(dec)))
+            .head().getDecimal(0).doubleValue() / Scale
           val totals = e
             .select(col("c"), explode(col("e.exp")).as("x"))
             .groupBy(col("x.idx"))
-            .agg(sum(col("x.fx") * col("c")).as("t"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            .agg(sum(col("x.fx").cast(dec) * col("c").cast(dec)).as("t"))
+            .collect()
+            .map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1))).toMap
           // single chars floor at one fixed-point unit: coverage never
           // prunes away, no piece logs log(0)
+          val one = BigDecimal(1)
           val updated = inv.zipWithIndex.map { case ((p, _), i) =>
-            (p, math.max(totals.getOrElse(i, 0L),
-              if (p.length == 1) 1L else 0L))
+            val t = totals.getOrElse(i, BigDecimal(0))
+            (p, if (p.length == 1) t.max(one) else t)
           }
           val kept =
-            if (round == 1) {
+            if (rnd == 1) {
               val (cs, ms) = updated.partition(_._1.length == 1)
               cs ++ ms.filter(_._2 > 0)
                 .sortBy { case (p, t) => (-t, p) }
@@ -396,7 +420,8 @@ object TextAnalysis {
           logps = logpsOf(inv)
         } finally e.unpersist()
       }
-      UnigramModel(inv.map(_._1).toSeq, logps.toSeq, lls.result(), nCandidates)
+      TrainedUnigramModel(inv.map(_._1).toSeq, logps.toSeq, lls.result(),
+        nCandidates)
     } finally types.unpersist()
   }
 
@@ -404,7 +429,10 @@ object TextAnalysis {
     * per-doc alphabetic word count, total piece count, and whether every
     * word round-trips losslessly (concat(pieces) == word — null
     * segmentations count as failures, never as zero pieces). Map-side;
-    * the per-word DP runs inside the array lambdas.
+    * the segmentations are STAGED as their own projection so the
+    * per-word DP — the dominant cost of the scan — runs exactly once
+    * per word, with both stats derived from the shared array (the
+    * CollapseProject staging rule the multimodal decode entry pinned).
     */
   def unigramSegmentStats(docs: DataFrame, pieces: Seq[String],
                           logps: Seq[Double], textCol: String = "text",
@@ -412,15 +440,17 @@ object TextAnalysis {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
     val alpha = transform(
       filter(wsArr, w => w.rlike("^[A-Za-z]+$")), w => lower(w))
-    def seg(w: Column): Column =
-      graft.GraftExtensions.unigramSegment(w, pieces, logps)
-    docs.select(col(idCol).as("doc_id"),
-      size(alpha).cast("long").as("n_alpha_words"),
-      aggregate(transform(alpha, w => coalesce(size(seg(w)), lit(0))),
-        lit(0L), (a, x) => a + x).as("n_pieces"),
-      aggregate(transform(alpha,
-          w => coalesce(array_join(seg(w), "") === w, lit(false))),
-        lit(true), (a, x) => a && x).as("lossless"))
+    docs.select(col(idCol).as("doc_id"), alpha.as("aw"),
+        transform(alpha,
+          w => graft.GraftExtensions.unigramSegment(w, pieces, logps))
+          .as("segs"))
+      .select(col("doc_id"),
+        size(col("aw")).cast("long").as("n_alpha_words"),
+        aggregate(transform(col("segs"), s => coalesce(size(s), lit(0))),
+          lit(0L), (a, x) => a + x).as("n_pieces"),
+        aggregate(zip_with(col("aw"), col("segs"),
+            (w, sg) => coalesce(array_join(sg, "") === w, lit(false))),
+          lit(true), (a, x) => a && x).as("lossless"))
   }
 
   /** Overlapping fixed-size word chunks — the chunking pass that turns
