@@ -330,6 +330,20 @@ object SparkEntry {
       col("value"),
       unix_millis(col("ts")).as("timestampMs"))
 
+  /** The deterministic doc→doc link fixture shared by the centrality
+    * entries (PageRank, personalized PageRank): 3 hash-derived out-links
+    * per doc — md5("id:lj") mod n. The oracle rebuilds the same graph in
+    * [[OLinkGraphCtes]]; keep them in lockstep.
+    */
+  private def docLinkEdges(d: DataFrame): DataFrame = {
+    val n = d.count()
+    d.select(col("doc_id").as("src"),
+      explode(array((0 until 3).map(j =>
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(s":l$j"))), 1, 8), 16, 10).cast("long"), lit(n))): _*))
+        .as("dst"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1-A4: time-bucketed quantile aggregation, the whole remote-read SELECT
@@ -1578,13 +1592,25 @@ object SparkEntry {
     // so the trajectory hash-matches a 5×-unrolled CTE oracle.
     "llm_pagerank" -> ((s, dir) => {
       val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
-      val n = d.count()
-      val edges = d.select(col("doc_id").as("src"),
-        explode(array((0 until 3).map(j =>
-          pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-            lit(s":l$j"))), 1, 8), 16, 10).cast("long"), lit(n))): _*))
-          .as("dst"))
-      LinkGraph.pageRank(d.select(col("doc_id").as("id")), edges, iters = 5)
+      LinkGraph.pageRank(d.select(col("doc_id").as("id")),
+          docLinkEdges(d), iters = 5)
+        .select(col("id").cast("long").as("doc_id"), col("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+    }),
+
+    // Personalized PageRank from a seed set (every 17th doc): the
+    // TrustRank/seed-expansion primitive — restart mass concentrates on
+    // the seeds, so rank measures link-structure proximity to the
+    // trusted nucleus, and nodes unreachable from it score exactly 0.
+    // Same integer fixed point and 5×-unrolled CTE oracle as
+    // llm_pagerank, with the per-node seed-conditional base term
+    // carried through the unroll.
+    "llm_ppr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      val seeds = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("id"))
+      LinkGraph.personalizedPageRank(d.select(col("doc_id").as("id")),
+          docLinkEdges(d), seeds, iters = 5)
         .select(col("id").cast("long").as("doc_id"), col("pr"))
         .orderBy(col("pr").desc, col("doc_id"))
     }),
@@ -3820,29 +3846,55 @@ object SparkEntry {
     * 3-out-link graph — so the full trajectory, not just the ranking,
     * is engine-exact.
     */
-  private def oPageRankSql: String = {
-    val iters = (1 to 5).map { i =>
-      s"""p$i AS (SELECT p.id,
-         |    (SELECT base FROM c) + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+  /** Shared link-graph CTEs for the centrality oracles — must stay in
+    * lockstep with [[docLinkEdges]]. Expects a prior CTE `c` providing
+    * the node count `n`.
+    */
+  private val OLinkGraphCtes: String =
+    """e AS MATERIALIZED (SELECT doc_id AS src,
+      |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':l'||j),1,8)
+      |      AS BIGINT) % (SELECT n FROM c) AS dst
+      |  FROM documents, unnest([0, 1, 2]) AS t(j)),
+      |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)""".stripMargin
+
+  /** One unrolled PageRank iteration (shared by the uniform and
+    * personalized oracles): `baseExpr` is the restart term — a scalar
+    * subquery for uniform PageRank, the carried per-node column for PPR.
+    */
+  private def oPrIters(baseExpr: String, carry: String): String =
+    (1 to 5).map { i =>
+      s"""p$i AS (SELECT p.id,$carry
+         |    $baseExpr + (85 * coalesce(f.inflow, 0)) // 100 AS pr
          |  FROM p${i - 1} p LEFT JOIN (
          |    SELECT e.dst AS id, sum(q.pr // dg.outdeg) AS inflow
          |    FROM e JOIN p${i - 1} q ON q.id = e.src
          |    JOIN dg ON dg.src = e.src
          |    GROUP BY e.dst) f USING (id))""".stripMargin
     }.mkString(",\n")
+
+  private def oPageRankSql: String =
     s"""WITH c AS (SELECT count(*) AS n,
        |    1000000000000 // count(*) AS pr0,
        |    ((15 * 1000000000000) // 100) // count(*) AS base
        |  FROM documents),
-       |e AS MATERIALIZED (SELECT doc_id AS src,
-       |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':l'||j),1,8)
-       |      AS BIGINT) % (SELECT n FROM c) AS dst
-       |  FROM documents, unnest([0, 1, 2]) AS t(j)),
-       |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |$OLinkGraphCtes,
        |p0 AS (SELECT doc_id AS id, (SELECT pr0 FROM c) AS pr FROM documents),
-       |$iters
+       |${oPrIters("(SELECT base FROM c)", "")}
        |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
-  }
+
+  private def oPprSql: String =
+    s"""WITH c AS (SELECT count(*) AS n FROM documents),
+       |sc AS (SELECT count(*) AS ns FROM documents WHERE doc_id % 17 = 0),
+       |$OLinkGraphCtes,
+       |p0 AS (SELECT doc_id AS id,
+       |    CASE WHEN doc_id % 17 = 0
+       |      THEN 1000000000000 // (SELECT ns FROM sc) ELSE 0 END AS pr,
+       |    CASE WHEN doc_id % 17 = 0
+       |      THEN ((15 * 1000000000000) // 100) // (SELECT ns FROM sc)
+       |      ELSE 0 END AS base
+       |  FROM documents),
+       |${oPrIters("p.base", " p.base,")}
+       |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
 
   /** BM25 oracle CTE chain (`proj` → `stats` → `scored`), shared by the
     * bm25 entry and the hybrid-RRF fusion so the lexical side cannot
@@ -4370,6 +4422,7 @@ object SparkEntry {
     "llm_ann_ivfpq" -> oAnnIvfpqSql,
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
+    "llm_ppr" -> oPprSql,
     "llm_hits" -> oHitsSql,
 
     "llm_len_quantiles" ->

@@ -24,31 +24,6 @@ object LinkGraph {
     */
   val Scale = 1000000000000L
 
-  /** Fixed-iteration PageRank over (src, dst) edges with uniform
-    * out-degree split and damping d = dampNum/100.
-    *
-    * pr_0(v)     = SCALE div n
-    * pr_{t+1}(v) = ((100−dampNum)·SCALE div 100) div n
-    *             + dampNum · (Σ_{u→v} pr_t(u) div outdeg(u)) div 100
-    *
-    * Scale shape: per iteration, ONE shuffle join of the rank table onto
-    * the edge list (keyed on src — co-partition both on the node id and
-    * the exchange reuses across iterations) and ONE partial-combined
-    * groupBy(dst) sum; the rank table is one row per node. This is the
-    * Pregel message-passing shape — iterations × (join + agg), nothing
-    * driver-side but the loop counter. Each round localCheckpoints to
-    * truncate the otherwise per-round-growing iterative plan (same
-    * reasoning as [[Dedup.connectedComponents]]).
-    *
-    * Dangling nodes (outdeg 0) contribute nothing — their mass leaks,
-    * matching the contract that callers wanting strict mass conservation
-    * pre-drop or self-loop them. Nodes appear in the output even with no
-    * in-links (base term only).
-    *
-    * @param nodes one row per vertex: (id)
-    * @param edges (src, dst), parallel edges count separately
-    * @return (id, pr) — pr on the 10^12 fixed-point scale
-    */
   /** HITS scale: hub/auth values live near [0, 10^6] after each
     * normalization (see [[hits]] — normalization is overflow-safe at any
     * node count, unlike a multiply-then-divide spelling which would
@@ -123,21 +98,92 @@ object LinkGraph {
     auth.join(hub, Seq("id"))
   }
 
+  /** Fixed-iteration PageRank over (src, dst) edges with uniform
+    * out-degree split and damping d = dampNum/100.
+    *
+    * pr_0(v)     = SCALE div n
+    * pr_{t+1}(v) = ((100−dampNum)·SCALE div 100) div n
+    *             + dampNum · (Σ_{u→v} pr_t(u) div outdeg(u)) div 100
+    *
+    * Scale shape: per iteration, ONE shuffle join of the rank table onto
+    * the edge list (keyed on src — co-partition both on the node id and
+    * the exchange reuses across iterations) and ONE partial-combined
+    * groupBy(dst) sum; the rank table is one row per node. This is the
+    * Pregel message-passing shape — iterations × (join + agg), nothing
+    * driver-side but the loop counter. Each round localCheckpoints to
+    * truncate the otherwise per-round-growing iterative plan (same
+    * reasoning as [[Dedup.connectedComponents]]).
+    *
+    * Dangling nodes (outdeg 0) contribute nothing — their mass leaks,
+    * matching the contract that callers wanting strict mass conservation
+    * pre-drop or self-loop them. Nodes appear in the output even with no
+    * in-links (base term only).
+    *
+    * @param nodes one row per vertex: (id)
+    * @param edges (src, dst), parallel edges count separately
+    * @return (id, pr) — pr on the 10^12 fixed-point scale
+    */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                dampNum: Int = 85): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty node set")
     val base = (100L - dampNum) * Scale / 100L / n
+    prLoop(nodes.select(col("id"),
+        lit(Scale / n).as("pr0"), lit(base).as("base")),
+      edges, iters, dampNum)
+  }
+
+  /** Personalized PageRank: identical recurrence, but the restart mass
+    * (the base term AND the initial distribution) concentrates on a
+    * SEED set instead of spreading uniformly — random walks teleport
+    * back to the seeds, so rank measures proximity to them. This is the
+    * seed-based trust/quality propagation of web curation (TrustRank:
+    * start from hand-vetted hosts, let the link structure extend the
+    * judgment; also the standard seed-expansion primitive for growing a
+    * topical corpus from a curated nucleus).
+    *
+    *   ppr_0(v)     = [v ∈ S] · SCALE div |S|
+    *   ppr_{t+1}(v) = [v ∈ S] · ((100−d)·SCALE div 100) div |S|
+    *                + d · (Σ_{u→v} ppr_t(u) div outdeg(u)) div 100
+    *
+    * Same all-integer fixed point and Pregel scale shape as
+    * [[pageRank]] (one extra broadcast-sized seed join at init only);
+    * non-seed nodes with no inbound paths from S stay at exactly 0 —
+    * "unreachable from the trusted set" is a value, not an absence.
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int,
+                           dampNum: Int = 85): DataFrame = {
+    require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
+    val seedIds = seeds.select(col("id")).distinct()
+    val nS = seedIds.count()
+    require(nS > 0, "personalizedPageRank with an empty seed set")
+    val baseSeed = (100L - dampNum) * Scale / 100L / nS
+    val marked = nodes.select(col("id"))
+      .join(seedIds.select(col("id"), lit(1L).as("s")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("s").isNotNull, lit(Scale / nS)).otherwise(lit(0L))
+          .as("pr0"),
+        when(col("s").isNotNull, lit(baseSeed)).otherwise(lit(0L))
+          .as("base"))
+    prLoop(marked, edges, iters, dampNum)
+  }
+
+  /** The shared power-iteration loop: `init` carries one row per node
+    * with its starting rank (pr0) and per-node restart term (base).
+    */
+  private def prLoop(init: DataFrame, edges: DataFrame, iters: Int,
+                     dampNum: Int): DataFrame = {
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     // outdeg rides WITH the rank table so the per-iteration join is the
     // one edge join only (degrees don't change; attach them once)
-    var pr = nodes.select(col("id"))
+    var pr = init
       .join(deg, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(Scale / n).as("pr"))
+        col("base"), col("pr0").as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -147,10 +193,10 @@ object LinkGraph {
           Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share")).as("inflow"))
-      val next = pr.select(col("id"), col("outdeg"))
+      val next = pr.select(col("id"), col("outdeg"), col("base"))
         .join(contrib, Seq("id"), "left")
-        .select(col("id"), col("outdeg"),
-          (lit(base) + call_function("div",
+        .select(col("id"), col("outdeg"), col("base"),
+          (col("base") + call_function("div",
             lit(dampNum.toLong) * coalesce(col("inflow"), lit(0L)),
             lit(100L))).as("pr"))
         .localCheckpoint(true)

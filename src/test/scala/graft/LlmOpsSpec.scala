@@ -472,6 +472,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.sum < scale)
   }
 
+  test("graph: personalized PageRank concentrates restart mass on the " +
+       "seeds and scores unreachable nodes exactly 0") {
+    import spark.implicits._
+    import graft.llm.LinkGraph
+    // 1→2→3 reachable from seed 1; node 4 is disconnected
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = LinkGraph.personalizedPageRank(nodes, edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // replay the exact integer recurrence with |S| = 1
+    val scale = LinkGraph.Scale
+    val base = (100L - 85L) * scale / 100L / 1L
+    def nxt(isSeed: Boolean, inflow: Long): Long =
+      (if (isSeed) base else 0L) + 85L * inflow / 100L
+    var p = Map(1L -> scale, 2L -> 0L, 3L -> 0L, 4L -> 0L)
+    for (_ <- 1 to 3)
+      p = Map(1L -> nxt(true, 0L), 2L -> nxt(false, p(1L)),
+        3L -> nxt(false, p(2L)), 4L -> nxt(false, 0L))
+    assert(got == p, s"got $got expected $p")
+    // unreachable-from-seeds is a value, not an absence
+    assert(got(4L) == 0L)
+    // proximity ordering: seed > one hop > two hops
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+  }
+
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
