@@ -1584,6 +1584,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order (Morton) clustering vs linear sort, judged by the only
+    // metric that matters at 100 TB: files scanned under min/max
+    // pruning. Events get two independent hash-derived 8-bit keys; 16
+    // file groups are cut by z-RANGE (square 64×64 tiles of the plane)
+    // and by x-range (stripes). Per-group min/max stats then answer two
+    // box predicates: selective on both dims, and on y only — where
+    // the x-sort layout must scan EVERY file and z-order ~√F of them.
+    // All-integer (magic-number bit spread), so the oracle recomputes
+    // layouts and verdicts exactly.
+    "llm_zorder_skipping" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      def b(tag: String) = pmod(conv(substring(md5(concat(
+        col("event_id").cast("string"), lit(tag))), 1, 8), 16, 10)
+        .cast("long"), lit(256))
+      val g = Tables.events(s, dir)
+        .select(b(":zx").as("x"), b(":zy").as("y"))
+        .select(col("x"), col("y"),
+          call_function("div", ZOrder.zValue16(col("x"), col("y")),
+            lit(4096L)).as("zg"),
+          call_function("div", col("x"), lit(16L)).as("xg"))
+      def stats(key: String) = g.groupBy(col(key)).agg(
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      val boxBoth = col("xmax") >= 64 && col("xmin") <= 95 &&
+        col("ymax") >= 64 && col("ymin") <= 95
+      val boxY = col("ymax") >= 64 && col("ymin") <= 95
+      def summary(key: String, layout: String) = stats(key).agg(
+        count(lit(1)).as("files_total"),
+        sum(when(boxBoth, 1L).otherwise(0L)).as("scan_both"),
+        sum(when(boxY, 1L).otherwise(0L)).as("scan_y"))
+        .select(lit(layout).as("layout"), col("files_total"),
+          col("scan_both"), col("scan_y"))
+      summary("xg", "xsort").unionByName(summary("zg", "zorder"))
+        .orderBy(col("layout"))
+    }),
+
     // Fixed-point PageRank over a deterministic doc→doc link graph (3
     // hash-derived out-links per doc) — the crawl-side centrality signal
     // (Common Crawl rank files) next to the content-side quality scores.
@@ -4423,6 +4459,48 @@ object SparkEntry {
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
     "llm_ppr" -> oPprSql,
+
+    // Same magic-number bit spread (masks 0x00FF00FF / 0x0F0F0F0F /
+    // 0x33333333 / 0x55555555), groups, and box predicates — integer
+    // math end to end.
+    "llm_zorder_skipping" ->
+      """WITH d AS (SELECT
+        |    CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)||':zx'),1,8)
+        |      AS BIGINT) % 256 AS x,
+        |    CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)||':zy'),1,8)
+        |      AS BIGINT) % 256 AS y
+        |  FROM events),
+        |z1 AS (SELECT x, y, ((x | (x << 8)) & 16711935) AS sx,
+        |                    ((y | (y << 8)) & 16711935) AS sy FROM d),
+        |z2 AS (SELECT x, y, ((sx | (sx << 4)) & 252645135) AS sx,
+        |                    ((sy | (sy << 4)) & 252645135) AS sy FROM z1),
+        |z3 AS (SELECT x, y, ((sx | (sx << 2)) & 858993459) AS sx,
+        |                    ((sy | (sy << 2)) & 858993459) AS sy FROM z2),
+        |z4 AS (SELECT x, y, ((sx | (sx << 1)) & 1431655765) AS sx,
+        |                    ((sy | (sy << 1)) & 1431655765) AS sy FROM z3),
+        |g AS (SELECT x, y, (sx | (sy << 1)) // 4096 AS zg, x // 16 AS xg
+        |  FROM z4),
+        |zs AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |    min(y) AS ymin, max(y) AS ymax FROM g GROUP BY zg),
+        |xs AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |    min(y) AS ymin, max(y) AS ymax FROM g GROUP BY xg),
+        |s AS (
+        |  SELECT 'xsort' AS layout, count(*) AS files_total,
+        |    sum(CASE WHEN xmax >= 64 AND xmin <= 95 AND ymax >= 64
+        |             AND ymin <= 95 THEN 1 ELSE 0 END) AS scan_both,
+        |    sum(CASE WHEN ymax >= 64 AND ymin <= 95 THEN 1 ELSE 0 END)
+        |      AS scan_y
+        |  FROM xs
+        |  UNION ALL
+        |  SELECT 'zorder', count(*),
+        |    sum(CASE WHEN xmax >= 64 AND xmin <= 95 AND ymax >= 64
+        |             AND ymin <= 95 THEN 1 ELSE 0 END),
+        |    sum(CASE WHEN ymax >= 64 AND ymin <= 95 THEN 1 ELSE 0 END)
+        |  FROM zs)
+        |SELECT layout, CAST(files_total AS BIGINT) AS files_total,
+        |  CAST(scan_both AS BIGINT) AS scan_both,
+        |  CAST(scan_y AS BIGINT) AS scan_y
+        |FROM s ORDER BY layout""".stripMargin,
     "llm_hits" -> oHitsSql,
 
     "llm_len_quantiles" ->

@@ -472,6 +472,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.sum < scale)
   }
 
+  test("operators: zValue16 interleaves bits (x even, y odd) and its " +
+       "range tiles are squares of the plane") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    val rows = Seq((10L, 5L), (64L, 0L), (0L, 64L), (192L, 192L), (0L, 0L))
+      .toDF("x", "y")
+      .select(ZOrder.zValue16(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // x=1010b, y=0101b: z interleaves to 01100110b = 102
+    assert(rows(0) == 102L)
+    // bit 6 of x lands at even position 12; of y at odd position 13
+    assert(rows(1) == 4096L && rows(2) == 8192L)
+    // top-2 bits of both dims fill the top nibble: tile 15
+    assert(rows(3) / 4096L == 15L && rows(4) == 0L)
+    // every point of a 64×64 tile shares one zg: corners of tile (1,1)
+    val corners = Seq((64L, 64L), (127L, 64L), (64L, 127L), (127L, 127L))
+      .toDF("x", "y")
+      .select((ZOrder.zValue16(col("x"), col("y")) / 4096).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(corners.size == 1)
+  }
+
   test("graph: personalized PageRank concentrates restart mass on the " +
        "seeds and scores unreachable nodes exactly 0") {
     import spark.implicits._
