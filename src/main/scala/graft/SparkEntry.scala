@@ -1584,6 +1584,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus shard manifest: the integrity attestation published beside
+    // a dataset release — per-shard row count, id range, and an ORDER-
+    // INDEPENDENT content digest (sum of 48-bit md5 prefixes in exact
+    // decimal, folded mod 2^61−1). The same manifest is recomputed over
+    // a deliberately re-partitioned copy of the corpus and compared
+    // shard by shard: the digests must agree even though every physical
+    // row order changed — the invariance that makes manifests checkable
+    // at 100 TB without a global sort. The oracle recomputes the
+    // manifest from raw content (DuckDB HUGEINT sum — also exact).
+    "llm_shard_manifest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val m1 = CorpusIO.shardManifest(d, 8)
+      val m2 = CorpusIO.shardManifest(d.repartition(7, col("text")), 8)
+        .select(col("shard"), col("n_docs").as("n2"),
+          col("min_id").as("mn2"), col("max_id").as("mx2"),
+          col("content_hash").as("h2"))
+      m1.join(m2, Seq("shard"))
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("min_id"), col("max_id"), col("content_hash"),
+          (col("n_docs") === col("n2") && col("min_id") === col("mn2") &&
+            col("max_id") === col("mx2") &&
+            col("content_hash") === col("h2"))
+            .as("repartition_invariant"))
+        .orderBy(col("shard"))
+    }),
+
     // Z-order (Morton) clustering vs linear sort, judged by the only
     // metric that matters at 100 TB: files scanned under min/max
     // pruning. Events get two independent hash-derived 8-bit keys; 16
@@ -4459,6 +4485,20 @@ object SparkEntry {
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
     "llm_ppr" -> oPprSql,
+
+    // Independent recomputation of the manifest from raw content: the
+    // 48-bit md5 prefix sum runs in DuckDB's HUGEINT (also exact), and
+    // invariance must hold by the algebra.
+    "llm_shard_manifest" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  CAST(sum(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||text),
+        |        1, 12) AS BIGINT)) % 2305843009213693951 AS BIGINT)
+        |    AS content_hash,
+        |  true AS repartition_invariant
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // Same magic-number bit spread (masks 0x00FF00FF / 0x0F0F0F0F /
     // 0x33333333 / 0x55555555), groups, and box predicates — integer

@@ -120,4 +120,28 @@ class CorpusIOSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq ==
       docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
+  test("shardManifest: digest is repartition-invariant and moves on " +
+       "corruption or duplication") {
+    val docs = (1L to 40L).map(i => (i, s"document body $i"))
+      .toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      CorpusIO.shardManifest(df, 4).orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    val base = m(docs)
+    // different physical layout, identical digest
+    assert(m(docs.repartition(7, col("text"))) == base)
+    // one corrupted row moves exactly its shard's digest, counts intact
+    val bad = docs.withColumn("text",
+      when(col("doc_id") === 6L, lit("tampered")).otherwise(col("text")))
+    val badM = m(bad)
+    assert(badM.map(x => (x._1, x._2)) == base.map(x => (x._1, x._2)))
+    assert(badM.zip(base).count { case (a, b) => a._3 != b._3 } == 1)
+    assert(badM.zip(base).find { case (a, b) => a._3 != b._3 }
+      .exists(_._1._1 == 6L % 4))
+    // a duplicated row changes both the count and the digest
+    val dupM = m(docs.unionByName(docs.filter(col("doc_id") === 9L)))
+    val shard9 = (9L % 4).toInt
+    assert(dupM(shard9)._2 == base(shard9)._2 + 1)
+    assert(dupM(shard9)._3 != base(shard9)._3)
+  }
 }
