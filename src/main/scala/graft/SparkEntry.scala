@@ -1624,12 +1624,16 @@ object SparkEntry {
       def b(tag: String) = pmod(conv(substring(md5(concat(
         col("event_id").cast("string"), lit(tag))), 1, 8), 16, 10)
         .cast("long"), lit(256))
+      // checkpointed: both layout summaries read it — without the pin
+      // the events scan + 2 md5s + the bit spread would execute twice
+      // (the LinkGraph.hits normalized() rule)
       val g = Tables.events(s, dir)
         .select(b(":zx").as("x"), b(":zy").as("y"))
         .select(col("x"), col("y"),
           call_function("div", ZOrder.zValue16(col("x"), col("y")),
             lit(4096L)).as("zg"),
           call_function("div", col("x"), lit(16L)).as("xg"))
+        .localCheckpoint(true)
       def stats(key: String) = g.groupBy(col(key)).agg(
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
         min(col("y")).as("ymin"), max(col("y")).as("ymax"))
@@ -4494,7 +4498,8 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id,
-        |  CAST(sum(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||text),
+        |  CAST(sum(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR) ||
+        |        CASE WHEN text IS NULL THEN '' ELSE ':'||text END),
         |        1, 12) AS BIGINT)) % 2305843009213693951 AS BIGINT)
         |    AS content_hash,
         |  true AS repartition_invariant

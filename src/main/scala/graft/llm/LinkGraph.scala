@@ -156,7 +156,11 @@ object LinkGraph {
                            seeds: DataFrame, iters: Int,
                            dampNum: Int = 85): DataFrame = {
     require(iters >= 1 && dampNum >= 0 && dampNum <= 100)
+    // strays outside the node set would still count toward |S|, silently
+    // deflating every real seed's restart share — intersect first so the
+    // documented ppr_0(v) = [v∈S]·SCALE div |S| distribution holds
     val seedIds = seeds.select(col("id")).distinct()
+      .join(nodes.select(col("id")).distinct(), Seq("id"), "left_semi")
     val nS = seedIds.count()
     require(nS > 0, "personalizedPageRank with an empty seed set")
     val baseSeed = (100L - dampNum) * Scale / 100L / nS

@@ -165,7 +165,8 @@ object CorpusIO {
     * ships beside the data: row count, id range, and an
     * ORDER-INDEPENDENT content hash: the sum of each row's 48-bit md5
     * prefix (keyed id:text, the ':' keeping id/text splits
-    * unambiguous), accumulated in exact decimal so no corpus size can
+    * unambiguous; a null text hashes the bare id — concat_ws skips
+    * nulls — so null and empty stay distinct), accumulated in exact decimal so no corpus size can
     * overflow it, then folded mod 2^61-1 into a compact digest.
     * Addition commutes, so the digest is invariant
     * under repartitioning, task retries, and merge order — the property
@@ -179,7 +180,8 @@ object CorpusIO {
     */
   def shardManifest(df: DataFrame, shards: Int,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame =
+                    textCol: String = "text"): DataFrame = {
+    require(shards >= 1, "need at least one shard")
     df.groupBy(pmod(col(idCol), lit(shards.toLong)).as("shard"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -189,4 +191,5 @@ object CorpusIO {
             col(idCol).cast("string"), col(textCol))), 1, 12), 16, 10)
           .cast("decimal(38,0)")) % lit(2305843009213693951L))
           .cast("long").as("content_hash"))
+  }
 }

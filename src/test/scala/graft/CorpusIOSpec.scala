@@ -143,5 +143,10 @@ class CorpusIOSpec extends SparkSpec {
     val shard9 = (9L % 4).toInt
     assert(dupM(shard9)._2 == base(shard9)._2 + 1)
     assert(dupM(shard9)._3 != base(shard9)._3)
+    // null and empty text are distinct content (concat_ws skips nulls:
+    // the null row hashes the bare id)
+    val oneNull = m(Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val oneEmpty = m(Seq((1L, "")).toDF("doc_id", "text"))
+    assert(oneNull.head._3 != oneEmpty.head._3)
   }
 }

@@ -518,6 +518,11 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(4L) == 0L)
     // proximity ordering: seed > one hop > two hops
     assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > 0L)
+    // a stray seed outside the node set must not deflate |S|
+    val gotStray = LinkGraph.personalizedPageRank(nodes, edges,
+        Seq(1L, 99L).toDF("id"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStray == got)
   }
 
   test("dedup: incremental admission rejects corpus dups, keeps novel docs") {
