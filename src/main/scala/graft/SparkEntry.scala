@@ -1112,17 +1112,27 @@ object SparkEntry {
           col("ts").as("s_ts"))
         .withWatermark("s_ts", "24 hours")
       val qname = "ssj_" + math.abs(in.hashCode).toString
-      left.join(right,
-          col("doc_id") === col("s_doc_id") &&
-            col("s_ts") >= col("ts") &&
-            col("s_ts") <= col("ts") + expr("interval 10 seconds"))
-        .select(col("doc_id"), col("score"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", s"$base/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
+      // the join's state store instantiates per shuffle partition per
+      // micro-batch (×2 sides) — at this input volume 32 partitions are
+      // pure fixed overhead, so the STREAMING query runs at 8 (the conf
+      // is captured at query start; restored right after for the batch
+      // read-back). A production deployment sizes this to its key
+      // cardinality, not to the session default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        left.join(right,
+            col("doc_id") === col("s_doc_id") &&
+              col("s_ts") >= col("ts") &&
+              col("s_ts") <= col("ts") + expr("interval 10 seconds"))
+          .select(col("doc_id"), col("score"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qname).orderBy(col("doc_id"))
     }),
 
