@@ -1542,6 +1542,34 @@ object SparkEntry {
       VectorOps.rrfFuse(Seq(bm, ann)).orderBy(col("rank"))
     }),
 
+    // Offline retrieval-quality harness: precision/recall@k, nDCG@k and
+    // MRR for the BM25 top-20 against hash-derived binary relevance
+    // labels (~20% of the corpus) — the eval loop every retrieval stack
+    // here (BM25, dense ANN, hybrid RRF) is tuned with. The nDCG
+    // discount table is computed once driver-side and embedded as
+    // literals in BOTH engines, so no log() runs in-plan and every
+    // metric is exact-integer ppm. Labels never shuffle: the top-20
+    // list broadcasts onto the one corpus label scan.
+    "llm_retrieval_eval" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val top = TextAnalysis.bm25Scores(d, Seq("spark", "table", "query"))
+        .select(col("id").cast("long").as("id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(20)
+        .withColumn("rank", row_number().over(
+          W.partitionBy(pmod(col("id"), lit(1)))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+        .select(col("id"), col("rank"))
+      val rel = Tables.documents(s, dir).select(
+        col("doc_id").cast("long").as("id"),
+        when(pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":rel"))), 1, 8), 16, 10).cast("long"), lit(5L)) === 0, 1L)
+          .otherwise(0L).as("rel"))
+      VectorOps.rankedEval(top, rel, Seq(5, 10, 20), 20)
+        .orderBy(col("k"))
+    }),
+
     // Deterministic stratified sample: cap every length band at 5 docs,
     // selected by md5 hash-rank — corpus balancing with no random state.
     // Spark 4 plans the rank filter as WindowGroupLimit (per-task size-n
@@ -1739,6 +1767,19 @@ object SparkEntry {
           .as("dst"))
       LinkGraph.hits(d.select(col("doc_id").as("id")), edges, iters = 3)
         .select(col("id").cast("long").as("doc_id"), col("auth"), col("hub"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-node triangle counts (local clustering — the link-spam tell:
+    // organic neighborhoods close triangles, link farms don't) via the
+    // degree-ordered node-iterator: wedges are built only at each edge's
+    // (degree, id)-smaller endpoint, bounding wedge volume at O(m^1.5)
+    // where the naive form is quadratic in the max degree. Pure integer
+    // counts over the shared hash-derived link graph.
+    "llm_triangles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      LinkGraph.triangleCounts(docLinkEdges(d))
+        .select(col("id").cast("long").as("doc_id"), col("n_triangles"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3139,6 +3180,17 @@ object SparkEntry {
         .orderBy(col("cid"))
     }),
 
+    // Label-free cluster-quality report: simplified silhouette over the
+    // trained k-means model — a/b distances are the best/second-best
+    // cosine from ONE map-side fold (never an O(n²) pair pass), floored
+    // onto the 2^-20 grid before the ppm ratio so per-cluster means are
+    // exact integers. Complements llm_cluster_purity for corpora with no
+    // ground-truth labels (i.e. almost all of them).
+    "llm_silhouette" -> ((s, dir) => {
+      VectorOps.simplifiedSilhouette(vecTable(s, dir), trainedCoarse(s, dir))
+        .orderBy(col("cid"))
+    }),
+
     // Cluster-balanced subsampling: trained assignment as the stratum of
     // the hash-rank stratified sampler — the diversity-preserving corpus
     // selection that follows semantic clustering (cap every region of
@@ -4000,6 +4052,44 @@ object SparkEntry {
       |  FROM proj CROSS JOIN stats
       |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)""".stripMargin
 
+  /** Retrieval-eval oracle: recompute the BM25 top-20, the hash-derived
+    * labels, and the integer metrics. The nDCG discount / ideal-DCG
+    * prefix tables are the SAME driver-side literals
+    * [[graft.llm.VectorOps.ndcgDiscounts]] plants in the plan, so the
+    * metric arithmetic is pure integer in both engines.
+    */
+  private def oRetrievalEvalSql: String = {
+    val disc = graft.llm.VectorOps.ndcgDiscounts(20)
+    val discList = disc.mkString("[", ", ", "]")
+    val idcgList = disc.scanLeft(0L)(_ + _).mkString("[", ", ", "]")
+    s"""WITH $OBm25Core,
+       |rk AS (SELECT doc_id AS id,
+       |    CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored),
+       |top AS (SELECT id, rank FROM rk WHERE rank <= 20),
+       |rel AS (SELECT doc_id AS id,
+       |    CASE WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':rel'),1,8) AS BIGINT) % 5 = 0
+       |         THEN 1 ELSE 0 END AS rel
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(rel) AS BIGINT) AS total_rel FROM rel),
+       |lab AS (SELECT t.rank, r.rel FROM top t JOIN rel r USING (id)),
+       |fr AS (SELECT min(CASE WHEN rel = 1 THEN rank END) AS first_rank FROM lab),
+       |ks AS (SELECT unnest([5, 10, 20]) AS k),
+       |agg AS (SELECT k,
+       |    sum(CASE WHEN rank <= k AND rel = 1 THEN 1 ELSE 0 END) AS rel_at_k,
+       |    sum(CASE WHEN rank <= k AND rel = 1 THEN ($discList)[rank] ELSE 0 END) AS dcg_fp
+       |  FROM lab CROSS JOIN ks GROUP BY k)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(rel_at_k AS BIGINT) AS rel_at_k,
+       |  CAST(rel_at_k * 1000000 // k AS BIGINT) AS prec_ppm,
+       |  CAST(CASE WHEN total_rel = 0 THEN 0
+       |       ELSE rel_at_k * 1000000 // total_rel END AS BIGINT) AS recall_ppm,
+       |  CAST(dcg_fp AS BIGINT) AS dcg_fp,
+       |  CAST(CASE WHEN total_rel = 0 THEN 0
+       |       ELSE dcg_fp * 1000000 // ($idcgList)[least(k, total_rel) + 1] END AS BIGINT) AS ndcg_ppm,
+       |  CAST(coalesce(1000000 // first_rank, 0) AS BIGINT) AS mrr_ppm
+       |FROM agg CROSS JOIN tot CROSS JOIN fr ORDER BY k""".stripMargin
+  }
+
   /** HITS oracle: 3 unrolled iterations of the two half-steps, each sum
     * normalized by `total div 10^6` clamped to ≥ 1 (the overflow-safe
     * two-step division [[graft.llm.LinkGraph.hits]] uses). MATERIALIZED
@@ -4558,6 +4648,23 @@ object SparkEntry {
         |FROM s ORDER BY layout""".stripMargin,
     "llm_hits" -> oHitsSql,
 
+    // Independent triangle enumeration: the textbook u<v<w three-way
+    // self-join over the canonicalized undirected edge set — no degree
+    // ordering needed for a correctness oracle; each triangle appears
+    // exactly once, then fans out to its three corners.
+    "llm_triangles" ->
+      s"""WITH c AS (SELECT count(*) AS n FROM documents),
+         |$OLinkGraphCtes,
+         |u AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e WHERE src <> dst),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+         |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nn AS (SELECT unnest([x, y, z]) AS id FROM t)
+         |SELECT CAST(id AS BIGINT) AS doc_id, count(*) AS n_triangles
+         |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "llm_len_quantiles" ->
       """SELECT source, count(*) AS cnt,
         |  CAST(1 AS BIGINT) AS ok50, CAST(1 AS BIGINT) AS ok90
@@ -4604,6 +4711,33 @@ object SparkEntry {
          |  t.label AS top_label, t.n_lab AS top_n
          |FROM top t JOIN tot USING (cid) WHERE t.rn = 1
          |ORDER BY 1""".stripMargin,
+
+    // Same trained-centroid CTE chain; rn 1/2 from the assignment window
+    // give the best/second-best cosines, floored onto the same 2^-20
+    // grid before the ppm ratio.
+    "llm_silhouette" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+         |${oKmeansAssignCtes()},
+         |rf2 AS (SELECT id, cid, ccos,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY ccos DESC, cid) AS rn
+         |  FROM sf),
+         |t2 AS (SELECT id,
+         |    max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         |    max(CASE WHEN rn = 1 THEN ccos END) AS cos1,
+         |    max(CASE WHEN rn = 2 THEN ccos END) AS cos2
+         |  FROM rf2 WHERE rn <= 2 GROUP BY id),
+         |sf2 AS (SELECT cid,
+         |    CAST(floor((1.0 - cos1) * 1048576.0) AS BIGINT) AS afp,
+         |    CAST(floor((1.0 - cos2) * 1048576.0) AS BIGINT) AS bfp
+         |  FROM t2),
+         |sp AS (SELECT cid, CASE WHEN greatest(afp, bfp) = 0 THEN 0
+         |      ELSE (bfp - afp) * 1000000 // greatest(afp, bfp) END AS s_ppm
+         |  FROM sf2)
+         |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n,
+         |  CAST(sum(s_ppm) AS BIGINT) AS sil_sum_ppm,
+         |  CAST(sum(s_ppm) // count(*) AS BIGINT) AS sil_mean_ppm
+         |FROM sp GROUP BY cid ORDER BY cid""".stripMargin,
 
     "llm_cluster_sample" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -5975,6 +6109,8 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, id) AS BIGINT) AS rank,
         |  CAST(id AS BIGINT) AS id, rrf_fp, n_lists
         |FROM f ORDER BY rank""".stripMargin,
+
+    "llm_retrieval_eval" -> oRetrievalEvalSql,
 
     "llm_stratified_sample" ->
       """WITH s AS (

@@ -174,6 +174,63 @@ object LinkGraph {
     prLoop(marked, edges, iters, dampNum)
   }
 
+  /** Per-node triangle counts over the UNDIRECTED simple graph induced
+    * by `edges` — the local-clustering signal of link-spam detection
+    * (organic neighborhoods close triangles; link farms are near-
+    * bipartite star bursts with almost none, so authority-looking pages
+    * with zero triangles are prime spam candidates).
+    *
+    * Algorithm: degree-ordered node-iterator (Schank & Wagner 2005 /
+    * Suri & Vassilvitskii's MapReduce form). Each undirected edge is
+    * oriented from the (degree, id)-SMALLER endpoint to the larger; all
+    * wedges are built at the smaller endpoint and closed against the
+    * canonical edge set. The orientation bounds every node's out-degree
+    * by O(√m), so wedge volume — the shuffle that kills the naive
+    * node-iterator on skewed web graphs (one hub of degree d emits d²/2
+    * wedges) — is O(m^1.5) worst case and near-linear on power-law
+    * graphs. Every triangle is generated exactly once, at its smallest-
+    * rank vertex.
+    *
+    * Scale shape: canonicalize (1 shuffle: distinct), degree (1
+    * partial-combined agg), two degree-attach joins, the wedge self-join
+    * (keyed on the low vertex), the closing equi-join on (a, b), one
+    * explode + groupBy — all key-partitioned joins/aggs; nothing driver-
+    * side, no candidate set beyond the degree-bounded wedges.
+    *
+    * @param edges (src, dst) in any direction; self-loops and parallel
+    *              edges are dropped
+    * @return (id, n_triangles) for nodes in ≥1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    // orient toward the (degree, id)-larger endpoint; id breaks ties
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // e1.v < e2.v keeps one of each wedge's two spellings AND makes the
+    // (a, b) pair id-canonical, matching `und`'s a < b for the close join
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("a"), col("e2.v").as("b"))
+    val tris = wedges.join(und, Seq("a", "b"))
+      .select(col("u"), col("a"), col("b"))
+    tris.select(explode(array(col("u"), col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** The shared power-iteration loop: `init` carries one row per node
     * with its starting rank (pr0) and per-node restart term (base).
     */

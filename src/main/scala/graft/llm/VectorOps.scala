@@ -109,6 +109,76 @@ object VectorOps {
       .select(col("rank"), col("id"), col("rrf_fp"), col("n_lists"))
   }
 
+  /** Per-rank nDCG discount table, fixed-point: disc(i) = floor(scale /
+    * log2(i + 1)) for i = 1..maxRank. Computed ONCE driver-side with JDK
+    * math and embedded as literals in both the plan and the oracle SQL,
+    * so no engine ever evaluates a log — the metric is exact-integer by
+    * construction (the trigramLmScore contract).
+    */
+  def ndcgDiscounts(maxRank: Int, scale: Long = 1000000000L): Seq[Long] =
+    (1 to maxRank).map(i =>
+      math.floor(scale / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ranked-retrieval evaluation: precision@k, recall@k, nDCG@k and MRR
+    * for a single ranked list against binary relevance labels — the
+    * offline quality harness every retrieval stack (BM25, dense ANN,
+    * hybrid RRF) is tuned with.
+    *
+    * All metrics are integer: ppm ratios via floor division, and DCG uses
+    * the [[ndcgDiscounts]] literal table (ideal DCG is its prefix sum at
+    * min(k, total_relevant)), so results hash-match across engines.
+    *
+    * Scale shape: `ranked` is top-k-bounded by its retriever, so it
+    * BROADCASTs onto the full-corpus label scan (one map-side pass —
+    * labels never shuffle); everything after the two scalar aggregates
+    * (total relevant, first relevant rank) is arithmetic over |ks| rows.
+    *
+    * @param ranked (id, rank) with rank 1-based, at most maxRank rows
+    * @param rel    (id, rel) binary labels for the WHOLE corpus
+    * @param ks     cutoffs to evaluate, each ≤ maxRank
+    * @return (k, rel_at_k, prec_ppm, recall_ppm, dcg_fp, ndcg_ppm,
+    *         mrr_ppm) one row per cutoff
+    */
+  def rankedEval(ranked: DataFrame, rel: DataFrame, ks: Seq[Int],
+                 maxRank: Int): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= maxRank))
+    val disc = ndcgDiscounts(maxRank)
+    val discArr = array(disc.map(lit): _*)
+    // prefix[0] = 0 so element_at(prefix, least(k, totalRel) + 1) is the
+    // ideal DCG even when the corpus has no relevant docs at all
+    val idcgArr = array(disc.scanLeft(0L)(_ + _).map(lit): _*)
+
+    val labeled = rel.join(broadcast(ranked), Seq("id"))
+      .select(col("rank").cast("int").as("rank"), col("rel"))
+    val totals = rel.agg(sum(col("rel")).cast("long").as("total_rel"))
+    val firstRel = labeled.agg(
+      min(when(col("rel") === 1, col("rank"))).as("first_rank"))
+
+    val kdf = ranked.sparkSession.range(1)
+      .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+    val perK = labeled.crossJoin(kdf).groupBy(col("k")).agg(
+      sum(when(col("rank") <= col("k") && col("rel") === 1, 1L)
+        .otherwise(0L)).as("rel_at_k"),
+      sum(when(col("rank") <= col("k") && col("rel") === 1,
+          element_at(discArr, col("rank"))).otherwise(0L)).as("dcg_fp"))
+
+    val M = lit(1000000L)
+    perK.crossJoin(broadcast(totals)).crossJoin(broadcast(firstRel))
+      .select(col("k"), col("rel_at_k"),
+        call_function("div", col("rel_at_k") * M, col("k")).as("prec_ppm"),
+        when(col("total_rel") === 0, 0L)
+          .otherwise(call_function("div", col("rel_at_k") * M,
+            col("total_rel"))).as("recall_ppm"),
+        col("dcg_fp"),
+        when(col("total_rel") === 0, 0L)
+          .otherwise(call_function("div", col("dcg_fp") * M,
+            element_at(idcgArr,
+              (least(col("k"), col("total_rel")) + 1).cast("int"))))
+          .as("ndcg_ppm"),
+        coalesce(call_function("div", M, col("first_rank").cast("long")),
+          lit(0L)).as("mrr_ppm"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, seeded so the exact
     * same literals can be embedded in the oracle SQL. java.util.Random's
     * stream is specified by the JDK (LCG), so this is stable everywhere.
@@ -194,11 +264,23 @@ object VectorOps {
     * would otherwise pair everything with everything).
     */
   def nearest2Centroids(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val folded = top2Fold(vec, centroids)
+    array(folded.getField("b1").getField("cid"),
+      folded.getField("b2").getField("cid"))
+  }
+
+  /** The shared best/second-best fold behind [[nearest2Centroids]] and
+    * [[simplifiedSilhouette]]: a struct of (b1, b2), each (cid, cos),
+    * walked in ascending cid order with strict-improvement displacement
+    * (the `ORDER BY cos DESC, cid` tie contract).
+    */
+  private def top2Fold(vec: Column,
+                       centroids: Seq[(Int, Seq[Double])]): Column = {
     val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
     val empty = struct(lit(-1).as("cid"), lit(-3.0).as("cos"))
-    val folded = aggregate(centLit,
+    aggregate(centLit,
       struct(empty.as("b1"), empty.as("b2")),
       (acc, c) => {
         val cs = coalesce(cosine(vec, c.getField("cvec")), lit(-2.0))
@@ -209,8 +291,51 @@ object VectorOps {
             struct(acc.getField("b1").as("b1"), cand.as("b2")))
           .otherwise(acc)
       })
-    array(folded.getField("b1").getField("cid"),
-      folded.getField("b2").getField("cid"))
+  }
+
+  /** Simplified silhouette (Hruschka et al.): per point, a = cosine
+    * distance to its OWN (nearest) centroid, b = distance to the
+    * second-nearest, s = (b − a) / max(a, b) — the O(n·k) stand-in for
+    * the O(n²) exact silhouette, and the standard clustering-quality
+    * report next to [[clusterPurity]] when no ground-truth labels exist.
+    * With nearest-centroid assignment a ≤ b always, so s ∈ [0, 1]:
+    * 1 = far from every other cluster, 0 = on the boundary.
+    *
+    * Integer contract: both distances land on the 2⁻²⁰ fixed-point grid
+    * BEFORE the ratio, and the ratio is ppm floor division, so per-point
+    * scores — and the per-cluster means — hash-match across engines.
+    * The degenerate max(a, b) = 0 point (exactly on a doubled centroid)
+    * scores 0, not a division error.
+    *
+    * Scale shape: one map-side fold over the centroid literal per point
+    * (no shuffle), then one partial-combined groupBy(cid) of k rows.
+    *
+    * @param points (id, vec)
+    * @return (cid, n, sil_sum_ppm, sil_mean_ppm) one row per non-empty
+    *         cluster, means floor-divided
+    */
+  def simplifiedSilhouette(points: DataFrame,
+                           centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    // with one centroid b2 would be the -3.0 fold sentinel, not a distance
+    require(centroids.size >= 2, "silhouette needs at least two clusters")
+    val folded = top2Fold(col("vec"), centroids)
+    val aFp = floor((lit(1.0) - folded.getField("b1").getField("cos")) *
+      lit(1048576.0)).cast("long")
+    val bFp = floor((lit(1.0) - folded.getField("b2").getField("cos")) *
+      lit(1048576.0)).cast("long")
+    val mx = greatest(col("a_fp"), col("b_fp"))
+    points
+      .select(folded.getField("b1").getField("cid").cast("long").as("cid"),
+        aFp.as("a_fp"), bFp.as("b_fp"))
+      .select(col("cid"),
+        when(mx === 0, lit(0L))
+          .otherwise(call_function("div",
+            (col("b_fp") - col("a_fp")) * lit(1000000L), mx)).as("s_ppm"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sil_sum_ppm"))
+      .select(col("cid"), col("n"), col("sil_sum_ppm"),
+        call_function("div", col("sil_sum_ppm"), col("n"))
+          .as("sil_mean_ppm"))
   }
 
   /** [[nearestCentroid]]'s squared-L2 twin: argMIN of the ordered-fold

@@ -1991,4 +1991,84 @@ class LlmOpsSpec extends SparkSpec {
     }.toSet
     assert(got.toSet == want)
   }
+
+  test("graph: triangleCounts — hand graph, direction/parallel/self-loop " +
+       "insensitive, triangle-free star counts nothing") {
+    import spark.implicits._
+    import graft.llm.LinkGraph
+    // triangles {1,2,3} and {2,3,4}; (2,1) duplicates (1,2) reversed,
+    // (1,1) is a self-loop — both must not change any count
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L),
+      (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val got = LinkGraph.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    // star around 0: wedges exist, no triangle closes
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(LinkGraph.triangleCounts(star).count() == 0L)
+  }
+
+  test("vectors: simplifiedSilhouette — tight clusters score high, a " +
+       "boundary point scores 0, on-centroid duplicates divide safely") {
+    import spark.implicits._
+    // two orthogonal centroids; points hugging each + one equidistant
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)),   // exactly centroid 0: a=0 -> s=1e6
+      (2L, Seq(0.9, 0.1)),   // near centroid 0
+      (3L, Seq(0.0, 2.0)),   // colinear with centroid 1: a=0 -> s=1e6
+      (4L, Seq(1.0, 1.0))    // equidistant: a=b -> s=0 (ties to cid 0)
+    ).toDF("id", "vec")
+    val got = VectorOps.simplifiedSilhouette(pts, cents)
+      .orderBy("cid").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val c0 = got(0)
+    assert(c0.getAs[Long]("n") == 3L)
+    // per-point: 1e6 (exact), high (0.9,0.1), 0 (boundary)
+    val c0sum = c0.getAs[Long]("sil_sum_ppm")
+    assert(c0sum > 1500000L && c0sum < 2000000L)
+    assert(c0.getAs[Long]("sil_mean_ppm") == c0sum / 3)
+    val c1 = got(1)
+    assert(c1.getAs[Long]("n") == 1L)
+    assert(c1.getAs[Long]("sil_sum_ppm") == 1000000L)
+    // degenerate: duplicate centroids -> max(a,b)=0 scores 0, no error
+    val dup = VectorOps.simplifiedSilhouette(
+      Seq((9L, Seq(1.0, 0.0))).toDF("id", "vec"),
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(1.0, 0.0))).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("sil_sum_ppm") == 0L)
+  }
+
+  test("vectors: rankedEval — perfect prefix scores ndcg 1e6, metrics " +
+       "match hand arithmetic, no-relevant corpus zeroes the ratios") {
+    import spark.implicits._
+    // corpus of 10, relevant = {1, 2, 7}; ranked list = 1,2,3,4,5
+    val rel = (1L to 10L).map(i =>
+      (i, if (Set(1L, 2L, 7L)(i)) 1L else 0L)).toDF("id", "rel")
+    val ranked = (1L to 5L).map(i => (i, i)).toDF("id", "rank")
+    val got = VectorOps.rankedEval(ranked, rel, Seq(2, 5), 5)
+      .orderBy("k").collect()
+    val d = VectorOps.ndcgDiscounts(5)
+    // k=2: both hits are the ideal prefix -> ndcg exactly 1e6; rel_at_k=2
+    val k2 = got(0)
+    assert(k2.getAs[Long]("rel_at_k") == 2L)
+    assert(k2.getAs[Long]("prec_ppm") == 1000000L)
+    assert(k2.getAs[Long]("recall_ppm") == 2000000L / 3L)
+    assert(k2.getAs[Long]("dcg_fp") == d(0) + d(1))
+    assert(k2.getAs[Long]("ndcg_ppm") == 1000000L)
+    assert(k2.getAs[Long]("mrr_ppm") == 1000000L)
+    // k=5: dcg unchanged (doc 7 unranked), ideal now includes rank 3
+    val k5 = got(1)
+    assert(k5.getAs[Long]("rel_at_k") == 2L)
+    assert(k5.getAs[Long]("prec_ppm") == 2000000L / 5L)
+    assert(k5.getAs[Long]("dcg_fp") == d(0) + d(1))
+    assert(k5.getAs[Long]("ndcg_ppm") ==
+      (d(0) + d(1)) * 1000000L / (d(0) + d(1) + d(2)))
+    // no relevant docs anywhere: ppm ratios all 0, nothing divides by 0
+    val relNone = (1L to 10L).map(i => (i, 0L)).toDF("id", "rel")
+    val z = VectorOps.rankedEval(ranked, relNone, Seq(5), 5).collect()(0)
+    assert(z.getAs[Long]("rel_at_k") == 0L)
+    assert(z.getAs[Long]("recall_ppm") == 0L)
+    assert(z.getAs[Long]("ndcg_ppm") == 0L)
+    assert(z.getAs[Long]("mrr_ppm") == 0L)
+  }
 }
