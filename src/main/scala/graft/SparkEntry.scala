@@ -1570,6 +1570,25 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // MMR diversified re-ranking over the brute-force top-20 of three
+    // query embeddings: greedy λ·rel − (1−λ)·max-sim selection, run as
+    // ONE array fold per query row (sequential within a query, parallel
+    // across queries — the only shape that scales: the greedy loop is
+    // inherently serial but candidate pools are retriever-bounded).
+    // Integer objective on the 2^-20 grid; ties to the lowest id.
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val e = vecTable(s, dir)
+      val q = e.filter(col("id") < 3)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      val top = VectorOps.bruteForceTopK(e, q, 20)
+      val cands = e.join(broadcast(top), Seq("id"))
+        .select(col("qid"), col("id"),
+          floor(col("cos") * lit(1048576.0)).cast("long").as("rel_fp"),
+          col("vec"))
+      VectorOps.mmrRerank(cands, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Deterministic stratified sample: cap every length band at 5 docs,
     // selected by md5 hash-rank — corpus balancing with no random state.
     // Spark 4 plans the rank filter as WindowGroupLimit (per-task size-n
@@ -1800,6 +1819,42 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("span_start"),
           col("span_end"), col("span_tokens"), col("n_windows"))
         .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // Winnowing (MOSS) fingerprints: window-minimum k-gram hashes —
+    // shift-invariant partial-overlap detection (a one-word shift
+    // defeats fixed-stride passage chunks; winnowing guarantees any
+    // ≥ w+k−1-word match shares a fingerprint). Words 11..40 of every
+    // 5th long doc are replanted as new docs; selection is one map-side
+    // array pass, only selected (hash, pos) rows shuffle.
+    "llm_winnowing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val part = d.filter(col("doc_id") % 5 === 0 && size(ws) >= 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(ws, 11, 30), " ").as("text"))
+      Dedup.winnowFingerprints(d.unionByName(part), 4, 4)
+        .groupBy(col("fp_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_sel"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("first_doc"), col("fp_hash"))
+    }),
+
+    // Cross-source contamination matrix: shared distinct 8-grams and
+    // per-side containment ppm for every source pair — mirror-site /
+    // wholesale-scrape detection BETWEEN ingest feeds. Every 9th doc is
+    // replayed under a planted 'mirror' source; text never shuffles
+    // (only 8-byte gram hashes), totals broadcast onto the pair rows.
+    "llm_source_overlap" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val mirror = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          lit("mirror").as("source"), col("text"))
+      Dedup.sourceOverlap(d.unionByName(mirror), 8)
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // Asymmetric containment (quote detection): excerpts of every 6th
@@ -2168,6 +2223,26 @@ object SparkEntry {
       Dedup.minhashNearDups(d.unionByName(replay), "text", "doc_id")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash candidate-recall sweep: banded candidates vs EXACT Jaccard
+    // ground truth at 30/50/80% — the (k, bands) tuning curve, measured
+    // instead of trusted from 1−(1−j^r)^b. Planted near-dups at three
+    // similarity grades (every 4th doc replayed keeping 90/60/40% of its
+    // words) make the curve non-trivial: high-j pairs should be caught
+    // nearly always, low-j pairs mostly missed by 3-row bands.
+    "llm_dedup_recall" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val fr = element_at(array(lit(0.9), lit(0.6), lit(0.4)),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val keep = ceil(size(ws) * fr).cast("int")
+      val replay = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(ws, lit(1), keep), " ").as("text"))
+      Dedup.minhashRecall(d.unionByName(replay), "text", "doc_id",
+          threshPcts = Seq(30, 50, 80))
+        .orderBy(col("thresh_pct"))
     }),
 
     // Near-dup pairs resolved into dedup CLUSTERS: connected components
@@ -3499,6 +3574,88 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Streaming SESSION WINDOWS: the native session_window state-store
+    // aggregation (merge-on-overlap) in append mode — the streaming twin
+    // of ts_sessionize for live clickstreams. Gap 1 h, watermark delay
+    // 1 h; an empty nudge batch after the data batch lets the final
+    // watermark evict closed sessions (append emits a session exactly
+    // once, when the watermark passes its gap-extended end — the
+    // s1_rollup_append eviction contract). The oracle replays the merge
+    // rule (split at gap >= 1 h — session_window's boundary, NOT batch
+    // sessionize's > 1 h) and the emission gate (end <= max_ts - delay).
+    "ts_stream_sessions" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_ssw").toString
+      val in = cachedInputDir(s"ssw${math.abs(dir.hashCode)}") { d =>
+        def files(): Set[String] = JFiles.list(Paths.get(d)).toArray
+          .map(_.toString).filter(_.endsWith(".parquet")).toSet
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("value"))
+        ev.coalesce(1).write.mode("append").parquet(d)
+        val dataFiles = files()
+        // zero-row nudge: state eviction tests the PRE-batch watermark,
+        // so the flush needs one batch of separation (SPARK-24634)
+        ev.limit(0).coalesce(1).write.mode("append").parquet(d)
+        val t0 = System.currentTimeMillis() - 60000
+        files().toSeq.sorted.foreach { f =>
+          JFiles.setLastModifiedTime(Paths.get(f),
+            java.nio.file.attribute.FileTime.fromMillis(
+              if (dataFiles(f)) t0 else t0 + 10000))
+        }
+      }
+      val qname = "ssw_" + math.abs(in.hashCode).toString
+      // session state instantiates per shuffle partition per batch — 32
+      // partitions are fixed overhead at this volume (see llm_stream_join)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+          .select(col("user_id"),
+            unix_timestamp(col("session_window.start")).as("t_start"),
+            unix_timestamp(col("session_window.end")).as("w_end"),
+            col("n_events"), col("total"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(qname)
+        .select(col("user_id"), col("t_start"), col("w_end"),
+          col("n_events"), round(col("total"), 4).as("total"))
+        .orderBy(col("user_id"), col("t_start"))
+    }),
+
+    // Interval join: clicks land in the 30-min windows opened by the
+    // same user's purchases. A raw BETWEEN join is a nested-loop cross
+    // product in Catalyst; the bucketed form (900 s buckets) replicates
+    // each window into ≤3 buckets and EQUI-joins on (user, bucket), so
+    // shuffle volume scales with events + window replicas, never
+    // events × windows.
+    "ts_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"), col("event_type"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + 1800L).as("w_end"))
+        .distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeSeriesOps.intervalJoin(clicks, "ts", wins, "w_start", "w_end",
+          Seq("user_id"), 900L)
+        .groupBy(col("user_id"), col("w_start"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value")), 4).as("total"))
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
     // Deterministic stratified train/val/test split: hash-of-id buckets
     // (pure per-row function — reproducible on any cluster layout with
     // zero coordination), counted per (split, language) stratum.
@@ -4051,6 +4208,46 @@ object SparkEntry {
       |        / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / n)))) AS score
       |  FROM proj CROSS JOIN stats
       |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)""".stripMargin
+
+  /** MMR oracle: the greedy selection unrolled as 5 CTE rounds (the
+    * oPrIters pattern) — each round scores the not-yet-selected pool
+    * with a correlated max-sim subquery against the selected set and
+    * takes the (score DESC, id) head. Same 2^-20 sim grid and integer
+    * 7·rel − 3·maxsim objective as the fold.
+    */
+  private def oMmrSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""sc$i AS (SELECT c.qid, c.id, c.vec, c.rel_fp,
+         |    7 * c.rel_fp - 3 * coalesce(
+         |      (SELECT max(CAST(floor((${oCos("c.vec", "sv.vec")}) * 1048576.0) AS BIGINT))
+         |       FROM s${i - 1} sv WHERE sv.qid = c.qid), 0) AS score
+         |  FROM cd c WHERE NOT EXISTS (
+         |    SELECT 1 FROM s${i - 1} sw WHERE sw.qid = c.qid AND sw.id = c.id)),
+         |p$i AS (SELECT qid, id, vec, rel_fp, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |  FROM sc$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT qid, id, vec, rel_fp, score, $i AS rank FROM p$i WHERE rn = 1
+         |  UNION ALL SELECT qid, id, vec, rel_fp, score, rank FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |cn AS (SELECT q.id AS qid, v.id, v.vec,
+       |    ${oCos("v.vec", "q.vec")} AS cos
+       |  FROM v CROSS JOIN (SELECT id, vec FROM v WHERE id < 3) q
+       |  WHERE v.id <> q.id),
+       |rk AS (SELECT qid, id, vec,
+       |    CAST(floor(cos * 1048576.0) AS BIGINT) AS rel_fp,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn
+       |  FROM cn),
+       |cd AS MATERIALIZED (SELECT qid, id, vec, rel_fp FROM rk WHERE rn <= 20),
+       |s0 AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS id,
+       |    CAST(NULL AS DOUBLE[]) AS vec, CAST(NULL AS BIGINT) AS rel_fp,
+       |    CAST(NULL AS BIGINT) AS score, CAST(NULL AS BIGINT) AS rank
+       |  WHERE 1 = 0),
+       |$rounds
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score AS mmr_fp
+       |FROM s5 ORDER BY qid, rank""".stripMargin
+  }
 
   /** Retrieval-eval oracle: recompute the BM25 top-20, the hash-derived
     * labels, and the integer metrics. The nDCG discount / ideal-DCG
@@ -5287,6 +5484,66 @@ object SparkEntry {
         |SELECT 'stored_samples_total', CAST(total - ign AS BIGINT) FROM e
         |ORDER BY metric""".stripMargin,
 
+    // Same minhash band CTEs as llm_dedup_minhash over the three-grade
+    // replay fixture, plus exact inverted-index ground truth and the
+    // integer threshold metrics (inter·100 >= t·union).
+    "llm_dedup_recall" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string(ws[1:CAST(ceil(len(ws) *
+        |      ([0.9, 0.6, 0.4])[(doc_id % 3) + 1]) AS BIGINT)], ' ')
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+        |  WHERE doc_id % 4 = 0),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
+        |hv AS (
+        |  SELECT id, list_transform(shingles, s ->
+        |    {'h1': CAST('0x'||substr(md5(s),1,15) AS BIGINT),
+        |     'h2': CAST('0x'||substr(md5(s),17,15) AS BIGINT)}) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    [list_min(list_transform(hv, b ->
+        |      ((b.h1 % 1000000007) + j*(b.h2 % 1000000007)) % 1000000007)) FOR j IN range(0, 12)] AS sg
+        |  FROM hv),
+        |bands AS (
+        |  SELECT id, b,
+        |    array_to_string(list_transform(sg[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)), '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand),
+        |post AS (SELECT id, unnest(shingles) AS g FROM sh),
+        |sz AS (SELECT id, len(shingles) AS n FROM sh),
+        |iv AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM post a JOIN post b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT iv.id_a, iv.id_b, inter, sa.n + sb.n - inter AS uni
+        |  FROM iv JOIN sz sa ON sa.id = iv.id_a
+        |  JOIN sz sb ON sb.id = iv.id_b),
+        |fl AS (SELECT tr.inter, tr.uni,
+        |    CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS cand
+        |  FROM tr LEFT JOIN cand c
+        |    ON c.id_a = tr.id_a AND c.id_b = tr.id_b),
+        |ks AS (SELECT unnest([30, 50, 80]) AS thresh_pct),
+        |ag AS (SELECT thresh_pct, count(*) AS n_truth, sum(cand) AS n_caught
+        |  FROM fl CROSS JOIN ks WHERE inter * 100 >= thresh_pct * uni
+        |  GROUP BY 1)
+        |SELECT CAST(thresh_pct AS BIGINT) AS thresh_pct,
+        |  CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_caught AS BIGINT) AS n_caught,
+        |  CAST(n_caught * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(CASE WHEN n_candidates = 0 THEN 0
+        |       ELSE n_caught * 1000000 // n_candidates END AS BIGINT)
+        |    AS precision_ppm
+        |FROM ag CROSS JOIN nc ORDER BY thresh_pct""".stripMargin,
+
     "llm_dedup_minhash" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -6112,6 +6369,8 @@ object SparkEntry {
 
     "llm_retrieval_eval" -> oRetrievalEvalSql,
 
+    "llm_mmr_rerank" -> oMmrSql,
+
     "llm_stratified_sample" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -6125,6 +6384,63 @@ object SparkEntry {
         |  FROM s)
         |SELECT stratum, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
+
+    // Same k=4/w=4 winnowing, spelled relationally: k-gram hash rows,
+    // window rows, a BETWEEN join, and a rightmost-min row_number pick
+    // (ORDER BY h ASC, j DESC matches the fold's <= displacement).
+    "llm_winnowing" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string((str_split(text, ' '))[11:40], ' ')
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(str_split(text, ' ')) >= 40),
+        |w1 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |kg AS (SELECT doc_id, j,
+        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+3], ' ')),1,8)
+        |      AS BIGINT) AS h
+        |  FROM w1, unnest(range(1, len(ws) - 2)) AS t(j)),
+        |win AS (SELECT doc_id, s
+        |  FROM w1, unnest(range(1, len(ws) - 5)) AS t(s)),
+        |cand AS (SELECT w.doc_id, w.s, k.j, k.h
+        |  FROM win w JOIN kg k ON k.doc_id = w.doc_id
+        |    AND k.j >= w.s AND k.j <= w.s + 3),
+        |selr AS (SELECT doc_id, s, j, h,
+        |    row_number() OVER (PARTITION BY doc_id, s
+        |      ORDER BY h ASC, j DESC) AS rn
+        |  FROM cand),
+        |fp AS (SELECT DISTINCT doc_id, j, h FROM selr WHERE rn = 1),
+        |g AS (SELECT h AS fp_hash, count(DISTINCT doc_id) AS n_docs,
+        |    count(*) AS n_sel, min(doc_id) AS first_doc
+        |  FROM fp GROUP BY 1)
+        |SELECT fp_hash, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_sel AS BIGINT) AS n_sel, CAST(first_doc AS BIGINT) AS first_doc
+        |FROM g WHERE n_docs > 1 ORDER BY first_doc, fp_hash""".stripMargin,
+
+    "llm_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, 'mirror', text FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |w1 AS (SELECT source, str_split(text, ' ') AS ws FROM all_docs),
+        |g AS (SELECT DISTINCT source,
+        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+7], ' ')),1,8)
+        |      AS BIGINT) AS h
+        |  FROM w1, unnest(range(1, len(ws) - 6)) AS t(j)),
+        |tot AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  CAST(n_shared * 1000000 // ta.n AS BIGINT) AS cont_a_ppm,
+        |  CAST(n_shared * 1000000 // tb.n AS BIGINT) AS cont_b_ppm
+        |FROM sh JOIN tot ta ON ta.source = sh.src_a
+        |  JOIN tot tb ON tb.source = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "llm_passage_dup" ->
       """WITH all_docs AS (
@@ -6590,6 +6906,41 @@ object SparkEntry {
          |       coalesce(round(r.click_val, 4), -1.0) AS click_val
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.user_id, l.ts, value""".stripMargin,
+
+    // Session merge replayed relationally: split at gap >= 3600 (the
+    // session_window boundary), gap-extended ends, emission gated at
+    // end <= global max ts - the 3600 s watermark delay.
+    "ts_stream_sessions" ->
+      s"""WITH e AS (SELECT user_id, $OSec AS ts, value FROM events),
+         |mx AS (SELECT max(ts) AS m FROM e),
+         |x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |    AS prev FROM e),
+         |y AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= 3600
+         |    THEN 1 ELSE 0 END AS isnew FROM x),
+         |z AS (SELECT *, sum(isnew) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+         |sess AS (SELECT user_id, sid, min(ts) AS t_start,
+         |    max(ts) + 3600 AS w_end, count(*) AS n_events,
+         |    round(sum(value), 4) AS total
+         |  FROM z GROUP BY 1, 2)
+         |SELECT user_id, t_start, w_end,
+         |  CAST(n_events AS BIGINT) AS n_events, total
+         |FROM sess WHERE w_end <= (SELECT m FROM mx) - 3600
+         |ORDER BY user_id, t_start""".stripMargin,
+
+    // Plain BETWEEN join — DuckDB's optimizer handles the range predicate
+    // directly, independently of the bucket decomposition under test.
+    "ts_interval_join" ->
+      s"""WITH ev AS (SELECT user_id, $OSec AS ts, value, event_type
+         |  FROM events),
+         |w AS (SELECT DISTINCT user_id, ts AS w_start, ts + 1800 AS w_end
+         |  FROM ev WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'click')
+         |SELECT w.user_id, w.w_start, count(*) AS n_clicks,
+         |  round(sum(c.value), 4) AS total
+         |FROM w JOIN c ON c.user_id = w.user_id
+         |  AND c.ts >= w.w_start AND c.ts <= w.w_end
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_sessionize" ->
       s"""WITH e AS (

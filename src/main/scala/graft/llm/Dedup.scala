@@ -202,6 +202,79 @@ object Dedup {
     */
   val MaxBroadcastPairs: Long = 1000000L
 
+  /** MinHash/LSH candidate-recall harness: compare the banded candidate
+    * pairs against EXACT ground truth (every pair with Jaccard ≥ t, from
+    * an inverted-index pair stream) at several thresholds — the tuning
+    * curve for (k, bands): rows-per-band trades recall at low similarity
+    * against candidate volume, and this measures it instead of trusting
+    * the 1−(1−j^r)^b formula. The dedup twin of the ANN recall@k sweep.
+    *
+    * Scale: the TRUTH pass costs Σ df² over shingle postings — exact
+    * ground truth is an EVAL-corpus operation (the same position the
+    * brute-force pass holds in the ANN recall sweep), not a production
+    * pass; the candidate side is the usual banded join. All metrics are
+    * exact integers (Jaccard ≥ t tested as inter·100 ≥ t·union, ppm by
+    * floor division).
+    *
+    * @return one row per threshold: (thresh_pct, n_truth, n_caught,
+    *         recall_ppm, n_candidates, precision_ppm)
+    */
+  def minhashRecall(docs: DataFrame, textCol: String, idCol: String,
+                    shingleWords: Int = 3, k: Int = 12, bands: Int = 4,
+                    threshPcts: Seq[Int] = Seq(50, 70, 90)): DataFrame = {
+    require(k % bands == 0, "k must divide evenly into bands")
+    require(threshPcts.nonEmpty)
+    val rows = k / bands
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordShingles(
+        TextAnalysis.words(col(textCol)), shingleWords)).as("shingles"))
+      .persist()
+    val banded = sh.select(col("id"),
+      posexplode(lshBands(minhashSignatureFromShingles(col("shingles"), k),
+        bands, rows)).as(Seq("band", "bucket")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val post = sh.select(col("id"), explode(col("shingles")).as("g"))
+    val inter = post.as("a").join(post.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+        (col("na") + col("nb") - col("inter")).cast("long").as("uni"))
+    val flagged = truth.join(cands.withColumn("cand", lit(1L)),
+        Seq("id_a", "id_b"), "left")
+      .select(col("inter"), col("uni"),
+        coalesce(col("cand"), lit(0L)).as("cand"))
+    val nCand = cands.agg(count(lit(1)).as("n_candidates"))
+    val tdf = docs.sparkSession.range(1).select(
+      explode(array(threshPcts.map(p => lit(p.toLong)): _*)).as("thresh_pct"))
+    val M = lit(1000000L)
+    val out = flagged.crossJoin(broadcast(tdf))
+      .filter(col("inter") * 100 >= col("thresh_pct") * col("uni"))
+      .groupBy(col("thresh_pct"))
+      .agg(count(lit(1)).as("n_truth"), sum(col("cand")).as("n_caught"))
+      .crossJoin(broadcast(nCand))
+      .select(col("thresh_pct"), col("n_truth"), col("n_caught"),
+        call_function("div", col("n_caught") * M, col("n_truth"))
+          .as("recall_ppm"),
+        col("n_candidates"),
+        when(col("n_candidates") === 0, 0L)
+          .otherwise(call_function("div", col("n_caught") * M,
+            col("n_candidates"))).as("precision_ppm"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
   /** Incremental corpus admission — dedup a NEW batch of documents against
     * an EXISTING kept corpus, the every-crawl-cycle operation of a training
     * -data pipeline. Returns one verdict row per batch document:
@@ -717,6 +790,108 @@ object Dedup {
         sum(col("n_in_doc")).as("n_occurrences"),
         min(col("id")).as("first_doc"))
       .filter(col("n_docs") > 1)
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every word k-gram, slide a w-hash window,
+    * and select each window's minimum hash (rightmost on ties, the
+    * paper's rule — re-selecting the same minimum across overlapping
+    * windows is what makes the fingerprint set SMALL). Guarantee: any
+    * match of length ≥ w + k − 1 words shares at least one fingerprint,
+    * so it's the local-fingerprint dedup that catches partial overlap
+    * with a bounded, position-diverse signature — the code-plagiarism /
+    * quote-mining complement to MinHash (whole-doc similarity) and
+    * repeatedPassages (fixed-stride chunks, which a one-word shift
+    * defeats; winnowing is shift-invariant).
+    *
+    * Scale shape: selection is ONE map-side pass per document (array
+    * HOFs over the k-gram hash array, O(n·w) comparisons, no shuffle);
+    * only the selected (doc_id, pos, hash) fingerprints — a ~2/(w+1)
+    * fraction of the k-grams — ever leave the scan.
+    *
+    * @return (doc_id, pos, fp_hash) — pos is the 1-based k-gram start,
+    *         one row per distinct selected fingerprint
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val ws = TextAnalysis.words(col(textCol))
+    val nk = size(ws) - (k - 1) // k-gram count
+    // kg must be a MATERIALIZED column: element_at(<transform expr>, j)
+    // inside the window fold would rebuild the whole hash array per
+    // lookup — O(n²·w) md5s per document instead of O(n)
+    val kgExpr = transform(sequence(lit(1), nk),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 8),
+        16, 10).cast("long"))
+    val kg = col("kg")
+    // per window start s: fold s..s+w-1 keeping (h, pos), <= so an equal
+    // later hash displaces — the rightmost-minimum rule
+    val sel = transform(sequence(lit(1), size(kg) - (w - 1)),
+      s => aggregate(sequence(s, s + (w - 1)),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+        (acc, j) => when(element_at(kg, j) <= acc.getField("h"),
+          struct(element_at(kg, j).as("h"), j.as("pos")))
+          .otherwise(acc)))
+    docs
+      // sequence(1, n) with n < 1 COUNTS DOWN — guard short docs to an
+      // empty array at both stages instead
+      .select(col(idCol).as("doc_id"),
+        when(nk >= 1, kgExpr).otherwise(array().cast("array<bigint>"))
+          .as("kg"))
+      .select(col("doc_id"),
+        when(size(kg) >= w, array_distinct(sel))
+          .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))
+          .as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), col("fp.pos").cast("long").as("pos"),
+        col("fp.h").as("fp_hash"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of distinct word n-grams they SHARE, plus each side's containment
+    * ppm (shared / own distinct grams) — the corpus-audit view that
+    * surfaces mirror sites, wholesale scrapes and benchmark bleed
+    * BETWEEN ingest feeds, where per-document dedup only shows
+    * individual collisions.
+    *
+    * Scale shape: one distinct over (source, gram-hash) — text never
+    * shuffles, only 8-byte hashes; the self-join keys on the hash, so a
+    * gram in s sources costs s² pair rows (bounded by n_sources², and
+    * n_sources is small by definition); totals are one tiny agg that
+    * broadcasts back onto the pair rows.
+    *
+    * @return (src_a, src_b, n_shared, n_a, n_b, cont_a_ppm, cont_b_ppm)
+    *         for pairs sharing ≥ 1 gram, src_a < src_b
+    */
+  def sourceOverlap(docs: DataFrame, n: Int, textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    require(n >= 1)
+    val grams = docs
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.wordShingles(
+          TextAnalysis.words(col(textCol)), n)).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val tot = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = grams.select(col("source").as("src_a"), col("h"))
+      .join(grams.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val M = lit(1000000L)
+    shared
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        call_function("div", col("n_shared") * M, col("n_a"))
+          .as("cont_a_ppm"),
+        call_function("div", col("n_shared") * M, col("n_b"))
+          .as("cont_b_ppm"))
   }
 
   /** C4-style corpus LINE dedup (Raffel et al. 2020: "we discarded any

@@ -179,6 +179,76 @@ object VectorOps {
           lit(0L)).as("mrr_ppm"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: greedily pick k candidates maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — the standard fix for
+    * retrieval stacks returning k near-copies of the same passage
+    * (dense ANN is a similarity engine; near-dups rank together by
+    * construction).
+    *
+    * Shape: the greedy loop is SEQUENTIAL per query but embarrassingly
+    * parallel ACROSS queries, so it runs as one array fold per query
+    * row — candidates (already top-n-bounded by the retriever) are
+    * collected into an array column and the k selection rounds are an
+    * `aggregate` over that array; no shuffle, no driver loop, O(k·n·d)
+    * work per query row.
+    *
+    * Integer contract: rel_fp arrives on the 2⁻²⁰ grid; pairwise sims
+    * are floored onto the same grid inside the fold; the objective is
+    * the integer λnum·rel_fp − (λden−λnum)·max_sim_fp (a λden-scaled
+    * MMR — argmax is scale-invariant), ties to the lowest id, so the
+    * selection is engine-exact.
+    *
+    * @param cands (qid, id, rel_fp, vec) — the per-query candidate pool
+    * @param k     picks per query (pools smaller than k yield all rows)
+    * @return (qid, rank, id, mmr_fp) — rank 1-based in pick order
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lambdaNum: Int = 7,
+                lambdaDen: Int = 10): DataFrame = {
+    require(k >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen)
+    val lam = lit(lambdaNum.toLong)
+    val lamC = lit((lambdaDen - lambdaNum).toLong)
+    val selType =
+      "array<struct<score:bigint,id:bigint,rel_fp:bigint,vec:array<double>>>"
+    val cs = col("cs")
+    def simFp(a: Column, b: Column): Column =
+      floor(cosine(a, b) * lit(1048576.0)).cast("long")
+    // one greedy round: scan the pool, keep the best not-yet-selected
+    // candidate by (score desc, id asc)
+    def pick(acc: Column): Column = aggregate(cs,
+      struct(lit(Long.MinValue).as("score"), lit(Long.MaxValue).as("id"),
+        lit(0L).as("rel_fp"),
+        lit(null).cast("array<double>").as("vec")),
+      (best, c) => {
+        val already = exists(acc,
+          x => x.getField("id") === c.getField("id"))
+        val maxSim = when(size(acc) === 0, lit(0L))
+          .otherwise(aggregate(acc, lit(Long.MinValue),
+            (m, x) => greatest(m,
+              simFp(c.getField("vec"), x.getField("vec")))))
+        val score = lam * c.getField("rel_fp") - lamC * maxSim
+        when(!already && (score > best.getField("score") ||
+            (score === best.getField("score") &&
+              c.getField("id") < best.getField("id"))),
+          struct(score.as("score"), c.getField("id").as("id"),
+            c.getField("rel_fp").as("rel_fp"),
+            c.getField("vec").as("vec")))
+          .otherwise(best)
+      })
+    val rounds = aggregate(sequence(lit(1), lit(k)),
+      array().cast(selType),
+      (acc, _) => concat(acc, array(pick(acc))))
+    cands
+      .groupBy(col("qid"))
+      .agg(collect_list(
+        struct(col("id"), col("rel_fp"), col("vec"))).as("cs"))
+      .select(col("qid"), posexplode(rounds).as(Seq("p", "s")))
+      // a pool smaller than k leaves sentinel picks — drop them
+      .filter(col("s.id") =!= Long.MaxValue)
+      .select(col("qid"), (col("p") + 1).cast("long").as("rank"),
+        col("s.id").as("id"), col("s.score").as("mmr_fp"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH, seeded so the exact
     * same literals can be embedded in the oracle SQL. java.util.Random's
     * stream is specified by the JDK (LCG), so this is stable everywhere.

@@ -60,6 +60,41 @@ object TimeSeriesOps {
       .drop("_side", "_rbox")
   }
 
+  /** Interval (point-in-range) join: each left event at `tsCol` = t
+    * matches the right intervals [startCol, endCol] with the same keys
+    * that contain t. Spark plans a raw BETWEEN join as
+    * BroadcastNestedLoopJoin (every event × every interval) the moment
+    * the right side stops fitting in a broadcast — the classic range-join
+    * blow-up. This instead chunks time into `bucketSec` buckets,
+    * replicates each interval into the buckets it overlaps, and
+    * EQUI-joins on (keys, bucket): shuffle volume is events + interval
+    * replicas, and each event meets only the intervals sharing its
+    * bucket. An event lives in exactly one bucket, so every matching
+    * (event, interval) pair joins exactly once — no post-dedup.
+    *
+    * Pick `bucketSec` near the typical interval length: replication is
+    * ceil(len/bucketSec)+1 per interval, while a too-small bucket costs
+    * replicas and a too-large one degrades toward per-bucket cross
+    * products. Both inputs keep their columns; the containment filter
+    * runs on the joined row (map-side, after the equi-join prunes).
+    */
+  def intervalJoin(events: DataFrame, tsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   keys: Seq[String], bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    val evB = events.withColumn("_bucket",
+      floor(col(tsCol) / bucketSec).cast("long"))
+    // end < start would make sequence() count DOWN (a silent wrong-bucket
+    // replication); such intervals can't contain anything — drop them
+    val ivB = intervals.filter(col(startCol) <= col(endCol))
+      .withColumn("_bucket",
+        explode(sequence(floor(col(startCol) / bucketSec).cast("long"),
+          floor(col(endCol) / bucketSec).cast("long"))))
+    evB.join(ivB, keys :+ "_bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_bucket")
+  }
+
   /** Sessionization: split each key's event stream into sessions separated
     * by gaps > `gapSec`. Adds `session_id` (1-based, per key, in time
     * order). Two window expressions over the SAME (key, order) window, so

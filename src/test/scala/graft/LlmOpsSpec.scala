@@ -1992,6 +1992,74 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("dedup: winnowFingerprints — selection is a window minimum, " +
+       "shifted copies share fingerprints, short docs select nothing") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l m n o p"
+    // same 16 words with 3 junk words prepended: every k-gram of the
+    // shared run has the same hash at a SHIFTED position
+    val shifted = "x1 y2 z3 " + base
+    val docs = Seq((1L, base), (2L, shifted), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, 4, 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L)) // < k+w-1 words -> no windows
+    // guarantee: a 16-word shared run >= w+k-1=7 must share >= 1 hash
+    val h1 = byDoc(1L).map(_.getAs[Long]("fp_hash")).toSet
+    val h2 = byDoc(2L).map(_.getAs[Long]("fp_hash")).toSet
+    assert((h1 intersect h2).nonEmpty)
+    // density: winnowing selects far fewer fingerprints than k-grams
+    // (13 k-grams in doc 1, expected ~2/(w+1) selection fraction)
+    assert(byDoc(1L).length < 13 && byDoc(1L).length >= 2)
+    // rightmost-tie rule: all-identical words -> all k-gram hashes equal,
+    // every window selects its RIGHTMOST position
+    val same = Seq((9L, Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprints(same, 4, 4)
+      .select("pos").collect().map(_.getLong(0)).toSet
+    // 7 k-grams, windows [1..4],[2..5],[3..6],[4..7] -> picks 4,5,6,7
+    assert(sel == Set(4L, 5L, 6L, 7L))
+  }
+
+  test("dedup: minhashRecall — identical pair always caught, truth " +
+       "counts match hand Jaccard, precision reflects candidate purity") {
+    import spark.implicits._
+    val base = "a b c d e f g h i j k l"
+    val docs = Seq(
+      (1L, base), (2L, base),                 // j = 1.0 -> banded for sure
+      (3L, "a b c d e f z1 z2 z3 z4 z5 z6"),  // j vs base = 4/16 = 0.25
+      (4L, "q r s t u v w x y")               // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashRecall(docs, "text", "doc_id",
+        threshPcts = Seq(20, 90))
+      .orderBy("thresh_pct").collect()
+    val t20 = got(0)
+    // truth at 20%: (1,2) j=1 and (1,3),(2,3) j=0.25
+    assert(t20.getAs[Long]("n_truth") == 3L)
+    val t90 = got(1)
+    // truth at 90%: only the identical pair, and minhash MUST catch it
+    assert(t90.getAs[Long]("n_truth") == 1L)
+    assert(t90.getAs[Long]("n_caught") == 1L)
+    assert(t90.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
+  test("dedup: sourceOverlap — hand-counted shared grams, containment " +
+       "ppm both ways, disjoint sources absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "a b c d e f g h i j"),   // grams: a..h, b..i, c..j
+      (2L, "B", "a b c d e f g h i X"),   // shares a..h, b..i
+      (3L, "C", "q r s t u v w x y z")    // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, 8).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[String]("src_a") == "A" && r.getAs[String]("src_b") == "B")
+    assert(r.getAs[Long]("n_shared") == 2L)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("cont_a_ppm") == 666666L)
+    assert(r.getAs[Long]("cont_b_ppm") == 666666L)
+  }
+
   test("graph: triangleCounts — hand graph, direction/parallel/self-loop " +
        "insensitive, triangle-free star counts nothing") {
     import spark.implicits._
@@ -2036,6 +2104,29 @@ class LlmOpsSpec extends SparkSpec {
       Seq((9L, Seq(1.0, 0.0))).toDF("id", "vec"),
       Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(1.0, 0.0))).collect()
     assert(dup.length == 1 && dup(0).getAs[Long]("sil_sum_ppm") == 0L)
+  }
+
+  test("vectors: mmrRerank — near-dup of the top pick is demoted below " +
+       "a diverse candidate, rank 1 is pure relevance, small pools") {
+    import spark.implicits._
+    // q: three candidates — a (most relevant), a2 (a's near-copy,
+    // 2nd most relevant), b (orthogonal, least relevant)
+    val cands = Seq(
+      (0L, 10L, 1000000L, Seq(1.0, 0.0)),        // a
+      (0L, 11L, 990000L, Seq(1.0, 0.01)),        // a2 ~ a
+      (0L, 12L, 800000L, Seq(0.0, 1.0))          // b orthogonal
+    ).toDF("qid", "id", "rel_fp", "vec")
+    val got = VectorOps.mmrRerank(cands, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id")))
+    // pure-relevance order would be 10, 11, 12; MMR must demote the
+    // near-dup 11 below the diverse 12
+    assert(got.toSeq == Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+    // pool smaller than k: no sentinel rows, all rows ranked
+    val small = Seq((1L, 20L, 500000L, Seq(1.0, 0.0))).toDF(
+      "qid", "id", "rel_fp", "vec")
+    val sm = VectorOps.mmrRerank(small, 3).collect()
+    assert(sm.length == 1 && sm(0).getAs[Long]("rank") == 1L)
   }
 
   test("vectors: rankedEval — perfect prefix scores ndcg 1e6, metrics " +

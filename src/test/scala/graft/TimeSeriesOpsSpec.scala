@@ -142,6 +142,28 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L)))
   }
 
+  test("intervalJoin: inclusive bounds, exactly-once across bucket " +
+       "replicas, key separation, inverted intervals dropped") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 100L, 1.0), ("u1", 150L, 2.0), ("u1", 201L, 4.0),
+      ("u2", 150L, 8.0), ("u1", 950L, 16.0)).toDF("k", "ts", "v")
+    val iv = Seq(
+      ("u1", 100L, 200L, "a"),   // spans buckets 1 and 2 at bucket=100
+      ("u1", 900L, 1000L, "b"),
+      ("u2", 0L, 99L, "c"),      // u2's event at 150 misses this
+      ("u1", 500L, 400L, "bad")  // inverted: must vanish, not descend
+    ).toDF("k", "s", "e", "tag")
+    val got = TimeSeriesOps.intervalJoin(ev, "ts", iv, "s", "e",
+        Seq("k"), 100L)
+      .select(col("k"), col("ts"), col("tag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // ts=100 and ts=200 are inclusive ends; ts=201 is out; each matching
+    // pair appears ONCE though interval "a" was replicated into 2 buckets
+    assert(got == Set(("u1", 100L, "a"), ("u1", 150L, "a"),
+      ("u1", 950L, "b")))
+  }
+
   test("split is a stable pure function of the id with sane proportions") {
     val ids = spark.range(0, 10000).toDF("id")
     val splits = ids.select(Sampling.split(col("id")).as("s"))
