@@ -1390,6 +1390,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Stupid backoff (Brants et al. 2007): trigram score against counts
+    // from a REFERENCE slice (even doc_ids) — the web-scale unnormalized
+    // scorer whose backoff tiers actually fire here: odd docs carry
+    // n-grams the reference never saw, exercising the 0.4 / 0.4² / OOV
+    // tiers the self-trained LMs above never reach. Per-type −ln on the
+    // 2^-20 grid; per-doc sums exact integers.
+    "llm_stupid_backoff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      TextAnalysis.stupidBackoffScore(d, d.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // Kneser–Ney smoothed bigram LM (absolute discount δ=0.75 +
     // continuation back-off) — the textbook smoothing KenLM defaults
     // to, vs the add-k rungs above. All KN statistics are aggregates of
@@ -1799,6 +1811,18 @@ object SparkEntry {
       val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
       LinkGraph.triangleCounts(docLinkEdges(d))
         .select(col("id").cast("long").as("doc_id"), col("n_triangles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // k-core nucleus of the link graph (k=4, 6 peel rounds — converged:
+    // rounds 6/7/8 are identical on this fixture): iterative
+    // degree-< k removal — the density signal that separates the
+    // organically-linked core from periphery and star-burst spam. Fixed
+    // rounds make the result oracle-replayable round for round.
+    "llm_kcore" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      LinkGraph.kCore(docLinkEdges(d), k = 4, rounds = 6)
+        .select(col("id").cast("long").as("doc_id"), col("core_deg"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4209,6 +4233,28 @@ object SparkEntry {
       |  FROM proj CROSS JOIN stats
       |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)""".stripMargin
 
+  /** k-core oracle: the 6 peel rounds unrolled (degree HAVING + two IN
+    * filters per round), over the shared link-graph CTEs.
+    */
+  private def oKcoreSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT v FROM (
+         |    SELECT unnest([a, b]) AS v FROM e${i - 1}) GROUP BY v
+         |  HAVING count(*) >= 4),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT count(*) AS n FROM documents),
+       |$OLinkGraphCtes,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |$rounds
+       |SELECT CAST(id AS BIGINT) AS doc_id, count(*) AS core_deg
+       |FROM (SELECT unnest([a, b]) AS id FROM e6)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** MMR oracle: the greedy selection unrolled as 5 CTE rounds (the
     * oPrIters pattern) — each round scores the not-yet-selected pool
     * with a correlated max-sim subquery against the selected set and
@@ -4844,6 +4890,8 @@ object SparkEntry {
         |  CAST(scan_y AS BIGINT) AS scan_y
         |FROM s ORDER BY layout""".stripMargin,
     "llm_hits" -> oHitsSql,
+
+    "llm_kcore" -> oKcoreSql,
 
     // Independent triangle enumeration: the textbook u<v<w three-way
     // self-join over the canonicalized undirected edge set — no degree
@@ -6006,6 +6054,61 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "llm_trigram_lm" -> oTrigramSql,
+
+    // Reference counts from even docs only; tier selection by count
+    // NULL-ness after left joins, mirroring the fold's when-chain.
+    "llm_stupid_backoff" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |rw AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+        |rt AS (SELECT unnest(
+        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN range(1, len(ws) - 1)] END) AS tg
+        |  FROM rw),
+        |rb AS (SELECT unnest(
+        |    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+1], ' ')
+        |               FOR i IN range(1, len(ws))] END) AS bg
+        |  FROM rw),
+        |ru AS (SELECT unnest(ws) AS w FROM rw),
+        |ct AS (SELECT tg, count(*) AS c_tg FROM rt GROUP BY 1),
+        |cb AS (SELECT bg, count(*) AS c_bg FROM rb GROUP BY 1),
+        |cu AS (SELECT w, count(*) AS c_w FROM ru GROUP BY 1),
+        |x2 AS (SELECT str_split(tg, ' ')[1] || ' ' || str_split(tg, ' ')[2] AS w12,
+        |    sum(c_tg) AS c_w12 FROM ct GROUP BY 1),
+        |x1 AS (SELECT str_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+        |  FROM cb GROUP BY 1),
+        |st AS (SELECT count(*) AS ntok FROM ru),
+        |t AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(ws) < 3 THEN []::VARCHAR[]
+        |         ELSE [array_to_string(ws[i:i+2], ' ')
+        |               FOR i IN range(1, len(ws) - 1)] END) AS tg
+        |  FROM w),
+        |tt AS (SELECT DISTINCT tg FROM t),
+        |ty AS (SELECT tt.tg,
+        |    CAST(floor(-ln(
+        |      CASE WHEN c_tg IS NOT NULL THEN c_tg / c_w12
+        |           WHEN c_bg IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c_bg / c_w1
+        |           WHEN c_w IS NOT NULL THEN CAST(0.16 AS DOUBLE) * c_w / ntok
+        |           ELSE CAST(0.16 AS DOUBLE) / ntok END) * 1048576.0) AS BIGINT) AS fp
+        |  FROM tt
+        |  LEFT JOIN ct ON ct.tg = tt.tg
+        |  LEFT JOIN x2 ON x2.w12 =
+        |    str_split(tt.tg, ' ')[1] || ' ' || str_split(tt.tg, ' ')[2]
+        |  LEFT JOIN cb ON cb.bg =
+        |    str_split(tt.tg, ' ')[2] || ' ' || str_split(tt.tg, ' ')[3]
+        |  LEFT JOIN x1 ON x1.w1 = str_split(tt.tg, ' ')[2]
+        |  LEFT JOIN cu ON cu.w = str_split(tt.tg, ' ')[3]
+        |  CROSS JOIN st),
+        |g AS (SELECT doc_id, count(*) AS n_trigrams,
+        |    CAST(sum(fp) AS BIGINT) AS score_fp_sum
+        |  FROM t JOIN ty USING (tg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(g.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
+        |FROM documents d LEFT JOIN g USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "llm_kn_bigram_lm" ->
       """WITH w AS (SELECT doc_id,

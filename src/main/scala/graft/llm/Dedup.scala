@@ -818,31 +818,33 @@ object Dedup {
     require(k >= 1 && w >= 1)
     val ws = TextAnalysis.words(col(textCol))
     val nk = size(ws) - (k - 1) // k-gram count
-    // kg must be a MATERIALIZED column: element_at(<transform expr>, j)
-    // inside the window fold would rebuild the whole hash array per
-    // lookup — O(n²·w) md5s per document instead of O(n)
-    val kgExpr = transform(sequence(lit(1), nk),
+    val kgExpr = transform(sequence(lit(1), greatest(nk, lit(1))),
       i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 8),
         16, 10).cast("long"))
-    val kg = col("kg")
-    // per window start s: fold s..s+w-1 keeping (h, pos), <= so an equal
-    // later hash displaces — the rightmost-minimum rule
-    val sel = transform(sequence(lit(1), size(kg) - (w - 1)),
-      s => aggregate(sequence(s, s + (w - 1)),
-        struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
-        (acc, j) => when(element_at(kg, j) <= acc.getField("h"),
-          struct(element_at(kg, j).as("h"), j.as("pos")))
-          .otherwise(acc)))
-    docs
+    val emptySel = array().cast("array<struct<h:bigint,pos:int>>")
+    // The hash array must be evaluated ONCE per row: element_at(kgExpr, j)
+    // inside the window fold would rebuild the whole array per lookup —
+    // O(n²·w) md5s per document instead of O(n). A separate projection is
+    // NOT enough (CollapseProject re-inlines single-consumer aliases and
+    // HOF lambdas get no subexpression elimination — observed as a
+    // minutes-long scan at sf0.1); binding it as a transform() lambda
+    // variable is the let-expression Catalyst lacks.
+    val sel = element_at(transform(array(kgExpr), kg => {
+      // per window start s: fold s..s+w-1 keeping (h, pos), <= so an
+      // equal later hash displaces — the rightmost-minimum rule
+      val wins = transform(sequence(lit(1), size(kg) - (w - 1)),
+        s => aggregate(sequence(s, s + (w - 1)),
+          struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
+          (acc, j) => when(element_at(kg, j) <= acc.getField("h"),
+            struct(element_at(kg, j).as("h"), j.as("pos")))
+            .otherwise(acc)))
       // sequence(1, n) with n < 1 COUNTS DOWN — guard short docs to an
-      // empty array at both stages instead
+      // empty selection instead
+      when(size(kg) >= w, array_distinct(wins)).otherwise(emptySel)
+    }), lit(1))
+    docs
       .select(col(idCol).as("doc_id"),
-        when(nk >= 1, kgExpr).otherwise(array().cast("array<bigint>"))
-          .as("kg"))
-      .select(col("doc_id"),
-        when(size(kg) >= w, array_distinct(sel))
-          .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))
-          .as("fps"))
+        when(nk >= w, sel).otherwise(emptySel).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .select(col("doc_id"), col("fp.pos").cast("long").as("pos"),
         col("fp.h").as("fp_hash"))

@@ -231,6 +231,53 @@ object LinkGraph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj-Zaveršnik distributed form): repeatedly drop nodes whose
+    * degree in the SURVIVING graph is < k — the maximal-subgraph
+    * density signal of web curation (a page kept only by low-degree
+    * neighbors is periphery; the k-core is the organically-linked
+    * nucleus, and spam rings that survive PageRank often fall out of
+    * modest cores).
+    *
+    * Runs a FIXED `rounds` peels so the result is a well-defined
+    * deterministic object whether or not the fixpoint was reached (any
+    * peel schedule converges to THE k-core, and a fixed-round unroll is
+    * oracle-replayable — callers size `rounds` to their graph's
+    * peel depth; the entry's fixture converges within its bound).
+    *
+    * Scale shape per round: one partial-combined degree agg + two
+    * semi-joins of the edge list against the (smaller) surviving node
+    * set, localCheckpoint-truncated like every iterative loop here.
+    *
+    * @param edges (src, dst) any direction; self-loops/parallels dropped
+    * @return (id, core_deg) — nodes incident to the surviving edge set
+    *         with their in-core degree (all ≥ k once converged)
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var live = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = live.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("v"))
+      val next = live
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      live.unpersist()
+      live = next
+    }
+    val out = live.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint(true)
+    live.unpersist()
+    out
+  }
+
   /** The shared power-iteration loop: `init` carries one row per node
     * with its starting rank (pr0) and per-node restart term (base).
     */

@@ -886,6 +886,86 @@ object TextAnalysis {
         coalesce(col("score_fp_sum"), lit(0L)).as("score_fp_sum"))
   }
 
+  /** Stupid-backoff trigram score (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the web-scale scorer built for
+    * exactly this setting: counts from a REFERENCE corpus, no
+    * normalization, unseen n-grams back off a tier with a fixed 0.4
+    * penalty instead of any smoothing mass bookkeeping:
+    *   S(w₃|w₁w₂) = c₃/c(w₁w₂)        if the trigram was seen
+    *              = 0.4·c₂/c(w₂·)     else if the bigram was seen
+    *              = 0.4²·c(w₃)/N      else if the word was seen
+    *              = 0.4²·1/N          else (the out-of-vocabulary floor —
+    *                                  Brants leaves it open; 1/N keeps
+    *                                  −ln finite and engine-exact)
+    * Unlike [[trigramLmScore]] the counts come from `ref`, not the
+    * scored corpus itself, so the backoff tiers actually fire — this is
+    * the "score a crawl against the head-quality slice" shape of CCNet.
+    *
+    * Scale: count tables are reference-corpus state joined ONCE per
+    * distinct scored trigram type (the trigramLmScore assembly); the
+    * exploded document stream joins the scored-type table exactly once.
+    * All tier selection is on null-ness after left joins; the per-type
+    * −ln lands on the 2⁻²⁰ grid so per-doc sums are exact integers.
+    *
+    * @return (doc_id, n_trigrams, score_fp_sum) — floor-div by
+    *         n_trigrams for the mean, 0 rows ride the left-join zeros
+    */
+  def stupidBackoffScore(docs: DataFrame, ref: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val wsArr = filter(words(col(textCol)), w => length(w) > 0)
+    // reference-side count tables
+    val refTg = ref.select(explode(wordShingles(wsArr, 3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+    val refBg = ref.select(explode(wordShingles(wsArr, 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val refUni = ref.select(explode(wsArr).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val ctx2 = refTg
+      .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
+        split(col("tg"), " ").getItem(1)).as("w12"))
+      .agg(sum(col("c_tg")).as("c_w12"))
+    val ctx1 = refBg
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
+    val stats = ref.select(explode(wsArr).as("w"))
+      .agg(count(lit(1)).as("ntok"))
+    // scored-corpus trigram stream and its TYPE table
+    val tgStream = docs.select(col(idCol).as("doc_id"),
+      explode(wordShingles(wsArr, 3)).as("tg"))
+    val parts = split(col("tg"), " ")
+    val typed = tgStream.select(col("tg")).distinct()
+      .withColumn("w12", concat_ws(" ", parts.getItem(0), parts.getItem(1)))
+      .withColumn("w23", concat_ws(" ", parts.getItem(1), parts.getItem(2)))
+      .withColumn("w2", parts.getItem(1))
+      .withColumn("w3", parts.getItem(2))
+      .join(refTg, Seq("tg"), "left")
+      .join(ctx2, Seq("w12"), "left")
+      .join(refBg.withColumnRenamed("bg", "w23"), Seq("w23"), "left")
+      .join(ctx1.withColumnRenamed("w1", "w2"), Seq("w2"), "left")
+      .join(refUni.withColumnRenamed("w", "w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+    val score =
+      when(col("c_tg").isNotNull,
+        col("c_tg") / col("c_w12"))
+        .when(col("c_bg").isNotNull,
+          lit(0.4) * col("c_bg") / col("c_w1"))
+        .when(col("c_w").isNotNull,
+          lit(0.16) * col("c_w") / col("ntok"))
+        .otherwise(lit(0.16) / col("ntok"))
+    val scoredTypes = typed.select(col("tg"),
+      floor(-log(score) * lit(1048576.0)).cast("long").as("fp"))
+    val perDoc = tgStream
+      .join(scoredTypes, Seq("tg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("fp")).as("score_fp_sum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("score_fp_sum"), lit(0L)).as("score_fp_sum"))
+  }
+
   /** Interpolated Kneser–Ney bigram LM score — the standard n-gram
     * smoothing (Kneser & Ney '95; the KenLM default) rather than the
     * add-k/interpolation rungs above: absolute discounting plus a

@@ -2020,6 +2020,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(sel == Set(4L, 5L, 6L, 7L))
   }
 
+  test("graph: kCore — periphery peels off in cascades, the clique " +
+       "survives with full degree, k above max degree empties the graph") {
+    import spark.implicits._
+    import graft.llm.LinkGraph
+    // K4 clique {1,2,3,4} + a chain 4-5-6 hanging off it
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = LinkGraph.kCore(edges, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // both chain nodes fall in round 1 (deg 2 and 1), their edges
+    // vanish, and the clique stabilizes at degree 3 each
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k = 4 exceeds every degree after the chain peels -> empty
+    assert(LinkGraph.kCore(edges, 4, 4).count() == 0L)
+  }
+
+  test("text: stupidBackoffScore — seen-certain trigram scores 0, tiers " +
+       "order by penalty, short and unscored docs ride the zero path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x"),    // "a b c": tier 1 with S=1 -> fp 0; "b c x": OOV
+      (2L, "a b c d"),    // the reference doc (even id)
+      (3L, "x b c d"),    // "x b c": tier 2 via seen "b c"; "b c d": seen
+      (5L, "zz yy")       // < 3 words -> 0 rows path
+    ).toDF("doc_id", "text")
+    val ref = docs.filter($"doc_id" % 2 === 0)
+    val got = TextAnalysis.stupidBackoffScore(docs, ref)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(5L) == ((0L, 0L)))
+    assert(got(2L)._1 == 2L)
+    // ref doc's own trigrams are certain under its counts: S = 1 -> 0
+    assert(got(2L)._2 == 0L)
+    // doc 1: fp("a b c") = 0, so the sum is exactly the OOV-tier cost
+    val oov = got(1L)._2
+    assert(got(1L)._1 == 2L && oov > 0L)
+    // doc 3: tier-2 ("x b c" at 0.4) + tier-1 certain ("b c d" at 0) —
+    // cheaper than doc 1's OOV tier
+    val tier2 = got(3L)._2
+    assert(got(3L)._1 == 2L && tier2 > 0L && tier2 < oov)
+  }
+
   test("dedup: minhashRecall — identical pair always caught, truth " +
        "counts match hand Jaccard, precision reflects candidate purity") {
     import spark.implicits._
