@@ -1870,7 +1870,7 @@ object SparkEntry {
     // per-side containment ppm for every source pair — mirror-site /
     // wholesale-scrape detection BETWEEN ingest feeds. Every 9th doc is
     // replayed under a planted 'mirror' source; text never shuffles
-    // (only 8-byte gram hashes), totals broadcast onto the pair rows.
+    // (only 60-bit gram hashes), totals broadcast onto the pair rows.
     "llm_source_overlap" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"))
@@ -3630,26 +3630,26 @@ object SparkEntry {
       }
       val qname = "ssw_" + math.abs(in.hashCode).toString
       // session state instantiates per shuffle partition per batch — 32
-      // partitions are fixed overhead at this volume (see llm_stream_join)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
-          .option("maxFilesPerTrigger", 1).parquet(in)
-          .withWatermark("ts", "1 hour")
-          .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
-          .select(col("user_id"),
-            unix_timestamp(col("session_window.start")).as("t_start"),
-            unix_timestamp(col("session_window.end")).as("w_end"),
-            col("n_events"), col("total"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", s"$base/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(qname)
+      // partitions are fixed overhead at this volume. The stream runs in
+      // a CHILD session (the s1_rollup_append pattern) so the smaller
+      // partition count never leaks into concurrently-planned queries.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("t_start"),
+          unix_timestamp(col("session_window.end")).as("w_end"),
+          col("n_events"), col("total"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s2.table(qname)
         .select(col("user_id"), col("t_start"), col("w_end"),
           col("n_events"), round(col("total"), 4).as("total"))
         .orderBy(col("user_id"), col("t_start"))
@@ -4318,10 +4318,13 @@ object SparkEntry {
        |lab AS (SELECT t.rank, r.rel FROM top t JOIN rel r USING (id)),
        |fr AS (SELECT min(CASE WHEN rel = 1 THEN rank END) AS first_rank FROM lab),
        |ks AS (SELECT unnest([5, 10, 20]) AS k),
-       |agg AS (SELECT k,
+       |agg0 AS (SELECT k,
        |    sum(CASE WHEN rank <= k AND rel = 1 THEN 1 ELSE 0 END) AS rel_at_k,
        |    sum(CASE WHEN rank <= k AND rel = 1 THEN ($discList)[rank] ELSE 0 END) AS dcg_fp
-       |  FROM lab CROSS JOIN ks GROUP BY k)
+       |  FROM lab CROSS JOIN ks GROUP BY k),
+       |agg AS (SELECT ks.k, coalesce(agg0.rel_at_k, 0) AS rel_at_k,
+       |    coalesce(agg0.dcg_fp, 0) AS dcg_fp
+       |  FROM ks LEFT JOIN agg0 USING (k))
        |SELECT CAST(k AS BIGINT) AS k, CAST(rel_at_k AS BIGINT) AS rel_at_k,
        |  CAST(rel_at_k * 1000000 // k AS BIGINT) AS prec_ppm,
        |  CAST(CASE WHEN total_rel = 0 THEN 0
@@ -5581,16 +5584,20 @@ object SparkEntry {
         |ks AS (SELECT unnest([30, 50, 80]) AS thresh_pct),
         |ag AS (SELECT thresh_pct, count(*) AS n_truth, sum(cand) AS n_caught
         |  FROM fl CROSS JOIN ks WHERE inter * 100 >= thresh_pct * uni
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |fullk AS (SELECT ks.thresh_pct, coalesce(ag.n_truth, 0) AS n_truth,
+        |    coalesce(ag.n_caught, 0) AS n_caught
+        |  FROM ks LEFT JOIN ag USING (thresh_pct))
         |SELECT CAST(thresh_pct AS BIGINT) AS thresh_pct,
         |  CAST(n_truth AS BIGINT) AS n_truth,
         |  CAST(n_caught AS BIGINT) AS n_caught,
-        |  CAST(n_caught * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+        |  CAST(CASE WHEN n_truth = 0 THEN 0
+        |       ELSE n_caught * 1000000 // n_truth END AS BIGINT) AS recall_ppm,
         |  CAST(n_candidates AS BIGINT) AS n_candidates,
         |  CAST(CASE WHEN n_candidates = 0 THEN 0
         |       ELSE n_caught * 1000000 // n_candidates END AS BIGINT)
         |    AS precision_ppm
-        |FROM ag CROSS JOIN nc ORDER BY thresh_pct""".stripMargin,
+        |FROM fullk CROSS JOIN nc ORDER BY thresh_pct""".stripMargin,
 
     "llm_dedup_minhash" ->
       """WITH all_docs AS (
@@ -6501,7 +6508,7 @@ object SparkEntry {
         |  WHERE doc_id % 5 = 0 AND len(str_split(text, ' ')) >= 40),
         |w1 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
         |kg AS (SELECT doc_id, j,
-        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+3], ' ')),1,8)
+        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+3], ' ')),1,15)
         |      AS BIGINT) AS h
         |  FROM w1, unnest(range(1, len(ws) - 2)) AS t(j)),
         |win AS (SELECT doc_id, s
@@ -6529,7 +6536,7 @@ object SparkEntry {
         |  WHERE doc_id % 9 = 0),
         |w1 AS (SELECT source, str_split(text, ' ') AS ws FROM all_docs),
         |g AS (SELECT DISTINCT source,
-        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+7], ' ')),1,8)
+        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+7], ' ')),1,15)
         |      AS BIGINT) AS h
         |  FROM w1, unnest(range(1, len(ws) - 6)) AS t(j)),
         |tot AS (SELECT source, count(*) AS n FROM g GROUP BY 1),

@@ -118,7 +118,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       shingleWords: Int = 3, k: Int = 12, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0, "k must divide evenly into bands")
+    require(k % bands == 0, "bands must divide k evenly")
     val rows = k / bands
     // ONE persist, of (id, shingles) only. The shingle array is the sole
     // expensive per-doc artifact every downstream consumer needs (band
@@ -222,8 +222,12 @@ object Dedup {
   def minhashRecall(docs: DataFrame, textCol: String, idCol: String,
                     shingleWords: Int = 3, k: Int = 12, bands: Int = 4,
                     threshPcts: Seq[Int] = Seq(50, 70, 90)): DataFrame = {
-    require(k % bands == 0, "k must divide evenly into bands")
-    require(threshPcts.nonEmpty)
+    require(k % bands == 0, "bands must divide k evenly")
+    // t = 0 would claim "every pair with Jaccard >= 0" but the truth
+    // stream only carries pairs sharing >= 1 shingle — reject instead of
+    // silently computing recall over the wrong denominator
+    require(threshPcts.nonEmpty && threshPcts.forall(t => t >= 1 && t <= 100),
+      "thresholds must be percentages in [1, 100]")
     val rows = k / bands
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.wordShingles(
@@ -258,14 +262,23 @@ object Dedup {
     val tdf = docs.sparkSession.range(1).select(
       explode(array(threshPcts.map(p => lit(p.toLong)): _*)).as("thresh_pct"))
     val M = lit(1000000L)
-    val out = flagged.crossJoin(broadcast(tdf))
+    val agg = flagged.crossJoin(broadcast(tdf))
       .filter(col("inter") * 100 >= col("thresh_pct") * col("uni"))
       .groupBy(col("thresh_pct"))
       .agg(count(lit(1)).as("n_truth"), sum(col("cand")).as("n_caught"))
+    // left-join back onto the threshold list: a threshold with ZERO
+    // qualifying truth pairs must still yield its row (all-zero metrics),
+    // not silently vanish from the sweep
+    val out = tdf.join(agg, Seq("thresh_pct"), "left")
       .crossJoin(broadcast(nCand))
+      .select(col("thresh_pct"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        col("n_candidates"))
       .select(col("thresh_pct"), col("n_truth"), col("n_caught"),
-        call_function("div", col("n_caught") * M, col("n_truth"))
-          .as("recall_ppm"),
+        when(col("n_truth") === 0, 0L)
+          .otherwise(call_function("div", col("n_caught") * M,
+            col("n_truth"))).as("recall_ppm"),
         col("n_candidates"),
         when(col("n_candidates") === 0, 0L)
           .otherwise(call_function("div", col("n_caught") * M,
@@ -818,8 +831,11 @@ object Dedup {
     require(k >= 1 && w >= 1)
     val ws = TextAnalysis.words(col(textCol))
     val nk = size(ws) - (k - 1) // k-gram count
+    // 15 hex chars = 60 bits, the minhashSignatureFromShingles width —
+    // 32 bits would manufacture false cross-doc matches by collision at
+    // ~10⁵ distinct grams (birthday bound), at identical cost
     val kgExpr = transform(sequence(lit(1), greatest(nk, lit(1))),
-      i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 8),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 15),
         16, 10).cast("long"))
     val emptySel = array().cast("array<struct<h:bigint,pos:int>>")
     // The hash array must be evaluated ONCE per row: element_at(kgExpr, j)
@@ -858,7 +874,7 @@ object Dedup {
     * individual collisions.
     *
     * Scale shape: one distinct over (source, gram-hash) — text never
-    * shuffles, only 8-byte hashes; the self-join keys on the hash, so a
+    * shuffles, only 60-bit hashes; the self-join keys on the hash, so a
     * gram in s sources costs s² pair rows (bounded by n_sources², and
     * n_sources is small by definition); totals are one tiny agg that
     * broadcasts back onto the pair rows.
@@ -874,7 +890,9 @@ object Dedup {
         explode(TextAnalysis.wordShingles(
           TextAnalysis.words(col(textCol)), n)).as("g"))
       .select(col("source"),
-        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
+        // 60-bit hash (the minhash width): 32 bits would collide two
+        // disjoint sources into a false "shared gram" at ~10⁵ grams
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
     val tot = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val shared = grams.select(col("source").as("src_a"), col("h"))

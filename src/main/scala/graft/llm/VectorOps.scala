@@ -156,11 +156,18 @@ object VectorOps {
 
     val kdf = ranked.sparkSession.range(1)
       .select(explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
-    val perK = labeled.crossJoin(kdf).groupBy(col("k")).agg(
+    // aggregate then LEFT-join back onto the cutoff list: an empty
+    // ranked list (or one sharing no ids with rel) must still yield one
+    // all-zero row per cutoff, not an empty frame
+    val agg = labeled.crossJoin(kdf).groupBy(col("k")).agg(
       sum(when(col("rank") <= col("k") && col("rel") === 1, 1L)
         .otherwise(0L)).as("rel_at_k"),
       sum(when(col("rank") <= col("k") && col("rel") === 1,
           element_at(discArr, col("rank"))).otherwise(0L)).as("dcg_fp"))
+    val perK = kdf.join(agg, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("rel_at_k"), lit(0L)).as("rel_at_k"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"))
 
     val M = lit(1000000L)
     perK.crossJoin(broadcast(totals)).crossJoin(broadcast(firstRel))
@@ -222,10 +229,15 @@ object VectorOps {
       (best, c) => {
         val already = exists(acc,
           x => x.getField("id") === c.getField("id"))
-        val maxSim = when(size(acc) === 0, lit(0L))
-          .otherwise(aggregate(acc, lit(Long.MinValue),
-            (m, x) => greatest(m,
-              simFp(c.getField("vec"), x.getField("vec")))))
+        // greatest() skips nulls, so a zero-norm candidate (null cosine
+        // vs every selected item) would leave the fold at the MinValue
+        // sentinel and lamC·MinValue would WRAP — collapse the
+        // nothing-comparable case to 0, exactly the oracle's
+        // coalesce(max(...), 0)
+        val rawMax = aggregate(acc, lit(Long.MinValue),
+          (m, x) => greatest(m, simFp(c.getField("vec"), x.getField("vec"))))
+        val maxSim = when(size(acc) === 0 || rawMax === Long.MinValue,
+          lit(0L)).otherwise(rawMax)
         val score = lam * c.getField("rel_fp") - lamC * maxSim
         when(!already && (score > best.getField("score") ||
             (score === best.getField("score") &&
