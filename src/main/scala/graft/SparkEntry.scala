@@ -1653,6 +1653,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // jusText-style boilerplate stripping: the 10-word content lines get
+    // a planted nav header, share/copyright footers, and (when the doc
+    // has >= 2 content lines) a short sandwiched line — the stopword-free
+    // nav/footer lines die, the sandwiched short line is rescued by the
+    // neighbor rule. Pure per-row map work; no shuffle in the plan.
+    "llm_boilerplate" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val nl = floor((size(ws) + lit(9)) / lit(10)).cast("int")
+      val lineArr = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(ws, i * 10 + 1, lit(10)), " "))
+      val mid = when(size(lineArr) >= 2,
+        concat(slice(lineArr, 1, 1), array(lit("click here now")),
+          slice(lineArr, lit(2), size(lineArr) - 1)))
+        .otherwise(lineArr)
+      val planted = concat(array(lit("Home | About | Contact")), mid,
+        array(lit("Share this page"),
+          lit("© 2024 SiteCorp All rights reserved")))
+      val docs = d0.select(col("doc_id"),
+        array_join(planted, "\n").as("text"))
+      TextAnalysis.boilerplateStrip(docs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("clean_hash"),
+          col("n_lines"), col("n_kept"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Encoding-quality screen with planted corruption: mojibake suffix
+    // on every 11th doc, BEL + U+FFFD on every 13th, legitimate accented
+    // text on every 17th (must stay keep=1 — the negative control). One
+    // literal/regex pass per counter, map-side only.
+    "llm_encoding_quality" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val t = when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" naÃ¯ve â€™quoteâ€™")))
+        .when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" bin\u0007dump\uFFFDtail")))
+        .when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" café naïve")))
+        .otherwise(col("text"))
+      d0.select(col("doc_id").cast("long").as("doc_id"),
+          TextAnalysis.encodingQuality(t).as("eq"))
+        .select(col("doc_id"), col("eq.n_chars"), col("eq.n_repl"),
+          col("eq.n_ctrl"), col("eq.n_moji"), col("eq.keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus shard manifest: the integrity attestation published beside
     // a dataset release — per-shard row count, id range, and an ORDER-
     // INDEPENDENT content digest (sum of 48-bit md5 prefixes in exact
@@ -6600,6 +6647,67 @@ object SparkEntry {
         |  CAST(t.n_lines AS BIGINT) AS n_lines,
         |  CAST(t.n_lines - coalesce(a.kept, 0) AS BIGINT) AS n_dropped
         |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "llm_boilerplate" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id,
+        |    [array_to_string(ws[i*10+1 : i*10+10], ' ')
+        |     for i in range(0, CAST((len(ws)+9)//10 AS BIGINT))] AS la
+        |  FROM w),
+        |m AS (SELECT doc_id, CASE WHEN len(la) >= 2
+        |      THEN la[1:1] || ['click here now'] || la[2:]
+        |      ELSE la END AS la FROM d),
+        |p AS (SELECT doc_id, ['Home | About | Contact'] || la ||
+        |      ['Share this page', '© 2024 SiteCorp All rights reserved']
+        |      AS la FROM m),
+        |f AS (SELECT doc_id, la,
+        |    list_transform(la, l ->
+        |      len(list_filter(str_split(l, ' '), x -> len(x) > 0)) >= 5
+        |      AND list_has_any(str_split(l, ' '),
+        |                       ['the','a','of','and','to'])) AS bg
+        |  FROM p),
+        |k AS (SELECT doc_id, la,
+        |    [bg[i] OR
+        |       (len(list_filter(str_split(la[i], ' '), x -> len(x) > 0)) >= 3
+        |        AND CASE WHEN i > 1 THEN bg[i-1] ELSE false END
+        |        AND CASE WHEN i < len(la) THEN bg[i+1] ELSE false END)
+        |     for i in range(1, len(la) + 1)] AS kf
+        |  FROM f),
+        |o AS (SELECT doc_id,
+        |    [la[i] for i in range(1, len(la) + 1) if kf[i]] AS kept,
+        |    len(la) AS n_lines
+        |  FROM k)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_hash,
+        |  CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    "llm_encoding_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' naÃ¯ve â€™quoteâ€™'
+        |         WHEN doc_id % 13 = 0
+        |           THEN text || ' bin' || chr(7) || 'dump' ||
+        |                chr(65533) || 'tail'
+        |         WHEN doc_id % 17 = 0 THEN text || ' café naïve'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, length(text) AS n_chars,
+        |    length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+        |    len(regexp_extract_all(text,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctrl,
+        |    len(regexp_extract_all(text,
+        |        'Ã©|Ã¨|Ã¼|Ã£|Ã¯|â€™|â€œ|â€“|Â°|Â»|ï¿½')) AS n_moji
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_repl AS BIGINT) AS n_repl,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  CAST(n_moji AS BIGINT) AS n_moji,
+        |  CAST(CASE WHEN n_repl = 0 AND n_ctrl = 0 AND n_moji = 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "llm_dup_spans" ->
       """WITH all_docs AS (

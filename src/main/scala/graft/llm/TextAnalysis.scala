@@ -491,6 +491,95 @@ object TextAnalysis {
         .as("dup_ratio"))
   }
 
+  /** Boilerplate line stripping — the jusText/trafilatura-style content
+    * extraction step every crawl pipeline runs between HTML extraction
+    * and quality filtering (Pomikálek 2011; nav bars, cookie banners,
+    * share buttons, copyright footers survive tag stripping as short
+    * stopword-free lines). A line is CONTENT if it has ≥ `minWords`
+    * non-empty words and at least one English stopword; a short line
+    * (≥ `rescueMin` words) sandwiched between two content lines is
+    * rescued — jusText's neighbor rule collapsed to one deterministic
+    * pass so an external engine can reproduce it bit-for-bit.
+    *
+    * Scale shape: pure per-row map work — the line array, the base
+    * flags, and the keep flags are each bound ONCE as a transform()
+    * lambda variable (the let-expression Catalyst lacks; element_at on
+    * a re-stated HOF would re-evaluate the whole array per lookup,
+    * O(n²) at document length). No shuffle, no UDF; runs at scan speed,
+    * which is why extraction precedes every shuffling stage at 100 TB.
+    *
+    * @return (idCol, textCol cleaned, n_lines, n_kept, n_dropped)
+    */
+  def boilerplateStrip(docs: DataFrame, delim: String = "\n",
+                       minWords: Int = 5, rescueMin: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(minWords >= 1 && rescueMin >= 1 && rescueMin <= minWords,
+      "need 1 <= rescueMin <= minWords")
+    val enStop = StopWords.toMap.apply("en")
+    val pat = java.util.regex.Pattern.quote(delim)
+    def lineWords(l: Column): Column =
+      filter(split(l, " "), w => length(w) > 0)
+    val out = element_at(transform(array(split(col(textCol), pat)), ls => {
+      val baseExpr = transform(ls, l => {
+        val lws = lineWords(l)
+        size(lws) >= minWords && arrays_overlap(lws, lit(enStop.toArray))
+      })
+      element_at(transform(array(baseExpr), bs => {
+        val keepExpr = transform(sequence(lit(1), size(ls)), i => {
+          val prevGood = coalesce(when(i > 1, element_at(bs, i - 1)),
+            lit(false))
+          val nextGood = coalesce(
+            when(i < size(ls), element_at(bs, i + 1)), lit(false))
+          element_at(bs, i) ||
+            (size(lineWords(element_at(ls, i))) >= rescueMin &&
+              prevGood && nextGood)
+        })
+        element_at(transform(array(keepExpr), ks => {
+          val kept = filter(
+            transform(sequence(lit(1), size(ls)),
+              i => struct(i.as("i"), element_at(ls, i).as("l"))),
+            s => element_at(ks, s.getField("i")))
+          struct(
+            array_join(transform(kept, s => s.getField("l")), delim)
+              .as("clean"),
+            size(ls).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept"))
+        }), 1)
+      }), 1)
+    }), 1)
+    docs.select(col(idCol), out.as("bp"))
+      .select(col(idCol), col("bp.clean").as(textCol),
+        col("bp.n_lines"), col("bp.n_kept"),
+        (col("bp.n_lines") - col("bp.n_kept")).as("n_dropped"))
+  }
+
+  /** Encoding-quality signal — the mojibake/corruption screen CCNet-class
+    * pipelines run before any language ID (Wenzek et al. 2020 discard
+    * pages whose decode is suspect): counts of U+FFFD replacement
+    * characters (a decoder already gave up), C0 control characters
+    * outside tab/newline/CR (binary-in-text), and the classic
+    * UTF-8-read-as-Latin-1 double-encoding bigrams ("Ã©", "â€™", …).
+    * Legitimate non-ASCII ("café") trips none of them. All three are
+    * single-pass literal/regex counts — map work at scan speed — and the
+    * keep verdict is their conjunction.
+    *
+    * @return struct(n_chars, n_repl, n_ctrl, n_moji, keep 0/1)
+    */
+  def encodingQuality(text: Column): Column = {
+    val nChars = length(text)
+    val nRepl = nChars - length(regexp_replace(text, "\uFFFD", ""))
+    val nCtrl = regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+    val nMoji = regexp_count(text,
+      lit("Ã©|Ã¨|Ã¼|Ã£|Ã¯|â€™|â€œ|â€“|Â°|Â»|ï¿½"))
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nRepl.cast("long").as("n_repl"),
+      nCtrl.cast("long").as("n_ctrl"),
+      nMoji.cast("long").as("n_moji"),
+      (nRepl === 0 && nCtrl === 0 && nMoji === 0).cast("long").as("keep"))
+  }
+
   /** Linear quality-classifier weights over the feature vector
     * (ttr, mean_word_len, stop_ratio, min(1, n_words/100), dup_3gram) —
     * stand-ins for a trained fastText/logreg quality model; deployment

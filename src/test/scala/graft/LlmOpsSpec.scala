@@ -2203,4 +2203,70 @@ class LlmOpsSpec extends SparkSpec {
     assert(z.getAs[Long]("ndcg_ppm") == 0L)
     assert(z.getAs[Long]("mrr_ppm") == 0L)
   }
+
+  test("text: boilerplateStrip — nav/footer lines die, a short line " +
+       "between two content lines is rescued, edges are not") {
+    import spark.implicits._
+    val content1 = "the quick brown fox jumps over a lazy dog today"
+    val content2 = "a second paragraph of real prose continues the story here"
+    val docs = Seq(
+      // header + content + short sandwiched + content + footer
+      (1L, Seq("Home | About | Contact", content1, "click here now",
+        content2, "© 2024 SiteCorp All rights reserved").mkString("\n")),
+      // short line at the EDGE (no following content line) → dropped
+      (2L, Seq(content1, "click here now").mkString("\n")),
+      // all boilerplate → everything dropped, clean text is empty
+      (3L, Seq("Buy Now", "Subscribe Today", "Cookie Policy")
+        .mkString("\n")),
+      // 5+ words but zero stopwords (nav bar) → dropped; the rescue
+      // needs BOTH neighbors good, one good neighbor is not enough
+      (4L, Seq(content1, "Products Services Pricing Support Blog",
+        "tiny line", content2).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) ==
+      Seq(content1, "click here now", content2).mkString("\n"))
+    assert(out(0).getAs[Long]("n_lines") == 5L)
+    assert(out(0).getAs[Long]("n_kept") == 3L)
+    assert(out(0).getAs[Long]("n_dropped") == 2L)
+    assert(out(1).getString(1) == content1)
+    assert(out(2).getString(1) == "")
+    assert(out(2).getAs[Long]("n_dropped") == 3L)
+    // nav line has 5 words but no stopword → dropped; "tiny line" has
+    // a bad left neighbor → not rescued despite good right neighbor
+    assert(out(3).getString(1) == Seq(content1, content2).mkString("\n"))
+  }
+
+  test("text: encodingQuality — mojibake/control/replacement planted " +
+       "counts, legitimate accents stay clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii text"),
+      (2L, "café naïve résumé"), // real accents: clean
+      (3L, "naÃ¯ve quote â€™here â€œopen"),           // mojibake ×3
+      (4L, "bin\u0007ary\u0001junk"),                // control ×2
+      (5L, "lost�char")                         // replacement ×1
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"),
+        TextAnalysis.encodingQuality(col("text")).as("eq"))
+      .select(col("doc_id"), col("eq.n_repl"), col("eq.n_ctrl"),
+        col("eq.n_moji"), col("eq.keep"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep") == 1L)
+    assert(out(1).getAs[Long]("keep") == 1L &&
+      out(1).getAs[Long]("n_moji") == 0L)
+    assert(out(2).getAs[Long]("n_moji") == 3L &&
+      out(2).getAs[Long]("keep") == 0L)
+    assert(out(3).getAs[Long]("n_ctrl") == 2L &&
+      out(3).getAs[Long]("keep") == 0L)
+    assert(out(4).getAs[Long]("n_repl") == 1L &&
+      out(4).getAs[Long]("keep") == 0L)
+    // tab/newline/CR are legitimate whitespace, not control noise
+    val ws = Seq((1L, "a\tb\nc\rd")).toDF("doc_id", "text")
+      .select(TextAnalysis.encodingQuality(col("text")).as("eq"))
+      .select(col("eq.n_ctrl")).collect()(0).getLong(0)
+    assert(ws == 0L)
+  }
 }
