@@ -1700,6 +1700,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring blocklist on the native Aho–Corasick kernel: planted
+    // phrase + overlap fixtures — every 19th doc gains a spam phrase
+    // (hits the nested "win"/"winbig casino" pair through the output
+    // chain), every 23rd gains "abababa" (3 OVERLAPPING "aba" matches —
+    // the semantics a regex alternation can't count). One automaton
+    // pass per row regardless of list size; map-side only.
+    "llm_blocklist_substring" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val t = when(col("doc_id") % 19 === 0,
+          concat(col("text"),
+            lit(" visit winbig casino and get free $$$ today")))
+        .when(col("doc_id") % 23 === 0, concat(col("text"), lit(" abababa")))
+        .otherwise(col("text"))
+      TextAnalysis.blocklistSubstringScreen(
+        d0.select(col("doc_id"), t.as("text")),
+        Seq("win", "winbig casino", "free $$$", "aba"))
+        .select(col("id").cast("long").as("id"), col("n_hits"), col("keep"))
+        .orderBy(col("id"))
+    }),
+
     // Corpus shard manifest: the integrity attestation published beside
     // a dataset release — per-shard row count, id range, and an ORDER-
     // INDEPENDENT content digest (sum of 48-bit md5 prefixes in exact
@@ -6708,6 +6728,23 @@ object SparkEntry {
         |  CAST(CASE WHEN n_repl = 0 AND n_ctrl = 0 AND n_moji = 0
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "llm_blocklist_substring" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('win'), ('winbig casino'),
+        |    ('free $$$'), ('aba')) p(pat)),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 0
+        |           THEN text || ' visit winbig casino and get free $$$ today'
+        |         WHEN doc_id % 23 = 0 THEN text || ' abababa'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    sum(len([i for i in range(1, length(text) - length(pat) + 2)
+        |             if substr(text, i, length(pat)) = pat])) AS n_hits
+        |  FROM t CROSS JOIN pats GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM h ORDER BY id""".stripMargin,
 
     "llm_dup_spans" ->
       """WITH all_docs AS (

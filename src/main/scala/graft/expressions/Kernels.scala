@@ -520,6 +520,12 @@ object Kernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Total occurrences (overlapping) of all automaton patterns in `s` —
+    * one pass regardless of pattern count; see [[AhoCorasick]].
+    */
+  def acCount(s: UTF8String, ac: AhoCorasick): Long =
+    ac.countMatches(s.toString)
 }
 
 /** Unigram-LM tokenizer model shared by the expected-count and Viterbi

@@ -1237,4 +1237,25 @@ object TextAnalysis {
       size(blocked).cast("long").as("n_blocked"),
       (size(blocked) === 0).cast("long").as("keep"))
   }
+
+  /** Substring blocklist screen — the form the word-boundary screen
+    * above cannot express: phrases ("free $$$ now"), obfuscated
+    * concatenations, and terms glued to punctuation all match as raw
+    * substrings. Runs on the native Aho–Corasick kernel
+    * ([[org.apache.spark.sql.graft.MultiPatternCount]]): the automaton
+    * is built once from the literal list and each row pays ONE pass
+    * regardless of list size — at a 10⁴-term blocklist this is the
+    * difference between scan-speed screening and an O(text × patterns)
+    * regex alternation. Counts overlapping occurrences (AC semantics).
+    *
+    * @return one row per doc: (id, n_hits, keep 0/1 = zero hits)
+    */
+  def blocklistSubstringScreen(docs: DataFrame, blocklist: Seq[String],
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val hits = graft.GraftExtensions.multiPatternCount(
+      col(textCol), blocklist)
+    docs.select(col(idCol).as("id"), hits.as("n_hits"),
+      (hits === 0L).cast("long").as("keep"))
+  }
 }

@@ -229,3 +229,34 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Multi-pattern substring count via a frozen Aho–Corasick automaton —
+  * the blocklist screen at blocklist scale. The automaton is built once
+  * on the driver from the literal pattern list and ships to executors
+  * through the codegen references array (the [[UnigramExpected]] model
+  * mechanism); each row then pays one O(len) pass counting every
+  * occurrence of every pattern, where a regex alternation or
+  * per-pattern contains() is O(len × patterns). Case-sensitive, counts
+  * overlapping matches (classic AC semantics).
+  */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "need non-empty patterns")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_pattern_count"
+  @transient private lazy val ac =
+    graft.expressions.AhoCorasick.build(patterns)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.acCount(input.asInstanceOf[UTF8String], ac)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[graft.expressions.AhoCorasick].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.acCount($c, $a)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCount =
+    copy(child = newChild)
+}

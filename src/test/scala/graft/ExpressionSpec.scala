@@ -147,4 +147,44 @@ class ExpressionSpec extends SparkSpec {
     assert(exprLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
     assert(!plan.contains("UDF"), s"UDF leaked into plan:\n$plan")
   }
+
+  test("multi_pattern_count: overlaps, nested patterns, suffix links, " +
+       "and build-time rejection of empty patterns") {
+    import spark.implicits._
+    def count(text: String, pats: Seq[String]): Long =
+      Seq(Tuple1(text)).toDF("t")
+        .select(GraftExtensions.multiPatternCount(col("t"), pats).as("n"))
+        .collect()(0).getLong(0)
+    // overlapping matches all count: "aba" in "ababa" at pos 1 and 3
+    assert(count("ababa", Seq("aba")) == 2L)
+    // nested pattern pair through the output chain: every "winbig"
+    // also contains "win"
+    assert(count("winbig casino win", Seq("win", "winbig casino")) == 3L)
+    // suffix-link walk mid-mismatch: she×2, he inside both she's ×2,
+    // hells inside shells ×1 — "he" and "hells" are only reachable
+    // through suffix links, never by a root-path scan
+    assert(count("shells she said", Seq("she", "he", "hells")) == 5L)
+    // duplicate patterns double-count by contract
+    assert(count("xx", Seq("x", "x")) == 4L)
+    // no match, unicode text safe
+    assert(count("café naïve", Seq("zzz")) == 0L)
+    assert(count("naïve naïve", Seq("naïve")) == 2L)
+    // empty pattern and empty list refuse at build
+    intercept[IllegalArgumentException] {
+      graft.expressions.AhoCorasick.build(Seq("a", ""))
+    }
+    intercept[IllegalArgumentException] {
+      graft.expressions.AhoCorasick.build(Nil)
+    }
+    // plans inside whole-stage codegen, no UDF boundary (range, not a
+    // local Seq — a literal input constant-folds the whole projection)
+    val df = spark.range(4)
+      .select(GraftExtensions.multiPatternCount(
+        concat(lit("bad text "), col("id").cast("string")),
+        Seq("bad", "worse")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator
+      .find(_.contains("multi_pattern_count")).getOrElse("")
+    assert(line.trim.startsWith("*"), s"not codegen'd:\n$plan")
+  }
 }
