@@ -526,6 +526,98 @@ object Kernels {
     */
   def acCount(s: UTF8String, ac: AhoCorasick): Long =
     ac.countMatches(s.toString)
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) fused into
+    * one byte loop: word k-gram 60-bit hashes + rightmost-minimum
+    * sliding window + consecutive-duplicate collapse. Bit-identical to
+    * the HOF spelling it replaces:
+    *
+    *  - words = split on single space KEEPING empties (Spark split
+    *    semantics), so join(words, " ") reproduces the original bytes
+    *    — each k-gram's md5 input is therefore a raw byte RANGE of the
+    *    text (word start i through word end i+k-1), hashed in place
+    *    with zero per-gram allocation;
+    *  - hash = first 15 hex chars of md5 as a long (the 60-bit corpus
+    *    width; `conv(substring(md5(g),1,15),16,10)`);
+    *  - per window of `w` hashes the minimum wins, ties to the
+    *    RIGHTMOST (an equal later hash displaces) — implemented as the
+    *    classic monotonic deque (pop-back on >=), O(nk) total instead
+    *    of O(nk·w);
+    *  - a selected (h, pos) survives a run of consecutive windows;
+    *    array_distinct-equivalent dedup is therefore one last-emitted
+    *    comparison (a position can never re-enter the window later).
+    *
+    * Returns array<struct<h:long, pos:int>> (pos 1-based); empty when
+    * fewer than w k-grams exist.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    // word start offsets: split on single 0x20 (never a UTF-8
+    // continuation byte), empties kept
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) nWords += 1
+      i += 1
+    }
+    val nk = nWords - (k - 1)
+    if (nk < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val starts = new Array[Int](nWords + 1)
+    var word = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(word) = i + 1; word += 1 }
+      i += 1
+    }
+    starts(nWords) = bytes.length + 1 // sentinel: "space" past the end
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nk)
+    var g = 0
+    while (g < nk) {
+      val from = starts(g)
+      val until = starts(g + k) - 1 // end of word g+k-1
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(g) = (v << 4) | ((d(7) >> 4) & 0xfL)
+      g += 1
+    }
+    // monotonic deque of gram indices; >= pop keeps the rightmost
+    // minimum among equals
+    val deque = new Array[Int](nk)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new java.util.ArrayList[Any]()
+    var lastH = -1L
+    var lastPos = -1
+    g = 0
+    while (g < nk) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(g)) tail -= 1
+      deque(tail) = g
+      tail += 1
+      val winStart = g - (w - 1)
+      if (deque(head) < winStart) head += 1
+      if (winStart >= 0) {
+        val sel = deque(head)
+        val h = hashes(sel)
+        val pos = sel + 1
+        if (h != lastH || pos != lastPos) {
+          out.add(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](h, pos)))
+          lastH = h
+          lastPos = pos
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Unigram-LM tokenizer model shared by the expected-count and Viterbi

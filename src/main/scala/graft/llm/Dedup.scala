@@ -817,10 +817,14 @@ object Dedup {
     * repeatedPassages (fixed-stride chunks, which a one-word shift
     * defeats; winnowing is shift-invariant).
     *
-    * Scale shape: selection is ONE map-side pass per document (array
-    * HOFs over the k-gram hash array, O(n·w) comparisons, no shuffle);
-    * only the selected (doc_id, pos, hash) fingerprints — a ~2/(w+1)
-    * fraction of the k-grams — ever leave the scan.
+    * Scale shape: selection is ONE map-side kernel eval per document
+    * (the native [[org.apache.spark.sql.graft.WinnowFingerprints]]
+    * expression — 60-bit k-gram md5s over raw byte ranges plus an
+    * O(nk) monotonic-deque window minimum, fused in one codegen'd
+    * loop; the HOF spelling this replaced paid O(nk·w) interpreted
+    * lambda comparisons and a string slice+join per gram). Only the
+    * selected (doc_id, pos, hash) fingerprints — a ~2/(w+1) fraction
+    * of the k-grams — ever leave the scan; no shuffle.
     *
     * @return (doc_id, pos, fp_hash) — pos is the 1-based k-gram start,
     *         one row per distinct selected fingerprint
@@ -829,39 +833,10 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1)
-    val ws = TextAnalysis.words(col(textCol))
-    val nk = size(ws) - (k - 1) // k-gram count
-    // 15 hex chars = 60 bits, the minhashSignatureFromShingles width —
-    // 32 bits would manufacture false cross-doc matches by collision at
-    // ~10⁵ distinct grams (birthday bound), at identical cost
-    val kgExpr = transform(sequence(lit(1), greatest(nk, lit(1))),
-      i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 15),
-        16, 10).cast("long"))
-    val emptySel = array().cast("array<struct<h:bigint,pos:int>>")
-    // The hash array must be evaluated ONCE per row: element_at(kgExpr, j)
-    // inside the window fold would rebuild the whole array per lookup —
-    // O(n²·w) md5s per document instead of O(n). A separate projection is
-    // NOT enough (CollapseProject re-inlines single-consumer aliases and
-    // HOF lambdas get no subexpression elimination — observed as a
-    // minutes-long scan at sf0.1); binding it as a transform() lambda
-    // variable is the let-expression Catalyst lacks.
-    val sel = element_at(transform(array(kgExpr), kg => {
-      // per window start s: fold s..s+w-1 keeping (h, pos), <= so an
-      // equal later hash displaces — the rightmost-minimum rule
-      val wins = transform(sequence(lit(1), size(kg) - (w - 1)),
-        s => aggregate(sequence(s, s + (w - 1)),
-          struct(lit(Long.MaxValue).as("h"), lit(-1).as("pos")),
-          (acc, j) => when(element_at(kg, j) <= acc.getField("h"),
-            struct(element_at(kg, j).as("h"), j.as("pos")))
-            .otherwise(acc)))
-      // sequence(1, n) with n < 1 COUNTS DOWN — guard short docs to an
-      // empty selection instead
-      when(size(kg) >= w, array_distinct(wins)).otherwise(emptySel)
-    }), lit(1))
     docs
       .select(col(idCol).as("doc_id"),
-        when(nk >= w, sel).otherwise(emptySel).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+        explode(graft.GraftExtensions.winnowFingerprints(
+          col(textCol), k, w)).as("fp"))
       .select(col("doc_id"), col("fp.pos").cast("long").as("pos"),
         col("fp.h").as("fp_hash"))
   }

@@ -260,3 +260,35 @@ case class MultiPatternCount(child: Expression, patterns: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): MultiPatternCount =
     copy(child = newChild)
 }
+
+/** Winnowing fingerprint selection as ONE codegen'd kernel eval per row
+  * (hash + window-minimum + dedup fused; see [[Kernels.winnow]]). The
+  * HOF spelling it replaces paid thousands of interpreted lambda
+  * evaluations per document — k-gram md5s through string slicing and an
+  * O(nk·w) aggregate() window fold; the kernel hashes each k-gram as a
+  * raw byte range of the text and runs the monotonic-deque window in
+  * O(nk). k and w are compile-time plan parameters (the pcm_features
+  * convention).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = WinnowFingerprints.Schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("h", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+}
