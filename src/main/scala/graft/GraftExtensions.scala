@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CdcChunks, ColumnBridge, DeflateLen, DHashBmp, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -90,4 +90,7 @@ object GraftExtensions {
     ColumnBridge.col(MultiPatternCount(ColumnBridge.expr(text), patterns))
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.col(WinnowFingerprints(ColumnBridge.expr(text), k, w))
+  def bottomK(s: Column, k: Int): Column =
+    ColumnBridge.col(
+      BottomK(ColumnBridge.expr(s), k).toAggregateExpression())
 }

@@ -1616,6 +1616,32 @@ object SparkEntry {
         .orderBy(col("stratum"), col("sample_rank"))
     }),
 
+    // The aggregate form of the deterministic sample: 5 hash-smallest
+    // docs per source through the native bounded-heap bottom_k typed
+    // imperative aggregate — ObjectHashAggregate with map-side partial
+    // combine, NO sort and no window anywhere in the plan; at most k
+    // rows per (task, group) reach the exchange. The repartition(7)
+    // re-run must produce the identical sample (merge-order freedom
+    // cannot leak into the result).
+    "llm_group_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      def sampled(df: DataFrame) =
+        Sampling.groupSample(df, col("source"), "doc_id", 5, Seq("lang"))
+          .select(col("group").as("source"), posexplode(col("sample")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").cast("long").as("doc_id"), col("col.lang").as("lang"))
+      val a = sampled(d)
+      val b = sampled(d.repartition(7, col("lang")))
+        .select(col("source"), col("rank"),
+          col("doc_id").as("doc_id2"), col("lang").as("lang2"))
+      a.join(b, Seq("source", "rank"))
+        .select(col("source"), col("rank"), col("doc_id"), col("lang"),
+          (col("doc_id") === col("doc_id2") && col("lang") === col("lang2"))
+            .cast("long").as("repartition_invariant"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // Repeated-passage mining: 64-word chunks at stride 48 duplicated
     // across documents (replayed every-7th docs inject the duplicates —
     // the corpus itself is passage-unique). Only chunk HASHES shuffle.
@@ -6561,6 +6587,19 @@ object SparkEntry {
         |  FROM s)
         |SELECT stratum, sample_rank, doc_id FROM r
         |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
+
+    "llm_group_sample" ->
+      """WITH h AS (SELECT source, doc_id, lang,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT)
+        |      AS ord
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY ord) AS rank
+        |  FROM h)
+        |SELECT source, CAST(rank AS BIGINT) AS rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |  CAST(1 AS BIGINT) AS repartition_invariant
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     // Same k=4/w=4 winnowing, spelled relationally: k-gram hash rows,
     // window rows, a BETWEEN join, and a rightmost-min row_number pick

@@ -205,6 +205,32 @@ object Sampling {
       .drop("sample_key")
   }
 
+  /** The aggregate form of [[stratifiedSample]]: the k hash-smallest
+    * records per group through the native bounded-heap
+    * [[org.apache.spark.sql.graft.BottomK]] typed imperative aggregate
+    * instead of a rank window. Same deterministic-sample semantics
+    * (md5-of-id order, 60-bit long key); different physical shape:
+    * ObjectHashAggregate with size-k per-group state and MAP-SIDE
+    * partial combine — no sort anywhere in the plan, and at most k rows
+    * per (task, group) ever reach the exchange, where the window form
+    * shuffles whole groups and sorts them (WindowGroupLimit trims per
+    * task but losers still flow). At 100 TB with a handful of strata,
+    * bounded aggregate state is the difference between a metadata-sized
+    * shuffle and a corpus-sized one.
+    *
+    * @return one row per group: (group, sample array<struct(ord,
+    *         id, payload...)> ascending by ord)
+    */
+  def groupSample(docs: DataFrame, groupCol: Column, idCol: String,
+                  k: Int, payloadCols: Seq[String]): DataFrame = {
+    val ord = conv(substring(md5(col(idCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    docs.groupBy(groupCol.as("group"))
+      .agg(graft.GraftExtensions.bottomK(
+        struct((ord.as("ord") +: col(idCol).as("id") +:
+          payloadCols.map(col)): _*), k).as("sample"))
+  }
+
   /** Explicit-target-weights mixture subsampling — the Pile-style
     * mixture spec: the caller states each source's intended SHARE of a
     * `budget`-document corpus as an integer numerator over `weightDen`

@@ -187,4 +187,33 @@ class ExpressionSpec extends SparkSpec {
       .find(_.contains("multi_pattern_count")).getOrElse("")
     assert(line.trim.startsWith("*"), s"not codegen'd:\n$plan")
   }
+
+  test("bottom_k aggregate: k smallest ascending, cross-partition merge, " +
+       "k past group size keeps all, sort-free object-hash plan") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L, "p5"), ("a", 1L, "p1"), ("a", 3L, "p3"), ("a", 2L, "p2"),
+      ("a", 4L, "p4"), ("b", 9L, "q9"), ("b", 7L, "q7")
+    ).toDF("g", "ord", "p").repartition(4) // forces partial-state merges
+    val agg = df.groupBy(col("g"))
+      .agg(GraftExtensions.bottomK(
+        struct(col("ord"), col("p")), 3).as("s"))
+    val out = agg.orderBy("g").collect()
+    def pairs(r: Row) = r.getAs[scala.collection.Seq[Row]]("s")
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(pairs(out(0)) == Seq((1L, "p1"), (2L, "p2"), (3L, "p3")))
+    // k exceeds the group: keep everything, still ascending
+    assert(pairs(out(1)) == Seq((7L, "q7"), (9L, "q9")))
+    // the point of the aggregate form: object-hash aggregation with
+    // bounded state — no sort, no window, anywhere in the plan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+    // struct without a leading bigint ordering key refuses at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy(col("g"))
+        .agg(GraftExtensions.bottomK(struct(col("p"), col("ord")), 3))
+        .collect()
+    }
+  }
 }
