@@ -2802,6 +2802,58 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // k-NN graph over the corpus embeddings: 2 LSH bands × 4 planes
+    // generate candidates, cosine runs right after the bucket join (only
+    // scored id pairs shuffle), and each node's 5 best neighbors come
+    // from the bounded-heap bottom_k aggregate — no rank window, no
+    // sort, at most k rows per task×node into the final exchange.
+    "llm_knn_graph" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val bands = Seq(AnnPlanes8.take(4), AnnPlanes8.drop(4))
+      VectorOps.knnGraph(e, bands, AnnK)
+        .select(col("id"), posexplode(col("nn")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.nbr").as("nbr"), col("col.cos_fp").as("cos_fp"))
+        .orderBy(col("id"), col("rank"))
+    }),
+
+    // BLEU-style generation eval: clipped modified n-gram precision
+    // (orders 1-2) + brevity ratio per pair, exact-integer ppm. The
+    // fixture pairs every doc with a deterministic decimation of itself
+    // (odd ids drop every 3rd word; even ids verbatim → exactly 1e6
+    // ppm), so both score regimes are exercised. Texts never shuffle —
+    // only (id, gram) count rows.
+    "llm_bleu_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ref = TextAnalysis.words(col("text"))
+      val cand = when(col("doc_id") % 2 === 1,
+        filter(ref, (_, i) => (i + 1) % 3 =!= 0)).otherwise(ref)
+      val pairs = docs.select(col("doc_id"), cand.as("cand"), ref.as("ref"))
+      TextAnalysis.ngramPrecisionStats(pairs, "doc_id", "cand", "ref",
+          Seq(1, 2))
+        .orderBy(col("id"), col("n"))
+    }),
+
+    // One NN-Descent round over the LSH-seeded kNN graph: forward +
+    // reverse + neighbors-of-neighbors candidates, exact re-score,
+    // bounded-heap top-k. The refined graph provably reaches pairs the
+    // bucket join structurally missed (nodes sharing no bucket but
+    // sharing a neighbor).
+    "llm_knn_refine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val bands = Seq(AnnPlanes8.take(4), AnnPlanes8.drop(4))
+      val g = VectorOps.knnGraph(e, bands, AnnK)
+      VectorOps.nnDescentRound(g, e, AnnK)
+        .select(col("id"), posexplode(col("nn")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.nbr").as("nbr"), col("col.cos_fp").as("cos_fp"))
+        .orderBy(col("id"), col("rank"))
+    }),
+
     // Gopher-rule + linear-classifier quality filter — the first pass of
     // every corpus pipeline (map-side only, no shuffle). The synthetic
     // whitespace-only doc (-1) pins the nWords = 0 contract: every ratio
@@ -3773,6 +3825,65 @@ object SparkEntry {
         .orderBy(col("user_id"), col("w_start"))
     }),
 
+    // PromQL counter semantics: reset-adjusted increase()/rate() per
+    // (event_type, user_id) series over 1 h buckets. A value drop means
+    // the counter restarted, so the post-reset sample's full value
+    // counts as increase. One series shuffle + linear window pass, then
+    // a partial-combined agg bounded by series × buckets; deltas floor
+    // onto the 1e-6 grid before summing so everything downstream is
+    // exact integer arithmetic.
+    "ts_counter_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.counterIncrease(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, Seq("event_id"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
+    // Gap-filled LOCF downsampling onto a 15-min grid with PromQL's
+    // lookback rule (stale after 30 min → no value). The grid is per
+    // series (span/step points — 2880 per series over the 30-day
+    // fixture), the fill is the as-of union+window join; the entry
+    // digests the ~2M-point grid to one exact-integer row per series
+    // (points/fresh/filled-sum) so the whole grid is exercised in-plan
+    // while the compare surface stays bounded.
+    "ts_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.gapFill(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L, 1800L)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("fresh")).as("n_fresh"),
+          coalesce(sum(when(col("fresh") === 1L,
+            floor(col("sample_val") * 1000000L))), lit(0L))
+            .as("filled_sum_fp"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    // *_over_time range vectors: per-sample trailing-15-min count/sum/
+    // max within the same series. RANGE frame on the epoch second, so
+    // duplicate timestamps aggregate identically regardless of sort
+    // tie-breaks; sums run on the fixed-point grid (Spark re-accumulates
+    // frames, DuckDB uses segment trees — long addition is the only
+    // order-free meeting point). Frame state is time-bounded per series.
+    "ts_range_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeAgg(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
     // Deterministic stratified train/val/test split: hash-of-id buckets
     // (pure per-row function — reproducible on any cluster layout with
     // zero coordination), counted per (split, language) stratum.
@@ -4169,6 +4280,61 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM p)
        |SELECT qid, rank, id, round(cos, 4) AS cos
        |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin
+
+  /** kNN-graph base CTEs: replay the two 4-plane bands, DISTINCT the
+    * within-bucket pairs, score once per pair, symmetrize, rank — shared
+    * by the graph entry and its NN-Descent refinement.
+    */
+  private def oKnnBaseCtes: String = {
+    def bandSelect(band: Int, lo: Int, hi: Int): String =
+      s"""SELECT id, $band AS band,
+         |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (a,b) -> a+b) >= 0
+         |      THEN '1' ELSE '0' END FOR j IN range($lo, $hi)], '') AS bucket
+         |  FROM v CROSS JOIN planes""".stripMargin
+    s"""planes AS (SELECT $OPlanes AS pl),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |vb AS (
+       |  ${bandSelect(0, 1, 5)}
+       |  UNION ALL
+       |  ${bandSelect(1, 5, 9)}),
+       |pr AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM vb x JOIN vb y ON x.band = y.band AND x.bucket = y.bucket
+       |    AND x.id < y.id),
+       |pc AS (SELECT a, b,
+       |    CAST(floor((${oCos("va.vec", "wb.vec")}) * 1048576) AS BIGINT) AS cos_fp
+       |  FROM pr JOIN v va ON va.id = a JOIN v wb ON wb.id = b),
+       |ed AS (SELECT a AS id, b AS nbr, cos_fp FROM pc
+       |  UNION ALL SELECT b AS id, a AS nbr, cos_fp FROM pc),
+       |r AS (SELECT id, nbr, cos_fp,
+       |    row_number() OVER (PARTITION BY id ORDER BY cos_fp DESC, nbr)
+       |      AS rank FROM ed)""".stripMargin
+  }
+
+  private def oKnnGraphSql: String =
+    s"""WITH ${oKnnBaseCtes}
+       |SELECT id, rank, nbr, cos_fp FROM r WHERE rank <= $AnnK
+       |ORDER BY id, rank""".stripMargin
+
+  /** NN-Descent round: forward + reverse + 2-hop candidates from the
+    * seed graph, exact re-score, re-rank.
+    */
+  private def oKnnRefineSql: String =
+    s"""WITH ${oKnnBaseCtes},
+       |g AS (SELECT id, nbr FROM r WHERE rank <= $AnnK),
+       |cand AS (SELECT DISTINCT id, nbr FROM (
+       |    SELECT id, nbr FROM g
+       |    UNION ALL SELECT nbr AS id, id AS nbr FROM g
+       |    UNION ALL SELECT a.id, b.nbr FROM g a JOIN g b ON a.nbr = b.id)
+       |  WHERE id <> nbr),
+       |sc AS (SELECT c.id, c.nbr,
+       |    CAST(floor((${oCos("va.vec", "wb.vec")}) * 1048576) AS BIGINT) AS cos_fp
+       |  FROM cand c JOIN v va ON va.id = c.id JOIN v wb ON wb.id = c.nbr),
+       |r2 AS (SELECT id, nbr, cos_fp,
+       |    row_number() OVER (PARTITION BY id ORDER BY cos_fp DESC, nbr)
+       |      AS rank FROM sc)
+       |SELECT id, rank, nbr, cos_fp FROM r2 WHERE rank <= $AnnK
+       |ORDER BY id, rank""".stripMargin
 
   private def oAnnIvfpqSql: String = oAnnIvfpqSql(5)
 
@@ -6007,6 +6173,51 @@ object SparkEntry {
          |FROM r WHERE rank <= $AnnK ORDER BY qid, rank""".stripMargin,
 
     "llm_ann_lsh" -> oAnnLshSql,
+    "llm_knn_graph" -> oKnnGraphSql,
+    "llm_knn_refine" -> oKnnRefineSql,
+
+    // Clip rule replayed per order; DuckDB lambda indexes are 1-based
+    // where Spark's are 0-based, hence i % 3 <> 0 vs (i+1) % 3.
+    "llm_bleu_eval" -> {
+      // `+${2 - n}` not `-${n - 2}`: interpolating a negative literal
+      // after '-' would print `--`, which DuckDB parses as a comment
+      def grams(l: String, n: Int): String =
+        s"[array_to_string($l[i:i+${n - 1}], ' ') FOR i IN range(1, len($l)+${2 - n})]"
+      def sideCtes(n: Int): String =
+        s"""c$n AS (SELECT id, unnest(${grams("cand", n)}) AS g FROM p),
+           |r$n AS (SELECT id, unnest(${grams("ref", n)}) AS g FROM p),
+           |cc$n AS (SELECT id, g, count(*) AS nc FROM c$n GROUP BY 1, 2),
+           |rc$n AS (SELECT id, g, count(*) AS nr FROM r$n GROUP BY 1, 2),
+           |cl$n AS (SELECT cc$n.id,
+           |    CAST(sum(nc) AS BIGINT) AS total,
+           |    CAST(sum(least(nc, coalesce(nr, 0))) AS BIGINT) AS clip
+           |  FROM cc$n LEFT JOIN rc$n USING (id, g) GROUP BY 1)""".stripMargin
+      s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS ref
+         |  FROM documents),
+         |p AS (SELECT id, ref,
+         |    CASE WHEN id % 2 = 1
+         |      THEN list_filter(ref, (x, i) -> i % 3 <> 0) ELSE ref END AS cand
+         |  FROM d),
+         |${sideCtes(1)},
+         |${sideCtes(2)},
+         |un AS (SELECT id, CAST(1 AS BIGINT) AS n, clip, total FROM cl1
+         |  UNION ALL SELECT id, CAST(2 AS BIGINT), clip, total FROM cl2),
+         |lens AS (SELECT id, CAST(len(cand) AS BIGINT) AS len_c,
+         |    CAST(len(ref) AS BIGINT) AS len_r FROM p),
+         |grid AS (SELECT id, unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT)])
+         |    AS n FROM lens)
+         |SELECT g.id, g.n,
+         |  coalesce(clip, 0) AS clip, coalesce(total, 0) AS total,
+         |  len_c, len_r,
+         |  CASE WHEN coalesce(total, 0) > 0
+         |    THEN CAST(coalesce(clip, 0) * 1000000 // total AS BIGINT)
+         |    ELSE 0 END AS p_ppm,
+         |  CASE WHEN len_r > 0
+         |    THEN CAST(len_c * 1000000 // len_r AS BIGINT)
+         |    ELSE 0 END AS brevity_ppm
+         |FROM grid g JOIN lens USING (id) LEFT JOIN un USING (id, n)
+         |ORDER BY g.id, g.n""".stripMargin
+    },
 
     // feature arithmetic mirrors the Spark expression tree op-for-op
     // (same IEEE order); constants are CAST AS DOUBLE because bare
@@ -7221,6 +7432,71 @@ object SparkEntry {
          |  CAST(n_events AS BIGINT) AS n_events, total
          |FROM sess WHERE w_end <= (SELECT m FROM mx) - 3600
          |ORDER BY user_id, t_start""".stripMargin,
+
+    // Reset rule replayed with lag(): drop ⇒ the full new value is the
+    // adjusted delta. floor() before every narrowing (DuckDB CAST rounds,
+    // Spark's truncates — floor is the shared spelling).
+    "ts_counter_rate" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |d AS (SELECT event_type, user_id, t,
+         |    value - lag(value) OVER (PARTITION BY event_type, user_id
+         |      ORDER BY t, event_id) AS delta,
+         |    value FROM s),
+         |a AS (SELECT event_type, user_id,
+         |    CAST(floor(t / 3600) AS BIGINT) AS bucket,
+         |    CASE WHEN delta IS NULL THEN NULL
+         |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+         |         ELSE CAST(floor(value * 1000000) AS BIGINT) END AS adj_fp,
+         |    CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset
+         |  FROM d)
+         |SELECT event_type, user_id, bucket,
+         |  count(*) AS n_samples,
+         |  CAST(coalesce(sum(reset), 0) AS BIGINT) AS n_resets,
+         |  CAST(coalesce(sum(adj_fp), 0) AS BIGINT) AS increase_fp,
+         |  CAST(floor(coalesce(sum(adj_fp), 0) / 3600) AS BIGINT) AS rate_fp
+         |FROM a GROUP BY 1, 2, 3
+         |ORDER BY event_type, user_id, bucket""".stripMargin,
+
+    // Grid replay: per-series range() grid, DuckDB's native ASOF LEFT
+    // JOIN for the fill, the same lookback CASE, digested per series.
+    "ts_gapfill" ->
+      s"""WITH s AS (SELECT event_type, user_id, $OSec AS t, value
+         |  FROM events),
+         |b AS (SELECT event_type, user_id, min(t) AS t0, max(t) AS t1
+         |  FROM s GROUP BY 1, 2),
+         |g AS (SELECT event_type, user_id, 900 * k AS t
+         |  FROM (SELECT event_type, user_id,
+         |      unnest(range(CAST(floor(t0 / 900) AS BIGINT),
+         |        CAST(floor(t1 / 900) AS BIGINT) + 1)) AS k
+         |    FROM b)),
+         |m AS (SELECT event_type, user_id, t, max(value) AS v
+         |  FROM s GROUP BY 1, 2, 3),
+         |j AS (SELECT g.event_type, g.user_id, g.t, m.t AS sts, m.v AS sval
+         |  FROM g ASOF LEFT JOIN m ON g.event_type = m.event_type
+         |    AND g.user_id = m.user_id AND g.t >= m.t),
+         |f AS (SELECT event_type, user_id, t, sval,
+         |    CASE WHEN sts IS NOT NULL AND t - sts <= 1800
+         |      THEN 1 ELSE 0 END AS fresh
+         |  FROM j)
+         |SELECT event_type, user_id, count(*) AS n_points,
+         |  CAST(sum(fresh) AS BIGINT) AS n_fresh,
+         |  CAST(coalesce(sum(CASE WHEN fresh = 1
+         |    THEN CAST(floor(sval * 1000000) AS BIGINT) END), 0) AS BIGINT)
+         |    AS filled_sum_fp
+         |FROM f GROUP BY 1, 2 ORDER BY event_type, user_id""".stripMargin,
+
+    "ts_range_agg" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events)
+         |SELECT event_type, user_id, event_id, ts,
+         |  count(*) OVER w AS n_window,
+         |  CAST(sum(vfp) OVER w AS BIGINT) AS sum_fp,
+         |  max(vfp) OVER w AS max_fp
+         |FROM s
+         |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+         |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
     // Plain BETWEEN join — DuckDB's optimizer handles the range predicate
     // directly, independently of the bucket decomposition under test.

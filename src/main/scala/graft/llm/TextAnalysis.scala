@@ -1258,4 +1258,59 @@ object TextAnalysis {
     docs.select(col(idCol).as("id"), hits.as("n_hits"),
       (hits === 0L).cast("long").as("keep"))
   }
+
+  /** BLEU-style generation eval: per (candidate, reference) pair and
+    * n-gram order, the CLIPPED modified precision (Papineni et al.) —
+    * each candidate n-gram credits at most its reference count, so
+    * repeating a matched word cannot inflate the score — plus the
+    * brevity ratio BLEU's penalty is built from. All exact-integer ppm
+    * (floor division); no exp/log runs in-plan, so corpus-level BLEU is
+    * a driver-side fold over exact per-pair integers.
+    *
+    * Scale shape: texts never shuffle — each side explodes to
+    * (id, gram) rows that partial-combine into per-(id, gram) counts
+    * before ONE equi-join on (id, gram) computes the clip; totals are a
+    * per-id partial-combined agg. Everything is token-scale map work +
+    * bounded-key exchanges, the decontamination/passage-mining shape.
+    *
+    * @param pairs one row per eval pair: id, candCol/refCol = token
+    *              arrays (pre-tokenized so the tokenizer is the
+    *              caller's choice)
+    * @return (id, n, clip, total, p_ppm, len_c, len_r, brevity_ppm)
+    *         — one row per pair per order; total = 0 → p_ppm = 0
+    */
+  def ngramPrecisionStats(pairs: DataFrame, idCol: String, candCol: String,
+                          refCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty)
+    val base = pairs.select(col(idCol).as("id"), col(candCol).as("c"),
+      col(refCol).as("r"))
+    val lens = base.select(col("id"), size(col("c")).cast("long").as("len_c"),
+      size(col("r")).cast("long").as("len_r"))
+    val perN = ns.map { n =>
+      def counts(side: String, as: String) = base
+        .select(col("id"), explode(wordShingles(col(side), n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as(as))
+      counts("c", "nc")
+        .join(counts("r", "nr"), Seq("id", "g"), "left")
+        .select(col("id"), col("nc"),
+          least(col("nc"), coalesce(col("nr"), lit(0L))).as("cl"))
+        .groupBy(col("id"))
+        .agg(sum(col("nc")).as("total"), sum(col("cl")).as("clip"))
+        .withColumn("n", lit(n.toLong))
+    }.reduce(_.unionByName(_))
+    // the (id × n) grid keeps pairs whose candidate has no order-n grams
+    // at all: they surface with clip = total = 0, not as missing rows
+    lens.withColumn("n", explode(array(ns.map(n => lit(n.toLong)): _*)))
+      .join(perN, Seq("id", "n"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("clip"), lit(0L)).as("clip"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        col("len_c"), col("len_r"))
+      .withColumn("p_ppm", when(col("total") > 0,
+        call_function("div", col("clip") * 1000000L, col("total")))
+        .otherwise(lit(0L)))
+      .withColumn("brevity_ppm", when(col("len_r") > 0,
+        call_function("div", col("len_c") * 1000000L, col("len_r")))
+        .otherwise(lit(0L)))
+  }
 }

@@ -298,6 +298,94 @@ object VectorOps {
       .select(col("qid"), col("rank"), col("id"), col("cos"))
   }
 
+  /** k-NN GRAPH construction — every node's k most-cosine-similar
+    * neighbors among its multi-band LSH candidates: the backbone of
+    * graph-based dedup walks, label propagation, and kNN-graph ANN
+    * indexes (NN-Descent seeds, HNSW base layers). Corpus-scale shape:
+    *
+    *  1. each band buckets every vector by its sign pattern (map-side);
+    *  2. candidate pairs exist only WITHIN a (band, bucket) — the
+    *     equi-self-join that replaces the all-pairs cross product;
+    *  3. the cosine runs immediately after the join, so only
+    *     (a, b, cos_fp) triples — never vectors — reach the band-dedup
+    *     exchange (a pair surfacing in two bands costs one extra row,
+    *     collapsed by a partial-combined max of its bit-identical score);
+    *  4. per-node top-k goes through the bounded-heap [[graft.GraftExtensions.bottomK]]
+    *     aggregate, NOT a rank window: each task ships at most k
+    *     neighbors per node into the final exchange, and no sort appears
+    *     anywhere in the plan.
+    *
+    * Determinism: scores are floor'd to the 2^-20 grid; the heap's
+    * ordering key packs (2^21 − cos_fp) over the neighbor id, so ranking
+    * is cos DESC then id ASC, exactly — ids must fit 33 bits.
+    *
+    * @param bands independent hyperplane sets; more bands → higher
+    *              recall, more candidate volume (the LSH OR-construction)
+    * @return one row per node that has candidates: (id, nn:
+    *         array<struct(ord, nbr, cos_fp)> ascending = best first)
+    */
+  def knnGraph(corpus: DataFrame, bands: Seq[Seq[Seq[Double]]],
+               k: Int): DataFrame = {
+    val bucketed = bands.zipWithIndex.map { case (planes, i) =>
+      corpus.select(col("id"), col("vec"),
+        concat(lit(s"$i:"), lshBucket(col("vec"), planes)).as("bucket"))
+    }.reduce(_.unionAll(_))
+    val pairs = bucketed.select(col("bucket"), col("id").as("a"),
+        col("vec").as("va"))
+      .join(bucketed.select(col("bucket"), col("id").as("b"),
+        col("vec").as("vb")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        floor(cosine(col("va"), col("vb")) * (1L << 20)).as("cos_fp"))
+      .groupBy(col("a"), col("b")).agg(max(col("cos_fp")).as("cos_fp"))
+    val edges = pairs.select(col("a").as("id"), col("b").as("nbr"),
+        col("cos_fp"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr"),
+        col("cos_fp")))
+    val ord = (lit(1L << 21) - col("cos_fp")) * lit(1L << 33) + col("nbr")
+    edges
+      .select(col("id"), ord.as("ord"), col("nbr"), col("cos_fp"))
+      .groupBy(col("id"))
+      .agg(graft.GraftExtensions.bottomK(
+        struct(col("ord"), col("nbr"), col("cos_fp")), k).as("nn"))
+  }
+
+  /** One NN-Descent refinement round (Dong et al., WWW'11) over a
+    * [[knnGraph]]: "a neighbor of my neighbor is probably my neighbor".
+    * Each node's candidate set is its current neighbors, its REVERSE
+    * neighbors (if b lists a, a should consider b — the asymmetry fix
+    * the original paper insists on), and its neighbors' neighbors; exact
+    * cosine re-scores the candidates and the bounded heap keeps the new
+    * top-k. Iterating this a few rounds converges to near-exact kNN from
+    * a rough LSH seed — the standard way production graph-ANN indexes
+    * (NN-Descent, NSG, HNSW base layers) are built at corpus scale,
+    * because every step is bounded: candidate volume per node is
+    * ≤ k + k + k², all joins are id-keyed equi-joins, and vectors are
+    * touched only by the two point-lookup joins that score candidates.
+    */
+  def nnDescentRound(graph: DataFrame, corpus: DataFrame,
+                     k: Int): DataFrame = {
+    val fwd = graph.select(col("id"), explode(col("nn.nbr")).as("cand"))
+    val rev = fwd.select(col("cand").as("id"), col("id").as("cand"))
+    val hop2 = fwd.as("x")
+      .join(fwd.select(col("id").as("mid"), col("cand").as("cand2")).as("y"),
+        col("x.cand") === col("y.mid"))
+      .select(col("x.id").as("id"), col("cand2").as("cand"))
+    val cands = fwd.unionByName(rev).unionByName(hop2)
+      .filter(col("id") =!= col("cand")).distinct()
+    val scored = cands
+      .join(corpus.select(col("id"), col("vec")), Seq("id"))
+      .join(corpus.select(col("id").as("cand"), col("vec").as("cvec")),
+        Seq("cand"))
+      .select(col("id"), col("cand").as("nbr"),
+        floor(cosine(col("vec"), col("cvec")) * (1L << 20)).as("cos_fp"))
+    val ord = (lit(1L << 21) - col("cos_fp")) * lit(1L << 33) + col("nbr")
+    scored.select(col("id"), ord.as("ord"), col("nbr"), col("cos_fp"))
+      .groupBy(col("id"))
+      .agg(graft.GraftExtensions.bottomK(
+        struct(col("ord"), col("nbr"), col("cos_fp")), k).as("nn"))
+  }
+
   /** Ordered-fold squared L2 distance between two equal-length arrays —
     * the same left-fold spelling as [[pqReconError]]'s per-subspace error,
     * bit-identical cross-engine.

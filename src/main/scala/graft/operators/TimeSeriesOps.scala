@@ -95,6 +95,134 @@ object TimeSeriesOps {
       .drop("_bucket")
   }
 
+  /** Counter increase/rate with reset detection — the Prometheus
+    * counter-semantics read transform (`increase()`/`rate()`): a counter
+    * only ever goes up; an observed drop means the process restarted and
+    * the counter began again near zero, so the post-reset sample's FULL
+    * value is new increase (PromQL's extrapolatedRate reset rule). Per
+    * (series keys, `bucketSec` bucket) this emits the reset-adjusted
+    * increase and the per-second rate over the bucket.
+    *
+    * Determinism contract: adjacent-sample deltas are IEEE doubles both
+    * engines compute identically from the same parquet values; each delta
+    * is floored onto the 1e-6 fixed-point grid BEFORE summing, so the
+    * per-bucket sum is exact long addition (order-free) and `rate` is an
+    * exact integer division by `bucketSec` — no float accumulation
+    * anywhere, the repo-wide exact-integer oracle convention.
+    *
+    * Attribution: a delta belongs to the bucket of its LATER sample (the
+    * downsampled-counter convention); the lag runs per series across
+    * bucket edges, so a bucket-straddling pair still contributes. The
+    * first sample of a series contributes nothing (no prior).
+    *
+    * Scale shape: ONE shuffle on the series keys, a per-series linear
+    * window pass (running frame), map-side delta arithmetic, then a
+    * partial-combined agg whose cardinality is series × buckets — bounded
+    * output, never row-scale on the second exchange. No cross-series
+    * work exists anywhere.
+    *
+    * @param orderCols unique tie-breaks after the timestamp (pass an
+    *                  event id: duplicate (series, ts) pairs would
+    *                  otherwise make lag() order-dependent)
+    */
+  def counterIncrease(samples: DataFrame, keys: Seq[String],
+                      tsSecCol: String, valCol: String, bucketSec: Long,
+                      orderCols: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsSecCol) +: orderCols.map(col)).map(_.asc): _*)
+    val prev = lag(col(valCol), 1).over(w)
+    val delta = col(valCol) - prev
+    val adj = when(prev.isNull, lit(null))
+      .when(delta >= 0, delta).otherwise(col(valCol))
+    // floor() everywhere a double narrows to long: Spark's cast
+    // truncates toward zero but DuckDB's CAST rounds — floor is the one
+    // narrowing both engines spell identically.
+    val keyCols = keys.map(col) :+
+      floor(col(tsSecCol).cast("long") / bucketSec).as("bucket")
+    samples
+      .withColumn("_adj_fp", floor(adj * 1000000L))
+      .withColumn("_reset", (delta < 0).cast("long"))
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n_samples"),
+        coalesce(sum(col("_reset")), lit(0L)).as("n_resets"),
+        coalesce(sum(col("_adj_fp")), lit(0L)).as("increase_fp"),
+        floor(coalesce(sum(col("_adj_fp")), lit(0L)) / bucketSec)
+          .as("rate_fp"))
+  }
+
+  /** Sliding range-vector aggregates — the `*_over_time` family: for
+    * every sample, aggregate the same series' samples in the trailing
+    * `windowSec` seconds (inclusive). A RANGE frame keyed on the
+    * timestamp makes duplicate-timestamp handling deterministic (every
+    * peer row is in frame regardless of sort tie-breaks), and the count/
+    * sum/max come from one window spec, so Spark plans a single shuffle
+    * + sort per series. The sum runs on the 1e-6 fixed-point grid —
+    * exact long addition under any frame-maintenance order (Spark
+    * re-accumulates, DuckDB uses segment trees; floats would drift).
+    *
+    * Scale: the frame is time-bounded, so window state is O(samples in
+    * `windowSec`) per series — the sliding pass never holds a series'
+    * history the way UNBOUNDED PRECEDING frames do.
+    */
+  def rangeAgg(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+               valCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsSecCol).cast("long").asc)
+      .rangeBetween(-windowSec, 0)
+    samples
+      .withColumn("_val_fp", floor(col(valCol) * 1000000L))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_fp", sum(col("_val_fp")).over(w))
+      .withColumn("max_fp", max(col("_val_fp")).over(w))
+      .drop("_val_fp")
+  }
+
+  /** Gap-filled downsampling onto a fixed `stepSec` grid with
+    * last-observation-carried-forward bounded by `staleSec` — PromQL's
+    * instant-vector lookback: a grid point takes the latest sample at or
+    * before it, unless that sample is older than the staleness bound, in
+    * which case the point reports no value (the reference's Prometheus
+    * clients see exactly this when a series goes quiet).
+    *
+    * The grid is PER SERIES (from its own min to max sample second —
+    * no global collect), built by sequence()+explode — pure map work —
+    * and matched via [[asofJoin]]'s union+window shape: one shuffle on
+    * the series keys, no range-join candidate blow-up. Output columns:
+    * the keys, `t` (grid second), `sample_ts`/`sample_val` (latest
+    * in-lookback sample; null when stale or before the first sample) and
+    * `fresh` (1/0).
+    *
+    * Scale: grid volume is span/step per series — independent of sample
+    * density; everything else is the as-of join's one-shuffle cost.
+    */
+  def gapFill(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+              valCol: String, stepSec: Long, staleSec: Long): DataFrame = {
+    require(stepSec > 0 && staleSec >= 0)
+    val keyCols = keys.map(col)
+    val grid = samples.groupBy(keyCols: _*)
+      .agg(min(col(tsSecCol)).as("_t0"), max(col(tsSecCol)).as("_t1"))
+      .select(keyCols :+ explode(sequence(
+        floor(col("_t0").cast("long") / stepSec),
+        floor(col("_t1").cast("long") / stepSec))).as("_k"): _*)
+      .select(keyCols :+ (col("_k") * stepSec).as("t"): _*)
+    // the right value is the (ts, val) pair so the join surfaces the
+    // matched sample's own timestamp for the staleness test; duplicate
+    // same-second samples collapse to the max pair (deterministic)
+    val boxed = samples.select(keyCols :+ col(tsSecCol).as("t") :+
+      struct(col(tsSecCol).cast("long").as("sts"),
+        col(valCol).as("sval")).as("_sample"): _*)
+    asofJoin(grid, boxed, keys, "t", "_sample", "_m")
+      .withColumn("fresh",
+        (col("_m").isNotNull &&
+          col("t") - col("_m.sts") <= staleSec).cast("long"))
+      .select(keyCols ++ Seq(col("t"),
+        when(col("fresh") === 1L, col("_m.sts")).as("sample_ts"),
+        when(col("fresh") === 1L, col("_m.sval")).as("sample_val"),
+        col("fresh")): _*)
+  }
+
   /** Sessionization: split each key's event stream into sessions separated
     * by gaps > `gapSec`. Adds `session_id` (1-based, per key, in time
     * order). Two window expressions over the SAME (key, order) window, so

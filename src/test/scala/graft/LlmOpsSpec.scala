@@ -2269,4 +2269,32 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("eq.n_ctrl")).collect()(0).getLong(0)
     assert(ws == 0L)
   }
+
+  test("knnGraph: within-bucket candidates only, cross-band dedup, " +
+       "cos-desc ranking through the bounded heap, sort-free plan") {
+    // 2-D fixture with axis-aligned planes so bucket membership is
+    // readable: band 0 splits on sign(x), band 1 on sign(y).
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(1.0, 0.2)),
+      (3L, Seq(-1.0, 0.5)), (4L, Seq(-1.0, -0.5))
+    ).toDF("id", "vec")
+    val bands = Seq(Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 1.0)))
+    val g = VectorOps.knnGraph(vecs, bands, 2)
+    val nn = g.collect().map { r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Row]]("nn")
+        .map(_.getAs[Long]("nbr")).toSeq
+    }.toMap
+    // candidate pairs: (1,2) via BOTH bands — deduped; (3,4) via band 0;
+    // (1,3), (2,3) via band 1. (1,4)/(2,4) never share a bucket.
+    assert(nn(1L) == Seq(2L, 3L))
+    assert(nn(2L) == Seq(1L, 3L))
+    // node 3 has three candidates; top-2 by cosine: 4 (0.6) then 2
+    // (-0.79, beating 1's -0.85)
+    assert(nn(3L) == Seq(4L, 2L))
+    assert(nn(4L) == Seq(3L))
+    // bounded-heap shape: object-hash aggregation, no window/sort op
+    val plan = g.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
 }

@@ -177,4 +177,61 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(twice == 0)
   }
+
+  test("counterIncrease: reset rule, bucket attribution, first-sample " +
+       "and single-sample series") {
+    val s = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 25.0), (1L, 300L, 5.0),
+      (1L, 3700L, 6.5), // bucket-straddling pair: delta lands in bucket 1
+      (2L, 50L, 7.0)    // lone sample: nothing to diff
+    ).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.counterIncrease(s, Seq("k"), "ts", "v", 3600L)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // k=1 bucket 0: +15 counted, drop to 5 is a reset contributing the
+    // full post-reset value; first sample contributes nothing
+    assert(out(0) == (1L, 0L, 3L, 1L, 20000000L, 5555L))
+    // k=1 bucket 1: 6.5 - 5.0 crosses the bucket edge, attributed here
+    assert(out(1) == (1L, 1L, 1L, 0L, 1500000L, 416L))
+    assert(out(2) == (2L, 0L, 1L, 0L, 0L, 0L))
+  }
+
+  test("gapFill: LOCF within the staleness bound, per-series grid, " +
+       "duplicate-second dedup, pre-first-sample grid point is empty") {
+    val s = Seq(
+      (1L, 900L, 1.0), (1L, 1000L, 2.0), (1L, 1000L, 1.5), // dup second
+      (1L, 4000L, 3.0),
+      (2L, 100L, 9.0) // grid floor puts its one point BEFORE the sample
+    ).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.gapFill(s, Seq("k"), "ts", "v", 900L, 1800L)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 900L, 1.0, 1L),   // exact hit
+      (1L, 1800L, 2.0, 1L),  // carried max of the duplicate second
+      (1L, 2700L, 2.0, 1L),  // age 1700 still inside the bound
+      (1L, 3600L, null, 0L), // age 2600 > 1800: stale
+      (2L, 0L, null, 0L)))   // nothing at or before the grid point
+  }
+
+  test("rangeAgg: trailing range frame includes duplicate-ts peers " +
+       "deterministically") {
+    val s = Seq(
+      (1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 10L, 4.0), (1L, 10L, 16.0),
+      (1L, 21L, 8.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.rangeAgg(s, Seq("k"), "ts", "v", 10L)
+      .select(col("ts"), col("v"), col("n_window"), col("sum_fp"))
+      .orderBy("ts", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out(0) == (0L, 1L, 1000000L))
+    assert(out(1) == (5L, 2L, 3000000L))
+    // both ts=10 rows see the identical 4-row frame (peers included)
+    assert(out(2) == (10L, 4L, 23000000L))
+    assert(out(3) == (10L, 4L, 23000000L))
+    // ts=21: the frame [11, 21] holds only itself
+    assert(out(4) == (21L, 1L, 8000000L))
+  }
 }
