@@ -4432,9 +4432,9 @@ object SparkEntry {
   private def oPrIters(baseExpr: String, carry: String): String =
     (1 to 5).map { i =>
       s"""p$i AS (SELECT p.id,$carry
-         |    $baseExpr + (85 * coalesce(f.inflow, 0)) // 100 AS pr
+         |    CAST($baseExpr + (85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS pr
          |  FROM p${i - 1} p LEFT JOIN (
-         |    SELECT e.dst AS id, sum(q.pr // dg.outdeg) AS inflow
+         |    SELECT e.dst AS id, CAST(sum(q.pr // dg.outdeg) AS BIGINT) AS inflow
          |    FROM e JOIN p${i - 1} q ON q.id = e.src
          |    JOIN dg ON dg.src = e.src
          |    GROUP BY e.dst) f USING (id))""".stripMargin
@@ -4604,17 +4604,17 @@ object SparkEntry {
     val iters = (1 to 3).map { i =>
       s"""a${i}r AS MATERIALIZED (SELECT nd.id, coalesce(f.raw, 0) AS raw
          |  FROM nd LEFT JOIN (
-         |    SELECT e.dst AS id, sum(q.hub) AS raw
+         |    SELECT e.dst AS id, CAST(sum(q.hub) AS BIGINT) AS raw
          |    FROM e JOIN h${i - 1} q ON q.id = e.src GROUP BY e.dst) f USING (id)),
          |a$i AS MATERIALIZED (SELECT id,
-         |    raw // greatest((SELECT sum(raw) FROM a${i}r) // 1000000, 1) AS auth
+         |    CAST(raw // greatest(CAST((SELECT sum(raw) FROM a${i}r) AS BIGINT) // 1000000, 1) AS BIGINT) AS auth
          |  FROM a${i}r),
          |h${i}r AS MATERIALIZED (SELECT nd.id, coalesce(f.raw, 0) AS raw
          |  FROM nd LEFT JOIN (
-         |    SELECT e.src AS id, sum(q.auth) AS raw
+         |    SELECT e.src AS id, CAST(sum(q.auth) AS BIGINT) AS raw
          |    FROM e JOIN a$i q ON q.id = e.dst GROUP BY e.src) f USING (id)),
          |h$i AS MATERIALIZED (SELECT id,
-         |    raw // greatest((SELECT sum(raw) FROM h${i}r) // 1000000, 1) AS hub
+         |    CAST(raw // greatest(CAST((SELECT sum(raw) FROM h${i}r) AS BIGINT) // 1000000, 1) AS BIGINT) AS hub
          |  FROM h${i}r)""".stripMargin
     }.mkString(",\n")
     s"""WITH c AS (SELECT count(*) AS n FROM documents),
