@@ -3845,10 +3845,13 @@ object SparkEntry {
     // Gap-filled LOCF downsampling onto a 15-min grid with PromQL's
     // lookback rule (stale after 30 min → no value). The grid is per
     // series (span/step points — 2880 per series over the 30-day
-    // fixture), the fill is the as-of union+window join; the entry
-    // digests the ~2M-point grid to one exact-integer row per series
-    // (points/fresh/filled-sum) so the whole grid is exercised in-plan
-    // while the compare surface stays bounded.
+    // fixture); the fill is span-explode — one lead/lag window over the
+    // deduped SAMPLES computes each sample's covered grid range, and the
+    // ~2M grid points exist only as map-side explode output (never
+    // sorted, never shuffled). The entry digests the grid to one
+    // exact-integer row per series (points/fresh/filled-sum) so the
+    // whole grid is exercised in-plan while the compare surface stays
+    // bounded.
     "ts_gapfill" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_type"), col("user_id"),

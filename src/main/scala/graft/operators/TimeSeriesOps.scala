@@ -186,40 +186,65 @@ object TimeSeriesOps {
     * which case the point reports no value (the reference's Prometheus
     * clients see exactly this when a series goes quiet).
     *
-    * The grid is PER SERIES (from its own min to max sample second —
-    * no global collect), built by sequence()+explode — pure map work —
-    * and matched via [[asofJoin]]'s union+window shape: one shuffle on
-    * the series keys, no range-join candidate blow-up. Output columns:
-    * the keys, `t` (grid second), `sample_ts`/`sample_val` (latest
-    * in-lookback sample; null when stale or before the first sample) and
-    * `fresh` (1/0).
+    * Shape: each sample OWNS the grid points in [its ts, next sample's
+    * ts) — so instead of materializing the grid and as-of joining it
+    * back (which sorts grid+samples per series; the grid dominates at
+    * fine steps), one `lead`/`lag` window over the DEDUPED SAMPLES
+    * computes every sample's covered grid-key span, and a map-side
+    * sequence()+explode emits exactly those points, split at the
+    * staleness cutoff into a fresh span (carries the sample) and a stale
+    * span (nulls). The single pre-first-sample grid point (the grid
+    * starts at floor(t0/step), below the first sample unless it sits on
+    * the grid) comes from the first sample's leading span. Output
+    * columns: the keys, `t` (grid second), `sample_ts`/`sample_val`
+    * (latest in-lookback sample; null when stale or before the first
+    * sample) and `fresh` (1/0).
     *
-    * Scale: grid volume is span/step per series — independent of sample
-    * density; everything else is the as-of join's one-shuffle cost.
+    * Scale: the shuffled/sorted volume is DISTINCT SAMPLES only — grid
+    * volume (span/step per series, unbounded as step shrinks) exists
+    * solely as map-side explode output and never hits an exchange or
+    * sort. Requires an integer-second `tsSecCol` (the span arithmetic
+    * is exact long math).
     */
   def gapFill(samples: DataFrame, keys: Seq[String], tsSecCol: String,
               valCol: String, stepSec: Long, staleSec: Long): DataFrame = {
     require(stepSec > 0 && staleSec >= 0)
     val keyCols = keys.map(col)
-    val grid = samples.groupBy(keyCols: _*)
-      .agg(min(col(tsSecCol)).as("_t0"), max(col(tsSecCol)).as("_t1"))
-      .select(keyCols :+ explode(sequence(
-        floor(col("_t0").cast("long") / stepSec),
-        floor(col("_t1").cast("long") / stepSec))).as("_k"): _*)
-      .select(keyCols :+ (col("_k") * stepSec).as("t"): _*)
-    // the right value is the (ts, val) pair so the join surfaces the
-    // matched sample's own timestamp for the staleness test; duplicate
-    // same-second samples collapse to the max pair (deterministic)
-    val boxed = samples.select(keyCols :+ col(tsSecCol).as("t") :+
-      struct(col(tsSecCol).cast("long").as("sts"),
-        col(valCol).as("sval")).as("_sample"): _*)
-    asofJoin(grid, boxed, keys, "t", "_sample", "_m")
-      .withColumn("fresh",
-        (col("_m").isNotNull &&
-          col("t") - col("_m.sts") <= staleSec).cast("long"))
-      .select(keyCols ++ Seq(col("t"),
-        when(col("fresh") === 1L, col("_m.sts")).as("sample_ts"),
-        when(col("fresh") === 1L, col("_m.sval")).as("sample_val"),
+    // duplicate same-second samples collapse to the max value
+    // (deterministic, same rule the as-of join form used)
+    val dedup = samples
+      .groupBy(keyCols :+ col(tsSecCol).cast("long").as("_sts"): _*)
+      .agg(max(col(valCol)).as("_sval"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_sts").asc)
+    val nxt = lead(col("_sts"), 1).over(w)
+    val prv = lag(col("_sts"), 1).over(w)
+    val step = lit(stepSec)
+    // first grid key at/after this sample (ceil), last grid key strictly
+    // before the next sample (the next sample owns its own grid point —
+    // inclusive >= as-of semantics); the series' last sample owns only
+    // its own grid point, if it sits on the grid
+    val kCov = floor((col("_sts") + (stepSec - 1)) / step).cast("long")
+    val kEnd = when(nxt.isNull, floor(col("_sts") / step))
+      .otherwise(floor((nxt - 1) / step)).cast("long")
+    val kStale = floor((col("_sts") + staleSec) / step).cast("long")
+    val kLead = floor(col("_sts") / step).cast("long")
+    val spans = array(
+      struct(kCov.as("lo"), least(kEnd, kStale).as("hi"),
+        lit(1L).as("fresh")),
+      struct((kStale + 1L).as("lo"), kEnd.as("hi"), lit(0L).as("fresh")),
+      struct(when(prv.isNull, kLead).as("lo"), (kCov - 1L).as("hi"),
+        lit(0L).as("fresh")))
+    dedup
+      .withColumn("_spans", spans)
+      .select(keyCols ++ Seq(col("_sts"), col("_sval"),
+        explode(filter(col("_spans"),
+          sp => sp("lo").isNotNull && sp("lo") <= sp("hi"))).as("_sp")): _*)
+      .select(keyCols ++ Seq(col("_sts"), col("_sval"),
+        col("_sp.fresh").as("fresh"),
+        explode(sequence(col("_sp.lo"), col("_sp.hi"))).as("_k")): _*)
+      .select(keyCols ++ Seq((col("_k") * stepSec).as("t"),
+        when(col("fresh") === 1L, col("_sts")).as("sample_ts"),
+        when(col("fresh") === 1L, col("_sval")).as("sample_val"),
         col("fresh")): _*)
   }
 
