@@ -3754,10 +3754,16 @@ object SparkEntry {
     // sessionize's > 1 h) and the emission gate (end <= max_ts - delay).
     "ts_stream_sessions" -> ((s, dir) => {
       import java.nio.file.{Files => JFiles, Paths}
-      val base = JFiles.createTempDirectory("graft_ssw").toString
+      val baseDir = JFiles.createTempDirectory("graft_ssw")
+      val base = baseDir.toString
       val in = cachedInputDir(s"ssw${math.abs(dir.hashCode)}") { d =>
-        def files(): Set[String] = JFiles.list(Paths.get(d)).toArray
-          .map(_.toString).filter(_.endsWith(".parquet")).toSet
+        // collect eagerly and close the directory stream (Files.list
+        // holds an open directory handle until closed)
+        def files(): Set[String] = {
+          val st = JFiles.list(Paths.get(d))
+          try st.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+          finally st.close()
+        }
         val ev = Tables.events(s, dir).select(
           col("user_id"), date_trunc("second", col("ts")).as("ts"),
           col("value"))
@@ -3794,6 +3800,10 @@ object SparkEntry {
         .option("checkpointLocation", s"$base/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      // the memory-sink table is self-contained once the stream ends —
+      // drop the throwaway checkpoint instead of accumulating one temp
+      // dir per bench trial
+      org.apache.commons.io.FileUtils.deleteQuietly(baseDir.toFile)
       s2.table(qname)
         .select(col("user_id"), col("t_start"), col("w_end"),
           col("n_events"), round(col("total"), 4).as("total"))

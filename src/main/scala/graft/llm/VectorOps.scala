@@ -222,13 +222,18 @@ object VectorOps {
       floor(cosine(a, b) * lit(1048576.0)).cast("long")
     // one greedy round: scan the pool, keep the best not-yet-selected
     // candidate by (score desc, id asc)
+    // the unfilled-pick sentinel carries a NULL id (an explicit validity
+    // flag — a legitimate candidate whose id happens to be Long.MaxValue
+    // must not be conflated with "no pick"); sentinels only arise once
+    // every candidate is selected, so the null id never meets the
+    // exists() check with an unselected candidate outstanding
     def pick(acc: Column): Column = aggregate(cs,
-      struct(lit(Long.MinValue).as("score"), lit(Long.MaxValue).as("id"),
-        lit(0L).as("rel_fp"),
+      struct(lit(Long.MinValue).as("score"),
+        lit(null).cast("bigint").as("id"), lit(0L).as("rel_fp"),
         lit(null).cast("array<double>").as("vec")),
       (best, c) => {
-        val already = exists(acc,
-          x => x.getField("id") === c.getField("id"))
+        val already = coalesce(exists(acc,
+          x => x.getField("id") === c.getField("id")), lit(false))
         // greatest() skips nulls, so a zero-norm candidate (null cosine
         // vs every selected item) would leave the fold at the MinValue
         // sentinel and lamC·MinValue would WRAP — collapse the
@@ -256,7 +261,7 @@ object VectorOps {
         struct(col("id"), col("rel_fp"), col("vec"))).as("cs"))
       .select(col("qid"), posexplode(rounds).as(Seq("p", "s")))
       // a pool smaller than k leaves sentinel picks — drop them
-      .filter(col("s.id") =!= Long.MaxValue)
+      .filter(col("s.id").isNotNull)
       .select(col("qid"), (col("p") + 1).cast("long").as("rank"),
         col("s.id").as("id"), col("s.score").as("mmr_fp"))
   }

@@ -77,19 +77,34 @@ object TimeSeriesOps {
     * replicas and a too-large one degrades toward per-bucket cross
     * products. Both inputs keep their columns; the containment filter
     * runs on the joined row (map-side, after the equi-join prunes).
+    *
+    * Failure mode guarded: one very long (or sentinel-ended, e.g.
+    * end = Long.MaxValue) interval would replicate into millions of
+    * buckets — or overflow Spark's sequence length cap — and kill the
+    * whole job. Any interval spanning more than `maxBucketsPerInterval`
+    * buckets fails FAST with a descriptive error (raise_error, evaluated
+    * before the explode) so the caller re-buckets or pre-clamps instead
+    * of discovering the blow-up as an executor OOM mid-shuffle.
     */
   def intervalJoin(events: DataFrame, tsCol: String,
                    intervals: DataFrame, startCol: String, endCol: String,
-                   keys: Seq[String], bucketSec: Long): DataFrame = {
-    require(bucketSec > 0)
+                   keys: Seq[String], bucketSec: Long,
+                   maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    require(bucketSec > 0 && maxBucketsPerInterval > 0)
     val evB = events.withColumn("_bucket",
       floor(col(tsCol) / bucketSec).cast("long"))
+    val b0 = floor(col(startCol) / bucketSec).cast("long")
+    val b1 = floor(col(endCol) / bucketSec).cast("long")
     // end < start would make sequence() count DOWN (a silent wrong-bucket
     // replication); such intervals can't contain anything — drop them
     val ivB = intervals.filter(col(startCol) <= col(endCol))
-      .withColumn("_bucket",
-        explode(sequence(floor(col(startCol) / bucketSec).cast("long"),
-          floor(col(endCol) / bucketSec).cast("long"))))
+      .withColumn("_bucket", explode(sequence(b0,
+        when(b1 - b0 < maxBucketsPerInterval, b1).otherwise(raise_error(
+          format_string("intervalJoin: interval [%s, %s] spans more than " +
+            s"$maxBucketsPerInterval buckets of $bucketSec s — re-bucket " +
+            "or clamp sentinel end timestamps",
+            col(startCol).cast("string"), col(endCol).cast("string")))
+          .cast("long")))))
     evB.join(ivB, keys :+ "_bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")

@@ -56,7 +56,9 @@ case class BottomK(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      buf.offer(row.getLong(0), toUnsafe(row).copy())
+      // a null ordering key would read as 0 via getLong and rank
+      // near-smallest — reject the row instead of poisoning the sample
+      if (!row.isNullAt(0)) buf.offer(row.getLong(0), toUnsafe(row).copy())
     }
     buf
   }
