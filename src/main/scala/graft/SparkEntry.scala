@@ -888,6 +888,51 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Multi-reader /read — the reference's own unimplemented TODO
+    // (main.go:344-348: ">1 reader → 500; TODO: Support multiple
+    // queriers"): the server is configured with a PRIMARY table holding
+    // only purchase/click series and an EXTRA reader holding every
+    // series with values shifted +100. One match-everything query must
+    // come back with the primary's values wherever both readers have a
+    // (series, bucket) sample (first-wins by reader order, A6) and the
+    // extra reader's +100 values for the series only it carries.
+    "serve_read_multireader" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_srvm").toString
+      val primary = s"$base/primary"
+      val extra = s"$base/extra"
+      val flat = flatSamples(s, dir)
+      WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
+        flat.filter(col("name").isin("purchase", "click")))), primary)
+      WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
+        flat.withColumn("value", col("value") + 100))), extra)
+      val server = new graft.serve.Server(s, primary, Nil, 0,
+        exactQuantiles = true, extraReaderPaths = Seq(extra)).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.RE, "__name__", ".*")))))
+        val conn = java.net.URI.create(s"http://localhost:${server.boundPort}/read")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(bytes))
+        val rows = for {
+          qr <- resp.results
+          ts <- qr.timeseries
+          sm <- ts.samples
+        } yield (ts.labels.map(l => s"${l.name}=${l.value}").sorted.mkString(","),
+          sm.timestampMs, sm.value)
+        import s.implicits._
+        rows.toDF("tags", "t", "value")
+          .select(col("tags"), col("t"), round(col("value"), 4).as("value"))
+          .orderBy(col("tags"), col("t"))
+      } finally server.stop()
+    }),
+
     // S3: parallel fan-out with per-sink error isolation — two healthy
     // formatter sinks and one poisoned sink run concurrently against the
     // SAME persisted batch; the poisoned sink marks its own samples
@@ -5760,6 +5805,29 @@ object SparkEntry {
          |  GROUP BY 2, 3)
          |SELECT * FROM (SELECT * FROM q0 UNION ALL SELECT * FROM q1)
          |ORDER BY query_idx, tags, t""".stripMargin,
+
+    // Two readers bucket-aggregated independently (15-day range →
+    // divStep 158 s, exact quantile ≙ quantile_cont), then first-wins
+    // on (series, bucket) by reader order: src 0 = primary
+    // (purchase/click only, original values), src 1 = extra reader
+    // (every series, value+100 — the shift runs INSIDE the quantile in
+    // both engines, so the interpolation arithmetic is identical).
+    "serve_read_multireader" ->
+      s"""WITH s AS (SELECT $OTags AS tags, $OSec AS sec, event_type,
+         |    value FROM events
+         |  WHERE $OSec >= $Jan05 AND $OSec <= $Jan20),
+         |q0 AS (SELECT 0 AS src, tags, (sec // 158) * 158 * 1000 AS t,
+         |    quantile_cont(value, 0.75) AS v
+         |  FROM s WHERE event_type IN ('purchase', 'click') GROUP BY 2, 3),
+         |q1 AS (SELECT 1 AS src, tags, (sec // 158) * 158 * 1000 AS t,
+         |    quantile_cont(value + 100, 0.75) AS v
+         |  FROM s GROUP BY 2, 3),
+         |u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1),
+         |d AS (SELECT tags, t, v,
+         |    row_number() OVER (PARTITION BY tags, t ORDER BY src) AS rn
+         |  FROM u)
+         |SELECT tags, t, round(v, 4) AS value FROM d WHERE rn = 1
+         |ORDER BY tags, t""".stripMargin,
 
     // Poisoned sink: sent=0, failed=everything, errored; healthy sinks
     // sent=everything (one formatted line per sample), failed=0.

@@ -87,6 +87,30 @@ object ReadPipeline {
            exact: Boolean = false, strictCompat: Boolean = false): DataFrame =
     assembleSeries(bucketAgg(metrics, q, exact, strictCompat))
 
+  /** Multi-reader read — the reference's own unimplemented TODO
+    * (reference: main.go:344-348 returns 500 unless exactly one reader
+    * is configured; "TODO: Support multiple queriers"): fan the query
+    * out to every reader, bucket-aggregate each independently, and
+    * A6-merge the bucket rows FIRST-WINS by reader order (argument
+    * order = priority, the reference's merge convention) before series
+    * assembly — a series present in several backends assembles once,
+    * each (series, bucket) sample taken from the highest-priority
+    * reader that has it.
+    *
+    * Scale shape: each reader's filter/agg pushes down into its own
+    * scan; the merge window and the assembly groupBy both key on the
+    * series tags, so the extra exchange the merge adds is the only new
+    * cost over the single-reader path (which this degrades to at
+    * size 1, window-free).
+    */
+  def readMulti(readers: Seq[DataFrame], q: PromQuery,
+                exact: Boolean = false, strictCompat: Boolean = false): DataFrame = {
+    require(readers.nonEmpty, "need at least one reader")
+    if (readers.sizeIs == 1) read(readers.head, q, exact, strictCompat)
+    else assembleSeries(mergeDedup(
+      readers.map(bucketAgg(_, q, exact, strictCompat)), tsCol = "t"))
+  }
+
   /** A6 sorted merge + dedup across result sets (the reference's k-way merge
     * for multi-query InfluxDB reads, first-wins on duplicate timestamps —
     * reference: influxdb/client.go:194-215,287-308).

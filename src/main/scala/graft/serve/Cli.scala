@@ -44,7 +44,11 @@ final case class CliConfig(
     // graft extension (no reference counterpart): series budget for one
     // read response — a match-everything query fails with 413 instead of
     // collecting unbounded series into driver memory. 0 disables.
-    readMaxSeries: Int = 500000) {
+    readMaxSeries: Int = 500000,
+    // graft extension implementing the reference's multi-querier TODO
+    // (main.go:344-348): extra parquet reader paths, comma-separated;
+    // /read fans out to all readers and merges first-wins, primary first.
+    readExtraTables: Seq[String] = Nil) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -111,6 +115,9 @@ object CliConfig {
       |  --read.max-series=500000       Series budget per query in a read request
       |                                 (a k-query request may return up to
       |                                 k x budget series; 0 = unlimited).
+      |  --read.extra-tables=""         Comma-separated extra parquet reader
+      |                                 paths; /read merges all readers
+      |                                 first-wins (primary table wins).
       |""".stripMargin
 
   def usage(): String = Usage
@@ -180,6 +187,9 @@ object CliConfig {
             }
             case "web.listen-address" => cfg = cfg.copy(listenAddress = v)
             case "web.telemetry-path" => cfg = cfg.copy(telemetryPath = v)
+            case "read.extra-tables" =>
+              cfg = cfg.copy(readExtraTables =
+                v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             case "read.max-series" =>
               v.toIntOption match {
                 case Some(n) if n >= 0 => cfg = cfg.copy(readMaxSeries = n)
@@ -261,7 +271,8 @@ object Cli {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.clickhouseDatabase}")
     WritePipeline.ensureTable(spark, cfg.tableName, cfg.tablePath)
     new Server(spark, cfg.tablePath, buildSinks(cfg), cfg.listenPort,
-      metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries)
+      metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries,
+      extraReaderPaths = cfg.readExtraTables)
   }
 }
 

@@ -18,7 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                 partitioned parquet append (+ optional extra sinks via
   *                 FanOut, each isolated like main.go:311-319)
   *   POST /read    snappy+proto ReadRequest → matcher compile → bucket
-  *                 quantile agg → series assembly → ReadResponse bytes
+  *                 quantile agg → series assembly → ReadResponse bytes.
+  *                 With `extraReaderPaths` configured, each query fans
+  *                 out to every reader and A6-merges first-wins by
+  *                 reader order (primary wins) — implementing the
+  *                 reference's own multi-querier TODO (main.go:344-348
+  *                 returns 500 for >1 reader)
   *   GET  /metrics Prometheus text exposition of the §2.7 counters
   *
   * Driver-hosted: the handlers run on the Spark driver and submit jobs;
@@ -31,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class Server(spark: SparkSession, tablePath: String,
              extraSinks: Seq[(String, DataFrame => graft.sinks.Transport.WriteStats)] = Nil,
              port: Int = 0, exactQuantiles: Boolean = false,
-             metricsPath: String = "/metrics", readMaxSeries: Int = 500000) {
+             metricsPath: String = "/metrics", readMaxSeries: Int = 500000,
+             extraReaderPaths: Seq[String] = Nil) {
 
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
@@ -47,6 +53,9 @@ class Server(spark: SparkSession, tablePath: String,
     * with full predicate pushdown per query.
     */
   @volatile private var cachedTable: Option[DataFrame] = None
+  // extra readers are static backends — resolved once, never invalidated
+  // (only /write to the primary table changes what a read can see)
+  @volatile private var cachedExtras: Option[Seq[DataFrame]] = None
 
   private[graft] def storedTable(): DataFrame = synchronized {
     cachedTable.getOrElse {
@@ -54,6 +63,18 @@ class Server(spark: SparkSession, tablePath: String,
       cachedTable = Some(df)
       df
     }
+  }
+
+  /** Every configured reader, primary first (= highest merge priority). */
+  private[graft] def storedReaders(): Seq[DataFrame] = {
+    val extras = synchronized {
+      cachedExtras.getOrElse {
+        val dfs = extraReaderPaths.map(spark.read.parquet(_))
+        cachedExtras = Some(dfs)
+        dfs
+      }
+    }
+    storedTable() +: extras
   }
 
   private def invalidateTable(): Unit = synchronized { cachedTable = None }
@@ -128,9 +149,9 @@ class Server(spark: SparkSession, tablePath: String,
   private def handleRead(ex: HttpExchange): Unit =
     try {
       val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
-      val stored = storedTable()
+      val readers = storedReaders()
       val perQuery = rr.queries.map { q =>
-        ReadPipeline.read(stored, toPromQuery(q), exact = exactQuantiles)
+        ReadPipeline.readMulti(readers, toPromQuery(q), exact = exactQuantiles)
       }
       val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
         ResponseEdge.toReadResponse(perQuery, readMaxSeries)))

@@ -131,6 +131,44 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: multi-reader /read merges first-wins by reader order — " +
+       "the reference's own multi-querier TODO (main.go:344-348)") {
+    val base0 = Files.createTempDirectory("graft_srvmr").toString
+    val primary = s"$base0/primary"
+    val extra = s"$base0/extra"
+    import spark.implicits._
+    def store(path: String, rows: Seq[(String, Double, Long)]): Unit =
+      graft.engine.WritePipeline.append(
+        graft.engine.WritePipeline.toMetricRows(
+          rows.map { case (n, v, t) =>
+            graft.model.Schema.Sample(n, Map("__name__" -> n), v, t)
+          }.toDF()), path)
+    // shared series: both readers hold it at t=1000 (different values —
+    // primary must win) and only the extra reader holds t=60000;
+    // "extra_only" lives solely in the extra reader
+    store(primary, Seq(("shared", 1.0, 1000L)))
+    store(extra, Seq(("shared", 99.0, 1000L), ("shared", 7.0, 60000L),
+      ("extra_only", 5.0, 1000L)))
+    val server = new Server(spark, primary, Nil, 0, exactQuantiles = true,
+      extraReaderPaths = Seq(extra)).start()
+    val url = s"http://localhost:${server.boundPort}"
+    try {
+      val rr = PReadRequest(Seq(PQuery(0L, 120000L,
+        Seq(PLabelMatcher(MatchType.RE, "__name__", ".*")))))
+      val (rc, body) = post(s"$url/read",
+        Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+      assert(rc == 200)
+      val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+      val byName = resp.results.head.timeseries
+        .map(ts => ts.labels.head.value -> ts.samples.map(_.value)).toMap
+      // shared@1000: primary's 1.0 wins over the extra's 99.0;
+      // shared@60000: only the extra reader has it → 7.0 fills in
+      assert(byName("shared") == Seq(1.0, 7.0))
+      // series only the extra reader carries still surfaces
+      assert(byName("extra_only") == Seq(5.0))
+    } finally server.stop()
+  }
+
   test("serve: a read over the series budget fails 413 with the actionable " +
        "message; under-limit reads are unchanged") {
     val table = Files.createTempDirectory("graft_srv4").toString + "/metrics"
