@@ -2351,6 +2351,28 @@ object SparkEntry {
         .orderBy(col("first_id"))
     }),
 
+    // PNG twin of llm_image_dhash, through the FULL decode path: each
+    // doc becomes a real COMPRESSED PNG (zlib stored-block IDAT,
+    // scanlines filtered with all five spec types) of the same
+    // closed-form pixel field; the native dhash_png kernel walks the
+    // chunks, inflates, unfilters, and hashes. Brightness twins (+32)
+    // collide, seeds diverge; the oracle recomputes every hash from the
+    // pixel FORMULA (no byte parsing), so the whole inflate/unfilter/
+    // grid/bit pipeline is cross-checked, not mirrored.
+    "llm_image_dhash_png" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val base = d.select(col("doc_id").cast("long").as("media_id"),
+        Multimodal.patternPng(col("doc_id"), 16, 16, 0).as("payload"))
+      val bright = d.select((col("doc_id") + 100000).cast("long").as("media_id"),
+        Multimodal.patternPng(col("doc_id"), 16, 16, 32).as("payload"))
+      base.unionByName(bright)
+        .select(col("media_id"), Multimodal.dHashPng(col("payload")).as("dhash"))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("first_id"))
+        .filter(col("n_images") > 1)
+        .orderBy(col("first_id"))
+    }),
+
     // REAL audio feature extraction: each doc becomes a genuine RIFF/WAV
     // clip (canonical PCM16 header, 192 closed-form samples planted from
     // doc_id), and the native pcm_features kernel walks the actual chunk
@@ -7426,6 +7448,34 @@ object SparkEntry {
         |          (((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13) % 192)
         |           + ((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13 + 5) % 192)
         |           + ((doc_id*7 + gy*29 + (((gx+1)*10)//9)*13 + 10) % 192)) // 3
+        |        THEN (1::BIGINT << (7 - gx)) ELSE 0 END
+        |        for gx in range(0, 8)])), 2, '0')
+        |      for gy in range(0, 8)], '') AS dhash
+        |  FROM ids)
+        |SELECT dhash, count(*) AS n_images, CAST(min(media_id) AS BIGINT) AS first_id
+        |FROM hsh GROUP BY dhash HAVING count(*) > 1 ORDER BY first_id""".stripMargin,
+
+    // PNG dHash closed form — same independent pixel-formula derivation
+    // as llm_image_dhash, at the 16×16 PNG fixture's grid arithmetic
+    // (x = gx·16//9, y = gy·2): the oracle never touches the container,
+    // so the Spark-side inflate/unfilter path is cross-checked.
+    "llm_image_dhash_png" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(doc_id + 100000 AS BIGINT) FROM documents),
+        |hsh AS (
+        |  SELECT media_id,
+        |    array_to_string([
+        |      lpad(hex(list_sum([
+        |        CASE WHEN
+        |          (((doc_id*7 + gy*2*29 + ((gx*16)//9)*13) % 192)
+        |           + ((doc_id*7 + gy*2*29 + ((gx*16)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + gy*2*29 + ((gx*16)//9)*13 + 10) % 192)) // 3
+        |          >
+        |          (((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13) % 192)
+        |           + ((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13 + 10) % 192)) // 3
         |        THEN (1::BIGINT << (7 - gx)) ELSE 0 END
         |        for gx in range(0, 8)])), 2, '0')
         |      for gy in range(0, 8)], '') AS dhash

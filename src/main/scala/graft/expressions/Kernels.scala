@@ -233,6 +233,137 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  // One Inflater per executor thread (the deflaterTL rationale below:
+  // native workspace is too heavy to allocate per row; reset() restores
+  // the initial stream state exactly).
+  private val inflaterTL = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater() // zlib-wrapped, as PNG IDAT requires
+  }
+
+  /** Perceptual dHash over a PNG payload — same 9×8 grid / 64-bit / 16-hex
+    * contract as [[dHashBmp]], on REAL decoded PNG pixels: the chunk chain
+    * is walked from the 8-byte signature (len(BE4) + type(4) + data +
+    * crc(4); CRCs are not validated — corruption surfaces as an inflate or
+    * filter failure), IHDR must declare 8-bit truecolor (color type 2),
+    * compression/filter method 0, non-interlaced; all IDAT chunk data
+    * concatenates into one zlib stream which is INFLATED (the inverse of
+    * [[deflateLen]]), and each scanline is UNFILTERED per the spec's five
+    * filter types (None/Sub/Up/Average/Paeth) against the reconstructed
+    * prior row. PNG rows are top-down (BMP's are bottom-up); the gray
+    * grid and bit assembly then match dHashBmp exactly, so the same image
+    * stored in both formats hashes identically.
+    *
+    * Null for: bad signature, non-first or malformed IHDR, unsupported
+    * depth/color/interlace, implausible geometry, raw size over the 2^26
+    * decode budget (an inflate BOMB in a crawled corpus would otherwise
+    * let a tiny payload allocate gigabytes per row), truncated chunks,
+    * corrupt zlib data, short inflate output, or an undefined filter
+    * type — a garbage hash must never enter a dedup key space.
+    */
+  def dHashPng(payload: Array[Byte]): UTF8String = {
+    val n = payload.length
+    if (n < 33) return null
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) {
+      if ((payload(i) & 0xff) != sig(i)) return null
+      i += 1
+    }
+    def be(off: Int, nb: Int): Long = {
+      var v = 0L; var j = 0
+      while (j < nb) { v = (v << 8) | (payload(off + j) & 0xffL); j += 1 }
+      v
+    }
+    // IHDR must be the first chunk (spec), 13 bytes
+    if (be(8, 4) != 13L || be(12, 4) != 0x49484452L) return null
+    val w = be(16, 4); val h = be(20, 4)
+    if (w <= 0 || h <= 0 || w > (1 << 24) || h > (1 << 24)) return null
+    if (payload(24) != 8 || payload(25) != 2 || payload(26) != 0 ||
+        payload(27) != 0 || payload(28) != 0) return null
+    val rawLen = h * (1L + 3L * w)
+    if (rawLen > (1L << 26)) return null
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33 // signature + IHDR chunk
+    var done = false
+    while (!done) {
+      if (pos + 8 > n) return null // chain must reach IEND intact
+      val len = be(pos, 4)
+      if (pos + 12 + len > n) return null
+      val t = be(pos + 4, 4)
+      if (t == 0x49444154L) idat.write(payload, pos + 8, len.toInt)
+      else if (t == 0x49454e44L) done = true
+      pos += 12 + len.toInt
+    }
+    if (idat.size == 0) return null
+    val inf = inflaterTL.get()
+    inf.reset()
+    inf.setInput(idat.toByteArray)
+    val raw = new Array[Byte](rawLen.toInt)
+    try {
+      var total = 0
+      while (total < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, total, raw.length - total)
+        if (k == 0 && inf.needsInput()) return null // truncated stream
+        total += k
+      }
+      if (total < raw.length) return null
+    } catch { case _: java.util.zip.DataFormatException => return null }
+    val stride = (3 * w).toInt
+    val px = new Array[Byte]((stride * h).toInt)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      if (f > 4) return null
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var xi = 0
+      while (xi < stride) {
+        val cur = raw(src + xi) & 0xff
+        val left = if (xi >= 3) px(dst + xi - 3) & 0xff else 0
+        val up = if (y > 0) px(dst - stride + xi) & 0xff else 0
+        val rec = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case _ =>
+            val ul = if (y > 0 && xi >= 3) px(dst - stride + xi - 3) & 0xff
+                     else 0
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+        }
+        px(dst + xi) = rec.toByte
+        xi += 1
+      }
+      y += 1
+    }
+    def gray(gx: Long, gy: Long): Long = {
+      val x = gx * w / 9
+      val yy = gy * h / 8 // top-down: grid row maps to image row directly
+      val off = (yy * stride + x * 3).toInt
+      ((px(off) & 0xffL) + (px(off + 1) & 0xffL) + (px(off + 2) & 0xffL)) / 3
+    }
+    val sb = new java.lang.StringBuilder(16)
+    var gy = 0L
+    while (gy < 8) {
+      var rb = 0
+      var gx = 0L
+      while (gx < 8) {
+        rb = rb * 2 + (if (gray(gx, gy) > gray(gx + 1, gy)) 1 else 0)
+        gx += 1
+      }
+      sb.append("0123456789ABCDEF".charAt(rb >> 4))
+      sb.append("0123456789ABCDEF".charAt(rb & 0xf))
+      gy += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Raw-deflate compressed length of a byte payload — the kernel under
     * the compression-ratio quality signal (near-incompressible text is
     * high-entropy noise, near-totally-compressible text is boilerplate

@@ -278,6 +278,91 @@ object Multimodal {
   def dHashBmp(payload: Column): Column =
     graft.GraftExtensions.dhashBmp(payload)
 
+  /** Perceptual dHash over a PNG payload — the same 9×8 grid / 64-bit /
+    * 16-hex contract as [[dHashBmp]] on REAL decoded PNG pixels: chunk
+    * walk, IDAT concatenation, zlib INFLATE, and per-scanline UNFILTER
+    * (all five spec filter types) fused into one native codegen'd kernel
+    * ([[graft.expressions.Kernels.dHashPng]]). PNG stores rows top-down
+    * where BMP is bottom-up, so the same image in both containers hashes
+    * identically — pinned by spec. Null on anything that fails the sniff,
+    * claims unsupported depth/color/interlace, exceeds the 2^26 decode
+    * budget (inflate-bomb guard — crawled corpora contain hostile
+    * payloads), or carries truncated/corrupt chunks or zlib data.
+    */
+  def dHashPng(payload: Column): Column =
+    graft.GraftExtensions.dhashPng(payload)
+
+  /** Deterministic 24-bpp test image as a REAL compressed PNG: the same
+    * closed-form pixel field as [[patternBmp]] (byte(x,y,ch) =
+    * (seed·7 + y·29 + x·13 + ch·5) mod 192 + shift), rows stored
+    * TOP-DOWN per the PNG spec, each scanline FILTERED with type
+    * y mod 5 — an image with h ≥ 5 exercises all five spec filters
+    * (None/Sub/Up/Average/Paeth), not just the type-0 copy. The
+    * filtered stream rides a REAL zlib stream (0x78 0x01 header, one
+    * final STORED deflate block, closed-form adler32 over the filtered
+    * bytes — stored blocks are valid deflate, any inflater accepts
+    * them) in a single IDAT chunk (CRC zeroed, the [[pngPayload]] IHDR
+    * convention) followed by IEND. Pure hex assembly + one unhex.
+    * Because the pixel field is shared with patternBmp, the SAME image
+    * exists in both container formats and [[dHashBmp]]/[[dHashPng]]
+    * must agree bit-for-bit.
+    */
+  def patternPng(seed: Column, w: Int, h: Int, shift: Int): Column = {
+    require(shift >= 0 && shift <= 64,
+      s"brightness shift $shift outside [0, 64] would overflow a byte")
+    val rowLen = 3 * w + 1
+    val n = h * rowLen
+    require(n <= 65535, "fixture must fit one stored deflate block")
+    def raw(i: Column, y: Column): Column =
+      pmod(seed * 7 + y * 29 + floor(i / 3) * 13 + (i % 3) * 5,
+        lit(192)) + shift
+    // filtered byte at stream position k (scanline = filter byte + 3w
+    // pixel bytes); predictors recompute neighbor bytes closed-form
+    val vals = transform(sequence(lit(0), lit(n - 1)), k => {
+      val y = floor(k / rowLen)
+      val c = k % rowLen
+      val i = c - 1
+      val ftype = y % 5
+      val cur = raw(i, y)
+      val left = when(i >= 3, raw(i - 3, y)).otherwise(lit(0L))
+      val up = when(y > 0, raw(i, y - 1)).otherwise(lit(0L))
+      val ul = when(y > 0 && i >= 3, raw(i - 3, y - 1)).otherwise(lit(0L))
+      val p = left + up - ul
+      val pa = abs(p - left)
+      val pb = abs(p - up)
+      val pc = abs(p - ul)
+      val paeth = when(pa <= pb && pa <= pc, left)
+        .when(pb <= pc, up).otherwise(ul)
+      val pred = when(ftype === 0, lit(0L))
+        .when(ftype === 1, left)
+        .when(ftype === 2, up)
+        .when(ftype === 3, floor((left + up) / 2))
+        .otherwise(paeth)
+      when(c === 0, ftype).otherwise(pmod(cur - pred, lit(256)))
+    })
+    val bodyHex = array_join(transform(vals, v => lpad(hex(v), 2, "0")), "")
+    // adler32 of the filtered stream, closed form over the value array:
+    // a = (1 + Σd) mod 65521, b = (n + Σ(n−k)·d_k) mod 65521 (k 0-based)
+    val a = pmod(lit(1L) + aggregate(vals, lit(0L), (s, v) => s + v),
+      lit(65521L))
+    val b = pmod(lit(n.toLong) + aggregate(
+      zip_with(vals, sequence(lit(0), lit(n - 1)), (v, k) => (lit(n) - k) * v),
+      lit(0L), (s, v) => s + v), lit(65521L))
+    val zlibHex = concat(
+      lit("7801"),            // zlib header (deflate, default window)
+      lit("01"),              // BFINAL=1, BTYPE=00 (stored)
+      leHex(lit(n), 2), leHex(lit(65535 - n), 2), // LEN, one's-complement
+      bodyHex,
+      beHex(b * 65536L + a, 4))
+    val idatIendHex = concat(
+      beHex(lit(n + 11), 4),  // zlib stream length: 2+5+n+4
+      lit("49444154"),        // 'IDAT'
+      zlibHex,
+      lit("00000000"),        // IDAT CRC (zeroed, not validated)
+      lit("0000000049454E44AE426082")) // IEND (spec CRC constant)
+    pngPayload(lit(w), lit(h), unhex(idatIendHex))
+  }
+
   /** Deterministic 24-bpp test image: pixel channel bytes follow
     * byte(x, y, ch) = (seed·7 + y·29 + x·13 + ch·5) mod 192 (+ an
     * optional uniform `shift`, the brightness-invariance probe), rows

@@ -73,6 +73,35 @@ case class DHashBmp(child: Expression)
     copy(child = newChild)
 }
 
+/** Perceptual PNG dHash as a native codegen'd expression — the PNG
+  * sibling of [[DHashBmp]]: chunk walk, zlib inflate, per-scanline
+  * unfilter (all five spec filter types), and the shared 9×8 gray-grid
+  * hash fuse into one kernel eval per row. Same nullability contract:
+  * non-PNG, unsupported-format, bomb-sized, truncated, and corrupt
+  * payloads hash to null.
+  */
+case class DHashPng(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dhash_png"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.dHashPng(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |UTF8String $r = graft.expressions.Kernels.dHashPng($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): DHashPng =
+    copy(child = newChild)
+}
+
 /** Raw-deflate compressed length as a native codegen'd expression — the
   * primitive under the compression-ratio text-quality signal. A Scala
   * UDF would break whole-stage codegen at a site that runs once per

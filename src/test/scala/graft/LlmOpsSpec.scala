@@ -1762,6 +1762,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(r(1L)._1 != r(1L)._3)
   }
 
+  test("multimodal: dHashPng decodes a real compressed PNG (inflate + all " +
+       "five unfilter types) and agrees with dHashBmp on the same image") {
+    import spark.implicits._
+    // h = 16 ≥ 5 → filter types 0-4 all appear (row y uses type y mod 5);
+    // the pixel field is shared with patternBmp, so the BMP and PNG
+    // containers hold the SAME image and the two independent decode
+    // paths (stride/bottom-up vs inflate/unfilter/top-down) must agree
+    val rows = Seq(1L, 2L).toDF("seed").select(col("seed"),
+      Multimodal.dHashPng(Multimodal.patternPng(col("seed"), 16, 16, 0)).as("png0"),
+      Multimodal.dHashPng(Multimodal.patternPng(col("seed"), 16, 16, 32)).as("png32"),
+      Multimodal.dHashBmp(Multimodal.patternBmp(col("seed"), 16, 16, 0)).as("bmp0"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getString(2), x.getString(3))).toMap
+    // cross-format agreement, brightness invariance, seed sensitivity
+    assert(rows(1L)._1 == rows(1L)._3 && rows(2L)._1 == rows(2L)._3)
+    assert(rows(1L)._1 == rows(1L)._2)
+    assert(rows(1L)._1 != rows(2L)._1)
+    assert(rows(1L)._1.length == 16)
+
+    // refusal: truncated payload (chunk chain walks off the end), garbage
+    // bytes, and corrupt zlib data (IDAT bytes zeroed) all hash to null
+    val p = Seq(3L).toDF("seed").select(
+      Multimodal.patternPng(col("seed"), 16, 16, 0).as("payload"))
+    val bad = p.select(
+      Multimodal.dHashPng(expr("substring(payload, 1, 80)")).as("t"),
+      Multimodal.dHashPng(encode(lit("just some text"), "UTF-8")).as("nb"),
+      Multimodal.dHashPng(expr(
+        // keep signature+IHDR+IDAT framing, zero the zlib stream bytes
+        "concat(substring(payload, 1, 43), " +
+        "cast(repeat(chr(0), length(payload) - 43) as binary))")).as("z"),
+      Multimodal.dHashPng(col("payload")).as("full")).collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+    assert(bad.getString(3).length == 16)
+  }
+
   test("multimodal: pcmFrameFeatures decodes real RIFF bytes (chunk walk, " +
        "LE int16 sign, word-aligned skip) and refuses non-PCM16 payloads") {
     import spark.implicits._
