@@ -1724,6 +1724,65 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Shuffle-volume AUDIT — the "text never shuffles" design claim as
+    // an oracle-checked verdict instead of a code comment: the C4
+    // line-dedup plan (the llm_line_dedup fixture) runs to completion,
+    // every shuffle exchange in the final adaptive plan reports its
+    // records-written metric, and NO exchange may carry more than one
+    // record per corpus line — the (hash, id, pos) triples are the
+    // widest stream in the plan. Records, not bytes (bytes vary with
+    // codec/serializer); an inequality, not an equality, because the
+    // exact counts are legitimately sub-line (partial agg combines
+    // duplicate hashes per partition; Spark 4's runtime bloom filter
+    // prunes the join's probe side before its shuffle) — but any
+    // regression that fans out per line, or shuffles text ROWS per
+    // line, pushes an exchange OVER the line count and fails the
+    // compare. The dedup totals ride along so the audited plan is
+    // provably the real one.
+    "llm_shuffle_audit" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rep1 = d0.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val rep2 = d0.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      val ws = TextAnalysis.words(col("text"))
+      val nl = floor((size(ws) + lit(9)) / lit(10)).cast("int")
+      val lineArr = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(ws, i * 10 + 1, lit(10)), " "))
+      val docs = d0.unionByName(rep1).unionByName(rep2)
+        .select(col("doc_id"), array_join(lineArr, "\n").as("text"))
+      val agg = Dedup.lineDedup(docs, maxOccurrences = 2)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_lines")).as("lines_total"),
+          sum(col("n_dropped")).as("dropped_total"))
+      val r = agg.collect()(0)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def recs(p: SparkPlan): Seq[Long] = {
+        val here = p match {
+          case e: ShuffleExchangeLike =>
+            e.metrics.get("shuffleRecordsWritten").map(_.value).toSeq
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(recs)
+      }
+      val maxRecords =
+        recs(agg.queryExecution.executedPlan).maxOption.getOrElse(0L)
+      s.createDataFrame(Seq(
+          ("docs_out", r.getLong(0)),
+          ("dropped_total", r.getLong(2)),
+          ("lines_total", r.getLong(1)),
+          ("no_exchange_over_one_record_per_line",
+            if (maxRecords <= r.getLong(1) && maxRecords > 0) 1L else 0L)))
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
+    }),
+
     // jusText-style boilerplate stripping: the 10-word content lines get
     // a planted nav header, share/copyright footers, and (when the doc
     // has >= 2 content lines) a short sandwiched line — the stopword-free
@@ -7020,6 +7079,35 @@ object SparkEntry {
         |  CAST(t.n_lines AS BIGINT) AS n_lines,
         |  CAST(t.n_lines - coalesce(a.kept, 0) AS BIGINT) AS n_dropped
         |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The audit's relational twin: the line count the exchange bound is
+    // judged against, recomputed from raw text, with the dedup totals
+    // pinned alongside and the per-line bound verdict pinned to 1.
+    "llm_shuffle_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0),
+        |w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |d AS (SELECT doc_id,
+        |    [array_to_string(ws[i*10+1 : i*10+10], ' ')
+        |     for i in range(0, CAST((len(ws)+9)//10 AS BIGINT))] AS lines
+        |  FROM w),
+        |l AS (SELECT doc_id, line
+        |  FROM d, unnest(lines) AS t(line)),
+        |f AS (SELECT md5(line) AS lh, count(*) AS n FROM l GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS lines FROM l),
+        |drp AS (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS dropped
+        |  FROM l JOIN f ON md5(l.line) = f.lh WHERE f.n > 2)
+        |SELECT 'docs_out' AS metric, n_docs AS value FROM tot
+        |UNION ALL SELECT 'dropped_total', dropped FROM drp
+        |UNION ALL SELECT 'lines_total', lines FROM tot
+        |UNION ALL SELECT 'no_exchange_over_one_record_per_line',
+        |  CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
 
     "llm_boilerplate" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
