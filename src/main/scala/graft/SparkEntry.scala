@@ -2454,6 +2454,22 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // Edit-distance-verified near-dup: the same banded LSH candidates,
+    // verified with bounded LEVENSHTEIN over raw text — the character-
+    // level verifier that prices typos/inflection/reordering where
+    // token-set Jaccard is blind. Every 13th doc replays with a 10-char
+    // appended edit (distance exactly 10 ≤ the 16 budget); both engines
+    // ship the classic unit-cost DP, so distances are integer-exact.
+    "llm_dedup_editdist" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val replay = d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", concat(col("text"), lit(" tiny edit")))
+      Dedup.editDistNearDups(d.unionByName(replay), "text", "doc_id",
+          maxDist = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
     // signature → bucket JOIN (never all-pairs) → exact-Jaccard verify.
     // Near-dups injected (every 11th doc + a 4-word suffix); the corpus
@@ -6019,6 +6035,42 @@ object SparkEntry {
         |       ELSE n_caught * 1000000 // n_candidates END AS BIGINT)
         |    AS precision_ppm
         |FROM fullk CROSS JOIN nc ORDER BY thresh_pct""".stripMargin,
+
+    // Same banded-candidate chain as llm_dedup_minhash; the verify is
+    // DuckDB's levenshtein (identical unit-cost edit distance).
+    "llm_dedup_editdist" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text || ' tiny edit' FROM documents WHERE doc_id % 13 = 0),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws)-1)]) AS shingles
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs)),
+        |hv AS (
+        |  SELECT id, list_transform(shingles, s ->
+        |    {'h1': CAST('0x'||substr(md5(s),1,15) AS BIGINT),
+        |     'h2': CAST('0x'||substr(md5(s),17,15) AS BIGINT)}) AS hv
+        |  FROM sh),
+        |sig AS (
+        |  SELECT id,
+        |    [list_min(list_transform(hv, b ->
+        |      ((b.h1 % 1000000007) + j*(b.h2 % 1000000007)) % 1000000007)) FOR j IN range(0, 12)] AS sg
+        |  FROM hv),
+        |bands AS (
+        |  SELECT id, b,
+        |    array_to_string(list_transform(sg[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)), '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bi),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        |  FROM cand JOIN all_docs ta ON cand.id_a = ta.doc_id
+        |  JOIN all_docs tb ON cand.id_b = tb.doc_id)
+        |SELECT id_a, id_b, dist FROM ver WHERE dist <= 16
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "llm_dedup_minhash" ->
       """WITH all_docs AS (

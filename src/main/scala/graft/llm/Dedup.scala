@@ -202,6 +202,77 @@ object Dedup {
     */
   val MaxBroadcastPairs: Long = 1000000L
 
+  /** Edit-distance-verified near-dup pairs: the same banded MinHash
+    * candidate generation as [[minhashNearDups]], but the verify stage
+    * is bounded LEVENSHTEIN over the raw text — the character-level
+    * verifier a dedup pipeline reaches for when token-set Jaccard is
+    * too coarse (it is blind to word-internal typos, inflection, and
+    * ordering, all of which edit distance prices per character).
+    *
+    * Scale shape, same contract as the Jaccard verify: candidates exist
+    * only inside a (band, bucket); under the broadcast gate the bare id
+    * pairs broadcast and the corpus text streams map-side through the
+    * first join while a broadcast semi-filter keeps non-implicated text
+    * out of the second join's exchange — total shuffle volume is
+    * O(candidate texts), never O(corpus). The distance itself runs ONCE
+    * per candidate pair with Spark's threshold variant, which abandons
+    * a pair the moment its DP band exceeds `maxDist` — O(len·maxDist)
+    * per pair, not O(len²).
+    *
+    * @return (id_a, id_b, dist) for candidate pairs with edit distance
+    *         ≤ `maxDist`
+    */
+  def editDistNearDups(docs: DataFrame, textCol: String, idCol: String,
+                       maxDist: Int, shingleWords: Int = 3, k: Int = 12,
+                       bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k evenly")
+    require(maxDist >= 0)
+    val rows = k / bands
+    val shingleExpr = array_distinct(TextAnalysis.wordShingles(
+      TextAnalysis.words(col(textCol)), shingleWords))
+    val sh = docs.select(col(idCol).as("id"), shingleExpr.as("shingles"))
+      .persist()
+    val banded = sh
+      .select(col("id"),
+        posexplode(lshBands(
+          minhashSignatureFromShingles(col("shingles"), k), bands, rows))
+          .as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .persist()
+    val nPairs = candidates.count()
+    val txt = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val paired =
+      if (nPairs <= MaxBroadcastPairs) {
+        val withA = txt.select(col("id"), col("t").as("t_a"))
+          .join(broadcast(candidates), col("id_a") === col("id")).drop("id")
+        val txtB = txt.select(col("id").as("idb"), col("t").as("t_b"))
+          .join(broadcast(candidates.select(col("id_b"))),
+            col("idb") === col("id_b"), "left_semi")
+        withA.join(txtB, col("id_b") === col("idb")).drop("idb")
+      } else {
+        candidates
+          .join(txt.select(col("id"), col("t").as("t_a")),
+            col("id_a") === col("id")).drop("id")
+          .join(txt.select(col("id"), col("t").as("t_b")),
+            col("id_b") === col("id")).drop("id")
+      }
+    val confirmed = paired
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long").as("dist"))
+      // the threshold variant reports -1 for over-budget pairs
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .localCheckpoint(true)
+    sh.unpersist()
+    candidates.unpersist()
+    confirmed
+  }
+
   /** MinHash/LSH candidate-recall harness: compare the banded candidate
     * pairs against EXACT ground truth (every pair with Jaccard ≥ t, from
     * an inverted-index pair stream) at several thresholds — the tuning

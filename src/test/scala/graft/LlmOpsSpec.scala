@@ -79,6 +79,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("dedup: editDistNearDups verifies candidates with bounded " +
+       "levenshtein — in-budget edit kept with its exact distance, " +
+       "over-budget candidate dropped, stranger never a candidate") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " ok"),      // distance 3: kept
+      (3L, base + " abcdefghijklmnop"), // distance 17 > 16: candidate, dropped
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistNearDups(docs, "text", "doc_id", maxDist = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist")))
+    // (1,3) shares almost all shingles with 1 → a candidate, but its
+    // 17-char appended edit is over the 16 budget and must be dropped
+    assert(pairs.toSet.contains((1L, 2L, 3L)))
+    assert(!pairs.exists { case (a, b, _) => (a, b) == ((1L, 3L)) })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
   test("dedup: jaccard is exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y")).as("j")).head.getDouble(0)
