@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomK, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, MisraGries, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -96,4 +96,7 @@ object GraftExtensions {
   def bottomK(s: Column, k: Int): Column =
     ColumnBridge.col(
       BottomK(ColumnBridge.expr(s), k).toAggregateExpression())
+  def misraGries(c: Column, k: Int): Column =
+    ColumnBridge.col(
+      MisraGries(ColumnBridge.expr(c), k).toAggregateExpression())
 }

@@ -2783,6 +2783,21 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // EXACT heavy hitters in O(k) memory: the native mergeable
+    // Misra-Gries aggregate proposes ≤256 candidates (no-false-negative
+    // guarantee above total/257), an exact confirm pass counts only
+    // candidate rows, and the freq·64 > total filter yields the TRUE
+    // heavy-hitter set — deterministic under any partitioning even
+    // though the sketch's internal estimates are not. The oracle is the
+    // plain vocabulary-scale groupBy the sketch exists to avoid.
+    "llm_heavy_hitters" -> ((s, dir) => {
+      val wordsDf = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      Sketches.heavyHitters(wordsDf, "w", k = 256, denom = 64)
+        .orderBy(col("freq").desc, col("item"))
+    }),
+
     // HyperLogLog cardinality of the corpus 3-shingle set vs the exact
     // distinct count — 256 registers of constant state instead of a
     // corpus-sized distinct shuffle, with the estimate computed in
@@ -5420,6 +5435,16 @@ object SparkEntry {
         |  SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
         |  FROM w WHERE length(word) > 0 GROUP BY 1)
         |SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 50""".stripMargin,
+
+    // The exact count the sketch's confirm pass converges to.
+    "llm_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(str_split(text, ' ')) AS item FROM documents),
+        |f AS (SELECT item, count(*) AS freq FROM w
+        |  WHERE length(item) > 0 GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM w WHERE length(item) > 0)
+        |SELECT item, freq FROM f, t WHERE freq * 64 > n
+        |ORDER BY freq DESC, item""".stripMargin,
 
     // HLL: rg maps each shingle to (register, rank); mr maxes ranks over
     // ALL 256 registers (empty → 0); the estimate is the integer

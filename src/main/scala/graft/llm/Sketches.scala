@@ -214,4 +214,46 @@ object Sketches {
             col("spp") + (lit(HllM) - col("npres")) * lit(1L << HllWidth1)),
           lit(1000000L)).cast("long").as("n_est"))
   }
+
+  /** EXACT heavy hitters in two passes and O(k) memory — every item whose
+    * frequency strictly exceeds total/`denom`, over a stream whose full
+    * groupBy would be vocabulary-scale:
+    *
+    *  1. sketch pass: the native mergeable [[graft.GraftExtensions
+    *     .misraGries]] aggregate (capacity `k`, partial→final merge via
+    *     the Agarwal et al. mergeable-summaries combine) yields ≤ k
+    *     CANDIDATES with the no-false-negative guarantee for any item
+    *     above total/(k+1);
+    *  2. confirm pass: the candidate items (bounded, model-sized — the
+    *     codebook-collect convention) become a plan literal; only rows
+    *     matching a candidate enter a k-key exact count.
+    *
+    * Because the candidate set provably contains every true heavy
+    * hitter (k ≥ denom makes total/(k+1) < total/denom) and the final
+    * filter uses EXACT counts, the output is the true heavy-hitter set
+    * — deterministic under any row order, partitioning, or merge
+    * schedule, even though the sketch's internal estimates are not.
+    *
+    * @param items single string column of stream items
+    * @param k     sketch capacity (counters); must be ≥ `denom`
+    * @param denom threshold denominator: keep freq·denom > total
+    * @return (item, freq) for every item with freq·denom > total
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int,
+                   denom: Long): DataFrame = {
+    require(k >= denom, s"capacity $k must be >= threshold denominator " +
+      s"$denom or the no-false-negative guarantee breaks")
+    val st = items.agg(
+      graft.GraftExtensions.misraGries(col(itemCol), k).as("cand"),
+      count(col(itemCol)).as("total")).head()
+    val total = st.getLong(1)
+    val cand = st.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    if (cand.isEmpty) return items.sparkSession.emptyDataFrame
+      .select(lit("").as("item"), lit(0L).as("freq"))
+    items
+      .filter(col(itemCol).isin(cand: _*))
+      .groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * denom > total)
+  }
 }

@@ -310,6 +310,28 @@ class LlmOpsSpec extends SparkSpec {
     assert((0 until 4).forall(i => !ov.isNullAt(i)))
   }
 
+  test("sketch: heavyHitters is exact and partitioning-invariant — the " +
+       "Misra-Gries candidates confirm to the true heavy-hitter set") {
+    import spark.implicits._
+    // 10×a + 9×b + 8 singletons, n = 27; threshold freq·3 > 27 keeps
+    // only a (30 > 27; b's 27 is not strictly over) — and b is exactly
+    // the marginal candidate whose sketch estimate is order-dependent,
+    // so determinism here proves the confirm pass, not luck
+    val items = Seq.fill(10)("a") ++ Seq.fill(9)("b") ++
+      (1 to 8).map(i => s"s$i")
+    for (parts <- Seq(1, 3, 7)) {
+      val df = items.toDF("w").repartition(parts)
+      val got = Sketches.heavyHitters(df, "w", k = 4, denom = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == Set(("a", 10L)), s"parts=$parts got $got")
+    }
+    // guarantee at capacity floor: k = denom still catches the giant
+    val skew = (Seq.fill(60)("hot") ++ (1 to 40).map(i => s"t$i")).toDF("w")
+    val g = Sketches.heavyHitters(skew.repartition(5), "w", k = 3, denom = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(g == Set(("hot", 60L)))
+  }
+
   test("sketch: integer HLL estimates 5000 distincts within the m=256 " +
        "error envelope, ignores duplicates, and reproduces exactly") {
     import spark.implicits._
