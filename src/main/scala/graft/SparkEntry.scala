@@ -1350,6 +1350,21 @@ object SparkEntry {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // GPT-style sequence PACKING: per-shard doc concatenation cut into
+    // exact 512-token windows, docs spanning boundaries (packBins is
+    // the no-split variant). The gapFill span-explode shape at token
+    // granularity: prefix-sum window over docs → map-side explode of
+    // each doc's covered windows → partial-combined (shard, window)
+    // agg. Every window's fill is 512 except shard-final — an invariant
+    // the oracle's exact integer arithmetic enforces row by row.
+    "llm_seq_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      Sampling.seqPack(d, "doc_id", "n_tokens", seqLen = 512L, shards = 8)
+        .orderBy(col("shard"), col("win"))
+    }),
+
     // Unigram LM quality score: corpus vocabulary (small) broadcasts
     // into the per-word scoring join — the exploded word stream never
     // shuffles; per-doc mean aggregates with map-side partials.
@@ -2419,11 +2434,15 @@ object SparkEntry {
     // pixel FORMULA (no byte parsing), so the whole inflate/unfilter/
     // grid/bit pipeline is cross-checked, not mirrored.
     "llm_image_dhash_png" -> ((s, dir) => {
+      // every 3rd doc at 12×10: the decode path is exercised per row, so
+      // the fixture bounds builder cost (the expensive side) while all
+      // five filter types still appear (h = 10 covers y mod 5 twice)
       val d = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 3 === 0)
       val base = d.select(col("doc_id").cast("long").as("media_id"),
-        Multimodal.patternPng(col("doc_id"), 16, 16, 0).as("payload"))
+        Multimodal.patternPng(col("doc_id"), 12, 10, 0).as("payload"))
       val bright = d.select((col("doc_id") + 100000).cast("long").as("media_id"),
-        Multimodal.patternPng(col("doc_id"), 16, 16, 32).as("payload"))
+        Multimodal.patternPng(col("doc_id"), 12, 10, 32).as("payload"))
       base.unionByName(bright)
         .select(col("media_id"), Multimodal.dHashPng(col("payload")).as("dhash"))
         .groupBy(col("dhash"))
@@ -6965,6 +6984,31 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Window membership replayed relationally: per-shard prefix sums
+    // give each doc [start, end), every covered window unnests, and the
+    // per-window overlap sum is exact integer arithmetic.
+    "llm_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':sp'),1,8)
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |o AS (SELECT doc_id, n, shard,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM d WHERE n > 0),
+        |x AS (SELECT shard, doc_id, e - n AS s, e,
+        |    unnest(range(CAST((e - n) // 512 AS BIGINT),
+        |      CAST((e - 1) // 512 AS BIGINT) + 1)) AS win
+        |  FROM o)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(win AS BIGINT) AS win,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc,
+        |  CAST(sum(least(e, (win+1)*512) - greatest(s, win*512)) AS BIGINT)
+        |    AS n_tokens
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "llm_lm_score" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
@@ -7621,26 +7665,29 @@ object SparkEntry {
         |FROM hsh GROUP BY dhash HAVING count(*) > 1 ORDER BY first_id""".stripMargin,
 
     // PNG dHash closed form — same independent pixel-formula derivation
-    // as llm_image_dhash, at the 16×16 PNG fixture's grid arithmetic
-    // (x = gx·16//9, y = gy·2): the oracle never touches the container,
-    // so the Spark-side inflate/unfilter path is cross-checked.
+    // as llm_image_dhash, at the 12×10 PNG fixture's grid arithmetic
+    // (x = gx·12//9, y = gy·10//8): the oracle never touches the
+    // container, so the Spark-side inflate/unfilter path is
+    // cross-checked.
     "llm_image_dhash_png" ->
       """WITH ids AS (
         |  SELECT doc_id, CAST(doc_id AS BIGINT) AS media_id FROM documents
+        |  WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id, CAST(doc_id + 100000 AS BIGINT) FROM documents),
+        |  SELECT doc_id, CAST(doc_id + 100000 AS BIGINT) FROM documents
+        |  WHERE doc_id % 3 = 0),
         |hsh AS (
         |  SELECT media_id,
         |    array_to_string([
         |      lpad(hex(list_sum([
         |        CASE WHEN
-        |          (((doc_id*7 + gy*2*29 + ((gx*16)//9)*13) % 192)
-        |           + ((doc_id*7 + gy*2*29 + ((gx*16)//9)*13 + 5) % 192)
-        |           + ((doc_id*7 + gy*2*29 + ((gx*16)//9)*13 + 10) % 192)) // 3
+        |          (((doc_id*7 + ((gy*10)//8)*29 + ((gx*12)//9)*13) % 192)
+        |           + ((doc_id*7 + ((gy*10)//8)*29 + ((gx*12)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + ((gy*10)//8)*29 + ((gx*12)//9)*13 + 10) % 192)) // 3
         |          >
-        |          (((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13) % 192)
-        |           + ((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13 + 5) % 192)
-        |           + ((doc_id*7 + gy*2*29 + (((gx+1)*16)//9)*13 + 10) % 192)) // 3
+        |          (((doc_id*7 + ((gy*10)//8)*29 + (((gx+1)*12)//9)*13) % 192)
+        |           + ((doc_id*7 + ((gy*10)//8)*29 + (((gx+1)*12)//9)*13 + 5) % 192)
+        |           + ((doc_id*7 + ((gy*10)//8)*29 + (((gx+1)*12)//9)*13 + 10) % 192)) // 3
         |        THEN (1::BIGINT << (7 - gx)) ELSE 0 END
         |        for gx in range(0, 8)])), 2, '0')
         |      for gy in range(0, 8)], '') AS dhash

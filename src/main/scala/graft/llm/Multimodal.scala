@@ -313,54 +313,74 @@ object Multimodal {
     val rowLen = 3 * w + 1
     val n = h * rowLen
     require(n <= 65535, "fixture must fit one stored deflate block")
-    def raw(i: Column, y: Column): Column =
+    // the raw pixel field once per image (each byte is pure closed-form
+    // arithmetic), bound ONCE as a transform() lambda variable (the
+    // boilerplateStrip let-binding idiom) so the filter pass reads
+    // neighbors via O(1) element_at instead of re-deriving the formula
+    // 4× per byte — the builder runs per corpus row, so per-byte
+    // expression weight is the whole cost
+    val rawArr = transform(sequence(lit(0), lit(3 * w * h - 1)), j => {
+      val y = floor(j / (3 * w))
+      val i = j % (3 * w)
       pmod(seed * 7 + y * 29 + floor(i / 3) * 13 + (i % 3) * 5,
         lit(192)) + shift
-    // filtered byte at stream position k (scanline = filter byte + 3w
-    // pixel bytes); predictors recompute neighbor bytes closed-form
-    val vals = transform(sequence(lit(0), lit(n - 1)), k => {
-      val y = floor(k / rowLen)
-      val c = k % rowLen
-      val i = c - 1
-      val ftype = y % 5
-      val cur = raw(i, y)
-      val left = when(i >= 3, raw(i - 3, y)).otherwise(lit(0L))
-      val up = when(y > 0, raw(i, y - 1)).otherwise(lit(0L))
-      val ul = when(y > 0 && i >= 3, raw(i - 3, y - 1)).otherwise(lit(0L))
-      val p = left + up - ul
-      val pa = abs(p - left)
-      val pb = abs(p - up)
-      val pc = abs(p - ul)
-      val paeth = when(pa <= pb && pa <= pc, left)
-        .when(pb <= pc, up).otherwise(ul)
-      val pred = when(ftype === 0, lit(0L))
-        .when(ftype === 1, left)
-        .when(ftype === 2, up)
-        .when(ftype === 3, floor((left + up) / 2))
-        .otherwise(paeth)
-      when(c === 0, ftype).otherwise(pmod(cur - pred, lit(256)))
     })
-    val bodyHex = array_join(transform(vals, v => lpad(hex(v), 2, "0")), "")
-    // adler32 of the filtered stream, closed form over the value array:
-    // a = (1 + Σd) mod 65521, b = (n + Σ(n−k)·d_k) mod 65521 (k 0-based)
-    val a = pmod(lit(1L) + aggregate(vals, lit(0L), (s, v) => s + v),
-      lit(65521L))
-    val b = pmod(lit(n.toLong) + aggregate(
-      zip_with(vals, sequence(lit(0), lit(n - 1)), (v, k) => (lit(n) - k) * v),
-      lit(0L), (s, v) => s + v), lit(65521L))
-    val zlibHex = concat(
-      lit("7801"),            // zlib header (deflate, default window)
-      lit("01"),              // BFINAL=1, BTYPE=00 (stored)
-      leHex(lit(n), 2), leHex(lit(65535 - n), 2), // LEN, one's-complement
-      bodyHex,
-      beHex(b * 65536L + a, 4))
-    val idatIendHex = concat(
-      beHex(lit(n + 11), 4),  // zlib stream length: 2+5+n+4
-      lit("49444154"),        // 'IDAT'
-      zlibHex,
-      lit("00000000"),        // IDAT CRC (zeroed, not validated)
-      lit("0000000049454E44AE426082")) // IEND (spec CRC constant)
-    pngPayload(lit(w), lit(h), unhex(idatIendHex))
+    element_at(transform(array(rawArr), raw => {
+      // element_at is 1-based
+      def px(idx: Column): Column = element_at(raw, (idx + 1).cast("int"))
+      // filtered byte at stream position k (scanline = filter byte +
+      // 3w pixel bytes)
+      val valsExpr = transform(sequence(lit(0), lit(n - 1)), k => {
+        val y = floor(k / rowLen)
+        val c = k % rowLen
+        val i = c - 1
+        val j = y * (3 * w) + i // raw index of the current byte
+        val ftype = y % 5
+        val cur = px(j)
+        val left = when(i >= 3, px(j - 3)).otherwise(lit(0L))
+        val up = when(y > 0, px(j - 3 * w)).otherwise(lit(0L))
+        val ul = when(y > 0 && i >= 3, px(j - 3 * w - 3)).otherwise(lit(0L))
+        val p = left + up - ul
+        val pa = abs(p - left)
+        val pb = abs(p - up)
+        val pc = abs(p - ul)
+        val paeth = when(pa <= pb && pa <= pc, left)
+          .when(pb <= pc, up).otherwise(ul)
+        val pred = when(ftype === 0, lit(0L))
+          .when(ftype === 1, left)
+          .when(ftype === 2, up)
+          .when(ftype === 3, floor((left + up) / 2))
+          .otherwise(paeth)
+        when(c === 0, ftype).otherwise(pmod(cur - pred, lit(256)))
+      })
+      element_at(transform(array(valsExpr), vals => {
+        val bodyHex = array_join(
+          transform(vals, v => lpad(hex(v), 2, "0")), "")
+        // adler32 of the filtered stream as ONE fold: per byte a += d,
+        // b += a (a starts at 1); sums stay far below 2^63
+        val ab = aggregate(vals,
+          struct(lit(1L).as("a"), lit(0L).as("b")),
+          (acc, v) => {
+            val a2 = acc.getField("a") + v
+            struct(a2.as("a"), (acc.getField("b") + a2).as("b"))
+          })
+        val a = pmod(ab.getField("a"), lit(65521L))
+        val b = pmod(ab.getField("b"), lit(65521L))
+        val zlibHex = concat(
+          lit("7801"),          // zlib header (deflate, default window)
+          lit("01"),            // BFINAL=1, BTYPE=00 (stored)
+          leHex(lit(n), 2), leHex(lit(65535 - n), 2), // LEN, ~LEN
+          bodyHex,
+          beHex(b * 65536L + a, 4))
+        val idatIendHex = concat(
+          beHex(lit(n + 11), 4), // zlib stream length: 2+5+n+4
+          lit("49444154"),       // 'IDAT'
+          zlibHex,
+          lit("00000000"),       // IDAT CRC (zeroed, not validated)
+          lit("0000000049454E44AE426082")) // IEND (spec CRC constant)
+        pngPayload(lit(w), lit(h), unhex(idatIendHex))
+      }), 1)
+    }), 1)
   }
 
   /** Deterministic 24-bpp test image: pixel channel bytes follow

@@ -56,6 +56,51 @@ object Sampling {
       .withColumn("bin", floor(col("bin_offset") / budget).cast("long"))
   }
 
+  /** Pretraining SEQUENCE PACKING — the pass that turns a curated corpus
+    * into fixed-length training sequences: documents are concatenated in
+    * deterministic id order within each shard and the token stream is
+    * cut into windows of exactly `seqLen` tokens, documents SPANNING
+    * window boundaries (the GPT-style pack; [[packBins]] is the
+    * no-split bin variant). Emits one row per (shard, window): how many
+    * documents touch it, the first/last document id, and its fill
+    * (= seqLen everywhere except each shard's final window).
+    *
+    * Shape — the gapFill span-explode pattern at token granularity: one
+    * shuffle on the shard key, a per-shard prefix-sum window gives each
+    * document its [start, end) offsets in the shard stream, a map-side
+    * sequence()+explode fans each document to the ceil(n/seqLen)+1
+    * windows it overlaps, and a partial-combined agg keyed on
+    * (shard, window) builds the output. Nothing is ever materialized at
+    * token scale; per-window fill is the exact integer overlap sum.
+    *
+    * Empty documents (0 tokens) occupy no window and are dropped —
+    * sequence() would otherwise count DOWN from start/L to (start-1)/L.
+    */
+  def seqPack(docs: DataFrame, idCol: String, nTokensCol: String,
+              seqLen: Long, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0)
+    val id = col(idCol)
+    val shard = pmod(conv(substring(md5(concat(id.cast("string"),
+      lit(":sp"))), 1, 8), 16, 10).cast("long"), lit(shards))
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = docs
+      .select(id.as("id"), col(nTokensCol).cast("long").as("n"),
+        shard.as("shard"))
+      .filter(col("n") > 0)
+      .withColumn("end", sum(col("n")).over(w))
+      .withColumn("start", col("end") - col("n"))
+    withOff
+      .select(col("shard"), col("id"), col("start"), col("end"),
+        explode(sequence(floor(col("start") / seqLen),
+          floor((col("end") - 1) / seqLen))).as("win"))
+      .groupBy(col("shard"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("first_doc"), max(col("id")).as("last_doc"),
+        sum(least(col("end"), (col("win") + 1) * seqLen) -
+          greatest(col("start"), col("win") * seqLen)).as("n_tokens"))
+  }
+
   /** Uniform [0, 1) double from the record id under a named salt: first
     * 15 md5 hex digits (60 bits) over 2^60. Integer-to-double division of
     * a value < 2^60 is a single correctly-rounded IEEE op, so any engine

@@ -310,6 +310,25 @@ class LlmOpsSpec extends SparkSpec {
     assert((0 until 4).forall(i => !ov.isNullAt(i)))
   }
 
+  test("sampling: seqPack cuts the concatenated token stream into exact " +
+       "windows — boundary-spanning docs, short final window, empty doc " +
+       "dropped") {
+    import spark.implicits._
+    // one shard (shards = 1): offsets d1 [0,3) d2 [3,8) d3 [8,12) d4 [12,14)
+    val d = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 2L), (5L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.seqPack(d, "doc_id", "n_tokens", seqLen = 4L, shards = 1)
+      .orderBy("win").collect()
+      .map(r => (r.getAs[Long]("win"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc"),
+        r.getAs[Long]("n_tokens")))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 2L, 4L),  // d1 whole + d2's first token
+      (1L, 1L, 2L, 2L, 4L),  // d2 spans the boundary into w1
+      (2L, 1L, 3L, 3L, 4L),
+      (3L, 1L, 4L, 4L, 2L))) // shard-final short window; d5 (0 tokens) gone
+  }
+
   test("sketch: heavyHitters is exact and partitioning-invariant — the " +
        "Misra-Gries candidates confirm to the true heavy-hitter set") {
     import spark.implicits._
