@@ -991,6 +991,39 @@ object SparkEntry {
     // ReadSchema (only the columns the query touches), whether the name
     // EQ matcher reached the scan as a pushed filter, and the row count
     // the pruned scan actually produced.
+    // F2 as a PARTITION-PRUNING proof: the metric store is laid out
+    // PARTITIONED BY (date) (S4's layout ≙ the reference's Date
+    // partition key, clickhouse/query.go:18); a 2-day query's date
+    // bounds must physically prune the listing to the covered date
+    // directories — partitions read / total extracted from the EXECUTED
+    // scan and oracle-recomputed from the raw data, so the compare
+    // fails unless pruning actually happened. On a year-long store this
+    // is a 3-vs-360 directory difference per query — the reference's
+    // own reason for the manual date predicate, made checkable.
+    "f2_partition_pruning" -> ((s, dir) => {
+      val table = cachedModel(s"prunetbl:$dir") {
+        val b = java.nio.file.Files.createTempDirectory("graft_prune").toString
+        WritePipeline.append(WritePipeline.toMetricRows(
+          WritePipeline.dropNonFinite(flatSamples(s, dir))), s"$b/metrics")
+        s"$b/metrics"
+      }
+      val q = PromQuery(Jan10 * 1000, Jan12 * 1000,
+        Seq(LabelMatcher(EQ, "__name__", "purchase")))
+      val df = s.read.parquet(table).filter(Matchers.compile(q))
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.getOrElse(sys.error("no parquet scan in plan"))
+      val read = scan.selectedPartitions.partitionCount.toLong
+      val total = s.read.parquet(table)
+        .select(countDistinct(col("date"))).head().getLong(0)
+      s.createDataFrame(Seq(
+          ("partitions_read", read),
+          ("partitions_total", total),
+          ("rows", df.count())))
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
+    }),
+
     "f8_projection_pushdown" -> ((s, dir) => {
       val q = PromQuery(Jan10 * 1000, Jan12 * 1000,
         Seq(LabelMatcher(EQ, "__name__", "purchase")))
@@ -6094,6 +6127,21 @@ object SparkEntry {
          |       min($OSec) AS t_min, max($OSec) AS t_max,
          |       round(sum(value), 4) AS total
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Partition counts re-derived from raw event dates: read = dates
+    // the 2-day window covers, total = every date present, rows = the
+    // matcher's own row count.
+    "f2_partition_pruning" ->
+      s"""WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS dt
+         |  FROM events)
+         |SELECT 'partitions_read' AS metric, CAST(count(*) AS BIGINT) AS value
+         |FROM d WHERE dt >= DATE '2024-01-10' AND dt <= DATE '2024-01-12'
+         |UNION ALL
+         |SELECT 'partitions_total', CAST(count(*) AS BIGINT) FROM d
+         |UNION ALL
+         |SELECT 'rows', CAST(count(*) AS BIGINT) FROM events
+         |WHERE $OSec >= $Jan10 AND $OSec <= $Jan12 AND event_type = 'purchase'
+         |ORDER BY metric""".stripMargin,
 
     // Plan facts are literals (the pruned ReadSchema and the pushed name
     // EQ are properties of the executed plan, not the data); the row

@@ -52,15 +52,20 @@ object Matchers {
     if (step < Period) Period else step
   }
 
-  /** F2 time-range predicate. The explicit `date` bound mirrors the
+  /** F2 time-range predicate. The explicit `date` bounds mirror the
     * reference's manual partition alignment (reference: clickhouse/query.go:18)
-    * and lets Catalyst prune `date`-partitioned parquet even before the
-    * `ts` row filter runs.
+    * and let Catalyst prune `date`-partitioned parquet even before the
+    * `ts` row filter runs. The reference only LOWER-bounds the date; the
+    * upper bound here is result-identical (the ts filter subsumes it)
+    * but prunes the trailing partitions too — on a year-long store a
+    * 2-day query reads 3 date directories instead of ~360
+    * (f2_partition_pruning pins the counts).
     */
   def timeRange(q: PromQuery): Column = {
     val s = q.startMs / 1000
     val e = q.endMs / 1000
     col("date") >= to_date(timestamp_seconds(lit(s))) &&
+      col("date") <= to_date(timestamp_seconds(lit(e))) &&
       col("ts") >= timestamp_seconds(lit(s)) &&
       col("ts") <= timestamp_seconds(lit(e))
   }
