@@ -1098,6 +1098,81 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING heavy hitters: per-micro-batch Misra-Gries summaries
+    // merged into an AT-REST ≤k-row summary (the mergeable-summaries
+    // combine — pointwise sum, subtract the (k+1)-st largest, drop
+    // non-positives — run on the driver-pinned rows, the streaming-HLL
+    // pattern), then the bounded candidate set confirms EXACTLY against
+    // the full corpus. Merge preserves the no-false-negative guarantee
+    // and the confirm pass is exact, so the streamed result EQUALS the
+    // one-shot batch operator — the equality column the oracle pins at
+    // 1. The word stream is spiked with two per-doc hot tokens so k=4
+    // forces real evictions (the fixture vocabulary alone is
+    // near-uniform) and the guarantee is load-bearing, not vacuous.
+    "llm_stream_heavy" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles, Paths}
+      val base = JFiles.createTempDirectory("graft_shh").toString
+      val sumDir = s"$base/summary"
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val in = cachedInputDir(s"shh${math.abs(dir.hashCode)}") { d =>
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        writeTwoBatchParquet(docs, mid, d)
+      }
+      def itemsOf(df: DataFrame) = df.select(explode(concat(
+        filter(TextAnalysis.words(col("text")), w => length(w) > 0),
+        array_repeat(concat(lit("graft_hot_"),
+          (col("doc_id") % 2).cast("string")), 60))).as("w"))
+      val k = 4
+      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val sp = df.sparkSession
+          val batch = itemsOf(df)
+            .agg(graft.GraftExtensions.misraGries(col("w"), k).as("s"))
+            .select(explode(col("s")).as("e"))
+            .select(col("e.item").as("item"), col("e.est").as("est"))
+          val prev =
+            if (JFiles.exists(Paths.get(sumDir)))
+              sp.read.parquet(sumDir).unionByName(batch)
+            else batch
+          // ≤ 2k rows by construction — pin driver-side (the stream-HLL
+          // overwrite-vs-own-scan rule) and run the combine exactly
+          val summed = prev.groupBy(col("item"))
+            .agg(sum(col("est")).as("est"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          val trimmed =
+            if (summed.length <= k) summed.toSeq
+            else {
+              val cut = summed.map(_._2).sorted(Ordering[Long].reverse)(k)
+              summed.map { case (i, e) => (i, e - cut) }
+                .filter(_._2 > 0).toSeq
+            }
+          import sp.implicits._
+          trimmed.toDF("item", "est")
+            .coalesce(1).write.mode("overwrite").parquet(sumDir)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      val cand = s.read.parquet(sumDir)
+        .collect().map(_.getString(0)).toSeq
+      val all = itemsOf(docs)
+      val total = all.agg(count(lit(1))).head().getLong(0)
+      val streamRes = all.filter(col("w").isin(cand: _*))
+        .groupBy(col("w").as("item")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") * k > total)
+      val batchRes = Sketches.heavyHitters(all, "w", k, k.toLong)
+        .select(col("item").as("b_item"), col("freq").as("b_freq"))
+      streamRes.join(batchRes, col("item") === col("b_item"), "full")
+        .select(coalesce(col("item"), col("b_item")).as("item"),
+          coalesce(col("freq"), lit(-1L)).as("freq"),
+          (col("freq") === col("b_freq")).cast("long")
+            .as("stream_equals_batch"))
+        .orderBy(col("freq").desc, col("item"))
+    }),
+
     // C4-style blocklist screen: drop any doc containing a listed term;
     // blocked-occurrence count + keep verdict per doc, map-side only.
     "llm_blocklist" -> ((s, dir) => {
@@ -2526,6 +2601,37 @@ object SparkEntry {
       Dedup.editDistNearDups(d.unionByName(replay), "text", "doc_id",
           maxDist = 16)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Silence-span TRIMMING over real WAV bytes — the audio-curation
+    // pass that cuts dead air before transcription: per-frame peak from
+    // the native kernel (exact integer, no float threshold), quiet
+    // frames merged into maximal spans via gaps-and-islands. The burst
+    // fixture alternates loud/quiet in two-frame runs so real
+    // multi-frame spans get merged; the oracle recomputes every peak
+    // from the sample FORMULA (never the bytes) and replays the same
+    // islands, so the byte-decode path is cross-checked.
+    "llm_audio_trim" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("media_id"),
+          Multimodal.patternWavBursts(col("doc_id"), 512, lit(16000))
+            .as("payload"))
+      val quiet = staged
+        .select(col("media_id"),
+          explode(Multimodal.pcmFrameFeatures(col("payload"), 64)).as("f"))
+        .select(col("media_id"), col("f.frame_no").cast("long").as("fr"),
+          col("f.peak").as("peak"))
+        .filter(col("peak") < 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("fr"))
+      quiet
+        .withColumn("grp", col("fr") - row_number().over(w))
+        .groupBy(col("media_id"), col("grp"))
+        .agg(min(col("fr")).as("span_start"), max(col("fr")).as("span_end"),
+          count(lit(1)).as("n_frames"))
+        .select(col("media_id"), col("span_start"), col("span_end"),
+          col("n_frames"))
+        .orderBy(col("media_id"), col("span_start"))
     }),
 
     // MinHash + LSH near-duplicate detection: shingle → banded md5-minhash
@@ -5595,6 +5701,21 @@ object SparkEntry {
         |  FROM w WHERE length(word) > 0 GROUP BY 1)
         |SELECT word, tf, df FROM g ORDER BY tf DESC, word LIMIT 50""".stripMargin,
 
+    // Streamed == batch == the plain relational heavy-hitter set over
+    // the spiked stream; the equality flag pins at 1.
+    "llm_stream_heavy" ->
+      """WITH w AS (
+        |  SELECT word FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+        |  WHERE length(word) > 0
+        |  UNION ALL
+        |  SELECT 'graft_hot_' || CAST(doc_id % 2 AS VARCHAR)
+        |  FROM documents, range(0, 60)),
+        |f AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM w)
+        |SELECT word AS item, freq, CAST(1 AS BIGINT) AS stream_equals_batch
+        |FROM f, t WHERE freq * 4 > n ORDER BY freq DESC, item""".stripMargin,
+
     // The exact count the sketch's confirm pass converges to.
     "llm_heavy_hitters" ->
       """WITH w AS (
@@ -7791,6 +7912,23 @@ object SparkEntry {
         |                      THEN 1 ELSE 0 END
         |                 for i in range(1, 64)]) AS INT) AS zcr
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
+
+    // Peaks recomputed from the burst formula; same islands replay.
+    "llm_audio_trim" ->
+      """WITH f AS (
+        |  SELECT doc_id, fr,
+        |    list_max([abs(CASE WHEN (fr % 4) IN (1, 2)
+        |      THEN ((doc_id*31 + (fr*64 + i)*17) % 41) - 20
+        |      ELSE ((doc_id*31 + (fr*64 + i)*17) % 4001) - 2000 END)
+        |      for i in range(0, 64)]) AS peak
+        |  FROM documents, range(0, 8) t(fr)),
+        |q AS (SELECT doc_id, fr,
+        |    fr - row_number() OVER (PARTITION BY doc_id ORDER BY fr) AS grp
+        |  FROM f WHERE peak < 100)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(min(fr) AS BIGINT) AS span_start,
+        |  CAST(max(fr) AS BIGINT) AS span_end, count(*) AS n_frames
+        |FROM q GROUP BY doc_id, grp ORDER BY media_id, span_start""".stripMargin,
 
     // dHash closed form: gray(gx,gy) from the pixel formula directly —
     // an INDEPENDENT derivation (no byte parsing), so the byte-level

@@ -430,6 +430,25 @@ object Multimodal {
     wavPayload(lit(1), rate, unhex(bodyHex))
   }
 
+  /** [[patternWav]] with an amplitude burst pattern: sample k is quiet
+    * (v = ((seed·31 + k·17) mod 41) − 20) when its 64-sample frame index
+    * satisfies (k div 64) mod 4 ∈ {1, 2}, loud (the patternWav formula)
+    * otherwise — so frames alternate loud/quiet in runs of two, giving
+    * silence-trim consumers real multi-frame spans to merge. Same
+    * closed-form-pinned contract as patternWav: the oracle recomputes
+    * everything from the formula, never the bytes.
+    */
+  def patternWavBursts(seed: Column, nSamples: Int, rate: Column): Column = {
+    val bodyHex = array_join(
+      transform(sequence(lit(0), lit(nSamples - 1)), k => {
+        val quiet = pmod(floor(k / 64), lit(4)).isin(1, 2)
+        val v = when(quiet, pmod(seed * 31 + k * 17, lit(41)) - 20)
+          .otherwise(pmod(seed * 31 + k * 17, lit(4001)) - 2000)
+        leHex(pmod(v, lit(65536)), 2) // two's-complement LE int16
+      }), "")
+    wavPayload(lit(1), rate, unhex(bodyHex))
+  }
+
   /** Per-frame PCM features (RMS / peak / zero-crossing count) over a WAV
     * payload — REAL audio feature extraction on real bytes, the audio
     * counterpart of [[dHashBmp]]: the RIFF chunk chain is walked, mono
