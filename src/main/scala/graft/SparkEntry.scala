@@ -2177,6 +2177,22 @@ object SparkEntry {
     // ≥ w+k−1-word match shares a fingerprint). Words 11..40 of every
     // 5th long doc are replanted as new docs; selection is one map-side
     // array pass, only selected (hash, pos) rows shuffle.
+    // MOSS document-pair matching on the winnowing fingerprints: rare
+    // fingerprints (df ≤ 6) self-join into candidate pairs, pairs
+    // sharing ≥ 3 score containment ppm per side. The planted partial
+    // replays (words 11-40 of every 5th doc) must surface against
+    // their source docs with high containment on the excerpt side —
+    // the quote/plagiarism detector whole-doc similarity misses.
+    "llm_winnow_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val part = d.filter(col("doc_id") % 5 === 0 && size(ws) >= 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          array_join(slice(ws, 11, 30), " ").as("text"))
+      Dedup.winnowPairs(d.unionByName(part), 4, 4, maxDf = 6, minShared = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "llm_winnowing" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val ws = TextAnalysis.words(col("text"))
@@ -7374,6 +7390,45 @@ object SparkEntry {
     // Same k=4/w=4 winnowing, spelled relationally: k-gram hash rows,
     // window rows, a BETWEEN join, and a rightmost-min row_number pick
     // (ORDER BY h ASC, j DESC matches the fold's <= displacement).
+    // Same selection chain as llm_winnowing; the pair stage replays the
+    // df cap, shared-count floor, and integer containment ppm.
+    "llm_winnow_pairs" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    array_to_string((str_split(text, ' '))[11:40], ' ')
+        |  FROM documents
+        |  WHERE doc_id % 5 = 0 AND len(str_split(text, ' ')) >= 40),
+        |w1 AS (SELECT doc_id, str_split(text, ' ') AS ws FROM all_docs),
+        |kg AS (SELECT doc_id, j,
+        |    CAST('0x'||substr(md5(array_to_string(ws[j:j+3], ' ')),1,15)
+        |      AS BIGINT) AS h
+        |  FROM w1, unnest(range(1, len(ws) - 2)) AS t(j)),
+        |win AS (SELECT doc_id, s
+        |  FROM w1, unnest(range(1, len(ws) - 5)) AS t(s)),
+        |cand AS (SELECT w.doc_id, w.s, k.j, k.h
+        |  FROM win w JOIN kg k ON k.doc_id = w.doc_id
+        |    AND k.j >= w.s AND k.j <= w.s + 3),
+        |selr AS (SELECT doc_id, s, j, h,
+        |    row_number() OVER (PARTITION BY doc_id, s
+        |      ORDER BY h ASC, j DESC) AS rn
+        |  FROM cand),
+        |fpz AS (SELECT DISTINCT doc_id, h FROM selr WHERE rn = 1),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM fpz GROUP BY 1),
+        |rare AS (SELECT doc_id, h FROM fpz WHERE h IN (
+        |    SELECT h FROM fpz GROUP BY h HAVING count(*) <= 6)),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(n_shared * 1000000 // sa.n_fp AS BIGINT) AS cont_a_ppm,
+        |  CAST(n_shared * 1000000 // sb.n_fp AS BIGINT) AS cont_b_ppm
+        |FROM pr JOIN sz sa ON sa.doc_id = pr.id_a
+        |JOIN sz sb ON sb.doc_id = pr.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "llm_winnowing" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -912,6 +912,61 @@ object Dedup {
         col("fp.h").as("fp_hash"))
   }
 
+  /** MOSS-style document-pair matching over winnowing fingerprints
+    * (Schleimer et al. §5 — the step after selection that MOSS actually
+    * ships): two documents match when they SHARE selected fingerprints,
+    * scored by each side's containment (shared / own distinct
+    * fingerprints, exact-integer ppm). Winnowing's guarantee makes the
+    * candidate generation sound: any common substring of length
+    * ≥ w+k−1 contributes at least one shared fingerprint, so partial
+    * overlaps (quotes, excerpts, plagiarized sections) surface even
+    * when whole-document similarity is negligible.
+    *
+    * Scale shape — the inverted-index pair join with a df CAP: only the
+    * ~2/(w+1) selected (doc, hash) rows leave the scan, fingerprints
+    * appearing in more than `maxDf` documents are dropped before the
+    * self-join (a boilerplate fingerprint in s docs would cost s² pair
+    * rows — the Σdf² bound, same rule as the containment op), and only
+    * pairs sharing ≥ `minShared` fingerprints survive to the scoring
+    * join against the per-doc totals.
+    *
+    * @return (id_a, id_b, n_shared, cont_a_ppm, cont_b_ppm)
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, maxDf: Int,
+                  minShared: Long, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(maxDf >= 2 && minShared >= 1)
+    val fp = winnowFingerprints(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .persist()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val rare = fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("fp_hash")),
+      Seq("fp_hash"), "left_semi")
+    val pairs = rare.select(col("fp_hash"), col("doc_id").as("id_a"))
+      .join(rare.select(col("fp_hash"), col("doc_id").as("id_b")),
+        Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val M = lit(1000000L)
+    val out = pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        call_function("div", col("n_shared") * M, col("n_a"))
+          .as("cont_a_ppm"),
+        call_function("div", col("n_shared") * M, col("n_b"))
+          .as("cont_b_ppm"))
+      .localCheckpoint(true)
+    fp.unpersist()
+    out
+  }
+
   /** Cross-source contamination matrix: for every source pair, the count
     * of distinct word n-grams they SHARE, plus each side's containment
     * ppm (shared / own distinct grams) — the corpus-audit view that
