@@ -2076,6 +2076,23 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("doc_id"))
     }),
 
+    // Deterministic random-walk corpus (DeepWalk/node2vec generation):
+    // one walk per seed (every 29th doc), 4 hops, next hop = the
+    // out-neighbor minimizing a md5 draw over (node, neighbor, step) —
+    // pseudo-random but a pure function of the inputs, so the walk
+    // table is bit-reproducible under any scheduling (an RNG walker is
+    // not). Pregel-shaped: per step one frontier⋈edges join + a
+    // per-walk struct-min; the oracle unrolls all 4 hops as CTEs.
+    "llm_random_walks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir, spread = false).select(col("doc_id"))
+      val seeds = d.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("id"))
+      LinkGraph.randomWalks(seeds, docLinkEdges(d), steps = 4)
+        .select(col("walk_id").cast("long").as("walk_id"), col("step"),
+          col("node").cast("long").as("node"))
+        .orderBy(col("walk_id"), col("step"))
+    }),
+
     // Per-source doc-length quantiles via percentile_approx — Spark's
     // built-in Greenwald-Khanna sketch: partial-combined and MERGEABLE,
     // so per-group state is constant-size regardless of corpus size (the
@@ -4891,6 +4908,30 @@ object SparkEntry {
          |    GROUP BY e.dst) f USING (id))""".stripMargin
     }.mkString(",\n")
 
+  /** Random-walk oracle: the 4 hops unrolled, each an arg-min via
+    * row_number over the same md5 draw (ties to the lowest dst), over
+    * the shared link-graph CTEs.
+    */
+  private def oRandomWalksSql: String = {
+    val stepCtes = (1 to 4).map { t =>
+      s"""p$t AS (SELECT walk_id, dst AS node FROM (
+         |  SELECT f.walk_id, e.dst, row_number() OVER (PARTITION BY f.walk_id
+         |    ORDER BY CAST('0x'||substr(md5(CAST(f.node AS VARCHAR)||':'||
+         |      CAST(e.dst AS VARCHAR)||':$t'),1,15) AS BIGINT), e.dst) AS rn
+         |  FROM p${t - 1} f JOIN e ON e.src = f.node) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 4)
+      .map(t => s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM p$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT count(*) AS n FROM documents),
+       |$OLinkGraphCtes,
+       |p0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents
+       |  WHERE doc_id % 29 = 0),
+       |$stepCtes
+       |$sel
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   private def oPageRankSql: String =
     s"""WITH c AS (SELECT count(*) AS n,
        |    1000000000000 // count(*) AS pr0,
@@ -5545,6 +5586,7 @@ object SparkEntry {
     "llm_ann_rerank" -> oAnnRerankSql,
     "llm_pagerank" -> oPageRankSql,
     "llm_ppr" -> oPprSql,
+    "llm_random_walks" -> oRandomWalksSql,
 
     // Independent recomputation of the manifest from raw content: the
     // 48-bit md5 prefix sum runs in DuckDB's HUGEINT (also exact), and

@@ -31,6 +31,50 @@ object LinkGraph {
     */
   val HitsScale = 1000000L
 
+  /** Deterministic random-walk corpus generation (the DeepWalk /
+    * node2vec data pass, Perozzi et al. 2014): one walk per seed node,
+    * `steps` hops, where the hop from node u at step t goes to the
+    * out-neighbor v minimizing the md5-derived draw h(u, v, t) — a
+    * stateless pseudo-random choice that is a pure function of
+    * (u, v, t), so walks are bit-reproducible on any engine, cluster
+    * layout, or retry (an RNG-seeded walker is not: its draw order
+    * depends on task scheduling). Walks feed skip-gram embedding
+    * trainers; the walk table IS the training corpus.
+    *
+    * Scale shape: Pregel-shaped — each step is one frontier⋈edges join
+    * (keyed on the current node) plus a partial-combined per-walk
+    * struct-min (the arg-min rides a (draw, dst) struct, ties to the
+    * lowest dst); frontier cardinality stays exactly one row per walk,
+    * so step cost is bounded by walks × out-degree. Walks whose node
+    * has no out-edge simply end (the join drops them) — dangling-node
+    * semantics.
+    *
+    * @return (walk_id = seed id, step 0..steps, node) — step 0 is the
+    *         seed itself
+    */
+  def randomWalks(seeds: DataFrame, edges: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1)
+    var frontier = seeds
+      .select(col("id").as("walk_id"), col("id").as("node"),
+        lit(0L).as("step"))
+    var acc = frontier
+    for (t <- 1 to steps) {
+      val draw = conv(substring(md5(concat(
+        col("node").cast("string"), lit(":"),
+        col("dst").cast("string"), lit(s":$t"))), 1, 15), 16, 10)
+        .cast("long")
+      val nxt = frontier.join(edges, col("node") === col("src"))
+        .select(col("walk_id"), struct(draw.as("h"), col("dst")).as("hd"))
+        .groupBy(col("walk_id"))
+        .agg(min(col("hd")).as("m"))
+        .select(col("walk_id"), col("m.dst").as("node"),
+          lit(t.toLong).as("step"))
+      frontier = nxt
+      acc = acc.unionByName(nxt)
+    }
+    acc
+  }
+
   /** Fixed-iteration HITS (Kleinberg 1999): authorities are pages good
     * hubs point TO, hubs are pages that point to good authorities — the
     * complementary centrality pair to PageRank for link-directory-heavy
