@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomK, MisraGries, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -43,6 +43,7 @@ object GraftExtensions {
     fn("nfc_normalize", classOf[NfcNormalize], 1, c => NfcNormalize(c.head)),
     fn("dhash_bmp", classOf[DHashBmp], 1, c => DHashBmp(c.head)),
     fn("dhash_png", classOf[DHashPng], 1, c => DHashPng(c.head)),
+    fn("mjpeg_frames", classOf[MjpegFrames], 1, c => MjpegFrames(c.head)),
     fn("deflate_len", classOf[DeflateLen], 1, c => DeflateLen(c.head)))
   // pcm_features takes a compile-time frame length, so it is exposed via
   // the Column constructor below rather than as a SQL function (the SQL
@@ -79,6 +80,8 @@ object GraftExtensions {
     ColumnBridge.col(DHashBmp(ColumnBridge.expr(payload)))
   def dhashPng(payload: Column): Column =
     ColumnBridge.col(DHashPng(ColumnBridge.expr(payload)))
+  def mjpegFrames(payload: Column): Column =
+    ColumnBridge.col(MjpegFrames(ColumnBridge.expr(payload)))
   def pcmFeatures(payload: Column, frameLen: Int): Column =
     ColumnBridge.col(PcmFrameFeatures(ColumnBridge.expr(payload), frameLen))
   def deflateLen(payload: Column): Column =

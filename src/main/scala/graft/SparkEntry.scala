@@ -2657,6 +2657,34 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MJPEG frame split + per-frame decode — REAL multi-frame video
+    // handling: each doc becomes a 3-frame motion-JPEG clip (complete
+    // SOI…EOI images back to back, per-frame geometry varying), the
+    // native mjpeg_frames kernel walks the container, and decodeMeta's
+    // real JPEG SOF0 decoder runs on each frame SUBSTRING — multi-frame
+    // media reusing the whole single-image pipeline. Offsets, lengths,
+    // and geometry are all closed-form (fixed 39-byte header + body +
+    // EOI), so the oracle pins the walk arithmetic independently.
+    "llm_video_mjpeg" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("media_id"),
+          Multimodal.patternMjpeg(col("doc_id"), 3, 16, 9, 40).as("payload"))
+      staged
+        .select(col("media_id"), col("payload"),
+          explode(Multimodal.mjpegFrames(col("payload"))).as("f"))
+        .select(col("media_id"),
+          col("f.frame_no").cast("long").as("frame_no"),
+          col("f.off").cast("long").as("off"),
+          col("f.len").cast("long").as("len"),
+          Multimodal.decodeMeta(
+            col("payload").substr(col("f.off") + 1, col("f.len"))).as("m"))
+        .select(col("media_id"), col("frame_no"), col("off"), col("len"),
+          col("m.format").as("format"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     // Silence-span TRIMMING over real WAV bytes — the audio-curation
     // pass that cuts dead air before transcription: per-frame peak from
     // the native kernel (exact integer, no float threshold), quiet
@@ -8068,6 +8096,16 @@ object SparkEntry {
         |                      THEN 1 ELSE 0 END
         |                 for i in range(1, 64)]) AS INT) AS zcr
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
+
+    // Frame layout is pure arithmetic: 39-byte header + 40-byte body +
+    // EOI = 81 per frame; geometry (16+f)×(9+f) from the builder.
+    "llm_video_mjpeg" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(f AS BIGINT) AS frame_no, CAST(f * 81 AS BIGINT) AS off,
+        |  CAST(81 AS BIGINT) AS len, 'jpeg' AS format,
+        |  CAST(16 + f AS BIGINT) AS width, CAST(9 + f AS BIGINT) AS height
+        |FROM documents, range(0, 3) t(f)
+        |ORDER BY media_id, frame_no""".stripMargin,
 
     // Peaks recomputed from the burst formula; same islands replay.
     "llm_audio_trim" ->

@@ -364,6 +364,46 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** MJPEG-style concatenated-frame container split: the payload is a
+    * back-to-back sequence of complete JPEG images (SOI … EOI), the
+    * motion-JPEG layout; the kernel walks the byte stream and returns
+    * one (frame_no, off, len) row per frame — offsets let the consumer
+    * substring out each frame and run the ordinary per-image decoders
+    * (geometry, dHash) on it, which is how multi-frame media reuses the
+    * single-image pipeline.
+    *
+    * Null (the garbage-refusal contract) when the stream doesn't start
+    * at an SOI, any frame's EOI is missing, or no frame exists. The EOI
+    * scan takes the FIRST FF D9 after the frame's SOI — correct for
+    * baseline streams whose entropy data is 0xFF-stuffed (FF 00), which
+    * the spec mandates; a corrupt unstuffed body splits early and the
+    * downstream per-frame header decode nulls out.
+    */
+  def mjpegFrames(payload: Array[Byte]): ArrayData = {
+    val n = payload.length
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var frame = 0
+    while (pos < n) {
+      if (pos + 4 > n || (payload(pos) & 0xff) != 0xff ||
+        (payload(pos + 1) & 0xff) != 0xd8) return null
+      var i = pos + 2
+      var end = -1
+      while (end < 0 && i + 1 < n) {
+        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd9)
+          end = i + 2
+        i += 1
+      }
+      if (end < 0) return null
+      rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](frame, pos, end - pos))
+      pos = end
+      frame += 1
+    }
+    if (frame == 0) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
   /** Raw-deflate compressed length of a byte payload — the kernel under
     * the compression-ratio quality signal (near-incompressible text is
     * high-entropy noise, near-totally-compressible text is boilerplate

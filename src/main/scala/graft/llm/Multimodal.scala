@@ -146,6 +146,36 @@ object Multimodal {
       lit("012200"), lit("021101"), lit("031101"))), // Y 2x2, Cb, Cr
       body)
 
+  /** MJPEG concatenated-frame split (native codegen'd kernel): one
+    * (frame_no, off, len) row per complete SOI…EOI image in the stream.
+    * Per-frame decode composes with [[decodeMeta]] on the substring —
+    * multi-frame media reuses the whole single-image pipeline.
+    */
+  def mjpegFrames(payload: Column): Column =
+    graft.GraftExtensions.mjpegFrames(payload)
+
+  /** Deterministic MJPEG test clip: `frames` complete JPEGs back to
+    * back, frame f carrying real [[jpegPayload]] headers with geometry
+    * (w0+f) × (h0+f), a `bodyLen`-byte entropy body whose bytes follow
+    * (seed·13 + f·31 + i·7) mod 0xF0 — never 0xFF, so no fake EOI can
+    * appear inside a body — and a real EOI marker. Every frame's offset
+    * and length are closed-form (header is a fixed 39 bytes), so the
+    * container walk and the per-frame geometry decode are both pinned
+    * against arithmetic, not against the builder's own bytes.
+    */
+  def patternMjpeg(seed: Column, frames: Int, w0: Int, h0: Int,
+                   bodyLen: Int): Column = {
+    require(frames >= 1 && bodyLen >= 1)
+    concat((0 until frames).flatMap { f =>
+      val bodyHex = array_join(
+        transform(sequence(lit(0), lit(bodyLen - 1)),
+          i => lpad(hex(pmod(seed * 13 + f * 31 + i * 7, lit(0xF0))), 2, "0")),
+        "")
+      Seq(jpegPayload(lit(w0 + f), lit(h0 + f), unhex(bodyHex)),
+        unhex(lit("FFD9")))
+    }: _*)
+  }
+
   /** Offset (1-based) of the SOF0 marker, found by walking the segment
     * chain from just past SOI: each header segment is FF <marker>
     * <len16 including itself>, so the walk is a BOUNDED fold (`maxSeg`

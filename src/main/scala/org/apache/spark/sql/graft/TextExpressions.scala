@@ -163,6 +163,43 @@ object PcmFrameFeatures {
     containsNull = false)
 }
 
+/** MJPEG concatenated-frame split as a native codegen'd expression —
+  * the video sibling of [[PcmFrameFeatures]]: one byte walk per row
+  * yields (frame_no, off, len) rows; per-frame decode then reuses the
+  * single-image path on the substring. Null for streams that don't
+  * start at SOI or whose EOI chain is broken.
+  */
+case class MjpegFrames(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MjpegFrames.Schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mjpeg_frames"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.mjpegFrames(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.Kernels.mjpegFrames($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MjpegFrames =
+    copy(child = newChild)
+}
+
+object MjpegFrames {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("off", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 /** Unigram-LM E-step (forward-backward expected piece counts +
   * log-likelihood) for one word as a native codegen'd expression. The
   * model (piece inventory + log-probs) is a plan-time constant: it

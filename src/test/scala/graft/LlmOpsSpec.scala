@@ -1859,6 +1859,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(bad.getString(3).length == 16)
   }
 
+  test("multimodal: mjpegFrames splits concatenated JPEGs at real EOI " +
+       "markers and refuses broken streams") {
+    import spark.implicits._
+    val clip = Seq(7L).toDF("seed").select(
+      Multimodal.patternMjpeg(col("seed"), 3, 16, 9, 40).as("p"))
+    val rows = clip.select(explode(Multimodal.mjpegFrames(col("p"))).as("f"))
+      .select(col("f.frame_no"), col("f.off"), col("f.len"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((0, 0, 81), (1, 81, 81), (2, 162, 81)))
+    // refusal: not starting at SOI; truncated final frame (EOI cut off)
+    val bad = clip.select(
+      Multimodal.mjpegFrames(expr("substring(p, 2, length(p) - 1)")).as("a"),
+      Multimodal.mjpegFrames(expr("substring(p, 1, length(p) - 1)")).as("b"),
+      Multimodal.mjpegFrames(encode(lit("not a jpeg"), "UTF-8")).as("c"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
   test("multimodal: pcmFrameFeatures decodes real RIFF bytes (chunk walk, " +
        "LE int16 sign, word-aligned skip) and refuses non-PCM16 payloads") {
     import spark.implicits._
