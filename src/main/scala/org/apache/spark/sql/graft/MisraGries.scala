@@ -131,8 +131,10 @@ object MisraGries {
       * itself is absorbed by the decrement).
       */
     def offer(item: UTF8String): Unit = {
-      val cur = m.get(item)
-      if (cur != 0L || m.containsKey(item)) m.put(keyOf(item), cur + 1L)
+      val cur = m.get(item) // counts are never 0, so 0 means absent
+      // hit path: put() on an existing key keeps the stored (owned) key
+      // and only swaps the value — no defensive copy needed
+      if (cur != 0L) m.put(item, cur + 1L)
       else if (m.size < k) m.put(keyOf(item), 1L)
       else {
         val it = m.entrySet().iterator()
