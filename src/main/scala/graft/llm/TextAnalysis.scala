@@ -616,33 +616,28 @@ object TextAnalysis {
     * @return struct(n_words, gopher_pass 0/1, logit_fp fixed-point long,
     *         keep 0/1 = rule gate AND classifier)
     */
-  def qualityFilter(text: Column): Column =
-    // the word array feeds ~7 features; bound ONCE as a transform()
-    // lambda variable (the boilerplateStrip let-binding idiom) —
-    // CollapseProject would otherwise inline the split+filter into
-    // every consumer, and HOF lambdas get no subexpression elimination
-    element_at(transform(
-      array(filter(words(text), w => length(w) > 0)), ws => {
-        val nWords = size(ws)
-        def ratio(num: Column): Column =
-          when(nWords === 0, lit(0.0)).otherwise(num.cast("double") / nWords)
-        val ttr = ratio(size(array_distinct(ws)))
-        val meanLen = ratio(aggregate(ws, lit(0L), (acc, w) => acc + length(w)))
-        val stopN = stopHits(ws, "en")
-        val stopRatio = ratio(stopN)
-        val dup = repetitionStats(ws, 3).getField("dup_ratio")
-        val sizeFeat = least(lit(1.0), nWords.cast("double") / 100)
-        val Seq(w1, w2, w3, w4, w5) = QualityWeights
-        val logit = lit(QualityBias) + lit(w1) * ttr + lit(w2) * meanLen +
-          lit(w3) * stopRatio + lit(w4) * sizeFeat + lit(w5) * dup
-        val gopher = nWords >= 50 && nWords <= 100000 &&
-          meanLen >= 3.0 && meanLen <= 10.0 && stopN >= 2 && dup <= 0.3
-        struct(
-          nWords.cast("long").as("n_words"),
-          gopher.cast("long").as("gopher_pass"),
-          floor(logit * lit(1048576.0)).cast("long").as("logit_fp"),
-          (gopher && logit > 0).cast("long").as("keep"))
-      }), 1)
+  def qualityFilter(text: Column): Column = {
+    val ws = filter(words(text), w => length(w) > 0)
+    val nWords = size(ws)
+    def ratio(num: Column): Column =
+      when(nWords === 0, lit(0.0)).otherwise(num.cast("double") / nWords)
+    val ttr = ratio(size(array_distinct(ws)))
+    val meanLen = ratio(aggregate(ws, lit(0L), (acc, w) => acc + length(w)))
+    val stopN = stopHits(ws, "en")
+    val stopRatio = ratio(stopN)
+    val dup = repetitionStats(ws, 3).getField("dup_ratio")
+    val sizeFeat = least(lit(1.0), nWords.cast("double") / 100)
+    val Seq(w1, w2, w3, w4, w5) = QualityWeights
+    val logit = lit(QualityBias) + lit(w1) * ttr + lit(w2) * meanLen +
+      lit(w3) * stopRatio + lit(w4) * sizeFeat + lit(w5) * dup
+    val gopher = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 && stopN >= 2 && dup <= 0.3
+    struct(
+      nWords.cast("long").as("n_words"),
+      gopher.cast("long").as("gopher_pass"),
+      floor(logit * lit(1048576.0)).cast("long").as("logit_fp"),
+      (gopher && logit > 0).cast("long").as("keep"))
+  }
 
   /** The fixed-point feature grid shared by [[distillPerceptron]] and
     * [[perceptronScore]]: 2^0..; S scales every ratio onto an integer
@@ -659,29 +654,23 @@ object TextAnalysis {
     */
   private def perceptronFeatures(text: Column): Column = {
     val s = PerceptronScale
-    // word and shingle arrays bound once as lambda variables (the
-    // qualityFilter rationale — each feeds several features)
-    element_at(transform(
-      array(filter(words(text), w => length(w) > 0)), ws => {
-        val n = size(ws).cast("long")
-        def overN(num: Column): Column =
-          when(n === 0, 0L).otherwise(floor(lit(s) * num / n).cast("long"))
-        element_at(transform(array(wordShingles(ws, 3)), grams => {
-          val ng = size(grams).cast("long")
-          val fs = Seq(
-            lit(s),
-            overN(size(array_distinct(ws)).cast("long")),
-            overN(aggregate(ws, lit(0L), (acc, w) => acc + length(w))),
-            overN(stopHits(ws, "en").cast("long")),
-            least(lit(s), lit(100L) * n),
-            when(ng === 0, 0L)
-              .otherwise(
-                floor(lit(s) * (ng - size(array_distinct(grams))) / ng)
-                  .cast("long")))
-          array(fs.zipWithIndex.map { case (f, b) =>
-            struct(lit(b.toLong).as("b"), f.as("cnt")) }: _*)
-        }), 1)
-      }), 1)
+    val ws = filter(words(text), w => length(w) > 0)
+    val n = size(ws).cast("long")
+    val grams = wordShingles(ws, 3)
+    val ng = size(grams).cast("long")
+    def overN(num: Column): Column =
+      when(n === 0, 0L).otherwise(floor(lit(s) * num / n).cast("long"))
+    val fs = Seq(
+      lit(s),
+      overN(size(array_distinct(ws)).cast("long")),
+      overN(aggregate(ws, lit(0L), (acc, w) => acc + length(w))),
+      overN(stopHits(ws, "en").cast("long")),
+      least(lit(s), lit(100L) * n),
+      when(ng === 0, 0L)
+        .otherwise(floor(lit(s) * (ng - size(array_distinct(grams))) / ng)
+          .cast("long")))
+    array(fs.zipWithIndex.map { case (f, b) =>
+      struct(lit(b.toLong).as("b"), f.as("cnt")) }: _*)
   }
 
   /** Distill the composed quality filter into a TRAINED linear model —
