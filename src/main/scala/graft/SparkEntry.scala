@@ -4130,6 +4130,42 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("value"))
     }),
 
+    // FORWARD as-of: each purchase gets the EARLIEST click at or after
+    // it, per user — backward as-of on negated time, so the one-shuffle
+    // union+window machinery is reused verbatim. Oracle = DuckDB's
+    // native ASOF JOIN over negated timestamps (its ASOF is
+    // backward-only; negation is the standard direction flip).
+    "ts_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"), col("event_type"))
+      val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val r = ev.filter(col("event_type") === "click").drop("event_type")
+      TimeSeriesOps.asofJoinForward(l, r, Seq("user_id"), "ts", "value",
+          "next_click")
+        .select(col("user_id"), col("ts"), round(col("value"), 4).as("value"),
+          coalesce(round(col("next_click"), 4), lit(-1.0)).as("next_click"))
+        .orderBy(col("user_id"), col("ts"), col("value"))
+    }),
+
+    // Trailing-window exact MEDIAN per series — the robust
+    // *_over_time variant (median shrugs off the spike that drags a
+    // mean); same time-keyed RANGE frame as ts_range_agg, exact
+    // interpolation on both engines.
+    "ts_range_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeMedian(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), round(col("med"), 4).as("med"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
     // Sessionization: per-user event stream split at >1h gaps; one
     // shuffle drives both window passes and the per-session rollup keys
     // include the partition key, so the final agg is skew-free.
@@ -8241,6 +8277,33 @@ object SparkEntry {
          |       coalesce(round(r.click_val, 4), -1.0) AS click_val
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.user_id, l.ts, value""".stripMargin,
+
+    // Direction flip: DuckDB ASOF is backward-only, so the forward join
+    // replays as backward over negated timestamps.
+    "ts_asof_fwd" ->
+      s"""WITH l AS (
+         |  SELECT user_id, $OSec AS ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |r AS (
+         |  SELECT user_id, $OSec AS ts, max(value) AS next_click FROM events
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |ln AS (SELECT user_id, ts, value, -ts AS nt FROM l),
+         |rn AS (SELECT user_id, next_click, -ts AS nt FROM r)
+         |SELECT ln.user_id, ln.ts, round(ln.value, 4) AS value,
+         |       coalesce(round(rn.next_click, 4), -1.0) AS next_click
+         |FROM ln ASOF LEFT JOIN rn
+         |  ON ln.user_id = rn.user_id AND ln.nt >= rn.nt
+         |ORDER BY ln.user_id, ln.ts, value""".stripMargin,
+
+    "ts_range_median" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+         |    value FROM events)
+         |SELECT event_type, user_id, event_id, ts,
+         |  round(quantile_cont(value, 0.5) OVER w, 4) AS med
+         |FROM s
+         |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+         |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
     // Session merge replayed relationally: split at gap >= 3600 (the
     // session_window boundary), gap-extended ends, emission gated at

@@ -60,6 +60,27 @@ object TimeSeriesOps {
       .drop("_side", "_rbox")
   }
 
+  /** FORWARD as-of join: for each left row, the right side's value at
+    * the SMALLEST right timestamp ≥ the left timestamp, per key — the
+    * "next reading after the event" lookup (QuestDB `LT JOIN` mirrored,
+    * kdb `aj` with reversed sort). Implemented by time negation over
+    * [[asofJoin]]: backward-as-of on −ts is exactly forward-as-of on ts
+    * (and ≤ flips to ≥ inclusively), so the union+window machinery —
+    * one shuffle, no range blow-up — is reused verbatim, and the right
+    * dedup picks max value per (key, ts) exactly as the backward form
+    * does.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightValCol: String,
+                      rightValAlias: String): DataFrame = {
+    val neg = "_neg_ts"
+    val l = left.withColumn(neg, -col(tsCol))
+    val r = right.withColumn(neg, -col(tsCol)).drop(tsCol)
+    asofJoin(l.drop(tsCol), r, keys, neg, rightValCol, rightValAlias)
+      .withColumn(tsCol, -col(neg))
+      .drop(neg)
+  }
+
   /** Interval (point-in-range) join: each left event at `tsCol` = t
     * matches the right intervals [startCol, endCol] with the same keys
     * that contain t. Spark plans a raw BETWEEN join as
@@ -192,6 +213,24 @@ object TimeSeriesOps {
       .withColumn("sum_fp", sum(col("_val_fp")).over(w))
       .withColumn("max_fp", max(col("_val_fp")).over(w))
       .drop("_val_fp")
+  }
+
+  /** Trailing-window EXACT median — the robust *_over_time companion to
+    * [[rangeAgg]]'s count/sum/max: per sample, percentile 0.5 over the
+    * same trailing time-keyed RANGE frame. Exact interpolation (Spark
+    * `percentile` ≙ DuckDB `quantile_cont`, the engine-parity the
+    * quantile entries already pin) rather than a sketch: a trailing
+    * frame is time-bounded per series, so the exact aggregate's buffer
+    * IS the frame, and spike-robustness — median vs mean — is the
+    * operator's point.
+    */
+  def rangeMedian(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                  valCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsSecCol).cast("long").asc)
+      .rangeBetween(-windowSec, 0)
+    samples.withColumn("med", percentile(col(valCol), lit(0.5)).over(w))
   }
 
   /** Gap-filled downsampling onto a fixed `stepSec` grid with
