@@ -216,6 +216,29 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (2L, 0L, null, 0L)))   // nothing at or before the grid point
   }
 
+  test("asofJoinForward: earliest right row at-or-after, inclusive on " +
+       "equal timestamps, null past the last right row") {
+    val l = Seq((1L, 7L, 0.0), (1L, 10L, 0.0), (1L, 12L, 0.0))
+      .toDF("k", "ts", "lv")
+    val r = Seq((1L, 5L, 50.0), (1L, 10L, 100.0)).toDF("k", "ts", "rv")
+    val out = TimeSeriesOps
+      .asofJoinForward(l, r, Seq("k"), "ts", "rv", "nxt")
+      .orderBy("ts").collect()
+      .map(x => (x.getAs[Long]("ts"),
+        if (x.isNullAt(x.fieldIndex("nxt"))) null else x.getAs[Double]("nxt")))
+    assert(out.toSeq == Seq((7L, 100.0), (10L, 100.0), (12L, null)))
+  }
+
+  test("rangeMedian: trailing exact median per series") {
+    val s = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 10L, 4.0), (1L, 21L, 8.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeriesOps.rangeMedian(s, Seq("k"), "ts", "v", 10L)
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Double]("med")))
+    // frames: [1], [1,2], [1,2,4], [8] (21-10=11 > 10 excludes ts<=10)
+    assert(out.toSeq == Seq((0L, 1.0), (5L, 1.5), (10L, 2.0), (21L, 8.0)))
+  }
+
   test("rangeAgg: trailing range frame includes duplicate-ts peers " +
        "deterministically") {
     val s = Seq(
