@@ -727,19 +727,37 @@ object TextAnalysis {
     val w = Array.fill(nFeats)(0L)
     val wSum = Array.fill(nFeats)(0L)
     var pocket = (Long.MaxValue, wSum.clone())
-    for (_ <- 1 to epochs) {
-      feats
-        .withColumn("m", marginUnder(w))
-        .filter(col("y") * col("m") <= 0)
-        .select(col("y"), explode(col("farr")).as("e"))
+    // ONE job per epoch instead of two: epoch t's update aggregation
+    // (margins under the current w) and the POCKET error count for the
+    // previous epoch's averaged table ride the same exploded pass — the
+    // b = 0 bias row exists exactly once per doc, so its conditional
+    // count IS the misclassified-doc count. Pocket evaluation runs one
+    // epoch late (epoch t's own count lands with epoch t+1's update;
+    // the final epoch gets a single closing job), which changes job
+    // count, not the selected model: every epoch 1..n is still scored
+    // under its exact averaged table with the same earliest-wins tie.
+    for (t <- 1 to epochs) {
+      val prevWs = wSum.clone() // averaged table after epoch t-1
+      val rows = feats
+        .withColumn("mw", marginUnder(w))
+        .withColumn("mp", marginUnder(prevWs))
+        .select(col("y"), col("mw"), col("mp"), explode(col("farr")).as("e"))
         .groupBy(col("e.b").as("b"))
-        .agg(sum(col("y") * col("e.cnt")).as("du"))
+        .agg(
+          coalesce(sum(when(col("y") * col("mw") <= 0,
+            col("y") * col("e.cnt"))), lit(0L)).as("du"),
+          sum(when(col("y") * col("mp") <= 0, 1L).otherwise(0L)).as("nm"))
         .collect()
-        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      rows.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      if (t > 1) { // prevWs after t=1 is the all-zero pre-training table
+        val nMisPrev = rows.find(_.getLong(0) == 0L).map(_.getLong(2))
+          .getOrElse(0L)
+        if (nMisPrev < pocket._1) pocket = (nMisPrev, prevWs)
+      }
       (0 until nFeats).foreach(i => wSum(i) += w(i))
-      val nMis = feats.filter(col("y") * marginUnder(wSum) <= 0).count()
-      if (nMis < pocket._1) pocket = (nMis, wSum.clone())
     }
+    val nMisLast = feats.filter(col("y") * marginUnder(wSum) <= 0).count()
+    if (nMisLast < pocket._1) pocket = (nMisLast, wSum.clone())
     feats.unpersist()
     import docs.sparkSession.implicits._
     pocket._2.toIndexedSeq.zipWithIndex
