@@ -1637,6 +1637,28 @@ object SparkEntry {
       TextAnalysis.bpeSubwordCounts(d, merges).orderBy(col("doc_id"))
     }),
 
+    // Tokenizer FERTILITY (subwords per word, exact ppm) per language
+    // under the trained BPE chain — the eval that decides whether a
+    // vocabulary suits a corpus slice (high fertility = the tokenizer
+    // fragments that language, inflating sequence length and cost).
+    // Composes the trained merges with per-doc subword counts; one
+    // partial-combined agg per language.
+    "llm_bpe_fertility" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrain(d, 8).orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSubwordCounts(d, merges)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_alpha_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .filter(col("n_words") > 0)
+        .select(col("lang"), col("n_words"), col("n_subwords"),
+          call_function("div", col("n_subwords") * lit(1000000L),
+            col("n_words")).as("fertility_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // features, target = the English slice, raw = everything else;
     // per-doc weight is an exact integer sum of per-bucket fixed-point
@@ -7170,6 +7192,27 @@ object SparkEntry {
     "llm_bpe_train" -> oBpeSql(8),
 
     "llm_bpe_apply" -> oBpeApplySql(8),
+
+    // The apply chain re-aggregated per language; integer ppm fertility.
+    "llm_bpe_fertility" -> {
+      val chain = (1 to 8).foldLeft(oBpeEncode("lower(w)")) {
+        (acc, i) => s"replace($acc, m$i.pair, m$i.merged)"
+      }
+      val joins = (1 to 8).map(i => s"CROSS JOIN m$i").mkString(" ")
+      s"""WITH ${oBpeChain(8)},
+         |dw AS (SELECT doc_id, lang, unnest(list_filter(str_split(text, ' '),
+         |    x -> length(x) > 0)) AS w FROM documents),
+         |aw AS (SELECT lang, w FROM dw
+         |  WHERE regexp_matches(w, '^[A-Za-z]+${"$"}')),
+         |ap AS (SELECT lang, len(str_split($chain, ' ')) AS n_sub
+         |  FROM aw $joins),
+         |g AS (SELECT lang, count(*) AS nw, sum(n_sub) AS ns
+         |  FROM ap GROUP BY 1)
+         |SELECT lang, CAST(nw AS BIGINT) AS n_words,
+         |  CAST(ns AS BIGINT) AS n_subwords,
+         |  CAST(ns * 1000000 // nw AS BIGINT) AS fertility_ppm
+         |FROM g WHERE nw > 0 ORDER BY lang""".stripMargin
+    },
 
     "llm_distill_perceptron" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents),
