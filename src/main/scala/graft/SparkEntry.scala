@@ -1934,6 +1934,26 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // WITHIN-doc line dedup: each doc's first 10-word line is replayed
+    // at its end, so every multi-line doc carries exactly one internal
+    // duplicate; the first-occurrence keep must trim it (order
+    // preserved) with zero shuffle — the map-only self-repetition pass
+    // that runs before the corpus-level rule.
+    "llm_self_dedup" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val ws = TextAnalysis.words(col("text"))
+      val nl = floor((size(ws) + lit(9)) / lit(10)).cast("int")
+      val lineArr = transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(ws, i * 10 + 1, lit(10)), " "))
+      val docs = d0.select(col("doc_id"),
+        array_join(concat(lineArr, slice(lineArr, 1, 1)), "\n").as("text"))
+      Dedup.selfLineDedup(docs)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text")).as("clean_hash"),
+          col("n_lines"), col("n_kept"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // jusText-style boilerplate stripping: the 10-word content lines get
     // a planted nav header, share/copyright footers, and (when the doc
     // has >= 2 content lines) a short sandwiched line — the stopword-free
@@ -7768,6 +7788,26 @@ object SparkEntry {
         |UNION ALL SELECT 'no_exchange_over_one_record_per_line',
         |  CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    // First-occurrence keep replayed with a per-index list_position
+    // probe over the line prefix.
+    "llm_self_dedup" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id,
+        |    [array_to_string(ws[i*10+1 : i*10+10], ' ')
+        |     FOR i IN range(0, CAST((len(ws)+9)//10 AS BIGINT))] AS la0
+        |  FROM w),
+        |x AS (SELECT doc_id, la0 || la0[1:1] AS la FROM d),
+        |k AS (SELECT doc_id, la,
+        |    [i FOR i IN range(1, len(la) + 1)
+        |     IF coalesce(list_position(la[1:i-1], la[i]), 0) = 0] AS ki
+        |  FROM x)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  md5(array_to_string([la[i] FOR i IN ki], chr(10))) AS clean_hash,
+        |  CAST(len(la) AS BIGINT) AS n_lines,
+        |  CAST(len(ki) AS BIGINT) AS n_kept,
+        |  CAST(len(la) - len(ki) AS BIGINT) AS n_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "llm_boilerplate" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),

@@ -1065,6 +1065,40 @@ object Dedup {
         coalesce(size(col("bad_pos")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** WITHIN-document line dedup — keep each line's FIRST occurrence,
+    * preserving order: the self-repetition trim that kills templated
+    * documents repeating their own boilerplate (nav blocks pasted
+    * between sections, chat transcripts quoting themselves).
+    * [[lineDedup]] is the CORPUS-level occurrence rule and must
+    * shuffle; this one is pure map work at scan speed because the
+    * duplicate evidence is entirely local to the row — the cheap pass
+    * that runs FIRST at 100 TB, shrinking what the corpus-level pass
+    * sees. The line array is bound once as a transform() lambda
+    * variable (the boilerplateStrip let-binding idiom — every keep test
+    * slices it, where CSE can't reach inside HOF lambdas).
+    *
+    * @return (idCol, textCol cleaned, n_lines, n_kept, n_dropped)
+    */
+  def selfLineDedup(docs: DataFrame, delim: String = "\n",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val pat = java.util.regex.Pattern.quote(delim)
+    val out = element_at(transform(array(split(col(textCol), pat)), la => {
+      val keepIdx = filter(sequence(lit(1), size(la)),
+        i => !exists(slice(la, lit(1), i - 1),
+          x => x === element_at(la, i)))
+      struct(
+        array_join(transform(keepIdx, i => element_at(la, i)), delim)
+          .as("clean"),
+        size(la).cast("long").as("n_lines"),
+        size(keepIdx).cast("long").as("n_kept"))
+    }), 1)
+    docs.select(col(idCol), out.as("sd"))
+      .select(col(idCol), col("sd.clean").as(textCol),
+        col("sd.n_lines"), col("sd.n_kept"),
+        (col("sd.n_lines") - col("sd.n_kept")).as("n_dropped"))
+  }
+
   /** Benchmark decontamination: flag every training document that shares
     * at least one contiguous word n-gram with an evaluation corpus — the
     * GPT-3-style overlap scrub (13-gram there; n is a parameter) that
