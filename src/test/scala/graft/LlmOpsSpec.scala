@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
+import graft.llm.{Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.sources.CorpusIO
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
@@ -98,6 +98,83 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.toSet.contains((1L, 2L, 3L)))
     assert(!pairs.exists { case (a, b, _) => (a, b) == ((1L, 3L)) })
     assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("dedup: selfLineDedup keeps first occurrences in order, map-side") {
+    val docs = Seq((1L, "a\nb\na\nc\nb"), (2L, "x")).toDF("doc_id", "text")
+    val out = Dedup.selfLineDedup(docs).orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+    assert(out(0) == (("a\nb\nc", 5L, 3L, 2L)))
+    assert(out(1) == (("x", 1L, 1L, 0L)))
+  }
+
+  test("dedup: winnowPairs — identical docs share every fingerprint " +
+       "(containment 1e6 both sides); unrelated docs never pair") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq((1L, t), (2L, t),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, 4, 4, maxDf = 6, minShared = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("cont_a_ppm"), r.getAs[Long]("cont_b_ppm")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("vectors: marginMine normalizes by both sides' k-NN sums — " +
+       "hand-computed integer margins, per-source argmax") {
+    // unit vectors: cosines are exact (0.6,0.8) norms are exactly 1
+    val src = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val tgt = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.6, 0.8)),
+      (12L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val out = VectorOps.marginMine(src, tgt, k = 2, minMarginPpm = 1200000L)
+      .orderBy("a_id").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("margin_ppm")))
+    // a=1: cos_fp {10→1048576, 11→629145, 12→0}; fwd = 1677721;
+    // bwd(10) = 1048576 + 0 = 1048576 →
+    // margin = 1048576·4e6 div 2726297 = 1538461
+    assert(out.toSeq == Seq((1L, 10L, 1538461L), (2L, 12L, 1428571L)))
+  }
+
+  test("graph: randomWalks are edge-respecting, fixed-length, and " +
+       "partitioning-invariant") {
+    import spark.implicits._
+    val seeds = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (3L, 2L)).toDF("src", "dst")
+    def run(parts: Int) =
+      LinkGraph.randomWalks(seeds, edges.repartition(parts), 3)
+        .collect().map(r => (r.getAs[Long]("walk_id"),
+          r.getAs[Long]("step"), r.getAs[Long]("node"))).toSet
+    val a = run(1)
+    assert(a == run(5), "walks must not depend on partitioning")
+    assert(a.size == 8) // 2 walks × (seed + 3 hops)
+    val byWalk = a.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(_._2).map(_._3)).toMap
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (3L, 2L))
+    byWalk.values.foreach { path =>
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(edgeSet((u, v)), s"hop $u->$v is not an edge")
+      }
+    }
+    assert(byWalk(1L).head == 1L && byWalk(2L).head == 2L)
+  }
+
+  test("multimodal: audio silence spans merge consecutive quiet frames") {
+    import spark.implicits._
+    // 512 samples = 8 frames; bursts make frames 1,2,5,6 quiet
+    val quiet = Seq(5L).toDF("seed").select(
+      Multimodal.pcmFrameFeatures(
+        Multimodal.patternWavBursts(col("seed"), 512, lit(16000)), 64)
+        .as("f"))
+      .select(explode(col("f")).as("x"))
+      .select(col("x.frame_no"), col("x.peak"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(Seq(1, 2, 5, 6).forall(quiet(_) < 100))
+    assert(Seq(0, 3, 4, 7).forall(quiet(_) >= 100))
   }
 
   test("dedup: jaccard is exact set semantics") {
