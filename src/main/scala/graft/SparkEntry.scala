@@ -4172,6 +4172,31 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("value"))
     }),
 
+    // Dashboard topk: the k series with the highest hourly mean, per
+    // hour — PromQL `topk(3, avg_over_time(...))`, the panel query a
+    // metrics store serves constantly. Fixed-point means make ranking
+    // engine-exact; Spark plans the rank as WindowGroupLimit, so only
+    // ≤k rows per (bucket, partition) cross the rank exchange.
+    "ts_topk_series" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      val hourly = ev
+        .groupBy(floor(col("ts") / 3600).cast("long").as("bucket"),
+          col("event_type"), col("user_id"))
+        .agg(call_function("div",
+          sum(floor(col("value") * 1000000L)), count(lit(1))).as("mean_fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("mean_fp").desc, col("event_type"), col("user_id"))
+      hourly.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("bucket"), col("rank").cast("long").as("rank"),
+          col("event_type"), col("user_id"), col("mean_fp"))
+        .orderBy(col("bucket"), col("rank"))
+    }),
+
     // FORWARD as-of: each purchase gets the EARLIEST click at or after
     // it, per user — backward as-of on negated time, so the one-shuffle
     // union+window machinery is reused verbatim. Oracle = DuckDB's
@@ -8360,6 +8385,21 @@ object SparkEntry {
          |       coalesce(round(r.click_val, 4), -1.0) AS click_val
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.user_id, l.ts, value""".stripMargin,
+
+    "ts_topk_series" ->
+      s"""WITH h AS (
+         |  SELECT CAST($OSec // 3600 AS BIGINT) AS bucket, event_type,
+         |    user_id,
+         |    CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+         |      AS BIGINT) AS mean_fp
+         |  FROM events GROUP BY 1, 2, 3),
+         |r AS (SELECT bucket, event_type, user_id, mean_fp,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY mean_fp DESC, event_type, user_id) AS rank
+         |  FROM h)
+         |SELECT bucket, CAST(rank AS BIGINT) AS rank, event_type, user_id,
+         |  mean_fp
+         |FROM r WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin,
 
     // Direction flip: DuckDB ASOF is backward-only, so the forward join
     // replays as backward over negated timestamps.
