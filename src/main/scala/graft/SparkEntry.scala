@@ -4197,6 +4197,28 @@ object SparkEntry {
         .orderBy(col("bucket"), col("rank"))
     }),
 
+    // Min-max downsampling: per (series, bucket) keep exactly the
+    // extreme points (argmin/argmax by value, earliest-timestamp tie) —
+    // the raw-panel reducer dashboards actually use, because it
+    // preserves spikes that averaging erases. One partial-combined
+    // struct-min/max agg; ties break on (value, ts, event_id) so the
+    // kept points are engine-exact.
+    "ts_minmax_downsample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        floor(col("value") * 1000000L).as("v_fp"))
+      ev.groupBy(col("event_type"),
+          floor(col("ts") / 3600).cast("long").as("bucket"))
+        .agg(
+          min(struct(col("v_fp"), col("ts"), col("event_id"))).as("lo"),
+          max(struct(col("v_fp"), col("ts"), col("event_id"))).as("hi"))
+        .select(col("event_type"), col("bucket"),
+          col("lo.v_fp").as("min_fp"), col("lo.ts").as("min_ts"),
+          col("hi.v_fp").as("max_fp"), col("hi.ts").as("max_ts"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // FORWARD as-of: each purchase gets the EARLIEST click at or after
     // it, per user — backward as-of on negated time, so the one-shuffle
     // union+window machinery is reused verbatim. Oracle = DuckDB's
@@ -8385,6 +8407,26 @@ object SparkEntry {
          |       coalesce(round(r.click_val, 4), -1.0) AS click_val
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
          |ORDER BY l.user_id, l.ts, value""".stripMargin,
+
+    // Struct min/max replayed as rank-1 rows under the same
+    // lexicographic (value, ts, id) key (struct MAX = all-DESC order).
+    "ts_minmax_downsample" ->
+      s"""WITH s AS (SELECT event_type, event_id, $OSec AS ts,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS v_fp FROM events),
+         |b AS (SELECT event_type, CAST(ts // 3600 AS BIGINT) AS bucket,
+         |    v_fp, ts, event_id FROM s),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY v_fp, ts, event_id) AS rlo,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY v_fp DESC, ts DESC, event_id DESC) AS rhi
+         |  FROM b)
+         |SELECT event_type, bucket,
+         |  CAST(min(CASE WHEN rlo = 1 THEN v_fp END) AS BIGINT) AS min_fp,
+         |  CAST(min(CASE WHEN rlo = 1 THEN ts END) AS BIGINT) AS min_ts,
+         |  CAST(min(CASE WHEN rhi = 1 THEN v_fp END) AS BIGINT) AS max_fp,
+         |  CAST(min(CASE WHEN rhi = 1 THEN ts END) AS BIGINT) AS max_ts
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     "ts_topk_series" ->
       s"""WITH h AS (
