@@ -4197,6 +4197,20 @@ object SparkEntry {
         .orderBy(col("bucket"), col("rank"))
     }),
 
+    // LTTB downsampling (Steinarsson) — the dashboard shape-preserving
+    // reducer: 10 points per series, each middle bucket keeping the
+    // point with the largest triangle against the previous pick and the
+    // next bucket's average. All-integer doubled-area comparisons on
+    // re-based timestamps; the greedy walk folds once per series array
+    // (the MMR pattern), and the oracle unrolls all 8 buckets as CTEs.
+    "ts_lttb" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.lttb(ev, Seq("event_type"), "ts", "value", 10)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // Min-max downsampling: per (series, bucket) keep exactly the
     // extreme points (argmin/argmax by value, earliest-timestamp tie) —
     // the raw-panel reducer dashboards actually use, because it
@@ -5082,6 +5096,54 @@ object SparkEntry {
          |    GROUP BY e.dst) f USING (id))""".stripMargin
     }.mkString(",\n")
 
+  /** LTTB oracle: the 8 middle buckets unrolled as chained CTEs — each
+    * computes its next-bucket anchor sums, the doubled-area list against
+    * the previous pick, and takes the FIRST max (ties to the earliest
+    * point, the fold's strict-> rule). Integer throughout; list_sum's
+    * HUGEINT promotion is internal only.
+    */
+  private def oLttbSql: String = {
+    val m = 8
+    val bucketCtes = (0 until m).map { i =>
+      val last = i == m - 1
+      val s0 = s"(($i)*(n-2))//$m + 2"
+      val e0 = s"((${i + 1})*(n-2))//$m + 1"
+      val ns = s"((${i + 1})*(n-2))//$m + 2"
+      val ne = s"((${i + 2})*(n-2))//$m + 1"
+      val sx = if (last) "CAST(xs[n] - x0 AS HUGEINT)"
+               else s"list_sum([xs[j] - x0 FOR j IN range($ns, $ne + 1)])"
+      val sy = if (last) "CAST(ys[n] AS HUGEINT)"
+               else s"list_sum([ys[j] FOR j IN range($ns, $ne + 1)])"
+      val c = if (last) "1" else s"$ne - ($ns) + 1"
+      s"""b${i + 1} AS (SELECT event_type, xs, ys, n, x0,
+         |    sel || [best] AS sel, best AS prev FROM (
+         |  SELECT *, $s0 - 1 + list_position(areas, list_max(areas)) AS best
+         |  FROM (
+         |    SELECT *,
+         |      [abs((c*(xs[prev]-x0) - sx) * (ys[j] - ys[prev])
+         |         - ((xs[prev]-x0) - (xs[j]-x0)) * (sy - c*ys[prev]))
+         |       FOR j IN range($s0, $e0 + 1)] AS areas
+         |    FROM (
+         |      SELECT *, $sx AS sx, $sy AS sy, $c AS c
+         |      FROM b$i) t1) t2) t3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT event_type, $OSec AS ts,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS v FROM events),
+       |dd AS (SELECT event_type, ts, max(v) AS v FROM s0 GROUP BY 1, 2),
+       |p AS (SELECT event_type, list(ts ORDER BY ts) AS xs,
+       |    list(v ORDER BY ts) AS ys, count(*) AS n, min(ts) AS x0
+       |  FROM dd GROUP BY 1),
+       |b0 AS (SELECT event_type, xs, ys, n, x0, [CAST(1 AS BIGINT)] AS sel,
+       |    CAST(1 AS BIGINT) AS prev FROM p),
+       |$bucketCtes,
+       |f AS (SELECT event_type, xs, ys, sel || [n] AS sel FROM b$m),
+       |u AS (SELECT event_type, xs, ys, i AS rank, sel[i] AS idx
+       |  FROM f, unnest(range(1, len(sel) + 1)) AS t(i))
+       |SELECT event_type, CAST(rank AS BIGINT) AS rank,
+       |  CAST(xs[idx] AS BIGINT) AS ts, CAST(ys[idx] AS BIGINT) AS v_fp
+       |FROM u ORDER BY event_type, rank""".stripMargin
+  }
+
   /** Bitext-mining oracle: the same exact cross cosines, per-side top-4
     * sums via rank windows, and the integer margin — positives divide
     * identically under floor (DuckDB //) and truncation (Spark div),
@@ -5799,6 +5861,7 @@ object SparkEntry {
     "llm_ppr" -> oPprSql,
     "llm_random_walks" -> oRandomWalksSql,
     "llm_bitext_mine" -> oBitextMineSql,
+    "ts_lttb" -> oLttbSql,
 
     // Independent recomputation of the manifest from raw content: the
     // 48-bit md5 prefix sum runs in DuckDB's HUGEINT (also exact), and

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -300,6 +300,88 @@ object TimeSeriesOps {
         when(col("fresh") === 1L, col("_sts")).as("sample_ts"),
         when(col("fresh") === 1L, col("_sval")).as("sample_val"),
         col("fresh")): _*)
+  }
+
+  /** LTTB downsampling (Steinarsson 2013, "Largest-Triangle-Three-
+    * Buckets") — THE dashboard downsampler: reduce each series to
+    * `nOut` points that preserve visual shape by keeping, per bucket,
+    * the point forming the largest triangle with the PREVIOUSLY
+    * selected point and the NEXT bucket's average. First and last
+    * points are always kept; min-max keeps spikes, LTTB keeps shape.
+    *
+    * Determinism contract: duplicate timestamps collapse to max value
+    * first; values ride the 1e-6 fixed-point grid and timestamps are
+    * re-based per series (x − x0, so products stay far inside long:
+    * area terms are bounded by bucketCount·span·y_fp ≲ 10^17 at a
+    * 30-day 10^6-point series); the doubled-area comparison is exact
+    * integer with the next-bucket average cleared of its division
+    * (scaled through by the bucket size), ties to the earliest point.
+    * The whole selection is engine-exact — no float ever compares.
+    *
+    * Shape: one shuffle groups each series' points into a sorted array
+    * (a series that fits a dashboard query fits an array — the same
+    * bounded-series contract as the read path's assembly); the greedy
+    * bucket walk is sequential PER SERIES but embarrassingly parallel
+    * across series, so it runs as one array fold per series row (the
+    * MMR pattern). Series with ≤ nOut points pass through complete.
+    *
+    * @return (keys, rank 1-based, ts, v_fp) — the selected points in
+    *         time order
+    */
+  def lttb(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+           valCol: String, nOut: Int): DataFrame = {
+    require(nOut >= 3, "need at least first + one middle + last")
+    val keyCols = keys.map(col)
+    val m = nOut - 2 // middle bucket count
+    val pts0 = samples
+      .groupBy(keyCols :+ col(tsSecCol).cast("long").as("t"): _*)
+      .agg(max(floor(col(valCol) * 1000000L)).as("v"))
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("pts"))
+    val selected = element_at(transform(array(col("pts")), pts => {
+      val nn = size(pts)
+      val x0 = element_at(pts, 1).getField("t")
+      def dx(i: Column) = element_at(pts, i.cast("int")).getField("t") - x0
+      def y(i: Column) = element_at(pts, i.cast("int")).getField("v")
+      val mi = nn - 2 // interior point count
+      def bLo(i: Column) = (floor(i * mi / m) + 2).cast("int")
+      def bHi(i: Column) = (floor((i + 1) * mi / m) + 1).cast("int")
+      val folded = aggregate(sequence(lit(0), lit(m - 1)),
+        struct(lit(1).as("prev"), array(lit(1)).as("sel")),
+        (acc, i) => {
+          val prev = acc.getField("prev")
+          val anchor = aggregate(
+            sequence(when(i === m - 1, nn).otherwise(bLo(i + 1)),
+              when(i === m - 1, nn).otherwise(bHi(i + 1))),
+            struct(lit(0L).as("sx"), lit(0L).as("sy"), lit(0L).as("c")),
+            (a, j) => struct((a.getField("sx") + dx(j)).as("sx"),
+              (a.getField("sy") + y(j)).as("sy"),
+              (a.getField("c") + 1L).as("c")))
+          val px = dx(prev)
+          val py = y(prev)
+          val cnt = anchor.getField("c")
+          val sx = anchor.getField("sx")
+          val sy = anchor.getField("sy")
+          val best = aggregate(sequence(bLo(i), bHi(i)),
+            struct(lit(-1L).as("area"), lit(1).as("idx")),
+            (b, j) => {
+              val area2 = abs((cnt * px - sx) * (y(j) - py) -
+                (px - dx(j)) * (sy - cnt * py))
+              when(area2 > b.getField("area"),
+                struct(area2.as("area"), j.as("idx"))).otherwise(b)
+            })
+          struct(best.getField("idx").as("prev"),
+            concat(acc.getField("sel"),
+              array(best.getField("idx"))).as("sel"))
+        })
+      val idxs = when(nn <= nOut, sequence(lit(1), nn))
+        .otherwise(concat(folded.getField("sel"), array(nn)))
+      transform(idxs, i => element_at(pts, i.cast("int")))
+    }), 1)
+    pts0
+      .select(keyCols :+ posexplode(selected).as(Seq("p", "s")): _*)
+      .select(keyCols ++ Seq((col("p") + 1).cast("long").as("rank"),
+        col("s.t").as("ts"), col("s.v").as("v_fp")): _*)
   }
 
   /** Sessionization: split each key's event stream into sessions separated

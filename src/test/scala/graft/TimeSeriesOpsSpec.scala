@@ -239,6 +239,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1.0), (5L, 1.5), (10L, 2.0), (21L, 8.0)))
   }
 
+  test("lttb: keeps endpoints and picks max-triangle points per bucket " +
+       "(hand-computed), passes short series through complete") {
+    // N=6, nOut=4 → 2 middle buckets {2,3} and {4,5}; double-spike
+    // series: bucket 1 must keep the spike at ts=1 (area 60e6 vs 20e6),
+    // bucket 2 the spike at ts=4 (area 30e6 vs 20e6)
+    val s = Seq((1L, 0L, 0.0), (1L, 1L, 10.0), (1L, 2L, 0.0),
+      (1L, 3L, 0.0), (1L, 4L, 10.0), (1L, 5L, 0.0),
+      (2L, 0L, 1.0), (2L, 9L, 2.0)).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.lttb(s, Seq("k"), "ts", "v", 4)
+      .orderBy("k", "rank").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("rank"),
+        r.getAs[Long]("ts"), r.getAs[Long]("v_fp")))
+    assert(out.filter(_._1 == 1L).map(x => (x._3, x._4)).toSeq ==
+      Seq((0L, 0L), (1L, 10000000L), (4L, 10000000L), (5L, 0L)))
+    // series shorter than nOut passes through complete, in order
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq(0L, 9L))
+  }
+
   test("rangeAgg: trailing range frame includes duplicate-ts peers " +
        "deterministically") {
     val s = Seq(
