@@ -357,22 +357,31 @@ object TimeSeriesOps {
             (a, j) => struct((a.getField("sx") + dx(j)).as("sx"),
               (a.getField("sy") + y(j)).as("sy"),
               (a.getField("c") + 1L).as("c")))
-          val px = dx(prev)
-          val py = y(prev)
-          val cnt = anchor.getField("c")
-          val sx = anchor.getField("sx")
-          val sy = anchor.getField("sy")
-          val best = aggregate(sequence(bLo(i), bHi(i)),
-            struct(lit(-1L).as("area"), lit(1).as("idx")),
-            (b, j) => {
-              val area2 = abs((cnt * px - sx) * (y(j) - py) -
-                (px - dx(j)) * (sy - cnt * py))
-              when(area2 > b.getField("area"),
-                struct(area2.as("area"), j.as("idx"))).otherwise(b)
-            })
-          struct(best.getField("idx").as("prev"),
-            concat(acc.getField("sel"),
-              array(best.getField("idx"))).as("sel"))
+          // the anchor sums and previous point are bound ONCE per bucket
+          // (lambda-variable let-binding): referencing the anchor
+          // aggregate's fields directly inside the candidate lambda
+          // would INLINE the whole O(bucket) anchor scan into every
+          // candidate evaluation — the O(N²) this shape must not have
+          val ctx = struct(anchor.as("an"),
+            dx(prev).as("px"), y(prev).as("py"))
+          element_at(transform(array(ctx), c0 => {
+            val px = c0.getField("px")
+            val py = c0.getField("py")
+            val cnt = c0.getField("an").getField("c")
+            val sx = c0.getField("an").getField("sx")
+            val sy = c0.getField("an").getField("sy")
+            val best = aggregate(sequence(bLo(i), bHi(i)),
+              struct(lit(-1L).as("area"), lit(1).as("idx")),
+              (b, j) => {
+                val area2 = abs((cnt * px - sx) * (y(j) - py) -
+                  (px - dx(j)) * (sy - cnt * py))
+                when(area2 > b.getField("area"),
+                  struct(area2.as("area"), j.as("idx"))).otherwise(b)
+              })
+            struct(best.getField("idx").as("prev"),
+              concat(acc.getField("sel"),
+                array(best.getField("idx"))).as("sel"))
+          }), 1)
         })
       val idxs = when(nn <= nOut, sequence(lit(1), nn))
         .otherwise(concat(folded.getField("sel"), array(nn)))
