@@ -39,6 +39,17 @@ object Bench {
       // regressions on unchanged code (r9's llm_dedup_cluster, r11's
       // minhash/incremental). Size it to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // the status stores retain per-execution PLAN GRAPHS (default
+      // 1000 executions) and per-task rows (default 100k) even with the
+      // UI disabled; this suite's plans are enormous, so a ~600-job run
+      // accumulates GBs of driver heap by its later entries — the
+      // late-alphabet dedup block then pays rising GC on every trial
+      // (the recurring "in-suite 3-7x inflation" ghost). Keep only a
+      // handful of executions around.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -4197,6 +4197,22 @@ object SparkEntry {
         .orderBy(col("bucket"), col("rank"))
     }),
 
+    // Alert firing spans — Prometheus `for:` semantics replayed over
+    // the store: value > 100 must hold for ≥ 3 CONSECUTIVE samples of a
+    // series; one row per maximal span with bounds, length, and peak.
+    // Rank-difference islands, fully deterministic via the event_id
+    // tie-break.
+    "ts_alert_spans" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.alertSpans(ev, Seq("event_type", "user_id"), "ts",
+          "value", thresholdFp = 100000000L, minSamples = 3,
+          orderCols = Seq("event_id"))
+        .orderBy(col("event_type"), col("user_id"), col("start_ts"))
+    }),
+
     // LTTB downsampling (Steinarsson) — the dashboard shape-preserving
     // reducer: 10 points per series, each middle bucket keeping the
     // point with the largest triangle against the previous pick and the
@@ -8490,6 +8506,22 @@ object SparkEntry {
          |  CAST(min(CASE WHEN rhi = 1 THEN v_fp END) AS BIGINT) AS max_fp,
          |  CAST(min(CASE WHEN rhi = 1 THEN ts END) AS BIGINT) AS max_ts
          |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "ts_alert_spans" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+         |      ORDER BY ts, event_id) AS rn FROM s),
+         |f AS (SELECT *, rn - row_number() OVER (
+         |      PARTITION BY event_type, user_id ORDER BY rn) AS grp
+         |  FROM a WHERE vfp > 100000000),
+         |g AS (SELECT event_type, user_id,
+         |    min(ts) AS start_ts, max(ts) AS end_ts,
+         |    count(*) AS n_samples, max(vfp) AS peak_fp
+         |  FROM f GROUP BY event_type, user_id, grp)
+         |SELECT event_type, user_id, start_ts, end_ts, n_samples, peak_fp
+         |FROM g WHERE n_samples >= 3
+         |ORDER BY event_type, user_id, start_ts""".stripMargin,
 
     "ts_topk_series" ->
       s"""WITH h AS (

@@ -14,8 +14,13 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      // see Bench: hold every suite plan's generated classes at once
+      // see Bench: hold every suite plan's generated classes at once,
+      // and keep the status stores from hoarding plan graphs
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -302,6 +302,41 @@ object TimeSeriesOps {
         col("fresh")): _*)
   }
 
+  /** Alert firing spans — Prometheus alerting's `for:` semantics over
+    * stored samples: a condition (value above a fixed-point threshold)
+    * must hold for at least `minSamples` CONSECUTIVE samples of a
+    * series before it counts as firing; this emits one row per maximal
+    * firing span with its bounds and peak. Consecutiveness is by sample
+    * ADJACENCY (no non-exceeding sample in between), which is the
+    * alerting rule — wall-clock gaps are the staleness operator's job.
+    *
+    * Shape: one shuffle on the series keys drives both row-number
+    * passes (the same (keys, ts, tie) order), the islands key is the
+    * classic rank difference, and the span rollup is a partial-combined
+    * agg on (keys, grp). Tie-break columns make the numbering — and so
+    * the spans — fully deterministic under duplicate timestamps.
+    */
+  def alertSpans(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                 valCol: String, thresholdFp: Long, minSamples: Int,
+                 orderCols: Seq[String] = Nil): DataFrame = {
+    require(minSamples >= 1)
+    val keyCols = keys.map(col)
+    val ord = (col(tsSecCol) +: orderCols.map(col)).map(_.asc)
+    val wAll = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+    val all = samples
+      .withColumn("_vfp", floor(col(valCol) * 1000000L))
+      .withColumn("_rn", row_number().over(wAll))
+    val wFired = Window.partitionBy(keyCols: _*).orderBy(col("_rn"))
+    all.filter(col("_vfp") > thresholdFp)
+      .withColumn("_grp", col("_rn") - row_number().over(wFired))
+      .groupBy(keyCols :+ col("_grp"): _*)
+      .agg(min(col(tsSecCol)).as("start_ts"), max(col(tsSecCol)).as("end_ts"),
+        count(lit(1)).as("n_samples"), max(col("_vfp")).as("peak_fp"))
+      .filter(col("n_samples") >= minSamples)
+      .select(keyCols ++ Seq(col("start_ts"), col("end_ts"),
+        col("n_samples"), col("peak_fp")): _*)
+  }
+
   /** LTTB downsampling (Steinarsson 2013, "Largest-Triangle-Three-
     * Buckets") — THE dashboard downsampler: reduce each series to
     * `nOut` points that preserve visual shape by keeping, per bucket,

@@ -239,6 +239,23 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 1.0), (5L, 1.5), (10L, 2.0), (21L, 8.0)))
   }
 
+  test("alertSpans: consecutive-sample firing with span bounds; short " +
+       "bursts below minSamples never fire") {
+    val s = Seq(
+      (1L, 0L, 1L, 5.0), (1L, 1L, 2L, 150.0), (1L, 2L, 3L, 160.0),
+      (1L, 3L, 4L, 170.0), (1L, 4L, 5L, 5.0), (1L, 5L, 6L, 150.0),
+      (1L, 6L, 7L, 150.0), // 2-sample burst: below minSamples=3
+      (1L, 7L, 8L, 5.0)
+    ).toDF("k", "ts", "event_id", "v")
+    val out = TimeSeriesOps.alertSpans(s, Seq("k"), "ts", "v",
+        thresholdFp = 100000000L, minSamples = 3,
+        orderCols = Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("start_ts"),
+        r.getAs[Long]("end_ts"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("peak_fp")))
+    assert(out.toSeq == Seq((1L, 3L, 3L, 170000000L)))
+  }
+
   test("lttb: keeps endpoints and picks max-triangle points per bucket " +
        "(hand-computed), passes short series through complete") {
     // N=6, nOut=4 → 2 middle buckets {2,3} and {4,5}; double-spike
