@@ -4197,6 +4197,46 @@ object SparkEntry {
         .orderBy(col("bucket"), col("rank"))
     }),
 
+    // PromQL `sum by (event_type)` over counter RATES — the panel
+    // aggregation across label dimensions that every dashboard runs on
+    // rate() output: the per-series reset-adjusted rates re-aggregate
+    // per (metric, bucket). Exact integer composition of the
+    // counter-rate operator (sums of fixed-point rates), second
+    // exchange bounded by metric × bucket cardinality.
+    "ts_sum_by_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.counterIncrease(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, Seq("event_id"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_series"),
+          sum(col("increase_fp")).as("increase_fp"),
+          sum(col("rate_fp")).as("rate_fp"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Stale-series detection — PromQL absent()/staleness: a series
+    // whose newest sample is older than the cutoff (global max ts − 1 h)
+    // has gone quiet; the monitoring question "which series stopped
+    // reporting". One partial-combined per-series max + a broadcast
+    // scalar cutoff.
+    "ts_stale_series" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"))
+      val last = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_samples"))
+      val cutoff = ev.agg(max(col("ts")).as("gmax"))
+      last.crossJoin(broadcast(cutoff))
+        .select(col("event_type"), col("user_id"), col("last_ts"),
+          col("n_samples"),
+          (col("last_ts") < col("gmax") - 3600L).cast("long").as("stale"))
+        .filter(col("stale") === 1L)
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // Alert firing spans — Prometheus `for:` semantics replayed over
     // the store: value > 100 must hold for ≥ 3 CONSECUTIVE samples of a
     // series; one row per maximal span with bounds, length, and peak.
@@ -8506,6 +8546,40 @@ object SparkEntry {
          |  CAST(min(CASE WHEN rhi = 1 THEN v_fp END) AS BIGINT) AS max_fp,
          |  CAST(min(CASE WHEN rhi = 1 THEN ts END) AS BIGINT) AS max_ts
          |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // The counter-rate oracle's per-series rows re-aggregated by
+    // (metric, bucket).
+    "ts_sum_by_rate" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |d AS (SELECT event_type, user_id, t,
+         |    value - lag(value) OVER (PARTITION BY event_type, user_id
+         |      ORDER BY t, event_id) AS delta,
+         |    value FROM s),
+         |a AS (SELECT event_type, user_id,
+         |    CAST(floor(t / 3600) AS BIGINT) AS bucket,
+         |    CASE WHEN delta IS NULL THEN NULL
+         |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+         |         ELSE CAST(floor(value * 1000000) AS BIGINT) END AS adj_fp
+         |  FROM d),
+         |r AS (SELECT event_type, user_id, bucket,
+         |    CAST(coalesce(sum(adj_fp), 0) AS BIGINT) AS increase_fp,
+         |    CAST(floor(coalesce(sum(adj_fp), 0) / 3600) AS BIGINT) AS rate_fp
+         |  FROM a GROUP BY 1, 2, 3)
+         |SELECT event_type, bucket, count(*) AS n_series,
+         |  CAST(sum(increase_fp) AS BIGINT) AS increase_fp,
+         |  CAST(sum(rate_fp) AS BIGINT) AS rate_fp
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "ts_stale_series" ->
+      s"""WITH s AS (SELECT event_type, user_id, $OSec AS ts FROM events),
+         |l AS (SELECT event_type, user_id, max(ts) AS last_ts,
+         |    count(*) AS n_samples FROM s GROUP BY 1, 2),
+         |g AS (SELECT max(ts) AS gmax FROM s)
+         |SELECT event_type, user_id, last_ts, n_samples,
+         |  CAST(1 AS BIGINT) AS stale
+         |FROM l, g WHERE last_ts < gmax - 3600
+         |ORDER BY event_type, user_id""".stripMargin,
 
     "ts_alert_spans" ->
       s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
