@@ -2702,11 +2702,13 @@ object SparkEntry {
     // MJPEG frame split + per-frame decode — REAL multi-frame video
     // handling: each doc becomes a 3-frame motion-JPEG clip (complete
     // SOI…EOI images back to back, per-frame geometry varying), the
-    // native mjpeg_frames kernel walks the container, and decodeMeta's
-    // real JPEG SOF0 decoder runs on each frame SUBSTRING — multi-frame
-    // media reusing the whole single-image pipeline. Offsets, lengths,
-    // and geometry are all closed-form (fixed 39-byte header + body +
-    // EOI), so the oracle pins the walk arithmetic independently.
+    // native mjpeg_frames kernel walks the container marker chain by
+    // declared segment lengths to SOS, then scans only the entropy
+    // region for EOI; decodeMeta's real JPEG SOF0 decoder runs on each
+    // frame SUBSTRING — multi-frame media reusing the whole
+    // single-image pipeline. Offsets, lengths, and geometry are all
+    // closed-form (fixed 39-byte header + 14-byte SOS + body + EOI),
+    // so the oracle pins the walk arithmetic independently.
     "llm_video_mjpeg" -> ((s, dir) => {
       val staged = Tables.documents(s, dir)
         .select(col("doc_id").cast("long").as("media_id"),
@@ -4268,11 +4270,12 @@ object SparkEntry {
     }),
 
     // Min-max downsampling: per (series, bucket) keep exactly the
-    // extreme points (argmin/argmax by value, earliest-timestamp tie) —
-    // the raw-panel reducer dashboards actually use, because it
-    // preserves spikes that averaging erases. One partial-combined
-    // struct-min/max agg; ties break on (value, ts, event_id) so the
-    // kept points are engine-exact.
+    // extreme points (argmin/argmax by value) — the raw-panel reducer
+    // dashboards actually use, because it preserves spikes that
+    // averaging erases. One partial-combined struct-min/max agg; ties
+    // break on (value, ts, event_id) lexicographically, so the min side
+    // keeps the EARLIEST tied point and the max side the LATEST —
+    // deterministic either way, and what the oracle replays.
     "ts_minmax_downsample" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(
         col("event_type"), col("event_id"),
@@ -8382,12 +8385,13 @@ object SparkEntry {
         |                 for i in range(1, 64)]) AS INT) AS zcr
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
-    // Frame layout is pure arithmetic: 39-byte header + 40-byte body +
-    // EOI = 81 per frame; geometry (16+f)×(9+f) from the builder.
+    // Frame layout is pure arithmetic: 39-byte header + 14-byte SOS +
+    // 40-byte body + EOI = 95 per frame; geometry (16+f)×(9+f) from the
+    // builder.
     "llm_video_mjpeg" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  CAST(f AS BIGINT) AS frame_no, CAST(f * 81 AS BIGINT) AS off,
-        |  CAST(81 AS BIGINT) AS len, 'jpeg' AS format,
+        |  CAST(f AS BIGINT) AS frame_no, CAST(f * 95 AS BIGINT) AS off,
+        |  CAST(95 AS BIGINT) AS len, 'jpeg' AS format,
         |  CAST(16 + f AS BIGINT) AS width, CAST(9 + f AS BIGINT) AS height
         |FROM documents, range(0, 3) t(f)
         |ORDER BY media_id, frame_no""".stripMargin,

@@ -63,8 +63,13 @@ object Rollup {
         timestamp_seconds(col("bucket_ts")).as("ts"),
         col("updated"))
     val staging = tablePath + ".compacting"
+    // Range split over (date, name, tags), not hash-on-date: compaction
+    // rewrites the WHOLE store, and a per-date hash funnel would sort
+    // each day on one task — see WritePipeline.append for the full
+    // rationale; files per date hold disjoint (name, tags) ranges so
+    // row-group skipping survives.
     rolled
-      .repartition(col("date"))
+      .repartitionByRange(col("date"), col("name"), col("tags"))
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("overwrite").partitionBy("date").parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -99,7 +104,7 @@ object Rollup {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       rolled
-        .repartition(col("date"))
+        .repartitionByRange(col("date"), col("name"), col("tags"))
         .sortWithinPartitions(col("name"), col("tags"), col("ts"))
         .write.mode("overwrite").partitionBy("date").parquet(tablePath)
     finally prev match {

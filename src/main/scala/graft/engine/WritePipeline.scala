@@ -68,10 +68,19 @@ object WritePipeline {
     * so parquet row-group min/max stats on `name`/`ts` prune like the
     * sparse index does. One atomic append per micro-batch ≙ one tx per
     * write request (reference: clickhouse/client.go:121-150).
+    *
+    * The exchange is a RANGE partition over (date, name, tags), NOT a
+    * hash on date alone: hashing date funnels each day's entire batch
+    * through ONE task (a ~270 GB serial sort per day at 100 TB), where
+    * the range split spreads a day across many tasks at name/tags
+    * boundaries. Multiple files per date directory is fine for parquet,
+    * and min/max skipping is preserved — files then hold DISJOINT
+    * (name, tags) ranges, so a name-predicate read still prunes to the
+    * one file holding that range.
     */
   def append(metricRows: DataFrame, path: String): Unit =
     metricRows
-      .repartition(col("date"))
+      .repartitionByRange(col("date"), col("name"), col("tags"))
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("append").partitionBy("date").parquet(path)
 

@@ -304,7 +304,11 @@ object Kernels {
       var total = 0
       while (total < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, total, raw.length - total)
-        if (k == 0 && inf.needsInput()) return null // truncated stream
+        // Any zero-progress iteration is corrupt: truncated stream
+        // (needsInput) or an FDICT zlib header demanding a preset
+        // dictionary (needsDictionary) — PNG forbids the latter, and
+        // looping on it would spin this executor thread forever.
+        if (k == 0) return null
         total += k
       }
       if (total < raw.length) return null
@@ -373,11 +377,15 @@ object Kernels {
     * single-image pipeline.
     *
     * Null (the garbage-refusal contract) when the stream doesn't start
-    * at an SOI, any frame's EOI is missing, or no frame exists. The EOI
-    * scan takes the FIRST FF D9 after the frame's SOI — correct for
-    * baseline streams whose entropy data is 0xFF-stuffed (FF 00), which
-    * the spec mandates; a corrupt unstuffed body splits early and the
-    * downstream per-frame header decode nulls out.
+    * at an SOI, a marker segment overruns the payload, any frame's EOI
+    * is missing, or no frame exists. The frame end is found by walking
+    * the marker-segment chain by each segment's declared length up to
+    * SOS — APPn/COM payloads are raw bytes and may legally contain
+    * FF D9 (an EXIF thumbnail embeds a whole inner JPEG), so a naive
+    * first-FF-D9 scan would split frames early — and only the
+    * entropy-coded region after SOS is scanned for EOI, where the spec
+    * mandates FF-stuffing (FF 00) and the only bare markers are
+    * RST0-7, so the first FF D9 there really is the frame's end.
     */
   def mjpegFrames(payload: Array[Byte]): ArrayData = {
     val n = payload.length
@@ -387,14 +395,43 @@ object Kernels {
     while (pos < n) {
       if (pos + 4 > n || (payload(pos) & 0xff) != 0xff ||
         (payload(pos + 1) & 0xff) != 0xd8) return null
+      // Marker-segment walk: each segment is FF <m> [len_hi len_lo
+      // payload...]; bare (length-less) markers are TEM (01) and
+      // RST0-7 (D0-D7). Stop at SOS (DA) — everything after its header
+      // is entropy-coded — or at EOI (D9) for a degenerate empty frame.
       var i = pos + 2
       var end = -1
-      while (end < 0 && i + 1 < n) {
-        if ((payload(i) & 0xff) == 0xff && (payload(i + 1) & 0xff) == 0xd9)
-          end = i + 2
-        i += 1
+      var sos = -1
+      while (sos < 0 && end < 0) {
+        if (i + 1 >= n || (payload(i) & 0xff) != 0xff) return null
+        var m = payload(i + 1) & 0xff
+        while (m == 0xff && i + 2 < n) { i += 1; m = payload(i + 1) & 0xff } // fill bytes
+        if (m == 0xd9) end = i + 2
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else {
+          if (i + 4 > n) return null
+          val len = ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > n) return null
+          if (m == 0xda) sos = i + 2 + len
+          else i += 2 + len
+        }
       }
-      if (end < 0) return null
+      if (end < 0) {
+        // Entropy-coded region: FF 00 is a stuffed data byte, FF D0-D7
+        // a restart marker; the first other FF-marker ends the scan and
+        // must be EOI for a well-formed frame.
+        i = sos
+        while (end < 0 && i + 1 < n) {
+          if ((payload(i) & 0xff) == 0xff) {
+            val m = payload(i + 1) & 0xff
+            if (m == 0xd9) end = i + 2
+            else if (m != 0x00 && m != 0xff && !(m >= 0xd0 && m <= 0xd7))
+              return null
+          }
+          i += 1
+        }
+        if (end < 0) return null
+      }
       rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](frame, pos, end - pos))
       pos = end

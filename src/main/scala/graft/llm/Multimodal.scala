@@ -156,22 +156,30 @@ object Multimodal {
 
   /** Deterministic MJPEG test clip: `frames` complete JPEGs back to
     * back, frame f carrying real [[jpegPayload]] headers with geometry
-    * (w0+f) × (h0+f), a `bodyLen`-byte entropy body whose bytes follow
+    * (w0+f) × (h0+f), then a real baseline SOS segment (FF DA, 3
+    * components, 14 bytes — entropy data may only follow an SOS in a
+    * well-formed stream, and the container walk relies on that), a
+    * `bodyLen`-byte entropy body whose bytes follow
     * (seed·13 + f·31 + i·7) mod 0xF0 — never 0xFF, so no fake EOI can
     * appear inside a body — and a real EOI marker. Every frame's offset
-    * and length are closed-form (header is a fixed 39 bytes), so the
-    * container walk and the per-frame geometry decode are both pinned
-    * against arithmetic, not against the builder's own bytes.
+    * and length are closed-form (headers are a fixed 39 + 14 = 53
+    * bytes), so the container walk and the per-frame geometry decode
+    * are both pinned against arithmetic, not against the builder's own
+    * bytes.
     */
   def patternMjpeg(seed: Column, frames: Int, w0: Int, h0: Int,
                    bodyLen: Int): Column = {
     require(frames >= 1 && bodyLen >= 1)
+    // SOS, length 12: 3 components (1,2,3) with table selectors, then
+    // spectral selection 0..63, successive approximation 0.
+    val sosHex = "FFDA000C03010002110311003F00"
     concat((0 until frames).flatMap { f =>
       val bodyHex = array_join(
         transform(sequence(lit(0), lit(bodyLen - 1)),
           i => lpad(hex(pmod(seed * 13 + f * 31 + i * 7, lit(0xF0))), 2, "0")),
         "")
-      Seq(jpegPayload(lit(w0 + f), lit(h0 + f), unhex(bodyHex)),
+      Seq(jpegPayload(lit(w0 + f), lit(h0 + f),
+          unhex(concat(lit(sosHex), bodyHex))),
         unhex(lit("FFD9")))
     }: _*)
   }

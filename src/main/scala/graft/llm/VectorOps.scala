@@ -370,24 +370,80 @@ object VectorOps {
     * the lowest target id — mining is engine-exact.
     *
     * Shape: the per-side k-NN sums ride the bounded-heap bottom_k
-    * aggregate (map-side partial combine, never a sort); the candidate
-    * stream here is source × target, which the bounded fixture runs
-    * exactly — at corpus scale the SAME arithmetic reads its candidates
-    * from the bucketed LSH/kNN-graph stage instead (margin scoring is
-    * agnostic to candidate generation), so nothing in the operator
-    * assumes the cross product.
+    * aggregate (map-side partial combine, never a sort). This exact
+    * entry point enumerates source × target — the oracle baseline,
+    * bounded-fixture-only; the corpus-scale path is the overload below
+    * that reads its candidate pairs from a bucketed LSH stage (margin
+    * scoring is agnostic to candidate generation — the SAME arithmetic
+    * runs over whatever pair stream arrives).
+    *
+    * Ids must be non-negative and fit 33 bits (same packing contract as
+    * [[knnGraph]]): the tie-break key is (2^21 − cos_fp)·2^33 + id, so
+    * an id ≥ 2^33 or < 0 would corrupt the heap order and the k-NN sums.
     *
     * @return (a_id, b_id, cos_fp, margin_ppm) — at most one row per
     *         source vector, only above `minMarginPpm`
     */
   def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
                  minMarginPpm: Long): DataFrame = {
-    require(k >= 1)
     val pairs = src.select(col("id").as("a_id"), col("vec").as("va"))
       .crossJoin(tgt.select(col("id").as("b_id"), col("vec").as("vb")))
       .select(col("a_id"), col("b_id"),
         floor(cosine(col("va"), col("vb")) * (1L << 20)).as("cos_fp"))
-      .persist()
+    marginScore(pairs, k, minMarginPpm)
+  }
+
+  /** Corpus-scale margin mining over a PRE-GENERATED candidate-pair
+    * stream — the overload the [[marginMine]] docstring promises: feed
+    * it the (a_id, b_id) pairs from a bucketed sign-LSH stage (the
+    * [[knnGraph]] candidate generator run across the two corpora) and
+    * the identical margin arithmetic scores only those pairs; the cross
+    * product never exists. Neighborhood sums are then candidate-
+    * restricted — the standard LSH approximation, whose recall is what
+    * the `llm_bitext_mine_lsh` entry pins against the exact form.
+    *
+    * @param candidates (a_id, b_id) pairs, duplicates tolerated (the
+    *                   vectors join re-scores each distinct pair once
+    *                   after an id-level dedup)
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
+                 minMarginPpm: Long, candidates: DataFrame): DataFrame = {
+    val pairs = candidates.select(col("a_id"), col("b_id")).distinct()
+      .join(src.select(col("id").as("a_id"), col("vec").as("va")),
+        Seq("a_id"))
+      .join(tgt.select(col("id").as("b_id"), col("vec").as("vb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        floor(cosine(col("va"), col("vb")) * (1L << 20)).as("cos_fp"))
+    marginScore(pairs, k, minMarginPpm)
+  }
+
+  /** Cross-corpus LSH candidate pairs for [[marginMine]]: both sides
+    * bucket by the same hyperplane sign pattern per band (the
+    * [[knnGraph]] construction, but across src × tgt instead of self),
+    * so candidates exist only within a (band, bucket) equi-join and
+    * only (a_id, b_id) id pairs reach the dedup exchange — vectors stay
+    * map-side. */
+  def bitextCandidates(src: DataFrame, tgt: DataFrame,
+                       bands: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val a = bands.zipWithIndex.map { case (planes, i) =>
+      src.select(col("id").as("a_id"),
+        concat(lit(s"$i:"), lshBucket(col("vec"), planes)).as("bucket"))
+    }.reduce(_.unionAll(_))
+    val b = bands.zipWithIndex.map { case (planes, i) =>
+      tgt.select(col("id").as("b_id"),
+        concat(lit(s"$i:"), lshBucket(col("vec"), planes)).as("bucket"))
+    }.reduce(_.unionAll(_))
+    a.join(b, Seq("bucket")).select(col("a_id"), col("b_id")).distinct()
+  }
+
+  /** The margin arithmetic shared by both [[marginMine]] entry points:
+    * scores a (a_id, b_id, cos_fp) pair stream. Ids must fit 33 bits
+    * non-negative (packing contract, see [[marginMine]]). */
+  private def marginScore(pairStream: DataFrame, k: Int,
+                          minMarginPpm: Long): DataFrame = {
+    require(k >= 1)
+    val pairs = pairStream.persist()
     def knnSum(key: String, other: String, out: String) = {
       val ord = (lit(1L << 21) - col("cos_fp")) * lit(1L << 33) + col(other)
       pairs.select(col(key), ord.as("ord"), col("cos_fp"))

@@ -53,9 +53,6 @@ class Server(spark: SparkSession, tablePath: String,
     * with full predicate pushdown per query.
     */
   @volatile private var cachedTable: Option[DataFrame] = None
-  // extra readers are static backends — resolved once, never invalidated
-  // (only /write to the primary table changes what a read can see)
-  @volatile private var cachedExtras: Option[Seq[DataFrame]] = None
 
   private[graft] def storedTable(): DataFrame = synchronized {
     cachedTable.getOrElse {
@@ -65,16 +62,15 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
-  /** Every configured reader, primary first (= highest merge priority). */
+  /** Every configured reader, primary first (= highest merge priority).
+    * Extra readers are re-resolved per request — unlike the primary,
+    * nothing signals when an external backend's files change (no /write
+    * flows through us), so caching their file listings would make
+    * out-of-band appends silently invisible; the per-request listing
+    * cost is a driver-side directory scan, negligible against the read
+    * itself. */
   private[graft] def storedReaders(): Seq[DataFrame] = {
-    val extras = synchronized {
-      cachedExtras.getOrElse {
-        val dfs = extraReaderPaths.map(spark.read.parquet(_))
-        cachedExtras = Some(dfs)
-        dfs
-      }
-    }
-    storedTable() +: extras
+    storedTable() +: extraReaderPaths.map(spark.read.parquet(_))
   }
 
   private def invalidateTable(): Unit = synchronized { cachedTable = None }

@@ -1934,6 +1934,15 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.dHashPng(col("payload")).as("full")).collect()(0)
     assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
     assert(bad.getString(3).length == 16)
+
+    // hostile zlib: an FDICT header (78 BB — valid check bits, preset-
+    // dictionary flag set) makes inflate() return 0 with neither
+    // needsInput nor finished; the kernel must refuse (null), not spin
+    // the executor thread forever on the zero-progress loop
+    val fdict = p.select(Multimodal.dHashPng(expr(
+      "concat(substring(payload, 1, 41), X'78BB', " +
+      "substring(payload, 44, length(payload) - 43))")).as("d")).collect()(0)
+    assert(fdict.isNullAt(0))
   }
 
   test("multimodal: mjpegFrames splits concatenated JPEGs at real EOI " +
@@ -1944,7 +1953,7 @@ class LlmOpsSpec extends SparkSpec {
     val rows = clip.select(explode(Multimodal.mjpegFrames(col("p"))).as("f"))
       .select(col("f.frame_no"), col("f.off"), col("f.len"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
-    assert(rows.toSeq == Seq((0, 0, 81), (1, 81, 81), (2, 162, 81)))
+    assert(rows.toSeq == Seq((0, 0, 95), (1, 95, 95), (2, 190, 95)))
     // refusal: not starting at SOI; truncated final frame (EOI cut off)
     val bad = clip.select(
       Multimodal.mjpegFrames(expr("substring(p, 2, length(p) - 1)")).as("a"),
@@ -1952,6 +1961,25 @@ class LlmOpsSpec extends SparkSpec {
       Multimodal.mjpegFrames(encode(lit("not a jpeg"), "UTF-8")).as("c"))
       .collect()(0)
     assert(bad.isNullAt(0) && bad.isNullAt(1) && bad.isNullAt(2))
+  }
+
+  test("multimodal: mjpegFrames skips FF D9 inside an APP1 (EXIF " +
+       "thumbnail) payload — segment lengths, not a naive EOI scan") {
+    import spark.implicits._
+    // SOI | APP1 whose raw payload embeds a fake inner SOI+EOI (the
+    // EXIF-thumbnail case) | SOF0 9x16 | SOS | 3 body bytes | EOI
+    val hex =
+      "FFD8" +
+      "FFE1000B" + "4578696600" + "FFD8FFD9" + // APP1 len 11, 'Exif\0' + inner jpeg markers
+      "FFC00011" + "08" + "0009" + "0010" + "03" + "012200" + "021101" + "031101" +
+      "FFDA000C03010002110311003F00" +
+      "010203" +
+      "FFD9"
+    val rows = Seq(hex).toDF("h")
+      .select(explode(Multimodal.mjpegFrames(unhex(col("h")))).as("f"))
+      .select(col("f.frame_no"), col("f.off"), col("f.len"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((0, 0, hex.length / 2)))
   }
 
   test("multimodal: pcmFrameFeatures decodes real RIFF bytes (chunk walk, " +
