@@ -939,6 +939,48 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Dashboard downsampling through the front door: POST
+    // /read?downsample=minmax&step=86400 reduces each series' 158 s
+    // quantile buckets to the per-day extreme points before response
+    // assembly — the raw-panel reducer reachable over live HTTP, not
+    // just as a library entry. Retained points keep their original
+    // (t, value); the oracle replays the bucket agg then the same
+    // argmin/argmax selection.
+    "serve_read_downsample" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_srvd").toString
+      val table = s"$base/metrics"
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        table)
+      val server = new graft.serve.Server(s, table, Nil, 0,
+        exactQuantiles = true).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")))))
+        val conn = java.net.URI.create(
+          s"http://localhost:${server.boundPort}/read?downsample=minmax&step=86400")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(bytes))
+        val rows = for {
+          qr <- resp.results
+          ts <- qr.timeseries
+          sm <- ts.samples
+        } yield (ts.labels.map(l => s"${l.name}=${l.value}").sorted.mkString(","),
+          sm.timestampMs, sm.value)
+        import s.implicits._
+        rows.toDF("tags", "t", "value")
+          .select(col("tags"), col("t"), round(col("value"), 4).as("value"))
+          .orderBy(col("tags"), col("t"))
+      } finally server.stop()
+    }),
+
     // S3: parallel fan-out with per-sink error isolation — two healthy
     // formatter sinks and one poisoned sink run concurrently against the
     // SAME persisted batch; the poisoned sink marks its own samples
@@ -2136,6 +2178,29 @@ object SparkEntry {
         transform(col("vec"), x => x * 0.9).as("vec"))
       val tgt = e.filter(col("id") % 2 === 1).unionByName(planted)
       VectorOps.marginMine(src, tgt, k = 4, minMarginPpm = 1050000L)
+        .orderBy(col("a_id"))
+    }),
+
+    // Corpus-scale bitext mining: the SAME margin arithmetic fed from
+    // the bucketed cross-corpus LSH candidate generator instead of the
+    // cross join — candidates exist only within a (band, bucket)
+    // equi-join (2 bands × 4 planes), neighborhood sums are
+    // candidate-restricted (the standard LSH approximation), and the
+    // cross product never materializes. A planted pair is a pure
+    // scaling of its source (cos = 1 exactly), so it lands in the same
+    // bucket under EVERY hyperplane — plants are always candidates.
+    // The oracle replays bucketing, candidate join, and margins in SQL.
+    "llm_bitext_mine_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val src = e.filter(col("id") % 10 === 0)
+      val planted = src.select((col("id") + 100000).as("id"),
+        transform(col("vec"), x => x * 0.9).as("vec"))
+      val tgt = e.filter(col("id") % 2 === 1).unionByName(planted)
+      val bands = Seq(AnnPlanes8.take(4), AnnPlanes8.drop(4))
+      val cands = VectorOps.bitextCandidates(src, tgt, bands)
+      VectorOps.marginMine(src, tgt, k = 4, minMarginPpm = 1050000L, cands)
         .orderBy(col("a_id"))
     }),
 
@@ -4054,6 +4119,63 @@ object SparkEntry {
         .orderBy(col("tags"), col("bucket_ts"), col("val"))
     }),
 
+    // Compaction-parallelism audit (the llm_zorder_skipping pattern):
+    // every fixture sample is forced into ONE calendar day — the
+    // pathological shape for the old hash-on-date writer, which would
+    // funnel the whole table through a single task and write one file —
+    // then the store is compacted and the hot date's physical layout is
+    // pinned: ≥2 parquet files (the range split spread the day across
+    // tasks) whose (name, tags) key ranges are pairwise DISJOINT (so
+    // row-group min/max skipping still prunes a name-predicate read to
+    // one file). A regression to the serial-per-day sort turns
+    // files_min2 to 1; a partitioner that interleaves keys turns
+    // range_overlaps nonzero.
+    "a7_compact_parallel" -> ((s, dir) => {
+      import s.implicits._
+      val facts = cachedModel(s"a7par:$dir") {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_a7p")
+          .toString + "/metrics"
+        val day = WritePipeline.toMetricRows(
+            WritePipeline.dropNonFinite(flatSamples(s, dir)))
+          .withColumn("ts", timestamp_seconds(
+            lit(Jan10) + pmod(unix_timestamp(col("ts")), lit(86400L))))
+          .withColumn("date", to_date(col("ts")))
+        WritePipeline.append(day, tmp)
+        // At test scale the whole day fits one AQE target partition and
+        // coalescing correctly funnels it — which is the right behavior
+        // at 64 MB targets but makes the parallelism invisible. Shrink
+        // the advisory/min sizes so the fixture day EXCEEDS one target,
+        // the regime a real 270 GB day is always in, and restore after.
+        val tuned = Seq(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384")
+        val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
+        tuned.foreach { case (k, v) => s.conf.set(k, v) }
+        try Rollup.compact(s, tmp, Jan31)
+        finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+        val dd = new java.io.File(s"$tmp/date=2024-01-10")
+        val files = Option(dd.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+        val ranges = files.map { p =>
+          val r = s.read.parquet(p)
+            .select(concat_ws(" ", col("name"), tagsStr).as("k"))
+            .agg(min(col("k")), max(col("k"))).head
+          (r.getString(0), r.getString(1))
+        }.filter(r => r._1 != null)
+        val overlaps = (for {
+          i <- ranges.indices; j <- ranges.indices if i < j
+        } yield (ranges(i), ranges(j))).count { case (a, b) =>
+          a._2 >= b._1 && b._2 >= a._1
+        }
+        Seq(("files_min2", math.min(files.length, 2).toLong),
+          ("range_overlaps", overlaps.toLong))
+      }
+      facts.toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // Multi-way join enrichment over the TPC-H tables: the fact table
     // joins orders on the shuffle key, then the small dimensions join as
     // EXPLICIT BROADCASTS (customer 15k, nation 25 — no shuffle of the
@@ -4453,6 +4575,81 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"), col("bucket"))
     }),
 
+    // Skew-proof counter rate: the SAME semantics as ts_counter_rate
+    // (and the SAME oracle — that identity is the entry's claim) through
+    // the two-phase salted window: the lag pass partitions by
+    // (series, 6 h time slice) so one hot series spreads across
+    // span/6 h tasks, and slice-boundary deltas stitch through a
+    // series×slices-sized summary table. The `__name__=up` answer: no
+    // single series can ceiling the window stage.
+    "ts_salted_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.counterIncreaseSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, sliceSec = 21600L, Seq("event_id"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
+    // PromQL deriv()/predict_linear(): per-sample least-squares slope
+    // over the series' trailing hour, extrapolated 30 min out — the
+    // disk-full alert shape. Five moment sums as exact DECIMAL(38,0)
+    // (order-free across engines); one IEEE expression tree at the end,
+    // floored onto the 1e-6 grid. Single-sample windows → null (PromQL's
+    // need-two-points rule).
+    "ts_predict_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      // the operator emits true nulls for single-point windows (the
+      // PromQL contract); the ENTRY maps them to an out-of-range
+      // sentinel so the hash compare never sees engine-specific NULL
+      // encodings
+      val sentinel = -(1L << 62)
+      TimeSeriesOps.linearRegress(ev, Seq("event_type", "user_id"),
+          "ts", "value", windowSec = 3600L, horizonSec = 1800L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"),
+          coalesce(col("deriv_fp"), lit(sentinel)).as("deriv_fp"),
+          coalesce(col("predict_fp"), lit(sentinel)).as("predict_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // PromQL histogram_quantile(0.9, increase(..._bucket[6h])): the
+    // latency-dashboard read transform. The fixture synthesizes genuine
+    // cumulative bucket counters from events (per (event_type, le), the
+    // running count of observations ≤ le at each event time — exactly
+    // what a Prometheus client's histogram exports), counterIncrease
+    // recovers per-(series, le, 6 h bucket) increases, and the quantile
+    // interpolates within the first le whose running count crosses
+    // 0.9·total — running-max monotonic repair, +Inf top bucket, the
+    // promql/quantile.go rules. Exact integer counts end-to-end; the
+    // one interpolation division lands on the 1e-6 grid.
+    "ts_histogram_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      val les = Seq(0.5, 2.0, 8.0, Double.PositiveInfinity)
+      val leDf = s.createDataFrame(les.map(Tuple1(_))).toDF("le")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("le"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val samples = ev.crossJoin(broadcast(leDf))
+        .withColumn("cum",
+          sum(when(col("value") <= col("le"), 1L).otherwise(0L)).over(wCum))
+      val inc = TimeSeriesOps.counterIncrease(samples,
+        Seq("event_type", "le"), "ts", "cum", 21600L, Seq("event_id"))
+      TimeSeriesOps.histogramQuantile(inc, Seq("event_type"), "le",
+          "bucket", "increase_fp", q = 0.9)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // Gap-filled LOCF downsampling onto a 15-min grid with PromQL's
     // lookback rule (stale after 30 min → no value). The grid is per
     // series (span/step points — 2880 per series over the 30-day
@@ -4492,6 +4689,24 @@ object SparkEntry {
         col("value"))
       TimeSeriesOps.rangeAgg(ev, Seq("event_type", "user_id"),
           "ts", "value", 900L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // The skew-proof form of the same range vectors: window per
+    // (series, 1 h slice), slice-edge frames completed by replicating
+    // each slice's trailing 15 min into the next slice as context-only
+    // rows — a hot series spreads across span/slice tasks. Output is
+    // row-identical to ts_range_agg (same oracle, verbatim).
+    "ts_salted_range_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeAggSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", windowSec = 900L, sliceSec = 3600L)
         .select(col("event_type"), col("user_id"), col("event_id"),
           col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
         .orderBy(col("event_type"), col("user_id"), col("ts"),
@@ -5240,6 +5455,101 @@ object SparkEntry {
        |SELECT a_id, b_id, cos_fp, margin_ppm FROM r
        |WHERE rn = 1 AND margin_ppm > 1050000 ORDER BY a_id""".stripMargin
 
+  /** LSH-candidate bitext oracle: replay the two 4-plane bands over BOTH
+    * corpora, equi-join on (band, bucket) for the candidate set, then
+    * the identical margin arithmetic restricted to candidates.
+    */
+  private def oBitextMineLshSql: String = {
+    def bandSelect(tbl: String, idAs: String, band: Int, lo: Int,
+                   hi: Int): String =
+      s"""SELECT id AS $idAs, $band AS band,
+         |    array_to_string([CASE WHEN list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |        [vec[i]*pl[j][i] FOR i IN range(1, len(vec)+1)]), (x,y) -> x+y) >= 0
+         |      THEN '1' ELSE '0' END FOR j IN range($lo, $hi)], '') AS bucket
+         |  FROM $tbl CROSS JOIN planes""".stripMargin
+    s"""WITH planes AS (SELECT $OPlanes AS pl),
+       |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings),
+       |a AS (SELECT id, vec FROM v WHERE id % 10 = 0),
+       |b AS (SELECT id, vec FROM v WHERE id % 2 = 1
+       |  UNION ALL
+       |  SELECT id + 100000, list_transform(vec, x -> x * 0.9) FROM a),
+       |ab AS (
+       |  ${bandSelect("a", "a_id", 0, 1, 5)}
+       |  UNION ALL
+       |  ${bandSelect("a", "a_id", 1, 5, 9)}),
+       |bb AS (
+       |  ${bandSelect("b", "b_id", 0, 1, 5)}
+       |  UNION ALL
+       |  ${bandSelect("b", "b_id", 1, 5, 9)}),
+       |cand AS (SELECT DISTINCT ab.a_id, bb.b_id
+       |  FROM ab JOIN bb ON ab.band = bb.band AND ab.bucket = bb.bucket),
+       |p AS (SELECT c.a_id, c.b_id,
+       |    CAST(floor((${oCos("av.vec", "bv.vec")}) * 1048576.0) AS BIGINT)
+       |      AS cos_fp
+       |  FROM cand c JOIN a av ON av.id = c.a_id
+       |    JOIN b bv ON bv.id = c.b_id),
+       |fw AS (SELECT a_id, CAST(sum(cos_fp) AS BIGINT) AS fwd_sum FROM (
+       |    SELECT a_id, cos_fp, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos_fp DESC, b_id) AS rn FROM p) t
+       |  WHERE rn <= 4 GROUP BY 1),
+       |bw AS (SELECT b_id, CAST(sum(cos_fp) AS BIGINT) AS bwd_sum FROM (
+       |    SELECT b_id, cos_fp, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY cos_fp DESC, a_id) AS rn FROM p) t
+       |  WHERE rn <= 4 GROUP BY 1),
+       |m AS (SELECT p.a_id, p.b_id, p.cos_fp,
+       |    CAST(p.cos_fp * 8 * 1000000 // (fw.fwd_sum + bw.bwd_sum)
+       |      AS BIGINT) AS margin_ppm
+       |  FROM p JOIN fw USING (a_id) JOIN bw USING (b_id)
+       |  WHERE fw.fwd_sum + bw.bwd_sum > 0),
+       |r AS (SELECT a_id, b_id, cos_fp, margin_ppm,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin_ppm DESC, b_id) AS rn
+       |  FROM m)
+       |SELECT a_id, b_id, cos_fp, margin_ppm FROM r
+       |WHERE rn = 1 AND margin_ppm > 1050000 ORDER BY a_id""".stripMargin
+  }
+
+  /** Trailing range-vector oracle — shared verbatim by ts_range_agg and
+    * ts_salted_range_agg (the salted form's claim IS output identity).
+    */
+  private def oRangeAggSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events)
+       |SELECT event_type, user_id, event_id, ts,
+       |  count(*) OVER w AS n_window,
+       |  CAST(sum(vfp) OVER w AS BIGINT) AS sum_fp,
+       |  max(vfp) OVER w AS max_fp
+       |FROM s
+       |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+       |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** Counter increase/rate oracle — shared verbatim by ts_counter_rate
+    * and ts_salted_rate (the salted form's claim IS output identity).
+    */
+  private def oCounterRateSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+       |    value FROM events),
+       |d AS (SELECT event_type, user_id, t,
+       |    value - lag(value) OVER (PARTITION BY event_type, user_id
+       |      ORDER BY t, event_id) AS delta,
+       |    value FROM s),
+       |a AS (SELECT event_type, user_id,
+       |    CAST(floor(t / 3600) AS BIGINT) AS bucket,
+       |    CASE WHEN delta IS NULL THEN NULL
+       |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+       |         ELSE CAST(floor(value * 1000000) AS BIGINT) END AS adj_fp,
+       |    CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset
+       |  FROM d)
+       |SELECT event_type, user_id, bucket,
+       |  count(*) AS n_samples,
+       |  CAST(coalesce(sum(reset), 0) AS BIGINT) AS n_resets,
+       |  CAST(coalesce(sum(adj_fp), 0) AS BIGINT) AS increase_fp,
+       |  CAST(floor(coalesce(sum(adj_fp), 0) / 3600) AS BIGINT) AS rate_fp
+       |FROM a GROUP BY 1, 2, 3
+       |ORDER BY event_type, user_id, bucket""".stripMargin
+
   /** Random-walk oracle: the 4 hops unrolled, each an arg-min via
     * row_number over the same md5 draw (ties to the lowest dst), over
     * the shared link-graph CTEs.
@@ -5920,6 +6230,7 @@ object SparkEntry {
     "llm_ppr" -> oPprSql,
     "llm_random_walks" -> oRandomWalksSql,
     "llm_bitext_mine" -> oBitextMineSql,
+    "llm_bitext_mine_lsh" -> oBitextMineLshSql,
     "ts_lttb" -> oLttbSql,
 
     // Independent recomputation of the manifest from raw content: the
@@ -6621,6 +6932,29 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY tags, t ORDER BY src) AS rn
          |  FROM u)
          |SELECT tags, t, round(v, 4) AS value FROM d WHERE rn = 1
+         |ORDER BY tags, t""".stripMargin,
+
+    // The 158 s quantile buckets reduced to per-day extremes: argmin
+    // ties earliest-t, argmax ties latest-t (the ts_minmax convention);
+    // (tags, t) is unique post-agg so the min=max cell degenerates to
+    // one row in both engines.
+    "serve_read_downsample" ->
+      s"""WITH b AS (
+         |  SELECT $OTags AS tags, ($OSec // 158) * 158 * 1000 AS t,
+         |         quantile_cont(value, 0.75) AS v
+         |  FROM events
+         |  WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
+         |  GROUP BY 1, 2),
+         |c AS (SELECT tags, t, v,
+         |    CAST(floor(t / 86400000) AS BIGINT) AS cell FROM b),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY tags, cell ORDER BY v, t)
+         |      AS rlo,
+         |    row_number() OVER (PARTITION BY tags, cell ORDER BY v DESC,
+         |      t DESC) AS rhi
+         |  FROM c)
+         |SELECT tags, t, round(v, 4) AS value FROM r
+         |WHERE rlo = 1 OR rhi = 1
          |ORDER BY tags, t""".stripMargin,
 
     // Poisoned sink: sent=0, failed=everything, errored; healthy sinks
@@ -8486,6 +8820,15 @@ object SparkEntry {
          |FROM t GROUP BY name, tags, bucket_ts, precision
          |ORDER BY tags, bucket_ts, val""".stripMargin,
 
+    // Physical-layout audit — the expected facts are literals: ≥2 files
+    // for the single hot date (clamped at 2), zero pairwise overlaps
+    // between the files' (name, tags) key ranges.
+    "a7_compact_parallel" ->
+      """SELECT 'files_min2' AS fact, CAST(2 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'range_overlaps', CAST(0 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
+
     "q_join_enrich" ->
       """SELECT n_name, count(*) AS cnt,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
@@ -8667,27 +9010,93 @@ object SparkEntry {
     // Reset rule replayed with lag(): drop ⇒ the full new value is the
     // adjusted delta. floor() before every narrowing (DuckDB CAST rounds,
     // Spark's truncates — floor is the shared spelling).
-    "ts_counter_rate" ->
+    "ts_counter_rate" -> oCounterRateSql,
+
+    // The salted two-phase form is pinned to the IDENTICAL oracle — the
+    // entry's whole claim is output equivalence with the plain window.
+    "ts_salted_rate" -> oCounterRateSql,
+
+    // Least-squares replay: the same DECIMAL(18,0) moment sums over the
+    // same RANGE frame, the same IEEE expression tree at the edge.
+    "ts_predict_linear" ->
       s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
-         |    value FROM events),
-         |d AS (SELECT event_type, user_id, t,
-         |    value - lag(value) OVER (PARTITION BY event_type, user_id
+         |    CAST(floor(value * 1000000) AS BIGINT) AS yfp FROM events),
+         |w AS (SELECT event_type, user_id, event_id, t,
+         |    count(*) OVER win AS n_window,
+         |    CAST(count(*) OVER win AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(t AS DECIMAL(18,0))) OVER win AS DOUBLE) AS st,
+         |    CAST(sum(CAST(yfp AS DECIMAL(18,0))) OVER win AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+         |      OVER win AS DOUBLE) AS stt,
+         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(yfp AS DECIMAL(19,0)))
+         |      OVER win AS DOUBLE) AS sty
+         |  FROM s
+         |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT *, nd * stt - st * st AS denom FROM w),
+         |sl AS (SELECT *, CASE WHEN denom = 0 THEN NULL
+         |    ELSE (nd * sty - st * sy) / denom END AS slope FROM d)
+         |SELECT event_type, user_id, event_id, t AS ts, n_window,
+         |  coalesce(CAST(floor(slope) AS BIGINT), ${-(1L << 62)})
+         |    AS deriv_fp,
+         |  coalesce(CAST(floor(sy / nd + slope *
+         |    (CAST(t AS DOUBLE) - st / nd + 1800.0)) AS BIGINT),
+         |    ${-(1L << 62)}) AS predict_fp
+         |FROM sl ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    // Bucket-counter synthesis (running count of observations ≤ le per
+    // (event_type, le)), counter increase per 6 h bucket, running-max
+    // monotonic repair, and the promql/quantile.go interpolation — all
+    // replayed with the same windows and the same IEEE edge expression.
+    "ts_histogram_quantile" ->
+      s"""WITH s0 AS (SELECT event_type, event_id, $OSec AS t, value
+         |  FROM events),
+         |les AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+         |  (CAST(2.0 AS DOUBLE)), (CAST(8.0 AS DOUBLE)),
+         |  (CAST('infinity' AS DOUBLE))) AS l(le)),
+         |sam AS (SELECT event_type, le, event_id, t,
+         |    sum(CASE WHEN value <= le THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY event_type, le ORDER BY t, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s0 CROSS JOIN les),
+         |d AS (SELECT event_type, le, t,
+         |    cum - lag(cum) OVER (PARTITION BY event_type, le
          |      ORDER BY t, event_id) AS delta,
-         |    value FROM s),
-         |a AS (SELECT event_type, user_id,
-         |    CAST(floor(t / 3600) AS BIGINT) AS bucket,
+         |    cum FROM sam),
+         |a AS (SELECT event_type, le,
+         |    CAST(floor(t / 21600) AS BIGINT) AS bucket,
          |    CASE WHEN delta IS NULL THEN NULL
          |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
-         |         ELSE CAST(floor(value * 1000000) AS BIGINT) END AS adj_fp,
-         |    CASE WHEN delta < 0 THEN 1 ELSE 0 END AS reset
-         |  FROM d)
-         |SELECT event_type, user_id, bucket,
-         |  count(*) AS n_samples,
-         |  CAST(coalesce(sum(reset), 0) AS BIGINT) AS n_resets,
-         |  CAST(coalesce(sum(adj_fp), 0) AS BIGINT) AS increase_fp,
-         |  CAST(floor(coalesce(sum(adj_fp), 0) / 3600) AS BIGINT) AS rate_fp
-         |FROM a GROUP BY 1, 2, 3
-         |ORDER BY event_type, user_id, bucket""".stripMargin,
+         |         ELSE CAST(floor(cum * 1000000) AS BIGINT) END AS adj
+         |  FROM d),
+         |inc AS (SELECT event_type, le, bucket,
+         |    CAST(coalesce(sum(adj), 0) AS BIGINT) AS c
+         |  FROM a GROUP BY 1, 2, 3),
+         |r AS (SELECT event_type, bucket, le,
+         |    max(c) OVER (PARTITION BY event_type, bucket ORDER BY le
+         |      ROWS UNBOUNDED PRECEDING) AS rep
+         |  FROM inc),
+         |r2 AS (SELECT *,
+         |    max(rep) OVER (PARTITION BY event_type, bucket) AS total,
+         |    lag(le) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_le,
+         |    lag(rep) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_rep
+         |  FROM r),
+         |x AS (SELECT *, CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE) AS rnk
+         |  FROM r2
+         |  WHERE total > 0
+         |    AND CAST(rep AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)
+         |    AND (prev_rep IS NULL OR
+         |      CAST(prev_rep AS DOUBLE) < CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)))
+         |SELECT event_type, bucket, total AS total_fp,
+         |  CAST(floor((CASE WHEN isinf(le) THEN prev_le
+         |    WHEN prev_rep IS NULL THEN le * (rnk / CAST(rep AS DOUBLE))
+         |    ELSE prev_le + (le - prev_le) *
+         |      ((rnk - CAST(prev_rep AS DOUBLE)) /
+         |       (CAST(rep AS DOUBLE) - CAST(prev_rep AS DOUBLE))) END)
+         |    * 1000000) AS BIGINT) AS quantile_fp
+         |FROM x ORDER BY event_type, bucket""".stripMargin,
 
     // Grid replay: per-series range() grid, DuckDB's native ASOF LEFT
     // JOIN for the fill, the same lookback CASE, digested per series.
@@ -8717,17 +9126,11 @@ object SparkEntry {
          |    AS filled_sum_fp
          |FROM f GROUP BY 1, 2 ORDER BY event_type, user_id""".stripMargin,
 
-    "ts_range_agg" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events)
-         |SELECT event_type, user_id, event_id, ts,
-         |  count(*) OVER w AS n_window,
-         |  CAST(sum(vfp) OVER w AS BIGINT) AS sum_fp,
-         |  max(vfp) OVER w AS max_fp
-         |FROM s
-         |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
-         |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
-         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_range_agg" -> oRangeAggSql,
+
+    // The replicated-context salted form pins output identity with the
+    // plain window by sharing its oracle verbatim.
+    "ts_salted_range_agg" -> oRangeAggSql,
 
     // Plain BETWEEN join — DuckDB's optimizer handles the range predicate
     // directly, independently of the bucket decomposition under test.

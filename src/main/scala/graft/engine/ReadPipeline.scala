@@ -82,10 +82,63 @@ object ReadPipeline {
         sort_array(collect_list(struct(col("t"), col("value")))).as("samples"))
       .select(col("name"), col("tags"), col("samples"))
 
-  /** Full read: filter → bucket agg → series assembly. */
+  /** Full read: filter → bucket agg → series assembly.
+    *
+    * @param bucketTransform applied to the bucket-agg rows (t, name,
+    *        tags, cnt, value) before series assembly — the hook the
+    *        serve layer's dashboard downsampling plugs into (its
+    *        reduction keys on the same series tags as the assembly, so
+    *        the transform adds at most one aggregate-sized exchange)
+    */
   def read(metrics: DataFrame, q: PromQuery,
-           exact: Boolean = false, strictCompat: Boolean = false): DataFrame =
-    assembleSeries(bucketAgg(metrics, q, exact, strictCompat))
+           exact: Boolean = false, strictCompat: Boolean = false,
+           bucketTransform: DataFrame => DataFrame = identity): DataFrame =
+    assembleSeries(bucketTransform(bucketAgg(metrics, q, exact, strictCompat)))
+
+  /** Min-max downsampling of bucket-agg rows for dashboard reads: per
+    * (series, `stepSec` grid cell) keep only the extreme points —
+    * argmin/argmax by value over the cell, ties earliest-min /
+    * latest-max (the ts_minmax convention). Retained points keep their
+    * ORIGINAL (t, value) — the reduction drops rows, never rewrites
+    * samples — so a dashboard zoom-in re-query at a finer step refines
+    * the same series. One partial-combined struct-min/max aggregate on
+    * (tags, cell); a cell whose min and max coincide emits one row.
+    */
+  def minmaxDownsample(bucketed: DataFrame, stepSec: Long): DataFrame = {
+    require(stepSec > 0)
+    val cell = floor(col("t") / lit(stepSec * 1000)).cast("long")
+    bucketed
+      .groupBy(col("tags"), cell.as("_cell"))
+      .agg(first(col("name")).as("name"),
+        count(lit(1)).as("cnt"),
+        min(struct(col("value"), col("t"))).as("_lo"),
+        max(struct(col("value"), col("t"))).as("_hi"))
+      .select(col("tags"), col("name"), col("cnt"),
+        explode(array_distinct(array(
+          struct(col("_lo.t").as("t"), col("_lo.value").as("value")),
+          struct(col("_hi.t").as("t"), col("_hi.value").as("value")))))
+          .as("_p"))
+      .select(col("_p.t").as("t"), col("name"), col("tags"), col("cnt"),
+        col("_p.value").as("value"))
+  }
+
+  /** LTTB downsampling of bucket-agg rows for dashboard reads: each
+    * series reduced to `nOut` shape-preserving points (Steinarsson's
+    * Largest-Triangle-Three-Buckets via [[graft.operators.TimeSeriesOps
+    * .lttb]]). The selection runs on fixed-point values; the selected
+    * (series, t) keys then join BACK to the original bucket rows so
+    * retained points keep their exact (t, value) — like
+    * [[minmaxDownsample]], the reduction drops rows, never rewrites
+    * samples. The join is an aggregate-sized equi-join on the same
+    * series key the assembly groups by.
+    */
+  def lttbDownsample(bucketed: DataFrame, nOut: Int): DataFrame = {
+    val sel = graft.operators.TimeSeriesOps
+      .lttb(bucketed.withColumn("_tsec", (col("t") / 1000).cast("long")),
+        Seq("tags"), "_tsec", "value", nOut)
+      .select(col("tags"), (col("ts") * 1000).as("t"))
+    bucketed.join(sel, Seq("tags", "t"))
+  }
 
   /** Multi-reader read — the reference's own unimplemented TODO
     * (reference: main.go:344-348 returns 500 unless exactly one reader
@@ -104,11 +157,13 @@ object ReadPipeline {
     * size 1, window-free).
     */
   def readMulti(readers: Seq[DataFrame], q: PromQuery,
-                exact: Boolean = false, strictCompat: Boolean = false): DataFrame = {
+                exact: Boolean = false, strictCompat: Boolean = false,
+                bucketTransform: DataFrame => DataFrame = identity): DataFrame = {
     require(readers.nonEmpty, "need at least one reader")
-    if (readers.sizeIs == 1) read(readers.head, q, exact, strictCompat)
-    else assembleSeries(mergeDedup(
-      readers.map(bucketAgg(_, q, exact, strictCompat)), tsCol = "t"))
+    if (readers.sizeIs == 1) read(readers.head, q, exact, strictCompat,
+      bucketTransform)
+    else assembleSeries(bucketTransform(mergeDedup(
+      readers.map(bucketAgg(_, q, exact, strictCompat)), tsCol = "t")))
   }
 
   /** A6 sorted merge + dedup across result sets (the reference's k-way merge

@@ -887,7 +887,10 @@ object TextAnalysis {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
     val bgStream = docs.select(col(idCol).as("doc_id"),
       explode(wordShingles(wsArr, 2)).as("bg"))
+    // persisted: feeds both the context-sum derivation and the score
+    // join — unpersisted, Spark re-explodes the corpus per consumer
     val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val leftCounts = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"))
@@ -950,9 +953,21 @@ object TextAnalysis {
       explode(wordShingles(wsArr, 3)).as("tg"))
     val bgStream = docs.select(explode(wordShingles(wsArr, 2)).as("bg"))
     val wStream = docs.select(explode(wsArr).as("w"))
+    // The three count tables each feed MULTIPLE consumers below (the type
+    // assembly, their own context-sum derivation, the corpus stats), and
+    // Spark SQL performs no cross-join common-subplan sharing — unpersisted,
+    // every consumer re-runs the full explode+shuffle from the parquet scan
+    // (the corpus is re-exploded ~3x for trigrams alone; measured 4.9 s →
+    // the persisted form at sf0.1). The tables are trigram/bigram/word
+    // TYPES — vocabulary-bounded, orders of magnitude below corpus scale —
+    // so materializing them is exactly the state a KenLM-style counter
+    // keeps. (The Bench/Verify harness unpersists between entries.)
     val tgCounts = tgStream.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniCounts = wStream.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // context sums derive from the next table up, one tiny agg each
     val ctx2 = tgCounts
       .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
@@ -961,8 +976,10 @@ object TextAnalysis {
     val ctx1 = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"))
-    val stats = wStream
-      .agg(count(lit(1)).as("ntok"), count_distinct(col("w")).as("vsz"))
+    // corpus totals from the persisted unigram table — NOT a third
+    // re-explode of the documents: N = Σ c_w, V = |vocab|
+    val stats = uniCounts
+      .agg(sum(col("c_w")).as("ntok"), count(lit(1)).as("vsz"))
     // assemble p per trigram TYPE, then fixed-point the type's -ln(p)
     val parts = split(col("tg"), " ")
     val typed = tgCounts
@@ -1022,12 +1039,18 @@ object TextAnalysis {
                          idCol: String = "doc_id"): DataFrame = {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
     // reference-side count tables
+    // persisted: each ref count table feeds both its context-sum
+    // derivation and the type assembly (see trigramLmScore — unpersisted,
+    // Spark re-explodes the reference corpus once per consumer)
     val refTg = ref.select(explode(wordShingles(wsArr, 3)).as("tg"))
       .groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refBg = ref.select(explode(wordShingles(wsArr, 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refUni = ref.select(explode(wsArr).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx2 = refTg
       .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
         split(col("tg"), " ").getItem(1)).as("w12"))
@@ -1035,8 +1058,8 @@ object TextAnalysis {
     val ctx1 = refBg
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"))
-    val stats = ref.select(explode(wsArr).as("w"))
-      .agg(count(lit(1)).as("ntok"))
+    // corpus total from the persisted unigram table, not a re-explode
+    val stats = refUni.agg(sum(col("c_w")).as("ntok"))
     // scored-corpus trigram stream and its TYPE table
     val tgStream = docs.select(col(idCol).as("doc_id"),
       explode(wordShingles(wsArr, 3)).as("tg"))
@@ -1110,9 +1133,13 @@ object TextAnalysis {
     val bgStream = docs.select(col(idCol).as("doc_id"),
       explode(wordShingles(wsArr, 2)).as("bg"))
     val parts = split(col("bg"), " ")
+    // persisted: the type table feeds FOUR consumers (left/right contexts,
+    // the type total, the score assembly) and Spark re-runs the whole
+    // explode+count subtree per consumer otherwise — see trigramLmScore
     val types = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
       .select(col("bg"), col("c_bg"),
         parts.getItem(0).as("w1"), parts.getItem(1).as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val leftCtx = types.groupBy(col("w1"))
       .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
     val rightCtx = types.groupBy(col("w2"))

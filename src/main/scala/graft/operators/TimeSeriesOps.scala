@@ -187,6 +187,207 @@ object TimeSeriesOps {
           .as("rate_fp"))
   }
 
+  /** Per-series least-squares slope and extrapolation over a trailing
+    * range window — PromQL `deriv()` and `predict_linear()`, the
+    * second-most-common alert shape ("disk full in 4 h"). For every
+    * sample, simple linear regression over the same series' samples in
+    * the trailing `windowSec` seconds (inclusive):
+    *   slope = (nΣty − Σt·Σy) / (nΣt² − (Σt)²)
+    *   predict = ȳ + slope·(t_now − t̄ + horizonSec)
+    * (slope is shift-invariant in t, so raw epoch seconds work — no
+    * re-basing needed once the moment sums are exact.)
+    *
+    * Determinism contract: the five moment sums (n, Σt, Σy, Σty, Σt²)
+    * accumulate as DECIMAL(38,0) — exact integer arithmetic, order-free
+    * across partitions and engines, with headroom (t² ~ 3·10^18, ×10^4
+    * samples ×n ≈ 3·10^26 ≪ 10^38) that long sums don't have. Only the
+    * final slope/predict arithmetic drops to IEEE double, as a fixed
+    * expression tree both engines evaluate identically, and the result
+    * lands on the 1e-6 fixed-point grid via floor. A window with <2
+    * distinct timestamps has denominator 0 → null slope/predict (the
+    * PromQL "need two points" rule).
+    *
+    * Scale shape: ONE shuffle on the series keys; the RANGE frame is
+    * time-bounded so window state is O(samples in `windowSec`) per
+    * series; all five sums share one window spec (one sort, one pass).
+    */
+  def linearRegress(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                    valCol: String, windowSec: Long,
+                    horizonSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsSecCol).cast("long").asc)
+      .rangeBetween(-windowSec, 0)
+    // operands declare DECIMAL(18,0) so the products are DECIMAL(37,0)
+    // in BOTH engines (38×38 products overflow DuckDB's cap outright and
+    // trip Spark's precision-loss truncation)
+    val dec = "decimal(18,0)"
+    val t = col(tsSecCol).cast("long")
+    val yFp = floor(col(valCol) * 1000000L)
+    val n = count(lit(1)).over(w)
+    val st = sum(t.cast(dec)).over(w)
+    val sy = sum(yFp.cast(dec)).over(w)
+    val stt = sum(t.cast(dec) * t.cast(dec)).over(w)
+    val sty = sum(t.cast(dec) * yFp.cast(dec)).over(w)
+    samples
+      .withColumn("n_window", n)
+      .withColumn("_nd", n.cast("double"))
+      .withColumn("_st", st.cast("double"))
+      .withColumn("_sy", sy.cast("double"))
+      .withColumn("_stt", stt.cast("double"))
+      .withColumn("_sty", sty.cast("double"))
+      .withColumn("_denom",
+        col("_nd") * col("_stt") - col("_st") * col("_st"))
+      .withColumn("_slope",
+        when(col("_denom") === 0.0, lit(null).cast("double"))
+          .otherwise((col("_nd") * col("_sty") - col("_st") * col("_sy"))
+            / col("_denom")))
+      .withColumn("deriv_fp", floor(col("_slope")))
+      .withColumn("predict_fp",
+        floor(col("_sy") / col("_nd") + col("_slope") *
+          (t.cast("double") - col("_st") / col("_nd") +
+            lit(horizonSec.toDouble))))
+      .drop("_nd", "_st", "_sy", "_stt", "_sty", "_denom", "_slope")
+  }
+
+  /** PromQL `histogram_quantile(q, rate(..._bucket[w]))` — quantile
+    * estimation from cumulative histogram bucket counters: given
+    * per-(series, le, time-bucket) increases (the output of
+    * [[counterIncrease]] keyed on `keys :+ leCol`), estimate the
+    * q-quantile per (series-minus-le, time-bucket) by linear
+    * interpolation within the first `le` bucket whose cumulative count
+    * reaches rank q·total (Prometheus promql/quantile.go semantics):
+    *   - buckets ordered by `le` ascending; a running max repairs
+    *     non-monotonic counts (scrape races produce them)
+    *   - rank lands in the +Inf bucket → the highest finite `le`
+    *   - rank lands in the first bucket → interpolate from lower bound 0
+    *   - otherwise interpolate between the two bucket bounds by the
+    *     rank's position inside the bucket
+    * Time buckets with zero total observations emit nothing (PromQL's
+    * NaN). Callers needing aligned series across sparse buckets run
+    * [[gapFill]] upstream; the interpolation itself assumes each
+    * (group, bucket) carries its full `le` ladder ending at +Inf.
+    *
+    * Determinism: counts are exact longs; the crossing predicate
+    * compares long-derived doubles against rank = q·total (IEEE-exact,
+    * same expression both engines); the single interpolation division is
+    * the only inexact step and lands on the 1e-6 grid via floor. The
+    * crossing bucket always has count strictly above its predecessor's
+    * (integers straddling rank), so the division never sees zero.
+    *
+    * Scale shape: one window shuffle on (group keys, time bucket) —
+    * cardinality series × buckets, already aggregate-sized, never
+    * row-scale; the `le` ladder per partition is histogram-schema-sized
+    * (10-100), so the two window passes (running max + lag) are trivial.
+    *
+    * @param bucketCounts output of [[counterIncrease]] over `keys :+
+    *                     leCol`: one row per (keys, le, bucket)
+    * @param cntCol       the per-bucket increase column (`increase_fp`)
+    */
+  def histogramQuantile(bucketCounts: DataFrame, keys: Seq[String],
+                        leCol: String, bucketCol: String, cntCol: String,
+                        q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q outside (0,1) is ±Inf by definition")
+    val part = (keys :+ bucketCol).map(col)
+    val wRun = Window.partitionBy(part: _*).orderBy(col(leCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(part: _*) // default frame: whole partition
+    val wLag = Window.partitionBy(part: _*).orderBy(col(leCol).asc)
+    val repaired = max(col(cntCol)).over(wRun)
+    val withRun = bucketCounts
+      .withColumn("_rep", repaired)
+      .withColumn("_total", max(repaired).over(wAll))
+      .withColumn("_prev_le", lag(col(leCol), 1).over(wLag))
+      .withColumn("_prev_rep", lag(repaired, 1).over(wLag))
+    val rank = lit(q) * col("_total").cast("double")
+    val repD = col("_rep").cast("double")
+    val prevD = col("_prev_rep").cast("double")
+    val crossing = repD >= rank &&
+      (col("_prev_rep").isNull || prevD < rank)
+    val res =
+      when(col(leCol) === Double.PositiveInfinity, col("_prev_le"))
+        .when(col("_prev_rep").isNull, col(leCol) * (rank / repD))
+        .otherwise(col("_prev_le") + (col(leCol) - col("_prev_le")) *
+          ((rank - prevD) / (repD - prevD)))
+    withRun
+      .filter(col("_total") > 0 && crossing)
+      .select(part ++ Seq(col("_total").as("total_fp"),
+        floor(res * 1000000L).as("quantile_fp")): _*)
+  }
+
+  /** Skew-proof two-phase counter increase — [[counterIncrease]] with the
+    * salted-aggregation pattern applied to the WINDOW pass: the plain form
+    * partitions by series key alone, so one pathological series (the
+    * `__name__=up` cardinality trap — every target exports it) lands its
+    * entire history on one task. Here time is pre-split into `sliceSec`
+    * slices and the lag window runs per (series, slice) — a hot series
+    * spreads across span/sliceSec tasks — then each slice's FIRST sample
+    * recovers its cross-boundary delta from a slice-summary table (one row
+    * per (series, slice): the slice's last sample), which is series×slices
+    * sized, aggregate-small, and stitches slice edges with a second tiny
+    * window pass. Output ≡ [[counterIncrease]] row-for-row (the entry pins
+    * this with the SAME oracle).
+    *
+    * Cost: two shuffles of the sample stream (slice window + final bucket
+    * agg, same as the plain form) plus one aggregate-sized shuffle for the
+    * boundary table — the constant-factor price of removing the per-series
+    * task ceiling. Use when series cardinality is low or skewed; the plain
+    * form when series count ≫ cores.
+    *
+    * `sliceSec` must be a multiple of `bucketSec` so a slice never spans a
+    * bucket edge's attribution (deltas attribute to the LATER sample's
+    * bucket either way, so any alignment is correct — the multiple keeps
+    * the mental model simple).
+    */
+  def counterIncreaseSalted(samples: DataFrame, keys: Seq[String],
+                            tsSecCol: String, valCol: String, bucketSec: Long,
+                            sliceSec: Long,
+                            orderCols: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0 && sliceSec > 0 && sliceSec % bucketSec == 0)
+    val keyCols = keys.map(col)
+    val slice = floor(col(tsSecCol).cast("long") / sliceSec).cast("long")
+    val ord = (col(tsSecCol) +: orderCols.map(col)).map(_.asc)
+    val sliced = samples.withColumn("_slice", slice)
+    // phase 1: per (series, slice) — the hot-series split
+    val wSlice = Window.partitionBy(keyCols :+ col("_slice"): _*)
+      .orderBy(ord: _*)
+    // per-slice last sample value, by (ts, tie-breaks) order — the struct
+    // max replays the window's ordering as a partial-combined aggregate
+    val ordStruct = struct((col(tsSecCol) +: orderCols.map(col)) :+
+      col(valCol): _*)
+    // boundary table: for each slice PRESENT in the data, the last value
+    // of the nearest preceding present slice (lag over present slices —
+    // empty slices between samples are bridged exactly as the plain
+    // form's series-wide lag bridges them; a series' first present slice
+    // gets null = series start). One row per (series, present slice).
+    val wB = Window.partitionBy(keyCols: _*).orderBy(col("_slice").asc)
+    val bounds = sliced
+      .groupBy(keyCols :+ col("_slice"): _*)
+      .agg(max(ordStruct).as("_last"))
+      .withColumn("_prev_last",
+        lag(col(s"_last.$valCol"), 1).over(wB))
+      .select(keyCols ++ Seq(col("_slice"), col("_prev_last")): _*)
+    // phase 2: slice-local lag; each slice's first sample recovers its
+    // cross-boundary prior from the boundary table
+    val prevInSlice = lag(col(valCol), 1).over(wSlice)
+    val joined = sliced
+      .join(bounds, keys :+ "_slice", "left")
+      .withColumn("_prev", coalesce(prevInSlice, col("_prev_last")))
+    val delta = col(valCol) - col("_prev")
+    val adj = when(col("_prev").isNull, lit(null))
+      .when(delta >= 0, delta).otherwise(col(valCol))
+    joined
+      .withColumn("_adj_fp", floor(adj * 1000000L))
+      .withColumn("_reset", (delta < 0).cast("long"))
+      .groupBy(keyCols :+
+        floor(col(tsSecCol).cast("long") / bucketSec).as("bucket"): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        coalesce(sum(col("_reset")), lit(0L)).as("n_resets"),
+        coalesce(sum(col("_adj_fp")), lit(0L)).as("increase_fp"),
+        floor(coalesce(sum(col("_adj_fp")), lit(0L)) / bucketSec)
+          .as("rate_fp"))
+  }
+
   /** Sliding range-vector aggregates — the `*_over_time` family: for
     * every sample, aggregate the same series' samples in the trailing
     * `windowSec` seconds (inclusive). A RANGE frame keyed on the
@@ -213,6 +414,52 @@ object TimeSeriesOps {
       .withColumn("sum_fp", sum(col("_val_fp")).over(w))
       .withColumn("max_fp", max(col("_val_fp")).over(w))
       .drop("_val_fp")
+  }
+
+  /** Skew-proof trailing range aggregates — [[rangeAgg]] with the salted
+    * window: the plain form partitions by series key alone, so one hot
+    * series' whole history sorts on one task. Here the window runs per
+    * (series, `sliceSec` time slice), and correctness across slice edges
+    * comes from REPLICATION instead of a summary join: every row in the
+    * last `windowSec` of a slice is copied into the next slice as a
+    * context-only row (`_emit=0`) — it participates in frames there but
+    * emits nothing. An emitted row's trailing frame then sees exactly
+    * the rows the unsliced window would (its own slice's rows plus the
+    * replicated tail of the previous slice), so output ≡ [[rangeAgg]]
+    * row-for-row — the entry pins this by sharing its oracle.
+    *
+    * Cost: ≤ windowSec/sliceSec extra replicated rows (bounded by one
+    * window's worth per slice) and the same single shuffle — the
+    * constant-factor price of removing the per-series task ceiling.
+    * Requires sliceSec ≥ windowSec (context reaches back one slice).
+    */
+  def rangeAggSalted(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                     valCol: String, windowSec: Long,
+                     sliceSec: Long): DataFrame = {
+    require(windowSec > 0 && sliceSec >= windowSec,
+      "context replication reaches back exactly one slice")
+    val keyCols = keys.map(col)
+    val t = col(tsSecCol).cast("long")
+    val slice = floor(t / sliceSec).cast("long")
+    val own = samples.withColumn("_slice", slice)
+      .withColumn("_emit", lit(1))
+    // rows in a slice's trailing windowSec, re-addressed to the next
+    // slice as frame context (their ts stays below every emitted row of
+    // that slice, so own/context rows never collide)
+    val ctx = samples
+      .filter(t >= (slice + 1L) * sliceSec - windowSec)
+      .withColumn("_slice", slice + 1L)
+      .withColumn("_emit", lit(0))
+    val w = Window.partitionBy(keyCols :+ col("_slice"): _*)
+      .orderBy(t.asc)
+      .rangeBetween(-windowSec, 0)
+    own.unionByName(ctx)
+      .withColumn("_val_fp", floor(col(valCol) * 1000000L))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_fp", sum(col("_val_fp")).over(w))
+      .withColumn("max_fp", max(col("_val_fp")).over(w))
+      .filter(col("_emit") === 1)
+      .drop("_val_fp", "_slice", "_emit")
   }
 
   /** Trailing-window EXACT median — the robust *_over_time companion to

@@ -142,12 +142,43 @@ class Server(spark: SparkSession, tablePath: String,
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
     }
 
+  /** Dashboard downsampling via URL query params on POST /read —
+    * `?downsample=minmax&step=<sec>` reduces each series to its
+    * per-step extreme points before response assembly (the raw-panel
+    * reducer; retained points keep their original values, so zooming
+    * re-queries refine, never re-draw). The proto body is untouched:
+    * Prometheus remote-read clients don't model downsampling, and a
+    * URL param lets a dashboard proxy opt in per request without
+    * breaking protocol-conformant callers.
+    */
+  private[serve] def parseDownsample(query: String)
+      : DataFrame => DataFrame = {
+    val params = Option(query).getOrElse("").split("&").iterator
+      .map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    params.get("downsample") match {
+      case Some("minmax") =>
+        val step = params.get("step").map(_.toLong).getOrElse(3600L)
+        ReadPipeline.minmaxDownsample(_, step)
+      case Some("lttb") =>
+        val points = params.get("points").map(_.toInt).getOrElse(200)
+        ReadPipeline.lttbDownsample(_, points)
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unknown downsample '$other' (supported: minmax, lttb)")
+      case None => identity
+    }
+  }
+
   private def handleRead(ex: HttpExchange): Unit =
     try {
       val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
+      val transform = parseDownsample(ex.getRequestURI.getQuery)
       val readers = storedReaders()
       val perQuery = rr.queries.map { q =>
-        ReadPipeline.readMulti(readers, toPromQuery(q), exact = exactQuantiles)
+        ReadPipeline.readMulti(readers, toPromQuery(q), exact = exactQuantiles,
+          bucketTransform = transform)
       }
       val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
         ResponseEdge.toReadResponse(perQuery, readMaxSeries)))

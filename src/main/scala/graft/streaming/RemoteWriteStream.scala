@@ -96,9 +96,16 @@ object RemoteWriteStream {
     graft.engine.Observability.observedIngest(decoded)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        WritePipeline.append(
-          WritePipeline.toMetricRows(WritePipeline.dropNonFinite(batch)),
+        // append's range split SAMPLES its input before shuffling — an
+        // extra pass over this subtree that would re-fire the observe
+        // accumulators (2x counters) and re-decode every payload. Pin
+        // the micro-batch once; the sampling job materializes the cache
+        // and the write job reads it.
+        val pinned = batch.persist()
+        try WritePipeline.append(
+          WritePipeline.toMetricRows(WritePipeline.dropNonFinite(pinned)),
           tablePath)
+        finally { pinned.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -227,4 +227,23 @@ class EnginePipelineSpec extends SparkSpec {
     assert(n(LabelMatcher(RE, "k", "[ab]")) == 2)
     assert(n(LabelMatcher(RE, "k", "[ab]"), strict = true) == 3)
   }
+
+  test("minmaxDownsample keeps per-cell extremes with original (t, value), " +
+       "single-extreme cells emit one row") {
+    // bucket-agg shape: t in ms; step 10 s → cells of 10_000 ms
+    val b = Seq(
+      (Seq("s=1"), "m", 1000L, 5.0),  // cell 0 min
+      (Seq("s=1"), "m", 2000L, 9.0),  // cell 0 max
+      (Seq("s=1"), "m", 3000L, 7.0),  // cell 0 interior — dropped
+      (Seq("s=1"), "m", 12000L, 4.0), // cell 1: lone point = min = max
+      (Seq("s=2"), "m", 1000L, 1.0)   // other series untouched by s=1
+    ).toDF("tags", "name", "t", "value").withColumn("cnt", lit(1L))
+    val out = ReadPipeline.minmaxDownsample(b, 10L)
+      .select(col("tags").getItem(0), col("t"), col("value"))
+      .orderBy(col("tags").getItem(0), col("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("s=1", 1000L, 5.0), ("s=1", 2000L, 9.0), ("s=1", 12000L, 4.0),
+      ("s=2", 1000L, 1.0)))
+  }
 }

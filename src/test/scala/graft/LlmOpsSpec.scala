@@ -1539,6 +1539,11 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("dedup: semantic groups with no near-dups keep everything") {
+    // other operators (the LM scorers) legitimately leave persisted type
+    // tables behind for the harness to clear between entries — empty the
+    // cache first so the emptiness assertion pins semanticGroups' OWN
+    // release-early contract, not suite ordering
+    spark.sharedState.cacheManager.clearCache()
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
       .toDF("id", "vec")
     val cents = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))

@@ -131,6 +131,41 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: /read?downsample= reduces each series to extreme (minmax) " +
+       "or shape-preserving (lttb) points with original values") {
+    val table = Files.createTempDirectory("graft_srvds").toString + "/metrics"
+    val server = new Server(spark, table, Nil, 0, exactQuantiles = true).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // one sample per 10 s bucket, values chosen so every selection is
+      // hand-computable
+      val vals = Seq(1.0, 9.0, 5.0, 3.0, 2.0, 8.0, 4.0, 6.0)
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "m1"), PLabel("job", "x")),
+        vals.zipWithIndex.map { case (v, i) => PSample(v, i * 10000L) })))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val rr = Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(Seq(
+        PQuery(0L, 80000L,
+          Seq(PLabelMatcher(MatchType.EQ, "__name__", "m1")))))))
+      def readPts(q: String): Seq[(Long, Double)] = {
+        val (rc, body) = post(s"$base/read?$q", rr)
+        assert(rc == 200)
+        Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+          .results.head.timeseries.head.samples
+          .map(s => (s.timestampMs, s.value))
+      }
+      // minmax, 40 s cells: cell0 keeps (0s,1)(10s,9), cell1 (40s,2)(50s,8)
+      assert(readPts("downsample=minmax&step=40") ==
+        Seq((0L, 1.0), (10000L, 9.0), (40000L, 2.0), (50000L, 8.0)))
+      // lttb to 3 points: endpoints + the max-triangle interior (10s,9)
+      assert(readPts("downsample=lttb&points=3") ==
+        Seq((0L, 1.0), (10000L, 9.0), (70000L, 6.0)))
+      // unknown downsample → error, not a silent full read
+      assert(post(s"$base/read?downsample=bogus", rr)._1 == 500)
+    } finally server.stop()
+  }
+
   test("serve: multi-reader /read merges first-wins by reader order — " +
        "the reference's own multi-querier TODO (main.go:344-348)") {
     val base0 = Files.createTempDirectory("graft_srvmr").toString

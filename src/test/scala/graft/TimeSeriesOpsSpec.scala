@@ -292,4 +292,98 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // ts=21: the frame [11, 21] holds only itself
     assert(out(4) == (21L, 1L, 8000000L))
   }
+
+  test("linearRegress: exact slope/extrapolation on a straight line; " +
+       "single-point windows are null") {
+    val s = Seq((1L, 0L, 0.0), (1L, 10L, 10.0), (1L, 20L, 20.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeriesOps.linearRegress(s, Seq("k"), "ts", "v",
+        windowSec = 100L, horizonSec = 30L)
+      .orderBy("ts").collect()
+    // first sample: n=1 → denom 0 → null slope and predict
+    assert(out(0).getAs[Long]("n_window") == 1L)
+    assert(out(0).isNullAt(out(0).fieldIndex("deriv_fp")))
+    assert(out(0).isNullAt(out(0).fieldIndex("predict_fp")))
+    // slope is exactly 1 unit/s = 1_000_000 fp/s; predict at t=20+30
+    // on the fitted line is 50 units
+    assert(out(2).getAs[Long]("n_window") == 3L)
+    assert(out(2).getAs[Long]("deriv_fp") == 1000000L)
+    assert(out(2).getAs[Long]("predict_fp") == 50000000L)
+  }
+
+  test("histogramQuantile: hand-computed interpolation, +Inf top bucket, " +
+       "first-bucket lower bound, monotonic repair") {
+    val inf = Double.PositiveInfinity
+    def run(counts: Seq[(Double, Long)], q: Double): Seq[(Long, Long)] = {
+      val df = counts.map { case (le, c) => (1L, 0L, le, c) }
+        .toDF("k", "bucket", "le", "c")
+      TimeSeriesOps.histogramQuantile(df, Seq("k"), "le", "bucket", "c", q)
+        .collect().map(r => (r.getAs[Long]("total_fp"),
+          r.getAs[Long]("quantile_fp"))).toSeq
+    }
+    // interpolation inside the middle bucket:
+    // rank = 5, prev = 2, count = 8 → 0.1 + 0.4·(3/6) = 0.3
+    assert(run(Seq((0.1, 2L), (0.5, 8L), (inf, 10L)), 0.5) ==
+      Seq((10L, 300000L)))
+    // rank in the +Inf bucket → highest finite le (0.5)
+    assert(run(Seq((0.1, 2L), (0.5, 3L), (inf, 10L)), 0.9) ==
+      Seq((10L, 500000L)))
+    // rank in the FIRST bucket → interpolate from lower bound 0:
+    // 0.1 · (5/6) = 0.08333…
+    assert(run(Seq((0.1, 6L), (0.5, 8L), (inf, 10L)), 0.5) ==
+      Seq((10L, 83333L)))
+    // non-monotonic counts repaired by running max: 5,3,10 → 5,5,10;
+    // rank 5 crosses at the first bucket (5 ≥ 5) → 0.1·(5/5) = 0.1
+    assert(run(Seq((0.1, 5L), (0.5, 3L), (inf, 10L)), 0.5) ==
+      Seq((10L, 100000L)))
+    // zero total emits nothing
+    assert(run(Seq((0.1, 0L), (0.5, 0L), (inf, 0L)), 0.5).isEmpty)
+  }
+
+  test("counterIncreaseSalted ≡ counterIncrease on random data with " +
+       "resets and empty slices") {
+    val rnd = new scala.util.Random(7)
+    var v = 0.0
+    val rows = (0 until 400).map { i =>
+      // jumps forward with occasional resets; ~1/8 of slices left empty
+      v = if (rnd.nextInt(10) == 0) rnd.nextInt(5).toDouble
+          else v + rnd.nextInt(100) / 10.0
+      val slice = rnd.nextInt(8)
+      val ts = (if (slice == 3) rnd.nextInt(2) * 50L // slice 3 sparse
+                else slice * 200L + rnd.nextInt(200)).toLong
+      (rnd.nextInt(3).toLong, ts, i.toLong, v)
+    }
+    val df = rows.toDF("k", "ts", "id", "v")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("k", "bucket").collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("bucket"),
+          r.getAs[Long]("n_samples"), r.getAs[Long]("n_resets"),
+          r.getAs[Long]("increase_fp"), r.getAs[Long]("rate_fp"))).toSeq
+    val plain = canon(TimeSeriesOps.counterIncrease(
+      df, Seq("k"), "ts", "v", 100L, Seq("id")))
+    val salted = canon(TimeSeriesOps.counterIncreaseSalted(
+      df, Seq("k"), "ts", "v", 100L, sliceSec = 200L, Seq("id")))
+    assert(plain == salted)
+    assert(plain.map(_._4).sum > 0, "fixture must exercise resets")
+  }
+
+  test("rangeAggSalted ≡ rangeAgg on random data with slice-straddling " +
+       "frames and duplicate timestamps") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 500).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(50).toDouble)
+    }
+    val df = rows.toDF("k", "ts", "v")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select(col("k"), col("ts"), col("v"), col("n_window"),
+          col("sum_fp"), col("max_fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(x => (x._1, x._2, x._3, x._4))
+    val plain = canon(TimeSeriesOps.rangeAgg(df, Seq("k"), "ts", "v", 100L))
+    val salted = canon(TimeSeriesOps.rangeAggSalted(
+      df, Seq("k"), "ts", "v", windowSec = 100L, sliceSec = 250L))
+    assert(plain.toSeq == salted.toSeq)
+  }
 }
