@@ -573,6 +573,33 @@ object SparkEntry {
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
     }),
 
+    // Prometheus write_relabel_configs over the ingest label map — the
+    // adapter feature every deployment configures upstream of storage.
+    // Five rules exercise every action: drop 'view' series, keep only
+    // click/error/purchase, tag a cohort label for user ids ending in
+    // 0/5 (group expansion), synthesize a series label from two source
+    // labels, then labeldrop the now-redundant user_id. All map/regex
+    // builtins — per-row work at scan speed, no shuffle; the oracle
+    // replays each rule as its equivalent predicate/concat.
+    "s2_relabel" -> ((s, dir) => {
+      import graft.operators.Relabel
+      import graft.operators.Relabel._
+      val rules = Seq(
+        Rule(Drop, Seq("__name__"), regex = "view"),
+        Rule(Keep, Seq("__name__"), regex = "click|error|purchase"),
+        Rule(Replace, Seq("user_id"), regex = "(\\d*[05])",
+          targetLabel = "cohort", replacement = "c$1"),
+        Rule(Replace, Seq("__name__", "user_id"), separator = "/",
+          regex = "(.*)/(.*)", targetLabel = "series",
+          replacement = "$1:$2"),
+        Rule(LabelDrop, regex = "user_id"))
+      Relabel(flatSamples(s, dir), rules)
+        .select(
+          array_join(Tags.tagsFromLabels(col("labels")), ",").as("tags"),
+          col("timestampMs").as("t"), round(col("value"), 4).as("value"))
+        .orderBy(col("tags"), col("t"), col("value"))
+    }),
+
     // S1: the remote-write byte edge — events marshalled into real
     // snappy+protobuf WriteRequest payloads (distributed, one per series),
     // then decoded back through the streaming ingest decoder. Proves the
@@ -6877,6 +6904,27 @@ object SparkEntry {
         |  || ' value=' || printf('%.4f', value)
         |  || ' ' || epoch_ms(ts) AS line
         |FROM events ORDER BY line""".stripMargin,
+
+    // Each rule replayed as its equivalent predicate/CASE: drop+keep as
+    // WHERE, cohort/series replaces as concats guarded by the same
+    // anchored regex, labeldrop by omitting user_id from the tag string.
+    "s2_relabel" ->
+      """WITH s AS (SELECT event_type AS name,
+        |    CAST(user_id AS VARCHAR) AS uid, value,
+        |    CAST(epoch_ms(ts) AS BIGINT) AS t FROM events
+        |  WHERE NOT regexp_full_match(event_type, 'view')
+        |    AND regexp_full_match(event_type, 'click|error|purchase')),
+        |r AS (SELECT name, uid, value, t,
+        |    CASE WHEN regexp_full_match(uid, '\d*[05]')
+        |      THEN 'c' || uid END AS cohort,
+        |    name || ':' || uid AS series
+        |  FROM s)
+        |SELECT '__name__=' || name ||
+        |  CASE WHEN cohort IS NOT NULL THEN ',cohort=' || cohort
+        |    ELSE '' END ||
+        |  ',series=' || series AS tags,
+        |  t, round(value, 4) AS value
+        |FROM r ORDER BY tags, t, value""".stripMargin,
 
     "s7_opentsdb_json" ->
       """SELECT '{"metric":"' || event_type

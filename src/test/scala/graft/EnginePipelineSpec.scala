@@ -228,6 +228,45 @@ class EnginePipelineSpec extends SparkSpec {
     assert(n(LabelMatcher(RE, "k", "[ab]"), strict = true) == 3)
   }
 
+  test("relabel: keep/drop filter, replace with group expansion and " +
+       "label deletion, labeldrop/labelkeep thin the map") {
+    import graft.operators.Relabel
+    import graft.operators.Relabel._
+    val df = Seq(
+      Map("__name__" -> "up", "job" -> "api", "instance" -> "h1:9090"),
+      Map("__name__" -> "up", "job" -> "db", "instance" -> "h2:9090"),
+      Map("__name__" -> "scrape_duration", "job" -> "api")
+    ).toDF("labels")
+    def tags(out: org.apache.spark.sql.DataFrame): Seq[String] =
+      out.select(array_join(graft.model.Tags.tagsFromLabels(col("labels")),
+        ",")).collect().map(_.getString(0)).sorted.toSeq
+    // keep: full-anchor — 'up' does NOT match 'u'
+    assert(Relabel(df, Seq(Rule(Keep, Seq("__name__"), regex = "u"))).count() == 0)
+    assert(Relabel(df, Seq(Rule(Keep, Seq("__name__"), regex = "up"))).count() == 2)
+    // drop on a joined multi-source key
+    assert(Relabel(df, Seq(Rule(Drop, Seq("__name__", "job"),
+      regex = "up;api"))).count() == 2)
+    // replace: group expansion rewrites the port; no-match rows untouched
+    val rep = Relabel(df, Seq(Rule(Replace, Seq("instance"),
+      regex = "([^:]+):\\d+", targetLabel = "host", replacement = "$1")))
+    assert(tags(rep) == Seq(
+      "__name__=scrape_duration,job=api",
+      "__name__=up,host=h1,instance=h1:9090,job=api",
+      "__name__=up,host=h2,instance=h2:9090,job=db"))
+    // replace expanding to "" DELETES the target (Prometheus idiom)
+    val del = Relabel(df, Seq(Rule(Replace, Seq("job"), regex = "(?:api)()",
+      targetLabel = "job", replacement = "$1")))
+    assert(tags(del) == Seq(
+      "__name__=scrape_duration",
+      "__name__=up,instance=h1:9090",
+      "__name__=up,instance=h2:9090,job=db"))
+    // labelkeep/labeldrop thin by key
+    assert(tags(Relabel(df, Seq(Rule(LabelKeep, regex = "__name__")))) ==
+      Seq("__name__=scrape_duration", "__name__=up", "__name__=up"))
+    assert(tags(Relabel(df, Seq(Rule(LabelDrop, regex = "instance|job")))) ==
+      Seq("__name__=scrape_duration", "__name__=up", "__name__=up"))
+  }
+
   test("minmaxDownsample keeps per-cell extremes with original (t, value), " +
        "single-extreme cells emit one row") {
     // bucket-agg shape: t in ms; step 10 s → cells of 10_000 ms
