@@ -4619,6 +4619,37 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"), col("bucket"))
     }),
 
+    // Plan audit for the salted windows: the WHOLE point of the salted
+    // forms is the exchange shape — the plain window partitions on the
+    // series key alone (one task ceiling per hot series), the salted
+    // forms MUST partition on (series, _slice). EnsureRequirements has
+    // run on executedPlan, so the exchanges are visible without
+    // executing; the facts are literals in the oracle.
+    "ts_salted_plan_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      def sliceExchanges(df: DataFrame): Long =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .count(l => l.contains("Exchange hashpartitioning") &&
+            l.contains("_slice")).toLong
+      val plain = TimeSeriesOps.counterIncrease(ev,
+        Seq("event_type", "user_id"), "ts", "value", 3600L, Seq("event_id"))
+      val salted = TimeSeriesOps.counterIncreaseSalted(ev,
+        Seq("event_type", "user_id"), "ts", "value", 3600L, 21600L,
+        Seq("event_id"))
+      val saltedRange = TimeSeriesOps.rangeAggSalted(ev,
+        Seq("event_type", "user_id"), "ts", "value", 900L, 3600L)
+      Seq(
+        ("plain_slice_exchanges", sliceExchanges(plain)),
+        ("salted_rate_slice_split", math.min(sliceExchanges(salted), 1L)),
+        ("salted_range_slice_split",
+          math.min(sliceExchanges(saltedRange), 1L)))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // PromQL deriv()/predict_linear(): per-sample least-squares slope
     // over the series' trailing hour, extrapolated 30 min out — the
     // disk-full alert shape. Five moment sums as exact DECIMAL(38,0)
@@ -9063,6 +9094,16 @@ object SparkEntry {
     // The salted two-phase form is pinned to the IDENTICAL oracle — the
     // entry's whole claim is output equivalence with the plain window.
     "ts_salted_rate" -> oCounterRateSql,
+
+    // Exchange-shape facts as literals: the plain window never partitions
+    // on a slice; both salted forms must.
+    "ts_salted_plan_audit" ->
+      """SELECT 'plain_slice_exchanges' AS fact, CAST(0 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'salted_range_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_rate_slice_split', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
 
     // Least-squares replay: the same DECIMAL(18,0) moment sums over the
     // same RANGE frame, the same IEEE expression tree at the edge.
