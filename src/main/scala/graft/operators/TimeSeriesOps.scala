@@ -167,9 +167,12 @@ object TimeSeriesOps {
     require(bucketSec > 0)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col(tsSecCol) +: orderCols.map(col)).map(_.asc): _*)
+    // the lag lands in ONE projected column so a single Sort+Window pass
+    // feeds both derived columns (embedding the window expr in two
+    // withColumns would plan two passes — the CollapseWindow pitfall)
     val prev = lag(col(valCol), 1).over(w)
-    val delta = col(valCol) - prev
-    val adj = when(prev.isNull, lit(null))
+    val delta = col(valCol) - col("_prev")
+    val adj = when(col("_prev").isNull, lit(null))
       .when(delta >= 0, delta).otherwise(col(valCol))
     // floor() everywhere a double narrows to long: Spark's cast
     // truncates toward zero but DuckDB's CAST rounds — floor is the one
@@ -177,6 +180,7 @@ object TimeSeriesOps {
     val keyCols = keys.map(col) :+
       floor(col(tsSecCol).cast("long") / bucketSec).as("bucket")
     samples
+      .select(col("*"), prev.as("_prev"))
       .withColumn("_adj_fp", floor(adj * 1000000L))
       .withColumn("_reset", (delta < 0).cast("long"))
       .groupBy(keyCols: _*)
@@ -229,13 +233,18 @@ object TimeSeriesOps {
     val sy = sum(yFp.cast(dec)).over(w)
     val stt = sum(t.cast(dec) * t.cast(dec)).over(w)
     val sty = sum(t.cast(dec) * yFp.cast(dec)).over(w)
+    // all five sums in ONE projection so they land in a single Window
+    // node over one sort — chained withColumns would interleave Projects
+    // between Window ops and defeat CollapseWindow (measured: 4 separate
+    // Sort+Window passes for the same spec)
     samples
-      .withColumn("n_window", n)
-      .withColumn("_nd", n.cast("double"))
-      .withColumn("_st", st.cast("double"))
-      .withColumn("_sy", sy.cast("double"))
-      .withColumn("_stt", stt.cast("double"))
-      .withColumn("_sty", sty.cast("double"))
+      .select(col("*"), n.as("n_window"), st.as("_stD"), sy.as("_syD"),
+        stt.as("_sttD"), sty.as("_styD"))
+      .withColumn("_nd", col("n_window").cast("double"))
+      .withColumn("_st", col("_stD").cast("double"))
+      .withColumn("_sy", col("_syD").cast("double"))
+      .withColumn("_stt", col("_sttD").cast("double"))
+      .withColumn("_sty", col("_styD").cast("double"))
       .withColumn("_denom",
         col("_nd") * col("_stt") - col("_st") * col("_st"))
       .withColumn("_slope",
@@ -247,7 +256,8 @@ object TimeSeriesOps {
         floor(col("_sy") / col("_nd") + col("_slope") *
           (t.cast("double") - col("_st") / col("_nd") +
             lit(horizonSec.toDouble))))
-      .drop("_nd", "_st", "_sy", "_stt", "_sty", "_denom", "_slope")
+      .drop("_stD", "_syD", "_sttD", "_styD",
+        "_nd", "_st", "_sy", "_stt", "_sty", "_denom", "_slope")
   }
 
   /** PromQL `histogram_quantile(q, rate(..._bucket[w]))` — quantile
@@ -408,11 +418,14 @@ object TimeSeriesOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsSecCol).cast("long").asc)
       .rangeBetween(-windowSec, 0)
+    // one projection for all three window expressions → ONE Sort+Window
+    // node (chained withColumns interleave Projects and defeat
+    // CollapseWindow: measured three separate sort passes)
     samples
       .withColumn("_val_fp", floor(col(valCol) * 1000000L))
-      .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_fp", sum(col("_val_fp")).over(w))
-      .withColumn("max_fp", max(col("_val_fp")).over(w))
+      .select(col("*"), count(lit(1)).over(w).as("n_window"),
+        sum(col("_val_fp")).over(w).as("sum_fp"),
+        max(col("_val_fp")).over(w).as("max_fp"))
       .drop("_val_fp")
   }
 
@@ -455,9 +468,9 @@ object TimeSeriesOps {
       .rangeBetween(-windowSec, 0)
     own.unionByName(ctx)
       .withColumn("_val_fp", floor(col(valCol) * 1000000L))
-      .withColumn("n_window", count(lit(1)).over(w))
-      .withColumn("sum_fp", sum(col("_val_fp")).over(w))
-      .withColumn("max_fp", max(col("_val_fp")).over(w))
+      .select(col("*"), count(lit(1)).over(w).as("n_window"),
+        sum(col("_val_fp")).over(w).as("sum_fp"),
+        max(col("_val_fp")).over(w).as("max_fp"))
       .filter(col("_emit") === 1)
       .drop("_val_fp", "_slice", "_emit")
   }
