@@ -303,12 +303,16 @@ object TimeSeriesOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(part: _*) // default frame: whole partition
     val wLag = Window.partitionBy(part: _*).orderBy(col(leCol).asc)
-    val repaired = max(col(cntCol)).over(wRun)
+    // staged so no window expression nests inside another: the running
+    // max materializes first, then the lags (one ordered Window node)
+    // and the whole-partition max (its own unordered node) read the
+    // materialized column
     val withRun = bucketCounts
-      .withColumn("_rep", repaired)
-      .withColumn("_total", max(repaired).over(wAll))
-      .withColumn("_prev_le", lag(col(leCol), 1).over(wLag))
-      .withColumn("_prev_rep", lag(repaired, 1).over(wLag))
+      .select(col("*"), max(col(cntCol)).over(wRun).as("_rep"))
+      .select(col("*"),
+        lag(col(leCol), 1).over(wLag).as("_prev_le"),
+        lag(col("_rep"), 1).over(wLag).as("_prev_rep"),
+        max(col("_rep")).over(wAll).as("_total"))
     val rank = lit(q) * col("_total").cast("double")
     val repD = col("_rep").cast("double")
     val prevD = col("_prev_rep").cast("double")
