@@ -4676,6 +4676,43 @@ object SparkEntry {
           col("event_id"))
     }),
 
+    // PromQL irate(): per-sample instantaneous rate from the last two
+    // samples with the counter reset rule — the spiky-counter dashboard
+    // transform. One shuffle, one Sort+Window (both lags in one
+    // projection); floor(adj_fp / dt) is the single IEEE step. Nulls
+    // (series heads, duplicate-ts gaps) ride the sentinel, as in
+    // ts_predict_linear.
+    "ts_irate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      val sentinel = -(1L << 62)
+      TimeSeriesOps.instantRate(ev, Seq("event_type", "user_id"),
+          "ts", "value", Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"),
+          coalesce(col("irate_fp"), lit(sentinel)).as("irate_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // PromQL changes(): consecutive-value-change count over the trailing
+    // hour — the flapping detector. Two staged window passes (flag must
+    // materialize before the RANGE sum) over one shuffle.
+    "ts_changes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.changesOverTime(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("changes"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
     // PromQL histogram_quantile(0.9, increase(..._bucket[6h])): the
     // latency-dashboard read transform. The fixture synthesizes genuine
     // cumulative bucket counters from events (per (event_type, le), the
@@ -9132,6 +9169,35 @@ object SparkEntry {
          |    (CAST(t AS DOUBLE) - st / nd + 1800.0)) AS BIGINT),
          |    ${-(1L << 62)}) AS predict_fp
          |FROM sl ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    // Reset-adjusted last-gap rate; the floor(adj_fp / dt) division is
+    // the one IEEE step, spelled identically.
+    "ts_irate" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |d AS (SELECT event_type, user_id, event_id, t, value,
+         |    lag(value) OVER w AS prev, lag(t) OVER w AS prev_t
+         |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
+         |    ORDER BY t, event_id))
+         |SELECT event_type, user_id, event_id, t AS ts,
+         |  coalesce(CASE WHEN prev IS NULL OR t - prev_t <= 0 THEN NULL
+         |    ELSE CAST(floor(CAST(floor((CASE WHEN value - prev >= 0
+         |      THEN value - prev ELSE value END) * 1000000) AS BIGINT)
+         |      / (t - prev_t)) AS BIGINT) END, ${-(1L << 62)}) AS irate_fp
+         |FROM d ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    "ts_changes" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |f AS (SELECT *, CASE WHEN lag(value) OVER w IS NULL
+         |      OR value = lag(value) OVER w THEN 0 ELSE 1 END AS chg
+         |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
+         |    ORDER BY t, event_id))
+         |SELECT event_type, user_id, event_id, t AS ts,
+         |  CAST(sum(chg) OVER w2 AS BIGINT) AS changes
+         |FROM f WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
+         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
     // Bucket-counter synthesis (running count of observations ≤ le per
     // (event_type, le)), counter increase per 6 h bucket, running-max

@@ -191,6 +191,67 @@ object TimeSeriesOps {
           .as("rate_fp"))
   }
 
+  /** Instantaneous rate — PromQL `irate()`: per sample, the rate between
+    * it and the immediately preceding sample of the same series, with
+    * the counter reset rule (a drop means restart: the new value IS the
+    * increase). The fast-moving-counter companion to [[counterIncrease]]
+    * — dashboards use irate for spiky counters where a bucket average
+    * flattens the signal.
+    *
+    * Determinism: the adjusted delta floors onto the 1e-6 grid, then ONE
+    * IEEE division by the sample gap and a floor — both engines spell
+    * floor(adj_fp / dt) identically. First samples (no prior) and
+    * zero/negative gaps (duplicate timestamps) yield null. One shuffle,
+    * one Sort+Window pass (both lags in one projection).
+    */
+  def instantRate(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                  valCol: String,
+                  orderCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsSecCol) +: orderCols.map(col)).map(_.asc): _*)
+    val delta = col(valCol) - col("_prev")
+    val adj = when(delta >= 0, delta).otherwise(col(valCol))
+    val dt = col(tsSecCol).cast("long") - col("_prev_t")
+    samples
+      .select(col("*"), lag(col(valCol), 1).over(w).as("_prev"),
+        lag(col(tsSecCol).cast("long"), 1).over(w).as("_prev_t"))
+      .withColumn("irate_fp",
+        when(col("_prev").isNull || dt <= 0, lit(null).cast("long"))
+          .otherwise(floor(floor(adj * 1000000L) / dt)))
+      .drop("_prev", "_prev_t")
+  }
+
+  /** Value-change count — PromQL `changes()`: per sample, how many times
+    * the series' value CHANGED between consecutive samples within the
+    * trailing `windowSec` seconds (inclusive). The flapping detector —
+    * a gauge oscillating between states shows a high change count where
+    * its range-vector average looks calm.
+    *
+    * Two staged window passes over ONE shuffle: the consecutive-change
+    * flag (a lag, rows frame) must materialize before the trailing
+    * RANGE-frame sum can read it — a window expression cannot nest
+    * inside another. Change flags are exact (value equality on the
+    * stored doubles, identical in both engines); the first sample of a
+    * series carries flag 0 (PromQL counts transitions, not existence).
+    */
+  def changesOverTime(samples: DataFrame, keys: Seq[String],
+                      tsSecCol: String, valCol: String, windowSec: Long,
+                      orderCols: Seq[String] = Nil): DataFrame = {
+    require(windowSec > 0)
+    val wLag = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(tsSecCol) +: orderCols.map(col)).map(_.asc): _*)
+    val wRange = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsSecCol).cast("long").asc)
+      .rangeBetween(-windowSec, 0)
+    samples
+      .select(col("*"), lag(col(valCol), 1).over(wLag).as("_prev"))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col(valCol) === col("_prev"), 0L)
+          .otherwise(1L))
+      .select(col("*"), sum(col("_chg")).over(wRange).as("changes"))
+      .drop("_prev", "_chg")
+  }
+
   /** Per-series least-squares slope and extrapolation over a trailing
     * range window — PromQL `deriv()` and `predict_linear()`, the
     * second-most-common alert shape ("disk full in 4 h"). For every

@@ -367,6 +367,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(plain.map(_._4).sum > 0, "fixture must exercise resets")
   }
 
+  test("instantRate: last-gap rate with reset rule; series head and " +
+       "duplicate timestamps are null") {
+    val s = Seq(
+      (1L, 0L, 1L, 10.0), (1L, 10L, 2L, 40.0),  // +30 over 10 s → 3/s
+      (1L, 10L, 3L, 41.0),                       // dt=0 → null
+      (1L, 20L, 4L, 5.0)                         // drop → reset: 5 over 10 s
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeriesOps.instantRate(s, Seq("k"), "ts", "v", Seq("id"))
+      .orderBy("ts", "id").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("irate_fp"))) None
+        else Some(r.getAs[Long]("irate_fp")))
+    assert(out.toSeq == Seq(None, Some(3000000L), None, Some(500000L)))
+  }
+
+  test("changesOverTime counts consecutive transitions inside the " +
+       "trailing window only") {
+    val s = Seq(
+      (1L, 0L, 1L, 1.0), (1L, 10L, 2L, 1.0),  // no change
+      (1L, 20L, 3L, 2.0),                      // change 1
+      (1L, 30L, 4L, 1.0),                      // change 2
+      (1L, 200L, 5L, 5.0)                      // change 3, but window
+                                               // [100,200] holds only it
+    ).toDF("k", "ts", "id", "v")
+    val out = TimeSeriesOps.changesOverTime(s, Seq("k"), "ts", "v", 100L,
+        Seq("id"))
+      .orderBy("ts", "id").collect().map(_.getAs[Long]("changes"))
+    assert(out.toSeq == Seq(0L, 0L, 1L, 2L, 1L))
+  }
+
   test("rangeAggSalted ≡ rangeAgg on random data with slice-straddling " +
        "frames and duplicate timestamps") {
     val rnd = new scala.util.Random(13)
