@@ -4676,6 +4676,22 @@ object SparkEntry {
           col("event_id"))
     }),
 
+    // PromQL stddev_over_time: population stddev over the trailing 15
+    // min — exact DECIMAL moment sums, one IEEE multiply-subtract-sqrt
+    // at the edge, floored to the 1e-6 grid. One Sort+Window pass.
+    "ts_range_stddev" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeStddev(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"), col("stddev_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
     // PromQL irate(): per-sample instantaneous rate from the last two
     // samples with the counter reset rule — the spiky-counter dashboard
     // transform. One shuffle, one Sort+Window (both lags in one
@@ -9169,6 +9185,25 @@ object SparkEntry {
          |    (CAST(t AS DOUBLE) - st / nd + 1800.0)) AS BIGINT),
          |    ${-(1L << 62)}) AS predict_fp
          |FROM sl ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    // The same DECIMAL moment sums over the same RANGE frame; sqrt is
+    // IEEE-correctly-rounded in both engines.
+    "ts_range_stddev" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS y FROM events),
+         |w AS (SELECT event_type, user_id, event_id, t,
+         |    count(*) OVER win AS n_window,
+         |    CAST(count(*) OVER win AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(y AS DECIMAL(18,0))) OVER win AS DOUBLE) AS s1d,
+         |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+         |      OVER win AS DOUBLE) AS s2d
+         |  FROM s
+         |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
+         |    RANGE BETWEEN 900 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, user_id, event_id, t AS ts, n_window,
+         |  CAST(floor(sqrt(greatest(nd * s2d - s1d * s1d, 0.0)) / nd)
+         |    AS BIGINT) AS stddev_fp
+         |FROM w ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
     // Reset-adjusted last-gap rate; the floor(adj_fp / dt) division is
     // the one IEEE step, spelled identically.

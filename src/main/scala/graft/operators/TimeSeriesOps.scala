@@ -540,6 +540,42 @@ object TimeSeriesOps {
       .drop("_val_fp", "_slice", "_emit")
   }
 
+  /** Trailing-window population standard deviation — PromQL
+    * `stddev_over_time` (and `stdvar_over_time` via the intermediate):
+    * per sample, sqrt((n·Σy² − (Σy)²)/n²) over the same series' trailing
+    * `windowSec` seconds. The burstiness signal dashboards pair with
+    * averages.
+    *
+    * Determinism: Σy and Σy² accumulate as exact DECIMAL (the
+    * linearRegress contract — y_fp² at 10²⁴ overflows long), and the
+    * final expression is one fixed IEEE tree: doubles, one multiply-
+    * subtract, one sqrt (correctly rounded per IEEE-754, so both engines
+    * agree bit-for-bit), floored onto the 1e-6 grid. A negative
+    * round-off residue clamps to 0. One shuffle, one Sort+Window pass.
+    */
+  def rangeStddev(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                  valCol: String, windowSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsSecCol).cast("long").asc)
+      .rangeBetween(-windowSec, 0)
+    val dec = "decimal(19,0)"
+    val y = floor(col(valCol) * 1000000L)
+    samples
+      .withColumn("_y", y)
+      .select(col("*"), count(lit(1)).over(w).as("n_window"),
+        sum(col("_y").cast("decimal(18,0)")).over(w).as("_s1"),
+        sum(col("_y").cast(dec) * col("_y").cast(dec)).over(w).as("_s2"))
+      .withColumn("_nd", col("n_window").cast("double"))
+      .withColumn("_s1d", col("_s1").cast("double"))
+      .withColumn("_s2d", col("_s2").cast("double"))
+      .withColumn("stddev_fp",
+        floor(sqrt(greatest(
+          col("_nd") * col("_s2d") - col("_s1d") * col("_s1d"),
+          lit(0.0))) / col("_nd")))
+      .drop("_y", "_s1", "_s2", "_nd", "_s1d", "_s2d")
+  }
+
   /** Trailing-window EXACT median — the robust *_over_time companion to
     * [[rangeAgg]]'s count/sum/max: per sample, percentile 0.5 over the
     * same trailing time-keyed RANGE frame. Exact interpolation (Spark

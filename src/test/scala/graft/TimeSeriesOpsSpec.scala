@@ -367,6 +367,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(plain.map(_._4).sum > 0, "fixture must exercise resets")
   }
 
+  test("rangeStddev: exact population stddev over the trailing frame; " +
+       "constant series are zero") {
+    val s = Seq(
+      (1L, 0L, 5.0), (1L, 10L, 5.0),   // constant → 0
+      (2L, 0L, 0.0), (2L, 10L, 2.0)    // {0,2} → stddev 1
+    ).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.rangeStddev(s, Seq("k"), "ts", "v", 100L)
+      .orderBy("k", "ts").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("stddev_fp")))
+    assert(out.toSeq == Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1000000L)))
+  }
+
   test("instantRate: last-gap rate with reset rule; series head and " +
        "duplicate timestamps are null") {
     val s = Seq(
