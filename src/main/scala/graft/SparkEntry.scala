@@ -4493,6 +4493,49 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // STREAMING counter rate — the PromQL rate pipeline AT INGEST: per
+    // series, flatMapGroupsWithState keeps ONE (ts, value) pair of state
+    // and emits each arriving sample's reset-adjusted fixed-point delta;
+    // the per-bucket rollup composes downstream. The fixture splits the
+    // events stream into two time-ordered micro-batches, so every
+    // boundary-crossing delta can only come from the keyed state — and
+    // the composed output must equal the BATCH counterIncrease exactly,
+    // which the shared ts_counter_rate oracle pins verbatim.
+    "ts_stream_rate" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles}
+      val base = JFiles.createTempDirectory("graft_tsr").toString
+      val in = cachedInputDir(s"tsr${math.abs(dir.hashCode)}") { d =>
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+          col("value"))
+          .withColumn("doc_id", col("ts")) // the two-batch writer's split key
+        val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+        writeTwoBatchParquet(ev, (r.getLong(0) + r.getLong(1)) / 2, d)
+      }
+      val stream = s.readStream
+        .schema("event_type STRING, user_id BIGINT, event_id BIGINT, " +
+          "ts BIGINT, value DOUBLE, doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val qname = "tsr_" + math.abs(in.hashCode).toString
+      graft.streaming.StreamingRate.statefulIncrease(stream.drop("doc_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .groupBy(col("event_type"), col("user_id"),
+          floor(col("ts") / 3600).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_samples"),
+          coalesce(sum(col("reset")), lit(0L)).as("n_resets"),
+          coalesce(sum(col("adj_fp")), lit(0L)).as("increase_fp"),
+          floor(coalesce(sum(col("adj_fp")), lit(0L)) / 3600)
+            .as("rate_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
     // Streaming SESSION WINDOWS: the native session_window state-store
     // aggregation (merge-on-overlap) in append mode — the streaming twin
     // of ts_sessionize for live clickstreams. Gap 1 h, watermark delay
@@ -9147,6 +9190,10 @@ object SparkEntry {
     // The salted two-phase form is pinned to the IDENTICAL oracle — the
     // entry's whole claim is output equivalence with the plain window.
     "ts_salted_rate" -> oCounterRateSql,
+
+    // The streaming stateful form likewise: state must hand the previous
+    // sample across micro-batch boundaries for this to hold.
+    "ts_stream_rate" -> oCounterRateSql,
 
     // Exchange-shape facts as literals: the plain window never partitions
     // on a slice; both salted forms must.
