@@ -4169,13 +4169,15 @@ object SparkEntry {
           .withColumn("date", to_date(col("ts")))
         WritePipeline.append(day, tmp)
         // At test scale the whole day fits one AQE target partition and
-        // coalescing correctly funnels it — which is the right behavior
-        // at 64 MB targets but makes the parallelism invisible. Shrink
-        // the advisory/min sizes so the fixture day EXCEEDS one target,
-        // the regime a real 270 GB day is always in, and restore after.
+        // coalescing correctly merges it down — right behavior at 64 MB
+        // targets, but it hides the thing under audit: whether the WRITE
+        // uses a range SPLIT (many tasks per day) or the old hash-on-date
+        // funnel (one). Disable coalescing for the audit so the range
+        // partitioner's split is observable at every sf — a real 270 GB
+        // day is always past the merge threshold anyway — and restore
+        // after.
         val tuned = Seq(
-          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
-          "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384")
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
         val saved = tuned.map { case (k, _) => k -> s.conf.getOption(k) }
         tuned.foreach { case (k, v) => s.conf.set(k, v) }
         try Rollup.compact(s, tmp, Jan31)
