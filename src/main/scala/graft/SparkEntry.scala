@@ -573,6 +573,28 @@ object SparkEntry {
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
     }),
 
+    // hashmod sharding — how a remote-write fleet splits 100 TB of
+    // series across N adapter instances: shard := hash(series key) mod
+    // 8, then keep only this instance's shards (0-3). The entry digests
+    // to per-shard sample/series counts; the oracle replays the md5
+    // draw, the mod, and the keep.
+    "s2_relabel_shard" -> ((s, dir) => {
+      import graft.operators.Relabel
+      import graft.operators.Relabel._
+      val rules = Seq(
+        Rule(HashMod, Seq("__name__", "user_id"), targetLabel = "shard",
+          modulus = 8L),
+        Rule(Keep, Seq("shard"), regex = "[0-3]"))
+      Relabel(flatSamples(s, dir), rules)
+        .select(element_at(col("labels"), "shard").as("shard"),
+          element_at(col("labels"), "__name__").as("name"),
+          element_at(col("labels"), "user_id").as("uid"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_samples"),
+          count_distinct(col("name"), col("uid")).as("n_series"))
+        .orderBy(col("shard"))
+    }),
+
     // Prometheus write_relabel_configs over the ingest label map — the
     // adapter feature every deployment configures upstream of storage.
     // Five rules exercise every action: drop 'view' series, keep only
@@ -7033,6 +7055,16 @@ object SparkEntry {
         |  || ' value=' || printf('%.4f', value)
         |  || ' ' || epoch_ms(ts) AS line
         |FROM events ORDER BY line""".stripMargin,
+
+    "s2_relabel_shard" ->
+      """WITH s AS (SELECT event_type || ';' || CAST(user_id AS VARCHAR)
+        |    AS key FROM events),
+        |h AS (SELECT key,
+        |    CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % 8 AS shard
+        |  FROM s)
+        |SELECT CAST(shard AS VARCHAR) AS shard, count(*) AS n_samples,
+        |  count(DISTINCT key) AS n_series
+        |FROM h WHERE shard <= 3 GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // Each rule replayed as its equivalent predicate/CASE: drop+keep as
     // WHERE, cohort/series replaces as concats guarded by the same

@@ -35,13 +35,27 @@ object Relabel {
   case object LabelDrop extends Action
   case object LabelKeep extends Action
 
-  /** One relabel rule (field meanings as in prometheus relabel_config). */
+  /** `hashmod` — the horizontal-sharding action: `targetLabel` :=
+    * hash(joined source values) mod `modulus`, then a keep rule on the
+    * shard label routes each series to exactly one of N adapter
+    * instances. The hash here is the repo's md5-prefix draw (first 15
+    * hex digits as an integer — deterministic, engine-portable, uniform)
+    * rather than Prometheus's FNV/MD5-sum64 bit pattern: the SEMANTICS
+    * (stable uniform series→shard assignment) carry over; the exact
+    * shard of a given series does not, which only matters when mixing
+    * implementations inside one sharded fleet.
+    */
+  case object HashMod extends Action
+
+  /** One relabel rule (field meanings as in prometheus relabel_config;
+    * `modulus` only for [[HashMod]]). */
   case class Rule(action: Action,
                   sourceLabels: Seq[String] = Nil,
                   separator: String = ";",
                   regex: String = "(.*)",
                   targetLabel: String = "",
-                  replacement: String = "$1")
+                  replacement: String = "$1",
+                  modulus: Long = 0L)
 
   /** Apply `rules` in order to `df`'s `labelsCol` (a map<string,string>
     * column). Rules compose exactly as Prometheus applies them: each
@@ -76,6 +90,17 @@ object Relabel {
           .otherwise(map_concat(cleaned, map(lit(rule.targetLabel), newVal)))
         df.withColumn(labelsCol,
           when(src.rlike(re), updated).otherwise(col(labelsCol)))
+      case HashMod =>
+        require(rule.targetLabel.nonEmpty && rule.modulus > 0,
+          "hashmod needs targetLabel and modulus")
+        val shard = pmod(
+          conv(substring(md5(joined(labelsCol, rule)), 1, 15), 16, 10)
+            .cast("long"),
+          lit(rule.modulus)).cast("string")
+        val cleaned = map_filter(col(labelsCol),
+          (k, _) => k =!= rule.targetLabel)
+        df.withColumn(labelsCol,
+          map_concat(cleaned, map(lit(rule.targetLabel), shard)))
       case LabelDrop =>
         df.withColumn(labelsCol,
           map_filter(col(labelsCol), (k, _) => !k.rlike(re)))

@@ -267,6 +267,33 @@ class EnginePipelineSpec extends SparkSpec {
       Seq("__name__=scrape_duration", "__name__=up", "__name__=up"))
   }
 
+  test("relabel hashmod: deterministic shard assignment that PARTITIONS " +
+       "the stream (keep shard-k plus drop shard-k covers everything)") {
+    import graft.operators.Relabel
+    import graft.operators.Relabel._
+    val df = (0 until 100).map(i => Map("__name__" -> s"metric$i"))
+      .toDF("labels")
+    val sharded = Relabel(df,
+      Seq(Rule(HashMod, Seq("__name__"), targetLabel = "shard",
+        modulus = 4L)))
+    val counts = sharded
+      .groupBy(element_at(col("labels"), "shard")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts.values.sum == 100)
+    assert(counts.keySet == Set("0", "1", "2", "3"))
+    // re-application is stable (pure function of the label values)
+    val again = Relabel(df, Seq(Rule(HashMod, Seq("__name__"),
+        targetLabel = "shard", modulus = 4L)))
+      .groupBy(element_at(col("labels"), "shard")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == counts)
+    val k0 = Relabel(sharded, Seq(Rule(Keep, Seq("shard"), regex = "0")))
+      .count()
+    val rest = Relabel(sharded, Seq(Rule(Drop, Seq("shard"), regex = "0")))
+      .count()
+    assert(k0 == counts("0") && k0 + rest == 100)
+  }
+
   test("minmaxDownsample keeps per-cell extremes with original (t, value), " +
        "single-extreme cells emit one row") {
     // bucket-agg shape: t in ms; step 10 s → cells of 10_000 ms
