@@ -647,6 +647,34 @@ object SparkEntry {
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
     }),
 
+    // Remote-Write 2.0 byte edge: the same events marshalled as
+    // io.prometheus.write.v2.Request payloads — request-level symbol
+    // table, per-series packed (name_ref, value_ref) pairs — decoded
+    // back through symbol resolution into the canonical v1 stream.
+    // Same oracle as the v1 round-trip: the protocol generations are
+    // interchangeable at the edge.
+    "s1_prw2_roundtrip" -> ((s, dir) => {
+      val nested = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(collect_list(struct(col("value").as("value"),
+          unix_millis(col("ts")).as("ts_ms"))).as("samples"))
+      val payloads = nested.map { r =>
+        val name = r.getString(0)
+        val uid = String.valueOf(r.get(1))
+        val samples = r.getAs[scala.collection.Seq[Row]]("samples").toSeq
+          .map(x => Prompb.PSample(x.getAs[Double]("value"), x.getAs[Long]("ts_ms")))
+        Prompb.snappyCompress(graft.codec.Prompb2.encodeRequest(
+          graft.codec.Prompb2.fromV1(Prompb.PWriteRequest(Seq(
+            Prompb.PTimeSeries(
+              Seq(Prompb.PLabel("__name__", name), Prompb.PLabel("user_id", uid)),
+              samples))))))
+      }(org.apache.spark.sql.Encoders.BINARY)
+      RemoteWriteStream.decodeFlatV2(payloads.toDF("content"))
+        .select(col("name"), element_at(col("labels"), "user_id").as("user_id"),
+          col("value"), col("timestampMs").as("ts_ms"))
+        .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
+    }),
+
     // S1 as a LIVE STREAM: events marshalled into one snappy+proto
     // WriteRequest payload file per metric (≙ one remote-write POST
     // body each), then drained through the actual Structured Streaming
@@ -6921,6 +6949,12 @@ object SparkEntry {
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
 
     "s1_prompb_roundtrip" ->
+      """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+        |       value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    // The v2 edge resolves to the identical canonical stream.
+    "s1_prw2_roundtrip" ->
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,

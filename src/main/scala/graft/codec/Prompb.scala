@@ -46,7 +46,7 @@ object Prompb {
 
   // ---------------------------------------------------------------- write
 
-  private class Writer {
+  private[codec] class Writer {
     private val out = new ByteArrayOutputStream()
 
     def varint(v: Long): Unit = {
@@ -139,7 +139,7 @@ object Prompb {
 
   // ----------------------------------------------------------------- read
 
-  private class Reader(buf: Array[Byte], start: Int, end: Int) {
+  private[codec] class Reader(buf: Array[Byte], start: Int, end: Int) {
     var pos: Int = start
 
     def hasMore: Boolean = pos < end

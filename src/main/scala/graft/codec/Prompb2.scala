@@ -1,0 +1,156 @@
+package graft.codec
+
+import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
+
+/** Prometheus Remote-Write 2.0 wire codec — `io.prometheus.write.v2
+  * .Request`, the protocol Prometheus 3.x senders speak (spec:
+  * prometheus.io/docs/specs/remote_write_spec_2_0): a request-level
+  * SYMBOL TABLE of interned strings, and per-series label REF PAIRS
+  * (name_ref, value_ref) indexing into it — the dedup that makes
+  * high-cardinality payloads ~2-4x smaller on the wire than v1's
+  * repeated full strings.
+  *
+  * Field layout (v2 Request):
+  *   4: repeated string symbols    — symbols[0] MUST be ""
+  *   5: repeated TimeSeries
+  * TimeSeries:
+  *   1: repeated uint32 labels_refs (packed) — even count, pairwise
+  *   2: repeated Sample (value=1 double, timestamp=2 int64 — v1 shape)
+  * Exemplars (3), native histograms (4), metadata (6) and
+  * created_timestamp (7) are skipped structurally on decode (unknown-
+  * field skipping), like every reference sink ignores them; a store that
+  * wants native histograms adds a decoder for field 4 without touching
+  * this layer.
+  *
+  * The decoded request resolves to the SAME canonical v1 shape
+  * ([[Prompb.PWriteRequest]]) so everything downstream — flatten, F1
+  * filter, relabeling, partitioned append — is protocol-agnostic: v2 is
+  * an edge codec, not a second pipeline.
+  *
+  * Reference anchor: the v1 ingest edge this extends is
+  * reference main.go:286-320 (decode) + main.go:377-394 (flatten).
+  */
+object Prompb2 {
+
+  case class P2TimeSeries(labelsRefs: Seq[Int], samples: Seq[PSample])
+  case class P2Request(symbols: Seq[String], timeseries: Seq[P2TimeSeries])
+
+  // --------------------------------------------------------------- write
+
+  private def encSample(s: PSample): Array[Byte] = {
+    val w = new Prompb.Writer
+    w.double(1, s.value); w.int64(2, s.timestampMs)
+    w.toBytes
+  }
+
+  private def encTimeSeries(ts: P2TimeSeries): Array[Byte] = {
+    val w = new Prompb.Writer
+    // packed uint32 refs: one length-delimited field of varints
+    val packed = new Prompb.Writer
+    ts.labelsRefs.foreach(r => packed.varint(r.toLong))
+    w.bytes(1, packed.toBytes)
+    ts.samples.foreach(s => w.message(2, encSample(s)))
+    w.toBytes
+  }
+
+  def encodeRequest(r: P2Request): Array[Byte] = {
+    val w = new Prompb.Writer
+    // REPEATED strings always emit — the proto3 default-value skip only
+    // applies to singular fields, and symbols[0] is the empty string by
+    // spec (Writer.string would silently drop it)
+    r.symbols.foreach(s => w.bytes(4, s.getBytes("UTF-8")))
+    r.timeseries.foreach(ts => w.message(5, encTimeSeries(ts)))
+    w.toBytes
+  }
+
+  /** Build a v2 request from the canonical v1 shape, interning every
+    * distinct label name/value once (first occurrence order after the
+    * mandatory leading "").
+    */
+  def fromV1(r: PWriteRequest): P2Request = {
+    val idx = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def ref(s: String): Int = idx.getOrElseUpdate(s, idx.size)
+    val tss = r.timeseries.map { ts =>
+      P2TimeSeries(
+        ts.labels.flatMap(l => Seq(ref(l.name), ref(l.value))),
+        ts.samples)
+    }
+    P2Request(idx.keys.toSeq, tss)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  private def decSample(buf: Array[Byte], s: Int, e: Int): PSample = {
+    val r = new Prompb.Reader(buf, s, e)
+    var v = 0.0; var ts = 0L
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (2, 0) => ts = r.varint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    PSample(v, ts)
+  }
+
+  private def decTimeSeries(buf: Array[Byte], s: Int, e: Int): P2TimeSeries = {
+    val r = new Prompb.Reader(buf, s, e)
+    val refs = Seq.newBuilder[Int]
+    val samples = Seq.newBuilder[PSample]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) => // packed
+          val (a, b) = r.lenDelimited()
+          val pr = new Prompb.Reader(buf, a, b)
+          while (pr.hasMore) refs += pr.varint().toInt
+        case (1, 0) => // tolerated unpacked spelling
+          refs += r.varint().toInt
+        case (2, 2) =>
+          val (a, b) = r.lenDelimited(); samples += decSample(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    P2TimeSeries(refs.result(), samples.result())
+  }
+
+  def decodeRequest(buf: Array[Byte]): P2Request = {
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    val symbols = Seq.newBuilder[String]
+    val tss = Seq.newBuilder[P2TimeSeries]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (4, 2) => symbols += r.utf8()
+        case (5, 2) =>
+          val (a, b) = r.lenDelimited(); tss += decTimeSeries(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    P2Request(symbols.result(), tss.result())
+  }
+
+  /** Resolve a v2 request's symbol refs into the canonical v1 shape.
+    * Enforces the spec's structural rules — symbols[0] = "", even ref
+    * count, refs in range — loudly: a malformed payload fails ITS
+    * request (the per-payload decode-failure isolation the streaming
+    * ingest already provides), never silently mislabels samples.
+    */
+  def toV1(r: P2Request): PWriteRequest = {
+    val syms = r.symbols.toIndexedSeq
+    require(syms.nonEmpty && syms(0).isEmpty,
+      "prw2: symbols[0] must be the empty string")
+    val tss = r.timeseries.map { ts =>
+      require(ts.labelsRefs.size % 2 == 0,
+        s"prw2: odd labels_refs count ${ts.labelsRefs.size}")
+      val labels = ts.labelsRefs.grouped(2).map { case Seq(n, v) =>
+        require(n >= 0 && n < syms.size && v >= 0 && v < syms.size,
+          s"prw2: label ref out of range (n=$n, v=$v, symbols=${syms.size})")
+        PLabel(syms(n), syms(v))
+      }.toSeq
+      PTimeSeries(labels, ts.samples)
+    }
+    PWriteRequest(tss)
+  }
+
+  /** Full v2 ingest edge: bytes → symbols resolved → canonical v1. */
+  def decodeToV1(buf: Array[Byte]): PWriteRequest = toV1(decodeRequest(buf))
+}

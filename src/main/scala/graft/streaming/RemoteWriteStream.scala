@@ -38,6 +38,26 @@ object RemoteWriteStream {
     }.toDF()
   }
 
+  /** [[decodeFlat]] for Remote-Write 2.0 payloads (`io.prometheus.write
+    * .v2.Request` — symbol-table interning, see [[graft.codec.Prompb2]]):
+    * the v2 edge resolves to the same canonical sample stream, so every
+    * downstream stage is protocol-agnostic. A deployment fronting both
+    * protocol generations routes on the request's Content-Type
+    * (`proto=io.prometheus.write.v2.Request`) to pick the decoder.
+    */
+  def decodeFlatV2(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("content")).as[Array[Byte]].flatMap { bytes =>
+      val wr = graft.codec.Prompb2.decodeToV1(Prompb.snappyUncompress(bytes))
+      for (ts <- wr.timeseries; s <- ts.samples) yield {
+        val labels = ts.labels.map(l => l.name -> l.value).toMap
+        Schema.Sample(labels.getOrElse(Schema.MetricNameLabel, ""),
+          labels, s.value, s.timestampMs)
+      }
+    }.toDF()
+  }
+
   /** Full streaming ingest: watch `inDir` for payload files (each file =
     * one remote-write POST body), decode, filter non-finite, append to the
     * partitioned metrics table. `Trigger.AvailableNow` drains everything

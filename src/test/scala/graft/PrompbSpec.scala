@@ -94,4 +94,64 @@ class PrompbSpec extends AnyFunSuite {
       assert(Prompb.decodeWriteRequest(Prompb.encodeWriteRequest(wr)) == wr)
     }
   }
+
+  test("prw2 golden bytes: symbol table + packed refs encode to the " +
+       "exact v2 wire") {
+    import graft.codec.Prompb2
+    import graft.codec.Prompb2._
+    val req = P2Request(Seq("", "n", "v"),
+      Seq(P2TimeSeries(Seq(1, 2), Seq(PSample(1.5, 1000L)))))
+    val expected: Array[Byte] = Array(
+      0x22, 0,           // symbols[0] = "" (field 4)
+      0x22, 1, 'n',      // symbols[1]
+      0x22, 1, 'v',      // symbols[2]
+      0x2A, 18,          // timeseries[0] (field 5), len 18
+      0x0A, 2, 1, 2,     // labels_refs packed [1, 2]
+      0x12, 12,          // samples[0], len 12 (v1 Sample shape)
+      0x09, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF8, 0x3F,
+      0x10, 0xE8, 0x07
+    ).map(_.toByte)
+    assert(Prompb2.encodeRequest(req).toSeq == expected.toSeq)
+    assert(Prompb2.decodeRequest(expected) == req)
+    // symbol resolution to the canonical v1 shape
+    assert(Prompb2.decodeToV1(expected) == PWriteRequest(Seq(PTimeSeries(
+      Seq(PLabel("n", "v")), Seq(PSample(1.5, 1000L))))))
+  }
+
+  test("prw2: v1→v2→v1 round-trip interns duplicate strings once and " +
+       "is lossless") {
+    import graft.codec.Prompb2
+    val wr = PWriteRequest(Seq(
+      PTimeSeries(Seq(PLabel("__name__", "up"), PLabel("job", "api")),
+        Seq(PSample(1.0, 1L), PSample(0.0, 2L))),
+      PTimeSeries(Seq(PLabel("__name__", "up"), PLabel("job", "db")),
+        Seq(PSample(1.0, 3L))),
+      PTimeSeries(Seq(PLabel("__name__", "scrape_duration"),
+        PLabel("job", "api")), Seq(PSample(0.25, 4L)))))
+    val v2 = Prompb2.fromV1(wr)
+    // "", __name__, up, job, api, db, scrape_duration — each once
+    assert(v2.symbols.size == 7)
+    assert(v2.symbols.head.isEmpty)
+    assert(v2.symbols.distinct == v2.symbols)
+    assert(Prompb2.toV1(Prompb2.decodeRequest(
+      Prompb2.encodeRequest(v2))) == wr)
+  }
+
+  test("prw2: malformed payloads fail loudly — missing empty symbol, " +
+       "odd ref count, out-of-range ref") {
+    import graft.codec.Prompb2
+    import graft.codec.Prompb2._
+    val ok = P2TimeSeries(Seq(1, 2), Seq(PSample(1.0, 1L)))
+    intercept[IllegalArgumentException] {
+      Prompb2.toV1(P2Request(Seq("n", "v"), Seq(ok)))
+    }
+    intercept[IllegalArgumentException] {
+      Prompb2.toV1(P2Request(Seq("", "n", "v"),
+        Seq(P2TimeSeries(Seq(1, 2, 1), Seq()))))
+    }
+    intercept[IllegalArgumentException] {
+      Prompb2.toV1(P2Request(Seq("", "n"),
+        Seq(P2TimeSeries(Seq(1, 9), Seq()))))
+    }
+  }
 }
