@@ -109,7 +109,18 @@ class Server(spark: SparkSession, tablePath: String,
 
   private def handleWrite(ex: HttpExchange): Unit =
     try {
-      val wr = Prompb.decodeWriteRequest(Prompb.snappyUncompress(readBody(ex)))
+      // Remote-Write 2.0 senders declare the payload message in
+      // Content-Type (`application/x-protobuf;proto=io.prometheus.write
+      // .v2.Request`, per the RW2 spec); everything else decodes as the
+      // v1 WriteRequest the reference speaks. Both resolve to the same
+      // canonical stream before any pipeline stage runs.
+      val body = Prompb.snappyUncompress(readBody(ex))
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val wr =
+        if (ctype.contains("io.prometheus.write.v2.Request"))
+          graft.codec.Prompb2.decodeToV1(body)
+        else Prompb.decodeWriteRequest(body)
       val samples = for (ts <- wr.timeseries; s <- ts.samples) yield {
         val labels = ts.labels.map(l => l.name -> l.value).toMap
         graft.model.Schema.Sample(labels.getOrElse("__name__", ""),

@@ -11,10 +11,12 @@ import java.nio.file.Files
   */
 class ServerSpec extends SparkSpec {
 
-  private def post(url: String, body: Array[Byte]): (Int, Array[Byte]) = {
+  private def post(url: String, body: Array[Byte],
+                   contentType: String = ""): (Int, Array[Byte]) = {
     val conn = new java.net.URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod("POST")
     conn.setDoOutput(true)
+    if (contentType.nonEmpty) conn.setRequestProperty("Content-Type", contentType)
     conn.getOutputStream.write(body)
     val code = conn.getResponseCode
     val in = if (code < 400) conn.getInputStream else conn.getErrorStream
@@ -128,6 +130,34 @@ class ServerSpec extends SparkSpec {
       assert(resp.results(1).timeseries.map(_.labels).forall(_.contains(PLabel("__name__", "m2"))))
       assert(resp.results(0).timeseries.head.samples.length == 1) // both in one 10s bucket
       assert(resp.results(1).timeseries.head.samples.map(_.value) == Seq(9.0))
+    } finally server.stop()
+  }
+
+  test("serve: /write routes Remote-Write 2.0 payloads by Content-Type " +
+       "into the same store") {
+    val table = Files.createTempDirectory("graft_srv2w").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "v2metric"), PLabel("job", "demo")),
+        Seq(PSample(2.5, 123456789123L)))))
+      val v2body = Prompb.snappyCompress(graft.codec.Prompb2.encodeRequest(
+        graft.codec.Prompb2.fromV1(wr)))
+      val (wc, _) = post(s"$base/write", v2body,
+        "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+      assert(wc == 200)
+      val rows = spark.read.parquet(table).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("name") == "v2metric")
+      assert(rows.head.getAs[Double]("val") == 2.5)
+      // a v2 body WITHOUT the v2 Content-Type decodes as v1 whose
+      // unknown-field skipping yields an EMPTY request: accepted (200,
+      // the proto contract — absence is not malformation) but nothing
+      // stores — never silently mislabeled samples
+      val (wc2, _) = post(s"$base/write", v2body)
+      assert(wc2 == 200)
+      assert(spark.read.parquet(table).count() == 1)
     } finally server.stop()
   }
 
