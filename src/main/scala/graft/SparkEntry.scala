@@ -1058,6 +1058,48 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Remote-read STREAMED_XOR_CHUNKS through the front door: one frame
+    // per series, each frame a CRC32C-checked ChunkedReadResponse whose
+    // samples ride Gorilla XOR chunks (split at 120 samples). The entry
+    // decodes frames → chunks → samples and must reproduce the exact
+    // bucket-agg rows the SAMPLES response carries — the two response
+    // types are interchangeable on content.
+    "serve_read_chunked" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_srvc").toString
+      val table = s"$base/metrics"
+      WritePipeline.append(
+        WritePipeline.toMetricRows(WritePipeline.dropNonFinite(flatSamples(s, dir))),
+        table)
+      val server = new graft.serve.Server(s, table, Nil, 0,
+        exactQuantiles = true).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")))))
+        val conn = java.net.URI.create(
+          s"http://localhost:${server.boundPort}/read?response_type=streamed_xor_chunks")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val rows = for {
+          f <- graft.codec.ChunkedRead.readFrames(bytes)
+          (series, _) = graft.codec.ChunkedRead.decodeResponse(f)
+          ser <- series
+          ch <- ser.chunks
+          (t, v) <- graft.codec.XorChunk.decode(ch.data)
+        } yield (ser.labels.map(l => s"${l.name}=${l.value}").sorted
+          .mkString(","), t, v)
+        import s.implicits._
+        rows.toDF("tags", "t", "value")
+          .select(col("tags"), col("t"), round(col("value"), 4).as("value"))
+          .orderBy(col("tags"), col("t"))
+      } finally server.stop()
+    }),
+
     // S3: parallel fan-out with per-sink error isolation — two healthy
     // formatter sinks and one poisoned sink run concurrently against the
     // SAME persisted batch; the poisoned sink marks its own samples
@@ -7176,6 +7218,15 @@ object SparkEntry {
          |  FROM u)
          |SELECT tags, t, round(v, 4) AS value FROM d WHERE rn = 1
          |ORDER BY tags, t""".stripMargin,
+
+    // The chunked response must carry the identical bucket-agg rows the
+    // SAMPLES form would — the oracle is that agg, verbatim.
+    "serve_read_chunked" ->
+      s"""SELECT $OTags AS tags, ($OSec // 158) * 158 * 1000 AS t,
+         |       round(quantile_cont(value, 0.75), 4) AS value
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
+         |GROUP BY 1, 2 ORDER BY tags, t""".stripMargin,
 
     // The 158 s quantile buckets reduced to per-day extremes: argmin
     // ties earliest-t, argmax ties latest-t (the ts_minmax convention);

@@ -85,4 +85,32 @@ object ResponseEdge {
   /** Full wire body: proto marshal + snappy, ready for the HTTP edge. */
   def encode(assembled: DataFrame): Array[Byte] =
     Prompb.snappyCompress(Prompb.encodeReadResponse(toReadResponse(assembled)))
+
+  /** STREAMED_XOR_CHUNKS response body: each query's series become
+    * framed `ChunkedReadResponse` messages whose samples ride Gorilla
+    * [[graft.codec.XorChunk]]s (one frame per series — constant driver
+    * memory per frame at real scale, where the SAMPLES form must
+    * materialize the whole result; here both forms share the bounded
+    * collect because the series budget already applies). Chunks split at
+    * `maxSamplesPerChunk` samples, the TSDB's ~120-sample convention.
+    * Uncompressed on the wire per the remote-read spec (the chunk data
+    * is already Gorilla-compressed).
+    */
+  def encodeChunked(perQuery: Seq[DataFrame], maxSeries: Int,
+                    maxSamplesPerChunk: Int = 120): Array[Byte] = {
+    import graft.codec.{ChunkedRead, XorChunk}
+    val out = new java.io.ByteArrayOutputStream()
+    perQuery.zipWithIndex.foreach { case (assembled, qi) =>
+      toQueryResult(assembled, maxSeries).timeseries.foreach { ts =>
+        val chunks = ts.samples.grouped(maxSamplesPerChunk).map { grp =>
+          ChunkedRead.PChunk(grp.head.timestampMs, grp.last.timestampMs,
+            ChunkedRead.EncodingXor,
+            XorChunk.encode(grp.map(s => (s.timestampMs, s.value))))
+        }.toSeq
+        out.write(ChunkedRead.frame(ChunkedRead.encodeResponse(
+          Seq(ChunkedRead.PChunkedSeries(ts.labels, chunks)), qi.toLong)))
+      }
+    }
+    out.toByteArray
+  }
 }

@@ -162,12 +162,15 @@ class Server(spark: SparkSession, tablePath: String,
     * URL param lets a dashboard proxy opt in per request without
     * breaking protocol-conformant callers.
     */
-  private[serve] def parseDownsample(query: String)
-      : DataFrame => DataFrame = {
-    val params = Option(query).getOrElse("").split("&").iterator
+  private[serve] def queryParams(query: String): Map[String, String] =
+    Option(query).getOrElse("").split("&").iterator
       .map(_.split("=", 2)).collect {
         case Array(k, v) => k -> v
       }.toMap
+
+  private[serve] def parseDownsample(query: String)
+      : DataFrame => DataFrame = {
+    val params = queryParams(query)
     params.get("downsample") match {
       case Some("minmax") =>
         val step = params.get("step").map(_.toLong).getOrElse(3600L)
@@ -191,11 +194,25 @@ class Server(spark: SparkSession, tablePath: String,
         ReadPipeline.readMulti(readers, toPromQuery(q), exact = exactQuantiles,
           bucketTransform = transform)
       }
-      val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
-        ResponseEdge.toReadResponse(perQuery, readMaxSeries)))
-      ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
-      ex.getResponseHeaders.set("Content-Encoding", "snappy")
-      respond(ex, 200, body)
+      // STREAMED_XOR_CHUNKS (the modern remote-read negotiation —
+      // Prometheus sends accepted_response_types in the proto; this
+      // server also honors the explicit ?response_type= param so plain
+      // HTTP clients can opt in): framed ChunkedReadResponse messages
+      // with Gorilla-compressed sample chunks, uncompressed outer body
+      // per the spec.
+      if (queryParams(ex.getRequestURI.getQuery).get("response_type")
+          .contains("streamed_xor_chunks")) {
+        val body = ResponseEdge.encodeChunked(perQuery, readMaxSeries)
+        ex.getResponseHeaders.set("Content-Type",
+          "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+        respond(ex, 200, body)
+      } else {
+        val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
+          ResponseEdge.toReadResponse(perQuery, readMaxSeries)))
+        ex.getResponseHeaders.set("Content-Type", "application/x-protobuf")
+        ex.getResponseHeaders.set("Content-Encoding", "snappy")
+        respond(ex, 200, body)
+      }
     } catch {
       // over-budget reads are the CLIENT's query being too broad, not a
       // server fault: 413 with the actionable message, never a 500
