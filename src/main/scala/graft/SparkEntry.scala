@@ -647,6 +647,41 @@ object SparkEntry {
         .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
     }),
 
+    // OTLP metrics byte edge: the same events marshalled as real
+    // ExportMetricsServiceRequest payloads (gauge NumberDataPoints,
+    // resource + point attributes, nanosecond timestamps) and decoded
+    // back through the OTLP receiver into the canonical stream — the
+    // third interchangeable ingest protocol beside remote-write v1/v2,
+    // so it shares their oracle.
+    "s1_otlp_roundtrip" -> ((s, dir) => {
+      val nested = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(collect_list(struct(col("value").as("value"),
+          unix_millis(col("ts")).as("ts_ms"))).as("samples"))
+      val payloads = nested.map { r =>
+        val name = r.getString(0)
+        val uid = String.valueOf(r.get(1))
+        val pts = r.getAs[scala.collection.Seq[Row]]("samples").toSeq
+          .map(x => (name, Seq("user_id" -> uid),
+            x.getAs[Long]("ts_ms") * 1000000L, x.getAs[Double]("value")))
+        graft.codec.Otlp.encodeGaugeRequest(Seq("job" -> "graft"), pts)
+      }(org.apache.spark.sql.Encoders.BINARY)
+      val spark = s
+      import spark.implicits._
+      payloads.toDF("content").select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val wr = graft.codec.Otlp.decodeToV1(bytes)
+          for (ts <- wr.timeseries; sm <- ts.samples) yield {
+            val labels = ts.labels.map(l => l.name -> l.value).toMap
+            graft.model.Schema.Sample(labels.getOrElse("__name__", ""),
+              labels, sm.value, sm.timestampMs)
+          }
+        }.toDF()
+        .select(col("name"), element_at(col("labels"), "user_id").as("user_id"),
+          col("value"), col("timestampMs").as("ts_ms"))
+        .orderBy(col("name"), col("user_id"), col("ts_ms"), col("value"))
+    }),
+
     // Remote-Write 2.0 byte edge: the same events marshalled as
     // io.prometheus.write.v2.Request payloads — request-level symbol
     // table, per-series packed (name_ref, value_ref) pairs — decoded
@@ -6997,6 +7032,13 @@ object SparkEntry {
 
     // The v2 edge resolves to the identical canonical stream.
     "s1_prw2_roundtrip" ->
+      """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
+        |       value, epoch_ms(ts) AS ts_ms
+        |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    // And so does the OTLP edge (nano → ms floor division is exact on
+    // ms-grained fixtures).
+    "s1_otlp_roundtrip" ->
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,

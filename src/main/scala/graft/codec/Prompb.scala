@@ -75,6 +75,12 @@ object Prompb {
       while (i < 8) { out.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
     }
 
+    def fixed64(field: Int, v: Long): Unit = {
+      key(field, 1)
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+
     def bytes(field: Int, b: Array[Byte]): Unit = {
       key(field, 2); varint(b.length.toLong); out.write(b)
     }

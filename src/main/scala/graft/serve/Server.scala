@@ -121,6 +121,27 @@ class Server(spark: SparkSession, tablePath: String,
         if (ctype.contains("io.prometheus.write.v2.Request"))
           graft.codec.Prompb2.decodeToV1(body)
         else Prompb.decodeWriteRequest(body)
+      ingestDecoded(ex, wr)
+    } catch {
+      case e: Throwable =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
+    }
+
+  /** OTLP/HTTP metrics receiver (`POST /otlp/v1/metrics`, plain protobuf
+    * body — OTLP does not snappy-frame): gauge/sum number points resolve
+    * through [[graft.codec.Otlp]] to the same canonical stream as both
+    * remote-write generations, then ride the identical ingest tail.
+    */
+  private def handleOtlp(ex: HttpExchange): Unit =
+    try ingestDecoded(ex, graft.codec.Otlp.decodeToV1(readBody(ex)))
+    catch {
+      case e: Throwable =>
+        respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
+    }
+
+  private def ingestDecoded(ex: HttpExchange,
+                            wr: Prompb.PWriteRequest): Unit =
+    try {
       val samples = for (ts <- wr.timeseries; s <- ts.samples) yield {
         val labels = ts.labels.map(l => l.name -> l.value).toMap
         graft.model.Schema.Sample(labels.getOrElse("__name__", ""),
@@ -257,6 +278,7 @@ class Server(spark: SparkSession, tablePath: String,
 
   def start(): Server = {
     http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
+    http.createContext("/otlp/v1/metrics", (ex: HttpExchange) => handleOtlp(ex))
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(handlerPool)

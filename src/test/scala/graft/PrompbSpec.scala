@@ -137,6 +137,36 @@ class PrompbSpec extends AnyFunSuite {
       Prompb2.encodeRequest(v2))) == wr)
   }
 
+  test("otlp: gauge request round-trips through the receiver with " +
+       "resource/point attribute merge and nano→ms narrowing") {
+    import graft.codec.Otlp
+    val bytes = Otlp.encodeGaugeRequest(
+      Seq("job" -> "api", "env" -> "prod"),
+      Seq(
+        ("http_requests", Seq("method" -> "GET"), 1700000000123456789L, 42.0),
+        ("http_requests", Seq("method" -> "POST", "env" -> "canary"),
+          1700000000123000000L, 7.5),
+        ("cpu_usage", Seq(), 1700000001000000000L, 0.93)))
+    val wr = Otlp.decodeToV1(bytes)
+    assert(wr.timeseries.size == 3)
+    val byName = wr.timeseries.groupBy(
+      _.labels.find(_.name == "__name__").get.value)
+    assert(byName.keySet == Set("http_requests", "cpu_usage"))
+    val get = wr.timeseries.find(ts =>
+      ts.labels.contains(PLabel("method", "GET"))).get
+    // resource attrs flattened in; nano → ms floor
+    assert(get.labels.contains(PLabel("job", "api")))
+    assert(get.labels.contains(PLabel("env", "prod")))
+    assert(get.samples == Seq(PSample(42.0, 1700000000123L)))
+    // point attribute WINS over resource attribute on collision
+    val post = wr.timeseries.find(ts =>
+      ts.labels.contains(PLabel("method", "POST"))).get
+    assert(post.labels.contains(PLabel("env", "canary")))
+    assert(!post.labels.contains(PLabel("env", "prod")))
+    val cpu = byName("cpu_usage").head
+    assert(cpu.samples == Seq(PSample(0.93, 1700000001000L)))
+  }
+
   test("prw2: malformed payloads fail loudly — missing empty symbol, " +
        "odd ref count, out-of-range ref") {
     import graft.codec.Prompb2

@@ -161,6 +161,27 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: /otlp/v1/metrics ingests OTLP gauge points into the " +
+       "same store") {
+    val table = Files.createTempDirectory("graft_srvotlp").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val body = graft.codec.Otlp.encodeGaugeRequest(
+        Seq("job" -> "demo"),
+        Seq(("otlp_metric", Seq("instance" -> "h1"),
+          123456789123L * 1000000L, 3.25)))
+      val (wc, _) = post(s"$base/otlp/v1/metrics", body)
+      assert(wc == 200)
+      val rows = spark.read.parquet(table).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("name") == "otlp_metric")
+      assert(rows.head.getAs[Double]("val") == 3.25)
+      assert(rows.head.getAs[scala.collection.Seq[String]]("tags").toSeq ==
+        Seq("__name__=otlp_metric", "instance=h1", "job=demo"))
+    } finally server.stop()
+  }
+
   test("serve: /read?downsample= reduces each series to extreme (minmax) " +
        "or shape-preserving (lttb) points with original values") {
     val table = Files.createTempDirectory("graft_srvds").toString + "/metrics"
