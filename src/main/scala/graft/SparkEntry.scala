@@ -4273,6 +4273,56 @@ object SparkEntry {
         .orderBy(col("tags"), col("bucket_ts"), col("val"))
     }),
 
+    // Chunked at-rest tier (the Thanos/Cortex block model as a parquet
+    // table): samples grouped per (date, series), Gorilla-encoded, and
+    // decoded back — the round-trip must be value- and second-exact
+    // against the raw rows (XOR chunks preserve double bit patterns
+    // verbatim). One partial-combined groupBy + a per-row encode kernel.
+    "a7_chunk_roundtrip" -> ((s, dir) => {
+      val rows = WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a7x")
+        .toString + "/chunks"
+      graft.engine.ChunkStore.write(rows, tmp)
+      graft.engine.ChunkStore.read(s, tmp)
+        .select(col("name"), array_join(col("tags"), ",").as("tags"),
+          col("ts_sec").as("ts"), round(col("value"), 4).as("val"))
+        .orderBy(col("tags"), col("ts"), col("val"))
+    }),
+
+    // The tier's size claims as checked numbers, on DENSE single-series
+    // chunks (the shape the tier exists for — a sparse 2-sample chunk
+    // is all header): the fixture's random values XOR to ~50
+    // significant bits, Gorilla's WORST case, and still stay under 12
+    // bytes/sample vs 16 raw; a constant-value copy of the same series
+    // (the common scrape shape) lands near the paper's ~2 bits —
+    // pinned under 8 bits/sample.
+    "a7_chunk_bytes" -> ((s, dir) => {
+      val base = Tables.events(s, dir).select(
+        date_trunc("second", col("ts")).as("ts"), col("value"))
+      def mk(name: String, v: Column, ts: Column)(src: DataFrame) =
+        src.select(lit(java.sql.Date.valueOf("2024-01-10")).as("date"),
+          lit(name).as("name"), array(lit("k=r")).as("tags"),
+          v.as("val"), ts.as("ts"), current_timestamp().as("updated"))
+      // const rides a REGULAR 15 s grid (the scrape shape the ~2-bit
+      // figure describes); dense keeps the fixture's irregular stamps
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("value"))
+      val grid = base.withColumn("_rn", row_number().over(wAll))
+      val rows = mk("dense", col("value"), col("ts"))(base)
+        .unionByName(mk("const", lit(42.0), timestamp_seconds(
+          lit(Jan10) + col("_rn").cast("long") * 15L))(grid))
+      graft.engine.ChunkStore.toChunked(rows)
+        .groupBy(col("name"))
+        .agg(sum(length(col("chunk"))).as("bytes"),
+          sum(col("n_samples")).as("n"))
+        .select(col("name").as("fact"),
+          when(col("name") === "dense", col("bytes") < lit(12L) * col("n"))
+            .otherwise(col("bytes") < col("n"))
+            .cast("long").as("value"))
+        .orderBy(col("fact"))
+    }),
+
     // Compaction-parallelism audit (the llm_zorder_skipping pattern):
     // every fixture sample is forced into ONE calendar day — the
     // pathological shape for the old hash-on-date writer, which would
@@ -9155,6 +9205,18 @@ object SparkEntry {
          |       round(avg(value), 4) AS val
          |FROM t GROUP BY name, tags, bucket_ts, precision
          |ORDER BY tags, bucket_ts, val""".stripMargin,
+
+    // The chunk tier decodes back to exactly the raw sample rows.
+    "a7_chunk_roundtrip" ->
+      s"""SELECT event_type AS name, $OTags AS tags, $OSec AS ts,
+         |       round(value, 4) AS val
+         |FROM events ORDER BY tags, ts, val""".stripMargin,
+
+    "a7_chunk_bytes" ->
+      """SELECT 'const' AS fact, CAST(1 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'dense', CAST(1 AS BIGINT)
+        |ORDER BY fact""".stripMargin,
 
     // Physical-layout audit — the expected facts are literals: ≥2 files
     // for the single hot date (clamped at 2), zero pairwise overlaps

@@ -267,6 +267,38 @@ class EnginePipelineSpec extends SparkSpec {
       Seq("__name__=scrape_duration", "__name__=up", "__name__=up"))
   }
 
+  test("chunk store: (date, series) grouping round-trips samples " +
+       "bit-exactly, duplicate timestamps included") {
+    import graft.engine.ChunkStore
+    val rows = Seq(
+      ("2024-01-10", "m1", Seq("a=1"), 5.0, 100L),
+      ("2024-01-10", "m1", Seq("a=1"), 7.25, 160L),
+      ("2024-01-10", "m1", Seq("a=1"), 7.25, 160L), // duplicate ts+val
+      ("2024-01-10", "m1", Seq("a=2"), -0.0, 100L), // second series
+      ("2024-01-11", "m1", Seq("a=1"), 9.0, 86500L) // second date
+    ).toDF("d", "name", "tags", "val", "tsec")
+      .select(to_date(col("d")).as("date"), col("name"), col("tags"),
+        col("val"), timestamp_seconds(col("tsec")).as("ts"),
+        current_timestamp().as("updated"))
+    val chunked = ChunkStore.toChunked(rows)
+    // one chunk per (date, series)
+    assert(chunked.count() == 3)
+    val back = ChunkStore.fromChunked(chunked)
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[scala.collection.Seq[String]](1).mkString(","),
+        r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+      .sortBy(x => (x._2, x._3, x._4))
+    val want = Seq(
+      ("m1", "a=1", 100L, java.lang.Double.doubleToRawLongBits(5.0)),
+      ("m1", "a=1", 160L, java.lang.Double.doubleToRawLongBits(7.25)),
+      ("m1", "a=1", 160L, java.lang.Double.doubleToRawLongBits(7.25)),
+      ("m1", "a=1", 86500L, java.lang.Double.doubleToRawLongBits(9.0)),
+      ("m1", "a=2", 100L, java.lang.Double.doubleToRawLongBits(-0.0)))
+    assert(back.toSeq == want)
+  }
+
   test("relabel hashmod: deterministic shard assignment that PARTITIONS " +
        "the stream (keep shard-k plus drop shard-k covers everything)") {
     import graft.operators.Relabel
