@@ -4656,6 +4656,85 @@ object SparkEntry {
           col("event_id"))
     }),
 
+    // quantile_over_time generalized from the median: p90 over the
+    // trailing 15 min — the latency-dashboard staple. Same single
+    // Sort+Window RANGE-frame pass; Spark `percentile` ≙ DuckDB
+    // `quantile_cont` (shared rank = q·(n−1) interpolation).
+    "ts_quantile_over_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeQuantile(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L, 0.9, "q90")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), round(col("q90"), 4).as("q90"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // PromQL binary op, one-to-one vector matching — the error-rate
+    // shape: errors/total per (user, hour), `error <op> on(user,bucket)
+    // total`. Both sides are aggregates grouped on the match keys, so
+    // the join reuses their hash partitioning (one exchange each, no
+    // extra), and AQE broadcasts the coarser side when it fits.
+    "ts_vector_ratio" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          .as("bucket"),
+        col("value"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_err"))
+      val total = ev.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_all"))
+      TimeSeriesOps.vectorMatch(errors, total, Seq("user_id", "bucket"),
+          (l, r) => floor(l * 1000000L / r), "n_err", "n_all", "ratio_fp")
+        .select(col("user_id"), col("bucket"), col("n_err"),
+          col("ratio_fp"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // PromQL binary op, many-to-one `group_left`: each (event_type,
+    // user, hour) series divided by its user's hour total — the
+    // share-of-whole panel. The left keeps its full label set; the right
+    // is unique per match key by construction (it is the match-key
+    // aggregate).
+    "ts_vector_group_left" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          .as("bucket"),
+        col("value"))
+      val perSeries = ev.groupBy(col("event_type"), col("user_id"),
+          col("bucket"))
+        .agg(sum(floor(col("value") * 1000000L)).as("sum_fp"))
+      val perUser = ev.groupBy(col("user_id"), col("bucket"))
+        .agg(sum(floor(col("value") * 1000000L)).as("tot_fp"))
+      TimeSeriesOps.vectorMatch(perSeries, perUser,
+          Seq("user_id", "bucket"),
+          (l, r) => floor(l * 1000000L / r), "sum_fp", "tot_fp",
+          "share_fp")
+        .select(col("event_type"), col("user_id"), col("bucket"),
+          col("sum_fp"), col("share_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
+    // holt_winters (double exponential smoothing), sf=1/2 tf=1/4: final
+    // level+trend per series after folding the whole history in exact
+    // 1e-6 fixed point with floored divisions; the oracle replays the
+    // identical integer recurrence as a recursive CTE.
+    "ts_holt_winters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.holtWinters(ev, Seq("event_type", "user_id"),
+          "ts", "value", 1L, 2L, 1L, 4L, Seq("event_id"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // Sessionization: per-user event stream split at >1h gaps; one
     // shuffle drives both window passes and the per-session rollup keys
     // include the partition key, so the final agg is skew-free.
@@ -9383,6 +9462,82 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
          |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    "ts_quantile_over_time" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+         |    value FROM events)
+         |SELECT event_type, user_id, event_id, ts,
+         |  round(quantile_cont(value, 0.9) OVER w, 4) AS q90
+         |FROM s
+         |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+         |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+
+    "ts_vector_ratio" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+         |    CAST(floor($OSec / 3600) AS BIGINT) AS bucket FROM events),
+         |err AS (SELECT user_id, bucket, count(*) AS n_err FROM e
+         |  WHERE event_type = 'error' GROUP BY 1, 2),
+         |tot AS (SELECT user_id, bucket, count(*) AS n_all FROM e
+         |  GROUP BY 1, 2)
+         |SELECT err.user_id, err.bucket, err.n_err,
+         |  CAST(floor(err.n_err * 1000000 / tot.n_all) AS BIGINT)
+         |    AS ratio_fp
+         |FROM err JOIN tot USING (user_id, bucket)
+         |ORDER BY err.user_id, err.bucket""".stripMargin,
+
+    "ts_vector_group_left" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+         |    CAST(floor($OSec / 3600) AS BIGINT) AS bucket,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |ps AS (SELECT event_type, user_id, bucket,
+         |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2, 3),
+         |pu AS (SELECT user_id, bucket,
+         |    CAST(sum(vfp) AS BIGINT) AS tot_fp FROM e GROUP BY 1, 2)
+         |SELECT ps.event_type, ps.user_id, ps.bucket, ps.sum_fp,
+         |  CAST(floor(ps.sum_fp * 1000000 / pu.tot_fp) AS BIGINT)
+         |    AS share_fp
+         |FROM ps JOIN pu USING (user_id, bucket)
+         |ORDER BY ps.event_type, ps.user_id, ps.bucket""".stripMargin,
+
+    // The identical integer recurrence replayed as a recursive CTE:
+    // state after x_2 is the base term, each recursion step folds the
+    // next sample, and the final (i = nmax) state joins back to the
+    // per-series row. fd(a,d) = floored division via the positive
+    // modulus — the one spelling Spark and DuckDB share for negative
+    // numerators.
+    "ts_holt_winters" -> {
+      def fd(a: String, d: Int) =
+        s"CAST((($a) - ((($a) % $d) + $d) % $d) / $d AS BIGINT)"
+      val s2 = fd("1*x2 + 1*(x1 + b1)", 2)
+      val b2 = fd("1*(sv0 - x1) + 3*b1", 4)
+      val sN = fd("1*t.x + 1*(h.sv + h.bv)", 2)
+      val bN = fd(s"1*(($sN) - h.sv) + 3*h.bv", 4)
+      s"""WITH RECURSIVE
+         |src AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS x FROM events),
+         |s AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+         |    user_id ORDER BY t, event_id) AS rn FROM src),
+         |n AS (SELECT event_type, user_id, max(rn) AS nmax,
+         |    count(*) AS n_samples FROM s GROUP BY 1, 2),
+         |b0 AS (SELECT a1.event_type, a1.user_id, a1.x AS x1,
+         |    (a2.x - a1.x) AS b1, a2.x AS x2
+         |  FROM s a1 JOIN s a2 ON a1.event_type = a2.event_type
+         |    AND a1.user_id = a2.user_id AND a1.rn = 1 AND a2.rn = 2),
+         |ini AS (SELECT event_type, user_id, x1, b1, $s2 AS sv0 FROM b0),
+         |hw AS (
+         |  SELECT event_type, user_id, 2 AS i, sv0 AS sv, $b2 AS bv
+         |  FROM ini
+         |  UNION ALL
+         |  SELECT h.event_type, h.user_id, h.i + 1, $sN AS sv, $bN AS bv
+         |  FROM hw h JOIN s t ON t.event_type = h.event_type
+         |    AND t.user_id = h.user_id AND t.rn = h.i + 1)
+         |SELECT n.event_type, n.user_id, n.n_samples,
+         |  h.sv AS smooth_fp, h.bv AS trend_fp
+         |FROM n LEFT JOIN hw h ON h.event_type = n.event_type
+         |  AND h.user_id = n.user_id AND h.i = n.nmax
+         |ORDER BY n.event_type, n.user_id""".stripMargin
+    },
 
     // Session merge replayed relationally: split at gap >= 3600 (the
     // session_window boundary), gap-extended ends, emission gated at

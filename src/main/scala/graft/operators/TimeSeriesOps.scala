@@ -586,12 +586,29 @@ object TimeSeriesOps {
     * operator's point.
     */
   def rangeMedian(samples: DataFrame, keys: Seq[String], tsSecCol: String,
-                  valCol: String, windowSec: Long): DataFrame = {
+                  valCol: String, windowSec: Long): DataFrame =
+    rangeQuantile(samples, keys, tsSecCol, valCol, windowSec, 0.5, "med")
+
+  /** Trailing-window EXACT quantile — PromQL `quantile_over_time(q, v[w])`
+    * generalized from [[rangeMedian]]: per sample, linear-interpolation
+    * percentile `q` over the same series' trailing `windowSec` seconds
+    * (inclusive). Exact, not a sketch: the trailing RANGE frame is
+    * time-bounded per series, so the aggregate's buffer IS the frame —
+    * state O(window), never O(history). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the rank = q·(n−1) linear-interpolation
+    * definition (the parity the quantile entries already pin), which is
+    * also Prometheus's own quantile rule. One shuffle, one Sort+Window
+    * pass.
+    */
+  def rangeQuantile(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                    valCol: String, windowSec: Long, q: Double,
+                    outCol: String = "quantile"): DataFrame = {
     require(windowSec > 0)
+    require(q >= 0.0 && q <= 1.0)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsSecCol).cast("long").asc)
       .rangeBetween(-windowSec, 0)
-    samples.withColumn("med", percentile(col(valCol), lit(0.5)).over(w))
+    samples.withColumn(outCol, percentile(col(valCol), lit(q)).over(w))
   }
 
   /** Gap-filled downsampling onto a fixed `stepSec` grid with
@@ -806,5 +823,107 @@ object TimeSeriesOps {
     val isNew = when(prev.isNull || col(tsSecCol) - prev > gapSec, 1L)
       .otherwise(0L)
     events.withColumn("session_id", sum(isNew).over(wRun))
+  }
+
+  /** PromQL binary operation between two instant vectors with vector
+    * matching — `left <op> on(matchKeys) right`, including the
+    * many-to-one `group_left` form. The ratio/difference shape every
+    * dashboard builds from two series sets: error-rate = errors/total,
+    * share-of-whole, delta-vs-baseline.
+    *
+    * Semantics (Prometheus vector matching): rows pair when their
+    * `matchKeys` values are equal; the output carries the LEFT side's
+    * full label set plus `outCol` = `op(left value, right value)`.
+    * Unmatched left rows drop (inner semantics, as PromQL). PromQL's
+    * cardinality rules map as: one-to-one and group_left both work
+    * naturally when the RIGHT side is unique per match key — the caller
+    * contract here, which aggregated inputs satisfy by construction
+    * (PromQL raises on duplicate right matches; with a non-unique right
+    * this join would multiply rows instead, so feed it aggregates).
+    *
+    * Scale: ONE equi-join shuffle on the match keys. The right side is an
+    * aggregate at match-key granularity — strictly coarser than the left
+    * in the group_left case — so AQE converts to broadcast whenever it
+    * fits; at 100 TB with a huge right, sort-merge on the match keys is
+    * the correct fallback and both sides arrive pre-partitioned when the
+    * aggregates producing them grouped on the same keys (no extra
+    * exchange: the groupBy's hash partitioning is reused).
+    */
+  def vectorMatch(left: DataFrame, right: DataFrame, matchKeys: Seq[String],
+                  op: (Column, Column) => Column,
+                  leftVal: String = "value", rightVal: String = "value",
+                  outCol: String = "result"): DataFrame = {
+    require(matchKeys.nonEmpty)
+    val r = right.select(matchKeys.map(col) :+ col(rightVal).as("_rv"): _*)
+    left.join(r, matchKeys, "inner")
+      .withColumn(outCol, op(col(leftVal), col("_rv")))
+      .drop("_rv")
+  }
+
+  /** Double exponential smoothing — PromQL `holt_winters(v[w], sf, tf)`
+    * (renamed `double_exponential_smoothing` in Prometheus 3): per
+    * series, level `s` and trend `b` folded over the time-ordered
+    * samples, yielding the smoothed level/trend after the last sample —
+    * the trend-aware prediction dashboards use where `predict_linear`'s
+    * single global slope washes out regime changes.
+    *
+    * Recurrence (Prometheus semantics): s₁ = x₁, b₁ = x₂ − x₁, then for
+    * i ≥ 2:  sᵢ = sf·xᵢ + (1−sf)·(sᵢ₋₁ + bᵢ₋₁),
+    *         bᵢ = tf·(sᵢ − sᵢ₋₁) + (1−tf)·bᵢ₋₁.
+    * Series with fewer than two samples yield NULL (as PromQL drops
+    * them).
+    *
+    * Determinism: the factors are exact rationals (`sfNum/sfDen`,
+    * `tfNum/tfDen`) and the whole fold runs in 1e-6 fixed point with an
+    * explicit floored division — `(a − pmod(a, d)) / d` — the one
+    * integer-division spelling Spark and DuckDB share for negative
+    * numerators (both engines' `%`/`/` truncate toward zero, and trend
+    * `b` IS negative on falling series). Magnitudes stay ≤ den·|x_fp|
+    * ≈ 2³³, exact in the double division. A recursive-CTE oracle replays
+    * the identical integer recurrence.
+    *
+    * Scale: one shuffle (the per-series collect); the fold is a single
+    * linear codegen'd `aggregate` over each series' array. Per-series
+    * state is the array itself — in PromQL this operator only ever sees
+    * one range-vector window of samples, so the array is window-bounded,
+    * not history-bounded (the [[lttb]]/[[sessionize]] contract).
+    */
+  def holtWinters(samples: DataFrame, keys: Seq[String], tsSecCol: String,
+                  valCol: String, sfNum: Long, sfDen: Long, tfNum: Long,
+                  tfDen: Long, orderCols: Seq[String] = Nil): DataFrame = {
+    require(sfNum > 0 && sfNum < sfDen, "0 < sf < 1")
+    require(tfNum > 0 && tfNum < tfDen, "0 < tf < 1")
+    val keyCols = keys.map(col)
+    // floored integer division, identical in Spark and DuckDB: subtract
+    // the positive modulus, then the division is exact (no rounding mode
+    // left to disagree on)
+    def fdiv(a: Column, d: Long): Column =
+      ((a - pmod(a, lit(d))) / lit(d)).cast("long")
+    val pts0 = samples
+      .withColumn("_x", floor(col(valCol) * 1000000L).cast("long"))
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(
+        (col(tsSecCol).cast("long") +: orderCols.map(col)) :+
+          col("_x").as("x"): _*))).as("_pts"),
+        count(lit(1)).as("n_samples"))
+    val pts = col("_pts")
+    val x1 = element_at(pts, 1).getField("x")
+    val x2 = element_at(pts, 2).getField("x")
+    val folded = aggregate(
+      slice(pts, lit(2), greatest(size(pts) - 1, lit(0))),
+      struct(x1.as("s"), (x2 - x1).as("b")),
+      (st, p) => {
+        val s = st.getField("s"); val b = st.getField("b")
+        val sNew = fdiv(lit(sfNum) * p.getField("x") +
+          lit(sfDen - sfNum) * (s + b), sfDen)
+        val bNew = fdiv(lit(tfNum) * (sNew - s) +
+          lit(tfDen - tfNum) * b, tfDen)
+        struct(sNew.as("s"), bNew.as("b"))
+      })
+    pts0.select(keyCols ++ Seq(col("n_samples"),
+      when(col("n_samples") >= 2, folded.getField("s"))
+        .otherwise(lit(null).cast("long")).as("smooth_fp"),
+      when(col("n_samples") >= 2, folded.getField("b"))
+        .otherwise(lit(null).cast("long")).as("trend_fp")): _*)
   }
 }

@@ -427,4 +427,59 @@ class TimeSeriesOpsSpec extends SparkSpec {
       df, Seq("k"), "ts", "v", windowSec = 100L, sliceSec = 250L))
     assert(plain.toSeq == salted.toSeq)
   }
+
+  test("rangeQuantile: trailing p90 linear interpolation per series") {
+    val s = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 10L, 4.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeriesOps.rangeQuantile(s, Seq("k"), "ts", "v", 10L,
+        0.9, "q90")
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Double]("q90")))
+    // frames [1] -> 1; [1,2] -> rank 0.9 -> 1.9; [1,2,4] -> rank 1.8 ->
+    // 2 + 0.8*(4-2) = 3.6
+    assert(out.toSeq == Seq((0L, 1.0), (5L, 1.9), (10L, 3.6)))
+  }
+
+  test("vectorMatch: one-to-one and group_left shapes; unmatched left " +
+       "rows drop") {
+    val left = Seq(("a", 1L, 10L), ("b", 1L, 30L), ("a", 2L, 5L),
+      ("a", 9L, 7L)).toDF("name", "key", "value")
+    val right = Seq((1L, 40L), (2L, 10L)).toDF("key", "value")
+    val out = TimeSeriesOps.vectorMatch(left, right, Seq("key"),
+        (l, r) => l * 100L / r, outCol = "pct")
+      .orderBy("name", "key").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Long]("key"),
+        r.getAs[Long]("pct")))
+    // group_left: both a/1 and b/1 divide by the same right row; key=9
+    // has no right match and drops
+    assert(out.toSeq == Seq(("a", 1L, 25L), ("a", 2L, 50L),
+      ("b", 1L, 75L)))
+  }
+
+  test("holtWinters: integer recurrence hand-computed; <2 samples null") {
+    // sf=1/2, tf=1/4, xs = 10, 20, 40 (fp units directly via v = x/1e6)
+    // s1=10 b1=10; x=20: s2=fd(20+20,2)=20, b2=fd(1*10+3*10,4)=10
+    // x=40: s3=fd(40+30,2)=35, b3=fd(15+30,4)=11
+    val s = Seq((1L, 0L, 1L, 10e-6), (1L, 10L, 2L, 20e-6),
+      (1L, 20L, 3L, 40e-6), (2L, 0L, 4L, 5.0))
+      .toDF("k", "ts", "event_id", "v")
+    val out = TimeSeriesOps.holtWinters(s, Seq("k"), "ts", "v",
+        1L, 2L, 1L, 4L, Seq("event_id"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("smooth_fp") == 35L)
+    assert(out(0).getAs[Long]("trend_fp") == 11L)
+    assert(out(1).isNullAt(out(1).fieldIndex("smooth_fp")))
+  }
+
+  test("holtWinters: floored division on falling series (negative trend)") {
+    // xs = 40, 20, 10: s1=40 b1=-20; x=20: s2=fd(20+20,2)=20,
+    // b2=fd(-20-60,4)=-20; x=10: s3=fd(10+0,2)=5, b3=fd(-15-60,4)=
+    // fd(-75,4)=-19 (floor, not truncate: -75/4=-18.75 -> -19)
+    val s = Seq((1L, 0L, 40e-6), (1L, 10L, 20e-6), (1L, 20L, 10e-6))
+      .toDF("k", "ts", "v")
+    val out = TimeSeriesOps.holtWinters(s, Seq("k"), "ts", "v",
+        1L, 2L, 1L, 4L).collect()
+    assert(out(0).getAs[Long]("smooth_fp") == 5L)
+    assert(out(0).getAs[Long]("trend_fp") == -19L)
+  }
 }
