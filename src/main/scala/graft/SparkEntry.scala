@@ -5,8 +5,8 @@ import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
 import graft.llm.{CrawlOps, Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
-import graft.model.{Tables, Tags}
-import graft.operators.TimeSeriesOps
+import graft.model.{Schema, Tables, Tags}
+import graft.operators.{LabelOps, TimeSeriesOps}
 import graft.sinks.Formatters
 import graft.sources.CorpusIO
 import graft.streaming.RemoteWriteStream
@@ -4733,6 +4733,44 @@ object SparkEntry {
       TimeSeriesOps.holtWinters(ev, Seq("event_type", "user_id"),
           "ts", "value", 1L, 2L, 1L, 4L, Seq("event_id"))
         .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    // label_replace over the canonical tags array: derive shard = last
+    // digit of user_id ($1 capture, full-match anchored), re-sorted into
+    // the byte-comparable series identity. Map-side HOF projection; the
+    // only shuffle is the per-new-series count.
+    "ts_label_replace" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .withColumn("tags", LabelOps.labelReplace(col("tags"), "shard",
+          "$1", "user_id", ".*(\\d)"))
+        .groupBy(col("name"), array_join(col("tags"), ",").as("tags"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("name"), col("tags"))
+    }),
+
+    // label_join: series = __name__:user_id — the composite-key label
+    // dashboards template on. Same map-side shape as label_replace.
+    "ts_label_join" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .withColumn("tags", LabelOps.labelJoin(col("tags"), "series",
+          ":", Seq(Schema.MetricNameLabel, "user_id")))
+        .groupBy(col("name"), array_join(col("tags"), ",").as("tags"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("name"), col("tags"))
+    }),
+
+    // Aggregation without(user_id): the PromQL label-reduction rule over
+    // the stored encoding — drop the label from the array, group by the
+    // REDUCED identity (+ hour bucket). One partial-combined shuffle on
+    // the reduced key.
+    "ts_agg_without" -> ((s, dir) => {
+      Tables.metrics(s, dir)
+        .withColumn("tags", LabelOps.without(col("tags"), Seq("user_id")))
+        .groupBy(col("name"), array_join(col("tags"), ",").as("tags"),
+          floor(unix_timestamp(col("ts")) / 3600L).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("val") * 1000000L)).as("sum_fp"))
+        .orderBy(col("name"), col("bucket"))
     }),
 
     // Sessionization: per-user event stream split at >1h gaps; one
@@ -9538,6 +9576,33 @@ object SparkEntry {
          |  AND h.user_id = n.user_id AND h.i = n.nmax
          |ORDER BY n.event_type, n.user_id""".stripMargin
     },
+
+    // label_replace's $1 expansion on the digits-only user_id value is
+    // arithmetically the last digit — the oracle derives it as % 10 and
+    // rebuilds the sorted canonical array directly.
+    "ts_label_replace" ->
+      s"""SELECT event_type AS name,
+         |  '__name__=' || event_type ||
+         |    ',shard=' || CAST(user_id % 10 AS VARCHAR) ||
+         |    ',user_id=' || CAST(user_id AS VARCHAR) AS tags,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY name, tags""".stripMargin,
+
+    "ts_label_join" ->
+      s"""SELECT event_type AS name,
+         |  '__name__=' || event_type ||
+         |    ',series=' || event_type || ':' || CAST(user_id AS VARCHAR) ||
+         |    ',user_id=' || CAST(user_id AS VARCHAR) AS tags,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY name, tags""".stripMargin,
+
+    "ts_agg_without" ->
+      s"""SELECT event_type AS name, '__name__=' || event_type AS tags,
+         |  CAST(floor($OSec / 3600) AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS sum_fp
+         |FROM events GROUP BY 1, 2, 3 ORDER BY name, bucket""".stripMargin,
 
     // Session merge replayed relationally: split at gap >= 3600 (the
     // session_window boundary), gap-extended ends, emission gated at
