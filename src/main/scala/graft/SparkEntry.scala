@@ -4735,6 +4735,34 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"))
     }),
 
+    // Prometheus-exact extrapolated rate/increase — counterIncrease's
+    // raw sum scaled by the boundary-extrapolation rule (half-interval
+    // overhang at edge gaps > 1.1× the mean interval, zero-crossing cap
+    // for counters). The float tree is one fixed IEEE expression spelled
+    // identically in the oracle, so the 1e-6-floored outputs hash-match
+    // cell-exact.
+    "ts_rate_extrapolated" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.extrapolatedRate(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, isCounter = true, Seq("event_id"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
+    // PromQL count_values: sample count per distinct (bucketed) value —
+    // the histogram-of-a-gauge aggregator. One partial-combined shuffle.
+    "ts_count_values" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          .as("bucket"),
+        floor(col("value")).as("v"))
+      ev.groupBy(col("bucket"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"), col("v"))
+    }),
+
     // label_replace over the canonical tags array: derive shard = last
     // digit of user_id ($1 capture, full-match anchored), re-sorted into
     // the byte-comparable series identity. Map-side HOF projection; the
@@ -9576,6 +9604,58 @@ object SparkEntry {
          |  AND h.user_id = n.user_id AND h.i = n.nmax
          |ORDER BY n.event_type, n.user_id""".stripMargin
     },
+
+    // The identical extrapolation float tree: raw within-bucket
+    // reset-adjusted sum, then the zero-crossing cap, the 1.1×-average
+    // threshold, and the single scale factor, every literal and
+    // parenthesis as the Spark side spells them.
+    "ts_rate_extrapolated" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |b AS (SELECT *, CAST(floor(t / 3600) AS BIGINT) AS bucket
+         |  FROM s),
+         |d AS (SELECT *,
+         |    vfp - lag(vfp) OVER (PARTITION BY event_type, user_id,
+         |      bucket ORDER BY t, event_id) AS delta,
+         |    row_number() OVER (PARTITION BY event_type, user_id, bucket
+         |      ORDER BY t, event_id) AS rn FROM b),
+         |a AS (SELECT event_type, user_id, bucket, count(*) AS n_samples,
+         |    min(t) AS ft, max(t) AS lt,
+         |    min(CASE WHEN rn = 1 THEN vfp END) AS fv,
+         |    CAST(coalesce(sum(CASE WHEN delta IS NULL THEN NULL
+         |      WHEN delta >= 0 THEN delta ELSE vfp END), 0) AS BIGINT)
+         |      AS raw_fp
+         |  FROM d GROUP BY 1, 2, 3),
+         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+         |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
+         |    CAST(lt - ft AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE)
+         |      AS avgi,
+         |    CAST(ft - bucket * 3600 AS DOUBLE) AS ds0,
+         |    CAST((bucket + 1) * 3600 - lt AS DOUBLE) AS de0
+         |  FROM a),
+         |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+         |      THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+         |  FROM e),
+         |g AS (SELECT *,
+         |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+         |      AS dss,
+         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+         |      AS dee
+         |  FROM f),
+         |h AS (SELECT *, rawd * ((si + dss + dee) / si) AS inc FROM g)
+         |SELECT event_type, user_id, bucket, n_samples,
+         |  CASE WHEN n_samples >= 2 AND si > 0.0
+         |    THEN CAST(floor(inc * 1000000.0) AS BIGINT) END
+         |    AS increase_fp,
+         |  CASE WHEN n_samples >= 2 AND si > 0.0
+         |    THEN CAST(floor(inc / 3600 * 1000000.0) AS BIGINT) END
+         |    AS rate_fp
+         |FROM h ORDER BY event_type, user_id, bucket""".stripMargin,
+
+    "ts_count_values" ->
+      s"""SELECT CAST(floor($OSec / 3600) AS BIGINT) AS bucket,
+         |  CAST(floor(value) AS BIGINT) AS v, count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, v""".stripMargin,
 
     // label_replace's $1 expansion on the digits-only user_id value is
     // arithmetically the last digit — the oracle derives it as % 10 and

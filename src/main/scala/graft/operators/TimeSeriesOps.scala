@@ -825,6 +825,82 @@ object TimeSeriesOps {
     events.withColumn("session_id", sum(isNew).over(wRun))
   }
 
+  /** Prometheus-exact `rate()`/`increase()` — [[counterIncrease]] is the
+    * plain within-bucket sum of reset-adjusted deltas; THIS adds the
+    * boundary extrapolation the real engine applies (promql
+    * extrapolatedRate): scale the raw increase by how much of the range
+    * the samples actually cover, treating edge gaps larger than 1.1×
+    * the average sample interval as half-interval overhangs, and — for
+    * counters — never extrapolating back past the zero crossing implied
+    * by the first sample's value. This is why Prometheus `increase()`
+    * returns non-integers on integer counters; matching it exactly is
+    * the point.
+    *
+    * Per (series, bucket = [b·bucketSec, (b+1)·bucketSec)):
+    *   raw      = Σ adj(Δ) over consecutive IN-BUCKET pairs (resets add
+    *              the post-reset value, the [[counterIncrease]] rule)
+    *   si       = lastTs − firstTs;  avg = si / (n−1)
+    *   dStart   = firstTs − rangeStart;  dEnd = rangeEnd − lastTs
+    *   dStart   = min(dStart, si·(firstVal/raw))   [counter, raw>0, fv≥0]
+    *   dX       = avg/2 where dX ≥ 1.1·avg
+    *   increase = raw · ((si + dStart + dEnd) / si);  rate = increase/bucketSec
+    * Buckets with n < 2 or si ≤ 0 yield NULL (Prometheus emits nothing).
+    *
+    * Determinism: the float tree is ONE fixed IEEE expression —
+    * identical literals, identical parenthesization, least/CASE
+    * branches — spelled the same in the DuckDB oracle, inputs entering
+    * as exact longs (fp values, second timestamps); both engines
+    * produce bit-identical doubles, floored onto the 1e-6 grid at the
+    * end. One exchange total: the delta window partitions by
+    * (keys, bucket) — the same key the final groupBy uses.
+    */
+  def extrapolatedRate(samples: DataFrame, keys: Seq[String],
+                       tsSecCol: String, valCol: String, bucketSec: Long,
+                       isCounter: Boolean = true,
+                       orderCols: Seq[String] = Nil): DataFrame = {
+    require(bucketSec > 0)
+    val t = col(tsSecCol).cast("long")
+    val bkt = floor(t / bucketSec).cast("long")
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols :+ col("_bkt"): _*)
+      .orderBy((t +: orderCols.map(col)).map(_.asc): _*)
+    val delta = col("_vfp") - col("_prev")
+    val adj = when(col("_prev").isNull, lit(null))
+      .when(delta >= 0, delta).otherwise(col("_vfp"))
+    val ordStruct = struct((t +: orderCols.map(col)) :+ col("_vfp").as("v"): _*)
+    val grouped = samples
+      .withColumn("_vfp", floor(col(valCol) * 1000000L))
+      .withColumn("_bkt", bkt)
+      .select(col("*"), lag(col("_vfp"), 1).over(w).as("_prev"))
+      .withColumn("_adj", adj)
+      .groupBy(keyCols :+ col("_bkt").as("bucket"): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        min(t).as("_ft"), max(t).as("_lt"),
+        min(ordStruct).as("_first"),
+        coalesce(sum(col("_adj")), lit(0L)).as("_raw_fp"))
+    val si = (col("_lt") - col("_ft")).cast("double")
+    val rawD = col("_raw_fp") / lit(1000000.0)
+    val fvD = col("_first").getField("v") / lit(1000000.0)
+    val avg = si / (col("n_samples") - 1).cast("double")
+    val ds0 = (col("_ft") - col("bucket") * bucketSec).cast("double")
+    val de0 = ((col("bucket") + 1) * bucketSec - col("_lt")).cast("double")
+    val ds1 = if (isCounter) {
+      when(rawD > 0.0 && fvD >= 0.0, least(ds0, si * (fvD / rawD)))
+        .otherwise(ds0)
+    } else ds0
+    val thr = avg * 1.1
+    val ds = when(ds1 >= thr, avg / 2.0).otherwise(ds1)
+    val de = when(de0 >= thr, avg / 2.0).otherwise(de0)
+    val inc = rawD * ((si + ds + de) / si)
+    val ok = col("n_samples") >= 2 && si > 0.0
+    grouped
+      .withColumn("increase_fp",
+        when(ok, floor(inc * 1000000.0)).otherwise(lit(null)))
+      .withColumn("rate_fp",
+        when(ok, floor(inc / bucketSec * 1000000.0)).otherwise(lit(null)))
+      .drop("_ft", "_lt", "_first", "_raw_fp")
+  }
+
   /** PromQL binary operation between two instant vectors with vector
     * matching — `left <op> on(matchKeys) right`, including the
     * many-to-one `group_left` form. The ratio/difference shape every

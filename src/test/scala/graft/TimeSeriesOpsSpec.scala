@@ -471,6 +471,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("smooth_fp")))
   }
 
+  test("extrapolatedRate: boundary extrapolation, zero-crossing cap, " +
+       "half-interval overhang, and n<2 null (hand-computed)") {
+    // bucketSec=100. A: ts 10/50/90 v 0/40/60 -> raw=60 si=80 avg=40
+    //   zero-cap: durZero = 80*(0/60)=0 -> ds=0; de=10<44 -> inc =
+    //   60*((80+0+10)/80) = 67.5
+    // B: ts 60/70/80 v 10/20/30 -> raw=20 si=20 avg=10 thr=11
+    //   zero-cap: 20*(10/20)=10 < 60 -> ds1=10 < thr stays; de0=20>=11
+    //   -> 5 -> inc = 20*((20+10+5)/20) = 35
+    // C: single sample -> nulls
+    val s = Seq(
+      (1L, 10L, 1L, 0.0), (1L, 50L, 2L, 40.0), (1L, 90L, 3L, 60.0),
+      (2L, 60L, 4L, 10.0), (2L, 70L, 5L, 20.0), (2L, 80L, 6L, 30.0),
+      (3L, 5L, 7L, 7.0)
+    ).toDF("k", "ts", "event_id", "v")
+    val out = TimeSeriesOps.extrapolatedRate(s, Seq("k"), "ts", "v",
+        100L, isCounter = true, Seq("event_id"))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("increase_fp") == 67500000L)
+    assert(out(0).getAs[Long]("rate_fp") == 675000L)
+    assert(out(1).getAs[Long]("increase_fp") == 35000000L)
+    assert(out(1).getAs[Long]("rate_fp") == 350000L)
+    assert(out(2).getAs[Long]("n_samples") == 1L)
+    assert(out(2).isNullAt(out(2).fieldIndex("increase_fp")))
+  }
+
   test("holtWinters: floored division on falling series (negative trend)") {
     // xs = 40, 20, 10: s1=40 b1=-20; x=20: s2=fd(20+20,2)=20,
     // b2=fd(-20-60,4)=-20; x=10: s3=fd(10+0,2)=5, b3=fd(-15-60,4)=
