@@ -895,6 +895,29 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // A7+: Thanos-style 5-aggregate downsampled tier (count/sum/min/max/
+    // first/last per 5 min window) — the re-aggregatable extension of the
+    // avg-only graphite_rollup. One partial-combined shuffle.
+    "a7_downsample_store" -> ((s, dir) => {
+      Rollup.downsample(Tables.metrics(s, dir), 300L)
+        .select(col("name"), tagsStr.as("tags"), col("bucket_ts"),
+          col("cnt"), col("sum_fp"), col("min_fp"), col("max_fp"),
+          col("first_fp"), col("last_fp"))
+        .orderBy(col("name"), col("tags"), col("bucket_ts"))
+    }),
+
+    // A7+: exact re-aggregation proof — hourly stats computed FROM the
+    // 5 min tier must equal the same query over RAW data (the oracle):
+    // window-aligned sums of sums are the raw sums, integer-exact in
+    // fixed point.
+    "a7_downsample_read" -> ((s, dir) => {
+      val down = Rollup.downsample(Tables.metrics(s, dir), 300L)
+      Rollup.reaggregate(down, 3600L)
+        .select(col("name"), tagsStr.as("tags"), col("bucket_ts"),
+          col("cnt"), col("avg_fp"), col("min_fp"), col("max_fp"))
+        .orderBy(col("name"), col("tags"), col("bucket_ts"))
+    }),
+
     // E7: Graphite percent-escape over event-derived strings with injected
     // reserved/symbol/multi-byte chars (reference: graphite/escape.go:82-103).
     "e7_graphite_escape" -> ((s, dir) => {
@@ -7341,6 +7364,36 @@ object SparkEntry {
          |      FROM u)
          |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_downsample_store" ->
+      s"""WITH s AS (SELECT event_type AS name, $OTags AS tags,
+         |    $OSec AS t, CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events),
+         |b AS (SELECT *, (t // 300) * 300 AS bucket_ts,
+         |    row_number() OVER (PARTITION BY name, tags, t // 300
+         |      ORDER BY t, vfp) AS rf,
+         |    row_number() OVER (PARTITION BY name, tags, t // 300
+         |      ORDER BY t DESC, vfp DESC) AS rl
+         |  FROM s)
+         |SELECT name, tags, bucket_ts, count(*) AS cnt,
+         |  CAST(sum(vfp) AS BIGINT) AS sum_fp, min(vfp) AS min_fp,
+         |  max(vfp) AS max_fp,
+         |  CAST(min(CASE WHEN rf = 1 THEN vfp END) AS BIGINT) AS first_fp,
+         |  CAST(min(CASE WHEN rl = 1 THEN vfp END) AS BIGINT) AS last_fp
+         |FROM b GROUP BY 1, 2, 3 ORDER BY name, tags, bucket_ts""".stripMargin,
+
+    // Computed from RAW events — the tier must re-aggregate to exactly
+    // this.
+    "a7_downsample_read" ->
+      s"""WITH s AS (SELECT event_type AS name, $OTags AS tags,
+         |    $OSec AS t, CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events)
+         |SELECT name, tags, (t // 3600) * 3600 AS bucket_ts,
+         |  count(*) AS cnt,
+         |  CAST(floor(CAST(sum(vfp) AS BIGINT) / count(*)) AS BIGINT)
+         |    AS avg_fp,
+         |  min(vfp) AS min_fp, max(vfp) AS max_fp
+         |FROM s GROUP BY 1, 2, 3 ORDER BY name, tags, bucket_ts""".stripMargin,
 
     "e7_graphite_escape" ->
       """SELECT event_id,

@@ -44,6 +44,73 @@ object Rollup {
         max(col("updated")).as("updated"))
   }
 
+  /** Re-aggregatable downsampled tier — the Thanos/Cortex 5-aggregate
+    * block model, extending the reference's avg-only graphite_rollup
+    * (README.md:71-85): per (date, series, `windowSec` window) keep
+    * count / sum / min / max / first / last, so ANY downstream
+    * re-aggregation (avg = Σsum/Σcnt, min of mins, max of maxes, rate
+    * from firsts/lasts) is EXACT over coarser grids — an avg-only tier
+    * can answer avg and nothing else. Values in 1e-6 fixed point so
+    * re-aggregation is integer-exact; first/last pick deterministically
+    * by (ts, value) struct ordering.
+    *
+    * Scale: this is the tier 100 TB dashboards actually read — a 1-year
+    * panel over the 1 h tier scans ~8.8 k rows/series instead of the raw
+    * stream. One partial-combined shuffle on (date, series, window); the
+    * output keeps the store's date-partitioned layout, so reads prune
+    * identically.
+    */
+  def downsample(metrics: DataFrame, windowSec: Long): DataFrame = {
+    require(windowSec > 0)
+    val t = unix_timestamp(col("ts"))
+    val bucket = (floor(t / windowSec) * windowSec).cast("long")
+    val vfp = floor(col("val") * 1000000L)
+    val pick = struct(t.as("t"), vfp.as("v"))
+    metrics
+      .withColumn("_pick", pick)
+      .groupBy(col("date"), col("name"), col("tags"),
+        bucket.as("bucket_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(vfp).as("sum_fp"),
+        min(vfp).as("min_fp"),
+        max(vfp).as("max_fp"),
+        min(col("_pick")).getField("v").as("first_fp"),
+        max(col("_pick")).getField("v").as("last_fp"))
+  }
+
+  /** Resolution selection for a read of `rangeSec` seconds: the
+    * coarsest tier still yielding at least `targetPoints` points, 0 =
+    * raw (the Thanos auto-downsampling rule, deterministic and
+    * driver-side). With tiers 5 m/1 h and the default 250 points, a
+    * dashboard range up to ~20 h reads raw, up to ~10 d the 5 m tier,
+    * beyond that the 1 h tier.
+    */
+  def chooseResolution(rangeSec: Long,
+                       tiers: Seq[Long] = Seq(300L, 3600L),
+                       targetPoints: Long = 250L): Long = {
+    require(rangeSec > 0 && targetPoints > 0)
+    (0L +: tiers.sorted).filter(w => w == 0L || rangeSec / w >= targetPoints)
+      .max
+  }
+
+  /** Exact re-aggregation over the downsampled tier: per-series stats
+    * on a coarser `outSec` grid (must be a multiple of the tier window —
+    * window-aligned, so sums of sums are the raw sums). avg is the
+    * floored integer division of the re-summed fixed-point values; the
+    * entry pins equality with the same query computed from RAW data.
+    */
+  def reaggregate(down: DataFrame, outSec: Long): DataFrame = {
+    require(outSec > 0)
+    val bucket = (floor(col("bucket_ts") / outSec) * outSec).cast("long")
+    down
+      .groupBy(col("name"), col("tags"), bucket.as("bucket_ts"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_fp")).as("sum_fp"),
+        min(col("min_fp")).as("min_fp"),
+        max(col("max_fp")).as("max_fp"))
+      .withColumn("avg_fp", floor(col("sum_fp") / col("cnt")))
+  }
+
   /** Storage compaction job: version-dedup then tier-rollup the stored
     * table and REWRITE it — the explicit-batch-job form of what
     * GraphiteMergeTree does during background merges. Writes to a staging

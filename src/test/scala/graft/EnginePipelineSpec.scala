@@ -344,4 +344,38 @@ class EnginePipelineSpec extends SparkSpec {
       ("s=1", 1000L, 5.0), ("s=1", 2000L, 9.0), ("s=1", 12000L, 4.0),
       ("s=2", 1000L, 1.0)))
   }
+
+  test("downsample: 5-aggregate tier with deterministic first/last; " +
+       "reaggregate equals the raw-data query") {
+    import java.sql.{Date, Timestamp}
+    def row(sec: Long, v: Double) =
+      (Date.valueOf("2024-01-01"), "m", Seq("__name__=m"), v,
+        new Timestamp(sec * 1000L), new Timestamp(sec * 1000L))
+    val m = Seq(row(10L, 2.0), row(20L, 8.0), row(40L, 4.0),
+      row(310L, 6.0)).toDF("date", "name", "tags", "val", "ts", "updated")
+    val d = Rollup.downsample(m, 300L).orderBy("bucket_ts").collect()
+    assert(d.length == 2)
+    assert(d(0).getAs[Long]("cnt") == 3L)
+    assert(d(0).getAs[Long]("sum_fp") == 14000000L)
+    assert(d(0).getAs[Long]("min_fp") == 2000000L)
+    assert(d(0).getAs[Long]("max_fp") == 8000000L)
+    assert(d(0).getAs[Long]("first_fp") == 2000000L)
+    assert(d(0).getAs[Long]("last_fp") == 4000000L)
+    val re = Rollup.reaggregate(Rollup.downsample(m, 300L), 600L)
+      .collect()
+    assert(re.length == 1)
+    assert(re(0).getAs[Long]("cnt") == 4L)
+    assert(re(0).getAs[Long]("avg_fp") == 5000000L)
+    assert(re(0).getAs[Long]("min_fp") == 2000000L)
+    assert(re(0).getAs[Long]("max_fp") == 8000000L)
+  }
+
+  test("chooseResolution: coarsest tier still giving targetPoints") {
+    // 20 h -> raw; 10 d -> 5 m; 100 d -> 1 h
+    assert(Rollup.chooseResolution(72000L) == 0L)
+    assert(Rollup.chooseResolution(864000L) == 300L)
+    assert(Rollup.chooseResolution(8640000L) == 3600L)
+    // exactly at the 5 m boundary: 250 * 300 s
+    assert(Rollup.chooseResolution(75000L) == 300L)
+  }
 }
