@@ -4774,6 +4774,35 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"), col("bucket"))
     }),
 
+    // PromQL delta() for gauges: plain (telescoping) difference with the
+    // same boundary extrapolation, no reset rule, no zero-crossing cap.
+    "ts_delta_gauge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.extrapolatedRate(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, isCounter = false, Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("bucket"),
+          col("n_samples"), col("increase_fp").as("delta_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
+    // PromQL resets(): counter-reset count per series x hour — already
+    // accumulated by counterIncrease's reset rule, exposed as the
+    // counter-health panel. Same single shuffle.
+    "ts_resets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.counterIncrease(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("bucket"),
+          col("n_samples"), col("n_resets"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
     // PromQL count_values: sample count per distinct (bucketed) value —
     // the histogram-of-a-gauge aggregator. One partial-combined shuffle.
     "ts_count_values" -> ((s, dir) => {
@@ -9704,6 +9733,55 @@ object SparkEntry {
          |    THEN CAST(floor(inc / 3600 * 1000000.0) AS BIGINT) END
          |    AS rate_fp
          |FROM h ORDER BY event_type, user_id, bucket""".stripMargin,
+
+    // delta(): the extrapolation tree without the zero-cap branch, raw =
+    // plain in-bucket differences.
+    "ts_delta_gauge" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |b AS (SELECT *, CAST(floor(t / 3600) AS BIGINT) AS bucket
+         |  FROM s),
+         |d AS (SELECT *,
+         |    vfp - lag(vfp) OVER (PARTITION BY event_type, user_id,
+         |      bucket ORDER BY t, event_id) AS delta FROM b),
+         |a AS (SELECT event_type, user_id, bucket, count(*) AS n_samples,
+         |    min(t) AS ft, max(t) AS lt,
+         |    CAST(coalesce(sum(delta), 0) AS BIGINT) AS raw_fp
+         |  FROM d GROUP BY 1, 2, 3),
+         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+         |    raw_fp / 1000000.0 AS rawd,
+         |    CAST(lt - ft AS DOUBLE) / CAST(n_samples - 1 AS DOUBLE)
+         |      AS avgi,
+         |    CAST(ft - bucket * 3600 AS DOUBLE) AS ds0,
+         |    CAST((bucket + 1) * 3600 - lt AS DOUBLE) AS de0
+         |  FROM a),
+         |g AS (SELECT *,
+         |    CASE WHEN ds0 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds0 END
+         |      AS dss,
+         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+         |      AS dee
+         |  FROM e),
+         |h AS (SELECT *, rawd * ((si + dss + dee) / si) AS inc FROM g)
+         |SELECT event_type, user_id, bucket, n_samples,
+         |  CASE WHEN n_samples >= 2 AND si > 0.0
+         |    THEN CAST(floor(inc * 1000000.0) AS BIGINT) END AS delta_fp
+         |FROM h ORDER BY event_type, user_id, bucket""".stripMargin,
+
+    // Reset flags ride the whole-series lag (a boundary delta counts in
+    // the LATER sample's bucket), exactly as counterIncrease computes.
+    "ts_resets" ->
+      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |d AS (SELECT event_type, user_id, t,
+         |    value - lag(value) OVER (PARTITION BY event_type, user_id
+         |      ORDER BY t, event_id) AS delta FROM s)
+         |SELECT event_type, user_id,
+         |  CAST(floor(t / 3600) AS BIGINT) AS bucket,
+         |  count(*) AS n_samples,
+         |  CAST(coalesce(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_resets
+         |FROM d GROUP BY 1, 2, 3
+         |ORDER BY event_type, user_id, bucket""".stripMargin,
 
     "ts_count_values" ->
       s"""SELECT CAST(floor($OSec / 3600) AS BIGINT) AS bucket,

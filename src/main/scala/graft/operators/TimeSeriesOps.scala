@@ -838,7 +838,9 @@ object TimeSeriesOps {
     *
     * Per (series, bucket = [b·bucketSec, (b+1)·bucketSec)):
     *   raw      = Σ adj(Δ) over consecutive IN-BUCKET pairs (resets add
-    *              the post-reset value, the [[counterIncrease]] rule)
+    *              the post-reset value, the [[counterIncrease]] rule);
+    *              with `isCounter = false` this is PromQL `delta()`:
+    *              plain differences, telescoping to last − first
     *   si       = lastTs − firstTs;  avg = si / (n−1)
     *   dStart   = firstTs − rangeStart;  dEnd = rangeEnd − lastTs
     *   dStart   = min(dStart, si·(firstVal/raw))   [counter, raw>0, fv≥0]
@@ -865,8 +867,15 @@ object TimeSeriesOps {
     val w = Window.partitionBy(keyCols :+ col("_bkt"): _*)
       .orderBy((t +: orderCols.map(col)).map(_.asc): _*)
     val delta = col("_vfp") - col("_prev")
-    val adj = when(col("_prev").isNull, lit(null))
-      .when(delta >= 0, delta).otherwise(col("_vfp"))
+    // counters apply the reset rule (a drop restarts: the new value IS
+    // the increase); gauges (PromQL delta()) take the plain difference —
+    // summed over consecutive pairs it telescopes to last − first
+    val adj =
+      if (isCounter)
+        when(col("_prev").isNull, lit(null))
+          .when(delta >= 0, delta).otherwise(col("_vfp"))
+      else
+        when(col("_prev").isNull, lit(null)).otherwise(delta)
     val ordStruct = struct((t +: orderCols.map(col)) :+ col("_vfp").as("v"): _*)
     val grouped = samples
       .withColumn("_vfp", floor(col(valCol) * 1000000L))

@@ -496,6 +496,21 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("increase_fp")))
   }
 
+  test("extrapolatedRate isCounter=false is delta(): plain differences, " +
+       "no reset rule, no zero-cap") {
+    // ts 10/50/90 v 50/30/40 -> gauge raw = -20+10 = -10, si=80 avg=40
+    // ds=de=10 < 44 -> delta = -10*((80+10+10)/80) = -12.5
+    // (counter form would reset-adjust to 30+10=40)
+    val s = Seq((1L, 10L, 1L, 50.0), (1L, 50L, 2L, 30.0),
+      (1L, 90L, 3L, 40.0)).toDF("k", "ts", "event_id", "v")
+    val g = TimeSeriesOps.extrapolatedRate(s, Seq("k"), "ts", "v", 100L,
+      isCounter = false, Seq("event_id")).collect()(0)
+    assert(g.getAs[Long]("increase_fp") == -12500000L)
+    val c = TimeSeriesOps.extrapolatedRate(s, Seq("k"), "ts", "v", 100L,
+      isCounter = true, Seq("event_id")).collect()(0)
+    assert(c.getAs[Long]("increase_fp") > 0L)
+  }
+
   test("holtWinters: floored division on falling series (negative trend)") {
     // xs = 40, 20, 10: s1=40 b1=-20; x=20: s2=fd(20+20,2)=20,
     // b2=fd(-20-60,4)=-20; x=10: s3=fd(10+0,2)=5, b3=fd(-15-60,4)=
