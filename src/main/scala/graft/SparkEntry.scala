@@ -4735,10 +4735,13 @@ object SparkEntry {
         .agg(sum(floor(col("value") * 1000000L)).as("sum_fp"))
       val perUser = ev.groupBy(col("user_id"), col("bucket"))
         .agg(sum(floor(col("value") * 1000000L)).as("tot_fp"))
+      // a zero hour-total (every sample flooring to 0) must yield NULL,
+      // not an ANSI divide-by-zero: PromQL's x/0 = Inf is unstorable in
+      // a store that drops non-finite at ingest (F1)
       TimeSeriesOps.vectorMatch(perSeries, perUser,
           Seq("user_id", "bucket"),
-          (l, r) => floor(l * 1000000L / r), "sum_fp", "tot_fp",
-          "share_fp")
+          (l, r) => when(r =!= 0L, floor(l * 1000000L / r)),
+          "sum_fp", "tot_fp", "share_fp")
         .select(col("event_type"), col("user_id"), col("bucket"),
           col("sum_fp"), col("share_fp"))
         .orderBy(col("event_type"), col("user_id"), col("bucket"))
@@ -9643,7 +9646,8 @@ object SparkEntry {
          |pu AS (SELECT user_id, bucket,
          |    CAST(sum(vfp) AS BIGINT) AS tot_fp FROM e GROUP BY 1, 2)
          |SELECT ps.event_type, ps.user_id, ps.bucket, ps.sum_fp,
-         |  CAST(floor(ps.sum_fp * 1000000 / pu.tot_fp) AS BIGINT)
+         |  CASE WHEN pu.tot_fp = 0 THEN NULL ELSE
+         |    CAST(floor(ps.sum_fp * 1000000 / pu.tot_fp) AS BIGINT) END
          |    AS share_fp
          |FROM ps JOIN pu USING (user_id, bucket)
          |ORDER BY ps.event_type, ps.user_id, ps.bucket""".stripMargin,
