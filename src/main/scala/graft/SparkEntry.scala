@@ -9926,16 +9926,24 @@ object SparkEntry {
          |      / (t - prev_t)) AS BIGINT) END, ${-(1L << 62)}) AS irate_fp
          |FROM d ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
+    // boundary-exact: subtract the (at most one) in-frame transition
+    // whose predecessor falls outside the trailing window — detected
+    // tie-safely via min(prev_t + w | chg = 1) < t over the same frame
     "ts_changes" ->
       s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
          |    value FROM events),
          |f AS (SELECT *, CASE WHEN lag(value) OVER w IS NULL
-         |      OR value = lag(value) OVER w THEN 0 ELSE 1 END AS chg
+         |      OR value = lag(value) OVER w THEN 0 ELSE 1 END AS chg,
+         |    lag(t) OVER w AS prev_t
          |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
-         |    ORDER BY t, event_id))
+         |    ORDER BY t, event_id)),
+         |g AS (SELECT *, CASE WHEN chg = 1 THEN prev_t + 3600
+         |    ELSE 9223372036854775807 END AS q FROM f)
          |SELECT event_type, user_id, event_id, t AS ts,
-         |  CAST(sum(chg) OVER w2 AS BIGINT) AS changes
-         |FROM f WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
+         |  CAST(sum(chg) OVER w2
+         |    - CASE WHEN min(q) OVER w2 < t THEN 1 ELSE 0 END
+         |    AS BIGINT) AS changes
+         |FROM g WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
          |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 

@@ -9,20 +9,34 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   * Gauge and Sum metrics with NumberDataPoints (double or int values),
   * data-point attributes and resource attributes flattened into labels
   * (point attributes win on key collision, the OTel→Prom mapping rule),
-  * metric name as `__name__`. Histogram/Summary/ExponentialHistogram
-  * metrics and non-scalar attribute values are SKIPPED structurally —
-  * the store's canonical row is a scalar sample; a deployment wanting
-  * OTel histograms maps them to `_bucket` counter series upstream
-  * (exactly the shape [[graft.operators.TimeSeriesOps.histogramQuantile]]
-  * then reads).
+  * metric name as `__name__`. Sums carry aggregation_temporality:
+  * only CUMULATIVE sums ingest (DELTA would corrupt counter semantics;
+  * the Prometheus OTLP receiver rejects it too). Explicit-bucket
+  * Histograms flatten to the Prometheus classic-histogram series family
+  * — cumulative `le`-labeled `<name>_bucket` counters plus
+  * `<name>_count`/`<name>_sum` (exactly the shape
+  * [[graft.operators.TimeSeriesOps.histogramQuantile]] then reads).
+  * Summary/ExponentialHistogram metrics and non-scalar attribute values
+  * are SKIPPED structurally — the store's canonical row is a scalar
+  * sample.
   *
   * Field layout (trimmed to the decoded subset):
   *   ExportMetricsServiceRequest { repeated ResourceMetrics = 1 }
   *   ResourceMetrics { Resource resource = 1; repeated ScopeMetrics = 2 }
   *   Resource { repeated KeyValue attributes = 1 }
   *   ScopeMetrics { repeated Metric metrics = 2 }
-  *   Metric { string name = 1; Gauge gauge = 5; Sum sum = 7 }
-  *   Gauge/Sum { repeated NumberDataPoint data_points = 1 }
+  *   Metric { string name = 1; Gauge gauge = 5; Sum sum = 7;
+  *            Histogram histogram = 9 }
+  *   Gauge { repeated NumberDataPoint data_points = 1 }
+  *   Sum { repeated NumberDataPoint data_points = 1;
+  *         AggregationTemporality aggregation_temporality = 2;
+  *         bool is_monotonic = 3 }
+  *   Histogram { repeated HistogramDataPoint data_points = 1;
+  *               AggregationTemporality aggregation_temporality = 2 }
+  *   HistogramDataPoint { fixed64 time_unix_nano = 3; fixed64 count = 4;
+  *                        double sum = 5; repeated fixed64 bucket_counts = 6;
+  *                        repeated double explicit_bounds = 7;
+  *                        repeated KeyValue attributes = 9 }
   *   NumberDataPoint { fixed64 time_unix_nano = 3; double as_double = 4;
   *                     sfixed64 as_int = 6; repeated KeyValue attrs = 7 }
   *   KeyValue { string key = 1; AnyValue value = 2 }
@@ -101,29 +115,153 @@ object Otlp {
     pts.result()
   }
 
+  /** Sum { data_points = 1; aggregation_temporality = 2; is_monotonic = 3 }.
+    * DELTA-temporality sums (the default for several OTel SDK exporters)
+    * are NOT cumulative counters: ingesting them as-is corrupts
+    * rate/increase/reset detection downstream, so — mirroring the
+    * Prometheus OTLP receiver, which rejects delta temporality — only
+    * AGGREGATION_TEMPORALITY_CUMULATIVE (= 2) sums are decoded; DELTA
+    * (= 1) and UNSPECIFIED (= 0) are skipped structurally like
+    * histograms' unsupported shapes.
+    */
+  private def decSum(buf: Array[Byte], s: Int, e: Int): Seq[Point] = {
+    val r = new Prompb.Reader(buf, s, e)
+    var temporality = 0L
+    val spans = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) => spans += r.lenDelimited()
+        case (2, 0) => temporality = r.varint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    if (temporality != 2L) Seq.empty // CUMULATIVE only
+    else spans.result().map { case (a, b) => decPoint(buf, a, b) }
+  }
+
+  /** One explicit-bucket histogram data point. */
+  private case class HistPoint(tsNano: Long, count: Long, sum: Double,
+                               hasSum: Boolean, bucketCounts: Seq[Long],
+                               bounds: Seq[Double],
+                               attrs: Seq[(String, String)])
+
+  private def decHistPoint(buf: Array[Byte], s: Int, e: Int): HistPoint = {
+    val r = new Prompb.Reader(buf, s, e)
+    var ts = 0L; var count = 0L; var sum = 0.0; var hasSum = false
+    val counts = Seq.newBuilder[Long]
+    val bounds = Seq.newBuilder[Double]
+    val attrs = Seq.newBuilder[(String, String)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (3, 1) => ts = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+          hasSum = true
+        case (6, 2) => // packed fixed64 bucket_counts
+          val (a, b) = r.lenDelimited()
+          val pr = new Prompb.Reader(buf, a, b)
+          while (pr.hasMore) counts += pr.fixed64()
+        case (6, 1) => counts += r.fixed64() // unpacked encoding is legal
+        case (7, 2) => // packed double explicit_bounds
+          val (a, b) = r.lenDelimited()
+          val pr = new Prompb.Reader(buf, a, b)
+          while (pr.hasMore)
+            bounds += java.lang.Double.longBitsToDouble(pr.fixed64())
+        case (7, 1) =>
+          bounds += java.lang.Double.longBitsToDouble(r.fixed64())
+        case (9, 2) =>
+          val (a, b) = r.lenDelimited()
+          decKeyValue(buf, a, b).foreach(attrs += _)
+        case (_, w) => r.skip(w)
+      }
+    }
+    HistPoint(ts, count, sum, hasSum, counts.result(), bounds.result(),
+      attrs.result())
+  }
+
+  /** Histogram { data_points = 1; aggregation_temporality = 2 } →
+    * Prometheus classic-histogram series, the OTel→Prom compatibility
+    * mapping: per-bucket counts become CUMULATIVE `le`-labeled
+    * `<name>_bucket` counters (OTLP buckets are disjoint; Prometheus
+    * buckets nest), a `le="+Inf"` bucket equal to the total count, plus
+    * `<name>_count` and (when present) `<name>_sum` — exactly the input
+    * shape [[graft.operators.TimeSeriesOps.histogramQuantile]] consumes.
+    * CUMULATIVE temporality only, same policy as sums.
+    */
+  private def decHistogram(buf: Array[Byte], s: Int,
+                           e: Int): Seq[HistPoint] = {
+    val r = new Prompb.Reader(buf, s, e)
+    var temporality = 0L
+    val spans = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) => spans += r.lenDelimited()
+        case (2, 0) => temporality = r.varint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    if (temporality != 2L) Seq.empty
+    else spans.result().map { case (a, b) => decHistPoint(buf, a, b) }
+  }
+
   private def decMetric(buf: Array[Byte], s: Int, e: Int,
                         resourceAttrs: Seq[(String, String)])
       : Seq[PTimeSeries] = {
     val r = new Prompb.Reader(buf, s, e)
     var name = ""
     val pts = Seq.newBuilder[Point]
+    val hists = Seq.newBuilder[HistPoint]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => name = r.utf8()
-        case (5, 2) | (7, 2) => // gauge | sum
+        case (5, 2) => // gauge: no temporality, always point-in-time
           val (a, b) = r.lenDelimited(); pts ++= decPoints(buf, a, b)
-        case (_, w) => r.skip(w) // histogram/summary/exp-histogram skipped
+        case (7, 2) => // sum: cumulative only (see decSum)
+          val (a, b) = r.lenDelimited(); pts ++= decSum(buf, a, b)
+        case (9, 2) => // explicit-bucket histogram → le-bucket series
+          val (a, b) = r.lenDelimited(); hists ++= decHistogram(buf, a, b)
+        case (_, w) => r.skip(w) // summary/exp-histogram skipped
       }
     }
-    pts.result().map { p =>
+    def series(metricName: String, attrs: Seq[(String, String)],
+               extra: Seq[(String, String)], tsNano: Long,
+               v: Double): PTimeSeries = {
       // point attrs win over resource attrs on collision (OTel→Prom rule)
-      val labels = (resourceAttrs.toMap ++ p.attrs.toMap) +
-        ("__name__" -> name)
+      val labels = (resourceAttrs.toMap ++ attrs.toMap) ++ extra.toMap +
+        ("__name__" -> metricName)
       PTimeSeries(
         labels.toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
-        Seq(PSample(p.value, Math.floorDiv(p.tsNano, 1000000L))))
+        Seq(PSample(v, Math.floorDiv(tsNano, 1000000L))))
     }
+    val scalar = pts.result().map(p => series(name, p.attrs, Nil, p.tsNano,
+      p.value))
+    val hist = hists.result().flatMap { h =>
+      // cumulate the disjoint OTLP buckets into nested Prometheus ones;
+      // bucket_counts has bounds.size + 1 entries (the overflow bucket)
+      var cum = 0L
+      val buckets = h.bounds.zipWithIndex.map { case (bound, i) =>
+        cum += (if (i < h.bucketCounts.size) h.bucketCounts(i) else 0L)
+        series(name + "_bucket", h.attrs,
+          Seq("le" -> fmtLe(bound)), h.tsNano, cum.toDouble)
+      }
+      val inf = series(name + "_bucket", h.attrs, Seq("le" -> "+Inf"),
+        h.tsNano, h.count.toDouble)
+      val cnt = series(name + "_count", h.attrs, Nil, h.tsNano,
+        h.count.toDouble)
+      val sum = if (h.hasSum)
+        Seq(series(name + "_sum", h.attrs, Nil, h.tsNano, h.sum))
+      else Nil
+      buckets ++ Seq(inf, cnt) ++ sum
+    }
+    scalar ++ hist
   }
+
+  /** Bound → `le` label value, the Prometheus text form: integral bounds
+    * print without a trailing `.0` (0.5 → "0.5", 10.0 → "10").
+    */
+  private def fmtLe(bound: Double): String =
+    if (bound == bound.toLong.toDouble) bound.toLong.toString
+    else bound.toString
 
   private def decScopeMetrics(buf: Array[Byte], s: Int, e: Int,
                               resourceAttrs: Seq[(String, String)])
@@ -239,5 +377,76 @@ object Otlp {
     val req = new Prompb.Writer
     req.message(1, rm.toBytes)
     req.toBytes
+  }
+
+  private def wrapRequest(resourceAttrs: Seq[(String, String)],
+                          metrics: Seq[Array[Byte]]): Array[Byte] = {
+    val scope = new Prompb.Writer
+    metrics.foreach(m => scope.message(2, m))
+    val resource = new Prompb.Writer
+    resourceAttrs.foreach { case (k, v) =>
+      resource.message(1, encKeyValue(k, v))
+    }
+    val rm = new Prompb.Writer
+    rm.message(1, resource.toBytes)
+    rm.message(2, scope.toBytes)
+    val req = new Prompb.Writer
+    req.message(1, rm.toBytes)
+    req.toBytes
+  }
+
+  /** One request carrying one Sum metric per (name, attrs) group, with an
+    * explicit aggregation_temporality (2 = CUMULATIVE, 1 = DELTA) so specs
+    * can exercise the delta-rejection path with real wire bytes.
+    */
+  def encodeSumRequest(resourceAttrs: Seq[(String, String)],
+                       points: Seq[(String, Seq[(String, String)], Long, Double)],
+                       temporality: Int = 2): Array[Byte] = {
+    val metrics = points.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (name, pts) =>
+        val sum = new Prompb.Writer
+        pts.foreach { case (_, attrs, tsNano, v) =>
+          sum.message(1, encPoint(tsNano, v, attrs))
+        }
+        sum.int64(2, temporality.toLong)
+        sum.int64(3, 1L) // is_monotonic
+        val m = new Prompb.Writer
+        m.string(1, name)
+        m.message(7, sum.toBytes)
+        m.toBytes
+    }
+    wrapRequest(resourceAttrs, metrics)
+  }
+
+  /** One request carrying one explicit-bucket Histogram metric: one data
+    * point per (attrs, tsNano) entry, each with disjoint per-bucket
+    * `bucketCounts` (bounds.size + 1 entries, last = overflow) — the raw
+    * OTel SDK shape the decoder cumulates into `le` series.
+    */
+  def encodeHistogramRequest(resourceAttrs: Seq[(String, String)],
+                             name: String, bounds: Seq[Double],
+                             points: Seq[(Seq[(String, String)], Long, Seq[Long], Double)],
+                             temporality: Int = 2): Array[Byte] = {
+    val hist = new Prompb.Writer
+    points.foreach { case (attrs, tsNano, bucketCounts, sum) =>
+      val dp = new Prompb.Writer
+      dp.fixed64(3, tsNano)
+      dp.fixed64(4, bucketCounts.sum)
+      dp.double(5, sum)
+      val packedCounts = new Prompb.Writer
+      bucketCounts.foreach(packedCounts.rawFixed64)
+      dp.message(6, packedCounts.toBytes)
+      val packedBounds = new Prompb.Writer
+      bounds.foreach(b =>
+        packedBounds.rawFixed64(java.lang.Double.doubleToLongBits(b)))
+      dp.message(7, packedBounds.toBytes)
+      attrs.foreach { case (k, v) => dp.message(9, encKeyValue(k, v)) }
+      hist.message(1, dp.toBytes)
+    }
+    hist.int64(2, temporality.toLong)
+    val m = new Prompb.Writer
+    m.string(1, name)
+    m.message(9, hist.toBytes)
+    wrapRequest(resourceAttrs, Seq(m.toBytes))
   }
 }

@@ -90,6 +90,12 @@ object Prompb {
 
     def message(field: Int, body: Array[Byte]): Unit = bytes(field, body)
 
+    /** Bare little-endian fixed64 with no key — packed repeated fields. */
+    def rawFixed64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+
     def toBytes: Array[Byte] = out.toByteArray
   }
 

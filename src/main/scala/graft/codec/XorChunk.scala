@@ -210,9 +210,9 @@ object XorChunk {
       } else {
         val dod =
           if (r.readBit() == 0) 0L
-          else if (r.readBit() == 0) signExtend(r.readBits(14), 14)
-          else if (r.readBit() == 0) signExtend(r.readBits(17), 17)
-          else if (r.readBit() == 0) signExtend(r.readBits(20), 20)
+          else if (r.readBit() == 0) decodeDod(r.readBits(14), 14)
+          else if (r.readBit() == 0) decodeDod(r.readBits(17), 17)
+          else if (r.readBit() == 0) decodeDod(r.readBits(20), 20)
           else r.readBits(64)
         delta += dod
         t += delta
@@ -224,9 +224,12 @@ object XorChunk {
     out.result()
   }
 
-  /** n-bit two's complement → long. */
-  private def signExtend(v: Long, nbits: Int): Long = {
-    val shift = 64 - nbits
-    (v << shift) >> shift
-  }
+  /** n-bit dod field → long, matching prometheus chunkenc xor.go's
+    * asymmetric range: encode admits dod in [-(2^(n-1)-1), +2^(n-1)], so
+    * the all-but-sign-bit pattern 2^(n-1) decodes as POSITIVE 2^(n-1),
+    * not two's-complement -2^(n-1). xor.go: `if v > (1 << (nbits-1))
+    * { v = v - (1 << nbits) }`.
+    */
+  private def decodeDod(v: Long, nbits: Int): Long =
+    if (v > (1L << (nbits - 1))) v - (1L << nbits) else v
 }

@@ -62,6 +62,13 @@ object Rollup {
     */
   def downsample(metrics: DataFrame, windowSec: Long): DataFrame = {
     require(windowSec > 0)
+    // grouping includes `date` (to keep the store's partitioned layout);
+    // a window straddling midnight would split one bucket_ts across two
+    // dates and corrupt per-bucket first/last/min/max — only day-divisor
+    // windows are well-defined (the tiers actually used: 300 s, 3600 s)
+    require(86400L % windowSec == 0,
+      s"downsample window ${windowSec}s must divide 86400 (a day): " +
+        "non-divisor windows straddle the date partition boundary")
     val t = unix_timestamp(col("ts"))
     val bucket = (floor(t / windowSec) * windowSec).cast("long")
     val vfp = floor(col("val") * 1000000L)

@@ -233,6 +233,18 @@ object TimeSeriesOps {
     * inside another. Change flags are exact (value equality on the
     * stored doubles, identical in both engines); the first sample of a
     * series carries flag 0 (PromQL counts transitions, not existence).
+    *
+    * Boundary exactness: PromQL only counts a transition when BOTH its
+    * samples lie inside the range — the naive range-frame flag sum also
+    * counts the oldest in-window sample's transition against a
+    * predecessor OUTSIDE the window. In any frame, at most ONE row can
+    * have its predecessor outside it (a row whose predecessor is
+    * outside [T−w, T] is necessarily the frame's first row in sort
+    * order), so the overcount at output row T is exactly
+    * `[∃ i in frame: chg_i = 1 ∧ prev_t_i < T − w]` — evaluated
+    * tie-safely as `min(prev_t + w | chg = 1) < T` over the same frame
+    * (no dependence on RANGE-frame first_value tie-breaking, which
+    * differs between engines on duplicate timestamps).
     */
   def changesOverTime(samples: DataFrame, keys: Seq[String],
                       tsSecCol: String, valCol: String, windowSec: Long,
@@ -243,13 +255,21 @@ object TimeSeriesOps {
     val wRange = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsSecCol).cast("long").asc)
       .rangeBetween(-windowSec, 0)
+    val tLong = col(tsSecCol).cast("long")
     samples
-      .select(col("*"), lag(col(valCol), 1).over(wLag).as("_prev"))
+      .select(col("*"), lag(col(valCol), 1).over(wLag).as("_prev"),
+        lag(tLong, 1).over(wLag).as("_prev_t"))
       .withColumn("_chg",
         when(col("_prev").isNull || col(valCol) === col("_prev"), 0L)
           .otherwise(1L))
-      .select(col("*"), sum(col("_chg")).over(wRange).as("changes"))
-      .drop("_prev", "_chg")
+      .withColumn("_q",
+        when(col("_chg") === 1L, col("_prev_t") + windowSec)
+          .otherwise(lit(Long.MaxValue)))
+      .select(col("*"), sum(col("_chg")).over(wRange).as("_raw"),
+        min(col("_q")).over(wRange).as("_minq"))
+      .withColumn("changes",
+        col("_raw") - when(col("_minq") < tLong, 1L).otherwise(0L))
+      .drop("_prev", "_prev_t", "_chg", "_q", "_raw", "_minq")
   }
 
   /** Per-series least-squares slope and extrapolation over a trailing

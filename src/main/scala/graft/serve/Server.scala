@@ -239,6 +239,11 @@ class Server(spark: SparkSession, tablePath: String,
       // server fault: 413 with the actionable message, never a 500
       case e: ResponseEdge.SeriesLimitExceeded =>
         respond(ex, 413, e.getMessage.getBytes("UTF-8"))
+      // malformed client input — unknown ?downsample= value, non-numeric
+      // step/points — is the CLIENT's error: 400, never a 500
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        respond(ex, 400,
+          Option(e.getMessage).getOrElse("bad request").getBytes("UTF-8"))
       case e: Throwable =>
         respond(ex, 500, Option(e.getMessage).getOrElse("read error").getBytes("UTF-8"))
     }

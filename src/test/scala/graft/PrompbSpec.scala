@@ -167,6 +167,58 @@ class PrompbSpec extends AnyFunSuite {
     assert(cpu.samples == Seq(PSample(0.93, 1700000001000L)))
   }
 
+  test("otlp: cumulative sums ingest; DELTA and UNSPECIFIED temporality " +
+       "sums are rejected (Prometheus OTLP receiver policy)") {
+    import graft.codec.Otlp
+    val pts = Seq(("req_total", Seq("method" -> "GET"),
+      1700000000000000000L, 10.0))
+    val cumulative = Otlp.decodeToV1(
+      Otlp.encodeSumRequest(Seq("job" -> "api"), pts, temporality = 2))
+    assert(cumulative.timeseries.size == 1)
+    assert(cumulative.timeseries.head.samples ==
+      Seq(PSample(10.0, 1700000000000L)))
+    val delta = Otlp.decodeToV1(
+      Otlp.encodeSumRequest(Seq("job" -> "api"), pts, temporality = 1))
+    assert(delta.timeseries.isEmpty,
+      "DELTA-temporality sum must not ingest as a cumulative counter")
+    val unspec = Otlp.decodeToV1(
+      Otlp.encodeSumRequest(Seq("job" -> "api"), pts, temporality = 0))
+    assert(unspec.timeseries.isEmpty)
+  }
+
+  test("otlp: explicit-bucket histogram flattens to cumulative le-bucket " +
+       "+Inf/count/sum series; delta histograms rejected") {
+    import graft.codec.Otlp
+    val bytes = Otlp.encodeHistogramRequest(
+      Seq("job" -> "api"), "latency", bounds = Seq(0.5, 2.0, 10.0),
+      points = Seq((Seq("method" -> "GET"), 1700000000000000000L,
+        Seq(3L, 4L, 2L, 1L), 12.5)))
+    val wr = Otlp.decodeToV1(bytes)
+    def series(name: String, le: Option[String]) =
+      wr.timeseries.find { ts =>
+        ts.labels.contains(PLabel("__name__", name)) &&
+          le.forall(v => ts.labels.contains(PLabel("le", v)))
+      }.get
+    // disjoint OTLP buckets (3,4,2,1) cumulate to nested Prometheus ones
+    assert(series("latency_bucket", Some("0.5")).samples.head.value == 3.0)
+    assert(series("latency_bucket", Some("2")).samples.head.value == 7.0)
+    assert(series("latency_bucket", Some("10")).samples.head.value == 9.0)
+    assert(series("latency_bucket", Some("+Inf")).samples.head.value == 10.0)
+    assert(series("latency_count", None).samples.head.value == 10.0)
+    assert(series("latency_sum", None).samples.head.value == 12.5)
+    // all series carry the resource + point labels and the ms timestamp
+    assert(wr.timeseries.forall(_.labels.contains(PLabel("job", "api"))))
+    assert(wr.timeseries.forall(_.labels.contains(PLabel("method", "GET"))))
+    assert(wr.timeseries.forall(_.samples.head.timestampMs == 1700000000000L))
+    // integral bounds print without a trailing .0 (Prometheus text form)
+    assert(!wr.timeseries.exists(_.labels.exists(l =>
+      l.name == "le" && l.value == "2.0")))
+    val delta = Otlp.decodeToV1(Otlp.encodeHistogramRequest(
+      Seq("job" -> "api"), "latency", Seq(0.5),
+      Seq((Nil, 1700000000000000000L, Seq(1L, 1L), 1.0)), temporality = 1))
+    assert(delta.timeseries.isEmpty)
+  }
+
   test("prw2: malformed payloads fail loudly — missing empty symbol, " +
        "odd ref count, out-of-range ref") {
     import graft.codec.Prompb2

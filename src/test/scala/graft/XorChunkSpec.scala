@@ -25,6 +25,23 @@ class XorChunkSpec extends AnyFunSuite {
     rt(ts.zipWithIndex.map { case (t, i) => (t, i * 1.5 - 2.0) })
   }
 
+  test("round-trip: dod exactly at each varbit range boundary — " +
+       "+8192/+65536/+524288 decode POSITIVE (asymmetric xor.go range), " +
+       "and the negative extremes -8191/-65535/-524287 survive too") {
+    // dod = +2^(n-1) is admitted by encode's bitRange but is the
+    // two's-complement sign-bit pattern; xor.go decodes it as positive.
+    // delta sequence: 10, then 10+8192=8202 (dod +8192), etc.
+    rt(Seq((0L, 1.0), (10L, 1.0), (8212L, 1.0)))           // dod +8192 (14-bit)
+    rt(Seq((0L, 1.0), (10L, 1.0), (65556L, 1.0)))          // dod +65536 (17-bit)
+    rt(Seq((0L, 1.0), (10L, 1.0), (524308L, 1.0)))         // dod +524288 (20-bit)
+    // negative extremes of each branch
+    rt(Seq((0L, 1.0), (9000L, 1.0), (9809L, 1.0)))         // dod -8191
+    rt(Seq((0L, 1.0), (66000L, 1.0), (66465L, 1.0)))       // dod -65535
+    rt(Seq((0L, 1.0), (525000L, 1.0), (525713L, 1.0)))     // dod -524287
+    // chain: a boundary dod followed by more samples keeps delta state right
+    rt(Seq((0L, 1.0), (10L, 2.0), (8212L, 3.0), (16414L, 4.0), (24616L, 5.0)))
+  }
+
   test("round-trip: value edge cases — NaN, infinities, -0.0, repeats, " +
        "denormals") {
     rt(Seq((0L, Double.NaN), (10L, Double.PositiveInfinity),
