@@ -166,6 +166,46 @@ object ReadPipeline {
       readers.map(bucketAgg(_, q, exact, strictCompat)), tsCol = "t")))
   }
 
+  /** Bucket rows answered from a 5-aggregate downsampled tier
+    * ([[graft.engine.Rollup.downsample]] output: date, name, tags,
+    * bucket_ts, cnt, sum_fp, min_fp, max_fp, first_fp, last_fp) instead
+    * of raw samples — the read side of the auto-resolution route
+    * (reference: README.md:64-87 gets this transparently from
+    * GraphiteMergeTree's rollup; here the tier is explicit and the
+    * router is [[Rollup.chooseResolution]]).
+    *
+    * Semantics: whole tier buckets whose START lies in the query range,
+    * re-aggregated onto the `outSec` response grid (`outSec` must be a
+    * multiple of the tier window so sums of sums are the raw sums —
+    * enforced). Response value is the fixed-point-exact AVG
+    * (floor(Σsum_fp/Σcnt)/1e-6) — the aggregate the reference's own
+    * rollup serves for aged data (graphite_rollup avg, README.md:79-84)
+    * and the one a 5-agg tier re-aggregates exactly; the raw path's
+    * 0.75-quantile is not recoverable from any fixed-size tier.
+    * Output shape matches [[bucketAgg]] (t, name, tags, cnt, value), so
+    * downstream transforms (minmax/LTTB) and [[assembleSeries]] compose
+    * unchanged.
+    *
+    * Scale shape: the tier scan reads ~rangeSec/tierSec rows per series
+    * instead of every raw sample (a 1-year panel over the 1 h tier:
+    * ~8.8 k rows/series vs millions); matcher + time filters push into
+    * the tier's parquet scan and its `date` partitioning prunes
+    * directories exactly like the raw store's.
+    */
+  def tierBucketAgg(tier: DataFrame, q: PromQuery, tierSec: Long,
+                    outSec: Long): DataFrame = {
+    require(outSec > 0 && outSec % tierSec == 0,
+      s"response step ${outSec}s must be a multiple of the tier window " +
+        s"${tierSec}s for exact re-aggregation")
+    val t = (floor(col("bucket_ts") / outSec) * outSec * 1000).cast("long")
+    tier
+      .withColumn("ts", timestamp_seconds(col("bucket_ts")))
+      .filter(Matchers.compile(q))
+      .groupBy(t.as("t"), col("name"), col("tags"))
+      .agg(sum(col("cnt")).as("cnt"),
+        (floor(sum(col("sum_fp")) / sum(col("cnt"))) / 1e6).as("value"))
+  }
+
   /** A6 sorted merge + dedup across result sets (the reference's k-way merge
     * for multi-query InfluxDB reads, first-wins on duplicate timestamps —
     * reference: influxdb/client.go:194-215,287-308).

@@ -85,6 +85,22 @@ object Rollup {
         max(col("_pick")).getField("v").as("last_fp"))
   }
 
+  /** Materialize a downsampled tier with the store's own layout
+    * discipline: date-partitioned, range-split across (date, name, tags)
+    * so no single task sorts a whole day (see WritePipeline.append), and
+    * sorted within files on (name, tags, bucket_ts) so tier reads get
+    * row-group skipping on the same keys raw reads do. This is the
+    * out-of-band compaction product the serve layer's auto-resolution
+    * routing reads.
+    */
+  def writeDownsampled(metrics: DataFrame, windowSec: Long,
+                       path: String): Unit = {
+    downsample(metrics, windowSec)
+      .repartitionByRange(col("date"), col("name"), col("tags"))
+      .sortWithinPartitions(col("name"), col("tags"), col("bucket_ts"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+  }
+
   /** Resolution selection for a read of `rangeSec` seconds: the
     * coarsest tier still yielding at least `targetPoints` points, 0 =
     * raw (the Thanos auto-downsampling rule, deterministic and

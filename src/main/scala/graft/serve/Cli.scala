@@ -48,7 +48,13 @@ final case class CliConfig(
     // graft extension implementing the reference's multi-querier TODO
     // (main.go:344-348): extra parquet reader paths, comma-separated;
     // /read fans out to all readers and merges first-wins, primary first.
-    readExtraTables: Seq[String] = Nil) {
+    readExtraTables: Seq[String] = Nil,
+    // graft extension making the reference's transparent rollup reads
+    // (README.md:64-87) explicit: downsampled-tier parquet paths as
+    // `sec=path` pairs, comma-separated; long-range /read queries route
+    // to the coarsest tier still yielding >= readAutoTargetPoints points.
+    readTiers: Seq[(Long, String)] = Nil,
+    readAutoTargetPoints: Long = 250L) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -118,6 +124,12 @@ object CliConfig {
       |  --read.extra-tables=""         Comma-separated extra parquet reader
       |                                 paths; /read merges all readers
       |                                 first-wins (primary table wins).
+      |  --read.downsampled-tiers=""    Comma-separated <sec>=<path> pairs of
+      |                                 downsampled-tier parquet stores (sec a
+      |                                 day divisor); long-range reads route to
+      |                                 the coarsest adequate tier.
+      |  --read.auto-target-points=250  Minimum response points the resolution
+      |                                 router keeps when picking a tier.
       |""".stripMargin
 
   def usage(): String = Usage
@@ -194,6 +206,29 @@ object CliConfig {
               v.toIntOption match {
                 case Some(n) if n >= 0 => cfg = cfg.copy(readMaxSeries = n)
                 case _ => return Left(s"--read.max-series needs a non-negative integer, got '$v'")
+              }
+            case "read.downsampled-tiers" =>
+              val parsed = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+                .map { pair =>
+                  pair.split("=", 2) match {
+                    case Array(sec, path) if sec.toLongOption.exists(w =>
+                        w > 0 && 86400L % w == 0) && path.nonEmpty =>
+                      Right(sec.toLong -> path)
+                    case _ => Left(
+                      s"--read.downsampled-tiers entry '$pair' is not " +
+                        "<day-divisor-seconds>=<path>")
+                  }
+                }
+              parsed.collectFirst { case Left(e) => e } match {
+                case Some(e) => return Left(e)
+                case None =>
+                  cfg = cfg.copy(readTiers = parsed.collect { case Right(t) => t })
+              }
+            case "read.auto-target-points" =>
+              v.toLongOption match {
+                case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
+                case _ => return Left(
+                  s"--read.auto-target-points needs a positive integer, got '$v'")
               }
             case other => return Left(s"unknown long flag '--$other'")
           }
@@ -272,7 +307,8 @@ object Cli {
     WritePipeline.ensureTable(spark, cfg.tableName, cfg.tablePath)
     new Server(spark, cfg.tablePath, buildSinks(cfg), cfg.listenPort,
       metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries,
-      extraReaderPaths = cfg.readExtraTables)
+      extraReaderPaths = cfg.readExtraTables, tierPaths = cfg.readTiers,
+      autoResTargetPoints = cfg.readAutoTargetPoints)
   }
 }
 

@@ -37,7 +37,12 @@ class Server(spark: SparkSession, tablePath: String,
              extraSinks: Seq[(String, DataFrame => graft.sinks.Transport.WriteStats)] = Nil,
              port: Int = 0, exactQuantiles: Boolean = false,
              metricsPath: String = "/metrics", readMaxSeries: Int = 500000,
-             extraReaderPaths: Seq[String] = Nil) {
+             extraReaderPaths: Seq[String] = Nil,
+             tierPaths: Seq[(Long, String)] = Nil,
+             autoResTargetPoints: Long = 250L) {
+
+  require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
+    "tier windows must be positive day-divisors (the Rollup.downsample contract)")
 
   val received = new AtomicLong(0)
   val sent = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
@@ -206,15 +211,82 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** Resolution routing for one query (the Thanos auto-downsampling
+    * rule the reference gets for free from GraphiteMergeTree,
+    * README.md:64-87): pick the coarsest configured tier still yielding
+    * ≥ `autoResTargetPoints` response points, 0/none = raw. The
+    * `?resolution=` param overrides: `raw` forces the raw store, `auto`
+    * (or absent) applies the rule, an explicit seconds value selects
+    * that configured tier (unknown value → 400). Returns the chosen
+    * (tierSec, tier DataFrame), or None for the raw path.
+    *
+    * Tier relations re-resolve per request like extraReaderPaths — the
+    * compaction job that materializes tiers runs out of band, so nothing
+    * signals this process when tier files change. /write appends land in
+    * the RAW store only (tiers lag by one compaction cycle, the Thanos
+    * deployment model); short-range queries — the ones that need fresh
+    * data — route raw by construction.
+    */
+  private[serve] def chooseTier(q: PromQuery,
+                                resParam: Option[String]): Option[(Long, DataFrame)] = {
+    if (tierPaths.isEmpty) None
+    else resParam match {
+      case Some("raw") => None
+      case None | Some("auto") =>
+        val rangeSec = (q.endMs - q.startMs) / 1000
+        if (rangeSec <= 0) None
+        else {
+          val w = graft.engine.Rollup.chooseResolution(rangeSec,
+            tierPaths.map(_._1), autoResTargetPoints)
+          tierPaths.find(_._1 == w).map { case (sec, path) =>
+            sec -> spark.read.parquet(path)
+          }
+        }
+      case Some(explicit) =>
+        val w = explicit.toLong // NumberFormatException → 400
+        val (sec, path) = tierPaths.find(_._1 == w).getOrElse(
+          throw new IllegalArgumentException(
+            s"no downsampled tier at ${w}s (configured: " +
+              s"${tierPaths.map(_._1).sorted.mkString(", ")})"))
+        Some(sec -> spark.read.parquet(path))
+    }
+  }
+
+  /** Response-grid step for a tier read: the raw path's adaptive divStep
+    * rounded UP to the next tier-window multiple — keeps the ≤ MaxSample
+    * bucket bound AND the window alignment exact re-aggregation needs.
+    */
+  private[serve] def tierStep(q: PromQuery, tierSec: Long): Long = {
+    val d = Matchers.divStep(q)
+    ((d + tierSec - 1) / tierSec) * tierSec
+  }
+
   private def handleRead(ex: HttpExchange): Unit =
     try {
       val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
       val transform = parseDownsample(ex.getRequestURI.getQuery)
+      val resParam = queryParams(ex.getRequestURI.getQuery).get("resolution")
       val readers = storedReaders()
+      val resolutions = Seq.newBuilder[Long]
+      val steps = Seq.newBuilder[Long]
       val perQuery = rr.queries.map { q =>
-        ReadPipeline.readMulti(readers, toPromQuery(q), exact = exactQuantiles,
-          bucketTransform = transform)
+        val pq = toPromQuery(q)
+        chooseTier(pq, resParam) match {
+          case Some((tierSec, tier)) =>
+            val outSec = tierStep(pq, tierSec)
+            resolutions += tierSec; steps += outSec
+            ReadPipeline.assembleSeries(transform(
+              ReadPipeline.tierBucketAgg(tier, pq, tierSec, outSec)))
+          case None =>
+            resolutions += 0L; steps += Matchers.divStep(pq)
+            ReadPipeline.readMulti(readers, pq, exact = exactQuantiles,
+              bucketTransform = transform)
+        }
       }
+      // routing audit, per query in request order: 0 = raw, else tier sec
+      ex.getResponseHeaders.set("X-Graft-Resolution",
+        resolutions.result().mkString(","))
+      ex.getResponseHeaders.set("X-Graft-Step", steps.result().mkString(","))
       // STREAMED_XOR_CHUNKS (the modern remote-read negotiation —
       // Prometheus sends accepted_response_types in the proto; this
       // server also honors the explicit ?response_type= param so plain

@@ -57,6 +57,21 @@ class CliSpec extends SparkSpec {
     assert(usage.startsWith("usage:"))
   }
 
+  test("downsampled-tier flags: sec=path pairs parse; non-day-divisor " +
+       "windows and malformed pairs are errors") {
+    val Right(cfg) = CliConfig.parse(Seq(
+      "--read.downsampled-tiers=300=/t/5m,3600=/t/1h",
+      "--read.auto-target-points=500"), Map.empty): @unchecked
+    assert(cfg.readTiers == Seq(300L -> "/t/5m", 3600L -> "/t/1h"))
+    assert(cfg.readAutoTargetPoints == 500L)
+    assert(CliConfig.parse(
+      Seq("--read.downsampled-tiers=7000=/t/x"), Map.empty).isLeft) // not a day divisor
+    assert(CliConfig.parse(
+      Seq("--read.downsampled-tiers=300"), Map.empty).isLeft)
+    assert(CliConfig.parse(
+      Seq("--read.auto-target-points=0"), Map.empty).isLeft)
+  }
+
   test("clickhouse option surface composes the reference DSN exactly") {
     val ca = java.nio.file.Files.createTempFile("graft_ca", ".pem")
     val Right(cfg) = CliConfig.parse(Seq(

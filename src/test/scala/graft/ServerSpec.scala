@@ -212,8 +212,82 @@ class ServerSpec extends SparkSpec {
       // lttb to 3 points: endpoints + the max-triangle interior (10s,9)
       assert(readPts("downsample=lttb&points=3") ==
         Seq((0L, 1.0), (10000L, 9.0), (70000L, 6.0)))
-      // unknown downsample → error, not a silent full read
-      assert(post(s"$base/read?downsample=bogus", rr)._1 == 500)
+      // malformed client params → 400 (client error), not 500
+      assert(post(s"$base/read?downsample=bogus", rr)._1 == 400)
+      assert(post(s"$base/read?downsample=minmax&step=abc", rr)._1 == 400)
+      assert(post(s"$base/read?downsample=lttb&points=x", rr)._1 == 400)
+    } finally server.stop()
+  }
+
+  test("serve: auto-resolution /read routes long ranges to the coarsest " +
+       "adequate tier, short ranges raw, and honors ?resolution= overrides") {
+    import org.apache.spark.sql.functions.col
+    val b = Files.createTempDirectory("graft_srvar").toString
+    val table = s"$b/metrics"
+    // one series, one sample every 300 s across 20 days — long enough
+    // that the 1 h tier still yields >= 250 points (480)
+    val day = 86400L
+    val samples = (0L until (20 * day) by 300L).map(t =>
+      graft.model.Schema.Sample("m", Map("__name__" -> "m"),
+        (t / 300 % 7).toDouble, t * 1000))
+    import spark.implicits._
+    graft.engine.WritePipeline.append(
+      graft.engine.WritePipeline.toMetricRows(samples.toDF()), table)
+    val m = spark.read.parquet(table)
+    graft.engine.Rollup.writeDownsampled(m, 300L, s"$b/tier300")
+    graft.engine.Rollup.writeDownsampled(m, 3600L, s"$b/tier3600")
+    val server = new Server(spark, table, Nil, 0, exactQuantiles = true,
+      tierPaths = Seq(300L -> s"$b/tier300", 3600L -> s"$b/tier3600")).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      def read(q: String, startMs: Long, endMs: Long)
+          : (Int, String, String, Seq[PSample]) = {
+        val rr = Prompb.snappyCompress(Prompb.encodeReadRequest(PReadRequest(
+          Seq(PQuery(startMs, endMs,
+            Seq(PLabelMatcher(MatchType.EQ, "__name__", "m")))))))
+        val conn = new java.net.URL(s"$base/read$q").openConnection()
+          .asInstanceOf[HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(rr)
+        val code = conn.getResponseCode
+        val body =
+          (if (code < 400) conn.getInputStream else conn.getErrorStream)
+            .readAllBytes()
+        val res = Option(conn.getHeaderField("X-Graft-Resolution")).getOrElse("")
+        val step = Option(conn.getHeaderField("X-Graft-Step")).getOrElse("")
+        conn.disconnect()
+        val pts =
+          if (code == 200)
+            Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+              .results.head.timeseries.headOption.map(_.samples).getOrElse(Nil)
+          else Nil
+        (code, res, step, pts)
+      }
+      // 20-day range: 480 hourly points >= 250 → the 1 h tier serves it
+      val (c1, r1, s1, p1) = read("", 0L, 20 * day * 1000)
+      assert(c1 == 200 && r1 == "3600" && s1 == "3600")
+      // 480 hourly buckets (the last sample is at 1727700 s), each the
+      // avg of 12 samples of the (0..6) value cycle
+      assert(p1.size == 480)
+      // hour 0: samples t=0..3300s, vals (0,1,2,3,4,5,6,0,1,2,3,4) → avg 2.583333
+      assert(p1.head.timestampMs == 0L)
+      assert(math.abs(p1.head.value - math.floor(31e6 / 12) / 1e6) < 1e-12)
+      // 1-hour range routes raw (would only make 12 tier points)
+      val (c2, r2, _, _) = read("", 0L, 3600 * 1000L)
+      assert(c2 == 200 && r2 == "0")
+      // explicit override: raw forces the raw store on a long range
+      val (c3, r3, _, _) = read("?resolution=raw", 0L, 20 * day * 1000)
+      assert(c3 == 200 && r3 == "0")
+      // explicit tier selection
+      val (c4, r4, s4, _) = read("?resolution=300", 0L, 2 * day * 1000)
+      assert(c4 == 200 && r4 == "300" && s4 == "300")
+      // unconfigured tier → 400 with the configured list in the message
+      val (c5, _, _, _) = read("?resolution=60", 0L, 2 * day * 1000)
+      assert(c5 == 400)
+      // non-numeric → 400
+      val (c6, _, _, _) = read("?resolution=coarse", 0L, 2 * day * 1000)
+      assert(c6 == 400)
     } finally server.stop()
   }
 
