@@ -5183,11 +5183,28 @@ object SparkEntry {
         Seq("event_id"))
       val saltedRange = TimeSeriesOps.rangeAggSalted(ev,
         Seq("event_type", "user_id"), "ts", "value", 900L, 3600L)
-      Seq(
+      // the whole combinator family must shuffle on (series, _slice)
+      val saltedFamily = Seq(
+        "quantile" -> TimeSeriesOps.rangeQuantileSalted(ev,
+          Seq("event_type", "user_id"), "ts", "value", 900L, 0.9, 3600L),
+        "stddev" -> TimeSeriesOps.rangeStddevSalted(ev,
+          Seq("event_type", "user_id"), "ts", "value", 900L, 3600L),
+        "regress" -> TimeSeriesOps.linearRegressSalted(ev,
+          Seq("event_type", "user_id"), "ts", "value", 3600L, 1800L, 21600L),
+        "changes" -> TimeSeriesOps.changesOverTimeSalted(ev,
+          Seq("event_type", "user_id"), "ts", "value", 3600L, 21600L,
+          Seq("event_id")),
+        "irate" -> TimeSeriesOps.instantRateSalted(ev,
+          Seq("event_type", "user_id"), "ts", "value", 3600L,
+          Seq("event_id")))
+      (Seq(
         ("plain_slice_exchanges", sliceExchanges(plain)),
         ("salted_rate_slice_split", math.min(sliceExchanges(salted), 1L)),
         ("salted_range_slice_split",
-          math.min(sliceExchanges(saltedRange), 1L)))
+          math.min(sliceExchanges(saltedRange), 1L))) ++
+        saltedFamily.map { case (n, df) =>
+          (s"salted_${n}_slice_split", math.min(sliceExchanges(df), 1L))
+        })
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
@@ -5361,6 +5378,89 @@ object SparkEntry {
           "ts", "value", windowSec = 900L, sliceSec = 3600L)
         .select(col("event_type"), col("user_id"), col("event_id"),
           col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // The saltedTrailingWindow combinator across the rest of the
+    // *_over_time family — each salted form must equal its plain sibling
+    // ROW-FOR-ROW (they share one oracle verbatim): the skew-splitting
+    // claim is output identity, not approximation.
+    "ts_salted_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeQuantileSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L, 0.9, sliceSec = 3600L, "q90")
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), round(col("q90"), 4).as("q90"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    "ts_salted_stddev" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.rangeStddevSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", 900L, sliceSec = 3600L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"), col("stddev_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    "ts_salted_predict_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      val sentinel = -(1L << 62)
+      TimeSeriesOps.linearRegressSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", windowSec = 3600L, horizonSec = 1800L,
+          sliceSec = 21600L)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("n_window"),
+          coalesce(col("deriv_fp"), lit(sentinel)).as("deriv_fp"),
+          coalesce(col("predict_fp"), lit(sentinel)).as("predict_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // changes() salts legally BECAUSE of the boundary-exact correction:
+    // a transition whose predecessor is older than the window can never
+    // count, so the slice-truncated lag (flag 0, no correction
+    // candidate) and the plain series-wide lag (flag 1, corrected away)
+    // produce identical output — see changesOverTimeSalted's doc.
+    "ts_salted_changes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      TimeSeriesOps.changesOverTimeSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", 3600L, sliceSec = 21600L, Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"), col("changes"))
+        .orderBy(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+    }),
+
+    // irate's lookback is unbounded, so its salted form uses the
+    // counterIncreaseSalted boundary-table pattern instead of
+    // replication — still pinned to the plain oracle verbatim.
+    "ts_salted_irate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      val sentinel = -(1L << 62)
+      TimeSeriesOps.instantRateSalted(ev, Seq("event_type", "user_id"),
+          "ts", "value", sliceSec = 3600L, Seq("event_id"))
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          col("ts"),
+          coalesce(col("irate_fp"), lit(sentinel)).as("irate_fp"))
         .orderBy(col("event_type"), col("user_id"), col("ts"),
           col("event_id"))
     }),
@@ -6201,6 +6301,108 @@ object SparkEntry {
        |  CAST(floor(coalesce(sum(adj_fp), 0) / 3600) AS BIGINT) AS rate_fp
        |FROM a GROUP BY 1, 2, 3
        |ORDER BY event_type, user_id, bucket""".stripMargin
+
+  /** The *_over_time / per-sample-lag oracles below are each shared
+    * VERBATIM by a plain entry and its `ts_salted_*` sibling — the
+    * salted forms' claim IS row-for-row output identity with the plain
+    * window (saltedTrailingWindow replication / the irate boundary
+    * table), so one oracle pins both.
+    */
+  private def oPredictLinearSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS yfp FROM events),
+       |w AS (SELECT event_type, user_id, event_id, t,
+       |    count(*) OVER win AS n_window,
+       |    CAST(count(*) OVER win AS DOUBLE) AS nd,
+       |    CAST(sum(CAST(t AS DECIMAL(18,0))) OVER win AS DOUBLE) AS st,
+       |    CAST(sum(CAST(yfp AS DECIMAL(18,0))) OVER win AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
+       |      OVER win AS DOUBLE) AS stt,
+       |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(yfp AS DECIMAL(19,0)))
+       |      OVER win AS DOUBLE) AS sty
+       |  FROM s
+       |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
+       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+       |d AS (SELECT *, nd * stt - st * st AS denom FROM w),
+       |sl AS (SELECT *, CASE WHEN denom = 0 THEN NULL
+       |    ELSE (nd * sty - st * sy) / denom END AS slope FROM d)
+       |SELECT event_type, user_id, event_id, t AS ts, n_window,
+       |  coalesce(CAST(floor(slope) AS BIGINT), ${-(1L << 62)})
+       |    AS deriv_fp,
+       |  coalesce(CAST(floor(sy / nd + slope *
+       |    (CAST(t AS DOUBLE) - st / nd + 1800.0)) AS BIGINT),
+       |    ${-(1L << 62)}) AS predict_fp
+       |FROM sl ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** The same DECIMAL moment sums over the same RANGE frame; sqrt is
+    * IEEE-correctly-rounded in both engines.
+    */
+  private def oRangeStddevSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS y FROM events),
+       |w AS (SELECT event_type, user_id, event_id, t,
+       |    count(*) OVER win AS n_window,
+       |    CAST(count(*) OVER win AS DOUBLE) AS nd,
+       |    CAST(sum(CAST(y AS DECIMAL(18,0))) OVER win AS DOUBLE) AS s1d,
+       |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+       |      OVER win AS DOUBLE) AS s2d
+       |  FROM s
+       |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
+       |    RANGE BETWEEN 900 PRECEDING AND CURRENT ROW))
+       |SELECT event_type, user_id, event_id, t AS ts, n_window,
+       |  CAST(floor(sqrt(greatest(nd * s2d - s1d * s1d, 0.0)) / nd)
+       |    AS BIGINT) AS stddev_fp
+       |FROM w ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** Reset-adjusted last-gap rate; the floor(adj_fp / dt) division is
+    * the one IEEE step, spelled identically.
+    */
+  private def oIrateSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+       |    value FROM events),
+       |d AS (SELECT event_type, user_id, event_id, t, value,
+       |    lag(value) OVER w AS prev, lag(t) OVER w AS prev_t
+       |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
+       |    ORDER BY t, event_id))
+       |SELECT event_type, user_id, event_id, t AS ts,
+       |  coalesce(CASE WHEN prev IS NULL OR t - prev_t <= 0 THEN NULL
+       |    ELSE CAST(floor(CAST(floor((CASE WHEN value - prev >= 0
+       |      THEN value - prev ELSE value END) * 1000000) AS BIGINT)
+       |      / (t - prev_t)) AS BIGINT) END, ${-(1L << 62)}) AS irate_fp
+       |FROM d ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** Boundary-exact changes(): subtract the (at most one) in-frame
+    * transition whose predecessor falls outside the trailing window —
+    * detected tie-safely via min(prev_t + w | chg = 1) < t over the
+    * same frame.
+    */
+  private def oChangesSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
+       |    value FROM events),
+       |f AS (SELECT *, CASE WHEN lag(value) OVER w IS NULL
+       |      OR value = lag(value) OVER w THEN 0 ELSE 1 END AS chg,
+       |    lag(t) OVER w AS prev_t
+       |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
+       |    ORDER BY t, event_id)),
+       |g AS (SELECT *, CASE WHEN chg = 1 THEN prev_t + 3600
+       |    ELSE 9223372036854775807 END AS q FROM f)
+       |SELECT event_type, user_id, event_id, t AS ts,
+       |  CAST(sum(chg) OVER w2
+       |    - CASE WHEN min(q) OVER w2 < t THEN 1 ELSE 0 END
+       |    AS BIGINT) AS changes
+       |FROM g WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
+       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  private def oQuantileOverTimeSql: String =
+    s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
+       |    value FROM events)
+       |SELECT event_type, user_id, event_id, ts,
+       |  round(quantile_cont(value, 0.9) OVER w, 4) AS q90
+       |FROM s
+       |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
+       |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_type, user_id, ts, event_id""".stripMargin
 
   /** Random-walk oracle: the 4 hops unrolled, each an arg-min via
     * row_number over the same md5 draw (ties to the lowest dst), over
@@ -9777,15 +9979,8 @@ object SparkEntry {
          |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
          |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
 
-    "ts_quantile_over_time" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
-         |    value FROM events)
-         |SELECT event_type, user_id, event_id, ts,
-         |  round(quantile_cont(value, 0.9) OVER w, 4) AS q90
-         |FROM s
-         |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
-         |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
-         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_quantile_over_time" -> oQuantileOverTimeSql,
+    "ts_salted_quantile" -> oQuantileOverTimeSql,
 
     "ts_vector_ratio" ->
       s"""WITH e AS (SELECT event_type, user_id,
@@ -10024,91 +10219,31 @@ object SparkEntry {
         |SELECT 'salted_range_slice_split', CAST(1 AS BIGINT)
         |UNION ALL
         |SELECT 'salted_rate_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_quantile_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_stddev_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_regress_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_changes_slice_split', CAST(1 AS BIGINT)
+        |UNION ALL
+        |SELECT 'salted_irate_slice_split', CAST(1 AS BIGINT)
         |ORDER BY fact""".stripMargin,
 
     // Least-squares replay: the same DECIMAL(18,0) moment sums over the
     // same RANGE frame, the same IEEE expression tree at the edge.
-    "ts_predict_linear" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS yfp FROM events),
-         |w AS (SELECT event_type, user_id, event_id, t,
-         |    count(*) OVER win AS n_window,
-         |    CAST(count(*) OVER win AS DOUBLE) AS nd,
-         |    CAST(sum(CAST(t AS DECIMAL(18,0))) OVER win AS DOUBLE) AS st,
-         |    CAST(sum(CAST(yfp AS DECIMAL(18,0))) OVER win AS DOUBLE) AS sy,
-         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0)))
-         |      OVER win AS DOUBLE) AS stt,
-         |    CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(yfp AS DECIMAL(19,0)))
-         |      OVER win AS DOUBLE) AS sty
-         |  FROM s
-         |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
-         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
-         |d AS (SELECT *, nd * stt - st * st AS denom FROM w),
-         |sl AS (SELECT *, CASE WHEN denom = 0 THEN NULL
-         |    ELSE (nd * sty - st * sy) / denom END AS slope FROM d)
-         |SELECT event_type, user_id, event_id, t AS ts, n_window,
-         |  coalesce(CAST(floor(slope) AS BIGINT), ${-(1L << 62)})
-         |    AS deriv_fp,
-         |  coalesce(CAST(floor(sy / nd + slope *
-         |    (CAST(t AS DOUBLE) - st / nd + 1800.0)) AS BIGINT),
-         |    ${-(1L << 62)}) AS predict_fp
-         |FROM sl ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_predict_linear" -> oPredictLinearSql,
+    "ts_salted_predict_linear" -> oPredictLinearSql,
 
-    // The same DECIMAL moment sums over the same RANGE frame; sqrt is
-    // IEEE-correctly-rounded in both engines.
-    "ts_range_stddev" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS y FROM events),
-         |w AS (SELECT event_type, user_id, event_id, t,
-         |    count(*) OVER win AS n_window,
-         |    CAST(count(*) OVER win AS DOUBLE) AS nd,
-         |    CAST(sum(CAST(y AS DECIMAL(18,0))) OVER win AS DOUBLE) AS s1d,
-         |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-         |      OVER win AS DOUBLE) AS s2d
-         |  FROM s
-         |  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY t
-         |    RANGE BETWEEN 900 PRECEDING AND CURRENT ROW))
-         |SELECT event_type, user_id, event_id, t AS ts, n_window,
-         |  CAST(floor(sqrt(greatest(nd * s2d - s1d * s1d, 0.0)) / nd)
-         |    AS BIGINT) AS stddev_fp
-         |FROM w ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_range_stddev" -> oRangeStddevSql,
+    "ts_salted_stddev" -> oRangeStddevSql,
 
-    // Reset-adjusted last-gap rate; the floor(adj_fp / dt) division is
-    // the one IEEE step, spelled identically.
-    "ts_irate" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
-         |    value FROM events),
-         |d AS (SELECT event_type, user_id, event_id, t, value,
-         |    lag(value) OVER w AS prev, lag(t) OVER w AS prev_t
-         |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
-         |    ORDER BY t, event_id))
-         |SELECT event_type, user_id, event_id, t AS ts,
-         |  coalesce(CASE WHEN prev IS NULL OR t - prev_t <= 0 THEN NULL
-         |    ELSE CAST(floor(CAST(floor((CASE WHEN value - prev >= 0
-         |      THEN value - prev ELSE value END) * 1000000) AS BIGINT)
-         |      / (t - prev_t)) AS BIGINT) END, ${-(1L << 62)}) AS irate_fp
-         |FROM d ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_irate" -> oIrateSql,
+    "ts_salted_irate" -> oIrateSql,
 
-    // boundary-exact: subtract the (at most one) in-frame transition
-    // whose predecessor falls outside the trailing window — detected
-    // tie-safely via min(prev_t + w | chg = 1) < t over the same frame
-    "ts_changes" ->
-      s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS t,
-         |    value FROM events),
-         |f AS (SELECT *, CASE WHEN lag(value) OVER w IS NULL
-         |      OR value = lag(value) OVER w THEN 0 ELSE 1 END AS chg,
-         |    lag(t) OVER w AS prev_t
-         |  FROM s WINDOW w AS (PARTITION BY event_type, user_id
-         |    ORDER BY t, event_id)),
-         |g AS (SELECT *, CASE WHEN chg = 1 THEN prev_t + 3600
-         |    ELSE 9223372036854775807 END AS q FROM f)
-         |SELECT event_type, user_id, event_id, t AS ts,
-         |  CAST(sum(chg) OVER w2
-         |    - CASE WHEN min(q) OVER w2 < t THEN 1 ELSE 0 END
-         |    AS BIGINT) AS changes
-         |FROM g WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
-         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-         |ORDER BY event_type, user_id, ts, event_id""".stripMargin,
+    "ts_changes" -> oChangesSql,
+    "ts_salted_changes" -> oChangesSql,
 
     // Bucket-counter synthesis (running count of observations ≤ le per
     // (event_type, le)), counter increase per 6 h bucket, running-max

@@ -533,10 +533,44 @@ object TimeSeriesOps {
     */
   def rangeAggSalted(samples: DataFrame, keys: Seq[String], tsSecCol: String,
                      valCol: String, windowSec: Long,
-                     sliceSec: Long): DataFrame = {
+                     sliceSec: Long): DataFrame =
+    saltedTrailingWindow(samples, keys, tsSecCol, windowSec, sliceSec)(
+      (df, k) => rangeAgg(df, k, tsSecCol, valCol, windowSec))
+
+  /** The skew-splitting combinator behind every `*Salted` trailing-window
+    * form: run `plain` — ANY operator whose windows partition by the
+    * given keys and look back at most `windowSec` seconds — per
+    * (series, `sliceSec` time slice) instead of per series, so one hot
+    * series' history spreads over history/sliceSec tasks instead of
+    * sorting on one. Correctness across slice edges comes from
+    * REPLICATION: every row in the last `windowSec` of a slice is copied
+    * into the next slice as a context-only row (`_emit=0`) — it
+    * participates in frames and lags there but emits nothing. An emitted
+    * row's trailing frame then sees exactly the rows the unsliced window
+    * would (its own slice's rows plus the replicated tail of the
+    * previous one), so output ≡ the plain form row-for-row — each salted
+    * entry pins this by sharing its plain sibling's oracle verbatim.
+    *
+    * The lookback contract extends to ROWS-frame lags the plain form
+    * computes, PROVIDED a lag result older than `windowSec` cannot
+    * affect any emitted output (e.g. [[changesOverTime]]: a transition
+    * whose older endpoint is outside every containing frame is exactly
+    * what its boundary correction subtracts, so a context-truncated lag
+    * is output-equivalent). Operators needing UNBOUNDED lookback
+    * (series-wide lag, e.g. [[instantRate]]) use the boundary-table
+    * split ([[counterIncreaseSalted]], [[instantRateSalted]]) instead —
+    * replication cannot bound them.
+    *
+    * Cost: ≤ windowSec/sliceSec extra replicated rows (one window's
+    * worth per slice) and the same single shuffle — the constant-factor
+    * price of removing the per-series task ceiling. Requires
+    * sliceSec ≥ windowSec (context reaches back exactly one slice).
+    */
+  def saltedTrailingWindow(samples: DataFrame, keys: Seq[String],
+                           tsSecCol: String, windowSec: Long, sliceSec: Long)(
+      plain: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
     require(windowSec > 0 && sliceSec >= windowSec,
       "context replication reaches back exactly one slice")
-    val keyCols = keys.map(col)
     val t = col(tsSecCol).cast("long")
     val slice = floor(t / sliceSec).cast("long")
     val own = samples.withColumn("_slice", slice)
@@ -548,16 +582,102 @@ object TimeSeriesOps {
       .filter(t >= (slice + 1L) * sliceSec - windowSec)
       .withColumn("_slice", slice + 1L)
       .withColumn("_emit", lit(0))
-    val w = Window.partitionBy(keyCols :+ col("_slice"): _*)
-      .orderBy(t.asc)
-      .rangeBetween(-windowSec, 0)
-    own.unionByName(ctx)
-      .withColumn("_val_fp", floor(col(valCol) * 1000000L))
-      .select(col("*"), count(lit(1)).over(w).as("n_window"),
-        sum(col("_val_fp")).over(w).as("sum_fp"),
-        max(col("_val_fp")).over(w).as("max_fp"))
+    plain(own.unionByName(ctx), keys :+ "_slice")
       .filter(col("_emit") === 1)
-      .drop("_val_fp", "_slice", "_emit")
+      .drop("_slice", "_emit")
+  }
+
+  /** [[changesOverTime]] under the salted window — legal because the
+    * boundary-exact form is insensitive to context truncation: a
+    * replicated slice carries every predecessor within `windowSec`, and
+    * a transition whose predecessor is older than that can never count
+    * (the `min(prev_t + w) < T` correction removes it from every frame
+    * it appears in), so a context-truncated lag (null prev → flag 0,
+    * no correction candidate) yields the same output as the plain
+    * series-wide lag (flag 1, corrected away).
+    */
+  def changesOverTimeSalted(samples: DataFrame, keys: Seq[String],
+                            tsSecCol: String, valCol: String, windowSec: Long,
+                            sliceSec: Long,
+                            orderCols: Seq[String] = Nil): DataFrame =
+    saltedTrailingWindow(samples, keys, tsSecCol, windowSec, sliceSec)(
+      (df, k) => changesOverTime(df, k, tsSecCol, valCol, windowSec,
+        orderCols))
+
+  /** [[linearRegress]] under the salted window (pure trailing RANGE
+    * frames — the replication contract applies directly). */
+  def linearRegressSalted(samples: DataFrame, keys: Seq[String],
+                          tsSecCol: String, valCol: String, windowSec: Long,
+                          horizonSec: Long, sliceSec: Long): DataFrame =
+    saltedTrailingWindow(samples, keys, tsSecCol, windowSec, sliceSec)(
+      (df, k) => linearRegress(df, k, tsSecCol, valCol, windowSec,
+        horizonSec))
+
+  /** [[rangeStddev]] under the salted window. */
+  def rangeStddevSalted(samples: DataFrame, keys: Seq[String],
+                        tsSecCol: String, valCol: String, windowSec: Long,
+                        sliceSec: Long): DataFrame =
+    saltedTrailingWindow(samples, keys, tsSecCol, windowSec, sliceSec)(
+      (df, k) => rangeStddev(df, k, tsSecCol, valCol, windowSec))
+
+  /** [[rangeQuantile]] under the salted window. */
+  def rangeQuantileSalted(samples: DataFrame, keys: Seq[String],
+                          tsSecCol: String, valCol: String, windowSec: Long,
+                          q: Double, sliceSec: Long,
+                          outCol: String = "quantile"): DataFrame =
+    saltedTrailingWindow(samples, keys, tsSecCol, windowSec, sliceSec)(
+      (df, k) => rangeQuantile(df, k, tsSecCol, valCol, windowSec, q,
+        outCol))
+
+  /** [[instantRate]] split across (series, `sliceSec` slice) tasks —
+    * irate's lookback is UNBOUNDED (the immediately preceding sample,
+    * however old), so the replication combinator cannot bound its
+    * context; instead the [[counterIncreaseSalted]] boundary-table
+    * pattern: per (series, PRESENT slice) keep the last (ts, value) by
+    * window order, lag that over present slices (bridging empty slices
+    * exactly as the plain series-wide lag does), and let each slice's
+    * first sample recover its cross-boundary predecessor from the
+    * table. The boundary aggregate is partial-combined (aggregate-sized
+    * shuffle); its window is per-series but over slice COUNT rows, not
+    * samples. Output ≡ [[instantRate]] row-for-row — the entry shares
+    * the plain oracle verbatim.
+    */
+  def instantRateSalted(samples: DataFrame, keys: Seq[String],
+                        tsSecCol: String, valCol: String, sliceSec: Long,
+                        orderCols: Seq[String] = Nil): DataFrame = {
+    require(sliceSec > 0)
+    val keyCols = keys.map(col)
+    val t = col(tsSecCol).cast("long")
+    val slice = floor(t / sliceSec).cast("long")
+    val sliced = samples.withColumn("_slice", slice)
+    // (ts, tie-breaks) prefix replays the window order; trailing (t, v)
+    // ride along as the selected row's payload
+    val ordStruct = struct((col(tsSecCol) +: orderCols.map(col)) ++
+      Seq(t.as("_t"), col(valCol).as("_v")): _*)
+    val wB = Window.partitionBy(keyCols: _*).orderBy(col("_slice").asc)
+    val bounds = sliced
+      .groupBy(keyCols :+ col("_slice"): _*)
+      .agg(max(ordStruct).as("_last"))
+      .select(keyCols ++ Seq(col("_slice"),
+        lag(col("_last._t"), 1).over(wB).as("_prev_t_b"),
+        lag(col("_last._v"), 1).over(wB).as("_prev_b")): _*)
+    val wSlice = Window.partitionBy(keyCols :+ col("_slice"): _*)
+      .orderBy((col(tsSecCol) +: orderCols.map(col)).map(_.asc): _*)
+    val joined = sliced
+      .join(bounds, keys :+ "_slice", "left")
+      .select(col("*"), lag(col(valCol), 1).over(wSlice).as("_prev_in"),
+        lag(t, 1).over(wSlice).as("_prev_t_in"))
+      .withColumn("_prev", coalesce(col("_prev_in"), col("_prev_b")))
+      .withColumn("_prev_t", coalesce(col("_prev_t_in"), col("_prev_t_b")))
+    val delta = col(valCol) - col("_prev")
+    val adj = when(delta >= 0, delta).otherwise(col(valCol))
+    val dt = t - col("_prev_t")
+    joined
+      .withColumn("irate_fp",
+        when(col("_prev").isNull || dt <= 0, lit(null).cast("long"))
+          .otherwise(floor(floor(adj * 1000000L) / dt)))
+      .drop("_prev_in", "_prev_t_in", "_prev", "_prev_t", "_prev_b",
+        "_prev_t_b", "_slice")
   }
 
   /** Trailing-window population standard deviation — PromQL
