@@ -4866,6 +4866,34 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"), col("bucket"))
     }),
 
+    // PromQL group_right + ignoring(): the mirrored many-to-one — the
+    // COARSE per-user totals on the left, the fine per-series sums on
+    // the right, matched ignoring(event_type) (a right-only label, the
+    // usual group_right spelling). The output must carry the RIGHT
+    // side's label set: event_type exists only there, so a wrong carry
+    // side cannot even produce the result schema — and the rows equal
+    // the group_left entry's verbatim (same math, operand order
+    // preserved), so one oracle pins both.
+    "ts_vector_group_right" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"),
+        floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          .as("bucket"),
+        col("value"))
+      val perSeries = ev.groupBy(col("event_type"), col("user_id"),
+          col("bucket"))
+        .agg(sum(floor(col("value") * 1000000L)).as("sum_fp"))
+      val perUser = ev.groupBy(col("user_id"), col("bucket"))
+        .agg(sum(floor(col("value") * 1000000L)).as("tot_fp"))
+      TimeSeriesOps.vectorMatchIgnoring(perUser, perSeries,
+          Seq("event_type"),
+          (l, r) => when(l =!= 0L, floor(r * 1000000L / l)),
+          "tot_fp", "sum_fp", "share_fp", carry = "right")
+        .select(col("event_type"), col("user_id"), col("bucket"),
+          col("sum_fp"), col("share_fp"))
+        .orderBy(col("event_type"), col("user_id"), col("bucket"))
+    }),
+
     // holt_winters (double exponential smoothing), sf=1/2 tf=1/4: final
     // level+trend per series after folding the whole history in exact
     // 1e-6 fixed point with floored divisions; the oracle replays the
@@ -5359,7 +5387,8 @@ object SparkEntry {
       TimeSeriesOps.rangeAgg(ev, Seq("event_type", "user_id"),
           "ts", "value", 900L)
         .select(col("event_type"), col("user_id"), col("event_id"),
-          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
+          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"),
+          col("min_fp"), col("last_fp"), col("avg_fp"))
         .orderBy(col("event_type"), col("user_id"), col("ts"),
           col("event_id"))
     }),
@@ -5377,7 +5406,8 @@ object SparkEntry {
       TimeSeriesOps.rangeAggSalted(ev, Seq("event_type", "user_id"),
           "ts", "value", windowSec = 900L, sliceSec = 3600L)
         .select(col("event_type"), col("user_id"), col("event_id"),
-          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"))
+          col("ts"), col("n_window"), col("sum_fp"), col("max_fp"),
+          col("min_fp"), col("last_fp"), col("avg_fp"))
         .orderBy(col("event_type"), col("user_id"), col("ts"),
           col("event_id"))
     }),
@@ -6271,7 +6301,11 @@ object SparkEntry {
        |SELECT event_type, user_id, event_id, ts,
        |  count(*) OVER w AS n_window,
        |  CAST(sum(vfp) OVER w AS BIGINT) AS sum_fp,
-       |  max(vfp) OVER w AS max_fp
+       |  max(vfp) OVER w AS max_fp,
+       |  min(vfp) OVER w AS min_fp,
+       |  (max({'t': ts, 'v': vfp}) OVER w).v AS last_fp,
+       |  CAST(floor(CAST(sum(vfp) OVER w AS BIGINT) * 1.0
+       |    / count(*) OVER w) AS BIGINT) AS avg_fp
        |FROM s
        |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts
        |  RANGE BETWEEN 900 PRECEDING AND CURRENT ROW)
@@ -6393,6 +6427,24 @@ object SparkEntry {
        |FROM g WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** Vector-matching share oracle — shared by ts_vector_group_left and
+    * ts_vector_group_right (mirrored carry sides, same math).
+    */
+  private def oVectorGroupSql: String =
+    s"""WITH e AS (SELECT event_type, user_id,
+       |    CAST(floor($OSec / 3600) AS BIGINT) AS bucket,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+       |ps AS (SELECT event_type, user_id, bucket,
+       |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2, 3),
+       |pu AS (SELECT user_id, bucket,
+       |    CAST(sum(vfp) AS BIGINT) AS tot_fp FROM e GROUP BY 1, 2)
+       |SELECT ps.event_type, ps.user_id, ps.bucket, ps.sum_fp,
+       |  CASE WHEN pu.tot_fp = 0 THEN NULL ELSE
+       |    CAST(floor(ps.sum_fp * 1000000 / pu.tot_fp) AS BIGINT) END
+       |    AS share_fp
+       |FROM ps JOIN pu USING (user_id, bucket)
+       |ORDER BY ps.event_type, ps.user_id, ps.bucket""".stripMargin
 
   private def oQuantileOverTimeSql: String =
     s"""WITH s AS (SELECT event_type, user_id, event_id, $OSec AS ts,
@@ -9995,20 +10047,11 @@ object SparkEntry {
          |FROM err JOIN tot USING (user_id, bucket)
          |ORDER BY err.user_id, err.bucket""".stripMargin,
 
-    "ts_vector_group_left" ->
-      s"""WITH e AS (SELECT event_type, user_id,
-         |    CAST(floor($OSec / 3600) AS BIGINT) AS bucket,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
-         |ps AS (SELECT event_type, user_id, bucket,
-         |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2, 3),
-         |pu AS (SELECT user_id, bucket,
-         |    CAST(sum(vfp) AS BIGINT) AS tot_fp FROM e GROUP BY 1, 2)
-         |SELECT ps.event_type, ps.user_id, ps.bucket, ps.sum_fp,
-         |  CASE WHEN pu.tot_fp = 0 THEN NULL ELSE
-         |    CAST(floor(ps.sum_fp * 1000000 / pu.tot_fp) AS BIGINT) END
-         |    AS share_fp
-         |FROM ps JOIN pu USING (user_id, bucket)
-         |ORDER BY ps.event_type, ps.user_id, ps.bucket""".stripMargin,
+    "ts_vector_group_left" -> oVectorGroupSql,
+    // group_right with operand order preserved computes the same rows —
+    // the discriminating fact is that the output schema (event_type, a
+    // right-only label) is only reachable with the right-side carry
+    "ts_vector_group_right" -> oVectorGroupSql,
 
     // The identical integer recurrence replayed as a recursive CTE:
     // state after x_2 is the base term, each recursion step folds the

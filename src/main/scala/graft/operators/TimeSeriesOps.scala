@@ -483,15 +483,23 @@ object TimeSeriesOps {
           .as("rate_fp"))
   }
 
-  /** Sliding range-vector aggregates — the `*_over_time` family: for
-    * every sample, aggregate the same series' samples in the trailing
-    * `windowSec` seconds (inclusive). A RANGE frame keyed on the
-    * timestamp makes duplicate-timestamp handling deterministic (every
-    * peer row is in frame regardless of sort tie-breaks), and the count/
-    * sum/max come from one window spec, so Spark plans a single shuffle
-    * + sort per series. The sum runs on the 1e-6 fixed-point grid —
-    * exact long addition under any frame-maintenance order (Spark
-    * re-accumulates, DuckDB uses segment trees; floats would drift).
+  /** Sliding range-vector aggregates — the `*_over_time` family:
+    * `count/sum/max/min/avg/last_over_time` for every sample over the
+    * same series' trailing `windowSec` seconds (inclusive). A RANGE
+    * frame keyed on the timestamp makes duplicate-timestamp handling
+    * deterministic (every peer row is in frame regardless of sort
+    * tie-breaks), and all six aggregates come from one window spec, so
+    * Spark plans a single shuffle + sort per series. Sums run on the
+    * 1e-6 fixed-point grid — exact long addition under any
+    * frame-maintenance order (Spark re-accumulates, DuckDB uses segment
+    * trees; floats would drift).
+    *
+    * `last_fp` (PromQL `last_over_time`) picks the in-frame sample with
+    * the greatest timestamp; on duplicate timestamps the greatest VALUE
+    * at that timestamp wins — a struct-max over (t, value), so the pick
+    * is a total order both engines share, never a sort-tie accident.
+    * `avg_fp` is the floored fixed-point mean floor(Σv_fp / n) (PromQL
+    * avg_over_time up to the 1e-6 grid).
     *
     * Scale: the frame is time-bounded, so window state is O(samples in
     * `windowSec`) per series — the sliding pass never holds a series'
@@ -503,15 +511,21 @@ object TimeSeriesOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsSecCol).cast("long").asc)
       .rangeBetween(-windowSec, 0)
-    // one projection for all three window expressions → ONE Sort+Window
-    // node (chained withColumns interleave Projects and defeat
+    // one projection for all window expressions → ONE Sort+Window node
+    // (chained withColumns interleave Projects and defeat
     // CollapseWindow: measured three separate sort passes)
+    val lastPick = struct(col(tsSecCol).cast("long").as("t"),
+      col("_val_fp").as("v"))
     samples
       .withColumn("_val_fp", floor(col(valCol) * 1000000L))
       .select(col("*"), count(lit(1)).over(w).as("n_window"),
         sum(col("_val_fp")).over(w).as("sum_fp"),
-        max(col("_val_fp")).over(w).as("max_fp"))
-      .drop("_val_fp")
+        max(col("_val_fp")).over(w).as("max_fp"),
+        min(col("_val_fp")).over(w).as("min_fp"),
+        max(lastPick).over(w).as("_lastp"))
+      .withColumn("last_fp", col("_lastp").getField("v"))
+      .withColumn("avg_fp", floor(col("sum_fp") / col("n_window")))
+      .drop("_val_fp", "_lastp")
   }
 
   /** Skew-proof trailing range aggregates — [[rangeAgg]] with the salted
@@ -1057,32 +1071,70 @@ object TimeSeriesOps {
     * share-of-whole, delta-vs-baseline.
     *
     * Semantics (Prometheus vector matching): rows pair when their
-    * `matchKeys` values are equal; the output carries the LEFT side's
-    * full label set plus `outCol` = `op(left value, right value)`.
-    * Unmatched left rows drop (inner semantics, as PromQL). PromQL's
-    * cardinality rules map as: one-to-one and group_left both work
-    * naturally when the RIGHT side is unique per match key — the caller
-    * contract here, which aggregated inputs satisfy by construction
-    * (PromQL raises on duplicate right matches; with a non-unique right
-    * this join would multiply rows instead, so feed it aggregates).
+    * `matchKeys` values are equal; the output carries the CARRY side's
+    * full label set plus `outCol` = `op(left value, right value)` —
+    * `carry = "left"` is PromQL's one-to-one / `group_left` (the left
+    * side is the fine "many" side and keeps its labels), `carry =
+    * "right"` is `group_right` (the right side is the many side; the
+    * op's argument order stays left-op-right, as in PromQL, where
+    * grouping modifies cardinality, never operand order). Unmatched
+    * rows drop (inner semantics, as PromQL). PromQL's cardinality rules
+    * map as: the NON-carry side must be unique per match key — the
+    * caller contract here, which aggregated inputs satisfy by
+    * construction (PromQL raises on duplicate matches on the one-side;
+    * with a non-unique one-side this join would multiply rows instead,
+    * so feed it aggregates).
     *
-    * Scale: ONE equi-join shuffle on the match keys. The right side is an
-    * aggregate at match-key granularity — strictly coarser than the left
-    * in the group_left case — so AQE converts to broadcast whenever it
-    * fits; at 100 TB with a huge right, sort-merge on the match keys is
-    * the correct fallback and both sides arrive pre-partitioned when the
-    * aggregates producing them grouped on the same keys (no extra
-    * exchange: the groupBy's hash partitioning is reused).
+    * Scale: ONE equi-join shuffle on the match keys. The one-side is an
+    * aggregate at match-key granularity — strictly coarser than the
+    * many-side in the group_left/right cases — so AQE converts to
+    * broadcast whenever it fits; at 100 TB with two huge sides,
+    * sort-merge on the match keys is the correct fallback and both
+    * sides arrive pre-partitioned when the aggregates producing them
+    * grouped on the same keys (no extra exchange: the groupBy's hash
+    * partitioning is reused).
     */
   def vectorMatch(left: DataFrame, right: DataFrame, matchKeys: Seq[String],
                   op: (Column, Column) => Column,
                   leftVal: String = "value", rightVal: String = "value",
-                  outCol: String = "result"): DataFrame = {
+                  outCol: String = "result",
+                  carry: String = "left"): DataFrame = {
     require(matchKeys.nonEmpty)
-    val r = right.select(matchKeys.map(col) :+ col(rightVal).as("_rv"): _*)
-    left.join(r, matchKeys, "inner")
-      .withColumn(outCol, op(col(leftVal), col("_rv")))
-      .drop("_rv")
+    carry match {
+      case "left" =>
+        val r = right.select(matchKeys.map(col) :+ col(rightVal).as("_rv"): _*)
+        left.join(r, matchKeys, "inner")
+          .withColumn(outCol, op(col(leftVal), col("_rv")))
+          .drop("_rv")
+      case "right" =>
+        val l = left.select(matchKeys.map(col) :+ col(leftVal).as("_lv"): _*)
+        right.join(l, matchKeys, "inner")
+          .withColumn(outCol, op(col("_lv"), col(rightVal)))
+          .drop("_lv")
+      case other => throw new IllegalArgumentException(
+        s"carry must be 'left' or 'right', got '$other'")
+    }
+  }
+
+  /** PromQL `ignoring(...)` — the complement of `on(...)`: match on
+    * every label BOTH sides carry EXCEPT the ignored ones (and the two
+    * value columns). Excluding a label only one side carries is legal
+    * and a no-op on the key set, exactly as in PromQL, where
+    * `ignoring(x) group_right` is the usual spelling when the many-side
+    * alone carries `x`. Delegates to [[vectorMatch]].
+    */
+  def vectorMatchIgnoring(left: DataFrame, right: DataFrame,
+                          ignoring: Seq[String],
+                          op: (Column, Column) => Column,
+                          leftVal: String = "value",
+                          rightVal: String = "value",
+                          outCol: String = "result",
+                          carry: String = "left"): DataFrame = {
+    val keys = left.columns.toSeq.intersect(right.columns.toSeq)
+      .filterNot(c => ignoring.contains(c) || c == leftVal || c == rightVal)
+    require(keys.nonEmpty,
+      s"ignoring(${ignoring.mkString(", ")}) leaves no shared label to match on")
+    vectorMatch(left, right, keys, op, leftVal, rightVal, outCol, carry)
   }
 
   /** Double exponential smoothing — PromQL `holt_winters(v[w], sf, tf)`

@@ -293,6 +293,51 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(4) == (21L, 1L, 8000000L))
   }
 
+  test("rangeAgg: min/last/avg_over_time — last picks greatest ts, " +
+       "greatest value on duplicate ts; avg floors on the 1e-6 grid") {
+    val s = Seq(
+      (1L, 0L, 3.0), (1L, 5L, 1.0), (1L, 10L, 16.0), (1L, 10L, 4.0),
+      (1L, 21L, 8.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeriesOps.rangeAgg(s, Seq("k"), "ts", "v", 10L)
+      .select(col("ts"), col("v"), col("min_fp"), col("last_fp"),
+        col("avg_fp"))
+      .orderBy("ts", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == (0L, 3000000L, 3000000L, 3000000L))
+    assert(out(1) == (5L, 1000000L, 1000000L, 2000000L))
+    // frame at ts=10: {3,1,16,4}; last = the GREATER value at ts=10 (16),
+    // identical for both duplicate-ts rows; avg = floor(24e6/4)
+    assert(out(2) == (10L, 1000000L, 16000000L, 6000000L))
+    assert(out(3) == (10L, 1000000L, 16000000L, 6000000L))
+    assert(out(4) == (21L, 8000000L, 8000000L, 8000000L))
+  }
+
+  test("vectorMatch: group_right carries the right side's labels with " +
+       "left-op-right operand order; ignoring() derives the key set") {
+    val fine = Seq(("a", "u1", 1L, 10L), ("b", "u1", 1L, 30L),
+      ("a", "u2", 1L, 5L)).toDF("typ", "user", "bucket", "sum")
+    val coarse = Seq(("u1", 1L, 40L), ("u2", 1L, 5L), ("u3", 1L, 9L))
+      .toDF("user", "bucket", "tot")
+    val out = TimeSeriesOps.vectorMatchIgnoring(coarse, fine, Seq("typ"),
+        (l, r) => l - r, "tot", "sum", "diff", carry = "right")
+      .select(col("typ"), col("user"), col("bucket"), col("diff"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet
+    // output schema carries `typ` (right-only); diff = tot - sum (left
+    // op right, regardless of carry); u3 (no fine rows) drops
+    assert(out == Set(("a", "u1", 30L), ("b", "u1", 10L), ("a", "u2", 0L)))
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.vectorMatch(coarse, fine, Seq("user"),
+        (l, r) => l - r, "tot", "sum", "x", carry = "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      // ignoring every shared label leaves nothing to match on
+      TimeSeriesOps.vectorMatchIgnoring(coarse, fine,
+        Seq("user", "bucket"), (l, r) => l - r, "tot", "sum", "x")
+    }
+  }
+
   test("linearRegress: exact slope/extrapolation on a straight line; " +
        "single-point windows are null") {
     val s = Seq((1L, 0L, 0.0), (1L, 10L, 10.0), (1L, 20L, 20.0))
@@ -399,13 +444,21 @@ class TimeSeriesOpsSpec extends SparkSpec {
       (1L, 0L, 1L, 1.0), (1L, 10L, 2L, 1.0),  // no change
       (1L, 20L, 3L, 2.0),                      // change 1
       (1L, 30L, 4L, 1.0),                      // change 2
-      (1L, 200L, 5L, 5.0)                      // change 3, but window
-                                               // [100,200] holds only it
+      (1L, 200L, 5L, 5.0),                     // window [100,200] holds
+                                               // only it: its transition's
+                                               // older endpoint (ts=30) is
+                                               // outside -> NOT counted
+                                               // (PromQL boundary rule)
+      (1L, 210L, 6L, 7.0)                      // change: both endpoints
+                                               // (200, 210) in [110,210]
     ).toDF("k", "ts", "id", "v")
     val out = TimeSeriesOps.changesOverTime(s, Seq("k"), "ts", "v", 100L,
         Seq("id"))
       .orderBy("ts", "id").collect().map(_.getAs[Long]("changes"))
-    assert(out.toSeq == Seq(0L, 0L, 1L, 2L, 1L))
+    assert(out.toSeq == Seq(0L, 0L, 1L, 2L, 0L, 1L))
+    // the boundary straddle for a LATER output row: at ts=210 the frame
+    // [110, 210] contains ts=200 whose predecessor (30) is outside ->
+    // that transition stays uncounted while (200,210) counts
   }
 
   test("rangeAggSalted ≡ rangeAgg on random data with slice-straddling " +
