@@ -994,6 +994,125 @@ object SparkEntry {
         .orderBy(col("line"))
     }),
 
+    // OTLP explicit-bucket histogram ingest: per (event_type, hour) one
+    // HistogramDataPoint — disjoint bucket counts over bounds
+    // (0.5, 2, 8), total count, sum — marshalled as real
+    // ExportMetricsServiceRequest bytes and decoded back through the
+    // receiver into the Prometheus classic-histogram series family:
+    // CUMULATIVE le-labeled <name>_bucket counters (+Inf = count) plus
+    // <name>_count/<name>_sum. The oracle recomputes the flatten from
+    // raw events (nested counts per le, integral bounds printing
+    // without '.0').
+    "s1_otlp_histogram" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val hr = Tables.events(s, dir).select(col("event_type"),
+        (floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          * 3600L).cast("long").as("bt"),
+        col("value"))
+      val agg = hr.groupBy(col("event_type"), col("bt")).agg(
+        sum(when(col("value") <= 0.5, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("value") > 0.5 && col("value") <= 2.0, 1L)
+          .otherwise(0L)).as("c2"),
+        sum(when(col("value") > 2.0 && col("value") <= 8.0, 1L)
+          .otherwise(0L)).as("c3"),
+        sum(when(col("value") > 8.0, 1L).otherwise(0L)).as("c4"),
+        sum(col("value")).as("vsum"))
+      val payloads = agg
+        .groupBy(col("event_type"))
+        .agg(collect_list(struct(col("bt"), col("c1"), col("c2"),
+          col("c3"), col("c4"), col("vsum"))).as("pts"))
+        .map { r =>
+          val pts = r.getAs[scala.collection.Seq[Row]]("pts").toSeq.map { x =>
+            (Seq.empty[(String, String)], x.getAs[Long]("bt") * 1000000000L,
+              Seq(x.getAs[Long]("c1"), x.getAs[Long]("c2"),
+                x.getAs[Long]("c3"), x.getAs[Long]("c4")),
+              x.getAs[Double]("vsum"))
+          }
+          graft.codec.Otlp.encodeHistogramRequest(Seq("job" -> "graft"),
+            r.getString(0), Seq(0.5, 2.0, 8.0), pts)
+        }(org.apache.spark.sql.Encoders.BINARY)
+      payloads.toDF("content").as[Array[Byte]]
+        .flatMap { bytes =>
+          val wr = graft.codec.Otlp.decodeToV1(bytes)
+          for (ts <- wr.timeseries; sm <- ts.samples) yield {
+            val labels = ts.labels.map(l => l.name -> l.value).toMap
+            (labels.getOrElse("__name__", ""), labels.getOrElse("le", ""),
+              sm.timestampMs, sm.value)
+          }
+        }.toDF("name", "le", "t_ms", "value")
+        .select(col("name"), col("le"), col("t_ms"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("name"), col("le"), col("t_ms"))
+    }),
+
+    // The OTel-collector-to-latency-dashboard path END TO END: hourly
+    // CUMULATIVE histogram snapshots ride real OTLP wire bytes, the
+    // receiver flattens them to le-bucket counter series, and the read
+    // side runs counterIncrease (6 h buckets) → histogram_quantile(0.9)
+    // over the ingested series — composing S1-OTLP with the
+    // ts_histogram_quantile transform instead of testing each in
+    // isolation. The oracle replays the identical hourly-snapshot
+    // cumulation, lag-delta, running-max repair, and quantile.go
+    // interpolation from raw events.
+    "s1_otlp_hist_quantile" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val hr = Tables.events(s, dir).select(col("event_type"),
+        (floor(unix_timestamp(date_trunc("second", col("ts"))) / 3600L)
+          * 3600L).cast("long").as("bt"),
+        col("value"))
+      val hourly = hr.groupBy(col("event_type"), col("bt")).agg(
+        sum(when(col("value") <= 0.5, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("value") > 0.5 && col("value") <= 2.0, 1L)
+          .otherwise(0L)).as("c2"),
+        sum(when(col("value") > 2.0 && col("value") <= 8.0, 1L)
+          .otherwise(0L)).as("c3"),
+        sum(when(col("value") > 8.0, 1L).otherwise(0L)).as("c4"),
+        sum(col("value")).as("vs"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bt").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hourly.select(col("event_type"), col("bt"),
+        sum(col("c1")).over(wCum).as("cc1"),
+        sum(col("c2")).over(wCum).as("cc2"),
+        sum(col("c3")).over(wCum).as("cc3"),
+        sum(col("c4")).over(wCum).as("cc4"),
+        sum(col("vs")).over(wCum).as("cvs"))
+      val payloads = cum
+        .groupBy(col("event_type"))
+        .agg(collect_list(struct(col("bt"), col("cc1"), col("cc2"),
+          col("cc3"), col("cc4"), col("cvs"))).as("pts"))
+        .map { r =>
+          val pts = r.getAs[scala.collection.Seq[Row]]("pts").toSeq.map { x =>
+            (Seq.empty[(String, String)], x.getAs[Long]("bt") * 1000000000L,
+              Seq(x.getAs[Long]("cc1"), x.getAs[Long]("cc2"),
+                x.getAs[Long]("cc3"), x.getAs[Long]("cc4")),
+              x.getAs[Double]("cvs"))
+          }
+          graft.codec.Otlp.encodeHistogramRequest(Seq("job" -> "graft"),
+            r.getString(0), Seq(0.5, 2.0, 8.0), pts)
+        }(org.apache.spark.sql.Encoders.BINARY)
+      val buckets = payloads.toDF("content").as[Array[Byte]]
+        .flatMap { bytes =>
+          val wr = graft.codec.Otlp.decodeToV1(bytes)
+          for (ts <- wr.timeseries; sm <- ts.samples
+               if ts.labels.exists(l => l.name == "le")) yield {
+            val labels = ts.labels.map(l => l.name -> l.value).toMap
+            (labels("__name__").stripSuffix("_bucket"),
+              if (labels("le") == "+Inf") Double.PositiveInfinity
+              else labels("le").toDouble,
+              sm.timestampMs / 1000L, sm.value)
+          }
+        }.toDF("event_type", "le", "ts", "cum")
+      val inc = TimeSeriesOps.counterIncrease(buckets,
+        Seq("event_type", "le"), "ts", "cum", 21600L)
+      TimeSeriesOps.histogramQuantile(inc, Seq("event_type"), "le",
+          "bucket", "increase_fp", q = 0.9)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // S9+S11 end-to-end: one ReadRequest carrying TWO queries through the
     // real HTTP front door — matcher compile → bucket agg → series
     // assembly → one QueryResult per query, in request order (reference:
@@ -7665,6 +7784,87 @@ object SparkEntry {
       """SELECT event_type AS name, CAST(user_id AS VARCHAR) AS user_id,
         |       value, epoch_ms(ts) AS ts_ms
         |FROM events ORDER BY name, user_id, ts_ms, value""".stripMargin,
+
+    // The OTel→Prom histogram flatten recomputed from raw events:
+    // nested (cumulative-across-le) counts, +Inf = total, _count/_sum
+    // companions, hour-start ms timestamps, integral bounds without .0
+    "s1_otlp_histogram" ->
+      s"""WITH e AS (SELECT event_type, ($OSec // 3600) * 3600 AS bt,
+         |    value FROM events),
+         |a AS (SELECT event_type, bt, count(*) AS n,
+         |    sum(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END) AS le05,
+         |    sum(CASE WHEN value <= 2.0 THEN 1 ELSE 0 END) AS le2,
+         |    sum(CASE WHEN value <= 8.0 THEN 1 ELSE 0 END) AS le8,
+         |    round(sum(value), 4) AS vsum
+         |  FROM e GROUP BY 1, 2)
+         |SELECT event_type || '_bucket' AS name, '0.5' AS le,
+         |  bt * 1000 AS t_ms, CAST(le05 AS DOUBLE) AS value FROM a
+         |UNION ALL SELECT event_type || '_bucket', '2', bt * 1000,
+         |  CAST(le2 AS DOUBLE) FROM a
+         |UNION ALL SELECT event_type || '_bucket', '8', bt * 1000,
+         |  CAST(le8 AS DOUBLE) FROM a
+         |UNION ALL SELECT event_type || '_bucket', '+Inf', bt * 1000,
+         |  CAST(n AS DOUBLE) FROM a
+         |UNION ALL SELECT event_type || '_count', '', bt * 1000,
+         |  CAST(n AS DOUBLE) FROM a
+         |UNION ALL SELECT event_type || '_sum', '', bt * 1000, vsum FROM a
+         |ORDER BY name, le, t_ms""".stripMargin,
+
+    // Hourly cumulative snapshots -> lag-delta per 6 h bucket ->
+    // running-max repair -> quantile.go interpolation, replayed from
+    // raw events (the ts_histogram_quantile math over the OTLP-ingested
+    // hourly grid).
+    "s1_otlp_hist_quantile" ->
+      s"""WITH s0 AS (SELECT event_type, ($OSec // 3600) * 3600 AS bt,
+         |    value FROM events),
+         |les AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+         |  (CAST(2.0 AS DOUBLE)), (CAST(8.0 AS DOUBLE)),
+         |  (CAST('infinity' AS DOUBLE))) AS l(le)),
+         |sam AS (SELECT event_type, le, bt AS t,
+         |    sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS hcnt
+         |  FROM s0 CROSS JOIN les GROUP BY 1, 2, 3),
+         |c AS (SELECT event_type, le, t,
+         |    sum(hcnt) OVER (PARTITION BY event_type, le ORDER BY t
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sam),
+         |d AS (SELECT event_type, le, t,
+         |    cum - lag(cum) OVER (PARTITION BY event_type, le
+         |      ORDER BY t) AS delta,
+         |    cum FROM c),
+         |a AS (SELECT event_type, le,
+         |    CAST(floor(t / 21600) AS BIGINT) AS bucket,
+         |    CASE WHEN delta IS NULL THEN NULL
+         |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+         |         ELSE CAST(floor(cum * 1000000) AS BIGINT) END AS adj
+         |  FROM d),
+         |inc AS (SELECT event_type, le, bucket,
+         |    CAST(coalesce(sum(adj), 0) AS BIGINT) AS c
+         |  FROM a GROUP BY 1, 2, 3),
+         |r AS (SELECT event_type, bucket, le,
+         |    max(c) OVER (PARTITION BY event_type, bucket ORDER BY le
+         |      ROWS UNBOUNDED PRECEDING) AS rep
+         |  FROM inc),
+         |r2 AS (SELECT *,
+         |    max(rep) OVER (PARTITION BY event_type, bucket) AS total,
+         |    lag(le) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_le,
+         |    lag(rep) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_rep
+         |  FROM r),
+         |x AS (SELECT *, CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE) AS rnk
+         |  FROM r2
+         |  WHERE total > 0
+         |    AND CAST(rep AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)
+         |    AND (prev_rep IS NULL OR
+         |      CAST(prev_rep AS DOUBLE) < CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)))
+         |SELECT event_type, bucket, total AS total_fp,
+         |  CAST(floor((CASE WHEN isinf(le) THEN prev_le
+         |    WHEN prev_rep IS NULL THEN le * (rnk / CAST(rep AS DOUBLE))
+         |    ELSE prev_le + (le - prev_le) *
+         |      ((rnk - CAST(prev_rep AS DOUBLE)) /
+         |       (CAST(rep AS DOUBLE) - CAST(prev_rep AS DOUBLE))) END)
+         |    * 1000000) AS BIGINT) AS quantile_fp
+         |FROM x ORDER BY event_type, bucket""".stripMargin,
 
     "s1_stream_rollup" ->
       s"""WITH f AS (
