@@ -1396,6 +1396,79 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // The Thanos store-gateway zero-copy path over live HTTP: a
+    // day-aligned streamed read with ?source=chunks forwards the at-rest
+    // Gorilla chunk bytes VERBATIM (X-Graft-Chunk-Source: store), and
+    // must be BYTE-IDENTICAL to the forced decode→re-encode path (XOR
+    // encoding is a pure function of the sample sequence — the equality
+    // is computed over the two live response bodies and emitted as a
+    // fact). A misaligned query falls back to trim+re-encode; its
+    // decoded samples pin against the raw-events oracle (count + exact
+    // fixed-point sum per range).
+    "serve_chunk_fastpath" -> ((s, dir) => {
+      val base = cachedModel(s"srvcf:$dir") {
+        val b = java.nio.file.Files.createTempDirectory("graft_srvcf").toString
+        val rows = WritePipeline.toMetricRows(
+          WritePipeline.dropNonFinite(flatSamples(s, dir)))
+        WritePipeline.append(rows, s"$b/metrics")
+        graft.engine.ChunkStore.write(s.read.parquet(s"$b/metrics"),
+          s"$b/chunks")
+        b
+      }
+      val server = new graft.serve.Server(s, s"$base/metrics", Nil, 0,
+        exactQuantiles = true, chunkTierPath = Some(s"$base/chunks")).start()
+      try {
+        def read(q: String, startMs: Long, endMs: Long)
+            : (Array[Byte], String) = {
+          val rr = Prompb.snappyCompress(Prompb.encodeReadRequest(
+            Prompb.PReadRequest(Seq(Prompb.PQuery(startMs, endMs,
+              Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ,
+                "__name__", "click")))))))
+          val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/read?response_type=streamed_xor_chunks&source=chunks$q")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(rr)
+          val body = conn.getInputStream.readAllBytes()
+          val mode = conn.getHeaderField("X-Graft-Chunk-Source")
+          conn.disconnect()
+          (body, mode)
+        }
+        def decode(body: Array[Byte]): Seq[(Long, Double)] =
+          for {
+            f <- graft.codec.ChunkedRead.readFrames(body)
+            (series, _) = graft.codec.ChunkedRead.decodeResponse(f)
+            ser <- series
+            ch <- ser.chunks
+            (t, v) <- graft.codec.XorChunk.decode(ch.data)
+          } yield (t, v)
+        // aligned: whole days Jan05..Jan19 (inclusive-second range)
+        val (fastBody, fastMode) = read("", Jan05 * 1000, Jan20 * 1000 - 1000)
+        val (slowBody, slowMode) =
+          read("&chunk_path=reencode", Jan05 * 1000, Jan20 * 1000 - 1000)
+        // misaligned: +2 h / +30 min offsets force the trim+re-encode path
+        val (misBody, misMode) = read("",
+          Jan10 * 1000 + 7200000L, Jan12 * 1000 + 1800000L)
+        val aligned = decode(fastBody)
+        val mis = decode(misBody)
+        def sumFp(pts: Seq[(Long, Double)]): Long =
+          pts.map(p => math.floor(p._2 * 1000000.0).toLong).sum
+        s.createDataFrame(Seq(
+            ("aligned_bytes_identical",
+              if (java.util.Arrays.equals(fastBody, slowBody)) 1L else 0L),
+            ("aligned_source_store", if (fastMode == "store") 1L else 0L),
+            ("forced_source_reencode", if (slowMode == "reencode") 1L else 0L),
+            ("misaligned_source_reencode", if (misMode == "reencode") 1L else 0L),
+            ("aligned_samples", aligned.size.toLong),
+            ("aligned_sum_fp", sumFp(aligned)),
+            ("misaligned_samples", mis.size.toLong),
+            ("misaligned_sum_fp", sumFp(mis))))
+          .toDF("metric", "value")
+          .orderBy(col("metric"))
+      } finally server.stop()
+    }),
+
     // S3: parallel fan-out with per-sink error isolation — two healthy
     // formatter sinks and one poisoned sink run concurrently against the
     // SAME persisted batch; the poisoned sink marks its own samples
@@ -8188,6 +8261,31 @@ object SparkEntry {
          |SELECT 'tier_partitions_total', CAST(count(*) AS BIGINT) FROM d
          |UNION ALL
          |SELECT 'tier_rows', CAST(n AS BIGINT) FROM tr
+         |ORDER BY metric""".stripMargin,
+
+    // Byte-identity/routing facts are literals (properties of the two
+    // live response bodies); sample counts and exact fixed-point sums
+    // re-derive from raw events per time range. The store truncates ts
+    // to seconds, so range bounds compare in whole seconds.
+    "serve_chunk_fastpath" ->
+      s"""WITH c AS (SELECT $OSec AS t, value FROM events
+         |  WHERE event_type = 'click'),
+         |al AS (SELECT count(*) AS n,
+         |    CAST(coalesce(sum(CAST(floor(value * 1000000) AS BIGINT)), 0)
+         |      AS BIGINT) AS sfp
+         |  FROM c WHERE t >= $Jan05 AND t <= ${Jan20 - 1}),
+         |mi AS (SELECT count(*) AS n,
+         |    CAST(coalesce(sum(CAST(floor(value * 1000000) AS BIGINT)), 0)
+         |      AS BIGINT) AS sfp
+         |  FROM c WHERE t >= ${Jan10 + 7200} AND t <= ${Jan12 + 1800})
+         |SELECT 'aligned_bytes_identical' AS metric, CAST(1 AS BIGINT) AS value
+         |UNION ALL SELECT 'aligned_source_store', 1
+         |UNION ALL SELECT 'forced_source_reencode', 1
+         |UNION ALL SELECT 'misaligned_source_reencode', 1
+         |UNION ALL SELECT 'aligned_samples', CAST(n AS BIGINT) FROM al
+         |UNION ALL SELECT 'aligned_sum_fp', sfp FROM al
+         |UNION ALL SELECT 'misaligned_samples', CAST(n AS BIGINT) FROM mi
+         |UNION ALL SELECT 'misaligned_sum_fp', sfp FROM mi
          |ORDER BY metric""".stripMargin,
 
     // Poisoned sink: sent=0, failed=everything, errored; healthy sinks

@@ -27,9 +27,20 @@ import org.apache.spark.sql.functions._
   * split at encode.
   *
   * The chunk is EXACT: XOR encoding preserves double bit patterns and
-  * second timestamps verbatim, so chunk→decode round-trips are
-  * bit-identical to the row form — pinned by the a7_chunk_roundtrip
-  * entry against the raw-rows oracle.
+  * timestamps verbatim, so chunk→decode round-trips are bit-identical
+  * to the row form — pinned by the a7_chunk_roundtrip entry against
+  * the raw-rows oracle.
+  *
+  * Timestamps encode as MILLISECONDS inside the chunk (ts_sec × 1000 —
+  * the store's precision is seconds, reference DateTime) even though
+  * the row tier stores seconds: the remote-read STREAMED_XOR_CHUNKS
+  * wire format carries ms, so ms-at-rest makes stored chunk bytes
+  * forwardable VERBATIM into a response frame — the Thanos
+  * store-gateway zero-copy path ([[ResponseEdge.encodeChunkedFromStore]])
+  * — at the cost of ×1000 delta-of-deltas (a few bits per irregular
+  * sample; regular scrape grids still hit the ~2-bit steady state,
+  * pinned by a7_chunk_bytes). The min_ts/max_ts METADATA columns stay
+  * in seconds like every other `ts` in the store.
   */
 object ChunkStore {
 
@@ -62,7 +73,7 @@ object ChunkStore {
         sd.samples.grouped(MaxPerChunk).map { grp =>
           ChunkRow(sd.date, sd.name, sd.tags, grp.size.toLong,
             grp.head.t, grp.last.t,
-            XorChunk.encode(grp.map(p => (p.t, p.v))))
+            XorChunk.encode(grp.map(p => (p.t * 1000L, p.v))))
         }
       }
       .toDF()
@@ -76,12 +87,20 @@ object ChunkStore {
       .select(col("name"), col("tags"), col("chunk"))
       .as[(String, Seq[String], Array[Byte])]
       .flatMap { case (name, tags, chunk) =>
-        XorChunk.decode(chunk).map { case (t, v) =>
-          SampleRow(name, tags, t, v)
+        XorChunk.decode(chunk).map { case (tMs, v) =>
+          SampleRow(name, tags, tMs / 1000L, v)
         }
       }
       .toDF()
   }
+
+  /** Whether the query's inclusive-second range [startMs, endMs] covers
+    * whole UTC days — the precondition for forwarding stored series-day
+    * chunks verbatim (every sample of every covered chunk is in range).
+    */
+  def dayAligned(q: graft.compile.Matchers.PromQuery): Boolean =
+    q.endMs > q.startMs &&
+      q.startMs % 86400000L == 0L && (q.endMs + 1000L) % 86400000L == 0L
 
   /** Write the chunked tier, date-partitioned like the row tier. */
   def write(metrics: DataFrame, path: String): Unit =

@@ -3,6 +3,7 @@ package graft.engine
 import graft.codec.Prompb
 import graft.codec.Prompb._
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit, timestamp_seconds, to_date}
 
 /** S11: the read-response edge — assembled series collected at the driver
   * and marshalled to the snappy+protobuf `ReadResponse` wire bytes
@@ -96,6 +97,85 @@ object ResponseEdge {
     * Uncompressed on the wire per the remote-read spec (the chunk data
     * is already Gorilla-compressed).
     */
+  /** STREAMED_XOR_CHUNKS body answered from the at-rest chunk tier
+    * ([[ChunkStore]]) — raw samples, the Prometheus/Thanos remote-read
+    * semantic, as opposed to the aggregating [[encodeChunked]] path.
+    *
+    * Day-aligned queries ([[ChunkStore.dayAligned]]) take the Thanos
+    * store-gateway ZERO-COPY path: every covered series-day chunk's
+    * samples are in range by construction, so the stored bytes forward
+    * VERBATIM into the response frames — no decode, no re-encode, the
+    * driver only moves byte arrays (chunks are ms-encoded at rest for
+    * exactly this). Misaligned queries fall back to decode → trim to
+    * [startMs, endMs] → re-encode per stored chunk. Because XOR
+    * encoding is a pure function of the sample sequence, the two paths
+    * are BYTE-IDENTICAL on aligned queries (`forceReencode` exists so
+    * the serve entry can pin that equality over live HTTP).
+    *
+    * Matchers and the date bounds push into the tier's parquet scan
+    * (partition pruning + row-group stats on (name, tags)); the
+    * driver-side collect holds chunk rows — Gorilla-compressed, ~2-12
+    * bits a sample — and is bounded by the same `maxSeries` budget as
+    * the SAMPLES path. Returns the body plus the per-query path taken
+    * ("store" | "reencode"), surfaced as the X-Graft-Chunk-Source
+    * header.
+    */
+  def encodeChunkedFromStore(chunked: DataFrame,
+                             queries: Seq[graft.compile.Matchers.PromQuery],
+                             maxSeries: Int,
+                             forceReencode: Boolean = false,
+                             strictCompat: Boolean = false)
+      : (Array[Byte], Seq[String]) = {
+    import graft.codec.{ChunkedRead, XorChunk}
+    import graft.compile.Matchers
+    val out = new java.io.ByteArrayOutputStream()
+    val modes = queries.zipWithIndex.map { case (q, qi) =>
+      val sSec = q.startMs / 1000; val eSec = q.endMs / 1000
+      val pred = q.matchers.map(Matchers.compileMatcher(_, strictCompat))
+        .foldLeft(
+          col("date") >= to_date(timestamp_seconds(lit(sSec))) &&
+            col("date") <= to_date(timestamp_seconds(lit(eSec))) &&
+            col("max_ts") >= sSec && col("min_ts") <= eSec)(_ && _)
+      val rows = chunked.filter(pred)
+        .select("name", "tags", "min_ts", "max_ts", "chunk").collect()
+      val bySeries = rows.groupBy(
+        _.getAs[scala.collection.Seq[String]]("tags").toSeq)
+      if (maxSeries > 0 && bySeries.size > maxSeries)
+        throw new SeriesLimitExceeded(maxSeries)
+      val mode =
+        if (ChunkStore.dayAligned(q) && !forceReencode) "store"
+        else "reencode"
+      bySeries.toSeq.sortBy(_._1.mkString("\u0000")).foreach {
+        case (tags, rs) =>
+          // (min_ts, max_ts) ordering is total for non-overlapping
+          // chunks of one series (the toChunked grouping guarantees it)
+          val sorted = rs.sortBy(r =>
+            (r.getAs[Long]("min_ts"), r.getAs[Long]("max_ts")))
+          val chunks =
+            if (mode == "store")
+              sorted.map(r => ChunkedRead.PChunk(
+                r.getAs[Long]("min_ts") * 1000L,
+                r.getAs[Long]("max_ts") * 1000L,
+                ChunkedRead.EncodingXor,
+                r.getAs[Array[Byte]]("chunk"))).toSeq
+            else
+              sorted.flatMap { r =>
+                val pts = XorChunk.decode(r.getAs[Array[Byte]]("chunk"))
+                  .filter(p => p._1 >= q.startMs && p._1 <= q.endMs)
+                if (pts.isEmpty) None
+                else Some(ChunkedRead.PChunk(pts.head._1, pts.last._1,
+                  ChunkedRead.EncodingXor, XorChunk.encode(pts)))
+              }.toSeq
+          if (chunks.nonEmpty)
+            out.write(ChunkedRead.frame(ChunkedRead.encodeResponse(
+              Seq(ChunkedRead.PChunkedSeries(tagsToLabels(tags), chunks)),
+              qi.toLong)))
+      }
+      mode
+    }
+    (out.toByteArray, modes)
+  }
+
   def encodeChunked(perQuery: Seq[DataFrame], maxSeries: Int,
                     maxSamplesPerChunk: Int = 120): Array[Byte] = {
     import graft.codec.{ChunkedRead, XorChunk}

@@ -1163,13 +1163,20 @@ object TimeSeriesOps {
     * linear codegen'd `aggregate` over each series' array. Per-series
     * state is the array itself — in PromQL this operator only ever sees
     * one range-vector window of samples, so the array is window-bounded,
-    * not history-bounded (the [[lttb]]/[[sessionize]] contract).
+    * not history-bounded. That bound is enforced BY CONSTRUCTION, not
+    * just documented: a series whose collected array exceeds `maxPoints`
+    * fails FAST with a descriptive error (the [[intervalJoin]]
+    * raise_error pattern, evaluated before the fold) instead of
+    * surfacing as an executor OOM — callers fold whole histories by
+    * raising the bound explicitly, never by accident.
     */
   def holtWinters(samples: DataFrame, keys: Seq[String], tsSecCol: String,
                   valCol: String, sfNum: Long, sfDen: Long, tfNum: Long,
-                  tfDen: Long, orderCols: Seq[String] = Nil): DataFrame = {
+                  tfDen: Long, orderCols: Seq[String] = Nil,
+                  maxPoints: Long = 8192L): DataFrame = {
     require(sfNum > 0 && sfNum < sfDen, "0 < sf < 1")
     require(tfNum > 0 && tfNum < tfDen, "0 < tf < 1")
+    require(maxPoints >= 2, "need at least two points to fold")
     val keyCols = keys.map(col)
     // floored integer division, identical in Spark and DuckDB: subtract
     // the positive modulus, then the division is exact (no rounding mode
@@ -1183,7 +1190,13 @@ object TimeSeriesOps {
         (col(tsSecCol).cast("long") +: orderCols.map(col)) :+
           col("_x").as("x"): _*))).as("_pts"),
         count(lit(1)).as("n_samples"))
-    val pts = col("_pts")
+    val pts = when(size(col("_pts")) <= maxPoints, col("_pts"))
+      .otherwise(raise_error(format_string(
+        "holtWinters: a series collected %s samples, over the " +
+          s"$maxPoints-point bound — pre-window the input (PromQL only " +
+          "ever folds one range-vector window) or raise maxPoints " +
+          "explicitly",
+        size(col("_pts")).cast("string"))))
     val x1 = element_at(pts, 1).getField("x")
     val x2 = element_at(pts, 2).getField("x")
     val folded = aggregate(

@@ -54,7 +54,11 @@ final case class CliConfig(
     // `sec=path` pairs, comma-separated; long-range /read queries route
     // to the coarsest tier still yielding >= readAutoTargetPoints points.
     readTiers: Seq[(Long, String)] = Nil,
-    readAutoTargetPoints: Long = 250L) {
+    readAutoTargetPoints: Long = 250L,
+    // graft extension: at-rest Gorilla chunk tier path; streamed
+    // remote-read with ?source=chunks serves raw samples from it
+    // (day-aligned queries forward stored bytes verbatim).
+    readChunkTier: String = "") {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -130,6 +134,10 @@ object CliConfig {
       |                                 the coarsest adequate tier.
       |  --read.auto-target-points=250  Minimum response points the resolution
       |                                 router keeps when picking a tier.
+      |  --read.chunk-tier=""           At-rest Gorilla chunk tier path; a
+      |                                 streamed read with ?source=chunks
+      |                                 serves raw samples from it (aligned
+      |                                 queries forward bytes verbatim).
       |""".stripMargin
 
   def usage(): String = Usage
@@ -224,6 +232,7 @@ object CliConfig {
                 case None =>
                   cfg = cfg.copy(readTiers = parsed.collect { case Right(t) => t })
               }
+            case "read.chunk-tier" => cfg = cfg.copy(readChunkTier = v)
             case "read.auto-target-points" =>
               v.toLongOption match {
                 case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
@@ -308,7 +317,8 @@ object Cli {
     new Server(spark, cfg.tablePath, buildSinks(cfg), cfg.listenPort,
       metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries,
       extraReaderPaths = cfg.readExtraTables, tierPaths = cfg.readTiers,
-      autoResTargetPoints = cfg.readAutoTargetPoints)
+      autoResTargetPoints = cfg.readAutoTargetPoints,
+      chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty))
   }
 }
 

@@ -39,7 +39,8 @@ class Server(spark: SparkSession, tablePath: String,
              metricsPath: String = "/metrics", readMaxSeries: Int = 500000,
              extraReaderPaths: Seq[String] = Nil,
              tierPaths: Seq[(Long, String)] = Nil,
-             autoResTargetPoints: Long = 250L) {
+             autoResTargetPoints: Long = 250L,
+             chunkTierPath: Option[String] = None) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -264,8 +265,29 @@ class Server(spark: SparkSession, tablePath: String,
   private def handleRead(ex: HttpExchange): Unit =
     try {
       val rr = Prompb.decodeReadRequest(Prompb.snappyUncompress(readBody(ex)))
+      val params = queryParams(ex.getRequestURI.getQuery)
+      // ?response_type=streamed_xor_chunks&source=chunks — raw samples
+      // straight from the at-rest chunk tier (the Prometheus/Thanos
+      // remote-read semantic; day-aligned queries forward stored bytes
+      // verbatim), as opposed to the default aggregating read below
+      if (params.get("source").contains("chunks")) {
+        if (!params.get("response_type").contains("streamed_xor_chunks"))
+          throw new IllegalArgumentException(
+            "source=chunks requires response_type=streamed_xor_chunks")
+        val path = chunkTierPath.getOrElse(throw new IllegalArgumentException(
+          "no chunk tier configured (chunkTierPath)"))
+        val (body, modes) = ResponseEdge.encodeChunkedFromStore(
+          spark.read.parquet(path), rr.queries.map(toPromQuery),
+          readMaxSeries,
+          forceReencode = params.get("chunk_path").contains("reencode"))
+        ex.getResponseHeaders.set("X-Graft-Chunk-Source", modes.mkString(","))
+        ex.getResponseHeaders.set("Content-Type",
+          "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
+        respond(ex, 200, body)
+        return
+      }
       val transform = parseDownsample(ex.getRequestURI.getQuery)
-      val resParam = queryParams(ex.getRequestURI.getQuery).get("resolution")
+      val resParam = params.get("resolution")
       val readers = storedReaders()
       val resolutions = Seq.newBuilder[Long]
       val steps = Seq.newBuilder[Long]

@@ -575,4 +575,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("smooth_fp") == 5L)
     assert(out(0).getAs[Long]("trend_fp") == -19L)
   }
+
+  test("holtWinters: per-series array bound enforced by construction — " +
+       "over-maxPoints series fail fast, at-bound series fold") {
+    val s = (0 until 10).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("k", "ts", "v")
+    // 10 samples over a 5-point bound: descriptive refusal, not an OOM
+    val e = intercept[Exception] {
+      TimeSeriesOps.holtWinters(s, Seq("k"), "ts", "v", 1L, 2L, 1L, 4L,
+        maxPoints = 5L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pre-window the input")))
+    // exactly at the bound: folds normally
+    val ok = TimeSeriesOps.holtWinters(s, Seq("k"), "ts", "v", 1L, 2L,
+      1L, 4L, maxPoints = 10L).collect()
+    assert(ok(0).getAs[Long]("n_samples") == 10L)
+    assert(!ok(0).isNullAt(ok(0).fieldIndex("smooth_fp")))
+  }
 }
