@@ -778,6 +778,34 @@ object SparkEntry {
         .orderBy(col("name"), col("tags"))
     }),
 
+    // The 5-aggregate tier maintained INCREMENTALLY: the same payload
+    // byte stream, windowed into the a7_downsample_store shape by
+    // Structured Streaming — the hot-tier upkeep that lets the serve
+    // layer's auto-resolution routing read fresh data without waiting a
+    // batch compaction cycle. Row identity with the batch tier is the
+    // entry's claim: it shares a7_downsample_store's oracle verbatim
+    // (complete output mode so the full tier materializes; the
+    // watermark bound is the production state cap, exercised for real
+    // by s1_rollup_append's append-mode sibling).
+    "s1_stream_downsample" -> ((s, dir) => {
+      val (_, inDir) = writePayloadFiles(s, dir)
+      val flat = RemoteWriteStream.decodeFlat(
+        s.readStream.format("binaryFile")
+          .schema(RemoteWriteStream.binaryFilePayloadSchema).load(inDir))
+      val qname = "downsample_" + math.abs(inDir.hashCode).toString
+      RemoteWriteStream.streamingDownsample(flat, 300L, "90 days")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname)
+        .select(col("name"), array_join(col("tags"), ",").as("tags"),
+          col("bucket_ts"), col("cnt"), col("sum_fp"), col("min_fp"),
+          col("max_fp"), col("first_fp"), col("last_fp"))
+        .orderBy(col("name"), col("tags"), col("bucket_ts"))
+    }),
+
     // The WATERMARK exercised for real: the same streaming rollup in
     // APPEND output mode, where the watermark actually gates emission
     // (a window emits exactly once, when watermark passes its end) and
@@ -5539,6 +5567,61 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // TS dashboard composition — the llm_corpus_build pattern applied
+    // to the read surface: ONE plan chains counterIncrease (hourly, per
+    // series) → 6 h panel roll-up → histogram_quantile(0.9) from
+    // synthesized le-bucket counters → vectorMatch ratio
+    // (increase / p90) → minmax downsampling to 4-day panel extremes.
+    // Pins that the PromQL operators COMPOSE — each stage consumes the
+    // previous stage's real output schema — not just pass in isolation;
+    // the oracle replays the full chain.
+    "ts_dashboard_build" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"), col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"),
+        col("value"))
+      // stage 1: hourly per-series counter increases, rolled to the 6 h
+      // panel grid per event_type
+      val inc = TimeSeriesOps.counterIncrease(ev,
+        Seq("event_type", "user_id"), "ts", "value", 3600L, Seq("event_id"))
+      val panel = inc
+        .withColumn("bucket", floor(col("bucket") / 6).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("increase_fp")).as("inc_fp"))
+      // stage 2: p90 per (event_type, 6 h) from cumulative le counters
+      // (the ts_histogram_quantile synthesis)
+      val les = Seq(0.5, 2.0, 8.0, Double.PositiveInfinity)
+      val leDf = s.createDataFrame(les.map(Tuple1(_))).toDF("le")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("le"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val samples = ev.crossJoin(broadcast(leDf))
+        .withColumn("cum",
+          sum(when(col("value") <= col("le"), 1L).otherwise(0L)).over(wCum))
+      val bInc = TimeSeriesOps.counterIncrease(samples,
+        Seq("event_type", "le"), "ts", "cum", 21600L, Seq("event_id"))
+      val q90 = TimeSeriesOps.histogramQuantile(bInc, Seq("event_type"),
+        "le", "bucket", "increase_fp", q = 0.9)
+      // stage 3: ratio = increase / p90 on the shared (series, bucket)
+      // grid; p90 of 0 → null (unstorable Inf), dropped like any gap
+      val ratio = TimeSeriesOps.vectorMatch(panel, q90,
+          Seq("event_type", "bucket"),
+          (l, r) => when(r =!= 0L, floor(l * 1000000L / r)),
+          "inc_fp", "quantile_fp", "ratio_fp")
+        .filter(col("ratio_fp").isNotNull)
+      // stage 4: dashboard reduction — per event_type keep the extreme
+      // ratio points of each 4-day cell (original values, minmax rule)
+      val shaped = ratio.select(col("event_type").as("name"),
+        array(col("event_type")).as("tags"),
+        (col("bucket") * 21600L * 1000L).cast("long").as("t"),
+        col("ratio_fp").cast("double").as("value"))
+      ReadPipeline.minmaxDownsample(shaped, 4L * 86400L)
+        .select(col("name"), col("t"), col("value").cast("long").as("ratio_fp"))
+        .orderBy(col("name"), col("t"))
+    }),
+
     // Gap-filled LOCF downsampling onto a 15-min grid with PromQL's
     // lookback rule (stale after 30 min → no value). The grid is per
     // series (span/step points — 2880 per series over the 30-day
@@ -6619,6 +6702,29 @@ object SparkEntry {
        |FROM g WINDOW w2 AS (PARTITION BY event_type, user_id ORDER BY t
        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
        |ORDER BY event_type, user_id, ts, event_id""".stripMargin
+
+  /** 5-aggregate downsample tier oracle — shared by a7_downsample_store
+    * (batch) and s1_stream_downsample (Structured Streaming over real
+    * payload bytes): the streaming tier's claim is row identity with
+    * the batch tier. first/last replay the (ts, value) struct order as
+    * row_number picks.
+    */
+  private def oDownsampleStoreSql: String =
+    s"""WITH s AS (SELECT event_type AS name, $OTags AS tags,
+       |    $OSec AS t, CAST(floor(value * 1000000) AS BIGINT) AS vfp
+       |  FROM events),
+       |b AS (SELECT *, (t // 300) * 300 AS bucket_ts,
+       |    row_number() OVER (PARTITION BY name, tags, t // 300
+       |      ORDER BY t, vfp) AS rf,
+       |    row_number() OVER (PARTITION BY name, tags, t // 300
+       |      ORDER BY t DESC, vfp DESC) AS rl
+       |  FROM s)
+       |SELECT name, tags, bucket_ts, count(*) AS cnt,
+       |  CAST(sum(vfp) AS BIGINT) AS sum_fp, min(vfp) AS min_fp,
+       |  max(vfp) AS max_fp,
+       |  CAST(min(CASE WHEN rf = 1 THEN vfp END) AS BIGINT) AS first_fp,
+       |  CAST(min(CASE WHEN rl = 1 THEN vfp END) AS BIGINT) AS last_fp
+       |FROM b GROUP BY 1, 2, 3 ORDER BY name, tags, bucket_ts""".stripMargin
 
   /** Vector-matching share oracle — shared by ts_vector_group_left and
     * ts_vector_group_right (mirrored carry sides, same math).
@@ -8043,22 +8149,9 @@ object SparkEntry {
          |SELECT name, count(*) AS cnt, round(sum(val), 4) AS total
          |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "a7_downsample_store" ->
-      s"""WITH s AS (SELECT event_type AS name, $OTags AS tags,
-         |    $OSec AS t, CAST(floor(value * 1000000) AS BIGINT) AS vfp
-         |  FROM events),
-         |b AS (SELECT *, (t // 300) * 300 AS bucket_ts,
-         |    row_number() OVER (PARTITION BY name, tags, t // 300
-         |      ORDER BY t, vfp) AS rf,
-         |    row_number() OVER (PARTITION BY name, tags, t // 300
-         |      ORDER BY t DESC, vfp DESC) AS rl
-         |  FROM s)
-         |SELECT name, tags, bucket_ts, count(*) AS cnt,
-         |  CAST(sum(vfp) AS BIGINT) AS sum_fp, min(vfp) AS min_fp,
-         |  max(vfp) AS max_fp,
-         |  CAST(min(CASE WHEN rf = 1 THEN vfp END) AS BIGINT) AS first_fp,
-         |  CAST(min(CASE WHEN rl = 1 THEN vfp END) AS BIGINT) AS last_fp
-         |FROM b GROUP BY 1, 2, 3 ORDER BY name, tags, bucket_ts""".stripMargin,
+    "a7_downsample_store" -> oDownsampleStoreSql,
+    // the STREAMING tier must be row-identical to the batch tier
+    "s1_stream_downsample" -> oDownsampleStoreSql,
 
     // Computed from RAW events — the tier must re-aggregate to exactly
     // this.
@@ -10639,6 +10732,92 @@ object SparkEntry {
          |       (CAST(rep AS DOUBLE) - CAST(prev_rep AS DOUBLE))) END)
          |    * 1000000) AS BIGINT) AS quantile_fp
          |FROM x ORDER BY event_type, bucket""".stripMargin,
+
+    // The full dashboard chain replayed: per-series hourly lag-deltas
+    // rolled to 6 h panels, the histogram-quantile CTE stack, the ratio
+    // join with null-on-zero, and the minmax cell selection — one SQL
+    // per stage, composed exactly like the Spark plan.
+    "ts_dashboard_build" ->
+      s"""WITH s0 AS (SELECT event_type, user_id, event_id, $OSec AS t,
+         |    value FROM events),
+         |d1 AS (SELECT event_type, user_id, t,
+         |    value - lag(value) OVER (PARTITION BY event_type, user_id
+         |      ORDER BY t, event_id) AS delta,
+         |    value FROM s0),
+         |a1 AS (SELECT event_type,
+         |    CAST(floor(t / 21600) AS BIGINT) AS bucket,
+         |    CASE WHEN delta IS NULL THEN NULL
+         |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+         |         ELSE CAST(floor(value * 1000000) AS BIGINT) END AS adj
+         |  FROM d1),
+         |panel AS (SELECT event_type, bucket,
+         |    CAST(coalesce(sum(adj), 0) AS BIGINT) AS inc_fp
+         |  FROM a1 GROUP BY 1, 2),
+         |les AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+         |  (CAST(2.0 AS DOUBLE)), (CAST(8.0 AS DOUBLE)),
+         |  (CAST('infinity' AS DOUBLE))) AS l(le)),
+         |sam AS (SELECT event_type, le, event_id, t,
+         |    sum(CASE WHEN value <= le THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY event_type, le ORDER BY t, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s0 CROSS JOIN les),
+         |d2 AS (SELECT event_type, le, t,
+         |    cum - lag(cum) OVER (PARTITION BY event_type, le
+         |      ORDER BY t, event_id) AS delta,
+         |    cum FROM sam),
+         |a2 AS (SELECT event_type, le,
+         |    CAST(floor(t / 21600) AS BIGINT) AS bucket,
+         |    CASE WHEN delta IS NULL THEN NULL
+         |         WHEN delta >= 0 THEN CAST(floor(delta * 1000000) AS BIGINT)
+         |         ELSE CAST(floor(cum * 1000000) AS BIGINT) END AS adj
+         |  FROM d2),
+         |inc2 AS (SELECT event_type, le, bucket,
+         |    CAST(coalesce(sum(adj), 0) AS BIGINT) AS c
+         |  FROM a2 GROUP BY 1, 2, 3),
+         |r AS (SELECT event_type, bucket, le,
+         |    max(c) OVER (PARTITION BY event_type, bucket ORDER BY le
+         |      ROWS UNBOUNDED PRECEDING) AS rep
+         |  FROM inc2),
+         |r2 AS (SELECT *,
+         |    max(rep) OVER (PARTITION BY event_type, bucket) AS total,
+         |    lag(le) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_le,
+         |    lag(rep) OVER (PARTITION BY event_type, bucket ORDER BY le)
+         |      AS prev_rep
+         |  FROM r),
+         |x AS (SELECT *, CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE) AS rnk
+         |  FROM r2
+         |  WHERE total > 0
+         |    AND CAST(rep AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE)
+         |    AND (prev_rep IS NULL OR
+         |      CAST(prev_rep AS DOUBLE) < CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE))),
+         |hq AS (SELECT event_type, bucket,
+         |  CAST(floor((CASE WHEN isinf(le) THEN prev_le
+         |    WHEN prev_rep IS NULL THEN le * (rnk / CAST(rep AS DOUBLE))
+         |    ELSE prev_le + (le - prev_le) *
+         |      ((rnk - CAST(prev_rep AS DOUBLE)) /
+         |       (CAST(rep AS DOUBLE) - CAST(prev_rep AS DOUBLE))) END)
+         |    * 1000000) AS BIGINT) AS quantile_fp
+         |  FROM x),
+         |r3 AS (SELECT p.event_type, p.bucket,
+         |    CASE WHEN q.quantile_fp = 0 THEN NULL
+         |      ELSE CAST(floor(p.inc_fp * 1000000 / q.quantile_fp) AS BIGINT)
+         |    END AS ratio_fp
+         |  FROM panel p JOIN hq q USING (event_type, bucket)),
+         |c4 AS (SELECT event_type AS name, bucket * 21600 * 1000 AS t,
+         |    CAST(ratio_fp AS DOUBLE) AS v,
+         |    CAST(floor((bucket * 21600 * 1000) / 345600000) AS BIGINT)
+         |      AS cell
+         |  FROM r3 WHERE ratio_fp IS NOT NULL),
+         |r4 AS (SELECT *,
+         |    row_number() OVER (PARTITION BY name, cell ORDER BY v, t)
+         |      AS rlo,
+         |    row_number() OVER (PARTITION BY name, cell ORDER BY v DESC,
+         |      t DESC) AS rhi
+         |  FROM c4)
+         |SELECT name, t, CAST(v AS BIGINT) AS ratio_fp FROM r4
+         |WHERE rlo = 1 OR rhi = 1
+         |ORDER BY name, t""".stripMargin,
 
     // Grid replay: per-series range() grid, DuckDB's native ASOF LEFT
     // JOIN for the fill, the same lookback CASE, digested per series.

@@ -104,6 +104,51 @@ object RemoteWriteStream {
       .select(col("window.start").as("bucket_start"), col("name"),
         col("tags"), col("val"), col("cnt"))
 
+  /** The 5-aggregate downsampled tier maintained INCREMENTALLY by
+    * Structured Streaming — [[graft.engine.Rollup.downsample]]'s exact
+    * semantics (fixed-point count/sum/min/max/first/last per
+    * (date, series, `windowSec` window), first/last picked by (ts,
+    * value) struct order) as a watermarked windowed aggregation, so the
+    * tier the serve layer's auto-resolution routing reads can be kept
+    * hot by the ingest stream instead of lagging a batch compaction
+    * cycle. Timestamps truncate to STORE seconds before bucketing (the
+    * canonical second precision, reference DateTime) so the streaming
+    * tier is row-identical to the batch tier over the same samples —
+    * the entry pins this by sharing a7_downsample_store's oracle.
+    *
+    * Samples later than `watermarkDelay` are dropped from these windows
+    * (they still reach the raw table via [[ingestStream]]; the batch
+    * compaction repairs the tier) — the bound that keeps streaming
+    * state finite over an unbounded series universe.
+    */
+  def streamingDownsample(flat: DataFrame, windowSec: Long,
+                          watermarkDelay: String): DataFrame = {
+    require(windowSec > 0 && 86400L % windowSec == 0,
+      "tier windows must divide a day (the Rollup.downsample contract)")
+    val tSec = floor(col("timestampMs") / 1000L).cast("long")
+    flat
+      .withColumn("_tsec", tSec)
+      .withColumn("ts", timestamp_seconds(col("_tsec")))
+      .withColumn("_vfp", floor(col("value") * 1000000L))
+      .withColumn("_pick", struct(col("_tsec").as("t"), col("_vfp").as("v")))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), s"$windowSec seconds"),
+        col("name"),
+        Tags.tagsFromLabels(col("labels")).as("tags"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("_vfp")).as("sum_fp"),
+        min(col("_vfp")).as("min_fp"),
+        max(col("_vfp")).as("max_fp"),
+        min(col("_pick")).getField("v").as("first_fp"),
+        max(col("_pick")).getField("v").as("last_fp"))
+      .select(to_date(col("window.start")).as("date"), col("name"),
+        col("tags"),
+        unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("cnt"), col("sum_fp"), col("min_fp"), col("max_fp"),
+        col("first_fp"), col("last_fp"))
+  }
+
   def ingestStream(spark: SparkSession, inDir: String, tablePath: String,
                    checkpointDir: String): StreamingQuery = {
     val decoded = decodeFlat(
