@@ -7,6 +7,7 @@ import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
 import graft.llm.{CrawlOps, Dedup, LinkGraph, Multimodal, Sampling, Sketches, TextAnalysis, VectorOps}
 import graft.model.{Schema, Tables, Tags}
 import graft.operators.{LabelOps, TimeSeriesOps}
+import graft.promql.Eval
 import graft.sinks.Formatters
 import graft.sources.CorpusIO
 import graft.streaming.RemoteWriteStream
@@ -5901,6 +5902,120 @@ object SparkEntry {
         element_at(Tags.labelsFromTags(Tags.tagsFromLabels(col("labels"))),
           "parity").as("parity_back"))
         .orderBy(col("event_id"))
+    }),
+
+    // ----------------------------------------------------------------
+    // PromQL engine (graft.promql.Parser + Eval): the full text-to-plan
+    // read surface. The reference never parses PromQL — Prometheus ships
+    // it pre-compiled matchers (reference: main.go:322-372) and keeps
+    // every function/aggregation to itself; these entries run the whole
+    // language inside Spark and replay the grid semantics in DuckDB.
+    // Shared grid: Jan05..Jan20, 6 h step (61 instants), 1 d lookback,
+    // 2 d range windows — sized to the events fixture's ~13 samples per
+    // (event_type, user_id) series per month.
+    // ----------------------------------------------------------------
+
+    // Instant vector selector (regex name matcher, 1 d staleness) + topk:
+    // `topk(2, {__name__=~"click|error"})` — per grid instant, the two
+    // highest latest-sample values across all matched series, original
+    // labels kept.
+    "promql_select_topk" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """topk(2, {__name__=~"click|error"})""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // The canonical dashboard text end to end: per-user total event rate
+    // `sum by (user_id) (rate({__name__=~".+"}[2d]))` — regex-match every
+    // metric, Prometheus-exact extrapolated rate per series on the grid,
+    // re-aggregated by one label.
+    "promql_rate_sum" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """sum by (user_id) (rate({__name__=~".+"}[2d]))""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // Vector matching: per-user error share
+    // `error / on(user_id) group_left sum by (user_id) ({...})` — the
+    // many side keeps its labels (minus __name__), one equi-join on
+    // (user_id, T); zero-denominator elements drop (finite contract).
+    "promql_err_ratio" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """error / on(user_id) group_left
+            | sum by (user_id) ({__name__=~"click|view"})""".stripMargin,
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // The latency-dashboard composition over a constructed classic
+    // histogram: cumulative `le`-bucket counters sampled every 6 h (one
+    // counter series per bucket; fixture construction is cheap per-bucket
+    // counts + one running-sum window, no point-x-event join), then the
+    // full text `histogram_quantile(0.9, increase(lat_bucket[2d]))`.
+    "promql_hist_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val ladder = Seq("25" -> 25.0, "50" -> 50.0, "100" -> 100.0,
+        "250" -> 250.0, "+Inf" -> Double.PositiveInfinity)
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+          col("value"))
+        .withColumn("k", greatest(
+          ceil((col("t") - Jan05).cast("double") / 21600L).cast("long"),
+          lit(0L)))
+        .filter(col("k") <= 60L)
+      val lad = ladder.toDF("le", "bound")
+      val cnt = clicks.join(lad, clicks("value") <= lad("bound"))
+        .groupBy(col("le"), col("k")).agg(count(lit(1)).as("c"))
+      val pts = s.range(0L, 61L).select(col("id").as("k")).crossJoin(lad)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("le")).orderBy(col("k").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val buckets = pts.join(cnt, Seq("le", "k"), "left")
+        .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(wCum))
+        .select(lit("lat_bucket").as("name"),
+          sort_array(array(lit("__name__=lat_bucket"),
+            concat(lit("le="), col("le")))).as("tags"),
+          col("cum").cast("double").as("val"),
+          (lit(Jan05) + col("k") * 21600L).as("ts"))
+      Eval.rangeQuery(buckets,
+          "histogram_quantile(0.9, increase(lat_bucket[2d]))",
+          Eval.RangeSpec(Jan05, Jan20, 21600L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
+    // Scalar-operand chain with staged fixed-point quantization:
+    // `clamp(click * 2, 40, 150) > bool 100` — arithmetic drops the
+    // metric name, clamp bounds, bool comparison emits 0/1.
+    "promql_clamp_bool" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          "clamp(click * 2, 40, 150) > bool 100",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // absent(): 1 with the selector's EQ-matcher labels at every grid
+    // instant where nothing matches — the alert-on-missing-series idiom.
+    "promql_absent" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """absent(click{user_id="no_such_user"})""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
     })
   )
 
@@ -10949,6 +11064,193 @@ object SparkEntry {
         |       '__name__=' || event_type || chr(255) || 'parity=' || (event_id % 2)
         |         || chr(255) || 'user_id=' || user_id AS series_key,
         |       CAST(event_id % 2 AS VARCHAR) AS parity_back
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // ---------------- PromQL engine entries: full grid-semantics replay.
+    // Shared shape: gr = the 61-instant grid; d = deduped samples
+    // (greatest value per (series, second)); instant selector = latest
+    // sample per (series, T) within lookback (rn = 1 over t DESC).
+
+    "promql_select_topk" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type IN ('click', 'error')),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |e AS (SELECT gr.T, d.name, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.name, d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, name, user_id, vfp FROM e WHERE rn = 1),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY T
+         |    ORDER BY vfp DESC,
+         |      '__name__=' || name || ',user_id=' || user_id) AS rnk
+         |  FROM inst)
+         |SELECT '__name__=' || name || ',user_id=' || user_id AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM rk WHERE rnk <= 2 ORDER BY t, tags""".stripMargin,
+
+    "promql_rate_sum" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lag(t) OVER w AS pt, lag(vfp) OVER w AS pv
+         |  FROM d WINDOW w AS (PARTITION BY name, user_id ORDER BY t)),
+         |wx AS (SELECT gr.T AS gt, l.* FROM gr JOIN l
+         |  ON l.t > gr.T - 172800 AND l.t <= gr.T),
+         |a AS (SELECT gt, name, user_id, count(*) AS n, min(t) AS ft,
+         |    max(t) AS lt, arg_min(vfp, t) AS fv,
+         |    CAST(coalesce(sum(CASE
+         |      WHEN pt IS NULL OR pt <= gt - 172800 THEN NULL
+         |      WHEN vfp - pv >= 0 THEN vfp - pv ELSE vfp END), 0)
+         |      AS BIGINT) AS raw_fp
+         |  FROM wx GROUP BY 1, 2, 3),
+         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+         |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
+         |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
+         |    CAST(ft - (gt - 172800) AS DOUBLE) AS ds0,
+         |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+         |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+         |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+         |  FROM e),
+         |g2 AS (SELECT *,
+         |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+         |      AS dss,
+         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+         |      AS dee FROM f),
+         |h AS (SELECT gt, user_id,
+         |    CAST(floor(rawd * ((si + dss + dee) / si) / 172800
+         |      * 1000000.0) AS BIGINT) AS ratefp
+         |  FROM g2 WHERE n >= 2 AND si > 0.0)
+         |SELECT 'user_id=' || user_id AS tags, gt AS t,
+         |  CAST(sum(ratefp) AS BIGINT) AS value_fp
+         |FROM h GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "promql_err_ratio" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type IN ('error', 'click', 'view')),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |e AS (SELECT gr.T, d.name, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.name, d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, name, user_id, vfp FROM e WHERE rn = 1),
+         |lhs AS (SELECT T, user_id, vfp FROM inst WHERE name = 'error'),
+         |rhs AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS rsum
+         |  FROM inst WHERE name IN ('click', 'view') GROUP BY 1, 2)
+         |SELECT 'user_id=' || l.user_id AS tags, l.T AS t,
+         |  CAST(floor((l.vfp / 1000000.0) / (r.rsum / 1000000.0)
+         |    * 1000000.0) AS BIGINT) AS value_fp
+         |FROM lhs l JOIN rhs r ON l.T = r.T AND l.user_id = r.user_id
+         |WHERE r.rsum <> 0 ORDER BY t, tags""".stripMargin,
+
+    "promql_hist_quantile" ->
+      """WITH pts AS (SELECT k FROM generate_series(0, 60) g(k)),
+        |lad(le_s, bound) AS (VALUES ('25', 25.0), ('50', 50.0),
+        |  ('100', 100.0), ('250', 250.0),
+        |  ('+Inf', CAST('infinity' AS DOUBLE))),
+        |ev AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    AS t, value FROM events WHERE event_type = 'click'),
+        |ke AS (SELECT greatest(
+        |    CAST(ceil((t - 1704412800) / 21600.0) AS BIGINT), 0) AS k,
+        |    value FROM ev),
+        |ke2 AS (SELECT * FROM ke WHERE k <= 60),
+        |cnt AS (SELECT l.le_s, k.k, count(*) AS c
+        |  FROM ke2 k JOIN lad l ON k.value <= l.bound GROUP BY 1, 2),
+        |cum AS (SELECT p.k, l.le_s, l.bound,
+        |    CAST(sum(coalesce(c.c, 0)) OVER (PARTITION BY l.le_s
+        |      ORDER BY p.k) AS BIGINT) AS cum
+        |  FROM pts p CROSS JOIN lad l
+        |  LEFT JOIN cnt c ON c.le_s = l.le_s AND c.k = p.k),
+        |smp AS (SELECT le_s, bound, 1704412800 + k * 21600 AS t,
+        |    cum * 1000000 AS vfp FROM cum),
+        |l AS (SELECT *, lag(t) OVER w AS pt, lag(vfp) OVER w AS pv
+        |  FROM smp WINDOW w AS (PARTITION BY le_s ORDER BY t)),
+        |gr AS (SELECT 1704412800 + 21600 * k AS T
+        |  FROM generate_series(0, 60) g(k)),
+        |wx AS (SELECT gr.T AS gt, l.* FROM gr JOIN l
+        |  ON l.t > gr.T - 172800 AND l.t <= gr.T),
+        |a AS (SELECT gt, le_s, bound, count(*) AS n, min(t) AS ft,
+        |    max(t) AS lt, arg_min(vfp, t) AS fv,
+        |    CAST(coalesce(sum(CASE
+        |      WHEN pt IS NULL OR pt <= gt - 172800 THEN NULL
+        |      WHEN vfp - pv >= 0 THEN vfp - pv ELSE vfp END), 0)
+        |      AS BIGINT) AS raw_fp
+        |  FROM wx GROUP BY 1, 2, 3),
+        |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+        |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
+        |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
+        |    CAST(ft - (gt - 172800) AS DOUBLE) AS ds0,
+        |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+        |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+        |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+        |  FROM e),
+        |g2 AS (SELECT *,
+        |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+        |      AS dss,
+        |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+        |      AS dee FROM f),
+        |inc AS (SELECT gt AS T, bound AS le,
+        |    CAST(floor(rawd * ((si + dss + dee) / si) * 1000000.0)
+        |      AS BIGINT) AS incfp
+        |  FROM g2 WHERE n >= 2 AND si > 0.0),
+        |r1 AS (SELECT T, le, incfp, max(incfp) OVER (PARTITION BY T
+        |    ORDER BY le ROWS UNBOUNDED PRECEDING) AS rep FROM inc),
+        |r2 AS (SELECT *, lag(le) OVER (PARTITION BY T ORDER BY le)
+        |      AS ple,
+        |    lag(rep) OVER (PARTITION BY T ORDER BY le) AS prep,
+        |    max(rep) OVER (PARTITION BY T) AS tot FROM r1),
+        |sel AS (SELECT T, CASE
+        |    WHEN le = CAST('infinity' AS DOUBLE) THEN ple
+        |    WHEN prep IS NULL THEN
+        |      le * ((0.9 * CAST(tot AS DOUBLE)) / CAST(rep AS DOUBLE))
+        |    ELSE ple + (le - ple) * ((0.9 * CAST(tot AS DOUBLE)
+        |      - CAST(prep AS DOUBLE))
+        |      / (CAST(rep AS DOUBLE) - CAST(prep AS DOUBLE))) END AS res
+        |  FROM r2 WHERE tot > 0
+        |    AND CAST(rep AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
+        |    AND (prep IS NULL
+        |      OR CAST(prep AS DOUBLE) < 0.9 * CAST(tot AS DOUBLE)))
+        |SELECT '' AS tags, T AS t,
+        |  CAST(floor(res * 1000000) AS BIGINT) AS value_fp
+        |FROM sel WHERE res IS NOT NULL AND isfinite(res)
+        |ORDER BY t""".stripMargin,
+
+    "promql_clamp_bool" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1),
+         |v1 AS (SELECT T, user_id, CAST(floor((vfp / 1000000.0) * 2.0
+         |    * 1000000) AS BIGINT) AS v FROM inst),
+         |v2 AS (SELECT T, user_id,
+         |    CAST(floor(least(greatest(v / 1000000.0, 40.0), 150.0)
+         |      * 1000000) AS BIGINT) AS v FROM v1)
+         |SELECT 'user_id=' || user_id AS tags, T AS t,
+         |  CAST(CASE WHEN v / 1000000.0 > 100.0 THEN 1000000 ELSE 0 END
+         |    AS BIGINT) AS value_fp
+         |FROM v2 ORDER BY t, tags""".stripMargin,
+
+    "promql_absent" ->
+      """SELECT '__name__=click,user_id=no_such_user' AS tags,
+        |  1704412800 + 21600 * k AS t,
+        |  CAST(1000000 AS BIGINT) AS value_fp
+        |FROM generate_series(0, 60) g(k) ORDER BY t""".stripMargin
   )
 }

@@ -1,0 +1,934 @@
+package graft.promql
+
+import graft.model.Schema
+import graft.operators.LabelOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL range-query evaluator: [[Ast.Expr]] → DataFrame plan over the
+  * canonical metrics store (SURVEY §1.2: name, tags sorted "k=v" array,
+  * val, ts). The reference delegates all of this to Prometheus itself and
+  * only ever sees pre-compiled matchers (reference: main.go:322-372);
+  * here the full language runs INSIDE Spark, so a grid query over a year
+  * of data is one declarative plan — partition-pruned scan, series-window
+  * lag, map-side grid explode, aggregate — instead of a step-by-step
+  * driver loop.
+  *
+  * Evaluation model (PromQL semantics):
+  *  - a range query evaluates at grid instants T = start + k·step,
+  *    0 ≤ k ≤ (end−start)/step, all in whole seconds (the store grain);
+  *  - an instant selector at T reads the latest sample with
+  *    T − lookback < t ≤ T (default 5 m lookback);
+  *  - a range selector `v[w]` at T reads all samples with T − w < t ≤ T.
+  *
+  * Execution shape — the part that must survive 100 TB:
+  *  - SELECTORS NEVER SHUFFLE THE GRID. An instant selector dedups
+  *    samples, takes one series-ordered window (`lead`) and map-side
+  *    explodes each sample over exactly the grid instants it OWNS
+  *    (latest-sample-wins makes ownership an interval). Output volume is
+  *    the result size; the only exchanges are sample-sized.
+  *  - RANGE FUNCTIONS compute consecutive-pair state (lag) ONCE per
+  *    series before the grid explode, so the per-(series, T) aggregation
+  *    is a plain partial-aggregated groupBy — no per-window re-sort. The
+  *    explode factor is ⌈w/step⌉ (each sample falls in that many
+  *    windows) — intrinsic to PromQL's overlapping-window semantics, paid
+  *    as map-side rows feeding one exchange, never held in memory.
+  *  - binary ops are ONE equi-join on (match key, T); aggregations ONE
+  *    groupBy on (grouping labels, T) — both partial-combined.
+  *
+  * Determinism contract (the repo-wide fixed-point discipline): values
+  * travel as 1e-6 fixed-point longs; sums/counts are exact under any
+  * partition order; double math happens only in per-row scalar
+  * expressions evaluated identically by Spark and the DuckDB oracles,
+  * then re-floors to the grid. Duplicate timestamps in one series pick
+  * the greatest value (struct-max total order, both engines share it).
+  *
+  * Finite-store contract: the store ingests only finite doubles (F1,
+  * reference: clickhouse/client.go:138-141 drops NaN/±Inf). The evaluator
+  * preserves the invariant OUTWARD: any operation whose result is NaN or
+  * ±Inf (division by zero, ln(0), 0^-1 …) DROPS that element rather than
+  * materializing a non-finite — the vector analogue of the ingest filter,
+  * and what keeps fixed-point longs sound end to end.
+  */
+object Eval {
+  import Ast._
+
+  /** Grid spec for a range query; times in epoch seconds. */
+  case class RangeSpec(startSec: Long, endSec: Long, stepSec: Long,
+                       lookbackSec: Long = 300L) {
+    require(stepSec > 0 && endSec >= startSec && lookbackSec > 0)
+    val kMax: Long = (endSec - startSec) / stepSec
+  }
+
+  private val FP = 1000000L
+  private val FPD = 1000000.0
+
+  /** Evaluation result: an instant-vector frame (tags, t, st, v_fp), a
+    * scalar frame (t, v double), or a constant.
+    */
+  private sealed trait Val
+  private case class VecV(df: DataFrame) extends Val
+  private case class ScalV(df: DataFrame) extends Val
+  private case class ConstV(v: Double) extends Val
+
+  /** Parse + evaluate `query` over `metrics` (canonical store schema —
+    * `name`, `tags`, `val`, `ts` timestamp or long seconds; an optional
+    * `date` column is used for partition pruning). Returns
+    * (tags: Array[String], t: Long, value: Double) sorted by nothing —
+    * callers order at the edge.
+    */
+  def rangeQuery(metrics: DataFrame, query: String,
+                 spec: RangeSpec): DataFrame = {
+    val v = evalExpr(metrics, Parser.parse(query), spec) match {
+      case VecV(df) => df
+      case ScalV(df) =>
+        df.select(array().cast("array<string>").as("tags"), col("t"),
+          col("t").as("st"), floor(col("v") * FP).cast("long").as("v_fp"))
+      case ConstV(c) =>
+        grid(metrics, spec).select(array().cast("array<string>").as("tags"),
+          col("t"), col("t").as("st"),
+          lit(math.floor(c * FPD).toLong).as("v_fp"))
+    }
+    v.select(col("tags"), col("t"),
+      (col("v_fp").cast("double") / FPD).as("value"))
+  }
+
+  /** The grid as a frame (t). Driver-free: a range of k values. */
+  private def grid(metrics: DataFrame, spec: RangeSpec): DataFrame =
+    metrics.sparkSession.range(0L, spec.kMax + 1)
+      .select((lit(spec.startSec) + col("id") * spec.stepSec).as("t"))
+
+  // ---------------------------------------------------------------- AST
+
+  private def evalExpr(m: DataFrame, e: Expr, spec: RangeSpec): Val =
+    e match {
+      case NumberLit(v) => ConstV(v)
+      case StringLit(_) =>
+        throw new IllegalArgumentException(
+          "string literal where a vector/scalar is expected")
+      case Unary(neg, x) =>
+        evalExpr(m, x, spec) match {
+          case ConstV(v) => ConstV(if (neg) -v else v)
+          case ScalV(df) =>
+            ScalV(if (neg) df.withColumn("v", -col("v")) else df)
+          case VecV(df) =>
+            VecV(if (neg)
+              df.withColumn("v_fp", -col("v_fp"))
+                .withColumn("tags", dropName(col("tags")))
+            else df)
+        }
+      case s: Selector =>
+        if (s.rangeSec.nonEmpty)
+          throw new IllegalArgumentException(
+            "range selector outside a range function")
+        VecV(selectorInstant(m, s, spec))
+      case Agg(op, body, param, labels, without) =>
+        evalAgg(m, op, body, param, labels, without, spec)
+      case BinOp(op, l, r, boolMod, matching) =>
+        evalBinOp(m, op, l, r, boolMod, matching, spec)
+      case Call(fn, args) => evalCall(m, fn, args, spec)
+    }
+
+  // ---------------------------------------------------------- selectors
+
+  /** PromQL-exact matcher predicate over (name, tags) — anchored regex
+    * full-match, literal equality, absent-label-matches-empty. Distinct
+    * from graft.compile.Matchers, which preserves the reference
+    * ClickHouse dialect (unanchored regex, '|' splitting) for
+    * remote-read compatibility.
+    */
+  private[promql] def matcherPred(mt: Matcher): Column = {
+    val anchored = "^(?:" + mt.value + ")$"
+    if (mt.label == Schema.MetricNameLabel) mt.op match {
+      case MEq  => col("name") === mt.value
+      case MNeq => col("name") =!= mt.value
+      case MRe  => col("name").rlike(anchored)
+      case MNre => !col("name").rlike(anchored)
+    } else {
+      val prefix = mt.label + "="
+      val has = exists(col("tags"), x => x.startsWith(prefix))
+      def full(x: Column) = x.substr(lit(prefix.length + 1), lit(Int.MaxValue))
+      mt.op match {
+        case MEq =>
+          if (mt.value.isEmpty) !has
+          else exists(col("tags"), x => x === prefix + mt.value)
+        case MNeq =>
+          if (mt.value.isEmpty) has
+          else !exists(col("tags"), x => x === prefix + mt.value)
+        case MRe =>
+          val hit = exists(col("tags"),
+            x => x.startsWith(prefix) && full(x).rlike(anchored))
+          if (java.util.regex.Pattern.matches(anchored, "")) hit || !has
+          else hit
+        case MNre =>
+          val hit = exists(col("tags"),
+            x => x.startsWith(prefix) && full(x).rlike(anchored))
+          if (java.util.regex.Pattern.matches(anchored, "")) !(hit || !has)
+          else !hit
+      }
+    }
+  }
+
+  /** Scan + normalize + dedup: (tags, t, v_fp), one row per (series,
+    * second), greatest value wins on duplicates. Time bounds (and date
+    * bounds when the store is date-partitioned) push into the scan.
+    */
+  private def scan(m: DataFrame, s: Selector, spec: RangeSpec,
+                   reachBackSec: Long): DataFrame = {
+    val tsIsLong =
+      m.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tCol = if (tsIsLong) col("ts") else unix_timestamp(col("ts"))
+    val lo = spec.startSec - reachBackSec - s.offsetSec
+    val hi = spec.endSec - s.offsetSec
+    var df = m
+    if (m.columns.contains("date"))
+      df = df.filter(col("date") >= to_date(timestamp_seconds(lit(lo))) &&
+        col("date") <= to_date(timestamp_seconds(lit(hi))))
+    val pred = s.matchers.map(matcherPred)
+      .foldLeft(tCol > lo && tCol <= hi)(_ && _)
+    val named = s.name match {
+      case Some(n) => df.filter(col("name") === n)
+      case None => df
+    }
+    named.filter(pred)
+      .select(col("tags"), tCol.as("t"),
+        floor(col("val") * FP).cast("long").as("v_fp"))
+      .groupBy(col("tags"), col("t"))
+      .agg(max(col("v_fp")).as("v_fp"))
+  }
+
+  /** Instant selector on the grid. Each deduped sample OWNS the grid
+    * instants from its own time to just before the next sample (capped
+    * by lookback): one series-window `lead`, then a map-side
+    * sequence+explode emits exactly the owned instants — grid volume
+    * never enters an exchange (the gapFill shape, SURVEY §2).
+    */
+  private def selectorInstant(m: DataFrame, s: Selector,
+                              spec: RangeSpec): DataFrame = {
+    // reach back the full lookback: a sample at exactly start−L+1 is
+    // valid for T=start (window is (T−L, T], strict on the left)
+    val samples = scan(m, s, spec, spec.lookbackSec)
+    val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+    val te = col("t") + s.offsetSec
+    val nextTe = lead(col("t"), 1).over(w) + s.offsetSec
+    // owned instant range [te, min(nextTe-1, te+lookback-1)] ∩ [start,end]
+    val upper = least(
+      coalesce(nextTe - 1, lit(Long.MaxValue)),
+      te + (spec.lookbackSec - 1), lit(spec.endSec))
+    val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
+      spec.stepSec)
+    val kLast = floorDiv0(upper - spec.startSec, spec.stepSec)
+    samples
+      .select(col("tags"), col("t").as("st"), col("v_fp"),
+        kFirst.as("_k0"), kLast.as("_k1"))
+      .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)
+      .select(col("tags"), col("st"), col("v_fp"),
+        explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
+          .as("_k"))
+      .select(col("tags"),
+        (lit(spec.startSec) + col("_k") * spec.stepSec).as("t"),
+        col("st"), col("v_fp"))
+  }
+
+  private def ceilDiv(num: Column, den: Long): Column =
+    -floorDiv0(-num, den)
+  private def floorDiv0(num: Column, den: Long): Column =
+    floor(num.cast("double") / den).cast("long") // exact: |num| ≪ 2^52
+
+  /** Range selector exploded to evaluation windows: one row per (sample,
+    * grid T with T−w < t+offset ≤ T), with the consecutive-pair state
+    * (prev value/time, counter-adjusted delta) computed ONCE per series
+    * BEFORE the explode. Downstream range functions are plain aggregates
+    * over (tags, T).
+    */
+  private def rangeFrame(m: DataFrame, s: Selector, wSec: Long,
+                         spec: RangeSpec): DataFrame = {
+    val samples = scan(m, s, spec, wSec)
+    val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+    val laged = samples.select(col("tags"), col("t"), col("v_fp"),
+      lag(col("t"), 1).over(w).as("_pt"),
+      lag(col("v_fp"), 1).over(w).as("_pv"))
+    val te = col("t") + s.offsetSec
+    val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
+      spec.stepSec)
+    val kLast = floorDiv0(
+      least(te + (wSec - 1), lit(spec.endSec)) - spec.startSec, spec.stepSec)
+    laged
+      .select(col("*"), kFirst.as("_k0"), kLast.as("_k1"))
+      .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)
+      .select(col("tags"), col("t"), col("v_fp"), col("_pt"), col("_pv"),
+        explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
+          .as("_k"))
+      .select(col("tags"), (col("t") + s.offsetSec).as("te"),
+        (lit(spec.startSec) + col("_k") * spec.stepSec).as("_gt"),
+        col("t"), col("v_fp"),
+        (col("_pt") + s.offsetSec).as("_pt"), col("_pv"))
+  }
+
+  // -------------------------------------------------------- range calls
+
+  private val RangeFns = Set("rate", "increase", "delta", "irate", "idelta",
+    "changes", "resets", "deriv", "predict_linear", "avg_over_time",
+    "min_over_time", "max_over_time", "sum_over_time", "count_over_time",
+    "last_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time", "present_over_time", "absent_over_time")
+
+  private def evalRangeFn(m: DataFrame, fn: String, args: Seq[Expr],
+                          spec: RangeSpec): Val = {
+    val (sel, extra) = fn match {
+      case "quantile_over_time" =>
+        (selArg(args(1), fn), Some(constArg(m, args(0), spec, fn)))
+      case "predict_linear" =>
+        (selArg(args(0), fn), Some(constArg(m, args(1), spec, fn)))
+      case _ =>
+        require(args.length == 1, s"$fn() expects one range-vector arg")
+        (selArg(args(0), fn), None)
+    }
+    val wSec = sel.rangeSec.getOrElse(
+      throw new IllegalArgumentException(s"$fn() needs a range selector"))
+    val f = rangeFrame(m, sel, wSec, spec)
+    val outTags = dropName(col("tags"))
+    val grp = Seq(col("tags"), col("_gt"))
+    // a consecutive pair is in-window iff its OLDER endpoint is too
+    val pairIn = col("_pt").isNotNull && col("_pt") > col("_gt") - wSec
+    val d = col("v_fp") - col("_pv")
+    val counterAdj = when(!pairIn, lit(null))
+      .when(d >= 0, d).otherwise(col("v_fp"))
+    val gaugeAdj = when(!pairIn, lit(null)).otherwise(d)
+    def finish(df: DataFrame, vCol: Column, keep: Column = lit(true)) =
+      VecV(df.filter(keep && finiteFp(vCol))
+        .select(outTags.as("tags"), col("_gt").as("t"), col("_gt").as("st"),
+          vCol.cast("long").as("v_fp")))
+    fn match {
+      case "rate" | "increase" | "delta" =>
+        val adj = if (fn == "delta") gaugeAdj else counterAdj
+        val ord = struct(col("te").as("a"), col("v_fp").as("v"))
+        val g = f.withColumn("_adj", adj)
+          .groupBy(grp: _*)
+          .agg(count(lit(1)).as("n"), min(col("te")).as("ft"),
+            max(col("te")).as("lt"), min(ord).as("_first"),
+            coalesce(sum(col("_adj")), lit(0L)).as("raw_fp"))
+        val si = (col("lt") - col("ft")).cast("double")
+        val rawD = col("raw_fp") / FPD
+        val fvD = col("_first").getField("v") / FPD
+        val avgS = sdiv(si, (col("n") - 1).cast("double"))
+        val ds0 = (col("ft") - (col("_gt") - wSec)).cast("double")
+        val de0 = (col("_gt") - col("lt")).cast("double")
+        val ds1 = if (fn == "delta") ds0
+          else when(rawD > 0.0 && fvD >= 0.0, least(ds0, si * (fvD / rawD)))
+            .otherwise(ds0)
+        val thr = avgS * 1.1
+        val ds = when(ds1 >= thr, avgS / 2.0).otherwise(ds1)
+        val de = when(de0 >= thr, avgS / 2.0).otherwise(de0)
+        val inc = rawD * sdiv(si + ds + de, si)
+        val out = if (fn == "rate") inc / wSec else inc
+        finish(g, floor(out * FP), col("n") >= 2 && si > 0.0)
+      case "irate" | "idelta" =>
+        // the row holding the window's LAST sample carries its own lag
+        val pick = struct(col("te").as("a"), col("v_fp").as("v"),
+          col("_pt").as("pt"), col("_pv").as("pv"))
+        val g = f.filter(pairIn).groupBy(grp: _*).agg(max(pick).as("_l"))
+        val lastD = col("_l.v") - col("_l.pv")
+        val num = if (fn == "idelta") lastD
+          else when(lastD >= 0, lastD).otherwise(col("_l.v"))
+        val out = if (fn == "idelta") num
+          else floor(sdiv(num.cast("double"),
+            (col("_l.a") - col("_l.pt")).cast("double")))
+        finish(g, out)
+      case "changes" =>
+        val flag = when(pairIn && col("v_fp") =!= col("_pv"), 1L)
+          .otherwise(0L)
+        finish(f.groupBy(grp: _*).agg(sum(flag).as("_c")),
+          col("_c") * FP)
+      case "resets" =>
+        val flag = when(pairIn && col("v_fp") < col("_pv"), 1L).otherwise(0L)
+        finish(f.groupBy(grp: _*).agg(sum(flag).as("_c")),
+          col("_c") * FP)
+      case "deriv" | "predict_linear" =>
+        // exact decimal moment sums (the linearRegress discipline):
+        // slope is shift-invariant in t, so raw epoch seconds are fine
+        val tD = col("te").cast("decimal(38,0)")
+        val yD = col("v_fp").cast("decimal(38,0)")
+        val g = f.groupBy(grp: _*).agg(count(lit(1)).as("n"),
+          sum(tD).as("st"), sum(yD).as("sy"),
+          sum(tD * tD).as("stt"), sum(tD * yD).as("sty"))
+        val nD = col("n").cast("double")
+        val denom = col("n").cast("decimal(38,0)") * col("stt") -
+          col("st") * col("st")
+        val slopeFp = sdiv((col("n").cast("decimal(38,0)") * col("sty") -
+          col("st") * col("sy")).cast("double"), denom.cast("double"))
+        val out = if (fn == "deriv") floor(slopeFp)
+          else {
+            val horizon = lit(extra.get)
+            val meanT = col("st").cast("double") / nD
+            val meanY = col("sy").cast("double") / nD // fp grid already
+            floor(meanY + slopeFp *
+              (col("_gt").cast("double") - meanT + horizon))
+          }
+        finish(g, out, col("n") >= 2 && denom.cast("double") > 0.0)
+      case "quantile_over_time" =>
+        val g = f.groupBy(grp: _*)
+          .agg(percentile(col("v_fp"), lit(extra.get)).as("_q"))
+        finish(g, floor(col("_q")))
+      case "present_over_time" =>
+        finish(f.groupBy(grp: _*).agg(count(lit(1)).as("_n")), lit(FP))
+      case "absent_over_time" =>
+        VecV(absentFrame(m, f.select(col("_gt").as("t")).distinct(), sel,
+          spec))
+      case other =>
+        val g = f.groupBy(grp: _*).agg(
+          count(lit(1)).as("n"), sum(col("v_fp")).as("s"),
+          min(col("v_fp")).as("mn"), max(col("v_fp")).as("mx"),
+          max(struct(col("te").as("a"), col("v_fp").as("v"))).as("_lp"),
+          sum(col("v_fp").cast("decimal(38,0)") *
+            col("v_fp").cast("decimal(38,0)")).as("ss"))
+        val nD = col("n").cast("double")
+        val meanD = col("s").cast("double") / nD
+        val varFp2 = col("ss").cast("double") / nD - meanD * meanD
+        other match {
+          case "sum_over_time"   => finish(g, col("s"))
+          case "count_over_time" => finish(g, col("n") * FP)
+          case "min_over_time"   => finish(g, col("mn"))
+          case "max_over_time"   => finish(g, col("mx"))
+          case "avg_over_time"   => finish(g, floor(col("s") / col("n")))
+          case "last_over_time"  => finish(g, col("_lp").getField("v"))
+          case "stdvar_over_time" => finish(g, floor(varFp2 / FPD))
+          case "stddev_over_time" => finish(g, floor(sqrt(varFp2)))
+          case x => throw new IllegalArgumentException(s"unknown fn $x()")
+        }
+    }
+  }
+
+  // ------------------------------------------------------- aggregations
+
+  private def groupTags(tags: Column, labels: Seq[String],
+                        without: Boolean): Column =
+    if (without) {
+      val drop = (labels :+ Schema.MetricNameLabel).distinct
+      filter(tags, x => drop.map(l => !x.startsWith(l + "="))
+        .reduce(_ && _))
+    } else if (labels.isEmpty) array().cast("array<string>")
+    else filter(tags,
+      x => labels.map(l => x.startsWith(l + "=")).reduce(_ || _))
+
+  private def evalAgg(m: DataFrame, op: String, body: Expr,
+                      param: Option[Expr], labels: Seq[String],
+                      without: Boolean, spec: RangeSpec): Val = {
+    val in = evalExpr(m, body, spec) match {
+      case VecV(df) => df
+      case _ => throw new IllegalArgumentException(
+        s"$op() aggregates an instant vector")
+    }
+    val gt = groupTags(col("tags"), labels, without)
+    op match {
+      case "topk" | "bottomk" =>
+        val k = constArg(m, param.get, spec, op).toLong
+        require(k > 0, s"$op() needs k > 0")
+        val ord =
+          if (op == "topk")
+            Seq(col("v_fp").desc, array_join(col("tags"), ",").asc)
+          else Seq(col("v_fp").asc, array_join(col("tags"), ",").asc)
+        val w = Window.partitionBy(col("_g"), col("t")).orderBy(ord: _*)
+        VecV(in.withColumn("_g", gt)
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= k)
+          .select(col("tags"), col("t"), col("st"), col("v_fp")))
+      case "count_values" =>
+        val label = param.get match {
+          case StringLit(s) => s
+          case _ => throw new IllegalArgumentException(
+            "count_values() label must be a string literal")
+        }
+        // printed value = fp-grid double, trailing zeros trimmed — the
+        // same text both engines derive from the same long
+        val txt = printFp(col("v_fp"))
+        val g = in.withColumn("_g", gt)
+          .groupBy(col("_g"), col("t"),
+            concat(lit(label + "="), txt).as("_pair"))
+          .agg(count(lit(1)).as("n"))
+        VecV(g.select(
+          sort_array(array_union(col("_g"), array(col("_pair"))))
+            .as("tags"),
+          col("t"), col("t").as("st"), (col("n") * FP).as("v_fp")))
+      case "quantile" =>
+        val q = constArg(m, param.get, spec, op)
+        val g = in.groupBy(gt.as("tags"), col("t"))
+          .agg(percentile(col("v_fp"), lit(q)).as("_q"))
+        VecV(g.select(col("tags"), col("t"), col("t").as("st"),
+          floor(col("_q")).cast("long").as("v_fp")))
+      case simple =>
+        val g = in.groupBy(gt.as("tags"), col("t")).agg(
+          count(lit(1)).as("n"), sum(col("v_fp")).as("s"),
+          min(col("v_fp")).as("mn"), max(col("v_fp")).as("mx"),
+          sum(col("v_fp").cast("decimal(38,0)") *
+            col("v_fp").cast("decimal(38,0)")).as("ss"))
+        val nD = col("n").cast("double")
+        val meanD = col("s").cast("double") / nD
+        val varFp2 = col("ss").cast("double") / nD - meanD * meanD
+        val out = simple match {
+          case "sum"    => col("s")
+          case "count"  => col("n") * FP
+          case "min"    => col("mn")
+          case "max"    => col("mx")
+          case "avg"    => floor(col("s") / col("n"))
+          case "group"  => lit(FP)
+          case "stdvar" => floor(varFp2 / FPD).cast("long")
+          case "stddev" => floor(sqrt(varFp2)).cast("long")
+          case x => throw new IllegalArgumentException(s"unknown agg $x()")
+        }
+        VecV(g.select(col("tags"), col("t"), col("t").as("st"),
+          out.cast("long").as("v_fp")))
+    }
+  }
+
+  // -------------------------------------------------------- binary ops
+
+  private def evalBinOp(m: DataFrame, op: String, le: Expr, re: Expr,
+                        boolMod: Boolean, matching: Option[Matching],
+                        spec: RangeSpec): Val = {
+    val lv = evalExpr(m, le, spec)
+    val rv = evalExpr(m, re, spec)
+    if (SetOps.contains(op)) return evalSetOp(op, lv, rv, matching)
+    (lv, rv) match {
+      case (ConstV(a), ConstV(b)) =>
+        val r = scalarOp(op, a, b)
+        if (CmpOps.contains(op)) {
+          if (boolMod) ConstV(if (r != 0.0) 1.0 else 0.0)
+          else throw new IllegalArgumentException(
+            "comparisons between scalars need 'bool'")
+        } else ConstV(r)
+      case (VecV(l), VecV(r)) =>
+        evalVecVec(op, l, r, boolMod, matching)
+      case (VecV(l), _) =>
+        val rCol = scalarColOf(rv)
+        val joined = attachScalar(l, rv)
+        vecScalar(op, joined, col("v_fp"), rCol, boolMod,
+          leftIsVector = true)
+      case (_, VecV(r)) =>
+        val lCol = scalarColOf(lv)
+        val joined = attachScalar(r, lv)
+        vecScalar(op, joined, lCol, col("v_fp"), boolMod,
+          leftIsVector = false)
+      case (ScalV(l), ScalV(r)) =>
+        val j = l.join(r.withColumnRenamed("v", "_rv"), "t")
+        val out = dblOp(op, col("v"), col("_rv"))
+        if (CmpOps.contains(op) && !boolMod)
+          throw new IllegalArgumentException(
+            "comparisons between scalars need 'bool'")
+        ScalV(j.select(col("t"),
+          (if (CmpOps.contains(op)) when(out =!= 0.0, 1.0).otherwise(0.0)
+           else out).as("v")).filter(!isnan(col("v"))))
+      case (ScalV(l), ConstV(b)) =>
+        val out = dblOp(op, col("v"), lit(b))
+        ScalV(l.select(col("t"),
+          (if (CmpOps.contains(op)) when(out =!= 0.0, 1.0).otherwise(0.0)
+           else out).as("v")).filter(!isnan(col("v"))))
+      case (ConstV(a), ScalV(r)) =>
+        val out = dblOp(op, lit(a), col("v"))
+        ScalV(r.select(col("t"),
+          (if (CmpOps.contains(op)) when(out =!= 0.0, 1.0).otherwise(0.0)
+           else out).as("v")).filter(!isnan(col("v"))))
+      case _ => throw new IllegalArgumentException(
+        s"unsupported operand combination for $op")
+    }
+  }
+
+  /** Vector ⊕ scalar: per-row double math, comparisons filter (or emit
+    * 0/1 under bool); arithmetic and bool drop the metric name.
+    */
+  private def vecScalar(op: String, df: DataFrame, lCol: Column,
+                        rCol: Column, boolMod: Boolean,
+                        leftIsVector: Boolean): Val = {
+    val lD = lCol.cast("double") / (if (leftIsVector) FPD else 1.0)
+    val rD = rCol.cast("double") / (if (leftIsVector) 1.0 else FPD)
+    if (CmpOps.contains(op)) {
+      val keep = dblOp(op, lD, rD) =!= 0.0
+      if (boolMod)
+        VecV(df.select(dropName(col("tags")).as("tags"), col("t"),
+          col("st"),
+          when(keep, lit(FP)).otherwise(lit(0L)).as("v_fp")))
+      else
+        VecV(df.filter(keep)
+          .select(col("tags"), col("t"), col("st"), col("v_fp")))
+    } else {
+      val out = dblOp(op, lD, rD)
+      VecV(df.filter(finiteD(out))
+        .select(dropName(col("tags")).as("tags"), col("t"), col("st"),
+          floor(out * FP).cast("long").as("v_fp")))
+    }
+  }
+
+  /** Vector-vector binop with PromQL vector matching. The match key is
+    * the on() label subset (or all labels minus ignoring minus
+    * __name__); ONE equi-join on (key, T). Output labels follow the
+    * engine's documented contract: arithmetic/bool one-to-one carries
+    * the match key; group_left/right carries the many side minus
+    * __name__ plus include labels copied from the one side; filter
+    * comparisons pass the left element through unchanged. The non-carry
+    * side must be unique per (key, T) — aggregate it first (PromQL
+    * raises on many-to-many; a violation here multiplies rows instead).
+    */
+  private def evalVecVec(op: String, l: DataFrame, r: DataFrame,
+                         boolMod: Boolean,
+                         matching: Option[Matching]): Val = {
+    val m = matching.getOrElse(Matching(on = false, Nil, 0, Nil))
+    def key(tags: Column): Column =
+      if (m.on) groupTags(tags, m.labels, without = false)
+      else groupTags(tags, m.labels, without = true)
+    val lk = l.select(col("tags"), key(col("tags")).as("_k"), col("t"),
+      col("st"), col("v_fp"))
+    val rk = r.select(key(col("tags")).as("_k"), col("tags").as("_rtags"),
+      col("t"), col("v_fp").as("_rv"))
+    val j = lk.join(rk, Seq("_k", "t"))
+    val lD = col("v_fp").cast("double") / FPD
+    val rD = col("_rv").cast("double") / FPD
+    val outTags: Column = m.side match {
+      case 0 => col("_k")
+      case 1 => carry(col("tags"), col("_rtags"), m.include)
+      case 2 => carry(col("_rtags"), col("tags"), m.include)
+    }
+    if (CmpOps.contains(op)) {
+      val keep = dblOp(op, lD, rD) =!= 0.0
+      if (boolMod)
+        VecV(j.select(outTags.as("tags"), col("t"), col("st"),
+          when(keep, lit(FP)).otherwise(lit(0L)).as("v_fp")))
+      else // filter semantics: the LEFT element passes through unchanged
+        VecV(j.filter(keep)
+          .select(col("tags"), col("t"), col("st"), col("v_fp")))
+    } else {
+      val out = dblOp(op, lD, rD)
+      VecV(j.filter(finiteD(out))
+        .select(outTags.as("tags"), col("t"), col("st"),
+          floor(out * FP).cast("long").as("v_fp")))
+    }
+  }
+
+  /** Many-side labels minus __name__, plus include labels copied from
+    * the one side (overwriting any same-named label, as PromQL does).
+    */
+  private def carry(many: Column, one: Column,
+                    include: Seq[String]): Column = {
+    val base = dropName(many)
+    if (include.isEmpty) base
+    else {
+      val cleaned = filter(base, x =>
+        include.map(l => !x.startsWith(l + "=")).reduce(_ && _))
+      val picked = filter(one, x =>
+        include.map(l => x.startsWith(l + "=")).reduce(_ || _))
+      sort_array(array_union(cleaned, picked))
+    }
+  }
+
+  private def evalSetOp(op: String, lv: Val, rv: Val,
+                        matching: Option[Matching]): Val = {
+    val (l, r) = (lv, rv) match {
+      case (VecV(a), VecV(b)) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"set operator $op needs two instant vectors")
+    }
+    val m = matching.getOrElse(Matching(on = false, Nil, 0, Nil))
+    def key(tags: Column): Column =
+      if (m.on) groupTags(tags, m.labels, without = false)
+      else if (m.labels.isEmpty) tags // default: full label identity
+      else groupTags(tags, m.labels, without = true)
+    val lk = l.withColumn("_k", key(col("tags")))
+    val rKeys = r.select(key(col("tags")).as("_k"), col("t")).distinct()
+    op match {
+      case "and" =>
+        VecV(lk.join(rKeys, Seq("_k", "t"), "left_semi").drop("_k"))
+      case "unless" =>
+        VecV(lk.join(rKeys, Seq("_k", "t"), "left_anti").drop("_k"))
+      case "or" =>
+        // rhs elements whose full label set is absent from lhs at T
+        val lSets = l.select(col("tags"), col("t")).distinct()
+        val extra = r.join(lSets, Seq("tags", "t"), "left_anti")
+        VecV(l.unionByName(extra))
+    }
+  }
+
+  // ----------------------------------------------------- instant calls
+
+  private def evalCall(m: DataFrame, fn: String, args: Seq[Expr],
+                       spec: RangeSpec): Val = {
+    if (RangeFns.contains(fn)) return evalRangeFn(m, fn, args, spec)
+    fn match {
+      case "time" => ScalV(grid(m, spec)
+        .select(col("t"), col("t").cast("double").as("v")))
+      case "scalar" =>
+        val v = vecArg(m, args(0), spec, fn)
+        ScalV(v.groupBy(col("t"))
+          .agg(count(lit(1)).as("_n"), max(col("v_fp")).as("_v"))
+          .filter(col("_n") === 1)
+          .select(col("t"), (col("_v").cast("double") / FPD).as("v")))
+      case "vector" =>
+        evalExpr(m, args(0), spec) match {
+          case ConstV(c) =>
+            VecV(grid(m, spec).select(
+              array().cast("array<string>").as("tags"), col("t"),
+              col("t").as("st"),
+              lit(math.floor(c * FPD).toLong).as("v_fp")))
+          case ScalV(df) =>
+            VecV(df.select(array().cast("array<string>").as("tags"),
+              col("t"), col("t").as("st"),
+              floor(col("v") * FP).cast("long").as("v_fp")))
+          case _ => throw new IllegalArgumentException(
+            "vector() takes a scalar")
+        }
+      case "timestamp" =>
+        val v = vecArg(m, args(0), spec, fn)
+        VecV(v.select(dropName(col("tags")).as("tags"), col("t"),
+          col("st"), (col("st") * FP).as("v_fp")))
+      case "absent" =>
+        val sel = args(0) match {
+          case s: Selector => s
+          case _ => throw new IllegalArgumentException(
+            "absent() argument must be a selector in this engine")
+        }
+        val present = VecV(selectorInstant(m, sel, spec))
+        VecV(absentFrame(m,
+          present.df.select(col("t")).distinct(), sel, spec))
+      case "histogram_quantile" =>
+        val q = constArg(m, args(0), spec, fn)
+        VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
+      case "label_replace" =>
+        val v = vecArg(m, args(0), spec, fn)
+        val ss = args.drop(1).map(strArg(_, fn))
+        VecV(v.withColumn("tags",
+          LabelOps.labelReplace(col("tags"), ss(0), ss(1), ss(2), ss(3))))
+      case "label_join" =>
+        val v = vecArg(m, args(0), spec, fn)
+        val ss = args.drop(1).map(strArg(_, fn))
+        VecV(v.withColumn("tags",
+          LabelOps.labelJoin(col("tags"), ss(0), ss(1), ss.drop(2))))
+      case "sort" | "sort_desc" =>
+        // ordering is presentation-only on a set-valued frame; the
+        // output edge orders deterministically
+        VecV(vecArg(m, args(0), spec, fn))
+      case "round" =>
+        val to = if (args.length > 1) constArg(m, args(1), spec, fn)
+          else 1.0
+        require(to > 0, "round() divisor must be positive")
+        mapFn(m, args(0), spec,
+          d => floor(d / to + 0.5) * to)
+      case "clamp" =>
+        val lo = constArg(m, args(1), spec, fn)
+        val hi = constArg(m, args(2), spec, fn)
+        mapFn(m, args(0), spec, d => least(greatest(d, lit(lo)), lit(hi)))
+      case "clamp_min" =>
+        val lo = constArg(m, args(1), spec, fn)
+        mapFn(m, args(0), spec, d => greatest(d, lit(lo)))
+      case "clamp_max" =>
+        val hi = constArg(m, args(1), spec, fn)
+        mapFn(m, args(0), spec, d => least(d, lit(hi)))
+      case "abs"   => mapFn(m, args(0), spec, abs)
+      case "ceil"  => mapFn(m, args(0), spec, ceil(_).cast("double"))
+      case "floor" => mapFn(m, args(0), spec, floor(_).cast("double"))
+      case "sqrt"  => mapFn(m, args(0), spec, sqrt)
+      case "exp"   => mapFn(m, args(0), spec, exp)
+      case "ln"    => mapFn(m, args(0), spec, log)
+      case "log2"  => mapFn(m, args(0), spec, log2)
+      case "log10" => mapFn(m, args(0), spec, log10)
+      case "sgn"   => mapFn(m, args(0), spec, signum)
+      case other =>
+        throw new IllegalArgumentException(s"unknown function $other()")
+    }
+  }
+
+  /** Value-transform functions: per-row double map, metric name dropped
+    * (they change what the value MEANS), non-finite results dropped
+    * (finite-store contract).
+    */
+  private def mapFn(m: DataFrame, arg: Expr, spec: RangeSpec,
+                    f: Column => Column): Val = {
+    evalExpr(m, arg, spec) match {
+      case VecV(df) =>
+        val out = f(col("v_fp").cast("double") / FPD)
+        VecV(df.filter(finiteD(out))
+          .select(dropName(col("tags")).as("tags"), col("t"), col("st"),
+            floor(out * FP).cast("long").as("v_fp")))
+      case ScalV(df) =>
+        val out = f(col("v"))
+        ScalV(df.select(col("t"), out.as("v")).filter(!isnan(col("v"))))
+      case ConstV(c) => ConstV(evalDoubleFn(m, f, c))
+    }
+  }
+
+  /** Fold a column-level double function over a literal via a one-row
+    * local plan — the SAME Catalyst expression the vector path runs, so
+    * scalar and vector results cannot diverge. Constant-folds once per
+    * query; never in a hot path.
+    */
+  private def evalDoubleFn(m: DataFrame, f: Column => Column,
+                           c: Double): Double = {
+    val row = m.sparkSession.range(1)
+      .select(f(lit(c)).cast("double").as("v")).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** PromQL histogram_quantile over an instant vector of `le`-labeled
+    * cumulative bucket values: per (series-minus-le, T), running-max
+    * monotonic repair, rank = q·total, interpolate inside the crossing
+    * bucket (promql/quantile.go semantics — the grid twin of
+    * TimeSeriesOps.histogramQuantile, which consumes windowed counter
+    * increases instead).
+    */
+  private def histQuantile(in: DataFrame, q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q outside (0,1) is ±Inf by definition")
+    val leStr = LabelOps.labelValue(col("tags"), "le")
+    val le = when(leStr === "+Inf" || leStr === "Inf",
+      lit(Double.PositiveInfinity)).otherwise(leStr.cast("double"))
+    val base = in
+      .withColumn("_le", le)
+      .filter(col("_le").isNotNull)
+      .withColumn("_g", filter(col("tags"), x =>
+        !x.startsWith("le=") &&
+          !x.startsWith(Schema.MetricNameLabel + "=")))
+    val part = Seq(col("_g"), col("t"))
+    val wRun = Window.partitionBy(part: _*).orderBy(col("_le").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(part: _*)
+    val wLag = Window.partitionBy(part: _*).orderBy(col("_le").asc)
+    val staged = base
+      .select(col("*"), max(col("v_fp")).over(wRun).as("_rep"))
+      .select(col("*"),
+        lag(col("_le"), 1).over(wLag).as("_ple"),
+        lag(col("_rep"), 1).over(wLag).as("_prep"),
+        max(col("_rep")).over(wAll).as("_tot"))
+    val rank = lit(q) * col("_tot").cast("double")
+    val repD = col("_rep").cast("double")
+    val prevD = col("_prep").cast("double")
+    val crossing = repD >= rank && (col("_prep").isNull || prevD < rank)
+    val res = when(col("_le") === Double.PositiveInfinity, col("_ple"))
+      .when(col("_prep").isNull, col("_le") * sdiv(rank, repD))
+      .otherwise(col("_ple") + (col("_le") - col("_ple")) *
+        sdiv(rank - prevD, repD - prevD))
+    staged.filter(col("_tot") > 0 && crossing && finiteD(res))
+      .select(col("_g").as("tags"), col("t"), col("t").as("st"),
+        floor(res * FP).cast("long").as("v_fp"))
+  }
+
+  /** absent()/absent_over_time(): value 1 at every grid instant the
+    * argument has no elements, labeled by the selector's EQ matchers
+    * (PromQL's absent label derivation).
+    */
+  private def absentFrame(m: DataFrame, presentTs: DataFrame, s: Selector,
+                          spec: RangeSpec): DataFrame = {
+    val lbls = (s.name.map(n => Schema.MetricNameLabel + "=" + n).toSeq ++
+      s.matchers.collect {
+        case Matcher(l, MEq, v) if v.nonEmpty => l + "=" + v
+      }).distinct.sorted
+    grid(m, spec).join(presentTs, Seq("t"), "left_anti")
+      .select(lit(lbls.toArray).cast("array<string>").as("tags"), col("t"),
+        col("t").as("st"), lit(FP).as("v_fp"))
+  }
+
+  // ------------------------------------------------------------ helpers
+
+  /** ANSI-safe double division: null (dropped downstream) instead of the
+    * ANSI DIVIDE_BY_ZERO error — the finite-store contract's spelling of
+    * x/0, and what keeps the evaluator runnable under the session's ANSI
+    * mode.
+    */
+  private def sdiv(a: Column, b: Column): Column =
+    when(b =!= 0.0, a / b)
+  private def smod(a: Column, b: Column): Column =
+    when(b =!= 0.0, a % b)
+
+  private def dropName(tags: Column): Column =
+    filter(tags, x => !x.startsWith(Schema.MetricNameLabel + "="))
+
+  /** Finite-result guard on a double column (NaN and ±Inf drop). */
+  private def finiteD(c: Column): Column =
+    !isnan(c) && c > Double.NegativeInfinity && c < Double.PositiveInfinity
+  /** Same, applied before the long cast of a floored fp expression. */
+  private def finiteFp(c: Column): Column =
+    c.isNotNull && !isnan(c.cast("double")) &&
+      c.cast("double") > -9.2e18 && c.cast("double") < 9.2e18
+
+  /** Fixed-point long printed as PromQL prints the double: up to six
+    * decimals, trailing zeros (and a bare dot) trimmed. Sign handled
+    * separately so −0.5 doesn't lose it to integer truncation.
+    */
+  private def printFp(fp: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        concat(when(fp < 0, lit("-")).otherwise(lit("")),
+          format_string("%d.%06d", (abs(fp) / FP).cast("long"),
+            (abs(fp) % FP).cast("long"))),
+        "0+$", ""),
+      "\\.$", "")
+
+  private def scalarOp(op: String, a: Double, b: Double): Double =
+    op match {
+      case "+" => a + b
+      case "-" => a - b
+      case "*" => a * b
+      case "/" => a / b
+      case "%" => a % b
+      case "^" => math.pow(a, b)
+      case "==" => if (a == b) 1.0 else 0.0
+      case "!=" => if (a != b) 1.0 else 0.0
+      case "<" => if (a < b) 1.0 else 0.0
+      case "<=" => if (a <= b) 1.0 else 0.0
+      case ">" => if (a > b) 1.0 else 0.0
+      case ">=" => if (a >= b) 1.0 else 0.0
+      case x => throw new IllegalArgumentException(s"unknown operator $x")
+    }
+
+  private def dblOp(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => sdiv(a, b)
+    case "%" => smod(a, b)
+    case "^" => pow(a, b)
+    case "==" => when(a === b, 1.0).otherwise(0.0)
+    case "!=" => when(a =!= b, 1.0).otherwise(0.0)
+    case "<" => when(a < b, 1.0).otherwise(0.0)
+    case "<=" => when(a <= b, 1.0).otherwise(0.0)
+    case ">" => when(a > b, 1.0).otherwise(0.0)
+    case ">=" => when(a >= b, 1.0).otherwise(0.0)
+    case x => throw new IllegalArgumentException(s"unknown operator $x")
+  }
+
+  private def scalarColOf(v: Val): Column = v match {
+    case ConstV(c) => lit(c)
+    case ScalV(_) => col("_sv")
+    case _ => throw new IllegalStateException("not a scalar")
+  }
+  /** Join a per-T scalar frame onto a vector frame (constants attach as
+    * literals with no join).
+    */
+  private def attachScalar(vec: DataFrame, s: Val): DataFrame = s match {
+    case ConstV(_) => vec
+    case ScalV(df) => vec.join(df.withColumnRenamed("v", "_sv"), "t")
+    case _ => throw new IllegalStateException("not a scalar")
+  }
+
+  private def selArg(e: Expr, fn: String): Selector = e match {
+    case s: Selector => s
+    case _ => throw new IllegalArgumentException(
+      s"$fn() expects a range selector argument")
+  }
+  private def vecArg(m: DataFrame, e: Expr, spec: RangeSpec,
+                     fn: String): DataFrame =
+    evalExpr(m, e, spec) match {
+      case VecV(df) => df
+      case _ => throw new IllegalArgumentException(
+        s"$fn() expects an instant vector argument")
+    }
+  private def strArg(e: Expr, fn: String): String = e match {
+    case StringLit(s) => s
+    case _ => throw new IllegalArgumentException(
+      s"$fn() expects a string literal")
+  }
+  /** Numeric parameter that must fold to a constant (k, q, horizon). */
+  private def constArg(m: DataFrame, e: Expr, spec: RangeSpec,
+                       fn: String): Double =
+    evalExpr(m, e, spec) match {
+      case ConstV(c) => c
+      case _ => throw new IllegalArgumentException(
+        s"$fn() parameter must be a constant scalar")
+    }
+}

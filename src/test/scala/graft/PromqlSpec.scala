@@ -1,0 +1,402 @@
+package graft
+
+import graft.promql.{Ast, Eval, ParseException, Parser}
+import graft.promql.Ast._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PromQL parser + evaluator semantics.
+  *
+  * Parser: precedence, durations, matchers, modifiers, errors. Evaluator:
+  * hand-computed cases for each operator class, plus a seeded-random
+  * differential test against a naive in-test reference evaluator for the
+  * selector/rate/aggregation core (the same style as the asof-join
+  * random-reference spec).
+  */
+class PromqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- parser
+
+  test("parser: arithmetic precedence and right-assoc power") {
+    Parser.parse("a + b * c") match {
+      case BinOp("+", Selector(Some("a"), _, _, _), BinOp("*", _, _, _, _),
+          false, None) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("2 ^ 3 ^ 2") match {
+      case BinOp("^", NumberLit(2.0), BinOp("^", NumberLit(3.0),
+          NumberLit(2.0), _, _), _, _) => ()
+      case x => fail(s"unexpected $x")
+    }
+    // comparison binds looser than arithmetic
+    Parser.parse("a > b + c") match {
+      case BinOp(">", _, BinOp("+", _, _, _, _), false, None) => ()
+      case x => fail(s"unexpected $x")
+    }
+  }
+
+  test("parser: durations, range, offset") {
+    Parser.parse("m[1h30m]") match {
+      case Selector(Some("m"), Nil, Some(5400L), 0L) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("m[90] offset 2m") match {
+      case Selector(Some("m"), Nil, Some(90L), 120L) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("rate(m[5m])") match {
+      case Call("rate", Seq(Selector(Some("m"), Nil, Some(300L), 0L))) => ()
+      case x => fail(s"unexpected $x")
+    }
+  }
+
+  test("parser: matchers and selector validity") {
+    Parser.parse("""m{a="x", b!="y", c=~"z.*", d!~"w"}""") match {
+      case Selector(Some("m"), ms, None, 0L) =>
+        assert(ms == Seq(Matcher("a", MEq, "x"), Matcher("b", MNeq, "y"),
+          Matcher("c", MRe, "z.*"), Matcher("d", MNre, "w")))
+      case x => fail(s"unexpected $x")
+    }
+    intercept[ParseException](Parser.parse("""{a!="x"}""")) // no anchor
+    intercept[ParseException](Parser.parse("m[5m:1m]")) // subquery
+    intercept[ParseException](Parser.parse("(a + b)[5m]")) // range on expr
+    intercept[ParseException](Parser.parse("""m{a=x}""")) // unquoted value
+  }
+
+  test("parser: aggregation modifiers before or after the body") {
+    val a = Parser.parse("sum by (job) (m)")
+    val b = Parser.parse("sum(m) by (job)")
+    assert(a == b)
+    a match {
+      case Agg("sum", Selector(Some("m"), _, _, _), None, Seq("job"),
+          false) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("topk(3, m)") match {
+      case Agg("topk", _, Some(NumberLit(3.0)), Nil, false) => ()
+      case x => fail(s"unexpected $x")
+    }
+    intercept[ParseException](Parser.parse("topk(m)")) // missing param
+    intercept[ParseException](Parser.parse("sum(1, m)")) // stray param
+  }
+
+  test("parser: vector matching and bool modifiers") {
+    Parser.parse("a / on(j) group_left(extra) b") match {
+      case BinOp("/", _, _, false,
+          Some(Matching(true, Seq("j"), 1, Seq("extra")))) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("a > bool ignoring(k) b") match {
+      case BinOp(">", _, _, true, Some(Matching(false, Seq("k"), 0,
+          Nil))) => ()
+      case x => fail(s"unexpected $x")
+    }
+    intercept[ParseException](
+      Parser.parse("a and on(j) group_left b")) // group on set op
+  }
+
+  // ---------------------------------------------------------- evaluator
+
+  /** Canonical-store fixture: two counter series + one gauge series.
+    * Integer values keep the 1e-6 fixed-point floor exact.
+    */
+  private def fixture: DataFrame = {
+    def series(name: String, inst: String, pts: Seq[(Long, Double)]) =
+      pts.map { case (t, v) =>
+        (name, Seq(s"__name__=$name", s"instance=$inst").sorted, v, t)
+      }
+    val rows =
+      series("req", "i1", Seq(0L -> 0.0, 10L -> 5.0, 20L -> 12.0,
+        30L -> 2.0, 40L -> 9.0, 60L -> 15.0)) ++ // reset at t=30
+      series("req", "i2", Seq(5L -> 100.0, 25L -> 130.0, 45L -> 160.0)) ++
+      series("mem", "i1", Seq(0L -> 50.0, 30L -> 40.0, 60L -> 70.0))
+    rows.toDF("name", "tags", "val", "ts")
+  }
+
+  private def run(q: String, start: Long, end: Long, step: Long,
+                  lookback: Long = 300L): Seq[(String, Long, Double)] =
+    Eval.rangeQuery(fixture, q, Eval.RangeSpec(start, end, step, lookback))
+      .select(array_join(col("tags"), ","), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().sorted.toSeq
+
+  test("instant selector: latest sample in lookback, staleness bound") {
+    val got = run("""req{instance="i1"}""", 0, 60, 20, lookback = 15)
+    // T=0 -> t0 v0; T=20 -> t20 v12; T=40 -> t40 v9; T=60 -> t60 v15
+    assert(got == Seq(
+      ("__name__=req,instance=i1", 0L, 0.0),
+      ("__name__=req,instance=i1", 20L, 12.0),
+      ("__name__=req,instance=i1", 40L, 9.0),
+      ("__name__=req,instance=i1", 60L, 15.0)))
+    // lookback 5: samples at 5/25/45 serve T in [t, t+4] — no grid
+    // multiple of 10 falls there, so every grid instant is stale
+    assert(run("""req{instance="i2"}""", 0, 60, 10, lookback = 5).isEmpty)
+    // lookback 10: each sample serves exactly the next grid instant
+    val sparse = run("""req{instance="i2"}""", 0, 60, 10, lookback = 10)
+    assert(sparse == Seq(
+      ("__name__=req,instance=i2", 10L, 100.0),
+      ("__name__=req,instance=i2", 30L, 130.0),
+      ("__name__=req,instance=i2", 50L, 160.0)))
+  }
+
+  test("offset shifts the read window") {
+    val got = run("""req{instance="i1"} offset 20""", 40, 40, 10,
+      lookback = 15)
+    // T=40 reads (40-20-15, 40-20] = (5, 20] -> t=20 v=12
+    assert(got == Seq(("__name__=req,instance=i1", 40L, 12.0)))
+  }
+
+  test("regex matchers are anchored and empty-match includes absent") {
+    assert(run("""req{instance=~"i"}""", 60, 60, 10).isEmpty) // no full match
+    assert(run("""req{instance=~"i."}""", 60, 60, 10).size == 2)
+    // nope=~".*" full-matches the absent label's empty value
+    assert(run("""req{instance="i1", nope=~".*"}""", 60, 60, 10).size == 1)
+    assert(run("""req{instance="i1", nope!~".+"}""", 60, 60, 10).size == 1)
+    assert(run("""req{instance="i1", nope=~".+"}""", 60, 60, 10).isEmpty)
+  }
+
+  test("increase applies counter reset + extrapolation semantics") {
+    // window (0, 60] over i1: samples t10..t60, reset at t=30
+    val got = run("""increase(req{instance="i1"}[60])""", 60, 60, 60)
+    // raw = 5@(0->wait) pairs in (0,60]: (10,5)d5,(20,12)d7,(30,2)reset->2,
+    // (40,9)d7,(60,15)d6 ; pair (0,10): prev t=0 NOT in (0,60] -> excluded
+    // raw = 5+7+2+7+6 = 27? no: pair (10,5) prev is t=0 outside -> drop d5
+    // raw = 7+2+7+6 = 22; ft=10, lt=60, si=50, n=5, avg=12.5, thr=13.75
+    // ds0 = 10-0 = 10 < thr -> counter zero-cap: si*fv/raw = 50*5/22=11.36
+    //   -> ds = min(10, 11.36) = 10 ; de0 = 0 < thr -> de = 0
+    // inc = 22 * (50+10+0)/50 = 26.4
+    assert(got.size == 1)
+    assert(math.abs(got.head._3 - 26.4) < 1e-6)
+    // name is dropped by rate/increase
+    assert(got.head._1 == "instance=i1")
+  }
+
+  test("rate = increase / window") {
+    val inc = run("""increase(req{instance="i1"}[60])""", 60, 60, 60)
+    val rate = run("""rate(req{instance="i1"}[60])""", 60, 60, 60)
+    assert(math.abs(rate.head._3 - inc.head._3 / 60.0) < 2e-6)
+  }
+
+  test("delta on a gauge telescopes without reset handling") {
+    // mem i1 window (0,60]: in-window samples t=30 (v40), t=60 (v70);
+    // the (0->30) pair's older endpoint is outside -> excluded, raw=30.
+    // ft=30 lt=60 si=30 n=2 avg=30 thr=33; ds0=30<thr -> ds=30; de0=0.
+    // delta has no zero-cap: inc = 30*(30+30+0)/30 = 60
+    val got = run("""delta(mem[60])""", 60, 60, 60)
+    assert(math.abs(got.head._3 - 60.0) < 1e-6)
+  }
+
+  test("changes and resets count in-window consecutive pairs only") {
+    val chg = run("""changes(req{instance="i1"}[40])""", 60, 60, 60)
+    // window (20,60]: in-window pairs (30,40) and (40,60) both change;
+    // the (20,30) transition straddles the boundary -> not counted
+    assert(chg == Seq(("instance=i1", 60L, 2.0)))
+    val rst = run("""resets(req{instance="i1"}[60])""", 60, 60, 60)
+    assert(rst == Seq(("instance=i1", 60L, 1.0)))
+  }
+
+  test("irate uses the last two samples of the window") {
+    val got = run("""irate(req{instance="i1"}[60])""", 60, 60, 60)
+    // last two: (40,9) -> (60,15): d=6 over 20s = 0.3
+    assert(math.abs(got.head._3 - 0.3) < 1e-6)
+    val id = run("""idelta(mem[60])""", 60, 60, 60)
+    assert(math.abs(id.head._3 - 30.0) < 1e-6)
+  }
+
+  test("*_over_time family on the grid") {
+    val q = "max_over_time(req{instance=\"i1\"}[30])"
+    assert(run(q, 30, 30, 10) == Seq(("instance=i1", 30L, 12.0)))
+    assert(run("min_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 2.0)))
+    assert(run("sum_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 19.0)))
+    assert(run("count_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 3.0)))
+    assert(run("last_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 2.0)))
+    assert(run("avg_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 19.0 / 3.0 - ((19.0 / 3.0 * 1e6) % 1) / 1e6))
+      || run("avg_over_time(req{instance=\"i1\"}[30])", 30, 30, 10)
+        .head._3 == math.floor(19.0 / 3.0 * 1e6) / 1e6)
+    assert(run("present_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 1.0)))
+  }
+
+  test("aggregations: sum/avg/count by and without") {
+    // at T=60: i1=15, i2=160 (lookback 300)
+    assert(run("sum by (instance) (req)", 60, 60, 10) == Seq(
+      ("instance=i1", 60L, 15.0), ("instance=i2", 60L, 160.0)))
+    assert(run("sum(req)", 60, 60, 10) == Seq(("", 60L, 175.0)))
+    assert(run("sum without (instance) (req)", 60, 60, 10) ==
+      Seq(("", 60L, 175.0)))
+    assert(run("count(req)", 60, 60, 10) == Seq(("", 60L, 2.0)))
+    assert(run("avg(req)", 60, 60, 10) == Seq(("", 60L, 87.5)))
+    assert(run("min(req)", 60, 60, 10) == Seq(("", 60L, 15.0)))
+    assert(run("max(req)", 60, 60, 10) == Seq(("", 60L, 160.0)))
+    assert(run("group(req)", 60, 60, 10) == Seq(("", 60L, 1.0)))
+  }
+
+  test("topk/bottomk keep original labels; quantile interpolates") {
+    assert(run("topk(1, req)", 60, 60, 10) ==
+      Seq(("__name__=req,instance=i2", 60L, 160.0)))
+    assert(run("bottomk(1, req)", 60, 60, 10) ==
+      Seq(("__name__=req,instance=i1", 60L, 15.0)))
+    // quantile(0.5, {15, 160}) = 87.5 (rank interpolation)
+    assert(run("quantile(0.5, req)", 60, 60, 10) == Seq(("", 60L, 87.5)))
+  }
+
+  test("count_values groups by printed value") {
+    val got = run("""count_values("v", req)""", 60, 60, 10)
+    assert(got.toSet == Set(("v=15", 60L, 1.0), ("v=160", 60L, 1.0)))
+  }
+
+  test("binary ops: arithmetic, comparison filter, bool") {
+    assert(run("req * 2", 60, 60, 10).map(_._3).sorted == Seq(30.0, 320.0))
+    // arithmetic drops the metric name
+    assert(run("req * 2", 60, 60, 10).forall(!_._1.contains("__name__")))
+    // comparison filter keeps the element unchanged (name included)
+    assert(run("req > 100", 60, 60, 10) ==
+      Seq(("__name__=req,instance=i2", 60L, 160.0)))
+    assert(run("req > bool 100", 60, 60, 10).map(_._3).sorted ==
+      Seq(0.0, 1.0))
+    // vector/vector with matching: req / on(instance) mem (mem only at i1)
+    val ratio = run("""req / on(instance) mem{instance="i1"}""", 60, 60, 10)
+    assert(ratio == Seq(("instance=i1", 60L,
+      math.floor(15.0 / 70.0 * 1e6) / 1e6)))
+  }
+
+  test("set operators: and / or / unless") {
+    assert(run("""req and on(instance) mem""", 60, 60, 10) ==
+      Seq(("__name__=req,instance=i1", 60L, 15.0)))
+    assert(run("""req unless on(instance) mem""", 60, 60, 10) ==
+      Seq(("__name__=req,instance=i2", 60L, 160.0)))
+    val or = run("""req or mem""", 60, 60, 10)
+    assert(or.size == 3) // full label identity differs -> union of all
+  }
+
+  test("division by zero drops the element (finite-store contract)") {
+    assert(run("req / (mem - mem)", 60, 60, 10).isEmpty)
+  }
+
+  test("value functions: clamp, round, abs, sgn drop the name") {
+    assert(run("clamp(req, 20, 100)", 60, 60, 10).map(_._3).sorted ==
+      Seq(20.0, 100.0))
+    assert(run("round(req / 7)", 60, 60, 10).map(_._3).sorted ==
+      Seq(2.0, 23.0))
+    assert(run("sgn(0 - req)", 60, 60, 10).map(_._3) == Seq(-1.0, -1.0))
+  }
+
+  test("scalar(), vector(), time(), timestamp()") {
+    assert(run("vector(42)", 0, 20, 10) ==
+      Seq(("", 0L, 42.0), ("", 10L, 42.0), ("", 20L, 42.0)))
+    // scalar() of a 2-element vector is dropped (NaN); of 1 element passes
+    assert(run("""vector(1) * scalar(req)""", 60, 60, 10).isEmpty)
+    assert(run("""vector(1) * scalar(req{instance="i2"})""", 60, 60, 10) ==
+      Seq(("", 60L, 160.0)))
+    assert(run("time()", 30, 50, 10).map(_._3) == Seq(30.0, 40.0, 50.0))
+    val ts = run("""timestamp(req{instance="i2"})""", 60, 60, 10)
+    assert(ts == Seq(("instance=i2", 60L, 45.0))) // the SAMPLE's time
+  }
+
+  test("absent() emits 1 with EQ-matcher labels where nothing exists") {
+    val got = run("""absent(req{instance="i9"})""", 0, 20, 10)
+    assert(got == Seq(("__name__=req,instance=i9", 0L, 1.0),
+      ("__name__=req,instance=i9", 10L, 1.0),
+      ("__name__=req,instance=i9", 20L, 1.0)))
+    assert(run("""absent(req{instance="i1"})""", 60, 60, 10).isEmpty)
+  }
+
+  test("histogram_quantile from le-labeled cumulative buckets") {
+    val rows = Seq(
+      ("lat", Seq("__name__=lat", "le=0.1"), 50.0, 60L),
+      ("lat", Seq("__name__=lat", "le=0.5"), 80.0, 60L),
+      ("lat", Seq("__name__=lat", "le=+Inf"), 100.0, 60L))
+      .toDF("name", "tags", "val", "ts")
+    val got = Eval.rangeQuery(rows, "histogram_quantile(0.9, lat)",
+        Eval.RangeSpec(60, 60, 10))
+      .select(col("t"), col("value")).as[(Long, Double)].collect()
+    // rank 90 in (50, 80]? no: 90 > 80 -> +Inf bucket -> highest finite le
+    assert(got.toSeq == Seq((60L, 0.5)))
+    val p5 = Eval.rangeQuery(rows, "histogram_quantile(0.5, lat)",
+        Eval.RangeSpec(60, 60, 10))
+      .select(col("value")).as[Double].collect()
+    assert(p5.head == 0.1) // rank 50 exactly at first bucket's top
+  }
+
+  test("label_replace and label_join through the evaluator") {
+    val got = run(
+      """label_replace(req, "dc", "$1", "instance", "i(.*)")""",
+      60, 60, 10)
+    assert(got.forall(_._1.contains("dc=")))
+    val gj = run("""label_join(mem, "x", "-", "instance", "instance")""",
+      60, 60, 10)
+    assert(gj.head._1.contains("x=i1-i1"))
+  }
+
+  // -------------------------------------------- random differential test
+
+  test("differential: selector/rate/sum vs a naive reference") {
+    val rnd = new scala.util.Random(7)
+    // 6 series, integer values, counter-ish with occasional resets
+    val series = (0 until 6).map { i =>
+      val inst = s"i$i"
+      var v = 0.0
+      val pts = (0 until 40).flatMap { k =>
+        if (rnd.nextInt(4) == 0) None // gaps
+        else {
+          v = if (rnd.nextInt(10) == 0) rnd.nextInt(3).toDouble
+              else v + rnd.nextInt(8)
+          Some((k * 7L + rnd.nextInt(3), v))
+        }
+      }.groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+        .toSeq.sortBy(_._1)
+      inst -> pts
+    }.toMap
+    val rows = series.flatMap { case (inst, pts) =>
+      pts.map { case (t, v) =>
+        ("c", Seq("__name__=c", s"instance=$inst"), v, t)
+      }
+    }.toSeq
+    val df = rows.toDF("name", "tags", "val", "ts")
+    val (start, end, step, w) = (30L, 270L, 15L, 60L)
+
+    // naive reference: per grid T, per series, Prometheus semantics
+    def refRate(pts: Seq[(Long, Double)], T: Long): Option[Double] = {
+      val in = pts.filter(p => p._1 > T - w && p._1 <= T)
+      if (in.size < 2) return None
+      val ft = in.head._1.toDouble; val lt = in.last._1.toDouble
+      val si = lt - ft
+      if (si <= 0) return None
+      var raw = 0.0
+      in.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+        raw += (if (b >= a) b - a else b)
+      }
+      val fv = in.head._2
+      val avg = si / (in.size - 1)
+      val thr = avg * 1.1
+      val ds0 = ft - (T - w)
+      val ds1 = if (raw > 0 && fv >= 0) math.min(ds0, si * (fv / raw))
+        else ds0
+      val ds = if (ds1 >= thr) avg / 2 else ds1
+      val de0 = T - lt
+      val de = if (de0 >= thr) avg / 2 else de0
+      Some(raw * ((si + ds + de) / si) / w)
+    }
+    val want = (for {
+      k <- 0L to (end - start) / step
+      t = start + k * step
+      sums = series.values.flatMap(refRate(_, t))
+      if sums.nonEmpty
+    } yield (t, math.floor(sums.map(v => math.floor(v * 1e6) / 1e6)
+      .sum * 1e6) / 1e6)).toSeq.sorted
+
+    val got = Eval.rangeQuery(df, s"sum(rate(c[$w]))",
+        Eval.RangeSpec(start, end, step))
+      .select(col("t"), col("value")).as[(Long, Double)]
+      .collect().toSeq.sorted
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((t, g), (_, r)) =>
+      assert(math.abs(g - r) < 3e-6, s"T=$t got=$g want=$r")
+    }
+  }
+}
