@@ -6007,6 +6007,46 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // The PromQL HTTP API end to end over live HTTP: GET
+    // /api/v1/query_range answered by the in-engine evaluator, JSON
+    // matrix envelope parsed BACK through Spark's JSON reader — what a
+    // Grafana datasource pointed at this server would see. The
+    // reference cannot serve this endpoint at all (it only speaks
+    // remote-read; PromQL stays in Prometheus, main.go:322-372).
+    "serve_query_range" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val q = java.net.URLEncoder.encode("sum by (user_id) (click)",
+          "UTF-8")
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/api/v1/query_range?query=$q&start=$Jan05&end=$Jan20" +
+          "&step=21600&lookback=1d"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data STRUCT<resultType: STRING, " +
+            "result: ARRAY<STRUCT<metric: MAP<STRING,STRING>, " +
+            "values: ARRAY<ARRAY<STRING>>>>>")
+        Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(explode(col("r.data.result")).as("srs"))
+          .select(
+            array_join(sort_array(transform(map_entries(col("srs.metric")),
+              e => concat(e.getField("key"), lit("="),
+                e.getField("value")))), ",").as("tags"),
+            explode(col("srs.values")).as("p"))
+          .select(col("tags"),
+            element_at(col("p"), 1).cast("long").as("t"),
+            round(element_at(col("p"), 2).cast("double") * 1000000L)
+              .cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
     // absent(): 1 with the selector's EQ-matcher labels at every grid
     // instant where nothing matches — the alert-on-missing-series idiom.
     "promql_absent" -> ((s, dir) => {
@@ -11246,6 +11286,22 @@ object SparkEntry {
          |  CAST(CASE WHEN v / 1000000.0 > 100.0 THEN 1000000 ELSE 0 END
          |    AS BIGINT) AS value_fp
          |FROM v2 ORDER BY t, tags""".stripMargin,
+
+    "serve_query_range" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
+         |SELECT 'user_id=' || user_id AS tags, T AS t,
+         |  CAST(sum(vfp) AS BIGINT) AS value_fp
+         |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
 
     "promql_absent" ->
       """SELECT '__name__=click,user_id=no_such_user' AS tags,

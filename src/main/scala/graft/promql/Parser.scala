@@ -199,6 +199,11 @@ object Parser {
   import Lexer._
 
   def parse(input: String): Expr = new Parser(lex(input)).parseAll()
+
+  /** Standalone duration parse for API parameters (`step=30s`,
+    * `step=60`): the same compound-duration grammar range selectors use.
+    */
+  def durationSec(text: String): Long = Lexer.durationSec(text, 0)
 }
 
 private class Parser(toks: Vector[Lexer.Tok]) {

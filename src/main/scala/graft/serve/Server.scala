@@ -342,6 +342,107 @@ class Server(spark: SparkSession, tablePath: String,
         respond(ex, 500, Option(e.getMessage).getOrElse("read error").getBytes("UTF-8"))
     }
 
+  /** `GET /api/v1/query_range?query=…&start=…&end=…&step=…` — the
+    * Prometheus HTTP API's range query, answered by the in-engine PromQL
+    * evaluator (graft.promql): the endpoint a Grafana datasource points
+    * at. The reference can't serve this at all — it only speaks
+    * remote-read and leaves PromQL to Prometheus (reference:
+    * main.go:322-372); here the full language executes as one Spark plan
+    * over the store.
+    *
+    * Times are epoch seconds (integer or fractional — truncated to the
+    * store's second grain); `step` takes a duration (`30s`, `1h`) or
+    * bare seconds. `lookback` (same formats, default 5 m) is this
+    * server's explicit spelling of Prometheus's --query.lookback-delta.
+    * Response is the standard JSON matrix envelope; sample values print
+    * with minimal decimals (trailing zeros trimmed), timestamps as
+    * integer seconds. Response assembly is driver-side by the same
+    * contract as remote-read (S11) and enforces the same series budget
+    * (413 over `readMaxSeries`). Malformed queries/params are the
+    * client's fault: 400 with errorType=bad_data, per the API spec.
+    */
+  private def handleQueryRange(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      val raw = queryParams(ex.getRequestURI.getRawQuery)
+      def need(k: String): String = java.net.URLDecoder.decode(
+        raw.getOrElse(k, throw new IllegalArgumentException(
+          s"missing parameter '$k'")), "UTF-8")
+      def timeSec(k: String): Long = {
+        val v = need(k)
+        try math.floor(v.toDouble).toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"malformed time '$v'") }
+      }
+      val query = need("query")
+      val start = timeSec("start")
+      val end = timeSec("end")
+      val step = graft.promql.Parser.durationSec(need("step"))
+      val lookback = raw.get("lookback")
+        .map(v => graft.promql.Parser.durationSec(
+          java.net.URLDecoder.decode(v, "UTF-8"))).getOrElse(300L)
+      if (end < start)
+        throw new IllegalArgumentException("end is before start")
+      val res = graft.promql.Eval.rangeQuery(storedTable(), query,
+        graft.promql.Eval.RangeSpec(start, end, step, lookback))
+      import org.apache.spark.sql.functions.col
+      val rows = res.orderBy(col("tags"), col("t")).collect()
+      val bySeries = rows.iterator.map { r =>
+        (r.getAs[scala.collection.Seq[String]]("tags"),
+          r.getAs[Long]("t"), r.getAs[Double]("value"))
+      }.toSeq.groupBy(_._1)
+      if (bySeries.size > readMaxSeries)
+        throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+      val series = bySeries.toSeq.sortBy(_._1.mkString(","))
+        .map { case (tags, pts) =>
+          val metric = tags.map { kv =>
+            val i = kv.indexOf('=')
+            jsonStr(kv.substring(0, i)) + ":" + jsonStr(kv.substring(i + 1))
+          }.mkString("{", ",", "}")
+          val values = pts.sortBy(_._2).map { case (_, t, v) =>
+            s"""[$t,${jsonStr(fmtValue(v))}]"""
+          }.mkString("[", ",", "]")
+          s"""{"metric":$metric,"values":$values}"""
+        }
+      val body =
+        s"""{"status":"success","data":{"resultType":"matrix","result":${
+          series.mkString("[", ",", "]")}}}"""
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200, body.getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        jsonErr(413, "bad_data", e.getMessage)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("query error"))
+    }
+  }
+
+  /** Minimal-decimal value print (the 1e-6 grid makes it exact): what
+    * Prometheus's FormatFloat('f', -1) produces for these values.
+    */
+  private def fmtValue(v: Double): String =
+    java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def handleMetrics(ex: HttpExchange): Unit = {
     import scala.jdk.CollectionConverters._
     val counters =
@@ -379,6 +480,8 @@ class Server(spark: SparkSession, tablePath: String,
     http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
     http.createContext("/otlp/v1/metrics", (ex: HttpExchange) => handleOtlp(ex))
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
+    http.createContext("/api/v1/query_range",
+      (ex: HttpExchange) => handleQueryRange(ex))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(handlerPool)
     http.start()

@@ -428,4 +428,57 @@ class ServerSpec extends SparkSpec {
       } finally racePool.shutdownNow()
     } finally server.stop()
   }
+
+  private def getAny(url: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = if (in == null) "" else new String(in.readAllBytes(), "UTF-8")
+    conn.disconnect()
+    (code, body)
+  }
+
+  test("serve: /api/v1/query_range answers PromQL with the JSON matrix " +
+      "envelope; malformed input is 400 bad_data, never a 500") {
+    val table = Files.createTempDirectory("graft_srvqr").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // two series of a counter at t=100,200,300 (epoch seconds)
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(Seq(PLabel("__name__", "reqs"), PLabel("job", "a")),
+          Seq(PSample(1.0, 100000L), PSample(4.0, 200000L),
+            PSample(9.0, 300000L))),
+        PTimeSeries(Seq(PLabel("__name__", "reqs"), PLabel("job", "b")),
+          Seq(PSample(10.0, 200000L)))))
+      val (wc, _) = post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))
+      assert(wc == 200)
+
+      val q = java.net.URLEncoder.encode("""sum by (job) (reqs)""", "UTF-8")
+      val (code, body) = getAny(s"$base/api/v1/query_range" +
+        s"?query=$q&start=200&end=300&step=100&lookback=100")
+      assert(code == 200)
+      assert(body.contains(""""status":"success""""))
+      assert(body.contains(""""resultType":"matrix""""))
+      // job=a has samples at both instants; job=b's t=200 sample serves
+      // only T=200 (the T=300 window (200, 300] excludes it — strict >)
+      assert(body.contains(""""metric":{"job":"a"},"values":[[200,"4"],[300,"9"]]"""))
+      assert(body.contains(""""metric":{"job":"b"},"values":[[200,"10"]]"""))
+
+      // malformed PromQL → 400 bad_data with the parser's message
+      val (bc, bb) = getAny(s"$base/api/v1/query_range" +
+        s"?query=${java.net.URLEncoder.encode("sum by (", "UTF-8")}" +
+        "&start=0&end=10&step=10")
+      assert(bc == 400 && bb.contains(""""errorType":"bad_data""""))
+      // missing parameter → 400, not 500
+      val (mc, mb) = getAny(s"$base/api/v1/query_range?query=$q&start=0")
+      assert(mc == 400 && mb.contains("missing parameter"))
+      // malformed step duration → 400
+      val (sc2, _) = getAny(s"$base/api/v1/query_range" +
+        s"?query=$q&start=0&end=10&step=xyz")
+      assert(sc2 == 400)
+    } finally server.stop()
+  }
 }
