@@ -191,9 +191,14 @@ object Eval {
       case Some(n) => df.filter(col("name") === n)
       case None => df
     }
+    // ONE exchange for the whole selector: hash-partitioning by tags
+    // satisfies both the (tags, t) dedup's ClusteredDistribution (subset
+    // rule) and the series window that follows — without it Spark plans
+    // two sample-sized exchanges (dedup keys, then window keys)
     named.filter(pred)
       .select(col("tags"), tCol.as("t"),
         floor(col("val") * FP).cast("long").as("v_fp"))
+      .repartition(col("tags"))
       .groupBy(col("tags"), col("t"))
       .agg(max(col("v_fp")).as("v_fp"))
   }
