@@ -1,6 +1,6 @@
 package graft
 
-import graft.codec.{GraphiteCodec, OpenTsdbCodec, Prompb}
+import graft.codec.{GraphiteCodec, NativeHist, OpenTsdbCodec, Prompb}
 import graft.compile.{InfluxMatchers, Matchers}
 import graft.compile.Matchers._
 import graft.engine.{ReadPipeline, ResponseEdge, Rollup, WritePipeline}
@@ -347,6 +347,61 @@ object SparkEntry {
       Rollup.writeDownsampled(m, 3600L, s"$b/tier3600")
       b
     }
+
+  /** Native-histogram wire fixture shared by the s1_native_hist_*
+    * entries: per (event_type, day), a schema-0 `prompb.Histogram`
+    * whose positive buckets come from the EXACT bit-length
+    * bucketization of the 1e-6 fixed-point values (bucket idx = number
+    * of binary digits of v_fp ⟺ v_fp ∈ (2^(idx−1), 2^idx] — pure
+    * integer arithmetic, so the DuckDB oracle's `length(bin(vfp))`
+    * reproduces it bit-for-bit with no libm edge). The histograms make
+    * the round trip through the real wire — span/zigzag-delta encode,
+    * then decode + sparse re-expansion — before anything is compared;
+    * a lossy codec shifts a bucket count and every downstream hash.
+    * Returns (event_type, day, idx, cnt, total_count, sum_fp).
+    * Driver-sized by construction: event_types × days histograms of
+    * ≤ ~40 buckets each (the BPE-table collect contract).
+    */
+  private def nativeHistBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(
+      col("event_type"),
+      to_date(col("ts")).cast("string").as("day"),
+      floor(col("value") * 1000000L).cast("long").as("vfp"))
+    val b = ev.withColumn("idx", length(bin(col("vfp"))).cast("int"))
+      .groupBy(col("event_type"), col("day"), col("idx"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val totals = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val series = b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+      .sortBy(_._1)
+      .map { case ((et, day), rows) =>
+        val buckets = rows.map(r => (r.getInt(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        val (spans, deltas) = NativeHist.toSpans(buckets)
+        val (n, sumfp) = totals((et, day))
+        val tsMs = java.time.LocalDate.parse(day)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        NativeHist.PHistSeries(Seq(Prompb.PLabel("__name__", et)),
+          Seq(NativeHist.PHistogram(n, sumfp / 1000000.0, 0, 0.0, 0L,
+            spans, deltas, Nil, Nil, tsMs)))
+      }
+    val decoded = NativeHist.decodeWriteRequest(
+      NativeHist.encodeWriteRequest(series)) // the actual wire bytes
+    val rows = for {
+      hs <- decoded
+      name = hs.labels.find(_.name == "__name__").get.value
+      h <- hs.histograms
+      day = java.time.Instant.ofEpochMilli(h.timestampMs)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      (idx, cnt) <- NativeHist.expandBuckets(h.positiveSpans,
+        h.positiveDeltas)
+    } yield (name, day, idx.toLong, cnt, h.count,
+      Math.round(h.sum * 1000000.0))
+    rows.toDF("event_type", "day", "idx", "cnt", "total_count", "sum_fp")
+  }
 
   /** The deterministic doc→doc link fixture shared by the centrality
     * entries (PageRank, personalized PageRank): 3 hash-derived out-links
@@ -6047,6 +6102,31 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Prometheus NATIVE HISTOGRAMS through the real wire: one schema-0
+    // histogram per (event_type, day) — buckets derived with exact
+    // integer bit-length over the 1e-6 fp grid (bucket idx covers
+    // (2^(idx-1), 2^idx] fp; no libm, so Spark and DuckDB agree at
+    // every boundary) — encoded as prompb.Histogram (spans + zigzag
+    // delta counts, TimeSeries field 3), decoded back, and the sparse
+    // buckets re-expanded. The oracle recomputes every bucket count and
+    // the count/sum companions from raw events: the wire codec must be
+    // lossless for the hashes to meet.
+    "s1_native_hist_roundtrip" -> ((s, dir) => {
+      nativeHistBuckets(s, dir)
+        .orderBy(col("event_type"), col("day"), col("idx"))
+    }),
+
+    // Native-histogram quantile: p90 per (event_type, day) from the
+    // DECODED sparse buckets — running-sum rank search + linear
+    // interpolation between the crossing bucket's exponential bounds.
+    "s1_native_hist_quantile" -> ((s, dir) => {
+      TimeSeriesOps.expHistogramQuantile(
+          nativeHistBuckets(s, dir)
+            .select(col("event_type"), col("day"), col("idx"), col("cnt")),
+          Seq("event_type", "day"), "idx", "cnt", q = 0.9)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // absent(): 1 with the selector's EQ-matcher labels at every grid
     // instant where nothing matches — the alert-on-missing-series idiom.
     "promql_absent" -> ((s, dir) => {
@@ -11302,6 +11382,41 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "s1_native_hist_roundtrip" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, day, count(*) AS total_count,
+        |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
+        |SELECT b.event_type, b.day, CAST(b.idx AS BIGINT) AS idx, b.cnt,
+        |  t.total_count, t.sum_fp
+        |FROM b JOIN t USING (event_type, day)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "s1_native_hist_quantile" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+        |  FROM b),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
+        |SELECT event_type, day, CAST(tot AS BIGINT) AS total,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS quantile_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY event_type, day""".stripMargin,
 
     "promql_absent" ->
       """SELECT '__name__=click,user_id=no_such_user' AS tags,

@@ -1216,4 +1216,48 @@ object TimeSeriesOps {
       when(col("n_samples") >= 2, folded.getField("b"))
         .otherwise(lit(null).cast("long")).as("trend_fp")): _*)
   }
+
+  /** Quantile from NATIVE-HISTOGRAM exponential buckets — the sparse
+    * (bucket index, per-bucket count) rows a decoded
+    * `prompb.Histogram` yields (codec/NativeHist.scala), as opposed to
+    * [[histogramQuantile]]'s cumulative `le` ladder. Bucket `idx`
+    * covers fixed-point values in (2^(idx−1), 2^idx] — base-2
+    * exponential over the store's 1e-6 grid, the schema-0 bucketization
+    * the ingest fixture derives with exact integer bit-length (no libm,
+    * so both engines agree bit-for-bit at every boundary). The
+    * q-quantile interpolates LINEARLY inside the crossing bucket
+    * between its exponential bounds (Prometheus's classic-bucket
+    * interpolation rule applied to native bounds).
+    *
+    * Determinism: counts are exact longs; cum/total come from one
+    * running-sum window; the bounds are exact powers of two (integer
+    * exponents); the single interpolation division lands on the fp grid
+    * via floor — the [[histogramQuantile]] discipline.
+    *
+    * Scale: one window shuffle on the group keys; each partition holds
+    * a histogram's sparse bucket list (≤64 buckets at schema 0 for the
+    * full long range) — aggregate-sized by construction.
+    */
+  def expHistogramQuantile(buckets: DataFrame, keys: Seq[String],
+                           idxCol: String, cntCol: String,
+                           q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q outside (0,1) is ±Inf by definition")
+    val part = keys.map(col)
+    val wRun = Window.partitionBy(part: _*).orderBy(col(idxCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(part: _*)
+    val staged = buckets
+      .select(col("*"), sum(col(cntCol)).over(wRun).as("_cum"))
+      .select(col("*"), max(col("_cum")).over(wAll).as("_tot"))
+    val rank = lit(q) * col("_tot").cast("double")
+    val prevD = (col("_cum") - col(cntCol)).cast("double")
+    val crossing = col("_cum").cast("double") >= rank && prevD < rank
+    val lower = pow(lit(2.0), col(idxCol) - 1)
+    val upper = pow(lit(2.0), col(idxCol))
+    val res = lower + (upper - lower) *
+      ((rank - prevD) / col(cntCol).cast("double"))
+    staged.filter(col("_tot") > 0 && crossing)
+      .select(part ++ Seq(col("_tot").as("total"),
+        floor(res).cast("long").as("quantile_fp")): _*)
+  }
 }

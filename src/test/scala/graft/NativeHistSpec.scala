@@ -1,0 +1,102 @@
+package graft
+
+import graft.codec.{NativeHist, Prompb}
+import graft.codec.NativeHist._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native-histogram wire codec: span/delta expansion, round trips over
+  * randomized sparse buckets (gaps, negative offsets), golden bytes,
+  * and structural skip of float-histogram fields.
+  */
+class NativeHistSpec extends AnyFunSuite {
+
+  test("span expansion walks absolute indexes across gaps") {
+    // buckets at 3,4 then gap then 8: spans (3,2), (2,1)
+    val buckets = Seq((3, 5L), (4, 2L), (8, 7L))
+    val (spans, deltas) = toSpans(buckets)
+    assert(spans == Seq(BucketSpan(3, 2), BucketSpan(3, 1)))
+    // decode: idx=0+3 -> 3,4 ; idx=5+3 -> 8
+    assert(expandBuckets(spans, deltas) == buckets)
+    // deltas are count differences: 5, -3, +5
+    assert(deltas == Seq(5L, -3L, 5L))
+  }
+
+  test("negative first offset (values below 1 fp unit) round-trips") {
+    val buckets = Seq((-2, 1L), (-1, 4L), (5, 2L))
+    val (spans, deltas) = toSpans(buckets)
+    assert(spans.head.offset == -2)
+    assert(expandBuckets(spans, deltas) == buckets)
+  }
+
+  test("histogram message round-trips through the wire") {
+    val rnd = new scala.util.Random(3)
+    (0 until 50).foreach { _ =>
+      val idxs = (0 until rnd.nextInt(20) + 1)
+        .map(_ => rnd.nextInt(80) - 10).distinct.sorted
+      val buckets = idxs.map(i => (i, rnd.nextInt(1000).toLong + 1))
+      val (spans, deltas) = toSpans(buckets)
+      val h = PHistogram(buckets.map(_._2).sum, rnd.nextDouble() * 1e6,
+        rnd.nextInt(9) - 4, 1e-128, rnd.nextInt(10).toLong,
+        spans, deltas, Nil, Nil, rnd.nextLong().abs % (1L << 41))
+      val wire = NativeHist.encodeWriteRequest(Seq(PHistSeries(
+        Seq(Prompb.PLabel("__name__", "m"), Prompb.PLabel("job", "j")),
+        Seq(h))))
+      val back = NativeHist.decodeWriteRequest(wire)
+      assert(back.length == 1)
+      assert(back.head.labels == Seq(Prompb.PLabel("__name__", "m"),
+        Prompb.PLabel("job", "j")))
+      val hb = back.head.histograms.head
+      assert(hb == h)
+      assert(expandBuckets(hb.positiveSpans, hb.positiveDeltas) == buckets)
+    }
+  }
+
+  test("negative buckets travel in their own span/delta fields") {
+    val pos = Seq((1, 3L), (2, 1L))
+    val neg = Seq((0, 2L), (4, 6L))
+    val (ps, pd) = toSpans(pos)
+    val (ns, nd) = toSpans(neg)
+    val h = PHistogram(12L, -4.5, 2, 0.0, 0L, ps, pd, ns, nd, 1000L)
+    val back = NativeHist.decodeWriteRequest(NativeHist.encodeWriteRequest(
+      Seq(PHistSeries(Seq(Prompb.PLabel("__name__", "g")), Seq(h)))))
+      .head.histograms.head
+    assert(expandBuckets(back.positiveSpans, back.positiveDeltas) == pos)
+    assert(expandBuckets(back.negativeSpans, back.negativeDeltas) == neg)
+  }
+
+  test("golden bytes: a minimal histogram encodes to the exact wire form") {
+    // count=2 (field 1), sum=0.0 (field 3, always emitted), schema=0
+    // (default, omitted), zero_count=0 (omitted), one span (offset 1,
+    // length 1), one delta (+2), timestamp 5
+    val h = PHistogram(2L, 0.0, 0, 0.0, 0L,
+      Seq(BucketSpan(1, 1)), Seq(2L), Nil, Nil, 5L)
+    val bytes = NativeHist.encodeHistogram(h)
+    val expect = Array[Int](
+      0x08, 0x02, // field 1 varint 2
+      0x19, 0, 0, 0, 0, 0, 0, 0, 0, // field 3 fixed64 0.0
+      0x5A, 0x04, 0x08, 0x02, 0x10, 0x01, // field 11 span{off zz(1)=2, len 1}
+      0x62, 0x01, 0x04, // field 12 packed deltas [zz(2)=4]
+      0x78, 0x05 // field 15 varint 5
+    ).map(_.toByte)
+    assert(bytes.toSeq == expect.toSeq)
+  }
+
+  test("float-histogram payloads decode as empty and are droppable") {
+    // hand-assembled wire: a histogram using float fields 2/7 only
+    def le64(v: Double): Seq[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >>> (8 * i)) & 0xFF).toByte)
+    }
+    val histBody = Seq[Byte](0x11) ++ le64(3.0) ++ // field 2 count_float
+      Seq[Byte](0x39) ++ le64(1.0) // field 7 zero_count_float
+    val label = Seq[Byte](0x0A, 8) ++ "__name__".getBytes("UTF-8").toSeq ++
+      Seq[Byte](0x12, 1, 'f'.toByte)
+    val ts = Seq[Byte](0x0A, label.length.toByte) ++ label ++
+      Seq[Byte](0x1A, histBody.length.toByte) ++ histBody
+    val top = (Seq[Byte](0x0A, ts.length.toByte) ++ ts).toArray
+    val back = NativeHist.decodeWriteRequest(top)
+    assert(back.length == 1)
+    val h = back.head.histograms.head
+    assert(h.count == 0L && h.positiveSpans.isEmpty) // float form skipped
+  }
+}
