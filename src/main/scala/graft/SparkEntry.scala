@@ -6102,6 +6102,18 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Subquery: the outer range function consumes an INNER step-aligned
+    // evaluation grid — `max_over_time(sum(click)[2d:6h])`, the
+    // peak-of-a-computed-series idiom `[w:s]` exists for.
+    "promql_subquery" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          "max_over_time(sum(click)[2d:21600])",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
     // Prometheus NATIVE HISTOGRAMS through the real wire: one schema-0
     // histogram per (event_type, day) — buckets derived with exact
     // integer bit-length over the 1e-6 fp grid (bucket idx covers
@@ -11382,6 +11394,26 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "promql_subquery" ->
+      s"""WITH igr AS (SELECT 1704240000 + 21600 * k AS it
+         |  FROM generate_series(0, 68) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT igr.it, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, igr.it
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM igr JOIN d ON d.t <= igr.it AND d.t > igr.it - 86400),
+         |isum AS (SELECT it, CAST(sum(vfp) AS BIGINT) AS v
+         |  FROM e WHERE rn = 1 GROUP BY 1),
+         |gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k))
+         |SELECT '' AS tags, gr.T AS t, CAST(max(v) AS BIGINT) AS value_fp
+         |FROM gr JOIN isum ON isum.it > gr.T - 172800
+         |  AND isum.it <= gr.T
+         |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" ->
       """WITH e AS (SELECT event_type,

@@ -122,7 +122,20 @@ object Eval {
         if (s.rangeSec.nonEmpty)
           throw new IllegalArgumentException(
             "range selector outside a range function")
-        VecV(selectorInstant(m, s, spec))
+        s.atSec match {
+          case Some(at) =>
+            // @ pins evaluation to one instant; the result repeats at
+            // every grid step — computed ONCE, then pinned (no per-T
+            // recompute)
+            val t0 = resolveAt(at, spec)
+            val one = selectorInstant(m, s.copy(atSec = None),
+              RangeSpec(t0, t0, 1, spec.lookbackSec))
+            VecV(pinToGrid(m, one, spec))
+          case None => VecV(selectorInstant(m, s, spec))
+        }
+      case _: Subquery =>
+        throw new IllegalArgumentException(
+          "a subquery must feed a range function")
       case Agg(op, body, param, labels, without) =>
         evalAgg(m, op, body, param, labels, without, spec)
       case BinOp(op, l, r, boolMod, matching) =>
@@ -241,20 +254,20 @@ object Eval {
   private def floorDiv0(num: Column, den: Long): Column =
     floor(num.cast("double") / den).cast("long") // exact: |num| ≪ 2^52
 
-  /** Range selector exploded to evaluation windows: one row per (sample,
-    * grid T with T−w < t+offset ≤ T), with the consecutive-pair state
-    * (prev value/time, counter-adjusted delta) computed ONCE per series
-    * BEFORE the explode. Downstream range functions are plain aggregates
-    * over (tags, T).
+  /** Samples (tags, t, v_fp) exploded to evaluation windows: one row per
+    * (sample, grid T with T−w < t+offset ≤ T), with the consecutive-pair
+    * state (prev value/time) computed ONCE per series BEFORE the
+    * explode. Downstream range functions are plain aggregates over
+    * (tags, T). Samples must be unique per (tags, t) — the selector scan
+    * dedups; subquery inner grids are unique by construction.
     */
-  private def rangeFrame(m: DataFrame, s: Selector, wSec: Long,
+  private def rangeFrame(samples: DataFrame, offsetSec: Long, wSec: Long,
                          spec: RangeSpec): DataFrame = {
-    val samples = scan(m, s, spec, wSec)
     val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
     val laged = samples.select(col("tags"), col("t"), col("v_fp"),
       lag(col("t"), 1).over(w).as("_pt"),
       lag(col("v_fp"), 1).over(w).as("_pv"))
-    val te = col("t") + s.offsetSec
+    val te = col("t") + offsetSec
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)
     val kLast = floorDiv0(
@@ -265,11 +278,53 @@ object Eval {
       .select(col("tags"), col("t"), col("v_fp"), col("_pt"), col("_pv"),
         explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
           .as("_k"))
-      .select(col("tags"), (col("t") + s.offsetSec).as("te"),
+      .select(col("tags"), (col("t") + offsetSec).as("te"),
         (lit(spec.startSec) + col("_k") * spec.stepSec).as("_gt"),
         col("t"), col("v_fp"),
-        (col("_pt") + s.offsetSec).as("_pt"), col("_pv"))
+        (col("_pt") + offsetSec).as("_pt"), col("_pv"))
   }
+
+  /** Inner evaluation of `expr[w:step]`: run the sub-expression on its
+    * own step-aligned grid reaching back `w` (+ offset) before the
+    * outer range, and return its output as a samples frame for
+    * [[rangeFrame]]. The inner grid aligns to ABSOLUTE multiples of the
+    * inner step (PromQL's subquery alignment rule), not to the outer
+    * start.
+    */
+  private def subquerySamples(m: DataFrame, sq: Subquery,
+                              spec: RangeSpec): DataFrame = {
+    val step = sq.stepSec.getOrElse(spec.stepSec)
+    val lo = spec.startSec - sq.rangeSec - sq.offsetSec
+    val innerStart = ((lo + step - 1) / step) * step // epoch secs ≥ 0
+    val innerEnd = spec.endSec - sq.offsetSec
+    require(innerStart <= innerEnd,
+      "subquery range reaches past the query window")
+    val innerSpec = RangeSpec(innerStart, innerEnd, step, spec.lookbackSec)
+    evalExpr(m, sq.e, innerSpec) match {
+      case VecV(df) => df.select(col("tags"), col("t"), col("v_fp"))
+      case ScalV(df) => df.select(
+        array().cast("array<string>").as("tags"), col("t"),
+        floor(col("v") * FP).cast("long").as("v_fp"))
+      case ConstV(c) => grid(m, innerSpec).select(
+        array().cast("array<string>").as("tags"), col("t"),
+        lit(math.floor(c * FPD).toLong).as("v_fp"))
+    }
+  }
+
+  private def resolveAt(at: At, spec: RangeSpec): Long = at match {
+    case AtTime(s) => s
+    case AtStart => spec.startSec
+    case AtEnd => spec.endSec
+  }
+
+  /** Repeat a one-instant result at every grid step (the `@` modifier's
+    * evaluate-once semantics). The pinned side is series-sized.
+    */
+  private def pinToGrid(m: DataFrame, one: DataFrame,
+                        spec: RangeSpec): DataFrame =
+    grid(m, spec).withColumnRenamed("t", "_gpt")
+      .crossJoin(one.drop("t"))
+      .select(col("tags"), col("_gpt").as("t"), col("st"), col("v_fp"))
 
   // -------------------------------------------------------- range calls
 
@@ -281,18 +336,43 @@ object Eval {
 
   private def evalRangeFn(m: DataFrame, fn: String, args: Seq[Expr],
                           spec: RangeSpec): Val = {
-    val (sel, extra) = fn match {
+    val (rangeExpr, extra) = fn match {
       case "quantile_over_time" =>
-        (selArg(args(1), fn), Some(constArg(m, args(0), spec, fn)))
+        (args(1), Some(constArg(m, args(0), spec, fn)))
       case "predict_linear" =>
-        (selArg(args(0), fn), Some(constArg(m, args(1), spec, fn)))
+        (args(0), Some(constArg(m, args(1), spec, fn)))
       case _ =>
         require(args.length == 1, s"$fn() expects one range-vector arg")
-        (selArg(args(0), fn), None)
+        (args(0), None)
     }
-    val wSec = sel.rangeSec.getOrElse(
-      throw new IllegalArgumentException(s"$fn() needs a range selector"))
-    val f = rangeFrame(m, sel, wSec, spec)
+    rangeExpr match {
+      case s: Selector if s.atSec.isDefined =>
+        // @ on a range selector: evaluate the whole function at the
+        // pinned instant once, repeat across the grid
+        val t0 = resolveAt(s.atSec.get, spec)
+        evalRangeFnOn(m, fn, s.copy(atSec = None), extra,
+          RangeSpec(t0, t0, 1, spec.lookbackSec)) match {
+          case VecV(df) => VecV(pinToGrid(m, df, spec))
+          case other => other
+        }
+      case other => evalRangeFnOn(m, fn, other, extra, spec)
+    }
+  }
+
+  private def evalRangeFnOn(m: DataFrame, fn: String, rangeExpr: Expr,
+                            extra: Option[Double], spec: RangeSpec): Val = {
+    val (samples, wSec, offSec, sel) = rangeExpr match {
+      case s: Selector =>
+        val w = s.rangeSec.getOrElse(throw new IllegalArgumentException(
+          s"$fn() needs a range selector or subquery"))
+        (scan(m, s, spec, w), w, s.offsetSec, s)
+      case sq: Subquery =>
+        (subquerySamples(m, sq, spec), sq.rangeSec, sq.offsetSec,
+          Selector(None, Nil, None, 0L)) // labels source for absent_*
+      case _ => throw new IllegalArgumentException(
+        s"$fn() needs a range selector or subquery")
+    }
+    val f = rangeFrame(samples, offSec, wSec, spec)
     val outTags = dropName(col("tags"))
     val grp = Seq(col("tags"), col("_gt"))
     // a consecutive pair is in-window iff its OLDER endpoint is too

@@ -40,12 +40,30 @@ object Ast {
   case class Matching(on: Boolean, labels: Seq[String], side: Int,
                       include: Seq[String])
 
+  /** `@` modifier target: a fixed epoch second, or the query range's
+    * own start()/end().
+    */
+  sealed trait At
+  case class AtTime(sec: Long) extends At
+  case object AtStart extends At
+  case object AtEnd extends At
+
   sealed trait Expr
   case class NumberLit(v: Double) extends Expr
   case class StringLit(v: String) extends Expr
-  /** Instant (`rangeSec` empty) or range (`m[5m]`) selector. */
+  /** Instant (`rangeSec` empty) or range (`m[5m]`) selector, with the
+    * optional `offset` and `@` evaluation-time modifiers.
+    */
   case class Selector(name: Option[String], matchers: Seq[Matcher],
-                      rangeSec: Option[Long], offsetSec: Long) extends Expr
+                      rangeSec: Option[Long], offsetSec: Long,
+                      atSec: Option[At] = None) extends Expr
+  /** `expr[range:step]` — evaluate `expr` on its own step-aligned inner
+    * grid, then feed those samples to the enclosing range function.
+    * `stepSec` empty = the outer query's step (PromQL's default
+    * resolution rule, spelled explicitly).
+    */
+  case class Subquery(e: Expr, rangeSec: Long, stepSec: Option[Long],
+                      offsetSec: Long) extends Expr
   case class Call(fn: String, args: Seq[Expr]) extends Expr
   /** `op by|without(labels) (param, body)`. */
   case class Agg(op: String, body: Expr, param: Option[Expr],
@@ -293,9 +311,12 @@ private class Parser(toks: Vector[Lexer.Tok]) {
     else if (atOp("+")) { advance(); parseUnary() }
     else parsePostfix()
 
-  /** `[range]` and `offset` bind tighter than any operator and are only
-    * legal on selectors (as in PromQL; subqueries are not supported —
-    * `[w:s]` raises a clear error rather than misparsing).
+  /** `[range]` / `[range:step]` (subquery), `offset`, and `@` bind
+    * tighter than any operator. A bare `[range]` is only legal on a
+    * selector; `[range:step]` turns ANY expression into a subquery. The
+    * `:` inside brackets lexes as the head of an identifier (`:6h`) —
+    * recording-rule names legitimately contain colons — so the parser
+    * splits it contextually, as Prometheus's own lexer does.
     */
   private def parsePostfix(): Expr = {
     var e = parseAtom()
@@ -306,30 +327,64 @@ private class Parser(toks: Vector[Lexer.Tok]) {
       if (d.kind != TDuration && d.kind != TNumber)
         throw new ParseException("expected duration in range selector", d.pos)
       advance()
-      if (cur.kind == TIdent && cur.text.startsWith(":"))
-        throw new ParseException("subqueries ([w:s]) are not supported",
-          cur.pos)
-      expectOp("]")
-      e match {
-        case s: Selector if s.rangeSec.isEmpty =>
-          e = s.copy(rangeSec = Some(durationSec(d.text, d.pos)))
-        case _ =>
-          throw new ParseException(
-            "range [] is only valid on a selector", openPos)
+      if (cur.kind == TIdent && cur.text.startsWith(":")) {
+        val stepText = cur.text.drop(1)
+        val stepPos = cur.pos
+        advance()
+        expectOp("]")
+        e = Subquery(e, durationSec(d.text, d.pos),
+          if (stepText.isEmpty) None
+          else Some(durationSec(stepText, stepPos)), offsetSec = 0L)
+      } else {
+        expectOp("]")
+        e match {
+          case s: Selector if s.rangeSec.isEmpty =>
+            e = s.copy(rangeSec = Some(durationSec(d.text, d.pos)))
+          case _ =>
+            throw new ParseException(
+              "range [] is only valid on a selector (use [w:s] for a " +
+                "subquery)", openPos)
+        }
       }
     }
-    if (atKw("offset")) {
-      advance()
-      val d = cur
-      if (d.kind != TDuration && d.kind != TNumber)
-        throw new ParseException("expected duration after offset", d.pos)
-      advance()
-      e match {
-        case s: Selector =>
-          e = s.copy(offsetSec = durationSec(d.text, d.pos))
-        case _ =>
-          throw new ParseException("offset is only valid on a selector",
-            d.pos)
+    // offset and @ may appear in either order, once each
+    var sawOffset = false
+    var sawAt = false
+    while ((atKw("offset") && !sawOffset) || (atOp("@") && !sawAt)) {
+      if (atKw("offset")) {
+        sawOffset = true
+        advance()
+        val d = cur
+        if (d.kind != TDuration && d.kind != TNumber)
+          throw new ParseException("expected duration after offset", d.pos)
+        advance()
+        e = e match {
+          case s: Selector => s.copy(offsetSec = durationSec(d.text, d.pos))
+          case sq: Subquery =>
+            sq.copy(offsetSec = durationSec(d.text, d.pos))
+          case _ =>
+            throw new ParseException(
+              "offset is only valid on a selector or subquery", d.pos)
+        }
+      } else {
+        sawAt = true
+        advance()
+        val at: At = cur.kind match {
+          case TNumber =>
+            val v = math.floor(advance().text.toDouble).toLong
+            AtTime(v)
+          case TIdent if cur.text == "start" || cur.text == "end" =>
+            val which = advance().text
+            expectOp("("); expectOp(")")
+            if (which == "start") AtStart else AtEnd
+          case _ => throw new ParseException(
+            "expected timestamp, start() or end() after @", cur.pos)
+        }
+        e = e match {
+          case s: Selector => s.copy(atSec = Some(at))
+          case _ => throw new ParseException(
+            "@ is only valid on a selector in this engine", cur.pos)
+        }
       }
     }
     e

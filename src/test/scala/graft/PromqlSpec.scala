@@ -20,7 +20,7 @@ class PromqlSpec extends SparkSpec {
 
   test("parser: arithmetic precedence and right-assoc power") {
     Parser.parse("a + b * c") match {
-      case BinOp("+", Selector(Some("a"), _, _, _), BinOp("*", _, _, _, _),
+      case BinOp("+", Selector(Some("a"), _, _, _, _), BinOp("*", _, _, _, _),
           false, None) => ()
       case x => fail(s"unexpected $x")
     }
@@ -38,30 +38,54 @@ class PromqlSpec extends SparkSpec {
 
   test("parser: durations, range, offset") {
     Parser.parse("m[1h30m]") match {
-      case Selector(Some("m"), Nil, Some(5400L), 0L) => ()
+      case Selector(Some("m"), Nil, Some(5400L), 0L, None) => ()
       case x => fail(s"unexpected $x")
     }
     Parser.parse("m[90] offset 2m") match {
-      case Selector(Some("m"), Nil, Some(90L), 120L) => ()
+      case Selector(Some("m"), Nil, Some(90L), 120L, None) => ()
       case x => fail(s"unexpected $x")
     }
     Parser.parse("rate(m[5m])") match {
-      case Call("rate", Seq(Selector(Some("m"), Nil, Some(300L), 0L))) => ()
+      case Call("rate", Seq(Selector(Some("m"), Nil, Some(300L), 0L, None))) => ()
       case x => fail(s"unexpected $x")
     }
   }
 
   test("parser: matchers and selector validity") {
     Parser.parse("""m{a="x", b!="y", c=~"z.*", d!~"w"}""") match {
-      case Selector(Some("m"), ms, None, 0L) =>
+      case Selector(Some("m"), ms, None, 0L, None) =>
         assert(ms == Seq(Matcher("a", MEq, "x"), Matcher("b", MNeq, "y"),
           Matcher("c", MRe, "z.*"), Matcher("d", MNre, "w")))
       case x => fail(s"unexpected $x")
     }
     intercept[ParseException](Parser.parse("""{a!="x"}""")) // no anchor
-    intercept[ParseException](Parser.parse("m[5m:1m]")) // subquery
     intercept[ParseException](Parser.parse("(a + b)[5m]")) // range on expr
     intercept[ParseException](Parser.parse("""m{a=x}""")) // unquoted value
+  }
+
+  test("parser: subqueries and the @ modifier") {
+    Parser.parse("max_over_time(rate(m[5m])[1h:2m])") match {
+      case Call("max_over_time", Seq(Subquery(Call("rate", _), 3600L,
+          Some(120L), 0L))) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("sum(m)[30m:] offset 5m") match {
+      case Subquery(Agg("sum", _, _, _, _), 1800L, None, 300L) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("m @ 1700000000 offset 30") match {
+      case Selector(Some("m"), Nil, None, 30L, Some(AtTime(1700000000L))) =>
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("m offset 30 @ start()") match {
+      case Selector(Some("m"), Nil, None, 30L, Some(AtStart)) => ()
+      case x => fail(s"unexpected $x")
+    }
+    Parser.parse("m[5m] @ end()") match {
+      case Selector(Some("m"), Nil, Some(300L), 0L, Some(AtEnd)) => ()
+      case x => fail(s"unexpected $x")
+    }
+    intercept[ParseException](Parser.parse("m @ x"))
   }
 
   test("parser: aggregation modifiers before or after the body") {
@@ -69,7 +93,7 @@ class PromqlSpec extends SparkSpec {
     val b = Parser.parse("sum(m) by (job)")
     assert(a == b)
     a match {
-      case Agg("sum", Selector(Some("m"), _, _, _), None, Seq("job"),
+      case Agg("sum", Selector(Some("m"), _, _, _, _), None, Seq("job"),
           false) => ()
       case x => fail(s"unexpected $x")
     }
@@ -321,6 +345,31 @@ class PromqlSpec extends SparkSpec {
         Eval.RangeSpec(60, 60, 10))
       .select(col("value")).as[Double].collect()
     assert(p5.head == 0.1) // rank 50 exactly at first bucket's top
+  }
+
+  test("subquery: outer range function over an inner step-aligned grid") {
+    // inner sum(req) at 10s steps; outer max over the trailing 30s
+    val got = run("max_over_time(sum(req)[30:10])", 30, 60, 30)
+    // inner grid (0..60 by 10): sum(req) with 300s lookback:
+    //  t=0:0  t=10:0+100=105? req i1 t10=5, i2 t5=100 -> 105
+    //  t=20:12+100=112 t=30:2+130=132 t=40:9+130=139 t=50:9+160=169
+    //  t=60:15+160=175
+    // outer T=30: max over inner t in (0,30] = max(105,112,132) = 132
+    // outer T=60: max over (30,60] = max(139,169,175) = 175
+    assert(got == Seq(("", 30L, 132.0), ("", 60L, 175.0)))
+  }
+
+  test("@ modifier pins evaluation and repeats it across the grid") {
+    val got = run("req @ 60", 0, 20, 10)
+    assert(got.map(_._3).distinct == Seq(15.0, 160.0))
+    assert(got.size == 6) // 2 series x 3 grid instants
+    // @ start()/end() resolve against the query range
+    val atEnd = run("""req{instance="i1"} @ end()""", 0, 60, 30)
+    assert(atEnd.map(_._3).distinct == Seq(15.0))
+    // @ on a range selector: the window is fixed, the result repeated
+    val inc = run("""increase(req{instance="i1"}[60] @ 60)""", 0, 20, 10)
+    assert(inc.size == 3)
+    assert(inc.forall(r => math.abs(r._3 - 26.4) < 1e-6))
   }
 
   test("label_replace and label_join through the evaluator") {
