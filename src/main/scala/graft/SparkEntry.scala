@@ -403,6 +403,61 @@ object SparkEntry {
     rows.toDF("event_type", "day", "idx", "cnt", "total_count", "sum_fp")
   }
 
+  /** The same per-(event_type, day) histograms as [[nativeHistBuckets]]
+    * shipped through the OTLP ExponentialHistogram edge instead: dense
+    * offset+counts Buckets (zeros included) at the OTLP index
+    * convention (bucket i covers (2^i, 2^(i+1)] — one LOWER than the
+    * Prometheus-native idx), zigzag scale/offset, packed-varint counts,
+    * CUMULATIVE temporality. Decode shifts back (+1), so the output
+    * rows are IDENTICAL to the prompb-native path and the entries share
+    * one oracle — the interchangeable-edges pin.
+    */
+  private def otlpExpHistBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(
+      col("event_type"),
+      to_date(col("ts")).cast("string").as("day"),
+      floor(col("value") * 1000000L).cast("long").as("vfp"))
+    val b = ev.withColumn("idx", length(bin(col("vfp"))).cast("int"))
+      .groupBy(col("event_type"), col("day"), col("idx"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val totals = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val wires = b.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (et, rows) =>
+        val points = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)
+          .map { case (day, dayRows) =>
+            val sparse = dayRows
+              .map(r => (r.getInt(2) - 1, r.getLong(3))) // → OTLP index
+              .sortBy(_._1)
+            val byIdx = sparse.toMap
+            val off = sparse.head._1
+            val dense = (off to sparse.last._1)
+              .map(i => byIdx.getOrElse(i, 0L))
+            val (n, sumfp) = totals((et, day))
+            val tsNano = java.time.LocalDate.parse(day)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+              .toEpochMilli * 1000000L
+            (Seq.empty[(String, String)], tsNano, n, sumfp / 1000000.0,
+              0, 0L, off, dense)
+          }
+        graft.codec.Otlp.encodeExpHistogramRequest(Nil, et, points)
+      }
+    val rows = for {
+      wire <- wires
+      p <- graft.codec.Otlp.decodeExpHistograms(wire)
+      name = p.labels.find(_.name == "__name__").get.value
+      day = java.time.Instant.ofEpochMilli(p.tsNano / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      (cnt, i) <- p.posCounts.zipWithIndex
+      if cnt > 0L
+    } yield (name, day, (p.posOffset + i + 1).toLong, cnt, p.count,
+      Math.round(p.sum * 1000000.0))
+    rows.toDF("event_type", "day", "idx", "cnt", "total_count", "sum_fp")
+  }
+
   /** The deterministic doc→doc link fixture shared by the centrality
     * entries (PageRank, personalized PageRank): 3 hash-derived out-links
     * per doc — md5("id:lj") mod n. The oracle rebuilds the same graph in
@@ -6139,6 +6194,23 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // The OTLP ExponentialHistogram edge: same histograms as
+    // s1_native_hist_roundtrip but through OTLP wire bytes (dense
+    // offset+counts, OTLP index convention) — shares the native
+    // entry's oracle VERBATIM: the edges are interchangeable.
+    "s1_otlp_exphist" -> ((s, dir) => {
+      otlpExpHistBuckets(s, dir)
+        .orderBy(col("event_type"), col("day"), col("idx"))
+    }),
+
+    "s1_otlp_exphist_quantile" -> ((s, dir) => {
+      TimeSeriesOps.expHistogramQuantile(
+          otlpExpHistBuckets(s, dir)
+            .select(col("event_type"), col("day"), col("idx"), col("cnt")),
+          Seq("event_type", "day"), "idx", "cnt", q = 0.9)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // absent(): 1 with the selector's EQ-matcher labels at every grid
     // instant where nothing matches — the alert-on-missing-series idiom.
     "promql_absent" -> ((s, dir) => {
@@ -7635,6 +7707,44 @@ object SparkEntry {
       |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
       |FROM documents d LEFT JOIN g USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by the prompb-native and OTLP-exponential histogram
+    * entries — the two wire edges must land identical rows.
+    */
+  private val ONativeHistRowsSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+      |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+      |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+      |t AS (SELECT event_type, day, count(*) AS total_count,
+      |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
+      |SELECT b.event_type, b.day, CAST(b.idx AS BIGINT) AS idx, b.cnt,
+      |  t.total_count, t.sum_fp
+      |FROM b JOIN t USING (event_type, day)
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  private val ONativeHistQuantileSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+      |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+      |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+      |r AS (SELECT *,
+      |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY idx
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+      |  FROM b),
+      |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+      |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
+      |SELECT event_type, day, CAST(tot AS BIGINT) AS total,
+      |  CAST(floor(power(2.0, idx - 1) +
+      |    (power(2.0, idx) - power(2.0, idx - 1)) *
+      |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+      |    AS quantile_fp
+      |FROM sel
+      |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+      |ORDER BY event_type, day""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -11415,41 +11525,13 @@ object SparkEntry {
          |  AND isum.it <= gr.T
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
-    "s1_native_hist_roundtrip" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
-        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
-        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
-        |t AS (SELECT event_type, day, count(*) AS total_count,
-        |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
-        |SELECT b.event_type, b.day, CAST(b.idx AS BIGINT) AS idx, b.cnt,
-        |  t.total_count, t.sum_fp
-        |FROM b JOIN t USING (event_type, day)
-        |ORDER BY 1, 2, 3""".stripMargin,
+    "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+    // identical oracle — the prompb native and OTLP exponential edges
+    // are interchangeable: both land the same sparse bucket rows
+    "s1_otlp_exphist" -> ONativeHistRowsSql,
 
-    "s1_native_hist_quantile" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
-        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
-        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
-        |r AS (SELECT *,
-        |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY idx
-        |      ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(cnt) OVER (PARTITION BY event_type, day) AS tot
-        |  FROM b),
-        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
-        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
-        |SELECT event_type, day, CAST(tot AS BIGINT) AS total,
-        |  CAST(floor(power(2.0, idx - 1) +
-        |    (power(2.0, idx) - power(2.0, idx - 1)) *
-        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
-        |    AS quantile_fp
-        |FROM sel
-        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
-        |ORDER BY event_type, day""".stripMargin,
-
+    "s1_native_hist_quantile" -> ONativeHistQuantileSql,
+    "s1_otlp_exphist_quantile" -> ONativeHistQuantileSql,
     "promql_absent" ->
       """SELECT '__name__=click,user_id=no_such_user' AS tags,
         |  1704412800 + 21600 * k AS t,

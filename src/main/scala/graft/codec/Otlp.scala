@@ -313,6 +313,154 @@ object Otlp {
     }
   }
 
+  // ------------------------------------------- exponential histograms
+
+  /** One decoded ExponentialHistogramDataPoint with its resolved label
+    * set. Bucket counts are DENSE from `posOffset` (the OTLP Buckets
+    * shape: offset + count array, zeros included), positive side only —
+    * the store's non-negative-measurement contract; negative buckets
+    * and the zero bucket travel in `zeroCount`/`negOffset`/`negCounts`
+    * for callers that need them.
+    *
+    * OTLP index convention: bucket i covers (base^i, base^(i+1)] with
+    * base = 2^(2^-scale) — one LOWER than the Prometheus native
+    * convention (idx covers (base^(idx−1), base^idx]); bridging callers
+    * add 1 (the s1_otlp_exphist entries pin both edges landing on
+    * identical rows).
+    */
+  case class ExpHistPoint(labels: Seq[PLabel], tsNano: Long, count: Long,
+                          sum: Double, hasSum: Boolean, scale: Int,
+                          zeroCount: Long, posOffset: Int,
+                          posCounts: Seq[Long], negOffset: Int,
+                          negCounts: Seq[Long])
+
+  private def decExpBuckets(buf: Array[Byte], s: Int,
+                            e: Int): (Int, Seq[Long]) = {
+    val r = new Prompb.Reader(buf, s, e)
+    var offset = 0
+    val counts = Seq.newBuilder[Long]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 0) =>
+          val z = r.varint(); offset = ((z >>> 1) ^ -(z & 1L)).toInt
+        case (2, 2) => // packed uint64 varints
+          val (a, b) = r.lenDelimited()
+          val pr = new Prompb.Reader(buf, a, b)
+          while (pr.hasMore) counts += pr.varint()
+        case (2, 0) => counts += r.varint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    (offset, counts.result())
+  }
+
+  private def decExpHistPoint(buf: Array[Byte], s: Int, e: Int)
+      : (Long, Long, Double, Boolean, Int, Long, (Int, Seq[Long]),
+         (Int, Seq[Long]), Seq[(String, String)]) = {
+    val r = new Prompb.Reader(buf, s, e)
+    var ts = 0L; var count = 0L; var sum = 0.0; var hasSum = false
+    var scale = 0; var zeroCount = 0L
+    var pos = (0, Seq.empty[Long]); var neg = (0, Seq.empty[Long])
+    val attrs = Seq.newBuilder[(String, String)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited()
+          decKeyValue(buf, a, b).foreach(attrs += _)
+        case (3, 1) => ts = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+          hasSum = true
+        case (6, 0) =>
+          val z = r.varint(); scale = ((z >>> 1) ^ -(z & 1L)).toInt
+        case (7, 1) => zeroCount = r.fixed64()
+        case (8, 2) => val (a, b) = r.lenDelimited(); pos = decExpBuckets(buf, a, b)
+        case (9, 2) => val (a, b) = r.lenDelimited(); neg = decExpBuckets(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    (ts, count, sum, hasSum, scale, zeroCount, pos, neg, attrs.result())
+  }
+
+  /** Decode every CUMULATIVE ExponentialHistogram data point in an
+    * ExportMetricsServiceRequest (Metric field 10; DELTA skipped
+    * structurally, the same receiver policy as sums/histograms). Labels
+    * resolve exactly as the scalar path: resource attrs overridden by
+    * point attrs plus `__name__`.
+    */
+  def decodeExpHistograms(buf: Array[Byte]): Seq[ExpHistPoint] = {
+    val out = Seq.newBuilder[ExpHistPoint]
+    def walkMetric(s: Int, e: Int,
+                   resourceAttrs: Seq[(String, String)]): Unit = {
+      val r = new Prompb.Reader(buf, s, e)
+      var name = ""
+      val pts = Seq.newBuilder[(Int, Int)]
+      var temporality = 0L
+      while (r.hasMore) {
+        val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+          case (1, 2) => name = r.utf8()
+          case (10, 2) => // ExponentialHistogram
+            val (a, b) = r.lenDelimited()
+            val hr = new Prompb.Reader(buf, a, b)
+            while (hr.hasMore) {
+              val hk = hr.varint(); (hk >> 3, (hk & 7).toInt) match {
+                case (1, 2) => pts += hr.lenDelimited()
+                case (2, 0) => temporality = hr.varint()
+                case (_, w) => hr.skip(w)
+              }
+            }
+          case (_, w) => r.skip(w)
+        }
+      }
+      if (temporality == 2L) pts.result().foreach { case (a, b) =>
+        val (ts, count, sum, hasSum, scale, zc, pos, neg, attrs) =
+          decExpHistPoint(buf, a, b)
+        val labels = (resourceAttrs.toMap ++ attrs.toMap) +
+          ("__name__" -> name)
+        out += ExpHistPoint(
+          labels.toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
+          ts, count, sum, hasSum, scale, zc, pos._1, pos._2,
+          neg._1, neg._2)
+      }
+    }
+    def walkScope(s: Int, e: Int,
+                  resourceAttrs: Seq[(String, String)]): Unit = {
+      val r = new Prompb.Reader(buf, s, e)
+      while (r.hasMore) {
+        val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+          case (2, 2) =>
+            val (a, b) = r.lenDelimited(); walkMetric(a, b, resourceAttrs)
+          case (_, w) => r.skip(w)
+        }
+      }
+    }
+    def walkResourceMetrics(s: Int, e: Int): Unit = {
+      val r = new Prompb.Reader(buf, s, e)
+      var resourceAttrs = Seq.empty[(String, String)]
+      val scopes = Seq.newBuilder[(Int, Int)]
+      while (r.hasMore) {
+        val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+          case (1, 2) =>
+            val (a, b) = r.lenDelimited()
+            resourceAttrs = decResource(buf, a, b)
+          case (2, 2) => scopes += r.lenDelimited()
+          case (_, w) => r.skip(w)
+        }
+      }
+      scopes.result().foreach { case (a, b) =>
+        walkScope(a, b, resourceAttrs)
+      }
+    }
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) => val (a, b) = r.lenDelimited(); walkResourceMetrics(a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    out.result()
+  }
+
   /** ExportMetricsServiceRequest bytes → canonical write request. */
   def decodeToV1(buf: Array[Byte]): PWriteRequest = {
     val r = new Prompb.Reader(buf, 0, buf.length)
@@ -447,6 +595,43 @@ object Otlp {
     val m = new Prompb.Writer
     m.string(1, name)
     m.message(9, hist.toBytes)
+    wrapRequest(resourceAttrs, Seq(m.toBytes))
+  }
+
+  /** One request carrying one ExponentialHistogram metric: each point is
+    * (attrs, tsNano, count, sum, scale, zeroCount, posOffset,
+    * posCounts) — the dense offset+counts Buckets shape (zeros
+    * included), zigzag scale/offset, packed-varint counts.
+    */
+  def encodeExpHistogramRequest(resourceAttrs: Seq[(String, String)],
+                                name: String,
+                                points: Seq[(Seq[(String, String)], Long,
+                                  Long, Double, Int, Long, Int,
+                                  Seq[Long])],
+                                temporality: Int = 2): Array[Byte] = {
+    def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+    val hist = new Prompb.Writer
+    points.foreach { case (attrs, tsNano, count, sum, scale, zeroCount,
+        posOffset, posCounts) =>
+      val dp = new Prompb.Writer
+      attrs.foreach { case (k, v) => dp.message(1, encKeyValue(k, v)) }
+      dp.fixed64(3, tsNano)
+      dp.fixed64(4, count)
+      dp.double(5, sum)
+      if (scale != 0) { dp.key(6, 0); dp.varint(zz(scale.toLong)) }
+      dp.fixed64(7, zeroCount)
+      val b = new Prompb.Writer
+      if (posOffset != 0) { b.key(1, 0); b.varint(zz(posOffset.toLong)) }
+      val packed = new Prompb.Writer
+      posCounts.foreach(packed.varint)
+      b.bytes(2, packed.toBytes)
+      dp.message(8, b.toBytes)
+      hist.message(1, dp.toBytes)
+    }
+    hist.int64(2, temporality.toLong)
+    val m = new Prompb.Writer
+    m.string(1, name)
+    m.message(10, hist.toBytes)
     wrapRequest(resourceAttrs, Seq(m.toBytes))
   }
 }

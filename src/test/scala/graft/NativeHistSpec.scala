@@ -81,6 +81,27 @@ class NativeHistSpec extends AnyFunSuite {
     assert(bytes.toSeq == expect.toSeq)
   }
 
+  test("OTLP exponential histogram round-trips; DELTA is skipped") {
+    val pts = Seq((Seq("svc" -> "a"), 1000000000L, 10L, 12.5, -2, 1L,
+      -3, Seq(2L, 0L, 3L, 5L)))
+    val wire = graft.codec.Otlp.encodeExpHistogramRequest(
+      Seq("env" -> "prod"), "lat", pts)
+    val got = graft.codec.Otlp.decodeExpHistograms(wire)
+    assert(got.length == 1)
+    val h = got.head
+    assert(h.labels.map(l => l.name -> l.value) ==
+      Seq("__name__" -> "lat", "env" -> "prod", "svc" -> "a"))
+    assert(h.scale == -2 && h.zeroCount == 1L && h.posOffset == -3)
+    assert(h.posCounts == Seq(2L, 0L, 3L, 5L))
+    assert(h.count == 10L && h.sum == 12.5)
+    // DELTA temporality: structurally skipped, same policy as sums
+    val delta = graft.codec.Otlp.encodeExpHistogramRequest(
+      Nil, "lat", pts, temporality = 1)
+    assert(graft.codec.Otlp.decodeExpHistograms(delta).isEmpty)
+    // scalar decode ignores the exponential payload entirely
+    assert(graft.codec.Otlp.decodeToV1(wire).timeseries.isEmpty)
+  }
+
   test("float-histogram payloads decode as empty and are droppable") {
     // hand-assembled wire: a histogram using float fields 2/7 only
     def le64(v: Double): Seq[Byte] = {
