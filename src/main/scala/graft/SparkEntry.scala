@@ -6194,6 +6194,43 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // PromQL plan audit, the f2/salted-audit pattern: the evaluator's
+    // SCALE CLAIMS pinned as plan facts over the real date-partitioned
+    // store — time bounds push to the parquet scan, date partitions
+    // prune, a name EQ matcher pushes as an EqualTo filter, the
+    // selector costs exactly ONE exchange (tags-hash serves dedup +
+    // window), a full rate+sum pipeline costs three, and vector
+    // matching is an equi-join (never cartesian).
+    "promql_plan_audit" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val store = s.read.parquet(s"$base/metrics")
+      val spec = Eval.RangeSpec(Jan05, Jan20, 21600L, 86400L)
+      def plan(q: String): String =
+        Eval.rangeQuery(store, q, spec)
+          .queryExecution.executedPlan.toString
+      def exchanges(p: String): Long =
+        p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+          && !l.contains("ReusedExchange")).toLong
+      val rateP = plan("""sum by (user_id) (rate({__name__=~".+"}[2d]))""")
+      val selP = plan("click")
+      val binP = plan("""error / on(user_id) group_left
+        | sum by (user_id) ({__name__=~"click|view"})""".stripMargin)
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("binop_no_cartesian", b(!binP.contains("Cartesian") &&
+          !binP.contains("BroadcastNestedLoop"))),
+        ("rate_date_partition_filter",
+          b(rateP.contains("PartitionFilters: [") &&
+            rateP.contains("(date"))),
+        ("rate_exchanges", exchanges(rateP)),
+        ("rate_ts_pushdown", b(rateP.contains("GreaterThan(ts") &&
+          rateP.contains("LessThanOrEqual(ts"))),
+        ("selector_exchanges", exchanges(selP)),
+        ("selector_name_pushdown", b(selP.contains("EqualTo(name,click)"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // The OTLP ExponentialHistogram edge: same histograms as
     // s1_native_hist_roundtrip but through OTLP wire bytes (dense
     // offset+counts, OTLP index convention) — shares the native
@@ -11532,6 +11569,21 @@ object SparkEntry {
 
     "s1_native_hist_quantile" -> ONativeHistQuantileSql,
     "s1_otlp_exphist_quantile" -> ONativeHistQuantileSql,
+    // static expectations: the evaluator's scale contract as numbers —
+    // ts bounds push to parquet, date partitions prune, name EQ pushes,
+    // one exchange per selector, two for a full rate+sum pipeline (the
+    // tags hash also satisfies the (tags, T) aggregation), equi-join
+    // vector matching
+    "promql_plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('binop_no_cartesian', CAST(1 AS BIGINT)),
+        |  ('rate_date_partition_filter', 1),
+        |  ('rate_exchanges', 2),
+        |  ('rate_ts_pushdown', 1),
+        |  ('selector_exchanges', 1),
+        |  ('selector_name_pushdown', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
+
     "promql_absent" ->
       """SELECT '__name__=click,user_id=no_such_user' AS tags,
         |  1704412800 + 21600 * k AS t,

@@ -198,8 +198,14 @@ object Eval {
     if (m.columns.contains("date"))
       df = df.filter(col("date") >= to_date(timestamp_seconds(lit(lo))) &&
         col("date") <= to_date(timestamp_seconds(lit(hi))))
-    val pred = s.matchers.map(matcherPred)
-      .foldLeft(tCol > lo && tCol <= hi)(_ && _)
+    // bound the RAW ts column (not unix_timestamp(ts), which wraps the
+    // column in a function and kills parquet predicate pushdown) —
+    // exact at the store's second grain (§1.2: ts is DateTime/seconds)
+    val tBound =
+      if (tsIsLong) col("ts") > lo && col("ts") <= hi
+      else col("ts") > timestamp_seconds(lit(lo)) &&
+        col("ts") <= timestamp_seconds(lit(hi))
+    val pred = s.matchers.map(matcherPred).foldLeft(tBound)(_ && _)
     val named = s.name match {
       case Some(n) => df.filter(col("name") === n)
       case None => df
