@@ -362,8 +362,8 @@ object SparkEntry {
     * Driver-sized by construction: event_types × days histograms of
     * ≤ ~40 buckets each (the BPE-table collect contract).
     */
-  private def nativeHistBuckets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def nativeHistSeries(s: SparkSession,
+                               dir: String): Seq[NativeHist.PHistSeries] = {
     val ev = Tables.events(s, dir).select(
       col("event_type"),
       to_date(col("ts")).cast("string").as("day"),
@@ -375,7 +375,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    val series = b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+    b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
       .sortBy(_._1)
       .map { case ((et, day), rows) =>
         val buckets = rows.map(r => (r.getInt(2), r.getLong(3)))
@@ -388,8 +388,12 @@ object SparkEntry {
           Seq(NativeHist.PHistogram(n, sumfp / 1000000.0, 0, 0.0, 0L,
             spans, deltas, Nil, Nil, tsMs)))
       }
+  }
+
+  private def nativeHistBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val decoded = NativeHist.decodeWriteRequest(
-      NativeHist.encodeWriteRequest(series)) // the actual wire bytes
+      NativeHist.encodeWriteRequest(nativeHistSeries(s, dir))) // wire bytes
     val rows = for {
       hs <- decoded
       name = hs.labels.find(_.name == "__name__").get.value
@@ -6231,6 +6235,37 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // Native histograms through the live /write front door: the server
+    // flattens prompb.Histogram payloads to their CLASSIC le-bucket
+    // view (cumulative counters over populated bounds + +Inf/_count/
+    // _sum) before the ingest tail — without this an agent's native
+    // histograms silently drop. The oracle rebuilds every stored row
+    // (bucket cumulative, bound label, companions) from raw events.
+    "s1_native_hist_ingest" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_nhing")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val wire = Prompb.snappyCompress(
+          NativeHist.encodeWriteRequest(nativeHistSeries(s, dir)))
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "write failed")
+        conn.disconnect()
+        s.read.parquet(table).select(
+            col("name"),
+            LabelOps.labelValue(col("tags"), "le").as("le"),
+            unix_timestamp(col("ts")).as("t"),
+            round(col("val") * 1000000L).cast("long").as("val_fp"))
+          .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
+            col("val_fp"))
+      } finally server.stop()
+    }),
+
     // The OTLP ExponentialHistogram edge: same histograms as
     // s1_native_hist_roundtrip but through OTLP wire bytes (dense
     // offset+counts, OTLP index convention) — shares the native
@@ -11563,6 +11598,39 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "s1_native_hist_ingest" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tt AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sumfp FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, idx,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day
+        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM b),
+        |dsec AS (SELECT event_type, day,
+        |    CAST(epoch(CAST(day AS DATE)) AS BIGINT) AS t
+        |  FROM tt),
+        |rows AS (
+        |  SELECT c.event_type || '_bucket' AS name,
+        |    CAST(CAST(power(2, c.idx) AS BIGINT) AS VARCHAR) AS le,
+        |    d.t, c.cum * 1000000 AS val_fp
+        |  FROM cum c JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_bucket', '+Inf', d.t,
+        |    tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_count', NULL, d.t, tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_sum', NULL, d.t, tt.sumfp
+        |  FROM tt JOIN dsec d USING (event_type, day))
+        |SELECT * FROM rows
+        |ORDER BY name, le NULLS FIRST, t, val_fp""".stripMargin,
     // identical oracle — the prompb native and OTLP exponential edges
     // are interchangeable: both land the same sparse bucket rows
     "s1_otlp_exphist" -> ONativeHistRowsSql,

@@ -101,6 +101,64 @@ object NativeHist {
     (spans.result(), deltas.result())
   }
 
+  /** CLASSIC VIEW of a native-histogram series — the le-bucket series
+    * set the scalar store can hold (what Prometheus itself exposes when
+    * a classic-only consumer reads a native histogram): per histogram
+    * sample, cumulative `<name>_bucket{le=…}` counters over the
+    * populated buckets' upper bounds (zero-bucket count included in
+    * every cumulative), `le="+Inf"` = total count, plus `<name>_count`
+    * / `<name>_sum` companions. Bucket idx's upper VALUE bound is
+    * base^idx with base = 2^(2^-schema); the label prints it quantized
+    * to the store's 1e-6 grid with minimal decimals — schema 0 takes a
+    * pure-integer path (no doubles anywhere), so oracles reproduce the
+    * strings exactly; other schemas quantize one pow() (sub-grid ulp
+    * possible, spec-tested engine-side).
+    */
+  def toClassicSeries(hs: PHistSeries): Seq[Prompb.PTimeSeries] = {
+    val name = hs.labels.find(_.name == Schema_MetricName).map(_.value)
+      .getOrElse("")
+    val rest = hs.labels.filterNot(_.name == Schema_MetricName)
+    def mk(metric: String, extra: Seq[Prompb.PLabel], v: Double,
+           tsMs: Long): Prompb.PTimeSeries =
+      Prompb.PTimeSeries(
+        ((rest ++ extra) :+ Prompb.PLabel(Schema_MetricName, metric))
+          .sortBy(l => (l.name, l.value)),
+        Seq(Prompb.PSample(v, tsMs)))
+    hs.histograms.flatMap { h =>
+      var cum = h.zeroCount
+      val buckets = expandBuckets(h.positiveSpans, h.positiveDeltas)
+        .map { case (idx, cnt) =>
+          cum += cnt
+          mk(name + "_bucket",
+            Seq(Prompb.PLabel("le", boundLabel(idx, h.schema))),
+            cum.toDouble, h.timestampMs)
+        }
+      buckets ++ Seq(
+        mk(name + "_bucket", Seq(Prompb.PLabel("le", "+Inf")),
+          h.count.toDouble, h.timestampMs),
+        mk(name + "_count", Nil, h.count.toDouble, h.timestampMs),
+        mk(name + "_sum", Nil, h.sum, h.timestampMs))
+    }
+  }
+
+  private val Schema_MetricName = "__name__"
+
+  /** Upper value bound of bucket `idx`, printed on the 1e-6 grid with
+    * trailing zeros trimmed. Schema 0 (base 2) computes the fixed-point
+    * bound as exact integer arithmetic.
+    */
+  def boundLabel(idx: Int, schema: Int): String = {
+    val fp: Long =
+      if (schema == 0 && idx >= 0 && idx <= 42) (1L << idx) * 1000000L
+      else Math.round(
+        math.pow(2.0, idx * math.pow(2.0, -schema)) * 1000000.0)
+    val i = fp / 1000000L
+    val f = fp % 1000000L
+    if (f == 0L) i.toString
+    else i.toString + "." +
+      f"$f%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
   // ------------------------------------------------------------- encode
 
   private def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)

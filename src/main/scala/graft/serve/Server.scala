@@ -126,7 +126,17 @@ class Server(spark: SparkSession, tablePath: String,
       val wr =
         if (ctype.contains("io.prometheus.write.v2.Request"))
           graft.codec.Prompb2.decodeToV1(body)
-        else Prompb.decodeWriteRequest(body)
+        else {
+          val scalar = Prompb.decodeWriteRequest(body)
+          // native-histogram series (TimeSeries field 3) in the same
+          // payload ingest as their CLASSIC le-bucket view — the
+          // scalar store's representation; without this an OTel/agent
+          // sender's histograms would silently drop
+          val hists = graft.codec.NativeHist.decodeWriteRequest(body)
+          if (hists.isEmpty) scalar
+          else scalar.copy(timeseries = scalar.timeseries ++
+            hists.flatMap(graft.codec.NativeHist.toClassicSeries))
+        }
       ingestDecoded(ex, wr)
     } catch {
       case e: Throwable =>
