@@ -6266,6 +6266,43 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // The same native histograms through the REMOTE-WRITE 2.0 front
+    // door (symbol-table labels, TimeSeries field 3 — the same
+    // Histogram message as v1): stored rows must be identical to the
+    // v1 path's, so this shares s1_native_hist_ingest's oracle.
+    "s1_prw2_native_ingest" -> ((s, dir) => {
+      val v1h = nativeHistSeries(s, dir)
+      val idx = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+      def ref(x: String): Int = idx.getOrElseUpdate(x, idx.size)
+      val tss = v1h.map(hs => graft.codec.Prompb2.P2TimeSeries(
+        hs.labels.flatMap(l => Seq(ref(l.name), ref(l.value))), Nil,
+        hs.histograms))
+      val wire = Prompb.snappyCompress(graft.codec.Prompb2.encodeRequest(
+        graft.codec.Prompb2.P2Request(idx.keys.toSeq, tss)))
+      val table = java.nio.file.Files.createTempDirectory("graft_nh2")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "v2 write failed")
+        conn.disconnect()
+        s.read.parquet(table).select(
+            col("name"),
+            LabelOps.labelValue(col("tags"), "le").as("le"),
+            unix_timestamp(col("ts")).as("t"),
+            round(col("val") * 1000000L).cast("long").as("val_fp"))
+          .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
+            col("val_fp"))
+      } finally server.stop()
+    }),
+
     // The OTLP ExponentialHistogram edge: same histograms as
     // s1_native_hist_roundtrip but through OTLP wire bytes (dense
     // offset+counts, OTLP index convention) — shares the native
@@ -7783,6 +7820,39 @@ object SparkEntry {
   /** Shared by the prompb-native and OTLP-exponential histogram
     * entries — the two wire edges must land identical rows.
     */
+  private val ONativeHistIngestSql: String =
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tt AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sumfp FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, idx,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day
+        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM b),
+        |dsec AS (SELECT event_type, day,
+        |    CAST(epoch(CAST(day AS DATE)) AS BIGINT) AS t
+        |  FROM tt),
+        |rows AS (
+        |  SELECT c.event_type || '_bucket' AS name,
+        |    CAST(CAST(power(2, c.idx) AS BIGINT) AS VARCHAR) AS le,
+        |    d.t, c.cum * 1000000 AS val_fp
+        |  FROM cum c JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_bucket', '+Inf', d.t,
+        |    tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_count', NULL, d.t, tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_sum', NULL, d.t, tt.sumfp
+        |  FROM tt JOIN dsec d USING (event_type, day))
+        |SELECT * FROM rows
+        |ORDER BY name, le NULLS FIRST, t, val_fp""".stripMargin
+
   private val ONativeHistRowsSql: String =
     """WITH e AS (SELECT event_type,
       |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -11599,38 +11669,9 @@ object SparkEntry {
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
 
-    "s1_native_hist_ingest" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
-        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
-        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
-        |tt AS (SELECT event_type, day, count(*) AS n,
-        |    CAST(sum(vfp) AS BIGINT) AS sumfp FROM e GROUP BY 1, 2),
-        |cum AS (SELECT event_type, day, idx,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day
-        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM b),
-        |dsec AS (SELECT event_type, day,
-        |    CAST(epoch(CAST(day AS DATE)) AS BIGINT) AS t
-        |  FROM tt),
-        |rows AS (
-        |  SELECT c.event_type || '_bucket' AS name,
-        |    CAST(CAST(power(2, c.idx) AS BIGINT) AS VARCHAR) AS le,
-        |    d.t, c.cum * 1000000 AS val_fp
-        |  FROM cum c JOIN dsec d USING (event_type, day)
-        |  UNION ALL
-        |  SELECT tt.event_type || '_bucket', '+Inf', d.t,
-        |    tt.n * 1000000
-        |  FROM tt JOIN dsec d USING (event_type, day)
-        |  UNION ALL
-        |  SELECT tt.event_type || '_count', NULL, d.t, tt.n * 1000000
-        |  FROM tt JOIN dsec d USING (event_type, day)
-        |  UNION ALL
-        |  SELECT tt.event_type || '_sum', NULL, d.t, tt.sumfp
-        |  FROM tt JOIN dsec d USING (event_type, day))
-        |SELECT * FROM rows
-        |ORDER BY name, le NULLS FIRST, t, val_fp""".stripMargin,
+    "s1_prw2_native_ingest" -> ONativeHistIngestSql,
+    "s1_native_hist_ingest" -> ONativeHistIngestSql,
+
     // identical oracle — the prompb native and OTLP exponential edges
     // are interchangeable: both land the same sparse bucket rows
     "s1_otlp_exphist" -> ONativeHistRowsSql,

@@ -32,7 +32,8 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   */
 object Prompb2 {
 
-  case class P2TimeSeries(labelsRefs: Seq[Int], samples: Seq[PSample])
+  case class P2TimeSeries(labelsRefs: Seq[Int], samples: Seq[PSample],
+                          histograms: Seq[NativeHist.PHistogram] = Nil)
   case class P2Request(symbols: Seq[String], timeseries: Seq[P2TimeSeries])
 
   // --------------------------------------------------------------- write
@@ -50,6 +51,7 @@ object Prompb2 {
     ts.labelsRefs.foreach(r => packed.varint(r.toLong))
     w.bytes(1, packed.toBytes)
     ts.samples.foreach(s => w.message(2, encSample(s)))
+    ts.histograms.foreach(h => w.message(3, NativeHist.encodeHistogram(h)))
     w.toBytes
   }
 
@@ -97,6 +99,7 @@ object Prompb2 {
     val r = new Prompb.Reader(buf, s, e)
     val refs = Seq.newBuilder[Int]
     val samples = Seq.newBuilder[PSample]
+    val hists = Seq.newBuilder[NativeHist.PHistogram]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => // packed
@@ -107,10 +110,13 @@ object Prompb2 {
           refs += r.varint().toInt
         case (2, 2) =>
           val (a, b) = r.lenDelimited(); samples += decSample(buf, a, b)
+        case (3, 2) => // native histograms — same message as v1
+          val (a, b) = r.lenDelimited()
+          hists += NativeHist.decodeHistogram(buf, a, b)
         case (_, w) => r.skip(w)
       }
     }
-    P2TimeSeries(refs.result(), samples.result())
+    P2TimeSeries(refs.result(), samples.result(), hists.result())
   }
 
   def decodeRequest(buf: Array[Byte]): P2Request = {
@@ -153,4 +159,18 @@ object Prompb2 {
 
   /** Full v2 ingest edge: bytes → symbols resolved → canonical v1. */
   def decodeToV1(buf: Array[Byte]): PWriteRequest = toV1(decodeRequest(buf))
+
+  /** The v2 request's native-histogram series with their symbol refs
+    * resolved — the v2 spelling of [[NativeHist.decodeWriteRequest]];
+    * callers flatten via [[NativeHist.toClassicSeries]].
+    */
+  def histogramsToV1(r: P2Request): Seq[NativeHist.PHistSeries] = {
+    val syms = r.symbols.toIndexedSeq
+    r.timeseries.filter(_.histograms.nonEmpty).map { ts =>
+      val labels = ts.labelsRefs.grouped(2).map { case Seq(n, v) =>
+        PLabel(syms(n), syms(v))
+      }.toSeq
+      NativeHist.PHistSeries(labels, ts.histograms)
+    }
+  }
 }

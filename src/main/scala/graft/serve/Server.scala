@@ -124,9 +124,14 @@ class Server(spark: SparkSession, tablePath: String,
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
       val wr =
-        if (ctype.contains("io.prometheus.write.v2.Request"))
-          graft.codec.Prompb2.decodeToV1(body)
-        else {
+        if (ctype.contains("io.prometheus.write.v2.Request")) {
+          val req = graft.codec.Prompb2.decodeRequest(body)
+          val scalar = graft.codec.Prompb2.toV1(req)
+          val hists = graft.codec.Prompb2.histogramsToV1(req)
+          if (hists.isEmpty) scalar
+          else scalar.copy(timeseries = scalar.timeseries ++
+            hists.flatMap(graft.codec.NativeHist.toClassicSeries))
+        } else {
           val scalar = Prompb.decodeWriteRequest(body)
           // native-histogram series (TimeSeries field 3) in the same
           // payload ingest as their CLASSIC le-bucket view — the
