@@ -6235,6 +6235,58 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // The metadata endpoints a Grafana datasource calls to populate its
+    // selectors, over live HTTP: /api/v1/series lists matching series'
+    // label sets within the time bounds; /api/v1/label/<n>/values lists
+    // one label's values. Both filter with compiled match[] selectors
+    // pushed into the scan.
+    "serve_series" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val m = java.net.URLEncoder.encode(
+          """{__name__=~"error|purchase"}""", "UTF-8")
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/api/v1/series?start=$Jan05&end=$Jan10&match[]=$m"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data ARRAY<MAP<STRING,STRING>>")
+        Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(explode(col("r.data")).as("srs"))
+          .select(array_join(sort_array(transform(map_entries(col("srs")),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value")))), ",").as("tags"))
+          .orderBy(col("tags"))
+      } finally server.stop()
+    }),
+
+    "serve_label_values" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val m = java.net.URLEncoder.encode("click", "UTF-8")
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/api/v1/label/user_id/values?start=$Jan05&end=$Jan10" +
+          s"&match[]=$m"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data ARRAY<STRING>")
+        Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(explode(col("r.data")).as("v"))
+          .orderBy(col("v"))
+      } finally server.stop()
+    }),
+
     // Native histograms through the live /write front door: the server
     // flattens prompb.Histogram payloads to their CLASSIC le-bucket
     // view (cumulative counters over populated bounds + +Inf/_count/
@@ -11668,6 +11720,18 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "serve_series" ->
+      s"""SELECT DISTINCT $OTags AS tags FROM events
+         |WHERE event_type IN ('error', 'purchase')
+         |  AND $OSec BETWEEN 1704412800 AND 1704844800
+         |ORDER BY tags""".stripMargin,
+
+    "serve_label_values" ->
+      s"""SELECT DISTINCT CAST(user_id AS VARCHAR) AS v FROM events
+         |WHERE event_type = 'click'
+         |  AND $OSec BETWEEN 1704412800 AND 1704844800
+         |ORDER BY v""".stripMargin,
 
     "s1_prw2_native_ingest" -> ONativeHistIngestSql,
     "s1_native_hist_ingest" -> ONativeHistIngestSql,

@@ -94,6 +94,21 @@ object Eval {
       (col("v_fp").cast("double") / FPD).as("value"))
   }
 
+  /** Compile a `match[]`-style bare selector (no range/offset/@) into a
+    * (name, tags) predicate — the metadata endpoints' filter
+    * (/api/v1/labels, /label/<n>/values, /series).
+    */
+  def seriesPredicate(selector: String): Column =
+    Parser.parse(selector) match {
+      case s: Selector if s.rangeSec.isEmpty && s.offsetSec == 0L &&
+          s.atSec.isEmpty =>
+        (s.name.map(n => col("name") === n).toSeq ++
+          s.matchers.map(matcherPred))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case _ => throw new IllegalArgumentException(
+        "match[] must be a plain instant selector")
+    }
+
   /** The grid as a frame (t). Driver-free: a range of k values. */
   private def grid(metrics: DataFrame, spec: RangeSpec): DataFrame =
     metrics.sparkSession.range(0L, spec.kMax + 1)
@@ -958,6 +973,7 @@ object Eval {
       case "/" => a / b
       case "%" => a % b
       case "^" => math.pow(a, b)
+      case "atan2" => math.atan2(a, b)
       case "==" => if (a == b) 1.0 else 0.0
       case "!=" => if (a != b) 1.0 else 0.0
       case "<" => if (a < b) 1.0 else 0.0
@@ -974,6 +990,7 @@ object Eval {
     case "/" => sdiv(a, b)
     case "%" => smod(a, b)
     case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
     case "==" => when(a === b, 1.0).otherwise(0.0)
     case "!=" => when(a =!= b, 1.0).otherwise(0.0)
     case "<" => when(a < b, 1.0).otherwise(0.0)

@@ -289,7 +289,7 @@ private class Parser(toks: Vector[Lexer.Tok]) {
 
   private def parseMul(): Expr = {
     var lhs = parsePow()
-    while (atOp("*") || atOp("/") || atOp("%")) {
+    while (atOp("*") || atOp("/") || atOp("%") || atKw("atan2")) {
       val op = advance().text
       val m = parseMatching(allowGroup = true)
       lhs = BinOp(op, lhs, parsePow(), boolMod = false, m)

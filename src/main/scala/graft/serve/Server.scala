@@ -441,6 +441,150 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** `GET /api/v1/query?query=…&time=…` — the instant query: one grid
+    * step at `time`, resultType "vector". A thin wrapper over the same
+    * evaluator as query_range (start = end = time, step 1).
+    */
+  private def handleInstantQuery(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      val raw = queryParams(ex.getRequestURI.getRawQuery)
+      def need(k: String): String = java.net.URLDecoder.decode(
+        raw.getOrElse(k, throw new IllegalArgumentException(
+          s"missing parameter '$k'")), "UTF-8")
+      val t = math.floor(need("time").toDouble).toLong
+      val lookback = raw.get("lookback")
+        .map(v => graft.promql.Parser.durationSec(
+          java.net.URLDecoder.decode(v, "UTF-8"))).getOrElse(300L)
+      val res = graft.promql.Eval.rangeQuery(storedTable(), need("query"),
+        graft.promql.Eval.RangeSpec(t, t, 1, lookback))
+      import org.apache.spark.sql.functions.col
+      val rows = res.orderBy(col("tags")).collect()
+      if (rows.length > readMaxSeries)
+        throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+      val out = rows.iterator.map { r =>
+        val metric = r.getAs[scala.collection.Seq[String]]("tags")
+          .map { kv =>
+            val i = kv.indexOf('=')
+            jsonStr(kv.substring(0, i)) + ":" + jsonStr(kv.substring(i + 1))
+          }.mkString("{", ",", "}")
+        s"""{"metric":$metric,"value":[${r.getAs[Long]("t")},${
+          jsonStr(fmtValue(r.getAs[Double]("value")))}]}"""
+      }.mkString("[", ",", "]")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200,
+        s"""{"status":"success","data":{"resultType":"vector","result":$out}}"""
+          .getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        jsonErr(413, "bad_data", e.getMessage)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("query error"))
+    }
+  }
+
+  /** Metadata endpoints — /api/v1/labels, /api/v1/label/<n>/values,
+    * /api/v1/series: what a Grafana datasource calls to populate
+    * selectors. `match[]` repeats union (the API contract); filters are
+    * time bounds + compiled selector predicates, all pushed into the
+    * scan; distinct label/series sets are aggregate-sized by definition
+    * (the series endpoint additionally enforces the series budget).
+    */
+  private def handleMeta(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      val path = ex.getRequestURI.getPath
+      // multi-valued params: match[] may repeat
+      val pairs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").toSeq.filter(_.nonEmpty).map(_.split("=", 2)).collect {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+        }
+      def one(k: String): Option[String] = pairs.find(_._1 == k).map(_._2)
+      val matches = pairs.filter(_._1 == "match[]").map(_._2)
+      val start = one("start").map(v => math.floor(v.toDouble).toLong)
+        .getOrElse(throw new IllegalArgumentException("missing 'start'"))
+      val end = one("end").map(v => math.floor(v.toDouble).toLong)
+        .getOrElse(throw new IllegalArgumentException("missing 'end'"))
+      var df = storedTable()
+        .filter(col("ts") >= timestamp_seconds(lit(start)) &&
+          col("ts") <= timestamp_seconds(lit(end)))
+      if (df.columns.contains("date"))
+        df = df.filter(
+          col("date") >= to_date(timestamp_seconds(lit(start))) &&
+          col("date") <= to_date(timestamp_seconds(lit(end))))
+      if (matches.nonEmpty)
+        df = df.filter(matches.map(graft.promql.Eval.seriesPredicate)
+          .reduce(_ || _))
+      val body: String =
+        if (path.endsWith("/labels")) {
+          val names = df
+            .select(explode(col("tags")).as("kv"))
+            .select(substring_index(col("kv"), "=", 1).as("k"))
+            .distinct().orderBy(col("k"))
+            .collect().map(r => jsonStr(r.getString(0)))
+          s"""{"status":"success","data":${names.mkString("[", ",", "]")}}"""
+        } else if (path.startsWith("/api/v1/label/") &&
+            path.endsWith("/values")) {
+          val label = path.stripPrefix("/api/v1/label/")
+            .stripSuffix("/values")
+          val prefix = label + "="
+          val vals = df
+            .select(explode(col("tags")).as("kv"))
+            .filter(col("kv").startsWith(prefix))
+            .select(col("kv").substr(lit(prefix.length + 1),
+              lit(Int.MaxValue)).as("v"))
+            .distinct().orderBy(col("v"))
+            .collect().map(r => jsonStr(r.getString(0)))
+          s"""{"status":"success","data":${vals.mkString("[", ",", "]")}}"""
+        } else if (path.endsWith("/series")) {
+          if (matches.isEmpty)
+            throw new IllegalArgumentException(
+              "series requires at least one match[]")
+          val rows = df.select(col("tags")).distinct()
+            .orderBy(array_join(col("tags"), ","))
+            .collect()
+          if (rows.length > readMaxSeries)
+            throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+          val out = rows.iterator.map { r =>
+            r.getAs[scala.collection.Seq[String]]("tags").map { kv =>
+              val i = kv.indexOf('=')
+              jsonStr(kv.substring(0, i)) + ":" +
+                jsonStr(kv.substring(i + 1))
+            }.mkString("{", ",", "}")
+          }.mkString("[", ",", "]")
+          s"""{"status":"success","data":$out}"""
+        } else throw new IllegalArgumentException(s"unknown path $path")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200, body.getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        jsonErr(413, "bad_data", e.getMessage)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("meta error"))
+    }
+  }
+
   /** Minimal-decimal value print (the 1e-6 grid makes it exact): what
     * Prometheus's FormatFloat('f', -1) produces for these values.
     */
@@ -497,6 +641,20 @@ class Server(spark: SparkSession, tablePath: String,
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
     http.createContext("/api/v1/query_range",
       (ex: HttpExchange) => handleQueryRange(ex))
+    http.createContext("/api/v1/query",
+      (ex: HttpExchange) =>
+        // createContext prefix-matches: route query_range correctly even
+        // though it shares this prefix (longest-prefix wins in the JDK
+        // server, but guard against direct hits on the sub-path anyway)
+        if (ex.getRequestURI.getPath == "/api/v1/query")
+          handleInstantQuery(ex)
+        else handleQueryRange(ex))
+    http.createContext("/api/v1/labels",
+      (ex: HttpExchange) => handleMeta(ex))
+    http.createContext("/api/v1/label",
+      (ex: HttpExchange) => handleMeta(ex))
+    http.createContext("/api/v1/series",
+      (ex: HttpExchange) => handleMeta(ex))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(handlerPool)
     http.start()

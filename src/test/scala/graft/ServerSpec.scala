@@ -439,6 +439,56 @@ class ServerSpec extends SparkSpec {
     (code, body)
   }
 
+  test("serve: /api/v1/query (instant), /labels, /label values, /series") {
+    val table = Files.createTempDirectory("graft_srvmeta").toString +
+      "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(Seq(PLabel("__name__", "reqs"), PLabel("job", "a"),
+          PLabel("zone", "z1")), Seq(PSample(3.0, 100000L))),
+        PTimeSeries(Seq(PLabel("__name__", "reqs"), PLabel("job", "b")),
+          Seq(PSample(7.0, 100000L))),
+        PTimeSeries(Seq(PLabel("__name__", "mem"), PLabel("job", "a")),
+          Seq(PSample(50.0, 100000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+
+      val q = java.net.URLEncoder.encode("sum(reqs)", "UTF-8")
+      val (ic, ib) = getAny(s"$base/api/v1/query?query=$q&time=150")
+      assert(ic == 200)
+      assert(ib.contains(""""resultType":"vector""""))
+      assert(ib.contains(""""value":[150,"10"]"""))
+
+      val m = java.net.URLEncoder.encode("reqs", "UTF-8")
+      val (lc, lb) = getAny(
+        s"$base/api/v1/labels?start=0&end=200&match[]=$m")
+      assert(lc == 200 &&
+        lb.contains("""["__name__","job","zone"]"""))
+      // unmatched selector: no labels at all
+      val none = java.net.URLEncoder.encode("nosuch", "UTF-8")
+      assert(getAny(s"$base/api/v1/labels?start=0&end=200&match[]=$none")
+        ._2.contains(""""data":[]"""))
+
+      val (vc, vb) = getAny(
+        s"$base/api/v1/label/job/values?start=0&end=200")
+      assert(vc == 200 && vb.contains("""["a","b"]"""))
+
+      val (sc, sb) = getAny(
+        s"$base/api/v1/series?start=0&end=200&match[]=$m")
+      assert(sc == 200)
+      assert(sb.contains(""""__name__":"reqs","job":"a","zone":"z1""""))
+      assert(sb.contains(""""__name__":"reqs","job":"b""""))
+      assert(!sb.contains("mem"))
+      // series without match[] is a client error
+      assert(getAny(s"$base/api/v1/series?start=0&end=200")._1 == 400)
+      // time bounds apply: nothing before the sample
+      assert(getAny(s"$base/api/v1/series?start=0&end=50&match[]=$m")
+        ._2.contains(""""data":[]"""))
+    } finally server.stop()
+  }
+
   test("serve: /api/v1/query_range answers PromQL with the JSON matrix " +
       "envelope; malformed input is 400 bad_data, never a 500") {
     val table = Files.createTempDirectory("graft_srvqr").toString + "/metrics"
