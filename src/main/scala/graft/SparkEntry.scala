@@ -6235,6 +6235,46 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // Recording rule END TO END: evaluate `job:click:sum = sum by
+    // (user_id) (click)` on the interval grid, append the result to a
+    // store through the canonical write path, then READ IT BACK with a
+    // second PromQL query against the recorded metric name — the loop a
+    // Prometheus server runs continuously, here as two Spark plans.
+    "promql_recording_rule" -> ((s, dir) => {
+      val base = autoresFixture(s, dir)
+      val store = s.read.parquet(s"$base/metrics")
+      val rule = graft.promql.Rules.RecordingRule("job:click:sum",
+        "sum by (user_id) (click)")
+      val spec = Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L)
+      val recPath = java.nio.file.Files
+        .createTempDirectory("graft_rec").toString + "/recorded"
+      WritePipeline.append(
+        graft.promql.Rules.recordingRows(store, rule, spec), recPath)
+      Eval.rangeQuery(s.read.parquet(recPath), "job:click:sum",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 21600L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // Alert rule: `UserHot: sum by (user_id) (click) > 120 for 12h` —
+    // the filter query's elements are active alerts; a series fires
+    // once present at every evaluation instant spanning the `for`
+    // window (3 consecutive 6 h instants), pending before that.
+    "promql_alert_rule" -> ((s, dir) => {
+      val base = autoresFixture(s, dir)
+      val store = s.read.parquet(s"$base/metrics")
+      val rule = graft.promql.Rules.AlertRule("UserHot",
+        "sum by (user_id) (click) > 120", forSec = 43200L,
+        labels = Seq("severity" -> "page"))
+      graft.promql.Rules.alertRows(store, rule,
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"),
+          col("state"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // The metadata endpoints a Grafana datasource calls to populate its
     // selectors, over live HTTP: /api/v1/series lists matching series'
     // label sets within the time bounds; /api/v1/label/<n>/values lists
@@ -11720,6 +11760,44 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "promql_recording_rule" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
+         |SELECT '__name__=job:click:sum,user_id=' || user_id AS tags,
+         |  T AS t, CAST(sum(vfp) AS BIGINT) AS value_fp
+         |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "promql_alert_rule" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS vfp
+         |  FROM e WHERE rn = 1 GROUP BY 1, 2),
+         |act AS (SELECT * FROM inst WHERE vfp / 1000000.0 > 120.0),
+         |held AS (SELECT *, count(*) OVER (PARTITION BY user_id
+         |    ORDER BY T RANGE BETWEEN 43200 PRECEDING AND CURRENT ROW)
+         |    AS held FROM act)
+         |SELECT 'alertname=UserHot,severity=page,user_id=' || user_id
+         |    AS tags, T AS t, vfp AS value_fp,
+         |  CASE WHEN held >= 3 THEN 'firing' ELSE 'pending' END AS state
+         |FROM held ORDER BY t, tags""".stripMargin,
 
     "serve_series" ->
       s"""SELECT DISTINCT $OTags AS tags FROM events

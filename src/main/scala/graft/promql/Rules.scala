@@ -1,0 +1,91 @@
+package graft.promql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recording and alerting rules — the other two thirds of what a
+  * Prometheus server does with PromQL (the reference participates in
+  * neither: rules run inside Prometheus and only their OUTPUT reaches a
+  * remote-storage adapter as ordinary samples). Running them in-engine
+  * closes the loop: a rule's result lands back in the same store its
+  * input came from, at full cluster scale.
+  *
+  * Semantics follow the public rule model:
+  *  - a RECORDING rule evaluates `expr` on the group's interval grid
+  *    and stores the result as a new series set named `record`, output
+  *    labels carried, extra rule labels overriding;
+  *  - an ALERT rule's `expr` is a filter query (elements exist while
+  *    the condition holds); a series is PENDING while it has held for
+  *    less than `forSec` and FIRING once elements have been present at
+  *    every evaluation instant spanning `forSec` (Prometheus holds
+  *    alert state between evaluations; on a grid, continuous presence
+  *    over the trailing window is exactly that state machine replayed).
+  */
+object Rules {
+
+  case class RecordingRule(record: String, expr: String,
+                           labels: Seq[(String, String)] = Nil) {
+    require(record.nonEmpty)
+  }
+
+  case class AlertRule(alert: String, expr: String, forSec: Long,
+                       labels: Seq[(String, String)] = Nil) {
+    require(alert.nonEmpty && forSec >= 0)
+  }
+
+  /** Evaluate a recording rule over the grid and return CANONICAL store
+    * rows (date, name, tags, val, ts, updated) ready for
+    * WritePipeline.append — `__name__` in the output tag set is
+    * replaced by the rule name, rule labels override same-named output
+    * labels. One extra projection over the query plan; the write
+    * inherits the evaluator's partitioning.
+    */
+  def recordingRows(store: DataFrame, rule: RecordingRule,
+                    spec: Eval.RangeSpec): DataFrame = {
+    val out = Eval.rangeQuery(store, rule.expr, spec)
+    val dropKeys = "__name__" +: rule.labels.map(_._1)
+    val cleaned = filter(col("tags"), x =>
+      dropKeys.map(k => !x.startsWith(k + "=")).reduce(_ && _))
+    val added = (("__name__" -> rule.record) +: rule.labels)
+      .map { case (k, v) => lit(s"$k=$v") }
+    val tags = sort_array(concat(cleaned, array(added: _*)))
+    out.select(
+      to_date(timestamp_seconds(col("t"))).as("date"),
+      lit(rule.record).as("name"),
+      tags.as("tags"),
+      col("value").as("val"),
+      timestamp_seconds(col("t")).as("ts"),
+      timestamp_seconds(col("t")).as("updated"))
+  }
+
+  /** Evaluate an alert rule over the grid: one row per (series, instant)
+    * the alert is active, with `state` = "pending" (held < forSec) or
+    * "firing" (elements present at EVERY instant in the trailing
+    * `forSec`). Requires the step to divide `forSec` so "every instant"
+    * is well-defined on the grid. The rule's labels merge into the
+    * output (alertname first, the Prometheus convention).
+    */
+  def alertRows(store: DataFrame, rule: AlertRule,
+                spec: Eval.RangeSpec): DataFrame = {
+    require(rule.forSec % spec.stepSec == 0,
+      "forSec must be a multiple of the evaluation step")
+    val need = rule.forSec / spec.stepSec + 1 // instants spanning forSec
+    val out = Eval.rangeQuery(store, rule.expr, spec)
+    val w = Window.partitionBy(col("tags"))
+      .orderBy(col("t").asc).rangeBetween(-rule.forSec, 0)
+    val dropKeys = "alertname" +: rule.labels.map(_._1)
+    val cleaned = filter(col("tags"), x =>
+      dropKeys.map(k => !x.startsWith(k + "=")).reduce(_ && _))
+    val added = (("alertname" -> rule.alert) +: rule.labels)
+      .map { case (k, v) => lit(s"$k=$v") }
+    out
+      .select(col("tags"), col("t"), col("value"),
+        count(lit(1)).over(w).as("_held"))
+      .withColumn("state",
+        when(col("_held") >= need, lit("firing")).otherwise(lit("pending")))
+      .select(
+        sort_array(concat(cleaned, array(added: _*))).as("tags"),
+        col("t"), col("value"), col("state"))
+  }
+}
