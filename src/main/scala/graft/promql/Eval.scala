@@ -827,6 +827,41 @@ object Eval {
       case "clamp_max" =>
         val hi = constArg(m, args(1), spec, fn)
         mapFn(m, args(0), spec, d => least(d, lit(hi)))
+      case "minute" | "hour" | "day_of_week" | "day_of_month" |
+           "day_of_year" | "days_in_month" | "month" | "year" =>
+        // calendar functions: the UTC field of the sample VALUE read as
+        // epoch seconds; no argument = vector(time()) (the PromQL
+        // default). Truncation toward zero matches time.Unix(int64(v)).
+        val in = if (args.isEmpty)
+          VecV(grid(m, spec).select(
+            array().cast("array<string>").as("tags"), col("t"),
+            col("t").as("st"), (col("t") * FP).as("v_fp")))
+        else evalExpr(m, args(0), spec)
+        val fieldOf: Column => Column = { sec =>
+          val ts = timestamp_seconds(sec)
+          fn match {
+            case "minute" => minute(ts).cast("double")
+            case "hour" => hour(ts).cast("double")
+            // PromQL day_of_week: 0 = Sunday; Spark dayofweek: 1 = Sunday
+            case "day_of_week" => (dayofweek(ts) - 1).cast("double")
+            case "day_of_month" => dayofmonth(ts).cast("double")
+            case "day_of_year" => dayofyear(ts).cast("double")
+            case "days_in_month" => dayofmonth(last_day(ts)).cast("double")
+            case "month" => month(ts).cast("double")
+            case _ => year(ts).cast("double")
+          }
+        }
+        in match {
+          case VecV(df) =>
+            val sec = (col("v_fp") / FP).cast("long")
+            VecV(df.select(dropName(col("tags")).as("tags"), col("t"),
+              col("st"), (fieldOf(sec) * FP).cast("long").as("v_fp")))
+          case ScalV(df) =>
+            ScalV(df.select(col("t"),
+              fieldOf(col("v").cast("long")).as("v")))
+          case ConstV(c) =>
+            ConstV(evalDoubleFn(m, x => fieldOf(x.cast("long")), c))
+        }
       case "abs"   => mapFn(m, args(0), spec, abs)
       case "ceil"  => mapFn(m, args(0), spec, ceil(_).cast("double"))
       case "floor" => mapFn(m, args(0), spec, floor(_).cast("double"))

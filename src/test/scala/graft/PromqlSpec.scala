@@ -372,6 +372,23 @@ class PromqlSpec extends SparkSpec {
     assert(inc.forall(r => math.abs(r._3 - 26.4) < 1e-6))
   }
 
+  test("calendar functions read the value as UTC epoch seconds") {
+    // 2024-01-05 00:00:00 UTC = 1704412800, a Friday
+    val got = run("day_of_week(vector(1704412800))", 0, 0, 10)
+    assert(got == Seq(("", 0L, 5.0)))
+    assert(run("hour(vector(1704412800))", 0, 0, 10).head._3 == 0.0)
+    assert(run("month(vector(1704412800))", 0, 0, 10).head._3 == 1.0)
+    assert(run("year(vector(1704412800))", 0, 0, 10).head._3 == 2024.0)
+    assert(run("days_in_month(vector(1704412800))", 0, 0, 10)
+      .head._3 == 31.0)
+    // no-arg form defaults to evaluation time
+    assert(run("hour()", 1704412800 + 7200, 1704412800 + 7200, 10)
+      .head._3 == 2.0)
+    // atan2 while we're here: atan2(0, -1) = pi
+    assert(math.abs(run("vector(0) atan2 vector(0 - 1)", 0, 0, 10)
+      .head._3 - math.floor(math.Pi * 1e6) / 1e6) < 1e-9)
+  }
+
   test("label_replace and label_join through the evaluator") {
     val got = run(
       """label_replace(req, "dc", "$1", "instance", "i(.*)")""",
