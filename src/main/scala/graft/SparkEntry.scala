@@ -6240,6 +6240,10 @@ object SparkEntry {
     // store through the canonical write path, then READ IT BACK with a
     // second PromQL query against the recorded metric name — the loop a
     // Prometheus server runs continuously, here as two Spark plans.
+    // The recorded value is a DOUBLE in the store, so the oracle models
+    // the same round-trip (fp → /1e6 → ×1e6 floor) — an fp sum whose
+    // /1e6 isn't exactly representable re-floors one grid step down,
+    // identically in both engines.
     "promql_recording_rule" -> ((s, dir) => {
       val base = autoresFixture(s, dir)
       val store = s.read.parquet(s"$base/metrics")
@@ -11774,7 +11778,9 @@ object SparkEntry {
          |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
          |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
          |SELECT '__name__=job:click:sum,user_id=' || user_id AS tags,
-         |  T AS t, CAST(sum(vfp) AS BIGINT) AS value_fp
+         |  T AS t,
+         |  CAST(floor((CAST(sum(vfp) AS DOUBLE) / 1000000.0)
+         |    * 1000000.0) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
 
     "promql_alert_rule" ->
