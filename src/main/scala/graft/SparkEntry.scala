@@ -6235,6 +6235,23 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // The promql composition pin (ts_dashboard_build's text-language
+    // twin): one query chaining regex selector → extrapolated rate →
+    // label aggregation → SUBQUERY (inner 6 h grid) → trailing max →
+    // topk, evaluated as a single plan and replayed stage-for-stage in
+    // SQL. Pins that the language features compose, not just pass
+    // alone.
+    "promql_dashboard" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """topk(3, max_over_time(
+            |  sum by (user_id) (rate({__name__=~".+"}[1d]))[2d:21600]))"""
+            .stripMargin,
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // Recording rule END TO END: evaluate `job:click:sum = sum by
     // (user_id) (click)` on the interval grid, append the result to a
     // store through the canonical write path, then READ IT BACK with a
@@ -11764,6 +11781,51 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "promql_dashboard" ->
+      s"""WITH igr AS (SELECT 1704240000 + 21600 * k AS it
+         |  FROM generate_series(0, 68) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lag(t) OVER w AS pt, lag(vfp) OVER w AS pv
+         |  FROM d WINDOW w AS (PARTITION BY name, user_id ORDER BY t)),
+         |wx AS (SELECT igr.it AS gt, l.* FROM igr JOIN l
+         |  ON l.t > igr.it - 86400 AND l.t <= igr.it),
+         |a AS (SELECT gt, name, user_id, count(*) AS n, min(t) AS ft,
+         |    max(t) AS lt, arg_min(vfp, t) AS fv,
+         |    CAST(coalesce(sum(CASE
+         |      WHEN pt IS NULL OR pt <= gt - 86400 THEN NULL
+         |      WHEN vfp - pv >= 0 THEN vfp - pv ELSE vfp END), 0)
+         |      AS BIGINT) AS raw_fp
+         |  FROM wx GROUP BY 1, 2, 3),
+         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+         |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
+         |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
+         |    CAST(ft - (gt - 86400) AS DOUBLE) AS ds0,
+         |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+         |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+         |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+         |  FROM e),
+         |g2 AS (SELECT *,
+         |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+         |      AS dss,
+         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+         |      AS dee FROM f),
+         |h AS (SELECT gt, user_id,
+         |    CAST(sum(CAST(floor(rawd * ((si + dss + dee) / si) / 86400
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM g2 WHERE n >= 2 AND si > 0.0 GROUP BY 1, 2),
+         |gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |mx AS (SELECT gr.T, h.user_id, CAST(max(v) AS BIGINT) AS v
+         |  FROM gr JOIN h ON h.gt > gr.T - 172800 AND h.gt <= gr.T
+         |  GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY T
+         |    ORDER BY v DESC, 'user_id=' || user_id) AS rnk FROM mx)
+         |SELECT 'user_id=' || user_id AS tags, T AS t, v AS value_fp
+         |FROM rk WHERE rnk <= 3 ORDER BY t, tags""".stripMargin,
 
     "promql_recording_rule" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
