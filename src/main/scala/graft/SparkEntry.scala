@@ -6235,6 +6235,50 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // query_range AUTO-RESOLUTION: a 15-day Grafana query answered from
+    // the 1 h downsampled tier instead of the raw scan — the tier view
+    // feeds the PromQL evaluator window averages as exact fixed-point
+    // samples; routing pinned by the live response header, values by a
+    // tier-construction replay.
+    "serve_query_range_tier" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics", Nil, 0,
+        tierPaths = Seq(300L -> s"$base/tier300",
+          3600L -> s"$base/tier3600")).start()
+      try {
+        val q = java.net.URLEncoder.encode("sum by (user_id) (click)",
+          "UTF-8")
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/api/v1/query_range?query=$q&start=$Jan05&end=$Jan20" +
+          "&step=21600&lookback=3600&resolution=3600"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        val resHdr = conn.getHeaderField("X-Graft-Resolution")
+        conn.disconnect()
+        require(resHdr == "3600",
+          s"expected the 1 h tier to serve this query, got '$resHdr'")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data STRUCT<resultType: STRING, " +
+            "result: ARRAY<STRUCT<metric: MAP<STRING,STRING>, " +
+            "values: ARRAY<ARRAY<STRING>>>>>")
+        Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(explode(col("r.data.result")).as("srs"))
+          .select(
+            array_join(sort_array(transform(map_entries(col("srs.metric")),
+              e => concat(e.getField("key"), lit("="),
+                e.getField("value")))), ",").as("tags"),
+            explode(col("srs.values")).as("p"))
+          .select(col("tags"),
+            element_at(col("p"), 1).cast("long").as("t"),
+            round(element_at(col("p"), 2).cast("double") * 1000000L)
+              .cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
     // The promql composition pin (ts_dashboard_build's text-language
     // twin): one query chaining regex selector → extrapolated rate →
     // label aggregation → SUBQUERY (inner 6 h grid) → trailing max →
@@ -11781,6 +11825,26 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "serve_query_range_tier" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |tier AS (SELECT user_id,
+         |    CAST(floor(t / 3600) * 3600 AS BIGINT) AS bt,
+         |    CAST(floor(CAST(sum(vfp) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS avgfp
+         |  FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, tier.user_id, tier.avgfp,
+         |    row_number() OVER (PARTITION BY tier.user_id, gr.T
+         |      ORDER BY tier.bt DESC) AS rn
+         |  FROM gr JOIN tier ON tier.bt <= gr.T AND tier.bt > gr.T - 3600),
+         |inst AS (SELECT T, user_id, avgfp FROM e WHERE rn = 1)
+         |SELECT 'user_id=' || user_id AS tags, T AS t,
+         |  CAST(sum(avgfp) AS BIGINT) AS value_fp
+         |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
 
     "promql_dashboard" ->
       s"""WITH igr AS (SELECT 1704240000 + 21600 * k AS it

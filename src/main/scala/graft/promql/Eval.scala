@@ -225,13 +225,18 @@ object Eval {
       case Some(n) => df.filter(col("name") === n)
       case None => df
     }
+    // a store view may carry an already-quantized `val_fp` (the
+    // downsampled-tier adapter does — its averages are exact longs and
+    // the double round-trip could re-floor one grid step down)
+    val vfp =
+      if (m.columns.contains("val_fp")) col("val_fp")
+      else floor(col("val") * FP).cast("long")
     // ONE exchange for the whole selector: hash-partitioning by tags
     // satisfies both the (tags, t) dedup's ClusteredDistribution (subset
     // rule) and the series window that follows — without it Spark plans
     // two sample-sized exchanges (dedup keys, then window keys)
     named.filter(pred)
-      .select(col("tags"), tCol.as("t"),
-        floor(col("val") * FP).cast("long").as("v_fp"))
+      .select(col("tags"), tCol.as("t"), vfp.as("v_fp"))
       .repartition(col("tags"))
       .groupBy(col("tags"), col("t"))
       .agg(max(col("v_fp")).as("v_fp"))

@@ -403,7 +403,25 @@ class Server(spark: SparkSession, tablePath: String,
           java.net.URLDecoder.decode(v, "UTF-8"))).getOrElse(300L)
       if (end < start)
         throw new IllegalArgumentException("end is before start")
-      val res = graft.promql.Eval.rangeQuery(storedTable(), query,
+      // auto-resolution, the same routing rule as /read: long ranges
+      // answer from the coarsest downsampled tier still yielding enough
+      // points (?resolution=raw|auto|<sec> overrides). The tier view
+      // exposes window AVERAGES as samples at the window start with an
+      // exact pre-quantized val_fp — gauge-shaped queries are
+      // tier-exact; counter rates over a tier are rates of averages
+      // (the standard downsampled approximation; pass resolution=raw
+      // when exactness matters more than scan size).
+      val tier = chooseTier(
+        PromQuery(start * 1000, end * 1000, Nil),
+        raw.get("resolution")
+          .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      ex.getResponseHeaders.set("X-Graft-Resolution",
+        tier.map(_._1).getOrElse(0L).toString)
+      val source = tier match {
+        case Some((_, df)) => tierMetricsView(df)
+        case None => storedTable()
+      }
+      val res = graft.promql.Eval.rangeQuery(source, query,
         graft.promql.Eval.RangeSpec(start, end, step, lookback))
       import org.apache.spark.sql.functions.col
       val rows = res.orderBy(col("tags"), col("t")).collect()
@@ -583,6 +601,20 @@ class Server(spark: SparkSession, tablePath: String,
         jsonErr(500, "internal",
           Option(e.getMessage).getOrElse("meta error"))
     }
+  }
+
+  /** A downsampled tier as a PromQL-readable store view: one sample per
+    * (series, window) at the window start, value = the window's
+    * fixed-point-exact average (`val_fp` carries the exact long; the
+    * evaluator's scan prefers it over re-flooring a double). Keeps the
+    * tier's `date` column so partition pruning applies unchanged.
+    */
+  private def tierMetricsView(tier: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val avgFp = floor(col("sum_fp") / col("cnt")).cast("long")
+    tier.select(col("date"), col("name"), col("tags"),
+      avgFp.as("val_fp"), (avgFp / 1000000.0).as("val"),
+      col("bucket_ts").as("ts"))
   }
 
   /** Minimal-decimal value print (the 1e-6 grid makes it exact): what
