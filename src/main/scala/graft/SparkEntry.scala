@@ -849,6 +849,31 @@ object SparkEntry {
     // partitioned append with checkpointing — and the STORED table is
     // aggregated for the oracle. Proves the streaming front door writes
     // exactly what the batch pipeline would (reference: main.go:286-320).
+    // Native histograms through the STREAMING ingest edge: one payload
+    // file of prompb.Histogram series drained with AvailableNow — the
+    // stored classic-view rows must be identical to the HTTP front
+    // door's (shared oracle): the edges stay interchangeable.
+    "s1_stream_native_hist" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_nhstream").toString
+      val inDir = s"$base/in"
+      new java.io.File(inDir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$inDir/hists.bin"),
+        Prompb.snappyCompress(
+          NativeHist.encodeWriteRequest(nativeHistSeries(s, dir))))
+      val table = s"$base/metrics"
+      RemoteWriteStream.ingestStream(s, inDir, table, s"$base/ck")
+        .awaitTermination()
+      s.read.parquet(table).select(
+          col("name"),
+          LabelOps.labelValue(col("tags"), "le").as("le"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("val") * 1000000L).cast("long").as("val_fp"))
+        .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
+          col("val_fp"))
+    }),
+
     "s1_stream_ingest" -> ((s, dir) => {
       val (base, inDir) = writePayloadFiles(s, dir)
       val table = s"$base/metrics"
@@ -11945,6 +11970,7 @@ object SparkEntry {
 
     "s1_prw2_native_ingest" -> ONativeHistIngestSql,
     "s1_native_hist_ingest" -> ONativeHistIngestSql,
+    "s1_stream_native_hist" -> ONativeHistIngestSql,
 
     // identical oracle — the prompb native and OTLP exponential edges
     // are interchangeable: both land the same sparse bucket rows

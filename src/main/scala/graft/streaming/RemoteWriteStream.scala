@@ -29,8 +29,14 @@ object RemoteWriteStream {
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.select(col("content")).as[Array[Byte]].flatMap { bytes =>
-      val wr = Prompb.decodeWriteRequest(Prompb.snappyUncompress(bytes))
-      for (ts <- wr.timeseries; s <- ts.samples) yield {
+      val raw = Prompb.snappyUncompress(bytes)
+      val wr = Prompb.decodeWriteRequest(raw)
+      // native-histogram series flatten to their classic le view — the
+      // same rule as the HTTP front door, so the streaming and serving
+      // edges stay interchangeable
+      val hists = graft.codec.NativeHist.decodeWriteRequest(raw)
+        .flatMap(graft.codec.NativeHist.toClassicSeries)
+      for (ts <- wr.timeseries ++ hists; s <- ts.samples) yield {
         val labels = ts.labels.map(l => l.name -> l.value).toMap
         Schema.Sample(labels.getOrElse(Schema.MetricNameLabel, ""),
           labels, s.value, s.timestampMs)
