@@ -358,18 +358,23 @@ object Eval {
     "changes", "resets", "deriv", "predict_linear", "avg_over_time",
     "min_over_time", "max_over_time", "sum_over_time", "count_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
-    "quantile_over_time", "present_over_time", "absent_over_time")
+    "quantile_over_time", "present_over_time", "absent_over_time",
+    "holt_winters", "double_exponential_smoothing")
 
   private def evalRangeFn(m: DataFrame, fn: String, args: Seq[Expr],
                           spec: RangeSpec): Val = {
     val (rangeExpr, extra) = fn match {
       case "quantile_over_time" =>
-        (args(1), Some(constArg(m, args(0), spec, fn)))
+        (args(1), Seq(constArg(m, args(0), spec, fn)))
       case "predict_linear" =>
-        (args(0), Some(constArg(m, args(1), spec, fn)))
+        (args(0), Seq(constArg(m, args(1), spec, fn)))
+      case "holt_winters" | "double_exponential_smoothing" =>
+        require(args.length == 3, s"$fn() expects (v[w], sf, tf)")
+        (args(0), Seq(constArg(m, args(1), spec, fn),
+          constArg(m, args(2), spec, fn)))
       case _ =>
         require(args.length == 1, s"$fn() expects one range-vector arg")
-        (args(0), None)
+        (args(0), Nil)
     }
     rangeExpr match {
       case s: Selector if s.atSec.isDefined =>
@@ -386,7 +391,7 @@ object Eval {
   }
 
   private def evalRangeFnOn(m: DataFrame, fn: String, rangeExpr: Expr,
-                            extra: Option[Double], spec: RangeSpec): Val = {
+                            extra: Seq[Double], spec: RangeSpec): Val = {
     val (samples, wSec, offSec, sel) = rangeExpr match {
       case s: Selector =>
         val w = s.rangeSec.getOrElse(throw new IllegalArgumentException(
@@ -471,16 +476,50 @@ object Eval {
           col("st") * col("sy")).cast("double"), denom.cast("double"))
         val out = if (fn == "deriv") floor(slopeFp)
           else {
-            val horizon = lit(extra.get)
+            val horizon = lit(extra.head)
             val meanT = col("st").cast("double") / nD
             val meanY = col("sy").cast("double") / nD // fp grid already
             floor(meanY + slopeFp *
               (col("_gt").cast("double") - meanT + horizon))
           }
         finish(g, out, col("n") >= 2 && denom.cast("double") > 0.0)
+      case "holt_winters" | "double_exponential_smoothing" =>
+        // Prometheus smoothing fold on the 1e-6 grid: sf/tf quantized
+        // to millionths, floored integer division at every step (the
+        // TimeSeriesOps.holtWinters discipline — order-free across
+        // engines). The per-(series, T) array is the range window, so
+        // it is bounded by construction.
+        val den = 1000000L
+        val sfNum = Math.round(extra(0) * 1000000.0)
+        val tfNum = Math.round(extra(1) * 1000000.0)
+        require(sfNum > 0 && sfNum < den && tfNum > 0 && tfNum < den,
+          s"$fn(): smoothing factors must be in (0, 1)")
+        def fdiv(a: Column, d: Long): Column =
+          ((a - pmod(a, lit(d))) / lit(d)).cast("long")
+        val g = f.groupBy(grp: _*).agg(
+          sort_array(collect_list(struct(col("te").as("a"),
+            col("v_fp").as("x")))).as("_pts"),
+          count(lit(1)).as("n"))
+        val pts = col("_pts")
+        val x1 = element_at(pts, 1).getField("x")
+        val x2 = element_at(pts, 2).getField("x")
+        val folded = aggregate(
+          slice(pts, lit(2), greatest(size(pts) - 1, lit(0))),
+          struct(x1.as("s"), (x2 - x1).as("b")),
+          (st, p) => {
+            val sm = st.getField("s"); val b = st.getField("b")
+            val sNew = fdiv(lit(sfNum) * p.getField("x") +
+              lit(den - sfNum) * (sm + b), den)
+            val bNew = fdiv(lit(tfNum) * (sNew - sm) +
+              lit(den - tfNum) * b, den)
+            struct(sNew.as("s"), bNew.as("b"))
+          })
+        // when() evaluates the fold lazily: a single-sample window must
+        // not touch element_at(pts, 2) (ANSI throws on out-of-bounds)
+        finish(g, when(col("n") >= 2, folded.getField("s")))
       case "quantile_over_time" =>
         val g = f.groupBy(grp: _*)
-          .agg(percentile(col("v_fp"), lit(extra.get)).as("_q"))
+          .agg(percentile(col("v_fp"), lit(extra.head)).as("_q"))
         finish(g, floor(col("_q")))
       case "present_over_time" =>
         finish(f.groupBy(grp: _*).agg(count(lit(1)).as("_n")), lit(FP))
@@ -876,6 +915,23 @@ object Eval {
       case "log2"  => mapFn(m, args(0), spec, log2)
       case "log10" => mapFn(m, args(0), spec, log10)
       case "sgn"   => mapFn(m, args(0), spec, signum)
+      case "sin"   => mapFn(m, args(0), spec, sin)
+      case "cos"   => mapFn(m, args(0), spec, cos)
+      case "tan"   => mapFn(m, args(0), spec, tan)
+      case "asin"  => mapFn(m, args(0), spec, asin)
+      case "acos"  => mapFn(m, args(0), spec, acos)
+      case "atan"  => mapFn(m, args(0), spec, atan)
+      case "sinh"  => mapFn(m, args(0), spec, sinh)
+      case "cosh"  => mapFn(m, args(0), spec, cosh)
+      case "tanh"  => mapFn(m, args(0), spec, tanh)
+      case "deg"   => mapFn(m, args(0), spec, degrees)
+      case "rad"   => mapFn(m, args(0), spec, radians)
+      case "pi"    => ConstV(math.Pi)
+      case "sort_by_label" | "sort_by_label_desc" =>
+        // ordering is presentation-only on a set-valued frame; validate
+        // the label arguments and pass the vector through
+        args.drop(1).foreach(strArg(_, fn))
+        VecV(vecArg(m, args(0), spec, fn))
       case other =>
         throw new IllegalArgumentException(s"unknown function $other()")
     }

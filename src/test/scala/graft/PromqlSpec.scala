@@ -347,6 +347,41 @@ class PromqlSpec extends SparkSpec {
     assert(p5.head == 0.1) // rank 50 exactly at first bucket's top
   }
 
+  test("holt_winters folds the window on the fixed-point grid") {
+    // i1 window (0,60]: samples 5,12,2,9,15 (t=10..60); fold with
+    // sf=0.5, tf=0.5 on millionth-quantized factors, floored division
+    val got = run(
+      """holt_winters(req{instance="i1"}[60], 0.5, 0.5)""", 60, 60, 60)
+    assert(got.size == 1)
+    // replicate the fold in plain Scala (fp millionths)
+    val xs = Seq(5L, 12L, 2L, 9L, 15L).map(_ * 1000000L)
+    def fdiv(a: Long, d: Long): Long = { val m = ((a % d) + d) % d; (a - m) / d }
+    var sm = xs(0); var b = xs(1) - xs(0)
+    xs.drop(1).foreach { x =>
+      val s2 = fdiv(500000L * x + 500000L * (sm + b), 1000000L)
+      val b2 = fdiv(500000L * (s2 - sm) + 500000L * b, 1000000L)
+      sm = s2; b = b2
+    }
+    assert(got.head._3 == sm / 1e6)
+    // the PromQL 3.x alias evaluates identically
+    assert(run(
+      """double_exponential_smoothing(req{instance="i1"}[60], 0.5, 0.5)""",
+      60, 60, 60) == got)
+    // a single-sample window yields nothing
+    assert(run("""holt_winters(req{instance="i2"}[15], 0.5, 0.5)""",
+      45, 45, 15).isEmpty)
+  }
+
+  test("trig family, pi(), and sort_by_label passthrough") {
+    assert(run("sin(vector(0))", 0, 0, 10).head._3 == 0.0)
+    val c = run("cos(vector(0))", 0, 0, 10).head._3
+    assert(c == 1.0)
+    assert(math.abs(run("vector(pi())", 0, 0, 10).head._3 -
+      math.floor(math.Pi * 1e6) / 1e6) < 1e-9)
+    assert(run("deg(vector(pi()))", 0, 0, 10).head._3 > 179.9)
+    assert(run("""sort_by_label(req, "instance")""", 60, 60, 10).size == 2)
+  }
+
   test("subquery: outer range function over an inner step-aligned grid") {
     // inner sum(req) at 10s steps; outer max over the trailing 30s
     val got = run("max_over_time(sum(req)[30:10])", 30, 60, 30)
