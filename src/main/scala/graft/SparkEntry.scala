@@ -6067,6 +6067,27 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // PromQL straight over the COMPRESSED chunk tier: the at-rest
+    // Gorilla chunks decode into the evaluator's scan, and the result
+    // must equal the raw-store evaluation bit for bit (shared oracle) —
+    // the "query the cold tier without rehydrating it" path.
+    "promql_over_chunks" -> ((s, dir) => {
+      val rows = WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pqc")
+        .toString + "/chunks"
+      graft.engine.ChunkStore.write(rows, tmp)
+      val view = graft.engine.ChunkStore.read(s, tmp)
+        .select(col("name"), col("tags"), col("value").as("val"),
+          col("ts_sec").as("ts"))
+      Eval.rangeQuery(view,
+          """topk(2, {__name__=~"click|error"})""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // The canonical dashboard text end to end: per-user total event rate
     // `sum by (user_id) (rate({__name__=~".+"}[2d]))` — regex-match every
     // metric, Prometheus-exact extrapolated rate per series on the grid,
@@ -8002,6 +8023,30 @@ object SparkEntry {
   /** Shared by the prompb-native and OTLP-exponential histogram
     * entries — the two wire edges must land identical rows.
     */
+  /** Shared by promql_select_topk and promql_over_chunks — the
+    * chunk-decoded store must evaluate identically to the raw one.
+    */
+  private val OPromTopkSql: String =
+    s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type IN ('click', 'error')),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |e AS (SELECT gr.T, d.name, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.name, d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, name, user_id, vfp FROM e WHERE rn = 1),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY T
+         |    ORDER BY vfp DESC,
+         |      '__name__=' || name || ',user_id=' || user_id) AS rnk
+         |  FROM inst)
+         |SELECT '__name__=' || name || ',user_id=' || user_id AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM rk WHERE rnk <= 2 ORDER BY t, tags""".stripMargin
+
   private val ONativeHistIngestSql: String =
       """WITH e AS (SELECT event_type,
         |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -11637,26 +11682,10 @@ object SparkEntry {
     // (greatest value per (series, second)); instant selector = latest
     // sample per (series, T) within lookback (rn = 1 over t DESC).
 
-    "promql_select_topk" ->
-      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
-         |  FROM generate_series(0, 60) g(k)),
-         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
-         |  FROM events WHERE event_type IN ('click', 'error')),
-         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
-         |  FROM s GROUP BY 1, 2, 3),
-         |e AS (SELECT gr.T, d.name, d.user_id, d.vfp,
-         |    row_number() OVER (PARTITION BY d.name, d.user_id, gr.T
-         |      ORDER BY d.t DESC) AS rn
-         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
-         |inst AS (SELECT T, name, user_id, vfp FROM e WHERE rn = 1),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY T
-         |    ORDER BY vfp DESC,
-         |      '__name__=' || name || ',user_id=' || user_id) AS rnk
-         |  FROM inst)
-         |SELECT '__name__=' || name || ',user_id=' || user_id AS tags,
-         |  T AS t, vfp AS value_fp
-         |FROM rk WHERE rnk <= 2 ORDER BY t, tags""".stripMargin,
+    "promql_select_topk" -> OPromTopkSql,
+    // identical oracle: the PromQL result computed from Gorilla-chunk
+    // decoded samples must equal the raw-store result bit for bit
+    "promql_over_chunks" -> OPromTopkSql,
 
     "promql_rate_sum" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
