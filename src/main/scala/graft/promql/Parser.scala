@@ -222,6 +222,95 @@ object Parser {
     * `step=60`): the same compound-duration grammar range selectors use.
     */
   def durationSec(text: String): Long = Lexer.durationSec(text, 0)
+
+  /** Canonical text of an expression — the pretty-printer behind
+    * /api/v1/format_query. Prints fully parenthesized binary operations
+    * (unambiguous under any precedence reading), durations in compact
+    * compound form, and matchers with double quotes. Round-trip law:
+    * parse(print(e)) == e (spec-pinned).
+    */
+  def print(e: Expr): String = e match {
+    case NumberLit(v) =>
+      if (v.isPosInfinity) "Inf"
+      else if (v.isNegInfinity) "-Inf"
+      else if (v.isNaN) "NaN"
+      else if (v == v.toLong.toDouble) v.toLong.toString
+      else v.toString
+    case StringLit(s) => quote(s)
+    case Selector(name, ms, range, off, at) =>
+      val matchers =
+        if (ms.isEmpty) if (name.isEmpty) "{}" else ""
+        else ms.map { m =>
+          val op = m.op match {
+            case MEq => "="; case MNeq => "!="
+            case MRe => "=~"; case MNre => "!~"
+          }
+          s"${m.label}$op${quote(m.value)}"
+        }.mkString("{", ",", "}")
+      name.getOrElse("") + matchers +
+        range.map(r => s"[${dur(r)}]").getOrElse("") +
+        offAt(off, at)
+    case Subquery(inner, range, step, off) =>
+      s"(${print(inner)})[${dur(range)}:${step.map(dur).getOrElse("")}]" +
+        offAt(off, None)
+    case Call(fn, args) => s"$fn(${args.map(print).mkString(", ")})"
+    case Agg(op, body, param, labels, without) =>
+      val mod =
+        if (labels.isEmpty && !without) ""
+        else s" ${if (without) "without" else "by"} (${labels.mkString(", ")})"
+      val ps = (param.toSeq.map(print) :+ print(body)).mkString(", ")
+      s"$op$mod ($ps)"
+    case BinOp(op, l, r, boolMod, matching) =>
+      val m = matching.map { mt =>
+        val base = s" ${if (mt.on) "on" else "ignoring"} " +
+          s"(${mt.labels.mkString(", ")})"
+        val grp = mt.side match {
+          case 1 => " group_left" +
+            (if (mt.include.nonEmpty) s" (${mt.include.mkString(", ")})"
+             else "")
+          case 2 => " group_right" +
+            (if (mt.include.nonEmpty) s" (${mt.include.mkString(", ")})"
+             else "")
+          case _ => ""
+        }
+        base + grp
+      }.getOrElse("")
+      s"(${print(l)} $op${if (boolMod) " bool" else ""}$m ${print(r)})"
+    case Unary(neg, x) => (if (neg) "-" else "") + print(x)
+  }
+
+  private def offAt(off: Long, at: Option[At]): String = {
+    val o = if (off != 0L) s" offset ${dur(off)}" else ""
+    val a = at.map {
+      case AtTime(s) => s" @ $s"
+      case AtStart => " @ start()"
+      case AtEnd => " @ end()"
+    }.getOrElse("")
+    o + a
+  }
+
+  /** Compact compound duration: 5400 → "1h30m". */
+  private def dur(sec: Long): String = {
+    if (sec == 0L) return "0s"
+    val units = Seq("y" -> 31536000L, "w" -> 604800L, "d" -> 86400L,
+      "h" -> 3600L, "m" -> 60L, "s" -> 1L)
+    var rest = sec
+    val sb = new StringBuilder
+    units.foreach { case (u, w) =>
+      if (rest >= w) { sb.append(rest / w).append(u); rest %= w }
+    }
+    sb.toString
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c => c.toString
+    } + "\""
 }
 
 private class Parser(toks: Vector[Lexer.Tok]) {

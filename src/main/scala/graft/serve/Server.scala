@@ -603,6 +603,31 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** `GET /api/v1/format_query?query=…` — parse + pretty-print (the
+    * canonical, fully parenthesized form); a parse error is 400
+    * bad_data with the parser's position message.
+    */
+  private def handleFormatQuery(ex: HttpExchange): Unit = {
+    try {
+      val raw = queryParams(ex.getRequestURI.getRawQuery)
+      val q = java.net.URLDecoder.decode(
+        raw.getOrElse("query", throw new IllegalArgumentException(
+          "missing parameter 'query'")), "UTF-8")
+      val printed = graft.promql.Parser.print(graft.promql.Parser.parse(q))
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200,
+        s"""{"status":"success","data":${jsonStr(printed)}}"""
+          .getBytes("UTF-8"))
+    } catch {
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 400,
+          s"""{"status":"error","errorType":"bad_data","error":${
+            jsonStr(Option(e.getMessage).getOrElse("bad request"))}}"""
+            .getBytes("UTF-8"))
+    }
+  }
+
   /** A downsampled tier as a PromQL-readable store view: one sample per
     * (series, window) at the window start, value = the window's
     * fixed-point-exact average (`val_fp` carries the exact long; the
@@ -681,6 +706,8 @@ class Server(spark: SparkSession, tablePath: String,
         if (ex.getRequestURI.getPath == "/api/v1/query")
           handleInstantQuery(ex)
         else handleQueryRange(ex))
+    http.createContext("/api/v1/format_query",
+      (ex: HttpExchange) => handleFormatQuery(ex))
     http.createContext("/api/v1/labels",
       (ex: HttpExchange) => handleMeta(ex))
     http.createContext("/api/v1/label",

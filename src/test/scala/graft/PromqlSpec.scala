@@ -120,6 +120,34 @@ class PromqlSpec extends SparkSpec {
       Parser.parse("a and on(j) group_left b")) // group on set op
   }
 
+  test("printer: parse(print(parse(q))) == parse(q) over the surface") {
+    val queries = Seq(
+      """topk(2, {__name__=~"click|error"})""",
+      """sum by (user_id) (rate({__name__=~".+"}[2d]))""",
+      """error / on(user_id) group_left sum by (user_id) (click)""",
+      """a / on(j) group_left(extra) b""",
+      "histogram_quantile(0.9, increase(lat_bucket[2d]))",
+      "clamp(click * 2, 40, 150) > bool 100",
+      """absent(click{user_id="x"})""",
+      "max_over_time(sum(click)[2d:21600])",
+      "sum(m)[30m:] offset 5m",
+      "m @ 1700000000 offset 30",
+      "m[90] offset 2m @ end()",
+      """label_replace(req, "dc", "$1", "instance", "i(.*)")""",
+      "holt_winters(m[1h30m], 0.5, 0.5)",
+      "quantile(0.5, req) or vector(42)",
+      "a and on() b unless ignoring(x) c",
+      """count_values("v", req)""",
+      "-(a + b) * 2 ^ 3 ^ -1",
+      "sum without () (m)")
+    queries.foreach { q =>
+      val ast = Parser.parse(q)
+      val printed = Parser.print(ast)
+      assert(Parser.parse(printed) == ast,
+        s"round-trip failed for '$q' -> '$printed'")
+    }
+  }
+
   // ---------------------------------------------------------- evaluator
 
   /** Canonical-store fixture: two counter series + one gauge series.
