@@ -1,7 +1,8 @@
 package graft.codec
 
 /** Prometheus NATIVE HISTOGRAM wire codec — the `prompb.Histogram`
-  * message carried in `TimeSeries.histograms` (field 3), the
+  * message carried in `TimeSeries.histograms` (v1 field 4 — field 3 is
+  * exemplars; remote-write 2.0 moved histograms to field 3), the
   * sparse-exponential-bucket representation remote-write 1.0 (feature
   * flag) and 2.0 both ship. The reference predates native histograms
   * entirely (its prompb vendored copy has only labels+samples,
@@ -192,8 +193,8 @@ object NativeHist {
     w.toBytes
   }
 
-  /** A WriteRequest whose series carry native histograms (field 3) —
-    * labels in field 1 exactly as the scalar path writes them.
+  /** A WriteRequest whose series carry native histograms (v1 field 4)
+    * — labels in field 1 exactly as the scalar path writes them.
     */
   def encodeWriteRequest(series: Seq[PHistSeries]): Array[Byte] = {
     val w = new Prompb.Writer
@@ -204,7 +205,7 @@ object NativeHist {
         lw.string(1, l.name); lw.string(2, l.value)
         tsw.message(1, lw.toBytes)
       }
-      s.histograms.foreach(h => tsw.message(3, encodeHistogram(h)))
+      s.histograms.foreach(h => tsw.message(4, encodeHistogram(h)))
       w.message(1, tsw.toBytes)
     }
     w.toBytes
@@ -289,9 +290,11 @@ object NativeHist {
                   }
                 }
                 labels += Prompb.PLabel(n, v)
-              case (3, 2) =>
+              case (4, 2) =>
                 val (ha, hb) = tr.lenDelimited()
                 hists += decodeHistogram(buf, ha, hb)
+              // field 3 = exemplars: structurally skipped — decoding
+              // one as a histogram would fabricate junk empty series
               case (_, w) => tr.skip(w)
             }
           }

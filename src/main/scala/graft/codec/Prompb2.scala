@@ -16,7 +16,7 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   * TimeSeries:
   *   1: repeated uint32 labels_refs (packed) — even count, pairwise
   *   2: repeated Sample (value=1 double, timestamp=2 int64 — v1 shape)
-  * Exemplars (3), native histograms (4), metadata (6) and
+  * Exemplars (4), metadata (5), created_timestamp (6) and
   * created_timestamp (7) are skipped structurally on decode (unknown-
   * field skipping), like every reference sink ignores them; a store that
   * wants native histograms adds a decoder for field 4 without touching

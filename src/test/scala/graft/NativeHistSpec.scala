@@ -102,6 +102,27 @@ class NativeHistSpec extends AnyFunSuite {
     assert(graft.codec.Otlp.decodeToV1(wire).timeseries.isEmpty)
   }
 
+  test("v1 exemplars (field 3) never decode as histograms") {
+    // prompb v1: TimeSeries{labels=1, samples=2, EXEMPLARS=3,
+    // histograms=4}. An exemplar at field 3 must be skipped, not
+    // fabricated into an empty histogram (which would flatten to junk
+    // zero-count series).
+    def le64(v: Double): Seq[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >>> (8 * i)) & 0xFF).toByte)
+    }
+    val exemplar = Seq[Byte](0x11) ++ le64(1.5) ++ // field 2 value
+      Seq[Byte](0x18, 0x05) // field 3 timestamp varint 5
+    val label = Seq[Byte](0x0A, 8) ++ "__name__".getBytes("UTF-8").toSeq ++
+      Seq[Byte](0x12, 1, 'm'.toByte)
+    val ts = Seq[Byte](0x0A, label.length.toByte) ++ label ++
+      Seq[Byte](0x1A, exemplar.length.toByte) ++ exemplar
+    val top = (Seq[Byte](0x0A, ts.length.toByte) ++ ts).toArray
+    assert(NativeHist.decodeWriteRequest(top).isEmpty)
+    // and the scalar decode is untouched by either field
+    assert(Prompb.decodeWriteRequest(top).timeseries.head.samples.isEmpty)
+  }
+
   test("float-histogram payloads decode as empty and are droppable") {
     // hand-assembled wire: a histogram using float fields 2/7 only
     def le64(v: Double): Seq[Byte] = {
@@ -113,7 +134,7 @@ class NativeHistSpec extends AnyFunSuite {
     val label = Seq[Byte](0x0A, 8) ++ "__name__".getBytes("UTF-8").toSeq ++
       Seq[Byte](0x12, 1, 'f'.toByte)
     val ts = Seq[Byte](0x0A, label.length.toByte) ++ label ++
-      Seq[Byte](0x1A, histBody.length.toByte) ++ histBody
+      Seq[Byte](0x22, histBody.length.toByte) ++ histBody // field 4
     val top = (Seq[Byte](0x0A, ts.length.toByte) ++ ts).toArray
     val back = NativeHist.decodeWriteRequest(top)
     assert(back.length == 1)
