@@ -280,7 +280,10 @@ object Parser {
   }
 
   private def offAt(off: Long, at: Option[At]): String = {
-    val o = if (off != 0L) s" offset ${dur(off)}" else ""
+    val o =
+      if (off > 0L) s" offset ${dur(off)}"
+      else if (off < 0L) s" offset -${dur(-off)}"
+      else ""
     val a = at.map {
       case AtTime(s) => s" @ $s"
       case AtStart => " @ start()"
@@ -443,14 +446,17 @@ private class Parser(toks: Vector[Lexer.Tok]) {
       if (atKw("offset")) {
         sawOffset = true
         advance()
+        // negative offsets (read the future relative to the eval time)
+        // are Prometheus's flag-gated extension; first-class here
+        val neg = if (atOp("-")) { advance(); true } else false
         val d = cur
         if (d.kind != TDuration && d.kind != TNumber)
           throw new ParseException("expected duration after offset", d.pos)
         advance()
+        val off = (if (neg) -1L else 1L) * durationSec(d.text, d.pos)
         e = e match {
-          case s: Selector => s.copy(offsetSec = durationSec(d.text, d.pos))
-          case sq: Subquery =>
-            sq.copy(offsetSec = durationSec(d.text, d.pos))
+          case s: Selector => s.copy(offsetSec = off)
+          case sq: Subquery => sq.copy(offsetSec = off)
           case _ =>
             throw new ParseException(
               "offset is only valid on a selector or subquery", d.pos)

@@ -196,6 +196,12 @@ class PromqlSpec extends SparkSpec {
       lookback = 15)
     // T=40 reads (40-20-15, 40-20] = (5, 20] -> t=20 v=12
     assert(got == Seq(("__name__=req,instance=i1", 40L, 12.0)))
+    // negative offset reads the future relative to the eval instant
+    val neg = run("""req{instance="i1"} offset -20""", 20, 20, 10,
+      lookback = 15)
+    assert(neg == Seq(("__name__=req,instance=i1", 20L, 9.0))) // t=40
+    assert(Parser.parse(Parser.print(Parser.parse("m offset -5m"))) ==
+      Parser.parse("m offset -5m"))
   }
 
   test("regex matchers are anchored and empty-match includes absent") {
