@@ -470,6 +470,151 @@ class PromqlSpec extends SparkSpec {
 
   // -------------------------------------------- random differential test
 
+  test("differential: over_time family + aggregations vs naive reference") {
+    val rnd = new scala.util.Random(13)
+    val series = (0 until 5).map { i =>
+      val pts = (0 until 60).flatMap { k =>
+        if (rnd.nextInt(3) == 0) None
+        else Some((k * 5L + rnd.nextInt(2), rnd.nextInt(50).toDouble))
+      }.groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+        .toSeq.sortBy(_._1)
+      s"i$i" -> pts
+    }.toMap
+    val rows = series.flatMap { case (inst, pts) =>
+      pts.map { case (t, v) =>
+        ("g", Seq("__name__=g", s"instance=$inst"), v, t)
+      }
+    }.toSeq
+    val df = rows.toDF("name", "tags", "val", "ts")
+    val (start, end, step, w) = (30L, 290L, 20L, 45L)
+    val spec = Eval.RangeSpec(start, end, step)
+    def gridT = (0L to (end - start) / step).map(start + _ * step)
+    def winOf(pts: Seq[(Long, Double)], T: Long) =
+      pts.filter(p => p._1 > T - w && p._1 <= T)
+
+    def runQ(q: String) = Eval.rangeQuery(df, q, spec)
+      .select(array_join(col("tags"), ","), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().toSeq.sorted
+
+    // max/min/count/sum/avg/last_over_time per series
+    val gotMax = runQ("max_over_time(g[45])")
+    val wantMax = (for {
+      (inst, pts) <- series.toSeq; tt <- gridT
+      win = winOf(pts, tt) if win.nonEmpty
+    } yield (s"instance=$inst", tt, win.map(_._2).max)).sorted
+    assert(gotMax == wantMax)
+
+    val gotAvg = runQ("avg_over_time(g[45])")
+    val wantAvg = (for {
+      (inst, pts) <- series.toSeq; tt <- gridT
+      win = winOf(pts, tt) if win.nonEmpty
+      sumFp = win.map(p => (p._2 * 1e6).toLong).sum
+    } yield (s"instance=$inst", tt,
+      math.floor(sumFp.toDouble / win.size) / 1e6)).sorted
+    gotAvg.zip(wantAvg).foreach { case ((tg, t, g), (tw, tw2, r)) =>
+      assert(tg == tw && t == tw2 && math.abs(g - r) < 2e-6, s"$tg $t")
+    }
+
+    // changes/resets count in-window consecutive pairs
+    val gotChg = runQ("changes(g[45])")
+    val wantChg = (for {
+      (inst, pts) <- series.toSeq; tt <- gridT
+      win = winOf(pts, tt) if win.nonEmpty
+      chg = win.sliding(2).count {
+        case Seq(a, b) => a._2 != b._2; case _ => false }
+    } yield (s"instance=$inst", tt, chg.toDouble)).sorted
+    assert(gotChg == wantChg)
+
+    val gotRst = runQ("resets(g[45])")
+    val wantRst = (for {
+      (inst, pts) <- series.toSeq; tt <- gridT
+      win = winOf(pts, tt) if win.nonEmpty
+      r = win.sliding(2).count {
+        case Seq(a, b) => b._2 < a._2; case _ => false }
+    } yield (s"instance=$inst", tt, r.toDouble)).sorted
+    assert(gotRst == wantRst)
+
+    // instant-vector aggregations over the lookback'd selector
+    def instAt(T: Long): Map[String, Double] = series.flatMap {
+      case (inst, pts) =>
+        pts.filter(p => p._1 > T - 300 && p._1 <= T)
+          .sortBy(_._1).lastOption.map(p => inst -> p._2)
+    }
+    val gotCnt = runQ("count(g)")
+    val wantCnt = gridT.flatMap { tt =>
+      val m = instAt(tt)
+      if (m.isEmpty) None else Some(("", tt, m.size.toDouble))
+    }.sorted
+    assert(gotCnt == wantCnt)
+
+    val gotTop = runQ("topk(2, g)")
+    val wantTop = gridT.flatMap { tt =>
+      instAt(tt).toSeq
+        .sortBy { case (i, v) => (-v, s"__name__=g,instance=$i") }
+        .take(2)
+        .map { case (i, v) => (s"__name__=g,instance=$i", tt, v) }
+    }.sorted
+    assert(gotTop == wantTop)
+
+    // binop filter: g > 25 keeps elements unchanged
+    val gotCmp = runQ("g > 25")
+    val wantCmp = gridT.flatMap { tt =>
+      instAt(tt).filter(_._2 > 25.0)
+        .map { case (i, v) => (s"__name__=g,instance=$i", tt, v) }
+    }.sorted
+    assert(gotCmp == wantCmp)
+  }
+
+  test("printer fuzz: random ASTs survive print -> parse") {
+    val rnd = new scala.util.Random(31)
+    val labels = Seq("job", "zone", "instance")
+    def rndMatcher() = Matcher(labels(rnd.nextInt(3)),
+      Seq(MEq, MNeq, MRe, MNre)(rnd.nextInt(4)),
+      Seq("a", "x.*", "", "v=w")(rnd.nextInt(4)))
+    def rndSel(range: Boolean) = Selector(Some("m" + rnd.nextInt(3)),
+      Seq.fill(rnd.nextInt(3))(rndMatcher()),
+      if (range) Some(60L * (rnd.nextInt(10) + 1)) else None,
+      Seq(0L, 300L, -120L)(rnd.nextInt(3)),
+      Seq(None, Some(AtStart), Some(AtEnd),
+        Some(AtTime(1700000000L)))(rnd.nextInt(4)))
+    def rndExpr(depth: Int): Expr =
+      if (depth <= 0) rndSel(range = false)
+      else rnd.nextInt(6) match {
+        case 0 => NumberLit(rnd.nextInt(100).toDouble)
+        case 1 => Call("rate", Seq(rndSel(range = true)))
+        case 2 => Agg(Seq("sum", "avg", "topk")(rnd.nextInt(3)) match {
+            case "topk" => "topk"; case x => x
+          }, rndExpr(depth - 1),
+          None, Seq.fill(rnd.nextInt(2))(labels(rnd.nextInt(3))),
+          rnd.nextBoolean()) match {
+            case a @ Agg("topk", b, _, l, w) =>
+              Agg("topk", b, Some(NumberLit(3)), l, w)
+            case a => a
+          }
+        case 3 => BinOp(Seq("+", "*", "/", ">", "and")(rnd.nextInt(5)),
+          rndExpr(depth - 1), rndExpr(depth - 1),
+          boolMod = false,
+          if (rnd.nextBoolean()) None
+          else Some(Matching(rnd.nextBoolean(),
+            Seq.fill(rnd.nextInt(2))(labels(rnd.nextInt(3))), 0, Nil)))
+        case 4 => Unary(neg = true, rndExpr(depth - 1))
+        case 5 => Subquery(rndExpr(depth - 1),
+          3600L, if (rnd.nextBoolean()) Some(300L) else None, 0L)
+      }
+    (0 until 200).foreach { i =>
+      val ast = rndExpr(3)
+      val printed = Parser.print(ast)
+      val back = try Parser.parse(printed) catch {
+        case e: ParseException =>
+          fail(s"#$i: '$printed' failed to parse: ${e.getMessage}")
+      }
+      // normalize: parsing re-derives the same tree, except that a
+      // comparison without bool between two scalars is rejected at
+      // EVAL time, not parse time — structural equality is the law
+      assert(back == ast, s"#$i: '$printed'")
+    }
+  }
+
   test("differential: selector/rate/sum vs a naive reference") {
     val rnd = new scala.util.Random(7)
     // 6 series, integer values, counter-ish with occasional resets
