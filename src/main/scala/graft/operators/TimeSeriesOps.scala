@@ -1239,23 +1239,35 @@ object TimeSeriesOps {
     * full long range) — aggregate-sized by construction.
     */
   def expHistogramQuantile(buckets: DataFrame, keys: Seq[String],
-                           idxCol: String, cntCol: String,
-                           q: Double): DataFrame = {
+                           idxCol: String, cntCol: String, q: Double,
+                           zeroCntCol: Option[String] = None): DataFrame = {
     require(q > 0 && q < 1, "q outside (0,1) is ±Inf by definition")
     val part = keys.map(col)
     val wRun = Window.partitionBy(part: _*).orderBy(col(idxCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(part: _*)
+    val wOrd = Window.partitionBy(part: _*).orderBy(col(idxCol).asc)
+    // zero-bucket observations (|v| ≤ zero_threshold) rank BELOW every
+    // positive bucket: they offset the cumulative walk, and a rank that
+    // lands inside them yields 0 (the bucket's midpoint on our
+    // non-negative store). The column is per-group-constant (a
+    // histogram field), zero when absent.
+    val zc = zeroCntCol.map(col(_).cast("long")).getOrElse(lit(0L))
     val staged = buckets
-      .select(col("*"), sum(col(cntCol)).over(wRun).as("_cum"))
-      .select(col("*"), max(col("_cum")).over(wAll).as("_tot"))
+      .select(col("*"), sum(col(cntCol)).over(wRun).as("_pcum"),
+        row_number().over(wOrd).as("_rn"))
+      .select(col("*"), (zc + col("_pcum")).as("_cum"),
+        (zc + max(col("_pcum")).over(wAll)).as("_tot"))
     val rank = lit(q) * col("_tot").cast("double")
     val prevD = (col("_cum") - col(cntCol)).cast("double")
-    val crossing = col("_cum").cast("double") >= rank && prevD < rank
+    val inZero = col("_rn") === 1 && rank <= zc.cast("double") && zc > 0L
+    val crossing = (col("_cum").cast("double") >= rank && prevD < rank) ||
+      inZero
     val lower = pow(lit(2.0), col(idxCol) - 1)
     val upper = pow(lit(2.0), col(idxCol))
-    val res = lower + (upper - lower) *
-      ((rank - prevD) / col(cntCol).cast("double"))
+    val res = when(inZero, lit(0.0))
+      .otherwise(lower + (upper - lower) *
+        ((rank - prevD) / col(cntCol).cast("double")))
     staged.filter(col("_tot") > 0 && crossing)
       .select(part ++ Seq(col("_tot").as("total"),
         floor(res).cast("long").as("quantile_fp")): _*)

@@ -102,6 +102,29 @@ class NativeHistSpec extends AnyFunSuite {
     assert(graft.codec.Otlp.decodeToV1(wire).timeseries.isEmpty)
   }
 
+  test("expHistogramQuantile ranks the zero bucket below every positive") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // one series: zero_count=5, positive buckets idx1 (fp (1,2]) cnt 3,
+    // idx3 (fp (4,8]) cnt 2 — total 10
+    val rows = Seq(("s", 1, 3L, 5L), ("s", 3, 2L, 5L))
+      .toDF("k", "idx", "cnt", "zc")
+    def qAt(q: Double): Long =
+      graft.operators.TimeSeriesOps.expHistogramQuantile(
+        rows, Seq("k"), "idx", "cnt", q, zeroCntCol = Some("zc"))
+        .select("quantile_fp").as[Long].head()
+    assert(qAt(0.3) == 0L) // rank 3 falls inside the zero bucket
+    // rank 6: bucket idx1, prev cum 5: 1 + (2-1)*(6-5)/3 -> floor 1
+    assert(qAt(0.6) == 1L)
+    // rank 9.5: bucket idx3, prev cum 8: 4 + (8-4)*(1.5/2) = 7
+    assert(qAt(0.95) == 7L)
+    // without the zero column the walk is positives-only (rank 2.5 of 5)
+    val plain = graft.operators.TimeSeriesOps.expHistogramQuantile(
+      rows, Seq("k"), "idx", "cnt", 0.5)
+      .select("quantile_fp").as[Long].head()
+    assert(plain == 1L) // 1 + (2-1)*(2.5-0)/3 = 1.83 -> floor 1
+  }
+
   test("v1 exemplars (field 3) never decode as histograms") {
     // prompb v1: TimeSeries{labels=1, samples=2, EXEMPLARS=3,
     // histograms=4}. An exemplar at field 3 must be skipped, not
