@@ -133,7 +133,7 @@ class Server(spark: SparkSession, tablePath: String,
             hists.flatMap(graft.codec.NativeHist.toClassicSeries))
         } else {
           val scalar = Prompb.decodeWriteRequest(body)
-          // native-histogram series (TimeSeries field 3) in the same
+          // native-histogram series (TimeSeries field 4) in the same
           // payload ingest as their CLASSIC le-bucket view — the
           // scalar store's representation; without this an OTel/agent
           // sender's histograms would silently drop
@@ -376,6 +376,22 @@ class Server(spark: SparkSession, tablePath: String,
     * (413 over `readMaxSeries`). Malformed queries/params are the
     * client's fault: 400 with errorType=bad_data, per the API spec.
     */
+  /** Request params for the API endpoints: the URL query string,
+    * merged with a form-encoded POST body when present (Grafana sends
+    * long PromQL via POST application/x-www-form-urlencoded; body
+    * values win on collision, matching Prometheus).
+    */
+  private def apiParams(ex: HttpExchange): Map[String, String] = {
+    val fromUrl = queryParams(ex.getRequestURI.getRawQuery)
+    val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .getOrElse("")
+    if (ex.getRequestMethod == "POST" &&
+        ctype.contains("application/x-www-form-urlencoded")) {
+      val body = new String(readBody(ex), "UTF-8")
+      fromUrl ++ queryParams(body)
+    } else fromUrl
+  }
+
   private def handleQueryRange(ex: HttpExchange): Unit = {
     def jsonErr(code: Int, errorType: String, msg: String): Unit = {
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -384,7 +400,7 @@ class Server(spark: SparkSession, tablePath: String,
           .getBytes("UTF-8"))
     }
     try {
-      val raw = queryParams(ex.getRequestURI.getRawQuery)
+      val raw = apiParams(ex)
       def need(k: String): String = java.net.URLDecoder.decode(
         raw.getOrElse(k, throw new IllegalArgumentException(
           s"missing parameter '$k'")), "UTF-8")
@@ -471,7 +487,7 @@ class Server(spark: SparkSession, tablePath: String,
           .getBytes("UTF-8"))
     }
     try {
-      val raw = queryParams(ex.getRequestURI.getRawQuery)
+      val raw = apiParams(ex)
       def need(k: String): String = java.net.URLDecoder.decode(
         raw.getOrElse(k, throw new IllegalArgumentException(
           s"missing parameter '$k'")), "UTF-8")
@@ -706,6 +722,14 @@ class Server(spark: SparkSession, tablePath: String,
         if (ex.getRequestURI.getPath == "/api/v1/query")
           handleInstantQuery(ex)
         else handleQueryRange(ex))
+    http.createContext("/api/v1/status/buildinfo",
+      (ex: HttpExchange) => {
+        // the probe Grafana uses to detect a Prometheus-flavored API
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          ("""{"status":"success","data":{"version":"2.53.0",""" +
+            """"application":"graft","features":{}}}""").getBytes("UTF-8"))
+      })
     http.createContext("/api/v1/format_query",
       (ex: HttpExchange) => handleFormatQuery(ex))
     http.createContext("/api/v1/labels",

@@ -529,6 +529,17 @@ class ServerSpec extends SparkSpec {
       val (sc2, _) = getAny(s"$base/api/v1/query_range" +
         s"?query=$q&start=0&end=10&step=xyz")
       assert(sc2 == 400)
+
+      // POST with a form-encoded body (how Grafana ships long queries)
+      val form = s"query=$q&start=200&end=300&step=100&lookback=100"
+      val (pc, pb) = post(s"$base/api/v1/query_range",
+        form.getBytes("UTF-8"), "application/x-www-form-urlencoded")
+      assert(pc == 200)
+      assert(new String(pb, "UTF-8") == body) // identical to the GET
+
+      // the datasource-detection probe
+      val (bc2, bi) = getAny(s"$base/api/v1/status/buildinfo")
+      assert(bc2 == 200 && bi.contains(""""application":"graft""""))
     } finally server.stop()
   }
 }
