@@ -722,6 +722,21 @@ class Server(spark: SparkSession, tablePath: String,
         if (ex.getRequestURI.getPath == "/api/v1/query")
           handleInstantQuery(ex)
         else handleQueryRange(ex))
+    // exemplars and metric metadata are skipped structurally at ingest
+    // (documented store contract), so their query endpoints answer the
+    // honest empty result — Grafana probes both when features are on
+    http.createContext("/api/v1/query_exemplars",
+      (ex: HttpExchange) => {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          """{"status":"success","data":[]}""".getBytes("UTF-8"))
+      })
+    http.createContext("/api/v1/metadata",
+      (ex: HttpExchange) => {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          """{"status":"success","data":{}}""".getBytes("UTF-8"))
+      })
     http.createContext("/api/v1/status/buildinfo",
       (ex: HttpExchange) => {
         // the probe Grafana uses to detect a Prometheus-flavored API

@@ -540,6 +540,11 @@ class ServerSpec extends SparkSpec {
       // the datasource-detection probe
       val (bc2, bi) = getAny(s"$base/api/v1/status/buildinfo")
       assert(bc2 == 200 && bi.contains(""""application":"graft""""))
+      // exemplars/metadata: structurally skipped at ingest → honest
+      // empty results, not 404s that break datasource feature probes
+      assert(getAny(s"$base/api/v1/query_exemplars?query=x")._2
+        .contains(""""data":[]"""))
+      assert(getAny(s"$base/api/v1/metadata")._2.contains(""""data":{}"""))
     } finally server.stop()
   }
 }
