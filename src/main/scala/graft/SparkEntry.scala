@@ -6101,6 +6101,20 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // The same rate+sum pipeline with SKEW-SPLIT evaluation: the lag
+    // runs per (series, 2 d slice) with replicated slice-tail context —
+    // a hot series spreads across span/slice tasks. Output must be
+    // row-identical to promql_rate_sum (shared oracle, verbatim).
+    "promql_rate_sum_salted" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """sum by (user_id) (rate({__name__=~".+"}[2d]))""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L,
+            sliceSec = Some(172800L)))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // Vector matching: per-user error share
     // `error / on(user_id) group_left sum by (user_id) ({...})` — the
     // many side keeps its labels (minus __name__), one equi-join on
@@ -6263,6 +6277,10 @@ object SparkEntry {
         p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
           && !l.contains("ReusedExchange")).toLong
       val rateP = plan("""sum by (user_id) (rate({__name__=~".+"}[2d]))""")
+      val saltedP = Eval.rangeQuery(store,
+          """sum by (user_id) (rate({__name__=~".+"}[2d]))""",
+          spec.copy(sliceSec = Some(172800L)))
+        .queryExecution.executedPlan.toString
       val selP = plan("click")
       val binP = plan("""error / on(user_id) group_left
         | sum by (user_id) ({__name__=~"click|view"})""".stripMargin)
@@ -6277,6 +6295,9 @@ object SparkEntry {
         ("rate_ts_pushdown", b(rateP.contains("GreaterThan(ts") &&
           rateP.contains("LessThanOrEqual(ts"))),
         ("selector_exchanges", exchanges(selP)),
+        ("salted_slice_exchange", b(saltedP.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") &&
+            l.contains("_slice")))),
         ("selector_name_pushdown", b(selP.contains("EqualTo(name,click)"))))
         .toDF("fact", "value").orderBy(col("fact"))
     }),
@@ -8020,9 +8041,48 @@ object SparkEntry {
       |FROM documents d LEFT JOIN g USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
-  /** Shared by the prompb-native and OTLP-exponential histogram
-    * entries — the two wire edges must land identical rows.
+  /** Shared by promql_rate_sum and its skew-split twin — the salted
+    * evaluation must be row-identical.
     */
+  private val OPromRateSumSql: String =
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
+         |  FROM s GROUP BY 1, 2, 3),
+         |l AS (SELECT *, lag(t) OVER w AS pt, lag(vfp) OVER w AS pv
+         |  FROM d WINDOW w AS (PARTITION BY name, user_id ORDER BY t)),
+         |wx AS (SELECT gr.T AS gt, l.* FROM gr JOIN l
+         |  ON l.t > gr.T - 172800 AND l.t <= gr.T),
+         |a AS (SELECT gt, name, user_id, count(*) AS n, min(t) AS ft,
+         |    max(t) AS lt, arg_min(vfp, t) AS fv,
+         |    CAST(coalesce(sum(CASE
+         |      WHEN pt IS NULL OR pt <= gt - 172800 THEN NULL
+         |      WHEN vfp - pv >= 0 THEN vfp - pv ELSE vfp END), 0)
+         |      AS BIGINT) AS raw_fp
+         |  FROM wx GROUP BY 1, 2, 3),
+         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+         |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
+         |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
+         |    CAST(ft - (gt - 172800) AS DOUBLE) AS ds0,
+         |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+         |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+         |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+         |  FROM e),
+         |g2 AS (SELECT *,
+         |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+         |      AS dss,
+         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+         |      AS dee FROM f),
+         |h AS (SELECT gt, user_id,
+         |    CAST(floor(rawd * ((si + dss + dee) / si) / 172800
+         |      * 1000000.0) AS BIGINT) AS ratefp
+         |  FROM g2 WHERE n >= 2 AND si > 0.0)
+         |SELECT 'user_id=' || user_id AS tags, gt AS t,
+         |  CAST(sum(ratefp) AS BIGINT) AS value_fp
+         |FROM h GROUP BY 1, 2 ORDER BY t, tags""".stripMargin
+
   /** Shared by promql_select_topk and promql_over_chunks — the
     * chunk-decoded store must evaluate identically to the raw one.
     */
@@ -8080,6 +8140,9 @@ object SparkEntry {
         |SELECT * FROM rows
         |ORDER BY name, le NULLS FIRST, t, val_fp""".stripMargin
 
+  /** Shared by the prompb-native and OTLP-exponential histogram
+    * entries — the two wire edges must land identical rows.
+    */
   private val ONativeHistRowsSql: String =
     """WITH e AS (SELECT event_type,
       |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -11687,44 +11750,9 @@ object SparkEntry {
     // decoded samples must equal the raw-store result bit for bit
     "promql_over_chunks" -> OPromTopkSql,
 
-    "promql_rate_sum" ->
-      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
-         |  FROM generate_series(0, 60) g(k)),
-         |s AS (SELECT event_type AS name, user_id, $OSec AS t,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
-         |d AS (SELECT name, user_id, t, max(vfp) AS vfp
-         |  FROM s GROUP BY 1, 2, 3),
-         |l AS (SELECT *, lag(t) OVER w AS pt, lag(vfp) OVER w AS pv
-         |  FROM d WINDOW w AS (PARTITION BY name, user_id ORDER BY t)),
-         |wx AS (SELECT gr.T AS gt, l.* FROM gr JOIN l
-         |  ON l.t > gr.T - 172800 AND l.t <= gr.T),
-         |a AS (SELECT gt, name, user_id, count(*) AS n, min(t) AS ft,
-         |    max(t) AS lt, arg_min(vfp, t) AS fv,
-         |    CAST(coalesce(sum(CASE
-         |      WHEN pt IS NULL OR pt <= gt - 172800 THEN NULL
-         |      WHEN vfp - pv >= 0 THEN vfp - pv ELSE vfp END), 0)
-         |      AS BIGINT) AS raw_fp
-         |  FROM wx GROUP BY 1, 2, 3),
-         |e AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
-         |    raw_fp / 1000000.0 AS rawd, fv / 1000000.0 AS fvd,
-         |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
-         |    CAST(ft - (gt - 172800) AS DOUBLE) AS ds0,
-         |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
-         |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
-         |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
-         |  FROM e),
-         |g2 AS (SELECT *,
-         |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
-         |      AS dss,
-         |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
-         |      AS dee FROM f),
-         |h AS (SELECT gt, user_id,
-         |    CAST(floor(rawd * ((si + dss + dee) / si) / 172800
-         |      * 1000000.0) AS BIGINT) AS ratefp
-         |  FROM g2 WHERE n >= 2 AND si > 0.0)
-         |SELECT 'user_id=' || user_id AS tags, gt AS t,
-         |  CAST(sum(ratefp) AS BIGINT) AS value_fp
-         |FROM h GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+    "promql_rate_sum_salted" -> OPromRateSumSql,
+    "promql_rate_sum" -> OPromRateSumSql,
+
 
     "promql_err_ratio" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
@@ -12018,6 +12046,7 @@ object SparkEntry {
         |  ('rate_date_partition_filter', 1),
         |  ('rate_exchanges', 2),
         |  ('rate_ts_pushdown', 1),
+        |  ('salted_slice_exchange', 1),
         |  ('selector_exchanges', 1),
         |  ('selector_name_pushdown', 1)) AS t(fact, value)
         |ORDER BY fact""".stripMargin,

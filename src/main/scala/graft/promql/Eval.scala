@@ -54,10 +54,23 @@ import org.apache.spark.sql.functions._
 object Eval {
   import Ast._
 
-  /** Grid spec for a range query; times in epoch seconds. */
+  /** Grid spec for a range query; times in epoch seconds.
+    * `sliceSec` opts range functions into SKEW-SPLIT
+    * evaluation (the saltedTrailingWindow pattern): the per-series lag
+    * runs per (series, slice) with each slice's trailing window
+    * replicated into the next as context-only rows, so one pathological
+    * series (`up` — every target exports it) spreads across span/slice
+    * tasks instead of sorting its whole history on one. Output is
+    * row-identical to the unsliced form (the salted entry shares its
+    * oracle verbatim); the price is the replicated tail plus one extra
+    * exchange — the same constant-factor trade the operator-level
+    * salted family ships. Requires sliceSec ≥ every range window used.
+    */
   case class RangeSpec(startSec: Long, endSec: Long, stepSec: Long,
-                       lookbackSec: Long = 300L) {
+                       lookbackSec: Long = 300L,
+                       sliceSec: Option[Long] = None) {
     require(stepSec > 0 && endSec >= startSec && lookbackSec > 0)
+    require(sliceSec.forall(_ > 0))
     val kMax: Long = (endSec - startSec) / stepSec
   }
 
@@ -289,10 +302,43 @@ object Eval {
     */
   private def rangeFrame(samples: DataFrame, offsetSec: Long, wSec: Long,
                          spec: RangeSpec): DataFrame = {
-    val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
-    val laged = samples.select(col("tags"), col("t"), col("v_fp"),
-      lag(col("t"), 1).over(w).as("_pt"),
-      lag(col("v_fp"), 1).over(w).as("_pv"))
+    val laged = spec.sliceSec match {
+      case Some(sl) =>
+        // skew-split lag: per (series, slice) with the previous slice's
+        // trailing wSec replicated as context-only rows. Every emitted
+        // pair's older endpoint lies within wSec of the newer one (the
+        // pair-in-window rule filters the rest), so a slice-truncated
+        // lag and the series-wide lag are output-identical — the
+        // saltedTrailingWindow argument, entry-pinned by a shared
+        // oracle.
+        require(sl >= wSec,
+          "sliceSec must cover the range window (context reaches back " +
+            "exactly one slice)")
+        val sliceOf = floor(col("t").cast("double") / sl).cast("long")
+        val base = samples
+          .withColumn("_slice", sliceOf).withColumn("_emit", lit(1))
+        val ctx = samples
+          .filter(col("t") - sliceOf * sl >= sl - wSec)
+          .withColumn("_slice", sliceOf + 1).withColumn("_emit", lit(0))
+        val wS = Window.partitionBy(col("tags"), col("_slice"))
+          .orderBy(col("t").asc)
+        // the EXPLICIT (tags, _slice) repartition is the whole point:
+        // hash(tags) alone would satisfy the window's clustering via
+        // the subset rule and the hot series would still sort on one
+        // task — the skew split must be forced into the exchange
+        base.unionByName(ctx)
+          .repartition(col("tags"), col("_slice"))
+          .select(col("tags"), col("t"), col("v_fp"), col("_emit"),
+            lag(col("t"), 1).over(wS).as("_pt"),
+            lag(col("v_fp"), 1).over(wS).as("_pv"))
+          .filter(col("_emit") === 1)
+          .drop("_emit")
+      case None =>
+        val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+        samples.select(col("tags"), col("t"), col("v_fp"),
+          lag(col("t"), 1).over(w).as("_pt"),
+          lag(col("v_fp"), 1).over(w).as("_pv"))
+    }
     val te = col("t") + offsetSec
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)

@@ -416,6 +416,24 @@ class PromqlSpec extends SparkSpec {
     assert(run("""sort_by_label(req, "instance")""", 60, 60, 10).size == 2)
   }
 
+  test("skew-split (sliced) range evaluation is row-identical to plain") {
+    val qs = Seq("increase(req[60])", "rate(req[45])", "changes(req[40])",
+      "irate(req[60])", "max_over_time(mem[30])")
+    qs.foreach { q =>
+      val plain = Eval.rangeQuery(fixture, q, Eval.RangeSpec(0, 60, 10))
+        .collect().map(_.toString).sorted.toSeq
+      val sliced = Eval.rangeQuery(fixture, q,
+          Eval.RangeSpec(0, 60, 10, sliceSec = Some(60L)))
+        .collect().map(_.toString).sorted.toSeq
+      assert(plain == sliced, s"sliced evaluation diverged for '$q'")
+    }
+    // a slice smaller than the window is refused (context can't reach)
+    intercept[IllegalArgumentException] {
+      Eval.rangeQuery(fixture, "rate(req[45])",
+        Eval.RangeSpec(0, 60, 10, sliceSec = Some(30L))).collect()
+    }
+  }
+
   test("subquery: outer range function over an inner step-aligned grid") {
     // inner sum(req) at 10s steps; outer max over the trailing 30s
     val got = run("max_over_time(sum(req)[30:10])", 30, 60, 30)
