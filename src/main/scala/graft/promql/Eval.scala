@@ -266,9 +266,39 @@ object Eval {
     // reach back the full lookback: a sample at exactly start−L+1 is
     // valid for T=start (window is (T−L, T], strict on the left)
     val samples = scan(m, s, spec, spec.lookbackSec)
-    val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
     val te = col("t") + s.offsetSec
-    val nextTe = lead(col("t"), 1).over(w) + s.offsetSec
+    // the lead only matters within the lookback (the owned span caps at
+    // te+L−1 regardless), so the skew split needs FORWARD context: the
+    // next slice's FIRST row per series stands in for a cross-boundary
+    // lead; a next sample further than one slice away is further than
+    // the lookback and the cap applies either way
+    val leaded = spec.sliceSec match {
+      case Some(sl) =>
+        require(sl >= spec.lookbackSec,
+          "sliceSec must cover the lookback (forward context reaches " +
+            "exactly one slice)")
+        val sliceOf = floor(col("t").cast("double") / sl).cast("long")
+        val base = samples
+          .withColumn("_slice", sliceOf).withColumn("_emit", lit(1))
+        val fwd = samples.withColumn("_slice", sliceOf)
+          .groupBy(col("tags"), col("_slice"))
+          .agg(min(struct(col("t"), col("v_fp"))).as("_f"))
+          .select(col("tags"), col("_f.t").as("t"),
+            col("_f.v_fp").as("v_fp"), (col("_slice") - 1).as("_slice"),
+            lit(0).as("_emit"))
+        val wS = Window.partitionBy(col("tags"), col("_slice"))
+          .orderBy(col("t").asc)
+        base.unionByName(fwd)
+          .repartition(col("tags"), col("_slice"))
+          .select(col("tags"), col("t"), col("v_fp"), col("_emit"),
+            lead(col("t"), 1).over(wS).as("_next"))
+          .filter(col("_emit") === 1)
+      case None =>
+        val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+        samples.select(col("tags"), col("t"), col("v_fp"),
+          lead(col("t"), 1).over(w).as("_next"))
+    }
+    val nextTe = col("_next") + s.offsetSec
     // owned instant range [te, min(nextTe-1, te+lookback-1)] ∩ [start,end]
     val upper = least(
       coalesce(nextTe - 1, lit(Long.MaxValue)),
@@ -276,7 +306,7 @@ object Eval {
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)
     val kLast = floorDiv0(upper - spec.startSec, spec.stepSec)
-    samples
+    leaded
       .select(col("tags"), col("t").as("st"), col("v_fp"),
         kFirst.as("_k0"), kLast.as("_k1"))
       .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)

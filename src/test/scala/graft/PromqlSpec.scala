@@ -418,19 +418,27 @@ class PromqlSpec extends SparkSpec {
 
   test("skew-split (sliced) range evaluation is row-identical to plain") {
     val qs = Seq("increase(req[60])", "rate(req[45])", "changes(req[40])",
-      "irate(req[60])", "max_over_time(mem[30])")
+      "irate(req[60])", "max_over_time(mem[30])",
+      "req", "sum(req)", "mem offset 10") // sliced selectors too
     qs.foreach { q =>
-      val plain = Eval.rangeQuery(fixture, q, Eval.RangeSpec(0, 60, 10))
+      val plain = Eval.rangeQuery(fixture, q,
+          Eval.RangeSpec(0, 60, 10, lookbackSec = 45))
         .collect().map(_.toString).sorted.toSeq
       val sliced = Eval.rangeQuery(fixture, q,
-          Eval.RangeSpec(0, 60, 10, sliceSec = Some(60L)))
+          Eval.RangeSpec(0, 60, 10, lookbackSec = 45,
+            sliceSec = Some(60L)))
         .collect().map(_.toString).sorted.toSeq
       assert(plain == sliced, s"sliced evaluation diverged for '$q'")
     }
-    // a slice smaller than the window is refused (context can't reach)
+    // a slice smaller than the window/lookback is refused
     intercept[IllegalArgumentException] {
       Eval.rangeQuery(fixture, "rate(req[45])",
         Eval.RangeSpec(0, 60, 10, sliceSec = Some(30L))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Eval.rangeQuery(fixture, "req",
+        Eval.RangeSpec(0, 60, 10, lookbackSec = 100,
+          sliceSec = Some(60L))).collect()
     }
   }
 
