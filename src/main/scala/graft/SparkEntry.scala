@@ -6101,6 +6101,19 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // Skew-split instant selectors: the ownership-span lead completed
+    // by backward-replicated forward context — row-identical to the
+    // plain selector (shares promql_select_topk's oracle verbatim).
+    "promql_select_topk_salted" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """topk(2, {__name__=~"click|error"})""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L,
+            sliceSec = Some(86400L)))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // The same rate+sum pipeline with SKEW-SPLIT evaluation: the lag
     // runs per (series, 2 d slice) with replicated slice-tail context —
     // a hot series spreads across span/slice tasks. Output must be
@@ -11746,6 +11759,7 @@ object SparkEntry {
     // sample per (series, T) within lookback (rn = 1 over t DESC).
 
     "promql_select_topk" -> OPromTopkSql,
+    "promql_select_topk_salted" -> OPromTopkSql,
     // identical oracle: the PromQL result computed from Gorilla-chunk
     // decoded samples must equal the raw-store result bit for bit
     "promql_over_chunks" -> OPromTopkSql,

@@ -437,8 +437,12 @@ class Server(spark: SparkSession, tablePath: String,
         case Some((_, df)) => tierMetricsView(df)
         case None => storedTable()
       }
+      // ?slice=<dur> opts into skew-split evaluation (hot-series
+      // deployments: one runaway series no longer sorts on one task)
+      val slice = raw.get("slice").map(v => graft.promql.Parser
+        .durationSec(java.net.URLDecoder.decode(v, "UTF-8")))
       val res = graft.promql.Eval.rangeQuery(source, query,
-        graft.promql.Eval.RangeSpec(start, end, step, lookback))
+        graft.promql.Eval.RangeSpec(start, end, step, lookback, slice))
       import org.apache.spark.sql.functions.col
       val rows = res.orderBy(col("tags"), col("t")).collect()
       val bySeries = rows.iterator.map { r =>
