@@ -435,7 +435,7 @@ object Eval {
     "min_over_time", "max_over_time", "sum_over_time", "count_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "present_over_time", "absent_over_time",
-    "holt_winters", "double_exponential_smoothing")
+    "holt_winters", "double_exponential_smoothing", "mad_over_time")
 
   private def evalRangeFn(m: DataFrame, fn: String, args: Seq[Expr],
                           spec: RangeSpec): Val = {
@@ -593,6 +593,17 @@ object Eval {
         // when() evaluates the fold lazily: a single-sample window must
         // not touch element_at(pts, 2) (ANSI throws on out-of-bounds)
         finish(g, when(col("n") >= 2, folded.getField("s")))
+      case "mad_over_time" =>
+        // median absolute deviation (Prometheus 3 experimental):
+        // median per window first, then the median of |x − med| — two
+        // aggregate-sized passes joined on the group key
+        val med = f.groupBy(grp: _*)
+          .agg(percentile(col("v_fp"), lit(0.5)).as("_med"))
+        val g = f.join(med, Seq("tags", "_gt"))
+          .groupBy(grp: _*)
+          .agg(percentile(abs(col("v_fp") - col("_med")), lit(0.5))
+            .as("_mad"))
+        finish(g, floor(col("_mad")))
       case "quantile_over_time" =>
         val g = f.groupBy(grp: _*)
           .agg(percentile(col("v_fp"), lit(extra.head)).as("_q"))

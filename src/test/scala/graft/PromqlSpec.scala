@@ -280,6 +280,12 @@ class PromqlSpec extends SparkSpec {
       Seq(("instance=i1", 30L, 1.0)))
   }
 
+  test("mad_over_time: median absolute deviation per window") {
+    // i1 window (0,30]: values 5,12,2 -> med 5; |x-5| = 0,7,3 -> mad 3
+    assert(run("mad_over_time(req{instance=\"i1\"}[30])", 30, 30, 10) ==
+      Seq(("instance=i1", 30L, 3.0)))
+  }
+
   test("aggregations: sum/avg/count by and without") {
     // at T=60: i1=15, i2=160 (lookback 300)
     assert(run("sum by (instance) (req)", 60, 60, 10) == Seq(
