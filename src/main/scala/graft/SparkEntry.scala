@@ -6359,6 +6359,41 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // holt_winters through the LANGUAGE over a densified subquery grid
+    // (each 2 d window folds exactly eight 6 h inner sums): the
+    // fixed-point level+trend fold replayed by a recursive CTE per
+    // window, the ts_holt_winters discipline on the grid.
+    "promql_holt_winters" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          "holt_winters(sum(click)[2d:21600], 0.5, 0.5)",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
+    // mad_over_time (median absolute deviation) over the same subquery
+    // grid — two exact interpolated medians per window, both engines
+    // sharing the rank rule.
+    "promql_mad" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          "mad_over_time(sum(click)[2d:21600])",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
+    // Calendar functions: day_of_week() of the evaluation instant
+    // (0 = Sunday, both engines' convention after the Spark rebase).
+    "promql_calendar" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir), "day_of_week()",
+          Eval.RangeSpec(Jan05, Jan20, 21600L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
     // The promql composition pin (ts_dashboard_build's text-language
     // twin): one query chaining regex selector → extrapolated rate →
     // label aggregation → SUBQUERY (inner 6 h grid) → trailing max →
@@ -11921,6 +11956,79 @@ object SparkEntry {
          |GROUP BY gr.T ORDER BY t""".stripMargin,
 
     "s1_native_hist_roundtrip" -> ONativeHistRowsSql,
+
+    "promql_holt_winters" -> {
+      // sf = tf = 1/2 on the millionth grid: each fold step is an exact
+      // floored halving (5e5·A / 1e6 ≡ ⌊A/2⌋), replayed recursively
+      def fd(a: String, d: Int) =
+        s"CAST((($a) - ((($a) % $d) + $d) % $d) / $d AS BIGINT)"
+      val s2 = fd("x2 + x1 + b1", 2)
+      val b2 = fd("(sv0 - x1) + b1", 2)
+      val sN = fd("t.x + h.sv + h.bv", 2)
+      val bN = fd(s"(($sN) - h.sv) + h.bv", 2)
+      s"""WITH RECURSIVE
+         |igr AS (SELECT 1704240000 + 21600 * k AS it
+         |  FROM generate_series(0, 68) g(k)),
+         |src AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM src GROUP BY 1, 2),
+         |e AS (SELECT igr.it, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, igr.it
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM igr JOIN d ON d.t <= igr.it AND d.t > igr.it - 86400),
+         |isum AS (SELECT it, CAST(sum(vfp) AS BIGINT) AS x
+         |  FROM e WHERE rn = 1 GROUP BY 1),
+         |gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |w8 AS (SELECT gr.T, i.it, i.x, row_number() OVER
+         |    (PARTITION BY gr.T ORDER BY i.it) AS rn
+         |  FROM gr JOIN isum i ON i.it > gr.T - 172800
+         |    AND i.it <= gr.T),
+         |n AS (SELECT T, max(rn) AS nmax, count(*) AS cnt
+         |  FROM w8 GROUP BY 1),
+         |b0 AS (SELECT a1.T, a1.x AS x1, (a2.x - a1.x) AS b1, a2.x AS x2
+         |  FROM w8 a1 JOIN w8 a2 ON a1.T = a2.T
+         |    AND a1.rn = 1 AND a2.rn = 2),
+         |ini AS (SELECT T, x1, b1, $s2 AS sv0 FROM b0),
+         |hw AS (
+         |  SELECT T, 2 AS i, sv0 AS sv, $b2 AS bv FROM ini
+         |  UNION ALL
+         |  SELECT h.T, h.i + 1, $sN AS sv, $bN AS bv
+         |  FROM hw h JOIN w8 t ON t.T = h.T AND t.rn = h.i + 1)
+         |SELECT '' AS tags, n.T AS t, h.sv AS value_fp
+         |FROM n JOIN hw h ON h.T = n.T AND h.i = n.nmax
+         |WHERE n.cnt >= 2 ORDER BY t""".stripMargin
+    },
+
+    "promql_mad" ->
+      s"""WITH igr AS (SELECT 1704240000 + 21600 * k AS it
+         |  FROM generate_series(0, 68) g(k)),
+         |src AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM src GROUP BY 1, 2),
+         |e AS (SELECT igr.it, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, igr.it
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM igr JOIN d ON d.t <= igr.it AND d.t > igr.it - 86400),
+         |isum AS (SELECT it, CAST(sum(vfp) AS BIGINT) AS x
+         |  FROM e WHERE rn = 1 GROUP BY 1),
+         |gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |w8 AS (SELECT gr.T, i.x FROM gr JOIN isum i
+         |  ON i.it > gr.T - 172800 AND i.it <= gr.T),
+         |med AS (SELECT T, median(x) AS m FROM w8 GROUP BY 1)
+         |SELECT '' AS tags, w8.T AS t,
+         |  CAST(floor(median(abs(w8.x - med.m))) AS BIGINT) AS value_fp
+         |FROM w8 JOIN med ON w8.T = med.T
+         |GROUP BY 1, 2 ORDER BY t""".stripMargin,
+
+    "promql_calendar" ->
+      """SELECT '' AS tags, 1704412800 + 21600 * k AS t,
+        |  CAST(dayofweek(to_timestamp(1704412800 + 21600 * k))
+        |    * 1000000 AS BIGINT) AS value_fp
+        |FROM generate_series(0, 60) g(k) ORDER BY t""".stripMargin,
 
     "serve_query_range_tier" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
