@@ -6592,6 +6592,18 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // absent_over_time(): the range-vector form — 1 wherever the whole
+    // trailing window is empty (here: always, the selector never
+    // matches), labeled from the EQ matchers.
+    "promql_absent_over_time" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          """absent_over_time(click{user_id="no_such_user"}[2d])""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"))
+    }),
+
     // absent(): 1 with the selector's EQ-matcher labels at every grid
     // instant where nothing matches — the alert-on-missing-series idiom.
     "promql_absent" -> ((s, dir) => {
@@ -8088,6 +8100,15 @@ object SparkEntry {
       |  CAST(coalesce(g.score_fp_sum, 0) AS BIGINT) AS score_fp_sum
       |FROM documents d LEFT JOIN g USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared by promql_absent and absent_over_time — the selector
+    * never matches, so both emit 1 at every grid instant.
+    */
+  private val OPromAbsentSql: String =
+      """SELECT '__name__=click,user_id=no_such_user' AS tags,
+        |  1704412800 + 21600 * k AS t,
+        |  CAST(1000000 AS BIGINT) AS value_fp
+        |FROM generate_series(0, 60) g(k) ORDER BY t""".stripMargin
 
   /** Shared by promql_rate_sum and its skew-split twin — the salted
     * evaluation must be row-identical.
@@ -12173,10 +12194,8 @@ object SparkEntry {
         |  ('selector_name_pushdown', 1)) AS t(fact, value)
         |ORDER BY fact""".stripMargin,
 
-    "promql_absent" ->
-      """SELECT '__name__=click,user_id=no_such_user' AS tags,
-        |  1704412800 + 21600 * k AS t,
-        |  CAST(1000000 AS BIGINT) AS value_fp
-        |FROM generate_series(0, 60) g(k) ORDER BY t""".stripMargin
+    "promql_absent_over_time" -> OPromAbsentSql,
+    "promql_absent" -> OPromAbsentSql,
+
   )
 }
