@@ -16,9 +16,12 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   * — cumulative `le`-labeled `<name>_bucket` counters plus
   * `<name>_count`/`<name>_sum` (exactly the shape
   * [[graft.operators.TimeSeriesOps.histogramQuantile]] then reads).
-  * Summary/ExponentialHistogram metrics and non-scalar attribute values
-  * are SKIPPED structurally — the store's canonical row is a scalar
-  * sample.
+  * Summaries (what legacy OTel SDKs still emit) flatten to
+  * `quantile`-labeled series on the base name plus `<name>_count` /
+  * `<name>_sum` — the Prometheus OTLP-receiver convention.
+  * ExponentialHistograms decode through [[decodeExpHistograms]] (the
+  * sparse-bucket edge); non-scalar attribute values are SKIPPED
+  * structurally — the store's canonical row is a scalar sample.
   *
   * Field layout (trimmed to the decoded subset):
   *   ExportMetricsServiceRequest { repeated ResourceMetrics = 1 }
@@ -26,7 +29,13 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   *   Resource { repeated KeyValue attributes = 1 }
   *   ScopeMetrics { repeated Metric metrics = 2 }
   *   Metric { string name = 1; Gauge gauge = 5; Sum sum = 7;
-  *            Histogram histogram = 9 }
+  *            Histogram histogram = 9; Summary summary = 11 }
+  *   Summary { repeated SummaryDataPoint data_points = 1 }
+  *   SummaryDataPoint { fixed64 time_unix_nano = 3; fixed64 count = 4;
+  *                      double sum = 5;
+  *                      repeated ValueAtQuantile quantile_values = 6;
+  *                      repeated KeyValue attributes = 7 }
+  *   ValueAtQuantile { double quantile = 1; double value = 2 }
   *   Gauge { repeated NumberDataPoint data_points = 1 }
   *   Sum { repeated NumberDataPoint data_points = 1;
   *         AggregationTemporality aggregation_temporality = 2;
@@ -204,6 +213,61 @@ object Otlp {
     else spans.result().map { case (a, b) => decHistPoint(buf, a, b) }
   }
 
+  /** One Summary data point: pre-computed quantile values plus the
+    * count/sum companions (no temporality field — summaries are
+    * cumulative by definition in the OTLP spec).
+    */
+  private case class SummaryPoint(tsNano: Long, count: Long, sum: Double,
+                                  quantiles: Seq[(Double, Double)],
+                                  attrs: Seq[(String, String)])
+
+  private def decSummaryPoint(buf: Array[Byte], s: Int,
+                              e: Int): SummaryPoint = {
+    val r = new Prompb.Reader(buf, s, e)
+    var ts = 0L; var count = 0L; var sum = 0.0
+    val qs = Seq.newBuilder[(Double, Double)]
+    val attrs = Seq.newBuilder[(String, String)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (3, 1) => ts = r.fixed64()
+        case (4, 1) => count = r.fixed64()
+        case (5, 1) => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 2) => // ValueAtQuantile { quantile = 1; value = 2 }
+          val (a, b) = r.lenDelimited()
+          val qr = new Prompb.Reader(buf, a, b)
+          var q = 0.0; var v = 0.0
+          while (qr.hasMore) {
+            val qk = qr.varint(); (qk >> 3, (qk & 7).toInt) match {
+              case (1, 1) => q = java.lang.Double.longBitsToDouble(qr.fixed64())
+              case (2, 1) => v = java.lang.Double.longBitsToDouble(qr.fixed64())
+              case (_, w) => qr.skip(w)
+            }
+          }
+          qs += (q -> v)
+        case (7, 2) =>
+          val (a, b) = r.lenDelimited()
+          decKeyValue(buf, a, b).foreach(attrs += _)
+        case (_, w) => r.skip(w)
+      }
+    }
+    SummaryPoint(ts, count, sum, qs.result(), attrs.result())
+  }
+
+  /** Summary { data_points = 1 } — no temporality to police. */
+  private def decSummary(buf: Array[Byte], s: Int,
+                         e: Int): Seq[SummaryPoint] = {
+    val r = new Prompb.Reader(buf, s, e)
+    val pts = Seq.newBuilder[SummaryPoint]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited(); pts += decSummaryPoint(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    pts.result()
+  }
+
   private def decMetric(buf: Array[Byte], s: Int, e: Int,
                         resourceAttrs: Seq[(String, String)])
       : Seq[PTimeSeries] = {
@@ -211,6 +275,7 @@ object Otlp {
     var name = ""
     val pts = Seq.newBuilder[Point]
     val hists = Seq.newBuilder[HistPoint]
+    val summaries = Seq.newBuilder[SummaryPoint]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => name = r.utf8()
@@ -220,7 +285,9 @@ object Otlp {
           val (a, b) = r.lenDelimited(); pts ++= decSum(buf, a, b)
         case (9, 2) => // explicit-bucket histogram → le-bucket series
           val (a, b) = r.lenDelimited(); hists ++= decHistogram(buf, a, b)
-        case (_, w) => r.skip(w) // summary/exp-histogram skipped
+        case (11, 2) => // summary → quantile-labeled series + companions
+          val (a, b) = r.lenDelimited(); summaries ++= decSummary(buf, a, b)
+        case (_, w) => r.skip(w) // exp-histogram decoded separately
       }
     }
     def series(metricName: String, attrs: Seq[(String, String)],
@@ -253,7 +320,19 @@ object Otlp {
       else Nil
       buckets ++ Seq(inf, cnt) ++ sum
     }
-    scalar ++ hist
+    // Summary → the Prometheus OTLP-receiver mapping: each pre-computed
+    // quantile becomes a `quantile`-labeled gauge series on the base
+    // name, plus <name>_count / <name>_sum companions — the same
+    // flatten discipline as the histogram `le` family
+    val summ = summaries.result().flatMap { sp =>
+      val qs = sp.quantiles.map { case (q, v) =>
+        series(name, sp.attrs, Seq("quantile" -> fmtLe(q)), sp.tsNano, v)
+      }
+      qs ++ Seq(
+        series(name + "_count", sp.attrs, Nil, sp.tsNano, sp.count.toDouble),
+        series(name + "_sum", sp.attrs, Nil, sp.tsNano, sp.sum))
+    }
+    scalar ++ hist ++ summ
   }
 
   /** Bound → `le` label value, the Prometheus text form: integral bounds
@@ -595,6 +674,35 @@ object Otlp {
     val m = new Prompb.Writer
     m.string(1, name)
     m.message(9, hist.toBytes)
+    wrapRequest(resourceAttrs, Seq(m.toBytes))
+  }
+
+  /** One request carrying one Summary metric: one data point per
+    * (attrs, tsNano) entry with its count, sum, and pre-computed
+    * (quantile, value) pairs — the legacy-SDK shape the decoder flattens
+    * into `quantile`-labeled series.
+    */
+  def encodeSummaryRequest(resourceAttrs: Seq[(String, String)],
+                           name: String,
+                           points: Seq[(Seq[(String, String)], Long, Long,
+                             Double, Seq[(Double, Double)])]): Array[Byte] = {
+    val summary = new Prompb.Writer
+    points.foreach { case (attrs, tsNano, count, sum, quantiles) =>
+      val dp = new Prompb.Writer
+      dp.fixed64(3, tsNano)
+      dp.fixed64(4, count)
+      dp.double(5, sum)
+      quantiles.foreach { case (q, v) =>
+        val qw = new Prompb.Writer
+        qw.double(1, q); qw.double(2, v)
+        dp.message(6, qw.toBytes)
+      }
+      attrs.foreach { case (k, v) => dp.message(7, encKeyValue(k, v)) }
+      summary.message(1, dp.toBytes)
+    }
+    val m = new Prompb.Writer
+    m.string(1, name)
+    m.message(11, summary.toBytes)
     wrapRequest(resourceAttrs, Seq(m.toBytes))
   }
 

@@ -68,9 +68,11 @@ object Prompb {
       // metrics: always emit (matches gogoproto non-nullable emission for
       // values inside packed structs being explicit in practice — and a
       // decoder treats absent as 0.0 anyway, so this is purely about byte
-      // stability of golden tests).
+      // stability of golden tests). RAW bits: doubleToLongBits collapses
+      // every NaN to the canonical quiet NaN, which would destroy the
+      // Prometheus stale-marker payload (0x7ff0000000000002) in transit.
       key(field, 1)
-      val bits = java.lang.Double.doubleToLongBits(v)
+      val bits = java.lang.Double.doubleToRawLongBits(v)
       var i = 0
       while (i < 8) { out.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
     }

@@ -16,11 +16,14 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   * TimeSeries:
   *   1: repeated uint32 labels_refs (packed) — even count, pairwise
   *   2: repeated Sample (value=1 double, timestamp=2 int64 — v1 shape)
-  * Exemplars (4), metadata (5), created_timestamp (6) and
-  * created_timestamp (7) are skipped structurally on decode (unknown-
-  * field skipping), like every reference sink ignores them; a store that
-  * wants native histograms adds a decoder for field 4 without touching
-  * this layer.
+  *   3: repeated Histogram (native histograms — decoded, see below)
+  *   4: repeated Exemplar (labels_refs=1 packed, value=2, timestamp=3)
+  *   5: Metadata (type=1, help_ref=3, unit_ref=4)
+  *   6: created_timestamp
+  * created_timestamp is skipped structurally on decode (unknown-field
+  * skipping), like every reference sink ignores it; exemplars and
+  * metadata resolve through [[exemplarsToV1]] / [[metadataToV1]] for
+  * the serve edge's exemplar store and /api/v1/metadata.
   *
   * The decoded request resolves to the SAME canonical v1 shape
   * ([[Prompb.PWriteRequest]]) so everything downstream — flatten, F1
@@ -32,8 +35,21 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   */
 object Prompb2 {
 
+  /** RW2 exemplar: label REF pairs into the symbol table (unlike v1's
+    * inline strings), value, timestamp.
+    */
+  case class P2Exemplar(labelsRefs: Seq[Int], value: Double,
+                        timestampMs: Long)
+
+  /** RW2 per-series metadata: type enum (shared numbering with v1) and
+    * help/unit as symbol refs.
+    */
+  case class P2Metadata(metricType: Int, helpRef: Int, unitRef: Int)
+
   case class P2TimeSeries(labelsRefs: Seq[Int], samples: Seq[PSample],
-                          histograms: Seq[NativeHist.PHistogram] = Nil)
+                          histograms: Seq[NativeHist.PHistogram] = Nil,
+                          exemplars: Seq[P2Exemplar] = Nil,
+                          metadata: Option[P2Metadata] = None)
   case class P2Request(symbols: Seq[String], timeseries: Seq[P2TimeSeries])
 
   // --------------------------------------------------------------- write
@@ -44,14 +60,36 @@ object Prompb2 {
     w.toBytes
   }
 
+  private def packedRefs(refs: Seq[Int]): Array[Byte] = {
+    val packed = new Prompb.Writer
+    refs.foreach(r => packed.varint(r.toLong))
+    packed.toBytes
+  }
+
+  private def encExemplar(e: P2Exemplar): Array[Byte] = {
+    val w = new Prompb.Writer
+    w.bytes(1, packedRefs(e.labelsRefs))
+    w.double(2, e.value)
+    w.int64(3, e.timestampMs)
+    w.toBytes
+  }
+
+  private def encMetadata(m: P2Metadata): Array[Byte] = {
+    val w = new Prompb.Writer
+    w.int64(1, m.metricType.toLong)
+    w.int64(3, m.helpRef.toLong)
+    w.int64(4, m.unitRef.toLong)
+    w.toBytes
+  }
+
   private def encTimeSeries(ts: P2TimeSeries): Array[Byte] = {
     val w = new Prompb.Writer
     // packed uint32 refs: one length-delimited field of varints
-    val packed = new Prompb.Writer
-    ts.labelsRefs.foreach(r => packed.varint(r.toLong))
-    w.bytes(1, packed.toBytes)
+    w.bytes(1, packedRefs(ts.labelsRefs))
     ts.samples.foreach(s => w.message(2, encSample(s)))
     ts.histograms.foreach(h => w.message(3, NativeHist.encodeHistogram(h)))
+    ts.exemplars.foreach(e => w.message(4, encExemplar(e)))
+    ts.metadata.foreach(m => w.message(5, encMetadata(m)))
     w.toBytes
   }
 
@@ -95,17 +133,56 @@ object Prompb2 {
     PSample(v, ts)
   }
 
+  private def decPackedRefs(buf: Array[Byte], s: Int, e: Int): Seq[Int] = {
+    val pr = new Prompb.Reader(buf, s, e)
+    val refs = Seq.newBuilder[Int]
+    while (pr.hasMore) refs += pr.varint().toInt
+    refs.result()
+  }
+
+  private def decExemplar(buf: Array[Byte], s: Int, e: Int): P2Exemplar = {
+    val r = new Prompb.Reader(buf, s, e)
+    val refs = Seq.newBuilder[Int]
+    var v = 0.0; var ts = 0L
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited(); refs ++= decPackedRefs(buf, a, b)
+        case (1, 0) => refs += r.varint().toInt
+        case (2, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (3, 0) => ts = r.varint()
+        case (_, w) => r.skip(w)
+      }
+    }
+    P2Exemplar(refs.result(), v, ts)
+  }
+
+  private def decMetadata(buf: Array[Byte], s: Int, e: Int): P2Metadata = {
+    val r = new Prompb.Reader(buf, s, e)
+    var t = 0; var help = 0; var unit = 0
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 0) => t = r.varint().toInt
+        case (3, 0) => help = r.varint().toInt
+        case (4, 0) => unit = r.varint().toInt
+        case (_, w) => r.skip(w)
+      }
+    }
+    P2Metadata(t, help, unit)
+  }
+
   private def decTimeSeries(buf: Array[Byte], s: Int, e: Int): P2TimeSeries = {
     val r = new Prompb.Reader(buf, s, e)
     val refs = Seq.newBuilder[Int]
     val samples = Seq.newBuilder[PSample]
     val hists = Seq.newBuilder[NativeHist.PHistogram]
+    val exemplars = Seq.newBuilder[P2Exemplar]
+    var metadata: Option[P2Metadata] = None
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => // packed
           val (a, b) = r.lenDelimited()
-          val pr = new Prompb.Reader(buf, a, b)
-          while (pr.hasMore) refs += pr.varint().toInt
+          refs ++= decPackedRefs(buf, a, b)
         case (1, 0) => // tolerated unpacked spelling
           refs += r.varint().toInt
         case (2, 2) =>
@@ -113,10 +190,15 @@ object Prompb2 {
         case (3, 2) => // native histograms — same message as v1
           val (a, b) = r.lenDelimited()
           hists += NativeHist.decodeHistogram(buf, a, b)
+        case (4, 2) =>
+          val (a, b) = r.lenDelimited(); exemplars += decExemplar(buf, a, b)
+        case (5, 2) =>
+          val (a, b) = r.lenDelimited(); metadata = Some(decMetadata(buf, a, b))
         case (_, w) => r.skip(w)
       }
     }
-    P2TimeSeries(refs.result(), samples.result(), hists.result())
+    P2TimeSeries(refs.result(), samples.result(), hists.result(),
+      exemplars.result(), metadata)
   }
 
   def decodeRequest(buf: Array[Byte]): P2Request = {
@@ -172,5 +254,42 @@ object Prompb2 {
       }.toSeq
       NativeHist.PHistSeries(labels, ts.histograms)
     }
+  }
+
+  private def resolve(syms: IndexedSeq[String], refs: Seq[Int]): Seq[PLabel] =
+    refs.grouped(2).map { case Seq(n, v) => PLabel(syms(n), syms(v)) }.toSeq
+
+  /** The v2 request's exemplars with their symbol refs resolved — the v2
+    * spelling of the [[WriteWire]] exemplar walk; same downstream store.
+    */
+  def exemplarsToV1(r: P2Request): Seq[WriteWire.PExemplarSeries] = {
+    val syms = r.symbols.toIndexedSeq
+    r.timeseries.filter(_.exemplars.nonEmpty).map { ts =>
+      WriteWire.PExemplarSeries(resolve(syms, ts.labelsRefs),
+        ts.exemplars.map(e =>
+          WriteWire.PExemplar(resolve(syms, e.labelsRefs), e.value,
+            e.timestampMs)))
+    }
+  }
+
+  /** The v2 request's per-series metadata resolved to metric families:
+    * RW2 attaches metadata to each series, so the family name is the
+    * series' `__name__` (the RW2 spec's own rule — senders put the
+    * family there); help/unit resolve through the symbol table. One
+    * entry per distinct family, last write wins (the receiver rule).
+    */
+  def metadataToV1(r: P2Request): Seq[WriteWire.PMetadata] = {
+    val syms = r.symbols.toIndexedSeq
+    val out = scala.collection.mutable.LinkedHashMap[String, WriteWire.PMetadata]()
+    r.timeseries.foreach { ts =>
+      ts.metadata.foreach { m =>
+        val labels = resolve(syms, ts.labelsRefs)
+        val fam = labels.find(_.name == "__name__").map(_.value).getOrElse("")
+        if (fam.nonEmpty)
+          out(fam) = WriteWire.PMetadata(fam, WriteWire.typeName(m.metricType),
+            syms(m.helpRef), syms(m.unitRef))
+      }
+    }
+    out.values.toSeq
   }
 }

@@ -176,6 +176,39 @@ object ResponseEdge {
     (out.toByteArray, modes)
   }
 
+  /** A PromQL grid result (tags, t, value) grouped to ONE row per series
+    * — (tags, points[(t, value)] sorted by t) — with the series budget
+    * pushed INTO the plan: `limit(maxSeries + 1)` after the per-series
+    * grouping means CollectLimit truncates on the executors, so a
+    * match-everything query_range over a 100 TB store costs the driver
+    * at most maxSeries+1 rows before the 413 fires — never the full
+    * (series × grid points) matrix. The grid-point axis is already
+    * client-bounded ((end−start)/step + 1); this bounds the OTHER axis,
+    * exactly the [[toQueryResult]] discipline applied to the JSON API.
+    * 0 = unlimited.
+    */
+  def boundedSeriesFrame(gridResult: DataFrame, maxSeries: Int): DataFrame = {
+    val perSeries = gridResult
+      .groupBy(col("tags"))
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(col("t"), col("value"))))
+        .as("points"))
+    if (maxSeries > 0) perSeries.limit(maxSeries + 1) else perSeries
+  }
+
+  /** Collect [[boundedSeriesFrame]], throwing [[SeriesLimitExceeded]] on
+    * an over-budget result (rows.length is the bounded maxSeries + 1,
+    * not the true series count — the whole point).
+    */
+  def collectBoundedSeries(gridResult: DataFrame,
+                           maxSeries: Int): Array[Row] = {
+    val rows = boundedSeriesFrame(gridResult, maxSeries).collect()
+    if (maxSeries > 0 && rows.length > maxSeries)
+      throw new SeriesLimitExceeded(maxSeries)
+    rows
+  }
+
   def encodeChunked(perQuery: Seq[DataFrame], maxSeries: Int,
                     maxSamplesPerChunk: Int = 120): Array[Byte] = {
     import graft.codec.{ChunkedRead, XorChunk}

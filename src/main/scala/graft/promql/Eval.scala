@@ -107,6 +107,36 @@ object Eval {
       (col("v_fp").cast("double") / FPD).as("value"))
   }
 
+  /** Union explicit STALE-MARKER rows (name, tags, ts [, date]) into a
+    * store view carrying a `stale` boolean: store rows get stale=false,
+    * markers stale=true with a zero placeholder value. The evaluator's
+    * scan then lets markers TERMINATE instant-selector ownership spans
+    * (a dead target stops answering at its marker instead of coasting
+    * through the full lookback) while range functions skip them —
+    * Prometheus's staleness semantics over the canonical store. Columns
+    * the store has but markers lack (val, updated, …) fill from ts/zero.
+    */
+  def withStaleMarkers(store: DataFrame, markers: DataFrame): DataFrame = {
+    val mcols = store.schema.fields.toSeq.map { f =>
+      if (markers.columns.contains(f.name)) col(f.name)
+      else f.name match {
+        case "val" => lit(0.0).as("val")
+        case "val_fp" => lit(0L).as("val_fp")
+        case "date" =>
+          val ts =
+            if (markers.schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType)
+              timestamp_seconds(col("ts"))
+            else col("ts")
+          to_date(ts).as("date")
+        case "updated" => col("ts").as("updated")
+        case other => lit(null).cast(f.dataType).as(other)
+      }
+    }
+    store.withColumn("stale", lit(false))
+      .unionByName(markers.select(mcols :+ lit(true).as("stale"): _*))
+  }
+
   /** Compile a `match[]`-style bare selector (no range/offset/@) into a
     * (name, tags) predicate — the metadata endpoints' filter
     * (/api/v1/labels, /label/<n>/values, /series).
@@ -214,9 +244,17 @@ object Eval {
   /** Scan + normalize + dedup: (tags, t, v_fp), one row per (series,
     * second), greatest value wins on duplicates. Time bounds (and date
     * bounds when the store is date-partitioned) push into the scan.
+    *
+    * Stale markers (a `stale` boolean column on the store view, see
+    * [[withStaleMarkers]]): with `keepStale` the output carries a
+    * `_stale` flag (a live sample beats a marker at the same second);
+    * without it marker rows are dropped after dedup — range functions
+    * never see them, matching Prometheus range-selector filtering. A
+    * store with no `stale` column takes the exact pre-existing plan.
     */
   private def scan(m: DataFrame, s: Selector, spec: RangeSpec,
-                   reachBackSec: Long): DataFrame = {
+                   reachBackSec: Long, keepStale: Boolean = false)
+      : DataFrame = {
     val tsIsLong =
       m.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tCol = if (tsIsLong) col("ts") else unix_timestamp(col("ts"))
@@ -248,11 +286,28 @@ object Eval {
     // satisfies both the (tags, t) dedup's ClusteredDistribution (subset
     // rule) and the series window that follows — without it Spark plans
     // two sample-sized exchanges (dedup keys, then window keys)
-    named.filter(pred)
-      .select(col("tags"), tCol.as("t"), vfp.as("v_fp"))
-      .repartition(col("tags"))
-      .groupBy(col("tags"), col("t"))
-      .agg(max(col("v_fp")).as("v_fp"))
+    if (!m.columns.contains("stale"))
+      named.filter(pred)
+        .select(col("tags"), tCol.as("t"), vfp.as("v_fp"))
+        .repartition(col("tags"))
+        .groupBy(col("tags"), col("t"))
+        .agg(max(col("v_fp")).as("v_fp"))
+    else {
+      // dedup rule with markers present: a LIVE sample at the same
+      // (series, second) beats a marker (struct max orders live-first,
+      // then greatest value) — a marker never shadows real data
+      val deduped = named.filter(pred)
+        .select(col("tags"), tCol.as("t"), vfp.as("v_fp"),
+          coalesce(col("stale"), lit(false)).as("_stale"))
+        .repartition(col("tags"))
+        .groupBy(col("tags"), col("t"))
+        .agg(max(struct((!col("_stale")).as("live"),
+          col("v_fp").as("v"))).as("_m"))
+        .select(col("tags"), col("t"), col("_m.v").as("v_fp"),
+          (!col("_m.live")).as("_stale"))
+      if (keepStale) deduped
+      else deduped.filter(!col("_stale")).drop("_stale")
+    }
   }
 
   /** Instant selector on the grid. Each deduped sample OWNS the grid
@@ -264,8 +319,12 @@ object Eval {
   private def selectorInstant(m: DataFrame, s: Selector,
                               spec: RangeSpec): DataFrame = {
     // reach back the full lookback: a sample at exactly start−L+1 is
-    // valid for T=start (window is (T−L, T], strict on the left)
-    val samples = scan(m, s, spec, spec.lookbackSec)
+    // valid for T=start (window is (T−L, T], strict on the left).
+    // Stale markers stay in the frame here: a marker's t participates
+    // as the NEXT boundary terminating the previous sample's span, but
+    // the marker row itself emits no instants (filtered after the lead)
+    val samples = scan(m, s, spec, spec.lookbackSec, keepStale = true)
+    val hasStale = samples.columns.contains("_stale")
     val te = col("t") + s.offsetSec
     // the lead only matters within the lookback (the owned span caps at
     // te+L−1 regardless), so the skew split needs FORWARD context: the
@@ -280,23 +339,35 @@ object Eval {
         val sliceOf = floor(col("t").cast("double") / sl).cast("long")
         val base = samples
           .withColumn("_slice", sliceOf).withColumn("_emit", lit(1))
-        val fwd = samples.withColumn("_slice", sliceOf)
+        val fwd0 = samples.withColumn("_slice", sliceOf)
           .groupBy(col("tags"), col("_slice"))
           .agg(min(struct(col("t"), col("v_fp"))).as("_f"))
           .select(col("tags"), col("_f.t").as("t"),
             col("_f.v_fp").as("v_fp"), (col("_slice") - 1).as("_slice"),
             lit(0).as("_emit"))
+        // context rows only contribute their t as the lead boundary —
+        // a marker context is exactly as boundary-capable as a sample
+        val fwd = if (hasStale) fwd0.withColumn("_stale", lit(false))
+          else fwd0
         val wS = Window.partitionBy(col("tags"), col("_slice"))
           .orderBy(col("t").asc)
-        base.unionByName(fwd)
+        val cols = Seq(col("tags"), col("t"), col("v_fp"), col("_emit")) ++
+          (if (hasStale) Seq(col("_stale")) else Nil) :+
+          lead(col("t"), 1).over(wS).as("_next")
+        val led = base.unionByName(fwd)
           .repartition(col("tags"), col("_slice"))
-          .select(col("tags"), col("t"), col("v_fp"), col("_emit"),
-            lead(col("t"), 1).over(wS).as("_next"))
+          .select(cols: _*)
           .filter(col("_emit") === 1)
+        if (hasStale) led.filter(!col("_stale")).drop("_stale") else led
       case None =>
         val w = Window.partitionBy(col("tags")).orderBy(col("t").asc)
-        samples.select(col("tags"), col("t"), col("v_fp"),
-          lead(col("t"), 1).over(w).as("_next"))
+        if (hasStale)
+          samples.select(col("tags"), col("t"), col("v_fp"),
+            col("_stale"), lead(col("t"), 1).over(w).as("_next"))
+            .filter(!col("_stale")).drop("_stale")
+        else
+          samples.select(col("tags"), col("t"), col("v_fp"),
+            lead(col("t"), 1).over(w).as("_next"))
     }
     val nextTe = col("_next") + s.offsetSec
     // owned instant range [te, min(nextTe-1, te+lookback-1)] ∩ [start,end]
@@ -1065,8 +1136,15 @@ object Eval {
   private def histQuantile(in: DataFrame, q: Double): DataFrame = {
     require(q > 0 && q < 1, "q outside (0,1) is ±Inf by definition")
     val leStr = LabelOps.labelValue(col("tags"), "le")
+    // a malformed (non-numeric) le value must SKIP its series, not 500:
+    // under ANSI mode a plain cast throws, so gate it on a numeric-shape
+    // match — unparseable le → null → the isNotNull filter drops it,
+    // Prometheus's own behavior for junk bucket labels
+    val leNum = when(
+      leStr.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+      leStr.cast("double"))
     val le = when(leStr === "+Inf" || leStr === "Inf",
-      lit(Double.PositiveInfinity)).otherwise(leStr.cast("double"))
+      lit(Double.PositiveInfinity)).otherwise(leNum)
     val base = in
       .withColumn("_le", le)
       .filter(col("_le").isNotNull)

@@ -34,6 +34,17 @@ object Rules {
     require(alert.nonEmpty && forSec >= 0)
   }
 
+  /** One configured rule group — the unit /api/v1/rules enumerates:
+    * recording + alerting rules sharing an evaluation interval.
+    */
+  case class RuleGroup(name: String, intervalSec: Long,
+                       recording: Seq[RecordingRule] = Nil,
+                       alerts: Seq[AlertRule] = Nil) {
+    require(name.nonEmpty && intervalSec > 0)
+    require(alerts.forall(_.forSec % intervalSec == 0),
+      "every alert's forSec must be a multiple of the group interval")
+  }
+
   /** Evaluate a recording rule over the grid and return CANONICAL store
     * rows (date, name, tags, val, ts, updated) ready for
     * WritePipeline.append — `__name__` in the output tag set is
@@ -87,5 +98,36 @@ object Rules {
       .select(
         sort_array(concat(cleaned, array(added: _*))).as("tags"),
         col("t"), col("value"), col("state"))
+  }
+
+  /** CURRENT alert states at one instant — what /api/v1/rules and
+    * /api/v1/alerts serve: replay the rule on the `intervalSec` grid
+    * over a trailing history window ending at `atSec`, keep the rows at
+    * `atSec`, and derive each alert's `activeAt` as the start of its
+    * CONTIGUOUS active run (gaps-and-islands over the grid — exact
+    * whenever the run began inside the replay window; a run older than
+    * `historySec` clamps to the window start). History defaults to
+    * 2× forSec (a firing alert's run start is inside forSec by
+    * definition; the factor covers long-pending inspection).
+    */
+  def alertStatesAt(store: DataFrame, rule: AlertRule, atSec: Long,
+                    intervalSec: Long, lookbackSec: Long = 300L,
+                    historySec: Long = 0L): DataFrame = {
+    val hist = math.max(if (historySec > 0) historySec else 2 * rule.forSec,
+      rule.forSec)
+    val steps = math.max(hist / intervalSec, 1L)
+    val spec = Eval.RangeSpec(atSec - steps * intervalSec, atSec,
+      intervalSec, lookbackSec)
+    val rows = alertRows(store, rule, spec)
+    val wOrd = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+    rows
+      .withColumn("_rn", row_number().over(wOrd))
+      // rows with consecutive grid instants share (t − rn·step)
+      .withColumn("_isl", col("t") - col("_rn") * intervalSec)
+      .withColumn("activeAt", min(col("t"))
+        .over(Window.partitionBy(col("tags"), col("_isl"))))
+      .filter(col("t") === atSec)
+      .select(col("tags"), col("t"), col("value"), col("state"),
+        col("activeAt"))
   }
 }

@@ -40,7 +40,8 @@ class Server(spark: SparkSession, tablePath: String,
              extraReaderPaths: Seq[String] = Nil,
              tierPaths: Seq[(Long, String)] = Nil,
              autoResTargetPoints: Long = 250L,
-             chunkTierPath: Option[String] = None) {
+             chunkTierPath: Option[String] = None,
+             ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -50,6 +51,28 @@ class Server(spark: SparkSession, tablePath: String,
   val failed = new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
   val sendDuration =
     new java.util.concurrent.ConcurrentHashMap[String, Observability.DurationHistogram]()
+
+  /** Metric-family metadata received on the write path (v1 WriteRequest
+    * field 3, RW2 per-series Metadata): name → (type, help, unit).
+    * Driver-memory by nature — one entry per metric FAMILY, the
+    * cardinality of a /metrics page, not of the series set.
+    */
+  private val metadataStore =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.codec.WriteWire.PMetadata]()
+
+  /** Exemplars land beside the main table (same layout discipline); the
+    * side table exists only once a payload actually carries exemplars.
+    */
+  private[serve] def exemplarPath: String = tablePath + "_exemplars"
+
+  /** Stale markers (the explicit stale-NaN samples Prometheus writes
+    * when a target disappears) land beside the main table as value-less
+    * marker rows — the F1 filter keeps dropping ORDINARY NaN data, but
+    * the marker's bit pattern is a SIGNAL, not a value, and the PromQL
+    * evaluator needs it so instant selectors stop extending dead series
+    * through the lookback window.
+    */
+  private[serve] def stalePath: String = tablePath + "_stale"
 
   /** Plan-cached stored table: /read requests reuse one resolved parquet
     * relation (schema inference + file listing happen once) instead of
@@ -80,6 +103,21 @@ class Server(spark: SparkSession, tablePath: String,
   }
 
   private def invalidateTable(): Unit = synchronized { cachedTable = None }
+
+  /** The PromQL evaluator's store view: the raw table, with any stale
+    * markers unioned in as flagged rows ([[graft.promql.Eval
+    * .withStaleMarkers]]) so instant selectors stop extending dead
+    * series. The marker table re-resolves per request (markers arrive
+    * out of band relative to the cached relation); when no marker has
+    * ever arrived this is exactly [[storedTable]] — zero added cost.
+    */
+  private[serve] def promqlTable(): DataFrame = {
+    val p = java.nio.file.Paths.get(stalePath)
+    if (java.nio.file.Files.exists(p))
+      graft.promql.Eval.withStaleMarkers(storedTable(),
+        spark.read.parquet(stalePath))
+    else storedTable()
+  }
 
   private val http = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -123,25 +161,32 @@ class Server(spark: SparkSession, tablePath: String,
       val body = Prompb.snappyUncompress(readBody(ex))
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
-      val wr =
+      val (wr, exemplars, metadata) =
         if (ctype.contains("io.prometheus.write.v2.Request")) {
           val req = graft.codec.Prompb2.decodeRequest(body)
           val scalar = graft.codec.Prompb2.toV1(req)
           val hists = graft.codec.Prompb2.histogramsToV1(req)
-          if (hists.isEmpty) scalar
-          else scalar.copy(timeseries = scalar.timeseries ++
-            hists.flatMap(graft.codec.NativeHist.toClassicSeries))
+          val merged =
+            if (hists.isEmpty) scalar
+            else scalar.copy(timeseries = scalar.timeseries ++
+              hists.flatMap(graft.codec.NativeHist.toClassicSeries))
+          (merged, graft.codec.Prompb2.exemplarsToV1(req),
+            graft.codec.Prompb2.metadataToV1(req))
         } else {
-          val scalar = Prompb.decodeWriteRequest(body)
-          // native-histogram series (TimeSeries field 4) in the same
-          // payload ingest as their CLASSIC le-bucket view — the
-          // scalar store's representation; without this an OTel/agent
-          // sender's histograms would silently drop
-          val hists = graft.codec.NativeHist.decodeWriteRequest(body)
-          if (hists.isEmpty) scalar
-          else scalar.copy(timeseries = scalar.timeseries ++
-            hists.flatMap(graft.codec.NativeHist.toClassicSeries))
+          // ONE walk decodes scalars, native histograms (field 4 —
+          // flattened to their classic le-bucket view, the scalar
+          // store's representation), exemplars (field 3), and
+          // request-level metadata in a single pass over the bytes
+          val dec = graft.codec.WriteWire.decode(body)
+          val merged =
+            if (dec.histograms.isEmpty) dec.scalars
+            else dec.scalars.copy(timeseries = dec.scalars.timeseries ++
+              dec.histograms.flatMap(graft.codec.NativeHist.toClassicSeries))
+          (merged, dec.exemplars, dec.metadata)
         }
+      metadata.foreach(md =>
+        if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
+      if (exemplars.nonEmpty) appendExemplars(exemplars)
       ingestDecoded(ex, wr)
     } catch {
       case e: Throwable =>
@@ -160,15 +205,68 @@ class Server(spark: SparkSession, tablePath: String,
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
     }
 
+  /** The Prometheus stale-marker bit pattern (value/histogram.go's
+    * StaleNaN): an ORDINARY NaN data value keeps the plain-NaN payload
+    * and falls to the F1 filter; only this exact pattern is a marker.
+    */
+  private val StaleNaNBits = 0x7ff0000000000002L
+
+  /** Exemplars → the side table, the main table's layout discipline
+    * (date-partitioned, range-split, (name, tags, ts)-sorted).
+    */
+  private def appendExemplars(
+      series: Seq[graft.codec.WriteWire.PExemplarSeries]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = for (s <- series; e <- s.exemplars) yield {
+      val name = s.seriesLabels.find(_.name == "__name__")
+        .map(_.value).getOrElse("")
+      (name,
+        s.seriesLabels.map(l => s"${l.name}=${l.value}").sorted,
+        e.labels.map(l => s"${l.name}=${l.value}").sorted,
+        e.value, e.timestampMs)
+    }
+    val df = rows.toDF("name", "tags", "ex_tags", "val", "tsMs")
+      .select(
+        to_date(timestamp_seconds((col("tsMs") / 1000).cast("long")))
+          .as("date"),
+        col("name"), col("tags"), col("ex_tags"), col("val"),
+        timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
+    WritePipeline.append(df, exemplarPath)
+  }
+
+  /** Stale markers → value-less marker rows in the side table. */
+  private def appendStaleMarkers(
+      markers: Seq[graft.model.Schema.Sample]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = markers.map { m =>
+      (m.name, m.labels.toSeq.map { case (k, v) => s"$k=$v" }.sorted,
+        m.timestampMs)
+    }
+    val df = rows.toDF("name", "tags", "tsMs")
+      .select(
+        to_date(timestamp_seconds((col("tsMs") / 1000).cast("long")))
+          .as("date"),
+        col("name"), col("tags"),
+        timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
+    WritePipeline.append(df, stalePath)
+  }
+
   private def ingestDecoded(ex: HttpExchange,
                             wr: Prompb.PWriteRequest): Unit =
     try {
-      val samples = for (ts <- wr.timeseries; s <- ts.samples) yield {
+      val all = for (ts <- wr.timeseries; s <- ts.samples) yield {
         val labels = ts.labels.map(l => l.name -> l.value).toMap
         graft.model.Schema.Sample(labels.getOrElse("__name__", ""),
           labels, s.value, s.timestampMs)
       }
-      received.addAndGet(samples.size.toLong)
+      received.addAndGet(all.size.toLong)
+      // stale markers divert BEFORE the value pipeline: they are
+      // signals, not samples — F1 still sees (and drops) ordinary NaNs
+      val (staleMarkers, samples) = all.partition(s =>
+        java.lang.Double.doubleToRawLongBits(s.value) == StaleNaNBits)
+      if (staleMarkers.nonEmpty) appendStaleMarkers(staleMarkers)
       import spark.implicits._
       val flat = samples.toDF()
       val table: (String, DataFrame => graft.sinks.Transport.WriteStats) =
@@ -435,7 +533,7 @@ class Server(spark: SparkSession, tablePath: String,
         tier.map(_._1).getOrElse(0L).toString)
       val source = tier match {
         case Some((_, df)) => tierMetricsView(df)
-        case None => storedTable()
+        case None => promqlTable()
       }
       // ?slice=<dur> opts into skew-split evaluation (hot-series
       // deployments: one runaway series no longer sorts on one task)
@@ -443,22 +541,26 @@ class Server(spark: SparkSession, tablePath: String,
         .durationSec(java.net.URLDecoder.decode(v, "UTF-8")))
       val res = graft.promql.Eval.rangeQuery(source, query,
         graft.promql.Eval.RangeSpec(start, end, step, lookback, slice))
-      import org.apache.spark.sql.functions.col
-      val rows = res.orderBy(col("tags"), col("t")).collect()
-      val bySeries = rows.iterator.map { r =>
-        (r.getAs[scala.collection.Seq[String]]("tags"),
-          r.getAs[Long]("t"), r.getAs[Double]("value"))
-      }.toSeq.groupBy(_._1)
-      if (bySeries.size > readMaxSeries)
-        throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
-      val series = bySeries.toSeq.sortBy(_._1.mkString(","))
+      // the series budget rides INTO the plan (CollectLimit on the
+      // executors), the /read discipline — an over-budget
+      // match-everything query costs the driver readMaxSeries+1
+      // per-series rows and a clean 413, never the full matrix
+      val rows = ResponseEdge.collectBoundedSeries(res, readMaxSeries)
+      val series = rows.toSeq
+        .map { r =>
+          (r.getAs[scala.collection.Seq[String]]("tags"),
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("points"))
+        }
+        .sortBy(_._1.mkString(","))
         .map { case (tags, pts) =>
           val metric = tags.map { kv =>
             val i = kv.indexOf('=')
             jsonStr(kv.substring(0, i)) + ":" + jsonStr(kv.substring(i + 1))
           }.mkString("{", ",", "}")
-          val values = pts.sortBy(_._2).map { case (_, t, v) =>
-            s"""[$t,${jsonStr(fmtValue(v))}]"""
+          // points arrive t-sorted (sort_array over struct(t, value))
+          val values = pts.map { p =>
+            s"""[${p.getAs[Long]("t")},${
+              jsonStr(fmtValue(p.getAs[Double]("value")))}]"""
           }.mkString("[", ",", "]")
           s"""{"metric":$metric,"values":$values}"""
         }
@@ -499,13 +601,21 @@ class Server(spark: SparkSession, tablePath: String,
       val lookback = raw.get("lookback")
         .map(v => graft.promql.Parser.durationSec(
           java.net.URLDecoder.decode(v, "UTF-8"))).getOrElse(300L)
-      val res = graft.promql.Eval.rangeQuery(storedTable(), need("query"),
-        graft.promql.Eval.RangeSpec(t, t, 1, lookback))
-      import org.apache.spark.sql.functions.col
-      val rows = res.orderBy(col("tags")).collect()
+      // ?slice= opts into skew-split evaluation, same as query_range
+      val slice = raw.get("slice").map(v => graft.promql.Parser
+        .durationSec(java.net.URLDecoder.decode(v, "UTF-8")))
+      val res = graft.promql.Eval.rangeQuery(promqlTable(), need("query"),
+        graft.promql.Eval.RangeSpec(t, t, 1, lookback, slice))
+      // one grid instant ⇒ one row per series: the budget is literally
+      // limit(maxSeries + 1) pushed into the plan before the collect
+      // (the ResponseEdge.toQueryResult pattern) — sorting happens
+      // driver-side on the bounded rows
+      val rows = res.limit(readMaxSeries + 1).collect()
       if (rows.length > readMaxSeries)
         throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
-      val out = rows.iterator.map { r =>
+      val out = rows.sortBy(
+        _.getAs[scala.collection.Seq[String]]("tags").mkString(" "))
+        .iterator.map { r =>
         val metric = r.getAs[scala.collection.Seq[String]]("tags")
           .map { kv =>
             val i = kv.indexOf('=')
@@ -595,12 +705,17 @@ class Server(spark: SparkSession, tablePath: String,
           if (matches.isEmpty)
             throw new IllegalArgumentException(
               "series requires at least one match[]")
+          // distinct tags bounded IN-PLAN (limit after the distinct, so
+          // CollectLimit truncates on the executors); the deterministic
+          // order is applied driver-side on the bounded rows
           val rows = df.select(col("tags")).distinct()
-            .orderBy(array_join(col("tags"), ","))
+            .limit(readMaxSeries + 1)
             .collect()
           if (rows.length > readMaxSeries)
             throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
-          val out = rows.iterator.map { r =>
+          val out = rows.sortBy(
+            _.getAs[scala.collection.Seq[String]]("tags").mkString(","))
+            .iterator.map { r =>
             r.getAs[scala.collection.Seq[String]]("tags").map { kv =>
               val i = kv.indexOf('=')
               jsonStr(kv.substring(0, i)) + ":" +
@@ -645,6 +760,214 @@ class Server(spark: SparkSession, tablePath: String,
           s"""{"status":"error","errorType":"bad_data","error":${
             jsonStr(Option(e.getMessage).getOrElse("bad request"))}}"""
             .getBytes("UTF-8"))
+    }
+  }
+
+  /** `GET/POST /api/v1/query_exemplars?query=…&start=…&end=…` — the
+    * exemplars stored beside the main table, filtered by a plain series
+    * selector and time bounds (both pushed into the side table's scan),
+    * grouped per series IN-PLAN with the same series budget as the
+    * query endpoints. Returns the standard envelope: one object per
+    * series with its exemplar list (labels, value, timestamp seconds).
+    */
+  private def handleQueryExemplars(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      val raw = apiParams(ex)
+      def need(k: String): String = java.net.URLDecoder.decode(
+        raw.getOrElse(k, throw new IllegalArgumentException(
+          s"missing parameter '$k'")), "UTF-8")
+      val query = need("query")
+      // start/end are OPTIONAL here (the Prometheus API's own contract
+      // for this endpoint — absent bounds mean "all time")
+      def timeOr(k: String, dflt: Long): Long = raw.get(k)
+        .map(v => math.floor(java.net.URLDecoder.decode(v, "UTF-8")
+          .toDouble).toLong).getOrElse(dflt)
+      val start = timeOr("start", 0L)
+      val end = timeOr("end", 4102444800L) // year 2100: "unbounded"
+      val body: String =
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(exemplarPath)))
+          """{"status":"success","data":[]}"""
+        else {
+          var df = spark.read.parquet(exemplarPath)
+            .filter(col("ts") >= timestamp_seconds(lit(start)) &&
+              col("ts") <= timestamp_seconds(lit(end)))
+          if (df.columns.contains("date"))
+            df = df.filter(
+              col("date") >= to_date(timestamp_seconds(lit(start))) &&
+              col("date") <= to_date(timestamp_seconds(lit(end))))
+          df = df.filter(graft.promql.Eval.seriesPredicate(query))
+          val perSeries = df
+            .groupBy(col("tags"))
+            .agg(sort_array(collect_list(struct(
+              unix_timestamp(col("ts")).as("t"),
+              col("ex_tags"), col("val")))).as("exs"))
+            .limit(readMaxSeries + 1)
+          val rows = perSeries.collect()
+          if (rows.length > readMaxSeries)
+            throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+          def kvJson(kvs: scala.collection.Seq[String]): String =
+            kvs.map { kv =>
+              val i = kv.indexOf('=')
+              jsonStr(kv.substring(0, i)) + ":" + jsonStr(kv.substring(i + 1))
+            }.mkString("{", ",", "}")
+          val data = rows.toSeq
+            .map { r =>
+              (r.getAs[scala.collection.Seq[String]]("tags"),
+                r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("exs"))
+            }
+            .sortBy(_._1.mkString(","))
+            .map { case (tags, exs) =>
+              val exJson = exs.map { e =>
+                s"""{"labels":${kvJson(
+                  e.getAs[scala.collection.Seq[String]]("ex_tags"))},""" +
+                  s""""value":${jsonStr(fmtValue(e.getAs[Double]("val")))},""" +
+                  s""""timestamp":${e.getAs[Long]("t")}}"""
+              }.mkString("[", ",", "]")
+              s"""{"seriesLabels":${kvJson(tags)},"exemplars":$exJson}"""
+            }.mkString("[", ",", "]")
+          s"""{"status":"success","data":$data}"""
+        }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200, body.getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        jsonErr(413, "bad_data", e.getMessage)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("exemplar error"))
+    }
+  }
+
+  /** `GET /api/v1/metadata` — the metric-family metadata received on the
+    * write path (v1 WriteRequest.metadata, RW2 per-series Metadata), in
+    * the Prometheus envelope Grafana's metric browser parses.
+    */
+  private def handleMetadata(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val entries = metadataStore.asScala.toSeq.sortBy(_._1).map {
+      case (name, md) =>
+        jsonStr(name) + ":[{" +
+          s""""type":${jsonStr(md.metricType)},""" +
+          s""""help":${jsonStr(md.help)},""" +
+          s""""unit":${jsonStr(md.unit)}}]"""
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, 200,
+      s"""{"status":"success","data":${entries.mkString("{", ",", "}")}}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** `GET /api/v1/rules` and `GET /api/v1/alerts` — the configured rule
+    * groups and the CURRENT alert states, the management surface
+    * Grafana's alert list and the Prometheus UI probe. Alert states
+    * replay the rule on the group's interval grid ending at `?time=`
+    * (epoch seconds; default: now) via [[graft.promql.Rules
+    * .alertStatesAt]] — deterministic for tests, live for dashboards.
+    */
+  private def handleRules(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      val raw = apiParams(ex)
+      val atSec = raw.get("time")
+        .map(v => math.floor(java.net.URLDecoder.decode(v, "UTF-8")
+          .toDouble).toLong)
+        .getOrElse(System.currentTimeMillis() / 1000L)
+      val lookback = raw.get("lookback")
+        .map(v => graft.promql.Parser.durationSec(
+          java.net.URLDecoder.decode(v, "UTF-8"))).getOrElse(300L)
+      val alertsOnly = ex.getRequestURI.getPath.endsWith("/alerts")
+      def rfc3339(t: Long): String =
+        java.time.Instant.ofEpochSecond(t).toString
+      def kvJson(kvs: Seq[(String, String)]): String =
+        kvs.sortBy(_._1).map { case (k, v) =>
+          jsonStr(k) + ":" + jsonStr(v)
+        }.mkString("{", ",", "}")
+      val store = promqlTable()
+      // evaluate each alert rule ONCE; both envelopes read the result
+      val evaluated = ruleGroups.map { g =>
+        val perAlert = g.alerts.map { ar =>
+          val states = graft.promql.Rules.alertStatesAt(
+            store, ar, atSec, g.intervalSec, lookback)
+          val rows = states.limit(readMaxSeries + 1).collect()
+          if (rows.length > readMaxSeries)
+            throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+          val parsed = rows.toSeq.map { r =>
+            (r.getAs[scala.collection.Seq[String]]("tags").toSeq,
+              r.getAs[String]("state"), r.getAs[Double]("value"),
+              r.getAs[Long]("activeAt"))
+          }.sortBy(_._1.mkString(","))
+          val alertJsons = parsed.map { case (tags, st, v, act) =>
+            val labels = tags.map { kv =>
+              val i = kv.indexOf('=')
+              kv.substring(0, i) -> kv.substring(i + 1)
+            }
+            s"""{"labels":${kvJson(labels)},"annotations":{},""" +
+              s""""state":${jsonStr(st)},""" +
+              s""""activeAt":${jsonStr(rfc3339(act))},""" +
+              s""""value":${jsonStr(fmtValue(v))}}"""
+          }
+          (ar, parsed, alertJsons)
+        }
+        (g, perAlert)
+      }
+      val body =
+        if (alertsOnly) {
+          val alerts = evaluated.flatMap { case (_, perAlert) =>
+            perAlert.flatMap(_._3)
+          }
+          s"""{"status":"success","data":{"alerts":${
+            alerts.mkString("[", ",", "]")}}}"""
+        } else {
+          val gs = evaluated.map { case (g, perAlert) =>
+            val ruleJsons = g.recording.map { rr =>
+              s"""{"name":${jsonStr(rr.record)},"query":${jsonStr(rr.expr)},""" +
+                s""""labels":${kvJson(rr.labels)},"health":"ok",""" +
+                """"type":"recording"}"""
+            } ++ perAlert.map { case (ar, parsed, alertJsons) =>
+              val ruleState =
+                if (parsed.isEmpty) "inactive"
+                else if (parsed.exists(_._2 == "firing")) "firing"
+                else "pending"
+              s"""{"state":${jsonStr(ruleState)},"name":${jsonStr(ar.alert)},""" +
+                s""""query":${jsonStr(ar.expr)},"duration":${ar.forSec},""" +
+                s""""labels":${kvJson(ar.labels)},"annotations":{},""" +
+                s""""alerts":${alertJsons.mkString("[", ",", "]")},""" +
+                """"health":"ok","type":"alerting"}"""
+            }
+            s"""{"name":${jsonStr(g.name)},"file":"graft",""" +
+              s""""rules":${ruleJsons.mkString("[", ",", "]")},""" +
+              s""""interval":${g.intervalSec},"limit":0}"""
+          }
+          s"""{"status":"success","data":{"groups":${
+            gs.mkString("[", ",", "]")}}}"""
+        }
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200, body.getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        jsonErr(413, "bad_data", e.getMessage)
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("rules error"))
     }
   }
 
@@ -726,21 +1049,14 @@ class Server(spark: SparkSession, tablePath: String,
         if (ex.getRequestURI.getPath == "/api/v1/query")
           handleInstantQuery(ex)
         else handleQueryRange(ex))
-    // exemplars and metric metadata are skipped structurally at ingest
-    // (documented store contract), so their query endpoints answer the
-    // honest empty result — Grafana probes both when features are on
     http.createContext("/api/v1/query_exemplars",
-      (ex: HttpExchange) => {
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        respond(ex, 200,
-          """{"status":"success","data":[]}""".getBytes("UTF-8"))
-      })
+      (ex: HttpExchange) => handleQueryExemplars(ex))
     http.createContext("/api/v1/metadata",
-      (ex: HttpExchange) => {
-        ex.getResponseHeaders.set("Content-Type", "application/json")
-        respond(ex, 200,
-          """{"status":"success","data":{}}""".getBytes("UTF-8"))
-      })
+      (ex: HttpExchange) => handleMetadata(ex))
+    http.createContext("/api/v1/rules",
+      (ex: HttpExchange) => handleRules(ex))
+    http.createContext("/api/v1/alerts",
+      (ex: HttpExchange) => handleRules(ex))
     http.createContext("/api/v1/status/buildinfo",
       (ex: HttpExchange) => {
         // the probe Grafana uses to detect a Prometheus-flavored API

@@ -236,4 +236,89 @@ class PrompbSpec extends AnyFunSuite {
         Seq(P2TimeSeries(Seq(1, 9), Seq()))))
     }
   }
+
+  test("otlp: summaries flatten to quantile-labeled series plus " +
+       "_count/_sum companions (the receiver convention)") {
+    import graft.codec.Otlp
+    val bytes = Otlp.encodeSummaryRequest(Seq("job" -> "api"), "rpc",
+      Seq((Seq("method" -> "GET"), 1700000000000000000L, 40L, 12.5,
+        Seq(0.5 -> 0.2, 0.99 -> 1.75))))
+    val wr = Otlp.decodeToV1(bytes)
+    def one(name: String, q: Option[String]): PSample = {
+      val ts = wr.timeseries.filter(t =>
+        t.labels.contains(PLabel("__name__", name)) &&
+          q.forall(v => t.labels.contains(PLabel("quantile", v))))
+      assert(ts.length == 1, s"$name q=$q")
+      ts.head.samples.head
+    }
+    assert(one("rpc", Some("0.5")).value == 0.2)
+    assert(one("rpc", Some("0.99")).value == 1.75)
+    assert(one("rpc_count", None).value == 40.0)
+    assert(one("rpc_sum", None).value == 12.5)
+    // point attrs + resource attrs carried; nano ts narrows to ms
+    assert(wr.timeseries.forall(_.labels.contains(PLabel("job", "api"))))
+    assert(wr.timeseries.forall(_.labels.contains(PLabel("method", "GET"))))
+    assert(wr.timeseries.forall(_.samples.head.timestampMs == 1700000000000L))
+    // quantile label prints integral values without a trailing .0
+    val b2 = Otlp.decodeToV1(Otlp.encodeSummaryRequest(Nil, "x",
+      Seq((Nil, 0L, 1L, 1.0, Seq(1.0 -> 3.0)))))
+    assert(b2.timeseries.exists(_.labels.contains(PLabel("quantile", "1"))))
+  }
+
+  test("v1 single-walk decode: scalars, native histograms, exemplars " +
+       "and metadata out of ONE payload in one pass") {
+    import graft.codec.{NativeHist, WriteWire}
+    // hand-assemble a WriteRequest whose one series carries all three
+    // facets, plus request-level metadata
+    val hist = NativeHist.PHistogram(3L, 1.5, 0, 0.0, 0L,
+      Seq(NativeHist.BucketSpan(1, 2)), Seq(2L, -1L), Nil, Nil, 5000L)
+    val histBytes = NativeHist.encodeWriteRequest(Seq(
+      NativeHist.PHistSeries(Seq(PLabel("__name__", "h")), Seq(hist))))
+    val scalarBytes = WriteWire.encodeWriteRequest(
+      Seq((Seq(PLabel("__name__", "s"), PLabel("job", "x")),
+        Seq(PSample(2.5, 1000L)),
+        Seq(WriteWire.PExemplar(Seq(PLabel("trace_id", "t1")),
+          7.25, 1000L)))),
+      metadata = Seq(WriteWire.PMetadata("s", "gauge", "help text", "s")))
+    // concatenated top-level messages are one valid WriteRequest
+    val dec = WriteWire.decode(scalarBytes ++ histBytes)
+    assert(dec.scalars.timeseries.map(_.samples) == Seq(Seq(PSample(2.5, 1000L))))
+    assert(dec.histograms.length == 1)
+    assert(NativeHist.expandBuckets(dec.histograms.head.histograms.head
+      .positiveSpans, dec.histograms.head.histograms.head.positiveDeltas)
+      == Seq((1, 2L), (2, 1L)))
+    assert(dec.exemplars == Seq(WriteWire.PExemplarSeries(
+      Seq(PLabel("__name__", "s"), PLabel("job", "x")),
+      Seq(WriteWire.PExemplar(Seq(PLabel("trace_id", "t1")), 7.25, 1000L)))))
+    assert(dec.metadata == Seq(WriteWire.PMetadata("s", "gauge",
+      "help text", "s")))
+    // and it agrees with the dedicated decoders over the same bytes
+    // (the single walk drops sample-less series; the scalar decoder
+    // keeps the histogram-only series as an empty shell)
+    assert(dec.scalars.timeseries ==
+      Prompb.decodeWriteRequest(scalarBytes ++ histBytes)
+        .timeseries.filter(_.samples.nonEmpty))
+    assert(dec.histograms ==
+      NativeHist.decodeWriteRequest(scalarBytes ++ histBytes))
+  }
+
+  test("prw2: exemplars (field 4) and metadata (field 5) resolve " +
+       "through the symbol table") {
+    import graft.codec.{Prompb2, WriteWire}
+    import graft.codec.Prompb2._
+    val syms = Seq("", "__name__", "reqs", "trace_id", "abc",
+      "Total requests", "1")
+    val ts = P2TimeSeries(Seq(1, 2), Seq(PSample(1.0, 1000L)),
+      exemplars = Seq(P2Exemplar(Seq(3, 4), 9.5, 1500L)),
+      metadata = Some(P2Metadata(1, 5, 6)))
+    val req = Prompb2.decodeRequest(
+      Prompb2.encodeRequest(P2Request(syms, Seq(ts))))
+    assert(req == P2Request(syms, Seq(ts))) // wire round-trip exact
+    assert(Prompb2.exemplarsToV1(req) == Seq(WriteWire.PExemplarSeries(
+      Seq(PLabel("__name__", "reqs")),
+      Seq(WriteWire.PExemplar(Seq(PLabel("trace_id", "abc")),
+        9.5, 1500L)))))
+    assert(Prompb2.metadataToV1(req) == Seq(WriteWire.PMetadata(
+      "reqs", "counter", "Total requests", "1")))
+  }
 }

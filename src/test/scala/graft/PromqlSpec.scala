@@ -711,4 +711,45 @@ class PromqlSpec extends SparkSpec {
       assert(math.abs(g - r) < 3e-6, s"T=$t got=$g want=$r")
     }
   }
+
+  test("stale markers end instant ownership, never shadow live samples, " +
+       "and are invisible to range functions") {
+    val rows = Seq(
+      ("up", Seq("__name__=up", "job=a"), 1.0, 10L),
+      ("up", Seq("__name__=up", "job=a"), 3.0, 20L),
+      ("up", Seq("__name__=up", "job=b"), 5.0, 10L))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    // job=a marked stale at t=30; job=b keeps coasting on lookback
+    val markers = Seq(("up", Seq("__name__=up", "job=a"), 30L))
+      .toDF("name", "tags", "ts")
+    val view = Eval.withStaleMarkers(store, markers)
+    def run(q: String, start: Long, end: Long, step: Long)
+        : Seq[(String, Long, Double)] =
+      Eval.rangeQuery(view, q, Eval.RangeSpec(start, end, step, 300L))
+        .select(array_join(col("tags"), ","), col("t"), col("value"))
+        .as[(String, Long, Double)].collect().sorted.toSeq
+    // T=20: both answer; T=40 (past the marker): only job=b — no
+    // resurrection of the dead series inside the lookback window
+    assert(run("up", 20, 20, 10) == Seq(
+      ("__name__=up,job=a", 20L, 3.0), ("__name__=up,job=b", 20L, 5.0)))
+    assert(run("up", 40, 40, 10) ==
+      Seq(("__name__=up,job=b", 40L, 5.0)))
+    // a live sample at the marker's exact second wins the dedup
+    val collide = Eval.withStaleMarkers(store,
+      Seq(("up", Seq("__name__=up", "job=a"), 20L)).toDF("name", "tags", "ts"))
+    assert(Eval.rangeQuery(collide, "up", Eval.RangeSpec(25, 25, 1, 300L))
+      .select(array_join(col("tags"), ","), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().sorted.toSeq == Seq(
+        ("__name__=up,job=a", 25L, 3.0), ("__name__=up,job=b", 25L, 5.0)))
+    // range functions skip markers: count_over_time sees 2 samples for
+    // job=a in (0, 40], the marker is not a sample
+    assert(run("count_over_time(up[40])", 40, 40, 10)
+      .find(_._1 == "job=a").map(_._3).contains(2.0))
+    // sliced (skew-split) instant evaluation honors the marker too
+    assert(Eval.rangeQuery(view, "up",
+        Eval.RangeSpec(40, 40, 10, 300L, sliceSec = Some(300L)))
+      .select(array_join(col("tags"), ","), col("t"), col("value"))
+      .as[(String, Long, Double)].collect().sorted.toSeq ==
+      Seq(("__name__=up,job=b", 40L, 5.0)))
+  }
 }

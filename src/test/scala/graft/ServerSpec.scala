@@ -540,11 +540,168 @@ class ServerSpec extends SparkSpec {
       // the datasource-detection probe
       val (bc2, bi) = getAny(s"$base/api/v1/status/buildinfo")
       assert(bc2 == 200 && bi.contains(""""application":"graft""""))
-      // exemplars/metadata: structurally skipped at ingest → honest
+      // exemplars/metadata endpoints with NOTHING ingested yet → honest
       // empty results, not 404s that break datasource feature probes
+      // (start/end are optional on query_exemplars, the API contract)
       assert(getAny(s"$base/api/v1/query_exemplars?query=x")._2
         .contains(""""data":[]"""))
       assert(getAny(s"$base/api/v1/metadata")._2.contains(""""data":{}"""))
+    } finally server.stop()
+  }
+
+  test("serve: the PromQL API's series budget is enforced IN-PLAN — " +
+      "over-budget queries 413 on all three collecting endpoints") {
+    val table = Files.createTempDirectory("graft_srvbud").toString + "/metrics"
+    val server = new Server(spark, table, readMaxSeries = 2).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // four series — two over the budget of 2
+      val wr = PWriteRequest((1 to 4).map { i =>
+        PTimeSeries(Seq(PLabel("__name__", "m"), PLabel("job", s"j$i")),
+          Seq(PSample(i.toDouble, 100000L)))
+      })
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val wide = java.net.URLEncoder.encode("m", "UTF-8")
+      val narrow = java.net.URLEncoder.encode("""m{job="j1"}""", "UTF-8")
+      // query_range / query / series: over-budget → 413, the message
+      // names the knob; a narrow query still answers
+      val (rc, rb) = getAny(s"$base/api/v1/query_range?query=$wide" +
+        "&start=100&end=200&step=100")
+      assert(rc == 413 && rb.contains("read.max-series"))
+      assert(getAny(s"$base/api/v1/query?query=$wide&time=100")._1 == 413)
+      assert(getAny(s"$base/api/v1/series?start=0&end=200" +
+        s"&match[]=$wide")._1 == 413)
+      assert(getAny(s"$base/api/v1/query_range?query=$narrow" +
+        "&start=100&end=200&step=100")._1 == 200)
+      assert(getAny(s"$base/api/v1/query?query=$narrow&time=100")._1 == 200)
+    } finally server.stop()
+  }
+
+  test("serve: exemplars ingest from v1 field 3 and serve back through " +
+      "/api/v1/query_exemplars; metadata lands on /api/v1/metadata") {
+    import graft.codec.WriteWire
+    val table = Files.createTempDirectory("graft_srvex").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wire = WriteWire.encodeWriteRequest(
+        Seq((Seq(PLabel("__name__", "lat"), PLabel("job", "api")),
+          Seq(PSample(0.25, 100000L)),
+          Seq(WriteWire.PExemplar(Seq(PLabel("trace_id", "abc123")),
+            0.93, 100000L)))),
+        metadata = Seq(WriteWire.PMetadata("lat", "histogram",
+          "Request latency", "seconds")))
+      assert(post(s"$base/write", Prompb.snappyCompress(wire))._1 == 200)
+      // sample ingested normally; exemplar in the side table
+      assert(spark.read.parquet(table).count() == 1)
+      val ex = spark.read.parquet(table + "_exemplars").collect()
+      assert(ex.length == 1)
+      assert(ex.head.getAs[scala.collection.Seq[String]]("ex_tags") ==
+        Seq("trace_id=abc123"))
+      assert(ex.head.getAs[Double]("val") == 0.93)
+      // the endpoint: selector + bounds → the exemplar, JSON envelope
+      val q = java.net.URLEncoder.encode("""lat{job="api"}""", "UTF-8")
+      val (qc, qb) = getAny(s"$base/api/v1/query_exemplars?query=$q" +
+        "&start=0&end=200")
+      assert(qc == 200)
+      assert(qb.contains(""""seriesLabels":{"__name__":"lat","job":"api"}"""))
+      assert(qb.contains(
+        """"labels":{"trace_id":"abc123"},"value":"0.93","timestamp":100"""))
+      // out-of-range bounds → empty
+      assert(getAny(s"$base/api/v1/query_exemplars?query=$q" +
+        "&start=0&end=50")._2.contains(""""data":[]"""))
+      // metadata served in the envelope Grafana parses
+      val (mc, mb) = getAny(s"$base/api/v1/metadata")
+      assert(mc == 200)
+      assert(mb.contains(""""lat":[{"type":"histogram","help":"Request latency","unit":"seconds"}]"""))
+    } finally server.stop()
+  }
+
+  test("serve: /api/v1/rules + /api/v1/alerts expose rule groups and " +
+      "current alert states in the Prometheus envelope") {
+    import graft.promql.Rules
+    val table = Files.createTempDirectory("graft_srvrl").toString + "/metrics"
+    val group = Rules.RuleGroup("g1", 100L,
+      recording = Seq(Rules.RecordingRule("job:m:sum", "sum by (job) (m)")),
+      alerts = Seq(Rules.AlertRule("Hot", "m > 5", forSec = 100L,
+        labels = Seq("severity" -> "page"))))
+    val server = new Server(spark, table, ruleGroups = Seq(group)).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // j1 over threshold at t=100..300 (firing at 300: held 3 ≥ 2);
+      // j2 crosses only at t=300 (pending)
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(Seq(PLabel("__name__", "m"), PLabel("job", "j1")),
+          Seq(PSample(9.0, 100000L), PSample(9.0, 200000L),
+            PSample(9.0, 300000L))),
+        PTimeSeries(Seq(PLabel("__name__", "m"), PLabel("job", "j2")),
+          Seq(PSample(1.0, 200000L), PSample(8.0, 300000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val (rc, rb) = getAny(s"$base/api/v1/rules?time=300&lookback=100")
+      assert(rc == 200)
+      // the group envelope with both rule kinds
+      assert(rb.contains(""""name":"g1","file":"graft""""))
+      assert(rb.contains(""""name":"job:m:sum","query":"sum by (job) (m)""""))
+      assert(rb.contains(""""type":"recording""""))
+      assert(rb.contains(""""name":"Hot""""))
+      assert(rb.contains(""""duration":100"""))
+      assert(rb.contains(""""type":"alerting""""))
+      // j1 firing since its run start t=100; j2 pending since 300
+      assert(rb.contains(""""alertname":"Hot""""))
+      assert(rb.contains(""""job":"j1""""))
+      assert(rb.contains(""""state":"firing""""))
+      assert(rb.contains("1970-01-01T00:01:40Z")) // activeAt = t=100
+      assert(rb.contains(""""state":"pending""""))
+      // rule-level state rolls up to firing (at least one firing alert)
+      assert(rb.contains(""""state":"firing","name":"Hot""""))
+      // /alerts: the flat active-alert list, same objects
+      val (ac, ab) = getAny(s"$base/api/v1/alerts?time=300&lookback=100")
+      assert(ac == 200 && ab.contains(""""alerts":["""))
+      assert(ab.contains(""""job":"j1"""") && ab.contains(""""job":"j2""""))
+      // at t=100 only j1 is active and merely pending (held 1 < 2)
+      val (_, ab1) = getAny(s"$base/api/v1/alerts?time=100&lookback=100")
+      assert(ab1.contains(""""job":"j1"""") && !ab1.contains(""""job":"j2""""))
+      assert(ab1.contains(""""state":"pending"""") &&
+        !ab1.contains(""""state":"firing""""))
+    } finally server.stop()
+  }
+
+  test("serve: the stale-marker bit pattern diverts to the marker table; " +
+      "ordinary NaN still drops at F1; markers end PromQL ownership") {
+    val table = Files.createTempDirectory("graft_srvst").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val staleNaN = java.lang.Double.longBitsToDouble(0x7ff0000000000002L)
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(Seq(PLabel("__name__", "up"), PLabel("job", "a")),
+          Seq(PSample(1.0, 100000L), PSample(staleNaN, 150000L))),
+        PTimeSeries(Seq(PLabel("__name__", "up"), PLabel("job", "b")),
+          Seq(PSample(1.0, 100000L), PSample(Double.NaN, 150000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      // plain NaN dropped by F1 (2 real samples stored), marker
+      // diverted (1 marker row), received counts all 4
+      assert(spark.read.parquet(table).count() == 2)
+      val markers = spark.read.parquet(table + "_stale").collect()
+      assert(markers.length == 1)
+      assert(markers.head.getAs[scala.collection.Seq[String]]("tags")
+        .contains("job=a"))
+      val (_, metrics) = getAny(s"$base/metrics")
+      assert(metrics.contains("received_samples_total 4"))
+      // instant query at t=200 (lookback 300): job=a is STALE-terminated
+      // at t=150 — no resurrection; job=b (plain NaN dropped, no marker)
+      // still extends its t=100 sample through the lookback
+      val q = java.net.URLEncoder.encode("up", "UTF-8")
+      val (qc, qb) = getAny(s"$base/api/v1/query?query=$q&time=200")
+      assert(qc == 200)
+      assert(!qb.contains(""""job":"a""""))
+      assert(qb.contains(""""job":"b""""))
+      // before the marker both answer
+      val (_, qb2) = getAny(s"$base/api/v1/query?query=$q&time=120")
+      assert(qb2.contains(""""job":"a"""") && qb2.contains(""""job":"b""""))
     } finally server.stop()
   }
 }
