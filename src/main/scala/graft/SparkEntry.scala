@@ -394,6 +394,30 @@ object SparkEntry {
       table
     }
 
+  /** Hot-series skew fixture for the promql_skew_hot pair: the click
+    * stream with ONE series (user_id=0) inflated 100× (each sample
+    * replicated at 100 distinct shifted seconds) — the `up`-cardinality
+    * shape where a single series dominates and an unsalted per-series
+    * window sorts its whole history on one task. Values are irrelevant
+    * to the count query the pair runs.
+    */
+  private def skewHotStore(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts"))
+    val hot = base.filter(col("user_id") === 0)
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(99))).as("k"), col("ts"))
+      .select(col("user_id"), (col("ts") + col("k")).as("ts"))
+    base.unionByName(hot)
+      .select(lit("click").as("name"),
+        array(lit("__name__=click"),
+          concat(lit("user_id="), col("user_id").cast("string")))
+          .as("tags"),
+        lit(1.0).as("val"), col("ts"))
+  }
+
   /** Native-histogram wire fixture shared by the s1_native_hist_*
     * entries: per (event_type, day), a schema-0 `prompb.Histogram`
     * whose positive buckets come from the EXACT bit-length
@@ -451,6 +475,31 @@ object SparkEntry {
     } yield (name, day, idx.toLong, cnt, h.count,
       Math.round(h.sum * 1000000.0))
     rows.toDF("event_type", "day", "idx", "cnt", "total_count", "sum_fp")
+  }
+
+  /** The native-histogram fixture as a PromQL-readable STORE VIEW
+    * (Eval's native-histogram convention): one row per (event_type,
+    * day) carrying the sparse schema-0 buckets as an array plus the
+    * count/sum/zero companions — the representation the language's
+    * histogram functions consume DIRECTLY, no classic le-flatten.
+    * Series are distinguished by an `event_type` label under one
+    * constant metric name.
+    */
+  private def nativeHistStore(s: SparkSession, dir: String): DataFrame = {
+    nativeHistBuckets(s, dir)
+      .groupBy(col("event_type"), col("day"), col("total_count"),
+        col("sum_fp"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("h_buckets"))
+      .select(
+        lit("hist_val").as("name"),
+        array(lit("__name__=hist_val"),
+          concat(lit("event_type="), col("event_type"))).as("tags"),
+        unix_timestamp(to_timestamp(col("day"))).as("ts"),
+        col("total_count").as("h_count"),
+        col("sum_fp").as("h_sum_fp"),
+        lit(0L).as("h_zero"),
+        col("h_buckets"))
   }
 
   /** The same per-(event_type, day) histograms as [[nativeHistBuckets]]
@@ -6938,6 +6987,75 @@ object SparkEntry {
         .select(tagsStr.as("tags"), col("t"),
           round(col("value") * 1000000L).cast("long").as("value_fp"))
         .orderBy(col("t"), col("tags"))
+    }),
+
+    // PromQL over NATIVE HISTOGRAMS without the classic flatten:
+    // histogram_quantile(0.9, …) evaluates on the sparse-bucket SAMPLES
+    // directly (per-sample rank search + linear interpolation between
+    // the crossing bucket's exponential bounds, then the ordinary
+    // ownership-span grid) — one histogram row per (series, scrape)
+    // scanned instead of #buckets classic rows. The oracle replays the
+    // bucketization and interpolation from raw events.
+    "promql_native_hist" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistStore(s, dir),
+          """histogram_quantile(0.9, {__name__="hist_val"})""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // histogram_sum / histogram_count composed through a binop: the
+    // average observation per histogram sample, both operands native.
+    "promql_native_hist_sum" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistStore(s, dir),
+          """histogram_sum({__name__="hist_val"})
+            | / histogram_count({__name__="hist_val"})""".stripMargin,
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // histogram_fraction(0, 2, …): estimated share of observations in
+    // (0, 2] — exact integer sums for whole buckets plus one linearly
+    // interpolated partial term at the upper endpoint, the fixed
+    // expression tree both engines round identically.
+    "promql_native_hist_fraction" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistStore(s, dir),
+          """histogram_fraction(0, 2, {__name__="hist_val"})""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // The hot-series benchmark pair (the SCALING.md measurement as a
+    // REPEATABLE entry): one series carries 100× the samples of every
+    // other; the plain evaluation sorts that series' whole history on
+    // one task, the ?slice= form spreads it across (series, slice)
+    // tasks. Both entries share ONE oracle — the split is invisible in
+    // the rows and visible in BENCH_r{N}'s task-time ceiling.
+    "promql_skew_hot" -> ((s, dir) => {
+      Eval.rangeQuery(skewHotStore(s, dir),
+          "sum by (user_id) (count_over_time(click[2d]))",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    "promql_skew_hot_salted" -> ((s, dir) => {
+      Eval.rangeQuery(skewHotStore(s, dir),
+          "sum by (user_id) (count_over_time(click[2d]))",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L,
+            sliceSec = Some(172800L)))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
     })
   )
 
@@ -8429,6 +8547,25 @@ object SparkEntry {
   /** Shared by promql_absent and absent_over_time — the selector
     * never matches, so both emit 1 at every grid instant.
     */
+  /** Shared by promql_skew_hot / promql_skew_hot_salted: per-user click
+    * sample counts over trailing 2 d windows on the 6 h grid, with
+    * user 0's series inflated 100× at shifted seconds (the hot-series
+    * fixture) — DISTINCT models the engine's (series, second) dedup.
+    */
+  private val OSkewHotSql: String =
+    s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+       |  FROM generate_series(0, 60) g(k)),
+       |s AS (SELECT user_id, $OSec AS t FROM events
+       |  WHERE event_type = 'click'),
+       |hot AS (SELECT user_id, t + i.k AS t
+       |  FROM s, generate_series(0, 99) i(k) WHERE user_id = 0),
+       |u AS (SELECT DISTINCT user_id, t FROM
+       |  (SELECT * FROM s UNION ALL SELECT * FROM hot))
+       |SELECT 'user_id=' || user_id AS tags, gr.T AS t,
+       |  CAST(count(*) * 1000000 AS BIGINT) AS value_fp
+       |FROM gr JOIN u ON u.t > gr.T - 172800 AND u.t <= gr.T
+       |GROUP BY 1, 2 ORDER BY t, tags""".stripMargin
+
   private val OPromAbsentSql: String =
       """SELECT '__name__=click,user_id=no_such_user' AS tags,
         |  1704412800 + 21600 * k AS t,
@@ -12613,6 +12750,68 @@ object SparkEntry {
       """SELECT DISTINCT event_type AS name, 'counter' AS type,
         |  'Count of ' || event_type || ' events' AS help, '1' AS unit
         |FROM events ORDER BY name""".stripMargin,
+
+    // one oracle for BOTH skew entries — the slice is an execution
+    // detail, row-invisible by construction
+    "promql_skew_hot" -> OSkewHotSql,
+    "promql_skew_hot_salted" -> OSkewHotSql,
+
+    "promql_native_hist" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+        |  FROM b),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS value_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_sum" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |tc AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(((CAST(sum_fp AS DOUBLE) / 1000000.0)
+        |    / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS value_fp
+        |FROM tc ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_fraction" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tc AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT event_type, day,
+        |    sum(CASE WHEN power(2.0, idx) <= 2000000.0 THEN cnt
+        |      ELSE 0 END) AS fullc,
+        |    sum(CASE WHEN power(2.0, idx - 1) < 2000000.0
+        |        AND power(2.0, idx) > 2000000.0
+        |      THEN CAST(cnt AS DOUBLE)
+        |        * (2000000.0 - power(2.0, idx - 1))
+        |        / (power(2.0, idx) - power(2.0, idx - 1))
+        |      ELSE 0.0 END) AS partc
+        |  FROM b GROUP BY 1, 2)
+        |SELECT 'event_type=' || f.event_type AS tags,
+        |  CAST(epoch(CAST(f.day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor((CAST(fullc AS DOUBLE) + partc)
+        |    / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS value_fp
+        |FROM f JOIN tc ON f.event_type = tc.event_type
+        |  AND f.day = tc.day
+        |ORDER BY t, tags""".stripMargin,
 
     "promql_stale" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

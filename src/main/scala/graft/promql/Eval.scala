@@ -323,9 +323,18 @@ object Eval {
     // Stale markers stay in the frame here: a marker's t participates
     // as the NEXT boundary terminating the previous sample's span, but
     // the marker row itself emits no instants (filtered after the lead)
-    val samples = scan(m, s, spec, spec.lookbackSec, keepStale = true)
+    ownedInstants(scan(m, s, spec, spec.lookbackSec, keepStale = true),
+      s.offsetSec, spec)
+  }
+
+  /** The ownership-span grid explode shared by scalar selectors and the
+    * native-histogram derived-scalar path: samples (tags, t, v_fp
+    * [, _stale]) → one row per (series, owned grid instant).
+    */
+  private def ownedInstants(samples: DataFrame, offsetSec: Long,
+                            spec: RangeSpec): DataFrame = {
     val hasStale = samples.columns.contains("_stale")
-    val te = col("t") + s.offsetSec
+    val te = col("t") + offsetSec
     // the lead only matters within the lookback (the owned span caps at
     // te+L−1 regardless), so the skew split needs FORWARD context: the
     // next slice's FIRST row per series stands in for a cross-boundary
@@ -369,7 +378,7 @@ object Eval {
           samples.select(col("tags"), col("t"), col("v_fp"),
             lead(col("t"), 1).over(w).as("_next"))
     }
-    val nextTe = col("_next") + s.offsetSec
+    val nextTe = col("_next") + offsetSec
     // owned instant range [te, min(nextTe-1, te+lookback-1)] ∩ [start,end]
     val upper = least(
       coalesce(nextTe - 1, lit(Long.MaxValue)),
@@ -387,6 +396,118 @@ object Eval {
       .select(col("tags"),
         (lit(spec.startSec) + col("_k") * spec.stepSec).as("t"),
         col("st"), col("v_fp"))
+  }
+
+  // ------------------------------------------------- native histograms
+
+  /** A NATIVE-HISTOGRAM store view carries, besides (name, tags, ts):
+    * `h_count` (total observations), `h_sum_fp` (sum on the 1e-6 grid),
+    * `h_zero` (zero-bucket count) and `h_buckets`
+    * (array<struct<idx, cnt>>, schema-0 sparse buckets over fp values —
+    * bucket idx covers (2^(idx−1), 2^idx] fp). The histogram functions
+    * evaluate on these SAMPLES DIRECTLY — no classic le-flatten, no
+    * bucket-series explosion through the store: the per-sample scalar
+    * (quantile/count/sum/fraction) derives first, map-side, and only
+    * then rides the ordinary ownership-span grid machinery. At 100 TB
+    * that is one histogram row per (series, scrape) scanned instead of
+    * #buckets classic rows.
+    */
+  private def hasNativeHist(m: DataFrame): Boolean =
+    m.columns.contains("h_buckets")
+
+  /** scan()'s native-histogram twin: bounds + matchers pushed, one
+    * histogram per (series, second) (greatest (count, sum) wins on
+    * duplicates — deterministic, and a histogram only ever grows within
+    * one scrape instant).
+    */
+  private def scanHist(m: DataFrame, s: Selector,
+                       spec: RangeSpec): DataFrame = {
+    val tsIsLong =
+      m.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tCol = if (tsIsLong) col("ts") else unix_timestamp(col("ts"))
+    val lo = spec.startSec - spec.lookbackSec - s.offsetSec
+    val hi = spec.endSec - s.offsetSec
+    var df = m
+    if (m.columns.contains("date"))
+      df = df.filter(col("date") >= to_date(timestamp_seconds(lit(lo))) &&
+        col("date") <= to_date(timestamp_seconds(lit(hi))))
+    val tBound =
+      if (tsIsLong) col("ts") > lo && col("ts") <= hi
+      else col("ts") > timestamp_seconds(lit(lo)) &&
+        col("ts") <= timestamp_seconds(lit(hi))
+    val pred = s.matchers.map(matcherPred).foldLeft(tBound)(_ && _)
+    val named = s.name match {
+      case Some(n) => df.filter(col("name") === n)
+      case None => df
+    }
+    named.filter(pred)
+      .select(col("tags"), tCol.as("t"), struct(
+        col("h_count").as("c"), col("h_sum_fp").as("s"),
+        col("h_zero").as("z"), col("h_buckets").as("b")).as("_h"))
+      .repartition(col("tags"))
+      .groupBy(col("tags"), col("t"))
+      .agg(max(col("_h")).as("_h"))
+      .select(col("tags"), col("t"), col("_h.c").as("h_count"),
+        col("_h.s").as("h_sum_fp"), col("_h.z").as("h_zero"),
+        col("_h.b").as("h_buckets"))
+  }
+
+  /** One native-histogram function over an instant selector: derive the
+    * per-SAMPLE scalar, then grid-evaluate it like any selector. `which`
+    * ∈ count | sum | quantile | fraction.
+    */
+  private def nativeHistFn(m: DataFrame, s: Selector, spec: RangeSpec,
+                           which: String, params: Seq[Double]): DataFrame = {
+    val h = scanHist(m, s, spec)
+    val perSample: DataFrame = which match {
+      case "count" =>
+        h.select(col("tags"), col("t"), (col("h_count") * FP).as("v_fp"))
+      case "sum" =>
+        h.select(col("tags"), col("t"), col("h_sum_fp").as("v_fp"))
+      case "quantile" =>
+        val exploded = h
+          .select(col("tags"), col("t"), col("h_zero"),
+            explode(col("h_buckets")).as("_b"))
+          .select(col("tags"), col("t"), col("h_zero"),
+            col("_b.idx").as("_idx"), col("_b.cnt").as("_cnt"))
+        graft.operators.TimeSeriesOps.expHistogramQuantile(
+            exploded, Seq("tags", "t"), "_idx", "_cnt", params.head,
+            zeroCntCol = Some("h_zero"))
+          .select(col("tags"), col("t"), col("quantile_fp").as("v_fp"))
+      case "fraction" =>
+        // estimated fraction of observations in (lo, hi]: exact integer
+        // sums for whole buckets (2^idx is exact in double for idx ≤ 52,
+        // so the bounds are exact) plus ONE linearly-interpolated
+        // partial term per endpoint — the expression tree is fixed, so
+        // both engines round alike
+        val loFp = math.floor(params(0) * FPD).toLong
+        val hiFp = math.floor(params(1) * FPD).toLong
+        def upper(b: Column) = pow(lit(2.0), b.getField("idx"))
+        def lower(b: Column) = pow(lit(2.0), b.getField("idx") - 1)
+        def full(x: Long): Column =
+          if (x <= 0) lit(0L)
+          else aggregate(col("h_buckets"), lit(0L),
+            (acc, b) => acc + when(upper(b) <= x, b.getField("cnt"))
+              .otherwise(lit(0L))) + col("h_zero")
+        def part(x: Long): Column =
+          if (x <= 0) lit(0.0)
+          else aggregate(col("h_buckets"), lit(0.0),
+            (acc, b) => acc + when(lower(b) < x && upper(b) > x,
+              b.getField("cnt").cast("double") *
+                (lit(x) - lower(b)).cast("double") /
+                (upper(b) - lower(b)).cast("double"))
+              .otherwise(lit(0.0)))
+        val num = (full(hiFp) - full(loFp)).cast("double") +
+          (part(hiFp) - part(loFp))
+        val frac = sdiv(num, col("h_count").cast("double"))
+        h.filter(finiteD(frac))
+          .select(col("tags"), col("t"),
+            floor(frac * FP).cast("long").as("v_fp"))
+      case x => throw new IllegalArgumentException(s"unknown hist fn $x")
+    }
+    ownedInstants(perSample, s.offsetSec, spec)
+      .select(dropName(col("tags")).as("tags"), col("t"), col("st"),
+        col("v_fp"))
   }
 
   private def ceilDiv(num: Column, den: Long): Column =
@@ -998,7 +1119,30 @@ object Eval {
           present.df.select(col("t")).distinct(), sel, spec))
       case "histogram_quantile" =>
         val q = constArg(m, args(0), spec, fn)
-        VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
+        args(1) match {
+          // a native-histogram store view evaluates the quantile on the
+          // sparse-bucket SAMPLES directly — no classic le-flatten
+          case s: Selector if hasNativeHist(m) =>
+            VecV(nativeHistFn(m, s, spec, "quantile", Seq(q)))
+          case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
+        }
+      case "histogram_count" | "histogram_sum" =>
+        val s = args(0) match {
+          case sel: Selector if hasNativeHist(m) => sel
+          case _ => throw new IllegalArgumentException(
+            s"$fn() needs a selector over a native-histogram store")
+        }
+        VecV(nativeHistFn(m, s, spec, fn.stripPrefix("histogram_"), Nil))
+      case "histogram_fraction" =>
+        val lo = constArg(m, args(0), spec, fn)
+        val hi = constArg(m, args(1), spec, fn)
+        require(lo <= hi, "histogram_fraction: lower must be ≤ upper")
+        val s = args(2) match {
+          case sel: Selector if hasNativeHist(m) => sel
+          case _ => throw new IllegalArgumentException(
+            s"$fn() needs a selector over a native-histogram store")
+        }
+        VecV(nativeHistFn(m, s, spec, "fraction", Seq(lo, hi)))
       case "label_replace" =>
         val v = vecArg(m, args(0), spec, fn)
         val ss = args.drop(1).map(strArg(_, fn))

@@ -45,6 +45,94 @@ object Rules {
       "every alert's forSec must be a multiple of the group interval")
   }
 
+  /** Parse a Prometheus rule FILE (the `groups:` YAML layout promtool
+    * checks) into [[RuleGroup]]s — the `--rules.file` surface. A
+    * deliberate STRICT SUBSET of YAML, hand-parsed (no YAML runtime in
+    * this environment): `groups:` / `- name:` / `interval:` / `rules:` /
+    * `- record:|- alert:` / `expr:` / `for:` / `labels:` with one
+    * `key: value` label per line; values optionally single- or
+    * double-quoted; `#` comments and blank lines ignored. Anything else
+    * fails loudly with its line number — a silently misread alert rule
+    * is worse than a rejected file.
+    */
+  def parseRuleFile(text: String): Seq[RuleGroup] = {
+    case class G(name: String, var intervalSec: Long,
+                 rec: scala.collection.mutable.ListBuffer[RecordingRule],
+                 al: scala.collection.mutable.ListBuffer[AlertRule])
+    case class R(var record: String = "", var alert: String = "",
+                 var expr: String = "", var forSec: Long = 0L,
+                 labels: scala.collection.mutable.ListBuffer[(String, String)] =
+                   scala.collection.mutable.ListBuffer())
+    val groups = scala.collection.mutable.ListBuffer[G]()
+    var rule: Option[R] = None
+    var inLabels = false
+    def unquote(v: String): String = {
+      val t = v.trim
+      if (t.length >= 2 &&
+          ((t.head == '"' && t.last == '"') ||
+            (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def flushRule(ln: Int): Unit = rule.foreach { r =>
+      val g = groups.lastOption.getOrElse(
+        fail(ln, "rule outside a group"))
+      if (r.expr.isEmpty) fail(ln, "rule without expr")
+      if (r.record.nonEmpty) g.rec += RecordingRule(r.record, r.expr,
+        r.labels.toSeq)
+      else if (r.alert.nonEmpty) g.al += AlertRule(r.alert, r.expr,
+        r.forSec, r.labels.toSeq)
+      else fail(ln, "rule with neither record nor alert")
+      rule = None
+    }
+    def fail(ln: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"rules file line $ln: $msg")
+    val Line = """^(\s*)(-\s+)?([A-Za-z_][A-Za-z0-9_]*):\s*(.*)$""".r
+    text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
+      val ln = i + 1
+      val noComment =
+        // strip a trailing comment only outside quotes — exprs with #
+        // don't occur in PromQL, so a simple split is safe here
+        if (raw.trim.startsWith("#")) "" else raw
+      if (noComment.trim.nonEmpty) noComment match {
+        case Line(indent, dash, key, value) =>
+          val v = unquote(value)
+          (key, dash != null && dash.nonEmpty) match {
+            case ("groups", false) =>
+              if (v.nonEmpty) fail(ln, "groups: takes no inline value")
+            case ("name", true) =>
+              flushRule(ln)
+              groups += G(v, 60L,
+                scala.collection.mutable.ListBuffer(),
+                scala.collection.mutable.ListBuffer())
+            case ("interval", false) if rule.isEmpty =>
+              groups.lastOption.getOrElse(fail(ln, "interval outside a " +
+                "group")).intervalSec = Parser.durationSec(v)
+            case ("record", true) =>
+              flushRule(ln); rule = Some(R(record = v)); inLabels = false
+            case ("alert", true) =>
+              flushRule(ln); rule = Some(R(alert = v)); inLabels = false
+            case ("rules", false) =>
+              if (v.nonEmpty) fail(ln, "rules: takes no inline value")
+            case ("expr", false) if rule.nonEmpty =>
+              rule.get.expr = v; inLabels = false
+            case ("for", false) if rule.nonEmpty =>
+              rule.get.forSec = Parser.durationSec(v); inLabels = false
+            case ("labels", false) if rule.nonEmpty =>
+              if (v.nonEmpty) fail(ln, "labels: takes no inline value")
+              inLabels = true
+            case (k, false) if inLabels && rule.nonEmpty =>
+              rule.get.labels += (k -> v)
+            case (k, _) => fail(ln, s"unrecognized key '$k'")
+          }
+        case _ => fail(ln, s"unparseable line: ${raw.trim}")
+      }
+    }
+    flushRule(text.linesIterator.length)
+    groups.map(g => RuleGroup(g.name, g.intervalSec, g.rec.toSeq,
+      g.al.toSeq)).toSeq
+  }
+
   /** Evaluate a recording rule over the grid and return CANONICAL store
     * rows (date, name, tags, val, ts, updated) ready for
     * WritePipeline.append — `__name__` in the output tag set is

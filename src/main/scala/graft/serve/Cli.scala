@@ -58,7 +58,11 @@ final case class CliConfig(
     // graft extension: at-rest Gorilla chunk tier path; streamed
     // remote-read with ?source=chunks serves raw samples from it
     // (day-aligned queries forward stored bytes verbatim).
-    readChunkTier: String = "") {
+    readChunkTier: String = "",
+    // graft extension: a Prometheus-format rule file (the `groups:`
+    // layout promtool checks, strict subset); groups load into the
+    // in-engine rule evaluator and enumerate on /api/v1/rules.
+    rulesFile: String = "") {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -233,6 +237,7 @@ object CliConfig {
                   cfg = cfg.copy(readTiers = parsed.collect { case Right(t) => t })
               }
             case "read.chunk-tier" => cfg = cfg.copy(readChunkTier = v)
+            case "rules.file" => cfg = cfg.copy(rulesFile = v)
             case "read.auto-target-points" =>
               v.toLongOption match {
                 case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
@@ -254,6 +259,10 @@ object CliConfig {
     if (cfg.clickhouseCaPath.nonEmpty &&
         !java.nio.file.Files.isReadable(java.nio.file.Paths.get(cfg.clickhouseCaPath)))
       return Left(s"cannot read ca-certificate '${cfg.clickhouseCaPath}'")
+    // same discipline for the rule file: reject at parse time
+    if (cfg.rulesFile.nonEmpty &&
+        !java.nio.file.Files.isReadable(java.nio.file.Paths.get(cfg.rulesFile)))
+      return Left(s"cannot read rules file '${cfg.rulesFile}'")
     Right(cfg)
   }
 
@@ -314,11 +323,17 @@ object Cli {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cfg.tablePath))
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.clickhouseDatabase}")
     WritePipeline.ensureTable(spark, cfg.tableName, cfg.tablePath)
+    val ruleGroups =
+      if (cfg.rulesFile.isEmpty) Nil
+      else graft.promql.Rules.parseRuleFile(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(cfg.rulesFile)), "UTF-8"))
     new Server(spark, cfg.tablePath, buildSinks(cfg), cfg.listenPort,
       metricsPath = cfg.telemetryPath, readMaxSeries = cfg.readMaxSeries,
       extraReaderPaths = cfg.readExtraTables, tierPaths = cfg.readTiers,
       autoResTargetPoints = cfg.readAutoTargetPoints,
-      chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty))
+      chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty),
+      ruleGroups = ruleGroups)
   }
 }
 

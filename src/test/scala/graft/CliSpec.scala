@@ -167,4 +167,49 @@ class CliSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_cli_db")
     }
   }
+
+  test("rules file: the promtool groups layout parses into RuleGroups; " +
+       "junk fails loudly with its line number") {
+    import graft.promql.Rules
+    val text =
+      """# alerting for the demo fleet
+        |groups:
+        |  - name: demo
+        |    interval: 30s
+        |    rules:
+        |      - record: job:req:sum
+        |        expr: sum by (job) (req)
+        |      - alert: Hot
+        |        expr: "req > 5"
+        |        for: 1m
+        |        labels:
+        |          severity: page
+        |          team: 'core'
+        |  - name: second
+        |    rules:
+        |      - alert: Cold
+        |        expr: req < 1
+        |        for: 2m
+        |""".stripMargin
+    val groups = Rules.parseRuleFile(text)
+    assert(groups == Seq(
+      Rules.RuleGroup("demo", 30L,
+        Seq(Rules.RecordingRule("job:req:sum", "sum by (job) (req)")),
+        Seq(Rules.AlertRule("Hot", "req > 5", 60L,
+          Seq("severity" -> "page", "team" -> "core")))),
+      Rules.RuleGroup("second", 60L, Nil,
+        Seq(Rules.AlertRule("Cold", "req < 1", 120L)))))
+    // junk fails with the line number, never a silently dropped rule
+    val bad = intercept[IllegalArgumentException] {
+      Rules.parseRuleFile("groups:\n  - name: g\n    rules:\n      - oops: x\n")
+    }
+    assert(bad.getMessage.contains("line 4"))
+    // a rule without expr is rejected
+    intercept[IllegalArgumentException] {
+      Rules.parseRuleFile(
+        "groups:\n  - name: g\n    rules:\n      - alert: A\n        for: 1m\n  - name: h\n")
+    }
+    // --rules.file parses; a missing file is a parse-time error
+    assert(CliConfig.parse(Seq("--rules.file", "/no/such/file")).isLeft)
+  }
 }

@@ -712,6 +712,44 @@ class PromqlSpec extends SparkSpec {
     }
   }
 
+  test("native-histogram store view: quantile/count/sum/fraction on the " +
+       "sparse-bucket samples directly, hand-computed") {
+    // one histogram at t=100: zero bucket 2, buckets idx1 (1,2]fp ×3,
+    // idx3 (4,8]fp ×5 → total 10, sum_fp 37
+    val rows = Seq(
+      ("h", Seq("__name__=h", "job=a"), 100L, 10L, 37L, 2L,
+        Seq((1, 3L), (3, 5L))))
+    val store = rows.toDF("name", "tags", "ts", "h_count", "h_sum_fp",
+      "h_zero", "h_buckets")
+      .withColumn("h_buckets",
+        expr("transform(h_buckets, b -> struct(b._1 AS idx, b._2 AS cnt))"))
+    def one(q: String): Double =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(100, 100, 1, 300L))
+        .select(col("value")).as[Double].collect().head
+    assert(one("""histogram_count({__name__="h"})""") == 10.0)
+    assert(one("""histogram_sum({__name__="h"})""") == 37e-6)
+    // q=0.5: rank 5 → zero(2) + idx1(3) = 5 crosses at idx1: lower 1,
+    // upper 2, prev cum 2 → 1 + 1·(5−2)/3 = 2 fp
+    assert(one("""histogram_quantile(0.5, {__name__="h"})""") == 2e-6)
+    // rank inside the zero bucket → 0
+    assert(one("""histogram_quantile(0.1, {__name__="h"})""") == 0.0)
+    // fraction (0, 6e-6]: zero 2 + idx1 full 3 + idx3 partial
+    // 5·(6−4)/(8−4)=2.5 → 7.5/10 = 0.75
+    assert(one("""histogram_fraction(0, 0.000006, {__name__="h"})""")
+      == 0.75)
+    // composed: avg observation = sum/count — the binop result lands
+    // back on the 1e-6 grid (3.7e-6 floors to 3e-6, the engine's
+    // fixed-point contract)
+    assert(one("""histogram_sum({__name__="h"})
+                 | / histogram_count({__name__="h"})""".stripMargin)
+      == 3e-6)
+    // the sample coasts on lookback like any scalar
+    assert(Eval.rangeQuery(store,
+        """histogram_count({__name__="h"})""",
+        Eval.RangeSpec(150, 150, 1, 300L))
+      .select(col("value")).as[Double].collect().head == 10.0)
+  }
+
   test("stale markers end instant ownership, never shadow live samples, " +
        "and are invisible to range functions") {
     val rows = Seq(
