@@ -7056,6 +7056,272 @@ object SparkEntry {
         .select(tagsStr.as("tags"), col("t"),
           round(col("value") * 1000000L).cast("long").as("value_fp"))
         .orderBy(col("t"), col("tags"))
+    }),
+
+    // FEDERATION: /federate renders the latest sample of every series
+    // matching match[] — value plus ITS OWN timestamp — in the text
+    // exposition format a scraping parent Prometheus ingests. The
+    // oracle replays last-sample-per-series (ties at one second resolve
+    // to the max value, the store's dedup rule) from raw events.
+    "serve_federate" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/federate?match[]=click&time=$Jan20&lookback=1d"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        require(conn.getHeaderField("Content-Type").startsWith("text/plain"),
+          "federate must serve the text exposition content type")
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        require(body.startsWith("# TYPE click untyped"),
+          "family TYPE header expected")
+        Seq(body).toDF("b")
+          .select(explode(split(col("b"), "\n")).as("line"))
+          .filter(!col("line").startsWith("#") && length(col("line")) > 0)
+          .select(
+            regexp_extract(col("line"), "^([a-zA-Z_:][a-zA-Z0-9_:]*)\\{", 1)
+              .as("name"),
+            regexp_extract(col("line"), "user_id=\"([^\"]*)\"", 1)
+              .cast("long").as("user_id"),
+            floor(split(col("line"), " ").getItem(1).cast("double")
+              * 1000000L).cast("long").as("value_fp"),
+            split(col("line"), " ").getItem(2).cast("long").as("t_ms"))
+          .orderBy(col("user_id"))
+      } finally server.stop()
+    }),
+
+    // limitk (Prometheus's experimental sampling aggregator): k series
+    // per group, selection keyed on md5 of the joined tag string — the
+    // same series stay picked at every grid step, and DuckDB reproduces
+    // the hash verbatim.
+    "promql_limitk" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir), "limitk(3, click)",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // limit_ratio: hash-fraction sampling — first 8 md5 hex chars under
+    // the plan-time threshold hex(floor(r·2³²)); limit_ratio(r, v) and
+    // limit_ratio(r−1, v) partition v by construction.
+    "promql_limit_ratio" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir), "limit_ratio(0.4, click)",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // histogram_avg on NATIVE histogram samples: exact fp sum over the
+    // true count, floored once — no classic flatten, no binop re-round.
+    "promql_native_hist_avg" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistStore(s, dir),
+          """histogram_avg({__name__="hist_val"})""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // histogram_stddev on native samples: bucket-midpoint spread
+    // estimate (every observation at (2^(i−1)+2^i)/2, zero bucket at 0,
+    // mean from the exact sum) — the fixed expression tree both engines
+    // floor identically.
+    "promql_native_hist_stddev" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistStore(s, dir),
+          """histogram_stddev({__name__="hist_val"})""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // CARDINALITY STATISTICS: /api/v1/status/tsdb — head totals plus
+    // the four top-k breakdowns the Prometheus TSDB-status page reads,
+    // all computed from ONE distinct-series frame (executor-side top-k,
+    // ties cut lexicographically so the boundary is deterministic). The
+    // oracle recomputes every section from raw events.
+    "status_tsdb" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val url = s"http://localhost:${server.boundPort}" +
+          "/api/v1/status/tsdb?limit=5"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data STRUCT<" +
+            "headStats: STRUCT<numSeries: BIGINT, numLabelPairs: BIGINT," +
+            " chunkCount: BIGINT, minTime: BIGINT, maxTime: BIGINT>, " +
+            "seriesCountByMetricName: ARRAY<STRUCT<name: STRING, value: BIGINT>>, " +
+            "labelValueCountByLabelName: ARRAY<STRUCT<name: STRING, value: BIGINT>>, " +
+            "memoryInBytesByLabelName: ARRAY<STRUCT<name: STRING, value: BIGINT>>, " +
+            "seriesCountByLabelValuePair: ARRAY<STRUCT<name: STRING, value: BIGINT>>>")
+        val r = Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r")).select(col("r.data"))
+        def section(key: String) = r.select(lit(key).as("section"),
+          explode(col(s"data.$key")).as("e"))
+          .select(col("section"), col("e.name").as("name"),
+            col("e.value").as("value"))
+        section("seriesCountByMetricName")
+          .unionByName(section("labelValueCountByLabelName"))
+          .unionByName(section("memoryInBytesByLabelName"))
+          .unionByName(section("seriesCountByLabelValuePair"))
+          .unionByName(r.select(lit("headStats").as("section"),
+            explode(map(
+              lit("numSeries"), col("data.headStats.numSeries"),
+              lit("numLabelPairs"), col("data.headStats.numLabelPairs"),
+              lit("chunkCount"), col("data.headStats.chunkCount"),
+              lit("minTime"), col("data.headStats.minTime"),
+              lit("maxTime"), col("data.headStats.maxTime")))
+              .as(Seq("name", "value"))))
+          .orderBy(col("section"), col("name"))
+      } finally server.stop()
+    }),
+
+    // TSDB ADMIN: delete_series records tombstones (selector + time
+    // range) and every read surface masks immediately — one series
+    // killed for all time, one metric killed inside a window. The
+    // masked store answers the live query_range; the oracle replays the
+    // two deletions over raw events. A tombstone is a PREDICATE (a
+    // residual filter AND-ed into the scan), never a row set — at
+    // 100 TB the delete costs nothing until clean_tombstones.
+    "admin_delete_series" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_adm")
+        .toString + "/metrics"
+      WritePipeline.append(WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val server = new graft.serve.Server(s, table,
+        enableAdminApi = true).start()
+      try {
+        def post(pathAndQuery: String): Int = {
+          val conn = java.net.URI.create(
+              s"http://localhost:${server.boundPort}$pathAndQuery")
+            .toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          val rc = conn.getResponseCode
+          conn.disconnect()
+          rc
+        }
+        val mClick = java.net.URLEncoder.encode(
+          """click{user_id="0"}""", "UTF-8")
+        require(post("/api/v1/admin/tsdb/delete_series?" +
+          s"match[]=$mClick") == 204, "delete 1 failed")
+        require(post("/api/v1/admin/tsdb/delete_series?" +
+          s"match[]=view&start=$Jan05&end=$Jan10") == 204,
+          "delete 2 failed")
+        // count_over_time drops __name__ (PromQL), so group by user_id
+        // over both affected metrics: user 0 loses its clicks, every
+        // user loses view inside the deleted window
+        val q = java.net.URLEncoder.encode(
+          """sum by (user_id) (count_over_time({__name__=~"click|view"}[6h]))""",
+          "UTF-8")
+        val url = s"http://localhost:${server.boundPort}" +
+          s"/api/v1/query_range?query=$q&start=$Jan05&end=$Jan20" +
+          "&step=21600"
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "status STRING, data STRUCT<resultType: STRING, " +
+            "result: ARRAY<STRUCT<metric: MAP<STRING,STRING>, " +
+            "values: ARRAY<ARRAY<STRING>>>>>")
+        Seq(body).toDF("j")
+          .select(from_json(col("j"), schema).as("r"))
+          .select(explode(col("r.data.result")).as("srs"))
+          .select(
+            array_join(sort_array(transform(map_entries(col("srs.metric")),
+              e => concat(e.getField("key"), lit("="),
+                e.getField("value")))), ",").as("tags"),
+            explode(col("srs.values")).as("p"))
+          .select(col("tags"),
+            element_at(col("p"), 1).cast("long").as("t"),
+            round(element_at(col("p"), 2).cast("double") * 1000000L)
+              .cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
+    // clean_tombstones physically applies the recorded deletions:
+    // only date partitions holding deleted rows are rewritten (layout
+    // discipline preserved), partitions whose every row died are
+    // DROPPED, and the tombstone records go away. Facts pin the
+    // physical state from a raw re-read — no suppression in the loop.
+    "admin_clean_tombstones" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_admc")
+        .toString + "/metrics"
+      WritePipeline.append(WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val server = new graft.serve.Server(s, table,
+        enableAdminApi = true).start()
+      try {
+        def post(pathAndQuery: String): Int = {
+          val conn = java.net.URI.create(
+              s"http://localhost:${server.boundPort}$pathAndQuery")
+            .toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          val rc = conn.getResponseCode
+          conn.disconnect()
+          rc
+        }
+        val mClick = java.net.URLEncoder.encode(
+          """click{user_id="0"}""", "UTF-8")
+        val mAll = java.net.URLEncoder.encode(
+          """{__name__=~".+"}""", "UTF-8")
+        require(post("/api/v1/admin/tsdb/delete_series?" +
+          s"match[]=$mClick") == 204, "delete 1 failed")
+        require(post("/api/v1/admin/tsdb/delete_series?" +
+          s"match[]=view&start=$Jan05&end=$Jan10") == 204,
+          "delete 2 failed")
+        // the whole tail from Jan29 on: those date partitions must DROP
+        require(post("/api/v1/admin/tsdb/delete_series?" +
+          s"match[]=$mAll&start=1706486400") == 204, "delete 3 failed")
+        require(post("/api/v1/admin/tsdb/clean_tombstones") == 204,
+          "clean failed")
+        // a SERVED fact too: the surviving series set over live HTTP
+        val sconn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+            s"/api/v1/series?start=0&end=32503680000&match[]=$mAll")
+          .toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val sbody = new String(sconn.getInputStream.readAllBytes(), "UTF-8")
+        sconn.disconnect()
+        val servedSeries = Seq(sbody).toDF("j")
+          .select(from_json(col("j"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "status STRING, data ARRAY<MAP<STRING,STRING>>")).as("r"))
+          .select(size(col("r.data")).as("n"))
+          .head().getAs[Int]("n").toLong
+        val raw = s.read.parquet(table)
+        val facts = Seq(
+          ("deleted_click_u0", raw.filter(col("name") === "click" &&
+            array_contains(col("tags"), "user_id=0")).count()),
+          ("deleted_view_window", raw.filter(col("name") === "view" &&
+            col("ts") >= timestamp_seconds(lit(Jan05)) &&
+            col("ts") <= timestamp_seconds(lit(Jan10))).count()),
+          ("dropped_tail_dates", raw.filter(
+            col("date") >= to_date(lit("2024-01-29"))).count()),
+          ("served_series", servedSeries),
+          ("surviving_rows", raw.count()),
+          ("tombstones_left",
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+              graft.engine.Tombstones.path(table)))) 1L else 0L))
+        facts.toDF("fact", "value").orderBy(col("fact"))
+      } finally server.stop()
     })
   )
 
@@ -12832,6 +13098,156 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "promql_limitk" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY T
+         |    ORDER BY md5('__name__=click,user_id=' || user_id),
+         |      '__name__=click,user_id=' || user_id) AS rnk
+         |  FROM inst)
+         |SELECT '__name__=click,user_id=' || user_id AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM rk WHERE rnk <= 3 ORDER BY t, tags""".stripMargin,
+
+    "promql_limit_ratio" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
+         |SELECT '__name__=click,user_id=' || user_id AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM inst
+         |WHERE substr(md5('__name__=click,user_id=' || user_id), 1, 8)
+         |  < '66666666'
+         |ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_avg" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |tc AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(CAST(sum_fp AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS value_fp
+        |FROM tc ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_stddev" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tc AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS DOUBLE) AS sfp FROM e GROUP BY 1, 2),
+        |v AS (SELECT b.event_type, b.day,
+        |    sum(CAST(cnt AS DOUBLE)
+        |      * ((power(2.0, idx - 1) + power(2.0, idx)) / 2.0
+        |          - sfp / n)
+        |      * ((power(2.0, idx - 1) + power(2.0, idx)) / 2.0
+        |          - sfp / n)) / any_value(n) AS var_fp2
+        |  FROM b JOIN tc ON b.event_type = tc.event_type
+        |    AND b.day = tc.day
+        |  GROUP BY 1, 2)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(sqrt(var_fp2)) AS BIGINT) AS value_fp
+        |FROM v ORDER BY t, tags""".stripMargin,
+
+    "status_tsdb" ->
+      s"""WITH sr AS (SELECT DISTINCT event_type, user_id FROM events),
+         |tt AS (SELECT $OSec AS t FROM events),
+         |bym AS (SELECT event_type AS name, count(*) AS value
+         |  FROM sr GROUP BY 1),
+         |pair AS (SELECT 'user_id=' || user_id AS name, count(*) AS value
+         |  FROM sr GROUP BY 1)
+         |SELECT section, name, CAST(value AS BIGINT) AS value FROM (
+         |  SELECT 'seriesCountByMetricName' AS section, name, value
+         |  FROM (SELECT *, row_number() OVER (ORDER BY value DESC, name)
+         |    AS rn FROM bym) WHERE rn <= 5
+         |  UNION ALL
+         |  SELECT 'labelValueCountByLabelName', 'user_id',
+         |    count(DISTINCT user_id) FROM events
+         |  UNION ALL
+         |  SELECT 'memoryInBytesByLabelName', 'user_id',
+         |    sum(length(CAST(user_id AS VARCHAR))) FROM sr
+         |  UNION ALL
+         |  SELECT 'seriesCountByLabelValuePair', name, value
+         |  FROM (SELECT *, row_number() OVER (ORDER BY value DESC, name)
+         |    AS rn FROM pair) WHERE rn <= 5
+         |  UNION ALL SELECT 'headStats', 'numSeries',
+         |    (SELECT count(*) FROM sr)
+         |  UNION ALL SELECT 'headStats', 'numLabelPairs',
+         |    (SELECT count(DISTINCT user_id) FROM events)
+         |  UNION ALL SELECT 'headStats', 'chunkCount',
+         |    (SELECT count(*) FROM events)
+         |  UNION ALL SELECT 'headStats', 'minTime',
+         |    (SELECT min(t) * 1000 FROM tt)
+         |  UNION ALL SELECT 'headStats', 'maxTime',
+         |    (SELECT max(t) * 1000 FROM tt))
+         |ORDER BY section, name""".stripMargin,
+
+    "serve_federate" ->
+      s"""WITH s AS (SELECT user_id, $OSec AS t, value FROM events
+         |  WHERE event_type = 'click'
+         |    AND $OSec > 1705708800 - 86400 AND $OSec <= 1705708800),
+         |d AS (SELECT user_id, t, max(value) AS v FROM s GROUP BY 1, 2),
+         |last AS (SELECT user_id, max(t) AS t FROM d GROUP BY 1)
+         |SELECT 'click' AS name, last.user_id AS user_id,
+         |  CAST(floor(d.v * 1000000) AS BIGINT) AS value_fp,
+         |  last.t * 1000 AS t_ms
+         |FROM last JOIN d ON d.user_id = last.user_id AND d.t = last.t
+         |ORDER BY last.user_id""".stripMargin,
+
+    // replay the two recorded deletions over raw events; count dedups
+    // per (series, second) exactly like the evaluator
+    "admin_delete_series" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT DISTINCT event_type, user_id, $OSec AS t
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |kept AS (SELECT * FROM s
+         |  WHERE NOT (event_type = 'click' AND user_id = 0)
+         |    AND NOT (event_type = 'view'
+         |      AND t BETWEEN 1704412800 AND 1704844800))
+         |SELECT 'user_id=' || user_id AS tags, gr.T AS t,
+         |  CAST(count(*) * 1000000 AS BIGINT) AS value_fp
+         |FROM gr JOIN kept ON kept.t > gr.T - 21600 AND kept.t <= gr.T
+         |GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "admin_clean_tombstones" ->
+      s"""WITH s AS (SELECT event_type, user_id, $OSec AS t FROM events),
+         |kept AS (SELECT * FROM s
+         |  WHERE NOT (event_type = 'click' AND user_id = 0)
+         |    AND NOT (event_type = 'view'
+         |      AND t BETWEEN 1704412800 AND 1704844800)
+         |    AND t < 1706486400)
+         |SELECT fact, value FROM (
+         |  SELECT 'deleted_click_u0' AS fact, CAST(0 AS BIGINT) AS value
+         |  UNION ALL SELECT 'deleted_view_window', 0
+         |  UNION ALL SELECT 'dropped_tail_dates', 0
+         |  UNION ALL SELECT 'served_series', (SELECT count(*) FROM
+         |    (SELECT DISTINCT event_type, user_id FROM kept))
+         |  UNION ALL SELECT 'surviving_rows',
+         |    (SELECT count(*) FROM kept)
+         |  UNION ALL SELECT 'tombstones_left', 0)
+         |ORDER BY fact""".stripMargin,
 
   )
 }

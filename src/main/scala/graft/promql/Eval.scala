@@ -464,6 +464,32 @@ object Eval {
         h.select(col("tags"), col("t"), (col("h_count") * FP).as("v_fp"))
       case "sum" =>
         h.select(col("tags"), col("t"), col("h_sum_fp").as("v_fp"))
+      case "avg" =>
+        // mean observation: exact fp sum over the true count
+        h.filter(col("h_count") > 0)
+          .select(col("tags"), col("t"),
+            floor(col("h_sum_fp").cast("double") /
+              col("h_count").cast("double")).cast("long").as("v_fp"))
+      case "stddev" | "stdvar" =>
+        // spread ESTIMATE from the sparse buckets: every observation in
+        // bucket i stands at the bucket's arithmetic midpoint
+        // (2^(i−1)+2^i)/2 (exact in double for |i| ≤ 51), the zero
+        // bucket at 0; the true mean comes from sum/count. Variance is
+        // in fp² — the same fp²→fp conversions as the classic stdvar/
+        // stddev aggregators, so both engines floor the same doubles.
+        val mean = col("h_sum_fp").cast("double") /
+          col("h_count").cast("double")
+        def mid(b: Column) = (pow(lit(2.0), b.getField("idx") - 1) +
+          pow(lit(2.0), b.getField("idx"))) / 2.0
+        val ssq = aggregate(col("h_buckets"), lit(0.0),
+          (acc, b) => acc + b.getField("cnt").cast("double") *
+            (mid(b) - mean) * (mid(b) - mean)) +
+          col("h_zero").cast("double") * mean * mean
+        val varFp2 = ssq / col("h_count").cast("double")
+        val out = if (which == "stdvar") floor(varFp2 / FPD)
+          else floor(sqrt(varFp2))
+        h.filter(col("h_count") > 0)
+          .select(col("tags"), col("t"), out.cast("long").as("v_fp"))
       case "quantile" =>
         val exploded = h
           .select(col("tags"), col("t"), col("h_zero"),
@@ -863,6 +889,42 @@ object Eval {
           .withColumn("_rk", row_number().over(w))
           .filter(col("_rk") <= k)
           .select(col("tags"), col("t"), col("st"), col("v_fp")))
+      // limitk / limit_ratio (Prometheus's experimental sampling
+      // aggregators): k-or-ratio SAMPLES of the input series, selection
+      // keyed on a deterministic hash of the series labels so the same
+      // series stay picked across grid steps (and across engines — md5
+      // of the joined tag string, which the DuckDB oracle reproduces
+      // verbatim; Prometheus likewise hashes the labelset, just with a
+      // different hash function).
+      case "limitk" =>
+        val k = constArg(m, param.get, spec, op).toLong
+        require(k > 0, "limitk() needs k > 0")
+        val tagStr = array_join(col("tags"), ",")
+        val w = Window.partitionBy(col("_g"), col("t"))
+          .orderBy(md5(tagStr.cast("binary")).asc, tagStr.asc)
+        VecV(in.withColumn("_g", gt)
+          .withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= k)
+          .select(col("tags"), col("t"), col("st"), col("v_fp")))
+      case "limit_ratio" =>
+        val r = constArg(m, param.get, spec, op)
+        require(r >= -1.0 && r <= 1.0, "limit_ratio() needs r in [-1, 1]")
+        // hash-fraction = first 8 md5 hex chars, compared against the
+        // PLAN-TIME threshold hex string (lexicographic = numeric on
+        // fixed-width lowercase hex). r >= 0 keeps the low fraction,
+        // r < 0 the complementary high one — Prometheus's contract that
+        // limit_ratio(r, v) and limit_ratio(r-1, v) partition v.
+        val frac8 = substring(
+          md5(array_join(col("tags"), ",").cast("binary")), 1, 8)
+        val keep =
+          if (r >= 1.0 || r <= -1.0) lit(true)
+          else if (r >= 0)
+            frac8 < lit(f"${math.floor(r * 4294967296.0).toLong}%08x")
+          else
+            frac8 >= lit(
+              f"${math.floor((1.0 + r) * 4294967296.0).toLong}%08x")
+        VecV(in.filter(keep)
+          .select(col("tags"), col("t"), col("st"), col("v_fp")))
       case "count_values" =>
         val label = param.get match {
           case StringLit(s) => s
@@ -1126,7 +1188,8 @@ object Eval {
             VecV(nativeHistFn(m, s, spec, "quantile", Seq(q)))
           case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
         }
-      case "histogram_count" | "histogram_sum" =>
+      case "histogram_count" | "histogram_sum" | "histogram_avg" |
+           "histogram_stddev" | "histogram_stdvar" =>
         val s = args(0) match {
           case sel: Selector if hasNativeHist(m) => sel
           case _ => throw new IllegalArgumentException(

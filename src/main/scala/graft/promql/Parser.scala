@@ -74,10 +74,10 @@ object Ast {
 
   val AggOps: Set[String] = Set("sum", "min", "max", "avg", "count",
     "group", "stddev", "stdvar", "topk", "bottomk", "quantile",
-    "count_values")
+    "count_values", "limitk", "limit_ratio")
   /** Agg ops whose first argument is a parameter, not the vector. */
   val ParamAggOps: Set[String] = Set("topk", "bottomk", "quantile",
-    "count_values")
+    "count_values", "limitk", "limit_ratio")
   val CmpOps: Set[String] = Set("==", "!=", "<", "<=", ">", ">=")
   val SetOps: Set[String] = Set("and", "or", "unless")
 }

@@ -41,7 +41,8 @@ class Server(spark: SparkSession, tablePath: String,
              tierPaths: Seq[(Long, String)] = Nil,
              autoResTargetPoints: Long = 250L,
              chunkTierPath: Option[String] = None,
-             ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil) {
+             ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil,
+             enableAdminApi: Boolean = false) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -85,7 +86,13 @@ class Server(spark: SparkSession, tablePath: String,
 
   private[graft] def storedTable(): DataFrame = synchronized {
     cachedTable.getOrElse {
-      val df = spark.read.parquet(tablePath)
+      // recorded tombstones mask deleted samples on EVERY read surface
+      // (a residual filter — admin-API-sized, never series-sized); both
+      // admin endpoints invalidate this cache, so the masked view is
+      // always current
+      val df = graft.engine.Tombstones.suppress(
+        spark.read.parquet(tablePath),
+        graft.engine.Tombstones.load(spark, tablePath))
       cachedTable = Some(df)
       df
     }
@@ -971,6 +978,239 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** `GET /federate?match[]=…&time=…` — hierarchical federation: the
+    * latest sample (value + ITS OWN timestamp, ms) of every series
+    * matching any `match[]` selector inside the lookback window, in the
+    * Prometheus text exposition format a scraping parent ingests.
+    * `# TYPE` comes from the metadata store when the family is known,
+    * `untyped` otherwise (what Prometheus emits for unknown families).
+    *
+    * Scale: selector + time bounds push into the scan; last-sample is a
+    * partial-aggregating `max(struct(ts, val))` per series (ties at one
+    * second resolve to the max value, the store's dedup rule); the
+    * series budget rides in-plan (`limit(maxSeries+1)` before collect).
+    */
+  private def handleFederate(ex: HttpExchange): Unit = {
+    import org.apache.spark.sql.functions._
+    try {
+      val pairs = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").toSeq.filter(_.nonEmpty).map(_.split("=", 2)).collect {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+        }
+      val matches = pairs.filter(_._1 == "match[]").map(_._2)
+      if (matches.isEmpty)
+        throw new IllegalArgumentException(
+          "federate requires at least one match[]")
+      val timeSec = pairs.find(_._1 == "time")
+        .map(v => math.floor(v._2.toDouble).toLong)
+        .getOrElse(System.currentTimeMillis() / 1000)
+      val lookback = pairs.find(_._1 == "lookback")
+        .map(v => graft.promql.Parser.durationSec(v._2)).getOrElse(300L)
+      var df = storedTable()
+        .filter(col("ts") > timestamp_seconds(lit(timeSec - lookback)) &&
+          col("ts") <= timestamp_seconds(lit(timeSec)))
+      if (df.columns.contains("date"))
+        df = df.filter(
+          col("date") >= to_date(timestamp_seconds(lit(timeSec - lookback))) &&
+          col("date") <= to_date(timestamp_seconds(lit(timeSec))))
+      df = df.filter(matches.map(graft.promql.Eval.seriesPredicate)
+        .reduce(_ || _))
+      val rows = df.groupBy(col("name"), col("tags"))
+        .agg(max(struct(col("ts"), col("val"))).as("last"))
+        .select(col("name"), col("tags"),
+          unix_millis(col("last.ts")).as("t_ms"), col("last.val").as("v"))
+        .limit(readMaxSeries + 1)
+        .collect()
+      if (rows.length > readMaxSeries)
+        throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
+      def escape(v: String): String = v.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case c => c.toString
+      }
+      val sb = new StringBuilder
+      rows.toSeq
+        .map(r => (r.getAs[String]("name"),
+          r.getAs[scala.collection.Seq[String]]("tags"),
+          r.getAs[Long]("t_ms"), r.getAs[Double]("v")))
+        .sortBy { case (n, tg, _, _) => (n, tg.mkString(",")) }
+        .foldLeft("") { case (prev, (name, tags, tMs, v)) =>
+          if (name != prev) {
+            val typ = Option(metadataStore.get(name))
+              .map(_.metricType).filter(_.nonEmpty).getOrElse("untyped")
+            sb ++= s"# TYPE $name $typ\n"
+          }
+          val labels = tags.filterNot(_.startsWith("__name__="))
+            .map { kv =>
+              val i = kv.indexOf('=')
+              s"""${kv.substring(0, i)}="${escape(kv.substring(i + 1))}""""
+            }
+          sb ++= name
+          if (labels.nonEmpty) sb ++= labels.mkString("{", ",", "}")
+          sb ++= s" ${fmtValue(v)} $tMs\n"
+          name
+        }
+      ex.getResponseHeaders.set("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      respond(ex, 200, sb.toString.getBytes("UTF-8"))
+    } catch {
+      case e: ResponseEdge.SeriesLimitExceeded =>
+        respond(ex, 413, e.getMessage.getBytes("UTF-8"))
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        respond(ex, 400,
+          Option(e.getMessage).getOrElse("bad request").getBytes("UTF-8"))
+      case e: Throwable =>
+        respond(ex, 500,
+          Option(e.getMessage).getOrElse("federate error").getBytes("UTF-8"))
+    }
+  }
+
+  /** `GET /api/v1/status/tsdb` — cardinality statistics (what the
+    * Prometheus UI's TSDB-status page and cardinality dashboards read):
+    * head totals plus the top-10 `seriesCountByMetricName`,
+    * `labelValueCountByLabelName`, `memoryInBytesByLabelName` (bytes of
+    * label-value text held across series, the Prometheus measure's
+    * parquet analogue), and `seriesCountByLabelValuePair`.
+    *
+    * Scale: ONE distinct-series frame feeds all four breakdowns
+    * (distinct (name, tags) is aggregate-sized, the /series bound);
+    * every top-10 is an executor-side partial agg + a driver take of 10
+    * — `?limit=` overrides the 10, and ties break lexicographically so
+    * the cut is deterministic.
+    */
+  private def handleStatusTsdb(ex: HttpExchange): Unit = {
+    import org.apache.spark.sql.functions._
+    try {
+      val raw = apiParams(ex)
+      val topN = raw.get("limit").map(_.toInt).getOrElse(10)
+      val store = storedTable()
+      val series = store.select(col("name"), col("tags")).distinct()
+        .cache()
+      try {
+        val kv = series.select(col("name"),
+          explode(col("tags")).as("kvp"))
+          .filter(!col("kvp").startsWith("__name__="))
+          .select(col("name"),
+            substring_index(col("kvp"), "=", 1).as("k"),
+            // the VALUE half only (a value containing '=' keeps its tail)
+            expr("substring(kvp, instr(kvp, '=') + 1)").as("v"))
+        def top(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+          df.orderBy(col("value").desc, col("name"))
+            .limit(topN).collect().toSeq
+            .map(r => (r.getAs[String]("name"), r.getAs[Long]("value")))
+        val byMetric = top(series.groupBy(col("name"))
+          .agg(count(lit(1)).as("value")).select(col("name"), col("value")))
+        val valueCount = top(kv.select(col("k"), col("v")).distinct()
+          .groupBy(col("k")).agg(count(lit(1)).as("value"))
+          .select(col("k").as("name"), col("value")))
+        val memBytes = top(kv.groupBy(col("k"))
+          .agg(sum(length(col("v")).cast("long")).as("value"))
+          .select(col("k").as("name"), col("value")))
+        val byPair = top(kv.groupBy(col("k"), col("v"))
+          .agg(count(lit(1)).as("value"))
+          .select(concat(col("k"), lit("="), col("v")).as("name"),
+            col("value")))
+        // head totals in one pass over the store (+ the series frame)
+        val totals = store.agg(
+          count(lit(1)).as("samples"),
+          min(unix_millis(col("ts"))).as("minT"),
+          max(unix_millis(col("ts"))).as("maxT")).head()
+        val numSeries = series.count()
+        val numPairs = kv.select(col("k"), col("v")).distinct().count()
+        def sec(xs: Seq[(String, Long)]): String = xs.map { case (n, v) =>
+          s"""{"name":${jsonStr(n)},"value":$v}"""
+        }.mkString("[", ",", "]")
+        val body =
+          s"""{"status":"success","data":{"headStats":{""" +
+            s""""numSeries":$numSeries,"numLabelPairs":$numPairs,""" +
+            s""""chunkCount":${totals.getAs[Long]("samples")},""" +
+            s""""minTime":${totals.getAs[Long]("minT")},""" +
+            s""""maxTime":${totals.getAs[Long]("maxT")}},""" +
+            s""""seriesCountByMetricName":${sec(byMetric)},""" +
+            s""""labelValueCountByLabelName":${sec(valueCount)},""" +
+            s""""memoryInBytesByLabelName":${sec(memBytes)},""" +
+            s""""seriesCountByLabelValuePair":${sec(byPair)}}}"""
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200, body.getBytes("UTF-8"))
+      } finally series.unpersist()
+    } catch {
+      case e: Throwable =>
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 500,
+          s"""{"status":"error","errorType":"internal","error":${
+            jsonStr(Option(e.getMessage).getOrElse("tsdb status error"))
+          }}""".getBytes("UTF-8"))
+    }
+  }
+
+  /** TSDB admin API — `/api/v1/admin/tsdb/delete_series` records
+    * tombstones (selector + time range; reads mask immediately),
+    * `/api/v1/admin/tsdb/clean_tombstones` rewrites the affected date
+    * partitions and drops the records ([[graft.engine.Tombstones]]).
+    * Gated behind `enableAdminApi` exactly like Prometheus's
+    * `--web.enable-admin-api` (403 when off); both accept POST and PUT
+    * (the Prometheus contract).
+    */
+  private def handleAdmin(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      if (!enableAdminApi)
+        return jsonErr(403, "unavailable", "admin APIs disabled")
+      if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "PUT")
+        return jsonErr(405, "method_not_allowed", "use POST or PUT")
+      val path = ex.getRequestURI.getPath
+      // match[] repeats — parse the raw query (+ form body) by hand
+      val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+        .getOrElse("")
+      val rawPairs = Option(ex.getRequestURI.getRawQuery).getOrElse("") +
+        (if (ctype.contains("application/x-www-form-urlencoded"))
+          "&" + new String(readBody(ex), "UTF-8") else "")
+      val pairs = rawPairs.split("&").toSeq.filter(_.nonEmpty)
+        .map(_.split("=", 2)).collect {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+        }
+      if (path.endsWith("/delete_series")) {
+        val matches = pairs.filter(_._1 == "match[]").map(_._2)
+        if (matches.isEmpty)
+          throw new IllegalArgumentException(
+            "delete_series requires at least one match[]")
+        def timeOr(k: String, dflt: Long): Long =
+          pairs.find(_._1 == k).map(v => math.floor(v._2.toDouble).toLong)
+            .getOrElse(dflt)
+        // Prometheus defaults to all of time (minTime/maxTime)
+        val start = timeOr("start", -2208988800L)  // 1900-01-01
+        val end = timeOr("end", 32503680000L)      // 3000-01-01
+        if (end < start)
+          throw new IllegalArgumentException("end is before start")
+        graft.engine.Tombstones.append(spark, tablePath,
+          matches.map(graft.engine.Tombstones.Tombstone(_, start, end)))
+        invalidateTable()
+        respond(ex, 204, Array.emptyByteArray)
+      } else if (path.endsWith("/clean_tombstones")) {
+        graft.engine.Tombstones.clean(spark, tablePath)
+        invalidateTable()
+        respond(ex, 204, Array.emptyByteArray)
+      } else jsonErr(404, "bad_data", s"unknown admin path $path")
+    } catch {
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data",
+          Option(e.getMessage).getOrElse("bad request"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("admin error"))
+    }
+  }
+
   /** A downsampled tier as a PromQL-readable store view: one sample per
     * (series, window) at the window start, value = the window's
     * fixed-point-exact average (`val_fp` carries the exact long; the
@@ -1073,6 +1313,12 @@ class Server(spark: SparkSession, tablePath: String,
       (ex: HttpExchange) => handleMeta(ex))
     http.createContext("/api/v1/series",
       (ex: HttpExchange) => handleMeta(ex))
+    http.createContext("/api/v1/admin/tsdb",
+      (ex: HttpExchange) => handleAdmin(ex))
+    http.createContext("/federate",
+      (ex: HttpExchange) => handleFederate(ex))
+    http.createContext("/api/v1/status/tsdb",
+      (ex: HttpExchange) => handleStatusTsdb(ex))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(handlerPool)
     http.start()

@@ -309,6 +309,33 @@ class PromqlSpec extends SparkSpec {
     assert(run("quantile(0.5, req)", 60, 60, 10) == Seq(("", 60L, 87.5)))
   }
 
+  test("limitk/limit_ratio: deterministic hash sampling, stable " +
+      "across steps, ratio partitions") {
+    // limitk(2, req) over 2 series = both; limitk(1, req) picks the
+    // md5-least series and the SAME one at every step
+    assert(run("limitk(2, req)", 60, 60, 10).map(_._1).sorted ==
+      Seq("__name__=req,instance=i1", "__name__=req,instance=i2"))
+    val one = run("limitk(1, req)", 40, 60, 10)
+    assert(one.map(_._1).distinct.size == 1)
+    val md5i1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("__name__=req,instance=i1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val md5i2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("__name__=req,instance=i2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = if (md5i1 < md5i2) "i1" else "i2"
+    assert(one.head._1 == s"__name__=req,instance=$expect")
+    // limit_ratio(r) ∪ limit_ratio(r-1) = everything, disjoint
+    val loHalf = run("limit_ratio(0.5, req)", 60, 60, 10).map(_._1)
+    val hiHalf = run("limit_ratio(-0.5, req)", 60, 60, 10).map(_._1)
+    assert((loHalf ++ hiHalf).sorted ==
+      Seq("__name__=req,instance=i1", "__name__=req,instance=i2"))
+    assert(loHalf.toSet.intersect(hiHalf.toSet).isEmpty)
+    // r = 1 keeps all, r = 0 keeps none
+    assert(run("limit_ratio(1, req)", 60, 60, 10).size == 2)
+    assert(run("limit_ratio(0, req)", 60, 60, 10).isEmpty)
+  }
+
   test("count_values groups by printed value") {
     val got = run("""count_values("v", req)""", 60, 60, 10)
     assert(got.toSet == Set(("v=15", 60L, 1.0), ("v=160", 60L, 1.0)))
@@ -748,6 +775,15 @@ class PromqlSpec extends SparkSpec {
         """histogram_count({__name__="h"})""",
         Eval.RangeSpec(150, 150, 1, 300L))
       .select(col("value")).as[Double].collect().head == 10.0)
+    // histogram_avg: floor(37/10) = 3 fp — ONE floor, unlike the
+    // sum/count binop (same value here)
+    assert(one("""histogram_avg({__name__="h"})""") == 3e-6)
+    // histogram_stddev: midpoints 1.5 (idx1), 6 (idx3), zero at 0,
+    // mean 3.7 → ssq = 3·2.2² + 5·2.3² + 2·3.7² = 68.35, var 6.835,
+    // sqrt = 2.614… → floor 2 fp
+    assert(one("""histogram_stddev({__name__="h"})""") == 2e-6)
+    // stdvar is in fp²: 6.835 fp² floors to 0 on the 1e-6 value grid
+    assert(one("""histogram_stdvar({__name__="h"})""") == 0.0)
   }
 
   test("stale markers end instant ownership, never shadow live samples, " +

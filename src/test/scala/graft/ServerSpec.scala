@@ -704,4 +704,94 @@ class ServerSpec extends SparkSpec {
       assert(qb2.contains(""""job":"a"""") && qb2.contains(""""job":"b""""))
     } finally server.stop()
   }
+
+  test("serve: admin API gate + delete_series masks reads + " +
+      "clean_tombstones rewrites only affected partitions") {
+    val table = Files.createTempDirectory("graft_srvadm").toString + "/metrics"
+    // two days, two series: day 1 holds both, day 2 holds only job=a
+    def samp(job: String, daySec: Long) = PTimeSeries(
+      Seq(PLabel("__name__", "up"), PLabel("job", job)),
+      Seq(PSample(1.0, daySec * 1000)))
+    val d1 = 1704067200L // 2024-01-01
+    val d2 = d1 + 86400L
+    val wr = PWriteRequest(Seq(
+      samp("a", d1), samp("b", d1), samp("a", d2)))
+
+    // gate: admin off → 403, nothing recorded
+    val off = new Server(spark, table).start()
+    try {
+      val baseOff = s"http://localhost:${off.boundPort}"
+      assert(post(s"$baseOff/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val (fc, fb) = post(
+        s"$baseOff/api/v1/admin/tsdb/delete_series?match[]=up", Array.empty)
+      assert(fc == 403 && new String(fb, "UTF-8").contains("disabled"))
+    } finally off.stop()
+
+    val server = new Server(spark, table, enableAdminApi = true).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // missing match[] → 400; GET → 405
+      assert(post(s"$base/api/v1/admin/tsdb/delete_series",
+        Array.empty)._1 == 400)
+      assert(getAny(s"$base/api/v1/admin/tsdb/delete_series?match[]=up")
+        ._1 == 405)
+      // delete all of day 2 → masked immediately, before any clean
+      val (dc, _) = post(s"$base/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=up&start=$d2", Array.empty)
+      assert(dc == 204)
+      assert(server.storedTable().count() == 2)
+      // tombstone survives as a record, data still physically present
+      assert(spark.read.parquet(table).count() == 3)
+      // also delete job=b (day 1 keeps a survivor)
+      assert(post(s"$base/api/v1/admin/tsdb/delete_series?" +
+        """match[]=up%7Bjob%3D%22b%22%7D""", Array.empty)._1 == 204)
+      assert(server.storedTable().count() == 1)
+      // clean: day-2 partition DROPPED (no survivors), day-1 rewritten
+      assert(post(s"$base/api/v1/admin/tsdb/clean_tombstones",
+        Array.empty)._1 == 204)
+      val phys = spark.read.parquet(table).collect()
+      assert(phys.length == 1)
+      assert(phys.head.getAs[scala.collection.Seq[String]]("tags")
+        .contains("job=a"))
+      assert(!Files.exists(java.nio.file.Paths.get(
+        graft.engine.Tombstones.path(table))))
+      assert(!Files.exists(java.nio.file.Paths.get(table,
+        "date=2024-01-02")))
+      assert(Files.exists(java.nio.file.Paths.get(table,
+        "date=2024-01-01")))
+      // clean with nothing recorded is a no-op 204
+      assert(post(s"$base/api/v1/admin/tsdb/clean_tombstones",
+        Array.empty)._1 == 204)
+    } finally server.stop()
+  }
+
+  test("serve: /federate renders latest-sample text exposition with " +
+      "escaping, per-sample timestamps, and TYPE from metadata") {
+    val table = Files.createTempDirectory("graft_srvfed").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest(Seq(
+        PTimeSeries(
+          Seq(PLabel("__name__", "up"), PLabel("inst", "a\"b\\c")),
+          Seq(PSample(1.0, 100000L), PSample(2.5, 160000L))),
+        PTimeSeries(Seq(PLabel("__name__", "up"), PLabel("inst", "d")),
+          Seq(PSample(3.0, 150000L))),
+        // outside the lookback window at time=200
+        PTimeSeries(Seq(PLabel("__name__", "old")),
+          Seq(PSample(9.0, 1000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val (c, b) = getAny(s"$base/federate?match[]=up&time=200&lookback=2m")
+      assert(c == 200)
+      // latest sample per series, its own ms timestamp, escaped labels
+      assert(b.contains("# TYPE up untyped"))
+      assert(b.contains("""up{inst="a\"b\\c"} 2.5 160000"""))
+      assert(b.contains("""up{inst="d"} 3 150000"""))
+      assert(!b.contains("old"), "series outside the window must not appear")
+      // missing match[] is a client error
+      assert(getAny(s"$base/federate?time=200")._1 == 400)
+    } finally server.stop()
+  }
 }
