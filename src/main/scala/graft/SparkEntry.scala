@@ -7093,6 +7093,131 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // TEXT EXPOSITION INGEST: a scraped/pushed /metrics page POSTs to
+    // /write as text/plain — name{labels} value timestamp_ms lines plus
+    // TYPE/HELP comments (which land in the metadata store) — and
+    // resolves to the same canonical stream as both remote-write
+    // generations. The oracle is the raw events the page was printed
+    // from: the parser must round-trip every value and timestamp.
+    "s1_text_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_txt")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val lines = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"), unix_millis(col("ts"))
+            .as("ms"))
+          .collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getLong(2)))
+          .map(r => s"""purchase{user_id="${r.getLong(0)}"} ${
+            r.getDouble(1)} ${r.getLong(2)}""")
+        val page = ("# HELP purchase Purchase value.\n" +
+          "# TYPE purchase gauge\n" + lines.mkString("\n") + "\n")
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(page.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, "text write failed")
+        conn.disconnect()
+        // TYPE/HELP landed in the metadata store
+        val mconn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/api/v1/metadata")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val mbody = new String(mconn.getInputStream.readAllBytes(), "UTF-8")
+        mconn.disconnect()
+        require(mbody.contains(""""purchase":[{"type":"gauge"""),
+          "TYPE comment must reach the metadata store")
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
+    // REMOTE-WRITE FORWARDING SINK: re-encode flat samples as proto +
+    // snappy and POST them into another adapter's /write — the sink
+    // that chains adapters (executor-side requests, one per partition).
+    // The receiving graft server's store must equal the raw events.
+    "s3_remote_write_chain" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_rwc")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        // few fan-out partitions: the outer push tasks block on HTTP
+        // while the receiver's append jobs need executor slots
+        val samples = flatSamples(s, dir)
+          .filter(col("name") === "signup").coalesce(2)
+        val stats = graft.sinks.Transport.totals(
+          graft.sinks.Transport.remoteWritePush(samples,
+            s"http://localhost:${server.boundPort}/write"))
+        require(stats.failed == 0 && stats.error.isEmpty,
+          s"forwarding failed: ${stats.error}")
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
+    // /api/v1/parse_query: the AST as JSON (editors/linters probe this
+    // on Prometheus 3.x). Facts pull structural fields out of the live
+    // endpoint's JSON; the oracle is the pinned expectation.
+    "serve_parse_query" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics").start()
+      try {
+        val q = java.net.URLEncoder.encode(
+          """sum by (job) (rate(http_requests{code=~"5.."}[5m] offset 1m))""" +
+            """ / scalar(up @ 1704067200)""", "UTF-8")
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+            s"/api/v1/parse_query?query=$q")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        val d = "$.data"
+        val facts = Seq(
+          ("root_type", get_json_object(lit(body), s"$d.type")),
+          ("root_op", get_json_object(lit(body), s"$d.op")),
+          ("agg_op", get_json_object(lit(body), s"$d.lhs.op")),
+          ("agg_grouping",
+            get_json_object(lit(body), s"$d.lhs.grouping[0]")),
+          ("fn_name",
+            get_json_object(lit(body), s"$d.lhs.expr.func.name")),
+          ("sel_type",
+            get_json_object(lit(body), s"$d.lhs.expr.args[0].type")),
+          ("sel_range",
+            get_json_object(lit(body), s"$d.lhs.expr.args[0].range")),
+          ("sel_offset",
+            get_json_object(lit(body), s"$d.lhs.expr.args[0].offset")),
+          ("matcher_type", get_json_object(lit(body),
+            s"$d.lhs.expr.args[0].matchers[0].type")),
+          ("matcher_value", get_json_object(lit(body),
+            s"$d.lhs.expr.args[0].matchers[0].value")),
+          ("at_ts", get_json_object(lit(body),
+            s"$d.rhs.args[0].timestamp")))
+        facts.foldLeft(Seq.empty[(String, String)].toDF("fact", "value")) {
+          case (acc, (name, c)) =>
+            acc.unionByName(s.range(1).select(lit(name).as("fact"),
+              c.cast("string").as("value")))
+        }.orderBy(col("fact"))
+      } finally server.stop()
+    }),
+
     // limitk (Prometheus's experimental sampling aggregator): k series
     // per group, selection keyed on md5 of the joined tag string — the
     // same series stay picked at every grid step, and DuckDB reproduces
@@ -13098,6 +13223,33 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "s1_text_ingest" ->
+      s"""SELECT user_id, $OSec AS t,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |FROM events WHERE event_type = 'purchase'
+         |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s3_remote_write_chain" ->
+      s"""SELECT user_id, $OSec AS t,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |FROM events WHERE event_type = 'signup'
+         |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "serve_parse_query" ->
+      """SELECT * FROM (VALUES
+        |  ('agg_grouping', 'job'),
+        |  ('agg_op', 'sum'),
+        |  ('at_ts', '1704067200'),
+        |  ('fn_name', 'rate'),
+        |  ('matcher_type', '=~'),
+        |  ('matcher_value', '5..'),
+        |  ('root_op', '/'),
+        |  ('root_type', 'binaryExpr'),
+        |  ('sel_offset', '60'),
+        |  ('sel_range', '300'),
+        |  ('sel_type', 'matrixSelector')) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "promql_limitk" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

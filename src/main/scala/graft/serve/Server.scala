@@ -84,6 +84,11 @@ class Server(spark: SparkSession, tablePath: String,
     */
   @volatile private var cachedTable: Option[DataFrame] = None
 
+  /** Serializes parquet COMMITS to the main table (see the append site:
+    * concurrent append jobs to one path share the Hadoop staging dir).
+    */
+  private val appendLock = new Object
+
   private[graft] def storedTable(): DataFrame = synchronized {
     cachedTable.getOrElse {
       // recorded tombstones mask deleted samples on EVERY read surface
@@ -165,9 +170,19 @@ class Server(spark: SparkSession, tablePath: String,
       // .v2.Request`, per the RW2 spec); everything else decodes as the
       // v1 WriteRequest the reference speaks. Both resolve to the same
       // canonical stream before any pipeline stage runs.
-      val body = Prompb.snappyUncompress(readBody(ex))
       val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type"))
         .getOrElse("")
+      // the text exposition format rides /write too (pushed pages,
+      // federation relays): plain text, never snappy-framed, TYPE/HELP
+      // comments land in the metadata store
+      if (ctype.startsWith("text/plain")) {
+        val dec = graft.codec.TextExposition.decode(
+          new String(readBody(ex), "UTF-8"), System.currentTimeMillis())
+        dec.metadata.foreach(md =>
+          if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
+        return ingestDecoded(ex, dec.request)
+      }
+      val body = Prompb.snappyUncompress(readBody(ex))
       val (wr, exemplars, metadata) =
         if (ctype.contains("io.prometheus.write.v2.Request")) {
           val req = graft.codec.Prompb2.decodeRequest(body)
@@ -239,7 +254,7 @@ class Server(spark: SparkSession, tablePath: String,
           .as("date"),
         col("name"), col("tags"), col("ex_tags"), col("val"),
         timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
-    WritePipeline.append(df, exemplarPath)
+    appendLock.synchronized { WritePipeline.append(df, exemplarPath) }
   }
 
   /** Stale markers → value-less marker rows in the side table. */
@@ -257,7 +272,7 @@ class Server(spark: SparkSession, tablePath: String,
           .as("date"),
         col("name"), col("tags"),
         timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
-    WritePipeline.append(df, stalePath)
+    appendLock.synchronized { WritePipeline.append(df, stalePath) }
   }
 
   private def ingestDecoded(ex: HttpExchange,
@@ -279,7 +294,16 @@ class Server(spark: SparkSession, tablePath: String,
       val table: (String, DataFrame => graft.sinks.Transport.WriteStats) =
         "parquet" -> { df =>
           val rows = WritePipeline.toMetricRows(WritePipeline.dropNonFinite(df))
-          WritePipeline.append(rows, tablePath)
+          // CONCURRENT writers share one Hadoop staging dir
+          // (_temporary/0) per output path: two unserialized append
+          // jobs clobber each other's staging and silently LOSE rows
+          // (exposed by the s3_remote_write_chain entry — concurrent
+          // remote-write senders are the normal case, not the edge).
+          // Only the commit serializes; decode and row prep above stay
+          // concurrent, and executors parallelize within each append.
+          appendLock.synchronized {
+            WritePipeline.append(rows, tablePath)
+          }
           invalidateTable()
           // The decoded request size IS the row count of `df` — counting
           // it again would launch a second Spark job per micro-batch
@@ -856,6 +880,36 @@ class Server(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** `GET /api/v1/parse_query?query=…` — the AST as JSON (the endpoint
+    * Prometheus 3.x exposes for editors/linters); a parse error is 400
+    * with the offset-bearing message, like format_query.
+    */
+  private def handleParseQuery(ex: HttpExchange): Unit = {
+    def jsonErr(code: Int, errorType: String, msg: String): Unit = {
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, code,
+        s"""{"status":"error","errorType":"$errorType","error":${jsonStr(msg)}}"""
+          .getBytes("UTF-8"))
+    }
+    try {
+      val raw = apiParams(ex)
+      val q = java.net.URLDecoder.decode(
+        raw.getOrElse("query", throw new IllegalArgumentException(
+          "missing parameter 'query'")), "UTF-8")
+      val ast = graft.promql.Parser.parse(q)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      respond(ex, 200,
+        s"""{"status":"success","data":${graft.promql.AstJson.toJson(ast)}}"""
+          .getBytes("UTF-8"))
+    } catch {
+      case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+        jsonErr(400, "bad_data", Option(e.getMessage).getOrElse("bad query"))
+      case e: Throwable =>
+        jsonErr(500, "internal",
+          Option(e.getMessage).getOrElse("parse error"))
+    }
+  }
+
   /** `GET /api/v1/metadata` — the metric-family metadata received on the
     * write path (v1 WriteRequest.metadata, RW2 per-series Metadata), in
     * the Prometheus envelope Grafana's metric browser parses.
@@ -1307,6 +1361,8 @@ class Server(spark: SparkSession, tablePath: String,
       })
     http.createContext("/api/v1/format_query",
       (ex: HttpExchange) => handleFormatQuery(ex))
+    http.createContext("/api/v1/parse_query",
+      (ex: HttpExchange) => handleParseQuery(ex))
     http.createContext("/api/v1/labels",
       (ex: HttpExchange) => handleMeta(ex))
     http.createContext("/api/v1/label",

@@ -151,6 +151,55 @@ object Transport {
     }
   }
 
+  /** Prometheus remote-write FORWARDING sink: re-encode flat samples
+    * as a v1 WriteRequest (proto + snappy) and POST them downstream —
+    * the sink that lets one adapter chain into another (or into a real
+    * Prometheus remote-write receiver). Input is the flatten shape
+    * (name, labels map, value, timestampMs); each partition groups its
+    * rows back into series, encodes ONE WriteRequest, and sends ONE
+    * request with the remote-write headers — partition count = request
+    * fan-out, exactly like the other HTTP sinks.
+    */
+  def remoteWritePush(samples: DataFrame, url: String,
+                      timeoutMs: Int = 30000): Dataset[WriteStats] = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.select(col("labels"), col("value"), col("timestampMs"))
+      .as[(Map[String, String], Double, Long)]
+      .mapPartitions { it =>
+        val batch = it.toArray
+        if (batch.isEmpty) Iterator.empty
+        else Iterator.single(
+          try {
+            val series = batch.groupBy(_._1).toSeq
+              .map { case (labels, rows) =>
+                graft.codec.Prompb.PTimeSeries(
+                  labels.toSeq.sortBy(_._1).map { case (k, v) =>
+                    graft.codec.Prompb.PLabel(k, v) },
+                  rows.sortBy(_._3).toSeq.map(r =>
+                    graft.codec.Prompb.PSample(r._2, r._3)))
+              }
+            val wire = graft.codec.Prompb.snappyCompress(
+              graft.codec.Prompb.encodeWriteRequest(
+                graft.codec.Prompb.PWriteRequest(series)))
+            postBytes(url, wire, "application/x-protobuf",
+              Seq("Content-Encoding" -> "snappy",
+                "X-Prometheus-Remote-Write-Version" -> "0.1.0"),
+              timeoutMs) match {
+              case Right((code, _)) if code / 100 == 2 =>
+                WriteStats(batch.length.toLong, 0L, None)
+              case Right((code, body)) =>
+                WriteStats(0L, batch.length.toLong,
+                  Some(s"http $code: ${body.take(200)}"))
+              case Left(err) => WriteStats(0L, batch.length.toLong, Some(err))
+            }
+          } catch {
+            case e: IOException =>
+              WriteStats(0L, batch.length.toLong, errMsg(e))
+          })
+      }
+  }
+
   /** Reduce per-partition stats to the per-remote counter pair
     * (sent_samples_total / failed_samples_total, main.go:86-103). Runs as
     * one tiny Spark agg so the whole write is a single distributed action.
@@ -175,6 +224,36 @@ object Transport {
     * Non-positive timeouts fall back to the fixed bound (0 would mean
     * INFINITE to HttpURLConnection, negative would throw mid-task).
     */
+  /** Binary-body POST with extra headers — the remote-write sink's
+    * transport (proto + snappy payloads never round-trip through a
+    * String). Same timeout discipline as [[post]].
+    */
+  private def postBytes(url: String, body: Array[Byte],
+                        contentType: String,
+                        headers: Seq[(String, String)],
+                        timeoutMs: Int): Either[String, (Int, String)] =
+    try {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      try {
+        val readTimeout = effectiveTimeoutMs(timeoutMs)
+        conn.setConnectTimeout(math.min(ConnectTimeoutMs, readTimeout))
+        conn.setReadTimeout(readTimeout)
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", contentType)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(body.length)
+        conn.getOutputStream.write(body)
+        conn.getOutputStream.close()
+        val code = conn.getResponseCode
+        val in = Option(if (code >= 400) conn.getErrorStream else conn.getInputStream)
+        val resp = in.map(s => try new String(s.readAllBytes(), UTF_8) finally s.close())
+          .getOrElse("")
+        Right((code, resp))
+      } finally conn.disconnect()
+    } catch { case e: IOException => Left(errMsg(e).get) }
+
   private def post(url: String, body: String, contentType: String,
                    timeoutMs: Int): Either[String, (Int, String)] =
     try {

@@ -794,4 +794,22 @@ class ServerSpec extends SparkSpec {
       assert(getAny(s"$base/federate?time=200")._1 == 400)
     } finally server.stop()
   }
+
+  test("serve: /api/v1/parse_query returns the AST; parse errors are 400") {
+    val table = Files.createTempDirectory("graft_srvpq").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val q = java.net.URLEncoder.encode("rate(up[5m])", "UTF-8")
+      val (c, b) = getAny(s"$base/api/v1/parse_query?query=$q")
+      assert(c == 200)
+      assert(b.contains(""""type":"call"""") &&
+        b.contains(""""name":"rate"""") &&
+        b.contains(""""type":"matrixSelector"""") &&
+        b.contains(""""range":300"""))
+      val bad = java.net.URLEncoder.encode("rate(up[5m)", "UTF-8")
+      val (bc, bb) = getAny(s"$base/api/v1/parse_query?query=$bad")
+      assert(bc == 400 && bb.contains("bad_data"))
+    } finally server.stop()
+  }
 }

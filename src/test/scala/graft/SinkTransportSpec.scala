@@ -203,4 +203,51 @@ class SinkTransportSpec extends SparkSpec {
     assert(Transport.jsonIntField("""{"failed": 2 }""", "failed") == Some(2L))
     assert(Transport.jsonIntField("""{"failed":2}""", "success") == None)
   }
+
+  test("remote-write sink: proto+snappy with the RW headers, series " +
+      "grouped and ts-sorted; non-2xx fails the partition") {
+    val bodies = new ConcurrentLinkedQueue[Array[Byte]]()
+    val headers = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/write", (ex: HttpExchange) => {
+      bodies.add(ex.getRequestBody.readAllBytes())
+      headers.add(ex.getRequestHeaders.getFirst("Content-Encoding") + "|" +
+        ex.getRequestHeaders.getFirst("X-Prometheus-Remote-Write-Version") +
+        "|" + ex.getRequestHeaders.getFirst("Content-Type"))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/write"
+      val stats = Transport.totals(
+        Transport.remoteWritePush(samples.coalesce(1), url))
+      assert(stats == Transport.WriteStats(5, 0, None))
+      assert(bodies.size == 1)
+      assert(headers.poll() ==
+        "snappy|0.1.0|application/x-protobuf")
+      val wr = graft.codec.Prompb.decodeWriteRequest(
+        graft.codec.Prompb.snappyUncompress(bodies.poll()))
+      // 5 samples over 5 distinct label sets → 5 series, labels sorted
+      assert(wr.timeseries.size == 5)
+      assert(wr.timeseries.forall(ts =>
+        ts.labels.map(_.name) == ts.labels.map(_.name).sorted))
+      val bySeries = wr.timeseries.map(ts =>
+        ts.labels.map(l => s"${l.name}=${l.value}").mkString(",") ->
+          ts.samples).toMap
+      assert(bySeries("__name__=m1,job=a") ==
+        Seq(graft.codec.Prompb.PSample(1.5, 1000L)))
+      // a 500 downstream fails the partition batch
+      val dead = HttpServer.create(new InetSocketAddress(0), 0)
+      dead.createContext("/write", (ex: HttpExchange) => {
+        ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      dead.start()
+      try {
+        val bad = Transport.totals(Transport.remoteWritePush(
+          samples.coalesce(1),
+          s"http://127.0.0.1:${dead.getAddress.getPort}/write"))
+        assert(bad.sent == 0 && bad.failed == 5 && bad.error.nonEmpty)
+      } finally dead.stop(0)
+    } finally server.stop(0)
+  }
 }

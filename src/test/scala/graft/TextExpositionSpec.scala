@@ -1,0 +1,74 @@
+package graft
+
+import graft.codec.{Prompb, TextExposition, WriteWire}
+import graft.codec.Prompb._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The text exposition parser (ingest side of /federate's render). */
+class TextExpositionSpec extends AnyFunSuite {
+
+  test("samples: labels, escapes, special values, optional timestamp") {
+    val page =
+      """# HELP up Whether the target is up.\n Second line \\ here.
+        |# TYPE up gauge
+        |up{job="api",instance="a\"b\\c\nd"} 1 1700000000000
+        |up{job="api",instance="x",} 0.5 1700000060000
+        |up 3 1700000000000
+        |inf_metric +Inf 1000
+        |ninf_metric -Inf 1000
+        |nan_metric NaN 1000
+        |nots_metric 42
+        |""".stripMargin
+    val dec = TextExposition.decode(page, defaultTsMs = 777L)
+    val byName = dec.request.timeseries.groupBy(
+      _.labels.find(_.name == "__name__").get.value)
+    // escaped label value round-trips
+    val esc = byName("up").find(_.labels.exists(_.value == "a\"b\\c\nd"))
+    assert(esc.nonEmpty)
+    assert(esc.get.samples == Seq(PSample(1.0, 1700000000000L)))
+    // trailing comma inside the brace is legal
+    assert(byName("up").exists(_.labels.contains(PLabel("instance", "x"))))
+    // bare name (no label set)
+    assert(byName("up").exists(_.labels.map(_.name) == Seq("__name__")))
+    // Go special floats
+    assert(byName("inf_metric").head.samples.head.value.isPosInfinity)
+    assert(byName("ninf_metric").head.samples.head.value.isNegInfinity)
+    assert(byName("nan_metric").head.samples.head.value.isNaN)
+    // missing timestamp takes the receiver's default
+    assert(byName("nots_metric").head.samples == Seq(PSample(42.0, 777L)))
+    // HELP unescapes \n and \\; TYPE lands beside it
+    assert(dec.metadata == Seq(WriteWire.PMetadata("up", "gauge",
+      "Whether the target is up.\n Second line \\ here.", "")))
+  }
+
+  test("two samples of one series merge into one timeseries in order") {
+    val dec = TextExposition.decode(
+      "m{a=\"1\"} 1 100\nm{a=\"1\"} 2 200\n", 0L)
+    assert(dec.request.timeseries.size == 1)
+    assert(dec.request.timeseries.head.samples ==
+      Seq(PSample(1.0, 100L), PSample(2.0, 200L)))
+  }
+
+  test("malformed lines fail loudly with the line number") {
+    def err(page: String): String =
+      intercept[IllegalArgumentException](
+        TextExposition.decode(page, 0L)).getMessage
+    assert(err("ok 1 1\nbad{x= 1\n").contains("line 2"))
+    assert(err("m{a=\"unterminated} 1\n").contains("unterminated"))
+    assert(err("m notanumber\n").contains("malformed value"))
+    assert(err("m 1 notats\n").contains("malformed timestamp"))
+    assert(err("m{a=\"v\"\n").contains("unterminated label set"))
+    assert(err("{} 1\n").contains("metric name"))
+  }
+
+  test("round trip: a federate-shaped page decodes to the values and " +
+      "timestamps that were printed") {
+    val page = "# TYPE x counter\n" +
+      (0 until 50).map(i => s"""x{i="$i"} $i.5 ${1000 + i}""")
+        .mkString("", "\n", "\n")
+    val dec = TextExposition.decode(page, 0L)
+    assert(dec.request.timeseries.size == 50)
+    assert(dec.request.timeseries.map(_.samples.head.value).sum ==
+      (0 until 50).map(_ + 0.5).sum)
+  }
+}
