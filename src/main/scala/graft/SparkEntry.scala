@@ -7093,6 +7093,95 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // TOMBSTONE PLAN AUDIT: the delete mask is a RESIDUAL filter — the
+    // query's own scan facts (ts pushdown, date partition pruning, name
+    // pushdown, exchange count) must be exactly what they are without
+    // tombstones, or deletes would tax every read at 100 TB.
+    "admin_tombstone_plan" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val store = s.read.parquet(s"$base/metrics")
+      val stones = Seq(
+        graft.engine.Tombstones.Tombstone("view", Jan05, Jan10),
+        graft.engine.Tombstones.Tombstone(
+          """click{user_id="0"}""", -2208988800L, 32503680000L))
+      val spec = Eval.RangeSpec(Jan05, Jan20, 21600L, 86400L)
+      val q = "sum by (user_id) (rate(click[2d]))"
+      // the default 100-char metadata truncation would cut PushedFilters
+      // mid-list and fail the facts spuriously
+      val prevLen = s.conf.get("spark.sql.maxMetadataStringLength", "100")
+      s.conf.set("spark.sql.maxMetadataStringLength", "8192")
+      def plan(src: org.apache.spark.sql.DataFrame): String =
+        Eval.rangeQuery(src, q, spec)
+          .queryExecution.executedPlan.toString
+      def exchanges(p: String): Long =
+        p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+          && !l.contains("ReusedExchange")).toLong
+      val (plain, masked) =
+        try (plan(store),
+          plan(graft.engine.Tombstones.suppress(store, stones)))
+        finally s.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("masked_date_partition_filter",
+          b(masked.contains("PartitionFilters: [") &&
+            masked.contains("(date"))),
+        ("masked_exchanges_unchanged",
+          b(exchanges(masked) == exchanges(plain))),
+        ("masked_name_pushdown",
+          b(masked.contains("EqualTo(name,click)"))),
+        ("masked_ts_pushdown", b(masked.contains("GreaterThan(ts") &&
+          masked.contains("LessThanOrEqual(ts"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
+    // ALERTMANAGER NOTIFICATION: the firing set POSTs to a live
+    // /api/v2/alerts receiver — the same alertStatesAt frame
+    // /api/v1/alerts serves, so what pages and what the UI shows can
+    // never disagree. The oracle replays the rule and keeps the FIRING
+    // rows with their contiguous-run starts.
+    "rules_alertmanager" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val captured = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val am = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      am.createContext("/api/v2/alerts",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          captured.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          ex.sendResponseHeaders(200, -1); ex.close()
+        })
+      am.start()
+      try {
+        // forSec = 0: fires the moment the condition holds (the sf0.01
+        // fixture has no multi-interval held runs at this threshold)
+        val group = graft.promql.Rules.RuleGroup("graft-alerts", 21600L,
+          alerts = Seq(graft.promql.Rules.AlertRule("UserHot",
+            "sum by (user_id) (click) > 120", forSec = 0L,
+            labels = Seq("severity" -> "page"))))
+        val sent = graft.promql.Notifier.notifyOnce(
+          s.read.parquet(s"$base/metrics"), Seq(group),
+          s"http://localhost:${am.getAddress.getPort}", Jan20,
+          lookbackSec = 86400L)
+        val body = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        require(body != null, "no alertmanager POST arrived")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "labels MAP<STRING,STRING>, startsAt STRING")
+        val out = Seq(body).toDF("j")
+          .select(explode(from_json(col("j"),
+            org.apache.spark.sql.types.ArrayType(schema))).as("a"))
+          .select(
+            array_join(sort_array(transform(map_entries(col("a.labels")),
+              e => concat(e.getField("key"), lit("="),
+                e.getField("value")))), ",").as("tags"),
+            unix_timestamp(col("a.startsAt").cast("timestamp"))
+              .as("starts_at"))
+          .orderBy(col("tags"))
+        require(sent == out.count(), "sent count must equal posted alerts")
+        out
+      } finally am.stop(0)
+    }),
+
     // TEXT EXPOSITION INGEST: a scraped/pushed /metrics page POSTs to
     // /write as text/plain — name{labels} value timestamp_ms lines plus
     // TYPE/HELP comments (which land in the metadata store) — and
@@ -13223,6 +13312,40 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "admin_tombstone_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('masked_date_partition_filter', CAST(1 AS BIGINT)),
+        |  ('masked_exchanges_unchanged', 1),
+        |  ('masked_name_pushdown', 1),
+        |  ('masked_ts_pushdown', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
+
+    // forSec = 0 → one-interval replay (2 grid points), every active
+    // row fires; starts_at = the contiguous-run start on that grid
+    "rules_alertmanager" ->
+      s"""WITH gr AS (SELECT 1705687200 + 21600 * k AS T
+         |  FROM generate_series(0, 1) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS vfp
+         |  FROM e WHERE rn = 1 GROUP BY 1, 2),
+         |act AS (SELECT * FROM inst WHERE vfp / 1000000.0 > 120.0),
+         |isl AS (SELECT *, T - 21600 * row_number() OVER
+         |    (PARTITION BY user_id ORDER BY T) AS grp FROM act),
+         |runs AS (SELECT *, min(T) OVER (PARTITION BY user_id, grp)
+         |    AS starts_at FROM isl)
+         |SELECT 'alertname=UserHot,severity=page,user_id=' || user_id
+         |    AS tags,
+         |  CAST(starts_at AS BIGINT) AS starts_at
+         |FROM runs WHERE T = 1705708800
+         |ORDER BY tags""".stripMargin,
 
     "s1_text_ingest" ->
       s"""SELECT user_id, $OSec AS t,

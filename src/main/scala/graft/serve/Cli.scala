@@ -62,7 +62,13 @@ final case class CliConfig(
     // graft extension: a Prometheus-format rule file (the `groups:`
     // layout promtool checks, strict subset); groups load into the
     // in-engine rule evaluator and enumerate on /api/v1/rules.
-    rulesFile: String = "") {
+    rulesFile: String = "",
+    // graft extension: Alertmanager base URL — firing alerts POST to
+    // <url>/api/v2/alerts on the smallest group interval.
+    alertmanagerUrl: String = "",
+    // ≙ Prometheus --web.enable-admin-api: delete_series and
+    // clean_tombstones answer 403 unless enabled.
+    enableAdminApi: Boolean = false) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -142,6 +148,12 @@ object CliConfig {
       |                                 streamed read with ?source=chunks
       |                                 serves raw samples from it (aligned
       |                                 queries forward bytes verbatim).
+      |  --alertmanager.url=""          Alertmanager base URL; firing alerts
+      |                                 POST to /api/v2/alerts on the smallest
+      |                                 rule-group interval.
+      |  --web.enable-admin-api         Enable the TSDB admin endpoints
+      |                                 (delete_series, clean_tombstones);
+      |                                 403 otherwise.
       |""".stripMargin
 
   def usage(): String = Usage
@@ -179,6 +191,10 @@ object CliConfig {
       }
       if (flag == "help" || flag == "h") return Left(Usage)
       value match {
+        // the one boolean flag: bare --web.enable-admin-api turns it on
+        // (kingpin's behavior); an explicit =true/=false also parses
+        case None if flag == "web.enable-admin-api" =>
+          cfg = cfg.copy(enableAdminApi = true)
         case None => return Left(s"flag --$flag needs a value")
         case Some(v) =>
           flag match {
@@ -238,6 +254,12 @@ object CliConfig {
               }
             case "read.chunk-tier" => cfg = cfg.copy(readChunkTier = v)
             case "rules.file" => cfg = cfg.copy(rulesFile = v)
+            case "alertmanager.url" => cfg = cfg.copy(alertmanagerUrl = v)
+            case "web.enable-admin-api" => v.toBooleanOption match {
+              case Some(b) => cfg = cfg.copy(enableAdminApi = b)
+              case None => return Left(
+                s"--web.enable-admin-api needs true or false, got '$v'")
+            }
             case "read.auto-target-points" =>
               v.toLongOption match {
                 case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
@@ -333,7 +355,8 @@ object Cli {
       extraReaderPaths = cfg.readExtraTables, tierPaths = cfg.readTiers,
       autoResTargetPoints = cfg.readAutoTargetPoints,
       chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty),
-      ruleGroups = ruleGroups)
+      ruleGroups = ruleGroups, enableAdminApi = cfg.enableAdminApi,
+      alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty))
   }
 }
 

@@ -42,7 +42,8 @@ class Server(spark: SparkSession, tablePath: String,
              autoResTargetPoints: Long = 250L,
              chunkTierPath: Option[String] = None,
              ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil,
-             enableAdminApi: Boolean = false) {
+             enableAdminApi: Boolean = false,
+             alertmanagerUrl: Option[String] = None) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -1329,7 +1330,42 @@ class Server(spark: SparkSession, tablePath: String,
       }
     })
 
+  /** One notification tick: evaluate every rule group at `atSec` and
+    * POST the FIRING set to Alertmanager (`/api/v2/alerts`) — the same
+    * [[graft.promql.Rules.alertStatesAt]] frame /api/v1/alerts serves,
+    * so what pages and what the UI shows can never disagree. Returns
+    * the number of alerts sent (0 when no URL is configured).
+    */
+  def notifyAlertmanager(
+      atSec: Long = System.currentTimeMillis() / 1000): Int =
+    alertmanagerUrl match {
+      case Some(u) =>
+        graft.promql.Notifier.notifyOnce(promqlTable(), ruleGroups, u, atSec)
+      case None => 0
+    }
+
+  /** The notification loop (ticks at the smallest group interval, like
+    * Prometheus's rule manager); a failed tick logs and the next tick
+    * retries — an unreachable Alertmanager must never kill the server.
+    */
+  @volatile private var notifier: Option[Thread] = None
+
   def start(): Server = {
+    if (alertmanagerUrl.nonEmpty && ruleGroups.nonEmpty) {
+      val tickMs = ruleGroups.map(_.intervalSec).min * 1000L
+      val t = new Thread(() => {
+        try while (!Thread.interrupted()) {
+          Thread.sleep(tickMs)
+          try notifyAlertmanager()
+          catch { case e: Exception =>
+            System.err.println(s"[graft] alertmanager notify failed: ${
+              Option(e.getMessage).getOrElse(e.getClass.getName)}") }
+        } catch { case _: InterruptedException => () }
+      }, "graft-alertmanager-notifier")
+      t.setDaemon(true)
+      t.start()
+      notifier = Some(t)
+    }
     http.createContext("/write", (ex: HttpExchange) => handleWrite(ex))
     http.createContext("/otlp/v1/metrics", (ex: HttpExchange) => handleOtlp(ex))
     http.createContext("/read", (ex: HttpExchange) => handleRead(ex))
@@ -1359,6 +1395,25 @@ class Server(spark: SparkSession, tablePath: String,
           ("""{"status":"success","data":{"version":"2.53.0",""" +
             """"application":"graft","features":{}}}""").getBytes("UTF-8"))
       })
+    http.createContext("/api/v1/status/flags",
+      (ex: HttpExchange) => {
+        // the one flag clients act on is the admin-API gate
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          (s"""{"status":"success","data":{""" +
+            s""""web.enable-admin-api":"$enableAdminApi",""" +
+            s""""storage.tsdb.retention.time":"0s"}}""").getBytes("UTF-8"))
+      })
+    http.createContext("/api/v1/status/runtimeinfo",
+      (ex: HttpExchange) => {
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          (s"""{"status":"success","data":{""" +
+            s""""storagePath":${jsonStr(tablePath)},""" +
+            s""""reloadConfigSuccess":true,""" +
+            s""""goroutineCount":${Thread.activeCount()}}}""")
+            .getBytes("UTF-8"))
+      })
     http.createContext("/api/v1/format_query",
       (ex: HttpExchange) => handleFormatQuery(ex))
     http.createContext("/api/v1/parse_query",
@@ -1382,6 +1437,7 @@ class Server(spark: SparkSession, tablePath: String,
   }
 
   def stop(): Unit = {
+    notifier.foreach(_.interrupt())
     http.stop(0)
     handlerPool.shutdown()
   }

@@ -212,4 +212,16 @@ class CliSpec extends SparkSpec {
     // --rules.file parses; a missing file is a parse-time error
     assert(CliConfig.parse(Seq("--rules.file", "/no/such/file")).isLeft)
   }
+
+  test("admin-api and alertmanager flags: bare boolean, explicit value, " +
+      "bad value rejected") {
+    assert(!CliConfig.parse(Nil).toOption.get.enableAdminApi)
+    assert(CliConfig.parse(Seq("--web.enable-admin-api"))
+      .toOption.get.enableAdminApi)
+    assert(CliConfig.parse(Seq("--web.enable-admin-api=false"))
+      .toOption.exists(!_.enableAdminApi))
+    assert(CliConfig.parse(Seq("--web.enable-admin-api=maybe")).isLeft)
+    assert(CliConfig.parse(Seq("--alertmanager.url=http://am:9093"))
+      .toOption.get.alertmanagerUrl == "http://am:9093")
+  }
 }

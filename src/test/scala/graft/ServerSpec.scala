@@ -795,6 +795,48 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: alertmanager notifier loop posts the firing set on the " +
+      "group interval; status flags/runtimeinfo answer") {
+    val table = Files.createTempDirectory("graft_srvam").toString + "/metrics"
+    val captured = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val am = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    am.createContext("/api/v2/alerts",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        captured.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+    am.start()
+    val group = graft.promql.Rules.RuleGroup("g", 1L,
+      alerts = Seq(graft.promql.Rules.AlertRule("Up", "up > 0",
+        forSec = 0L)))
+    val server = new Server(spark, table, ruleGroups = Seq(group),
+      alertmanagerUrl =
+        Some(s"http://localhost:${am.getAddress.getPort}")).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // a sample near "now" so the live loop's instant query sees it
+      val now = System.currentTimeMillis()
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "up"), PLabel("job", "j")),
+        Seq(PSample(1.0, now)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      // the 1 s loop must deliver within a few ticks
+      val body = captured.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "notifier loop never posted")
+      assert(body.contains(""""alertname":"Up"""") &&
+        body.contains(""""job":"j"""") && body.contains("startsAt"))
+      // one-shot API agrees
+      assert(server.notifyAlertmanager(now / 1000) == 1)
+      // status probes
+      val (fc, fb) = getAny(s"$base/api/v1/status/flags")
+      assert(fc == 200 && fb.contains(""""web.enable-admin-api":"false""""))
+      val (rc, rb) = getAny(s"$base/api/v1/status/runtimeinfo")
+      assert(rc == 200 && rb.contains("storagePath"))
+    } finally { server.stop(); am.stop(0) }
+  }
+
   test("serve: /api/v1/parse_query returns the AST; parse errors are 400") {
     val table = Files.createTempDirectory("graft_srvpq").toString + "/metrics"
     val server = new Server(spark, table).start()
