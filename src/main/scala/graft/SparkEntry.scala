@@ -7135,6 +7135,95 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // OTLP over gzip: OTel SDK HTTP exporters compress by default —
+    // the same gauge payload, gzip-framed with the Content-Encoding
+    // header, through the live /otlp endpoint into the store.
+    "s1_otlp_gzip" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_ogz")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val pts = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), col("value"), unix_millis(col("ts"))
+            .as("ms"))
+          .collect().toSeq
+          .map(r => ("error", Seq("user_id" -> r.getLong(0).toString),
+            r.getLong(2) * 1000000L, r.getDouble(1)))
+        val plain = graft.codec.Otlp.encodeGaugeRequest(
+          Seq("job" -> "graft"), pts)
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        conn.setRequestProperty("Content-Encoding", "gzip")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(bos.toByteArray)
+        require(conn.getResponseCode == 200, "gzip otlp write failed")
+        conn.disconnect()
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
+    // SNAPSHOT: /api/v1/admin/tsdb/snapshot hardlinks every store file
+    // into <table>_snapshots/<name> — O(files) metadata writes, zero
+    // bytes copied (immutable-once-written parquet makes shared blocks
+    // safe). The snapshot must read back as a complete, independent
+    // store.
+    "admin_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_snap")
+        .toString + "/metrics"
+      WritePipeline.append(WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val server = new graft.serve.Server(s, table,
+        enableAdminApi = true).start()
+      try {
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+            "/api/v1/admin/tsdb/snapshot?name=snap1")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+        conn.disconnect()
+        require(body.contains(""""name":"snap1""""), s"bad response $body")
+        s.read.parquet(s"${table}_snapshots/snap1")
+          .groupBy(col("name")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("name"))
+      } finally server.stop()
+    }),
+
+    // RETENTION: partitions whose every sample is past the horizon drop
+    // as pure directory operations — never a data read. 10 d at a
+    // pinned "now" of Jan20 drops Jan01–Jan09 and keeps the rest
+    // bit-exact.
+    "admin_retention" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_ret")
+        .toString + "/metrics"
+      WritePipeline.append(WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val sweep = graft.engine.Admin.enforceRetention(table,
+        retentionSec = 10L * 86400L, nowSec = Jan20)
+      require(sweep.droppedDates == 9L,
+        s"expected 9 dropped partitions, got ${sweep.droppedDates}")
+      s.read.parquet(table)
+        .groupBy(col("date").cast("string").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("day"))
+    }),
+
     // ALERTMANAGER NOTIFICATION: the firing set POSTs to a live
     // /api/v2/alerts receiver — the same alertStatesAt frame
     // /api/v1/alerts serves, so what pages and what the UI shows can
@@ -13312,6 +13401,22 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, T AS t,
          |  CAST(sum(vfp) AS BIGINT) AS value_fp
          |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+
+    "s1_otlp_gzip" ->
+      s"""SELECT user_id, $OSec AS t,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |FROM events WHERE event_type = 'error'
+         |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "admin_snapshot" ->
+      """SELECT event_type AS name, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY name""".stripMargin,
+
+    "admin_retention" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS cnt
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "admin_tombstone_plan" ->
       """SELECT * FROM (VALUES

@@ -68,7 +68,11 @@ final case class CliConfig(
     alertmanagerUrl: String = "",
     // ≙ Prometheus --web.enable-admin-api: delete_series and
     // clean_tombstones answer 403 unless enabled.
-    enableAdminApi: Boolean = false) {
+    enableAdminApi: Boolean = false,
+    // ≙ Prometheus --storage.tsdb.retention.time: date partitions whose
+    // every sample is past the horizon drop after each committed batch.
+    // 0 = keep forever.
+    retentionSec: Long = 0L) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -152,20 +156,24 @@ object CliConfig {
       |                                 POST to /api/v2/alerts on the smallest
       |                                 rule-group interval.
       |  --web.enable-admin-api         Enable the TSDB admin endpoints
-      |                                 (delete_series, clean_tombstones);
-      |                                 403 otherwise.
+      |                                 (delete_series, clean_tombstones,
+      |                                 snapshot); 403 otherwise.
+      |  --storage.tsdb.retention.time=0s  Drop date partitions whose every
+      |                                 sample is past this horizon (after
+      |                                 each committed batch); 0 = forever.
       |""".stripMargin
 
   def usage(): String = Usage
 
-  private val DurationRe = "^(\\d+)(ms|s|m|h)$".r
+  private val DurationRe = "^(\\d+)(ms|s|m|h|d)$".r
 
   private[serve] def parseDurationMs(s: String): Either[String, Long] = s match {
     case DurationRe(n, "ms") => Right(n.toLong)
     case DurationRe(n, "s") => Right(n.toLong * 1000)
     case DurationRe(n, "m") => Right(n.toLong * 60000)
     case DurationRe(n, "h") => Right(n.toLong * 3600000)
-    case other => Left(s"invalid duration '$other' (want e.g. 10s, 500ms, 1m)")
+    case DurationRe(n, "d") => Right(n.toLong * 86400000)
+    case other => Left(s"invalid duration '$other' (want e.g. 10s, 500ms, 1m, 15d)")
   }
 
   /** kingpin-style parse: `--flag=value` or `--flag value`; unknown flags
@@ -260,6 +268,11 @@ object CliConfig {
               case None => return Left(
                 s"--web.enable-admin-api needs true or false, got '$v'")
             }
+            case "storage.tsdb.retention.time" =>
+              parseDurationMs(v) match {
+                case Right(ms) => cfg = cfg.copy(retentionSec = ms / 1000)
+                case Left(e) => return Left(e)
+              }
             case "read.auto-target-points" =>
               v.toLongOption match {
                 case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
@@ -356,7 +369,8 @@ object Cli {
       autoResTargetPoints = cfg.readAutoTargetPoints,
       chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty),
       ruleGroups = ruleGroups, enableAdminApi = cfg.enableAdminApi,
-      alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty))
+      alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty),
+      retentionSec = cfg.retentionSec)
   }
 }
 

@@ -43,7 +43,8 @@ class Server(spark: SparkSession, tablePath: String,
              chunkTierPath: Option[String] = None,
              ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil,
              enableAdminApi: Boolean = false,
-             alertmanagerUrl: Option[String] = None) {
+             alertmanagerUrl: Option[String] = None,
+             retentionSec: Long = 0L) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -222,8 +223,18 @@ class Server(spark: SparkSession, tablePath: String,
     * remote-write generations, then ride the identical ingest tail.
     */
   private def handleOtlp(ex: HttpExchange): Unit =
-    try ingestDecoded(ex, graft.codec.Otlp.decodeToV1(readBody(ex)))
-    catch {
+    try {
+      // OTel SDK HTTP exporters gzip by default — honor the header
+      val raw = readBody(ex)
+      val body =
+        if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            .exists(_.contains("gzip"))) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          try in.readAllBytes() finally in.close()
+        } else raw
+      ingestDecoded(ex, graft.codec.Otlp.decodeToV1(body))
+    } catch {
       case e: Throwable =>
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
     }
@@ -304,6 +315,12 @@ class Server(spark: SparkSession, tablePath: String,
           // concurrent, and executors parallelize within each append.
           appendLock.synchronized {
             WritePipeline.append(rows, tablePath)
+            // the retention sweep is a directory listing + partition
+            // drops — cheap enough to run on every committed batch,
+            // like Prometheus's head-truncation cadence
+            if (retentionSec > 0)
+              graft.engine.Admin.enforceRetention(tablePath, retentionSec,
+                System.currentTimeMillis() / 1000)
           }
           invalidateTable()
           // The decoded request size IS the row count of `df` — counting
@@ -1255,6 +1272,14 @@ class Server(spark: SparkSession, tablePath: String,
         graft.engine.Tombstones.clean(spark, tablePath)
         invalidateTable()
         respond(ex, 204, Array.emptyByteArray)
+      } else if (path.endsWith("/snapshot")) {
+        val name = pairs.find(_._1 == "name").map(_._2)
+          .getOrElse(s"graft-${System.currentTimeMillis()}")
+        graft.engine.Admin.snapshot(tablePath, name)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        respond(ex, 200,
+          s"""{"status":"success","data":{"name":${jsonStr(name)}}}"""
+            .getBytes("UTF-8"))
       } else jsonErr(404, "bad_data", s"unknown admin path $path")
     } catch {
       case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
@@ -1402,7 +1427,8 @@ class Server(spark: SparkSession, tablePath: String,
         respond(ex, 200,
           (s"""{"status":"success","data":{""" +
             s""""web.enable-admin-api":"$enableAdminApi",""" +
-            s""""storage.tsdb.retention.time":"0s"}}""").getBytes("UTF-8"))
+            s""""storage.tsdb.retention.time":"${retentionSec}s"}}""")
+            .getBytes("UTF-8"))
       })
     http.createContext("/api/v1/status/runtimeinfo",
       (ex: HttpExchange) => {

@@ -223,5 +223,10 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--web.enable-admin-api=maybe")).isLeft)
     assert(CliConfig.parse(Seq("--alertmanager.url=http://am:9093"))
       .toOption.get.alertmanagerUrl == "http://am:9093")
+    // retention takes day durations
+    assert(CliConfig.parse(Seq("--storage.tsdb.retention.time=15d"))
+      .toOption.get.retentionSec == 15L * 86400L)
+    assert(CliConfig.parse(
+      Seq("--storage.tsdb.retention.time=soon")).isLeft)
   }
 }
