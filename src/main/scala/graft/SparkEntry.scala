@@ -7445,6 +7445,33 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // FEDERATION PULL: a second graft instance SCRAPES the first's
+    // /federate page and ingests it through the canonical write path —
+    // hierarchical stacking with no Prometheus in between. Shares
+    // serve_federate's oracle VERBATIM: render → parse → store must be
+    // lossless for values and per-sample timestamps.
+    "serve_federate_scrape" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val child = new graft.serve.Server(s, s"$base/metrics").start()
+      val parentTable = java.nio.file.Files
+        .createTempDirectory("graft_fedp").toString + "/metrics"
+      try {
+        val n = graft.serve.Scraper.scrapeInto(s,
+          s"http://localhost:${child.boundPort}" +
+            s"/federate?match[]=click&time=$Jan20&lookback=1d",
+          parentTable)
+        require(n > 0, "scrape returned no samples")
+        s.read.parquet(parentTable)
+          .select(col("name"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"),
+            unix_millis(col("ts")).as("t_ms"))
+          .orderBy(col("user_id"))
+      } finally child.stop()
+    }),
+
     // CARDINALITY STATISTICS: /api/v1/status/tsdb — head totals plus
     // the four top-k breakdowns the Prometheus TSDB-status page reads,
     // all computed from ONE distinct-series frame (executor-side top-k,
@@ -9186,6 +9213,22 @@ object SparkEntry {
   /** Shared by promql_select_topk and promql_over_chunks — the
     * chunk-decoded store must evaluate identically to the raw one.
     */
+  /** Shared by serve_federate and serve_federate_scrape — the scrape
+    * loop (render → text parse → canonical store) must be
+    * row-invisible against the direct federation render.
+    */
+  private val OFederateSql: String =
+    s"""WITH s AS (SELECT user_id, $OSec AS t, value FROM events
+       |  WHERE event_type = 'click'
+       |    AND $OSec > 1705708800 - 86400 AND $OSec <= 1705708800),
+       |d AS (SELECT user_id, t, max(value) AS v FROM s GROUP BY 1, 2),
+       |last AS (SELECT user_id, max(t) AS t FROM d GROUP BY 1)
+       |SELECT 'click' AS name, last.user_id AS user_id,
+       |  CAST(floor(d.v * 1000000) AS BIGINT) AS value_fp,
+       |  last.t * 1000 AS t_ms
+       |FROM last JOIN d ON d.user_id = last.user_id AND d.t = last.t
+       |ORDER BY last.user_id""".stripMargin
+
   private val OPromTopkSql: String =
     s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
          |  FROM generate_series(0, 60) g(k)),
@@ -13479,6 +13522,10 @@ object SparkEntry {
         |  ('sel_type', 'matrixSelector')) AS t(fact, value)
         |ORDER BY fact""".stripMargin,
 
+    // shares serve_federate's oracle verbatim: the render → parse →
+    // store loop is row-invisible
+    "serve_federate_scrape" -> OFederateSql,
+
     "promql_limitk" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
          |  FROM generate_series(0, 60) g(k)),
@@ -13583,17 +13630,7 @@ object SparkEntry {
          |    (SELECT max(t) * 1000 FROM tt))
          |ORDER BY section, name""".stripMargin,
 
-    "serve_federate" ->
-      s"""WITH s AS (SELECT user_id, $OSec AS t, value FROM events
-         |  WHERE event_type = 'click'
-         |    AND $OSec > 1705708800 - 86400 AND $OSec <= 1705708800),
-         |d AS (SELECT user_id, t, max(value) AS v FROM s GROUP BY 1, 2),
-         |last AS (SELECT user_id, max(t) AS t FROM d GROUP BY 1)
-         |SELECT 'click' AS name, last.user_id AS user_id,
-         |  CAST(floor(d.v * 1000000) AS BIGINT) AS value_fp,
-         |  last.t * 1000 AS t_ms
-         |FROM last JOIN d ON d.user_id = last.user_id AND d.t = last.t
-         |ORDER BY last.user_id""".stripMargin,
+    "serve_federate" -> OFederateSql,
 
     // replay the two recorded deletions over raw events; count dedups
     // per (series, second) exactly like the evaluator
