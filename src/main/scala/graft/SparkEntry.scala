@@ -394,6 +394,36 @@ object SparkEntry {
       table
     }
 
+  /** A PRIVATE MUTABLE COPY of the canonical metrics store for the
+    * entries that delete/sweep/rewrite it (admin_*): the store builds
+    * ONCE per JVM ([[cachedModel]]), each caller gets a hardlink copy —
+    * O(files) metadata writes instead of a fresh 600k-row append per
+    * bench trial. Hardlinks are safe exactly because the store's files
+    * are immutable once written: delete paths REPLACE files (new file +
+    * unlink), never mutate in place, so the shared blocks can't leak
+    * between copies.
+    */
+  private def freshStoreCopy(s: SparkSession, dir: String): String = {
+    val base = cachedModel(s"mutbase:$dir") {
+      val b = java.nio.file.Files.createTempDirectory("graft_mutbase")
+        .toString + "/metrics"
+      WritePipeline.append(WritePipeline.toMetricRows(
+        WritePipeline.dropNonFinite(flatSamples(s, dir))), b)
+      b
+    }
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = JP.get(base)
+    val dest = JP.get(JF.createTempDirectory("graft_mutcopy").toString,
+      "metrics")
+    import scala.jdk.CollectionConverters._
+    JF.walk(root).iterator().asScala.foreach { p =>
+      val t = dest.resolve(root.relativize(p))
+      if (JF.isDirectory(p)) JF.createDirectories(t)
+      else JF.createLink(t, p)
+    }
+    dest.toString
+  }
+
   /** Hot-series skew fixture for the promql_skew_hot pair: the click
     * stream with ONE series (user_id=0) inflated 100× (each sample
     * replicated at 100 distinct shifted seconds) — the `up`-cardinality
@@ -7183,10 +7213,7 @@ object SparkEntry {
     // store.
     "admin_snapshot" -> ((s, dir) => {
       import s.implicits._
-      val table = java.nio.file.Files.createTempDirectory("graft_snap")
-        .toString + "/metrics"
-      WritePipeline.append(WritePipeline.toMetricRows(
-        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val table = freshStoreCopy(s, dir)
       val server = new graft.serve.Server(s, table,
         enableAdminApi = true).start()
       try {
@@ -7210,10 +7237,7 @@ object SparkEntry {
     // bit-exact.
     "admin_retention" -> ((s, dir) => {
       import s.implicits._
-      val table = java.nio.file.Files.createTempDirectory("graft_ret")
-        .toString + "/metrics"
-      WritePipeline.append(WritePipeline.toMetricRows(
-        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val table = freshStoreCopy(s, dir)
       val sweep = graft.engine.Admin.enforceRetention(table,
         retentionSec = 10L * 86400L, nowSec = Jan20)
       require(sweep.droppedDates == 9L,
@@ -7527,10 +7551,7 @@ object SparkEntry {
     // 100 TB the delete costs nothing until clean_tombstones.
     "admin_delete_series" -> ((s, dir) => {
       import s.implicits._
-      val table = java.nio.file.Files.createTempDirectory("graft_adm")
-        .toString + "/metrics"
-      WritePipeline.append(WritePipeline.toMetricRows(
-        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val table = freshStoreCopy(s, dir)
       val server = new graft.serve.Server(s, table,
         enableAdminApi = true).start()
       try {
@@ -7591,10 +7612,7 @@ object SparkEntry {
     // physical state from a raw re-read — no suppression in the loop.
     "admin_clean_tombstones" -> ((s, dir) => {
       import s.implicits._
-      val table = java.nio.file.Files.createTempDirectory("graft_admc")
-        .toString + "/metrics"
-      WritePipeline.append(WritePipeline.toMetricRows(
-        WritePipeline.dropNonFinite(flatSamples(s, dir))), table)
+      val table = freshStoreCopy(s, dir)
       val server = new graft.serve.Server(s, table,
         enableAdminApi = true).start()
       try {

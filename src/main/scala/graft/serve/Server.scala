@@ -719,6 +719,11 @@ class Server(spark: SparkSession, tablePath: String,
         .getOrElse(throw new IllegalArgumentException("missing 'start'"))
       val end = one("end").map(v => math.floor(v.toDouble).toLong)
         .getOrElse(throw new IllegalArgumentException("missing 'end'"))
+      // ?limit= truncates deterministically (sort THEN limit, both
+      // in-plan: TakeOrdered on the executors) — the Prometheus param
+      val userLimit = one("limit").map(_.toInt).filter(_ > 0)
+      def capped(df: DataFrame): DataFrame =
+        userLimit.map(df.limit).getOrElse(df)
       var df = storedTable()
         .filter(col("ts") >= timestamp_seconds(lit(start)) &&
           col("ts") <= timestamp_seconds(lit(end)))
@@ -731,10 +736,10 @@ class Server(spark: SparkSession, tablePath: String,
           .reduce(_ || _))
       val body: String =
         if (path.endsWith("/labels")) {
-          val names = df
+          val names = capped(df
             .select(explode(col("tags")).as("kv"))
             .select(substring_index(col("kv"), "=", 1).as("k"))
-            .distinct().orderBy(col("k"))
+            .distinct().orderBy(col("k")))
             .collect().map(r => jsonStr(r.getString(0)))
           s"""{"status":"success","data":${names.mkString("[", ",", "]")}}"""
         } else if (path.startsWith("/api/v1/label/") &&
@@ -742,12 +747,12 @@ class Server(spark: SparkSession, tablePath: String,
           val label = path.stripPrefix("/api/v1/label/")
             .stripSuffix("/values")
           val prefix = label + "="
-          val vals = df
+          val vals = capped(df
             .select(explode(col("tags")).as("kv"))
             .filter(col("kv").startsWith(prefix))
             .select(col("kv").substr(lit(prefix.length + 1),
               lit(Int.MaxValue)).as("v"))
-            .distinct().orderBy(col("v"))
+            .distinct().orderBy(col("v")))
             .collect().map(r => jsonStr(r.getString(0)))
           s"""{"status":"success","data":${vals.mkString("[", ",", "]")}}"""
         } else if (path.endsWith("/series")) {
@@ -756,10 +761,15 @@ class Server(spark: SparkSession, tablePath: String,
               "series requires at least one match[]")
           // distinct tags bounded IN-PLAN (limit after the distinct, so
           // CollectLimit truncates on the executors); the deterministic
-          // order is applied driver-side on the bounded rows
-          val rows = df.select(col("tags")).distinct()
-            .limit(readMaxSeries + 1)
-            .collect()
+          // order is applied driver-side on the bounded rows. A user
+          // ?limit= sorts FIRST (TakeOrdered) so the cut is stable.
+          val distinctTags = df.select(col("tags")).distinct()
+          val rows = userLimit match {
+            case Some(n) =>
+              distinctTags.orderBy(array_join(col("tags"), ","))
+                .limit(math.min(n, readMaxSeries + 1)).collect()
+            case None => distinctTags.limit(readMaxSeries + 1).collect()
+          }
           if (rows.length > readMaxSeries)
             throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
           val out = rows.sortBy(

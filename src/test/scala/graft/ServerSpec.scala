@@ -486,6 +486,15 @@ class ServerSpec extends SparkSpec {
       // time bounds apply: nothing before the sample
       assert(getAny(s"$base/api/v1/series?start=0&end=50&match[]=$m")
         ._2.contains(""""data":[]"""))
+      // ?limit= truncates deterministically (sorted first) on all three
+      assert(getAny(s"$base/api/v1/labels?start=0&end=200&match[]=$m" +
+        "&limit=2")._2.contains("""["__name__","job"]"""))
+      assert(getAny(s"$base/api/v1/label/job/values?start=0&end=200" +
+        "&limit=1")._2.contains("""["a"]"""))
+      val (slc, slb) = getAny(
+        s"$base/api/v1/series?start=0&end=200&match[]=$m&limit=1")
+      assert(slc == 200)
+      assert(slb.contains(""""job":"a"""") && !slb.contains(""""job":"b""""))
     } finally server.stop()
   }
 
