@@ -1185,12 +1185,20 @@ class Server(spark: SparkSession, tablePath: String,
             .map(r => (r.getAs[String]("name"), r.getAs[Long]("value")))
         val byMetric = top(series.groupBy(col("name"))
           .agg(count(lit(1)).as("value")).select(col("name"), col("value")))
-        val valueCount = top(kv.select(col("k"), col("v")).distinct()
-          .groupBy(col("k")).agg(count(lit(1)).as("value"))
-          .select(col("k").as("name"), col("value")))
-        val memBytes = top(kv.groupBy(col("k"))
-          .agg(sum(length(col("v")).cast("long")).as("value"))
-          .select(col("k").as("name"), col("value")))
+        // ONE job computes every per-label-NAME stat: the result is
+        // label-name-sized (the width of a /metrics page), so the
+        // top-k and the numLabelPairs total derive driver-side
+        val labelStats = kv.groupBy(col("k")).agg(
+            count_distinct(col("v")).as("values"),
+            sum(length(col("v")).cast("long")).as("bytes"))
+          .collect().toSeq
+          .map(r => (r.getAs[String]("k"), r.getAs[Long]("values"),
+            r.getAs[Long]("bytes")))
+        def topOf(xs: Seq[(String, Long)]): Seq[(String, Long)] =
+          xs.sortBy { case (n, v) => (-v, n) }.take(topN)
+        val valueCount = topOf(labelStats.map(x => (x._1, x._2)))
+        val memBytes = topOf(labelStats.map(x => (x._1, x._3)))
+        val numPairs = labelStats.map(_._2).sum
         val byPair = top(kv.groupBy(col("k"), col("v"))
           .agg(count(lit(1)).as("value"))
           .select(concat(col("k"), lit("="), col("v")).as("name"),
@@ -1201,7 +1209,6 @@ class Server(spark: SparkSession, tablePath: String,
           min(unix_millis(col("ts"))).as("minT"),
           max(unix_millis(col("ts"))).as("maxT")).head()
         val numSeries = series.count()
-        val numPairs = kv.select(col("k"), col("v")).distinct().count()
         def sec(xs: Seq[(String, Long)]): String = xs.map { case (n, v) =>
           s"""{"name":${jsonStr(n)},"value":$v}"""
         }.mkString("[", ",", "]")
