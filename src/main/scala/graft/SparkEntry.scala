@@ -7420,6 +7420,18 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // ts_of_max_over_time (Prometheus 3.x experimental): the TIMESTAMP
+    // of the window's maximum sample — value ties resolve to the latest
+    // sample (argmax on (value, t)), replayed exactly by the oracle.
+    "promql_ts_of" -> ((s, dir) => {
+      Eval.rangeQuery(Tables.metrics(s, dir),
+          "ts_of_max_over_time(click[1d])",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // limitk (Prometheus's experimental sampling aggregator): k series
     // per group, selection keyed on md5 of the joined tag string — the
     // same series stay picked at every grid step, and DuckDB reproduces
@@ -13543,6 +13555,21 @@ object SparkEntry {
     // shares serve_federate's oracle verbatim: the render → parse →
     // store loop is row-invisible
     "serve_federate_scrape" -> OFederateSql,
+
+    "promql_ts_of" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |w AS (SELECT gr.T AS gt, d.user_id, d.t AS st, d.vfp,
+         |    row_number() OVER (PARTITION BY gr.T, d.user_id
+         |      ORDER BY d.vfp DESC, d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t > gr.T - 86400 AND d.t <= gr.T)
+         |SELECT 'user_id=' || user_id AS tags, gt AS t,
+         |  st * 1000000 AS value_fp
+         |FROM w WHERE rn = 1 ORDER BY t, tags""".stripMargin,
 
     "promql_limitk" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

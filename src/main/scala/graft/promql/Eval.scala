@@ -653,7 +653,8 @@ object Eval {
     "min_over_time", "max_over_time", "sum_over_time", "count_over_time",
     "last_over_time", "stddev_over_time", "stdvar_over_time",
     "quantile_over_time", "present_over_time", "absent_over_time",
-    "holt_winters", "double_exponential_smoothing", "mad_over_time")
+    "holt_winters", "double_exponential_smoothing", "mad_over_time",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   private def evalRangeFn(m: DataFrame, fn: String, args: Seq[Expr],
                           spec: RangeSpec): Val = {
@@ -836,6 +837,11 @@ object Eval {
           count(lit(1)).as("n"), sum(col("v_fp")).as("s"),
           min(col("v_fp")).as("mn"), max(col("v_fp")).as("mx"),
           max(struct(col("te").as("a"), col("v_fp").as("v"))).as("_lp"),
+          // argmax/argmin sample time for the ts_of_* family — ties on
+          // the value resolve to the LATEST sample for max and the
+          // EARLIEST for min (struct ordering on (v, te) / its min)
+          max(struct(col("v_fp").as("v"), col("te").as("a"))).as("_mxp"),
+          min(struct(col("v_fp").as("v"), col("te").as("a"))).as("_mnp"),
           sum(col("v_fp").cast("decimal(38,0)") *
             col("v_fp").cast("decimal(38,0)")).as("ss"))
         val nD = col("n").cast("double")
@@ -850,6 +856,14 @@ object Eval {
           case "last_over_time"  => finish(g, col("_lp").getField("v"))
           case "stdvar_over_time" => finish(g, floor(varFp2 / FPD))
           case "stddev_over_time" => finish(g, floor(sqrt(varFp2)))
+          // Prometheus 3.x's experimental ts_of_* family: the TIMESTAMP
+          // (epoch seconds) of the last/extreme sample in the window
+          case "ts_of_last_over_time" =>
+            finish(g, col("_lp").getField("a") * FP)
+          case "ts_of_max_over_time" =>
+            finish(g, col("_mxp").getField("a") * FP)
+          case "ts_of_min_over_time" =>
+            finish(g, col("_mnp").getField("a") * FP)
           case x => throw new IllegalArgumentException(s"unknown fn $x()")
         }
     }

@@ -72,7 +72,11 @@ final case class CliConfig(
     // ≙ Prometheus --storage.tsdb.retention.time: date partitions whose
     // every sample is past the horizon drop after each committed batch.
     // 0 = keep forever.
-    retentionSec: Long = 0L) {
+    retentionSec: Long = 0L,
+    // graft extension: text-exposition URLs to PULL on an interval
+    // (a child adapter's /federate, any /metrics page).
+    scrapeTargets: Seq[String] = Nil,
+    scrapeIntervalSec: Long = 60L) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -161,6 +165,14 @@ object CliConfig {
       |  --storage.tsdb.retention.time=0s  Drop date partitions whose every
       |                                 sample is past this horizon (after
       |                                 each committed batch); 0 = forever.
+      |  --scrape.targets=""            Comma-separated text-exposition URLs
+      |                                 to pull on --scrape.interval (a child
+      |                                 /federate, any /metrics page).
+      |  --scrape.interval=60s          Pull cadence for --scrape.targets.
+      |
+      |subcommands:
+      |  check-rules <file>...          Validate rule files (groups layout +
+      |                                 every expression parses); exit 0/1.
       |""".stripMargin
 
   def usage(): String = Usage
@@ -273,6 +285,16 @@ object CliConfig {
                 case Right(ms) => cfg = cfg.copy(retentionSec = ms / 1000)
                 case Left(e) => return Left(e)
               }
+            case "scrape.targets" =>
+              cfg = cfg.copy(scrapeTargets =
+                v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            case "scrape.interval" => parseDurationMs(v) match {
+              case Right(ms) if ms >= 1000 =>
+                cfg = cfg.copy(scrapeIntervalSec = ms / 1000)
+              case Right(_) => return Left(
+                "--scrape.interval must be at least 1s")
+              case Left(e) => return Left(e)
+            }
             case "read.auto-target-points" =>
               v.toLongOption match {
                 case Some(n) if n > 0 => cfg = cfg.copy(readAutoTargetPoints = n)
@@ -370,7 +392,8 @@ object Cli {
       chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty),
       ruleGroups = ruleGroups, enableAdminApi = cfg.enableAdminApi,
       alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty),
-      retentionSec = cfg.retentionSec)
+      retentionSec = cfg.retentionSec, scrapeTargets = cfg.scrapeTargets,
+      scrapeIntervalSec = cfg.scrapeIntervalSec)
   }
 }
 
@@ -378,8 +401,39 @@ object Cli {
   * the session, bootstrap storage, serve until killed.
   */
 object Main {
+
+  /** `check-rules <file>...` — promtool's rule-file check: parse each
+    * file, print the group/rule census or the line-numbered error.
+    * Returns the exit code (0 = all valid). */
+  def checkRules(files: Seq[String]): Int = {
+    if (files.isEmpty) { System.err.println("check-rules needs files"); return 2 }
+    var rc = 0
+    files.foreach { f =>
+      try {
+        val groups = graft.promql.Rules.parseRuleFile(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+          "UTF-8"))
+        // the expressions must also PARSE, not just the YAML shape
+        groups.foreach { g =>
+          g.recording.foreach(r => graft.promql.Parser.parse(r.expr))
+          g.alerts.foreach(a => graft.promql.Parser.parse(a.expr))
+        }
+        val rules = groups.map(g => g.recording.size + g.alerts.size).sum
+        println(s"$f: OK — ${groups.size} group(s), $rules rule(s)")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"$f: FAILED — ${
+            Option(e.getMessage).getOrElse(e.getClass.getName)}")
+          rc = 1
+      }
+    }
+    rc
+  }
+
   def main(args: Array[String]): Unit =
-    CliConfig.parse(args.toSeq) match {
+    if (args.headOption.contains("check-rules"))
+      sys.exit(checkRules(args.toSeq.drop(1)))
+    else CliConfig.parse(args.toSeq) match {
       case Left(err) =>
         System.err.println(err)
         if (!err.startsWith("usage:")) System.err.println(CliConfig.usage())

@@ -44,7 +44,9 @@ class Server(spark: SparkSession, tablePath: String,
              ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil,
              enableAdminApi: Boolean = false,
              alertmanagerUrl: Option[String] = None,
-             retentionSec: Long = 0L) {
+             retentionSec: Long = 0L,
+             scrapeTargets: Seq[String] = Nil,
+             scrapeIntervalSec: Long = 60L) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -1392,7 +1394,38 @@ class Server(spark: SparkSession, tablePath: String,
     */
   @volatile private var notifier: Option[Thread] = None
 
+  /** One scrape pass over every configured target (text-exposition
+    * pages — a child's /federate, any /metrics); returns samples
+    * ingested. A failed target logs and the others proceed. */
+  def scrapeOnce(): Long = scrapeTargets.map { url =>
+    try {
+      val n = appendLock.synchronized {
+        Scraper.scrapeInto(spark, url, tablePath)
+      }
+      invalidateTable()
+      n
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] scrape of $url failed: ${
+          Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        0L
+    }
+  }.sum
+
+  @volatile private var scraper: Option[Thread] = None
+
   def start(): Server = {
+    if (scrapeTargets.nonEmpty) {
+      val t = new Thread(() => {
+        try while (!Thread.interrupted()) {
+          Thread.sleep(scrapeIntervalSec * 1000L)
+          scrapeOnce()
+        } catch { case _: InterruptedException => () }
+      }, "graft-scraper")
+      t.setDaemon(true)
+      t.start()
+      scraper = Some(t)
+    }
     if (alertmanagerUrl.nonEmpty && ruleGroups.nonEmpty) {
       val tickMs = ruleGroups.map(_.intervalSec).min * 1000L
       val t = new Thread(() => {
@@ -1473,6 +1506,11 @@ class Server(spark: SparkSession, tablePath: String,
       (ex: HttpExchange) => handleFederate(ex))
     http.createContext("/api/v1/status/tsdb",
       (ex: HttpExchange) => handleStatusTsdb(ex))
+    // k8s-style liveness/readiness, the Prometheus endpoints
+    http.createContext("/-/healthy", (ex: HttpExchange) =>
+      respond(ex, 200, "graft is Healthy.\n".getBytes("UTF-8")))
+    http.createContext("/-/ready", (ex: HttpExchange) =>
+      respond(ex, 200, "graft is Ready.\n".getBytes("UTF-8")))
     http.createContext(metricsPath, (ex: HttpExchange) => handleMetrics(ex))
     http.setExecutor(handlerPool)
     http.start()
@@ -1480,6 +1518,7 @@ class Server(spark: SparkSession, tablePath: String,
   }
 
   def stop(): Unit = {
+    scraper.foreach(_.interrupt())
     notifier.foreach(_.interrupt())
     http.stop(0)
     handlerPool.shutdown()

@@ -2,7 +2,7 @@ package graft
 
 import graft.codec.Prompb
 import graft.codec.Prompb._
-import graft.serve.{Cli, CliConfig}
+import graft.serve.{Cli, CliConfig, Main}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -228,5 +228,32 @@ class CliSpec extends SparkSpec {
       .toOption.get.retentionSec == 15L * 86400L)
     assert(CliConfig.parse(
       Seq("--storage.tsdb.retention.time=soon")).isLeft)
+    // scrape flags
+    assert(CliConfig.parse(Seq("--scrape.targets=http://a/m,http://b/m",
+      "--scrape.interval=5s")).toOption.exists(c =>
+      c.scrapeTargets == Seq("http://a/m", "http://b/m") &&
+        c.scrapeIntervalSec == 5L))
+    assert(CliConfig.parse(Seq("--scrape.interval=500ms")).isLeft)
+  }
+
+  test("check-rules subcommand: valid files report OK, bad YAML or a " +
+      "non-parsing expression fails") {
+    import java.nio.file.Files
+    val good = Files.createTempFile("rules_ok", ".yml")
+    Files.writeString(good,
+      "groups:\n  - name: g\n    interval: 1m\n    rules:\n" +
+        "      - record: job:x:sum\n        expr: sum by (job) (x)\n")
+    val badYaml = Files.createTempFile("rules_bad", ".yml")
+    Files.writeString(badYaml,
+      "groups:\n  - name: g\n    rules:\n      - oops: x\n")
+    val badExpr = Files.createTempFile("rules_badexpr", ".yml")
+    Files.writeString(badExpr,
+      "groups:\n  - name: g\n    interval: 1m\n    rules:\n" +
+        "      - record: r\n        expr: sum by (job (x)\n")
+    assert(Main.checkRules(Seq(good.toString)) == 0)
+    assert(Main.checkRules(Seq(badYaml.toString)) == 1)
+    assert(Main.checkRules(Seq(badExpr.toString)) == 1)
+    assert(Main.checkRules(Seq(good.toString, badYaml.toString)) == 1)
+    assert(Main.checkRules(Nil) == 2)
   }
 }

@@ -336,6 +336,17 @@ class PromqlSpec extends SparkSpec {
     assert(run("limit_ratio(0, req)", 60, 60, 10).isEmpty)
   }
 
+  test("ts_of_* family: timestamps of the window's last/extreme sample") {
+    // req i1 in (0, 60]: samples at 10,20,30,40,60 → max v=15 at t=60,
+    // min v=2 at t=30, last at t=60
+    assert(run("""ts_of_max_over_time(req{instance="i1"}[60s])""",
+      60, 60, 10) == Seq(("instance=i1", 60L, 60.0)))
+    assert(run("""ts_of_min_over_time(req{instance="i1"}[60s])""",
+      60, 60, 10) == Seq(("instance=i1", 60L, 30.0)))
+    assert(run("""ts_of_last_over_time(req{instance="i1"}[60s])""",
+      60, 60, 10) == Seq(("instance=i1", 60L, 60.0)))
+  }
+
   test("count_values groups by printed value") {
     val got = run("""count_values("v", req)""", 60, 60, 10)
     assert(got.toSet == Set(("v=15", 60L, 1.0), ("v=160", 60L, 1.0)))

@@ -846,6 +846,47 @@ class ServerSpec extends SparkSpec {
     } finally { server.stop(); am.stop(0) }
   }
 
+  test("serve: the scrape loop pulls a child's /federate into the parent " +
+      "store; health probes answer") {
+    val childTable = Files.createTempDirectory("graft_srvsc").toString +
+      "/metrics"
+    val child = new Server(spark, childTable).start()
+    val childBase = s"http://localhost:${child.boundPort}"
+    val parentTable = Files.createTempDirectory("graft_srvsp").toString +
+      "/metrics"
+    try {
+      val now = System.currentTimeMillis()
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "up"), PLabel("job", "c")),
+        Seq(PSample(1.0, now)))))
+      assert(post(s"$childBase/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      val parent = new Server(spark, parentTable,
+        scrapeTargets = Seq(s"$childBase/federate?match[]=up"),
+        scrapeIntervalSec = 1L).start()
+      try {
+        // the 1 s loop must land rows within a few ticks
+        val deadline = System.currentTimeMillis() + 30000
+        var n = 0L
+        while (n == 0 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(500)
+          n = if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(parentTable)))
+            spark.read.parquet(parentTable).count() else 0L
+        }
+        assert(n >= 1, "scrape loop never ingested")
+        val row = spark.read.parquet(parentTable).collect().head
+        assert(row.getAs[scala.collection.Seq[String]]("tags")
+          .contains("job=c"))
+        // health probes
+        assert(getAny(s"http://localhost:${parent.boundPort}/-/healthy")
+          ._1 == 200)
+        assert(getAny(s"http://localhost:${parent.boundPort}/-/ready")
+          ._1 == 200)
+      } finally parent.stop()
+    } finally child.stop()
+  }
+
   test("serve: /api/v1/parse_query returns the AST; parse errors are 400") {
     val table = Files.createTempDirectory("graft_srvpq").toString + "/metrics"
     val server = new Server(spark, table).start()
