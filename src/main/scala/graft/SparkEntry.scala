@@ -532,6 +532,52 @@ object SparkEntry {
         col("h_buckets"))
   }
 
+  /** CUMULATIVE-counter variant of [[nativeHistStore]] — the shape a
+    * real instrumented service exports (each scrape's histogram carries
+    * lifetime totals): per (event_type, day) running sums over days for
+    * the count, the fp sum, and EVERY bucket, densified so a bucket
+    * that ever appeared keeps appearing (cumulative counts never
+    * vanish). Feeds the `histogram_quantile(q, increase(…[w]))` latency
+    * idiom, whose per-window deltas recover the per-day histograms the
+    * oracle computes from raw events.
+    */
+  private def nativeHistCumStore(s: SparkSession, dir: String): DataFrame = {
+    val b = nativeHistBuckets(s, dir)
+    val days = b.select(col("event_type"), col("day"), col("total_count"),
+      col("sum_fp")).distinct()
+    val idxs = b.select(col("event_type"), col("idx")).distinct()
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("idx")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cumBuckets = days.select(col("event_type"), col("day"))
+      .join(idxs, "event_type")
+      .join(b.select(col("event_type"), col("day"), col("idx"),
+        col("cnt")), Seq("event_type", "day", "idx"), "left")
+      .select(col("event_type"), col("day"), col("idx"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wDay))
+      .filter(col("cum") > 0)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("cum")
+        .as("cnt")))).as("h_buckets"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days
+      .withColumn("cum_count", sum(col("total_count")).over(wTot))
+      .withColumn("cum_sum_fp", sum(col("sum_fp")).over(wTot))
+      .join(cumBuckets, Seq("event_type", "day"))
+      .select(
+        lit("hist_val").as("name"),
+        array(lit("__name__=hist_val"),
+          concat(lit("event_type="), col("event_type"))).as("tags"),
+        unix_timestamp(to_timestamp(col("day"))).as("ts"),
+        col("cum_count").as("h_count"),
+        col("cum_sum_fp").as("h_sum_fp"),
+        lit(0L).as("h_zero"),
+        col("h_buckets"))
+  }
+
   /** The same per-(event_type, day) histograms as [[nativeHistBuckets]]
     * shipped through the OTLP ExponentialHistogram edge instead: dense
     * offset+counts Buckets (zeros included) at the OTLP index
@@ -7420,6 +7466,24 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // THE LATENCY IDIOM over native histograms:
+    // histogram_quantile(0.9, increase(h[2d])) on a CUMULATIVE-counter
+    // store — per-window first/last bucket deltas, then the rank
+    // search. With daily cumulative samples and a 2 d window the delta
+    // is exactly one day's histogram, so the oracle recomputes the
+    // same per-day quantile from raw events (first grid day drops: a
+    // one-sample window has no increase). Both scales are gap-free per
+    // (event_type, day), which the shared shape relies on.
+    "promql_native_hist_rate" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStore(s, dir),
+          """histogram_quantile(0.9, increase({__name__="hist_val"}[2d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // ts_of_max_over_time (Prometheus 3.x experimental): the TIMESTAMP
     // of the window's maximum sample — value ties resolve to the latest
     // sample (argmax on (value, t)), replayed exactly by the oracle.
@@ -13555,6 +13619,31 @@ object SparkEntry {
     // shares serve_federate's oracle verbatim: the render → parse →
     // store loop is row-invisible
     "serve_federate_scrape" -> OFederateSql,
+
+    // the per-day quantile replay, day > Jan01 (the first window holds
+    // one sample — no increase)
+    "promql_native_hist_rate" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events
+        |  WHERE CAST(ts AS DATE) > DATE '2024-01-01'),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, day) AS tot
+        |  FROM b),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS value_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY t, tags""".stripMargin,
 
     "promql_ts_of" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

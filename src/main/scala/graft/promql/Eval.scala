@@ -536,6 +536,69 @@ object Eval {
         col("v_fp"))
   }
 
+  /** `histogram_quantile(q, rate|increase|delta(sel[w]))` over NATIVE
+    * histogram samples — the production latency idiom, evaluated on the
+    * sparse buckets directly: per (series, T) the window's first and
+    * last histogram produce per-bucket deltas (cumulative counters, so
+    * absent-in-first buckets start at 0), and the quantile rank-searches
+    * the DELTA buckets. rate/increase/delta share one computation here:
+    * the quantile is invariant under uniform bucket scaling, so the
+    * 1/window factor — and Prometheus's boundary extrapolation, which
+    * scales every bucket equally — cancel out exactly. Windows with
+    * fewer than two samples, or no growth, emit nothing (PromQL's
+    * empty-rate rule). Counter resets inside a window are not repaired
+    * on this path (negative per-bucket deltas drop); reset-heavy stores
+    * should flatten to the classic view, which has full reset handling.
+    */
+  private def nativeHistRangeQuantile(m: DataFrame, s: Selector,
+                                      wSec: Long, q: Double,
+                                      spec: RangeSpec): DataFrame = {
+    val h = scanHist(m, s, spec)
+    val te = col("t") + s.offsetSec
+    val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
+      spec.stepSec)
+    val kLast = floorDiv0(
+      least(te + (wSec - 1), lit(spec.endSec)) - spec.startSec, spec.stepSec)
+    val hs = struct(col("h_count").as("c"), col("h_zero").as("z"),
+      col("h_buckets").as("b"))
+    val agg = h
+      .select(col("tags"), col("t"), hs.as("_h"),
+        kFirst.as("_k0"), kLast.as("_k1"))
+      .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)
+      .select(col("tags"), col("t"), col("_h"),
+        explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
+          .as("_k"))
+      .select(col("tags"),
+        (lit(spec.startSec) + col("_k") * spec.stepSec).as("t"),
+        col("t").as("_st"), col("_h"))
+      .groupBy(col("tags"), col("t"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("_h"), col("_st")).as("_f"),
+        max_by(col("_h"), col("_st")).as("_l"))
+      .filter(col("n") >= 2)
+    val fMap = map_from_entries(col("_f.b"))
+    val deltas = agg.select(col("tags"), col("t"),
+      (col("_l.c") - col("_f.c")).as("d_count"),
+      (col("_l.z") - col("_f.z")).as("h_zero"),
+      filter(transform(col("_l.b"), b =>
+        struct(b.getField("idx").as("idx"),
+          (b.getField("cnt") -
+            coalesce(element_at(fMap, b.getField("idx")), lit(0L)))
+            .as("cnt"))),
+        b => b.getField("cnt") > 0).as("d_buckets"))
+      .filter(col("d_count") > 0 && size(col("d_buckets")) > 0)
+    val exploded = deltas
+      .select(col("tags"), col("t"), col("h_zero"),
+        explode(col("d_buckets")).as("_b"))
+      .select(col("tags"), col("t"), col("h_zero"),
+        col("_b.idx").as("_idx"), col("_b.cnt").as("_cnt"))
+    graft.operators.TimeSeriesOps.expHistogramQuantile(
+        exploded, Seq("tags", "t"), "_idx", "_cnt", q,
+        zeroCntCol = Some("h_zero"))
+      .select(dropName(col("tags")).as("tags"), col("t"),
+        col("t").as("st"), col("quantile_fp").as("v_fp"))
+  }
+
   private def ceilDiv(num: Column, den: Long): Column =
     -floorDiv0(-num, den)
   private def floorDiv0(num: Column, den: Long): Column =
@@ -1200,6 +1263,12 @@ object Eval {
           // sparse-bucket SAMPLES directly — no classic le-flatten
           case s: Selector if hasNativeHist(m) =>
             VecV(nativeHistFn(m, s, spec, "quantile", Seq(q)))
+          // the latency idiom: quantile of a windowed rate/increase of
+          // native histograms — per-bucket deltas, then the rank search
+          case Call(rfn, scala.collection.Seq(s: Selector))
+              if hasNativeHist(m) && s.rangeSec.nonEmpty &&
+                Set("rate", "increase", "delta").contains(rfn) =>
+            VecV(nativeHistRangeQuantile(m, s, s.rangeSec.get, q, spec))
           case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" |

@@ -30,8 +30,9 @@ object Rules {
   }
 
   case class AlertRule(alert: String, expr: String, forSec: Long,
-                       labels: Seq[(String, String)] = Nil) {
-    require(alert.nonEmpty && forSec >= 0)
+                       labels: Seq[(String, String)] = Nil,
+                       keepFiringForSec: Long = 0L) {
+    require(alert.nonEmpty && forSec >= 0 && keepFiringForSec >= 0)
   }
 
   /** One configured rule group — the unit /api/v1/rules enumerates:
@@ -61,6 +62,7 @@ object Rules {
                  al: scala.collection.mutable.ListBuffer[AlertRule])
     case class R(var record: String = "", var alert: String = "",
                  var expr: String = "", var forSec: Long = 0L,
+                 var keepSec: Long = 0L,
                  labels: scala.collection.mutable.ListBuffer[(String, String)] =
                    scala.collection.mutable.ListBuffer())
     val groups = scala.collection.mutable.ListBuffer[G]()
@@ -81,7 +83,7 @@ object Rules {
       if (r.record.nonEmpty) g.rec += RecordingRule(r.record, r.expr,
         r.labels.toSeq)
       else if (r.alert.nonEmpty) g.al += AlertRule(r.alert, r.expr,
-        r.forSec, r.labels.toSeq)
+        r.forSec, r.labels.toSeq, keepFiringForSec = r.keepSec)
       else fail(ln, "rule with neither record nor alert")
       rule = None
     }
@@ -118,6 +120,8 @@ object Rules {
               rule.get.expr = v; inLabels = false
             case ("for", false) if rule.nonEmpty =>
               rule.get.forSec = Parser.durationSec(v); inLabels = false
+            case ("keep_firing_for", false) if rule.nonEmpty =>
+              rule.get.keepSec = Parser.durationSec(v); inLabels = false
             case ("labels", false) if rule.nonEmpty =>
               if (v.nonEmpty) fail(ln, "labels: takes no inline value")
               inLabels = true
@@ -178,7 +182,7 @@ object Rules {
       dropKeys.map(k => !x.startsWith(k + "=")).reduce(_ && _))
     val added = (("alertname" -> rule.alert) +: rule.labels)
       .map { case (k, v) => lit(s"$k=$v") }
-    out
+    val active = out
       .select(col("tags"), col("t"), col("value"),
         count(lit(1)).over(w).as("_held"))
       .withColumn("state",
@@ -186,6 +190,30 @@ object Rules {
       .select(
         sort_array(concat(cleaned, array(added: _*))).as("tags"),
         col("t"), col("value"), col("state"))
+    if (rule.keepFiringForSec == 0) active
+    else {
+      // keep_firing_for: after the condition clears, the alert stays
+      // FIRING (with its last value) for the configured window — a
+      // firing instant projects forward onto the grid, active instants
+      // win, and among overlapping projections the NEWEST source wins.
+      require(rule.keepFiringForSec % spec.stepSec == 0,
+        "keep_firing_for must be a multiple of the evaluation step")
+      val k = rule.keepFiringForSec / spec.stepSec
+      val kept = active.filter(col("state") === "firing")
+        .select(col("tags"), col("t").as("_t0"), col("value"),
+          explode(sequence(lit(1L), lit(k))).as("_k"))
+        .select(col("tags"), (col("_t0") + col("_k") * spec.stepSec)
+          .as("t"), col("_t0"), col("value"))
+        .filter(col("t") <= spec.endSec)
+        .groupBy(col("tags"), col("t"))
+        .agg(max(struct(col("_t0"), col("value"))).as("_src"))
+        .select(col("tags"), col("t"), col("_src.value").as("value"),
+          lit("firing").as("state"))
+        .join(active.select(col("tags").as("_at"), col("t").as("_tt")),
+          col("tags") === col("_at") && col("t") === col("_tt"),
+          "left_anti")
+      active.unionByName(kept)
+    }
   }
 
   /** CURRENT alert states at one instant — what /api/v1/rules and

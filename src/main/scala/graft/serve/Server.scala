@@ -1394,23 +1394,52 @@ class Server(spark: SparkSession, tablePath: String,
     */
   @volatile private var notifier: Option[Thread] = None
 
+  /** Per-target scrape state for /api/v1/targets: health ("up"/"down"/
+    * "unknown"), last scrape time (epoch sec), last error. */
+  private val targetState =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, String)]()
+  scrapeTargets.foreach(u => targetState.put(u, ("unknown", 0L, "")))
+
   /** One scrape pass over every configured target (text-exposition
     * pages — a child's /federate, any /metrics); returns samples
-    * ingested. A failed target logs and the others proceed. */
+    * ingested. A failed target logs, records its error for
+    * /api/v1/targets, and the others proceed. */
   def scrapeOnce(): Long = scrapeTargets.map { url =>
+    val nowSec = System.currentTimeMillis() / 1000
     try {
       val n = appendLock.synchronized {
         Scraper.scrapeInto(spark, url, tablePath)
       }
       invalidateTable()
+      targetState.put(url, ("up", nowSec, ""))
       n
     } catch {
       case e: Exception =>
-        System.err.println(s"[graft] scrape of $url failed: ${
-          Option(e.getMessage).getOrElse(e.getClass.getName)}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        targetState.put(url, ("down", nowSec, msg))
+        System.err.println(s"[graft] scrape of $url failed: $msg")
         0L
     }
   }.sum
+
+  /** `GET /api/v1/targets` — the scrape pool's state in the Prometheus
+    * envelope (health, lastScrape, lastError per target). */
+  private def handleTargets(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val actives = targetState.asScala.toSeq.sortBy(_._1).map {
+      case (url, (health, lastSec, err)) =>
+        val last = if (lastSec == 0) "1970-01-01T00:00:00Z"
+          else java.time.Instant.ofEpochSecond(lastSec).toString
+        s"""{"scrapeUrl":${jsonStr(url)},"health":${jsonStr(health)},""" +
+          s""""lastScrape":${jsonStr(last)},"lastError":${jsonStr(err)},""" +
+          s""""labels":{},"discoveredLabels":{}}"""
+    }
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    respond(ex, 200,
+      s"""{"status":"success","data":{"activeTargets":${
+        actives.mkString("[", ",", "]")},"droppedTargets":[]}}"""
+        .getBytes("UTF-8"))
+  }
 
   @volatile private var scraper: Option[Thread] = None
 
@@ -1506,6 +1535,8 @@ class Server(spark: SparkSession, tablePath: String,
       (ex: HttpExchange) => handleFederate(ex))
     http.createContext("/api/v1/status/tsdb",
       (ex: HttpExchange) => handleStatusTsdb(ex))
+    http.createContext("/api/v1/targets",
+      (ex: HttpExchange) => handleTargets(ex))
     // k8s-style liveness/readiness, the Prometheus endpoints
     http.createContext("/-/healthy", (ex: HttpExchange) =>
       respond(ex, 200, "graft is Healthy.\n".getBytes("UTF-8")))

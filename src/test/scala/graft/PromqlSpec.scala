@@ -797,6 +797,57 @@ class PromqlSpec extends SparkSpec {
     assert(one("""histogram_stdvar({__name__="h"})""") == 0.0)
   }
 
+  test("histogram_quantile over increase() of native histograms: " +
+      "per-bucket window deltas, hand-computed") {
+    // cumulative counters: t=100 (count 10, zero 2, idx1×3 idx3×5) →
+    // t=200 (count 16, zero 3, idx1×4 idx3×7 idx4×1). Window (50, 200]
+    // delta: zero 1, idx1 1, idx3 2, idx4 1 (total 5, count delta 6...
+    // ranks use zero+buckets = 5). q=0.5 → rank 2.5: cum zero 1,
+    // idx1 → 2, idx3 → 4 crosses: 4 + 4·(2.5−2)/2 = 5 fp
+    val rows = Seq(
+      ("h", Seq("__name__=h", "job=a"), 100L, 10L, 37L, 2L,
+        Seq((1, 3L), (3, 5L))),
+      ("h", Seq("__name__=h", "job=a"), 200L, 16L, 90L, 3L,
+        Seq((1, 4L), (3, 7L), (4, 1L))))
+    val store = rows.toDF("name", "tags", "ts", "h_count", "h_sum_fp",
+      "h_zero", "h_buckets")
+      .withColumn("h_buckets",
+        expr("transform(h_buckets, b -> struct(b._1 AS idx, b._2 AS cnt))"))
+    def one(q: String): Seq[(String, Long, Double)] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(200, 200, 1, 300L))
+        .select(array_join(col("tags"), ","), col("t"), col("value"))
+        .as[(String, Long, Double)].collect().toSeq
+    assert(one("""histogram_quantile(0.5, increase({__name__="h"}[150s]))""")
+      == Seq(("job=a", 200L, 5e-6)))
+    // rate and increase share the quantile (uniform scaling cancels)
+    assert(one("""histogram_quantile(0.5, rate({__name__="h"}[150s]))""")
+      == Seq(("job=a", 200L, 5e-6)))
+    // a one-sample window has no increase → empty
+    assert(one("""histogram_quantile(0.5, increase({__name__="h"}[50s]))""")
+      .isEmpty)
+  }
+
+  test("keep_firing_for: a cleared alert stays firing for the window, " +
+      "with its last value; re-activation wins") {
+    // up=1 at t=10,20 then gone; rule fires immediately (for: 0),
+    // keep_firing_for 20s on a 10s grid
+    val rows = Seq(
+      ("up", Seq("__name__=up", "job=a"), 1.0, 10L),
+      ("up", Seq("__name__=up", "job=a"), 1.0, 20L))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    val rule = graft.promql.Rules.AlertRule("Up", "up > 0", forSec = 0L,
+      keepFiringForSec = 20L)
+    // lookback 5s so the selector doesn't coast past the last sample
+    val got = graft.promql.Rules.alertRows(store, rule,
+        Eval.RangeSpec(10, 60, 10, lookbackSec = 5L))
+      .select(col("t"), col("state"), col("value"))
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(10L, 20L, 30L, 40L))
+    assert(got.forall(_._2 == "firing"))
+    // kept instants carry the LAST active value's source (t=20)
+    assert(got.filter(_._1 >= 30).forall(_._3 == 1.0))
+  }
+
   test("stale markers end instant ownership, never shadow live samples, " +
        "and are invisible to range functions") {
     val rows = Seq(

@@ -883,6 +883,12 @@ class ServerSpec extends SparkSpec {
           ._1 == 200)
         assert(getAny(s"http://localhost:${parent.boundPort}/-/ready")
           ._1 == 200)
+        // /api/v1/targets reports the scrape pool's health
+        val (tc, tb) = getAny(
+          s"http://localhost:${parent.boundPort}/api/v1/targets")
+        assert(tc == 200)
+        assert(tb.contains(""""health":"up"""") &&
+          tb.contains(""""activeTargets""""))
       } finally parent.stop()
     } finally child.stop()
   }
