@@ -7484,6 +7484,22 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // RPS FROM HISTOGRAMS: histogram_count(increase(h[2d])) — the count
+    // component is an ordinary counter, so the native store scalarizes
+    // onto the Prometheus-exact extrapolated increase. Daily cumulative
+    // samples in a 2 d window extrapolate by exactly 2× (full-window
+    // extension at the start boundary, none at the end), which the
+    // oracle states in closed form.
+    "promql_native_hist_count_rate" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStore(s, dir),
+          """histogram_count(increase({__name__="hist_val"}[2d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // ts_of_max_over_time (Prometheus 3.x experimental): the TIMESTAMP
     // of the window's maximum sample — value ties resolve to the latest
     // sample (argmax on (value, t)), replayed exactly by the oracle.
@@ -13644,6 +13660,16 @@ object SparkEntry {
         |FROM sel
         |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
         |ORDER BY t, tags""".stripMargin,
+
+    // per-day event counts × 2 (the closed-form extrapolation factor
+    // for 2 daily samples in a 2 d window), first grid day dropped
+    "promql_native_hist_count_rate" ->
+      """SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+        |    AS t,
+        |  CAST(count(*) * 2000000 AS BIGINT) AS value_fp
+        |FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-01'
+        |GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
 
     "promql_ts_of" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

@@ -1273,12 +1273,32 @@ object Eval {
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" |
            "histogram_stddev" | "histogram_stdvar" =>
-        val s = args(0) match {
-          case sel: Selector if hasNativeHist(m) => sel
+        args(0) match {
+          case sel: Selector if hasNativeHist(m) =>
+            VecV(nativeHistFn(m, sel, spec, fn.stripPrefix("histogram_"),
+              Nil))
+          // histogram_count(rate(h[w])) / histogram_sum(rate(h[w])) —
+          // the RPS-from-histograms idiom: the count/sum COMPONENT is
+          // an ordinary counter series, so scalarize the store
+          // (val_fp = the component) and reuse the Prometheus-exact
+          // extrapolated rate machinery wholesale
+          case Call(rfn, scala.collection.Seq(sel: Selector))
+              if hasNativeHist(m) && sel.rangeSec.nonEmpty &&
+                Set("rate", "increase", "delta", "irate", "idelta")
+                  .contains(rfn) &&
+                (fn == "histogram_count" || fn == "histogram_sum") =>
+            val comp =
+              if (fn == "histogram_count") col("h_count") * FP
+              else col("h_sum_fp")
+            val scalarized = m.select(
+              (m.columns.filterNot(Set("h_count", "h_sum_fp", "h_zero",
+                  "h_buckets", "val", "val_fp").contains)
+                .map(col).toSeq :+ comp.as("val_fp") :+
+                (comp / FPD).as("val")): _*)
+            evalExpr(scalarized, Call(rfn, List(sel)), spec)
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }
-        VecV(nativeHistFn(m, s, spec, fn.stripPrefix("histogram_"), Nil))
       case "histogram_fraction" =>
         val lo = constArg(m, args(0), spec, fn)
         val hi = constArg(m, args(1), spec, fn)
