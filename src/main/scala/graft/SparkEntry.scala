@@ -7484,6 +7484,25 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // UTF-8 METRIC NAMES (Prometheus 3's quoted selector syntax):
+    // {"ev.click", ...} selects a dotted metric the classic grammar
+    // can't name — row-identical to the classic evaluation (shared
+    // oracle), because the quoted form lowers to a __name__ matcher.
+    "promql_utf8_names" -> ((s, dir) => {
+      val store = Tables.events(s, dir).select(
+        concat(lit("ev."), col("event_type")).as("name"),
+        sort_array(array(
+          concat(lit("__name__=ev."), col("event_type")),
+          concat(lit("user_id="), col("user_id")))).as("tags"),
+        col("value").as("val"),
+        date_trunc("second", col("ts")).as("ts"))
+      Eval.rangeQuery(store, """sum by (user_id) ({"ev.click"})""",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // RPS FROM HISTOGRAMS: histogram_count(increase(h[2d])) — the count
     // component is an ordinary counter, so the native store scalarizes
     // onto the Prometheus-exact extrapolated increase. Daily cumulative
@@ -9338,6 +9357,25 @@ object SparkEntry {
        |  last.t * 1000 AS t_ms
        |FROM last JOIN d ON d.user_id = last.user_id AND d.t = last.t
        |ORDER BY last.user_id""".stripMargin
+
+  /** Shared by serve_query_range and promql_utf8_names: the
+    * sum-by-user instant evaluation of `click` on the 6 h grid.
+    */
+  private val OClickInstSumSql: String =
+    s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+       |  FROM generate_series(0, 60) g(k)),
+       |s AS (SELECT user_id, $OSec AS t,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+       |  FROM events WHERE event_type = 'click'),
+       |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+       |e AS (SELECT gr.T, d.user_id, d.vfp,
+       |    row_number() OVER (PARTITION BY d.user_id, gr.T
+       |      ORDER BY d.t DESC) AS rn
+       |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+       |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
+       |SELECT 'user_id=' || user_id AS tags, T AS t,
+       |  CAST(sum(vfp) AS BIGINT) AS value_fp
+       |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin
 
   private val OPromTopkSql: String =
     s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
@@ -13124,21 +13162,11 @@ object SparkEntry {
          |    AS BIGINT) AS value_fp
          |FROM v2 ORDER BY t, tags""".stripMargin,
 
-    "serve_query_range" ->
-      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
-         |  FROM generate_series(0, 60) g(k)),
-         |s AS (SELECT user_id, $OSec AS t,
-         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
-         |  FROM events WHERE event_type = 'click'),
-         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
-         |e AS (SELECT gr.T, d.user_id, d.vfp,
-         |    row_number() OVER (PARTITION BY d.user_id, gr.T
-         |      ORDER BY d.t DESC) AS rn
-         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
-         |inst AS (SELECT T, user_id, vfp FROM e WHERE rn = 1)
-         |SELECT 'user_id=' || user_id AS tags, T AS t,
-         |  CAST(sum(vfp) AS BIGINT) AS value_fp
-         |FROM inst GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+    "serve_query_range" -> OClickInstSumSql,
+
+    // shares the click instant-sum oracle: the quoted-name selector
+    // must be row-identical to the classic-name evaluation
+    "promql_utf8_names" -> OClickInstSumSql,
 
     "promql_subquery" ->
       s"""WITH igr AS (SELECT 1704240000 + 21600 * k AS it

@@ -245,7 +245,15 @@ object Parser {
             case MEq => "="; case MNeq => "!="
             case MRe => "=~"; case MNre => "!~"
           }
-          s"${m.label}$op${quote(m.value)}"
+          // a label name outside the classic charset prints QUOTED
+          // (Prometheus 3's UTF-8 syntax), so print∘parse stays a
+          // fixpoint for dotted names too
+          val lbl =
+            if (m.label.nonEmpty && m.label.forall(c =>
+                c.isLetterOrDigit || c == '_' || c == ':') &&
+                !m.label.head.isDigit) m.label
+            else quote(m.label)
+          s"$lbl$op${quote(m.value)}"
         }.mkString("{", ",", "}")
       name.getOrElse("") + matchers +
         range.map(r => s"[${dur(r)}]").getOrElse("") +
@@ -608,7 +616,15 @@ private class Parser(toks: Vector[Lexer.Tok]) {
   }
 
   private def parseMatcher(): Matcher = {
-    val label = expectIdent()
+    // Prometheus 3 UTF-8 syntax: a QUOTED label name, and a bare quoted
+    // string as shorthand for __name__ equality ({"my.metric", job="x"})
+    val label =
+      if (cur.kind == TString) {
+        val s = advance().text
+        if (!(atOp("=") || atOp("!=") || atOp("=~") || atOp("!~")))
+          return Matcher("__name__", MEq, s)
+        s
+      } else expectIdent()
     val op =
       if (atOp("=")) { advance(); MEq }
       else if (atOp("!=")) { advance(); MNeq }

@@ -63,6 +63,21 @@ class PromqlSpec extends SparkSpec {
     intercept[ParseException](Parser.parse("""m{a=x}""")) // unquoted value
   }
 
+  test("parser: UTF-8 quoted names (Prometheus 3 syntax)") {
+    import graft.promql.Ast._
+    // a bare quoted string in braces is a __name__ equality matcher
+    assert(Parser.parse("""{"http.req.total", job="a"}""") ==
+      Selector(None, Seq(Matcher("__name__", MEq, "http.req.total"),
+        Matcher("job", MEq, "a")), None, 0L))
+    // quoted LABEL names parse with any operator
+    assert(Parser.parse("""{"label.dots"=~"v.*", up="1"}""") ==
+      Selector(None, Seq(Matcher("label.dots", MRe, "v.*"),
+        Matcher("up", MEq, "1")), None, 0L))
+    // print∘parse fixpoint holds for the quoted forms
+    val q = """rate({"svc.latency", "zone.id"!="eu"}[5m])"""
+    assert(Parser.parse(Parser.print(Parser.parse(q))) == Parser.parse(q))
+  }
+
   test("parser: subqueries and the @ modifier") {
     Parser.parse("max_over_time(rate(m[5m])[1h:2m])") match {
       case Call("max_over_time", Seq(Subquery(Call("rate", _), 3600L,
