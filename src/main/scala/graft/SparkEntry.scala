@@ -7484,6 +7484,46 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // NATIVE-HISTOGRAM PLAN AUDIT: the latency idiom and the instant
+    // quantile each cost ONE exchange end to end (hash(tags) satisfies
+    // the dedup, the window frame, AND the quantile grouping via the
+    // clustered-distribution subset rule), with ts pushdown and date
+    // partition pruning intact on a parquet-backed store — the facts
+    // that make one histogram row per (series, scrape) the TOTAL scan
+    // and shuffle cost at 100 TB.
+    "promql_native_plan_audit" -> ((s, dir) => {
+      import s.implicits._
+      val base = cachedInputDir(s"nhcum:${math.abs(dir.hashCode)}") { d =>
+        nativeHistCumStore(s, dir)
+          .withColumn("date", to_date(timestamp_seconds(col("ts"))))
+          .write.mode("overwrite").partitionBy("date").parquet(s"$d/h")
+      }
+      val store = s.read.parquet(s"$base/h")
+      val prevLen = s.conf.get("spark.sql.maxMetadataStringLength", "100")
+      s.conf.set("spark.sql.maxMetadataStringLength", "8192")
+      val spec = Eval.RangeSpec(1704153600L, 1706572800L, 86400L, 86400L)
+      def plan(q: String): String =
+        Eval.rangeQuery(store, q, spec)
+          .queryExecution.executedPlan.toString
+      val (rateP, instP) =
+        try (plan(
+          """histogram_quantile(0.9, increase({__name__="hist_val"}[2d]))"""),
+          plan("""histogram_quantile(0.9, {__name__="hist_val"})"""))
+        finally s.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      def exchanges(p: String): Long =
+        p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+          && !l.contains("ReusedExchange")).toLong
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("hist_instant_exchanges", exchanges(instP)),
+        ("hist_rate_date_partition_filter",
+          b(rateP.contains("PartitionFilters: [") &&
+            rateP.contains("(date"))),
+        ("hist_rate_exchanges", exchanges(rateP)),
+        ("hist_rate_ts_pushdown", b(rateP.contains("GreaterThan(ts"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // UTF-8 METRIC NAMES (Prometheus 3's quoted selector syntax):
     // {"ev.click", ...} selects a dotted metric the classic grammar
     // can't name — row-identical to the classic evaluation (shared
@@ -13688,6 +13728,14 @@ object SparkEntry {
         |FROM sel
         |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
         |ORDER BY t, tags""".stripMargin,
+
+    "promql_native_plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('hist_instant_exchanges', CAST(1 AS BIGINT)),
+        |  ('hist_rate_date_partition_filter', 1),
+        |  ('hist_rate_exchanges', 1),
+        |  ('hist_rate_ts_pushdown', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     // per-day event counts × 2 (the closed-form extrapolation factor
     // for 2 daily samples in a 2 d window), first grid day dropped
