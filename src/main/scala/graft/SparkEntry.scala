@@ -7420,6 +7420,34 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // The same chain over Remote-Write 2.0: the sink interns each
+    // partition's labels into a symbol table and the receiver routes by
+    // Content-Type — protocol generations interchangeable at the sink
+    // edge too.
+    "s3_remote_write2_chain" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_rwc2")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val samples = flatSamples(s, dir)
+          .filter(col("name") === "view").coalesce(2)
+        val stats = graft.sinks.Transport.totals(
+          graft.sinks.Transport.remoteWritePush(samples,
+            s"http://localhost:${server.boundPort}/write",
+            protocol = "v2"))
+        require(stats.failed == 0 && stats.error.isEmpty,
+          s"v2 forwarding failed: ${stats.error}")
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
     // /api/v1/parse_query: the AST as JSON (editors/linters probe this
     // on Prometheus 3.x). Facts pull structural fields out of the live
     // endpoint's JSON; the oracle is the pinned expectation.
@@ -13683,6 +13711,12 @@ object SparkEntry {
       s"""SELECT user_id, $OSec AS t,
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'signup'
+         |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s3_remote_write2_chain" ->
+      s"""SELECT user_id, $OSec AS t,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |FROM events WHERE event_type = 'view'
          |ORDER BY user_id, t, value_fp""".stripMargin,
 
     "serve_parse_query" ->

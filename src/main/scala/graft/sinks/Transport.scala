@@ -161,7 +161,10 @@ object Transport {
     * fan-out, exactly like the other HTTP sinks.
     */
   def remoteWritePush(samples: DataFrame, url: String,
-                      timeoutMs: Int = 30000): Dataset[WriteStats] = {
+                      timeoutMs: Int = 30000,
+                      protocol: String = "v1"): Dataset[WriteStats] = {
+    require(protocol == "v1" || protocol == "v2",
+      s"remote-write protocol must be v1 or v2, got '$protocol'")
     val spark = samples.sparkSession
     import spark.implicits._
     samples.select(col("labels"), col("value"), col("timestampMs"))
@@ -179,12 +182,29 @@ object Transport {
                   rows.sortBy(_._3).toSeq.map(r =>
                     graft.codec.Prompb.PSample(r._2, r._3)))
               }
-            val wire = graft.codec.Prompb.snappyCompress(
-              graft.codec.Prompb.encodeWriteRequest(
-                graft.codec.Prompb.PWriteRequest(series)))
-            postBytes(url, wire, "application/x-protobuf",
+            // v2 interns the partition's labels into one symbol table
+            // (ref 0 = "", the spec's reserved empty string)
+            val (wire, ctype, ver) =
+              if (protocol == "v2") {
+                val idx = scala.collection.mutable
+                  .LinkedHashMap[String, Int]("" -> 0)
+                def ref(x: String): Int = idx.getOrElseUpdate(x, idx.size)
+                val tss = series.map(ts => graft.codec.Prompb2.P2TimeSeries(
+                  ts.labels.flatMap(l => Seq(ref(l.name), ref(l.value))),
+                  ts.samples))
+                (graft.codec.Prompb.snappyCompress(
+                  graft.codec.Prompb2.encodeRequest(
+                    graft.codec.Prompb2.P2Request(idx.keys.toSeq, tss))),
+                  "application/x-protobuf;proto=io.prometheus.write.v2.Request",
+                  "2.0.0")
+              } else
+                (graft.codec.Prompb.snappyCompress(
+                  graft.codec.Prompb.encodeWriteRequest(
+                    graft.codec.Prompb.PWriteRequest(series))),
+                  "application/x-protobuf", "0.1.0")
+            postBytes(url, wire, ctype,
               Seq("Content-Encoding" -> "snappy",
-                "X-Prometheus-Remote-Write-Version" -> "0.1.0"),
+                "X-Prometheus-Remote-Write-Version" -> ver),
               timeoutMs) match {
               case Right((code, _)) if code / 100 == 2 =>
                 WriteStats(batch.length.toLong, 0L, None)
