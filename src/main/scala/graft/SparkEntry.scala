@@ -7571,6 +7571,30 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // fraction / avg over a WINDOWED increase: the per-window delta
+    // histogram wears the instant columns, so one scalar derivation
+    // serves both — ratios of deltas make the window divisor and
+    // extrapolation cancel exactly.
+    "promql_native_hist_fraction_rate" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStore(s, dir),
+          """histogram_fraction(0, 2, increase({__name__="hist_val"}[2d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    "promql_native_hist_avg_rate" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStore(s, dir),
+          """histogram_avg(increase({__name__="hist_val"}[2d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // RPS FROM HISTOGRAMS: histogram_count(increase(h[2d])) — the count
     // component is an ordinary counter, so the native store scalarizes
     // onto the Prometheus-exact extrapolated increase. Daily cumulative
@@ -13762,6 +13786,45 @@ object SparkEntry {
         |FROM sel
         |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
         |ORDER BY t, tags""".stripMargin,
+
+    // per-day fraction / avg replays, first grid day dropped (one
+    // sample = no increase)
+    "promql_native_hist_fraction_rate" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events
+        |  WHERE CAST(ts AS DATE) > DATE '2024-01-01'),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tc AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |f AS (SELECT event_type, day,
+        |    sum(CASE WHEN power(2.0, idx) <= 2000000.0 THEN cnt
+        |      ELSE 0 END) AS fullc,
+        |    sum(CASE WHEN power(2.0, idx - 1) < 2000000.0
+        |        AND power(2.0, idx) > 2000000.0
+        |      THEN CAST(cnt AS DOUBLE)
+        |        * (2000000.0 - power(2.0, idx - 1))
+        |        / (power(2.0, idx) - power(2.0, idx - 1))
+        |      ELSE 0.0 END) AS partc
+        |  FROM b GROUP BY 1, 2)
+        |SELECT 'event_type=' || f.event_type AS tags,
+        |  CAST(epoch(CAST(f.day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor((CAST(fullc AS DOUBLE) + partc)
+        |    / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS value_fp
+        |FROM f JOIN tc ON f.event_type = tc.event_type
+        |  AND f.day = tc.day
+        |ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_avg_rate" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events
+        |  WHERE CAST(ts AS DATE) > DATE '2024-01-01'),
+        |tc AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sum_fp FROM e GROUP BY 1, 2)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(CAST(sum_fp AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS value_fp
+        |FROM tc ORDER BY t, tags""".stripMargin,
 
     "promql_native_plan_audit" ->
       """SELECT * FROM (VALUES

@@ -457,9 +457,19 @@ object Eval {
     * ∈ count | sum | quantile | fraction.
     */
   private def nativeHistFn(m: DataFrame, s: Selector, spec: RangeSpec,
-                           which: String, params: Seq[Double]): DataFrame = {
-    val h = scanHist(m, s, spec)
-    val perSample: DataFrame = which match {
+                           which: String, params: Seq[Double]): DataFrame =
+    ownedInstants(histScalar(scanHist(m, s, spec), which, params),
+        s.offsetSec, spec)
+      .select(dropName(col("tags")).as("tags"), col("t"), col("st"),
+        col("v_fp"))
+
+  /** The per-HISTOGRAM scalar of one native-histogram function, from a
+    * frame carrying (tags, t, h_count, h_sum_fp, h_zero, h_buckets) —
+    * instant samples AND per-window deltas feed the same derivations.
+    */
+  private def histScalar(h: DataFrame, which: String,
+                         params: Seq[Double]): DataFrame = {
+    which match {
       case "count" =>
         h.select(col("tags"), col("t"), (col("h_count") * FP).as("v_fp"))
       case "sum" =>
@@ -531,9 +541,6 @@ object Eval {
             floor(frac * FP).cast("long").as("v_fp"))
       case x => throw new IllegalArgumentException(s"unknown hist fn $x")
     }
-    ownedInstants(perSample, s.offsetSec, spec)
-      .select(dropName(col("tags")).as("tags"), col("t"), col("st"),
-        col("v_fp"))
   }
 
   /** `histogram_quantile(q, rate|increase|delta(sel[w]))` over NATIVE
@@ -550,17 +557,17 @@ object Eval {
     * on this path (negative per-bucket deltas drop); reset-heavy stores
     * should flatten to the classic view, which has full reset handling.
     */
-  private def nativeHistRangeQuantile(m: DataFrame, s: Selector,
-                                      wSec: Long, q: Double,
-                                      spec: RangeSpec): DataFrame = {
+  private def nativeHistRangeFn(m: DataFrame, s: Selector, wSec: Long,
+                                which: String, params: Seq[Double],
+                                spec: RangeSpec): DataFrame = {
     val h = scanHist(m, s, spec)
     val te = col("t") + s.offsetSec
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)
     val kLast = floorDiv0(
       least(te + (wSec - 1), lit(spec.endSec)) - spec.startSec, spec.stepSec)
-    val hs = struct(col("h_count").as("c"), col("h_zero").as("z"),
-      col("h_buckets").as("b"))
+    val hs = struct(col("h_count").as("c"), col("h_sum_fp").as("s"),
+      col("h_zero").as("z"), col("h_buckets").as("b"))
     val agg = h
       .select(col("tags"), col("t"), hs.as("_h"),
         kFirst.as("_k0"), kLast.as("_k1"))
@@ -577,26 +584,22 @@ object Eval {
         max_by(col("_h"), col("_st")).as("_l"))
       .filter(col("n") >= 2)
     val fMap = map_from_entries(col("_f.b"))
+    // the delta frame wears the h-columns, so the SAME per-histogram
+    // scalar derivations serve instants and windows alike
     val deltas = agg.select(col("tags"), col("t"),
-      (col("_l.c") - col("_f.c")).as("d_count"),
+      (col("_l.c") - col("_f.c")).as("h_count"),
+      (col("_l.s") - col("_f.s")).as("h_sum_fp"),
       (col("_l.z") - col("_f.z")).as("h_zero"),
       filter(transform(col("_l.b"), b =>
         struct(b.getField("idx").as("idx"),
           (b.getField("cnt") -
             coalesce(element_at(fMap, b.getField("idx")), lit(0L)))
             .as("cnt"))),
-        b => b.getField("cnt") > 0).as("d_buckets"))
-      .filter(col("d_count") > 0 && size(col("d_buckets")) > 0)
-    val exploded = deltas
-      .select(col("tags"), col("t"), col("h_zero"),
-        explode(col("d_buckets")).as("_b"))
-      .select(col("tags"), col("t"), col("h_zero"),
-        col("_b.idx").as("_idx"), col("_b.cnt").as("_cnt"))
-    graft.operators.TimeSeriesOps.expHistogramQuantile(
-        exploded, Seq("tags", "t"), "_idx", "_cnt", q,
-        zeroCntCol = Some("h_zero"))
+        b => b.getField("cnt") > 0).as("h_buckets"))
+      .filter(col("h_count") > 0 && size(col("h_buckets")) > 0)
+    histScalar(deltas, which, params)
       .select(dropName(col("tags")).as("tags"), col("t"),
-        col("t").as("st"), col("quantile_fp").as("v_fp"))
+        col("t").as("st"), col("v_fp"))
   }
 
   private def ceilDiv(num: Column, den: Long): Column =
@@ -1268,7 +1271,8 @@ object Eval {
           case Call(rfn, scala.collection.Seq(s: Selector))
               if hasNativeHist(m) && s.rangeSec.nonEmpty &&
                 Set("rate", "increase", "delta").contains(rfn) =>
-            VecV(nativeHistRangeQuantile(m, s, s.rangeSec.get, q, spec))
+            VecV(nativeHistRangeFn(m, s, s.rangeSec.get, "quantile",
+              Seq(q), spec))
           case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" |
@@ -1296,6 +1300,14 @@ object Eval {
                 .map(col).toSeq :+ comp.as("val_fp") :+
                 (comp / FPD).as("val")): _*)
             evalExpr(scalarized, Call(rfn, List(sel)), spec)
+          // avg/stddev/stdvar of a windowed rate: ratios of deltas —
+          // the window divisor and extrapolation cancel, so the
+          // per-window DELTA histogram feeds the same derivations
+          case Call(rfn, scala.collection.Seq(sel: Selector))
+              if hasNativeHist(m) && sel.rangeSec.nonEmpty &&
+                Set("rate", "increase", "delta").contains(rfn) =>
+            VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get,
+              fn.stripPrefix("histogram_"), Nil, spec))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }
@@ -1303,12 +1315,17 @@ object Eval {
         val lo = constArg(m, args(0), spec, fn)
         val hi = constArg(m, args(1), spec, fn)
         require(lo <= hi, "histogram_fraction: lower must be ≤ upper")
-        val s = args(2) match {
-          case sel: Selector if hasNativeHist(m) => sel
+        args(2) match {
+          case sel: Selector if hasNativeHist(m) =>
+            VecV(nativeHistFn(m, sel, spec, "fraction", Seq(lo, hi)))
+          case Call(rfn, scala.collection.Seq(sel: Selector))
+              if hasNativeHist(m) && sel.rangeSec.nonEmpty &&
+                Set("rate", "increase", "delta").contains(rfn) =>
+            VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get, "fraction",
+              Seq(lo, hi), spec))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }
-        VecV(nativeHistFn(m, s, spec, "fraction", Seq(lo, hi)))
       case "label_replace" =>
         val v = vecArg(m, args(0), spec, fn)
         val ss = args.drop(1).map(strArg(_, fn))

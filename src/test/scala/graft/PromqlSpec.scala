@@ -840,6 +840,14 @@ class PromqlSpec extends SparkSpec {
     // a one-sample window has no increase → empty
     assert(one("""histogram_quantile(0.5, increase({__name__="h"}[50s]))""")
       .isEmpty)
+    // fraction over the SAME deltas: (0, 6e-6] holds zero(1) + idx1(1)
+    // + idx3 partial 2·(6−4)/4 = 3, over the COUNT delta 6 → 0.5
+    assert(one(
+      """histogram_fraction(0, 0.000006, increase({__name__="h"}[150s]))""")
+      == Seq(("job=a", 200L, 0.5)))
+    // avg over the deltas: sum delta 53 fp over count delta 6 → 8 fp
+    assert(one("""histogram_avg(increase({__name__="h"}[150s]))""")
+      == Seq(("job=a", 200L, 8e-6)))
   }
 
   test("keep_firing_for: a cleared alert stays firing for the window, " +
