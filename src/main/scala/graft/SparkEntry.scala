@@ -7552,6 +7552,21 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // keep_firing_for END TO END: the full alert grid with flap
+    // damping — active instants fire (for: 0), cleared instants stay
+    // firing for two more steps carrying the newest active value; the
+    // oracle replays activation + forward projection + newest-wins.
+    "promql_keep_firing" -> ((s, dir) => {
+      val rule = graft.promql.Rules.AlertRule("UserHot",
+        "sum by (user_id) (click) > 120", forSec = 0L,
+        labels = Seq("severity" -> "page"), keepFiringForSec = 43200L)
+      graft.promql.Rules.alertRows(Tables.metrics(s, dir), rule,
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"), col("state"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // UTF-8 METRIC NAMES (Prometheus 3's quoted selector syntax):
     // {"ev.click", ...} selects a dotted metric the classic grammar
     // can't name — row-identical to the classic evaluation (shared
@@ -13786,6 +13801,36 @@ object SparkEntry {
         |FROM sel
         |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
         |ORDER BY t, tags""".stripMargin,
+
+    "promql_keep_firing" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS vfp
+         |  FROM e WHERE rn = 1 GROUP BY 1, 2),
+         |act AS (SELECT * FROM inst WHERE vfp / 1000000.0 > 120.0),
+         |proj AS (SELECT a.user_id, a.T + 21600 * j.k AS T,
+         |    a.T AS t0, a.vfp
+         |  FROM act a, generate_series(1, 2) j(k)
+         |  WHERE a.T + 21600 * j.k <= 1705708800),
+         |kept AS (SELECT p.user_id, p.T,
+         |    arg_max(p.vfp, p.t0) AS vfp
+         |  FROM proj p LEFT JOIN act x
+         |    ON x.user_id = p.user_id AND x.T = p.T
+         |  WHERE x.user_id IS NULL GROUP BY 1, 2)
+         |SELECT 'alertname=UserHot,severity=page,user_id=' || user_id
+         |    AS tags,
+         |  T AS t, 'firing' AS state, vfp AS value_fp
+         |FROM (SELECT user_id, T, vfp FROM act
+         |  UNION ALL SELECT user_id, T, vfp FROM kept)
+         |ORDER BY t, tags""".stripMargin,
 
     // per-day fraction / avg replays, first grid day dropped (one
     // sample = no increase)
