@@ -122,10 +122,12 @@ object Tombstones {
       // survivors go to a scratch dir first (Spark refuses to overwrite
       // a path it is reading from), then the affected date directories
       // swap in one move each — every untouched partition's files are
-      // never read, never rewritten
+      // never read, never rewritten. The scratch lives BESIDE the table
+      // (system temp may be a different filesystem, and Files.move of a
+      // directory cannot cross mounts).
       val rewrite = affectedDates.filterNot(emptyDates.contains)
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft_tomb_clean").toString
+      val scratch = tablePath + "_clean_tmp"
+      rmTree(java.nio.file.Paths.get(scratch))
       if (rewrite.nonEmpty)
         store.filter(col("date").isin(rewrite.toSeq: _*)).filter(!del)
           .repartitionByRange(col("date"), col("name"), col("tags"))
