@@ -37,7 +37,9 @@ object TextExposition {
     text.split("\n", -1).foreach { rawLine =>
       lineNo += 1
       val line = rawLine.stripSuffix("\r")
-      if (line.nonEmpty) {
+      // whitespace-only lines are as empty as empty ones (real
+      // exporters emit both)
+      if (line.exists(c => c != ' ' && c != '\t')) {
         if (line.startsWith("#")) parseComment(line, lineNo, meta)
         else {
           val (labels, value, tsMs) = parseSample(line, lineNo, defaultTsMs)

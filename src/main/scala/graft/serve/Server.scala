@@ -1283,8 +1283,12 @@ class Server(spark: SparkSession, tablePath: String,
         val end = timeOr("end", 32503680000L)      // 3000-01-01
         if (end < start)
           throw new IllegalArgumentException("end is before start")
-        graft.engine.Tombstones.append(spark, tablePath,
-          matches.map(graft.engine.Tombstones.Tombstone(_, start, end)))
+        // the tombstone table is parquet too — concurrent admin calls
+        // share its staging dir, so the commit takes the same lock
+        appendLock.synchronized {
+          graft.engine.Tombstones.append(spark, tablePath,
+            matches.map(graft.engine.Tombstones.Tombstone(_, start, end)))
+        }
         invalidateTable()
         respond(ex, 204, Array.emptyByteArray)
       } else if (path.endsWith("/clean_tombstones")) {

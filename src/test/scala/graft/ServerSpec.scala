@@ -870,9 +870,10 @@ class ServerSpec extends SparkSpec {
         var n = 0L
         while (n == 0 && System.currentTimeMillis() < deadline) {
           Thread.sleep(500)
-          n = if (java.nio.file.Files.exists(
-              java.nio.file.Paths.get(parentTable)))
-            spark.read.parquet(parentTable).count() else 0L
+          // the dir can exist with only _temporary inside mid-append —
+          // schema inference then fails; treat that as "not yet"
+          n = try spark.read.parquet(parentTable).count()
+            catch { case _: Exception => 0L }
         }
         assert(n >= 1, "scrape loop never ingested")
         val row = spark.read.parquet(parentTable).collect().head
