@@ -21,37 +21,76 @@ import java.nio.file.{Files, Paths}
   * row (r5 recorded 28.3 s for a query that takes 6.5 s; r6 on identical
   * code erased the "regression"); the min over trials is the standard
   * noise floor estimator — load spikes only ever ADD time.
+  *
+  * Two suite-hygiene disciplines (round 15), both born from the recurring
+  * "in-suite inflation ghost" — late-alphabet entries reading 3-8× their
+  * isolated wall time once the suite crossed ~300 entries, with NO code
+  * change (r14: llm_dedup_recall 21.97 s in-suite vs 2.92 s isolated on
+  * the same binary). An A/B ruled out any specific entry leaking state
+  * (the five admin_* store-rewrite entries prepended to the dedup block
+  * left it at isolated speed); the channel is cumulative driver-heap/
+  * session debris over hundreds of entries that the per-query
+  * clearCache+GC no longer contains:
+  *
+  *   1. SESSION RESTART every `SPARK_GRAFT_RESTART` entries (default 40):
+  *      stop the SparkSession+SparkContext and build a fresh one, then
+  *      re-warm with the flagship query so restart cost is never billed
+  *      to the next measured entry. Bounds accumulated session state to
+  *      one block regardless of suite length. JVM-level warmth (JIT, the
+  *      process-static Janino codegen cache, the SparkEntry fixture
+  *      registry — paths and plain models only, never session objects)
+  *      survives restarts by construction.
+  *
+  *   2. ISOLATED-MINIMUM pass (`SPARK_GRAFT_ISOLATE` slowest entries,
+  *      default 8, 0 disables): after the suite, re-run the slowest
+  *      entries in one final fresh session and report them under
+  *      "isolated" beside the in-suite numbers. Cross-round comparisons
+  *      read the isolated floor; a real regression shows up in BOTH
+  *      columns, residual suite noise only in one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // static conf, default 100: a 100-entry generated-class cache
-      // thrashes under a 120+-query suite — late entries then RECOMPILE
-      // their codegen on every trial, which read as phantom 4-5x
-      // regressions on unchanged code (r9's llm_dedup_cluster, r11's
-      // minhash/incremental). Size it to hold the whole suite.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // the status stores retain per-execution PLAN GRAPHS (default
-      // 1000 executions) and per-task rows (default 100k) even with the
-      // UI disabled; this suite's plans are enormous, so a ~600-job run
-      // accumulates GBs of driver heap by its later entries — the
-      // late-alphabet dedup block then pays rising GC on every trial
-      // (the recurring "in-suite 3-7x inflation" ghost). Keep only a
-      // handful of executions around.
-      .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "2000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        // static conf, default 100: a 100-entry generated-class cache
+        // thrashes under a 300+-query suite — late entries then RECOMPILE
+        // their codegen on every trial, which read as phantom 4-5x
+        // regressions on unchanged code (r9's llm_dedup_cluster, r11's
+        // minhash/incremental). Size it to hold the whole suite. (Static:
+        // only the first session's value takes effect — identical here.)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
+        // the status stores retain per-execution PLAN GRAPHS (default
+        // 1000 executions) and per-task rows (default 100k) even with the
+        // UI disabled; this suite's plans are enormous. Keep only a
+        // handful of executions around.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+
+    var spark = newSession()
+
+    def restartSession(): Unit = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = newSession()
+      runOne("a1_bucket_quantile") // absorb context/codegen re-warm
+      ()
+    }
 
     def runOne(name: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -110,7 +149,28 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val results = names.map(n => n -> runBest(n))
+
+    val restartEvery = sys.env.get("SPARK_GRAFT_RESTART")
+      .map(_.toInt).getOrElse(40)
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0)
+        restartSession()
+      n -> runBest(n)
+    }
+
+    // Isolated-minimum pass: the slowest K entries re-measured in one
+    // final fresh session, so every round's JSON carries a noise floor
+    // beside the in-suite numbers.
+    val isolateK = sys.env.get("SPARK_GRAFT_ISOLATE")
+      .map(_.toInt).getOrElse(8)
+    val isolated: Seq[(String, Double)] =
+      if (isolateK <= 0 || names.size <= 1) Nil
+      else {
+        val slowest = results.filter(_._2._2.isEmpty)
+          .sortBy(-_._2._1).take(isolateK).map(_._1)
+        restartSession()
+        slowest.sorted.map(n => n -> runBest(n)._1)
+      }
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -123,9 +183,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, sec) => s"${jstr(k)}:$sec" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("/tmp/bench.json"), json + "\n")
     println(json)
