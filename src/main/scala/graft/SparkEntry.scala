@@ -7638,6 +7638,25 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // ts_of_min_over_time with GUARANTEED value ties: integer-floored
+    // click values collide inside a day's window, and upstream resolves
+    // tied minima to the LATEST sample (funcTsOfMinOverTime updates on
+    // `<=`, same as max) — the oracle ranks (value ASC, t DESC).
+    "promql_ts_of_min" -> ((s, dir) => {
+      val store = Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(lit("click").as("name"),
+          sort_array(array(lit("__name__=click"),
+            concat(lit("user_id="), col("user_id")))).as("tags"),
+          floor(col("value")).cast("double").as("val"),
+          date_trunc("second", col("ts")).as("ts"))
+      Eval.rangeQuery(store, "ts_of_min_over_time(click[1d])",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // limitk (Prometheus's experimental sampling aggregator): k series
     // per group, selection keyed on md5 of the joined tag string — the
     // same series stay picked at every grid step, and DuckDB reproduces
@@ -13899,6 +13918,21 @@ object SparkEntry {
          |w AS (SELECT gr.T AS gt, d.user_id, d.t AS st, d.vfp,
          |    row_number() OVER (PARTITION BY gr.T, d.user_id
          |      ORDER BY d.vfp DESC, d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t > gr.T - 86400 AND d.t <= gr.T)
+         |SELECT 'user_id=' || user_id AS tags, gt AS t,
+         |  st * 1000000 AS value_fp
+         |FROM w WHERE rn = 1 ORDER BY t, tags""".stripMargin,
+
+    "promql_ts_of_min" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value) * 1000000 AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |w AS (SELECT gr.T AS gt, d.user_id, d.t AS st,
+         |    row_number() OVER (PARTITION BY gr.T, d.user_id
+         |      ORDER BY d.vfp ASC, d.t DESC) AS rn
          |  FROM gr JOIN d ON d.t > gr.T - 86400 AND d.t <= gr.T)
          |SELECT 'user_id=' || user_id AS tags, gt AS t,
          |  st * 1000000 AS value_fp

@@ -22,6 +22,15 @@ object TextExposition {
   private def fail(lineNo: Int, msg: String): Nothing =
     throw new IllegalArgumentException(s"text format line $lineNo: $msg")
 
+  /** The decimal float shape Go's exposition tokenizer admits (the
+    * special Inf/NaN tokens are matched before this): optional sign,
+    * digits with an optional fraction or a bare leading dot, optional
+    * exponent. Notably EXCLUDES Java-isms `1d`/`1f`, hex floats,
+    * `Infinity`, and whitespace-padded forms.
+    */
+  private val GoFloat =
+    java.util.regex.Pattern.compile("""[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""")
+
   private def isNameStart(c: Char) =
     c.isLetter || c == '_' || c == ':'
   private def isNameChar(c: Char) =
@@ -151,6 +160,8 @@ object TextExposition {
                 case c => v += c; i += 1
               }
             }
+            if (labels.exists(_.name == lname))
+              fail(lineNo, s"duplicate label name '$lname'")
             labels += Prompb.PLabel(lname, v.result())
             first = false
           }
@@ -167,6 +178,12 @@ object TextExposition {
       case "-Inf" => Double.NegativeInfinity
       case "NaN" => Double.NaN
       case tok =>
+        // Go's strconv float shape only: Java's parseDouble additionally
+        // accepts 'd'/'f' suffixes, hex floats, 'Infinity', and padded
+        // forms — all of which the exposition format rejects, and a
+        // malformed page must fail with a line number, not ingest
+        if (!GoFloat.matcher(tok).matches())
+          fail(lineNo, s"malformed value '$tok'")
         try tok.toDouble
         catch { case _: NumberFormatException =>
           fail(lineNo, s"malformed value '$tok'") }

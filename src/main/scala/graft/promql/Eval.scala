@@ -903,11 +903,12 @@ object Eval {
           count(lit(1)).as("n"), sum(col("v_fp")).as("s"),
           min(col("v_fp")).as("mn"), max(col("v_fp")).as("mx"),
           max(struct(col("te").as("a"), col("v_fp").as("v"))).as("_lp"),
-          // argmax/argmin sample time for the ts_of_* family — ties on
-          // the value resolve to the LATEST sample for max and the
-          // EARLIEST for min (struct ordering on (v, te) / its min)
+          // argmax/argmin sample time for the ts_of_* family — upstream
+          // updates the winner on `<=`/`>=`, so ties on the value
+          // resolve to the LATEST sample for BOTH max and min (min-by
+          // value with the timestamp NEGATED inside the struct)
           max(struct(col("v_fp").as("v"), col("te").as("a"))).as("_mxp"),
-          min(struct(col("v_fp").as("v"), col("te").as("a"))).as("_mnp"),
+          min(struct(col("v_fp").as("v"), (-col("te")).as("a"))).as("_mnp"),
           sum(col("v_fp").cast("decimal(38,0)") *
             col("v_fp").cast("decimal(38,0)")).as("ss"))
         val nD = col("n").cast("double")
@@ -929,7 +930,7 @@ object Eval {
           case "ts_of_max_over_time" =>
             finish(g, col("_mxp").getField("a") * FP)
           case "ts_of_min_over_time" =>
-            finish(g, col("_mnp").getField("a") * FP)
+            finish(g, -col("_mnp").getField("a") * FP)
           case x => throw new IllegalArgumentException(s"unknown fn $x()")
         }
     }

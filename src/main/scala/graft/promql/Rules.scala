@@ -192,14 +192,37 @@ object Rules {
         col("t"), col("value"), col("state"))
     if (rule.keepFiringForSec == 0) active
     else {
-      // keep_firing_for: after the condition clears, the alert stays
-      // FIRING (with its last value) for the configured window — a
-      // firing instant projects forward onto the grid, active instants
-      // win, and among overlapping projections the NEWEST source wins.
-      require(rule.keepFiringForSec % spec.stepSec == 0,
-        "keep_firing_for must be a multiple of the evaluation step")
-      val k = rule.keepFiringForSec / spec.stepSec
-      val kept = active.filter(col("state") === "firing")
+      // keep_firing_for (upstream state machine): once FIRING, an alert
+      // never demotes to pending — it stays firing through later active
+      // evaluations (their `for` clock is irrelevant; `for` only gates
+      // the pending→firing transition) and through inactive gaps of at
+      // most keep_firing_for, going inactive only when a gap outlives
+      // the window. Any duration is accepted (promtool does); on the
+      // grid it rounds UP to whole steps, so a 15 s keep on a 10 s grid
+      // covers the instants a wall-clock window of at least 15 s would.
+      val k = (rule.keepFiringForSec + spec.stepSec - 1) / spec.stepSec
+      val keepSec = k * spec.stepSec
+      // ISLANDS: active instants of one series whose gaps all fit inside
+      // the keep window form one continuation — firing propagates
+      // forward within an island (a cleared-then-reactivated alert stays
+      // firing), never across a gap the keep window can't bridge.
+      val wOrd = Window.partitionBy(col("tags")).orderBy(col("t").asc)
+      val wIsl = Window.partitionBy(col("tags"), col("_isl"))
+      val promoted = active
+        .withColumn("_gap", col("t") - lag(col("t"), 1).over(wOrd))
+        .withColumn("_isl", sum(when(col("_gap").isNull ||
+          col("_gap") > keepSec, 1L).otherwise(0L)).over(wOrd))
+        .withColumn("_f0",
+          min(when(col("state") === "firing", col("t"))).over(wIsl))
+        .withColumn("state", when(col("_f0").isNotNull &&
+          col("t") >= col("_f0"), lit("firing")).otherwise(col("state")))
+        .select(col("tags"), col("t"), col("value"), col("state"))
+      // PROJECTIONS fill the inactive gap instants: every firing instant
+      // projects its value k steps forward, the NEWEST source wins among
+      // overlaps, and instants that have a real evaluation keep it (only
+      // gap instants take a projection — a projection can never reach
+      // the next island, whose gap exceeds the keep window).
+      val kept = promoted.filter(col("state") === "firing")
         .select(col("tags"), col("t").as("_t0"), col("value"),
           explode(sequence(lit(1L), lit(k))).as("_k"))
         .select(col("tags"), (col("_t0") + col("_k") * spec.stepSec)
@@ -212,7 +235,7 @@ object Rules {
         .join(active.select(col("tags").as("_at"), col("t").as("_tt")),
           col("tags") === col("_at") && col("t") === col("_tt"),
           "left_anti")
-      active.unionByName(kept)
+      promoted.unionByName(kept)
     }
   }
 

@@ -282,6 +282,12 @@ object CliConfig {
             }
             case "storage.tsdb.retention.time" =>
               parseDurationMs(v) match {
+                // a sub-second value would floor to retentionSec=0,
+                // which means "keep forever" — the OPPOSITE of the tiny
+                // retention asked for; reject instead of inverting
+                case Right(ms) if ms > 0 && ms < 1000 => return Left(
+                  s"--storage.tsdb.retention.time must be at least 1s " +
+                    s"(or 0 to disable), got '$v'")
                 case Right(ms) => cfg = cfg.copy(retentionSec = ms / 1000)
                 case Left(e) => return Left(e)
               }

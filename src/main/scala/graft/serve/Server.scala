@@ -665,7 +665,7 @@ class Server(spark: SparkSession, tablePath: String,
       if (rows.length > readMaxSeries)
         throw new ResponseEdge.SeriesLimitExceeded(readMaxSeries)
       val out = rows.sortBy(
-        _.getAs[scala.collection.Seq[String]]("tags").mkString(" "))
+        _.getAs[scala.collection.Seq[String]]("tags").mkString("\u0000"))
         .iterator.map { r =>
         val metric = r.getAs[scala.collection.Seq[String]]("tags")
           .map { kv =>
@@ -1292,13 +1292,24 @@ class Server(spark: SparkSession, tablePath: String,
         invalidateTable()
         respond(ex, 204, Array.emptyByteArray)
       } else if (path.endsWith("/clean_tombstones")) {
-        graft.engine.Tombstones.clean(spark, tablePath)
+        // the rewrite scans affected date= partitions, then rmTree's and
+        // swaps them — a /write committing into one of those dirs between
+        // the scan and the swap would have its fresh files deleted, so
+        // the admin rewrite serializes with every other commit path
+        appendLock.synchronized {
+          graft.engine.Tombstones.clean(spark, tablePath)
+        }
         invalidateTable()
         respond(ex, 204, Array.emptyByteArray)
       } else if (path.endsWith("/snapshot")) {
         val name = pairs.find(_._1 == "name").map(_._2)
           .getOrElse(s"graft-${System.currentTimeMillis()}")
-        graft.engine.Admin.snapshot(tablePath, name)
+        // hardlink walk must not race an in-flight append's _temporary
+        // staging files (they'd be linked into the snapshot or vanish
+        // mid-walk), so it takes the same commit lock
+        appendLock.synchronized {
+          graft.engine.Admin.snapshot(tablePath, name)
+        }
         ex.getResponseHeaders.set("Content-Type", "application/json")
         respond(ex, 200,
           s"""{"status":"success","data":{"name":${jsonStr(name)}}}"""

@@ -228,6 +228,11 @@ class CliSpec extends SparkSpec {
       .toOption.get.retentionSec == 15L * 86400L)
     assert(CliConfig.parse(
       Seq("--storage.tsdb.retention.time=soon")).isLeft)
+    // sub-second retention would floor to 0 = keep-forever — rejected
+    assert(CliConfig.parse(
+      Seq("--storage.tsdb.retention.time=500ms")).isLeft)
+    assert(CliConfig.parse(Seq("--storage.tsdb.retention.time=0s"))
+      .toOption.get.retentionSec == 0L)
     // scrape flags
     assert(CliConfig.parse(Seq("--scrape.targets=http://a/m,http://b/m",
       "--scrape.interval=5s")).toOption.exists(c =>

@@ -362,6 +362,26 @@ class PromqlSpec extends SparkSpec {
       60, 60, 10) == Seq(("instance=i1", 60L, 60.0)))
   }
 
+  test("ts_of_min_over_time resolves value ties to the LATEST sample " +
+      "(upstream updates the winner on <=)") {
+    val rows = Seq(
+      ("m", Seq("__name__=m", "job=a"), 2.0, 10L),
+      ("m", Seq("__name__=m", "job=a"), 5.0, 20L),
+      ("m", Seq("__name__=m", "job=a"), 2.0, 30L),
+      ("m", Seq("__name__=m", "job=a"), 7.0, 40L))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    def one(q: String): Seq[Double] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(60, 60, 10, 300L))
+        .select(col("value")).as[Double].collect().toSeq
+    assert(one("ts_of_min_over_time(m[60s])") == Seq(30.0))
+    // tied maxima likewise take the latest
+    val rows2 = rows :+ ("m", Seq("__name__=m", "job=a"), 7.0, 50L)
+    val store2 = rows2.toDF("name", "tags", "val", "ts")
+    assert(Eval.rangeQuery(store2, "ts_of_max_over_time(m[60s])",
+        Eval.RangeSpec(60, 60, 10, 300L))
+      .select(col("value")).as[Double].collect().toSeq == Seq(50.0))
+  }
+
   test("count_values groups by printed value") {
     val got = run("""count_values("v", req)""", 60, 60, 10)
     assert(got.toSet == Set(("v=15", 60L, 1.0), ("v=160", 60L, 1.0)))
@@ -869,6 +889,42 @@ class PromqlSpec extends SparkSpec {
     assert(got.forall(_._2 == "firing"))
     // kept instants carry the LAST active value's source (t=20)
     assert(got.filter(_._1 >= 30).forall(_._3 == 1.0))
+  }
+
+  test("keep_firing_for: re-activation inside the window stays firing " +
+      "(never demotes to pending), and a longer gap resets") {
+    // for: 10s (needs 2 consecutive instants), keep_firing_for: 20s on a
+    // 10s grid. up=2 at t=10,20 → pending@10, firing@20. Cleared at 30.
+    // Re-active at t=40 (gap 20s ≤ keep): upstream keeps FIRING — the
+    // alert never went inactive, so its single-instant run must NOT read
+    // as pending. Cleared 50-70 (gap 30s > keep after t=40): kept firing
+    // covers 50,60 then expires. Re-active at t=80: fresh run → pending.
+    val rows = Seq(10L, 20L, 40L, 80L)
+      .map(t => ("up", Seq("__name__=up", "job=a"), 2.0, t))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    val rule = graft.promql.Rules.AlertRule("Up", "up > 0", forSec = 10L,
+      keepFiringForSec = 20L)
+    val got = graft.promql.Rules.alertRows(store, rule,
+        Eval.RangeSpec(10, 80, 10, lookbackSec = 5L))
+      .select(col("t"), col("state"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(10L -> "pending", 20L -> "firing", 30L -> "firing",
+      40L -> "firing", 50L -> "firing", 60L -> "firing", 80L -> "pending"))
+  }
+
+  test("keep_firing_for: non-step-multiple durations round up instead " +
+      "of throwing") {
+    // keep_firing_for: 15s on a 10s grid — promtool accepts the rule, so
+    // evaluation must too; the grid covers it as 20s (ceil)
+    val rows = Seq(("up", Seq("__name__=up", "job=a"), 1.0, 10L))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    val rule = graft.promql.Rules.AlertRule("Up", "up > 0", forSec = 0L,
+      keepFiringForSec = 15L)
+    val got = graft.promql.Rules.alertRows(store, rule,
+        Eval.RangeSpec(10, 60, 10, lookbackSec = 5L))
+      .select(col("t"), col("state"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(10L -> "firing", 20L -> "firing", 30L -> "firing"))
   }
 
   test("stale markers end instant ownership, never shadow live samples, " +

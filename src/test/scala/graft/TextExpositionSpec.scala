@@ -59,6 +59,24 @@ class TextExpositionSpec extends AnyFunSuite {
     assert(err("m 1 notats\n").contains("malformed timestamp"))
     assert(err("m{a=\"v\"\n").contains("unterminated label set"))
     assert(err("{} 1\n").contains("metric name"))
+    // Java-isms parseDouble would take but the exposition format rejects
+    assert(err("m 1d\n").contains("malformed value"))
+    assert(err("m 1f\n").contains("malformed value"))
+    assert(err("m 0x1p3\n").contains("malformed value"))
+    assert(err("m Infinity\n").contains("malformed value"))
+    // duplicate label names on one line
+    assert(err("m{a=\"1\",a=\"2\"} 1\n").contains("duplicate label"))
+  }
+
+  test("go float shapes still parse: exponents, bare fractions, signs") {
+    def one(page: String): Double =
+      TextExposition.decode(page, 0L).request.timeseries.head.samples
+        .head.value
+    assert(one("m 1e3\n") == 1000.0)
+    assert(one("m -2.5E-1\n") == -0.25)
+    assert(one("m .5\n") == 0.5)
+    assert(one("m 3.\n") == 3.0)
+    assert(one("m +Inf\n").isPosInfinity)
   }
 
   test("round trip: a federate-shaped page decodes to the values and " +
