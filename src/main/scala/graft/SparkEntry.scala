@@ -1735,6 +1735,107 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // Remote-read negotiation the way a STOCK Prometheus does it: the
+    // ReadRequest proto carries accepted_response_types =
+    // [STREAMED_XOR_CHUNKS, SAMPLES] and NO out-of-band query param —
+    // the server must answer with the first supported type (chunked
+    // frames, pinned by Content-Type), and the decoded samples must be
+    // row-identical to the SAMPLES response (shared oracle with
+    // serve_read_chunked).
+    "serve_read_negotiated" -> ((s, dir) => {
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics", Nil, 0,
+        exactQuantiles = true).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")))),
+          acceptedResponseTypes = Seq(
+            Prompb.ResponseType.STREAMED_XOR_CHUNKS,
+            Prompb.ResponseType.SAMPLES))
+        val conn = java.net.URI.create(
+          s"http://localhost:${server.boundPort}/read")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val ctype = conn.getHeaderField("Content-Type")
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        require(ctype != null && ctype.contains("ChunkedReadResponse"),
+          s"negotiation must pick the chunked response, got '$ctype'")
+        val rows = for {
+          f <- graft.codec.ChunkedRead.readFrames(bytes)
+          (series, _) = graft.codec.ChunkedRead.decodeResponse(f)
+          ser <- series
+          ch <- ser.chunks
+          (t, v) <- graft.codec.XorChunk.decode(ch.data)
+        } yield (ser.labels.map(l => s"${l.name}=${l.value}").sorted
+          .mkString(","), t, v)
+        import s.implicits._
+        rows.toDF("tags", "t", "value")
+          .select(col("tags"), col("t"), round(col("value"), 4).as("value"))
+          .orderBy(col("tags"), col("t"))
+      } finally server.stop()
+    }),
+
+    // ReadHints-driven tier routing: the proto's step_ms is all a stock
+    // Prometheus sends — a 1 h step routes the 1 h tier, a 10 m step the
+    // 5 m tier (coarsest ≤ step, gridded on the client step), a 1 m step
+    // falls through to raw — each pinned via the response headers, and
+    // the 1 h response's decoded samples replay the hourly fixed-point
+    // oracle (shared with serve_read_autores).
+    "serve_read_hinted" -> ((s, dir) => {
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics", Nil, 0,
+        exactQuantiles = true,
+        tierPaths = Seq(300L -> s"$base/tier300", 3600L -> s"$base/tier3600"))
+        .start()
+      try {
+        def read(stepMs: Long): (String, String, Array[Byte]) = {
+          val rr = Prompb.PReadRequest(Seq(
+            Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
+              Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")),
+              hints = Some(Prompb.PReadHints(stepMs = stepMs,
+                func = "avg_over_time",
+                startMs = Jan05 * 1000, endMs = Jan20 * 1000)))))
+          val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/read")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(
+            Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+          val bytes = conn.getInputStream.readAllBytes()
+          val out = (conn.getHeaderField("X-Graft-Resolution"),
+            conn.getHeaderField("X-Graft-Step"), bytes)
+          conn.disconnect()
+          out
+        }
+        val (res1h, step1h, body) = read(3600L * 1000)
+        require(res1h == "3600" && step1h == "3600",
+          s"1h step must route the 1h tier, got res=$res1h step=$step1h")
+        val (res10m, step10m, _) = read(600L * 1000)
+        require(res10m == "300" && step10m == "600",
+          s"10m step must route the 5m tier on a 10m grid, " +
+            s"got res=$res10m step=$step10m")
+        val (res1m, _, _) = read(60L * 1000)
+        require(res1m == "0", s"1m step must read raw, got res=$res1m")
+        val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+        val rows = for {
+          qr <- resp.results
+          ts <- qr.timeseries
+          sm <- ts.samples
+        } yield (ts.labels.map(l => s"${l.name}=${l.value}").sorted
+          .mkString(","), sm.timestampMs, sm.value)
+        import s.implicits._
+        rows.toDF("tags", "t", "value")
+          .select(col("tags"), col("t"), round(col("value"), 4).as("value"))
+          .orderBy(col("tags"), col("t"))
+      } finally server.stop()
+    }),
+
     // The Thanos store-gateway zero-copy path over live HTTP: a
     // day-aligned streamed read with ?source=chunks forwards the at-rest
     // Gorilla chunk bytes VERBATIM (X-Graft-Chunk-Source: store), and
@@ -10494,6 +10595,26 @@ object SparkEntry {
          |FROM events
          |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
          |GROUP BY 1, 2 ORDER BY tags, t""".stripMargin,
+
+    // proto-negotiated chunked response ≡ the chunked response content
+    "serve_read_negotiated" ->
+      s"""SELECT $OTags AS tags, ($OSec // 158) * 158 * 1000 AS t,
+         |       round(quantile_cont(value, 0.75), 4) AS value
+         |FROM events
+         |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
+         |GROUP BY 1, 2 ORDER BY tags, t""".stripMargin,
+
+    // hinted 1 h step ≡ the auto-resolution hourly fixed-point replay
+    "serve_read_hinted" ->
+      s"""WITH s AS (SELECT $OTags AS tags, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |b AS (SELECT tags, (t // 3600) * 3600 AS bt, count(*) AS cnt,
+         |    CAST(sum(vfp) AS BIGINT) AS sfp FROM s GROUP BY 1, 2)
+         |SELECT tags, bt * 1000 AS t,
+         |  round(CAST(floor(sfp / cnt) AS BIGINT) / 1000000.0, 4) AS value
+         |FROM b WHERE bt >= $Jan05 AND bt <= $Jan20
+         |ORDER BY tags, t""".stripMargin,
 
     // The 158 s quantile buckets reduced to per-day extremes: argmin
     // ties earliest-t, argmax ties latest-t (the ts_minmax convention);

@@ -35,8 +35,31 @@ object Prompb {
   case class PTimeSeries(labels: Seq[PLabel], samples: Seq[PSample])
   case class PWriteRequest(timeseries: Seq[PTimeSeries])
   case class PLabelMatcher(matchType: Int, name: String, value: String)
-  case class PQuery(startMs: Long, endMs: Long, matchers: Seq[PLabelMatcher])
-  case class PReadRequest(queries: Seq[PQuery])
+
+  /** prompb.ReadHints (types.proto): Prometheus tells the remote end its
+    * evaluation step, the outer function, grouping labels, and the
+    * selector's range — enough for the server to route a downsampled
+    * tier without any out-of-band parameter.
+    */
+  case class PReadHints(stepMs: Long = 0L, func: String = "",
+                        startMs: Long = 0L, endMs: Long = 0L,
+                        grouping: Seq[String] = Nil, by: Boolean = false,
+                        rangeMs: Long = 0L)
+
+  case class PQuery(startMs: Long, endMs: Long, matchers: Seq[PLabelMatcher],
+                    hints: Option[PReadHints] = None)
+
+  /** ReadRequest.accepted_response_types (remote.proto field 2): the
+    * response encodings the client can consume, in preference order —
+    * SAMPLES(0) / STREAMED_XOR_CHUNKS(1). An empty list means the legacy
+    * client contract: SAMPLES only.
+    */
+  case class PReadRequest(queries: Seq[PQuery],
+                          acceptedResponseTypes: Seq[Int] = Nil)
+
+  object ResponseType {
+    val SAMPLES = 0; val STREAMED_XOR_CHUNKS = 1
+  }
   case class PQueryResult(timeseries: Seq[PTimeSeries])
   case class PReadResponse(results: Seq[PQueryResult])
 
@@ -128,16 +151,34 @@ object Prompb {
     w.toBytes
   }
 
+  private def encHints(h: PReadHints): Array[Byte] = {
+    val w = new Writer
+    w.int64(1, h.stepMs); w.string(2, h.func)
+    w.int64(3, h.startMs); w.int64(4, h.endMs)
+    h.grouping.foreach(g => w.bytes(5, g.getBytes("UTF-8")))
+    if (h.by) { w.key(6, 0); w.varint(1L) }
+    w.int64(7, h.rangeMs)
+    w.toBytes
+  }
+
   private def encQuery(q: PQuery): Array[Byte] = {
     val w = new Writer
     w.int64(1, q.startMs); w.int64(2, q.endMs)
     q.matchers.foreach(m => w.message(3, encMatcher(m)))
+    q.hints.foreach(h => w.message(4, encHints(h)))
     w.toBytes
   }
 
   def encodeReadRequest(r: PReadRequest): Array[Byte] = {
     val w = new Writer
     r.queries.foreach(q => w.message(1, encQuery(q)))
+    // repeated enum — packed, as proto3 (and Prometheus's gogoproto
+    // codegen) emits it
+    if (r.acceptedResponseTypes.nonEmpty) {
+      val packed = new Writer
+      r.acceptedResponseTypes.foreach(t => packed.varint(t.toLong))
+      w.bytes(2, packed.toBytes)
+    }
     w.toBytes
   }
 
@@ -269,27 +310,61 @@ object Prompb {
     val r = new Reader(buf, s, e)
     var st = 0L; var en = 0L
     val ms = Seq.newBuilder[PLabelMatcher]
+    var hints: Option[PReadHints] = None
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 0) => st = r.varint()
         case (2, 0) => en = r.varint()
         case (3, 2) => val (a, b) = r.lenDelimited(); ms += decMatcher(buf, a, b)
+        case (4, 2) =>
+          val (a, b) = r.lenDelimited(); hints = Some(decHints(buf, a, b))
         case (_, w) => r.skip(w)
       }
     }
-    PQuery(st, en, ms.result())
+    PQuery(st, en, ms.result(), hints)
+  }
+
+  private def decHints(buf: Array[Byte], start: Int, end: Int): PReadHints = {
+    val r = new Reader(buf, start, end)
+    var h = PReadHints()
+    val grouping = Seq.newBuilder[String]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 0) => h = h.copy(stepMs = r.varint())
+        case (2, 2) =>
+          val (a, b) = r.lenDelimited()
+          h = h.copy(func = new String(buf, a, b - a, "UTF-8"))
+        case (3, 0) => h = h.copy(startMs = r.varint())
+        case (4, 0) => h = h.copy(endMs = r.varint())
+        case (5, 2) =>
+          val (a, b) = r.lenDelimited()
+          grouping += new String(buf, a, b - a, "UTF-8")
+        case (6, 0) => h = h.copy(by = r.varint() != 0)
+        case (7, 0) => h = h.copy(rangeMs = r.varint())
+        case (_, w) => r.skip(w)
+      }
+    }
+    h.copy(grouping = grouping.result())
   }
 
   def decodeReadRequest(buf: Array[Byte]): PReadRequest = {
     val r = new Reader(buf, 0, buf.length)
     val qs = Seq.newBuilder[PQuery]
+    val accepted = Seq.newBuilder[Int]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => val (a, b) = r.lenDelimited(); qs += decQuery(buf, a, b)
+        // repeated enum arrives PACKED from proto3 emitters but the wire
+        // spec also allows the unpacked form — accept both
+        case (2, 2) =>
+          val (a, b) = r.lenDelimited()
+          val rr = new Reader(buf, a, b)
+          while (rr.hasMore) accepted += rr.varint().toInt
+        case (2, 0) => accepted += r.varint().toInt
         case (_, w) => r.skip(w)
       }
     }
-    PReadRequest(qs.result())
+    PReadRequest(qs.result(), accepted.result())
   }
 
   def decodeReadResponse(buf: Array[Byte]): PReadResponse = {

@@ -392,11 +392,20 @@ class Server(spark: SparkSession, tablePath: String,
     * deployment model); short-range queries — the ones that need fresh
     * data — route raw by construction.
     */
-  private[serve] def chooseTier(q: PromQuery,
-                                resParam: Option[String]): Option[(Long, DataFrame)] = {
+  private[serve] def chooseTier(q: PromQuery, resParam: Option[String],
+                                hintStepMs: Long = 0L): Option[(Long, DataFrame)] = {
     if (tierPaths.isEmpty) None
     else resParam match {
       case Some("raw") => None
+      // ReadHints routing: the client declared its evaluation step, so
+      // the coarsest tier still finer-or-equal to that step loses
+      // nothing the client would ever see; a step finer than every tier
+      // reads raw. Only when NO param is present — an explicit
+      // ?resolution=auto asks for the range-based rule by name.
+      case None if hintStepMs > 0 =>
+        val eligible = tierPaths.map(_._1).filter(_ * 1000L <= hintStepMs)
+        eligible.maxOption.flatMap(w => tierPaths.find(_._1 == w))
+          .map { case (sec, path) => sec -> spark.read.parquet(path) }
       case None | Some("auto") =>
         val rangeSec = (q.endMs - q.startMs) / 1000
         if (rangeSec <= 0) None
@@ -421,8 +430,13 @@ class Server(spark: SparkSession, tablePath: String,
     * rounded UP to the next tier-window multiple — keeps the ≤ MaxSample
     * bucket bound AND the window alignment exact re-aggregation needs.
     */
-  private[serve] def tierStep(q: PromQuery, tierSec: Long): Long = {
-    val d = Matchers.divStep(q)
+  private[serve] def tierStep(q: PromQuery, tierSec: Long,
+                              hintStepMs: Long = 0L): Long = {
+    // a hinted read grids on the CLIENT's step (Prometheus will sample
+    // the response at that step anyway); unhinted reads keep the
+    // adaptive divStep bound
+    val d = if (hintStepMs > 0) math.max(hintStepMs / 1000L, 1L)
+            else Matchers.divStep(q)
     ((d + tierSec - 1) / tierSec) * tierSec
   }
 
@@ -457,9 +471,13 @@ class Server(spark: SparkSession, tablePath: String,
       val steps = Seq.newBuilder[Long]
       val perQuery = rr.queries.map { q =>
         val pq = toPromQuery(q)
-        chooseTier(pq, resParam) match {
+        // prompb.ReadHints: a stock Prometheus sends its evaluation step
+        // in the proto — routing needs no graft-specific ?resolution=
+        // param (which still overrides when present)
+        val hintMs = q.hints.map(_.stepMs).getOrElse(0L)
+        chooseTier(pq, resParam, hintMs) match {
           case Some((tierSec, tier)) =>
-            val outSec = tierStep(pq, tierSec)
+            val outSec = tierStep(pq, tierSec, hintMs)
             resolutions += tierSec; steps += outSec
             ReadPipeline.assembleSeries(transform(
               ReadPipeline.tierBucketAgg(tier, pq, tierSec, outSec)))
@@ -473,14 +491,23 @@ class Server(spark: SparkSession, tablePath: String,
       ex.getResponseHeaders.set("X-Graft-Resolution",
         resolutions.result().mkString(","))
       ex.getResponseHeaders.set("X-Graft-Step", steps.result().mkString(","))
-      // STREAMED_XOR_CHUNKS (the modern remote-read negotiation —
-      // Prometheus sends accepted_response_types in the proto; this
-      // server also honors the explicit ?response_type= param so plain
-      // HTTP clients can opt in): framed ChunkedReadResponse messages
-      // with Gorilla-compressed sample chunks, uncompressed outer body
-      // per the spec.
-      if (queryParams(ex.getRequestURI.getQuery).get("response_type")
-          .contains("streamed_xor_chunks")) {
+      // STREAMED_XOR_CHUNKS negotiation (Remote-Read spec): the server
+      // answers with the FIRST type in the request proto's
+      // accepted_response_types it supports; an empty list is the legacy
+      // SAMPLES contract. The explicit ?response_type= param overrides
+      // in both directions so plain HTTP clients can opt in (or a
+      // debugging client can force SAMPLES from a chunk-capable setup).
+      // Chunked responses are framed ChunkedReadResponse messages with
+      // Gorilla-compressed sample chunks, uncompressed outer body per
+      // the spec.
+      val wantChunks = params.get("response_type") match {
+        case Some(t) => t == "streamed_xor_chunks"
+        case None => rr.acceptedResponseTypes
+          .find(t => t == Prompb.ResponseType.SAMPLES ||
+            t == Prompb.ResponseType.STREAMED_XOR_CHUNKS)
+          .contains(Prompb.ResponseType.STREAMED_XOR_CHUNKS)
+      }
+      if (wantChunks) {
         val body = ResponseEdge.encodeChunked(perQuery, readMaxSeries)
         ex.getResponseHeaders.set("Content-Type",
           "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")

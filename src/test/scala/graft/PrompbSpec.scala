@@ -49,6 +49,28 @@ class PrompbSpec extends AnyFunSuite {
     assert(Prompb.decodeReadRequest(Prompb.encodeReadRequest(rr)) == rr)
   }
 
+  test("ReadRequest round-trip with hints and accepted_response_types, " +
+      "packed and unpacked forms") {
+    val rr = PReadRequest(Seq(PQuery(1000L, 2000L,
+      Seq(PLabelMatcher(MatchType.EQ, "__name__", "up")),
+      hints = Some(PReadHints(stepMs = 60000L, func = "rate",
+        startMs = 1000L, endMs = 2000L, grouping = Seq("job", "instance"),
+        by = true, rangeMs = 300000L)))),
+      acceptedResponseTypes = Seq(1, 0))
+    assert(Prompb.decodeReadRequest(Prompb.encodeReadRequest(rr)) == rr)
+    // the wire spec also allows UNPACKED repeated enums: field 2 wire 0
+    val base = Prompb.encodeReadRequest(PReadRequest(rr.queries))
+    val unpacked = base ++ Array((2 << 3).toByte, 1.toByte,
+      (2 << 3).toByte, 0.toByte)
+    assert(Prompb.decodeReadRequest(unpacked).acceptedResponseTypes ==
+      Seq(1, 0))
+    // absent hints stay None; absent list stays empty (legacy contract)
+    val legacy = PReadRequest(Seq(PQuery(1L, 2L, Nil)))
+    val back = Prompb.decodeReadRequest(Prompb.encodeReadRequest(legacy))
+    assert(back.queries.head.hints.isEmpty &&
+      back.acceptedResponseTypes.isEmpty)
+  }
+
   test("ReadResponse round-trip") {
     val resp = PReadResponse(Seq(PQueryResult(Seq(
       PTimeSeries(Seq(PLabel("__name__", "m"), PLabel("k", "v")),

@@ -133,6 +133,69 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: remote-read negotiation honors accepted_response_types — " +
+      "a SAMPLES-only client gets SAMPLES, a chunk-capable one gets " +
+      "chunks, and ?response_type= overrides both ways") {
+    val table = Files.createTempDirectory("graft_srvn").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val wr = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "m1"), PLabel("job", "x")),
+        Seq(PSample(1.0, 1000L), PSample(2.0, 2000L)))))
+      assert(post(s"$base/write",
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(wr)))._1 == 200)
+      def read(url: String, accepted: Seq[Int]): (String, Array[Byte]) = {
+        val rr = PReadRequest(Seq(PQuery(0L, 60000L,
+          Seq(PLabelMatcher(MatchType.EQ, "__name__", "m1")))), accepted)
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val body = conn.getInputStream.readAllBytes()
+        val ct = conn.getHeaderField("Content-Type")
+        conn.disconnect()
+        (ct, body)
+      }
+      def samples(body: Array[Byte]): Seq[Double] =
+        Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
+          .results.head.timeseries.head.samples.map(_.value)
+      // legacy client: no accepted list → SAMPLES
+      val (ct0, b0) = read(s"$base/read", Nil)
+      assert(ct0 == "application/x-protobuf" && samples(b0).nonEmpty)
+      // explicit SAMPLES-only client → SAMPLES
+      val (ct1, b1) = read(s"$base/read",
+        Seq(Prompb.ResponseType.SAMPLES))
+      assert(ct1 == "application/x-protobuf" && samples(b1) == samples(b0))
+      // stock Prometheus: [STREAMED_XOR_CHUNKS, SAMPLES] → chunked
+      val (ct2, b2) = read(s"$base/read", Seq(
+        Prompb.ResponseType.STREAMED_XOR_CHUNKS,
+        Prompb.ResponseType.SAMPLES))
+      assert(ct2.contains("ChunkedReadResponse"))
+      val vals = for {
+        f <- graft.codec.ChunkedRead.readFrames(b2)
+        ser <- graft.codec.ChunkedRead.decodeResponse(f)._1
+        ch <- ser.chunks
+        (_, v) <- graft.codec.XorChunk.decode(ch.data)
+      } yield v
+      assert(vals.sorted == samples(b0).sorted)
+      // preference ORDER wins: SAMPLES listed first → SAMPLES
+      val (ct3, _) = read(s"$base/read", Seq(
+        Prompb.ResponseType.SAMPLES,
+        Prompb.ResponseType.STREAMED_XOR_CHUNKS))
+      assert(ct3 == "application/x-protobuf")
+      // the explicit param overrides the proto field, both directions
+      val (ct4, _) = read(s"$base/read?response_type=streamed_xor_chunks",
+        Seq(Prompb.ResponseType.SAMPLES))
+      assert(ct4.contains("ChunkedReadResponse"))
+      val (ct5, _) = read(s"$base/read?response_type=samples", Seq(
+        Prompb.ResponseType.STREAMED_XOR_CHUNKS))
+      assert(ct5 == "application/x-protobuf")
+    } finally server.stop()
+  }
+
   test("serve: /write routes Remote-Write 2.0 payloads by Content-Type " +
        "into the same store") {
     val table = Files.createTempDirectory("graft_srv2w").toString + "/metrics"
