@@ -7058,7 +7058,9 @@ object SparkEntry {
           "sum by (user_id) (click)")),
         alerts = Seq(graft.promql.Rules.AlertRule("UserHot",
           "sum by (user_id) (click) > 120", forSec = 43200L,
-          labels = Seq("severity" -> "page"))))
+          labels = Seq("severity" -> "page"),
+          annotations = Seq("summary" ->
+            "user {{ $labels.user_id }} at {{ $value }} clicks"))))
       val server = new graft.serve.Server(s, s"$base/metrics",
         ruleGroups = Seq(group)).start()
       try {
@@ -7068,11 +7070,18 @@ object SparkEntry {
           .asInstanceOf[java.net.HttpURLConnection]
         val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
         conn.disconnect()
+        // the rule-level envelope carries the RAW template, each alert
+        // the per-instance expansion — pin both (the raw one in-entry,
+        // the expanded one through the oracle)
+        require(body.contains(
+          """"annotations":{"summary":"user {{ $labels.user_id }} at {{ $value }} clicks"},"alerts":"""),
+          "rule-level annotations must carry the unexpanded template")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "status STRING, data STRUCT<groups: ARRAY<STRUCT<" +
             "name: STRING, rules: ARRAY<STRUCT<state: STRING, " +
             "name: STRING, type: STRING, duration: BIGINT, " +
             "alerts: ARRAY<STRUCT<labels: MAP<STRING,STRING>, " +
+            "annotations: MAP<STRING,STRING>, " +
             "state: STRING, activeAt: STRING, value: STRING>>>>>>>")
         Seq(body).toDF("j")
           .select(from_json(col("j"), schema).as("r"))
@@ -7088,7 +7097,8 @@ object SparkEntry {
             round(col("a.value").cast("double") * 1000000L).cast("long")
               .as("value_fp"),
             unix_timestamp(col("a.activeAt").cast("timestamp"))
-              .as("active_at"))
+              .as("active_at"),
+            col("a.annotations.summary").as("summary"))
           .orderBy(col("tags"))
       } finally server.stop()
     }),
@@ -7418,7 +7428,9 @@ object SparkEntry {
         val group = graft.promql.Rules.RuleGroup("graft-alerts", 21600L,
           alerts = Seq(graft.promql.Rules.AlertRule("UserHot",
             "sum by (user_id) (click) > 120", forSec = 0L,
-            labels = Seq("severity" -> "page"))))
+            labels = Seq("severity" -> "page"),
+            annotations = Seq("summary" ->
+              "user {{ $labels.user_id }} at {{ $value }} clicks"))))
         val sent = graft.promql.Notifier.notifyOnce(
           s.read.parquet(s"$base/metrics"), Seq(group),
           s"http://localhost:${am.getAddress.getPort}", Jan20,
@@ -7426,7 +7438,8 @@ object SparkEntry {
         val body = captured.poll(5, java.util.concurrent.TimeUnit.SECONDS)
         require(body != null, "no alertmanager POST arrived")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
-          "labels MAP<STRING,STRING>, startsAt STRING")
+          "labels MAP<STRING,STRING>, " +
+            "annotations MAP<STRING,STRING>, startsAt STRING")
         val out = Seq(body).toDF("j")
           .select(explode(from_json(col("j"),
             org.apache.spark.sql.types.ArrayType(schema))).as("a"))
@@ -7435,7 +7448,8 @@ object SparkEntry {
               e => concat(e.getField("key"), lit("="),
                 e.getField("value")))), ",").as("tags"),
             unix_timestamp(col("a.startsAt").cast("timestamp"))
-              .as("starts_at"))
+              .as("starts_at"),
+            col("a.annotations.summary").as("summary"))
           .orderBy(col("tags"))
         require(sent == out.count(), "sent count must equal posted alerts")
         out
@@ -13740,7 +13754,10 @@ object SparkEntry {
          |SELECT 'alertname=UserHot,severity=page,user_id=' || user_id
          |    AS tags,
          |  CASE WHEN held >= 3 THEN 'firing' ELSE 'pending' END AS state,
-         |  vfp AS value_fp, CAST(active_at AS BIGINT) AS active_at
+         |  vfp AS value_fp, CAST(active_at AS BIGINT) AS active_at,
+         |  'user ' || user_id || ' at ' ||
+         |    rtrim(rtrim(printf('%.6f', vfp / 1000000.0), '0'), '.') ||
+         |    ' clicks' AS summary
          |FROM runs WHERE T = 1705708800 ORDER BY tags""".stripMargin,
 
     "serve_metadata" ->
@@ -13876,7 +13893,10 @@ object SparkEntry {
          |    AS starts_at FROM isl)
          |SELECT 'alertname=UserHot,severity=page,user_id=' || user_id
          |    AS tags,
-         |  CAST(starts_at AS BIGINT) AS starts_at
+         |  CAST(starts_at AS BIGINT) AS starts_at,
+         |  'user ' || user_id || ' at ' ||
+         |    rtrim(rtrim(printf('%.6f', vfp / 1000000.0), '0'), '.') ||
+         |    ' clicks' AS summary
          |FROM runs WHERE T = 1705708800
          |ORDER BY tags""".stripMargin,
 

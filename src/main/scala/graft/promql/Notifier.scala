@@ -35,14 +35,25 @@ object Notifier {
         .filter(org.apache.spark.sql.functions.col("state") === "firing")
         .collect().toSeq
         .map { r =>
-          val labels = r.getAs[scala.collection.Seq[String]]("tags")
+          val kvs = r.getAs[scala.collection.Seq[String]]("tags")
             .map { kv =>
               val i = kv.indexOf('=')
-              js(kv.substring(0, i)) + ":" + js(kv.substring(i + 1))
+              kv.substring(0, i) -> kv.substring(i + 1)
+            }
+          val labels = kvs
+            .map { case (k, v) => js(k) + ":" + js(v) }
+            .mkString("{", ",", "}")
+          // annotations expand PER INSTANCE: {{ $labels.x }}/{{ $value }}
+          // against this alert's label set and current value
+          val labelMap = kvs.toMap
+          val value = r.getAs[Double]("value")
+          val annotations = rule.annotations.sortBy(_._1)
+            .map { case (k, tmpl) =>
+              js(k) + ":" + js(Rules.expandTemplate(tmpl, labelMap, value))
             }.mkString("{", ",", "}")
           val startsAt = java.time.Instant
             .ofEpochSecond(r.getAs[Long]("activeAt")).toString
-          s"""{"labels":$labels,"annotations":{},""" +
+          s"""{"labels":$labels,"annotations":$annotations,""" +
             s""""startsAt":${js(startsAt)},"generatorURL":""}"""
         }
     }

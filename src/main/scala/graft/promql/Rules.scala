@@ -31,9 +31,33 @@ object Rules {
 
   case class AlertRule(alert: String, expr: String, forSec: Long,
                        labels: Seq[(String, String)] = Nil,
-                       keepFiringForSec: Long = 0L) {
+                       keepFiringForSec: Long = 0L,
+                       annotations: Seq[(String, String)] = Nil) {
     require(alert.nonEmpty && forSec >= 0 && keepFiringForSec >= 0)
   }
+
+  /** Expand the `{{ $labels.<name> }}` / `{{ $value }}` references in an
+    * annotation template against one alert instance — the plain
+    * substitution subset of Prometheus's Go templating that real rule
+    * files overwhelmingly use (summary/description interpolation). A
+    * label the instance doesn't carry renders empty; `$value` prints
+    * with minimal decimals, Go's FormatFloat('f', -1) shape.
+    */
+  private val TemplateRef =
+    """\{\{\s*\$(value|labels\.([A-Za-z_][A-Za-z0-9_]*))\s*\}\}""".r
+
+  def formatValue(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else java.math.BigDecimal.valueOf(v).stripTrailingZeros.toPlainString
+
+  def expandTemplate(tmpl: String, labels: Map[String, String],
+                     value: Double): String =
+    TemplateRef.replaceAllIn(tmpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1) == "value") formatValue(value)
+        else labels.getOrElse(m.group(2), "")))
 
   /** One configured rule group — the unit /api/v1/rules enumerates:
     * recording + alerting rules sharing an evaluation interval.
@@ -64,10 +88,13 @@ object Rules {
                  var expr: String = "", var forSec: Long = 0L,
                  var keepSec: Long = 0L,
                  labels: scala.collection.mutable.ListBuffer[(String, String)] =
+                   scala.collection.mutable.ListBuffer(),
+                 annotations: scala.collection.mutable.ListBuffer[(String, String)] =
                    scala.collection.mutable.ListBuffer())
     val groups = scala.collection.mutable.ListBuffer[G]()
     var rule: Option[R] = None
-    var inLabels = false
+    // which key/value block is open: 0 none, 1 labels:, 2 annotations:
+    var inBlock = 0
     def unquote(v: String): String = {
       val t = v.trim
       if (t.length >= 2 &&
@@ -80,10 +107,13 @@ object Rules {
       val g = groups.lastOption.getOrElse(
         fail(ln, "rule outside a group"))
       if (r.expr.isEmpty) fail(ln, "rule without expr")
-      if (r.record.nonEmpty) g.rec += RecordingRule(r.record, r.expr,
-        r.labels.toSeq)
-      else if (r.alert.nonEmpty) g.al += AlertRule(r.alert, r.expr,
-        r.forSec, r.labels.toSeq, keepFiringForSec = r.keepSec)
+      if (r.record.nonEmpty) {
+        if (r.annotations.nonEmpty)
+          fail(ln, "recording rules take no annotations")
+        g.rec += RecordingRule(r.record, r.expr, r.labels.toSeq)
+      } else if (r.alert.nonEmpty) g.al += AlertRule(r.alert, r.expr,
+        r.forSec, r.labels.toSeq, keepFiringForSec = r.keepSec,
+        annotations = r.annotations.toSeq)
       else fail(ln, "rule with neither record nor alert")
       rule = None
     }
@@ -111,22 +141,27 @@ object Rules {
               groups.lastOption.getOrElse(fail(ln, "interval outside a " +
                 "group")).intervalSec = Parser.durationSec(v)
             case ("record", true) =>
-              flushRule(ln); rule = Some(R(record = v)); inLabels = false
+              flushRule(ln); rule = Some(R(record = v)); inBlock = 0
             case ("alert", true) =>
-              flushRule(ln); rule = Some(R(alert = v)); inLabels = false
+              flushRule(ln); rule = Some(R(alert = v)); inBlock = 0
             case ("rules", false) =>
               if (v.nonEmpty) fail(ln, "rules: takes no inline value")
             case ("expr", false) if rule.nonEmpty =>
-              rule.get.expr = v; inLabels = false
+              rule.get.expr = v; inBlock = 0
             case ("for", false) if rule.nonEmpty =>
-              rule.get.forSec = Parser.durationSec(v); inLabels = false
+              rule.get.forSec = Parser.durationSec(v); inBlock = 0
             case ("keep_firing_for", false) if rule.nonEmpty =>
-              rule.get.keepSec = Parser.durationSec(v); inLabels = false
+              rule.get.keepSec = Parser.durationSec(v); inBlock = 0
             case ("labels", false) if rule.nonEmpty =>
               if (v.nonEmpty) fail(ln, "labels: takes no inline value")
-              inLabels = true
-            case (k, false) if inLabels && rule.nonEmpty =>
+              inBlock = 1
+            case ("annotations", false) if rule.nonEmpty =>
+              if (v.nonEmpty) fail(ln, "annotations: takes no inline value")
+              inBlock = 2
+            case (k, false) if inBlock == 1 && rule.nonEmpty =>
               rule.get.labels += (k -> v)
+            case (k, false) if inBlock == 2 && rule.nonEmpty =>
+              rule.get.annotations += (k -> v)
             case (k, _) => fail(ln, s"unrecognized key '$k'")
           }
         case _ => fail(ln, s"unparseable line: ${raw.trim}")

@@ -1035,7 +1035,12 @@ class Server(spark: SparkSession, tablePath: String,
               val i = kv.indexOf('=')
               kv.substring(0, i) -> kv.substring(i + 1)
             }
-            s"""{"labels":${kvJson(labels)},"annotations":{},""" +
+            // per-instance expansion; the rule-level envelope below
+            // carries the raw templates, as Prometheus serves them
+            val annotations = ar.annotations.map { case (k, tmpl) =>
+              k -> graft.promql.Rules.expandTemplate(tmpl, labels.toMap, v)
+            }
+            s"""{"labels":${kvJson(labels)},"annotations":${kvJson(annotations)},""" +
               s""""state":${jsonStr(st)},""" +
               s""""activeAt":${jsonStr(rfc3339(act))},""" +
               s""""value":${jsonStr(fmtValue(v))}}"""
@@ -1064,7 +1069,7 @@ class Server(spark: SparkSession, tablePath: String,
                 else "pending"
               s"""{"state":${jsonStr(ruleState)},"name":${jsonStr(ar.alert)},""" +
                 s""""query":${jsonStr(ar.expr)},"duration":${ar.forSec},""" +
-                s""""labels":${kvJson(ar.labels)},"annotations":{},""" +
+                s""""labels":${kvJson(ar.labels)},"annotations":${kvJson(ar.annotations)},""" +
                 s""""alerts":${alertJsons.mkString("[", ",", "]")},""" +
                 """"health":"ok","type":"alerting"}"""
             }

@@ -213,6 +213,48 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--rules.file", "/no/such/file")).isLeft)
   }
 
+  test("rules file: annotations parse on alerts, are rejected on " +
+      "recording rules, and templates expand per instance") {
+    import graft.promql.Rules
+    val text =
+      """groups:
+        |  - name: demo
+        |    rules:
+        |      - alert: Hot
+        |        expr: req > 5
+        |        for: 1m
+        |        labels:
+        |          severity: page
+        |        annotations:
+        |          summary: "{{ $labels.job }} is hot: {{ $value }} rps"
+        |          runbook: https://wiki/hot
+        |""".stripMargin
+    val rule = Rules.parseRuleFile(text).head.alerts.head
+    assert(rule.labels == Seq("severity" -> "page"))
+    assert(rule.annotations == Seq(
+      "summary" -> "{{ $labels.job }} is hot: {{ $value }} rps",
+      "runbook" -> "https://wiki/hot"))
+    assert(Rules.expandTemplate(rule.annotations.head._2,
+      Map("job" -> "api", "severity" -> "page"), 7.25)
+      == "api is hot: 7.25 rps")
+    // unknown label renders empty; $value trims trailing zeros; the
+    // no-space spelling works too
+    assert(Rules.expandTemplate("{{$labels.nope}}<{{$value}}>",
+      Map(), 3.0) == "<3>")
+    // annotations on a recording rule are a config error, as promtool says
+    intercept[IllegalArgumentException] {
+      Rules.parseRuleFile(
+        """groups:
+          |  - name: g
+          |    rules:
+          |      - record: r:x
+          |        expr: sum(req)
+          |        annotations:
+          |          summary: nope
+          |""".stripMargin)
+    }
+  }
+
   test("admin-api and alertmanager flags: bare boolean, explicit value, " +
       "bad value rejected") {
     assert(!CliConfig.parse(Nil).toOption.get.enableAdminApi)
