@@ -7363,6 +7363,63 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // OTLP DELTA→CUMULATIVE (opt-in, the Prometheus 3.x receiver
+    // feature): DELTA-temporality sums POST to the live /otlp endpoint
+    // in TWO requests split at the median second — the per-series
+    // receiver state must carry the running level across posts, and a
+    // series going quiet past the 5 m staleness window must restart its
+    // run (reads as an ordinary counter reset downstream). Integer
+    // deltas keep the accumulation exact in both engines; the oracle
+    // replays the gap-island running sum from raw events.
+    "s1_otlp_delta" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_odl")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        otlpConvertDelta = true).start()
+      try {
+        // one integer increment per (user, second): Σ⌊value⌋ of views
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+            floor(col("value")).cast("long").as("v"))
+          .groupBy(col("user_id"), col("sec"))
+          .agg(sum(col("v")).as("v"))
+          .collect().toSeq
+          // a client exports in time order; the receiver's out-of-order
+          // rule is per series, so ascending ts per post suffices
+          .sortBy(r => (r.getLong(1), r.getLong(0)))
+        val mid = rows.map(_.getLong(1)).sorted.apply(rows.size / 2)
+        def post(part: Seq[org.apache.spark.sql.Row]): Unit = {
+          val wire = graft.codec.Otlp.encodeSumRequest(
+            Seq("job" -> "graft"),
+            part.map(r => ("view_delta",
+              Seq("user_id" -> r.getLong(0).toString),
+              r.getLong(1) * 1000000000L, r.getLong(2).toDouble)),
+            temporality = 1)
+          val conn = java.net.URI.create(
+              s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", "application/x-protobuf")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(wire)
+          require(conn.getResponseCode == 200, "delta otlp write failed")
+          conn.disconnect()
+        }
+        post(rows.filter(_.getLong(1) <= mid))
+        post(rows.filter(_.getLong(1) > mid))
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            col("val").cast("long").as("level"))
+          .orderBy(col("user_id"), col("t"))
+      } finally server.stop()
+    }),
+
     // SNAPSHOT: /api/v1/admin/tsdb/snapshot hardlinks every store file
     // into <table>_snapshots/<name> — O(files) metadata writes, zero
     // bytes copied (immutable-once-written parquet makes shared blocks
@@ -13852,6 +13909,23 @@ object SparkEntry {
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'error'
          |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    // gap-island running sum: continue while the gap to the previous
+    // delta is ≤ 300 s (the receiver's staleness window), restart after
+    "s1_otlp_delta" ->
+      s"""WITH s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value) AS BIGINT) AS v
+         |  FROM events WHERE event_type = 'view'),
+         |d AS (SELECT user_id, t, CAST(sum(v) AS BIGINT) AS v
+         |  FROM s GROUP BY 1, 2),
+         |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+         |      OR t - lag(t) OVER w > 300 THEN 1 ELSE 0 END AS brk
+         |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+         |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t) AS isl FROM g)
+         |SELECT user_id, t, CAST(sum(v) OVER (PARTITION BY user_id, isl
+         |    ORDER BY t) AS BIGINT) AS level
+         |FROM i ORDER BY user_id, t""".stripMargin,
 
     "admin_snapshot" ->
       """SELECT event_type AS name, count(*) AS cnt

@@ -133,7 +133,8 @@ object Otlp {
     * (= 1) and UNSPECIFIED (= 0) are skipped structurally like
     * histograms' unsupported shapes.
     */
-  private def decSum(buf: Array[Byte], s: Int, e: Int): Seq[Point] = {
+  private def decSum(buf: Array[Byte], s: Int, e: Int,
+                     delta: Boolean = false): Seq[Point] = {
     val r = new Prompb.Reader(buf, s, e)
     var temporality = 0L
     val spans = Seq.newBuilder[(Int, Int)]
@@ -144,7 +145,9 @@ object Otlp {
         case (_, w) => r.skip(w)
       }
     }
-    if (temporality != 2L) Seq.empty // CUMULATIVE only
+    // default walk: CUMULATIVE (2) only; the delta walk picks DELTA (1)
+    // points instead — the opt-in conversion path's input
+    if (temporality != (if (delta) 1L else 2L)) Seq.empty
     else spans.result().map { case (a, b) => decPoint(buf, a, b) }
   }
 
@@ -197,8 +200,8 @@ object Otlp {
     * shape [[graft.operators.TimeSeriesOps.histogramQuantile]] consumes.
     * CUMULATIVE temporality only, same policy as sums.
     */
-  private def decHistogram(buf: Array[Byte], s: Int,
-                           e: Int): Seq[HistPoint] = {
+  private def decHistogram(buf: Array[Byte], s: Int, e: Int,
+                           delta: Boolean = false): Seq[HistPoint] = {
     val r = new Prompb.Reader(buf, s, e)
     var temporality = 0L
     val spans = Seq.newBuilder[(Int, Int)]
@@ -209,7 +212,7 @@ object Otlp {
         case (_, w) => r.skip(w)
       }
     }
-    if (temporality != 2L) Seq.empty
+    if (temporality != (if (delta) 1L else 2L)) Seq.empty
     else spans.result().map { case (a, b) => decHistPoint(buf, a, b) }
   }
 
@@ -269,7 +272,8 @@ object Otlp {
   }
 
   private def decMetric(buf: Array[Byte], s: Int, e: Int,
-                        resourceAttrs: Seq[(String, String)])
+                        resourceAttrs: Seq[(String, String)],
+                        delta: Boolean = false)
       : Seq[PTimeSeries] = {
     val r = new Prompb.Reader(buf, s, e)
     var name = ""
@@ -278,14 +282,18 @@ object Otlp {
     val summaries = Seq.newBuilder[SummaryPoint]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        // gauges and summaries carry no temporality — they belong to the
+        // default walk only; the delta walk picks exactly the points the
+        // default walk skipped, so the two partitions never overlap
         case (1, 2) => name = r.utf8()
-        case (5, 2) => // gauge: no temporality, always point-in-time
+        case (5, 2) if !delta => // gauge: always point-in-time
           val (a, b) = r.lenDelimited(); pts ++= decPoints(buf, a, b)
-        case (7, 2) => // sum: cumulative only (see decSum)
-          val (a, b) = r.lenDelimited(); pts ++= decSum(buf, a, b)
+        case (7, 2) => // sum, temporality-filtered (see decSum)
+          val (a, b) = r.lenDelimited(); pts ++= decSum(buf, a, b, delta)
         case (9, 2) => // explicit-bucket histogram → le-bucket series
-          val (a, b) = r.lenDelimited(); hists ++= decHistogram(buf, a, b)
-        case (11, 2) => // summary → quantile-labeled series + companions
+          val (a, b) = r.lenDelimited()
+          hists ++= decHistogram(buf, a, b, delta)
+        case (11, 2) if !delta => // summary → quantile series + companions
           val (a, b) = r.lenDelimited(); summaries ++= decSummary(buf, a, b)
         case (_, w) => r.skip(w) // exp-histogram decoded separately
       }
@@ -343,7 +351,8 @@ object Otlp {
     else bound.toString
 
   private def decScopeMetrics(buf: Array[Byte], s: Int, e: Int,
-                              resourceAttrs: Seq[(String, String)])
+                              resourceAttrs: Seq[(String, String)],
+                              delta: Boolean = false)
       : Seq[PTimeSeries] = {
     val r = new Prompb.Reader(buf, s, e)
     val out = Seq.newBuilder[PTimeSeries]
@@ -351,7 +360,7 @@ object Otlp {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (2, 2) =>
           val (a, b) = r.lenDelimited()
-          out ++= decMetric(buf, a, b, resourceAttrs)
+          out ++= decMetric(buf, a, b, resourceAttrs, delta)
         case (_, w) => r.skip(w)
       }
     }
@@ -373,8 +382,8 @@ object Otlp {
     attrs.result()
   }
 
-  private def decResourceMetrics(buf: Array[Byte], s: Int,
-                                 e: Int): Seq[PTimeSeries] = {
+  private def decResourceMetrics(buf: Array[Byte], s: Int, e: Int,
+                                 delta: Boolean = false): Seq[PTimeSeries] = {
     val r = new Prompb.Reader(buf, s, e)
     var resourceAttrs = Seq.empty[(String, String)]
     val scopes = Seq.newBuilder[(Int, Int)]
@@ -388,7 +397,7 @@ object Otlp {
     }
     // resource may arrive after scope_metrics in the stream: resolve last
     scopes.result().flatMap { case (a, b) =>
-      decScopeMetrics(buf, a, b, resourceAttrs)
+      decScopeMetrics(buf, a, b, resourceAttrs, delta)
     }
   }
 
@@ -548,6 +557,30 @@ object Otlp {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) =>
           val (a, b) = r.lenDelimited(); out ++= decResourceMetrics(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    PWriteRequest(out.result())
+  }
+
+  /** The DELTA-temporality sums and histograms of an
+    * ExportMetricsServiceRequest as PER-INTERVAL INCREMENT samples —
+    * exactly the points [[decodeToV1]] skips, flattened with the
+    * identical label/series mapping (for histograms every flattened
+    * `le`-bucket/_count/_sum series is itself a delta). These are NOT
+    * store-ready: a delta sample is an increment, not a counter level —
+    * callers run them through the delta→cumulative conversion
+    * ([[graft.streaming.DeltaToCumulative]], or the receiver's in-memory
+    * state on the /otlp endpoint) before the canonical ingest tail.
+    */
+  def decodeDeltaToV1(buf: Array[Byte]): PWriteRequest = {
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[PTimeSeries]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited()
+          out ++= decResourceMetrics(buf, a, b, delta = true)
         case (_, w) => r.skip(w)
       }
     }

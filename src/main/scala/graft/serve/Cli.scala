@@ -76,7 +76,10 @@ final case class CliConfig(
     // graft extension: text-exposition URLs to PULL on an interval
     // (a child adapter's /federate, any /metrics page).
     scrapeTargets: Seq[String] = Nil,
-    scrapeIntervalSec: Long = 60L) {
+    scrapeIntervalSec: Long = 60L,
+    // ≙ the Prometheus OTLP receiver's opt-in delta→cumulative
+    // conversion: off by default, delta sums/histograms are skipped.
+    otlpConvertDelta: Boolean = false) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -169,6 +172,10 @@ object CliConfig {
       |                                 to pull on --scrape.interval (a child
       |                                 /federate, any /metrics page).
       |  --scrape.interval=60s          Pull cadence for --scrape.targets.
+      |  --otlp.convert-delta=false     Convert DELTA-temporality OTLP sums/
+      |                                 histograms to cumulative at ingest
+      |                                 (per-series receiver state, 5 m
+      |                                 staleness reset); off = skip them.
       |
       |subcommands:
       |  check-rules <file>...          Validate rule files (groups layout +
@@ -294,6 +301,11 @@ object CliConfig {
             case "scrape.targets" =>
               cfg = cfg.copy(scrapeTargets =
                 v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            case "otlp.convert-delta" => v.toBooleanOption match {
+              case Some(b) => cfg = cfg.copy(otlpConvertDelta = b)
+              case None => return Left(
+                s"--otlp.convert-delta needs true or false, got '$v'")
+            }
             case "scrape.interval" => parseDurationMs(v) match {
               case Right(ms) if ms >= 1000 =>
                 cfg = cfg.copy(scrapeIntervalSec = ms / 1000)
@@ -399,7 +411,8 @@ object Cli {
       ruleGroups = ruleGroups, enableAdminApi = cfg.enableAdminApi,
       alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty),
       retentionSec = cfg.retentionSec, scrapeTargets = cfg.scrapeTargets,
-      scrapeIntervalSec = cfg.scrapeIntervalSec)
+      scrapeIntervalSec = cfg.scrapeIntervalSec,
+      otlpConvertDelta = cfg.otlpConvertDelta)
   }
 }
 

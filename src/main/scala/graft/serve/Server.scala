@@ -46,7 +46,9 @@ class Server(spark: SparkSession, tablePath: String,
              alertmanagerUrl: Option[String] = None,
              retentionSec: Long = 0L,
              scrapeTargets: Seq[String] = Nil,
-             scrapeIntervalSec: Long = 60L) {
+             scrapeIntervalSec: Long = 60L,
+             otlpConvertDelta: Boolean = false,
+             otlpDeltaMaxStaleMs: Long = 300000L) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -235,11 +237,57 @@ class Server(spark: SparkSession, tablePath: String,
             new java.io.ByteArrayInputStream(raw))
           try in.readAllBytes() finally in.close()
         } else raw
-      ingestDecoded(ex, graft.codec.Otlp.decodeToV1(body))
+      val cumulative = graft.codec.Otlp.decodeToV1(body)
+      val merged =
+        if (!otlpConvertDelta) cumulative
+        else {
+          val deltas = graft.codec.Otlp.decodeDeltaToV1(body)
+          if (deltas.timeseries.isEmpty) cumulative
+          else Prompb.PWriteRequest(
+            cumulative.timeseries ++ convertDeltaSeries(deltas.timeseries))
+        }
+      ingestDecoded(ex, merged)
     } catch {
       case e: Throwable =>
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
     }
+
+  /** Receiver-side delta→cumulative state (the otlpConvertDelta opt-in,
+    * Prometheus's otlp-deltatocumulative feature): per live delta
+    * series, the last seen timestamp and running level. Driver-memory
+    * like [[metadataStore]], bounded by live DELTA-series cardinality;
+    * the executor-partitioned form for pipeline-scale streams is
+    * [[graft.streaming.DeltaToCumulative]] (same contract, shared spec).
+    */
+  private val deltaRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+
+  /** Same rules as DeltaToCumulative.statefulCumulate: accumulate in
+    * time order, reset the run after a gap over `otlpDeltaMaxStaleMs`,
+    * drop out-of-order points. Serialized — concurrent posts for one
+    * series must not interleave read-modify-write on the run.
+    */
+  private def convertDeltaSeries(series: Seq[Prompb.PTimeSeries])
+      : Seq[Prompb.PTimeSeries] = deltaRuns.synchronized {
+    series.flatMap { ts =>
+      val key = ts.labels.map(l => s"${l.name}=${l.value}").sorted
+        .mkString(",")
+      val out = ts.samples.sortBy(_.timestampMs).flatMap { s =>
+        Option(deltaRuns.get(key)) match {
+          case Some((lastTs, _)) if s.timestampMs <= lastTs => None
+          case Some((lastTs, run))
+              if s.timestampMs - lastTs <= otlpDeltaMaxStaleMs =>
+            val level = run + s.value
+            deltaRuns.put(key, (s.timestampMs, level))
+            Some(Prompb.PSample(level, s.timestampMs))
+          case _ =>
+            deltaRuns.put(key, (s.timestampMs, s.value))
+            Some(Prompb.PSample(s.value, s.timestampMs))
+        }
+      }
+      if (out.isEmpty) None else Some(Prompb.PTimeSeries(ts.labels, out))
+    }
+  }
 
   /** The Prometheus stale-marker bit pattern (value/histogram.go's
     * StaleNaN): an ORDINARY NaN data value keeps the plain-NaN payload

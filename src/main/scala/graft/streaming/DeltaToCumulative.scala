@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** DELTA→CUMULATIVE temporality conversion — the opt-in bridge for OTel
+  * SDKs exporting delta sums/histograms (the Prometheus 3.x OTLP
+  * receiver's otlp-deltatocumulative feature, re-expressed Spark-first).
+  * A delta point carries the INCREMENT since the previous export; the
+  * store's canonical samples are counter LEVELS — the conversion is a
+  * per-series running sum with staleness-bounded state:
+  *
+  *   - per series, points accumulate in time order:
+  *     cumulative(tᵢ) = Σ delta(t≤ᵢ) within the series' current run;
+  *   - RESET ON GAP: a point arriving more than `maxStaleMs` after the
+  *     series' previous point starts a fresh run at its own delta value
+  *     (the receiver drops idle state after max_stale; downstream PromQL
+  *     reads the level drop as an ordinary counter reset);
+  *   - an out-of-order point (ts ≤ the series' last seen ts) is DROPPED,
+  *     the receiver rule — summing it would corrupt every later level.
+  *
+  * Two equivalent forms, one contract ([[StreamingRate]]'s discipline
+  * inverted — that op differentiates cumulative levels, this one
+  * integrates deltas):
+  *
+  *   - [[statefulCumulate]]: Structured Streaming, one (ts, runningSum)
+  *     pair of keyed state per live series — constant-size, partitioned
+  *     by series key across executors, checkpointed. The 100 TB path:
+  *     state never scales with history, only with live cardinality.
+  *   - [[convertBatch]]: the batch twin over at-rest deltas — gap-break
+  *     islands via lag(), running sum per island. Replay/backfill tool
+  *     and the oracle the streaming form must match.
+  */
+object DeltaToCumulative {
+
+  /** One flat delta sample: `series` is the full sorted `k=v` label
+    * join (the series identity), `ts` epoch milliseconds, `value` the
+    * interval increment.
+    */
+  case class In(series: String, ts: Long, value: Double)
+  case class RunState(lastTs: Long, running: Double)
+  case class Out(series: String, ts: Long, value: Double)
+
+  /** Streaming form: per-series keyed state across micro-batches. */
+  def statefulCumulate(deltas: DataFrame, maxStaleMs: Long): Dataset[Out] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas.as[In]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RunState, Out](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, rows, state: GroupState[RunState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption
+          val out = Seq.newBuilder[Out]
+          sorted.foreach { r =>
+            st match {
+              case Some(s) if r.ts <= s.lastTs => // out-of-order: drop
+              case Some(s) if r.ts - s.lastTs <= maxStaleMs =>
+                val run = s.running + r.value
+                st = Some(RunState(r.ts, run))
+                out += Out(series, r.ts, run)
+              case _ => // fresh series or stale gap: restart the run
+                st = Some(RunState(r.ts, r.value))
+                out += Out(series, r.ts, r.value)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Batch twin over columns (series, ts, value): same contract, window
+    * functions instead of keyed state. Islands break where the gap to
+    * the previous point exceeds `maxStaleMs`; the running sum restarts
+    * per island. Duplicate-ts points within a series keep the FIRST
+    * (later ones are out-of-order by the streaming rule).
+    */
+  def convertBatch(deltas: DataFrame, maxStaleMs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+    deltas
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("series"), col("ts")).orderBy(col("ts"))))
+      .filter(col("_rn") === 1)
+      .withColumn("_gap", col("ts") - lag(col("ts"), 1).over(wOrd))
+      .withColumn("_isl", sum(when(col("_gap").isNull ||
+        col("_gap") > maxStaleMs, 1L).otherwise(0L)).over(wOrd))
+      .withColumn("value", sum(col("value")).over(
+        Window.partitionBy(col("series"), col("_isl"))
+          .orderBy(col("ts").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("series"), col("ts"), col("value"))
+  }
+}

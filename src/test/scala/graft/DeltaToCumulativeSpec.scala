@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.DeltaToCumulative
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** OTLP delta→cumulative conversion: running sum per series, reset on a
+  * staleness gap, out-of-order drops — streaming and batch forms agree,
+  * and the live /otlp receiver applies the same rules when opted in.
+  */
+class DeltaToCumulativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming: runs accumulate across micro-batches, a gap over " +
+      "maxStale resets, out-of-order points drop") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val ckpt = Files.createTempDirectory("graft_d2c").toString
+    val q = DeltaToCumulative.statefulCumulate(
+        input.toDF.toDF("series", "ts", "value"), maxStaleMs = 10000L)
+      .writeStream.format("memory").queryName("d2c_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    input.addData(("a", 1000L, 5.0), ("a", 3000L, 2.0), ("b", 1000L, 1.0))
+    q.processAllAvailable()
+    // cross-batch continuation (gap 7s ≤ 10s) + an out-of-order point
+    input.addData(("a", 10000L, 3.0), ("a", 2000L, 99.0))
+    q.processAllAvailable()
+    // gap 25s > 10s: the run resets to the new delta's own value
+    input.addData(("a", 35000L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("d2c_out")
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 1000L, 5.0), ("a", 3000L, 7.0), ("a", 10000L, 10.0),
+      ("a", 35000L, 4.0), ("b", 1000L, 1.0)))
+  }
+
+  test("batch twin matches the streaming contract on the same input") {
+    val deltas = Seq(
+      ("a", 1000L, 5.0), ("a", 3000L, 2.0), ("a", 10000L, 3.0),
+      ("a", 35000L, 4.0), ("b", 1000L, 1.0),
+      // duplicate ts: first kept, later dropped (out-of-order rule)
+      ("b", 1000L, 50.0))
+      .toDF("series", "ts", "value")
+    val got = DeltaToCumulative.convertBatch(deltas, maxStaleMs = 10000L)
+      .as[(String, Long, Double)].collect().toSeq.sorted
+    assert(got == Seq(
+      ("a", 1000L, 5.0), ("a", 3000L, 7.0), ("a", 10000L, 10.0),
+      ("a", 35000L, 4.0), ("b", 1000L, 1.0)))
+  }
+
+  test("live /otlp receiver: delta sums skip by default, convert with " +
+      "the flag on — running level across POSTs, reset past max stale") {
+    import graft.codec.{Otlp, Prompb}
+    def post(port: Int, body: Array[Byte]): Int = {
+      val conn = java.net.URI.create(s"http://localhost:$port/otlp/v1/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-protobuf")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(body)
+      val code = conn.getResponseCode
+      conn.disconnect()
+      code
+    }
+    def deltaReq(pts: (Long, Double)*): Array[Byte] =
+      Otlp.encodeSumRequest(Seq("job" -> "j"),
+        pts.map { case (tsMs, v) =>
+          ("reqs", Seq("k" -> "v"), tsMs * 1000000L, v)
+        }, temporality = 1)
+
+    // default: delta sums are skipped structurally (nothing lands)
+    val t0 = Files.createTempDirectory("graft_od0").toString + "/metrics"
+    val s0 = new graft.serve.Server(spark, t0).start()
+    try {
+      assert(post(s0.boundPort, deltaReq(1000L -> 5.0)) == 200)
+      val p0 = java.nio.file.Paths.get(t0)
+      val landed = java.nio.file.Files.exists(p0) && {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p0).iterator().asScala
+          .exists(_.toString.endsWith(".parquet"))
+      }
+      assert(!landed, "delta sums must be skipped when the flag is off")
+    } finally s0.stop()
+
+    // opted in: levels accumulate ACROSS posts, gap resets the run
+    val t1 = Files.createTempDirectory("graft_od1").toString + "/metrics"
+    val s1 = new graft.serve.Server(spark, t1,
+      otlpConvertDelta = true, otlpDeltaMaxStaleMs = 10000L).start()
+    try {
+      assert(post(s1.boundPort, deltaReq(1000L -> 5.0, 3000L -> 2.0)) == 200)
+      assert(post(s1.boundPort, deltaReq(10000L -> 3.0)) == 200)  // continue
+      assert(post(s1.boundPort, deltaReq(2000L -> 99.0)) == 200)  // ooo: drop
+      assert(post(s1.boundPort, deltaReq(35000L -> 4.0)) == 200)  // reset
+      val got = spark.read.parquet(t1)
+        .select(unix_millis(col("ts")).as("ts"), col("val"))
+        .as[(Long, Double)].collect().toSeq.sorted
+      assert(got == Seq(1000L -> 5.0, 3000L -> 7.0, 10000L -> 10.0,
+        35000L -> 4.0))
+      // a CUMULATIVE sum in the same request still ingests as-is
+      assert(post(s1.boundPort, Otlp.encodeSumRequest(Seq("job" -> "j"),
+        Seq(("other", Seq("k" -> "v"), 50000L * 1000000L, 77.0)),
+        temporality = 2)) == 200)
+      assert(spark.read.parquet(t1).filter(col("name") === "other")
+        .select(col("val")).as[Double].collect().toSeq == Seq(77.0))
+    } finally s1.stop()
+  }
+}
