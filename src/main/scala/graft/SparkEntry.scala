@@ -6811,6 +6811,69 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // NHCB — native histograms with CUSTOM BUCKETS (schema −53, how
+    // Prometheus 3.x carries a scraped classic histogram natively): per
+    // (event_type, day) the event values bucketed at literal bounds
+    // 5/50/500 plus the overflow, shipped as real wire bytes through
+    // the live /write. The flatten must use the LITERAL bounds as `le`
+    // labels (no exponential grid anywhere) and fold the overflow
+    // bucket into +Inf only; the oracle rebuilds every cumulative from
+    // raw events.
+    "s1_native_hist_nhcb" -> ((s, dir) => {
+      val bounds = Seq(5.0, 50.0, 500.0)
+      val boundsFp = bounds.map(b => (b * 1000000L).toLong)
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        floor(col("value") * 1000000L).cast("long").as("vfp"))
+      val idxCol = when(col("vfp") <= boundsFp(0), 0)
+        .when(col("vfp") <= boundsFp(1), 1)
+        .when(col("vfp") <= boundsFp(2), 2).otherwise(3)
+      val b = ev.withColumn("idx", idxCol)
+        .groupBy(col("event_type"), col("day"), col("idx"))
+        .agg(count(lit(1)).as("cnt")).collect()
+      val totals = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val series = b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+        .sortBy(_._1)
+        .map { case ((et, day), rows) =>
+          val buckets = rows.map(r => (r.getInt(2), r.getLong(3)))
+            .sortBy(_._1).toSeq
+          val (spans, deltas) = NativeHist.toSpans(buckets)
+          val (n, sumfp) = totals((et, day))
+          val tsMs = java.time.LocalDate.parse(day)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          NativeHist.PHistSeries(Seq(Prompb.PLabel("__name__", et)),
+            Seq(NativeHist.PHistogram(n, sumfp / 1000000.0,
+              NativeHist.CustomBucketsSchema, 0.0, 0L,
+              spans, deltas, Nil, Nil, tsMs, customValues = bounds)))
+        }
+      val table = java.nio.file.Files.createTempDirectory("graft_nhcb")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val wire = Prompb.snappyCompress(
+          NativeHist.encodeWriteRequest(series))
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "nhcb write failed")
+        conn.disconnect()
+        s.read.parquet(table).select(
+            col("name"),
+            LabelOps.labelValue(col("tags"), "le").as("le"),
+            unix_timestamp(col("ts")).as("t"),
+            round(col("val") * 1000000L).cast("long").as("val_fp"))
+          .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
+            col("val_fp"))
+      } finally server.stop()
+    }),
+
     // The same native histograms through the REMOTE-WRITE 2.0 front
     // door (symbol-table labels, TimeSeries field 3 — the same
     // Histogram message as v1): stored rows must be identical to the
@@ -7804,6 +7867,39 @@ object SparkEntry {
     "promql_ts_of" -> ((s, dir) => {
       Eval.rangeQuery(Tables.metrics(s, dir),
           "ts_of_max_over_time(click[1d])",
+          Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // info() (Prometheus 3.x experimental): per-user click sums join
+    // their target_info data label (tier) on the identifying
+    // (instance, job) pair — and an instant where the base coasts on
+    // lookback but the daily target_info sample has expired must emit
+    // WITHOUT the data label, exactly what the oracle's EXISTS replays.
+    "promql_info" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("event_type") === "click")
+      val base = ev.select(
+        lit("click").as("name"),
+        sort_array(array(lit("__name__=click"),
+          concat(lit("instance=u"), col("user_id")),
+          lit("job=events"))).as("tags"),
+        col("value").as("val"),
+        date_trunc("second", col("ts")).as("ts"))
+      val info = ev
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(
+          lit("target_info").as("name"),
+          sort_array(array(lit("__name__=target_info"),
+            concat(lit("instance=u"), col("user_id")),
+            lit("job=events"),
+            concat(lit("tier=t"), pmod(col("user_id"), lit(3)))))
+            .as("tags"),
+          lit(1.0).as("val"),
+          col("day").cast("timestamp").as("ts"))
+      Eval.rangeQuery(base.unionByName(info),
+          "info(sum by (instance, job) (click))",
           Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
         .select(tagsStr.as("tags"), col("t"),
           round(col("value") * 1000000L).cast("long").as("value_fp"))
@@ -13699,6 +13795,46 @@ object SparkEntry {
          |ORDER BY v""".stripMargin,
 
     "s1_prw2_native_ingest" -> ONativeHistIngestSql,
+
+    // literal custom bounds as le labels; the idx-3 overflow bucket
+    // appears only through the +Inf/total rows
+    "s1_native_hist_nhcb" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day,
+        |    CASE WHEN vfp <= 5000000 THEN 0
+        |      WHEN vfp <= 50000000 THEN 1
+        |      WHEN vfp <= 500000000 THEN 2 ELSE 3 END AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |tt AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sumfp FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, idx,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, day
+        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM b),
+        |dsec AS (SELECT event_type, day,
+        |    CAST(epoch(CAST(day AS DATE)) AS BIGINT) AS t
+        |  FROM tt),
+        |rows AS (
+        |  SELECT c.event_type || '_bucket' AS name,
+        |    CASE c.idx WHEN 0 THEN '5' WHEN 1 THEN '50'
+        |      ELSE '500' END AS le,
+        |    d.t, c.cum * 1000000 AS val_fp
+        |  FROM cum c JOIN dsec d USING (event_type, day)
+        |  WHERE c.idx < 3
+        |  UNION ALL
+        |  SELECT tt.event_type || '_bucket', '+Inf', d.t,
+        |    tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_count', NULL, d.t, tt.n * 1000000
+        |  FROM tt JOIN dsec d USING (event_type, day)
+        |  UNION ALL
+        |  SELECT tt.event_type || '_sum', NULL, d.t, tt.sumfp
+        |  FROM tt JOIN dsec d USING (event_type, day))
+        |SELECT * FROM rows
+        |ORDER BY name, le NULLS FIRST, t, val_fp""".stripMargin,
     "s1_native_hist_ingest" -> ONativeHistIngestSql,
     "s1_stream_native_hist" -> ONativeHistIngestSql,
 
@@ -14137,6 +14273,34 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, gt AS t,
          |  st * 1000000 AS value_fp
          |FROM w WHERE rn = 1 ORDER BY t, tags""".stripMargin,
+
+    "promql_info" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS vfp
+         |  FROM e WHERE rn = 1 GROUP BY 1, 2),
+         |info AS (SELECT DISTINCT user_id,
+         |    CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+         |      AS dt
+         |  FROM events WHERE event_type = 'click'),
+         |m AS (SELECT i.T, i.user_id, i.vfp,
+         |    EXISTS (SELECT 1 FROM info f WHERE f.user_id = i.user_id
+         |      AND f.dt <= i.T AND f.dt > i.T - 86400) AS has_info
+         |  FROM inst i)
+         |SELECT CASE WHEN has_info
+         |    THEN 'instance=u' || user_id || ',job=events,tier=t'
+         |      || (user_id % 3)
+         |    ELSE 'instance=u' || user_id || ',job=events' END AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM m ORDER BY t, tags""".stripMargin,
 
     "promql_ts_of_min" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

@@ -35,14 +35,25 @@ object NativeHist {
 
   case class BucketSpan(offset: Int, length: Int)
 
-  /** One native histogram sample (integer form). */
+  /** One native histogram sample (integer form). `customValues`
+    * (wire field 16, packed doubles) is non-empty exactly for NHCB —
+    * native histograms with CUSTOM BUCKETS, schema −53: bucket idx i
+    * covers (customValues(i−1), customValues(i)] with the literal
+    * upper bounds replacing the exponential 2^(idx·2^−schema) grid
+    * (how Prometheus 3.x carries a scraped CLASSIC histogram in native
+    * form); an idx == customValues.length bucket is the +Inf overflow.
+    */
   case class PHistogram(count: Long, sum: Double, schema: Int,
                         zeroThreshold: Double, zeroCount: Long,
                         positiveSpans: Seq[BucketSpan],
                         positiveDeltas: Seq[Long],
                         negativeSpans: Seq[BucketSpan],
                         negativeDeltas: Seq[Long],
-                        timestampMs: Long)
+                        timestampMs: Long,
+                        customValues: Seq[Double] = Nil)
+
+  /** The NHCB schema marker (prometheus/model/histogram). */
+  val CustomBucketsSchema: Int = -53
 
   /** One series of native-histogram samples. */
   case class PHistSeries(labels: Seq[Prompb.PLabel],
@@ -128,11 +139,19 @@ object NativeHist {
     hs.histograms.flatMap { h =>
       var cum = h.zeroCount
       val buckets = expandBuckets(h.positiveSpans, h.positiveDeltas)
-        .map { case (idx, cnt) =>
+        .flatMap { case (idx, cnt) =>
           cum += cnt
-          mk(name + "_bucket",
-            Seq(Prompb.PLabel("le", boundLabel(idx, h.schema))),
-            cum.toDouble, h.timestampMs)
+          // NHCB: literal custom bounds; the idx == customValues.length
+          // overflow bucket is +Inf — it contributes to the cumulative
+          // (and to the +Inf/total series below) but emits no own le
+          if (h.schema == CustomBucketsSchema &&
+              idx >= h.customValues.length) None
+          else Some(mk(name + "_bucket",
+            Seq(Prompb.PLabel("le",
+              if (h.schema == CustomBucketsSchema)
+                fpLabel(Math.round(h.customValues(idx) * 1000000.0))
+              else boundLabel(idx, h.schema))),
+            cum.toDouble, h.timestampMs))
         }
       buckets ++ Seq(
         mk(name + "_bucket", Seq(Prompb.PLabel("le", "+Inf")),
@@ -153,6 +172,11 @@ object NativeHist {
       if (schema == 0 && idx >= 0 && idx <= 42) (1L << idx) * 1000000L
       else Math.round(
         math.pow(2.0, idx * math.pow(2.0, -schema)) * 1000000.0)
+    fpLabel(fp)
+  }
+
+  /** A 1e-6 fixed-point value printed with minimal decimals. */
+  def fpLabel(fp: Long): String = {
     val i = fp / 1000000L
     val f = fp % 1000000L
     if (f == 0L) i.toString
@@ -190,6 +214,13 @@ object NativeHist {
     h.positiveSpans.foreach(sp => w.message(11, encSpan(sp)))
     if (h.positiveDeltas.nonEmpty) w.bytes(12, encPacked(h.positiveDeltas))
     w.int64(15, h.timestampMs)
+    // NHCB custom bounds: repeated double, packed (field 16)
+    if (h.customValues.nonEmpty) {
+      val cw = new Prompb.Writer
+      h.customValues.foreach(v =>
+        cw.rawFixed64(java.lang.Double.doubleToRawLongBits(v)))
+      w.bytes(16, cw.toBytes)
+    }
     w.toBytes
   }
 
@@ -242,6 +273,7 @@ object NativeHist {
     val nSpans = Seq.newBuilder[BucketSpan]
     var pDeltas: Seq[Long] = Nil
     var nDeltas: Seq[Long] = Nil
+    val customValues = Seq.newBuilder[Double]
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 0) => count = r.varint()
@@ -255,11 +287,19 @@ object NativeHist {
         case (11, 2) => val (a, b) = r.lenDelimited(); pSpans += decSpan(buf, a, b)
         case (12, 2) => val (a, b) = r.lenDelimited(); pDeltas = decPacked(buf, a, b)
         case (15, 0) => ts = r.varint()
+        case (16, 2) => // NHCB custom bounds, packed doubles
+          val (a, b) = r.lenDelimited()
+          val pr = new Prompb.Reader(buf, a, b)
+          while (pr.hasMore)
+            customValues += java.lang.Double.longBitsToDouble(pr.fixed64())
+        case (16, 1) =>
+          customValues += java.lang.Double.longBitsToDouble(r.fixed64())
         case (_, w) => r.skip(w) // float-hist fields, reset_hint
       }
     }
     PHistogram(count, sum, schema, zeroThreshold, zeroCount,
-      pSpans.result(), pDeltas, nSpans.result(), nDeltas, ts)
+      pSpans.result(), pDeltas, nSpans.result(), nDeltas, ts,
+      customValues.result())
   }
 
   /** Decode a WriteRequest's native-histogram series (labels + field-3

@@ -1251,6 +1251,56 @@ object Eval {
         val v = vecArg(m, args(0), spec, fn)
         VecV(v.select(dropName(col("tags")).as("tags"), col("t"),
           col("st"), (col("st") * FP).as("v_fp")))
+      case "info" =>
+        // Prometheus 3.x experimental info(): enrich every sample of
+        // the base vector with the DATA labels of the info series
+        // (default family target_info) sharing its identifying labels
+        // (job, instance). A second selector argument picks the info
+        // family and/or restricts the enrichment — its matchers both
+        // FILTER the participating info series and NAME the data labels
+        // to copy (the documented `info(v, {k8s_cluster_name="us"})`
+        // shape). Samples with no matching info series pass through
+        // unchanged; a data label already on the sample keeps the
+        // sample's value; conflicting concurrent info series resolve
+        // deterministically (max label set). Scale: the join key is
+        // (job/instance, t) and the info side is target-cardinality —
+        // a broadcast-able dimension join, never a data-sized shuffle.
+        val v = vecArg(m, args(0), spec, fn)
+        val infoSel = args.drop(1).headOption match {
+          case None => Selector(Some("target_info"), Nil, None, 0L)
+          case Some(s: Selector) if s.rangeSec.isEmpty =>
+            if (s.name.isEmpty && !s.matchers.exists(_.label == "__name__"))
+              s.copy(name = Some("target_info"))
+            else s
+          case _ => throw new IllegalArgumentException(
+            "info() second argument must be an instant selector")
+        }
+        val copyNames = infoSel.matchers.map(_.label)
+          .filter(_ != "__name__").distinct
+        val idents = Seq("job", "instance")
+        def identKey(tags: Column): Column =
+          filter(tags, x =>
+            idents.map(l => x.startsWith(l + "=")).reduce(_ || _))
+        def dataOf(tags: Column): Column = {
+          val nonIdent = filter(tags, x => (idents :+ "__name__")
+            .map(l => !x.startsWith(l + "=")).reduce(_ && _))
+          if (copyNames.isEmpty) nonIdent
+          else filter(nonIdent, x =>
+            copyNames.map(l => x.startsWith(l + "=")).reduce(_ || _))
+        }
+        val info2 = selectorInstant(m, infoSel, spec)
+          .groupBy(identKey(col("tags")).as("_ik"), col("t").as("_it"))
+          .agg(max(dataOf(col("tags"))).as("_dl"))
+        val joined = v.withColumn("_bk", identKey(col("tags")))
+          .join(info2,
+            col("_bk") === col("_ik") && col("t") === col("_it"), "left")
+          .withColumn("tags", when(col("_dl").isNull, col("tags"))
+            .otherwise(sort_array(concat(col("tags"),
+              filter(col("_dl"), x => !exists(col("tags"), b =>
+                substring_index(b, "=", 1) ===
+                  substring_index(x, "=", 1)))))))
+          .select(col("tags"), col("t"), col("st"), col("v_fp"))
+        VecV(joined)
       case "absent" =>
         val sel = args(0) match {
           case s: Selector => s

@@ -51,6 +51,41 @@ class NativeHistSpec extends AnyFunSuite {
     }
   }
 
+  test("NHCB (schema -53): custom bounds round-trip the wire and the " +
+      "classic flatten uses the literal bounds, overflow folding to +Inf") {
+    // buckets: (−Inf,10]=3, (10,100]=5, (100,500]=2, (500,+Inf)=1
+    val (spans, deltas) = toSpans(Seq((0, 3L), (1, 5L), (2, 2L), (3, 1L)))
+    val h = PHistogram(11L, 1234.5, NativeHist.CustomBucketsSchema,
+      0.0, 0L, spans, deltas, Nil, Nil, 60000L,
+      customValues = Seq(10.0, 100.0, 500.0))
+    val wire = NativeHist.encodeWriteRequest(Seq(PHistSeries(
+      Seq(Prompb.PLabel("__name__", "lat"), Prompb.PLabel("job", "j")),
+      Seq(h))))
+    val back = NativeHist.decodeWriteRequest(wire)
+    assert(back.head.histograms.head == h)
+    val classic = NativeHist.toClassicSeries(back.head)
+    def one(metric: String, le: Option[String]): Double =
+      classic.find(ts =>
+        ts.labels.contains(Prompb.PLabel("__name__", metric)) &&
+          le.forall(v => ts.labels.contains(Prompb.PLabel("le", v))))
+        .get.samples.head.value
+    assert(one("lat_bucket", Some("10")) == 3.0)
+    assert(one("lat_bucket", Some("100")) == 8.0)
+    assert(one("lat_bucket", Some("500")) == 10.0)
+    // the overflow bucket emits NO own le series, only +Inf = count
+    assert(!classic.exists(_.labels.exists(l =>
+      l.name == "le" && !Set("10", "100", "500", "+Inf").contains(l.value))))
+    assert(one("lat_bucket", Some("+Inf")) == 11.0)
+    assert(one("lat_count", None) == 11.0)
+    assert(one("lat_sum", None) == 1234.5)
+    // fractional bounds print minimal decimals, like classic le labels
+    val h2 = h.copy(customValues = Seq(0.25, 1.0, 2.5))
+    val c2 = NativeHist.toClassicSeries(PHistSeries(
+      Seq(Prompb.PLabel("__name__", "lat")), Seq(h2)))
+    assert(c2.flatMap(_.labels).filter(_.name == "le").map(_.value)
+      .toSet == Set("0.25", "1", "2.5", "+Inf"))
+  }
+
   test("negative buckets travel in their own span/delta fields") {
     val pos = Seq((1, 3L), (2, 1L))
     val neg = Seq((0, 2L), (4, 6L))

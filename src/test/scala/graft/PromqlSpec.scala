@@ -382,6 +382,40 @@ class PromqlSpec extends SparkSpec {
       .select(col("value")).as[Double].collect().toSeq == Seq(50.0))
   }
 
+  test("info(): data labels join on job/instance; the second selector " +
+      "filters AND projects; existing labels win; no match = unchanged") {
+    val rows = Seq(
+      ("up", Seq("__name__=up", "instance=i1", "job=a"), 1.0, 10L),
+      ("up", Seq("__name__=up", "instance=i2", "job=a"), 2.0, 10L),
+      ("up", Seq("__name__=up", "env=keepme", "instance=i3", "job=a"),
+        3.0, 10L),
+      ("target_info", Seq("__name__=target_info", "cluster=us-east",
+        "env=prod", "instance=i1", "job=a"), 1.0, 10L),
+      ("target_info", Seq("__name__=target_info", "cluster=eu-west",
+        "env=prod", "instance=i3", "job=a"), 1.0, 10L))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    def run(q: String): Seq[(String, Double)] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(10, 10, 10, 300L))
+        .select(array_join(col("tags"), ","), col("value"))
+        .as[(String, Double)].collect().sorted.toSeq
+    // i1 enriched with cluster+env, i2 untouched (no info series),
+    // i3 keeps its OWN env (sample label wins) but gains cluster
+    assert(run("info(up)") == Seq(
+      ("__name__=up,cluster=eu-west,env=keepme,instance=i3,job=a", 3.0),
+      ("__name__=up,cluster=us-east,env=prod,instance=i1,job=a", 1.0),
+      ("__name__=up,instance=i2,job=a", 2.0)))
+    // the selector names WHICH data labels copy (and filters on them)
+    assert(run("""info(up, {cluster="us-east"})""") == Seq(
+      ("__name__=up,cluster=us-east,instance=i1,job=a", 1.0),
+      ("__name__=up,env=keepme,instance=i3,job=a", 3.0),
+      ("__name__=up,instance=i2,job=a", 2.0)))
+    // info survives aggregation output as long as idents remain
+    assert(run("info(sum by (instance, job) (up))") == Seq(
+      ("cluster=eu-west,env=prod,instance=i3,job=a", 3.0),
+      ("cluster=us-east,env=prod,instance=i1,job=a", 1.0),
+      ("instance=i2,job=a", 2.0)))
+  }
+
   test("count_values groups by printed value") {
     val got = run("""count_values("v", req)""", 60, 60, 10)
     assert(got.toSet == Set(("v=15", 60L, 1.0), ("v=160", 60L, 1.0)))
