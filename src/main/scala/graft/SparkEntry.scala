@@ -7483,6 +7483,61 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // OTLP → target_info → info(), the whole Prometheus 3.x loop over
+    // live HTTP: per-day OTLP batches (one ResourceMetrics per user,
+    // service.name/instance.id promoted to job/instance, a `tier`
+    // resource attr) land a target_info series per batch, and PromQL's
+    // info() joins the tier back onto the per-user sums — including the
+    // corner where the base coasts on lookback but the last target_info
+    // sample has expired (the oracle's EXISTS over per-day max seconds).
+    "s1_otlp_target_info" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_oti")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        otlpTargetInfo = true).start()
+      try {
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), to_date(col("ts")).cast("string")
+            .as("day"), unix_millis(date_trunc("second", col("ts")))
+            .as("ms"), col("value"))
+          .collect().toSeq
+        // one POST per day (a periodic exporter), one ResourceMetrics
+        // per user inside it — concatenated single-resource requests
+        // ARE one valid multi-resource request (repeated field 1)
+        rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach {
+          case (_, dayRows) =>
+            val body = dayRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+              .map { case (uid, rs) =>
+                graft.codec.Otlp.encodeGaugeRequest(
+                  Seq("service.name" -> "events",
+                    "service.instance.id" -> s"u$uid",
+                    "tier" -> s"t${uid % 3}"),
+                  rs.map(r => ("click", Nil,
+                    r.getLong(2) * 1000000L, r.getDouble(3))).toSeq)
+              }.reduce(_ ++ _)
+            val conn = java.net.URI.create(
+                s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+              .toURL.openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestMethod("POST")
+            conn.setRequestProperty("Content-Type",
+              "application/x-protobuf")
+            conn.setDoOutput(true)
+            conn.getOutputStream.write(body)
+            require(conn.getResponseCode == 200, "otlp write failed")
+            conn.disconnect()
+        }
+        Eval.rangeQuery(s.read.parquet(table),
+            "info(sum by (instance, job) (click))",
+            Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+          .select(tagsStr.as("tags"), col("t"),
+            round(col("value") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
     // SNAPSHOT: /api/v1/admin/tsdb/snapshot hardlinks every store file
     // into <table>_snapshots/<name> — O(files) metadata writes, zero
     // bytes copied (immutable-once-written parquet makes shared blocks
@@ -14273,6 +14328,36 @@ object SparkEntry {
          |SELECT 'user_id=' || user_id AS tags, gt AS t,
          |  st * 1000000 AS value_fp
          |FROM w WHERE rn = 1 ORDER BY t, tags""".stripMargin,
+
+    // same inst replay as promql_info; presence = the last per-day
+    // target_info stamp (each day-batch's max click second per user)
+    // inside the lookback window
+    "s1_otlp_target_info" ->
+      s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
+         |  FROM generate_series(0, 60) g(k)),
+         |s AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp
+         |  FROM events WHERE event_type = 'click'),
+         |d AS (SELECT user_id, t, max(vfp) AS vfp FROM s GROUP BY 1, 2),
+         |e AS (SELECT gr.T, d.user_id, d.vfp,
+         |    row_number() OVER (PARTITION BY d.user_id, gr.T
+         |      ORDER BY d.t DESC) AS rn
+         |  FROM gr JOIN d ON d.t <= gr.T AND d.t > gr.T - 86400),
+         |inst AS (SELECT T, user_id, CAST(sum(vfp) AS BIGINT) AS vfp
+         |  FROM e WHERE rn = 1 GROUP BY 1, 2),
+         |ti AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    max($OSec) AS ms
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |m AS (SELECT i.T, i.user_id, i.vfp,
+         |    EXISTS (SELECT 1 FROM ti f WHERE f.user_id = i.user_id
+         |      AND f.ms <= i.T AND f.ms > i.T - 86400) AS has_info
+         |  FROM inst i)
+         |SELECT CASE WHEN has_info
+         |    THEN 'instance=u' || user_id || ',job=events,tier=t'
+         |      || (user_id % 3)
+         |    ELSE 'instance=u' || user_id || ',job=events' END AS tags,
+         |  T AS t, vfp AS value_fp
+         |FROM m ORDER BY t, tags""".stripMargin,
 
     "promql_info" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

@@ -563,6 +563,66 @@ object Otlp {
     PWriteRequest(out.result())
   }
 
+  /** The Prometheus OTLP receiver's RESOURCE mapping, opt-in (the
+    * default walk flattens every resource attribute into every series —
+    * simpler and lossless, but it inflates series identity with
+    * deploy-time attributes): `service.name` promotes to `job`
+    * (prefixed `service.namespace/` when a namespace is present),
+    * `service.instance.id` to `instance`, and the REMAINING resource
+    * attributes become ONE `target_info` series per ResourceMetrics
+    * (value 1, stamped at the batch's newest point timestamp) — exactly
+    * the shape PromQL's `info()` joins back onto the samples.
+    */
+  def decodeToV1TargetInfo(buf: Array[Byte]): PWriteRequest = {
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[PTimeSeries]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited()
+          out ++= decResourceMetricsTargetInfo(buf, a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    PWriteRequest(out.result())
+  }
+
+  private val IdentResourceAttrs =
+    Set("service.name", "service.namespace", "service.instance.id")
+
+  private def decResourceMetricsTargetInfo(buf: Array[Byte], s: Int,
+                                           e: Int): Seq[PTimeSeries] = {
+    val r = new Prompb.Reader(buf, s, e)
+    var resourceAttrs = Seq.empty[(String, String)]
+    val scopes = Seq.newBuilder[(Int, Int)]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited(); resourceAttrs = decResource(buf, a, b)
+        case (2, 2) => scopes += r.lenDelimited()
+        case (_, w) => r.skip(w)
+      }
+    }
+    val attrMap = resourceAttrs.toMap
+    val job = attrMap.get("service.name").map(n =>
+      attrMap.get("service.namespace").map(_ + "/" + n).getOrElse(n))
+    val instance = attrMap.get("service.instance.id")
+    val ident = job.map("job" -> _).toSeq ++
+      instance.map("instance" -> _).toSeq
+    val series = scopes.result().flatMap { case (a, b) =>
+      decScopeMetrics(buf, a, b, ident)
+    }
+    val dataAttrs = resourceAttrs.filterNot(kv =>
+      IdentResourceAttrs.contains(kv._1))
+    val maxTs = series.flatMap(_.samples.map(_.timestampMs)).maxOption
+    val targetInfo =
+      for (ts <- maxTs.toSeq if dataAttrs.nonEmpty) yield PTimeSeries(
+        ((ident ++ dataAttrs).toMap + ("__name__" -> "target_info"))
+          .toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
+        Seq(PSample(1.0, ts)))
+    series ++ targetInfo
+  }
+
   /** The DELTA-temporality sums and histograms of an
     * ExportMetricsServiceRequest as PER-INTERVAL INCREMENT samples —
     * exactly the points [[decodeToV1]] skips, flattened with the

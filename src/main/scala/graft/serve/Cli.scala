@@ -79,7 +79,12 @@ final case class CliConfig(
     scrapeIntervalSec: Long = 60L,
     // ≙ the Prometheus OTLP receiver's opt-in delta→cumulative
     // conversion: off by default, delta sums/histograms are skipped.
-    otlpConvertDelta: Boolean = false) {
+    otlpConvertDelta: Boolean = false,
+    // ≙ the receiver's resource mapping: service.name/instance.id →
+    // job/instance, remaining resource attrs → a target_info series
+    // (info()'s join input); off = flatten resource attrs into every
+    // series.
+    otlpTargetInfo: Boolean = false) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -176,6 +181,11 @@ object CliConfig {
       |                                 histograms to cumulative at ingest
       |                                 (per-series receiver state, 5 m
       |                                 staleness reset); off = skip them.
+      |  --otlp.target-info=false       Map OTLP resource attrs the receiver
+      |                                 way: service.name/instance.id →
+      |                                 job/instance, the rest → a
+      |                                 target_info series (info()'s input);
+      |                                 off = flatten into every series.
       |
       |subcommands:
       |  check-rules <file>...          Validate rule files (groups layout +
@@ -306,6 +316,11 @@ object CliConfig {
               case None => return Left(
                 s"--otlp.convert-delta needs true or false, got '$v'")
             }
+            case "otlp.target-info" => v.toBooleanOption match {
+              case Some(b) => cfg = cfg.copy(otlpTargetInfo = b)
+              case None => return Left(
+                s"--otlp.target-info needs true or false, got '$v'")
+            }
             case "scrape.interval" => parseDurationMs(v) match {
               case Right(ms) if ms >= 1000 =>
                 cfg = cfg.copy(scrapeIntervalSec = ms / 1000)
@@ -412,7 +427,8 @@ object Cli {
       alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty),
       retentionSec = cfg.retentionSec, scrapeTargets = cfg.scrapeTargets,
       scrapeIntervalSec = cfg.scrapeIntervalSec,
-      otlpConvertDelta = cfg.otlpConvertDelta)
+      otlpConvertDelta = cfg.otlpConvertDelta,
+      otlpTargetInfo = cfg.otlpTargetInfo)
   }
 }
 

@@ -48,7 +48,8 @@ class Server(spark: SparkSession, tablePath: String,
              scrapeTargets: Seq[String] = Nil,
              scrapeIntervalSec: Long = 60L,
              otlpConvertDelta: Boolean = false,
-             otlpDeltaMaxStaleMs: Long = 300000L) {
+             otlpDeltaMaxStaleMs: Long = 300000L,
+             otlpTargetInfo: Boolean = false) {
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -237,7 +238,16 @@ class Server(spark: SparkSession, tablePath: String,
             new java.io.ByteArrayInputStream(raw))
           try in.readAllBytes() finally in.close()
         } else raw
-      val cumulative = graft.codec.Otlp.decodeToV1(body)
+      // target-info mode promotes service.name/instance.id to job/
+      // instance and collects the remaining resource attrs into a
+      // target_info series (the Prometheus receiver mapping, the shape
+      // info() joins); default mode flattens resource attrs into every
+      // series. Delta points keep the flatten either way (a delta
+      // series' identity must match its own conversion state, not the
+      // cumulative walk's labeling policy).
+      val cumulative =
+        if (otlpTargetInfo) graft.codec.Otlp.decodeToV1TargetInfo(body)
+        else graft.codec.Otlp.decodeToV1(body)
       val merged =
         if (!otlpConvertDelta) cumulative
         else {

@@ -87,6 +87,43 @@ class PrompbSpec extends AnyFunSuite {
     assert(decoded.timeseries.head.samples.head == PSample(2.0, 7L))
   }
 
+  test("OTLP target-info mode: service.name/namespace/instance.id " +
+      "promote to job/instance, the rest becomes one target_info series") {
+    import graft.codec.Otlp
+    val bytes = Otlp.encodeGaugeRequest(
+      Seq("service.name" -> "api", "service.namespace" -> "prod",
+        "service.instance.id" -> "i1", "k8s.cluster" -> "us-east"),
+      Seq(("reqs", Seq("code" -> "200"), 1000L * 1000000L, 5.0),
+        ("reqs", Seq("code" -> "500"), 2000L * 1000000L, 1.0)))
+    val out = Otlp.decodeToV1TargetInfo(bytes)
+    val reqs = out.timeseries.filter(_.labels
+      .contains(PLabel("__name__", "reqs")))
+    assert(reqs.size == 2)
+    reqs.foreach { ts =>
+      assert(ts.labels.contains(PLabel("job", "prod/api")))
+      assert(ts.labels.contains(PLabel("instance", "i1")))
+      // data resource attrs do NOT flatten into the series in this mode
+      assert(!ts.labels.exists(_.name == "k8s.cluster"))
+    }
+    val ti = out.timeseries.filter(_.labels
+      .contains(PLabel("__name__", "target_info")))
+    assert(ti.size == 1)
+    assert(ti.head.labels.toSet == Set(
+      PLabel("__name__", "target_info"), PLabel("job", "prod/api"),
+      PLabel("instance", "i1"), PLabel("k8s.cluster", "us-east")))
+    // value 1 at the batch's newest point timestamp
+    assert(ti.head.samples == Seq(PSample(1.0, 2000L)))
+    // no namespace → bare service.name; no data attrs → no target_info
+    val bare = Otlp.decodeToV1TargetInfo(Otlp.encodeGaugeRequest(
+      Seq("service.name" -> "api", "service.instance.id" -> "i2"),
+      Seq(("reqs", Nil, 1000L * 1000000L, 5.0))))
+    assert(bare.timeseries.size == 1)
+    assert(bare.timeseries.head.labels.contains(PLabel("job", "api")))
+    // the default walk is untouched: resource attrs still flatten
+    assert(Otlp.decodeToV1(bytes).timeseries.forall(
+      _.labels.exists(_.name == "k8s.cluster")))
+  }
+
   test("snappy round-trip and wire stack end-to-end") {
     val wr = PWriteRequest(Seq(PTimeSeries(
       Seq(PLabel("__name__", "e2e")), Seq(PSample(3.14, 42L)))))
