@@ -1460,6 +1460,13 @@ object Eval {
       case "sinh"  => mapFn(m, args(0), spec, sinh)
       case "cosh"  => mapFn(m, args(0), spec, cosh)
       case "tanh"  => mapFn(m, args(0), spec, tanh)
+      // inverse hyperbolics (Go math identities; Spark has no builtins)
+      case "asinh" => mapFn(m, args(0), spec,
+        d => log(d + sqrt(d * d + 1.0)))
+      case "acosh" => mapFn(m, args(0), spec,
+        d => log(d + sqrt(d * d - 1.0)))
+      case "atanh" => mapFn(m, args(0), spec,
+        d => lit(0.5) * log((lit(1.0) + d) / (lit(1.0) - d)))
       case "deg"   => mapFn(m, args(0), spec, degrees)
       case "rad"   => mapFn(m, args(0), spec, radians)
       case "pi"    => ConstV(math.Pi)

@@ -527,6 +527,16 @@ class PromqlSpec extends SparkSpec {
       math.floor(math.Pi * 1e6) / 1e6) < 1e-9)
     assert(run("deg(vector(pi()))", 0, 0, 10).head._3 > 179.9)
     assert(run("""sort_by_label(req, "instance")""", 60, 60, 10).size == 2)
+    // inverse hyperbolics via the Go identities (1e-6 fp grid bounds
+    // the comparison): asinh(0)=0, acosh(1)=0, atanh(0)=0, and a
+    // nontrivial point each
+    assert(run("asinh(vector(0))", 0, 0, 10).head._3 == 0.0)
+    assert(run("acosh(vector(1))", 0, 0, 10).head._3 == 0.0)
+    assert(run("atanh(vector(0))", 0, 0, 10).head._3 == 0.0)
+    assert(math.abs(run("asinh(vector(1))", 0, 0, 10).head._3 -
+      math.log(1 + math.sqrt(2))) < 1e-6)
+    assert(math.abs(run("atanh(vector(0.5))", 0, 0, 10).head._3 -
+      0.5 * math.log(3.0)) < 1e-6)
   }
 
   test("skew-split (sliced) range evaluation is row-identical to plain") {
