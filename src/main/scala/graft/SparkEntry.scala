@@ -1793,12 +1793,12 @@ object SparkEntry {
         tierPaths = Seq(300L -> s"$base/tier300", 3600L -> s"$base/tier3600"))
         .start()
       try {
-        def read(stepMs: Long): (String, String, Array[Byte]) = {
+        def read(stepMs: Long, func: String = "avg_over_time")
+            : (String, String, Array[Byte]) = {
           val rr = Prompb.PReadRequest(Seq(
             Prompb.PQuery(Jan05 * 1000, Jan20 * 1000,
               Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__", "click")),
-              hints = Some(Prompb.PReadHints(stepMs = stepMs,
-                func = "avg_over_time",
+              hints = Some(Prompb.PReadHints(stepMs = stepMs, func = func,
                 startMs = Jan05 * 1000, endMs = Jan20 * 1000)))))
           val conn = java.net.URI.create(
             s"http://localhost:${server.boundPort}/read")
@@ -1822,6 +1822,11 @@ object SparkEntry {
             s"got res=$res10m step=$step10m")
         val (res1m, _, _) = read(60L * 1000)
         require(res1m == "0", s"1m step must read raw, got res=$res1m")
+        // a COUNTER function hint reads raw at ANY step: the tiers hold
+        // averages, and a rate over averages is not a rate
+        val (resRate, _, _) = read(3600L * 1000, func = "rate")
+        require(resRate == "0",
+          s"a hinted rate must route raw, got res=$resRate")
         val resp = Prompb.decodeReadResponse(Prompb.snappyUncompress(body))
         val rows = for {
           qr <- resp.results

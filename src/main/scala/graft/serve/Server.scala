@@ -450,20 +450,36 @@ class Server(spark: SparkSession, tablePath: String,
     * deployment model); short-range queries — the ones that need fresh
     * data — route raw by construction.
     */
+  /** Functions whose semantics need the raw COUNTER samples: the tiers
+    * store per-window averages, and a rate over averages is not a rate —
+    * a hinted counter read must fall through to raw (the Thanos rule:
+    * rate needs the counter downsample aggregate, which these tiers
+    * don't carry).
+    */
+  private val CounterHintFns =
+    Set("rate", "increase", "irate", "idelta", "delta", "resets")
+
   private[serve] def chooseTier(q: PromQuery, resParam: Option[String],
-                                hintStepMs: Long = 0L): Option[(Long, DataFrame)] = {
+                                hintStepMs: Long = 0L,
+                                hintFunc: String = ""): Option[(Long, DataFrame)] = {
     if (tierPaths.isEmpty) None
     else resParam match {
       case Some("raw") => None
       // ReadHints routing: the client declared its evaluation step, so
       // the coarsest tier still finer-or-equal to that step loses
       // nothing the client would ever see; a step finer than every tier
-      // reads raw. Only when NO param is present — an explicit
-      // ?resolution=auto asks for the range-based rule by name.
+      // reads raw, and so does a COUNTER function hint (see above).
+      // Only when NO param is present — an explicit ?resolution=auto
+      // asks for the range-based rule by name, and an explicit seconds
+      // value is the operator overriding the safety rail by hand.
       case None if hintStepMs > 0 =>
-        val eligible = tierPaths.map(_._1).filter(_ * 1000L <= hintStepMs)
-        eligible.maxOption.flatMap(w => tierPaths.find(_._1 == w))
-          .map { case (sec, path) => sec -> spark.read.parquet(path) }
+        if (CounterHintFns.contains(hintFunc)) None
+        else {
+          val eligible = tierPaths.map(_._1)
+            .filter(_ * 1000L <= hintStepMs)
+          eligible.maxOption.flatMap(w => tierPaths.find(_._1 == w))
+            .map { case (sec, path) => sec -> spark.read.parquet(path) }
+        }
       case None | Some("auto") =>
         val rangeSec = (q.endMs - q.startMs) / 1000
         if (rangeSec <= 0) None
@@ -533,7 +549,8 @@ class Server(spark: SparkSession, tablePath: String,
         // in the proto — routing needs no graft-specific ?resolution=
         // param (which still overrides when present)
         val hintMs = q.hints.map(_.stepMs).getOrElse(0L)
-        chooseTier(pq, resParam, hintMs) match {
+        val hintFunc = q.hints.map(_.func).getOrElse("")
+        chooseTier(pq, resParam, hintMs, hintFunc) match {
           case Some((tierSec, tier)) =>
             val outSec = tierStep(pq, tierSec, hintMs)
             resolutions += tierSec; steps += outSec
