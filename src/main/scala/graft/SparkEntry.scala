@@ -5708,6 +5708,50 @@ object SparkEntry {
     // s1_rollup_append eviction contract). The oracle replays the merge
     // rule (split at gap >= 1 h — session_window's boundary, NOT batch
     // sessionize's > 1 h) and the emission gate (end <= max_ts - delay).
+    // STREAMING delta→cumulative ≡ the live receiver ≡ the batch twin:
+    // the same per-(user, second) integer increments as s1_otlp_delta
+    // stream through flatMapGroupsWithState in two time-ordered
+    // micro-batches — keyed state carries each series' (ts, running
+    // level) across the batch boundary, gaps over the 300 s staleness
+    // window restart the run — and the output equals the receiver
+    // entry's store rows EXACTLY (shared oracle verbatim).
+    "ts_stream_delta2cum" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles}
+      val base = JFiles.createTempDirectory("graft_d2cs").toString
+      val in = cachedInputDir(s"d2c${math.abs(dir.hashCode)}") { d =>
+        val deltas = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+            floor(col("value")).cast("long").as("v"))
+          .groupBy(col("user_id"), col("sec"))
+          .agg(sum(col("v")).as("v"))
+          .select(concat(lit("u"), col("user_id")).as("series"),
+            (col("sec") * 1000).as("ts"),
+            col("v").cast("double").as("value"))
+          .withColumn("doc_id", col("ts"))
+        val r = deltas.agg(min(col("ts")), max(col("ts"))).head()
+        writeTwoBatchParquet(deltas, (r.getLong(0) + r.getLong(1)) / 2, d)
+      }
+      val stream = s.readStream
+        .schema("series STRING, ts BIGINT, value DOUBLE, doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val qname = "d2c_" + math.abs(in.hashCode).toString
+      graft.streaming.DeltaToCumulative
+        .statefulCumulate(stream.drop("doc_id"), maxStaleMs = 300000L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.table(qname).select(
+          substring(col("series"), 2, 100).cast("long").as("user_id"),
+          (col("ts") / 1000).cast("long").as("t"),
+          col("value").cast("long").as("level"))
+        .orderBy(col("user_id"), col("t"))
+    }),
+
     "ts_stream_sessions" -> ((s, dir) => {
       import java.nio.file.{Files => JFiles, Paths}
       val baseDir = JFiles.createTempDirectory("graft_ssw")
@@ -9851,6 +9895,26 @@ object SparkEntry {
          |SELECT '__name__=' || name || ',user_id=' || user_id AS tags,
          |  T AS t, vfp AS value_fp
          |FROM rk WHERE rnk <= 2 ORDER BY t, tags""".stripMargin
+
+  /** Shared by s1_otlp_delta (live receiver) and ts_stream_delta2cum
+    * (flatMapGroupsWithState) — the delta→cumulative gap-island running
+    * sum over per-(user, second) integer view increments, one contract
+    * for every conversion surface.
+    */
+  private val ODeltaToCumSql: String =
+    s"""WITH s AS (SELECT user_id, $OSec AS t,
+       |    CAST(floor(value) AS BIGINT) AS v
+       |  FROM events WHERE event_type = 'view'),
+       |d AS (SELECT user_id, t, CAST(sum(v) AS BIGINT) AS v
+       |  FROM s GROUP BY 1, 2),
+       |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+       |      OR t - lag(t) OVER w > 300 THEN 1 ELSE 0 END AS brk
+       |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+       |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+       |    ORDER BY t) AS isl FROM g)
+       |SELECT user_id, t, CAST(sum(v) OVER (PARTITION BY user_id, isl
+       |    ORDER BY t) AS BIGINT) AS level
+       |FROM i ORDER BY user_id, t""".stripMargin
 
   private val ONativeHistIngestSql: String =
       """WITH e AS (SELECT event_type,
@@ -14108,20 +14172,10 @@ object SparkEntry {
 
     // gap-island running sum: continue while the gap to the previous
     // delta is ≤ 300 s (the receiver's staleness window), restart after
-    "s1_otlp_delta" ->
-      s"""WITH s AS (SELECT user_id, $OSec AS t,
-         |    CAST(floor(value) AS BIGINT) AS v
-         |  FROM events WHERE event_type = 'view'),
-         |d AS (SELECT user_id, t, CAST(sum(v) AS BIGINT) AS v
-         |  FROM s GROUP BY 1, 2),
-         |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
-         |      OR t - lag(t) OVER w > 300 THEN 1 ELSE 0 END AS brk
-         |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-         |i AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
-         |    ORDER BY t) AS isl FROM g)
-         |SELECT user_id, t, CAST(sum(v) OVER (PARTITION BY user_id, isl
-         |    ORDER BY t) AS BIGINT) AS level
-         |FROM i ORDER BY user_id, t""".stripMargin,
+    "s1_otlp_delta" -> ODeltaToCumSql,
+
+    // streaming form ≡ receiver form, row for row
+    "ts_stream_delta2cum" -> ODeltaToCumSql,
 
     "admin_snapshot" ->
       """SELECT event_type AS name, count(*) AS cnt
