@@ -1621,6 +1621,18 @@ class Server(spark: SparkSession, tablePath: String,
           ("""{"status":"success","data":{"version":"2.53.0",""" +
             """"application":"graft","features":{}}}""").getBytes("UTF-8"))
       })
+    http.createContext("/api/v1/alertmanagers",
+      (ex: HttpExchange) => {
+        // the discovery view of the notification fan-out: the configured
+        // receiver as activeAlertmanagers (Prometheus appends its POST
+        // path to each discovered URL), none dropped
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        val active = alertmanagerUrl.toSeq.map(u => s"""{"url":${jsonStr(
+          u.stripSuffix("/") + "/api/v2/alerts")}}""").mkString(",")
+        respond(ex, 200,
+          (s"""{"status":"success","data":{"activeAlertmanagers":""" +
+            s"""[$active],"droppedAlertmanagers":[]}}""").getBytes("UTF-8"))
+      })
     http.createContext("/api/v1/status/flags",
       (ex: HttpExchange) => {
         // the one flag clients act on is the admin-API gate

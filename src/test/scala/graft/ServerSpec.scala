@@ -906,6 +906,10 @@ class ServerSpec extends SparkSpec {
       assert(fc == 200 && fb.contains(""""web.enable-admin-api":"false""""))
       val (rc, rb) = getAny(s"$base/api/v1/status/runtimeinfo")
       assert(rc == 200 && rb.contains("storagePath"))
+      // /api/v1/alertmanagers lists the configured receiver's POST URL
+      val (ac, ab) = getAny(s"$base/api/v1/alertmanagers")
+      assert(ac == 200 && ab.contains("/api/v2/alerts") &&
+        ab.contains(""""droppedAlertmanagers":[]"""))
     } finally { server.stop(); am.stop(0) }
   }
 
