@@ -163,13 +163,20 @@ object Bench {
     // beside the in-suite numbers.
     val isolateK = sys.env.get("SPARK_GRAFT_ISOLATE")
       .map(_.toInt).getOrElse(8)
+    // the r14 contamination sentinels always re-measure when present, so
+    // every round's file carries the in-suite-vs-isolated A/B for the
+    // block that historically inflated — even now that it's fast
+    val sentinels = Seq("llm_dedup_recall", "llm_dedup_minhash",
+      "llm_dedup_editdist", "llm_dedup_incremental", "llm_ann_opq_trained")
     val isolated: Seq[(String, Double)] =
       if (isolateK <= 0 || names.size <= 1) Nil
       else {
-        val slowest = results.filter(_._2._2.isEmpty)
-          .sortBy(-_._2._1).take(isolateK).map(_._1)
+        val ok = results.filter(_._2._2.isEmpty)
+        val slowest = ok.sortBy(-_._2._1).take(isolateK).map(_._1)
+        val picks = (slowest ++
+          sentinels.filter(s => ok.exists(_._1 == s))).distinct
         restartSession()
-        slowest.sorted.map(n => n -> runBest(n)._1)
+        picks.sorted.map(n => n -> runBest(n)._1)
       }
 
     def jstr(s: String): String = "\"" + s.flatMap {
