@@ -84,7 +84,10 @@ final case class CliConfig(
     // job/instance, remaining resource attrs → a target_info series
     // (info()'s join input); off = flatten resource attrs into every
     // series.
-    otlpTargetInfo: Boolean = false) {
+    otlpTargetInfo: Boolean = false,
+    // ≙ Prometheus --web.enable-lifecycle: POST /-/reload re-reads
+    // --rules.file (403 otherwise; a failed parse keeps the old rules).
+    enableLifecycle: Boolean = false) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -186,6 +189,9 @@ object CliConfig {
       |                                 job/instance, the rest → a
       |                                 target_info series (info()'s input);
       |                                 off = flatten into every series.
+      |  --web.enable-lifecycle         Enable POST /-/reload (re-reads
+      |                                 --rules.file; a failed parse keeps
+      |                                 the old rules); 403 otherwise.
       |
       |subcommands:
       |  check-rules <file>...          Validate rule files (groups layout +
@@ -321,6 +327,11 @@ object CliConfig {
               case None => return Left(
                 s"--otlp.target-info needs true or false, got '$v'")
             }
+            case "web.enable-lifecycle" => v.toBooleanOption match {
+              case Some(b) => cfg = cfg.copy(enableLifecycle = b)
+              case None => return Left(
+                s"--web.enable-lifecycle needs true or false, got '$v'")
+            }
             case "scrape.interval" => parseDurationMs(v) match {
               case Right(ms) if ms >= 1000 =>
                 cfg = cfg.copy(scrapeIntervalSec = ms / 1000)
@@ -428,7 +439,9 @@ object Cli {
       retentionSec = cfg.retentionSec, scrapeTargets = cfg.scrapeTargets,
       scrapeIntervalSec = cfg.scrapeIntervalSec,
       otlpConvertDelta = cfg.otlpConvertDelta,
-      otlpTargetInfo = cfg.otlpTargetInfo)
+      otlpTargetInfo = cfg.otlpTargetInfo,
+      enableLifecycle = cfg.enableLifecycle,
+      rulesFile = Option(cfg.rulesFile).filter(_.nonEmpty))
   }
 }
 

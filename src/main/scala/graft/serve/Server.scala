@@ -49,7 +49,19 @@ class Server(spark: SparkSession, tablePath: String,
              scrapeIntervalSec: Long = 60L,
              otlpConvertDelta: Boolean = false,
              otlpDeltaMaxStaleMs: Long = 300000L,
-             otlpTargetInfo: Boolean = false) {
+             otlpTargetInfo: Boolean = false,
+             enableLifecycle: Boolean = false,
+             rulesFile: Option[String] = None) {
+
+  /** The LIVE rule set: starts as the constructor's groups and swaps
+    * atomically on a successful `/-/reload`. A failed reload keeps
+    * serving the old set (Prometheus's rule: a bad config never takes
+    * down a working server). The notifier tick interval stays the
+    * startup groups' minimum — reload changes WHAT evaluates, not the
+    * loop cadence.
+    */
+  @volatile private var liveRules: Seq[graft.promql.Rules.RuleGroup] =
+    ruleGroups
 
   require(tierPaths.forall(t => t._1 > 0 && 86400L % t._1 == 0),
     "tier windows must be positive day-divisors (the Rollup.downsample contract)")
@@ -1093,7 +1105,7 @@ class Server(spark: SparkSession, tablePath: String,
         }.mkString("{", ",", "}")
       val store = promqlTable()
       // evaluate each alert rule ONCE; both envelopes read the result
-      val evaluated = ruleGroups.map { g =>
+      val evaluated = liveRules.map { g =>
         val perAlert = g.alerts.map { ar =>
           val states = graft.promql.Rules.alertStatesAt(
             store, ar, atSec, g.intervalSec, lookback)
@@ -1506,7 +1518,7 @@ class Server(spark: SparkSession, tablePath: String,
       atSec: Long = System.currentTimeMillis() / 1000): Int =
     alertmanagerUrl match {
       case Some(u) =>
-        graft.promql.Notifier.notifyOnce(promqlTable(), ruleGroups, u, atSec)
+        graft.promql.Notifier.notifyOnce(promqlTable(), liveRules, u, atSec)
       case None => 0
     }
 
@@ -1672,6 +1684,28 @@ class Server(spark: SparkSession, tablePath: String,
     http.createContext("/api/v1/targets",
       (ex: HttpExchange) => handleTargets(ex))
     // k8s-style liveness/readiness, the Prometheus endpoints
+    http.createContext("/-/reload", (ex: HttpExchange) => {
+      // Prometheus's lifecycle endpoint, gated exactly like upstream
+      if (!enableLifecycle)
+        respond(ex, 403,
+          "Lifecycle API is not enabled (--web.enable-lifecycle)"
+            .getBytes("UTF-8"))
+      else if (ex.getRequestMethod != "POST" &&
+          ex.getRequestMethod != "PUT")
+        respond(ex, 405, "method not allowed".getBytes("UTF-8"))
+      else try {
+        rulesFile.foreach { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), "UTF-8")
+          liveRules = graft.promql.Rules.parseRuleFile(text)
+        }
+        respond(ex, 200, Array.emptyByteArray)
+      } catch {
+        case e: Exception => respond(ex, 500,
+          (s"failed to reload rules: ${Option(e.getMessage)
+            .getOrElse("parse error")}").getBytes("UTF-8"))
+      }
+    })
     http.createContext("/-/healthy", (ex: HttpExchange) =>
       respond(ex, 200, "graft is Healthy.\n".getBytes("UTF-8")))
     http.createContext("/-/ready", (ex: HttpExchange) =>

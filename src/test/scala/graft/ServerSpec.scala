@@ -913,6 +913,66 @@ class ServerSpec extends SparkSpec {
     } finally { server.stop(); am.stop(0) }
   }
 
+  test("serve: /-/reload swaps the live rule set from --rules.file; " +
+      "gated without the flag; a broken file keeps the old rules") {
+    val table = Files.createTempDirectory("graft_srvrl").toString + "/metrics"
+    val rulesPath = Files.createTempDirectory("graft_rl").resolve("r.yml")
+    def writeRules(alert: String): Unit =
+      Files.writeString(rulesPath,
+        s"""groups:
+           |  - name: g
+           |    interval: 30s
+           |    rules:
+           |      - alert: $alert
+           |        expr: up > 0
+           |""".stripMargin)
+    writeRules("First")
+    val first = graft.promql.Rules.parseRuleFile(
+      Files.readString(rulesPath))
+    def reload(base: String): (Int, String) = {
+      val conn = java.net.URI.create(s"$base/-/reload").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.getOutputStream.close()
+      val code = conn.getResponseCode
+      val body = new String(
+        (if (code / 100 == 2) conn.getInputStream
+         else conn.getErrorStream).readAllBytes(), "UTF-8")
+      conn.disconnect()
+      (code, body)
+    }
+    // without the flag: 403, the Prometheus lifecycle gate
+    val gated = new Server(spark, table, ruleGroups = first,
+      rulesFile = Some(rulesPath.toString)).start()
+    try assert(reload(s"http://localhost:${gated.boundPort}")._1 == 403)
+    finally gated.stop()
+    val server = new Server(spark, table, ruleGroups = first,
+      enableLifecycle = true, rulesFile = Some(rulesPath.toString)).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      // the rules replay needs a store to evaluate over
+      assert(post(s"$base/write", Prompb.snappyCompress(
+        Prompb.encodeWriteRequest(PWriteRequest(Seq(PTimeSeries(
+          Seq(PLabel("__name__", "up"), PLabel("job", "j")),
+          Seq(PSample(1.0, 100000L))))))))._1 == 200)
+      def ruleNames(): String = getAny(s"$base/api/v1/rules?time=100")._2
+      assert(ruleNames().contains(""""name":"First""""))
+      // GET is not a reload
+      assert(getAny(s"$base/-/reload")._1 == 405)
+      writeRules("Second")
+      assert(reload(base)._1 == 200)
+      val after = ruleNames()
+      assert(after.contains(""""name":"Second"""") &&
+        !after.contains(""""name":"First""""))
+      // a broken file fails loudly and KEEPS the working rules
+      Files.writeString(rulesPath, "groups:\n  - name: g\n    rules:\n      - oops: x\n")
+      val (bc, bb) = reload(base)
+      assert(bc == 500 && bb.contains("failed to reload"))
+      assert(ruleNames().contains(""""name":"Second""""))
+    } finally server.stop()
+  }
+
   test("serve: the scrape loop pulls a child's /federate into the parent " +
       "store; health probes answer") {
     val childTable = Files.createTempDirectory("graft_srvsc").toString +
