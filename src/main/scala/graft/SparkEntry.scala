@@ -6661,6 +6661,25 @@ object SparkEntry {
         conn.disconnect()
         require(resHdr == "3600",
           s"expected the 1 h tier to serve this query, got '$resHdr'")
+        // routing rails on the SAME server: auto routes the gauge query
+        // to the tier, but a query whose AST uses a counter function
+        // routes raw (a rate over tier averages is not a rate)
+        def hdr(qs: String): String = {
+          val c = java.net.URI.create(
+              s"http://localhost:${server.boundPort}$qs")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          c.getInputStream.readAllBytes()
+          val h = c.getHeaderField("X-Graft-Resolution")
+          c.disconnect(); h
+        }
+        require(hdr(s"/api/v1/query_range?query=$q&start=$Jan05" +
+          s"&end=$Jan20&step=21600") == "3600",
+          "auto must route the gauge query to the 1 h tier")
+        val rateQ = java.net.URLEncoder.encode(
+          "sum by (user_id) (rate(click[1d]))", "UTF-8")
+        require(hdr(s"/api/v1/query_range?query=$rateQ&start=$Jan05" +
+          s"&end=$Jan20&step=21600") == "0",
+          "a counter query must auto-route raw")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "status STRING, data STRUCT<resultType: STRING, " +
             "result: ARRAY<STRUCT<metric: MAP<STRING,STRING>, " +

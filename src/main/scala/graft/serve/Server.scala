@@ -471,27 +471,44 @@ class Server(spark: SparkSession, tablePath: String,
   private val CounterHintFns =
     Set("rate", "increase", "irate", "idelta", "delta", "resets")
 
+  /** Does the parsed query apply a counter function anywhere? Drives
+    * the same raw-routing rail on /api/v1/query_range that ReadHints
+    * .func drives on /read.
+    */
+  private def usesCounterFn(e: graft.promql.Ast.Expr): Boolean = {
+    import graft.promql.Ast._
+    e match {
+      case Call(fn, args) =>
+        CounterHintFns.contains(fn) || args.exists(usesCounterFn)
+      case Agg(_, b, p, _, _) =>
+        usesCounterFn(b) || p.exists(usesCounterFn)
+      case BinOp(_, l, r, _, _) => usesCounterFn(l) || usesCounterFn(r)
+      case Unary(_, x) => usesCounterFn(x)
+      case Subquery(x, _, _, _) => usesCounterFn(x)
+      case _ => false
+    }
+  }
+
   private[serve] def chooseTier(q: PromQuery, resParam: Option[String],
                                 hintStepMs: Long = 0L,
                                 hintFunc: String = ""): Option[(Long, DataFrame)] = {
     if (tierPaths.isEmpty) None
     else resParam match {
       case Some("raw") => None
+      // the COUNTER rail fires whenever no param was given, whatever
+      // the step: a hinted/parsed rate must read raw. An explicit
+      // ?resolution=auto or =<sec> is the operator overriding by hand.
+      case None if CounterHintFns.contains(hintFunc) => None
       // ReadHints routing: the client declared its evaluation step, so
       // the coarsest tier still finer-or-equal to that step loses
       // nothing the client would ever see; a step finer than every tier
-      // reads raw, and so does a COUNTER function hint (see above).
-      // Only when NO param is present — an explicit ?resolution=auto
-      // asks for the range-based rule by name, and an explicit seconds
-      // value is the operator overriding the safety rail by hand.
+      // reads raw. Only when NO param is present — an explicit
+      // ?resolution=auto asks for the range-based rule by name.
       case None if hintStepMs > 0 =>
-        if (CounterHintFns.contains(hintFunc)) None
-        else {
-          val eligible = tierPaths.map(_._1)
-            .filter(_ * 1000L <= hintStepMs)
-          eligible.maxOption.flatMap(w => tierPaths.find(_._1 == w))
-            .map { case (sec, path) => sec -> spark.read.parquet(path) }
-        }
+        val eligible = tierPaths.map(_._1)
+          .filter(_ * 1000L <= hintStepMs)
+        eligible.maxOption.flatMap(w => tierPaths.find(_._1 == w))
+          .map { case (sec, path) => sec -> spark.read.parquet(path) }
       case None | Some("auto") =>
         val rangeSec = (q.endMs - q.startMs) / 1000
         if (rangeSec <= 0) None
@@ -687,13 +704,16 @@ class Server(spark: SparkSession, tablePath: String,
       // points (?resolution=raw|auto|<sec> overrides). The tier view
       // exposes window AVERAGES as samples at the window start with an
       // exact pre-quantized val_fp — gauge-shaped queries are
-      // tier-exact; counter rates over a tier are rates of averages
-      // (the standard downsampled approximation; pass resolution=raw
-      // when exactness matters more than scan size).
+      // tier-exact; a query whose AST uses a COUNTER function
+      // (rate/increase/…) routes RAW by default, because a rate over
+      // averages is not a rate (explicit ?resolution= overrides, same
+      // rail as hinted /read).
+      val ast = graft.promql.Parser.parse(query)
       val tier = chooseTier(
         PromQuery(start * 1000, end * 1000, Nil),
         raw.get("resolution")
-          .map(java.net.URLDecoder.decode(_, "UTF-8")))
+          .map(java.net.URLDecoder.decode(_, "UTF-8")),
+        hintFunc = if (usesCounterFn(ast)) "rate" else "")
       ex.getResponseHeaders.set("X-Graft-Resolution",
         tier.map(_._1).getOrElse(0L).toString)
       val source = tier match {
