@@ -66,8 +66,9 @@ object Rules {
                        recording: Seq[RecordingRule] = Nil,
                        alerts: Seq[AlertRule] = Nil) {
     require(name.nonEmpty && intervalSec > 0)
-    require(alerts.forall(_.forSec % intervalSec == 0),
-      "every alert's forSec must be a multiple of the group interval")
+    // `for:` is independent of the group interval upstream (promtool
+    // accepts any pairing); evaluation rounds up to whole grid steps
+    // in alertRows, so no divisibility constraint belongs here
   }
 
   /** Parse a Prometheus rule FILE (the `groups:` YAML layout promtool
@@ -206,12 +207,15 @@ object Rules {
     */
   def alertRows(store: DataFrame, rule: AlertRule,
                 spec: Eval.RangeSpec): DataFrame = {
-    require(rule.forSec % spec.stepSec == 0,
-      "forSec must be a multiple of the evaluation step")
-    val need = rule.forSec / spec.stepSec + 1 // instants spanning forSec
+    // instants spanning forSec, rounded UP to whole grid steps: k
+    // consecutive instants span (k−1)·step seconds, so firing needs
+    // ceil(for/step)+1 of them — exact on divisible configs, and a
+    // promtool-accepted `for: 90s` on a 60 s grid needs 3 (spanning
+    // 120 s ≥ 90 s) instead of throwing
+    val need = (rule.forSec + spec.stepSec - 1) / spec.stepSec + 1
     val out = Eval.rangeQuery(store, rule.expr, spec)
     val w = Window.partitionBy(col("tags"))
-      .orderBy(col("t").asc).rangeBetween(-rule.forSec, 0)
+      .orderBy(col("t").asc).rangeBetween(-(need - 1) * spec.stepSec, 0)
     val dropKeys = "alertname" +: rule.labels.map(_._1)
     val cleaned = filter(col("tags"), x =>
       dropKeys.map(k => !x.startsWith(k + "=")).reduce(_ && _))

@@ -956,6 +956,24 @@ class PromqlSpec extends SparkSpec {
       40L -> "firing", 50L -> "firing", 60L -> "firing", 80L -> "pending"))
   }
 
+  test("for: non-step-multiple durations round up instead of throwing " +
+      "(promtool accepts any for/interval pairing)") {
+    // for: 90s on a 60s grid → needs 3 consecutive instants (spanning
+    // 120s ≥ 90s); 2 instants (60s) stay pending
+    val rows = Seq(10L, 70L, 130L, 250L, 310L)
+      .map(t => ("up", Seq("__name__=up", "job=a"), 1.0, t))
+    val store = rows.toDF("name", "tags", "val", "ts")
+    val rule = graft.promql.Rules.AlertRule("Up", "up > 0", forSec = 90L)
+    val got = graft.promql.Rules.alertRows(store, rule,
+        Eval.RangeSpec(10, 310, 60, lookbackSec = 30L))
+      .select(col("t"), col("state"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(10L -> "pending", 70L -> "pending",
+      130L -> "firing", 250L -> "pending", 310L -> "pending"))
+    // group construction no longer rejects the pairing
+    graft.promql.Rules.RuleGroup("g", 60L, alerts = Seq(rule))
+  }
+
   test("keep_firing_for: non-step-multiple durations round up instead " +
       "of throwing") {
     // keep_firing_for: 15s on a 10s grid — promtool accepts the rule, so
