@@ -389,10 +389,20 @@ class Server(spark: SparkSession, tablePath: String,
             WritePipeline.append(rows, tablePath)
             // the retention sweep is a directory listing + partition
             // drops — cheap enough to run on every committed batch,
-            // like Prometheus's head-truncation cadence
-            if (retentionSec > 0)
+            // like Prometheus's head-truncation cadence. The SIDE
+            // tables age on the same horizon: exemplars and stale
+            // markers past retention are as unreadable as the samples
+            // they annotate, and would otherwise grow forever.
+            if (retentionSec > 0) {
+              val now = System.currentTimeMillis() / 1000
               graft.engine.Admin.enforceRetention(tablePath, retentionSec,
-                System.currentTimeMillis() / 1000)
+                now)
+              Seq(exemplarPath, stalePath).foreach { p =>
+                if (java.nio.file.Files.isDirectory(
+                    java.nio.file.Paths.get(p)))
+                  graft.engine.Admin.enforceRetention(p, retentionSec, now)
+              }
+            }
           }
           invalidateTable()
           // The decoded request size IS the row count of `df` — counting

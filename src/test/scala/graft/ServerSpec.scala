@@ -913,6 +913,43 @@ class ServerSpec extends SparkSpec {
     } finally { server.stop(); am.stop(0) }
   }
 
+  test("serve: retention sweeps the exemplar side table on the same " +
+      "horizon as the samples") {
+    val table = Files.createTempDirectory("graft_srvrt").toString + "/metrics"
+    val server = new Server(spark, table,
+      retentionSec = 10L * 86400L).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      val now = System.currentTimeMillis()
+      val old = now - 100L * 86400000L
+      def series(ts: Long) = (
+        Seq(PLabel("__name__", "m"), PLabel("job", "j")),
+        Seq(PSample(1.0, ts)),
+        Seq(graft.codec.WriteWire.PExemplar(
+          Seq(PLabel("trace_id", "t1")), 1.0, ts)))
+      // first write: BOTH generations of data land (old + new); the
+      // post-append sweep runs after the commit
+      val wire = Prompb.snappyCompress(
+        graft.codec.WriteWire.encodeWriteRequest(
+          Seq(series(old), series(now))))
+      assert(post(s"$base/write", wire)._1 == 200)
+      def dates(p: String): Set[String] = {
+        val d = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(d).iterator().asScala
+            .map(_.getFileName.toString).filter(_.startsWith("date="))
+            .toSet
+        }
+      }
+      // main table: the ancient partition dropped, today kept
+      assert(dates(table).size == 1)
+      // exemplar side table: swept on the same horizon
+      assert(dates(table + "_exemplars").size == 1)
+    } finally server.stop()
+  }
+
   test("serve: /-/reload swaps the live rule set from --rules.file; " +
       "gated without the flag; a broken file keeps the old rules") {
     val table = Files.createTempDirectory("graft_srvrl").toString + "/metrics"
