@@ -281,7 +281,7 @@ class Server(spark: SparkSession, tablePath: String,
     * the executor-partitioned form for pipeline-scale streams is
     * [[graft.streaming.DeltaToCumulative]] (same contract, shared spec).
     */
-  private val deltaRuns =
+  private[graft] val deltaRuns =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
 
   /** Same rules as DeltaToCumulative.statefulCumulate: accumulate in
@@ -309,6 +309,24 @@ class Server(spark: SparkSession, tablePath: String,
       }
       if (out.isEmpty) None else Some(Prompb.PTimeSeries(ts.labels, out))
     }
+  } match {
+    case converted =>
+      // EVICT dead runs: a series quiet past the staleness window can
+      // never continue (arrivals after the gap restart anyway), so its
+      // state is pure leak — prune against the newest timestamp seen,
+      // keeping the map bounded by LIVE delta-series cardinality over
+      // any server lifetime (the streaming form gets the same bound
+      // from its per-key state timeout discipline)
+      val maxTs = converted.flatMap(_.samples.map(_.timestampMs))
+        .foldLeft(0L)(math.max)
+      if (maxTs > 0) deltaRuns.synchronized {
+        val it = deltaRuns.entrySet().iterator()
+        while (it.hasNext) {
+          if (it.next().getValue._1 < maxTs - otlpDeltaMaxStaleMs)
+            it.remove()
+        }
+      }
+      converted
   }
 
   /** The Prometheus stale-marker bit pattern (value/histogram.go's

@@ -66,11 +66,13 @@ class DeltaToCumulativeSpec extends SparkSpec {
       conn.disconnect()
       code
     }
-    def deltaReq(pts: (Long, Double)*): Array[Byte] =
+    def deltaReqN(name: String, pts: (Long, Double)*): Array[Byte] =
       Otlp.encodeSumRequest(Seq("job" -> "j"),
         pts.map { case (tsMs, v) =>
-          ("reqs", Seq("k" -> "v"), tsMs * 1000000L, v)
+          (name, Seq("k" -> "v"), tsMs * 1000000L, v)
         }, temporality = 1)
+    def deltaReq(pts: (Long, Double)*): Array[Byte] =
+      deltaReqN("reqs", pts: _*)
 
     // default: delta sums are skipped structurally (nothing lands)
     val t0 = Files.createTempDirectory("graft_od0").toString + "/metrics"
@@ -92,14 +94,22 @@ class DeltaToCumulativeSpec extends SparkSpec {
       otlpConvertDelta = true, otlpDeltaMaxStaleMs = 10000L).start()
     try {
       assert(post(s1.boundPort, deltaReq(1000L -> 5.0, 3000L -> 2.0)) == 200)
+      // a second series that then goes quiet forever
+      assert(post(s1.boundPort, deltaReqN("bdel", 1000L -> 7.0)) == 200)
       assert(post(s1.boundPort, deltaReq(10000L -> 3.0)) == 200)  // continue
       assert(post(s1.boundPort, deltaReq(2000L -> 99.0)) == 200)  // ooo: drop
       assert(post(s1.boundPort, deltaReq(35000L -> 4.0)) == 200)  // reset
       val got = spark.read.parquet(t1)
+        .filter(col("name") === "reqs")
         .select(unix_millis(col("ts")).as("ts"), col("val"))
         .as[(Long, Double)].collect().toSeq.sorted
       assert(got == Seq(1000L -> 5.0, 3000L -> 7.0, 10000L -> 10.0,
         35000L -> 4.0))
+      // dead runs evict once the newest seen timestamp outruns the
+      // staleness window: bdel (quiet since ts=1000) is gone, only the
+      // freshly-reset reqs series keeps state
+      assert(s1.deltaRuns.size == 1)
+      assert(!s1.deltaRuns.keySet().iterator().next().contains("bdel"))
       // a CUMULATIVE sum in the same request still ingests as-is
       assert(post(s1.boundPort, Otlp.encodeSumRequest(Seq("job" -> "j"),
         Seq(("other", Seq("k" -> "v"), 50000L * 1000000L, 77.0)),
