@@ -52,6 +52,50 @@ class DeltaToCumulativeSpec extends SparkSpec {
       ("a", 35000L, 4.0), ("b", 1000L, 1.0)))
   }
 
+  test("seeded differential: streaming (arbitrary micro-batch splits) " +
+      "equals the batch twin on random inputs with gaps, dups and ooo") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    (0 until 5).foreach { trial =>
+      // random per-series walks whose gaps straddle the stale window;
+      // values incl. zero and fractional (dup/ooo rules are pinned by
+      // the fixed tests above — with differing values their winner is
+      // tie-broken arbitrarily in the batch form, so the differential
+      // keeps per-series timestamps strictly increasing)
+      val rows = (0 until 4).flatMap { s =>
+        var t = 1000L
+        (0 until 30).map { _ =>
+          t += (rnd.nextInt(20) + 1) * 1000L // 1-20s steps, stale=8s
+          (s"s$s", t, rnd.nextInt(50) / 4.0)
+        }
+      }
+      val batch = DeltaToCumulative.convertBatch(
+          rows.toDF("series", "ts", "value"), maxStaleMs = 8000L)
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      // stream the SAME rows in time order, split at random points —
+      // cross-batch state must reproduce the batch islands exactly
+      val input = MemoryStream[(String, Long, Double)]
+      val ckpt = Files.createTempDirectory(s"graft_d2cd$trial").toString
+      val q = DeltaToCumulative.statefulCumulate(
+          input.toDF.toDF("series", "ts", "value"), maxStaleMs = 8000L)
+        .writeStream.format("memory").queryName(s"d2cd_$trial")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .start()
+      val ordered = rows.sortBy(r => (r._2, r._1))
+      var rest = ordered
+      while (rest.nonEmpty) {
+        val n = math.min(rest.size, rnd.nextInt(40) + 1)
+        input.addData(rest.take(n))
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      q.stop()
+      val streamed = spark.table(s"d2cd_$trial")
+        .as[(String, Long, Double)].collect().toSeq.sorted
+      assert(streamed == batch, s"trial $trial diverged")
+    }
+  }
+
   test("live /otlp receiver: delta sums skip by default, convert with " +
       "the flag on — running level across POSTs, reset past max stale") {
     import graft.codec.{Otlp, Prompb}
