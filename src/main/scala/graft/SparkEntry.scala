@@ -394,6 +394,62 @@ object SparkEntry {
       table
     }
 
+  /** NHCB fixture: per (event_type, day) custom-bucket native
+    * histograms (bounds 5/50/500 + overflow, schema −53) shipped as
+    * real wire bytes through a live /write ONCE per JVM — the flatten
+    * lands classic le series with the LITERAL bounds. Returns the
+    * metrics table path.
+    */
+  private def nhcbStore(s: SparkSession, dir: String): String =
+    cachedModel(s"nhcb:$dir") {
+      val bounds = Seq(5.0, 50.0, 500.0)
+      val boundsFp = bounds.map(b => (b * 1000000L).toLong)
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        floor(col("value") * 1000000L).cast("long").as("vfp"))
+      val idxCol = when(col("vfp") <= boundsFp(0), 0)
+        .when(col("vfp") <= boundsFp(1), 1)
+        .when(col("vfp") <= boundsFp(2), 2).otherwise(3)
+      val b = ev.withColumn("idx", idxCol)
+        .groupBy(col("event_type"), col("day"), col("idx"))
+        .agg(count(lit(1)).as("cnt")).collect()
+      val totals = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val series = b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
+        .sortBy(_._1)
+        .map { case ((et, day), rows) =>
+          val buckets = rows.map(r => (r.getInt(2), r.getLong(3)))
+            .sortBy(_._1).toSeq
+          val (spans, deltas) = NativeHist.toSpans(buckets)
+          val (n, sumfp) = totals((et, day))
+          val tsMs = java.time.LocalDate.parse(day)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          NativeHist.PHistSeries(Seq(Prompb.PLabel("__name__", et)),
+            Seq(NativeHist.PHistogram(n, sumfp / 1000000.0,
+              NativeHist.CustomBucketsSchema, 0.0, 0L,
+              spans, deltas, Nil, Nil, tsMs, customValues = bounds)))
+        }
+      val table = java.nio.file.Files.createTempDirectory("graft_nhcb")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val wire = Prompb.snappyCompress(
+          NativeHist.encodeWriteRequest(series))
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "nhcb write failed")
+        conn.disconnect()
+      } finally server.stop()
+      table
+    }
+
   /** A PRIVATE MUTABLE COPY of the canonical metrics store for the
     * entries that delete/sweep/rewrite it (admin_*): the store builds
     * ONCE per JVM ([[cachedModel]]), each caller gets a hardlink copy —
@@ -6888,58 +6944,28 @@ object SparkEntry {
     // bucket into +Inf only; the oracle rebuilds every cumulative from
     // raw events.
     "s1_native_hist_nhcb" -> ((s, dir) => {
-      val bounds = Seq(5.0, 50.0, 500.0)
-      val boundsFp = bounds.map(b => (b * 1000000L).toLong)
-      val ev = Tables.events(s, dir).select(
-        col("event_type"),
-        to_date(col("ts")).cast("string").as("day"),
-        floor(col("value") * 1000000L).cast("long").as("vfp"))
-      val idxCol = when(col("vfp") <= boundsFp(0), 0)
-        .when(col("vfp") <= boundsFp(1), 1)
-        .when(col("vfp") <= boundsFp(2), 2).otherwise(3)
-      val b = ev.withColumn("idx", idxCol)
-        .groupBy(col("event_type"), col("day"), col("idx"))
-        .agg(count(lit(1)).as("cnt")).collect()
-      val totals = ev.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
-        .map(r => (r.getString(0), r.getString(1)) ->
-          (r.getLong(2), r.getLong(3))).toMap
-      val series = b.groupBy(r => (r.getString(0), r.getString(1))).toSeq
-        .sortBy(_._1)
-        .map { case ((et, day), rows) =>
-          val buckets = rows.map(r => (r.getInt(2), r.getLong(3)))
-            .sortBy(_._1).toSeq
-          val (spans, deltas) = NativeHist.toSpans(buckets)
-          val (n, sumfp) = totals((et, day))
-          val tsMs = java.time.LocalDate.parse(day)
-            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-          NativeHist.PHistSeries(Seq(Prompb.PLabel("__name__", et)),
-            Seq(NativeHist.PHistogram(n, sumfp / 1000000.0,
-              NativeHist.CustomBucketsSchema, 0.0, 0L,
-              spans, deltas, Nil, Nil, tsMs, customValues = bounds)))
-        }
-      val table = java.nio.file.Files.createTempDirectory("graft_nhcb")
-        .toString + "/metrics"
-      val server = new graft.serve.Server(s, table).start()
-      try {
-        val wire = Prompb.snappyCompress(
-          NativeHist.encodeWriteRequest(series))
-        val conn = java.net.URI.create(
-            s"http://localhost:${server.boundPort}/write")
-          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-        conn.setRequestMethod("POST")
-        conn.setDoOutput(true)
-        conn.getOutputStream.write(wire)
-        require(conn.getResponseCode == 200, "nhcb write failed")
-        conn.disconnect()
-        s.read.parquet(table).select(
-            col("name"),
-            LabelOps.labelValue(col("tags"), "le").as("le"),
-            unix_timestamp(col("ts")).as("t"),
-            round(col("val") * 1000000L).cast("long").as("val_fp"))
-          .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
-            col("val_fp"))
-      } finally server.stop()
+      s.read.parquet(nhcbStore(s, dir)).select(
+          col("name"),
+          LabelOps.labelValue(col("tags"), "le").as("le"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("val") * 1000000L).cast("long").as("val_fp"))
+        .orderBy(col("name"), col("le").asc_nulls_first, col("t"),
+          col("val_fp"))
+    }),
+
+    // ...and PromQL over the NHCB-ingested store: the custom bounds ARE
+    // classic le labels after the flatten, so histogram_quantile's
+    // monotonic-repair + interpolation machinery works unchanged — the
+    // p90 of each day's view distribution, first-bucket interpolation
+    // from 0 and the rank-in-overflow → highest-finite-bound rule
+    // replayed by the oracle from raw events.
+    "s1_native_hist_nhcb_quantile" -> ((s, dir) => {
+      Eval.rangeQuery(s.read.parquet(nhcbStore(s, dir)),
+          """histogram_quantile(0.9, {__name__="view_bucket"})""",
+          Eval.RangeSpec(Jan05, Jan20, 86400L, lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
     }),
 
     // The same native histograms through the REMOTE-WRITE 2.0 front
@@ -14200,6 +14226,40 @@ object SparkEntry {
 
     // streaming form ≡ receiver form, row for row
     "ts_stream_delta2cum" -> ODeltaToCumSql,
+
+    // per-day instant p90 over the NHCB le ladder: the promql
+    // interpolation (first bucket from 0, rank-in-overflow → highest
+    // finite bound) on each day's view distribution
+    "s1_native_hist_nhcb_quantile" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE event_type = 'view'),
+        |lad(le) AS (VALUES (5.0), (50.0), (500.0),
+        |  (CAST('infinity' AS DOUBLE))),
+        |c AS (SELECT day, l.le,
+        |    count(*) FILTER (WHERE value <= l.le) AS cum
+        |  FROM e CROSS JOIN lad l GROUP BY 1, 2),
+        |r2 AS (SELECT day, le, cum,
+        |    lag(le) OVER w AS ple, lag(cum) OVER w AS prep,
+        |    max(cum) OVER (PARTITION BY day) AS tot
+        |  FROM c WINDOW w AS (PARTITION BY day ORDER BY le)),
+        |sel AS (SELECT day, CASE
+        |    WHEN le = CAST('infinity' AS DOUBLE) THEN ple
+        |    WHEN prep IS NULL THEN
+        |      le * ((0.9 * CAST(tot AS DOUBLE)) / CAST(cum AS DOUBLE))
+        |    ELSE ple + (le - ple) * ((0.9 * CAST(tot AS DOUBLE)
+        |      - CAST(prep AS DOUBLE))
+        |      / (CAST(cum AS DOUBLE) - CAST(prep AS DOUBLE))) END AS res
+        |  FROM r2 WHERE tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tot AS DOUBLE)
+        |    AND (prep IS NULL
+        |      OR CAST(prep AS DOUBLE) < 0.9 * CAST(tot AS DOUBLE)))
+        |SELECT '' AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(res * 1000000) AS BIGINT) AS value_fp
+        |FROM sel
+        |WHERE res IS NOT NULL AND isfinite(res)
+        |  AND day >= DATE '2024-01-05' AND day <= DATE '2024-01-20'
+        |ORDER BY t""".stripMargin,
 
     "admin_snapshot" ->
       """SELECT event_type AS name, count(*) AS cnt
