@@ -394,6 +394,55 @@ object SparkEntry {
       table
     }
 
+  /** OTLP target-info fixture: per-day OTLP batches (one
+    * ResourceMetrics per user — service.name/instance.id promoted to
+    * job/instance, a `tier` resource attr landing as target_info)
+    * through a live /write, ONCE per JVM: the ~30-day POST loop is
+    * fixture synthesis (a pure function of the testdata), so bench
+    * trials measure the info() query, not re-ingest. One POST per day
+    * (a periodic exporter); concatenated single-resource requests ARE
+    * one valid multi-resource request (repeated field 1).
+    */
+  private def targetInfoStore(s: SparkSession, dir: String): String =
+    cachedModel(s"oti:$dir") {
+      val t = java.nio.file.Files.createTempDirectory("graft_oti")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, t,
+        otlpTargetInfo = true).start()
+      try {
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), to_date(col("ts")).cast("string")
+            .as("day"), unix_millis(date_trunc("second", col("ts")))
+            .as("ms"), col("value"))
+          .collect().toSeq
+        rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach {
+          case (_, dayRows) =>
+            val body = dayRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+              .map { case (uid, rs) =>
+                graft.codec.Otlp.encodeGaugeRequest(
+                  Seq("service.name" -> "events",
+                    "service.instance.id" -> s"u$uid",
+                    "tier" -> s"t${uid % 3}"),
+                  rs.map(r => ("click", Nil,
+                    r.getLong(2) * 1000000L, r.getDouble(3))).toSeq)
+              }.reduce(_ ++ _)
+            val conn = java.net.URI.create(
+                s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+              .toURL.openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setRequestMethod("POST")
+            conn.setRequestProperty("Content-Type",
+              "application/x-protobuf")
+            conn.setDoOutput(true)
+            conn.getOutputStream.write(body)
+            require(conn.getResponseCode == 200, "otlp write failed")
+            conn.disconnect()
+        }
+      } finally server.stop()
+      t
+    }
+
   /** NHCB fixture: per (event_type, day) custom-bucket native
     * histograms (bounds 5/50/500 + overflow, schema −53) shipped as
     * real wire bytes through a live /write ONCE per JVM — the flatten
@@ -7585,51 +7634,7 @@ object SparkEntry {
     // corner where the base coasts on lookback but the last target_info
     // sample has expired (the oracle's EXISTS over per-day max seconds).
     "s1_otlp_target_info" -> ((s, dir) => {
-      // the ~30-day POST loop is fixture synthesis (a pure function of
-      // the testdata), registry-cached per JVM like exemplarFixture —
-      // bench trials measure the info() query, not re-ingest
-      val table = cachedModel(s"oti:$dir") {
-        val t = java.nio.file.Files.createTempDirectory("graft_oti")
-          .toString + "/metrics"
-        val server = new graft.serve.Server(s, t,
-          otlpTargetInfo = true).start()
-        try {
-          val rows = Tables.events(s, dir)
-            .filter(col("event_type") === "click")
-            .select(col("user_id"), to_date(col("ts")).cast("string")
-              .as("day"), unix_millis(date_trunc("second", col("ts")))
-              .as("ms"), col("value"))
-            .collect().toSeq
-          // one POST per day (a periodic exporter), one ResourceMetrics
-          // per user inside it — concatenated single-resource requests
-          // ARE one valid multi-resource request (repeated field 1)
-          rows.groupBy(_.getString(1)).toSeq.sortBy(_._1).foreach {
-            case (_, dayRows) =>
-              val body = dayRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
-                .map { case (uid, rs) =>
-                  graft.codec.Otlp.encodeGaugeRequest(
-                    Seq("service.name" -> "events",
-                      "service.instance.id" -> s"u$uid",
-                      "tier" -> s"t${uid % 3}"),
-                    rs.map(r => ("click", Nil,
-                      r.getLong(2) * 1000000L, r.getDouble(3))).toSeq)
-                }.reduce(_ ++ _)
-              val conn = java.net.URI.create(
-                  s"http://localhost:${server.boundPort}/otlp/v1/metrics")
-                .toURL.openConnection()
-                .asInstanceOf[java.net.HttpURLConnection]
-              conn.setRequestMethod("POST")
-              conn.setRequestProperty("Content-Type",
-                "application/x-protobuf")
-              conn.setDoOutput(true)
-              conn.getOutputStream.write(body)
-              require(conn.getResponseCode == 200, "otlp write failed")
-              conn.disconnect()
-          }
-        } finally server.stop()
-        t
-      }
-      Eval.rangeQuery(s.read.parquet(table),
+      Eval.rangeQuery(s.read.parquet(targetInfoStore(s, dir)),
           "info(sum by (instance, job) (click))",
           Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
         .select(tagsStr.as("tags"), col("t"),
@@ -8058,6 +8063,34 @@ object SparkEntry {
         .select(tagsStr.as("tags"), col("t"),
           round(col("value") * 1000000L).cast("long").as("value_fp"))
         .orderBy(col("t"), col("tags"))
+    }),
+
+    // info()'s 100 TB claim as EXECUTED-PLAN FACTS over a parquet
+    // store: the enrichment join broadcasts the target-cardinality info
+    // side (never a sort-merge shuffle of the data), and both selector
+    // scans keep their name pushdown and date partition pruning — a
+    // fleet-inventory join must never tax the sample scan.
+    "promql_info_plan_audit" -> ((s, dir) => {
+      import s.implicits._
+      val store = s.read.parquet(targetInfoStore(s, dir))
+      val prevLen = s.conf.get("spark.sql.maxMetadataStringLength", "100")
+      s.conf.set("spark.sql.maxMetadataStringLength", "8192")
+      val plan =
+        try Eval.rangeQuery(store,
+            "info(sum by (instance, job) (click))",
+            Eval.RangeSpec(Jan05, Jan20, 21600L, lookbackSec = 86400L))
+          .queryExecution.executedPlan.toString
+        finally s.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("base_name_pushdown", b(plan.contains("EqualTo(name,click)"))),
+        ("date_partition_filters", b(plan.contains("PartitionFilters: [")
+          && plan.contains("(date"))),
+        ("info_join_broadcast", b(plan.contains("BroadcastHashJoin"))),
+        ("info_name_pushdown",
+          b(plan.contains("EqualTo(name,target_info)"))),
+        ("no_sortmerge_join", b(!plan.contains("SortMergeJoin"))))
+        .toDF("fact", "value").orderBy(col("fact"))
     }),
 
     // ts_of_min_over_time with GUARANTEED value ties: integer-floored
@@ -14529,6 +14562,15 @@ object SparkEntry {
          |    ELSE 'instance=u' || user_id || ',job=events' END AS tags,
          |  T AS t, vfp AS value_fp
          |FROM m ORDER BY t, tags""".stripMargin,
+
+    "promql_info_plan_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('base_name_pushdown', CAST(1 AS BIGINT)),
+        |  ('date_partition_filters', CAST(1 AS BIGINT)),
+        |  ('info_join_broadcast', CAST(1 AS BIGINT)),
+        |  ('info_name_pushdown', CAST(1 AS BIGINT)),
+        |  ('no_sortmerge_join', CAST(1 AS BIGINT))) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "promql_ts_of_min" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
