@@ -241,16 +241,20 @@ object Rules {
       // covers the instants a wall-clock window of at least 15 s would.
       val k = (rule.keepFiringForSec + spec.stepSec - 1) / spec.stepSec
       val keepSec = k * spec.stepSec
-      // ISLANDS: active instants of one series whose gaps all fit inside
-      // the keep window form one continuation — firing propagates
-      // forward within an island (a cleared-then-reactivated alert stays
-      // firing), never across a gap the keep window can't bridge.
+      // ISLANDS: active instants of one series chain into one firing
+      // continuation while each gap is at most keepSec + ONE step —
+      // upstream's state only flips at an INACTIVE evaluation, so a
+      // re-activation one step after the last kept instant (gap =
+      // keepSec + step) still finds the alert firing; one step further
+      // and the instant before it already went inactive (the seeded
+      // differential against the imperative machine pins the boundary).
       val wOrd = Window.partitionBy(col("tags")).orderBy(col("t").asc)
       val wIsl = Window.partitionBy(col("tags"), col("_isl"))
       val promoted = active
         .withColumn("_gap", col("t") - lag(col("t"), 1).over(wOrd))
         .withColumn("_isl", sum(when(col("_gap").isNull ||
-          col("_gap") > keepSec, 1L).otherwise(0L)).over(wOrd))
+          col("_gap") > keepSec + spec.stepSec, 1L).otherwise(0L))
+          .over(wOrd))
         .withColumn("_f0",
           min(when(col("state") === "firing", col("t"))).over(wIsl))
         .withColumn("state", when(col("_f0").isNotNull &&

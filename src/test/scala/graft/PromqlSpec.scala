@@ -989,6 +989,62 @@ class PromqlSpec extends SparkSpec {
     assert(got == Seq(10L -> "firing", 20L -> "firing", 30L -> "firing"))
   }
 
+  test("alert state machine differential: alertRows equals a naive " +
+      "imperative replay of the upstream rules on random fixtures") {
+    // the reference machine, per series over the ascending grid:
+    //   active(t): firing stays firing; else firing iff the last
+    //     ceil(for/step)+1 instants are all active; else pending
+    //   inactive(t): a firing alert stays firing (with the last active
+    //     value) while t - lastActive <= ceil(keep/step)*step, else
+    //     the alert is gone (pending never survives inactivity)
+    val rnd = new scala.util.Random(41)
+    val step = 10L
+    (0 until 12).foreach { trial =>
+      val forSec = Seq(0L, 10L, 15L, 20L, 25L)(rnd.nextInt(5))
+      val keepSec = Seq(0L, 10L, 15L, 20L, 35L)(rnd.nextInt(5))
+      val grid = (1 to 40).map(_ * step)
+      val series = (0 until 3).map(j => s"j$j")
+      val active: Map[(String, Long), Double] = (for {
+        sj <- series; t <- grid if rnd.nextInt(3) > 0
+      } yield (sj, t) -> (rnd.nextInt(9) + 1.0)).toMap
+      val need = (forSec + step - 1) / step + 1
+      val keepSpan = ((keepSec + step - 1) / step) * step
+      val expect = series.flatMap { sj =>
+        var state = "inactive"; var lastActive = -1L
+        grid.flatMap { t =>
+          active.get((sj, t)) match {
+            case Some(v) =>
+              val contiguous = (0L until need)
+                .forall(i => active.contains((sj, t - i * step)))
+              state =
+                if (state == "firing") "firing"
+                else if (contiguous) "firing" else "pending"
+              lastActive = t
+              Some((sj, t, state, v))
+            case None =>
+              if (state == "firing" && keepSec > 0 &&
+                  lastActive >= 0 && t - lastActive <= keepSpan)
+                Some((sj, t, "firing", active((sj, lastActive))))
+              else { state = "inactive"; None }
+          }
+        }
+      }.sorted
+      val rows = active.toSeq.map { case ((sj, t), v) =>
+        ("up", Seq("__name__=up", s"job=$sj"), v, t)
+      }
+      val store = rows.toDF("name", "tags", "val", "ts")
+      val rule = graft.promql.Rules.AlertRule("A", "up > 0",
+        forSec = forSec, keepFiringForSec = keepSec)
+      val got = graft.promql.Rules.alertRows(store, rule,
+          Eval.RangeSpec(step, 40 * step, step, lookbackSec = 5L))
+        .select(regexp_extract(array_join(col("tags"), ","),
+          "job=(j[0-9])", 1), col("t"), col("state"), col("value"))
+        .as[(String, Long, String, Double)].collect().toSeq.sorted
+      assert(got == expect,
+        s"trial $trial diverged (for=$forSec keep=$keepSec)")
+    }
+  }
+
   test("stale markers end instant ownership, never shadow live samples, " +
        "and are invisible to range functions") {
     val rows = Seq(
