@@ -46,7 +46,12 @@ import java.nio.file.{Files, Paths}
   *      entries in one final fresh session and report them under
   *      "isolated" beside the in-suite numbers. Cross-round comparisons
   *      read the isolated floor; a real regression shows up in BOTH
-  *      columns, residual suite noise only in one.
+  *      columns, residual suite noise only in one. Caveat: STREAMING
+  *      entries can read HIGHER isolated than in-suite — the fresh
+  *      session re-pays the streaming engine's fixed costs (state-store
+  *      providers, micro-batch planner warm-up) that the long suite had
+  *      amortized; for those entries the in-suite number is the
+  *      representative one and the isolated column is a ceiling.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
