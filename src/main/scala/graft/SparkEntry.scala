@@ -5188,19 +5188,28 @@ object SparkEntry {
         src.select(lit(java.sql.Date.valueOf("2024-01-10")).as("date"),
           lit(name).as("name"), array(lit("k=r")).as("tags"),
           v.as("val"), ts.as("ts"), current_timestamp().as("updated"))
-      // const rides a REGULAR 15 s grid (the scrape shape the ~2-bit
-      // figure describes); dense keeps the fixture's irregular stamps
+      // BOTH series ride a REGULAR 15 s grid — the scrape shape the
+      // compression figures describe (regular interval, 1-bit dods):
+      // const pins the ~2-bit constant-series headline, dense carries
+      // the fixture's real changing values (~8-9 B of XOR mantissa per
+      // sample). Irregular stamps are deliberately out: sparse fixtures
+      // push timestamp dods into the 64-bit varbit branch and the byte
+      // bound becomes a density artifact, not a codec claim.
       val wAll = org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("value"))
       val grid = base.withColumn("_rn", row_number().over(wAll))
-      val rows = mk("dense", col("value"), col("ts"))(base)
-        .unionByName(mk("const", lit(42.0), timestamp_seconds(
-          lit(Jan10) + col("_rn").cast("long") * 15L))(grid))
+      val gridTs = timestamp_seconds(
+        lit(Jan10) + col("_rn").cast("long") * 15L)
+      val rows = mk("dense", col("value"), gridTs)(grid)
+        .unionByName(mk("const", lit(42.0), gridTs)(grid))
       graft.engine.ChunkStore.toChunked(rows)
         .groupBy(col("name"))
         .agg(sum(length(col("chunk"))).as("bytes"),
           sum(col("n_samples")).as("n"))
         .select(col("name").as("fact"),
+          // dense: real values on the regular grid stay well under
+          // 12 B/sample (1-bit dods + XOR mantissas); const: the ~2-bit
+          // shape, under one byte per sample
           when(col("name") === "dense", col("bytes") < lit(12L) * col("n"))
             .otherwise(col("bytes") < col("n"))
             .cast("long").as("value"))
@@ -14493,13 +14502,45 @@ object SparkEntry {
 
     // per-day event counts × 2 (the closed-form extrapolation factor
     // for 2 daily samples in a 2 d window), first grid day dropped
+    // the FULL extrapolated-increase replay over the cumulative count
+    // series (the dense-day closed form was count×2, which breaks the
+    // moment a scale factor leaves an (event_type, day) empty): window
+    // samples, boundary extrapolation with the 1.1×-interval threshold
+    // and the counter zero-crossing cap — the promql algorithm verbatim
     "promql_native_hist_count_rate" ->
-      """SELECT 'event_type=' || event_type AS tags,
-        |  CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
-        |    AS t,
-        |  CAST(count(*) * 2000000 AS BIGINT) AS value_fp
-        |FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-01'
-        |GROUP BY 1, 2 ORDER BY t, tags""".stripMargin,
+      """WITH d AS (SELECT event_type,
+        |    CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+        |      AS t, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, t,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY t)
+        |      AS BIGINT) AS cc FROM d),
+        |gr AS (SELECT 1704067200 + 86400 * k AS T
+        |  FROM generate_series(0, 29) g(k)),
+        |wx AS (SELECT gr.T AS gt, cum.* FROM gr JOIN cum
+        |  ON cum.t > gr.T - 172800 AND cum.t <= gr.T),
+        |a AS (SELECT gt, event_type, count(*) AS n, min(t) AS ft,
+        |    max(t) AS lt, arg_min(cc, t) AS fv,
+        |    CAST(max(cc) - min(cc) AS BIGINT) AS raw
+        |  FROM wx GROUP BY 1, 2),
+        |e2 AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+        |    CAST(raw AS DOUBLE) AS rawd, CAST(fv AS DOUBLE) AS fvd,
+        |    CAST(lt - ft AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avgi,
+        |    CAST(ft - (gt - 172800) AS DOUBLE) AS ds0,
+        |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+        |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fvd >= 0.0
+        |    THEN least(ds0, si * (fvd / rawd)) ELSE ds0 END AS ds1
+        |  FROM e2),
+        |g2 AS (SELECT *,
+        |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+        |      AS dss,
+        |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+        |      AS dee FROM f)
+        |SELECT 'event_type=' || event_type AS tags, gt AS t,
+        |  CAST(floor(rawd * ((si + dss + dee) / si) * 1000000.0)
+        |    AS BIGINT) AS value_fp
+        |FROM g2 WHERE n >= 2 AND si > 0.0
+        |ORDER BY t, tags""".stripMargin,
 
     "promql_ts_of" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T
