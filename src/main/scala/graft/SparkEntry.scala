@@ -683,6 +683,74 @@ object SparkEntry {
         col("h_buckets"))
   }
 
+  /** Generalized cumulative native-histogram store straight from the
+    * events table (no wire roundtrip — the codec is pinned by the s1
+    * entries): per series the count/sum/buckets accumulate over days
+    * WITHIN an epoch and restart at each epoch boundary. `split` adds an
+    * `instance` label (event parity, vfp mod 2) for the cross-series
+    * aggregation entries; `resetDay` starts a second epoch at that day —
+    * a service restart mid-store, the reset-handling fixture. With
+    * neither, this is row-identical to [[nativeHistCumStore]].
+    */
+  private def nativeHistCumStoreVar(s: SparkSession, dir: String,
+                                    split: Boolean,
+                                    resetDay: Option[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = Tables.events(s, dir).select(
+      col("event_type"),
+      to_date(col("ts")).as("day"),
+      floor(col("value") * 1000000L).cast("long").as("vfp"))
+    val ev = ev0
+      .withColumn("inst",
+        if (split) pmod(col("vfp"), lit(2L)) else lit(0L))
+      .withColumn("epoch", resetDay match {
+        case Some(rd) => when(col("day") >= to_date(lit(rd)), lit(1))
+          .otherwise(lit(0))
+        case None => lit(0)
+      })
+    val sk = Seq(col("event_type"), col("inst"))
+    val ek = sk :+ col("epoch")
+    val b = ev.withColumn("idx", length(bin(col("vfp"))).cast("long"))
+      .groupBy((ek ++ Seq(col("day"), col("idx"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val days = ev.groupBy((ek :+ col("day")): _*)
+      .agg(count(lit(1)).as("total_count"), sum(col("vfp")).as("sum_fp"))
+    val idxs = b.select((ek :+ col("idx")): _*).distinct()
+    val keyNames = Seq("event_type", "inst", "epoch")
+    val wDay = Window.partitionBy((ek :+ col("idx")): _*)
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val cumBuckets = days.select((ek :+ col("day")): _*)
+      .join(idxs, keyNames)
+      .join(b, keyNames ++ Seq("day", "idx"), "left")
+      .select((ek ++ Seq(col("day"), col("idx"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
+      .withColumn("cum", sum(col("cnt")).over(wDay))
+      .filter(col("cum") > 0)
+      .groupBy((ek :+ col("day")): _*)
+      .agg(sort_array(collect_list(struct(col("idx"),
+        col("cum").as("cnt")))).as("h_buckets"))
+    val wTot = Window.partitionBy(ek: _*)
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val tagsCol =
+      if (split) sort_array(array(lit("__name__=hist_val"),
+        concat(lit("event_type="), col("event_type")),
+        concat(lit("instance="), col("inst"))))
+      else array(lit("__name__=hist_val"),
+        concat(lit("event_type="), col("event_type")))
+    days
+      .withColumn("cum_count", sum(col("total_count")).over(wTot))
+      .withColumn("cum_sum_fp", sum(col("sum_fp")).over(wTot))
+      .join(cumBuckets, keyNames :+ "day")
+      .select(
+        lit("hist_val").as("name"),
+        tagsCol.as("tags"),
+        unix_timestamp(col("day").cast("timestamp")).as("ts"),
+        col("cum_count").as("h_count"),
+        col("cum_sum_fp").as("h_sum_fp"),
+        lit(0L).as("h_zero"),
+        col("h_buckets"))
+  }
+
   /** The same per-(event_type, day) histograms as [[nativeHistBuckets]]
     * shipped through the OTLP ExponentialHistogram edge instead: dense
     * offset+counts Buckets (zeros included) at the OTLP index
@@ -8037,6 +8105,102 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // COUNTER RESETS INSIDE A NATIVE-HISTOGRAM RATE WINDOW: the store
+    // restarts its cumulative epoch at Jan 16 (a service restart), and
+    // the [3d] windows straddling the boundary must chain
+    // reset-adjusted per-bucket deltas (Prometheus's histogramRate
+    // rule: a drop in count/zero/any bucket between consecutive samples
+    // is a reset, contributing the pre-reset histogram) instead of
+    // last−first with negatives dropped. The oracle replays the exact
+    // pair-chained algebra over the same cumulative construction — on
+    // monotone pairs cur−prev, on detected resets cur — then
+    // rank-searches the merged delta buckets.
+    "promql_native_hist_reset" -> ((s, dir) => {
+      Eval.rangeQuery(
+          nativeHistCumStoreVar(s, dir, split = false,
+            resetDay = Some("2024-01-16")),
+          """histogram_quantile(0.9, increase({__name__="hist_val"}[3d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // THE FLEET LATENCY PANEL: histogram_quantile(0.9,
+    // sum by (event_type) (increase(h[2d]))) over a MULTI-INSTANCE
+    // native store — per-instance reset-adjusted window deltas, then
+    // ONE partial-combined sparse-bucket merge on (group, T), then the
+    // rank search, all without ever flattening to classic le rows. The
+    // oracle replays per-instance window deltas (only instances with
+    // ≥2 samples and growth emit) and merges buckets across instances
+    // in SQL.
+    "promql_native_hist_agg" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStoreVar(s, dir, split = true, None),
+          "histogram_quantile(0.9, sum by (event_type) " +
+            """(increase({__name__="hist_val"}[2d])))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // avg OVER INSTANT HISTOGRAM SAMPLES, scalarized by
+    // histogram_count: per grid day the present instances' histograms
+    // merge and the count divides by the contributing-series count
+    // (avg's uniform 1/n scaling — exact, the fp longs are ≪ 2^52 so
+    // both engines floor the same double). Daily samples under a 1 d
+    // lookback mean an instance contributes exactly on its own sample
+    // days, which the oracle replays by presence.
+    "promql_native_hist_agg_instant" -> ((s, dir) => {
+      Eval.rangeQuery(nativeHistCumStoreVar(s, dir, split = true, None),
+          """histogram_count(avg by (event_type) ({__name__="hist_val"}))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
+    // NATIVE-HISTOGRAM AGGREGATION PLAN AUDIT: the fleet panel costs
+    // exactly TWO exchanges end to end on a parquet-backed store — the
+    // per-series hash(tags) every native query pays (dedup + lag +
+    // window grouping all reuse it via the subset rule), plus the
+    // cross-series merge's own partial-combined hash on (group, T).
+    // Keys INCLUDE T, so a low-cardinality `by (event_type)` spreads
+    // over groups × grid instead of concentrating a 100 TB store onto
+    // single tasks — the reason the merge is deliberately NOT folded
+    // into the per-series exchange. ts pushdown stays intact.
+    "promql_native_hist_agg_plan" -> ((s, dir) => {
+      import s.implicits._
+      val base = cachedInputDir(s"nhcum2:${math.abs(dir.hashCode)}") { d =>
+        nativeHistCumStoreVar(s, dir, split = true, None)
+          .withColumn("date", to_date(timestamp_seconds(col("ts"))))
+          .write.mode("overwrite").partitionBy("date").parquet(s"$d/h")
+      }
+      val store = s.read.parquet(s"$base/h")
+      val prevLen = s.conf.get("spark.sql.maxMetadataStringLength", "100")
+      s.conf.set("spark.sql.maxMetadataStringLength", "8192")
+      val spec = Eval.RangeSpec(1704153600L, 1706572800L, 86400L, 86400L)
+      val aggP =
+        try Eval.rangeQuery(store,
+          "histogram_quantile(0.9, sum by (event_type) " +
+            """(increase({__name__="hist_val"}[2d])))""", spec)
+          .queryExecution.executedPlan.toString
+        finally s.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("agg_exchanges", aggP.linesIterator.count(l =>
+          l.contains("Exchange hashpartitioning") &&
+            !l.contains("ReusedExchange")).toLong),
+        ("agg_merge_partial_combined",
+          b(aggP.linesIterator.count(
+            _.contains("ObjectHashAggregate")) >= 2)),
+        ("agg_ts_pushdown", b(aggP.contains("GreaterThan(ts"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // ts_of_max_over_time (Prometheus 3.x experimental): the TIMESTAMP
     // of the window's maximum sample — value ties resolve to the latest
     // sample (argmax on (value, t)), replayed exactly by the oracle.
@@ -14541,6 +14705,190 @@ object SparkEntry {
         |    AS BIGINT) AS value_fp
         |FROM g2 WHERE n >= 2 AND si > 0.0
         |ORDER BY t, tags""".stripMargin,
+
+    // the chained reset-adjusted replay: rebuild the two-epoch
+    // cumulative store, detect resets exactly as the engine does
+    // (count drop OR any per-bucket drop between consecutive present
+    // days), form PAIR-level adjusted bucket deltas (cur−prev on
+    // monotone pairs, cur on resets), sum them over each [3d] window
+    // past its first sample (telescoping = last − first + Σ reset
+    // prevs), then rank-search the merged delta buckets
+    "promql_native_hist_reset" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |ep AS (SELECT event_type, day,
+        |    CASE WHEN day >= DATE '2024-01-16' THEN 1 ELSE 0 END
+        |      AS epoch, vfp FROM e),
+        |b AS (SELECT event_type, epoch, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM ep GROUP BY 1, 2, 3, 4),
+        |pd AS (SELECT DISTINCT event_type, epoch, day FROM ep),
+        |ix AS (SELECT DISTINCT event_type, epoch, idx FROM b),
+        |cb AS (SELECT pd.event_type, pd.day, ix.idx,
+        |    sum(coalesce(bb.cnt, 0)) OVER (PARTITION BY pd.event_type,
+        |      pd.epoch, ix.idx ORDER BY pd.day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pd JOIN ix ON ix.event_type = pd.event_type
+        |    AND ix.epoch = pd.epoch
+        |  LEFT JOIN b bb ON bb.event_type = pd.event_type
+        |    AND bb.epoch = pd.epoch AND bb.day = pd.day
+        |    AND bb.idx = ix.idx),
+        |cnt1 AS (SELECT event_type, epoch, day, count(*) AS n
+        |  FROM ep GROUP BY 1, 2, 3),
+        |ccum AS (SELECT event_type, day,
+        |    sum(n) OVER (PARTITION BY event_type, epoch ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum_n FROM cnt1),
+        |pp AS (SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS pday
+        |  FROM (SELECT DISTINCT event_type, day FROM ep)),
+        |pb AS (SELECT pp.event_type, pp.day, x.idx,
+        |    coalesce(cd.cum, 0) AS ccur, coalesce(cp.cum, 0) AS cprev
+        |  FROM pp
+        |  JOIN (SELECT DISTINCT event_type, idx FROM b) x
+        |    ON x.event_type = pp.event_type
+        |  LEFT JOIN cb cd ON cd.event_type = pp.event_type
+        |    AND cd.day = pp.day AND cd.idx = x.idx
+        |  LEFT JOIN cb cp ON cp.event_type = pp.event_type
+        |    AND cp.day = pp.pday AND cp.idx = x.idx
+        |  WHERE pp.pday IS NOT NULL),
+        |rs AS (SELECT p.event_type, p.day,
+        |    max(CASE WHEN p.ccur < p.cprev THEN 1 ELSE 0 END) AS bdrop
+        |  FROM pb p GROUP BY 1, 2),
+        |rst AS (SELECT pp.event_type, pp.day,
+        |    CASE WHEN cd.cum_n < cp.cum_n OR rs.bdrop = 1
+        |      THEN 1 ELSE 0 END AS r
+        |  FROM pp
+        |  JOIN ccum cd ON cd.event_type = pp.event_type
+        |    AND cd.day = pp.day
+        |  JOIN ccum cp ON cp.event_type = pp.event_type
+        |    AND cp.day = pp.pday
+        |  JOIN rs ON rs.event_type = pp.event_type
+        |    AND rs.day = pp.day
+        |  WHERE pp.pday IS NOT NULL),
+        |ad AS (SELECT p.event_type, p.day, p.idx,
+        |    CASE WHEN r.r = 1 THEN p.ccur
+        |      ELSE p.ccur - p.cprev END AS dcnt
+        |  FROM pb p JOIN rst r ON r.event_type = p.event_type
+        |    AND r.day = p.day),
+        |gr AS (SELECT 1704067200 + 86400 * k AS T
+        |  FROM generate_series(0, 29) g(k)),
+        |win AS (SELECT gr.T, d.event_type, d.day
+        |  FROM gr JOIN (SELECT DISTINCT event_type, day FROM ep) d
+        |    ON epoch(CAST(d.day AS TIMESTAMP)) > gr.T - 259200
+        |    AND epoch(CAST(d.day AS TIMESTAMP)) <= gr.T),
+        |fw AS (SELECT T, event_type, min(day) AS fday
+        |  FROM win GROUP BY 1, 2),
+        |wd AS (SELECT w.T, w.event_type, a.idx, sum(a.dcnt) AS cnt
+        |  FROM win w
+        |  JOIN fw f ON f.T = w.T AND f.event_type = w.event_type
+        |  JOIN ad a ON a.event_type = w.event_type AND a.day = w.day
+        |  WHERE w.day > f.fday GROUP BY 1, 2, 3),
+        |wx AS (SELECT * FROM wd WHERE cnt > 0),
+        |r2 AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, T ORDER BY idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, T) AS tot FROM wx),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r2)
+        |SELECT 'event_type=' || event_type AS tags, T AS t,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS value_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY t, tags""".stripMargin,
+
+    // per-instance [2d] window deltas on the monotone multi-instance
+    // store (only instances with ≥2 in-window samples and growth
+    // emit), merged across instances per (event_type, T), then the
+    // rank search — the SQL mirror of the sparse-bucket sum
+    "promql_native_hist_agg" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |ei AS (SELECT event_type, vfp % 2 AS inst, day, vfp FROM e),
+        |b AS (SELECT event_type, inst, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM ei GROUP BY 1, 2, 3, 4),
+        |pd AS (SELECT DISTINCT event_type, inst, day FROM ei),
+        |ix AS (SELECT DISTINCT event_type, inst, idx FROM b),
+        |cb AS (SELECT pd.event_type, pd.inst, pd.day, ix.idx,
+        |    sum(coalesce(bb.cnt, 0)) OVER (PARTITION BY pd.event_type,
+        |      pd.inst, ix.idx ORDER BY pd.day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM pd JOIN ix ON ix.event_type = pd.event_type
+        |    AND ix.inst = pd.inst
+        |  LEFT JOIN b bb ON bb.event_type = pd.event_type
+        |    AND bb.inst = pd.inst AND bb.day = pd.day
+        |    AND bb.idx = ix.idx),
+        |gr AS (SELECT 1704067200 + 86400 * k AS T
+        |  FROM generate_series(0, 29) g(k)),
+        |win AS (SELECT gr.T, p.event_type, p.inst, p.day FROM gr
+        |  JOIN pd p ON epoch(CAST(p.day AS TIMESTAMP)) > gr.T - 172800
+        |    AND epoch(CAST(p.day AS TIMESTAMP)) <= gr.T),
+        |fw AS (SELECT T, event_type, inst, min(day) AS fday,
+        |    max(day) AS lday, count(*) AS n FROM win GROUP BY 1, 2, 3),
+        |dd AS (SELECT f.T, f.event_type, f.inst, cl.idx,
+        |    cl.cum - coalesce(cf.cum, 0) AS dcnt
+        |  FROM fw f
+        |  JOIN cb cl ON cl.event_type = f.event_type
+        |    AND cl.inst = f.inst AND cl.day = f.lday
+        |  LEFT JOIN cb cf ON cf.event_type = f.event_type
+        |    AND cf.inst = f.inst AND cf.day = f.fday
+        |    AND cf.idx = cl.idx
+        |  WHERE f.n >= 2),
+        |ok AS (SELECT T, event_type, inst FROM dd
+        |  GROUP BY 1, 2, 3 HAVING sum(dcnt) > 0),
+        |mg AS (SELECT d.T, d.event_type, d.idx, sum(d.dcnt) AS cnt
+        |  FROM dd d JOIN ok o ON o.T = d.T
+        |    AND o.event_type = d.event_type AND o.inst = d.inst
+        |  GROUP BY 1, 2, 3),
+        |wx AS (SELECT * FROM mg WHERE cnt > 0),
+        |r2 AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY event_type, T ORDER BY idx
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, T) AS tot FROM wx),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r2)
+        |SELECT 'event_type=' || event_type AS tags, T AS t,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS value_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY t, tags""".stripMargin,
+
+    // instant avg presence replay: an instance contributes its
+    // cumulative count exactly on its own sample days (daily samples,
+    // 1 d lookback, daily grid), and the count scalar divides by the
+    // contributing-instance count with the engine's exact double shape
+    // (sum × 1e6, then ÷ n, then floor)
+    "promql_native_hist_agg_instant" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |ei AS (SELECT event_type, vfp % 2 AS inst, day FROM e),
+        |cc AS (SELECT event_type, inst, day, count(*) AS n
+        |  FROM ei GROUP BY 1, 2, 3),
+        |cum AS (SELECT event_type, inst, day,
+        |    sum(n) OVER (PARTITION BY event_type, inst ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cn FROM cc),
+        |g AS (SELECT event_type, day, sum(cn) AS tot, count(*) AS np
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT 'event_type=' || event_type AS tags,
+        |  CAST(epoch(CAST(day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(floor(CAST(tot AS DOUBLE) * 1000000.0
+        |    / CAST(np AS DOUBLE)) AS BIGINT) AS value_fp
+        |FROM g
+        |WHERE epoch(CAST(day AS TIMESTAMP)) BETWEEN 1704067200
+        |  AND 1706572800
+        |ORDER BY t, tags""".stripMargin,
+
+    "promql_native_hist_agg_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('agg_exchanges', CAST(2 AS BIGINT)),
+        |  ('agg_merge_partial_combined', 1),
+        |  ('agg_ts_pushdown', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "promql_ts_of" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

@@ -420,12 +420,16 @@ object Eval {
     * duplicates — deterministic, and a histogram only ever grows within
     * one scrape instant).
     */
-  private def scanHist(m: DataFrame, s: Selector,
-                       spec: RangeSpec): DataFrame = {
+  private def scanHist(m: DataFrame, s: Selector, spec: RangeSpec,
+                       reachSec: Long = 0L): DataFrame = {
     val tsIsLong =
       m.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val tCol = if (tsIsLong) col("ts") else unix_timestamp(col("ts"))
-    val lo = spec.startSec - spec.lookbackSec - s.offsetSec
+    // reach back the larger of the lookback and the range window — a
+    // range selector's first grid instant reads samples from
+    // start − w + 1, which can predate the lookback bound
+    val lo = spec.startSec - math.max(spec.lookbackSec, reachSec) -
+      s.offsetSec
     val hi = spec.endSec - s.offsetSec
     var df = m
     if (m.columns.contains("date"))
@@ -543,63 +547,234 @@ object Eval {
     }
   }
 
-  /** `histogram_quantile(q, rate|increase|delta(sel[w]))` over NATIVE
-    * histogram samples — the production latency idiom, evaluated on the
-    * sparse buckets directly: per (series, T) the window's first and
-    * last histogram produce per-bucket deltas (cumulative counters, so
-    * absent-in-first buckets start at 0), and the quantile rank-searches
-    * the DELTA buckets. rate/increase/delta share one computation here:
-    * the quantile is invariant under uniform bucket scaling, so the
-    * 1/window factor — and Prometheus's boundary extrapolation, which
-    * scales every bucket equally — cancel out exactly. Windows with
-    * fewer than two samples, or no growth, emit nothing (PromQL's
-    * empty-rate rule). Counter resets inside a window are not repaired
-    * on this path (negative per-bucket deltas drop); reset-heavy stores
-    * should flatten to the classic view, which has full reset handling.
+  /** Per-(series, grid T) RESET-ADJUSTED window-delta histograms — the
+    * shared core of the windowed native-histogram functions and their
+    * aggregated forms. Prometheus's histogramRate discipline
+    * (promql/functions.go): a counter reset happens between consecutive
+    * samples when the count, the zero bucket, or ANY positive bucket
+    * decreases; the window's increase is then
+    *   last − first + Σ over reset pairs of the pre-reset histogram
+    * (the per-bucket analogue of counterIncrease's chained adjusted
+    * deltas — between resets the series is monotone, so the telescoping
+    * sum collapses to exactly this). The consecutive-pair state (prev
+    * histogram + reset flag) is computed ONCE per series with a lag
+    * BEFORE the grid explode, the rangeFrame discipline; per (series, T)
+    * the aggregation is then first/last plus a map-merged fold of the
+    * in-window reset contributions. A reset against a sample OUTSIDE the
+    * window does not contribute (the window's increase starts at its
+    * first sample, as upstream). Windows with fewer than two samples, or
+    * no growth, emit nothing (PromQL's empty-rate rule).
+    *
+    * `groupCol`, when set, threads an extra grouping column (the
+    * by/without tag subset) through every stage so the aggregated form
+    * can merge across series afterward without re-deriving it.
     */
-  private def nativeHistRangeFn(m: DataFrame, s: Selector, wSec: Long,
-                                which: String, params: Seq[Double],
-                                spec: RangeSpec): DataFrame = {
-    val h = scanHist(m, s, spec)
-    val te = col("t") + s.offsetSec
+  private def nativeHistWindowDeltas(h: DataFrame, offsetSec: Long,
+                                     wSec: Long, spec: RangeSpec,
+                                     groupCol: Option[Column] = None)
+      : DataFrame = {
+    val gCols = groupCol.map(_ => col("_g")).toSeq
+    val hs = struct(col("h_count").as("c"), col("h_sum_fp").as("s"),
+      col("h_zero").as("z"), col("h_buckets").as("b"))
+    val base0 = h.select(
+      (gCols ++ Seq(col("tags"), col("t"), hs.as("_h"))): _*)
+    val w = Window.partitionBy((gCols :+ col("tags")): _*)
+      .orderBy(col("t").asc)
+    val cMap = map_from_entries(col("_h.b"))
+    val lagged = base0
+      .select((gCols ++ Seq(col("tags"), col("t"), col("_h"),
+        lag(col("_h"), 1).over(w).as("_ph"),
+        lag(col("t"), 1).over(w).as("_pt"))): _*)
+      .withColumn("_reset", col("_ph").isNotNull &&
+        (col("_h.c") < col("_ph.c") || col("_h.z") < col("_ph.z") ||
+          exists(col("_ph.b"), b =>
+            coalesce(element_at(cMap, b.getField("idx")), lit(0L)) <
+              b.getField("cnt"))))
+    val te = col("t") + offsetSec
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)
     val kLast = floorDiv0(
       least(te + (wSec - 1), lit(spec.endSec)) - spec.startSec, spec.stepSec)
-    val hs = struct(col("h_count").as("c"), col("h_sum_fp").as("s"),
-      col("h_zero").as("z"), col("h_buckets").as("b"))
-    val agg = h
-      .select(col("tags"), col("t"), hs.as("_h"),
-        kFirst.as("_k0"), kLast.as("_k1"))
+    val gridT = lit(spec.startSec) + col("_k") * spec.stepSec
+    // a reset pair contributes only when BOTH endpoints sit inside this
+    // window: the current sample by explode construction, the previous
+    // one by the strict (T−w, T] left bound
+    val inWinReset = col("_reset") &&
+      (col("_pt") + offsetSec > gridT - wSec)
+    val agg = lagged
+      .select((gCols ++ Seq(col("tags"), col("t"), col("_h"), col("_ph"),
+        col("_pt"), col("_reset"), kFirst.as("_k0"),
+        kLast.as("_k1"))): _*)
       .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)
-      .select(col("tags"), col("t"), col("_h"),
+      .select((gCols ++ Seq(col("tags"), col("t").as("_st"), col("_h"),
+        col("_ph"), col("_pt"), col("_reset"),
         explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
-          .as("_k"))
-      .select(col("tags"),
-        (lit(spec.startSec) + col("_k") * spec.stepSec).as("t"),
-        col("t").as("_st"), col("_h"))
-      .groupBy(col("tags"), col("t"))
+          .as("_k"))): _*)
+      .select((gCols ++ Seq(col("tags"), gridT.as("t"), col("_st"),
+        col("_h"),
+        when(inWinReset, col("_ph")).as("_rh"))): _*)
+      .groupBy((gCols ++ Seq(col("tags"), col("t"))): _*)
       .agg(count(lit(1)).as("n"),
         min_by(col("_h"), col("_st")).as("_f"),
-        max_by(col("_h"), col("_st")).as("_l"))
+        max_by(col("_h"), col("_st")).as("_l"),
+        sum(coalesce(col("_rh.c"), lit(0L))).as("_rc"),
+        sum(coalesce(col("_rh.s"), lit(0L))).as("_rs"),
+        sum(coalesce(col("_rh.z"), lit(0L))).as("_rz"),
+        collect_list(map_from_entries(col("_rh.b"))).as("_rms"))
       .filter(col("n") >= 2)
-    val fMap = map_from_entries(col("_f.b"))
+    // merged per-bucket delta: last ⊖ first ⊕ Σ reset prevs, folded as
+    // sparse maps (map_zip_with unions keys), then re-sorted to the
+    // canonical struct array; buckets that net to ≤ 0 drop (a zero
+    // delta carries no observations)
+    val negF = transform_values(map_from_entries(col("_f.b")),
+      (_, v) => -v)
+    val merged = aggregate(
+      concat(array(negF), col("_rms")),
+      map_from_entries(col("_l.b")),
+      (acc, mm) => map_zip_with(acc, mm,
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
     // the delta frame wears the h-columns, so the SAME per-histogram
     // scalar derivations serve instants and windows alike
-    val deltas = agg.select(col("tags"), col("t"),
-      (col("_l.c") - col("_f.c")).as("h_count"),
-      (col("_l.s") - col("_f.s")).as("h_sum_fp"),
-      (col("_l.z") - col("_f.z")).as("h_zero"),
-      filter(transform(col("_l.b"), b =>
-        struct(b.getField("idx").as("idx"),
-          (b.getField("cnt") -
-            coalesce(element_at(fMap, b.getField("idx")), lit(0L)))
-            .as("cnt"))),
-        b => b.getField("cnt") > 0).as("h_buckets"))
+    agg.select((gCols ++ Seq(col("tags"), col("t"),
+      (col("_l.c") - col("_f.c") + col("_rc")).as("h_count"),
+      (col("_l.s") - col("_f.s") + col("_rs")).as("h_sum_fp"),
+      (col("_l.z") - col("_f.z") + col("_rz")).as("h_zero"),
+      sort_array(transform(
+        filter(map_entries(merged), e => e.getField("value") > 0),
+        e => struct(e.getField("key").as("idx"),
+          e.getField("value").as("cnt")))).as("h_buckets"))): _*)
       .filter(col("h_count") > 0 && size(col("h_buckets")) > 0)
-    histScalar(deltas, which, params)
+  }
+
+  /** `histogram_quantile(q, rate|increase|delta(sel[w]))` over NATIVE
+    * histogram samples — the production latency idiom, evaluated on the
+    * sparse buckets directly via [[nativeHistWindowDeltas]] (which
+    * chains reset-adjusted per-bucket deltas, so a service restart
+    * inside the window yields the true increase, not a truncated one).
+    * rate/increase/delta share one computation here: the quantile is
+    * invariant under uniform bucket scaling, so the 1/window factor —
+    * and Prometheus's boundary extrapolation, which scales every bucket
+    * equally — cancel out exactly.
+    */
+  private def nativeHistRangeFn(m: DataFrame, s: Selector, wSec: Long,
+                                which: String, params: Seq[Double],
+                                spec: RangeSpec): DataFrame =
+    histScalar(nativeHistWindowDeltas(scanHist(m, s, spec, wSec),
+        s.offsetSec, wSec, spec), which, params)
       .select(dropName(col("tags")).as("tags"), col("t"),
         col("t").as("st"), col("v_fp"))
+
+  /** The inner shapes `histogram_*(sum|avg by (...) (X))` accepts on the
+    * native path: a plain selector, or rate/increase/delta of one.
+    */
+  private def histAggInner(e: Expr): Option[(Selector, Option[Long])] =
+    e match {
+      case s: Selector if s.rangeSec.isEmpty => Some((s, None))
+      case Call(rfn, scala.collection.Seq(s: Selector))
+          if s.rangeSec.nonEmpty &&
+            Set("rate", "increase", "delta").contains(rfn) =>
+        Some((s, s.rangeSec))
+      case _ => None
+    }
+
+  /** CROSS-SERIES native-histogram aggregation —
+    * `histogram_quantile(0.9, sum by (job) (rate(h[5m])))`, the fleet
+    * latency panel, evaluated on sparse buckets end to end. Per grid T
+    * each series contributes its instant histogram (ownership spans,
+    * instant form) or its reset-adjusted window delta (range form); the
+    * group merge is ONE partial-combined groupBy on (group tags, T) —
+    * map-side collect of sparse bucket maps, then a map_zip_with fold
+    * that unions bucket indexes, Prometheus's sparse-bucket merge under
+    * sum/avg. Keys INCLUDE T, so the exchange distributes by
+    * groups × grid and a low-cardinality `by (job)` never concentrates
+    * a 100 TB store onto single tasks (the reason this is deliberately
+    * NOT folded into the per-series exchange). Compared to the classic
+    * le-flatten (`sum by (le) (rate(h_bucket[5m]))`), the scan and both
+    * exchanges move one row per (series, scrape) instead of #buckets.
+    *
+    * `avg` rides the same merged-sum frame: quantile/fraction/avg/
+    * stddev/stdvar are invariant under the uniform 1/n bucket scaling,
+    * and count/sum divide the merged scalar by the group's series count
+    * (exact: the fp longs are ≪ 2^52, so the double division floors
+    * identically in both engines). count/sum over the RANGE form are
+    * refused — Prometheus's rate/increase extrapolation is per series
+    * and not scale-invariant; the scalarized
+    * `sum(histogram_count(rate(h[w])))` path carries it exactly.
+    */
+  private def nativeHistAggFn(m: DataFrame, sel: Selector, spec: RangeSpec,
+                              aggOp: String, labels: Seq[String],
+                              without: Boolean, rangeWSec: Option[Long],
+                              which: String, params: Seq[Double])
+      : DataFrame = {
+    require(rangeWSec.isEmpty || !Set("count", "sum").contains(which),
+      s"histogram_$which over an aggregated range function is not " +
+        "scale-invariant; use the scalarized form, e.g. " +
+        "sum(histogram_count(rate(h[w])))")
+    val h = scanHist(m, sel, spec, rangeWSec.getOrElse(0L))
+      .withColumn("_g", groupTags(col("tags"), labels, without))
+    val perT = rangeWSec match {
+      case Some(wSec) =>
+        nativeHistWindowDeltas(h, sel.offsetSec, wSec, spec,
+          groupCol = Some(col("_g")))
+      case None =>
+        // instant form: each sample owns the grid instants from its own
+        // time to just before the series' next sample (capped by
+        // lookback) — ownedInstants with a histogram payload
+        val w = Window.partitionBy(col("_g"), col("tags"))
+          .orderBy(col("t").asc)
+        val hs = struct(col("h_count").as("c"), col("h_sum_fp").as("s"),
+          col("h_zero").as("z"), col("h_buckets").as("b"))
+        val led = h.select(col("_g"), col("tags"), col("t"), hs.as("_h"))
+          .withColumn("_next", lead(col("t"), 1).over(w))
+        val te = col("t") + sel.offsetSec
+        val upper = least(
+          coalesce(col("_next") + sel.offsetSec - 1, lit(Long.MaxValue)),
+          te + (spec.lookbackSec - 1), lit(spec.endSec))
+        val kFirst = ceilDiv(
+          greatest(te, lit(spec.startSec)) - spec.startSec, spec.stepSec)
+        val kLast = floorDiv0(upper - spec.startSec, spec.stepSec)
+        led
+          .select(col("_g"), col("tags"), col("_h"),
+            kFirst.as("_k0"), kLast.as("_k1"))
+          .filter(col("_k0") <= col("_k1") && col("_k1") >= 0)
+          .select(col("_g"), col("tags"), col("_h"),
+            explode(sequence(greatest(col("_k0"), lit(0L)), col("_k1")))
+              .as("_k"))
+          .select(col("_g"), col("tags"),
+            (lit(spec.startSec) + col("_k") * spec.stepSec).as("t"),
+            col("_h.c").as("h_count"), col("_h.s").as("h_sum_fp"),
+            col("_h.z").as("h_zero"), col("_h.b").as("h_buckets"))
+    }
+    val mergedRows = perT
+      .groupBy(col("_g"), col("t"))
+      .agg(sum(col("h_count")).as("_tc"), sum(col("h_sum_fp")).as("_ts"),
+        sum(col("h_zero")).as("_tz"), count(lit(1)).as("_n"),
+        collect_list(map_from_entries(col("h_buckets"))).as("_ms"))
+    val mergedMap = aggregate(
+      slice(col("_ms"), lit(2), greatest(size(col("_ms")) - 1, lit(0))),
+      element_at(col("_ms"), 1),
+      (acc, mm) => map_zip_with(acc, mm,
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    val hFrame = mergedRows.select(col("_g").as("tags"), col("t"),
+      col("_tc").as("h_count"), col("_ts").as("h_sum_fp"),
+      col("_tz").as("h_zero"),
+      sort_array(transform(
+        filter(map_entries(mergedMap), e => e.getField("value") > 0),
+        e => struct(e.getField("key").as("idx"),
+          e.getField("value").as("cnt")))).as("h_buckets"),
+      col("_n"))
+    val scal = which match {
+      case "count" if aggOp == "avg" =>
+        hFrame.select(col("tags"), col("t"),
+          floor(col("h_count").cast("double") * FP /
+            col("_n").cast("double")).cast("long").as("v_fp"))
+      case "sum" if aggOp == "avg" =>
+        hFrame.select(col("tags"), col("t"),
+          floor(col("h_sum_fp").cast("double") /
+            col("_n").cast("double")).cast("long").as("v_fp"))
+      case _ => histScalar(hFrame, which, params)
+    }
+    scal.select(col("tags"), col("t"), col("t").as("st"), col("v_fp"))
   }
 
   private def ceilDiv(num: Column, den: Long): Column =
@@ -1324,6 +1499,14 @@ object Eval {
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, s, s.rangeSec.get, "quantile",
               Seq(q), spec))
+          // the fleet panel: quantile of a CROSS-SERIES histogram sum —
+          // sparse-bucket merge per (group, T), then the rank search
+          case Agg(aop, inner, None, labels, without)
+              if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
+                histAggInner(inner).isDefined =>
+            val (s2, wOpt) = histAggInner(inner).get
+            VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
+              "quantile", Seq(q)))
           case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" |
@@ -1359,6 +1542,12 @@ object Eval {
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get,
               fn.stripPrefix("histogram_"), Nil, spec))
+          case Agg(aop, inner, None, labels, without)
+              if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
+                histAggInner(inner).isDefined =>
+            val (s2, wOpt) = histAggInner(inner).get
+            VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
+              fn.stripPrefix("histogram_"), Nil))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }
@@ -1374,6 +1563,12 @@ object Eval {
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get, "fraction",
               Seq(lo, hi), spec))
+          case Agg(aop, inner, None, labels, without)
+              if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
+                histAggInner(inner).isDefined =>
+            val (s2, wOpt) = histAggInner(inner).get
+            VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
+              "fraction", Seq(lo, hi)))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }

@@ -914,6 +914,100 @@ class PromqlSpec extends SparkSpec {
       == Seq(("job=a", 200L, 8e-6)))
   }
 
+  test("native-histogram counter reset inside a rate window: chained " +
+      "reset-adjusted per-bucket deltas, hand-computed") {
+    // cumulative samples (zero, idx10 (512,1024]fp, idx12 (2048,4096]fp);
+    // the service RESTARTS between t=200 and t=300 (count drops 10→3)
+    val rows = Seq(
+      ("h", Seq("__name__=h", "job=a"), 100L, 4L, 100L, 1L,
+        Seq((10, 2L), (12, 1L))),
+      ("h", Seq("__name__=h", "job=a"), 200L, 10L, 300L, 2L,
+        Seq((10, 3L), (12, 5L))),
+      ("h", Seq("__name__=h", "job=a"), 300L, 3L, 50L, 1L,
+        Seq((10, 1L), (12, 1L))),
+      ("h", Seq("__name__=h", "job=a"), 400L, 9L, 200L, 2L,
+        Seq((10, 3L), (12, 4L))))
+    val store = rows.toDF("name", "tags", "ts", "h_count", "h_sum_fp",
+      "h_zero", "h_buckets")
+      .withColumn("h_buckets",
+        expr("transform(h_buckets, b -> struct(b._1 AS idx, b._2 AS cnt))"))
+    def one(q: String, at: Long): Seq[Double] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(at, at, 1, 400L))
+        .select(col("value")).as[Double].collect().toSeq
+    // window (50, 400]: pairs (100→200)=+{z1,b10:1,b12:4},
+    // (200→300)=RESET→+{z1,b10:1,b12:1}, (300→400)=+{z1,b10:2,b12:3}
+    // → merged {zero 3, b10 4, b12 8}, ranks 15; q=0.9 → 13.5 lands in
+    // b12: 2048 + 2048·(13.5−7)/8 = 3712 fp. (The unchained last−first
+    // with negatives dropped would give 3754 — distinct.)
+    assert(one(
+      """histogram_quantile(0.9, increase({__name__="h"}[350s]))""", 400L)
+      == Seq(3712e-6))
+    // window (150, 400]: reset pair + one monotone pair →
+    // {zero 2, b10 3, b12 4}, ranks 9; q=0.9 → 8.1 in b12:
+    // 2048 + 2048·(8.1−5)/4 = 3635 fp
+    assert(one(
+      """histogram_quantile(0.9, increase({__name__="h"}[250s]))""", 400L)
+      == Seq(3635e-6))
+    // the count and sum rails chain too: count 6+3+6 = 15, sum_fp
+    // 200+50+150 = 400 → avg floor(400/15) = 26 fp
+    assert(one("""histogram_avg(increase({__name__="h"}[350s]))""", 400L)
+      == Seq(26e-6))
+    // a reset against a sample OUTSIDE the window must not contribute:
+    // window (250, 400] starts AT the post-reset sample — plain
+    // monotone delta {z1, b10 2, b12 3}, ranks 6, q=0.9 → 5.4 in b12:
+    // 2048 + 2048·(5.4−3)/3 = 3686 fp
+    assert(one(
+      """histogram_quantile(0.9, increase({__name__="h"}[150s]))""", 400L)
+      == Seq(3686e-6))
+  }
+
+  test("native-histogram cross-series aggregation: sum/avg merge sparse " +
+      "buckets per (group, T), hand-computed") {
+    val rows = Seq(
+      ("h", Seq("__name__=h", "job=a"), 100L, 2L, 20L, 0L,
+        Seq((10, 2L))),
+      ("h", Seq("__name__=h", "job=a"), 200L, 5L, 60L, 0L,
+        Seq((10, 5L))),
+      ("h", Seq("__name__=h", "job=b"), 100L, 1L, 30L, 0L,
+        Seq((12, 1L))),
+      ("h", Seq("__name__=h", "job=b"), 200L, 3L, 90L, 0L,
+        Seq((12, 3L))))
+    val store = rows.toDF("name", "tags", "ts", "h_count", "h_sum_fp",
+      "h_zero", "h_buckets")
+      .withColumn("h_buckets",
+        expr("transform(h_buckets, b -> struct(b._1 AS idx, b._2 AS cnt))"))
+    def got(q: String): Seq[(String, Double)] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(200, 200, 1, 300L))
+        .select(array_join(col("tags"), ","), col("value"))
+        .as[(String, Double)].collect().toSeq.sorted
+    // sum(increase): a's delta {b10: 3}, b's {b12: 2} merge to ranks 5;
+    // q=0.5 → 2.5 in b10: 512 + 512·2.5/3 = 938 fp
+    assert(got("""histogram_quantile(0.5,
+                 |  sum(increase({__name__="h"}[150s])))""".stripMargin)
+      == Seq(("", 938e-6)))
+    // by (job) keeps the series apart: per-series single-bucket deltas
+    assert(got("""histogram_quantile(0.5,
+                 |  sum by (job) (increase({__name__="h"}[150s])))"""
+        .stripMargin)
+      .map(_._1) == Seq("job=a", "job=b"))
+    // instant sum: counts 5 + 3 = 8; avg divides by the 2 contributing
+    // series → 4
+    assert(got("""histogram_count(sum({__name__="h"}))""")
+      == Seq(("", 8.0)))
+    assert(got("""histogram_count(avg({__name__="h"}))""")
+      == Seq(("", 4.0)))
+    // instant sum quantile: merged {b10 5, b12 3}, ranks 8, q=0.75 → 6
+    // in b12: 2048 + 2048·(6−5)/3 = 2730 fp
+    assert(got("""histogram_quantile(0.75, sum({__name__="h"}))""")
+      == Seq(("", 2730e-6)))
+    // count/sum over an aggregated RANGE form is not scale-invariant —
+    // refused with guidance toward the scalarized path
+    val err = intercept[IllegalArgumentException] {
+      got("""histogram_count(sum(rate({__name__="h"}[150s])))""")
+    }
+    assert(err.getMessage.contains("scale-invariant"))
+  }
+
   test("keep_firing_for: a cleared alert stays firing for the window, " +
       "with its last value; re-activation wins") {
     // up=1 at t=10,20 then gone; rule fires immediately (for: 0),
