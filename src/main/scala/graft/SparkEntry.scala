@@ -6843,25 +6843,6 @@ object SparkEntry {
         conn.disconnect()
         require(resHdr == "3600",
           s"expected the 1 h tier to serve this query, got '$resHdr'")
-        // routing rails on the SAME server: auto routes the gauge query
-        // to the tier, but a query whose AST uses a counter function
-        // routes raw (a rate over tier averages is not a rate)
-        def hdr(qs: String): String = {
-          val c = java.net.URI.create(
-              s"http://localhost:${server.boundPort}$qs")
-            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-          c.getInputStream.readAllBytes()
-          val h = c.getHeaderField("X-Graft-Resolution")
-          c.disconnect(); h
-        }
-        require(hdr(s"/api/v1/query_range?query=$q&start=$Jan05" +
-          s"&end=$Jan20&step=21600") == "3600",
-          "auto must route the gauge query to the 1 h tier")
-        val rateQ = java.net.URLEncoder.encode(
-          "sum by (user_id) (rate(click[1d]))", "UTF-8")
-        require(hdr(s"/api/v1/query_range?query=$rateQ&start=$Jan05" +
-          s"&end=$Jan20&step=21600") == "0",
-          "a counter query must auto-route raw")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "status STRING, data STRUCT<resultType: STRING, " +
             "result: ARRAY<STRUCT<metric: MAP<STRING,STRING>, " +
@@ -6879,6 +6860,42 @@ object SparkEntry {
             round(element_at(col("p"), 2).cast("double") * 1000000L)
               .cast("long").as("value_fp"))
           .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
+    // AUTO-RESOLUTION ROUTING RAILS, split from serve_query_range_tier
+    // so that entry's bench trend stays a pure tier-read measurement:
+    // auto routes a gauge query to the 1 h tier, but a query whose AST
+    // uses a counter function routes raw (a rate over tier averages is
+    // not a rate) — the raw rail deliberately evaluates the full
+    // 15-day rate, the cost this entry isolates.
+    "serve_query_range_tier_rail" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val server = new graft.serve.Server(s, s"$base/metrics", Nil, 0,
+        tierPaths = Seq(300L -> s"$base/tier300",
+          3600L -> s"$base/tier3600")).start()
+      try {
+        def hdr(qs: String): String = {
+          val c = java.net.URI.create(
+              s"http://localhost:${server.boundPort}$qs")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          c.getInputStream.readAllBytes()
+          val h = c.getHeaderField("X-Graft-Resolution")
+          c.disconnect(); h
+        }
+        val q = java.net.URLEncoder.encode("sum by (user_id) (click)",
+          "UTF-8")
+        val rateQ = java.net.URLEncoder.encode(
+          "sum by (user_id) (rate(click[1d]))", "UTF-8")
+        Seq(
+          ("gauge_auto_resolution",
+            hdr(s"/api/v1/query_range?query=$q&start=$Jan05" +
+              s"&end=$Jan20&step=21600")),
+          ("counter_auto_resolution",
+            hdr(s"/api/v1/query_range?query=$rateQ&start=$Jan05" +
+              s"&end=$Jan20&step=21600")))
+          .toDF("fact", "value").orderBy(col("fact"))
       } finally server.stop()
     }),
 
@@ -14064,6 +14081,12 @@ object SparkEntry {
         |  CAST(dayofweek(to_timestamp(1704412800 + 21600 * k))
         |    * 1000000 AS BIGINT) AS value_fp
         |FROM generate_series(0, 60) g(k) ORDER BY t""".stripMargin,
+
+    "serve_query_range_tier_rail" ->
+      """SELECT * FROM (VALUES
+        |  ('counter_auto_resolution', '0'),
+        |  ('gauge_auto_resolution', '3600')) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "serve_query_range_tier" ->
       s"""WITH gr AS (SELECT 1704412800 + 21600 * k AS T

@@ -591,7 +591,8 @@ object Otlp {
     Set("service.name", "service.namespace", "service.instance.id")
 
   private def decResourceMetricsTargetInfo(buf: Array[Byte], s: Int,
-                                           e: Int): Seq[PTimeSeries] = {
+                                           e: Int, delta: Boolean = false)
+      : Seq[PTimeSeries] = {
     val r = new Prompb.Reader(buf, s, e)
     var resourceAttrs = Seq.empty[(String, String)]
     val scopes = Seq.newBuilder[(Int, Int)]
@@ -610,7 +611,7 @@ object Otlp {
     val ident = job.map("job" -> _).toSeq ++
       instance.map("instance" -> _).toSeq
     val series = scopes.result().flatMap { case (a, b) =>
-      decScopeMetrics(buf, a, b, ident)
+      decScopeMetrics(buf, a, b, ident, delta)
     }
     val dataAttrs = resourceAttrs.filterNot(kv =>
       IdentResourceAttrs.contains(kv._1))
@@ -641,6 +642,30 @@ object Otlp {
         case (1, 2) =>
           val (a, b) = r.lenDelimited()
           out ++= decResourceMetrics(buf, a, b, delta = true)
+        case (_, w) => r.skip(w)
+      }
+    }
+    PWriteRequest(out.result())
+  }
+
+  /** [[decodeDeltaToV1]] under the TARGET-INFO resource mapping: delta
+    * points carry the promoted job/instance identity instead of the
+    * flattened resource attributes, so a resource's delta-converted and
+    * cumulative series land under ONE label schema (the upstream
+    * receiver applies the resource mapping uniformly BEFORE temporality
+    * conversion). Emits the resource's `target_info` series too (stamped
+    * at the delta batch's newest point), so a delta-only resource is
+    * still info()-joinable — callers must pass target_info through
+    * UNCONVERTED (its value-1 samples are levels, not increments).
+    */
+  def decodeDeltaToV1TargetInfo(buf: Array[Byte]): PWriteRequest = {
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    val out = Seq.newBuilder[PTimeSeries]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) =>
+          val (a, b) = r.lenDelimited()
+          out ++= decResourceMetricsTargetInfo(buf, a, b, delta = true)
         case (_, w) => r.skip(w)
       }
     }

@@ -234,10 +234,13 @@ object CliConfig {
       }
       if (flag == "help" || flag == "h") return Left(Usage)
       value match {
-        // the one boolean flag: bare --web.enable-admin-api turns it on
-        // (kingpin's behavior); an explicit =true/=false also parses
+        // boolean flags: the bare form turns them on (kingpin's
+        // behavior, and the only form stock Prometheus accepts); an
+        // explicit =true/=false also parses
         case None if flag == "web.enable-admin-api" =>
           cfg = cfg.copy(enableAdminApi = true)
+        case None if flag == "web.enable-lifecycle" =>
+          cfg = cfg.copy(enableLifecycle = true)
         case None => return Left(s"flag --$flag needs a value")
         case Some(v) =>
           flag match {

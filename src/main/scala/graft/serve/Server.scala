@@ -254,19 +254,29 @@ class Server(spark: SparkSession, tablePath: String,
       // instance and collects the remaining resource attrs into a
       // target_info series (the Prometheus receiver mapping, the shape
       // info() joins); default mode flattens resource attrs into every
-      // series. Delta points keep the flatten either way (a delta
-      // series' identity must match its own conversion state, not the
-      // cumulative walk's labeling policy).
+      // series. The DELTA walk follows the SAME mapping — the upstream
+      // receiver applies the resource mapping uniformly before
+      // temporality conversion, so one resource's delta-converted and
+      // cumulative series share one label schema (and one conversion
+      // state key). The delta walk's target_info series bypasses
+      // conversion: its value-1 samples are levels, not increments.
       val cumulative =
         if (otlpTargetInfo) graft.codec.Otlp.decodeToV1TargetInfo(body)
         else graft.codec.Otlp.decodeToV1(body)
       val merged =
         if (!otlpConvertDelta) cumulative
         else {
-          val deltas = graft.codec.Otlp.decodeDeltaToV1(body)
+          val deltas =
+            if (otlpTargetInfo) graft.codec.Otlp.decodeDeltaToV1TargetInfo(body)
+            else graft.codec.Otlp.decodeDeltaToV1(body)
           if (deltas.timeseries.isEmpty) cumulative
-          else Prompb.PWriteRequest(
-            cumulative.timeseries ++ convertDeltaSeries(deltas.timeseries))
+          else {
+            val (info, pts) = deltas.timeseries.partition(
+              _.labels.exists(l =>
+                l.name == "__name__" && l.value == "target_info"))
+            Prompb.PWriteRequest(cumulative.timeseries ++ info ++
+              convertDeltaSeries(pts))
+          }
         }
       ingestDecoded(ex, merged)
     } catch {
@@ -276,13 +286,19 @@ class Server(spark: SparkSession, tablePath: String,
 
   /** Receiver-side delta→cumulative state (the otlpConvertDelta opt-in,
     * Prometheus's otlp-deltatocumulative feature): per live delta
-    * series, the last seen timestamp and running level. Driver-memory
-    * like [[metadataStore]], bounded by live DELTA-series cardinality;
-    * the executor-partitioned form for pipeline-scale streams is
+    * series, the last seen sample timestamp, running level, and the
+    * WALL-CLOCK receipt time of the last update. Driver-memory like
+    * [[metadataStore]], bounded by live DELTA-series cardinality; the
+    * executor-partitioned form for pipeline-scale streams is
     * [[graft.streaming.DeltaToCumulative]] (same contract, shared spec).
     */
   private[graft] val deltaRuns =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Double, Long)]()
+
+  /** Injectable wall clock for [[deltaRuns]] eviction (test seam). */
+  private[graft] var deltaWallClock: () => Long =
+    () => System.currentTimeMillis()
 
   /** Same rules as DeltaToCumulative.statefulCumulate: accumulate in
     * time order, reset the run after a gap over `otlpDeltaMaxStaleMs`,
@@ -291,42 +307,40 @@ class Server(spark: SparkSession, tablePath: String,
     */
   private def convertDeltaSeries(series: Seq[Prompb.PTimeSeries])
       : Seq[Prompb.PTimeSeries] = deltaRuns.synchronized {
-    series.flatMap { ts =>
+    val now = deltaWallClock()
+    val converted = series.flatMap { ts =>
       val key = ts.labels.map(l => s"${l.name}=${l.value}").sorted
         .mkString(",")
       val out = ts.samples.sortBy(_.timestampMs).flatMap { s =>
         Option(deltaRuns.get(key)) match {
-          case Some((lastTs, _)) if s.timestampMs <= lastTs => None
-          case Some((lastTs, run))
+          case Some((lastTs, _, _)) if s.timestampMs <= lastTs => None
+          case Some((lastTs, run, _))
               if s.timestampMs - lastTs <= otlpDeltaMaxStaleMs =>
             val level = run + s.value
-            deltaRuns.put(key, (s.timestampMs, level))
+            deltaRuns.put(key, (s.timestampMs, level, now))
             Some(Prompb.PSample(level, s.timestampMs))
           case _ =>
-            deltaRuns.put(key, (s.timestampMs, s.value))
+            deltaRuns.put(key, (s.timestampMs, s.value, now))
             Some(Prompb.PSample(s.value, s.timestampMs))
         }
       }
       if (out.isEmpty) None else Some(Prompb.PTimeSeries(ts.labels, out))
     }
-  } match {
-    case converted =>
-      // EVICT dead runs: a series quiet past the staleness window can
-      // never continue (arrivals after the gap restart anyway), so its
-      // state is pure leak — prune against the newest timestamp seen,
-      // keeping the map bounded by LIVE delta-series cardinality over
-      // any server lifetime (the streaming form gets the same bound
-      // from its per-key state timeout discipline)
-      val maxTs = converted.flatMap(_.samples.map(_.timestampMs))
-        .foldLeft(0L)(math.max)
-      if (maxTs > 0) deltaRuns.synchronized {
-        val it = deltaRuns.entrySet().iterator()
-        while (it.hasNext) {
-          if (it.next().getValue._1 < maxTs - otlpDeltaMaxStaleMs)
-            it.remove()
-        }
-      }
-      converted
+    // EVICT dead runs on each series' OWN staleness, measured in
+    // WALL-CLOCK receipt time (the upstream deltatocumulative rule):
+    // a series that has not POSTED for the staleness window can never
+    // continue its run (a later arrival restarts anyway), so its state
+    // is pure leak — while a live-but-lagging exporter whose SAMPLE
+    // clock trails other series keeps its run as long as it keeps
+    // posting, never losing it to another series' timestamps. Keeps
+    // the map bounded by live delta-series cardinality (the streaming
+    // form gets the same bound from its per-key state timeout).
+    val it = deltaRuns.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue._3 > otlpDeltaMaxStaleMs)
+        it.remove()
+    }
+    converted
   }
 
   /** The Prometheus stale-marker bit pattern (value/histogram.go's

@@ -43,16 +43,34 @@ object DeltaToCumulative {
   case class RunState(lastTs: Long, running: Double)
   case class Out(series: String, ts: Long, value: Double)
 
-  /** Streaming form: per-series keyed state across micro-batches. */
+  /** Streaming form: per-series keyed state across micro-batches, with
+    * an EventTimeTimeout TTL so state tracks LIVE cardinality, not
+    * all-time: each update arms a timeout `maxStaleMs` past the
+    * series' own last event time (never at or below the watermark —
+    * GroupState rejects that), and a fired timeout removes the state.
+    * Semantics are unchanged by eviction: a post-gap point restarts
+    * the run either way, and the eviction deadline is PER SERIES (its
+    * own lastTs), so a live-but-lagging exporter never loses its run
+    * to another series' clock — the watermark only gates when a silent
+    * series' state may be dropped. Duplicate timestamps within a
+    * series keep the smallest value (deterministic tiebreak shared
+    * with [[convertBatch]]); later same-ts points drop as out-of-order.
+    */
   def statefulCumulate(deltas: DataFrame, maxStaleMs: Long): Dataset[Out] = {
     val spark = deltas.sparkSession
     import spark.implicits._
-    deltas.as[In]
+    deltas
+      .withColumn("_ets", timestamp_millis(col("ts")))
+      .withWatermark("_ets", s"$maxStaleMs milliseconds")
+      .as[In]
       .groupByKey(_.series)
       .flatMapGroupsWithState[RunState, Out](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[RunState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (series, rows, state: GroupState[RunState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts)
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
           var st = state.getOption
           val out = Seq.newBuilder[Out]
           sorted.foreach { r =>
@@ -67,7 +85,13 @@ object DeltaToCumulative {
                 out += Out(series, r.ts, r.value)
             }
           }
-          st.foreach(state.update)
+          st.foreach { s =>
+            state.update(s)
+            // every invocation clears the registered timeout — re-arm
+            // the series' own staleness deadline each time
+            state.setTimeoutTimestamp(math.max(s.lastTs + maxStaleMs,
+              state.getCurrentWatermarkMs() + 1))
+          }
           out.result().iterator
       }
   }
@@ -75,14 +99,16 @@ object DeltaToCumulative {
   /** Batch twin over columns (series, ts, value): same contract, window
     * functions instead of keyed state. Islands break where the gap to
     * the previous point exceeds `maxStaleMs`; the running sum restarts
-    * per island. Duplicate-ts points within a series keep the FIRST
+    * per island. Duplicate-ts points within a series keep the SMALLEST
+    * value — a deterministic tiebreak shared with the streaming form
     * (later ones are out-of-order by the streaming rule).
     */
   def convertBatch(deltas: DataFrame, maxStaleMs: Long): DataFrame = {
     val wOrd = Window.partitionBy(col("series")).orderBy(col("ts").asc)
     deltas
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("series"), col("ts")).orderBy(col("ts"))))
+        Window.partitionBy(col("series"), col("ts"))
+          .orderBy(col("value").asc)))
       .filter(col("_rn") === 1)
       .withColumn("_gap", col("ts") - lag(col("ts"), 1).over(wOrd))
       .withColumn("_isl", sum(when(col("_gap").isNull ||

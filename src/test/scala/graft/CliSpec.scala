@@ -263,6 +263,14 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--web.enable-admin-api=false"))
       .toOption.exists(!_.enableAdminApi))
     assert(CliConfig.parse(Seq("--web.enable-admin-api=maybe")).isLeft)
+    // --web.enable-lifecycle: same kingpin bare-boolean contract (the
+    // only form stock Prometheus accepts)
+    assert(!CliConfig.parse(Nil).toOption.get.enableLifecycle)
+    assert(CliConfig.parse(Seq("--web.enable-lifecycle"))
+      .toOption.get.enableLifecycle)
+    assert(CliConfig.parse(Seq("--web.enable-lifecycle=false"))
+      .toOption.exists(!_.enableLifecycle))
+    assert(CliConfig.parse(Seq("--web.enable-lifecycle=maybe")).isLeft)
     assert(CliConfig.parse(Seq("--alertmanager.url=http://am:9093"))
       .toOption.get.alertmanagerUrl == "http://am:9093")
     // retention takes day durations

@@ -137,6 +137,10 @@ class DeltaToCumulativeSpec extends SparkSpec {
     val s1 = new graft.serve.Server(spark, t1,
       otlpConvertDelta = true, otlpDeltaMaxStaleMs = 10000L).start()
     try {
+      // deterministic wall clock: eviction is on RECEIPT time, so the
+      // test drives it explicitly instead of sleeping
+      var wallNow = 1000000L
+      s1.deltaWallClock = () => wallNow
       assert(post(s1.boundPort, deltaReq(1000L -> 5.0, 3000L -> 2.0)) == 200)
       // a second series that then goes quiet forever
       assert(post(s1.boundPort, deltaReqN("bdel", 1000L -> 7.0)) == 200)
@@ -149,9 +153,14 @@ class DeltaToCumulativeSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq.sorted
       assert(got == Seq(1000L -> 5.0, 3000L -> 7.0, 10000L -> 10.0,
         35000L -> 4.0))
-      // dead runs evict once the newest seen timestamp outruns the
-      // staleness window: bdel (quiet since ts=1000) is gone, only the
-      // freshly-reset reqs series keeps state
+      // a lagging-but-live exporter is safe: bdel's SAMPLE clock is 34 s
+      // behind reqs', yet its state survives because eviction is on its
+      // own wall-clock receipt staleness, not other series' timestamps
+      assert(s1.deltaRuns.size == 2)
+      // once bdel stops POSTING for the staleness window, its run is
+      // pure leak — the next conversion sweeps it
+      wallNow += 11000L
+      assert(post(s1.boundPort, deltaReq(36000L -> 1.0)) == 200)
       assert(s1.deltaRuns.size == 1)
       assert(!s1.deltaRuns.keySet().iterator().next().contains("bdel"))
       // a CUMULATIVE sum in the same request still ingests as-is
