@@ -760,8 +760,16 @@ object SparkEntry {
     * rows are IDENTICAL to the prompb-native path and the entries share
     * one oracle — the interchangeable-edges pin.
     */
-  private def otlpExpHistBuckets(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Per-event_type OTLP ExponentialHistogram wire requests carrying
+    * the per-day histograms of the events table as data points (dense
+    * offset+counts at the OTLP index convention, time-sorted), at the
+    * requested temporality — CUMULATIVE feeds [[otlpExpHistBuckets]]'s
+    * interchangeable-edges pin; DELTA (each day's own histogram IS the
+    * interval increment a delta-exporting SDK would send) feeds the
+    * delta→cumulative receiver loop.
+    */
+  private def expHistDayWires(s: SparkSession, dir: String,
+                              temporality: Int): Seq[Array[Byte]] = {
     val ev = Tables.events(s, dir).select(
       col("event_type"),
       to_date(col("ts")).cast("string").as("day"),
@@ -773,7 +781,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("vfp")).as("sumfp")).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    val wires = b.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    b.groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (et, rows) =>
         val points = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)
           .map { case (day, dayRows) =>
@@ -791,8 +799,14 @@ object SparkEntry {
             (Seq.empty[(String, String)], tsNano, n, sumfp / 1000000.0,
               0, 0L, off, dense)
           }
-        graft.codec.Otlp.encodeExpHistogramRequest(Nil, et, points)
+        graft.codec.Otlp.encodeExpHistogramRequest(Nil, et, points,
+          temporality)
       }
+  }
+
+  private def otlpExpHistBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wires = expHistDayWires(s, dir, temporality = 2)
     val rows = for {
       wire <- wires
       p <- graft.codec.Otlp.decodeExpHistograms(wire)
@@ -804,6 +818,85 @@ object SparkEntry {
     } yield (name, day, (p.posOffset + i + 1).toLong, cnt, p.count,
       Math.round(p.sum * 1000000.0))
     rows.toDF("event_type", "day", "idx", "cnt", "total_count", "sum_fp")
+  }
+
+  /** The DELTA exponential-histogram RECEIVER LOOP, cached: per-day
+    * DELTA wires ([[expHistDayWires]], temporality 1) POST to a live
+    * /otlp endpoint with --otlp.convert-delta and a 2 d staleness
+    * window, so the daily points CHAIN into one cumulative run per
+    * event_type; the receiver's per-bucket state emits cumulative
+    * exp-histograms that flatten to classic le rows in the store. The
+    * readback then DIFFERENCES the store twice — per (series, le)
+    * across days, then per (series, day) across le — recovering
+    * exactly the per-day bucket counts that went in: any
+    * state-chaining bug (lost bucket, wrong merge, gap misfire) breaks
+    * the differences. Returns (event_type, day, idx, cnt, total_count,
+    * sum_fp) — the s1 exp-hist row shape, sharing its oracle verbatim.
+    */
+  private def deltaExpHistRecovered(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val base = cachedInputDir(s"dexph${math.abs(dir.hashCode)}") { d =>
+      val table = s"$d/metrics"
+      val server = new graft.serve.Server(s, table,
+        otlpConvertDelta = true,
+        otlpDeltaMaxStaleMs = 172800000L).start()
+      try expHistDayWires(s, dir, temporality = 1).foreach { wire =>
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "delta exp-hist write failed")
+        conn.disconnect()
+      } finally server.stop()
+    }
+    val rows = s.read.parquet(s"$base/metrics")
+    val leStr = LabelOps.labelValue(col("tags"), "le")
+    val wDayT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val bucket = rows
+      .filter(col("name").endsWith("_bucket") && leStr =!= "+Inf")
+      .select(regexp_replace(col("name"), "_bucket$", "").as("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        leStr.cast("long").as("le"),
+        round(col("val")).cast("long").as("cum"))
+    val wDayLe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("le")).orderBy(col("day"))
+    val wLe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day")).orderBy(col("le"))
+    // order of differences matters: un-cumulate le WITHIN each day
+    // first (each day's le set covers the whole run so far, so the
+    // le-diff yields per-bucket RUN totals), then day-diff per bucket
+    // (absent yesterday = 0) — the reverse order mixes run- and
+    // day-cumulative semantics for buckets that first appear mid-run
+    val cnts = bucket
+      .withColumn("rt",
+        col("cum") - coalesce(lag(col("cum"), 1).over(wLe), lit(0L)))
+      .withColumn("cnt",
+        col("rt") - coalesce(lag(col("rt"), 1).over(wDayLe), lit(0L)))
+      .filter(col("cnt") > 0)
+      .select(col("event_type"), col("day"),
+        (length(bin(col("le"))) - 1).cast("long").as("idx"), col("cnt"))
+    val tc = rows.filter(col("name").endsWith("_count"))
+      .select(regexp_replace(col("name"), "_count$", "").as("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        round(col("val")).cast("long").as("cum"))
+      .withColumn("total_count",
+        col("cum") - coalesce(lag(col("cum"), 1).over(wDayT), lit(0L)))
+      .select(col("event_type"), col("day"), col("total_count"))
+    val sm = rows.filter(col("name").endsWith("_sum"))
+      .select(regexp_replace(col("name"), "_sum$", "").as("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        col("val").as("cumsum"))
+      .withColumn("sum_fp",
+        round((col("cumsum") -
+          coalesce(lag(col("cumsum"), 1).over(wDayT), lit(0.0)))
+          * 1000000.0).cast("long"))
+      .select(col("event_type"), col("day"), col("sum_fp"))
+    cnts.join(tc, Seq("event_type", "day"))
+      .join(sm, Seq("event_type", "day"))
   }
 
   /** The deterministic doc→doc link fixture shared by the centrality
@@ -7163,6 +7256,95 @@ object SparkEntry {
             .select(col("event_type"), col("day"), col("idx"), col("cnt")),
           Seq("event_type", "day"), "idx", "cnt", q = 0.9)
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // DELTA exponential histograms through --otlp.convert-delta: the
+    // receiver chains per-bucket increments into cumulative native
+    // histograms (gap-reset keyed state, the scalar conversion's
+    // discipline) before the classic flatten, and the double-difference
+    // readback recovers EXACTLY the per-day histograms the delta
+    // exporter sent — sharing the exp-hist edge oracle VERBATIM.
+    "s1_otlp_delta_exphist" -> ((s, dir) => {
+      deltaExpHistRecovered(s, dir)
+        .select(col("event_type"), col("day"), col("idx"), col("cnt"),
+          col("total_count"), col("sum_fp"))
+        .orderBy(col("event_type"), col("day"), col("idx"))
+    }),
+
+    "s1_otlp_delta_exphist_quantile" -> ((s, dir) => {
+      TimeSeriesOps.expHistogramQuantile(
+          deltaExpHistRecovered(s, dir)
+            .select(col("event_type"), col("day"), col("idx"), col("cnt")),
+          Seq("event_type", "day"), "idx", "cnt", q = 0.9)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // The executor-side delta→cumulative exp-histogram TWINS: the batch
+    // form (window islands + map_zip_with fold) and the streaming form
+    // (flatMapGroupsWithState, two time-split micro-batches) run on the
+    // same per-day delta histograms — with day Jan 16 removed so the
+    // 36 h staleness window sees a real mid-store gap and both forms
+    // must RESTART the run — and must agree row-for-row; the oracle
+    // replays the island construction from raw events. Sums travel as
+    // integer-valued doubles (the fp grid), so the running sums are
+    // exact in every engine.
+    "ts_delta2cum_exphist" -> ((s, dir) => {
+      import java.nio.file.{Files => JFiles}
+      val deltas0 = Tables.events(s, dir)
+        .filter(to_date(col("ts")).cast("string") =!= "2024-01-16")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 1000000L).cast("long").as("vfp"))
+      val b = deltas0
+        .withColumn("idx", length(bin(col("vfp"))).cast("int"))
+        .groupBy(col("event_type"), col("day"), col("idx"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("idx"), col("cnt"))))).as("buckets"))
+      val tot = deltas0.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("count"),
+          sum(col("vfp")).cast("double").as("sum"))
+      val deltas = tot.join(b, Seq("event_type", "day"))
+        .select(col("event_type").as("series"),
+          (unix_timestamp(col("day").cast("timestamp")) * 1000).as("ts"),
+          col("count"), col("sum"), lit(0L).as("zero"), col("buckets"))
+      val batch = graft.streaming.DeltaToCumulative
+        .convertBatchExpHist(deltas, maxStaleMs = 129600000L)
+      def exploded(df: DataFrame): DataFrame = df
+        .select(col("series"), (col("ts") / 1000).cast("long").as("t"),
+          col("count").as("total_count"),
+          col("sum").cast("long").as("sum_fp"),
+          explode(col("buckets")))
+        .select(col("series"), col("t"), col("key").cast("long").as("idx"),
+          col("value").as("cnt"), col("total_count"), col("sum_fp"))
+      val in = cachedInputDir(s"d2ch${math.abs(dir.hashCode)}") { d =>
+        val r = deltas.agg(min(col("ts")), max(col("ts"))).head()
+        writeTwoBatchParquet(deltas.withColumn("doc_id", col("ts")),
+          (r.getLong(0) + r.getLong(1)) / 2, d)
+      }
+      val ckpt = JFiles.createTempDirectory("graft_d2ch").toString
+      val stream = s.readStream
+        .schema("series STRING, ts BIGINT, count BIGINT, sum DOUBLE, " +
+          "zero BIGINT, buckets MAP<INT, BIGINT>, doc_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val qname = "d2ch_" + math.abs(in.hashCode).toString
+      graft.streaming.DeltaToCumulative
+        .statefulCumulateExpHist(stream.drop("doc_id"),
+          maxStaleMs = 129600000L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      val bRows = exploded(batch).collect().toSeq.map(key).sorted
+      val sRows = exploded(s.table(qname)).collect().toSeq.map(key).sorted
+      require(bRows == sRows,
+        s"streamed ≢ batch: ${sRows.size} vs ${bRows.size} rows")
+      exploded(batch).orderBy(col("series"), col("t"), col("idx"))
     }),
 
     // absent_over_time(): the range-vector form — 1 wherever the whole
@@ -14252,6 +14434,64 @@ object SparkEntry {
     // identical oracle — the prompb native and OTLP exponential edges
     // are interchangeable: both land the same sparse bucket rows
     "s1_otlp_exphist" -> ONativeHistRowsSql,
+
+    // the delta edge recovers the same per-day rows the cumulative
+    // edge decodes — one oracle for every exp-histogram door
+    "s1_otlp_delta_exphist" -> ONativeHistRowsSql,
+
+    "s1_otlp_delta_exphist_quantile" -> ONativeHistQuantileSql,
+
+    // island replay: present days per event_type (Jan 16 removed)
+    // split where the day gap exceeds the 36 h staleness window; per
+    // island, running sums of the scalar companions and per-bucket
+    // counts (a bucket persists from its first appearance — running
+    // totals of positive counts never return to zero)
+    "ts_delta2cum_exphist" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events
+        |  WHERE CAST(ts AS DATE) <> DATE '2024-01-16'),
+        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |pd AS (SELECT DISTINCT event_type, day FROM e),
+        |g AS (SELECT event_type, day,
+        |    epoch(CAST(day AS TIMESTAMP)) -
+        |      lag(epoch(CAST(day AS TIMESTAMP)))
+        |        OVER (PARTITION BY event_type ORDER BY day) AS gap
+        |  FROM pd),
+        |i AS (SELECT event_type, day,
+        |    sum(CASE WHEN gap IS NULL OR gap * 1000 > 129600000
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM g),
+        |ix AS (SELECT DISTINCT i.event_type, i.isl, b.idx
+        |  FROM b JOIN i ON i.event_type = b.event_type
+        |    AND i.day = b.day),
+        |cb AS (SELECT i.event_type, i.day, ix.idx,
+        |    sum(coalesce(b.cnt, 0)) OVER (PARTITION BY i.event_type,
+        |      i.isl, ix.idx ORDER BY i.day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM i JOIN ix ON ix.event_type = i.event_type
+        |    AND ix.isl = i.isl
+        |  LEFT JOIN b ON b.event_type = i.event_type
+        |    AND b.day = i.day AND b.idx = ix.idx),
+        |tc AS (SELECT event_type, day, count(*) AS n,
+        |    CAST(sum(vfp) AS BIGINT) AS sfp FROM e GROUP BY 1, 2),
+        |rt AS (SELECT i.event_type, i.day,
+        |    sum(tc.n) OVER (PARTITION BY i.event_type, i.isl
+        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS total_count,
+        |    sum(tc.sfp) OVER (PARTITION BY i.event_type, i.isl
+        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS sum_fp
+        |  FROM i JOIN tc ON tc.event_type = i.event_type
+        |    AND tc.day = i.day)
+        |SELECT cb.event_type AS series,
+        |  CAST(epoch(CAST(cb.day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(cb.idx AS BIGINT) AS idx, cb.cum AS cnt,
+        |  rt.total_count, rt.sum_fp
+        |FROM cb JOIN rt ON rt.event_type = cb.event_type
+        |  AND rt.day = cb.day
+        |WHERE cb.cum > 0
+        |ORDER BY series, t, idx""".stripMargin,
 
     "s1_native_hist_quantile" -> ONativeHistQuantileSql,
     "s1_otlp_exphist_quantile" -> ONativeHistQuantileSql,

@@ -476,7 +476,41 @@ object Otlp {
     * resolve exactly as the scalar path: resource attrs overridden by
     * point attrs plus `__name__`.
     */
-  def decodeExpHistograms(buf: Array[Byte]): Seq[ExpHistPoint] = {
+  def decodeExpHistograms(buf: Array[Byte]): Seq[ExpHistPoint] =
+    decodeExpHistogramsT(buf, temporality = 2L)
+
+  /** The DELTA-temporality exponential-histogram points — exactly what
+    * [[decodeExpHistograms]] skips; each point's count/sum/zero/buckets
+    * are per-interval INCREMENTS. Callers run them through the
+    * delta→cumulative conversion (the receiver's keyed state, or
+    * [[graft.streaming.DeltaToCumulative]]'s exp-histogram twins)
+    * before anything store-facing.
+    */
+  def decodeDeltaExpHistograms(buf: Array[Byte]): Seq[ExpHistPoint] =
+    decodeExpHistogramsT(buf, temporality = 1L)
+
+  /** One decoded (cumulative) exp-histogram point as a native-histogram
+    * series: OTLP bucket i covers (base^i, base^(i+1)] — one LOWER than
+    * the Prometheus convention, so the bridge adds 1 — and the OTLP
+    * scale IS the Prometheus schema (same γ = 2^(2^-scale)). Zero-count
+    * buckets drop (sparse form); negative buckets are out of the store
+    * model's scope (positive observations + zero bucket), matching the
+    * fixture edge.
+    */
+  def expHistToNative(p: ExpHistPoint): NativeHist.PHistSeries = {
+    val buckets = p.posCounts.zipWithIndex.collect {
+      case (c, i) if c > 0L => (p.posOffset + i + 1, c)
+    }
+    val (spans, deltas) = NativeHist.toSpans(buckets)
+    NativeHist.PHistSeries(p.labels, Seq(NativeHist.PHistogram(
+      p.count, p.sum, p.scale, 0.0, p.zeroCount, spans, deltas, Nil, Nil,
+      Math.floorDiv(p.tsNano, 1000000L))))
+  }
+
+  private def decodeExpHistogramsT(buf: Array[Byte], temporality: Long,
+                                   targetInfoMapping: Boolean = false)
+      : Seq[ExpHistPoint] = {
+    val wantTemporality = temporality
     val out = Seq.newBuilder[ExpHistPoint]
     def walkMetric(s: Int, e: Int,
                    resourceAttrs: Seq[(String, String)]): Unit = {
@@ -500,15 +534,16 @@ object Otlp {
           case (_, w) => r.skip(w)
         }
       }
-      if (temporality == 2L) pts.result().foreach { case (a, b) =>
-        val (ts, count, sum, hasSum, scale, zc, pos, neg, attrs) =
-          decExpHistPoint(buf, a, b)
-        val labels = (resourceAttrs.toMap ++ attrs.toMap) +
-          ("__name__" -> name)
-        out += ExpHistPoint(
-          labels.toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
-          ts, count, sum, hasSum, scale, zc, pos._1, pos._2,
-          neg._1, neg._2)
+      if (temporality == wantTemporality) pts.result().foreach {
+        case (a, b) =>
+          val (ts, count, sum, hasSum, scale, zc, pos, neg, attrs) =
+            decExpHistPoint(buf, a, b)
+          val labels = (resourceAttrs.toMap ++ attrs.toMap) +
+            ("__name__" -> name)
+          out += ExpHistPoint(
+            labels.toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
+            ts, count, sum, hasSum, scale, zc, pos._1, pos._2,
+            neg._1, neg._2)
       }
     }
     def walkScope(s: Int, e: Int,
@@ -535,8 +570,21 @@ object Otlp {
           case (_, w) => r.skip(w)
         }
       }
+      // target-info mode: the resource mapping applies uniformly across
+      // point families, so exp-histograms carry the promoted
+      // job/instance identity (the remaining attrs live in the
+      // cumulative walk's target_info series), never the flatten
+      val mapped =
+        if (!targetInfoMapping) resourceAttrs
+        else {
+          val attrMap = resourceAttrs.toMap
+          val job = attrMap.get("service.name").map(n =>
+            attrMap.get("service.namespace").map(_ + "/" + n).getOrElse(n))
+          job.map("job" -> _).toSeq ++
+            attrMap.get("service.instance.id").map("instance" -> _).toSeq
+        }
       scopes.result().foreach { case (a, b) =>
-        walkScope(a, b, resourceAttrs)
+        walkScope(a, b, mapped)
       }
     }
     val r = new Prompb.Reader(buf, 0, buf.length)
@@ -548,6 +596,16 @@ object Otlp {
     }
     out.result()
   }
+
+  /** [[decodeExpHistograms]] / [[decodeDeltaExpHistograms]] under the
+    * target-info resource mapping (job/instance promotion instead of
+    * the attribute flatten) — the uniform-schema walk the receiver uses
+    * when `--otlp.target-info` is on.
+    */
+  def decodeExpHistogramsTargetInfo(buf: Array[Byte],
+                                    delta: Boolean): Seq[ExpHistPoint] =
+    decodeExpHistogramsT(buf, if (delta) 1L else 2L,
+      targetInfoMapping = true)
 
   /** ExportMetricsServiceRequest bytes → canonical write request. */
   def decodeToV1(buf: Array[Byte]): PWriteRequest = {

@@ -278,7 +278,28 @@ class Server(spark: SparkSession, tablePath: String,
               convertDeltaSeries(pts))
           }
         }
-      ingestDecoded(ex, merged)
+      // EXPONENTIAL HISTOGRAMS (Metric field 10): cumulative points
+      // land directly; DELTA points (opt-in) run per-bucket cumulation
+      // through the same gap-reset/out-of-order state discipline as the
+      // scalar conversion, THEN both flatten to the classic le view —
+      // the /write endpoint's native-histogram ingest discipline
+      val expCum =
+        if (otlpTargetInfo)
+          graft.codec.Otlp.decodeExpHistogramsTargetInfo(body, delta = false)
+        else graft.codec.Otlp.decodeExpHistograms(body)
+      val expConv =
+        if (!otlpConvertDelta) Nil
+        else convertDeltaExpHist(
+          if (otlpTargetInfo)
+            graft.codec.Otlp.decodeExpHistogramsTargetInfo(body, delta = true)
+          else graft.codec.Otlp.decodeDeltaExpHistograms(body))
+      val expSeries = (expCum ++ expConv)
+        .map(graft.codec.Otlp.expHistToNative)
+        .flatMap(graft.codec.NativeHist.toClassicSeries)
+      val withExp =
+        if (expSeries.isEmpty) merged
+        else Prompb.PWriteRequest(merged.timeseries ++ expSeries)
+      ingestDecoded(ex, withExp)
     } catch {
       case e: Throwable =>
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
@@ -341,6 +362,71 @@ class Server(spark: SparkSession, tablePath: String,
         it.remove()
     }
     converted
+  }
+
+  /** Per-series exp-histogram delta run: last sample ts, running
+    * count/sum/zero, running per-bucket counts (OTLP indexes), and the
+    * wall-clock receipt time of the last update.
+    */
+  private[graft] case class ExpRun(lastTs: Long, count: Long, sum: Double,
+                                   zero: Long, buckets: Map[Int, Long],
+                                   wallMs: Long)
+
+  private[graft] val deltaExpRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, ExpRun]()
+
+  /** [[convertDeltaSeries]]'s exponential-histogram twin: per series,
+    * time-ordered per-BUCKET cumulation with the identical gap-reset /
+    * out-of-order / wall-clock-eviction state discipline. Output points
+    * are CUMULATIVE exp-histograms ready for the native flatten. The
+    * posOffset/posCounts dense form re-derives from the running sparse
+    * map each point (zero-count gaps inside the span stay, leading and
+    * trailing zeros drop).
+    */
+  private def convertDeltaExpHist(points: Seq[graft.codec.Otlp.ExpHistPoint])
+      : Seq[graft.codec.Otlp.ExpHistPoint] = deltaExpRuns.synchronized {
+    val now = deltaWallClock()
+    val out = Seq.newBuilder[graft.codec.Otlp.ExpHistPoint]
+    points.groupBy(_.labels).toSeq
+      .sortBy(_._1.map(l => s"${l.name}=${l.value}").mkString(","))
+      .foreach { case (labels, pts) =>
+        val key = labels.map(l => s"${l.name}=${l.value}").mkString(",")
+        pts.sortBy(_.tsNano).foreach { p =>
+          val tsMs = Math.floorDiv(p.tsNano, 1000000L)
+          val incoming = p.posCounts.zipWithIndex.collect {
+            case (c, i) if c > 0L => (p.posOffset + i) -> c
+          }.toMap
+          val next = Option(deltaExpRuns.get(key)) match {
+            case Some(r) if tsMs <= r.lastTs => None // out-of-order: drop
+            case Some(r) if tsMs - r.lastTs <= otlpDeltaMaxStaleMs =>
+              val mergedB = incoming.foldLeft(r.buckets) {
+                case (acc, (i, c)) => acc + (i -> (acc.getOrElse(i, 0L) + c))
+              }
+              Some(ExpRun(tsMs, r.count + p.count, r.sum + p.sum,
+                r.zero + p.zeroCount, mergedB, now))
+            case _ => // fresh series or stale gap: restart the run
+              Some(ExpRun(tsMs, p.count, p.sum, p.zeroCount, incoming, now))
+          }
+          next.foreach { r =>
+            deltaExpRuns.put(key, r)
+            val (off, dense) =
+              if (r.buckets.isEmpty) (0, Seq.empty[Long])
+              else {
+                val lo = r.buckets.keys.min; val hi = r.buckets.keys.max
+                (lo, (lo to hi).map(i => r.buckets.getOrElse(i, 0L)))
+              }
+            out += graft.codec.Otlp.ExpHistPoint(labels, p.tsNano,
+              r.count, r.sum, p.hasSum, p.scale, r.zero, off, dense,
+              0, Nil)
+          }
+        }
+      }
+    val it = deltaExpRuns.entrySet().iterator()
+    while (it.hasNext) {
+      if (now - it.next().getValue.wallMs > otlpDeltaMaxStaleMs)
+        it.remove()
+    }
+    out.result()
   }
 
   /** The Prometheus stale-marker bit pattern (value/histogram.go's

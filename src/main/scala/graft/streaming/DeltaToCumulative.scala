@@ -96,6 +96,101 @@ object DeltaToCumulative {
       }
   }
 
+  /** One flat delta EXP-HISTOGRAM sample: per-interval increments of
+    * the count/sum/zero companions and the sparse positive buckets
+    * (OTLP/native index → increment). The conversion twins below apply
+    * the scalar state rules PER BUCKET under one series-level run.
+    */
+  case class HistIn(series: String, ts: Long, count: Long, sum: Double,
+                    zero: Long, buckets: Map[Int, Long])
+  case class HistRunState(lastTs: Long, count: Long, sum: Double,
+                          zero: Long, buckets: Map[Int, Long])
+  case class HistOut(series: String, ts: Long, count: Long, sum: Double,
+                     zero: Long, buckets: Map[Int, Long])
+
+  /** [[statefulCumulate]]'s exponential-histogram twin: the identical
+    * keyed-state discipline (gap reset, out-of-order drop, per-series
+    * EventTimeTimeout eviction), with the running value a sparse bucket
+    * map merged per point instead of one double. Duplicate timestamps
+    * keep the smallest (count, sum) — [[convertBatchExpHist]]'s rule.
+    */
+  def statefulCumulateExpHist(deltas: DataFrame,
+                              maxStaleMs: Long): Dataset[HistOut] = {
+    val spark = deltas.sparkSession
+    import spark.implicits._
+    deltas
+      .withColumn("_ets", timestamp_millis(col("ts")))
+      .withWatermark("_ets", s"$maxStaleMs milliseconds")
+      .as[HistIn]
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[HistRunState, HistOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[HistRunState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (series, rows, state: GroupState[HistRunState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.count, r.sum))
+          var st = state.getOption
+          val out = Seq.newBuilder[HistOut]
+          sorted.foreach { r =>
+            st match {
+              case Some(s) if r.ts <= s.lastTs => // out-of-order: drop
+              case Some(s) if r.ts - s.lastTs <= maxStaleMs =>
+                val merged = r.buckets.foldLeft(s.buckets) {
+                  case (acc, (i, c)) =>
+                    acc + (i -> (acc.getOrElse(i, 0L) + c))
+                }
+                val n = HistRunState(r.ts, s.count + r.count,
+                  s.sum + r.sum, s.zero + r.zero, merged)
+                st = Some(n)
+                out += HistOut(series, r.ts, n.count, n.sum, n.zero,
+                  n.buckets)
+              case _ => // fresh series or stale gap: restart the run
+                st = Some(HistRunState(r.ts, r.count, r.sum, r.zero,
+                  r.buckets))
+                out += HistOut(series, r.ts, r.count, r.sum, r.zero,
+                  r.buckets)
+            }
+          }
+          st.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(math.max(s.lastTs + maxStaleMs,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.result().iterator
+      }
+  }
+
+  /** [[convertBatch]]'s exponential-histogram twin over columns
+    * (series, ts, count, sum, zero, buckets map<int,long>): islands
+    * from the series-level gap rule, then running sums of the scalar
+    * companions and a map_zip_with fold of the bucket maps per island.
+    */
+  def convertBatchExpHist(deltas: DataFrame,
+                          maxStaleMs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(col("series")).orderBy(col("ts").asc)
+    val base = deltas
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("series"), col("ts"))
+          .orderBy(col("count").asc, col("sum").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("_gap", col("ts") - lag(col("ts"), 1).over(wOrd))
+      .withColumn("_isl", sum(when(col("_gap").isNull ||
+        col("_gap") > maxStaleMs, 1L).otherwise(0L)).over(wOrd))
+    val wRun = Window.partitionBy(col("series"), col("_isl"))
+      .orderBy(col("ts").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val maps = collect_list(col("buckets")).over(wRun)
+    base.select(col("series"), col("ts"),
+      sum(col("count")).over(wRun).as("count"),
+      sum(col("sum")).over(wRun).as("sum"),
+      sum(col("zero")).over(wRun).as("zero"),
+      aggregate(slice(maps, lit(2), greatest(size(maps) - 1, lit(0))),
+        element_at(maps, 1),
+        (acc, mm) => map_zip_with(acc, mm, (_, a, b) =>
+          coalesce(a, lit(0L)) + coalesce(b, lit(0L)))).as("buckets"))
+  }
+
   /** Batch twin over columns (series, ts, value): same contract, window
     * functions instead of keyed state. Islands break where the gap to
     * the previous point exceeds `maxStaleMs`; the running sum restarts

@@ -38,6 +38,53 @@ class DeltaToCumulativeSpec extends SparkSpec {
       ("a", 35000L, 4.0), ("b", 1000L, 1.0)))
   }
 
+  test("exp-histogram twins: per-bucket cumulation, gap reset, " +
+      "duplicate-ts tiebreak — batch and streaming agree") {
+    val rows = Seq(
+      // series a: two chained points, then a >10s gap restarts the run
+      ("a", 1000L, 3L, 10.0, 1L, Map(1 -> 2L)),
+      ("a", 3000L, 4L, 20.0, 0L, Map(1 -> 1L, 3 -> 3L)),
+      ("a", 35000L, 2L, 5.0, 0L, Map(2 -> 2L)),
+      // duplicate ts on series b: the smaller (count, sum) wins
+      ("b", 1000L, 1L, 1.0, 0L, Map(5 -> 1L)),
+      ("b", 1000L, 9L, 9.0, 0L, Map(5 -> 9L)))
+    val df = rows.toDF("series", "ts", "count", "sum", "zero", "buckets")
+    val batch = DeltaToCumulative.convertBatchExpHist(df, 10000L)
+      .select(col("series"), col("ts"), col("count"), col("sum"),
+        col("zero"), explode(col("buckets")))
+      .as[(String, Long, Long, Double, Long, Int, Long)]
+      .collect().toSeq.sorted
+    assert(batch == Seq(
+      ("a", 1000L, 3L, 10.0, 1L, 1, 2L),
+      ("a", 3000L, 7L, 30.0, 1L, 1, 3L),
+      ("a", 3000L, 7L, 30.0, 1L, 3, 3L),
+      ("a", 35000L, 2L, 5.0, 0L, 2, 2L),
+      ("b", 1000L, 1L, 1.0, 0L, 5, 1L)))
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Double, Long,
+      Map[Int, Long])]
+    val ckpt = Files.createTempDirectory("graft_d2ch").toString
+    val q = DeltaToCumulative.statefulCumulateExpHist(
+        input.toDF.toDF("series", "ts", "count", "sum", "zero",
+          "buckets"), maxStaleMs = 10000L)
+      .writeStream.format("memory").queryName("d2ch_out")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    input.addData(rows.take(2).map(r =>
+      (r._1, r._2, r._3, r._4, r._5, r._6)): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(2).map(r =>
+      (r._1, r._2, r._3, r._4, r._5, r._6)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("d2ch_out")
+      .select(col("series"), col("ts"), col("count"), col("sum"),
+        col("zero"), explode(col("buckets")))
+      .as[(String, Long, Long, Double, Long, Int, Long)]
+      .collect().toSeq.sorted
+    assert(streamed == batch)
+  }
+
   test("batch twin matches the streaming contract on the same input") {
     val deltas = Seq(
       ("a", 1000L, 5.0), ("a", 3000L, 2.0), ("a", 10000L, 3.0),
