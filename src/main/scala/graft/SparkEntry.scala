@@ -7241,6 +7241,68 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // RW2 CREATED TIMESTAMP → CT-ZERO INGESTION (opt-in): a young
+    // counter series carrying created_timestamp gets a synthetic zero
+    // sample at its creation instant, so increase() on a window that
+    // straddles the series' birth counts the ramp from zero — without
+    // it the first grid day has a one-sample window and emits nothing.
+    // The fixture's per-user cumulative click counters start Jan 15
+    // with CT = Jan 14 12:00; the oracle replays the Prometheus
+    // extrapolated increase over the union of the zero sample and the
+    // cumulative samples (the zero-crossing cap makes the birth
+    // window's increase exactly the first cumulative value).
+    "s1_prw2_ct_zero" -> ((s, dir) => {
+      val ct = 1705233600000L // 2024-01-14T12:00:00Z
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "click" &&
+          to_date(col("ts")) >= to_date(lit("2024-01-15")))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .collect().toSeq
+      val idx = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+      def ref(x: String): Int = idx.getOrElseUpdate(x, idx.size)
+      val tss = daily.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (u, rows) =>
+          var cum = 0L
+          val samples = rows.sortBy(_.getDate(1).toString).map { r =>
+            cum += r.getLong(2)
+            Prompb.PSample(cum.toDouble,
+              java.time.LocalDate.parse(r.getDate(1).toString)
+                .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+                .toEpochMilli)
+          }
+          graft.codec.Prompb2.P2TimeSeries(
+            Seq(ref("__name__"), ref("young_clicks"),
+              ref("user_id"), ref(u.toString)),
+            samples, createdTimestampMs = ct)
+        }
+      val wire = Prompb.snappyCompress(graft.codec.Prompb2.encodeRequest(
+        graft.codec.Prompb2.P2Request(idx.keys.toSeq, tss)))
+      val table = java.nio.file.Files.createTempDirectory("graft_ctz")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        ctZeroIngestion = true).start()
+      try {
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(wire)
+        require(conn.getResponseCode == 200, "v2 CT write failed")
+        conn.disconnect()
+        Eval.rangeQuery(s.read.parquet(table),
+            "increase(young_clicks[3d])",
+            Eval.RangeSpec(1705276800L, 1705881600L, 86400L,
+              lookbackSec = 86400L))
+          .select(tagsStr.as("tags"), col("t"),
+            round(col("value") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
     // The OTLP ExponentialHistogram edge: same histograms as
     // s1_native_hist_roundtrip but through OTLP wire bytes (dense
     // offset+counts, OTLP index convention) — shares the native
@@ -14435,8 +14497,47 @@ object SparkEntry {
     // are interchangeable: both land the same sparse bucket rows
     "s1_otlp_exphist" -> ONativeHistRowsSql,
 
-    // the delta edge recovers the same per-day rows the cumulative
-    // edge decodes — one oracle for every exp-histogram door
+    // the Prometheus extrapolated-increase replay over the union of
+    // the CT zero sample and the per-user cumulative counters — the
+    // count_rate oracle's algorithm with the injected birth point
+    "s1_prw2_ct_zero" ->
+      """WITH c AS (SELECT user_id,
+        |    CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+        |      AS t, count(*) AS n
+        |  FROM events WHERE event_type = 'click'
+        |    AND CAST(ts AS DATE) >= DATE '2024-01-15'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT user_id, t,
+        |    CAST(sum(n) OVER (PARTITION BY user_id ORDER BY t)
+        |      AS DOUBLE) AS v FROM c),
+        |z AS (SELECT DISTINCT user_id, CAST(1705233600 AS BIGINT) AS t,
+        |    0.0 AS v FROM c),
+        |s AS (SELECT * FROM cum UNION ALL SELECT * FROM z),
+        |gr AS (SELECT 1705276800 + 86400 * k AS T
+        |  FROM generate_series(0, 7) g(k)),
+        |wx AS (SELECT gr.T AS gt, s.* FROM gr JOIN s
+        |  ON s.t > gr.T - 259200 AND s.t <= gr.T),
+        |a AS (SELECT gt, user_id, count(*) AS n2, min(t) AS ft,
+        |    max(t) AS lt, arg_min(v, t) AS fv,
+        |    arg_max(v, t) - arg_min(v, t) AS rawd
+        |  FROM wx GROUP BY 1, 2),
+        |e2 AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+        |    CAST(lt - ft AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS avgi,
+        |    CAST(ft - (gt - 259200) AS DOUBLE) AS ds0,
+        |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+        |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fv >= 0.0
+        |    THEN least(ds0, si * (fv / rawd)) ELSE ds0 END AS ds1
+        |  FROM e2),
+        |g2 AS (SELECT *,
+        |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+        |      AS dss,
+        |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+        |      AS dee FROM f)
+        |SELECT 'user_id=' || user_id AS tags, gt AS t,
+        |  CAST(floor(rawd * ((si + dss + dee) / si) * 1000000.0)
+        |    AS BIGINT) AS value_fp
+        |FROM g2 WHERE n2 >= 2 AND si > 0.0
+        |ORDER BY t, tags""".stripMargin,
     "s1_otlp_delta_exphist" -> ONativeHistRowsSql,
 
     "s1_otlp_delta_exphist_quantile" -> ONativeHistQuantileSql,

@@ -20,10 +20,14 @@ import graft.codec.Prompb.{PLabel, PSample, PTimeSeries, PWriteRequest}
   *   4: repeated Exemplar (labels_refs=1 packed, value=2, timestamp=3)
   *   5: Metadata (type=1, help_ref=3, unit_ref=4)
   *   6: created_timestamp
-  * created_timestamp is skipped structurally on decode (unknown-field
-  * skipping), like every reference sink ignores it; exemplars and
-  * metadata resolve through [[exemplarsToV1]] / [[metadataToV1]] for
-  * the serve edge's exemplar store and /api/v1/metadata.
+  * created_timestamp decodes into [[P2TimeSeries.createdTimestampMs]];
+  * with the receiver's opt-in CT-zero ingestion ([[ctZeroSeries]]) a
+  * young counter gets a synthetic 0 sample at its creation instant, so
+  * rate()/increase() count the ramp from zero instead of losing the
+  * first interval (Prometheus 3.x's created-timestamp-zero-ingestion
+  * feature). Exemplars and metadata resolve through [[exemplarsToV1]]
+  * / [[metadataToV1]] for the serve edge's exemplar store and
+  * /api/v1/metadata.
   *
   * The decoded request resolves to the SAME canonical v1 shape
   * ([[Prompb.PWriteRequest]]) so everything downstream — flatten, F1
@@ -49,7 +53,8 @@ object Prompb2 {
   case class P2TimeSeries(labelsRefs: Seq[Int], samples: Seq[PSample],
                           histograms: Seq[NativeHist.PHistogram] = Nil,
                           exemplars: Seq[P2Exemplar] = Nil,
-                          metadata: Option[P2Metadata] = None)
+                          metadata: Option[P2Metadata] = None,
+                          createdTimestampMs: Long = 0L)
   case class P2Request(symbols: Seq[String], timeseries: Seq[P2TimeSeries])
 
   // --------------------------------------------------------------- write
@@ -90,6 +95,7 @@ object Prompb2 {
     ts.histograms.foreach(h => w.message(3, NativeHist.encodeHistogram(h)))
     ts.exemplars.foreach(e => w.message(4, encExemplar(e)))
     ts.metadata.foreach(m => w.message(5, encMetadata(m)))
+    if (ts.createdTimestampMs > 0L) w.int64(6, ts.createdTimestampMs)
     w.toBytes
   }
 
@@ -178,6 +184,7 @@ object Prompb2 {
     val hists = Seq.newBuilder[NativeHist.PHistogram]
     val exemplars = Seq.newBuilder[P2Exemplar]
     var metadata: Option[P2Metadata] = None
+    var createdTs = 0L
     while (r.hasMore) {
       val k = r.varint(); (k >> 3, (k & 7).toInt) match {
         case (1, 2) => // packed
@@ -194,11 +201,12 @@ object Prompb2 {
           val (a, b) = r.lenDelimited(); exemplars += decExemplar(buf, a, b)
         case (5, 2) =>
           val (a, b) = r.lenDelimited(); metadata = Some(decMetadata(buf, a, b))
+        case (6, 0) => createdTs = r.varint()
         case (_, w) => r.skip(w)
       }
     }
     P2TimeSeries(refs.result(), samples.result(), hists.result(),
-      exemplars.result(), metadata)
+      exemplars.result(), metadata, createdTs)
   }
 
   def decodeRequest(buf: Array[Byte]): P2Request = {
@@ -241,6 +249,31 @@ object Prompb2 {
 
   /** Full v2 ingest edge: bytes → symbols resolved → canonical v1. */
   def decodeToV1(buf: Array[Byte]): PWriteRequest = toV1(decodeRequest(buf))
+
+  /** CT-ZERO candidates: for every series carrying a created_timestamp
+    * strictly before its first sample, a synthetic series holding ONE
+    * zero sample at the creation instant. The RECEIVER decides which
+    * candidates actually ingest (only when no earlier sample for the
+    * series is known — injecting behind existing data would fabricate a
+    * counter reset); this helper just derives the spec shape.
+    */
+  def ctZeroSeries(r: P2Request): Seq[PTimeSeries] = {
+    val syms = r.symbols.toIndexedSeq
+    r.timeseries.flatMap { ts =>
+      val firstTs = ts.samples.map(_.timestampMs) ++
+        ts.histograms.map(_.timestampMs) match {
+        case scala.collection.Seq() => None
+        case all => Some(all.min)
+      }
+      firstTs match {
+        case Some(f) if ts.createdTimestampMs > 0L &&
+            ts.createdTimestampMs < f =>
+          Some(PTimeSeries(resolve(syms, ts.labelsRefs),
+            Seq(PSample(0.0, ts.createdTimestampMs))))
+        case _ => None
+      }
+    }
+  }
 
   /** The v2 request's native-histogram series with their symbol refs
     * resolved — the v2 spelling of [[NativeHist.decodeWriteRequest]];

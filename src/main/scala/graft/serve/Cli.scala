@@ -87,7 +87,12 @@ final case class CliConfig(
     otlpTargetInfo: Boolean = false,
     // ≙ Prometheus --web.enable-lifecycle: POST /-/reload re-reads
     // --rules.file (403 otherwise; a failed parse keeps the old rules).
-    enableLifecycle: Boolean = false) {
+    enableLifecycle: Boolean = false,
+    // ≙ Prometheus --enable-feature=created-timestamp-zero-ingestion:
+    // a v2 series carrying created_timestamp gets a synthetic zero
+    // sample at its creation instant (young-series rate correctness),
+    // unless the receiver already knows a sample at or after it.
+    ctZeroIngestion: Boolean = false) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -192,6 +197,10 @@ object CliConfig {
       |  --web.enable-lifecycle         Enable POST /-/reload (re-reads
       |                                 --rules.file; a failed parse keeps
       |                                 the old rules); 403 otherwise.
+      |  --ct-zero-ingestion            Ingest a synthetic zero sample at a
+      |                                 v2 series' created_timestamp (young-
+      |                                 series rate correctness); off = the
+      |                                 field is decoded but unused.
       |
       |subcommands:
       |  check-rules <file>...          Validate rule files (groups layout +
@@ -241,6 +250,8 @@ object CliConfig {
           cfg = cfg.copy(enableAdminApi = true)
         case None if flag == "web.enable-lifecycle" =>
           cfg = cfg.copy(enableLifecycle = true)
+        case None if flag == "ct-zero-ingestion" =>
+          cfg = cfg.copy(ctZeroIngestion = true)
         case None => return Left(s"flag --$flag needs a value")
         case Some(v) =>
           flag match {
@@ -329,6 +340,11 @@ object CliConfig {
               case Some(b) => cfg = cfg.copy(otlpTargetInfo = b)
               case None => return Left(
                 s"--otlp.target-info needs true or false, got '$v'")
+            }
+            case "ct-zero-ingestion" => v.toBooleanOption match {
+              case Some(b) => cfg = cfg.copy(ctZeroIngestion = b)
+              case None => return Left(
+                s"--ct-zero-ingestion needs true or false, got '$v'")
             }
             case "web.enable-lifecycle" => v.toBooleanOption match {
               case Some(b) => cfg = cfg.copy(enableLifecycle = b)
@@ -444,7 +460,8 @@ object Cli {
       otlpConvertDelta = cfg.otlpConvertDelta,
       otlpTargetInfo = cfg.otlpTargetInfo,
       enableLifecycle = cfg.enableLifecycle,
-      rulesFile = Option(cfg.rulesFile).filter(_.nonEmpty))
+      rulesFile = Option(cfg.rulesFile).filter(_.nonEmpty),
+      ctZeroIngestion = cfg.ctZeroIngestion)
   }
 }
 

@@ -51,7 +51,8 @@ class Server(spark: SparkSession, tablePath: String,
              otlpDeltaMaxStaleMs: Long = 300000L,
              otlpTargetInfo: Boolean = false,
              enableLifecycle: Boolean = false,
-             rulesFile: Option[String] = None) {
+             rulesFile: Option[String] = None,
+             ctZeroIngestion: Boolean = false) {
 
   /** The LIVE rule set: starts as the constructor's groups and swaps
     * atomically on a successful `/-/reload`. A failed reload keeps
@@ -211,7 +212,12 @@ class Server(spark: SparkSession, tablePath: String,
             if (hists.isEmpty) scalar
             else scalar.copy(timeseries = scalar.timeseries ++
               hists.flatMap(graft.codec.NativeHist.toClassicSeries))
-          (merged, graft.codec.Prompb2.exemplarsToV1(req),
+          val withCt =
+            if (!ctZeroIngestion) merged
+            else merged.copy(timeseries =
+              ctZeroFilter(graft.codec.Prompb2.ctZeroSeries(req),
+                merged.timeseries) ++ merged.timeseries)
+          (withCt, graft.codec.Prompb2.exemplarsToV1(req),
             graft.codec.Prompb2.metadataToV1(req))
         } else {
           // ONE walk decodes scalars, native histograms (field 4 —
@@ -427,6 +433,37 @@ class Server(spark: SparkSession, tablePath: String,
         it.remove()
     }
     out.result()
+  }
+
+  /** Per-series newest ingested sample timestamp, tracked only under
+    * --ct-zero-ingestion: a CT-zero candidate ingests ONLY when the
+    * receiver knows no sample at or after its creation instant —
+    * injecting a zero behind existing data would fabricate a counter
+    * reset (upstream's AppendCTZeroSample out-of-order refusal).
+    * Driver-memory, bounded by live series cardinality like
+    * [[metadataStore]].
+    */
+  private[graft] val ctSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def ctZeroFilter(candidates: Seq[Prompb.PTimeSeries],
+                           ingesting: Seq[Prompb.PTimeSeries])
+      : Seq[Prompb.PTimeSeries] = ctSeen.synchronized {
+    def key(labels: Seq[Prompb.PLabel]): String =
+      labels.map(l => s"${l.name}=${l.value}").sorted.mkString(",")
+    val kept = candidates.filter { c =>
+      val ct = c.samples.head.timestampMs
+      Option(ctSeen.get(key(c.labels))).forall(_ < ct)
+    }
+    ingesting.foreach { ts =>
+      if (ts.samples.nonEmpty) {
+        val k = key(ts.labels)
+        val mx = ts.samples.map(_.timestampMs).max
+        val prev = Option(ctSeen.get(k)).getOrElse(Long.MinValue)
+        if (mx > prev) ctSeen.put(k, mx)
+      }
+    }
+    kept
   }
 
   /** The Prometheus stale-marker bit pattern (value/histogram.go's

@@ -271,6 +271,9 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--web.enable-lifecycle=false"))
       .toOption.exists(!_.enableLifecycle))
     assert(CliConfig.parse(Seq("--web.enable-lifecycle=maybe")).isLeft)
+    assert(CliConfig.parse(Seq("--ct-zero-ingestion"))
+      .toOption.get.ctZeroIngestion)
+    assert(!CliConfig.parse(Nil).toOption.get.ctZeroIngestion)
     assert(CliConfig.parse(Seq("--alertmanager.url=http://am:9093"))
       .toOption.get.alertmanagerUrl == "http://am:9093")
     // retention takes day durations
