@@ -899,6 +899,59 @@ object SparkEntry {
       .join(sm, Seq("event_type", "day"))
   }
 
+  /** Planted multi-record WARC archives over the documents table — the
+    * crawl-ingest fixture: doc_id mod 4 picks the archive; each archive
+    * opens with a warcinfo record, then per doc (id order) a request
+    * record and a response record whose HTTP body wraps the document
+    * text in deterministic HTML (title/style/script/h1/p/comment);
+    * every 7th doc ALSO appears as a mirror-host duplicate response
+    * (the exact-dedup bait). Byte layout is closed-form from the
+    * templates + text lengths, which the extract oracle replays with
+    * strlen arithmetic; the funnel oracle only needs the original text
+    * back. Driver-assembled (documents are driver-sized at test SFs),
+    * executors see one binary payload per archive.
+    */
+  private def warcArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val crlf = "\r\n"
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def record(wtype: String, uri: Option[String], content: String): String = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0").append(crlf)
+      sb.append("WARC-Type: ").append(wtype).append(crlf)
+      uri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(crlf))
+      sb.append("Content-Length: ")
+        .append(content.getBytes("UTF-8").length).append(crlf)
+      sb.append(crlf).append(content).append(crlf).append(crlf)
+      sb.toString
+    }
+    docs.groupBy(_._1 % 4).toSeq.sortBy(_._1).map { case (a, ds) =>
+      val sb = new StringBuilder
+      sb.append(record("warcinfo", None,
+        "software: graft" + crlf + "format: WARC File Format 1.0"))
+      ds.sortBy(_._1).foreach { case (id, text) =>
+        val uri = s"https://example.com/doc/$id"
+        sb.append(record("request", Some(uri),
+          s"GET /doc/$id HTTP/1.1${crlf}Host: example.com"))
+        val html = "<html><head><title>d" + id +
+          "</title><style>p{margin:0}</style><script>var x=1;</script>" +
+          "</head><body><h1>D " + id + "</h1><p>" + esc(text) +
+          "</p><!--sep--></body></html>"
+        val http = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + "Content-Length: " + html.getBytes("UTF-8").length +
+          crlf + crlf + html
+        sb.append(record("response", Some(uri), http))
+        if (id % 7 == 0)
+          sb.append(record("response",
+            Some(s"https://mirror.example.com/doc/$id"), http))
+      }
+      (a, sb.toString.getBytes("UTF-8"))
+    }.toDF("archive_id", "payload")
+  }
+
   /** The deterministic doc→doc link fixture shared by the centrality
     * entries (PageRank, personalized PageRank): 3 hash-derived out-links
     * per doc — md5("id:lj") mod n. The oracle rebuilds the same graph in
@@ -3991,6 +4044,57 @@ object SparkEntry {
           col("m.width").cast("long").as("width"),
           col("m.height").cast("long").as("height"))
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // WARC RECORD WALK: the native kernel splits each concatenated
+    // crawl archive into (rec_no, off, len, content_len, type, uri)
+    // rows in ONE byte pass — the mjpeg container discipline on
+    // WARC/1.0 records — and the oracle replays the complete byte
+    // layout closed-form from the fixture templates (strlen
+    // arithmetic over the header lines, Content-Length digits, and
+    // the escaped document text).
+    "llm_warc_extract" -> ((s, dir) => {
+      warcArchives(s, dir)
+        .select(col("archive_id"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .select(col("archive_id"),
+          col("r.rec_no").cast("long").as("rec_no"),
+          col("r.off").cast("long").as("off"),
+          col("r.len").cast("long").as("len"),
+          col("r.content_len").cast("long").as("content_len"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"))
+        .orderBy(col("archive_id"), col("rec_no"))
+    }),
+
+    // WARC → TEXT FUNNEL: response records substring out of the
+    // archive payload, the HTML kernel strips the HTTP header /
+    // script / style / comment / tags and recovers EXACTLY the
+    // planted lines (title, h1, document text — the oracle rebuilds
+    // the digest from the documents table alone, so any extraction
+    // defect breaks the hash); then the first curation stages run on
+    // the recovered text — exact dedup collapses the mirror-host
+    // duplicates (min-URI wins) and the token count feeds quality.
+    "llm_warc_funnel" -> ((s, dir) => {
+      val resp = warcArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("r.target_uri").as("uri"),
+          graft.llm.CrawlOps.htmlText(col("payload")
+            .substr(col("r.content_off") + 1, col("r.content_len")))
+            .as("text"))
+      resp
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("uri")).as("kept_uri"),
+          first(col("text")).as("text"))
+        .select(
+          regexp_extract(col("kept_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("n_copies"), col("digest"),
+          size(split(element_at(split(col("text"), "\n"), 3), " "))
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // Silence-span TRIMMING over real WAV bytes — the audio-curation
@@ -13289,6 +13393,79 @@ object SparkEntry {
     // Frame layout is pure arithmetic: 39-byte header + 14-byte SOS +
     // 40-byte body + EOI = 95 per frame; geometry (16+f)×(9+f) from the
     // builder.
+    // the complete byte layout, closed-form: template strlens + the
+    // Content-Length digit strings + the escaped text length, summed
+    // per record and cumulated per archive in fixture order
+    // (warcinfo, then per doc: request, response[, mirror response])
+    "llm_warc_extract" ->
+      """WITH d AS (SELECT doc_id, text, doc_id % 4 AS a,
+        |    'https://example.com/doc/' || doc_id AS uri,
+        |    'https://mirror.example.com/doc/' || doc_id AS muri
+        |  FROM documents),
+        |r2 AS (SELECT *,
+        |    strlen('<html><head><title>d' || doc_id ||
+        |      '</title><style>p{margin:0}</style>' ||
+        |      '<script>var x=1;</script></head><body><h1>D ' || doc_id ||
+        |      '</h1><p>' ||
+        |      replace(replace(replace(text, '&', '&amp;'),
+        |        '<', '&lt;'), '>', '&gt;') ||
+        |      '</p><!--sep--></body></html>') AS lh,
+        |    strlen('GET /doc/' || doc_id || ' HTTP/1.1' || e'\r\n' ||
+        |      'Host: example.com') AS lreq
+        |  FROM d),
+        |r3 AS (SELECT *,
+        |    strlen('HTTP/1.1 200 OK' || e'\r\n' ||
+        |      'Content-Type: text/html' || e'\r\n' ||
+        |      'Content-Length: ' || CAST(lh AS VARCHAR) ||
+        |      e'\r\n' || e'\r\n') + lh AS lresp
+        |  FROM r2),
+        |recs AS (
+        |  SELECT a, CAST(-1 AS BIGINT) AS ord, 0 AS sub,
+        |      'warcinfo' AS wt, CAST(NULL AS VARCHAR) AS turi,
+        |      strlen('software: graft' || e'\r\n' ||
+        |        'format: WARC File Format 1.0') AS clen
+        |    FROM (SELECT DISTINCT a FROM d)
+        |  UNION ALL SELECT a, doc_id, 0, 'request', uri, lreq FROM r3
+        |  UNION ALL SELECT a, doc_id, 1, 'response', uri, lresp FROM r3
+        |  UNION ALL SELECT a, doc_id, 2, 'response', muri, lresp
+        |    FROM r3 WHERE doc_id % 7 = 0),
+        |lens AS (SELECT *,
+        |    strlen('WARC/1.0' || e'\r\n' || 'WARC-Type: ' || wt ||
+        |      e'\r\n') +
+        |    CASE WHEN turi IS NULL THEN 0
+        |      ELSE strlen('WARC-Target-URI: ' || turi || e'\r\n') END +
+        |    strlen('Content-Length: ' || CAST(clen AS VARCHAR) ||
+        |      e'\r\n') + 2 + clen + 4 AS rlen
+        |  FROM recs),
+        |seq AS (SELECT *,
+        |    row_number() OVER (PARTITION BY a ORDER BY ord, sub) - 1
+        |      AS rec_no,
+        |    coalesce(sum(rlen) OVER (PARTITION BY a ORDER BY ord, sub
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM lens)
+        |SELECT CAST(a AS BIGINT) AS archive_id,
+        |  CAST(rec_no AS BIGINT) AS rec_no, CAST(off AS BIGINT) AS off,
+        |  CAST(rlen AS BIGINT) AS len,
+        |  CAST(clen AS BIGINT) AS content_len, wt AS warc_type,
+        |  turi AS target_uri
+        |FROM seq ORDER BY archive_id, rec_no""".stripMargin,
+
+    // the funnel oracle needs only the documents table: extraction
+    // must hand back title/h1/text verbatim (digest), the mirror
+    // duplicates collapse to n_copies=2 with the lexicographically
+    // smaller original URI kept, and the token count is the
+    // single-spaced word count of the recovered body line
+    "llm_warc_funnel" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_copies,
+        |  md5('d' || doc_id || chr(10) || 'D ' || doc_id || chr(10) ||
+        |    text) AS digest,
+        |  CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "llm_video_mjpeg" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(f AS BIGINT) AS frame_no, CAST(f * 95 AS BIGINT) AS off,

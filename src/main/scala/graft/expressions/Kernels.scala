@@ -441,6 +441,132 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
 
+  /** WARC container split — the [[mjpegFrames]] record-walk discipline
+    * applied to crawl archives (ISO 28500): the payload is a
+    * back-to-back sequence of `WARC/1.x` records, each a CRLF-header
+    * block (terminated by an empty line) followed by exactly
+    * Content-Length content octets and the mandatory two-CRLF record
+    * separator. One (rec_no, off, len, content_off, content_len,
+    * warc_type, target_uri) row per record — offsets let the consumer
+    * substring out each record's content and run the per-document
+    * extractors on it, never materializing per-record copies of the
+    * archive. Header names match case-insensitively (the spec's rule);
+    * a `WARC-Target-URI` wrapped in angle brackets (the WARC 1.0
+    * spelling some writers use) is unwrapped. target_uri is null when
+    * the record carries none (warcinfo). Null (the garbage-refusal
+    * contract) when a record doesn't start at `WARC/`, its header
+    * block never terminates, Content-Length is missing or overruns the
+    * payload, or the record separator is absent.
+    */
+  def warcRecords(payload: Array[Byte]): ArrayData = {
+    val n = payload.length
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    var rec = 0
+    val magic = "WARC/".getBytes("US-ASCII")
+    while (pos < n) {
+      if (pos + magic.length > n ||
+          !magic.indices.forall(j => payload(pos + j) == magic(j)))
+        return null
+      // header block ends at the first empty line (CRLF CRLF)
+      var he = -1
+      var i = pos
+      while (he < 0 && i + 3 < n) {
+        if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+            payload(i + 2) == '\r' && payload(i + 3) == '\n') he = i + 4
+        else i += 1
+      }
+      if (he < 0) return null
+      val header = new String(payload, pos, he - 2 - pos, "UTF-8")
+      var clen = -1L
+      var wtype: String = null
+      var uri: String = null
+      header.split("\r\n").iterator.drop(1).foreach { line =>
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val name = line.substring(0, c).trim.toLowerCase
+          val value = line.substring(c + 1).trim
+          name match {
+            case "content-length" =>
+              clen = try value.toLong catch { case _: Exception => -1L }
+            case "warc-type" => wtype = value
+            case "warc-target-uri" =>
+              uri = if (value.startsWith("<") && value.endsWith(">"))
+                value.substring(1, value.length - 1)
+              else value
+            case _ =>
+          }
+        }
+      }
+      if (clen < 0 || he + clen + 4 > n) return null
+      val sep = he + clen.toInt
+      if (payload(sep) != '\r' || payload(sep + 1) != '\n' ||
+          payload(sep + 2) != '\r' || payload(sep + 3) != '\n')
+        return null
+      rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](rec, pos, sep + 4 - pos, he, clen.toInt,
+          if (wtype == null) null else UTF8String.fromString(wtype),
+          if (uri == null) null else UTF8String.fromString(uri)))
+      pos = sep + 4
+      rec += 1
+    }
+    if (rec == 0) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  /** HTML→text extraction for crawl-archive response content: strips a
+    * leading HTTP response header (everything through the first blank
+    * line when the content starts with `HTTP/`), removes
+    * `<script>`/`<style>` elements WITH their bodies and `<!-- -->`
+    * comments, replaces every remaining tag with a line break, decodes
+    * the common entities (&amp; &lt; &gt; &quot; &#39; &apos;
+    * &nbsp;), then trims each line and drops empties. Lenient by
+    * design — a malformed page yields its best-effort text, never a
+    * refusal (the container walk is where garbage is refused): an
+    * unterminated tag or comment swallows the rest of the input.
+    */
+  def htmlText(content: Array[Byte]): UTF8String = {
+    var s = new String(content, "UTF-8")
+    if (s.startsWith("HTTP/")) {
+      val b = s.indexOf("\r\n\r\n")
+      s = if (b < 0) "" else s.substring(b + 4)
+    }
+    val sb = new java.lang.StringBuilder(s.length)
+    val lower = s.toLowerCase
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (lower.startsWith("<!--", i)) {
+          val e = lower.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (lower.startsWith("<script", i)) {
+          val e = lower.indexOf("</script", i)
+          val gt = if (e < 0) -1 else lower.indexOf('>', e)
+          i = if (gt < 0) n else gt + 1
+        } else if (lower.startsWith("<style", i)) {
+          val e = lower.indexOf("</style", i)
+          val gt = if (e < 0) -1 else lower.indexOf('>', e)
+          i = if (gt < 0) n else gt + 1
+        } else {
+          val gt = lower.indexOf('>', i)
+          i = if (gt < 0) n else gt + 1
+        }
+        sb.append('\n')
+      } else {
+        sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    val decoded = sb.toString
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&apos;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&") // last: &amp;lt; must yield "&lt;"
+    UTF8String.fromString(decoded.split('\n').iterator
+      .map(_.trim).filter(_.nonEmpty).mkString("\n"))
+  }
+
   /** Raw-deflate compressed length of a byte payload — the kernel under
     * the compression-ratio quality signal (near-incompressible text is
     * high-entropy noise, near-totally-compressible text is boilerplate

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object CrawlOps {
 
+  /** WARC container split ([[graft.GraftExtensions.warcRecords]]): one
+    * (rec_no, off, len, content_off, content_len, warc_type,
+    * target_uri) row per record of a concatenated `WARC/1.x` archive —
+    * crawl ingest starts here; consumers substring each record's
+    * content out of the archive payload (no per-record copies) and
+    * feed response bodies to [[htmlText]].
+    */
+  def warcRecords(payload: Column): Column =
+    graft.GraftExtensions.warcRecords(payload)
+
+  /** HTML→text for response-record content: HTTP-header strip,
+    * script/style/comment removal, tag→line-break, entity decode,
+    * per-line trim — the text that feeds the boilerplate/quality/dedup
+    * chain.
+    */
+  def htmlText(content: Column): Column =
+    graft.GraftExtensions.htmlText(content)
+
   /** Query parameters that identify a CLICK, not a PAGE — the standard
     * tracking families (Google Analytics utm_*, Facebook fbclid, Google
     * gclid, Mailchimp mc_*) plus the bare `ref` referrer tag. Dropped by

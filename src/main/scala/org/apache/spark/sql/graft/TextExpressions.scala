@@ -200,6 +200,68 @@ object MjpegFrames {
     containsNull = false)
 }
 
+/** WARC container split as a native codegen'd expression — the crawl
+  * sibling of [[MjpegFrames]]: one byte walk per archive yields
+  * (rec_no, off, len, content_off, content_len, warc_type, target_uri)
+  * rows; per-record extraction then substrings the content out of the
+  * archive payload. Null for payloads that aren't well-formed WARC.
+  */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = WarcRecords.Schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "warc_records"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.warcRecords(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.Kernels.warcRecords($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+}
+
+object WarcRecords {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("rec_no", IntegerType, nullable = false),
+    StructField("off", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("content_off", IntegerType, nullable = false),
+    StructField("content_len", IntegerType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true))),
+    containsNull = false)
+}
+
+/** HTML→text extraction as a native codegen'd expression: HTTP-header
+  * strip, script/style/comment removal, tag→line-break replacement,
+  * entity decode, line trim — the crawl funnel's first text stage,
+  * lenient by design (best-effort text, never a refusal).
+  */
+case class HtmlText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_text"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.htmlText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.htmlText($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlText =
+    copy(child = newChild)
+}
+
 /** Unigram-LM E-step (forward-backward expected piece counts +
   * log-likelihood) for one word as a native codegen'd expression. The
   * model (piece inventory + log-probs) is a plan-time constant: it

@@ -2522,4 +2522,54 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.toLowerCase.contains("window"), plan)
   }
+
+  test("crawl: warcRecords — record walk, angle-bracket URI unwrap, " +
+      "case-insensitive headers, garbage refusal") {
+    import graft.expressions.Kernels
+    def rec(t: String, uri: String, content: String,
+            uriHdr: String = "WARC-Target-URI"): String =
+      s"WARC/1.0\r\nWARC-Type: $t\r\n" +
+        (if (uri == null) "" else s"$uriHdr: $uri\r\n") +
+        s"content-length: ${content.length}\r\n\r\n$content\r\n\r\n"
+    val bytes = (rec("warcinfo", null, "software: x") +
+      rec("response", "<https://a.example/p>", "HTTP/1.1 200 OK\r\n\r\nhi") +
+      rec("request", "https://a.example/p", "GET /p")).getBytes("UTF-8")
+    val rows = Kernels.warcRecords(bytes)
+    assert(rows != null && rows.numElements() == 3)
+    val r1 = rows.getStruct(1, 7)
+    assert(r1.getString(5) == "response")
+    // angle-bracket form unwraps
+    assert(r1.getString(6) == "https://a.example/p")
+    val r0 = rows.getStruct(0, 7)
+    assert(r0.isNullAt(6)) // warcinfo has no target URI
+    // offsets tile the payload exactly
+    val r2 = rows.getStruct(2, 7)
+    assert(r2.getInt(1) + r2.getInt(2) == bytes.length)
+    // content substring matches
+    assert(new String(bytes, r2.getInt(3), r2.getInt(4), "UTF-8")
+      == "GET /p")
+    // refusals: wrong magic, truncated content, missing separator
+    assert(Kernels.warcRecords("HTTP/1.1 200\r\n\r\n".getBytes) == null)
+    assert(Kernels.warcRecords(
+      "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes) == null)
+    assert(Kernels.warcRecords(
+      "WARC/1.0\r\nContent-Length: 2\r\n\r\nhiXX".getBytes) == null)
+  }
+
+  test("crawl: htmlText — header strip, script/style/comment removal, " +
+      "entity decode, line discipline") {
+    import graft.expressions.Kernels
+    def x(s: String): String = Kernels.htmlText(s.getBytes("UTF-8")).toString
+    assert(x("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>hello &amp; goodbye</p></body></html>")
+      == "hello & goodbye")
+    // script/style bodies die entirely, tags become line breaks
+    assert(x("<head><style>p{x}</style><SCRIPT>var a='<p>';</SCRIPT>" +
+      "</head><h1> A </h1><p>B</p>") == "A\nB")
+    // double-escaped entity stays escaped once
+    assert(x("<p>&amp;lt;tag&amp;gt;</p>") == "&lt;tag&gt;")
+    // no HTTP prefix → treated as raw HTML; unterminated comment
+    // swallows the rest (lenient)
+    assert(x("line<!-- never closed <p>gone") == "line")
+  }
 }
