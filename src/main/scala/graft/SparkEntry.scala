@@ -751,6 +751,36 @@ object SparkEntry {
         col("h_buckets"))
   }
 
+  /** PER-INTERVAL (gauge-form) native histograms at HOURLY grain from
+    * the events table: one histogram per (event_type, hour) holding
+    * that hour's value distribution — the shape
+    * [[Rollup.downsampleHist]] tiers (disjoint intervals merge exactly
+    * into coarser ones). Columns are the native store view plus long
+    * `ts` (hour start).
+    */
+  private def hourlyHistStore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")
+        .as("hr"),
+      floor(col("value") * 1000000L).cast("long").as("vfp"))
+    val b = ev.withColumn("idx", length(bin(col("vfp"))).cast("long"))
+      .groupBy(col("event_type"), col("hr"), col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("h_buckets"))
+    val tot = ev.groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("h_count"), sum(col("vfp")).as("h_sum_fp"))
+    tot.join(b, Seq("event_type", "hr"))
+      .select(
+        lit("hist_val").as("name"),
+        array(lit("__name__=hist_val"),
+          concat(lit("event_type="), col("event_type"))).as("tags"),
+        col("hr").as("ts"),
+        col("h_count"), col("h_sum_fp"), lit(0L).as("h_zero"),
+        col("h_buckets"))
+  }
+
   /** The same per-(event_type, day) histograms as [[nativeHistBuckets]]
     * shipped through the OTLP ExponentialHistogram edge instead: dense
     * offset+counts Buckets (zeros included) at the OTLP index
@@ -1591,6 +1621,52 @@ object SparkEntry {
         .select(col("name"), tagsStr.as("tags"), col("bucket_ts"),
           col("cnt"), col("avg_fp"), col("min_fp"), col("max_fp"))
         .orderBy(col("name"), col("tags"), col("bucket_ts"))
+    }),
+
+    // A7++: NATIVE-HISTOGRAM downsampled tier — hourly per-interval
+    // histograms merge into 6 h tier rows under the sparse-bucket sum
+    // (count/sum/zero added, bucket maps unioned); disjoint intervals
+    // merge EXACTLY into the coarser interval, which the oracle pins by
+    // recomputing every 6 h window's buckets straight from raw events
+    // (never from the hourly stage).
+    "a7_downsample_hist" -> ((s, dir) => {
+      Rollup.downsampleHist(hourlyHistStore(s, dir), 21600L)
+        .select(
+          LabelOps.labelValue(col("tags"), "event_type").as("event_type"),
+          col("bucket_ts"), col("n_samples"), col("h_count"),
+          col("h_sum_fp"), explode(col("h_buckets")).as("b"))
+        .select(col("event_type"), col("bucket_ts"), col("n_samples"),
+          col("h_count"), col("h_sum_fp"), col("b.idx").as("idx"),
+          col("b.cnt").as("cnt"))
+        .orderBy(col("event_type"), col("bucket_ts"), col("idx"))
+    }),
+
+    // A7++ ROUTING + READ: the tier rows ARE a native-histogram store
+    // view (bucket_ts → ts), so the PromQL quantile evaluates on them
+    // directly; the shared auto-resolution rule (Rollup
+    // .chooseResolution, the Thanos coarsest-tier-with-enough-points
+    // selection the serve layer uses) must pick the 6 h histogram tier
+    // for a month-long panel — pinned by the require, with the values
+    // pinned against the per-window rank search recomputed from raw
+    // events.
+    "a7_downsample_hist_read" -> ((s, dir) => {
+      val rangeSec = 1706572800L - 1704067200L
+      val picked = Rollup.chooseResolution(rangeSec, Seq(21600L),
+        targetPoints = 100L)
+      require(picked == 21600L,
+        s"auto-resolution must route a month panel to the 6 h histogram" +
+          s" tier, picked $picked")
+      val store = Rollup.downsampleHist(hourlyHistStore(s, dir), picked)
+        .select(col("name"), col("tags"), col("bucket_ts").as("ts"),
+          col("h_count"), col("h_sum_fp"), col("h_zero"),
+          col("h_buckets"))
+      Eval.rangeQuery(store,
+          """histogram_quantile(0.9, {__name__="hist_val"})""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 21600L,
+            lookbackSec = 21600L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
     }),
 
     // E7: Graphite percent-escape over event-derived strings with injected
@@ -14891,6 +14967,50 @@ object SparkEntry {
     // detail, row-invisible by construction
     "promql_skew_hot" -> OSkewHotSql,
     "promql_skew_hot_salted" -> OSkewHotSql,
+
+    // every 6 h tier row recomputed straight from raw events — the
+    // hourly→6 h merge must be exactly the 6 h distribution
+    "a7_downsample_hist" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor($OSec / 21600) * 21600 AS BIGINT) AS w,
+         |    $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |b AS (SELECT event_type, w, length(bin(vfp)) AS idx,
+         |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+         |t2 AS (SELECT event_type, w, count(*) AS h_count,
+         |    CAST(sum(vfp) AS BIGINT) AS h_sum_fp,
+         |    count(DISTINCT CAST(floor(t / 3600) AS BIGINT))
+         |      AS n_samples
+         |  FROM e GROUP BY 1, 2)
+         |SELECT b.event_type, b.w AS bucket_ts, t2.n_samples,
+         |  t2.h_count, t2.h_sum_fp, CAST(b.idx AS BIGINT) AS idx, b.cnt
+         |FROM b JOIN t2 USING (event_type, w)
+         |ORDER BY event_type, bucket_ts, idx""".stripMargin,
+
+    // per-6 h-window rank search from raw events (the tier never
+    // enters the oracle)
+    "a7_downsample_hist_read" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor($OSec / 21600) * 21600 AS BIGINT) AS w,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+         |b AS (SELECT event_type, w, length(bin(vfp)) AS idx,
+         |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+         |r AS (SELECT *,
+         |    sum(cnt) OVER (PARTITION BY event_type, w ORDER BY idx
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY event_type, w) AS tot
+         |  FROM b),
+         |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+         |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r)
+         |SELECT 'event_type=' || event_type AS tags, w AS t,
+         |  CAST(floor(power(2.0, idx - 1) +
+         |    (power(2.0, idx) - power(2.0, idx - 1)) *
+         |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+         |    AS value_fp
+         |FROM sel
+         |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+         |  AND w BETWEEN 1704067200 AND 1706572800
+         |ORDER BY t, tags""".stripMargin,
 
     "promql_native_hist" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,

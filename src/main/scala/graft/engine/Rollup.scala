@@ -85,6 +85,59 @@ object Rollup {
         max(col("_pick")).getField("v").as("last_fp"))
   }
 
+  /** NATIVE-HISTOGRAM downsampled tier — the 5-aggregate tier's sibling
+    * for histogram-valued series, so a long-range latency panel reads
+    * merged-bucket tier rows instead of one row per scrape: per
+    * (date, series, `windowSec` window) the per-interval histograms
+    * merge under the sparse-bucket sum (count/sum/zero added, bucket
+    * maps unioned per index — the same algebra PromQL's
+    * `sum(rate(h[w]))` aggregation uses cross-series, applied here
+    * within a series across time). Feed it PER-INTERVAL histograms
+    * (gauge native histograms, or counter histograms pre-differenced
+    * to window deltas): merged deltas of disjoint intervals ARE the
+    * coarser interval's histogram, so quantile/fraction/avg/stddev over
+    * the tier are EXACT for any window-aligned read, not estimates.
+    * Output rows wear the native store-view columns (h_count, h_sum_fp,
+    * h_zero, h_buckets) plus `n_samples`, so the tier is directly
+    * PromQL-evaluable (`bucket_ts` → `ts`) by the native-histogram
+    * functions.
+    *
+    * Scale: one partial-combined shuffle on (date, series, window) —
+    * collect_list runs map-side partial in ObjectHashAggregate, the
+    * fold is per-row; a year-long p90 panel over a 6 h tier scans
+    * ~1.5 k rows/series instead of every scrape.
+    */
+  def downsampleHist(hist: DataFrame, windowSec: Long): DataFrame = {
+    require(windowSec > 0 && 86400L % windowSec == 0,
+      s"downsample window ${windowSec}s must divide 86400 (a day): " +
+        "non-divisor windows straddle the date partition boundary")
+    val tsIsLong =
+      hist.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val t = if (tsIsLong) col("ts") else unix_timestamp(col("ts"))
+    val bucket = (floor(t / windowSec) * windowSec).cast("long")
+    val dateCols =
+      if (hist.columns.contains("date")) Seq(col("date")) else Nil
+    val grouped = hist
+      .groupBy((dateCols ++ Seq(col("name"), col("tags"),
+        bucket.as("bucket_ts"))): _*)
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("h_count")).as("h_count"),
+        sum(col("h_sum_fp")).as("h_sum_fp"),
+        sum(col("h_zero")).as("h_zero"),
+        collect_list(map_from_entries(col("h_buckets"))).as("_ms"))
+    val merged = aggregate(
+      slice(col("_ms"), lit(2), greatest(size(col("_ms")) - 1, lit(0))),
+      element_at(col("_ms"), 1),
+      (acc, mm) => map_zip_with(acc, mm,
+        (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
+    grouped.withColumn("h_buckets",
+      sort_array(transform(
+        filter(map_entries(merged), e => e.getField("value") > 0),
+        e => struct(e.getField("key").as("idx"),
+          e.getField("value").as("cnt")))))
+      .drop("_ms")
+  }
+
   /** Materialize a downsampled tier with the store's own layout
     * discipline: date-partitioned, range-split across (date, name, tags)
     * so no single task sorts a whole day (see WritePipeline.append), and
