@@ -941,7 +941,8 @@ object SparkEntry {
     * back. Driver-assembled (documents are driver-sized at test SFs),
     * executors see one binary payload per archive.
     */
-  private def warcArchives(s: SparkSession, dir: String): DataFrame = {
+  private def warcArchives(s: SparkSession, dir: String,
+                           gz: Boolean = false): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
@@ -958,14 +959,22 @@ object SparkEntry {
       sb.append(crlf).append(content).append(crlf).append(crlf)
       sb.toString
     }
+    // gz = the Common Crawl layout: EACH record its own gzip member,
+    // members back to back in one file
+    def gzMember(rec: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
     docs.groupBy(_._1 % 4).toSeq.sortBy(_._1).map { case (a, ds) =>
-      val sb = new StringBuilder
-      sb.append(record("warcinfo", None,
-        "software: graft" + crlf + "format: WARC File Format 1.0"))
+      val recs = Seq.newBuilder[String]
+      recs += record("warcinfo", None,
+        "software: graft" + crlf + "format: WARC File Format 1.0")
       ds.sortBy(_._1).foreach { case (id, text) =>
         val uri = s"https://example.com/doc/$id"
-        sb.append(record("request", Some(uri),
-          s"GET /doc/$id HTTP/1.1${crlf}Host: example.com"))
+        recs += record("request", Some(uri),
+          s"GET /doc/$id HTTP/1.1${crlf}Host: example.com")
         val html = "<html><head><title>d" + id +
           "</title><style>p{margin:0}</style><script>var x=1;</script>" +
           "</head><body><h1>D " + id + "</h1><p>" + esc(text) +
@@ -973,12 +982,16 @@ object SparkEntry {
         val http = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
           crlf + "Content-Length: " + html.getBytes("UTF-8").length +
           crlf + crlf + html
-        sb.append(record("response", Some(uri), http))
+        recs += record("response", Some(uri), http)
         if (id % 7 == 0)
-          sb.append(record("response",
-            Some(s"https://mirror.example.com/doc/$id"), http))
+          recs += record("response",
+            Some(s"https://mirror.example.com/doc/$id"), http)
       }
-      (a, sb.toString.getBytes("UTF-8"))
+      val all = recs.result()
+      val payload =
+        if (gz) all.toArray.flatMap(gzMember)
+        else all.mkString.getBytes("UTF-8")
+      (a, payload)
     }.toDF("archive_id", "payload")
   }
 
@@ -4133,6 +4146,26 @@ object SparkEntry {
       warcArchives(s, dir)
         .select(col("archive_id"),
           explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .select(col("archive_id"),
+          col("r.rec_no").cast("long").as("rec_no"),
+          col("r.off").cast("long").as("off"),
+          col("r.len").cast("long").as("len"),
+          col("r.content_len").cast("long").as("content_len"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"))
+        .orderBy(col("archive_id"), col("rec_no"))
+    }),
+
+    // .WARC.GZ: the Common Crawl compressed layout — each record its
+    // own gzip member, members back to back — decompresses through the
+    // native multi-member gunzip into EXACTLY the concatenated-record
+    // stream the plain walk reads: identical rows, the plain entry's
+    // layout oracle VERBATIM (offsets land in the decompressed stream).
+    "llm_warc_gz" -> ((s, dir) => {
+      warcArchives(s, dir, gz = true)
+        .select(col("archive_id"),
+          explode(graft.llm.CrawlOps.warcRecords(
+            graft.llm.CrawlOps.gunzipAll(col("payload")))).as("r"))
         .select(col("archive_id"),
           col("r.rec_no").cast("long").as("rec_no"),
           col("r.off").cast("long").as("off"),
@@ -10692,6 +10725,64 @@ object SparkEntry {
       |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
       |ORDER BY event_type, day""".stripMargin
 
+  /** WARC archive byte layout, closed-form (shared by the plain and
+    * .warc.gz entries — the gz edge decompresses to the identical
+    * record stream).
+    */
+  private val OWarcLayoutSql: String =
+    """WITH d AS (SELECT doc_id, text, doc_id % 4 AS a,
+      |    'https://example.com/doc/' || doc_id AS uri,
+      |    'https://mirror.example.com/doc/' || doc_id AS muri
+      |  FROM documents),
+      |r2 AS (SELECT *,
+      |    strlen('<html><head><title>d' || doc_id ||
+      |      '</title><style>p{margin:0}</style>' ||
+      |      '<script>var x=1;</script></head><body><h1>D ' || doc_id ||
+      |      '</h1><p>' ||
+      |      replace(replace(replace(text, '&', '&amp;'),
+      |        '<', '&lt;'), '>', '&gt;') ||
+      |      '</p><!--sep--></body></html>') AS lh,
+      |    strlen('GET /doc/' || doc_id || ' HTTP/1.1' || e'\r\n' ||
+      |      'Host: example.com') AS lreq
+      |  FROM d),
+      |r3 AS (SELECT *,
+      |    strlen('HTTP/1.1 200 OK' || e'\r\n' ||
+      |      'Content-Type: text/html' || e'\r\n' ||
+      |      'Content-Length: ' || CAST(lh AS VARCHAR) ||
+      |      e'\r\n' || e'\r\n') + lh AS lresp
+      |  FROM r2),
+      |recs AS (
+      |  SELECT a, CAST(-1 AS BIGINT) AS ord, 0 AS sub,
+      |      'warcinfo' AS wt, CAST(NULL AS VARCHAR) AS turi,
+      |      strlen('software: graft' || e'\r\n' ||
+      |        'format: WARC File Format 1.0') AS clen
+      |    FROM (SELECT DISTINCT a FROM d)
+      |  UNION ALL SELECT a, doc_id, 0, 'request', uri, lreq FROM r3
+      |  UNION ALL SELECT a, doc_id, 1, 'response', uri, lresp FROM r3
+      |  UNION ALL SELECT a, doc_id, 2, 'response', muri, lresp
+      |    FROM r3 WHERE doc_id % 7 = 0),
+      |lens AS (SELECT *,
+      |    strlen('WARC/1.0' || e'\r\n' || 'WARC-Type: ' || wt ||
+      |      e'\r\n') +
+      |    CASE WHEN turi IS NULL THEN 0
+      |      ELSE strlen('WARC-Target-URI: ' || turi || e'\r\n') END +
+      |    strlen('Content-Length: ' || CAST(clen AS VARCHAR) ||
+      |      e'\r\n') + 2 + clen + 4 AS rlen
+      |  FROM recs),
+      |seq AS (SELECT *,
+      |    row_number() OVER (PARTITION BY a ORDER BY ord, sub) - 1
+      |      AS rec_no,
+      |    coalesce(sum(rlen) OVER (PARTITION BY a ORDER BY ord, sub
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS off
+      |  FROM lens)
+      |SELECT CAST(a AS BIGINT) AS archive_id,
+      |  CAST(rec_no AS BIGINT) AS rec_no, CAST(off AS BIGINT) AS off,
+      |  CAST(rlen AS BIGINT) AS len,
+      |  CAST(clen AS BIGINT) AS content_len, wt AS warc_type,
+      |  turi AS target_uri
+      |FROM seq ORDER BY archive_id, rec_no""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "llm_ann_recall" -> oAnnRecallSql,
@@ -13473,59 +13564,10 @@ object SparkEntry {
     // Content-Length digit strings + the escaped text length, summed
     // per record and cumulated per archive in fixture order
     // (warcinfo, then per doc: request, response[, mirror response])
-    "llm_warc_extract" ->
-      """WITH d AS (SELECT doc_id, text, doc_id % 4 AS a,
-        |    'https://example.com/doc/' || doc_id AS uri,
-        |    'https://mirror.example.com/doc/' || doc_id AS muri
-        |  FROM documents),
-        |r2 AS (SELECT *,
-        |    strlen('<html><head><title>d' || doc_id ||
-        |      '</title><style>p{margin:0}</style>' ||
-        |      '<script>var x=1;</script></head><body><h1>D ' || doc_id ||
-        |      '</h1><p>' ||
-        |      replace(replace(replace(text, '&', '&amp;'),
-        |        '<', '&lt;'), '>', '&gt;') ||
-        |      '</p><!--sep--></body></html>') AS lh,
-        |    strlen('GET /doc/' || doc_id || ' HTTP/1.1' || e'\r\n' ||
-        |      'Host: example.com') AS lreq
-        |  FROM d),
-        |r3 AS (SELECT *,
-        |    strlen('HTTP/1.1 200 OK' || e'\r\n' ||
-        |      'Content-Type: text/html' || e'\r\n' ||
-        |      'Content-Length: ' || CAST(lh AS VARCHAR) ||
-        |      e'\r\n' || e'\r\n') + lh AS lresp
-        |  FROM r2),
-        |recs AS (
-        |  SELECT a, CAST(-1 AS BIGINT) AS ord, 0 AS sub,
-        |      'warcinfo' AS wt, CAST(NULL AS VARCHAR) AS turi,
-        |      strlen('software: graft' || e'\r\n' ||
-        |        'format: WARC File Format 1.0') AS clen
-        |    FROM (SELECT DISTINCT a FROM d)
-        |  UNION ALL SELECT a, doc_id, 0, 'request', uri, lreq FROM r3
-        |  UNION ALL SELECT a, doc_id, 1, 'response', uri, lresp FROM r3
-        |  UNION ALL SELECT a, doc_id, 2, 'response', muri, lresp
-        |    FROM r3 WHERE doc_id % 7 = 0),
-        |lens AS (SELECT *,
-        |    strlen('WARC/1.0' || e'\r\n' || 'WARC-Type: ' || wt ||
-        |      e'\r\n') +
-        |    CASE WHEN turi IS NULL THEN 0
-        |      ELSE strlen('WARC-Target-URI: ' || turi || e'\r\n') END +
-        |    strlen('Content-Length: ' || CAST(clen AS VARCHAR) ||
-        |      e'\r\n') + 2 + clen + 4 AS rlen
-        |  FROM recs),
-        |seq AS (SELECT *,
-        |    row_number() OVER (PARTITION BY a ORDER BY ord, sub) - 1
-        |      AS rec_no,
-        |    coalesce(sum(rlen) OVER (PARTITION BY a ORDER BY ord, sub
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS off
-        |  FROM lens)
-        |SELECT CAST(a AS BIGINT) AS archive_id,
-        |  CAST(rec_no AS BIGINT) AS rec_no, CAST(off AS BIGINT) AS off,
-        |  CAST(rlen AS BIGINT) AS len,
-        |  CAST(clen AS BIGINT) AS content_len, wt AS warc_type,
-        |  turi AS target_uri
-        |FROM seq ORDER BY archive_id, rec_no""".stripMargin,
+    "llm_warc_extract" -> OWarcLayoutSql,
+
+    // the gz edge decompresses to the identical record stream
+    "llm_warc_gz" -> OWarcLayoutSql,
 
     // the funnel oracle needs only the documents table: extraction
     // must hand back title/h1/text verbatim (digest), the mirror

@@ -598,6 +598,23 @@ object Kernels {
     total
   }
 
+  /** Inflate ALL concatenated gzip members of a payload into one byte
+    * stream — the Common Crawl `.warc.gz` layout compresses each WARC
+    * record as its own gzip member back to back, so decompress-then-
+    * [[warcRecords]] serves compressed archives with the identical
+    * record walk (offsets land in the DECOMPRESSED stream).
+    * GZIPInputStream consumes multi-member streams natively (it checks
+    * for a following member header at each member end). Null (the
+    * garbage-refusal contract) on a corrupt stream or a non-gzip
+    * payload.
+    */
+  def gunzipAll(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } catch { case _: java.io.IOException => null }
+
   /** Per-frame PCM audio features over a WAV payload — the audio
     * feature-extraction pass of a multimodal pipeline, REAL byte math on
     * real RIFF bytes: the chunk chain is walked from offset 12 (each

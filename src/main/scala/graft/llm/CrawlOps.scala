@@ -37,6 +37,13 @@ object CrawlOps {
   def htmlText(content: Column): Column =
     graft.GraftExtensions.htmlText(content)
 
+  /** Multi-member gzip inflate — `.warc.gz` archives (one gzip member
+    * per record, the Common Crawl layout) decompress to the exact
+    * concatenated-record stream [[warcRecords]] walks.
+    */
+  def gunzipAll(payload: Column): Column =
+    graft.GraftExtensions.gunzipAll(payload)
+
   /** Query parameters that identify a CLICK, not a PAGE — the standard
     * tracking families (Google Analytics utm_*, Facebook fbclid, Google
     * gclid, Mailchimp mc_*) plus the bare `ref` referrer tag. Dropped by

@@ -241,6 +241,33 @@ object WarcRecords {
     containsNull = false)
 }
 
+/** Multi-member gzip inflate as a native codegen'd expression — the
+  * decompression front of the `.warc.gz` ingest path (each record its
+  * own gzip member, back to back). Null for corrupt or non-gzip
+  * payloads.
+  */
+case class GunzipAll(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gunzip_all"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.gunzipAll(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |byte[] $r = graft.expressions.Kernels.gunzipAll($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): GunzipAll =
+    copy(child = newChild)
+}
+
 /** HTML→text extraction as a native codegen'd expression: HTTP-header
   * strip, script/style/comment removal, tag→line-break replacement,
   * entity decode, line trim — the crawl funnel's first text stage,

@@ -2548,6 +2548,20 @@ class LlmOpsSpec extends SparkSpec {
     // content substring matches
     assert(new String(bytes, r2.getInt(3), r2.getInt(4), "UTF-8")
       == "GET /p")
+    // .warc.gz: per-record gzip members concatenate and inflate back to
+    // the identical record stream; corrupt/non-gzip payloads refuse
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val rec1 = rec("warcinfo", null, "software: x").getBytes("UTF-8")
+    val rec2 = rec("request", "https://a.example/p", "GET /p")
+      .getBytes("UTF-8")
+    assert(Kernels.gunzipAll(gz(rec1) ++ gz(rec2)).toSeq
+      == (rec1 ++ rec2).toSeq)
+    assert(Kernels.gunzipAll("not gzip".getBytes) == null)
+    assert(Kernels.gunzipAll(gz(rec1).dropRight(3)) == null)
     // refusals: wrong magic, truncated content, missing separator
     assert(Kernels.warcRecords("HTTP/1.1 200\r\n\r\n".getBytes) == null)
     assert(Kernels.warcRecords(
