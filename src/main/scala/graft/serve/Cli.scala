@@ -201,6 +201,11 @@ object CliConfig {
       |                                 v2 series' created_timestamp (young-
       |                                 series rate correctness); off = the
       |                                 field is decoded but unused.
+      |  --enable-feature=<a,b>         Prometheus feature-flag spellings of
+      |                                 the above (repeatable, comma lists):
+      |                                 created-timestamp-zero-ingestion,
+      |                                 otlp-deltatocumulative. Unknown
+      |                                 features are errors.
       |
       |subcommands:
       |  check-rules <file>...          Validate rule files (groups layout +
@@ -346,6 +351,23 @@ object CliConfig {
               case None => return Left(
                 s"--ct-zero-ingestion needs true or false, got '$v'")
             }
+            // ≙ Prometheus --enable-feature=a,b (repeatable): the
+            // upstream spellings of features this engine carries as
+            // dedicated flags map onto them; an unknown feature is an
+            // ERROR here (a silently-ignored feature flag is how
+            // production configs rot), listing the supported names.
+            case "enable-feature" =>
+              for (f <- v.split(",").map(_.trim).filter(_.nonEmpty))
+                f match {
+                  case "created-timestamp-zero-ingestion" =>
+                    cfg = cfg.copy(ctZeroIngestion = true)
+                  case "otlp-deltatocumulative" =>
+                    cfg = cfg.copy(otlpConvertDelta = true)
+                  case other => return Left(
+                    s"--enable-feature: unknown feature '$other' " +
+                      "(supported: created-timestamp-zero-ingestion, " +
+                      "otlp-deltatocumulative)")
+                }
             case "web.enable-lifecycle" => v.toBooleanOption match {
               case Some(b) => cfg = cfg.copy(enableLifecycle = b)
               case None => return Left(

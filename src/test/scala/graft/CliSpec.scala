@@ -274,6 +274,17 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--ct-zero-ingestion"))
       .toOption.get.ctZeroIngestion)
     assert(!CliConfig.parse(Nil).toOption.get.ctZeroIngestion)
+    // the Prometheus --enable-feature spellings map onto the same
+    // config; repeatable + comma lists; unknown features are errors
+    val ef = CliConfig.parse(Seq(
+      "--enable-feature=created-timestamp-zero-ingestion," +
+        "otlp-deltatocumulative")).toOption.get
+    assert(ef.ctZeroIngestion && ef.otlpConvertDelta)
+    val ef2 = CliConfig.parse(Seq(
+      "--enable-feature=otlp-deltatocumulative",
+      "--enable-feature=created-timestamp-zero-ingestion")).toOption.get
+    assert(ef2.ctZeroIngestion && ef2.otlpConvertDelta)
+    assert(CliConfig.parse(Seq("--enable-feature=warp-drive")).isLeft)
     assert(CliConfig.parse(Seq("--alertmanager.url=http://am:9093"))
       .toOption.get.alertmanagerUrl == "http://am:9093")
     // retention takes day durations
