@@ -4206,6 +4206,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WARC PLAN AUDIT — the crawl family's 100 TB shape as executed-plan
+    // facts: the record walk + HTML extraction are MAP-SIDE ONLY (zero
+    // hash exchanges — one byte pass per archive, offsets substring out
+    // of the payload, no per-record materialization), inside whole-stage
+    // codegen; the funnel's only hash exchange is the dedup groupBy on
+    // the text digest — text itself never shuffles twice.
+    "llm_warc_plan" -> ((s, dir) => {
+      import s.implicits._
+      def hashEx(p: String): Long =
+        p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+          && !l.contains("ReusedExchange")).toLong
+      // audit the AT-REST shape: archives read back from parquet (a
+      // driver-local relation would skip whole-stage codegen on its own)
+      val base = cachedInputDir(s"warcp${math.abs(dir.hashCode)}") { d =>
+        warcArchives(s, dir).write.mode("overwrite").parquet(s"$d/a")
+      }
+      val arch = s.read.parquet(s"$base/a")
+      val extract = arch
+        .select(col("archive_id"), col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .select(col("archive_id"), col("r.warc_type"),
+          graft.llm.CrawlOps.htmlText(col("payload")
+            .substr(col("r.content_off") + 1, col("r.content_len")))
+            .as("text"))
+      // execute first: AQE's plan string shows WholeStageCodegen spans
+      // only once the final plan is materialized
+      extract.write.format("noop").mode("overwrite").save()
+      val extractP = extract.queryExecution.executedPlan.toString
+      val funnel = extract.filter(col("warc_type") === "response")
+        .groupBy(md5(col("text").cast("binary")).as("digest"))
+        .agg(count(lit(1)).as("n"))
+      funnel.write.format("noop").mode("overwrite").save()
+      val funnelP = funnel.queryExecution.executedPlan.toString
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("extract_hash_exchanges", hashEx(extractP)),
+        // the `*(N)` prefix marks operators INSIDE a whole-stage-codegen
+        // stage — the record walk's Generate must carry it
+        ("extract_wholestage_codegen",
+          b(extractP.linesIterator.exists(l => l.trim.startsWith("+- *(")
+            && l.contains("Generate explode(warc_records")))),
+        ("funnel_hash_exchanges", hashEx(funnelP)))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // Silence-span TRIMMING over real WAV bytes — the audio-curation
     // pass that cuts dead air before transcription: per-frame peak from
     // the native kernel (exact integer, no float threshold), quiet
@@ -13568,6 +13613,13 @@ object SparkEntry {
 
     // the gz edge decompresses to the identical record stream
     "llm_warc_gz" -> OWarcLayoutSql,
+
+    "llm_warc_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('extract_hash_exchanges', CAST(0 AS BIGINT)),
+        |  ('extract_wholestage_codegen', 1),
+        |  ('funnel_hash_exchanges', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     // the funnel oracle needs only the documents table: extraction
     // must hand back title/h1/text verbatim (digest), the mirror
