@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlText, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlLinks, HtmlText, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -46,6 +46,7 @@ object GraftExtensions {
     fn("mjpeg_frames", classOf[MjpegFrames], 1, c => MjpegFrames(c.head)),
     fn("warc_records", classOf[WarcRecords], 1, c => WarcRecords(c.head)),
     fn("html_text", classOf[HtmlText], 1, c => HtmlText(c.head)),
+    fn("html_links", classOf[HtmlLinks], 1, c => HtmlLinks(c.head)),
     fn("gunzip_all", classOf[GunzipAll], 1, c => GunzipAll(c.head)),
     fn("deflate_len", classOf[DeflateLen], 1, c => DeflateLen(c.head)))
   // pcm_features takes a compile-time frame length, so it is exposed via
@@ -89,6 +90,8 @@ object GraftExtensions {
     ColumnBridge.col(WarcRecords(ColumnBridge.expr(payload)))
   def htmlText(content: Column): Column =
     ColumnBridge.col(HtmlText(ColumnBridge.expr(content)))
+  def htmlLinks(content: Column): Column =
+    ColumnBridge.col(HtmlLinks(ColumnBridge.expr(content)))
   def gunzipAll(payload: Column): Column =
     ColumnBridge.col(GunzipAll(ColumnBridge.expr(payload)))
   def pcmFeatures(payload: Column, frameLen: Int): Column =

@@ -995,6 +995,56 @@ object SparkEntry {
     }.toDF("archive_id", "payload")
   }
 
+  /** Planted link-focused WARC archives over the documents table — the
+    * LINK-GRAPH crawl fixture (the [[warcArchives]] discipline, separate
+    * so the extract entries' byte-layout oracle never moves): doc_id
+    * mod 4 picks the archive; per doc one response record whose page
+    * lives on host `h(doc_id%8).example.org` under a deliberately
+    * messy URI (www + default port + tracking param + unsorted query)
+    * and whose body carries one anchor of every href SHAPE the
+    * resolver handles: absolute (to host (k+1+k%3)%8), scheme-relative
+    * (to host (k+2)%8), root-relative, relative, dot-dot relative,
+    * fragment-only, javascript:, entity-encoded, and unquoted. The
+    * oracle recomputes every resolved link closed-form from doc_id
+    * arithmetic alone.
+    */
+  private def warcLinkArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val crlf = "\r\n"
+    def record(wtype: String, uri: Option[String], content: String): String = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0").append(crlf)
+      sb.append("WARC-Type: ").append(wtype).append(crlf)
+      uri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append(crlf))
+      sb.append("Content-Length: ")
+        .append(content.getBytes("UTF-8").length).append(crlf)
+      sb.append(crlf).append(content).append(crlf).append(crlf)
+      sb.toString
+    }
+    ids.groupBy(_ % 4).toSeq.sortBy(_._1).map { case (a, ds) =>
+      val recs = Seq.newBuilder[String]
+      recs += record("warcinfo", None, "software: graft")
+      ds.sorted.foreach { id =>
+        val k = id % 8
+        val t1 = (k + 1 + (k % 3)) % 8
+        val t2 = (k + 2) % 8
+        val uri = s"https://www.h$k.example.org:443/a/$id/page.html?b=2&a=1&utm_source=x"
+        val html = s"""<html><body><a href="https://h$t1.example.org/next">n</a>""" +
+          s"""<a href='//h$t2.example.org/sr'>s</a>""" +
+          s"""<a href="/root/$id">r</a><a href="sub/$id.html">u</a>""" +
+          s"""<a href="../up.html">d</a><a href="#sec">f</a>""" +
+          s"""<a href="javascript:void(0)">j</a>""" +
+          s"""<a href="/e?x=1&amp;y=2">e</a><a href=/uq/$id>q</a></body></html>"""
+        val http = "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf + html
+        recs += record("response", Some(uri), http)
+      }
+      (a, recs.result().mkString.getBytes("UTF-8"))
+    }.toDF("archive_id", "payload")
+  }
+
   /** The deterministic doc→doc link fixture shared by the centrality
     * entries (PageRank, personalized PageRank): 3 hash-derived out-links
     * per doc — md5("id:lj") mod n. The oracle rebuilds the same graph in
@@ -4249,6 +4299,75 @@ object SparkEntry {
             && l.contains("Generate explode(warc_records")))),
         ("funnel_hash_exchanges", hashEx(funnelP)))
         .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
+    // OUTBOUND-LINK EXTRACTION + reference resolution — the step
+    // between "extracted page" and "link graph": anchors come out of
+    // the markup in document order (native kernel, raw as authored),
+    // each href resolves against the page's own messy URI (absolute /
+    // scheme-relative / root-relative / relative / dot-dot; fragment-
+    // only and javascript: drop as nulls), and both ends canonicalize.
+    // The oracle recomputes every surviving (page, link_no, link) row
+    // closed-form from doc_id arithmetic — kernel, resolver and
+    // canonicalizer all have to agree with the planted shapes at once.
+    // Map-side only: archive → rows is one byte walk + per-row string
+    // algebra, no shuffle before the output sort.
+    "llm_warc_links" -> ((s, dir) => {
+      import s.implicits._
+      val pages = warcLinkArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("r.target_uri").as("page_uri"),
+          col("payload").substr(col("r.content_off") + 1,
+            col("r.content_len")).as("content"))
+      pages
+        .select(col("page_uri"),
+          posexplode(graft.llm.CrawlOps.htmlLinks(col("content")))
+            .as(Seq("link_no", "href")))
+        .select(
+          graft.llm.CrawlOps.canonicalizeUrl(col("page_uri")).as("page_url"),
+          col("link_no"),
+          graft.llm.CrawlOps.canonicalizeUrl(
+            graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
+            .as("link_url"))
+        .filter(col("link_url").isNotNull)
+        .orderBy(col("page_url"), col("link_no"))
+    }),
+
+    // CRAWL HOST GRAPH → PageRank — the web-curation authority prior:
+    // pages' resolved cross-host links collapse to a DISTINCT host→host
+    // edge list (intra-host links carry no authority and are dropped;
+    // host cardinality ≪ page cardinality, so the graph side is tiny
+    // regardless of corpus size), and the existing fixed-point PageRank
+    // runs over it. The planted link shapes make the host graph an
+    // asymmetric circulant on the 8 hosts — closed-form for the oracle,
+    // which replays the identical integer recurrence; SF-invariant
+    // because every host residue is inhabited at every SF.
+    "llm_warc_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val links = warcLinkArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("r.target_uri").as("page_uri"),
+          explode(graft.llm.CrawlOps.htmlLinks(
+            col("payload").substr(col("r.content_off") + 1,
+              col("r.content_len")))).as("href"))
+        .select(
+          graft.llm.CrawlOps.hostOf(col("page_uri")).as("src"),
+          graft.llm.CrawlOps.hostOf(
+            graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
+            .as("dst"))
+      val edges = links
+        .filter(col("dst").isNotNull && col("dst") =!= "" &&
+          col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.llm.LinkGraph.pageRank(nodes, edges, 5)
+        .select(col("id").as("host"), col("pr"))
+        .orderBy(desc("pr"), col("host"))
     }),
 
     // Silence-span TRIMMING over real WAV bytes — the audio-curation
@@ -9949,6 +10068,56 @@ object SparkEntry {
        |${oPrIters("(SELECT base FROM c)", "")}
        |SELECT id AS doc_id, pr FROM p5 ORDER BY pr DESC, doc_id""".stripMargin
 
+  /** Closed-form replay of the planted link shapes ([[warcLinkArchives]]):
+    * per doc the seven SURVIVING hrefs (fragment-only and javascript:
+    * resolve to null) as resolved+canonicalized URLs, pure string
+    * algebra over doc_id — the kernel/resolver/canonicalizer chain has
+    * to reproduce every byte.
+    */
+  private val OWarcLinksSql: String =
+    """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k FROM documents),
+      |l AS (
+      |  SELECT id, k, 0 AS link_no, 'https://h'||CAST((k+1+(k%3))%8 AS VARCHAR)
+      |    ||'.example.org/next' AS link FROM d
+      |  UNION ALL SELECT id, k, 1, 'https://h'||CAST((k+2)%8 AS VARCHAR)
+      |    ||'.example.org/sr' FROM d
+      |  UNION ALL SELECT id, k, 2, 'https://h'||CAST(k AS VARCHAR)
+      |    ||'.example.org/root/'||CAST(id AS VARCHAR) FROM d
+      |  UNION ALL SELECT id, k, 3, 'https://h'||CAST(k AS VARCHAR)
+      |    ||'.example.org/a/'||CAST(id AS VARCHAR)||'/sub/'
+      |    ||CAST(id AS VARCHAR)||'.html' FROM d
+      |  UNION ALL SELECT id, k, 4, 'https://h'||CAST(k AS VARCHAR)
+      |    ||'.example.org/a/up.html' FROM d
+      |  UNION ALL SELECT id, k, 7, 'https://h'||CAST(k AS VARCHAR)
+      |    ||'.example.org/e?x=1&y=2' FROM d
+      |  UNION ALL SELECT id, k, 8, 'https://h'||CAST(k AS VARCHAR)
+      |    ||'.example.org/uq/'||CAST(id AS VARCHAR) FROM d)
+      |SELECT 'https://h'||CAST(k AS VARCHAR)||'.example.org/a/'
+      |    ||CAST(id AS VARCHAR)||'/page.html?a=1&b=2' AS page_url,
+      |  CAST(link_no AS INT) AS link_no, link AS link_url
+      |FROM l ORDER BY page_url, link_no""".stripMargin
+
+  /** Host-graph PageRank oracle: the planted shapes yield the
+    * asymmetric circulant k → (k+1+k%3)%8, k → (k+2)%8 on the 8 hosts
+    * (coincident for k%3=1, deduped like the entry's DISTINCT);
+    * [[oPrIters]] replays the identical integer recurrence over it.
+    */
+  private def oWarcPageRankSql: String =
+    s"""WITH h AS (SELECT CAST(k AS BIGINT) AS k FROM range(8) AS t(k)),
+       |c AS (SELECT count(*) AS n, 1000000000000 // count(*) AS pr0,
+       |    ((15 * 1000000000000) // 100) // count(*) AS base FROM h),
+       |e AS (
+       |  SELECT 'h'||CAST(k AS VARCHAR)||'.example.org' AS src,
+       |    'h'||CAST((k+1+(k%3))%8 AS VARCHAR)||'.example.org' AS dst FROM h
+       |  UNION
+       |  SELECT 'h'||CAST(k AS VARCHAR)||'.example.org',
+       |    'h'||CAST((k+2)%8 AS VARCHAR)||'.example.org' FROM h),
+       |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |p0 AS (SELECT 'h'||CAST(k AS VARCHAR)||'.example.org' AS id,
+       |    (SELECT pr0 FROM c) AS pr FROM h),
+       |${oPrIters("(SELECT base FROM c)", "")}
+       |SELECT id AS host, pr FROM p5 ORDER BY pr DESC, host""".stripMargin
+
   private def oPprSql: String =
     s"""WITH c AS (SELECT count(*) AS n FROM documents),
        |sc AS (SELECT count(*) AS ns FROM documents WHERE doc_id % 17 = 0),
@@ -13613,6 +13782,9 @@ object SparkEntry {
 
     // the gz edge decompresses to the identical record stream
     "llm_warc_gz" -> OWarcLayoutSql,
+
+    "llm_warc_links" -> OWarcLinksSql,
+    "llm_warc_pagerank" -> oWarcPageRankSql,
 
     "llm_warc_plan" ->
       """SELECT * FROM (VALUES

@@ -567,6 +567,81 @@ object Kernels {
       .map(_.trim).filter(_.nonEmpty).mkString("\n"))
   }
 
+  /** Outbound-link extraction for crawl-archive response content — the
+    * link-graph sibling of [[htmlText]]: strips a leading HTTP response
+    * header (same sniff), then walks the markup once collecting the
+    * `href` attribute of every `<a>` anchor tag IN DOCUMENT ORDER —
+    * tag and attribute names match case-insensitively, values may be
+    * double-quoted, single-quoted or unquoted (terminated by
+    * whitespace or `>`), and the common entities are decoded in the
+    * value (URLs in HTML are entity-encoded, `&amp;` especially).
+    * Returns RAW hrefs exactly as authored — no resolution, no
+    * filtering: fragment-only, `javascript:` and empty hrefs are the
+    * resolver's policy calls ([[graft.llm.CrawlOps.resolveUrl]]), not
+    * the extractor's. Anchors without an href contribute nothing.
+    * Lenient like [[htmlText]] (an unterminated tag swallows the rest);
+    * empty array when the page has no anchors.
+    */
+  def htmlLinks(content: Array[Byte]): ArrayData = {
+    var s = new String(content, "UTF-8")
+    if (s.startsWith("HTTP/")) {
+      val b = s.indexOf("\r\n\r\n")
+      s = if (b < 0) "" else s.substring(b + 4)
+    }
+    val lower = s.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def decode(v: String): String = v
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&apos;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        val gt = lower.indexOf('>', i)
+        val end = if (gt < 0) n else gt
+        // an ANCHOR open tag: "<a" followed by whitespace or the tag
+        // end — never "<abbr"/"<article"
+        if (i + 1 < n && lower.charAt(i + 1) == 'a' &&
+            (i + 2 >= n || lower.charAt(i + 2) == '>' ||
+             lower.charAt(i + 2) == '/' ||
+             Character.isWhitespace(lower.charAt(i + 2)))) {
+          // scan the attribute region for href=
+          var j = i + 2
+          var found = -1
+          while (found < 0 && j + 4 < end) {
+            if (Character.isWhitespace(lower.charAt(j - 1)) &&
+                lower.startsWith("href", j)) {
+              var k = j + 4
+              while (k < end && Character.isWhitespace(s.charAt(k))) k += 1
+              if (k < end && s.charAt(k) == '=') found = k + 1
+              else j += 1
+            } else j += 1
+          }
+          if (found >= 0) {
+            var k = found
+            while (k < end && Character.isWhitespace(s.charAt(k))) k += 1
+            val value =
+              if (k < end && (s.charAt(k) == '"' || s.charAt(k) == '\'')) {
+                val q = s.charAt(k)
+                val e = s.indexOf(q, k + 1)
+                if (e < 0 || e > end) null else s.substring(k + 1, e)
+              } else {
+                var e = k
+                while (e < end && !Character.isWhitespace(s.charAt(e))) e += 1
+                if (e > k) s.substring(k, e) else null
+              }
+            if (value != null)
+              out += UTF8String.fromString(decode(value))
+          }
+        }
+        i = if (gt < 0) n else gt + 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Raw-deflate compressed length of a byte payload — the kernel under
     * the compression-ratio quality signal (near-incompressible text is
     * high-entropy noise, near-totally-compressible text is boilerplate

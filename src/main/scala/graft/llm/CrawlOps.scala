@@ -37,6 +37,51 @@ object CrawlOps {
   def htmlText(content: Column): Column =
     graft.GraftExtensions.htmlText(content)
 
+  /** Outbound anchor hrefs of an HTML response record, in document
+    * order ([[graft.GraftExtensions.htmlLinks]]) — raw as authored
+    * (entity-decoded only); feed through [[resolveUrl]] +
+    * [[canonicalizeUrl]] to get graph-ready absolute URLs.
+    */
+  def htmlLinks(content: Column): Column =
+    graft.GraftExtensions.htmlLinks(content)
+
+  /** Resolve an href against the page URL it was found on (the
+    * RFC 3986 reference-resolution cases a crawl frontier actually
+    * meets), as pure codegen'd string expressions:
+    *
+    *  - absolute (`scheme://…`) — taken as-is;
+    *  - scheme-relative (`//host/…`) — the base's scheme is prepended;
+    *  - root-relative (`/…`) — joined to the base's origin
+    *    (scheme://host[:port]);
+    *  - fragment-only, empty, and non-hierarchical schemes
+    *    (`javascript:`, `mailto:`, `data:`) — null: they never name a
+    *    fetchable page (the frontier's drop policy, applied here so
+    *    the extractor stays policy-free);
+    *  - anything else — relative: joined to the base path's directory.
+    *
+    * The link's own fragment is dropped first (never sent on the
+    * wire), and `/./` + up to two levels of `/segment/../` dot
+    * segments are collapsed after the join (bounded — crawl-page
+    * relative links nest shallow; deeper chains keep their residue
+    * rather than resolving wrong).
+    */
+  def resolveUrl(base: Column, link: Column): Column = {
+    val l = substring_index(link, "#", 1)
+    val scheme = lower(regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    val basePath0 = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val baseDir = when(basePath0 === "", lit("/"))
+      .otherwise(regexp_replace(basePath0, "[^/]*$", ""))
+    val joined = when(l.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), l)
+      .when(l.startsWith("//"), concat(scheme, lit(":"), l))
+      .when(l.startsWith("/"), concat(origin, l))
+      .when(l === "" || l.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(origin, baseDir, l))
+    val noDot = regexp_replace(joined, "/\\./", "/")
+    regexp_replace(regexp_replace(noDot,
+      "/[^/.][^/]*/\\.\\./", "/"), "/[^/.][^/]*/\\.\\./", "/")
+  }
+
   /** Multi-member gzip inflate — `.warc.gz` archives (one gzip member
     * per record, the Common Crawl layout) decompress to the exact
     * concatenated-record stream [[warcRecords]] walks.

@@ -289,6 +289,29 @@ case class HtmlText(child: Expression)
     copy(child = newChild)
 }
 
+/** Outbound-link extraction as a native codegen'd expression — the
+  * link-graph sibling of [[HtmlText]]: one markup walk per response
+  * record yields the anchor hrefs in document order (raw, entity-
+  * decoded; resolution and policy filtering live in
+  * `CrawlOps.resolveUrl`). Always an array (possibly empty) for
+  * non-null input, so it composes with `posexplode` without a null
+  * guard.
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_links"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.htmlLinks(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.htmlLinks($c)")
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 /** Unigram-LM E-step (forward-backward expected piece counts +
   * log-likelihood) for one word as a native codegen'd expression. The
   * model (piece inventory + log-probs) is a plan-time constant: it

@@ -2586,4 +2586,54 @@ class LlmOpsSpec extends SparkSpec {
     // swallows the rest (lenient)
     assert(x("line<!-- never closed <p>gone") == "line")
   }
+
+  test("crawl: htmlLinks — anchor hrefs in document order, quote " +
+      "styles, entity decode, non-anchor tags ignored") {
+    import graft.expressions.Kernels
+    def links(s: String): Seq[String] = {
+      val a = Kernels.htmlLinks(s.getBytes("UTF-8"))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // double/single/unquoted values; attribute case; header strip
+    assert(links("HTTP/1.1 200 OK\r\nX: y\r\n\r\n" +
+      """<a href="/a">1</a><A HREF='/b'>2</A><a href=/c>3</a>""")
+      == Seq("/a", "/b", "/c"))
+    // entity-decoded value; other attributes before href; self-closing
+    assert(links("""<a rel="nofollow" href="/e?x=1&amp;y=2"/>""")
+      == Seq("/e?x=1&y=2"))
+    // <abbr>/<area> are not anchors; anchors without href contribute
+    // nothing; raw fragment/javascript hrefs come through (the
+    // RESOLVER drops them, not the extractor)
+    assert(links("""<abbr href="/no">x</abbr><a name="t">y</a>""" +
+      """<a href="#f">z</a><a href="javascript:void(0)">w</a>""")
+      == Seq("#f", "javascript:void(0)"))
+    // unterminated quote → dropped; no anchors → empty, not null
+    assert(links("""<a href="/unclosed>t</a>""").isEmpty)
+    assert(links("<p>plain</p>").isEmpty)
+  }
+
+  test("crawl: resolveUrl — RFC 3986 reference cases against a messy " +
+      "base, null policy for unfetchable hrefs") {
+    val s = spark
+    import s.implicits._
+    val base = "https://www.h1.example.org:443/a/7/page.html?b=2&a=1"
+    val hrefs = Seq("https://x.org/abs", "//y.org/sr", "/root", "sub/p.html",
+      "../up.html", "#sec", "javascript:void(0)", "mailto:a@b", "")
+    val out = hrefs.toDF("href")
+      .select(graft.llm.CrawlOps.resolveUrl(lit(base), col("href")).as("r"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+    assert(out == Seq(
+      "https://x.org/abs",
+      "https://y.org/sr",
+      "https://www.h1.example.org:443/root",
+      "https://www.h1.example.org:443/a/7/sub/p.html",
+      "https://www.h1.example.org:443/a/up.html",
+      null, null, null, null))
+    // two dot-dot levels collapse; a link's own fragment is dropped
+    val two = Seq(("x", "../../deep.html"), ("y", "/p#frag")).toDF("k", "href")
+      .select(graft.llm.CrawlOps.resolveUrl(
+        lit("https://h.org/a/b/c/page.html"), col("href")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(two == Seq("https://h.org/a/deep.html", "https://h.org/p"))
+  }
 }
