@@ -8508,6 +8508,96 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // OPENMETRICS 1.0 INGEST: the ecosystem's OTHER text wire rides
+    // /write under its own Content-Type — seconds timestamps (float,
+    // truncated to ms the way the upstream parser does), a REQUIRED
+    // `# EOF` terminator, UNIT metadata, and inline exemplars that
+    // land in the same side table the proto generations' exemplars
+    // use (one /api/v1/query_exemplars surface for scraped and
+    // remote-written exemplars alike). The oracle is the raw events
+    // the page was printed from, samples and exemplars both: the
+    // parser must round-trip every value, second, and the planted
+    // every-third-second exemplar rule.
+    "s1_text_openmetrics" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_om")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("value"),
+            (unix_millis(col("ts")) / 1000).cast("long").as("sec"))
+          .collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getLong(2), r.getDouble(1)))
+        val lines = rows.map { r =>
+          val (u, v, sec) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+          val base = s"""click{user_id="$u"} $v $sec"""
+          if (sec % 3 == 0)
+            base + s""" # {trace_id="t-$u-$sec"} $v $sec"""
+          else base
+        }
+        val page = "# HELP click Click value.\n# TYPE click gauge\n" +
+          "# UNIT click events\n" + lines.mkString("\n") + "\n# EOF\n"
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/openmetrics-text; version=1.0.0; charset=utf-8")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(page.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, "openmetrics write failed")
+        conn.disconnect()
+        // a page WITHOUT the # EOF terminator must refuse (the spec's
+        // truncation-detection contract), atomically — nothing ingests
+        val bad = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        bad.setRequestMethod("POST")
+        bad.setRequestProperty("Content-Type",
+          "application/openmetrics-text; version=1.0.0; charset=utf-8")
+        bad.setDoOutput(true)
+        bad.getOutputStream.write("up 1 1700000000\n".getBytes("UTF-8"))
+        require(bad.getResponseCode == 400,
+          "truncated openmetrics page must 400")
+        bad.disconnect()
+        // UNIT joined TYPE/HELP in the metadata store
+        val mconn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/api/v1/metadata")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val mbody = new String(mconn.getInputStream.readAllBytes(), "UTF-8")
+        mconn.disconnect()
+        require(mbody.contains(
+          """"click":[{"type":"gauge","help":"Click value.","unit":"events"}]"""),
+          "TYPE/HELP/UNIT must all reach the metadata store")
+        // scraped exemplars serve through the standard API surface
+        val q = java.net.URLEncoder.encode("click", "UTF-8")
+        val econn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+              s"/api/v1/query_exemplars?query=$q&start=$Jan05&end=$Jan20")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val ebody = new String(econn.getInputStream.readAllBytes(), "UTF-8")
+        econn.disconnect()
+        require(ebody.contains("trace_id"),
+          "text-scraped exemplars must serve on query_exemplars")
+        val samples = s.read.parquet(table)
+          .select(lit("sample").as("kind"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        val exs = s.read.parquet(table + "_exemplars")
+          .select(lit("exemplar").as("kind"),
+            regexp_extract(array_join(col("ex_tags"), ","),
+              "trace_id=t-([0-9]+)-", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        samples.union(exs)
+          .orderBy(col("kind"), col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
     // REMOTE-WRITE FORWARDING SINK: re-encode flat samples as proto +
     // snappy and POST them into another adapter's /write — the sink
     // that chains adapters (executor-side requests, one per partition).
@@ -15457,6 +15547,15 @@ object SparkEntry {
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'purchase'
          |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s1_text_openmetrics" ->
+      s"""WITH c AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |  FROM events WHERE event_type = 'click')
+         |SELECT 'sample' AS kind, user_id, t, value_fp FROM c
+         |UNION ALL
+         |SELECT 'exemplar', user_id, t, value_fp FROM c WHERE t % 3 = 0
+         |ORDER BY kind, user_id, t, value_fp""".stripMargin,
 
     "s3_remote_write_chain" ->
       s"""SELECT user_id, $OSec AS t,

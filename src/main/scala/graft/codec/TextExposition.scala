@@ -19,6 +19,13 @@ object TextExposition {
   case class Decoded(request: Prompb.PWriteRequest,
                      metadata: Seq[WriteWire.PMetadata])
 
+  /** OpenMetrics decode result — the classic pair plus the inline
+    * exemplars the format carries on sample lines.
+    */
+  case class DecodedOm(request: Prompb.PWriteRequest,
+                       metadata: Seq[WriteWire.PMetadata],
+                       exemplars: Seq[WriteWire.PExemplarSeries])
+
   private def fail(lineNo: Int, msg: String): Nothing =
     throw new IllegalArgumentException(s"text format line $lineNo: $msg")
 
@@ -37,51 +44,85 @@ object TextExposition {
     c.isLetterOrDigit || c == '_' || c == ':'
 
   def decode(text: String, defaultTsMs: Long): Decoded = {
+    val d = decodeAny(text, defaultTsMs, om = false)
+    Decoded(d.request, d.metadata)
+  }
+
+  /** OpenMetrics 1.0 decode — the ecosystem's OTHER text wire, three
+    * rules apart from 0.0.4: timestamps are SECONDS (a Go float,
+    * converted to ms with the upstream parser's `int64(ts * 1000)`
+    * truncation), the page MUST terminate with `# EOF` (a truncated
+    * scrape is an error, not a short page), `# UNIT` metadata joins
+    * HELP/TYPE, and a sample line may carry an inline exemplar:
+    * `name{…} value [ts] # {exemplar_labels} exemplar_value [ts]`.
+    */
+  def decodeOpenMetrics(text: String, defaultTsMs: Long): DecodedOm =
+    decodeAny(text, defaultTsMs, om = true)
+
+  private def decodeAny(text: String, defaultTsMs: Long,
+                        om: Boolean): DecodedOm = {
     val series = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Prompb.PLabel], scala.collection.mutable.ArrayBuffer[Prompb.PSample]]
-    // family → (type, help); either half may arrive first
+    val exemplars = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Prompb.PLabel], scala.collection.mutable.ArrayBuffer[WriteWire.PExemplar]]
+    // family → (type, help, unit); any third may arrive first
     val meta = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, String)]
+      .empty[String, (String, String, String)]
     var lineNo = 0
+    var sawEof = false
     text.split("\n", -1).foreach { rawLine =>
       lineNo += 1
       val line = rawLine.stripSuffix("\r")
       // whitespace-only lines are as empty as empty ones (real
       // exporters emit both)
       if (line.exists(c => c != ' ' && c != '\t')) {
-        if (line.startsWith("#")) parseComment(line, lineNo, meta)
-        else {
-          val (labels, value, tsMs) = parseSample(line, lineNo, defaultTsMs)
+        if (sawEof) fail(lineNo, "content after # EOF")
+        if (line.startsWith("#")) {
+          if (om && line == "# EOF") sawEof = true
+          else parseComment(line, lineNo, om, meta)
+        } else {
+          val (labels, value, tsMs, ex) =
+            parseSample(line, lineNo, defaultTsMs, om)
           series.getOrElseUpdate(labels,
             scala.collection.mutable.ArrayBuffer.empty) +=
             Prompb.PSample(value, tsMs)
+          ex.foreach(e => exemplars.getOrElseUpdate(labels,
+            scala.collection.mutable.ArrayBuffer.empty) += e)
         }
       }
     }
-    Decoded(
+    if (om && !sawEof) fail(lineNo, "missing # EOF terminator")
+    DecodedOm(
       Prompb.PWriteRequest(series.toSeq.map { case (ls, ss) =>
         Prompb.PTimeSeries(ls, ss.toSeq)
       }),
-      meta.toSeq.map { case (fam, (typ, help)) =>
-        WriteWire.PMetadata(fam, typ, help, "")
+      meta.toSeq.map { case (fam, (typ, help, unit)) =>
+        WriteWire.PMetadata(fam, typ, help, unit)
+      },
+      exemplars.toSeq.map { case (ls, es) =>
+        WriteWire.PExemplarSeries(ls, es.toSeq)
       })
   }
 
-  /** `# HELP <name> <text>` / `# TYPE <name> <type>`; any other comment
-    * is ignored (the spec's contract). */
-  private def parseComment(line: String, lineNo: Int,
-      meta: scala.collection.mutable.LinkedHashMap[String, (String, String)])
+  /** `# HELP <name> <text>` / `# TYPE <name> <type>` (+ `# UNIT <name>
+    * <unit>` in OpenMetrics); any other comment is ignored (the spec's
+    * contract). */
+  private def parseComment(line: String, lineNo: Int, om: Boolean,
+      meta: scala.collection.mutable.LinkedHashMap[String, (String, String, String)])
       : Unit = {
     val body = line.drop(1).dropWhile(_ == ' ')
     val kw = body.takeWhile(_ != ' ')
-    if (kw == "HELP" || kw == "TYPE") {
+    if (kw == "HELP" || kw == "TYPE" || (om && kw == "UNIT")) {
       val rest = body.drop(kw.length).dropWhile(_ == ' ')
       val name = rest.takeWhile(_ != ' ')
       if (name.isEmpty) fail(lineNo, s"# $kw needs a metric name")
       val payload = rest.drop(name.length).dropWhile(_ == ' ')
-      val cur = meta.getOrElse(name, ("", ""))
-      if (kw == "TYPE") meta(name) = (payload, cur._2)
-      else meta(name) = (cur._1, unescapeHelp(payload))
+      val cur = meta.getOrElse(name, ("", "", ""))
+      kw match {
+        case "TYPE" => meta(name) = (payload, cur._2, cur._3)
+        case "HELP" => meta(name) = (cur._1, unescapeHelp(payload), cur._3)
+        case _ => meta(name) = (cur._1, cur._2, payload)
+      }
     }
   }
 
@@ -100,13 +141,106 @@ object TextExposition {
     out.result()
   }
 
-  /** One sample line → (sorted labels incl. __name__, value, ts ms). */
-  private def parseSample(line: String, lineNo: Int,
-                          defaultTsMs: Long)
-      : (Seq[Prompb.PLabel], Double, Long) = {
+  /** `{label="v",…}` starting at `start` (which must index the `{`):
+    * appends decoded labels to `labels` (duplicate names refused) and
+    * returns the index just past the closing brace. */
+  private def parseLabelBlock(line: String, lineNo: Int, start: Int,
+      labels: scala.collection.mutable.ArrayBuffer[Prompb.PLabel]): Int = {
+    var i = start + 1
+    def skipSpace(): Unit =
+      while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1
+    var first = true
+    var open = true
+    while (open) {
+      skipSpace()
+      if (i >= line.length) fail(lineNo, "unterminated label set")
+      if (line(i) == '}') { i += 1; open = false }
+      else {
+        if (!first) {
+          if (line(i) != ',') fail(lineNo, "',' expected between labels")
+          i += 1; skipSpace()
+          // trailing comma before the brace is legal
+          if (i < line.length && line(i) == '}') { i += 1; open = false }
+        }
+        if (open) {
+          val ks = i
+          if (i >= line.length || !isNameStart(line(i)))
+            fail(lineNo, "label name expected")
+          while (i < line.length && isNameChar(line(i))) i += 1
+          val lname = line.substring(ks, i)
+          skipSpace()
+          if (i >= line.length || line(i) != '=')
+            fail(lineNo, s"'=' expected after label '$lname'")
+          i += 1; skipSpace()
+          if (i >= line.length || line(i) != '"')
+            fail(lineNo, s"quoted value expected for label '$lname'")
+          i += 1
+          val v = new StringBuilder
+          var closed = false
+          while (!closed) {
+            if (i >= line.length) fail(lineNo, "unterminated label value")
+            line(i) match {
+              case '"' => closed = true; i += 1
+              case '\\' =>
+                if (i + 1 >= line.length)
+                  fail(lineNo, "dangling escape in label value")
+                line(i + 1) match {
+                  case 'n' => v += '\n'
+                  case '"' => v += '"'
+                  case '\\' => v += '\\'
+                  case other => fail(lineNo, s"bad escape '\\$other'")
+                }
+                i += 2
+              case c => v += c; i += 1
+            }
+          }
+          if (labels.exists(_.name == lname))
+            fail(lineNo, s"duplicate label name '$lname'")
+          labels += Prompb.PLabel(lname, v.result())
+          first = false
+        }
+      }
+    }
+    i
+  }
+
+  private def parseValue(tok: String, lineNo: Int): Double = tok match {
+    case "+Inf" | "Inf" => Double.PositiveInfinity
+    case "-Inf" => Double.NegativeInfinity
+    case "NaN" => Double.NaN
+    case t =>
+      // Go's strconv float shape only: Java's parseDouble additionally
+      // accepts 'd'/'f' suffixes, hex floats, 'Infinity', and padded
+      // forms — all of which the exposition format rejects, and a
+      // malformed page must fail with a line number, not ingest
+      if (!GoFloat.matcher(t).matches())
+        fail(lineNo, s"malformed value '$t'")
+      try t.toDouble
+      catch { case _: NumberFormatException =>
+        fail(lineNo, s"malformed value '$t'") }
+  }
+
+  /** One sample line → (sorted labels incl. __name__, value, ts ms,
+    * inline exemplar). Classic mode: the timestamp is integer ms, no
+    * exemplar. OpenMetrics mode: the timestamp is float SECONDS
+    * (truncated to ms the way the upstream parser does), and a ` # `
+    * separator may introduce an exemplar. */
+  private def parseSample(line: String, lineNo: Int, defaultTsMs: Long,
+                          om: Boolean)
+      : (Seq[Prompb.PLabel], Double, Long, Option[WriteWire.PExemplar]) = {
     var i = 0
     def skipSpace(): Unit =
       while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1
+    def token(): String = {
+      val s = i
+      while (i < line.length && line(i) != ' ' && line(i) != '\t') i += 1
+      line.substring(s, i)
+    }
+    def omTsMs(tok: String): Long = {
+      val sec = parseValue(tok, lineNo)
+      // upstream openmetrics parser: int64(ts * 1000) — truncation
+      (sec * 1000.0).toLong
+    }
     if (!isNameStart(line(0))) fail(lineNo, "metric name expected")
     while (i < line.length && isNameChar(line(i))) i += 1
     val name = line.substring(0, i)
@@ -114,89 +248,46 @@ object TextExposition {
       Prompb.PLabel("__name__", name))
     skipSpace()
     if (i < line.length && line(i) == '{') {
-      i += 1
-      var first = true
-      var open = true
-      while (open) {
-        skipSpace()
-        if (i >= line.length) fail(lineNo, "unterminated label set")
-        if (line(i) == '}') { i += 1; open = false }
-        else {
-          if (!first) {
-            if (line(i) != ',') fail(lineNo, "',' expected between labels")
-            i += 1; skipSpace()
-            // trailing comma before the brace is legal
-            if (i < line.length && line(i) == '}') { i += 1; open = false }
-          }
-          if (open) {
-            val ks = i
-            if (i >= line.length || !isNameStart(line(i)))
-              fail(lineNo, "label name expected")
-            while (i < line.length && isNameChar(line(i))) i += 1
-            val lname = line.substring(ks, i)
-            skipSpace()
-            if (i >= line.length || line(i) != '=')
-              fail(lineNo, s"'=' expected after label '$lname'")
-            i += 1; skipSpace()
-            if (i >= line.length || line(i) != '"')
-              fail(lineNo, s"quoted value expected for label '$lname'")
-            i += 1
-            val v = new StringBuilder
-            var closed = false
-            while (!closed) {
-              if (i >= line.length) fail(lineNo, "unterminated label value")
-              line(i) match {
-                case '"' => closed = true; i += 1
-                case '\\' =>
-                  if (i + 1 >= line.length)
-                    fail(lineNo, "dangling escape in label value")
-                  line(i + 1) match {
-                    case 'n' => v += '\n'
-                    case '"' => v += '"'
-                    case '\\' => v += '\\'
-                    case other => fail(lineNo, s"bad escape '\\$other'")
-                  }
-                  i += 2
-                case c => v += c; i += 1
-              }
-            }
-            if (labels.exists(_.name == lname))
-              fail(lineNo, s"duplicate label name '$lname'")
-            labels += Prompb.PLabel(lname, v.result())
-            first = false
-          }
-        }
-      }
+      i = parseLabelBlock(line, lineNo, i, labels)
       skipSpace()
     }
     if (i >= line.length) fail(lineNo, "sample value expected")
-    val vs = i
-    while (i < line.length && line(i) != ' ' && line(i) != '\t') i += 1
-    val valueTok = line.substring(vs, i)
-    val value = valueTok match {
-      case "+Inf" | "Inf" => Double.PositiveInfinity
-      case "-Inf" => Double.NegativeInfinity
-      case "NaN" => Double.NaN
-      case tok =>
-        // Go's strconv float shape only: Java's parseDouble additionally
-        // accepts 'd'/'f' suffixes, hex floats, 'Infinity', and padded
-        // forms — all of which the exposition format rejects, and a
-        // malformed page must fail with a line number, not ingest
-        if (!GoFloat.matcher(tok).matches())
-          fail(lineNo, s"malformed value '$tok'")
-        try tok.toDouble
-        catch { case _: NumberFormatException =>
-          fail(lineNo, s"malformed value '$tok'") }
-    }
+    val value = parseValue(token(), lineNo)
     skipSpace()
-    val tsMs =
-      if (i >= line.length) defaultTsMs
-      else {
-        val ts = line.substring(i).takeWhile(c => c != ' ' && c != '\t')
-        try ts.toLong
-        catch { case _: NumberFormatException =>
-          fail(lineNo, s"malformed timestamp '$ts'") }
-      }
-    (labels.toSeq.sortBy(_.name), value, tsMs)
+    if (!om) {
+      val tsMs =
+        if (i >= line.length) defaultTsMs
+        else {
+          val ts = token()
+          try ts.toLong
+          catch { case _: NumberFormatException =>
+            fail(lineNo, s"malformed timestamp '$ts'") }
+        }
+      (labels.toSeq.sortBy(_.name), value, tsMs, None)
+    } else {
+      val tsMs =
+        if (i >= line.length || line(i) == '#') defaultTsMs
+        else omTsMs(token())
+      skipSpace()
+      val exemplar =
+        if (i >= line.length) None
+        else {
+          if (line(i) != '#') fail(lineNo, "'#' or line end expected")
+          i += 1; skipSpace()
+          if (i >= line.length || line(i) != '{')
+            fail(lineNo, "exemplar label set expected after '#'")
+          val exLabels = scala.collection.mutable.ArrayBuffer
+            .empty[Prompb.PLabel]
+          i = parseLabelBlock(line, lineNo, i, exLabels)
+          skipSpace()
+          if (i >= line.length) fail(lineNo, "exemplar value expected")
+          val exValue = parseValue(token(), lineNo)
+          skipSpace()
+          val exTsMs = if (i >= line.length) tsMs else omTsMs(token())
+          Some(WriteWire.PExemplar(exLabels.toSeq.sortBy(_.name),
+            exValue, exTsMs))
+        }
+      (labels.toSeq.sortBy(_.name), value, tsMs, exemplar)
+    }
   }
 }

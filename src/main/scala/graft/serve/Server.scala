@@ -202,6 +202,20 @@ class Server(spark: SparkSession, tablePath: String,
           if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
         return ingestDecoded(ex, dec.request)
       }
+      // OpenMetrics 1.0 pages declare themselves in Content-Type
+      // (`application/openmetrics-text; version=1.0.0`): seconds
+      // timestamps, required # EOF, UNIT metadata, and inline
+      // exemplars — which land in the same side table the proto
+      // generations' exemplars use, so /api/v1/query_exemplars serves
+      // scraped and remote-written exemplars identically
+      if (ctype.startsWith("application/openmetrics-text")) {
+        val dec = graft.codec.TextExposition.decodeOpenMetrics(
+          new String(readBody(ex), "UTF-8"), System.currentTimeMillis())
+        dec.metadata.foreach(md =>
+          if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
+        if (dec.exemplars.nonEmpty) appendExemplars(dec.exemplars)
+        return ingestDecoded(ex, dec.request)
+      }
       val body = Prompb.snappyUncompress(readBody(ex))
       val (wr, exemplars, metadata) =
         if (ctype.contains("io.prometheus.write.v2.Request")) {

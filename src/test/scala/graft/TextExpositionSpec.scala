@@ -89,4 +89,50 @@ class TextExpositionSpec extends AnyFunSuite {
     assert(dec.request.timeseries.map(_.samples.head.value).sum ==
       (0 until 50).map(_ + 0.5).sum)
   }
+
+  test("openmetrics: seconds timestamps, UNIT metadata, inline " +
+      "exemplars, EOF discipline") {
+    val page =
+      """# HELP rq Requests.
+        |# TYPE rq counter
+        |# UNIT rq seconds
+        |rq_total{job="api"} 5 1700000000.25 # {trace_id="abc"} 1 1700000000.5
+        |rq_total{job="db"} 2 1700000060
+        |rq_total{job="ws"} 3
+        |# EOF
+        |""".stripMargin
+    val dec = TextExposition.decodeOpenMetrics(page, 99L)
+    // float seconds truncate to ms the upstream way: int64(ts * 1000)
+    val byJob = dec.request.timeseries
+      .map(ts => ts.labels.find(_.name == "job").get.value ->
+        ts.samples.head).toMap
+    assert(byJob("api").timestampMs == 1700000000250L)
+    assert(byJob("db").timestampMs == 1700000060000L)
+    assert(byJob("ws").timestampMs == 99L) // no ts → receiver default
+    // the exemplar rides its series, labels sorted, its own seconds ts
+    val ex = dec.exemplars
+    assert(ex.size == 1)
+    assert(ex.head.seriesLabels.find(_.name == "job").get.value == "api")
+    assert(ex.head.exemplars ==
+      Seq(WriteWire.PExemplar(Seq(PLabel("trace_id", "abc")),
+        1.0, 1700000000500L)))
+    // an exemplar with no own timestamp inherits the sample's
+    val inherit = TextExposition.decodeOpenMetrics(
+      "m 1 100 # {t=\"x\"} 2\n# EOF\n", 0L)
+    assert(inherit.exemplars.head.exemplars.head.timestampMs == 100000L)
+    // UNIT joins TYPE/HELP in family metadata
+    assert(dec.metadata ==
+      Seq(WriteWire.PMetadata("rq", "counter", "Requests.", "seconds")))
+    // EOF is mandatory, terminal, and exact
+    intercept[IllegalArgumentException](
+      TextExposition.decodeOpenMetrics("m 1 1\n", 0L))
+    intercept[IllegalArgumentException](
+      TextExposition.decodeOpenMetrics("# EOF\nm 1 1\n", 0L))
+    // classic mode is unchanged by the refactor: the ms timestamp is
+    // the token after the value and anything beyond is ignored (the
+    // historical leniency) — an exemplar suffix never ingests as data
+    val classic = TextExposition.decode("m 1 100 # {t=\"x\"} 2\n", 0L)
+    assert(classic.request.timeseries.head.samples ==
+      Seq(PSample(1.0, 100L)))
+  }
 }
