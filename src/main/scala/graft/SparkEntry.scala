@@ -4370,6 +4370,41 @@ object SparkEntry {
         .orderBy(desc("pr"), col("host"))
     }),
 
+    // ROBOTS.TXT COMPLIANCE SCREEN (RFC 9309) — the step before any
+    // fetch joins the frontier: per-host robots rules for the
+    // crawler's product token (group selection pinned: the planted
+    // `User-agent: *` group disallows EVERYTHING, so any URL coming
+    // back allowed proves the GraftBot group was chosen instead),
+    // longest-match-wins with Allow on ties, wildcard + $-anchor
+    // patterns, and hosts with no robots.txt at all default to
+    // allowed. Rules broadcast onto the frontier scan — the frontier
+    // is read once and folded per URL, never re-shuffled by host.
+    "llm_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val frontier = ids.map { id =>
+        val k = id % 8
+        val path = (id % 5) match {
+          case 0 => s"/a/$id/page.html"      // no rule matches
+          case 1 => s"/private/$id"          // Disallow /private/
+          case 2 => s"/private/open/$id"     // longer Allow wins
+          case 3 => s"/docs/$id.pdf"         // /*.pdf$ wildcard+anchor
+          case _ => s"/docs/$id.pdfx"        // $ anchor must NOT match
+        }
+        s"https://h$k.example.org$path"
+      }.toDF("url")
+      val robots = (0L until 8L).filter(_ % 4 != 3).map { k =>
+        (s"h$k.example.org",
+          "# graft crawl policy\nUser-Agent: GraftBot\n" +
+            "Disallow: /private/\nAllow: /private/open/\n" +
+            "Disallow: /*.pdf$\nDisallow:\n" +
+            "User-agent: *\nDisallow: /\n")
+      }.toDF("host", "robots_txt")
+      graft.llm.CrawlOps.robotsFilter(frontier, "url", robots, "graftbot")
+        .orderBy(col("url"))
+    }),
+
     // Silence-span TRIMMING over real WAV bytes — the audio-curation
     // pass that cuts dead air before transcription: per-frame peak from
     // the native kernel (exact integer, no float threshold), quiet
@@ -13872,6 +13907,18 @@ object SparkEntry {
 
     // the gz edge decompresses to the identical record stream
     "llm_warc_gz" -> OWarcLayoutSql,
+
+    "llm_robots_filter" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k, doc_id % 5 AS m
+        |  FROM documents)
+        |SELECT 'https://h'||CAST(k AS VARCHAR)||'.example.org'||
+        |    CASE m WHEN 0 THEN '/a/'||CAST(id AS VARCHAR)||'/page.html'
+        |           WHEN 1 THEN '/private/'||CAST(id AS VARCHAR)
+        |           WHEN 2 THEN '/private/open/'||CAST(id AS VARCHAR)
+        |           WHEN 3 THEN '/docs/'||CAST(id AS VARCHAR)||'.pdf'
+        |           ELSE '/docs/'||CAST(id AS VARCHAR)||'.pdfx' END AS url,
+        |  (k % 4 = 3) OR (m IN (0, 2, 4)) AS allowed
+        |FROM d ORDER BY url""".stripMargin,
 
     "llm_warc_links" -> OWarcLinksSql,
     "llm_warc_pagerank" -> oWarcPageRankSql,

@@ -642,6 +642,82 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** robots.txt group selection + rule extraction (RFC 9309): parse the
+    * file's `User-agent` / `Allow` / `Disallow` lines (field names
+    * case-insensitive, `#` comments stripped, consecutive User-agent
+    * lines share one group), pick the group set for `agent` — every
+    * group naming the product token exactly (case-insensitive), else
+    * every `*` group — and emit that set's (allow, pattern) rules.
+    * Value-less `Disallow:` lines contribute no rule (the spec's
+    * "allow all" idiom); rules before any User-agent line are invalid
+    * and dropped. Empty array ⇔ no applicable rules ⇔ everything
+    * allowed. Null input refuses (a fetch error is NOT an empty
+    * robots file — the caller decides that policy).
+    */
+  def robotsRules(txt: UTF8String, agent: String): ArrayData = {
+    if (txt == null) return null
+    val want = agent.toLowerCase
+    // (agents, rules) per group, in file order
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+              scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+    var inAgentRun = false
+    txt.toString.split("\n").foreach { raw =>
+      val line = { val h = raw.indexOf('#'); if (h < 0) raw else raw.substring(0, h) }.trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgentRun) {
+              groups += ((scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+              inAgentRun = true
+            }
+            groups.last._1 += value.toLowerCase
+          case "allow" | "disallow" =>
+            inAgentRun = false
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += ((field == "allow", value))
+          case _ => inAgentRun = false
+        }
+      }
+    }
+    val exact = groups.filter(_._1.contains(want))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chosen.flatMap(_._2).map { case (allow, pat) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](allow, UTF8String.fromString(pat)))
+      }.toArray[Any])
+  }
+
+  /** RFC 9309 path-pattern match: `*` matches any run of octets, a
+    * terminal `$` anchors the end; an UNANCHORED pattern matches any
+    * path it prefixes (⇔ full-match of `pattern*`). Returns the
+    * pattern's length (its rule SPECIFICITY — longest-match-wins, the
+    * caller's fold) on match, −1 otherwise.
+    */
+  def robotsMatchLen(path: UTF8String, pattern: UTF8String): Int = {
+    val p0 = pattern.toString
+    val anchored = p0.endsWith("$")
+    val pat = (if (anchored) p0.dropRight(1) else p0) +
+      (if (anchored) "" else "*")
+    val txt = path.toString
+    // iterative glob full-match with star backtracking
+    var s = 0; var p = 0; var star = -1; var mark = 0
+    val slen = txt.length; val plen = pat.length
+    while (s < slen) {
+      if (p < plen && (pat.charAt(p) == '*')) { star = p; mark = s; p += 1 }
+      else if (p < plen && pat.charAt(p) == txt.charAt(s)) { s += 1; p += 1 }
+      else if (star >= 0) { p = star + 1; mark += 1; s = mark }
+      else return -1
+    }
+    while (p < plen && pat.charAt(p) == '*') p += 1
+    if (p == plen) p0.length else -1
+  }
+
   /** Raw-deflate compressed length of a byte payload — the kernel under
     * the compression-ratio quality signal (near-incompressible text is
     * high-entropy noise, near-totally-compressible text is boilerplate

@@ -156,6 +156,62 @@ object CrawlOps {
       .otherwise(hostRaw)
   }
 
+  /** The (allow, pattern) robots.txt rules applying to `agent`
+    * ([[graft.GraftExtensions.robotsRules]], RFC 9309 group selection).
+    */
+  def robotsRules(robotsTxt: Column, agent: String): Column =
+    graft.GraftExtensions.robotsRules(robotsTxt, agent)
+
+  /** RFC 9309 pattern match length against a URL path (−1 = no match;
+    * else the rule's longest-match specificity).
+    */
+  def robotsMatchLen(path: Column, pattern: Column): Column =
+    graft.GraftExtensions.robotsMatchLen(path, pattern)
+
+  /** Crawl-compliance screen: classify every frontier URL as allowed or
+    * not under its host's robots.txt for the given crawler product
+    * token. RFC 9309 decision rule: among the applicable group's rules
+    * whose pattern matches the URL's path (+query), the LONGEST pattern
+    * wins; Allow wins length ties; no matching rule — or no robots.txt
+    * for the host at all — means allowed.
+    *
+    * Scale shape: the rules side is (hosts × rules-per-host) — minute
+    * next to any real frontier — so it BROADCASTS onto the frontier
+    * scan and the per-URL fold is one partial-combined groupBy(url):
+    * the frontier is read once, never re-shuffled by host. The
+    * longest-match fold is `max(struct(match_len, allow))` — struct
+    * ordering encodes "longest, then Allow on ties" exactly.
+    *
+    * @param frontier one row per candidate URL (column `urlCol`)
+    * @param robots   (host, robots_txt) — host under the [[hostOf]]
+    *                 normalization
+    * @return one row per distinct URL: (url, allowed)
+    */
+  def robotsFilter(frontier: DataFrame, urlCol: String,
+                   robots: DataFrame, agent: String): DataFrame = {
+    val rules = robots.select(col("host"),
+      explode(robotsRules(col("robots_txt"), agent)).as("r"))
+      .select(col("host"), col("r.allow").as("allow"),
+        col("r.pattern").as("pattern"))
+    val withPath = frontier
+      .select(col(urlCol).as("url"),
+        hostOf(col(urlCol)).as("host"),
+        // the match target is path + query (RFC 9309), never fragment
+        when(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1) === "", "/")
+          .otherwise(regexp_extract(col(urlCol),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)).as("path"))
+    withPath
+      .join(broadcast(rules), Seq("host"), "left")
+      .groupBy(col("url"))
+      .agg(max(struct(
+        coalesce(robotsMatchLen(col("path"), col("pattern")), lit(-1))
+          .as("len"),
+        coalesce(col("allow"), lit(false)).as("allow"))).as("best"))
+      .select(col("url"),
+        (col("best.len") < 0 || col("best.allow")).as("allowed"))
+  }
+
   /** Corpus snapshot diff — the recrawl bookkeeping pass: classify every
     * document id across two corpus versions as `added` (new snapshot
     * only), `removed` (old only), `changed` (both, content hash differs)

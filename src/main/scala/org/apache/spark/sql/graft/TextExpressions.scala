@@ -312,6 +312,72 @@ case class HtmlLinks(child: Expression)
     copy(child = newChild)
 }
 
+/** robots.txt group selection + rule extraction (RFC 9309) as a native
+  * codegen'd expression — the crawl-compliance front of the frontier:
+  * one parse per (host, robots.txt) row yields the (allow, pattern)
+  * rules applying to the crawler's product token (a plan-time
+  * constant, the [[CdcChunks]] parameter convention). Nullable: a
+  * null fetch refuses — the FETCH-ERROR policy belongs to the caller,
+  * not the parser.
+  */
+case class RobotsRules(child: Expression, agent: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(agent.nonEmpty, "need a crawler product token")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RobotsRules.Schema
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_rules"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.robotsRules(input.asInstanceOf[UTF8String], agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("res")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.Kernels.robotsRules($c, $a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): RobotsRules =
+    copy(child = newChild)
+}
+
+object RobotsRules {
+  val Schema: DataType = ArrayType(StructType(Seq(
+    StructField("allow", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("pattern", StringType, nullable = false))),
+    containsNull = false)
+}
+
+/** RFC 9309 path-pattern match length (`*` wildcards, terminal `$`
+  * anchor; −1 = no match, else the pattern's length = the rule's
+  * longest-match specificity) as a native codegen'd expression — one
+  * eval per (frontier URL, rule) pair, the hot cell of the compliance
+  * join.
+  */
+case class RobotsMatchLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_match_len"
+  override protected def nullSafeEval(path: Any, pattern: Any): Any =
+    Kernels.robotsMatchLen(path.asInstanceOf[UTF8String],
+      pattern.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, q) => s"graft.expressions.Kernels.robotsMatchLen($p, $q)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatchLen =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unigram-LM E-step (forward-backward expected piece counts +
   * log-likelihood) for one word as a native codegen'd expression. The
   * model (piece inventory + log-probs) is a plan-time constant: it

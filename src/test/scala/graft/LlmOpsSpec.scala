@@ -2612,6 +2612,49 @@ class LlmOpsSpec extends SparkSpec {
     assert(links("<p>plain</p>").isEmpty)
   }
 
+  test("crawl: robotsRules — group selection, case-insensitivity, " +
+      "comments, empty Disallow, pre-group rules dropped") {
+    import graft.expressions.Kernels
+    def rules(txt: String, agent: String): Seq[(Boolean, String)] = {
+      val a = Kernels.robotsRules(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt), agent)
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getBoolean(0), r.getUTF8String(1).toString)
+      }
+    }
+    val txt = "Disallow: /orphan\n" + // before any group: invalid, dropped
+      "User-Agent: GraftBot\nUser-agent: other-bot\n" + // shared group
+      "Disallow: /a # trailing comment\nAllow: /a/b\nDisallow:\n" +
+      "User-agent: *\nDisallow: /\n"
+    // exact product token (case-insensitive) beats *; the agent-run
+    // shares its rules across both named bots
+    assert(rules(txt, "graftbot") == Seq((false, "/a"), (true, "/a/b")))
+    assert(rules(txt, "OTHER-BOT") == Seq((false, "/a"), (true, "/a/b")))
+    // unknown agent falls back to the * group
+    assert(rules(txt, "stranger") == Seq((false, "/")))
+    // no groups at all → empty (allow everything), not null
+    assert(rules("# only comments\n", "graftbot").isEmpty)
+    // null fetch refuses
+    assert(Kernels.robotsRules(null, "graftbot") == null)
+  }
+
+  test("crawl: robotsMatchLen — prefix semantics, * wildcard, $ " +
+      "anchor, specificity = pattern length") {
+    import graft.expressions.Kernels
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def m(path: String, pat: String): Int =
+      Kernels.robotsMatchLen(u(path), u(pat))
+    assert(m("/a/b/c", "/a") == 2)          // plain prefix
+    assert(m("/a/b/c", "/a/b/c/d") == -1)   // longer than path
+    assert(m("/x/file.pdf", "/*.pdf$") == 7)
+    assert(m("/x/file.pdfx", "/*.pdf$") == -1) // anchor must bind the end
+    assert(m("/x/file.pdf.html", "/*.pdf") == 6) // unanchored mid-match
+    assert(m("/ab", "/a*b*") == 5)          // trailing star matches empty
+    assert(m("/p/q", "/") == 1)
+    assert(m("/search?q=1", "/search?q=") == 10) // query is matchable
+  }
+
   test("crawl: resolveUrl — RFC 3986 reference cases against a messy " +
       "base, null policy for unfetchable hrefs") {
     val s = spark
