@@ -8633,6 +8633,76 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // OTLP EXEMPLARS: the span-context attachments OTel SDKs put on
+    // counter points ride /otlp/v1/metrics into the SAME side table
+    // remote-write v1/v2 and OpenMetrics exemplars use — trace_id
+    // bytes render as lowercase hex labels, the exemplar's series
+    // identity equals its samples' (resource mapping applied to both
+    // walks alike), and /api/v1/query_exemplars serves all four ingest
+    // protocols' exemplars identically. Oracle: the raw events the
+    // wire was built from, samples ∪ the planted every-third-second
+    // exemplar rule — the fourth protocol edge sharing the discipline
+    // of the OpenMetrics entry.
+    "s1_otlp_exemplars" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_oex")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("value"),
+            (unix_millis(col("ts")) / 1000).cast("long").as("sec"))
+          .collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getLong(2), r.getDouble(1)))
+        val pts = rows.map { r =>
+          val (u, v, sec) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+          val exs =
+            if (sec % 3 == 0)
+              Seq((Seq.empty[(String, String)], f"$u%016x$sec%016x",
+                sec * 1000000000L, v))
+            else Nil
+          ("view", Seq("user_id" -> u.toString), sec * 1000000000L, v, exs)
+        }
+        val body = graft.codec.Otlp.encodeSumRequestExemplars(
+          Seq("job" -> "graft"), pts)
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/otlp/v1/metrics")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(body)
+        require(conn.getResponseCode == 200, "otlp write failed")
+        conn.disconnect()
+        // the stored exemplars serve through the standard API, hex
+        // trace ids intact
+        val q = java.net.URLEncoder.encode("view", "UTF-8")
+        val econn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+              s"/api/v1/query_exemplars?query=$q&start=$Jan05&end=$Jan20")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val ebody = new String(econn.getInputStream.readAllBytes(), "UTF-8")
+        econn.disconnect()
+        require(ebody.contains("trace_id"),
+          "otlp exemplars must serve on query_exemplars")
+        val samples = s.read.parquet(table)
+          .select(lit("sample").as("kind"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        val exs = s.read.parquet(table + "_exemplars")
+          .select(lit("exemplar").as("kind"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        samples.union(exs)
+          .orderBy(col("kind"), col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
     // REMOTE-WRITE FORWARDING SINK: re-encode flat samples as proto +
     // snappy and POST them into another adapter's /write — the sink
     // that chains adapters (executor-side requests, one per partition).
@@ -15594,6 +15664,15 @@ object SparkEntry {
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'purchase'
          |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s1_otlp_exemplars" ->
+      s"""WITH c AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |  FROM events WHERE event_type = 'view')
+         |SELECT 'sample' AS kind, user_id, t, value_fp FROM c
+         |UNION ALL
+         |SELECT 'exemplar', user_id, t, value_fp FROM c WHERE t % 3 = 0
+         |ORDER BY kind, user_id, t, value_fp""".stripMargin,
 
     "s1_text_openmetrics" ->
       s"""WITH c AS (SELECT user_id, $OSec AS t,

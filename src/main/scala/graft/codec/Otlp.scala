@@ -730,6 +730,166 @@ object Otlp {
     PWriteRequest(out.result())
   }
 
+  // ------------------------------------------------------------- exemplars
+
+  private def hexOf(buf: Array[Byte], s: Int, e: Int): String = {
+    val sb = new java.lang.StringBuilder((e - s) * 2)
+    var i = s
+    while (i < e) { sb.append(f"${buf(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** One OTLP Exemplar → the store's exemplar shape (the Prometheus
+    * receiver mapping): `trace_id`/`span_id` bytes render as lowercase
+    * hex labels, filtered attributes become labels as-is, the value is
+    * either float (3) or int (6), the timestamp ns→ms like samples.
+    */
+  private def decExemplar(buf: Array[Byte], s: Int,
+                          e: Int): WriteWire.PExemplar = {
+    val r = new Prompb.Reader(buf, s, e)
+    var ts = 0L; var v = 0.0
+    val labels = Seq.newBuilder[PLabel]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (2, 1) => ts = r.fixed64()
+        case (3, 1) => v = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (6, 1) => v = r.fixed64().toDouble
+        case (4, 2) =>
+          val (a, b) = r.lenDelimited()
+          labels += PLabel("span_id", hexOf(buf, a, b))
+        case (5, 2) =>
+          val (a, b) = r.lenDelimited()
+          labels += PLabel("trace_id", hexOf(buf, a, b))
+        case (7, 2) =>
+          val (a, b) = r.lenDelimited()
+          decKeyValue(buf, a, b).foreach { case (k2, v2) =>
+            labels += PLabel(k2, v2) }
+        case (_, w) => r.skip(w)
+      }
+    }
+    WriteWire.PExemplar(labels.result().sortBy(_.name), v,
+      Math.floorDiv(ts, 1000000L))
+  }
+
+  /** NumberDataPoint walk for the exemplar pass: point attrs (7) +
+    * exemplar spans (5). */
+  private def decPointExemplars(buf: Array[Byte], s: Int, e: Int)
+      : (Seq[(String, String)], Seq[WriteWire.PExemplar]) = {
+    val r = new Prompb.Reader(buf, s, e)
+    val attrs = Seq.newBuilder[(String, String)]
+    val exs = Seq.newBuilder[WriteWire.PExemplar]
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (5, 2) =>
+          val (a, b) = r.lenDelimited(); exs += decExemplar(buf, a, b)
+        case (7, 2) =>
+          val (a, b) = r.lenDelimited()
+          decKeyValue(buf, a, b).foreach(attrs += _)
+        case (_, w) => r.skip(w)
+      }
+    }
+    (attrs.result(), exs.result())
+  }
+
+  /** The exemplars of an ExportMetricsServiceRequest, resolved to the
+    * SAME series identity the sample walk produces (flatten mode:
+    * resource attrs + point attrs + name; target-info mode: the
+    * promoted job/instance identity instead) so a stored exemplar's
+    * seriesLabels match its series' stored labels and
+    * /api/v1/query_exemplars selector-matches both alike. A separate
+    * single pass over the bytes, the [[decodeExpHistograms]]
+    * discipline: gauge and CUMULATIVE-sum number points (where OTel
+    * SDKs attach span context); histogram-point exemplars are not yet
+    * mapped (they would need the per-bucket attachment rule).
+    */
+  def decodeExemplars(buf: Array[Byte], targetInfo: Boolean = false)
+      : Seq[WriteWire.PExemplarSeries] = {
+    val out = Seq.newBuilder[WriteWire.PExemplarSeries]
+    def walkMetric(s: Int, e: Int, resLabels: Seq[(String, String)]): Unit = {
+      val r = new Prompb.Reader(buf, s, e)
+      var name = ""
+      val pts = Seq.newBuilder[(Int, Int)]
+      while (r.hasMore) {
+        val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+          case (1, 2) => name = r.utf8()
+          case (5, 2) => // gauge: every point
+            val (a, b) = r.lenDelimited()
+            val rr = new Prompb.Reader(buf, a, b)
+            while (rr.hasMore) {
+              val kk = rr.varint(); (kk >> 3, (kk & 7).toInt) match {
+                case (1, 2) => pts += rr.lenDelimited()
+                case (_, w) => rr.skip(w)
+              }
+            }
+          case (7, 2) => // sum: cumulative points only (decSum's rule)
+            val (a, b) = r.lenDelimited()
+            val rr = new Prompb.Reader(buf, a, b)
+            var temporality = 0L
+            val spans = Seq.newBuilder[(Int, Int)]
+            while (rr.hasMore) {
+              val kk = rr.varint(); (kk >> 3, (kk & 7).toInt) match {
+                case (1, 2) => spans += rr.lenDelimited()
+                case (2, 0) => temporality = rr.varint()
+                case (_, w) => rr.skip(w)
+              }
+            }
+            if (temporality == 2L) pts ++= spans.result()
+          case (_, w) => r.skip(w)
+        }
+      }
+      pts.result().foreach { case (a, b) =>
+        val (attrs, exs) = decPointExemplars(buf, a, b)
+        if (exs.nonEmpty) {
+          val labels = (resLabels.toMap ++ attrs.toMap) + ("__name__" -> name)
+          out += WriteWire.PExemplarSeries(
+            labels.toSeq.sortBy(_._1).map { case (k, v) => PLabel(k, v) },
+            exs)
+        }
+      }
+    }
+    def walkResource(s: Int, e: Int): Unit = {
+      val r = new Prompb.Reader(buf, s, e)
+      var resourceAttrs = Seq.empty[(String, String)]
+      val scopes = Seq.newBuilder[(Int, Int)]
+      while (r.hasMore) {
+        val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+          case (1, 2) =>
+            val (a, b) = r.lenDelimited()
+            resourceAttrs = decResource(buf, a, b)
+          case (2, 2) => scopes += r.lenDelimited()
+          case (_, w) => r.skip(w)
+        }
+      }
+      val resLabels =
+        if (!targetInfo) resourceAttrs
+        else {
+          val attrMap = resourceAttrs.toMap
+          val job = attrMap.get("service.name").map(n =>
+            attrMap.get("service.namespace").map(_ + "/" + n).getOrElse(n))
+          job.map("job" -> _).toSeq ++
+            attrMap.get("service.instance.id").map("instance" -> _).toSeq
+        }
+      scopes.result().foreach { case (a, b) =>
+        val rr = new Prompb.Reader(buf, a, b)
+        while (rr.hasMore) {
+          val kk = rr.varint(); (kk >> 3, (kk & 7).toInt) match {
+            case (2, 2) =>
+              val (c, d) = rr.lenDelimited(); walkMetric(c, d, resLabels)
+            case (_, w) => rr.skip(w)
+          }
+        }
+      }
+    }
+    val r = new Prompb.Reader(buf, 0, buf.length)
+    while (r.hasMore) {
+      val k = r.varint(); (k >> 3, (k & 7).toInt) match {
+        case (1, 2) => val (a, b) = r.lenDelimited(); walkResource(a, b)
+        case (_, w) => r.skip(w)
+      }
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------- encode
   // (test/fixture marshalling — a store is an OTLP RECEIVER; the encoder
   // exists so round-trip entries can build real wire bytes)
@@ -796,6 +956,46 @@ object Otlp {
     val req = new Prompb.Writer
     req.message(1, rm.toBytes)
     req.toBytes
+  }
+
+  private def hexToBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** One Sum request whose points carry inline EXEMPLARS — the span-
+    * context shape OTel SDKs attach to counters. Each point tuple is
+    * (name, attrs, tsNano, value, exemplars); each exemplar is
+    * (filteredAttrs, traceIdHex, tsNano, value).
+    */
+  def encodeSumRequestExemplars(resourceAttrs: Seq[(String, String)],
+      points: Seq[(String, Seq[(String, String)], Long, Double,
+        Seq[(Seq[(String, String)], String, Long, Double)])],
+      temporality: Int = 2): Array[Byte] = {
+    val metrics = points.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (name, pts) =>
+        val sum = new Prompb.Writer
+        pts.foreach { case (_, attrs, tsNano, v, exs) =>
+          val dp = new Prompb.Writer
+          dp.fixed64(3, tsNano)
+          dp.double(4, v)
+          exs.foreach { case (exAttrs, traceHex, exTsNano, exV) =>
+            val ew = new Prompb.Writer
+            ew.fixed64(2, exTsNano)
+            ew.double(3, exV)
+            ew.message(5, hexToBytes(traceHex)) // trace_id bytes
+            exAttrs.foreach { case (k, v2) => ew.message(7, encKeyValue(k, v2)) }
+            dp.message(5, ew.toBytes)
+          }
+          attrs.foreach { case (k, v2) => dp.message(7, encKeyValue(k, v2)) }
+          sum.message(1, dp.toBytes)
+        }
+        sum.int64(2, temporality.toLong)
+        sum.int64(3, 1L) // is_monotonic
+        val m = new Prompb.Writer
+        m.string(1, name)
+        m.message(7, sum.toBytes)
+        m.toBytes
+    }
+    wrapRequest(resourceAttrs, metrics)
   }
 
   /** One request carrying one Sum metric per (name, attrs) group, with an

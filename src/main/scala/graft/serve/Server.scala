@@ -319,6 +319,11 @@ class Server(spark: SparkSession, tablePath: String,
       val withExp =
         if (expSeries.isEmpty) merged
         else Prompb.PWriteRequest(merged.timeseries ++ expSeries)
+      // exemplars (span context on gauge/cumulative-sum points) land in
+      // the shared side table under the SAME series identity as their
+      // samples — the resource mapping applies to both walks alike
+      val exemplars = graft.codec.Otlp.decodeExemplars(body, otlpTargetInfo)
+      if (exemplars.nonEmpty) appendExemplars(exemplars)
       ingestDecoded(ex, withExp)
     } catch {
       case e: Throwable =>

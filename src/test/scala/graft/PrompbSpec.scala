@@ -1,6 +1,6 @@
 package graft
 
-import graft.codec.Prompb
+import graft.codec.{Otlp, Prompb, WriteWire}
 import graft.codec.Prompb._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -379,5 +379,32 @@ class PrompbSpec extends AnyFunSuite {
         9.5, 1500L)))))
     assert(Prompb2.metadataToV1(req) == Seq(WriteWire.PMetadata(
       "reqs", "counter", "Total requests", "1")))
+  }
+
+  test("otlp exemplars: hex trace ids, series identity under both " +
+      "resource mappings, delta sums excluded") {
+    val bytes = Otlp.encodeSumRequestExemplars(
+      Seq("service.name" -> "api", "region" -> "eu"),
+      Seq(("rq", Seq("code" -> "200"), 2000000000L, 7.0,
+        Seq((Seq("lane" -> "slow"), "00ff", 1000000000L, 3.5)))))
+    // flatten mode: resource attrs join the series labels
+    val flat = Otlp.decodeExemplars(bytes)
+    assert(flat == Seq(WriteWire.PExemplarSeries(
+      Seq(PLabel("__name__", "rq"), PLabel("code", "200"),
+        PLabel("region", "eu"), PLabel("service.name", "api")),
+      Seq(WriteWire.PExemplar(
+        Seq(PLabel("lane", "slow"), PLabel("trace_id", "00ff")),
+        3.5, 1000L)))))
+    // target-info mode: the promoted job identity instead — matching
+    // the sample walk, so stored exemplars selector-match their series
+    val ti = Otlp.decodeExemplars(bytes, targetInfo = true)
+    assert(ti.head.seriesLabels ==
+      Seq(PLabel("__name__", "rq"), PLabel("code", "200"),
+        PLabel("job", "api")))
+    // DELTA sums are not decoded (their samples aren't either)
+    val delta = Otlp.encodeSumRequestExemplars(Nil,
+      Seq(("rq", Nil, 2000000000L, 7.0,
+        Seq((Nil, "aa", 1000000000L, 1.0)))), temporality = 1)
+    assert(Otlp.decodeExemplars(delta).isEmpty)
   }
 }
