@@ -4370,6 +4370,61 @@ object SparkEntry {
         .orderBy(desc("pr"), col("host"))
     }),
 
+    // CRAWL PIPELINE COMPOSITION — the round's crawl pieces as ONE
+    // coherent pass over the same archives: host authority (PageRank)
+    // computed on the FULL observed link graph (compliance gates
+    // FETCHING, not observation), the robots screen deciding each
+    // page's fetchability (GraftBot group, wildcard rule dropping
+    // pages whose doc id ends in 7; no-robots hosts default allowed),
+    // and the extraction stage's token count proving the text stage
+    // ran on real record bytes. Stages consume each other's real
+    // schemas — the llm_corpus_build discipline applied to the crawl
+    // front.
+    "llm_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val pages = warcLinkArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("r.target_uri").as("page_uri"),
+          col("payload").substr(col("r.content_off") + 1,
+            col("r.content_len")).as("content"))
+      val links = pages
+        .select(col("page_uri"),
+          explode(graft.llm.CrawlOps.htmlLinks(col("content"))).as("href"))
+        .select(graft.llm.CrawlOps.hostOf(col("page_uri")).as("src"),
+          graft.llm.CrawlOps.hostOf(
+            graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
+            .as("dst"))
+      val edges = links
+        .filter(col("dst").isNotNull && col("dst") =!= "" &&
+          col("src") =!= col("dst"))
+        .distinct()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val rank = graft.llm.LinkGraph.pageRank(nodes, edges, 5)
+        .select(col("id").as("host"), col("pr").as("rank_pr"))
+      val robots = (0L until 8L).filter(_ % 4 != 3).map { k =>
+        (s"h$k.example.org",
+          "User-agent: GraftBot\nDisallow: /a/*7/page.html\n" +
+            "User-agent: *\nDisallow: /\n")
+      }.toDF("host", "robots_txt")
+      val decision = graft.llm.CrawlOps.robotsFilter(
+        pages.select(col("page_uri").as("url")), "url", robots, "graftbot")
+      pages
+        .select(
+          graft.llm.CrawlOps.canonicalizeUrl(col("page_uri")).as("page_url"),
+          col("page_uri").as("url"),
+          graft.llm.CrawlOps.hostOf(col("page_uri")).as("host"),
+          size(split(graft.llm.CrawlOps.htmlText(col("content")), "\\s+"))
+            .cast("long").as("n_tokens"))
+        .join(decision, Seq("url"))
+        .join(rank, Seq("host"))
+        .select(col("page_url"), col("host"), col("allowed"),
+          col("rank_pr"), col("n_tokens"))
+        .orderBy(col("page_url"))
+    }),
+
     // ROBOTS.TXT COMPLIANCE SCREEN (RFC 9309) — the step before any
     // fetch joins the frontier: per-host robots rules for the
     // crawler's product token (group selection pinned: the planted
@@ -13977,6 +14032,29 @@ object SparkEntry {
 
     // the gz edge decompresses to the identical record stream
     "llm_warc_gz" -> OWarcLayoutSql,
+
+    "llm_crawl_pipeline" ->
+      s"""WITH h AS (SELECT CAST(k AS BIGINT) AS k FROM range(8) AS t(k)),
+         |c AS (SELECT count(*) AS n, 1000000000000 // count(*) AS pr0,
+         |    ((15 * 1000000000000) // 100) // count(*) AS base FROM h),
+         |e AS (
+         |  SELECT 'h'||CAST(k AS VARCHAR)||'.example.org' AS src,
+         |    'h'||CAST((k+1+(k%3))%8 AS VARCHAR)||'.example.org' AS dst FROM h
+         |  UNION
+         |  SELECT 'h'||CAST(k AS VARCHAR)||'.example.org',
+         |    'h'||CAST((k+2)%8 AS VARCHAR)||'.example.org' FROM h),
+         |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |p0 AS (SELECT 'h'||CAST(k AS VARCHAR)||'.example.org' AS id,
+         |    (SELECT pr0 FROM c) AS pr FROM h),
+         |${oPrIters("(SELECT base FROM c)", "")},
+         |d AS (SELECT doc_id AS did, doc_id % 8 AS k FROM documents)
+         |SELECT 'https://h'||CAST(k AS VARCHAR)||'.example.org/a/'
+         |    ||CAST(did AS VARCHAR)||'/page.html?a=1&b=2' AS page_url,
+         |  'h'||CAST(k AS VARCHAR)||'.example.org' AS host,
+         |  (k % 4 = 3) OR (did % 10 <> 7) AS allowed,
+         |  p5.pr AS rank_pr, CAST(9 AS BIGINT) AS n_tokens
+         |FROM d JOIN p5 ON p5.id = 'h'||CAST(k AS VARCHAR)||'.example.org'
+         |ORDER BY page_url""".stripMargin,
 
     "llm_robots_filter" ->
       """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k, doc_id % 5 AS m
