@@ -9257,6 +9257,35 @@ object SparkEntry {
       } finally child.stop()
     }),
 
+    // FEDERATION PULL, OPENMETRICS-NEGOTIATED: the same child scraped
+    // with `Accept: application/openmetrics-text` — the child renders
+    // OM (seconds timestamps, `# EOF`, `unknown` type spelling), the
+    // parent parses under OM rules, and the stored result is
+    // bit-identical to the classic pull: the two text wires are
+    // interchangeable at the federation edge. Shares serve_federate's
+    // oracle VERBATIM.
+    "serve_federate_om" -> ((s, dir) => {
+      import s.implicits._
+      val base = autoresFixture(s, dir)
+      val child = new graft.serve.Server(s, s"$base/metrics").start()
+      val parentTable = java.nio.file.Files
+        .createTempDirectory("graft_fedo").toString + "/metrics"
+      try {
+        val n = graft.serve.Scraper.scrapeInto(s,
+          s"http://localhost:${child.boundPort}" +
+            s"/federate?match[]=click&time=$Jan20&lookback=1d",
+          parentTable, openMetrics = true)
+        require(n > 0, "scrape returned no samples")
+        s.read.parquet(parentTable)
+          .select(col("name"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"),
+            unix_millis(col("ts")).as("t_ms"))
+          .orderBy(col("user_id"))
+      } finally child.stop()
+    }),
+
     // CARDINALITY STATISTICS: /api/v1/status/tsdb — head totals plus
     // the four top-k breakdowns the Prometheus TSDB-status page reads,
     // all computed from ONE distinct-series frame (executor-side top-k,
@@ -15791,6 +15820,7 @@ object SparkEntry {
     // shares serve_federate's oracle verbatim: the render → parse →
     // store loop is row-invisible
     "serve_federate_scrape" -> OFederateSql,
+    "serve_federate_om" -> OFederateSql,
 
     // the per-day quantile replay, day > Jan01 (the first window holds
     // one sample — no increase)

@@ -14,12 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Scraper {
 
-  def fetch(url: String, timeoutMs: Int = 30000): String = {
+  def fetch(url: String, timeoutMs: Int = 30000,
+            accept: Option[String] = None): String = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setConnectTimeout(math.min(5000, timeoutMs))
       conn.setReadTimeout(timeoutMs)
+      accept.foreach(conn.setRequestProperty("Accept", _))
       val code = conn.getResponseCode
       if (code != 200)
         throw new java.io.IOException(s"scrape of $url returned $code")
@@ -27,10 +29,21 @@ object Scraper {
     } finally conn.disconnect()
   }
 
-  /** One scrape: fetch, parse, append. Returns the sample count. */
+  /** One scrape: fetch, parse, append. Returns the sample count.
+    * `openMetrics = true` negotiates the OM render (Accept header) and
+    * parses under OM rules — seconds timestamps, required `# EOF`;
+    * inline exemplars are parsed but not stored on this pull path.
+    */
   def scrapeInto(spark: SparkSession, url: String, tablePath: String,
-                 nowMs: Long = System.currentTimeMillis()): Long = {
-    val dec = graft.codec.TextExposition.decode(fetch(url), nowMs)
+                 nowMs: Long = System.currentTimeMillis(),
+                 openMetrics: Boolean = false): Long = {
+    val dec =
+      if (openMetrics) {
+        val om = graft.codec.TextExposition.decodeOpenMetrics(
+          fetch(url, accept =
+            Some("application/openmetrics-text; version=1.0.0")), nowMs)
+        graft.codec.TextExposition.Decoded(om.request, om.metadata)
+      } else graft.codec.TextExposition.decode(fetch(url), nowMs)
     val samples = for {
       ts <- dec.request.timeseries
       s <- ts.samples

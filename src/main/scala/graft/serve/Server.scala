@@ -1438,6 +1438,11 @@ class Server(spark: SparkSession, tablePath: String,
         case '\n' => "\\n"
         case c => c.toString
       }
+      // Accept negotiation: an OpenMetrics scraper gets the OM render —
+      // seconds timestamps, the OM `unknown` type spelling, and the
+      // mandatory `# EOF` terminator (same rows, same values)
+      val om = Option(ex.getRequestHeaders.getFirst("Accept"))
+        .exists(_.contains("application/openmetrics-text"))
       val sb = new StringBuilder
       rows.toSeq
         .map(r => (r.getAs[String]("name"),
@@ -1447,7 +1452,8 @@ class Server(spark: SparkSession, tablePath: String,
         .foldLeft("") { case (prev, (name, tags, tMs, v)) =>
           if (name != prev) {
             val typ = Option(metadataStore.get(name))
-              .map(_.metricType).filter(_.nonEmpty).getOrElse("untyped")
+              .map(_.metricType).filter(_.nonEmpty)
+              .getOrElse(if (om) "unknown" else "untyped")
             sb ++= s"# TYPE $name $typ\n"
           }
           val labels = tags.filterNot(_.startsWith("__name__="))
@@ -1457,11 +1463,17 @@ class Server(spark: SparkSession, tablePath: String,
             }
           sb ++= name
           if (labels.nonEmpty) sb ++= labels.mkString("{", ",", "}")
-          sb ++= s" ${fmtValue(v)} $tMs\n"
+          val ts =
+            if (!om) tMs.toString
+            else if (tMs % 1000 == 0) (tMs / 1000).toString
+            else (tMs / 1000.0).toString
+          sb ++= s" ${fmtValue(v)} $ts\n"
           name
         }
+      if (om) sb ++= "# EOF\n"
       ex.getResponseHeaders.set("Content-Type",
-        "text/plain; version=0.0.4; charset=utf-8")
+        if (om) "application/openmetrics-text; version=1.0.0; charset=utf-8"
+        else "text/plain; version=0.0.4; charset=utf-8")
       respond(ex, 200, sb.toString.getBytes("UTF-8"))
     } catch {
       case e: ResponseEdge.SeriesLimitExceeded =>
