@@ -8688,6 +8688,64 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // UTF-8 METRIC/LABEL NAMES (Prometheus 3.x): the quoted text
+    // syntax — `{"dotted.metric.name", "dotted.label"="v"} value ts` —
+    // ingests through the shared text scanner (classic and OpenMetrics
+    // alike), stores the dotted names verbatim, and the SAME quoted
+    // syntax selects them back through the live PromQL endpoint (the
+    // parser's quoted-selector form): what the exposition ingests the
+    // query language can select, end to end. Oracle: the raw events
+    // the page was printed from.
+    "s1_text_utf8_names" -> ((s, dir) => {
+      import s.implicits._
+      val table = java.nio.file.Files.createTempDirectory("graft_u8")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val rows = Tables.events(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("value"),
+            (unix_millis(col("ts")) / 1000).cast("long").as("sec"))
+          .collect().toSeq
+          .sortBy(r => (r.getLong(0), r.getLong(2), r.getDouble(1)))
+        val lines = rows.map { r =>
+          s"""{"graft.click.total","user.id"="${r.getLong(0)}"} ${
+            r.getDouble(1)} ${r.getLong(2)}"""
+        }
+        val page = lines.mkString("\n") + "\n# EOF\n"
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/openmetrics-text; version=1.0.0; charset=utf-8")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(page.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, "utf8-name write failed")
+        conn.disconnect()
+        // the SAME quoted syntax selects the dotted series back through
+        // the live PromQL endpoint
+        val q = java.net.URLEncoder.encode(
+          """count({"graft.click.total"})""", "UTF-8")
+        val qconn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}" +
+              s"/api/v1/query?query=$q&time=$Jan20&lookback=15d")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val qbody = new String(qconn.getInputStream.readAllBytes(), "UTF-8")
+        qconn.disconnect()
+        require(qbody.contains(""""status":"success"""") &&
+          !qbody.contains(""""result":[]"""),
+          "quoted selector must find the dotted series")
+        s.read.parquet(table)
+          .select(
+            regexp_extract(array_join(col("tags"), ","),
+              "user\\.id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("user_id"), col("t"), col("value_fp"))
+      } finally server.stop()
+    }),
+
     // OTLP EXEMPLARS: the span-context attachments OTel SDKs put on
     // counter points ride /otlp/v1/metrics into the SAME side table
     // remote-write v1/v2 and OpenMetrics exemplars use — trace_id
@@ -15770,6 +15828,12 @@ object SparkEntry {
       s"""SELECT user_id, $OSec AS t,
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'purchase'
+         |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s1_text_utf8_names" ->
+      s"""SELECT user_id, $OSec AS t,
+         |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |FROM events WHERE event_type = 'click'
          |ORDER BY user_id, t, value_fp""".stripMargin,
 
     "s1_otlp_exemplars" ->

@@ -141,14 +141,54 @@ object TextExposition {
     out.result()
   }
 
+  /** A double-quoted string starting at `start` (which must index the
+    * opening quote) with the exposition escapes; returns (decoded,
+    * index past the closing quote). */
+  private def parseQuoted(line: String, lineNo: Int,
+                          start: Int): (String, Int) = {
+    var i = start + 1
+    val v = new StringBuilder
+    var closed = false
+    while (!closed) {
+      if (i >= line.length) fail(lineNo, "unterminated quoted string")
+      line(i) match {
+        case '"' => closed = true; i += 1
+        case '\\' =>
+          if (i + 1 >= line.length)
+            fail(lineNo, "dangling escape in quoted string")
+          line(i + 1) match {
+            case 'n' => v += '\n'
+            case '"' => v += '"'
+            case '\\' => v += '\\'
+            case other => fail(lineNo, s"bad escape '\\$other'")
+          }
+          i += 2
+        case c => v += c; i += 1
+      }
+    }
+    (v.result(), i)
+  }
+
   /** `{label="v",…}` starting at `start` (which must index the `{`):
     * appends decoded labels to `labels` (duplicate names refused) and
-    * returns the index just past the closing brace. */
+    * returns the index just past the closing brace.
+    *
+    * Prometheus 3 UTF-8 syntax rides the same block: a QUOTED label
+    * name (`{"my.label"="v"}`), and a bare quoted string as the metric
+    * name itself (`{"my.metric", job="x"}` ⇒ __name__) — the text
+    * forms of the PromQL quoted-selector syntax, so what the exposition
+    * ingests the query language can select.
+    */
   private def parseLabelBlock(line: String, lineNo: Int, start: Int,
       labels: scala.collection.mutable.ArrayBuffer[Prompb.PLabel]): Int = {
     var i = start + 1
     def skipSpace(): Unit =
       while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1
+    def addLabel(lname: String, value: String): Unit = {
+      if (labels.exists(_.name == lname))
+        fail(lineNo, s"duplicate label name '$lname'")
+      labels += Prompb.PLabel(lname, value)
+    }
     var first = true
     var open = true
     while (open) {
@@ -163,41 +203,35 @@ object TextExposition {
           if (i < line.length && line(i) == '}') { i += 1; open = false }
         }
         if (open) {
-          val ks = i
-          if (i >= line.length || !isNameStart(line(i)))
-            fail(lineNo, "label name expected")
-          while (i < line.length && isNameChar(line(i))) i += 1
-          val lname = line.substring(ks, i)
-          skipSpace()
-          if (i >= line.length || line(i) != '=')
-            fail(lineNo, s"'=' expected after label '$lname'")
-          i += 1; skipSpace()
-          if (i >= line.length || line(i) != '"')
-            fail(lineNo, s"quoted value expected for label '$lname'")
-          i += 1
-          val v = new StringBuilder
-          var closed = false
-          while (!closed) {
-            if (i >= line.length) fail(lineNo, "unterminated label value")
-            line(i) match {
-              case '"' => closed = true; i += 1
-              case '\\' =>
-                if (i + 1 >= line.length)
-                  fail(lineNo, "dangling escape in label value")
-                line(i + 1) match {
-                  case 'n' => v += '\n'
-                  case '"' => v += '"'
-                  case '\\' => v += '\\'
-                  case other => fail(lineNo, s"bad escape '\\$other'")
-                }
-                i += 2
-              case c => v += c; i += 1
+          val lname =
+            if (i < line.length && line(i) == '"') {
+              val (str, ni) = parseQuoted(line, lineNo, i)
+              i = ni; skipSpace()
+              if (i >= line.length || line(i) != '=') {
+                // bare quoted string = the metric name (UTF-8 form)
+                addLabel("__name__", str)
+                first = false
+                null
+              } else str
+            } else {
+              val ks = i
+              if (i >= line.length || !isNameStart(line(i)))
+                fail(lineNo, "label name expected")
+              while (i < line.length && isNameChar(line(i))) i += 1
+              line.substring(ks, i)
             }
+          if (lname != null) {
+            skipSpace()
+            if (i >= line.length || line(i) != '=')
+              fail(lineNo, s"'=' expected after label '$lname'")
+            i += 1; skipSpace()
+            if (i >= line.length || line(i) != '"')
+              fail(lineNo, s"quoted value expected for label '$lname'")
+            val (value, ni) = parseQuoted(line, lineNo, i)
+            i = ni
+            addLabel(lname, value)
+            first = false
           }
-          if (labels.exists(_.name == lname))
-            fail(lineNo, s"duplicate label name '$lname'")
-          labels += Prompb.PLabel(lname, v.result())
-          first = false
         }
       }
     }
@@ -241,15 +275,23 @@ object TextExposition {
       // upstream openmetrics parser: int64(ts * 1000) — truncation
       (sec * 1000.0).toLong
     }
-    if (!isNameStart(line(0))) fail(lineNo, "metric name expected")
-    while (i < line.length && isNameChar(line(i))) i += 1
-    val name = line.substring(0, i)
-    val labels = scala.collection.mutable.ArrayBuffer(
-      Prompb.PLabel("__name__", name))
-    skipSpace()
-    if (i < line.length && line(i) == '{') {
-      i = parseLabelBlock(line, lineNo, i, labels)
+    val labels = scala.collection.mutable.ArrayBuffer.empty[Prompb.PLabel]
+    if (line(0) == '{') {
+      // Prometheus 3 UTF-8 form: the metric name rides INSIDE the
+      // braces as a bare quoted string
+      i = parseLabelBlock(line, lineNo, 0, labels)
+      if (!labels.exists(_.name == "__name__"))
+        fail(lineNo, "metric name expected")
       skipSpace()
+    } else {
+      if (!isNameStart(line(0))) fail(lineNo, "metric name expected")
+      while (i < line.length && isNameChar(line(i))) i += 1
+      labels += Prompb.PLabel("__name__", line.substring(0, i))
+      skipSpace()
+      if (i < line.length && line(i) == '{') {
+        i = parseLabelBlock(line, lineNo, i, labels)
+        skipSpace()
+      }
     }
     if (i >= line.length) fail(lineNo, "sample value expected")
     val value = parseValue(token(), lineNo)

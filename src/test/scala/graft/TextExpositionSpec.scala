@@ -128,6 +128,20 @@ class TextExpositionSpec extends AnyFunSuite {
       TextExposition.decodeOpenMetrics("m 1 1\n", 0L))
     intercept[IllegalArgumentException](
       TextExposition.decodeOpenMetrics("# EOF\nm 1 1\n", 0L))
+    // Prometheus 3 UTF-8 quoted names ride BOTH text wires: a bare
+    // quoted string inside the braces is the metric name, a quoted
+    // label name carries dots — and the bare-name form still takes
+    // ordinary labels beside it
+    val u8 = TextExposition.decode(
+      """{"my.metric", "dotted.label"="x", job="api"} 4 1700000000000""" +
+        "\n", 0L)
+    assert(u8.request.timeseries.head.labels == Seq(
+      PLabel("__name__", "my.metric"), PLabel("dotted.label", "x"),
+      PLabel("job", "api")))
+    assert(u8.request.timeseries.head.samples == Seq(PSample(4.0, 1700000000000L)))
+    // a braces-form line without a name refuses
+    intercept[IllegalArgumentException](
+      TextExposition.decode("""{job="api"} 1 1""" + "\n", 0L))
     // classic mode is unchanged by the refactor: the ms timestamp is
     // the token after the value and anything beyond is ignored (the
     // historical leniency) — an exemplar suffix never ingests as data
