@@ -231,6 +231,22 @@ class Server(spark: SparkSession, tablePath: String,
             else merged.copy(timeseries =
               ctZeroFilter(graft.codec.Prompb2.ctZeroSeries(req),
                 merged.timeseries) ++ merged.timeseries)
+          // RW 2.0 spec: receivers respond to v2 requests with the
+          // written-stats headers so senders can detect partial writes
+          // (ingest here is all-or-nothing per request, so written =
+          // the request's own counts; CT-zero injections are synthetic
+          // and not counted)
+          ex.getResponseHeaders.set(
+            "X-Prometheus-Remote-Write-Samples-Written",
+            scalar.timeseries.map(_.samples.size).sum.toString)
+          ex.getResponseHeaders.set(
+            "X-Prometheus-Remote-Write-Histograms-Written",
+            graft.codec.Prompb2.histogramsToV1(req)
+              .map(_.histograms.size).sum.toString)
+          ex.getResponseHeaders.set(
+            "X-Prometheus-Remote-Write-Exemplars-Written",
+            graft.codec.Prompb2.exemplarsToV1(req)
+              .map(_.exemplars.size).sum.toString)
           (withCt, graft.codec.Prompb2.exemplarsToV1(req),
             graft.codec.Prompb2.metadataToV1(req))
         } else {

@@ -224,6 +224,49 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: RW 2.0 responses carry the written-stats headers " +
+       "(v2 spec); v1 responses don't") {
+    val table = Files.createTempDirectory("graft_srv2h").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    val base = s"http://localhost:${server.boundPort}"
+    try {
+      import graft.codec.Prompb2
+      val req = Prompb2.P2Request(Seq("", "__name__", "m", "trace_id", "t1"),
+        Seq(Prompb2.P2TimeSeries(Seq(1, 2),
+          Seq(PSample(1.0, 1000L), PSample(2.0, 2000L)),
+          exemplars = Seq(Prompb2.P2Exemplar(Seq(3, 4), 9.0, 1500L)))))
+      val conn = java.net.URI.create(s"$base/write").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type",
+        "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        Prompb.snappyCompress(Prompb2.encodeRequest(req)))
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Samples-Written") == "2")
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Histograms-Written") == "0")
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Exemplars-Written") == "1")
+      conn.disconnect()
+      // a v1 request gets no v2 stats headers
+      val v1 = PWriteRequest(Seq(PTimeSeries(
+        Seq(PLabel("__name__", "m")), Seq(PSample(1.0, 1000L)))))
+      val c2 = java.net.URI.create(s"$base/write").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c2.setRequestMethod("POST")
+      c2.setDoOutput(true)
+      c2.getOutputStream.write(
+        Prompb.snappyCompress(Prompb.encodeWriteRequest(v1)))
+      assert(c2.getResponseCode == 200)
+      assert(c2.getHeaderField(
+        "X-Prometheus-Remote-Write-Samples-Written") == null)
+      c2.disconnect()
+    } finally server.stop()
+  }
+
   test("serve: /otlp/v1/metrics ingests OTLP gauge points into the " +
        "same store") {
     val table = Files.createTempDirectory("graft_srvotlp").toString + "/metrics"
