@@ -4425,6 +4425,41 @@ object SparkEntry {
         .orderBy(col("page_url"))
     }),
 
+    // ROBOTS PLAN AUDIT — the compliance screen's 100 TB shape as
+    // executed-plan facts: the rules side BROADCASTS onto the frontier
+    // scan (never a shuffle of the frontier by host) and the
+    // longest-match fold is the single hash exchange (groupBy url).
+    // Frontier read at rest from parquet — the real input shape.
+    "llm_robots_plan" -> ((s, dir) => {
+      import s.implicits._
+      val base = cachedInputDir(s"robp${math.abs(dir.hashCode)}") { d =>
+        Tables.documents(s, dir).select(col("doc_id"))
+          .select(concat(lit("https://h"), col("doc_id") % 8,
+            lit(".example.org/a/"), col("doc_id"), lit("/page.html"))
+            .as("url"))
+          .write.mode("overwrite").parquet(s"$d/f")
+      }
+      val frontier = s.read.parquet(s"$base/f")
+      val robots = (0L until 8L).filter(_ % 4 != 3).map { k =>
+        (s"h$k.example.org",
+          "User-agent: GraftBot\nDisallow: /a/*7/page.html\n" +
+            "User-agent: *\nDisallow: /\n")
+      }.toDF("host", "robots_txt")
+      val decided = graft.llm.CrawlOps.robotsFilter(
+        frontier, "url", robots, "graftbot")
+      decided.write.format("noop").mode("overwrite").save()
+      val p = decided.queryExecution.executedPlan.toString
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("broadcast_join", b(p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftOuter")))),
+        ("frontier_hash_exchanges",
+          p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+            && !l.contains("ReusedExchange")).toLong),
+        ("no_sort_merge_join", b(!p.contains("SortMergeJoin"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // ROBOTS.TXT COMPLIANCE SCREEN (RFC 9309) — the step before any
     // fetch joins the frontier: per-host robots rules for the
     // crawler's product token (group selection pinned: the planted
@@ -14142,6 +14177,13 @@ object SparkEntry {
          |  p5.pr AS rank_pr, CAST(9 AS BIGINT) AS n_tokens
          |FROM d JOIN p5 ON p5.id = 'h'||CAST(k AS VARCHAR)||'.example.org'
          |ORDER BY page_url""".stripMargin,
+
+    "llm_robots_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('broadcast_join', CAST(1 AS BIGINT)),
+        |  ('frontier_hash_exchanges', 1),
+        |  ('no_sort_merge_join', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "llm_robots_filter" ->
       """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k, doc_id % 5 AS m
