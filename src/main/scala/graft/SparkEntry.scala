@@ -4359,10 +4359,15 @@ object SparkEntry {
           graft.llm.CrawlOps.hostOf(
             graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
             .as("dst"))
+      // pin the extracted edge list: pageRank references edges once per
+      // iteration, and without the checkpoint each reference re-runs
+      // the whole WARC extraction (bench-caught: 6.3 s → the iteration
+      // cost alone)
       val edges = links
         .filter(col("dst").isNotNull && col("dst") =!= "" &&
           col("src") =!= col("dst"))
         .distinct()
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct()
       graft.llm.LinkGraph.pageRank(nodes, edges, 5)
@@ -4382,6 +4387,8 @@ object SparkEntry {
     // front.
     "llm_crawl_pipeline" -> ((s, dir) => {
       import s.implicits._
+      // three consumers (link graph, robots screen, per-page stats)
+      // reference the extracted pages — pin them once
       val pages = warcLinkArchives(s, dir)
         .select(col("payload"),
           explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
@@ -4389,6 +4396,7 @@ object SparkEntry {
         .select(col("r.target_uri").as("page_uri"),
           col("payload").substr(col("r.content_off") + 1,
             col("r.content_len")).as("content"))
+        .localCheckpoint(true)
       val links = pages
         .select(col("page_uri"),
           explode(graft.llm.CrawlOps.htmlLinks(col("content"))).as("href"))
@@ -4396,10 +4404,13 @@ object SparkEntry {
           graft.llm.CrawlOps.hostOf(
             graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
             .as("dst"))
+      // pinned for the same reason as llm_warc_pagerank: every PageRank
+      // iteration re-references edges
       val edges = links
         .filter(col("dst").isNotNull && col("dst") =!= "" &&
           col("src") =!= col("dst"))
         .distinct()
+        .localCheckpoint(true)
       val nodes = edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct()
       val rank = graft.llm.LinkGraph.pageRank(nodes, edges, 5)
