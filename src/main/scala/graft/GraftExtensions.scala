@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlLinks, HtmlText, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, RobotsMatchLen, RobotsRules, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlLinks, HtmlText, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, RobotsCrawlDelay, RobotsMatchLen, RobotsRules, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -106,6 +106,8 @@ object GraftExtensions {
     ColumnBridge.col(UnigramSegment(ColumnBridge.expr(word), pieces, logps))
   def robotsRules(robotsTxt: Column, agent: String): Column =
     ColumnBridge.col(RobotsRules(ColumnBridge.expr(robotsTxt), agent))
+  def robotsCrawlDelay(robotsTxt: Column, agent: String): Column =
+    ColumnBridge.col(RobotsCrawlDelay(ColumnBridge.expr(robotsTxt), agent))
   def robotsMatchLen(path: Column, pattern: Column): Column =
     ColumnBridge.col(RobotsMatchLen(ColumnBridge.expr(path),
       ColumnBridge.expr(pattern)))

@@ -4436,6 +4436,56 @@ object SparkEntry {
         .orderBy(col("page_url"))
     }),
 
+    // SITEMAP FRONTIER SOURCE — the crawl frontier's OTHER feed beside
+    // extracted links: `<loc>` URLs out of per-host sitemap XML (pure
+    // built-in expressions, one regexp pass per document), whitespace
+    // trimmed and XML entities decoded (&amp; in query strings above
+    // all). Oracle recomputes every URL closed-form from doc_id
+    // arithmetic — the extraction must strip exactly the planted
+    // wrapping.
+    "llm_sitemap_urls" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val maps = ids.groupBy(_ % 8).toSeq.sortBy(_._1).map { case (k, ds) =>
+        val urls = ds.sorted.map(id =>
+          s"  <url><loc>\n    https://h$k.example.org/s/$id?a=1&amp;b=2\n" +
+            "  </loc><lastmod>2026-01-05</lastmod></url>")
+        (s"h$k.example.org",
+          "<?xml version=\"1.0\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+            urls.mkString("\n") + "\n</urlset>")
+      }.toDF("host", "sitemap_xml")
+      maps.select(col("host"),
+          explode(graft.llm.CrawlOps.sitemapUrls(col("sitemap_xml")))
+            .as("url"))
+        .orderBy(col("url"))
+    }),
+
+    // CRAWL-DELAY POLITENESS SCHEDULE — the fetch-lane assignment a
+    // polite crawler runs after the compliance screen: per-host
+    // Crawl-delay (GraftBot's group declares k+1 s; the `*` group's 99
+    // must NOT apply; no-robots hosts take the default 5 s), URLs
+    // slotted one per interval in lexicographic order. Per-host window
+    // BY DESIGN: a host's fetch lane is sequential (that's what the
+    // delay means), hosts parallelize freely against each other.
+    "llm_crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val frontier = ids
+        .map(id => s"https://h${id % 8}.example.org/a/$id/page.html")
+        .toDF("url")
+      val robots = (0L until 8L).filter(_ % 4 != 3).map { k =>
+        (s"h$k.example.org",
+          s"User-agent: GraftBot\nCrawl-delay: ${k + 1}\n" +
+            "Disallow: /private/\nUser-agent: *\nCrawl-delay: 99\n")
+      }.toDF("host", "robots_txt")
+      graft.llm.CrawlOps.crawlSchedule(frontier, "url", robots,
+        "graftbot", defaultDelaySec = 5)
+        .orderBy(col("url"))
+    }),
+
     // ROBOTS PLAN AUDIT — the compliance screen's 100 TB shape as
     // executed-plan facts: the rules side BROADCASTS onto the frontier
     // scan (never a shuffle of the frontier by host) and the
@@ -14188,6 +14238,27 @@ object SparkEntry {
          |  p5.pr AS rank_pr, CAST(9 AS BIGINT) AS n_tokens
          |FROM d JOIN p5 ON p5.id = 'h'||CAST(k AS VARCHAR)||'.example.org'
          |ORDER BY page_url""".stripMargin,
+
+    "llm_sitemap_urls" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k FROM documents)
+        |SELECT 'h'||CAST(k AS VARCHAR)||'.example.org' AS host,
+        |  'https://h'||CAST(k AS VARCHAR)||'.example.org/s/'
+        |    ||CAST(id AS VARCHAR)||'?a=1&b=2' AS url
+        |FROM d ORDER BY url""".stripMargin,
+
+    "llm_crawl_schedule" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k FROM documents),
+        |f AS (SELECT 'https://h'||CAST(k AS VARCHAR)||'.example.org/a/'
+        |    ||CAST(id AS VARCHAR)||'/page.html' AS url,
+        |  'h'||CAST(k AS VARCHAR)||'.example.org' AS host,
+        |  CAST(CASE WHEN k % 4 = 3 THEN 5 ELSE k + 1 END AS INT)
+        |    AS delay_sec FROM d),
+        |s AS (SELECT url, host, delay_sec,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+        |    AS BIGINT) AS slot FROM f)
+        |SELECT url, host, delay_sec, slot,
+        |  slot * delay_sec AS fetch_at_sec
+        |FROM s ORDER BY url""".stripMargin,
 
     "llm_robots_plan" ->
       """SELECT * FROM (VALUES

@@ -654,15 +654,19 @@ object Kernels {
     * allowed. Null input refuses (a fetch error is NOT an empty
     * robots file — the caller decides that policy).
     */
-  def robotsRules(txt: UTF8String, agent: String): ArrayData = {
-    if (txt == null) return null
-    val want = agent.toLowerCase
-    // (agents, rules) per group, in file order
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String],
-              scala.collection.mutable.ArrayBuffer[(Boolean, String)])]
+  private final class RobotsGroup {
+    val agents = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Int]
+  }
+
+  /** The groups applying to `agent`: every group naming the product
+    * token exactly (case-insensitive), else every `*` group. */
+  private def robotsSelect(txt: String, agent: String)
+      : Seq[RobotsGroup] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RobotsGroup]
     var inAgentRun = false
-    txt.toString.split("\n").foreach { raw =>
+    txt.split("\n").foreach { raw =>
       val line = { val h = raw.indexOf('#'); if (h < 0) raw else raw.substring(0, h) }.trim
       val c = line.indexOf(':')
       if (c > 0) {
@@ -670,28 +674,47 @@ object Kernels {
         val value = line.substring(c + 1).trim
         field match {
           case "user-agent" =>
-            if (!inAgentRun) {
-              groups += ((scala.collection.mutable.ArrayBuffer.empty,
-                scala.collection.mutable.ArrayBuffer.empty))
-              inAgentRun = true
-            }
-            groups.last._1 += value.toLowerCase
+            if (!inAgentRun) { groups += new RobotsGroup; inAgentRun = true }
+            groups.last.agents += value.toLowerCase
           case "allow" | "disallow" =>
             inAgentRun = false
             if (groups.nonEmpty && value.nonEmpty)
-              groups.last._2 += ((field == "allow", value))
+              groups.last.rules += ((field == "allow", value))
+          case "crawl-delay" =>
+            inAgentRun = false
+            if (groups.nonEmpty)
+              value.toIntOption.filter(_ >= 0)
+                .foreach(groups.last.delays += _)
           case _ => inAgentRun = false
         }
       }
     }
-    val exact = groups.filter(_._1.contains(want))
-    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      chosen.flatMap(_._2).map { case (allow, pat) =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](allow, UTF8String.fromString(pat)))
-      }.toArray[Any])
+    val want = agent.toLowerCase
+    val exact = groups.filter(_.agents.contains(want))
+    (if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*")))
+      .toSeq
   }
+
+  def robotsRules(txt: UTF8String, agent: String): ArrayData = {
+    if (txt == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      robotsSelect(txt.toString, agent).flatMap(_.rules)
+        .map { case (allow, pat) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](allow, UTF8String.fromString(pat)))
+        }.toArray[Any])
+  }
+
+  /** The `Crawl-delay` (whole seconds) applying to `agent` under the
+    * same group selection as [[robotsRules]] — the de-facto politeness
+    * field every large crawler honors (not in RFC 9309 but near-
+    * universal). First delay of the chosen group set; −1 when the
+    * chosen groups declare none (caller applies its default).
+    */
+  def robotsCrawlDelay(txt: UTF8String, agent: String): Int =
+    if (txt == null) -1
+    else robotsSelect(txt.toString, agent)
+      .flatMap(_.delays).headOption.getOrElse(-1)
 
   /** RFC 9309 path-pattern match: `*` matches any run of octets, a
     * terminal `$` anchors the end; an UNANCHORED pattern matches any

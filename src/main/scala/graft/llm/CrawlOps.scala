@@ -168,6 +168,20 @@ object CrawlOps {
   def robotsMatchLen(path: Column, pattern: Column): Column =
     graft.GraftExtensions.robotsMatchLen(path, pattern)
 
+  /** The `<loc>` URLs of a sitemap (urlset or sitemapindex — the two
+    * XML shapes share the element), whitespace-trimmed and
+    * entity-decoded (sitemap URLs are XML-escaped, `&amp;` above all) —
+    * the crawl frontier's OTHER source beside extracted links, and pure
+    * built-in expressions: one `regexp_extract_all` + a decode chain,
+    * row-local at scan speed.
+    */
+  def sitemapUrls(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("<loc>\\s*([^<]+?)\\s*</loc>"), lit(1)),
+      u => regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(u, "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&apos;", "'"), "&amp;", "&"))
+
   /** Crawl-compliance screen: classify every frontier URL as allowed or
     * not under its host's robots.txt for the given crawler product
     * token. RFC 9309 decision rule: among the applicable group's rules
@@ -210,6 +224,46 @@ object CrawlOps {
         coalesce(col("allow"), lit(false)).as("allow"))).as("best"))
       .select(col("url"),
         (col("best.len") < 0 || col("best.allow")).as("allowed"))
+  }
+
+  /** `Crawl-delay` seconds for `agent` (−1 = none declared;
+    * [[graft.GraftExtensions.robotsCrawlDelay]]).
+    */
+  def robotsCrawlDelay(robotsTxt: Column, agent: String): Column =
+    graft.GraftExtensions.robotsCrawlDelay(robotsTxt, agent)
+
+  /** Politeness scheduling: assign every frontier URL a fetch offset
+    * honoring its host's `Crawl-delay` (hosts without robots.txt — or
+    * without a declared delay — get `defaultDelaySec`). Within a host,
+    * URLs fetch in lexicographic order, one per delay interval:
+    * `fetch_at = slot × delay`, slot = the URL's rank on its host.
+    *
+    * Scale shape: the delay table broadcasts like the rules side of
+    * [[robotsFilter]]; the slot assignment is ONE window per host —
+    * politeness is inherently per-host SEQUENTIAL, so the per-host
+    * partition is the schedule itself, not an implementation accident
+    * (a host's fetch lane can't parallelize without violating the
+    * delay; hosts parallelize freely against each other).
+    *
+    * @return one row per URL: (url, host, delay_sec, slot, fetch_at_sec)
+    */
+  def crawlSchedule(frontier: DataFrame, urlCol: String,
+                    robots: DataFrame, agent: String,
+                    defaultDelaySec: Int): DataFrame = {
+    require(defaultDelaySec >= 0)
+    val delays = robots.select(col("host"),
+      robotsCrawlDelay(col("robots_txt"), agent).as("declared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    frontier
+      .select(col(urlCol).as("url"), hostOf(col(urlCol)).as("host"))
+      .join(broadcast(delays), Seq("host"), "left")
+      .select(col("url"), col("host"),
+        when(col("declared").isNull || col("declared") < 0,
+          lit(defaultDelaySec)).otherwise(col("declared"))
+          .as("delay_sec"))
+      .withColumn("slot", row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_sec", col("slot") * col("delay_sec").cast("long"))
   }
 
   /** Corpus snapshot diff — the recrawl bookkeeping pass: classify every

@@ -354,6 +354,28 @@ object RobotsRules {
     containsNull = false)
 }
 
+/** `Crawl-delay` seconds under [[RobotsRules]]' group selection (−1 =
+  * none declared; the de-facto politeness field), as a native
+  * codegen'd expression — one parse per (host, robots.txt) row.
+  */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(agent.nonEmpty, "need a crawler product token")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.robotsCrawlDelay(input.asInstanceOf[UTF8String], agent)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("robotsAgent", agent, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.robotsCrawlDelay($c, $a)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RobotsCrawlDelay =
+    copy(child = newChild)
+}
+
 /** RFC 9309 path-pattern match length (`*` wildcards, terminal `$`
   * anchor; −1 = no match, else the pattern's length = the rule's
   * longest-match specificity) as a native codegen'd expression — one

@@ -2639,6 +2639,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(Kernels.robotsRules(null, "graftbot") == null)
   }
 
+  test("crawl: robotsCrawlDelay — group selection shared with rules, " +
+      "first declared wins, -1 when absent") {
+    import graft.expressions.Kernels
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val txt = "User-agent: GraftBot\nCrawl-delay: 4\nCrawl-delay: 9\n" +
+      "Disallow: /x\nUser-agent: *\nCrawl-delay: 99\n"
+    assert(Kernels.robotsCrawlDelay(u(txt), "graftbot") == 4)
+    assert(Kernels.robotsCrawlDelay(u(txt), "stranger") == 99)
+    assert(Kernels.robotsCrawlDelay(u("User-agent: *\nDisallow: /\n"),
+      "graftbot") == -1)
+    // a malformed or negative delay is ignored, not zeroed
+    assert(Kernels.robotsCrawlDelay(
+      u("User-agent: *\nCrawl-delay: soon\nCrawl-delay: -2\n"),
+      "graftbot") == -1)
+    // crawl-delay ENDS an agent run: the next User-agent starts a new
+    // group (rules stay with the right group)
+    val split = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /q\n"
+    assert(Kernels.robotsCrawlDelay(u(split), "b") == -1)
+    val rb = Kernels.robotsRules(u(split), "b")
+    assert(rb.numElements() == 1)
+  }
+
   test("crawl: robotsMatchLen — prefix semantics, * wildcard, $ " +
       "anchor, specificity = pattern length") {
     import graft.expressions.Kernels
