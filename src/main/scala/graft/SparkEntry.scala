@@ -8842,6 +8842,78 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // SCRAPE-PULL EXEMPLARS: the PULL counterpart of the OpenMetrics
+    // push edge — a target serving an OM /metrics page (planted every-
+    // third-second trace exemplars) is scraped with OM negotiation,
+    // its exemplars land in the `_exemplars` side table beside the
+    // samples, and a graft server opened on the scraped store serves
+    // them on /api/v1/query_exemplars: span context survives the pull
+    // path end to end. Oracle: the raw events the page printed.
+    "s1_scrape_om_exemplars" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value"),
+          (unix_millis(col("ts")) / 1000).cast("long").as("sec"))
+        .collect().toSeq
+        .sortBy(r => (r.getLong(0), r.getLong(2), r.getDouble(1)))
+      val lines = rows.map { r =>
+        val (u, v, sec) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+        val base = s"""signup{user_id="$u"} $v $sec"""
+        if (sec % 3 == 0)
+          base + s""" # {trace_id="t-$u-$sec"} $v $sec"""
+        else base
+      }
+      val page = ("# TYPE signup gauge\n" + lines.mkString("\n") +
+        "\n# EOF\n").getBytes("UTF-8")
+      val target = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      target.createContext("/metrics",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          ex.getResponseHeaders.set("Content-Type",
+            "application/openmetrics-text; version=1.0.0; charset=utf-8")
+          ex.sendResponseHeaders(200, page.length.toLong)
+          ex.getResponseBody.write(page); ex.close()
+        })
+      target.start()
+      val table = java.nio.file.Files.createTempDirectory("graft_som")
+        .toString + "/metrics"
+      try {
+        val n = graft.serve.Scraper.scrapeInto(s,
+          s"http://localhost:${target.getAddress.getPort}/metrics",
+          table, openMetrics = true)
+        require(n > 0, "scrape returned no samples")
+        // the scraped store serves its exemplars on the standard API
+        val server = new graft.serve.Server(s, table).start()
+        try {
+          val q = java.net.URLEncoder.encode("signup", "UTF-8")
+          val econn = java.net.URI.create(
+              s"http://localhost:${server.boundPort}" +
+                s"/api/v1/query_exemplars?query=$q&start=$Jan05&end=$Jan20")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          val ebody = new String(econn.getInputStream.readAllBytes(),
+            "UTF-8")
+          econn.disconnect()
+          require(ebody.contains("trace_id"),
+            "scraped exemplars must serve on query_exemplars")
+        } finally server.stop()
+        val samples = s.read.parquet(table)
+          .select(lit("sample").as("kind"),
+            regexp_extract(array_join(col("tags"), ","),
+              "user_id=([0-9]+)", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        val exs = s.read.parquet(table + "_exemplars")
+          .select(lit("exemplar").as("kind"),
+            regexp_extract(array_join(col("ex_tags"), ","),
+              "trace_id=t-([0-9]+)-", 1).cast("long").as("user_id"),
+            unix_timestamp(col("ts")).as("t"),
+            floor(col("val") * 1000000L).cast("long").as("value_fp"))
+        samples.union(exs)
+          .orderBy(col("kind"), col("user_id"), col("t"), col("value_fp"))
+      } finally target.stop(0)
+    }),
+
     // OTLP EXEMPLARS: the span-context attachments OTel SDKs put on
     // counter points ride /otlp/v1/metrics into the SAME side table
     // remote-write v1/v2 and OpenMetrics exemplars use — trace_id
@@ -15959,6 +16031,15 @@ object SparkEntry {
          |  CAST(floor(value * 1000000) AS BIGINT) AS value_fp
          |FROM events WHERE event_type = 'click'
          |ORDER BY user_id, t, value_fp""".stripMargin,
+
+    "s1_scrape_om_exemplars" ->
+      s"""WITH c AS (SELECT user_id, $OSec AS t,
+         |    CAST(floor(value * 1000000) AS BIGINT) AS value_fp
+         |  FROM events WHERE event_type = 'signup')
+         |SELECT 'sample' AS kind, user_id, t, value_fp FROM c
+         |UNION ALL
+         |SELECT 'exemplar', user_id, t, value_fp FROM c WHERE t % 3 = 0
+         |ORDER BY kind, user_id, t, value_fp""".stripMargin,
 
     "s1_otlp_exemplars" ->
       s"""WITH c AS (SELECT user_id, $OSec AS t,

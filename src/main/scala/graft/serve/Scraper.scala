@@ -32,18 +32,24 @@ object Scraper {
   /** One scrape: fetch, parse, append. Returns the sample count.
     * `openMetrics = true` negotiates the OM render (Accept header) and
     * parses under OM rules — seconds timestamps, required `# EOF`;
-    * inline exemplars are parsed but not stored on this pull path.
+    * inline exemplars land beside the table in the `_exemplars` side
+    * table (the Server's exemplar schema), so a scraped target's span
+    * context serves on /api/v1/query_exemplars like every push
+    * protocol's.
     */
   def scrapeInto(spark: SparkSession, url: String, tablePath: String,
                  nowMs: Long = System.currentTimeMillis(),
                  openMetrics: Boolean = false): Long = {
-    val dec =
+    val (dec, exemplars) =
       if (openMetrics) {
         val om = graft.codec.TextExposition.decodeOpenMetrics(
           fetch(url, accept =
             Some("application/openmetrics-text; version=1.0.0")), nowMs)
-        graft.codec.TextExposition.Decoded(om.request, om.metadata)
-      } else graft.codec.TextExposition.decode(fetch(url), nowMs)
+        (graft.codec.TextExposition.Decoded(om.request, om.metadata),
+          om.exemplars)
+      } else
+        (graft.codec.TextExposition.decode(fetch(url), nowMs),
+          Seq.empty[graft.codec.WriteWire.PExemplarSeries])
     val samples = for {
       ts <- dec.request.timeseries
       s <- ts.samples
@@ -52,12 +58,31 @@ object Scraper {
       graft.model.Schema.Sample(labels.getOrElse("__name__", ""),
         labels, s.value, s.timestampMs)
     }
+    import spark.implicits._
     if (samples.nonEmpty) {
-      import spark.implicits._
       graft.engine.WritePipeline.append(
         graft.engine.WritePipeline.toMetricRows(
           graft.engine.WritePipeline.dropNonFinite(samples.toDF())),
         tablePath)
+    }
+    if (exemplars.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val rows = for (es <- exemplars; e <- es.exemplars) yield {
+        val name = es.seriesLabels.find(_.name == "__name__")
+          .map(_.value).getOrElse("")
+        (name,
+          es.seriesLabels.map(l => s"${l.name}=${l.value}").sorted,
+          e.labels.map(l => s"${l.name}=${l.value}").sorted,
+          e.value, e.timestampMs)
+      }
+      graft.engine.WritePipeline.append(
+        rows.toDF("name", "tags", "ex_tags", "val", "tsMs")
+          .select(
+            to_date(timestamp_seconds((col("tsMs") / 1000).cast("long")))
+              .as("date"),
+            col("name"), col("tags"), col("ex_tags"), col("val"),
+            timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts")),
+        tablePath + "_exemplars")
     }
     samples.size.toLong
   }
