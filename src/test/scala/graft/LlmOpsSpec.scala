@@ -2639,6 +2639,50 @@ class LlmOpsSpec extends SparkSpec {
     assert(Kernels.robotsRules(null, "graftbot") == null)
   }
 
+  test("crawl: sitemapUrls — loc extraction, whitespace trim, entity " +
+      "decode, sitemapindex shape") {
+    val s = spark
+    import s.implicits._
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc>
+      |  https://a.org/p?x=1&amp;y=2
+      |</loc></url>
+      |<url><loc>https://a.org/q</loc><lastmod>2026-01-05</lastmod></url>
+      |</urlset>""".stripMargin
+    val out = Seq(xml).toDF("x")
+      .select(graft.llm.CrawlOps.sitemapUrls(org.apache.spark.sql.functions.col("x")).as("u"))
+      .collect().head.getAs[scala.collection.Seq[String]]("u").toSeq
+    assert(out == Seq("https://a.org/p?x=1&y=2", "https://a.org/q"))
+    // a sitemapindex uses the same <loc> element — child sitemap URLs
+    // extract identically
+    val idx = "<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    val out2 = Seq(idx).toDF("x")
+      .select(graft.llm.CrawlOps.sitemapUrls(org.apache.spark.sql.functions.col("x")).as("u"))
+      .collect().head.getAs[scala.collection.Seq[String]]("u").toSeq
+    assert(out2 == Seq("https://a.org/s1.xml"))
+  }
+
+  test("crawl: crawlSchedule — per-host lanes, declared vs default " +
+      "delay, lexicographic slots") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      "https://a.org/2", "https://a.org/1", "https://b.org/x")
+      .toDF("url")
+    val robots = Seq(("a.org", "User-agent: *\nCrawl-delay: 10\n"))
+      .toDF("host", "robots_txt")
+    val out = graft.llm.CrawlOps.crawlSchedule(
+      frontier, "url", robots, "graftbot", defaultDelaySec = 3)
+      .orderBy(org.apache.spark.sql.functions.col("url"))
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("https://a.org/1", 10, 0L, 0L),   // first slot on its host
+      ("https://a.org/2", 10, 1L, 10L),  // second: one delay later
+      ("https://b.org/x", 3, 0L, 0L)))   // no robots → default lane
+  }
+
   test("crawl: robotsCrawlDelay — group selection shared with rules, " +
       "first declared wins, -1 when absent") {
     import graft.expressions.Kernels
