@@ -553,6 +553,23 @@ object SparkEntry {
         lit(1.0).as("val"), col("ts"))
   }
 
+  /** Portable bit-length of a non-negative long: the number of binary
+    * digits (idx = k ⟺ vfp ∈ [2^(k−1), 2^k), idx(0) = 1), computed as
+    * a pure comparison fold against literal powers of two. Unlike
+    * `length(bin(v))` this has NO dependence on any engine's binary
+    * text rendering, so the DuckDB twin ([[ExpHistIdxSql]]) is
+    * value-identical on every DuckDB version (r16 verdict item 1).
+    */
+  private def bitLenCol(c: Column): Column =
+    greatest((0 to 62).map(k => when(c >= lit(1L << k), 1).otherwise(0))
+      .reduce(_ + _), lit(1))
+
+  /** DuckDB twin of [[bitLenCol]] over a column named `vfp`. */
+  private val ExpHistIdxSql: String =
+    "greatest(" + (0 to 62).map(k =>
+      s"(CASE WHEN vfp >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ") + ", 1)"
+
   /** Native-histogram wire fixture shared by the s1_native_hist_*
     * entries: per (event_type, day), a schema-0 `prompb.Histogram`
     * whose positive buckets come from the EXACT bit-length
@@ -7920,7 +7937,7 @@ object SparkEntry {
         .select(col("event_type"), to_date(col("ts")).as("day"),
           floor(col("value") * 1000000L).cast("long").as("vfp"))
       val b = deltas0
-        .withColumn("idx", length(bin(col("vfp"))).cast("int"))
+        .withColumn("idx", bitLenCol(col("vfp")).cast("int"))
         .groupBy(col("event_type"), col("day"), col("idx"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("event_type"), col("day"))
@@ -7931,7 +7948,8 @@ object SparkEntry {
           sum(col("vfp")).cast("double").as("sum"))
       val deltas = tot.join(b, Seq("event_type", "day"))
         .select(col("event_type").as("series"),
-          (unix_timestamp(col("day").cast("timestamp")) * 1000).as("ts"),
+          (datediff(col("day"), lit("1970-01-01").cast("date"))
+            .cast("long") * 86400000L).as("ts"),
           col("count"), col("sum"), lit(0L).as("zero"), col("buckets"))
       val batch = graft.streaming.DeltaToCumulative
         .convertBatchExpHist(deltas, maxStaleMs = 129600000L)
@@ -15634,20 +15652,27 @@ object SparkEntry {
     // island, running sums of the scalar companions and per-bucket
     // counts (a bucket persists from its first appearance — running
     // totals of positive counts never return to zero)
+    // portability notes (the one red row of r16): the bucket index is
+    // the comparison-fold bit length (no bin() text rendering), day
+    // gaps and epoch seconds are integer date_diff arithmetic (no
+    // epoch() typing), and every window sum is CAST to BIGINT — a bare
+    // DuckDB window sum(BIGINT) is HUGEINT, which pandas materializes
+    // as float on some versions and breaks the driver's value hash
+    // while passing a tolerance compare.
     "ts_delta2cum_exphist" ->
-      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events
         |  WHERE CAST(ts AS DATE) <> DATE '2024-01-16'),
-        |b AS (SELECT event_type, day, length(bin(vfp)) AS idx,
+        |b AS (SELECT event_type, day, $ExpHistIdxSql AS idx,
         |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
         |pd AS (SELECT DISTINCT event_type, day FROM e),
         |g AS (SELECT event_type, day,
-        |    epoch(CAST(day AS TIMESTAMP)) -
-        |      lag(epoch(CAST(day AS TIMESTAMP)))
-        |        OVER (PARTITION BY event_type ORDER BY day) AS gap
+        |    date_diff('day',
+        |      lag(day) OVER (PARTITION BY event_type ORDER BY day),
+        |      day) AS gap
         |  FROM pd),
         |i AS (SELECT event_type, day,
-        |    sum(CASE WHEN gap IS NULL OR gap * 1000 > 129600000
+        |    sum(CASE WHEN gap IS NULL OR gap > 1
         |      THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY event_type ORDER BY day
         |        ROWS UNBOUNDED PRECEDING) AS isl
@@ -15656,9 +15681,9 @@ object SparkEntry {
         |  FROM b JOIN i ON i.event_type = b.event_type
         |    AND i.day = b.day),
         |cb AS (SELECT i.event_type, i.day, ix.idx,
-        |    sum(coalesce(b.cnt, 0)) OVER (PARTITION BY i.event_type,
-        |      i.isl, ix.idx ORDER BY i.day
-        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    CAST(sum(coalesce(b.cnt, 0)) OVER (PARTITION BY
+        |      i.event_type, i.isl, ix.idx ORDER BY i.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |  FROM i JOIN ix ON ix.event_type = i.event_type
         |    AND ix.isl = i.isl
         |  LEFT JOIN b ON b.event_type = i.event_type
@@ -15666,14 +15691,17 @@ object SparkEntry {
         |tc AS (SELECT event_type, day, count(*) AS n,
         |    CAST(sum(vfp) AS BIGINT) AS sfp FROM e GROUP BY 1, 2),
         |rt AS (SELECT i.event_type, i.day,
-        |    sum(tc.n) OVER (PARTITION BY i.event_type, i.isl
-        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS total_count,
-        |    sum(tc.sfp) OVER (PARTITION BY i.event_type, i.isl
-        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS sum_fp
+        |    CAST(sum(tc.n) OVER (PARTITION BY i.event_type, i.isl
+        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS total_count,
+        |    CAST(sum(tc.sfp) OVER (PARTITION BY i.event_type, i.isl
+        |      ORDER BY i.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS sum_fp
         |  FROM i JOIN tc ON tc.event_type = i.event_type
         |    AND tc.day = i.day)
         |SELECT cb.event_type AS series,
-        |  CAST(epoch(CAST(cb.day AS TIMESTAMP)) AS BIGINT) AS t,
+        |  CAST(date_diff('day', DATE '1970-01-01', cb.day) AS BIGINT)
+        |    * 86400 AS t,
         |  CAST(cb.idx AS BIGINT) AS idx, cb.cum AS cnt,
         |  rt.total_count, rt.sum_fp
         |FROM cb JOIN rt ON rt.event_type = cb.event_type

@@ -60,6 +60,17 @@ def main():
             continue
         bad = 0
         exact = True
+        # The driver hashes raw values with no tolerance, so an oracle
+        # column that materializes as float64 (e.g. DuckDB HUGEINT from
+        # an un-cast window sum(BIGINT)) against a Spark int64 column is
+        # a driver-only hash failure even when every value compares
+        # equal here. Surface the dtype divergence loudly.
+        for c in want.columns:
+            wk, gk = want[c].dtype.kind, got[c].dtype.kind
+            if {wk, gk} == {"f", "i"} or {wk, gk} == {"f", "u"}:
+                print(f"WARN {name} col {c}: dtype want={want[c].dtype} "
+                      f"got={got[c].dtype} — driver hash WILL mismatch; "
+                      f"CAST the oracle column")
         for cidx, c in enumerate(want.columns):
             wv, gv = want[c].tolist(), got[c].tolist()
             for i in range(len(wv)):
