@@ -706,12 +706,20 @@ object SparkEntry {
     * WITHIN an epoch and restart at each epoch boundary. `split` adds an
     * `instance` label (event parity, vfp mod 2) for the cross-series
     * aggregation entries; `resetDay` starts a second epoch at that day —
-    * a service restart mid-store, the reset-handling fixture. With
-    * neither, this is row-identical to [[nativeHistCumStore]].
+    * a service restart mid-store, the reset-handling fixture. `dipDay`
+    * overrides that one day's sample with the floor-midpoint of the two
+    * PRECEDING cumulative samples (per bucket, count and sum alike): a
+    * strict per-bucket SHRINK against the previous day that still sits
+    * above the day before it — the gauge-histogram fixture, where
+    * delta() must read the dip as a negative excursion and NOT as a
+    * counter reset. With none of these, this is row-identical to
+    * [[nativeHistCumStore]].
     */
   private def nativeHistCumStoreVar(s: SparkSession, dir: String,
                                     split: Boolean,
-                                    resetDay: Option[String]): DataFrame = {
+                                    resetDay: Option[String],
+                                    dipDay: Option[String] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev0 = Tables.events(s, dir).select(
       col("event_type"),
@@ -742,6 +750,17 @@ object SparkEntry {
       .select((ek ++ Seq(col("day"), col("idx"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))): _*)
       .withColumn("cum", sum(col("cnt")).over(wDay))
+      .withColumn("cum", dipDay match {
+        case Some(dd) =>
+          val wLag = Window.partitionBy((ek :+ col("idx")): _*)
+            .orderBy(col("day"))
+          when(col("day") === to_date(lit(dd)),
+            coalesce(floor((lag(col("cum"), 1).over(wLag) +
+              lag(col("cum"), 2).over(wLag)) / 2.0).cast("long"),
+              col("cum")))
+            .otherwise(col("cum"))
+        case None => col("cum")
+      })
       .filter(col("cum") > 0)
       .groupBy((ek :+ col("day")): _*)
       .agg(sort_array(collect_list(struct(col("idx"),
@@ -754,9 +773,20 @@ object SparkEntry {
         concat(lit("instance="), col("inst"))))
       else array(lit("__name__=hist_val"),
         concat(lit("event_type="), col("event_type")))
+    def dipped(c: Column): Column = dipDay match {
+      case Some(dd) =>
+        val wLag = Window.partitionBy(ek: _*).orderBy(col("day"))
+        when(col("day") === to_date(lit(dd)),
+          coalesce(floor((lag(c, 1).over(wLag) +
+            lag(c, 2).over(wLag)) / 2.0).cast("long"), c))
+          .otherwise(c)
+      case None => c
+    }
     days
       .withColumn("cum_count", sum(col("total_count")).over(wTot))
       .withColumn("cum_sum_fp", sum(col("sum_fp")).over(wTot))
+      .withColumn("cum_count", dipped(col("cum_count")))
+      .withColumn("cum_sum_fp", dipped(col("cum_sum_fp")))
       .join(cumBuckets, keyNames :+ "day")
       .select(
         lit("hist_val").as("name"),
@@ -9259,6 +9289,31 @@ object SparkEntry {
         .orderBy(col("t"), col("tags"))
     }),
 
+    // delta() READS NATIVE HISTOGRAMS AS GAUGES (upstream
+    // histogramRate, isCounter=false): the store dips on Jan 16 — that
+    // day's sample is the floor-midpoint of the two PRECEDING
+    // cumulative samples, a strict per-bucket shrink against Jan 15
+    // that still sits above Jan 14 — and the [3d] windows straddling
+    // it must answer the plain last−first bucket difference. Counter
+    // reset chaining (rate/increase's rule, and this entry's failure
+    // mode before r17) would misread the dip as a restart and add the
+    // whole pre-dip cumulative back, inflating the quantile by orders
+    // of magnitude. The fixture keeps every window's last ≥ first per
+    // bucket (the dip sits between two cumulative points below it), so
+    // the rank search stays well-defined while the interior shrink
+    // discriminates the two semantics.
+    "promql_native_hist_gauge_delta" -> ((s, dir) => {
+      Eval.rangeQuery(
+          nativeHistCumStoreVar(s, dir, split = false, resetDay = None,
+            dipDay = Some("2024-01-16")),
+          """histogram_quantile(0.9, delta({__name__="hist_val"}[3d]))""",
+          Eval.RangeSpec(1704067200L, 1706572800L, 86400L,
+            lookbackSec = 86400L))
+        .select(tagsStr.as("tags"), col("t"),
+          round(col("value") * 1000000L).cast("long").as("value_fp"))
+        .orderBy(col("t"), col("tags"))
+    }),
+
     // THE FLEET LATENCY PANEL: histogram_quantile(0.9,
     // sum by (event_type) (increase(h[2d]))) over a MULTI-INSTANCE
     // native store — per-instance reset-adjusted window deltas, then
@@ -16345,6 +16400,67 @@ object SparkEntry {
         |    sum(cnt) OVER (PARTITION BY event_type, T ORDER BY idx
         |      ROWS UNBOUNDED PRECEDING) AS cum,
         |    sum(cnt) OVER (PARTITION BY event_type, T) AS tot FROM wx),
+        |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
+        |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r2)
+        |SELECT 'event_type=' || event_type AS tags, T AS t,
+        |  CAST(floor(power(2.0, idx - 1) +
+        |    (power(2.0, idx) - power(2.0, idx - 1)) *
+        |    ((rk - prevd) / CAST(cnt AS DOUBLE))) AS BIGINT)
+        |    AS value_fp
+        |FROM sel
+        |WHERE tot > 0 AND CAST(cum AS DOUBLE) >= rk AND prevd < rk
+        |ORDER BY t, tags""".stripMargin,
+
+    // gauge semantics replay: cumulative per-bucket counts with the
+    // Jan 16 dip override (floor-midpoint of the two preceding days),
+    // per-window plain last − first (NO reset chaining), then the rank
+    // search — the SQL mirror of histogramRate(isCounter=false)
+    "promql_native_hist_gauge_delta" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vfp FROM events),
+        |b AS (SELECT event_type, day, $ExpHistIdxSql AS idx,
+        |    count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |pd AS (SELECT DISTINCT event_type, day FROM e),
+        |ix AS (SELECT DISTINCT event_type, idx FROM b),
+        |cb0 AS (SELECT pd.event_type, pd.day, ix.idx,
+        |    CAST(sum(coalesce(bb.cnt, 0)) OVER (PARTITION BY
+        |      pd.event_type, ix.idx ORDER BY pd.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM pd JOIN ix ON ix.event_type = pd.event_type
+        |  LEFT JOIN b bb ON bb.event_type = pd.event_type
+        |    AND bb.day = pd.day AND bb.idx = ix.idx),
+        |cb AS (SELECT event_type, day, idx,
+        |    CASE WHEN day = DATE '2024-01-16' THEN
+        |      coalesce(CAST(floor((lag(cum, 1) OVER lw +
+        |        lag(cum, 2) OVER lw) / 2.0) AS BIGINT), cum)
+        |    ELSE cum END AS cum
+        |  FROM cb0
+        |  WINDOW lw AS (PARTITION BY event_type, idx ORDER BY day)),
+        |gr AS (SELECT 1704067200 + 86400 * k AS T
+        |  FROM generate_series(0, 29) g(k)),
+        |win AS (SELECT gr.T, p.event_type, p.day
+        |  FROM gr JOIN pd p
+        |    ON date_diff('day', DATE '1970-01-01', p.day) * 86400
+        |      > gr.T - 259200
+        |    AND date_diff('day', DATE '1970-01-01', p.day) * 86400
+        |      <= gr.T),
+        |fw AS (SELECT T, event_type, min(day) AS fday,
+        |    max(day) AS lday, count(*) AS n FROM win GROUP BY 1, 2),
+        |wd AS (SELECT f.T, f.event_type, cl.idx,
+        |    cl.cum - coalesce(cf.cum, 0) AS cnt
+        |  FROM fw f
+        |  JOIN cb cl ON cl.event_type = f.event_type
+        |    AND cl.day = f.lday
+        |  LEFT JOIN cb cf ON cf.event_type = f.event_type
+        |    AND cf.day = f.fday AND cf.idx = cl.idx
+        |  WHERE f.n >= 2),
+        |wx AS (SELECT * FROM wd WHERE cnt > 0),
+        |r2 AS (SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, T
+        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, T)
+        |      AS BIGINT) AS tot FROM wx),
         |sel AS (SELECT *, 0.9 * CAST(tot AS DOUBLE) AS rk,
         |    CAST(cum - cnt AS DOUBLE) AS prevd FROM r2)
         |SELECT 'event_type=' || event_type AS tags, T AS t,

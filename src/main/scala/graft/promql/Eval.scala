@@ -571,7 +571,8 @@ object Eval {
     */
   private def nativeHistWindowDeltas(h: DataFrame, offsetSec: Long,
                                      wSec: Long, spec: RangeSpec,
-                                     groupCol: Option[Column] = None)
+                                     groupCol: Option[Column] = None,
+                                     isCounter: Boolean = true)
       : DataFrame = {
     val gCols = groupCol.map(_ => col("_g")).toSeq
     val hs = struct(col("h_count").as("c"), col("h_sum_fp").as("s"),
@@ -585,11 +586,17 @@ object Eval {
       .select((gCols ++ Seq(col("tags"), col("t"), col("_h"),
         lag(col("_h"), 1).over(w).as("_ph"),
         lag(col("t"), 1).over(w).as("_pt"))): _*)
-      .withColumn("_reset", col("_ph").isNotNull &&
-        (col("_h.c") < col("_ph.c") || col("_h.z") < col("_ph.z") ||
-          exists(col("_ph.b"), b =>
-            coalesce(element_at(cMap, b.getField("idx")), lit(0L)) <
-              b.getField("cnt"))))
+      .withColumn("_reset",
+        // delta() treats native histograms as GAUGES (upstream
+        // histogramRate with isCounter=false): a shrinking bucket is a
+        // legitimate negative delta, never a counter reset, so the
+        // chained pre-reset contributions apply to rate/increase only
+        if (!isCounter) lit(false)
+        else col("_ph").isNotNull &&
+          (col("_h.c") < col("_ph.c") || col("_h.z") < col("_ph.z") ||
+            exists(col("_ph.b"), b =>
+              coalesce(element_at(cMap, b.getField("idx")), lit(0L)) <
+                b.getField("cnt"))))
     val te = col("t") + offsetSec
     val kFirst = ceilDiv(greatest(te, lit(spec.startSec)) - spec.startSec,
       spec.stepSec)
@@ -635,15 +642,22 @@ object Eval {
         (_, a, b) => coalesce(a, lit(0L)) + coalesce(b, lit(0L))))
     // the delta frame wears the h-columns, so the SAME per-histogram
     // scalar derivations serve instants and windows alike
-    agg.select((gCols ++ Seq(col("tags"), col("t"),
+    val out = agg.select((gCols ++ Seq(col("tags"), col("t"),
       (col("_l.c") - col("_f.c") + col("_rc")).as("h_count"),
       (col("_l.s") - col("_f.s") + col("_rs")).as("h_sum_fp"),
       (col("_l.z") - col("_f.z") + col("_rz")).as("h_zero"),
       sort_array(transform(
-        filter(map_entries(merged), e => e.getField("value") > 0),
+        filter(map_entries(merged), e =>
+          if (isCounter) e.getField("value") > 0
+          else e.getField("value") =!= 0),
         e => struct(e.getField("key").as("idx"),
           e.getField("value").as("cnt")))).as("h_buckets"))): _*)
-      .filter(col("h_count") > 0 && size(col("h_buckets")) > 0)
+    // counter forms drop no-growth windows (PromQL's empty-rate rule);
+    // the gauge form emits every ≥2-sample window, zero or negative
+    // deltas included, exactly as upstream's Sub + Compact does
+    if (isCounter)
+      out.filter(col("h_count") > 0 && size(col("h_buckets")) > 0)
+    else out
   }
 
   /** `histogram_quantile(q, rate|increase|delta(sel[w]))` over NATIVE
@@ -654,26 +668,34 @@ object Eval {
     * rate/increase/delta share one computation here: the quantile is
     * invariant under uniform bucket scaling, so the 1/window factor —
     * and Prometheus's boundary extrapolation, which scales every bucket
-    * equally — cancel out exactly.
+    * equally — cancel out exactly. What does NOT carry over to delta()
+    * is reset chaining: delta() reads the histogram as a gauge
+    * (upstream histogramRate, isCounter=false), so `rfn` picks the
+    * plain last-minus-first form there.
     */
   private def nativeHistRangeFn(m: DataFrame, s: Selector, wSec: Long,
                                 which: String, params: Seq[Double],
-                                spec: RangeSpec): DataFrame =
+                                spec: RangeSpec,
+                                rfn: String = "rate"): DataFrame =
     histScalar(nativeHistWindowDeltas(scanHist(m, s, spec, wSec),
-        s.offsetSec, wSec, spec), which, params)
+        s.offsetSec, wSec, spec, isCounter = rfn != "delta"),
+        which, params)
       .select(dropName(col("tags")).as("tags"), col("t"),
         col("t").as("st"), col("v_fp"))
 
   /** The inner shapes `histogram_*(sum|avg by (...) (X))` accepts on the
-    * native path: a plain selector, or rate/increase/delta of one.
+    * native path: a plain selector, or rate/increase/delta of one
+    * (returned as the third element so the caller keeps the
+    * counter-vs-gauge distinction).
     */
-  private def histAggInner(e: Expr): Option[(Selector, Option[Long])] =
+  private def histAggInner(e: Expr)
+      : Option[(Selector, Option[Long], String)] =
     e match {
-      case s: Selector if s.rangeSec.isEmpty => Some((s, None))
+      case s: Selector if s.rangeSec.isEmpty => Some((s, None, "rate"))
       case Call(rfn, scala.collection.Seq(s: Selector))
           if s.rangeSec.nonEmpty &&
             Set("rate", "increase", "delta").contains(rfn) =>
-        Some((s, s.rangeSec))
+        Some((s, s.rangeSec, rfn))
       case _ => None
     }
 
@@ -704,7 +726,8 @@ object Eval {
   private def nativeHistAggFn(m: DataFrame, sel: Selector, spec: RangeSpec,
                               aggOp: String, labels: Seq[String],
                               without: Boolean, rangeWSec: Option[Long],
-                              which: String, params: Seq[Double])
+                              which: String, params: Seq[Double],
+                              rfn: String = "rate")
       : DataFrame = {
     require(rangeWSec.isEmpty || !Set("count", "sum").contains(which),
       s"histogram_$which over an aggregated range function is not " +
@@ -715,7 +738,7 @@ object Eval {
     val perT = rangeWSec match {
       case Some(wSec) =>
         nativeHistWindowDeltas(h, sel.offsetSec, wSec, spec,
-          groupCol = Some(col("_g")))
+          groupCol = Some(col("_g")), isCounter = rfn != "delta")
       case None =>
         // instant form: each sample owns the grid instants from its own
         // time to just before the series' next sample (capped by
@@ -1498,15 +1521,15 @@ object Eval {
               if hasNativeHist(m) && s.rangeSec.nonEmpty &&
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, s, s.rangeSec.get, "quantile",
-              Seq(q), spec))
+              Seq(q), spec, rfn))
           // the fleet panel: quantile of a CROSS-SERIES histogram sum —
           // sparse-bucket merge per (group, T), then the rank search
           case Agg(aop, inner, None, labels, without)
               if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
                 histAggInner(inner).isDefined =>
-            val (s2, wOpt) = histAggInner(inner).get
+            val (s2, wOpt, rfn2) = histAggInner(inner).get
             VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
-              "quantile", Seq(q)))
+              "quantile", Seq(q), rfn2))
           case _ => VecV(histQuantile(vecArg(m, args(1), spec, fn), q))
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" |
@@ -1541,13 +1564,13 @@ object Eval {
               if hasNativeHist(m) && sel.rangeSec.nonEmpty &&
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get,
-              fn.stripPrefix("histogram_"), Nil, spec))
+              fn.stripPrefix("histogram_"), Nil, spec, rfn))
           case Agg(aop, inner, None, labels, without)
               if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
                 histAggInner(inner).isDefined =>
-            val (s2, wOpt) = histAggInner(inner).get
+            val (s2, wOpt, rfn2) = histAggInner(inner).get
             VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
-              fn.stripPrefix("histogram_"), Nil))
+              fn.stripPrefix("histogram_"), Nil, rfn2))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }
@@ -1562,13 +1585,13 @@ object Eval {
               if hasNativeHist(m) && sel.rangeSec.nonEmpty &&
                 Set("rate", "increase", "delta").contains(rfn) =>
             VecV(nativeHistRangeFn(m, sel, sel.rangeSec.get, "fraction",
-              Seq(lo, hi), spec))
+              Seq(lo, hi), spec, rfn))
           case Agg(aop, inner, None, labels, without)
               if hasNativeHist(m) && Set("sum", "avg").contains(aop) &&
                 histAggInner(inner).isDefined =>
-            val (s2, wOpt) = histAggInner(inner).get
+            val (s2, wOpt, rfn2) = histAggInner(inner).get
             VecV(nativeHistAggFn(m, s2, spec, aop, labels, without, wOpt,
-              "fraction", Seq(lo, hi)))
+              "fraction", Seq(lo, hi), rfn2))
           case _ => throw new IllegalArgumentException(
             s"$fn() needs a selector over a native-histogram store")
         }

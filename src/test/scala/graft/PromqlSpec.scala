@@ -961,6 +961,46 @@ class PromqlSpec extends SparkSpec {
       == Seq(3686e-6))
   }
 
+  test("delta() on native histograms is a GAUGE read: plain last−first, " +
+      "no reset chaining (upstream histogramRate isCounter=false)") {
+    // the SAME mid-window drop fixture as the reset test: increase()
+    // chains the pre-drop histogram back in (3712 fp), while delta()
+    // must take t400 − t100 directly — {zero 1, b10 1, b12 3}, ranks 5,
+    // q=0.9 → 4.5 in b12: 2048 + 2048·(4.5−2)/3 = 3754 fp
+    val rows = Seq(
+      ("h", Seq("__name__=h", "job=a"), 100L, 4L, 100L, 1L,
+        Seq((10, 2L), (12, 1L))),
+      ("h", Seq("__name__=h", "job=a"), 200L, 10L, 300L, 2L,
+        Seq((10, 3L), (12, 5L))),
+      ("h", Seq("__name__=h", "job=a"), 300L, 3L, 50L, 1L,
+        Seq((10, 1L), (12, 1L))),
+      ("h", Seq("__name__=h", "job=a"), 400L, 9L, 200L, 2L,
+        Seq((10, 3L), (12, 4L))))
+    val store = rows.toDF("name", "tags", "ts", "h_count", "h_sum_fp",
+      "h_zero", "h_buckets")
+      .withColumn("h_buckets",
+        expr("transform(h_buckets, b -> struct(b._1 AS idx, b._2 AS cnt))"))
+    def one(q: String): Seq[Double] =
+      Eval.rangeQuery(store, q, Eval.RangeSpec(400, 400, 1, 400L))
+        .select(col("value")).as[Double].collect().toSeq
+    assert(one(
+      """histogram_quantile(0.9, delta({__name__="h"}[350s]))""")
+      == Seq(3754e-6))
+    // increase() on the same window stays reset-chained — distinct
+    assert(one(
+      """histogram_quantile(0.9, increase({__name__="h"}[350s]))""")
+      == Seq(3712e-6))
+    // the scalar rails follow the gauge read too: count 9−4 = 5, sum
+    // 200−100 = 100 fp → avg floor(100/5) = 20 fp (chained: 26)
+    assert(one("""histogram_avg(delta({__name__="h"}[350s]))""")
+      == Seq(20e-6))
+    // the aggregated form threads the same gauge flag through
+    assert(one(
+      """histogram_quantile(0.9,
+        |  sum by (job) (delta({__name__="h"}[350s])))""".stripMargin)
+      == Seq(3754e-6))
+  }
+
   test("native-histogram cross-series aggregation: sum/avg merge sparse " +
       "buckets per (group, T), hand-computed") {
     val rows = Seq(
