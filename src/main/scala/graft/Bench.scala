@@ -58,6 +58,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // Accumulates per-task GC/shuffle/spill across the whole process;
+    // the isolated pass reads DELTAS around each trial (r16 verdict
+    // item 2: wall time alone cannot separate "driver host under
+    // shuffle/IO contention" from "plan regression" — the scan-shaped
+    // canary is blind to exactly that axis).
+    val taskMetrics = new org.apache.spark.graft.TaskMetricsListener
+
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -83,6 +90,7 @@ object Bench {
         .config("spark.ui.retainedTasks", "2000")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
+      s.sparkContext.addSparkListener(taskMetrics)
       s
     }
 
@@ -132,21 +140,49 @@ object Bench {
       * machine-distinguishable (all trials high = sustained ambient
       * load or a real regression; one high = a spike the min absorbed).
       */
-    def runTrials(name: String): (Seq[Double], Option[String]) = {
-      val t1 = runOne(name)
+    def runTrials(name: String,
+                  run: String => (Double, Option[String]) = runOne)
+        : (Seq[Double], Option[String]) = {
+      val t1 = run(name)
       if (t1._2.isDefined) (Seq(t1._1), t1._2)
       else {
-        val t2 = runOne(name)
+        val t2 = run(name)
         if (t2._2.isDefined) (Seq(t1._1, t2._1), t2._2)
         else {
           val best2 = math.min(t1._1, t2._1)
           if (best2 <= 2.0) (Seq(t1._1, t2._1), None)
           else {
-            val t3 = runOne(name)
+            val t3 = run(name)
             (Seq(t1._1, t2._1, t3._1), t3._2)
           }
         }
       }
+    }
+
+    /** SHUFFLE-SHAPED canary: a fixed-size synthetic explode →
+      * groupBy → forced sort-merge self-join, independent of the
+      * entries and of sf. The flagship canary is scan-shaped and sat
+      * at its usual floor while the driver's r16 dedup family read
+      * 2.4–3.3× (shuffle-heavy entries) — this one exercises the
+      * exchange/sort/spill path those entries live on, so
+      * "environment" vs "regression" is adjudicable from the JSON
+      * alone: dedup inflated + shuffle canary inflated = host;
+      * shuffle canary at floor = look at the code.
+      */
+    def shuffleCanary(): Double = {
+      val t0 = System.nanoTime()
+      val base = spark.range(0L, 1500000L, 1L, 32)
+        .selectExpr("id", "explode(sequence(0, 7)) AS j")
+        .selectExpr("pmod(hash(id, j), 400000) AS k", "id")
+      val agg = base.groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("id").as("s"))
+      base.join(agg.hint("merge"), "k")
+        .selectExpr("sum(s + id) AS t")
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      sec
     }
 
     def runBest(name: String): (Double, Option[String]) = {
@@ -190,7 +226,13 @@ object Bench {
     // regression. An inflated entry whose adjacent canary is ALSO
     // inflated is host noise; canary at its usual floor = look at the
     // code.
-    val isolated: Seq[(String, Seq[Double], Double)] =
+    // name → (trial times, scan canary, shuffle canary, per-trial
+    // [gc_ms, shuf_read_b, shuf_write_b, spill_mem_b, spill_disk_b],
+    // error). Errors propagate (an erroring isolated re-run previously
+    // contributed its short failure time as if it were a measurement).
+    val isolated
+        : Seq[(String, Seq[Double], Double, Double, Seq[Vector[Long]],
+            Option[String])] =
       if (isolateK <= 0 || names.size <= 1) Nil
       else {
         val ok = results.filter(_._2._2.isEmpty)
@@ -198,10 +240,24 @@ object Bench {
         val picks = (slowest ++
           sentinels.filter(s => ok.exists(_._1 == s))).distinct
         restartSession()
+        shuffleCanary() // absorb its own codegen/JIT warm-up once
         picks.sorted.map { n =>
           val canary = runOne("a1_bucket_quantile")._1
-          val (ts, _) = runTrials(n)
-          (n, ts, canary)
+          val shufCan = shuffleCanary()
+          val trialMetrics = Seq.newBuilder[Vector[Long]]
+          def metered(name: String): (Double, Option[String]) = {
+            org.apache.spark.graft.BenchInternals
+              .flushListenerBus(spark.sparkContext)
+            val before = taskMetrics.snap
+            val r = runOne(name)
+            org.apache.spark.graft.BenchInternals
+              .flushListenerBus(spark.sparkContext)
+            trialMetrics +=
+              taskMetrics.snap.lazyZip(before).map(_ - _).toVector
+            r
+          }
+          val (ts, err) = runTrials(n, metered)
+          (n, ts, canary, shufCan, trialMetrics.result(), err)
         }
       }
 
@@ -216,16 +272,36 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, ts, _) => s"${jstr(k)}:${ts.min}" }
+    // an erroring re-run is NOT a measurement: it leaves the headline
+    // isolated map (its trials + error still ship below)
+    val iso = isolated.filter(_._6.isEmpty)
+      .map { case (k, ts, _, _, _, _) => s"${jstr(k)}:${ts.min}" }
       .mkString("{", ",", "}")
-    val isoTrials = isolated.map { case (k, ts, _) =>
+    val isoTrials = isolated.map { case (k, ts, _, _, _, _) =>
       s"${jstr(k)}:${ts.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val isoCanary = isolated.map { case (k, _, c) => s"${jstr(k)}:$c" }
+    val isoCanary = isolated.map { case (k, _, c, _, _, _) =>
+      s"${jstr(k)}:$c" }
+      .mkString("{", ",", "}")
+    val isoShufCanary = isolated.map { case (k, _, _, sc, _, _) =>
+      s"${jstr(k)}:$sc" }
+      .mkString("{", ",", "}")
+    // per-trial metric deltas, aligned index-for-index with
+    // isolated_trials; bytes scaled to MB (3 decimals) to keep the
+    // line readable
+    def mb(b: Long): String = f"${b / 1048576.0}%.3f"
+    val isoMetrics = isolated.map { case (k, _, _, _, ms, _) =>
+      val rows = ms.map(m => s"""{"gc_ms":${m(0)},"shuffle_read_mb":${
+        mb(m(1))},"shuffle_write_mb":${mb(m(2))},"spill_mem_mb":${
+        mb(m(3))},"spill_disk_mb":${mb(m(4))}}""")
+      s"${jstr(k)}:${rows.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val isoErrs = isolated.collect { case (k, _, _, _, _, Some(e)) =>
+      s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"isolated_trials":$isoTrials,"isolated_canary":$isoCanary,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"isolated_trials":$isoTrials,"isolated_canary":$isoCanary,"isolated_shuffle_canary":$isoShufCanary,"isolated_metrics":$isoMetrics,"isolated_errors":$isoErrs,"sf":${jstr(sfDir)}}"""
 
     Files.writeString(Paths.get("/tmp/bench.json"), json + "\n")
     println(json)
