@@ -272,6 +272,16 @@ object TextExposition {
     }
     def omTsMs(tok: String): Long = {
       val sec = parseValue(tok, lineNo)
+      // the upstream OM parser rejects non-finite timestamps — reusing
+      // the value parser would otherwise silently turn 'NaN'/'±Inf'
+      // into 0 / Long.MaxValue / Long.MinValue samples
+      if (java.lang.Double.isNaN(sec) ||
+          java.lang.Double.isInfinite(sec))
+        fail(lineNo, s"invalid timestamp $tok")
+      // and bound the seconds so the ms truncation below cannot wrap:
+      // ±2^53 s is already ~285 My past any representable scrape time
+      if (math.abs(sec) > 9.007199254740992e15)
+        fail(lineNo, s"timestamp out of range $tok")
       // upstream openmetrics parser: int64(ts * 1000) — truncation
       (sec * 1000.0).toLong
     }

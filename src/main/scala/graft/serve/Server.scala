@@ -217,6 +217,7 @@ class Server(spark: SparkSession, tablePath: String,
         return ingestDecoded(ex, dec.request)
       }
       val body = Prompb.snappyUncompress(readBody(ex))
+      var written: Option[(Long, Long, Long)] = None
       val (wr, exemplars, metadata) =
         if (ctype.contains("io.prometheus.write.v2.Request")) {
           val req = graft.codec.Prompb2.decodeRequest(body)
@@ -234,19 +235,17 @@ class Server(spark: SparkSession, tablePath: String,
           // RW 2.0 spec: receivers respond to v2 requests with the
           // written-stats headers so senders can detect partial writes
           // (ingest here is all-or-nothing per request, so written =
-          // the request's own counts; CT-zero injections are synthetic
-          // and not counted)
-          ex.getResponseHeaders.set(
-            "X-Prometheus-Remote-Write-Samples-Written",
-            scalar.timeseries.map(_.samples.size).sum.toString)
-          ex.getResponseHeaders.set(
-            "X-Prometheus-Remote-Write-Histograms-Written",
+          // the request's own counts ON SUCCESS and 0 on a storage
+          // failure — set inside ingestDecoded AFTER the append, else
+          // a 400 would advertise the full counts as written and
+          // defeat the header's purpose; CT-zero injections are
+          // synthetic and not counted)
+          written = Some((
+            scalar.timeseries.map(_.samples.size).sum.toLong,
             graft.codec.Prompb2.histogramsToV1(req)
-              .map(_.histograms.size).sum.toString)
-          ex.getResponseHeaders.set(
-            "X-Prometheus-Remote-Write-Exemplars-Written",
+              .map(_.histograms.size).sum.toLong,
             graft.codec.Prompb2.exemplarsToV1(req)
-              .map(_.exemplars.size).sum.toString)
+              .map(_.exemplars.size).sum.toLong))
           (withCt, graft.codec.Prompb2.exemplarsToV1(req),
             graft.codec.Prompb2.metadataToV1(req))
         } else {
@@ -264,7 +263,7 @@ class Server(spark: SparkSession, tablePath: String,
       metadata.foreach(md =>
         if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
       if (exemplars.nonEmpty) appendExemplars(exemplars)
-      ingestDecoded(ex, wr)
+      ingestDecoded(ex, wr, written)
     } catch {
       case e: Throwable =>
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
@@ -550,7 +549,20 @@ class Server(spark: SparkSession, tablePath: String,
   }
 
   private def ingestDecoded(ex: HttpExchange,
-                            wr: Prompb.PWriteRequest): Unit =
+                            wr: Prompb.PWriteRequest,
+                            writtenStats: Option[(Long, Long, Long)] =
+                              None): Unit = {
+    // RW 2.0 written-stats: full counts only once the append committed,
+    // explicit zeros when anything below throws (partial-write honesty)
+    def setWritten(s: Long, h: Long, e: Long): Unit =
+      writtenStats.foreach { _ =>
+        ex.getResponseHeaders.set(
+          "X-Prometheus-Remote-Write-Samples-Written", s.toString)
+        ex.getResponseHeaders.set(
+          "X-Prometheus-Remote-Write-Histograms-Written", h.toString)
+        ex.getResponseHeaders.set(
+          "X-Prometheus-Remote-Write-Exemplars-Written", e.toString)
+      }
     try {
       val all = for (ts <- wr.timeseries; s <- ts.samples) yield {
         val labels = ts.labels.map(l => l.name -> l.value).toMap
@@ -608,11 +620,22 @@ class Server(spark: SparkSession, tablePath: String,
         sendDuration.computeIfAbsent(o.sink, _ => new Observability.DurationHistogram)
           .observe(o.durationSec)
       }
+      // fan-out isolates per-sink failures (the request still answers
+      // 200, pinned by s3_fanout_isolation) — but the RW2 written
+      // headers speak for THIS receiver's storage: full counts only
+      // when the parquet append committed, zeros when it failed
+      val tableOk = outcomes.find(_.sink == "parquet")
+        .forall(o => o.error.isEmpty && o.failed == 0L)
+      writtenStats.foreach { case (s, h, e) =>
+        if (tableOk) setWritten(s, h, e) else setWritten(0L, 0L, 0L)
+      }
       respond(ex, 200, Array.empty)
     } catch {
       case e: Throwable =>
+        setWritten(0L, 0L, 0L)
         respond(ex, 400, Option(e.getMessage).getOrElse("decode error").getBytes("UTF-8"))
     }
+  }
 
   /** Dashboard downsampling via URL query params on POST /read —
     * `?downsample=minmax&step=<sec>` reduces each series to its

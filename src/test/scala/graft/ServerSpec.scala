@@ -267,6 +267,41 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve: a v2 request whose append FAILS reports 0 written, " +
+       "not the request's counts (partial-write honesty)") {
+    // table path nested under a plain FILE: decode succeeds, the
+    // parquet append cannot create the directory and fails inside the
+    // fan-out (which isolates sink errors — the response stays 200,
+    // but the written headers must speak for the storage outcome)
+    val base0 = Files.createTempDirectory("graft_srv2f")
+    Files.writeString(base0.resolve("blocker"), "x")
+    val table = base0.resolve("blocker").toString + "/metrics"
+    val server = new Server(spark, table).start()
+    try {
+      import graft.codec.Prompb2
+      val req = Prompb2.P2Request(Seq("", "__name__", "m"),
+        Seq(Prompb2.P2TimeSeries(Seq(1, 2),
+          Seq(PSample(1.0, 1000L), PSample(2.0, 2000L)))))
+      val conn = java.net.URI.create(
+          s"http://localhost:${server.boundPort}/write").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type",
+        "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        Prompb.snappyCompress(Prompb2.encodeRequest(req)))
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Samples-Written") == "0")
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Histograms-Written") == "0")
+      assert(conn.getHeaderField(
+        "X-Prometheus-Remote-Write-Exemplars-Written") == "0")
+      conn.disconnect()
+    } finally server.stop()
+  }
+
   test("serve: /otlp/v1/metrics ingests OTLP gauge points into the " +
        "same store") {
     val table = Files.createTempDirectory("graft_srvotlp").toString + "/metrics"

@@ -128,6 +128,14 @@ class TextExpositionSpec extends AnyFunSuite {
       TextExposition.decodeOpenMetrics("m 1 1\n", 0L))
     intercept[IllegalArgumentException](
       TextExposition.decodeOpenMetrics("# EOF\nm 1 1\n", 0L))
+    // non-finite timestamps are a parse ERROR (upstream OM parser),
+    // never 0 / Long.MaxValue / Long.MinValue samples
+    for (bad <- Seq("NaN", "+Inf", "-Inf", "1e300"))
+      intercept[IllegalArgumentException](
+        TextExposition.decodeOpenMetrics(s"m 1 $bad\n# EOF\n", 0L))
+    // non-finite sample VALUES stay legal (staleness markers etc.)
+    assert(TextExposition.decodeOpenMetrics("m NaN 1\n# EOF\n", 0L)
+      .request.timeseries.head.samples.head.value.isNaN)
     // Prometheus 3 UTF-8 quoted names ride BOTH text wires: a bare
     // quoted string inside the braces is the metric name, a quoted
     // label name carries dots — and the bare-name form still takes
