@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlLinks, HtmlText, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, RobotsCrawlDelay, RobotsMatchLen, RobotsRules, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
+import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, ColumnBridge, DeflateLen, DHashBmp, DHashPng, GraphiteEscape, GraphitePath, GunzipAll, HtmlLinks, HtmlText, HttpBody, MultiPatternCount, NfcNormalize, OpenTsdbMarshal, OpenTsdbUnmarshal, PcmFrameFeatures, RobotsCrawlDelay, RobotsMatchLen, RobotsRules, UnigramExpected, UnigramSegment, VecCosine, VecDot, VecL2Norm, WarcRecords, WinnowFingerprints}
 
 /** Engine extension point, wired the idiomatic Spark way: set
   * `spark.sql.extensions=graft.GraftExtensions` (or `.withExtensions`)
@@ -48,6 +48,7 @@ object GraftExtensions {
     fn("html_text", classOf[HtmlText], 1, c => HtmlText(c.head)),
     fn("html_links", classOf[HtmlLinks], 1, c => HtmlLinks(c.head)),
     fn("gunzip_all", classOf[GunzipAll], 1, c => GunzipAll(c.head)),
+    fn("http_body", classOf[HttpBody], 1, c => HttpBody(c.head)),
     fn("deflate_len", classOf[DeflateLen], 1, c => DeflateLen(c.head)))
   // pcm_features takes a compile-time frame length, so it is exposed via
   // the Column constructor below rather than as a SQL function (the SQL
@@ -94,6 +95,8 @@ object GraftExtensions {
     ColumnBridge.col(HtmlLinks(ColumnBridge.expr(content)))
   def gunzipAll(payload: Column): Column =
     ColumnBridge.col(GunzipAll(ColumnBridge.expr(payload)))
+  def httpBody(content: Column): Column =
+    ColumnBridge.col(HttpBody(ColumnBridge.expr(content)))
   def pcmFeatures(payload: Column, frameLen: Int): Column =
     ColumnBridge.col(PcmFrameFeatures(ColumnBridge.expr(payload), frameLen))
   def deflateLen(payload: Column): Column =

@@ -1042,6 +1042,149 @@ object SparkEntry {
     }.toDF("archive_id", "payload")
   }
 
+  /** Revisit-bearing WARC archives over the documents table (separate
+    * from [[warcArchives]] so the extract entries' byte-layout oracle
+    * never moves): per doc one `response` record carrying its
+    * `WARC-Payload-Digest` (sha1, Base32 per the WARC/Common Crawl
+    * convention), plus for doc_id % 3 == 0 an
+    * `identical-payload-digest` revisit (same digest, headers-only
+    * content — the crawler's own assertion that the refreshed page
+    * did not change) and for doc_id % 5 == 0 a `server-not-modified`
+    * revisit (no digest; the server said 304). Reference semantics:
+    * WARC 1.0 §6.7.2.
+    */
+  private def warcRevisitArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val crlf = "\r\n"
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def base32(b: Array[Byte]): String = {
+      val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+      val sb = new StringBuilder
+      var buf = 0L
+      var bits = 0
+      b.foreach { x =>
+        buf = (buf << 8) | (x & 0xffL); bits += 8
+        while (bits >= 5) {
+          sb.append(alpha(((buf >> (bits - 5)) & 31L).toInt)); bits -= 5
+        }
+      }
+      if (bits > 0) sb.append(alpha(((buf << (5 - bits)) & 31L).toInt))
+      sb.toString
+    }
+    def sha1b32(content: String): String =
+      "sha1:" + base32(java.security.MessageDigest.getInstance("SHA-1")
+        .digest(content.getBytes("UTF-8")))
+    def record(wtype: String, uri: String, content: String,
+               extra: Seq[(String, String)]): String = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0").append(crlf)
+      sb.append("WARC-Type: ").append(wtype).append(crlf)
+      sb.append("WARC-Target-URI: ").append(uri).append(crlf)
+      extra.foreach { case (k, v) =>
+        sb.append(k).append(": ").append(v).append(crlf) }
+      sb.append("Content-Length: ")
+        .append(content.getBytes("UTF-8").length).append(crlf)
+      sb.append(crlf).append(content).append(crlf).append(crlf)
+      sb.toString
+    }
+    docs.groupBy(_._1 % 4).toSeq.sortBy(_._1).map { case (a, ds) =>
+      val recs = Seq.newBuilder[String]
+      ds.sortBy(_._1).foreach { case (id, text) =>
+        val uri = s"https://example.com/doc/$id"
+        val html = "<html><head><title>d" + id + "</title></head>" +
+          "<body><h1>D " + id + "</h1><p>" + esc(text) + "</p></body></html>"
+        val http = "HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html" + crlf + crlf + html
+        val dig = sha1b32(http)
+        recs += record("response", uri, http,
+          Seq("WARC-Payload-Digest" -> dig))
+        if (id % 3 == 0)
+          recs += record("revisit", uri,
+            "HTTP/1.1 200 OK" + crlf + "Content-Type: text/html",
+            Seq("WARC-Payload-Digest" -> dig,
+              "WARC-Profile" ->
+                "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+        if (id % 5 == 0)
+          recs += record("revisit", uri, "HTTP/1.1 304 Not Modified",
+            Seq("WARC-Profile" ->
+              "http://netpreserve.org/warc/1.0/revisit/server-not-modified"))
+      }
+      (a, recs.result().mkString.getBytes("UTF-8"))
+    }.toDF("archive_id", "payload")
+  }
+
+  /** Encoding-mixed WARC archives over the documents table: per doc
+    * one response whose body cycles through the Content-Encoding ×
+    * charset combinations real Common Crawl segments mix —
+    * (0) identity UTF-8 with a charset'd Content-Type,
+    * (1) gzip, (2) zlib deflate, (3) RAW deflate (servers send both
+    * under the same name), (4) ISO-8859-1 declared in Content-Type,
+    * (5) ISO-8859-1 declared ONLY by an HTML `<meta charset>` tag.
+    * Every page carries an accented h1 (`Dé <id>`) so a charset slip
+    * corrupts the recovered text and breaks the digest oracle.
+    */
+  private def warcEncodingArchives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    val crlf = "\r\n"
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
+    def gzipBytes(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def deflateBytes(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def record(uri: String, httpHeader: String,
+               body: Array[Byte]): Array[Byte] = {
+      val head = "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: " + uri + crlf
+      val http = httpHeader + crlf + crlf
+      val clen = http.getBytes("UTF-8").length + body.length
+      val pre = (head + "Content-Length: " + clen + crlf + crlf + http)
+        .getBytes("UTF-8")
+      pre ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    docs.groupBy(_._1 % 4).toSeq.sortBy(_._1).map { case (a, ds) =>
+      val out = new java.io.ByteArrayOutputStream()
+      ds.sortBy(_._1).foreach { case (id, text) =>
+        val uri = s"https://example.com/doc/$id"
+        val meta = if (id % 6 == 5) "<meta charset=\"iso-8859-1\">" else ""
+        val html = "<html><head><title>d" + id + "</title>" + meta +
+          "</head><body><h1>Dé " + id + "</h1><p>" + esc(text) +
+          "</p></body></html>"
+        val utf8 = html.getBytes("UTF-8")
+        val latin1 = html.getBytes("ISO-8859-1")
+        val (ctype, cenc, body) = (id % 6) match {
+          case 0 => ("text/html; charset=utf-8", None, utf8)
+          case 1 => ("text/html", Some("gzip"), gzipBytes(utf8))
+          case 2 => ("text/html", Some("deflate"),
+            deflateBytes(utf8, raw = false))
+          case 3 => ("text/html", Some("deflate"),
+            deflateBytes(utf8, raw = true))
+          case 4 => ("text/html; charset=ISO-8859-1", None, latin1)
+          case _ => ("text/html", None, latin1)
+        }
+        val hh = "HTTP/1.1 200 OK" + crlf + "Content-Type: " + ctype +
+          cenc.map(e => crlf + "Content-Encoding: " + e).getOrElse("")
+        out.write(record(uri, hh, body))
+      }
+      (a, out.toByteArray)
+    }.toDF("archive_id", "payload")
+  }
+
   /** Planted link-focused WARC archives over the documents table — the
     * LINK-GRAPH crawl fixture (the [[warcArchives]] discipline, separate
     * so the extract entries' byte-layout oracle never moves): doc_id
@@ -4298,6 +4441,82 @@ object SparkEntry {
           regexp_extract(col("kept_uri"), "/doc/([0-9]+)$", 1)
             .cast("long").as("doc_id"),
           col("n_copies"), col("digest"),
+          size(split(element_at(split(col("text"), "\n"), 3), " "))
+            .cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // WARC REVISIT RECORDS (WARC 1.0 §6.7.2): Common Crawl asserts
+    // refreshed-but-unchanged pages as `revisit` records instead of
+    // re-storing the body. The walk surfaces WARC-Payload-Digest and
+    // WARC-Profile; identical-payload-digest revisits JOIN back to the
+    // stored capture on the digest — the crawler's own dedup
+    // assertion, recovered as content (resolved_tokens proves the
+    // joined text is the referenced page's) — while server-not-modified
+    // revisits (no digest) are counted without a body. A funnel that
+    // read only `response` records would silently under-count
+    // refreshed pages.
+    "llm_warc_revisit" -> ((s, dir) => {
+      val recs = warcRevisitArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+      val docId = (u: Column) =>
+        regexp_extract(u, "/doc/([0-9]+)$", 1).cast("long")
+      val resp = recs.filter(col("r.warc_type") === "response")
+        .select(docId(col("r.target_uri")).as("doc_id"),
+          col("r.payload_digest").as("digest"),
+          graft.llm.CrawlOps.htmlText(col("payload")
+            .substr(col("r.content_off") + 1, col("r.content_len")))
+            .as("text"))
+      val rev = recs.filter(col("r.warc_type") === "revisit")
+        .select(docId(col("r.target_uri")).as("doc_id"),
+          col("r.payload_digest").as("rdigest"),
+          col("r.profile").as("profile"))
+      val respAgg = resp.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_responses"))
+      val identAgg = rev
+        .filter(col("profile").contains("identical-payload-digest"))
+        .join(resp.select(col("digest"), col("text")),
+          col("rdigest") === col("digest"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_identical"),
+          max(size(split(element_at(split(col("text"), "\n"), 3), " ")))
+            .cast("long").as("resolved_tokens"))
+      val nmAgg = rev
+        .filter(col("profile").contains("server-not-modified"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_not_modified"))
+      respAgg
+        .join(identAgg, Seq("doc_id"), "left")
+        .join(nmAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_responses"),
+          coalesce(col("n_identical"), lit(0L)).as("n_identical"),
+          coalesce(col("resolved_tokens"), lit(0L)).as("resolved_tokens"),
+          coalesce(col("n_not_modified"), lit(0L)).as("n_not_modified"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTTP PAYLOAD DECODING: real archive bodies arrive compressed
+    // (gzip / zlib deflate / raw deflate — servers send both under
+    // "deflate") and mixed-charset (Content-Type param or only an HTML
+    // meta tag). http_body reverses all of it to UTF-8 bytes before
+    // html_text; every mode must recover the IDENTICAL text — the
+    // accented h1 makes a charset slip break the digest.
+    "llm_warc_encoding" -> ((s, dir) => {
+      warcEncodingArchives(s, dir)
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(
+          regexp_extract(col("r.target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          graft.llm.CrawlOps.htmlText(graft.llm.CrawlOps.httpBody(
+            col("payload")
+              .substr(col("r.content_off") + 1, col("r.content_len"))))
+            .as("text"))
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(6L)).as("mode"),
+          md5(col("text").cast("binary")).as("digest"),
           size(split(element_at(split(col("text"), "\n"), 3), " "))
             .cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
@@ -14445,6 +14664,35 @@ object SparkEntry {
         |    AS n_copies,
         |  md5('d' || doc_id || chr(10) || 'D ' || doc_id || chr(10) ||
         |    text) AS digest,
+        |  CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // revisit resolution closed-form: every doc has one response; the
+    // %3 docs add an identical-payload-digest revisit whose digest
+    // join must recover the page text (token count of the planted
+    // body), the %5 docs a body-less server-not-modified revisit
+    "llm_warc_revisit" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(1 AS BIGINT) AS n_responses,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_identical,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |    strlen(text) - strlen(replace(text, ' ', '')) + 1
+        |    ELSE 0 END AS BIGINT) AS resolved_tokens,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_not_modified
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // every Content-Encoding × charset mode must recover the IDENTICAL
+    // text "d<id>\nDé <id>\n<text>" — the digest is recomputed from
+    // the documents table alone, so a decompression or charset defect
+    // in any one mode breaks exactly that doc's hash
+    "llm_warc_encoding" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_id % 6 AS BIGINT) AS mode,
+        |  md5('d' || doc_id || chr(10) || 'Dé ' || doc_id || chr(10)
+        |    || text) AS digest,
         |  CAST(strlen(text) - strlen(replace(text, ' ', '')) + 1
         |    AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

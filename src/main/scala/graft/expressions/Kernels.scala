@@ -481,6 +481,8 @@ object Kernels {
       var clen = -1L
       var wtype: String = null
       var uri: String = null
+      var digest: String = null
+      var profile: String = null
       header.split("\r\n").iterator.drop(1).foreach { line =>
         val c = line.indexOf(':')
         if (c > 0) {
@@ -494,6 +496,12 @@ object Kernels {
               uri = if (value.startsWith("<") && value.endsWith(">"))
                 value.substring(1, value.length - 1)
               else value
+            // revisit machinery (WARC 1.0 §6.7.2): the payload digest
+            // names the capture a revisit duplicates, the profile says
+            // HOW it refers (identical-payload-digest carries the
+            // digest; server-not-modified refers by URI+date only)
+            case "warc-payload-digest" => digest = value
+            case "warc-profile" => profile = value
             case _ =>
           }
         }
@@ -506,7 +514,9 @@ object Kernels {
       rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](rec, pos, sep + 4 - pos, he, clen.toInt,
           if (wtype == null) null else UTF8String.fromString(wtype),
-          if (uri == null) null else UTF8String.fromString(uri)))
+          if (uri == null) null else UTF8String.fromString(uri),
+          if (digest == null) null else UTF8String.fromString(digest),
+          if (profile == null) null else UTF8String.fromString(profile)))
       pos = sep + 4
       rec += 1
     }
@@ -565,6 +575,111 @@ object Kernels {
       .replace("&amp;", "&") // last: &amp;lt; must yield "&lt;"
     UTF8String.fromString(decoded.split('\n').iterator
       .map(_.trim).filter(_.nonEmpty).mkString("\n"))
+  }
+
+  /** HTTP payload normalization for crawl-archive response content:
+    * strips the HTTP response header block (when the content starts
+    * with `HTTP/`), reverses the body's `Content-Encoding`
+    * (gzip/x-gzip, deflate — zlib-wrapped or raw, servers send both),
+    * and transcodes the declared charset to UTF-8 bytes. The charset
+    * comes from the `Content-Type` header's `charset=` parameter,
+    * falling back to a scan of the first 1 KiB of the decoded body for
+    * an HTML `<meta ... charset=...>` declaration (both the HTML5 bare
+    * form and the http-equiv form), defaulting to UTF-8. Real archives
+    * are mostly compressed and mixed-charset — without this the raw
+    * deflate bytes go straight into [[htmlText]]. Lenient like the
+    * rest of the crawl path: a body whose decompression or charset
+    * lookup fails passes through as-is (best effort), never refuses.
+    */
+  def httpBodyUtf8(content: Array[Byte]): Array[Byte] = {
+    var body = content
+    var headerCharset: String = null
+    // ASCII prefix check avoids decoding a compressed body as UTF-8
+    if (content.length >= 5 && content(0) == 'H' && content(1) == 'T' &&
+        content(2) == 'T' && content(3) == 'P' && content(4) == '/') {
+      var he = -1
+      var i = 0
+      while (he < 0 && i + 3 < content.length) {
+        if (content(i) == '\r' && content(i + 1) == '\n' &&
+            content(i + 2) == '\r' && content(i + 3) == '\n') he = i + 4
+        else i += 1
+      }
+      if (he >= 0) {
+        val header = new String(content, 0, he - 2, "ISO-8859-1")
+        var encoding: String = null
+        header.split("\r\n").iterator.drop(1).foreach { line =>
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val name = line.substring(0, c).trim.toLowerCase
+            val value = line.substring(c + 1).trim
+            name match {
+              case "content-encoding" => encoding = value.toLowerCase
+              case "content-type" =>
+                val m = "charset=([^;\\s\"']+)".r
+                  .findFirstMatchIn(value.toLowerCase)
+                m.foreach(g => headerCharset = g.group(1))
+              case _ =>
+            }
+          }
+        }
+        body = java.util.Arrays.copyOfRange(content, he, content.length)
+        encoding match {
+          case "gzip" | "x-gzip" =>
+            try body = gunzipAll(body) catch { case _: Exception => }
+            if (body == null)
+              body = java.util.Arrays.copyOfRange(content, he,
+                content.length)
+          case "deflate" =>
+            body = inflateLenient(body)
+          case _ =>
+        }
+      }
+    }
+    // charset: header param wins; else scan the decoded prefix for a
+    // meta declaration (the pre-header-parse bytes are ASCII-compatible
+    // in every charset this handles)
+    var cs = headerCharset
+    if (cs == null) {
+      val prefix = new String(body, 0,
+        math.min(body.length, 1024), "ISO-8859-1").toLowerCase
+      val m = "<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r
+        .findFirstMatchIn(prefix)
+      m.foreach(g => cs = g.group(1))
+    }
+    if (cs == null || cs == "utf-8" || cs == "utf8") body
+    else try {
+      val charset = java.nio.charset.Charset.forName(cs)
+      new String(body, charset)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: Exception => body }
+  }
+
+  /** zlib-wrapped OR raw deflate (RFC 9110 names both "deflate" and
+    * servers send both); the input comes back unchanged when neither
+    * form inflates. */
+  private def inflateLenient(data: Array[Byte]): Array[Byte] = {
+    def tryInflate(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val k = inf.inflate(buf)
+          if (k > 0) out.write(buf, 0, k)
+          else if (k == 0 && !inf.finished()) return null
+        }
+        if (inf.finished()) out.toByteArray else null
+      } catch {
+        case _: Exception => null
+      } finally inf.end()
+    }
+    val zlib = tryInflate(nowrap = false)
+    if (zlib != null) zlib
+    else {
+      val raw = tryInflate(nowrap = true)
+      if (raw != null) raw else data
+    }
   }
 
   /** Outbound-link extraction for crawl-archive response content — the

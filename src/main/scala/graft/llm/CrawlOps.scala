@@ -37,6 +37,16 @@ object CrawlOps {
   def htmlText(content: Column): Column =
     graft.GraftExtensions.htmlText(content)
 
+  /** HTTP payload normalization ahead of [[htmlText]]: header strip +
+    * `Content-Encoding` reversal (gzip, zlib/raw deflate) + declared
+    * charset (Content-Type param or `<meta charset>`) transcoded to
+    * UTF-8 bytes. Real Common Crawl bodies are mostly compressed and
+    * mixed-charset; this is the stage that makes them readable.
+    * Lenient — an undecodable body passes through unchanged.
+    */
+  def httpBody(content: Column): Column =
+    graft.GraftExtensions.httpBody(content)
+
   /** Outbound anchor hrefs of an HTML response record, in document
     * order ([[graft.GraftExtensions.htmlLinks]]) — raw as authored
     * (entity-decoded only); feed through [[resolveUrl]] +

@@ -237,8 +237,33 @@ object WarcRecords {
     StructField("content_off", IntegerType, nullable = false),
     StructField("content_len", IntegerType, nullable = false),
     StructField("warc_type", StringType, nullable = true),
-    StructField("target_uri", StringType, nullable = true))),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true),
+    StructField("profile", StringType, nullable = true))),
     containsNull = false)
+}
+
+/** HTTP payload normalization as a native codegen'd expression —
+  * header strip + `Content-Encoding` reversal (gzip, zlib/raw
+  * deflate) + declared-charset transcode to UTF-8 bytes; the stage
+  * between the WARC record substring and [[HtmlText]] that real
+  * (mostly compressed, mixed-charset) archives need. Lenient: a body
+  * that fails to decode passes through unchanged.
+  */
+case class HttpBody(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "http_body"
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.httpBodyUtf8(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Kernels.httpBodyUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): HttpBody =
+    copy(child = newChild)
 }
 
 /** Multi-member gzip inflate as a native codegen'd expression — the

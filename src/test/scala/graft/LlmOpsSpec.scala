@@ -2536,14 +2536,16 @@ class LlmOpsSpec extends SparkSpec {
       rec("request", "https://a.example/p", "GET /p")).getBytes("UTF-8")
     val rows = Kernels.warcRecords(bytes)
     assert(rows != null && rows.numElements() == 3)
-    val r1 = rows.getStruct(1, 7)
+    val r1 = rows.getStruct(1, 9)
     assert(r1.getString(5) == "response")
     // angle-bracket form unwraps
     assert(r1.getString(6) == "https://a.example/p")
-    val r0 = rows.getStruct(0, 7)
+    val r0 = rows.getStruct(0, 9)
     assert(r0.isNullAt(6)) // warcinfo has no target URI
+    // records without revisit headers leave digest/profile null
+    assert(r1.isNullAt(7) && r1.isNullAt(8))
     // offsets tile the payload exactly
-    val r2 = rows.getStruct(2, 7)
+    val r2 = rows.getStruct(2, 9)
     assert(r2.getInt(1) + r2.getInt(2) == bytes.length)
     // content substring matches
     assert(new String(bytes, r2.getInt(3), r2.getInt(4), "UTF-8")
@@ -2568,6 +2570,69 @@ class LlmOpsSpec extends SparkSpec {
       "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes) == null)
     assert(Kernels.warcRecords(
       "WARC/1.0\r\nContent-Length: 2\r\n\r\nhiXX".getBytes) == null)
+    // revisit records surface WARC-Payload-Digest + WARC-Profile
+    val rv = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Target-URI: https://a.example/p\r\n" +
+      "WARC-Payload-Digest: sha1:ABC234\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+      "identical-payload-digest\r\n" +
+      "Content-Length: 15\r\n\r\nHTTP/1.1 200 OK\r\n\r\n")
+      .getBytes("UTF-8")
+    val rvRows = Kernels.warcRecords(rv)
+    assert(rvRows != null && rvRows.numElements() == 1)
+    val rr = rvRows.getStruct(0, 9)
+    assert(rr.getString(5) == "revisit")
+    assert(rr.getString(7) == "sha1:ABC234")
+    assert(rr.getString(8).endsWith("identical-payload-digest"))
+  }
+
+  test("crawl: httpBodyUtf8 — header strip, gzip/zlib/raw-deflate " +
+      "reversal, charset transcode (header param and meta tag)") {
+    import graft.expressions.Kernels
+    val crlf = "\r\n"
+    def out(b: Array[Byte]): String =
+      new String(Kernels.httpBodyUtf8(b), "UTF-8")
+    def http(header: String, body: Array[Byte]): Array[Byte] =
+      (header + crlf + crlf).getBytes("UTF-8") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    def defl(b: Array[Byte], raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(-1, raw)
+      d.setInput(b); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val page = "<p>café</p>"
+    // identity, gzip, zlib deflate, raw deflate — identical recovery
+    assert(out(http("HTTP/1.1 200 OK", page.getBytes("UTF-8"))) == page)
+    assert(out(http("HTTP/1.1 200 OK" + crlf + "Content-Encoding: gzip",
+      gz(page.getBytes("UTF-8")))) == page)
+    assert(out(http("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: deflate",
+      defl(page.getBytes("UTF-8"), raw = false))) == page)
+    assert(out(http("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: deflate",
+      defl(page.getBytes("UTF-8"), raw = true))) == page)
+    // charset via Content-Type param
+    assert(out(http("HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=ISO-8859-1",
+      page.getBytes("ISO-8859-1"))) == page)
+    // charset via meta tag only; compression composes with transcode
+    val meta = "<meta charset='windows-1252'><p>café</p>"
+    assert(out(http("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: gzip",
+      gz(meta.getBytes("windows-1252")))) == meta)
+    // lenient: corrupt gzip passes the raw body through; no HTTP
+    // prefix means the whole content is the body
+    val corrupt = http("HTTP/1.1 200 OK" + crlf +
+      "Content-Encoding: gzip", "junk".getBytes("UTF-8"))
+    assert(out(corrupt) == "junk")
+    assert(out(page.getBytes("UTF-8")) == page)
   }
 
   test("crawl: htmlText — header strip, script/style/comment removal, " +
