@@ -8132,6 +8132,68 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // OPENMETRICS `_created` → CT-ZERO (the text twin of
+    // s1_prw2_ct_zero, sharing its oracle VERBATIM): the same young
+    // counters arrive as an OM page whose `young_clicks_created`
+    // samples carry the creation instant as their VALUE (unix
+    // seconds); under --ct-zero-ingestion the receiver injects the
+    // synthetic zero for the matching `_total` series (same
+    // no-earlier-sample gate as RW2) and the `_created` lines stop
+    // ingesting as ordinary samples — so rate() on young scraped
+    // counters sees the true start instead of staying pessimistic.
+    "s1_text_created" -> ((s, dir) => {
+      val ctSec = 1705233600L // 2024-01-14T12:00:00Z
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "click" &&
+          to_date(col("ts")) >= to_date(lit("2024-01-15")))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .collect().toSeq
+      val page = new StringBuilder
+      page.append("# TYPE young_clicks counter\n")
+      daily.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .foreach { case (u, rows) =>
+          page.append(s"""young_clicks_created{user_id="$u"} $ctSec""")
+            .append('\n')
+          var cum = 0L
+          rows.sortBy(_.getDate(1).toString).foreach { r =>
+            cum += r.getLong(2)
+            val daySec = java.time.LocalDate.parse(r.getDate(1).toString)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+              .toEpochMilli / 1000L
+            page.append(s"""young_clicks_total{user_id="$u"} $cum $daySec""")
+              .append('\n')
+          }
+        }
+      page.append("# EOF\n")
+      val table = java.nio.file.Files.createTempDirectory("graft_ctzt")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        ctZeroIngestion = true).start()
+      try {
+        val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/openmetrics-text; version=1.0.0; charset=utf-8")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(page.toString.getBytes("UTF-8"))
+        require(conn.getResponseCode == 200, "OM CT write failed")
+        conn.disconnect()
+        val stored = s.read.parquet(table)
+        // the `_created` companions must not have ingested as samples
+        require(stored.filter(col("name") === "young_clicks_created")
+          .isEmpty, "_created series leaked into the store")
+        Eval.rangeQuery(stored, "increase(young_clicks_total[3d])",
+            Eval.RangeSpec(1705276800L, 1705881600L, 86400L,
+              lookbackSec = 86400L))
+          .select(tagsStr.as("tags"), col("t"),
+            round(col("value") * 1000000L).cast("long").as("value_fp"))
+          .orderBy(col("t"), col("tags"))
+      } finally server.stop()
+    }),
+
     // The OTLP ExponentialHistogram edge: same histograms as
     // s1_native_hist_roundtrip but through OTLP wire bytes (dense
     // offset+counts, OTLP index convention) — shares the native
@@ -11664,6 +11726,50 @@ object SparkEntry {
        |SELECT user_id, t, CAST(sum(v) OVER (PARTITION BY user_id, isl
        |    ORDER BY t) AS BIGINT) AS level
        |FROM i ORDER BY user_id, t""".stripMargin
+
+  /** Shared CT-zero oracle: s1_prw2_ct_zero (RW2 created_timestamp)
+    * and s1_text_created (OpenMetrics `_created`) must answer
+    * identically — one synthetic zero at the creation instant, then
+    * the standard extrapolated increase.
+    */
+  private val OCtZeroSql: String =
+      """WITH c AS (SELECT user_id,
+        |    CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+        |      AS t, count(*) AS n
+        |  FROM events WHERE event_type = 'click'
+        |    AND CAST(ts AS DATE) >= DATE '2024-01-15'
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT user_id, t,
+        |    CAST(sum(n) OVER (PARTITION BY user_id ORDER BY t)
+        |      AS DOUBLE) AS v FROM c),
+        |z AS (SELECT DISTINCT user_id, CAST(1705233600 AS BIGINT) AS t,
+        |    0.0 AS v FROM c),
+        |s AS (SELECT * FROM cum UNION ALL SELECT * FROM z),
+        |gr AS (SELECT 1705276800 + 86400 * k AS T
+        |  FROM generate_series(0, 7) g(k)),
+        |wx AS (SELECT gr.T AS gt, s.* FROM gr JOIN s
+        |  ON s.t > gr.T - 259200 AND s.t <= gr.T),
+        |a AS (SELECT gt, user_id, count(*) AS n2, min(t) AS ft,
+        |    max(t) AS lt, arg_min(v, t) AS fv,
+        |    arg_max(v, t) - arg_min(v, t) AS rawd
+        |  FROM wx GROUP BY 1, 2),
+        |e2 AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
+        |    CAST(lt - ft AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS avgi,
+        |    CAST(ft - (gt - 259200) AS DOUBLE) AS ds0,
+        |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
+        |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fv >= 0.0
+        |    THEN least(ds0, si * (fv / rawd)) ELSE ds0 END AS ds1
+        |  FROM e2),
+        |g2 AS (SELECT *,
+        |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
+        |      AS dss,
+        |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
+        |      AS dee FROM f)
+        |SELECT 'user_id=' || user_id AS tags, gt AS t,
+        |  CAST(floor(rawd * ((si + dss + dee) / si) * 1000000.0)
+        |    AS BIGINT) AS value_fp
+        |FROM g2 WHERE n2 >= 2 AND si > 0.0
+        |ORDER BY t, tags""".stripMargin
 
   private val ONativeHistIngestSql: String =
       """WITH e AS (SELECT event_type,
@@ -15908,44 +16014,10 @@ object SparkEntry {
     // the Prometheus extrapolated-increase replay over the union of
     // the CT zero sample and the per-user cumulative counters — the
     // count_rate oracle's algorithm with the injected birth point
-    "s1_prw2_ct_zero" ->
-      """WITH c AS (SELECT user_id,
-        |    CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
-        |      AS t, count(*) AS n
-        |  FROM events WHERE event_type = 'click'
-        |    AND CAST(ts AS DATE) >= DATE '2024-01-15'
-        |  GROUP BY 1, 2),
-        |cum AS (SELECT user_id, t,
-        |    CAST(sum(n) OVER (PARTITION BY user_id ORDER BY t)
-        |      AS DOUBLE) AS v FROM c),
-        |z AS (SELECT DISTINCT user_id, CAST(1705233600 AS BIGINT) AS t,
-        |    0.0 AS v FROM c),
-        |s AS (SELECT * FROM cum UNION ALL SELECT * FROM z),
-        |gr AS (SELECT 1705276800 + 86400 * k AS T
-        |  FROM generate_series(0, 7) g(k)),
-        |wx AS (SELECT gr.T AS gt, s.* FROM gr JOIN s
-        |  ON s.t > gr.T - 259200 AND s.t <= gr.T),
-        |a AS (SELECT gt, user_id, count(*) AS n2, min(t) AS ft,
-        |    max(t) AS lt, arg_min(v, t) AS fv,
-        |    arg_max(v, t) - arg_min(v, t) AS rawd
-        |  FROM wx GROUP BY 1, 2),
-        |e2 AS (SELECT *, CAST(lt - ft AS DOUBLE) AS si,
-        |    CAST(lt - ft AS DOUBLE) / CAST(n2 - 1 AS DOUBLE) AS avgi,
-        |    CAST(ft - (gt - 259200) AS DOUBLE) AS ds0,
-        |    CAST(gt - lt AS DOUBLE) AS de0 FROM a),
-        |f AS (SELECT *, CASE WHEN rawd > 0.0 AND fv >= 0.0
-        |    THEN least(ds0, si * (fv / rawd)) ELSE ds0 END AS ds1
-        |  FROM e2),
-        |g2 AS (SELECT *,
-        |    CASE WHEN ds1 >= avgi * 1.1 THEN avgi / 2.0 ELSE ds1 END
-        |      AS dss,
-        |    CASE WHEN de0 >= avgi * 1.1 THEN avgi / 2.0 ELSE de0 END
-        |      AS dee FROM f)
-        |SELECT 'user_id=' || user_id AS tags, gt AS t,
-        |  CAST(floor(rawd * ((si + dss + dee) / si) * 1000000.0)
-        |    AS BIGINT) AS value_fp
-        |FROM g2 WHERE n2 >= 2 AND si > 0.0
-        |ORDER BY t, tags""".stripMargin,
+    "s1_prw2_ct_zero" -> OCtZeroSql,
+    // the text twin shares the oracle VERBATIM: `_created` must land
+    // the same synthetic zero the RW2 created_timestamp does
+    "s1_text_created" -> OCtZeroSql,
     "s1_otlp_delta_exphist" -> ONativeHistRowsSql,
 
     "s1_otlp_delta_exphist_quantile" -> ONativeHistQuantileSql,

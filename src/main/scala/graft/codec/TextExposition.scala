@@ -59,6 +59,46 @@ object TextExposition {
   def decodeOpenMetrics(text: String, defaultTsMs: Long): DecodedOm =
     decodeAny(text, defaultTsMs, om = true)
 
+  /** Is this series an OpenMetrics `_created` companion? (the creation
+    * timestamp of its counter/histogram/summary family, exposed as a
+    * sample whose VALUE is unix seconds) */
+  def isCreatedSeries(ts: Prompb.PTimeSeries): Boolean =
+    ts.labels.find(_.name == "__name__").exists(_.value.endsWith("_created"))
+
+  /** CT-ZERO candidates from an OpenMetrics page — the text twin of
+    * [[Prompb2.ctZeroSeries]]: for every `<family>_created` sample, a
+    * synthetic zero at the creation instant for each matching
+    * component series of the family present on the page
+    * (`_total`/`_count`/`_sum`/`_bucket`/bare gauge-histogram name;
+    * labels equal after dropping `le`/`quantile`) whose first sample
+    * is strictly later. The RECEIVER still gates candidates through
+    * its no-earlier-sample rule — this derives the spec shape only.
+    */
+  def ctZeroSeries(req: Prompb.PWriteRequest): Seq[Prompb.PTimeSeries] = {
+    def name(ts: Prompb.PTimeSeries): String =
+      ts.labels.find(_.name == "__name__").map(_.value).getOrElse("")
+    def ident(ts: Prompb.PTimeSeries): Seq[(String, String)] =
+      ts.labels.filterNot(l => l.name == "__name__" || l.name == "le" ||
+        l.name == "quantile").map(l => l.name -> l.value).sortBy(_._1)
+    req.timeseries.filter(ts => isCreatedSeries(ts) && ts.samples.nonEmpty)
+      .flatMap { c =>
+        val base = name(c).stripSuffix("_created")
+        val ctMs = (c.samples.head.value * 1000.0).toLong
+        val cId = ident(c)
+        req.timeseries.filter { ts =>
+          val n = name(ts)
+          (n == base + "_total" || n == base + "_count" ||
+            n == base + "_sum" || n == base + "_bucket" || n == base) &&
+            ts.samples.nonEmpty && ident(ts) == cId
+        }.flatMap { ts =>
+          if (ctMs > 0L && ctMs < ts.samples.map(_.timestampMs).min)
+            Some(Prompb.PTimeSeries(ts.labels,
+              Seq(Prompb.PSample(0.0, ctMs))))
+          else None
+        }
+      }
+  }
+
   private def decodeAny(text: String, defaultTsMs: Long,
                         om: Boolean): DecodedOm = {
     val series = scala.collection.mutable.LinkedHashMap

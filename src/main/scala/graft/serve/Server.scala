@@ -214,7 +214,23 @@ class Server(spark: SparkSession, tablePath: String,
         dec.metadata.foreach(md =>
           if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
         if (dec.exemplars.nonEmpty) appendExemplars(dec.exemplars)
-        return ingestDecoded(ex, dec.request)
+        // --ct-zero-ingestion, text twin of the RW2 created_timestamp
+        // path: `_created` samples become synthetic zeros at the
+        // creation instant for the family's component series (gated by
+        // the same no-earlier-sample rule) and stop ingesting as
+        // ordinary samples — upstream's created-timestamp ingestion.
+        // With the flag off, historical behavior: `_created` series
+        // ingest as the plain samples they textually are.
+        val req =
+          if (!ctZeroIngestion) dec.request
+          else {
+            val kept = dec.request.timeseries
+              .filterNot(graft.codec.TextExposition.isCreatedSeries)
+            val zeros = ctZeroFilter(
+              graft.codec.TextExposition.ctZeroSeries(dec.request), kept)
+            Prompb.PWriteRequest(zeros ++ kept)
+          }
+        return ingestDecoded(ex, req)
       }
       val body = Prompb.snappyUncompress(readBody(ex))
       var written: Option[(Long, Long, Long)] = None

@@ -157,4 +157,41 @@ class TextExpositionSpec extends AnyFunSuite {
     assert(classic.request.timeseries.head.samples ==
       Seq(PSample(1.0, 100L)))
   }
+
+  test("openmetrics: _created companions derive CT-zero candidates " +
+      "for every matching component series") {
+    val page =
+      """# TYPE rq counter
+        |rq_total{job="api"} 5 100
+        |rq_created{job="api"} 40.5
+        |rq_total{job="db"} 2 100
+        |# TYPE lat histogram
+        |lat_bucket{job="api",le="1"} 3 100
+        |lat_bucket{job="api",le="+Inf"} 4 100
+        |lat_count{job="api"} 4 100
+        |lat_sum{job="api"} 9 100
+        |lat_created{job="api"} 60
+        |# EOF
+        |""".stripMargin
+    val req = TextExposition.decodeOpenMetrics(page, 0L).request
+    def key(ts: Prompb.PTimeSeries): String =
+      ts.labels.map(l => s"${l.name}=${l.value}").mkString(",")
+    val zeros = TextExposition.ctZeroSeries(req)
+      .map(ts => key(ts) -> ts.samples.head).toMap
+    // counter: one zero at value*1000 ms, ONLY for the labeled match
+    assert(zeros("__name__=rq_total,job=api") == PSample(0.0, 40500L))
+    assert(!zeros.contains("__name__=rq_total,job=db"))
+    // histogram: every component series, le dropped for matching
+    assert(zeros("__name__=lat_count,job=api") == PSample(0.0, 60000L))
+    assert(zeros("__name__=lat_sum,job=api") == PSample(0.0, 60000L))
+    assert(zeros.count { case (k, smp) =>
+      k.contains("lat_bucket") && smp == PSample(0.0, 60000L) } == 2)
+    assert(zeros.size == 5)
+    // a CT at/after the first sample derives nothing
+    val late = TextExposition.decodeOpenMetrics(
+      "c_total 1 100\nc_created 100\n# EOF\n", 0L).request
+    assert(TextExposition.ctZeroSeries(late).isEmpty)
+    // the companion detector
+    assert(req.timeseries.count(TextExposition.isCreatedSeries) == 2)
+  }
 }
