@@ -2383,6 +2383,79 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // NATIVE HISTOGRAMS AT THE CHUNKED READ EDGE: RW2-written native
+    // histograms land in the sparse side table, and a
+    // streamed_xor_chunks read answers them as FLOAT_HISTOGRAM chunk
+    // frames (Encoding = 3) whose decoded samples ARE the wire
+    // histograms — count, sum, zero and every sparse bucket round-trip
+    // natively instead of only through the classic le-flatten (which
+    // still rides beside them as XOR frames under the *_bucket names;
+    // the entry requires both frame kinds and answers the s1 native
+    // ingest oracle VERBATIM from the native frames alone).
+    "serve_read_chunked_hist" -> ((s, dir) => {
+      import s.implicits._
+      val v1h = nativeHistSeries(s, dir)
+      val sidx = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+      def ref(x: String): Int = sidx.getOrElseUpdate(x, sidx.size)
+      val tss = v1h.map(hs => graft.codec.Prompb2.P2TimeSeries(
+        hs.labels.flatMap(l => Seq(ref(l.name), ref(l.value))), Nil,
+        hs.histograms))
+      val wire = Prompb.snappyCompress(graft.codec.Prompb2.encodeRequest(
+        graft.codec.Prompb2.P2Request(sidx.keys.toSeq, tss)))
+      val table = java.nio.file.Files.createTempDirectory("graft_srvch")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table).start()
+      try {
+        val w = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/write")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        w.setRequestMethod("POST")
+        w.setRequestProperty("Content-Type",
+          "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+        w.setDoOutput(true)
+        w.getOutputStream.write(wire)
+        require(w.getResponseCode == 200, "v2 native write failed")
+        w.disconnect()
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(1704067200000L, 1706659200000L,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.RE, "__name__",
+              ".+")))))
+        val conn = java.net.URI.create(
+          s"http://localhost:${server.boundPort}" +
+            "/read?response_type=streamed_xor_chunks")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.getOutputStream.write(
+          Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+        val bytes = conn.getInputStream.readAllBytes()
+        conn.disconnect()
+        val frames = graft.codec.ChunkedRead.readFrames(bytes)
+          .map(graft.codec.ChunkedRead.decodeResponse)
+        val types = frames.flatMap(_._1).flatMap(_.chunks).map(_.typ).toSet
+        require(types.contains(
+          graft.codec.ChunkedRead.EncodingFloatHistogram) &&
+          types.contains(graft.codec.ChunkedRead.EncodingXor),
+          s"expected native AND scalarized frames, got types $types")
+        val rows = for {
+          (series, _) <- frames
+          ser <- series
+          ch <- ser.chunks
+          if ch.typ == graft.codec.ChunkedRead.EncodingFloatHistogram
+          p <- graft.codec.FloatHistChunk.decode(ch.data)._1
+          (bidx, cnt) <- p.buckets
+        } yield (
+          ser.labels.find(_.name == "__name__").get.value,
+          java.time.Instant.ofEpochMilli(p.tsMs)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+          bidx.toLong, cnt.toLong, p.count.toLong,
+          Math.round(p.sum * 1000000.0))
+        rows.toDF("event_type", "day", "idx", "cnt", "total_count",
+            "sum_fp")
+          .orderBy(col("event_type"), col("day"), col("idx"))
+      } finally server.stop()
+    }),
+
     // Remote-read negotiation the way a STOCK Prometheus does it: the
     // ReadRequest proto carries accepted_response_types =
     // [STREAMED_XOR_CHUNKS, SAMPLES] and NO out-of-band query param —
@@ -12799,6 +12872,10 @@ object SparkEntry {
          |FROM events
          |WHERE $OSec >= $Jan05 AND $OSec <= $Jan20 AND event_type = 'click'
          |GROUP BY 1, 2 ORDER BY tags, t""".stripMargin,
+
+    // the FLOAT_HISTOGRAM frames decode back to exactly what the wire
+    // ingested — the s1 native ingest oracle verbatim
+    "serve_read_chunked_hist" -> ONativeHistRowsSql,
 
     // proto-negotiated chunked response ≡ the chunked response content
     "serve_read_negotiated" ->

@@ -27,6 +27,10 @@ import graft.codec.Prompb.PLabel
 object ChunkedRead {
 
   val EncodingXor = 1
+  // prompb chunk Encoding enum: HISTOGRAM = 2 (integer), FLOAT_HISTOGRAM
+  // = 3 — native-histogram series ride the float form at this edge
+  val EncodingHistogram = 2
+  val EncodingFloatHistogram = 3
 
   case class PChunk(minTimeMs: Long, maxTimeMs: Long, typ: Int,
                     data: Array[Byte])

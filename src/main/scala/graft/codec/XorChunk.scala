@@ -36,7 +36,7 @@ object XorChunk {
 
   // ------------------------------------------------------------ bitstream
 
-  private final class BitWriter {
+  private[codec] final class BitWriter {
     private val out = new java.io.ByteArrayOutputStream()
     private var cur = 0
     private var nbits = 0 // filled bits in cur (from MSB)
@@ -73,7 +73,7 @@ object XorChunk {
     }
   }
 
-  private final class BitReader(buf: Array[Byte], startByte: Int) {
+  private[codec] final class BitReader(buf: Array[Byte], startByte: Int) {
     private var pos = startByte * 8L
 
     def readBit(): Int = {

@@ -209,6 +209,63 @@ object ResponseEdge {
     rows
   }
 
+  /** FLOAT_HISTOGRAM frames for native-histogram series at the chunked
+    * edge: the hist side table's matched series become framed
+    * ChunkedReadResponse messages whose samples ride
+    * [[graft.codec.FloatHistChunk]]s (chunk Encoding = 3), the
+    * native-histogram twin of [[encodeChunked]] — a native series
+    * survives `streamed_xor_chunks` natively instead of answering only
+    * through its scalarized le-flatten. Matchers and the time bounds
+    * push into the side table's parquet scan (date partition pruning +
+    * (name, tags) row-group stats); the same series budget guards the
+    * collect.
+    */
+  def encodeChunkedHist(histStore: DataFrame,
+                        queries: Seq[graft.compile.Matchers.PromQuery],
+                        maxSeries: Int,
+                        maxSamplesPerChunk: Int = 120,
+                        strictCompat: Boolean = false): Array[Byte] = {
+    import graft.codec.{ChunkedRead, FloatHistChunk}
+    import graft.compile.Matchers
+    val out = new java.io.ByteArrayOutputStream()
+    queries.zipWithIndex.foreach { case (q, qi) =>
+      val sSec = q.startMs / 1000; val eSec = q.endMs / 1000
+      val pred = q.matchers.map(Matchers.compileMatcher(_, strictCompat))
+        .foldLeft(
+          col("date") >= to_date(timestamp_seconds(lit(sSec))) &&
+            col("date") <= to_date(timestamp_seconds(lit(eSec))) &&
+            col("ts") >= sSec && col("ts") <= eSec)(_ && _)
+      val rows = histStore.filter(pred)
+        .select("tags", "ts", "h_count", "h_sum", "h_zero", "h_buckets")
+        .collect()
+      val bySeries = rows.groupBy(
+        _.getAs[scala.collection.Seq[String]]("tags").toSeq)
+      if (maxSeries > 0 && bySeries.size > maxSeries)
+        throw new SeriesLimitExceeded(maxSeries)
+      bySeries.toSeq.sortBy(_._1.mkString("\u0000")).foreach {
+        case (tags, rs) =>
+          val pts = rs.map { r =>
+            FloatHistChunk.HPoint(r.getAs[Long]("ts") * 1000L,
+              r.getAs[Long]("h_count").toDouble,
+              r.getAs[Double]("h_sum"),
+              r.getAs[Long]("h_zero").toDouble,
+              r.getAs[scala.collection.Seq[Row]]("h_buckets").toSeq
+                .map(b => (b.getInt(0), b.getLong(1).toDouble)))
+          }.sortBy(_.tsMs).toSeq
+          val chunks = pts.grouped(maxSamplesPerChunk).map { grp =>
+            ChunkedRead.PChunk(grp.head.tsMs, grp.last.tsMs,
+              ChunkedRead.EncodingFloatHistogram,
+              FloatHistChunk.encode(grp))
+          }.toSeq
+          if (chunks.nonEmpty)
+            out.write(ChunkedRead.frame(ChunkedRead.encodeResponse(
+              Seq(ChunkedRead.PChunkedSeries(tagsToLabels(tags), chunks)),
+              qi.toLong)))
+      }
+    }
+    out.toByteArray
+  }
+
   def encodeChunked(perQuery: Seq[DataFrame], maxSeries: Int,
                     maxSamplesPerChunk: Int = 120): Array[Byte] = {
     import graft.codec.{ChunkedRead, XorChunk}

@@ -86,6 +86,16 @@ class Server(spark: SparkSession, tablePath: String,
     */
   private[serve] def exemplarPath: String = tablePath + "_exemplars"
 
+  /** Native-histogram samples land beside the main table in their
+    * SPARSE form (count/sum/zero + positive buckets) in addition to the
+    * classic le-flatten the scalar store keeps — the side table that
+    * lets the chunked remote-read edge answer native-histogram series
+    * with FLOAT_HISTOGRAM chunks instead of only the scalarized
+    * fallback. Exists only once a payload actually carries native
+    * histograms.
+    */
+  private[serve] def histPath: String = tablePath + "_hist"
+
   /** Stale markers (the explicit stale-NaN samples Prometheus writes
     * when a target disappears) land beside the main table as value-less
     * marker rows — the F1 filter keeps dropping ORDINARY NaN data, but
@@ -234,11 +244,13 @@ class Server(spark: SparkSession, tablePath: String,
       }
       val body = Prompb.snappyUncompress(readBody(ex))
       var written: Option[(Long, Long, Long)] = None
+      var nativeHists: Seq[graft.codec.NativeHist.PHistSeries] = Nil
       val (wr, exemplars, metadata) =
         if (ctype.contains("io.prometheus.write.v2.Request")) {
           val req = graft.codec.Prompb2.decodeRequest(body)
           val scalar = graft.codec.Prompb2.toV1(req)
           val hists = graft.codec.Prompb2.histogramsToV1(req)
+          nativeHists = hists
           val merged =
             if (hists.isEmpty) scalar
             else scalar.copy(timeseries = scalar.timeseries ++
@@ -270,6 +282,7 @@ class Server(spark: SparkSession, tablePath: String,
           // store's representation), exemplars (field 3), and
           // request-level metadata in a single pass over the bytes
           val dec = graft.codec.WriteWire.decode(body)
+          nativeHists = dec.histograms
           val merged =
             if (dec.histograms.isEmpty) dec.scalars
             else dec.scalars.copy(timeseries = dec.scalars.timeseries ++
@@ -279,6 +292,7 @@ class Server(spark: SparkSession, tablePath: String,
       metadata.foreach(md =>
         if (md.familyName.nonEmpty) metadataStore.put(md.familyName, md))
       if (exemplars.nonEmpty) appendExemplars(exemplars)
+      if (nativeHists.nonEmpty) appendNativeHist(nativeHists)
       ingestDecoded(ex, wr, written)
     } catch {
       case e: Throwable =>
@@ -344,8 +358,10 @@ class Server(spark: SparkSession, tablePath: String,
           if (otlpTargetInfo)
             graft.codec.Otlp.decodeExpHistogramsTargetInfo(body, delta = true)
           else graft.codec.Otlp.decodeDeltaExpHistograms(body))
-      val expSeries = (expCum ++ expConv)
+      val expNative = (expCum ++ expConv)
         .map(graft.codec.Otlp.expHistToNative)
+      if (expNative.nonEmpty) appendNativeHist(expNative)
+      val expSeries = expNative
         .flatMap(graft.codec.NativeHist.toClassicSeries)
       val withExp =
         if (expSeries.isEmpty) merged
@@ -546,6 +562,37 @@ class Server(spark: SparkSession, tablePath: String,
     appendLock.synchronized { WritePipeline.append(df, exemplarPath) }
   }
 
+  /** Native histograms → the sparse side table (same layout discipline
+    * as the main table: date-partitioned, range-split, (name, tags,
+    * ts)-sorted). Values keep their wire types — count/zero as longs,
+    * sum as double, positive buckets as (idx, cnt) structs.
+    */
+  private def appendNativeHist(
+      series: Seq[graft.codec.NativeHist.PHistSeries]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = for (s <- series; h <- s.histograms) yield {
+      val name = s.labels.find(_.name == "__name__")
+        .map(_.value).getOrElse("")
+      (name,
+        s.labels.map(l => s"${l.name}=${l.value}").sorted,
+        h.timestampMs / 1000L, h.count, h.sum, h.zeroCount,
+        graft.codec.NativeHist.expandBuckets(h.positiveSpans,
+          h.positiveDeltas))
+    }
+    if (rows.nonEmpty) {
+      val df = rows
+        .toDF("name", "tags", "tsec", "h_count", "h_sum", "h_zero", "b")
+        .select(
+          to_date(timestamp_seconds(col("tsec"))).as("date"),
+          col("name"), col("tags"), col("tsec").as("ts"),
+          col("h_count"), col("h_sum"), col("h_zero"),
+          transform(col("b"), x => struct(x.getField("_1").as("idx"),
+            x.getField("_2").as("cnt"))).as("h_buckets"))
+      appendLock.synchronized { WritePipeline.append(df, histPath) }
+    }
+  }
+
   /** Stale markers → value-less marker rows in the side table. */
   private def appendStaleMarkers(
       markers: Seq[graft.model.Schema.Sample]): Unit = {
@@ -615,7 +662,7 @@ class Server(spark: SparkSession, tablePath: String,
               val now = System.currentTimeMillis() / 1000
               graft.engine.Admin.enforceRetention(tablePath, retentionSec,
                 now)
-              Seq(exemplarPath, stalePath).foreach { p =>
+              Seq(exemplarPath, stalePath, histPath).foreach { p =>
                 if (java.nio.file.Files.isDirectory(
                     java.nio.file.Paths.get(p)))
                   graft.engine.Admin.enforceRetention(p, retentionSec, now)
@@ -851,10 +898,22 @@ class Server(spark: SparkSession, tablePath: String,
           .contains(Prompb.ResponseType.STREAMED_XOR_CHUNKS)
       }
       if (wantChunks) {
-        val body = ResponseEdge.encodeChunked(perQuery, readMaxSeries)
+        val scalarBody = ResponseEdge.encodeChunked(perQuery, readMaxSeries)
+        // native-histogram series ride FLOAT_HISTOGRAM chunk frames
+        // from the sparse side table — the native representation
+        // survives streamed_xor_chunks instead of answering only
+        // through the classic le-flatten (whose *_bucket/_count/_sum
+        // names don't collide with the native series' own name, so
+        // the two frame sets are disjoint by construction)
+        val histBody =
+          if (java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(histPath)))
+            ResponseEdge.encodeChunkedHist(spark.read.parquet(histPath),
+              rr.queries.map(toPromQuery), readMaxSeries)
+          else Array.empty[Byte]
         ex.getResponseHeaders.set("Content-Type",
           "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
-        respond(ex, 200, body)
+        respond(ex, 200, scalarBody ++ histBody)
       } else {
         val body = Prompb.snappyCompress(Prompb.encodeReadResponse(
           ResponseEdge.toReadResponse(perQuery, readMaxSeries)))

@@ -115,4 +115,43 @@ class XorChunkSpec extends AnyFunSuite {
     corrupted(corrupted.length - 1) = (corrupted.last ^ 0x01).toByte
     intercept[IllegalArgumentException] { readFrames(corrupted) }
   }
+
+  test("FloatHistChunk: sparse native-histogram samples round-trip " +
+      "exactly — union layout, per-field xor, zero-bucket drop") {
+    import graft.codec.FloatHistChunk
+    import graft.codec.FloatHistChunk.HPoint
+    // three samples with DIFFERENT sparse layouts (union spans
+    // {1..2},{5},{9}), counter-ish count/zero, noisy sum
+    val pts = Seq(
+      HPoint(1000L, 10.0, 3.25, 2.0, Seq((1, 3.0), (5, 5.0))),
+      HPoint(2000L, 16.0, 7.5, 3.0, Seq((1, 4.0), (2, 1.0), (5, 7.0))),
+      HPoint(3500L, 21.0, 11.125, 3.0, Seq((2, 2.0), (5, 9.0), (9, 4.0))))
+    val chunk = FloatHistChunk.encode(pts)
+    val (back, schema) = FloatHistChunk.decode(chunk)
+    assert(schema == 0)
+    // absent buckets encoded as 0.0 must DECODE AWAY: sparse in =
+    // sparse out, exactly
+    assert(back == pts)
+    // single sample; empty buckets; large/negative dod paths
+    assert(FloatHistChunk.decode(FloatHistChunk.encode(
+      Seq(HPoint(99L, 1.0, -2.5, 0.0, Nil))))._1 ==
+      Seq(HPoint(99L, 1.0, -2.5, 0.0, Nil)))
+    val irregular = Seq(
+      HPoint(0L, 1.0, 1.0, 0.0, Seq((0, 1.0))),
+      HPoint(10L, 2.0, 2.0, 0.0, Seq((0, 2.0))),
+      HPoint(2000000L, 3.0, 3.0, 0.0, Seq((0, 3.0))),
+      HPoint(2000001L, 4.0, 4.0, 0.0, Seq((0, 4.0))))
+    assert(FloatHistChunk.decode(
+      FloatHistChunk.encode(irregular))._1 == irregular)
+    // integer counts < 2^53 are exact through the double path
+    val big = Seq(
+      HPoint(1L, 4503599627370495.0, 0.5, 1.0, Seq((3, 4503599627370495.0))),
+      HPoint(2L, 4503599627370496.0, 1.5, 2.0, Seq((3, 4503599627370496.0))))
+    assert(FloatHistChunk.decode(FloatHistChunk.encode(big))._1 == big)
+    // timestamps must be non-decreasing, the appender contract
+    intercept[IllegalArgumentException] {
+      FloatHistChunk.encode(Seq(
+        HPoint(10L, 1.0, 1.0, 0.0, Nil), HPoint(5L, 1.0, 1.0, 0.0, Nil)))
+    }
+  }
 }
