@@ -4801,6 +4801,59 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // SITEMAP COMPOSITION — sitemapindex → fetched child sitemaps
+    // (one plain, one .xml.gz per host — the gzip reverses through the
+    // same multi-member kernel as .warc.gz) → urlset pages with
+    // <lastmod>, feeding the politeness schedule as a RECRAWL
+    // PRIORITY: within each host's lane, fresher pages take earlier
+    // slots, undeclared-lastmod pages (every id % 3 == 0) go last, URL
+    // breaks ties. One recursion level is spec-complete (sitemaps.org
+    // forbids an index from listing another index).
+    "llm_sitemap_index" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      def lastmod(id: Long): String = f"2024-01-${1 + id % 28}%02d"
+      def urlEntry(id: Long, k: Long): String = {
+        val lm = if (id % 3 == 0) ""
+          else s"<lastmod>${lastmod(id)}</lastmod>"
+        s"  <url><loc> https://h$k.example.org/p/$id </loc>$lm</url>"
+      }
+      def urlset(entries: Seq[String]): String =
+        "<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps" +
+          ".org/schemas/sitemap/0.9\">\n" + entries.mkString("\n") +
+          "\n</urlset>"
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.close(); bos.toByteArray
+      }
+      val byHost = ids.groupBy(_ % 8).toSeq.sortBy(_._1)
+      val tops = byHost.map { case (k, _) =>
+        (s"h$k.example.org",
+          "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+            s"  <sitemap><loc>https://h$k.example.org/sitemap-a.xml" +
+            "</loc></sitemap>\n" +
+            s"  <sitemap><loc> https://h$k.example.org/sitemap-b.xml.gz" +
+            " </loc></sitemap>\n</sitemapindex>")
+      }.toDF("host", "sitemap_xml")
+      val fetched = byHost.flatMap { case (k, ds) =>
+        val (a, b) = ds.sorted.partition(_ % 16 == k)
+        Seq(
+          (s"https://h$k.example.org/sitemap-a.xml",
+            urlset(a.map(urlEntry(_, k))).getBytes("UTF-8")),
+          (s"https://h$k.example.org/sitemap-b.xml.gz",
+            gz(urlset(b.map(urlEntry(_, k))).getBytes("UTF-8"))))
+      }.toDF("url", "content")
+      val pages = graft.llm.CrawlOps.sitemapExpand(tops, fetched)
+      graft.llm.CrawlOps.crawlSchedule(pages, "url",
+          Seq.empty[(String, String)].toDF("host", "robots_txt"),
+          "graftbot", defaultDelaySec = 5, priorityCol = Some("lastmod"))
+        .select(col("url"), col("host"), col("lastmod"),
+          col("delay_sec"), col("slot"), col("fetch_at_sec"))
+        .orderBy(col("url"))
+    }),
+
     // CRAWL-DELAY POLITENESS SCHEDULE — the fetch-lane assignment a
     // polite crawler runs after the compliance screen: per-host
     // Crawl-delay (GraftBot's group declares k+1 s; the `*` group's 99
@@ -14792,6 +14845,24 @@ object SparkEntry {
         |  'https://h'||CAST(k AS VARCHAR)||'.example.org/s/'
         |    ||CAST(id AS VARCHAR)||'?a=1&b=2' AS url
         |FROM d ORDER BY url""".stripMargin,
+
+    // composition replay: every doc reaches the frontier through one
+    // of its host's two child sitemaps (same output either way), with
+    // the lastmod closed form and the freshness-priority slot numbers
+    "llm_sitemap_index" ->
+      """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k FROM documents),
+        |p AS (SELECT 'https://h'||CAST(k AS VARCHAR)||'.example.org/p/'
+        |    ||CAST(id AS VARCHAR) AS url,
+        |  'h'||CAST(k AS VARCHAR)||'.example.org' AS host,
+        |  CASE WHEN id % 3 = 0 THEN NULL
+        |    ELSE '2024-01-'||lpad(CAST(1 + id % 28 AS VARCHAR), 2, '0')
+        |  END AS lastmod FROM d),
+        |s AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+        |    ORDER BY lastmod DESC NULLS LAST, url) - 1 AS BIGINT)
+        |    AS slot FROM p)
+        |SELECT url, host, lastmod, CAST(5 AS INT) AS delay_sec, slot,
+        |  slot * 5 AS fetch_at_sec
+        |FROM s ORDER BY url""".stripMargin,
 
     "llm_crawl_schedule" ->
       """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS k FROM documents),

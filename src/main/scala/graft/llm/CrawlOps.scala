@@ -188,9 +188,72 @@ object CrawlOps {
   def sitemapUrls(xml: Column): Column =
     transform(
       regexp_extract_all(xml, lit("<loc>\\s*([^<]+?)\\s*</loc>"), lit(1)),
-      u => regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(u, "&lt;", "<"), "&gt;", ">"),
-        "&quot;", "\""), "&apos;", "'"), "&amp;", "&"))
+      u => xmlEntityDecode(u))
+
+  private def xmlEntityDecode(u: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(u, "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&apos;", "'"), "&amp;", "&")
+
+  /** Page entries of a `<urlset>` sitemap as (url, lastmod) structs —
+    * `<url>` blocks walked with one regexp pass, `<loc>` entity-decoded
+    * and whitespace-trimmed, `<lastmod>` surfaced verbatim (empty
+    * string when the optional tag is absent) for recrawl
+    * prioritization.
+    */
+  def sitemapEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
+      b => struct(
+        xmlEntityDecode(
+          regexp_extract(b, "(?s)<loc>\\s*([^<]+?)\\s*</loc>", 1))
+          .as("url"),
+        regexp_extract(b, "(?s)<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1)
+          .as("lastmod")))
+
+  /** Child sitemap URLs of a `<sitemapindex>` document (`<sitemap>`
+    * blocks' `<loc>`, entity-decoded). Empty for a plain urlset. */
+  def sitemapChildUrls(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml,
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)),
+      b => xmlEntityDecode(
+        regexp_extract(b, "(?s)<loc>\\s*([^<]+?)\\s*</loc>", 1)))
+
+  /** Full sitemap COMPOSITION: top-level documents that are either a
+    * plain `<urlset>` or a `<sitemapindex>` expand — through the
+    * crawler's fetched child bodies (commonly `.xml.gz`; gzip reversed
+    * via [[gunzipAll]], non-gzip bodies pass through) — to one row per
+    * page URL with its `<lastmod>` (null when undeclared). One level of
+    * recursion is COMPLETE by spec: sitemaps.org forbids an index from
+    * listing another index.
+    *
+    * Scale shape: both join sides are sitemap-cardinality (hosts ×
+    * children), minute next to the page frontier this feeds — the
+    * expansion never touches frontier-sized data, and the child join
+    * broadcasts its smaller side under AQE.
+    *
+    * @param tops    (host, sitemap_xml) top-level sitemap documents
+    * @param fetched (url, content BINARY) fetched child sitemap bodies
+    * @return (host, url, lastmod) page rows
+    */
+  def sitemapExpand(tops: DataFrame, fetched: DataFrame): DataFrame = {
+    def pages(hostCol: Column, xml: Column, src: DataFrame): DataFrame =
+      src.select(hostCol.as("host"),
+          explode(sitemapEntries(xml)).as("e"))
+        .select(col("host"), col("e.url").as("url"),
+          when(col("e.lastmod") === "", lit(null))
+            .otherwise(col("e.lastmod")).as("lastmod"))
+    val direct = pages(col("host"), col("sitemap_xml"), tops)
+    val childXml = tops
+      .select(col("host"),
+        explode(sitemapChildUrls(col("sitemap_xml"))).as("child_url"))
+      .join(fetched, col("child_url") === fetched("url"))
+      .select(col("host"),
+        decode(coalesce(graft.GraftExtensions.gunzipAll(col("content")),
+          col("content")), "UTF-8").as("xml"))
+    direct.unionByName(pages(col("host"), col("xml"), childXml))
+  }
 
   /** Crawl-compliance screen: classify every frontier URL as allowed or
     * not under its host's robots.txt for the given crawler product
@@ -259,19 +322,36 @@ object CrawlOps {
     */
   def crawlSchedule(frontier: DataFrame, urlCol: String,
                     robots: DataFrame, agent: String,
-                    defaultDelaySec: Int): DataFrame = {
+                    defaultDelaySec: Int): DataFrame =
+    crawlSchedule(frontier, urlCol, robots, agent, defaultDelaySec, None)
+
+  /** Same, with an optional RECRAWL-PRIORITY column (typically the
+    * sitemap `<lastmod>` via [[sitemapExpand]]): within a host's fetch
+    * lane, fresher pages take the earlier slots (descending, nulls —
+    * pages with no declared modification time — last), the URL as the
+    * deterministic tiebreak. The lane stays host-sequential either way;
+    * priority only reorders WITHIN the lane.
+    */
+  def crawlSchedule(frontier: DataFrame, urlCol: String,
+                    robots: DataFrame, agent: String,
+                    defaultDelaySec: Int,
+                    priorityCol: Option[String]): DataFrame = {
     require(defaultDelaySec >= 0)
     val delays = robots.select(col("host"),
       robotsCrawlDelay(col("robots_txt"), agent).as("declared"))
+    val order = priorityCol
+      .map(p => Seq(col(p).desc_nulls_last, col("url")))
+      .getOrElse(Seq(col("url")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("host")).orderBy(col("url"))
+      .partitionBy(col("host")).orderBy(order: _*)
     frontier
-      .select(col(urlCol).as("url"), hostOf(col(urlCol)).as("host"))
+      .select((Seq(col(urlCol).as("url"), hostOf(col(urlCol)).as("host"))
+        ++ priorityCol.map(col)): _*)
       .join(broadcast(delays), Seq("host"), "left")
-      .select(col("url"), col("host"),
+      .select((Seq(col("url"), col("host"),
         when(col("declared").isNull || col("declared") < 0,
           lit(defaultDelaySec)).otherwise(col("declared"))
-          .as("delay_sec"))
+          .as("delay_sec")) ++ priorityCol.map(col)): _*)
       .withColumn("slot", row_number().over(w).cast("long") - 1L)
       .withColumn("fetch_at_sec", col("slot") * col("delay_sec").cast("long"))
   }

@@ -2728,6 +2728,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(out2 == Seq("https://a.org/s1.xml"))
   }
 
+  test("crawl: sitemapExpand — index recursion through fetched " +
+      "(gzip) children, lastmod surfacing, priority scheduling") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val tops = Seq(
+      // index host: two children, one gzipped
+      ("a.org", "<sitemapindex>" +
+        "<sitemap><loc>https://a.org/s1.xml</loc></sitemap>" +
+        "<sitemap><loc> https://a.org/s2.xml.gz </loc></sitemap>" +
+        "</sitemapindex>"),
+      // plain-urlset host expands directly, no fetch needed
+      ("b.org", "<urlset><url><loc>https://b.org/only</loc>" +
+        "<lastmod>2026-02-01</lastmod></url></urlset>"))
+      .toDF("host", "sitemap_xml")
+    val fetched = Seq(
+      ("https://a.org/s1.xml",
+        ("<urlset><url><loc>https://a.org/p1</loc>" +
+          "<lastmod>2026-01-10</lastmod></url>" +
+          "<url><loc>https://a.org/p2</loc></url></urlset>")
+          .getBytes("UTF-8")),
+      ("https://a.org/s2.xml.gz",
+        gz(("<urlset><url><loc>https://a.org/p3</loc>" +
+          "<lastmod>2026-01-20</lastmod></url></urlset>")
+          .getBytes("UTF-8"))))
+      .toDF("url", "content")
+    val pages = graft.llm.CrawlOps.sitemapExpand(tops, fetched)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSeq.sortBy(_._2)
+    assert(pages == Seq(
+      ("a.org", "https://a.org/p1", Some("2026-01-10")),
+      ("a.org", "https://a.org/p2", None),
+      ("a.org", "https://a.org/p3", Some("2026-01-20")),
+      ("b.org", "https://b.org/only", Some("2026-02-01"))))
+    // freshness priority: p3 (newest) slot 0, p1 slot 1, lastmod-less
+    // p2 last — within a.org's lane; b.org lanes independently
+    val sched = graft.llm.CrawlOps.crawlSchedule(
+        graft.llm.CrawlOps.sitemapExpand(tops, fetched), "url",
+        Seq.empty[(String, String)].toDF("host", "robots_txt"),
+        "bot", defaultDelaySec = 7, priorityCol = Some("lastmod"))
+      .select(col("url"), col("slot"), col("fetch_at_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(sched == Seq(
+      ("https://a.org/p1", 1L, 7L),
+      ("https://a.org/p2", 2L, 14L),
+      ("https://a.org/p3", 0L, 0L),
+      ("https://b.org/only", 0L, 0L)))
+  }
+
   test("crawl: crawlSchedule — per-host lanes, declared vs default " +
       "delay, lexicographic slots") {
     val s = spark
