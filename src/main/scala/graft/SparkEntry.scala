@@ -9379,6 +9379,62 @@ object SparkEntry {
     // wire was built from, samples ∪ the planted every-third-second
     // exemplar rule — the fourth protocol edge sharing the discipline
     // of the OpenMetrics entry.
+    // EXEMPLAR SIDE-TABLE BOUND (Prometheus's max-exemplars
+    // circular-buffer discipline, per series at rest): with
+    // --exemplars.max-per-series = 3, eleven single-exemplar appends
+    // per series trip the 2× budget twice (counts 1..7 → compact to
+    // the newest 3; then 4..7 → compact again), so the table ends
+    // holding EXACTLY the three newest exemplars (k = 8, 9, 10) per
+    // series no matter how fast the producer appends — linear growth
+    // between retention sweeps is structurally impossible.
+    "serve_exemplar_bound" -> ((s, dir) => {
+      import s.implicits._
+      val ets = Tables.events(s, dir).select(col("event_type"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      val table = java.nio.file.Files.createTempDirectory("graft_exb")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        maxExemplarsPerSeries = 3).start()
+      try {
+        val day0 = 1704067200000L
+        (0 until 11).foreach { k =>
+          val sidx = scala.collection.mutable
+            .LinkedHashMap[String, Int]("" -> 0)
+          def ref(x: String): Int = sidx.getOrElseUpdate(x, sidx.size)
+          val tss = ets.map { et =>
+            graft.codec.Prompb2.P2TimeSeries(
+              Seq(ref("__name__"), ref("ex_metric"),
+                ref("event_type"), ref(et)),
+              Seq(Prompb.PSample(k.toDouble, day0 + k * 1000L)),
+              exemplars = Seq(graft.codec.Prompb2.P2Exemplar(
+                Seq(ref("trace_id"), ref(s"t$k")),
+                k.toDouble, day0 + k * 1000L)))
+          }
+          val wire = Prompb.snappyCompress(
+            graft.codec.Prompb2.encodeRequest(
+              graft.codec.Prompb2.P2Request(sidx.keys.toSeq, tss)))
+          val conn = java.net.URI.create(
+              s"http://localhost:${server.boundPort}/write")
+            .toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(wire)
+          require(conn.getResponseCode == 200, s"write $k failed")
+          conn.disconnect()
+        }
+        s.read.parquet(table + "_exemplars")
+          .select(LabelOps.labelValue(col("tags"), "event_type")
+            .as("event_type"), col("val"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_exemplars"),
+            min(col("val")).as("min_k"), max(col("val")).as("max_k"))
+          .orderBy(col("event_type"))
+      } finally server.stop()
+    }),
+
     "s1_otlp_exemplars" -> ((s, dir) => {
       import s.implicits._
       val table = java.nio.file.Files.createTempDirectory("graft_oex")
@@ -16591,6 +16647,15 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'exemplar', user_id, t, value_fp FROM c WHERE t % 3 = 0
          |ORDER BY kind, user_id, t, value_fp""".stripMargin,
+
+    // closed form of the circular-buffer bound: 11 appends against
+    // max-per-series 3 always end just-compacted on the newest three
+    // (k = 8, 9, 10), for every series symmetrically
+    "serve_exemplar_bound" ->
+      """SELECT DISTINCT event_type,
+        |  CAST(3 AS BIGINT) AS n_exemplars,
+        |  CAST(8 AS DOUBLE) AS min_k, CAST(10 AS DOUBLE) AS max_k
+        |FROM events ORDER BY event_type""".stripMargin,
 
     "s1_otlp_exemplars" ->
       s"""WITH c AS (SELECT user_id, $OSec AS t,

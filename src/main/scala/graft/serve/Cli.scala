@@ -92,7 +92,12 @@ final case class CliConfig(
     // a v2 series carrying created_timestamp gets a synthetic zero
     // sample at its creation instant (young-series rate correctness),
     // unless the receiver already knows a sample at or after it.
-    ctZeroIngestion: Boolean = false) {
+    ctZeroIngestion: Boolean = false,
+    // ≙ Prometheus --storage.exemplars.max-exemplars, applied PER
+    // SERIES at rest: the side table compacts to the newest N
+    // exemplars per series once any series doubles its budget.
+    // 0 = unbounded.
+    exemplarsMaxPerSeries: Int = 0) {
 
   /** Qualified catalog name, ≙ database.table in the reference DSN. */
   def tableName: String = s"${clickhouseDatabase}.${clickhouseTable}"
@@ -201,6 +206,10 @@ object CliConfig {
       |                                 v2 series' created_timestamp (young-
       |                                 series rate correctness); off = the
       |                                 field is decoded but unused.
+      |  --exemplars.max-per-series=<n> Keep at most n exemplars per series
+      |                                 at rest (newest win; the side table
+      |                                 compacts once a series doubles its
+      |                                 budget). 0 = unbounded.
       |  --enable-feature=<a,b>         Prometheus feature-flag spellings of
       |                                 the above (repeatable, comma lists):
       |                                 created-timestamp-zero-ingestion,
@@ -351,6 +360,12 @@ object CliConfig {
               case None => return Left(
                 s"--ct-zero-ingestion needs true or false, got '$v'")
             }
+            case "exemplars.max-per-series" => v.toIntOption match {
+              case Some(n) if n >= 0 =>
+                cfg = cfg.copy(exemplarsMaxPerSeries = n)
+              case _ => return Left(
+                s"--exemplars.max-per-series needs an integer >= 0, got '$v'")
+            }
             // ≙ Prometheus --enable-feature=a,b (repeatable): the
             // upstream spellings of features this engine carries as
             // dedicated flags map onto them; an unknown feature is an
@@ -483,7 +498,8 @@ object Cli {
       otlpTargetInfo = cfg.otlpTargetInfo,
       enableLifecycle = cfg.enableLifecycle,
       rulesFile = Option(cfg.rulesFile).filter(_.nonEmpty),
-      ctZeroIngestion = cfg.ctZeroIngestion)
+      ctZeroIngestion = cfg.ctZeroIngestion,
+      maxExemplarsPerSeries = cfg.exemplarsMaxPerSeries)
   }
 }
 

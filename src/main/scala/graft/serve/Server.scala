@@ -52,7 +52,8 @@ class Server(spark: SparkSession, tablePath: String,
              otlpTargetInfo: Boolean = false,
              enableLifecycle: Boolean = false,
              rulesFile: Option[String] = None,
-             ctZeroIngestion: Boolean = false) {
+             ctZeroIngestion: Boolean = false,
+             maxExemplarsPerSeries: Int = 0) {
 
   /** The LIVE rule set: starts as the constructor's groups and swaps
     * atomically on a successful `/-/reload`. A failed reload keeps
@@ -559,7 +560,66 @@ class Server(spark: SparkSession, tablePath: String,
           .as("date"),
         col("name"), col("tags"), col("ex_tags"), col("val"),
         timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
-    appendLock.synchronized { WritePipeline.append(df, exemplarPath) }
+    appendLock.synchronized {
+      WritePipeline.append(df, exemplarPath)
+      // per-series bound (Prometheus's max-exemplars circular-buffer
+      // discipline): a high-frequency exemplar producer must not grow
+      // the side table linearly between retention sweeps. Appends stay
+      // cheap — a driver-side counter per series triggers the rewrite
+      // only once some series doubles its budget, so the compaction
+      // cost amortizes over at least maxExemplarsPerSeries appends.
+      if (maxExemplarsPerSeries > 0) {
+        rows.groupBy(r => r._1 + "|" + r._2.mkString(",")).foreach {
+          case (k, rs) =>
+            exemplarCounts.merge(k, rs.size.toLong, _ + _)
+        }
+        val overBudget = exemplarCounts.values.stream()
+          .anyMatch(c => c > 2L * maxExemplarsPerSeries)
+        if (overBudget) compactExemplars()
+      }
+    }
+  }
+
+  /** Appended-exemplar tallies per series since the last compaction —
+    * driver memory, bounded by live exemplar-series cardinality. */
+  private val exemplarCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Rewrite the exemplar side table keeping only the NEWEST
+    * `maxExemplarsPerSeries` exemplars per series (ts, then value and
+    * exemplar labels as deterministic tiebreaks) — the at-rest
+    * equivalent of Prometheus's per-series circular buffer, staged and
+    * swapped like [[graft.engine.Rollup.compact]]. Caller holds
+    * `appendLock`.
+    */
+  private def compactExemplars(): Unit = {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("name"), col("tags"))
+      .orderBy(col("ts").desc, col("val").desc,
+        concat_ws(",", col("ex_tags")).desc)
+    val kept = spark.read.parquet(exemplarPath)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxExemplarsPerSeries).drop("_rn")
+      .select(col("date"), col("name"), col("tags"), col("ex_tags"),
+        col("val"), col("ts"))
+    val staging = exemplarPath + ".compacting"
+    kept
+      .repartitionByRange(col("date"), col("name"), col("tags"))
+      .sortWithinPartitions(col("name"), col("tags"), col("ts"))
+      .write.mode("overwrite").partitionBy("date").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(exemplarPath)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    exemplarCounts.clear()
+    spark.read.parquet(exemplarPath)
+      .groupBy(col("name"), col("tags")).count().collect()
+      .foreach(r => exemplarCounts.put(
+        r.getString(0) + "|" +
+          r.getAs[scala.collection.Seq[String]](1).mkString(","),
+        r.getLong(2)))
   }
 
   /** Native histograms → the sparse side table (same layout discipline

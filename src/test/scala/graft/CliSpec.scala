@@ -274,6 +274,11 @@ class CliSpec extends SparkSpec {
     assert(CliConfig.parse(Seq("--ct-zero-ingestion"))
       .toOption.get.ctZeroIngestion)
     assert(!CliConfig.parse(Nil).toOption.get.ctZeroIngestion)
+    assert(CliConfig.parse(Seq("--exemplars.max-per-series=7"))
+      .toOption.get.exemplarsMaxPerSeries == 7)
+    assert(CliConfig.parse(Nil).toOption.get.exemplarsMaxPerSeries == 0)
+    assert(CliConfig.parse(Seq("--exemplars.max-per-series=-1")).isLeft)
+    assert(CliConfig.parse(Seq("--exemplars.max-per-series=lots")).isLeft)
     // the Prometheus --enable-feature spellings map onto the same
     // config; repeatable + comma lists; unknown features are errors
     val ef = CliConfig.parse(Seq(
