@@ -2456,6 +2456,72 @@ object SparkEntry {
       } finally server.stop()
     }),
 
+    // THE NATIVE TIER AT REST, over live HTTP: ?source=chunks against
+    // --read.hist-chunk-tier forwards stored FLOAT_HISTOGRAM chunk
+    // bytes VERBATIM on a day-aligned query (X-Graft-Chunk-Source =
+    // store) — and the entry REQUIRES the forwarded body byte-identical
+    // to the forced re-encode (&chunk_path=reencode), the Thanos
+    // zero-copy equality pinned for histograms exactly as
+    // serve_read_chunked pins it for scalars. Decoded frames answer
+    // the s1 native ingest oracle verbatim.
+    "serve_read_chunked_hist_store" -> ((s, dir) => {
+      import s.implicits._
+      val base = cachedInputDir(s"hchunk${math.abs(dir.hashCode)}") { d =>
+        graft.engine.ChunkStore.writeHist(
+          nativeHistStore(s, dir)
+            .select(to_date(timestamp_seconds(col("ts"))).as("date"),
+              col("name"), col("tags"), col("ts"), col("h_count"),
+              col("h_sum_fp").cast("double").as("h_sum"), col("h_zero"),
+              col("h_buckets")),
+          s"$d/hchunks")
+      }
+      val table = java.nio.file.Files.createTempDirectory("graft_srvhs")
+        .toString + "/metrics"
+      val server = new graft.serve.Server(s, table,
+        histChunkTierPath = Some(s"$base/hchunks")).start()
+      try {
+        val rr = Prompb.PReadRequest(Seq(
+          Prompb.PQuery(1704067200000L, 1706659199000L,
+            Seq(Prompb.PLabelMatcher(Prompb.MatchType.EQ, "__name__",
+              "hist_val")))))
+        def read(extra: String): (Array[Byte], String) = {
+          val conn = java.net.URI.create(
+            s"http://localhost:${server.boundPort}/read" +
+              s"?response_type=streamed_xor_chunks&source=chunks$extra")
+            .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          conn.getOutputStream.write(
+            Prompb.snappyCompress(Prompb.encodeReadRequest(rr)))
+          val b = conn.getInputStream.readAllBytes()
+          val src = conn.getHeaderField("X-Graft-Chunk-Source")
+          conn.disconnect()
+          (b, src)
+        }
+        val (stored, mode) = read("")
+        val (reenc, mode2) = read("&chunk_path=reencode")
+        require(mode == "store" && mode2 == "reencode",
+          s"chunk source modes: $mode / $mode2")
+        require(java.util.Arrays.equals(stored, reenc),
+          "day-aligned store path must be byte-identical to re-encode")
+        val rows = for {
+          f <- graft.codec.ChunkedRead.readFrames(stored)
+          (series, _) = graft.codec.ChunkedRead.decodeResponse(f)
+          ser <- series
+          ch <- ser.chunks
+          p <- graft.codec.FloatHistChunk.decode(ch.data)._1
+          (bidx, cnt) <- p.buckets
+        } yield (
+          ser.labels.find(_.name == "event_type").get.value,
+          java.time.Instant.ofEpochMilli(p.tsMs)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+          bidx.toLong, cnt.toLong, p.count.toLong, p.sum.toLong)
+        rows.toDF("event_type", "day", "idx", "cnt", "total_count",
+            "sum_fp")
+          .orderBy(col("event_type"), col("day"), col("idx"))
+      } finally server.stop()
+    }),
+
     // Remote-read negotiation the way a STOCK Prometheus does it: the
     // ReadRequest proto carries accepted_response_types =
     // [STREAMED_XOR_CHUNKS, SAMPLES] and NO out-of-band query param —
@@ -6288,6 +6354,35 @@ object SparkEntry {
         .select(col("name"), array_join(col("tags"), ",").as("tags"),
           col("ts_sec").as("ts"), round(col("value"), 4).as("val"))
         .orderBy(col("tags"), col("ts"), col("val"))
+    }),
+
+    // NATIVE-HISTOGRAM CHUNK TIER ROUND TRIP: the sparse store view
+    // chunks into one FLOAT_HISTOGRAM chunk per (date, series)
+    // (count/sum/zero + every bucket per-field XOR-compressed) and
+    // decodes back to EXACTLY the wire rows — the scalar tier's
+    // bit-exactness claim extended to histograms (integer counts and
+    // fp sums < 2^53 survive the double path losslessly), answered
+    // against the s1 native ingest oracle verbatim.
+    "a7_chunk_hist_roundtrip" -> ((s, dir) => {
+      val store = nativeHistStore(s, dir)
+        .select(to_date(timestamp_seconds(col("ts"))).as("date"),
+          col("name"), col("tags"), col("ts"), col("h_count"),
+          col("h_sum_fp").cast("double").as("h_sum"), col("h_zero"),
+          col("h_buckets"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a7h")
+        .toString + "/hchunks"
+      graft.engine.ChunkStore.writeHist(store, tmp)
+      graft.engine.ChunkStore.fromChunkedHist(s.read.parquet(tmp))
+        .select(LabelOps.labelValue(col("tags"), "event_type")
+            .as("event_type"),
+          to_date(timestamp_seconds(col("ts_sec"))).cast("string")
+            .as("day"),
+          explode(col("h_buckets")).as("b"),
+          col("h_count").as("total_count"),
+          col("h_sum").cast("long").as("sum_fp"))
+        .select(col("event_type"), col("day"), col("b.idx").as("idx"),
+          col("b.cnt").as("cnt"), col("total_count"), col("sum_fp"))
+        .orderBy(col("event_type"), col("day"), col("idx"))
     }),
 
     // The tier's size claims as checked numbers, on DENSE single-series
@@ -12985,6 +13080,8 @@ object SparkEntry {
     // the FLOAT_HISTOGRAM frames decode back to exactly what the wire
     // ingested — the s1 native ingest oracle verbatim
     "serve_read_chunked_hist" -> ONativeHistRowsSql,
+    "serve_read_chunked_hist_store" -> ONativeHistRowsSql,
+    "a7_chunk_hist_roundtrip" -> ONativeHistRowsSql,
 
     // proto-negotiated chunked response ≡ the chunked response content
     "serve_read_negotiated" ->

@@ -94,6 +94,77 @@ object ChunkStore {
       .toDF()
   }
 
+  case class HBkt(idx: Long, cnt: Long)
+  case class HSample(t: Long, count: Long, sum: Double, zero: Long,
+                     buckets: Seq[HBkt])
+  case class HistSeriesDay(date: String, name: String, tags: Seq[String],
+                           samples: Seq[HSample])
+
+  /** NATIVE-HISTOGRAM chunk tier — the [[toChunked]] twin over the
+    * sparse histogram store shape (name, tags, ts, h_count, h_sum,
+    * h_zero, h_buckets): one row per (date, series) holding the day's
+    * time-sorted histograms as a single [[graft.codec.FloatHistChunk]]
+    * plus the same min/max/count metadata, with an `encoding` column
+    * (= 3, prompb FLOAT_HISTOGRAM) so mixed scalar+native tiers serve
+    * through one read path. Same ms-at-rest discipline: stored bytes
+    * forward VERBATIM into day-aligned streamed_xor_chunks responses.
+    * Same scale shape: one partial-combined groupBy per (date, series),
+    * per-row encode kernel, map-side decode inverse.
+    */
+  def toChunkedHist(histStore: DataFrame): DataFrame = {
+    val spark = histStore.sparkSession
+    import spark.implicits._
+    histStore
+      .groupBy(col("date"), col("name"), col("tags"))
+      .agg(sort_array(collect_list(struct(
+        col("ts").as("t"), col("h_count").as("count"),
+        col("h_sum").as("sum"), col("h_zero").as("zero"),
+        col("h_buckets").as("buckets")))).as("samples"))
+      .select(col("date").cast("string").as("date"), col("name"),
+        col("tags"), col("samples"))
+      .as[HistSeriesDay]
+      .flatMap { sd =>
+        sd.samples.grouped(MaxPerChunk).map { grp =>
+          val pts = grp.map(h => graft.codec.FloatHistChunk.HPoint(
+            h.t * 1000L, h.count.toDouble, h.sum, h.zero.toDouble,
+            h.buckets.map(b => (b.idx.toInt, b.cnt.toDouble))))
+          (sd.date, sd.name, sd.tags, grp.size.toLong,
+            grp.head.t, grp.last.t,
+            graft.codec.ChunkedRead.EncodingFloatHistogram,
+            graft.codec.FloatHistChunk.encode(pts))
+        }
+      }
+      .toDF("date", "name", "tags", "n_samples", "min_ts", "max_ts",
+        "encoding", "chunk")
+  }
+
+  /** Chunked hist rows → sparse histogram store rows (name, tags,
+    * ts_sec, h_count, h_sum, h_zero, h_buckets). */
+  def fromChunkedHist(chunked: DataFrame): DataFrame = {
+    val spark = chunked.sparkSession
+    import spark.implicits._
+    chunked
+      .select(col("name"), col("tags"), col("chunk"))
+      .as[(String, Seq[String], Array[Byte])]
+      .flatMap { case (name, tags, chunk) =>
+        graft.codec.FloatHistChunk.decode(chunk)._1.map { p =>
+          (name, tags, p.tsMs / 1000L, p.count.toLong, p.sum,
+            p.zero.toLong,
+            p.buckets.map { case (i, c) => HBkt(i.toLong, c.toLong) })
+        }
+      }
+      .toDF("name", "tags", "ts_sec", "h_count", "h_sum", "h_zero",
+        "h_buckets")
+  }
+
+  /** Write the native-histogram chunk tier, date-partitioned like the
+    * scalar tier. */
+  def writeHist(histStore: DataFrame, path: String): Unit =
+    toChunkedHist(histStore)
+      .repartitionByRange(col("date"), col("name"), col("tags"))
+      .sortWithinPartitions(col("name"), col("tags"), col("min_ts"))
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+
   /** Whether the query's inclusive-second range [startMs, endMs] covers
     * whole UTC days — the precondition for forwarding stored series-day
     * chunks verbatim (every sample of every covered chunk is in range).

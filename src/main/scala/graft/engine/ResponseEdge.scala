@@ -209,6 +209,73 @@ object ResponseEdge {
     rows
   }
 
+  /** STREAMED_XOR_CHUNKS body answered from the NATIVE-HISTOGRAM chunk
+    * tier ([[ChunkStore.toChunkedHist]]) — the
+    * [[encodeChunkedFromStore]] twin: day-aligned queries forward the
+    * stored FLOAT_HISTOGRAM chunk bytes VERBATIM (ms-at-rest, the same
+    * zero-copy discipline); misaligned queries decode → trim →
+    * re-encode per chunk, byte-identical on aligned ranges because the
+    * encoding is a pure function of the sample sequence. Same pushdown
+    * (date partitions + (name, tags) row-group stats) and the same
+    * series budget.
+    */
+  def encodeChunkedHistFromStore(chunked: DataFrame,
+                                 queries: Seq[graft.compile.Matchers.PromQuery],
+                                 maxSeries: Int,
+                                 forceReencode: Boolean = false,
+                                 strictCompat: Boolean = false)
+      : (Array[Byte], Seq[String]) = {
+    import graft.codec.{ChunkedRead, FloatHistChunk}
+    import graft.compile.Matchers
+    val out = new java.io.ByteArrayOutputStream()
+    val modes = queries.zipWithIndex.map { case (q, qi) =>
+      val sSec = q.startMs / 1000; val eSec = q.endMs / 1000
+      val pred = q.matchers.map(Matchers.compileMatcher(_, strictCompat))
+        .foldLeft(
+          col("date") >= to_date(timestamp_seconds(lit(sSec))) &&
+            col("date") <= to_date(timestamp_seconds(lit(eSec))) &&
+            col("max_ts") >= sSec && col("min_ts") <= eSec)(_ && _)
+      val rows = chunked.filter(pred)
+        .select("name", "tags", "min_ts", "max_ts", "chunk").collect()
+      val bySeries = rows.groupBy(
+        _.getAs[scala.collection.Seq[String]]("tags").toSeq)
+      if (maxSeries > 0 && bySeries.size > maxSeries)
+        throw new SeriesLimitExceeded(maxSeries)
+      val mode =
+        if (ChunkStore.dayAligned(q) && !forceReencode) "store"
+        else "reencode"
+      bySeries.toSeq.sortBy(_._1.mkString("\u0000")).foreach {
+        case (tags, rs) =>
+          val sorted = rs.sortBy(r =>
+            (r.getAs[Long]("min_ts"), r.getAs[Long]("max_ts")))
+          val chunks =
+            if (mode == "store")
+              sorted.map(r => ChunkedRead.PChunk(
+                r.getAs[Long]("min_ts") * 1000L,
+                r.getAs[Long]("max_ts") * 1000L,
+                ChunkedRead.EncodingFloatHistogram,
+                r.getAs[Array[Byte]]("chunk"))).toSeq
+            else
+              sorted.flatMap { r =>
+                val (pts0, schema) =
+                  FloatHistChunk.decode(r.getAs[Array[Byte]]("chunk"))
+                val pts = pts0.filter(p =>
+                  p.tsMs >= q.startMs && p.tsMs <= q.endMs)
+                if (pts.isEmpty) None
+                else Some(ChunkedRead.PChunk(pts.head.tsMs,
+                  pts.last.tsMs, ChunkedRead.EncodingFloatHistogram,
+                  FloatHistChunk.encode(pts, schema)))
+              }.toSeq
+          if (chunks.nonEmpty)
+            out.write(ChunkedRead.frame(ChunkedRead.encodeResponse(
+              Seq(ChunkedRead.PChunkedSeries(tagsToLabels(tags), chunks)),
+              qi.toLong)))
+      }
+      mode
+    }
+    (out.toByteArray, modes)
+  }
+
   /** FLOAT_HISTOGRAM frames for native-histogram series at the chunked
     * edge: the hist side table's matched series become framed
     * ChunkedReadResponse messages whose samples ride

@@ -59,6 +59,10 @@ final case class CliConfig(
     // remote-read with ?source=chunks serves raw samples from it
     // (day-aligned queries forward stored bytes verbatim).
     readChunkTier: String = "",
+    // graft extension: the native-histogram chunk tier beside the
+    // scalar one — FLOAT_HISTOGRAM chunks served on the same
+    // ?source=chunks path (day-aligned zero-copy forwarding).
+    readHistChunkTier: String = "",
     // graft extension: a Prometheus-format rule file (the `groups:`
     // layout promtool checks, strict subset); groups load into the
     // in-engine rule evaluator and enumerate on /api/v1/rules.
@@ -177,6 +181,9 @@ object CliConfig {
       |                                 streamed read with ?source=chunks
       |                                 serves raw samples from it (aligned
       |                                 queries forward bytes verbatim).
+      |  --read.hist-chunk-tier=""      Native-histogram chunk tier path
+      |                                 (FLOAT_HISTOGRAM chunks), served on
+      |                                 the same ?source=chunks path.
       |  --alertmanager.url=""          Alertmanager base URL; firing alerts
       |                                 POST to /api/v2/alerts on the smallest
       |                                 rule-group interval.
@@ -324,6 +331,8 @@ object CliConfig {
                   cfg = cfg.copy(readTiers = parsed.collect { case Right(t) => t })
               }
             case "read.chunk-tier" => cfg = cfg.copy(readChunkTier = v)
+            case "read.hist-chunk-tier" =>
+              cfg = cfg.copy(readHistChunkTier = v)
             case "rules.file" => cfg = cfg.copy(rulesFile = v)
             case "alertmanager.url" => cfg = cfg.copy(alertmanagerUrl = v)
             case "web.enable-admin-api" => v.toBooleanOption match {
@@ -490,6 +499,7 @@ object Cli {
       extraReaderPaths = cfg.readExtraTables, tierPaths = cfg.readTiers,
       autoResTargetPoints = cfg.readAutoTargetPoints,
       chunkTierPath = Option(cfg.readChunkTier).filter(_.nonEmpty),
+      histChunkTierPath = Option(cfg.readHistChunkTier).filter(_.nonEmpty),
       ruleGroups = ruleGroups, enableAdminApi = cfg.enableAdminApi,
       alertmanagerUrl = Option(cfg.alertmanagerUrl).filter(_.nonEmpty),
       retentionSec = cfg.retentionSec, scrapeTargets = cfg.scrapeTargets,

@@ -37,10 +37,20 @@ object Scraper {
     * context serves on /api/v1/query_exemplars like every push
     * protocol's.
     */
+  /** @param ctZeroGate the receiver's CT-zero admission rule
+    *   (candidates, ingesting) → admitted zeros — the Server passes its
+    *   no-earlier-sample filter here so a scraped OM page's `_created`
+    *   companions inject synthetic zeros exactly like the /write text
+    *   path (and stop ingesting as ordinary samples). None = historical
+    *   behavior. OM pages only; classic 0.0.4 has no `_created`.
+    */
   def scrapeInto(spark: SparkSession, url: String, tablePath: String,
                  nowMs: Long = System.currentTimeMillis(),
-                 openMetrics: Boolean = false): Long = {
-    val (dec, exemplars) =
+                 openMetrics: Boolean = false,
+                 ctZeroGate: Option[(Seq[graft.codec.Prompb.PTimeSeries],
+                     Seq[graft.codec.Prompb.PTimeSeries]) =>
+                     Seq[graft.codec.Prompb.PTimeSeries]] = None): Long = {
+    val (dec0, exemplars) =
       if (openMetrics) {
         val om = graft.codec.TextExposition.decodeOpenMetrics(
           fetch(url, accept =
@@ -50,6 +60,15 @@ object Scraper {
       } else
         (graft.codec.TextExposition.decode(fetch(url), nowMs),
           Seq.empty[graft.codec.WriteWire.PExemplarSeries])
+    val dec = ctZeroGate match {
+      case Some(gate) if openMetrics =>
+        val kept = dec0.request.timeseries
+          .filterNot(graft.codec.TextExposition.isCreatedSeries)
+        val zeros = gate(
+          graft.codec.TextExposition.ctZeroSeries(dec0.request), kept)
+        dec0.copy(request = graft.codec.Prompb.PWriteRequest(zeros ++ kept))
+      case _ => dec0
+    }
     val samples = for {
       ts <- dec.request.timeseries
       s <- ts.samples

@@ -41,6 +41,7 @@ class Server(spark: SparkSession, tablePath: String,
              tierPaths: Seq[(Long, String)] = Nil,
              autoResTargetPoints: Long = 250L,
              chunkTierPath: Option[String] = None,
+             histChunkTierPath: Option[String] = None,
              ruleGroups: Seq[graft.promql.Rules.RuleGroup] = Nil,
              enableAdminApi: Boolean = false,
              alertmanagerUrl: Option[String] = None,
@@ -901,16 +902,30 @@ class Server(spark: SparkSession, tablePath: String,
         if (!params.get("response_type").contains("streamed_xor_chunks"))
           throw new IllegalArgumentException(
             "source=chunks requires response_type=streamed_xor_chunks")
-        val path = chunkTierPath.getOrElse(throw new IllegalArgumentException(
-          "no chunk tier configured (chunkTierPath)"))
-        val (body, modes) = ResponseEdge.encodeChunkedFromStore(
-          spark.read.parquet(path), rr.queries.map(toPromQuery),
-          readMaxSeries,
-          forceReencode = params.get("chunk_path").contains("reencode"))
-        ex.getResponseHeaders.set("X-Graft-Chunk-Source", modes.mkString(","))
+        if (chunkTierPath.isEmpty && histChunkTierPath.isEmpty)
+          throw new IllegalArgumentException(
+            "no chunk tier configured (chunkTierPath)")
+        val force = params.get("chunk_path").contains("reencode")
+        val pqs = rr.queries.map(toPromQuery)
+        val (body, modes) = chunkTierPath match {
+          case Some(path) => ResponseEdge.encodeChunkedFromStore(
+            spark.read.parquet(path), pqs, readMaxSeries,
+            forceReencode = force)
+          case None => (Array.empty[Byte], Nil)
+        }
+        // the native-histogram tier serves beside the scalar one: same
+        // zero-copy day-aligned forwarding, FLOAT_HISTOGRAM frames
+        val (histBody, histModes) = histChunkTierPath match {
+          case Some(path) => ResponseEdge.encodeChunkedHistFromStore(
+            spark.read.parquet(path), pqs, readMaxSeries,
+            forceReencode = force)
+          case None => (Array.empty[Byte], Nil)
+        }
+        ex.getResponseHeaders.set("X-Graft-Chunk-Source",
+          (modes ++ histModes).mkString(","))
         ex.getResponseHeaders.set("Content-Type",
           "application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse")
-        respond(ex, 200, body)
+        respond(ex, 200, body ++ histBody)
         return
       }
       val transform = parseDownsample(ex.getRequestURI.getQuery)
@@ -1932,7 +1947,9 @@ class Server(spark: SparkSession, tablePath: String,
     val nowSec = System.currentTimeMillis() / 1000
     try {
       val n = appendLock.synchronized {
-        Scraper.scrapeInto(spark, url, tablePath)
+        Scraper.scrapeInto(spark, url, tablePath,
+          ctZeroGate =
+            if (ctZeroIngestion) Some(ctZeroFilter(_, _)) else None)
       }
       invalidateTable()
       targetState.put(url, ("up", nowSec, ""))
