@@ -9474,6 +9474,63 @@ object SparkEntry {
     // wire was built from, samples ∪ the planted every-third-second
     // exemplar rule — the fourth protocol edge sharing the discipline
     // of the OpenMetrics entry.
+    // SCRAPE CONTENT NEGOTIATION (the stock scraper's discipline): the
+    // Accept header states a PREFERENCE, the response Content-Type
+    // decides the parse. A classic-only target asked for OM degrades
+    // to 0.0.4 instead of failing on the missing # EOF; an OM page
+    // served to a classic request parses under OM rules — its SECONDS
+    // timestamps honored, where a classic parse would misread them as
+    // milliseconds (a silent 1000× error). Both mismatch directions
+    // land identical rows, replayed closed-form.
+    "s1_scrape_negotiated" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")).collect().toSeq
+        .map(r => (r.getString(0),
+          java.time.LocalDate.parse(r.getDate(1).toString)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            .toEpochMilli, r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val classicPage = daily.map { case (et, ms, n) =>
+        s"""neg_classic{event_type="$et"} $n $ms""" }.mkString("\n") + "\n"
+      val omPage = daily.map { case (et, ms, n) =>
+        s"""neg_om{event_type="$et"} $n ${ms / 1000}""" }
+        .mkString("\n") + "\n# EOF\n"
+      val fx = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      def serve(page: String, ctype: String)
+          : com.sun.net.httpserver.HttpHandler =
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val b = page.getBytes("UTF-8")
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+      fx.createContext("/classic",
+        serve(classicPage, "text/plain; version=0.0.4"))
+      fx.createContext("/om", serve(omPage,
+        "application/openmetrics-text; version=1.0.0; charset=utf-8"))
+      fx.start()
+      val table = java.nio.file.Files.createTempDirectory("graft_neg")
+        .toString + "/metrics"
+      try {
+        val port = fx.getAddress.getPort
+        // OM preferred, target only speaks classic → classic fallback
+        graft.serve.Scraper.scrapeInto(s,
+          s"http://localhost:$port/classic", table, openMetrics = true)
+        // classic requested, target answers OM → OM parse
+        graft.serve.Scraper.scrapeInto(s,
+          s"http://localhost:$port/om", table, openMetrics = false)
+        s.read.parquet(table).select(col("name"),
+            LabelOps.labelValue(col("tags"), "event_type")
+              .as("event_type"),
+            unix_timestamp(col("ts")).as("t"),
+            round(col("val") * 1000000L).cast("long").as("val_fp"))
+          .orderBy(col("name"), col("event_type"), col("t"))
+      } finally fx.stop(0)
+    }),
+
     // EXEMPLAR SIDE-TABLE BOUND (Prometheus's max-exemplars
     // circular-buffer discipline, per series at rest): with
     // --exemplars.max-per-series = 3, eleven single-exemplar appends
@@ -16744,6 +16801,20 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'exemplar', user_id, t, value_fp FROM c WHERE t % 3 = 0
          |ORDER BY kind, user_id, t, value_fp""".stripMargin,
+
+    // both negotiation mismatch directions land the same per-day
+    // counts under their two metric names — seconds honored on the OM
+    // side, ms on the classic side, one stored second either way
+    "s1_scrape_negotiated" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) * 86400 AS t,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT 'neg_classic' AS name, event_type, t,
+        |  n * 1000000 AS val_fp FROM c
+        |UNION ALL
+        |SELECT 'neg_om', event_type, t, n * 1000000 FROM c
+        |ORDER BY name, event_type, t""".stripMargin,
 
     // closed form of the circular-buffer bound: 11 appends against
     // max-per-series 3 always end just-compacted on the newest three

@@ -15,7 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Scraper {
 
   def fetch(url: String, timeoutMs: Int = 30000,
-            accept: Option[String] = None): String = {
+            accept: Option[String] = None): String =
+    fetchWithType(url, timeoutMs, accept)._1
+
+  /** Fetch returning (body, response Content-Type) — the pair content
+    * negotiation needs: what the target RETURNED decides the parse,
+    * not what the scraper asked for. */
+  def fetchWithType(url: String, timeoutMs: Int = 30000,
+                    accept: Option[String] = None): (String, String) = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
@@ -25,7 +32,8 @@ object Scraper {
       val code = conn.getResponseCode
       if (code != 200)
         throw new java.io.IOException(s"scrape of $url returned $code")
-      new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      (new String(conn.getInputStream.readAllBytes(), "UTF-8"),
+        Option(conn.getContentType).getOrElse(""))
     } finally conn.disconnect()
   }
 
@@ -50,18 +58,31 @@ object Scraper {
                  ctZeroGate: Option[(Seq[graft.codec.Prompb.PTimeSeries],
                      Seq[graft.codec.Prompb.PTimeSeries]) =>
                      Seq[graft.codec.Prompb.PTimeSeries]] = None): Long = {
+    // CONTENT NEGOTIATION, the Prometheus scrape discipline:
+    // `openMetrics` states the PREFERENCE (the Accept header, OM
+    // first with classic as fallback — the stock scraper's spelling);
+    // the RESPONSE Content-Type decides the parse. A classic-only
+    // target asked for OM degrades to 0.0.4 instead of failing on the
+    // missing # EOF, and an OM page served to a classic request parses
+    // under OM rules — crucially its SECONDS timestamps are honored
+    // (a classic parse would misread them as milliseconds, a silent
+    // 1000× error).
+    val (body, ctype) = fetchWithType(url, accept =
+      if (openMetrics)
+        Some("application/openmetrics-text;version=1.0.0;q=0.9," +
+          "text/plain;version=0.0.4;q=0.5")
+      else None)
+    val isOm = ctype.startsWith("application/openmetrics-text")
     val (dec0, exemplars) =
-      if (openMetrics) {
-        val om = graft.codec.TextExposition.decodeOpenMetrics(
-          fetch(url, accept =
-            Some("application/openmetrics-text; version=1.0.0")), nowMs)
+      if (isOm) {
+        val om = graft.codec.TextExposition.decodeOpenMetrics(body, nowMs)
         (graft.codec.TextExposition.Decoded(om.request, om.metadata),
           om.exemplars)
       } else
-        (graft.codec.TextExposition.decode(fetch(url), nowMs),
+        (graft.codec.TextExposition.decode(body, nowMs),
           Seq.empty[graft.codec.WriteWire.PExemplarSeries])
     val dec = ctZeroGate match {
-      case Some(gate) if openMetrics =>
+      case Some(gate) if isOm =>
         val kept = dec0.request.timeseries
           .filterNot(graft.codec.TextExposition.isCreatedSeries)
         val zeros = gate(
