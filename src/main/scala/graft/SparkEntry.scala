@@ -4706,6 +4706,54 @@ object SparkEntry {
         .toDF("fact", "value").orderBy(col("fact"))
     }),
 
+    // REVISIT + DECODE PLAN AUDIT — the r17 crawl additions' 100 TB
+    // shape as executed-plan facts: the full decode chain (record walk
+    // → http_body Content-Encoding/charset normalization → html_text)
+    // stays MAP-SIDE ONLY inside whole-stage codegen (zero hash
+    // exchanges — three composed native kernels, still one byte pass
+    // per archive), and the revisit digest resolution is an equi-join
+    // (hash-partitioned or broadcast under AQE, never a cartesian /
+    // nested-loop product — the shape that would quadratically explode
+    // on a real crawl).
+    "llm_warc_revisit_plan" -> ((s, dir) => {
+      import s.implicits._
+      def hashEx(p: String): Long =
+        p.linesIterator.count(l => l.contains("Exchange hashpartitioning")
+          && !l.contains("ReusedExchange")).toLong
+      val base = cachedInputDir(s"warcrv${math.abs(dir.hashCode)}") { d =>
+        warcRevisitArchives(s, dir).write.mode("overwrite")
+          .parquet(s"$d/a")
+      }
+      val recs = s.read.parquet(s"$base/a")
+        .select(col("payload"),
+          explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
+      val decode = recs.filter(col("r.warc_type") === "response")
+        .select(col("r.payload_digest").as("digest"),
+          graft.llm.CrawlOps.htmlText(graft.llm.CrawlOps.httpBody(
+            col("payload").substr(col("r.content_off") + 1,
+              col("r.content_len")))).as("text"))
+      decode.write.format("noop").mode("overwrite").save()
+      val decodeP = decode.queryExecution.executedPlan.toString
+      val rev = recs.filter(col("r.warc_type") === "revisit" &&
+          col("r.profile").contains("identical-payload-digest"))
+        .select(col("r.payload_digest").as("rdigest"))
+      val joined = rev
+        .join(decode, col("rdigest") === col("digest"))
+        .groupBy(col("digest")).agg(count(lit(1)).as("n"))
+      joined.write.format("noop").mode("overwrite").save()
+      val joinP = joined.queryExecution.executedPlan.toString
+      def b(x: Boolean): Long = if (x) 1L else 0L
+      Seq(
+        ("decode_hash_exchanges", hashEx(decodeP)),
+        ("decode_wholestage_codegen",
+          b(decodeP.linesIterator.exists(l => l.trim.startsWith("+- *(")
+            && l.contains("Generate explode(warc_records")))),
+        ("revisit_join_no_cartesian",
+          b(!joinP.contains("CartesianProduct") &&
+            !joinP.contains("BroadcastNestedLoop"))))
+        .toDF("fact", "value").orderBy(col("fact"))
+    }),
+
     // OUTBOUND-LINK EXTRACTION + reference resolution — the step
     // between "extracted page" and "link graph": anchors come out of
     // the markup in document order (native kernel, raw as authored),
@@ -15087,6 +15135,13 @@ object SparkEntry {
         |SELECT url, host, delay_sec, slot,
         |  slot * delay_sec AS fetch_at_sec
         |FROM s ORDER BY url""".stripMargin,
+
+    "llm_warc_revisit_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('decode_hash_exchanges', CAST(0 AS BIGINT)),
+        |  ('decode_wholestage_codegen', 1),
+        |  ('revisit_join_no_cartesian', 1)) AS t(fact, value)
+        |ORDER BY fact""".stripMargin,
 
     "llm_robots_plan" ->
       """SELECT * FROM (VALUES
