@@ -77,12 +77,37 @@ object WritePipeline {
     * and min/max skipping is preserved — files then hold DISJOINT
     * (name, tags) ranges, so a name-predicate read still prunes to the
     * one file holding that range.
+    *
+    * `rowsHint`: batch size when the CALLER already knows it (the HTTP
+    * front doors decode the payload driver-side, so the row count is a
+    * free fact). The range-exchange width then derives from the DATA
+    * (ceil(rows / rowsPerWriteTask), capped at the session shuffle
+    * width) instead of the static `spark.sql.shuffle.partitions`: a
+    * 50-sample remote-write POST commits through ONE task with no
+    * range-bound sampling job (RangePartitioner(1) skips the sample
+    * pass entirely), while a bulk batch still fans out — the
+    * scale-adaptive partitioning rule of the optimization playbook §2.
+    * Default -1 (unknown) keeps the static width; the hint never
+    * changes WHAT is written, only how many files carry it.
     */
-  def append(metricRows: DataFrame, path: String): Unit =
-    metricRows
-      .repartitionByRange(col("date"), col("name"), col("tags"))
+  def append(metricRows: DataFrame, path: String,
+             rowsHint: Long = -1L): Unit = {
+    val parted =
+      if (rowsHint >= 0L) {
+        val spark = metricRows.sparkSession
+        val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val perTask = spark.conf.getOption("spark.graft.append.rowsPerTask")
+          .map(_.toLong).getOrElse(262144L)
+        val n = math.max(1L, math.min(maxParts.toLong,
+          (rowsHint + perTask - 1) / perTask)).toInt
+        metricRows.repartitionByRange(n,
+          col("date"), col("name"), col("tags"))
+      } else metricRows
+        .repartitionByRange(col("date"), col("name"), col("tags"))
+    parted
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("append").partitionBy("date").parquet(path)
+  }
 
   /** S5 DDL bootstrap ≙ CREATE TABLE IF NOT EXISTS
     * (reference: clickhouse/client.go:85-117). */

@@ -103,7 +103,7 @@ object Scraper {
       graft.engine.WritePipeline.append(
         graft.engine.WritePipeline.toMetricRows(
           graft.engine.WritePipeline.dropNonFinite(samples.toDF())),
-        tablePath)
+        tablePath, rowsHint = samples.size.toLong)
     }
     if (exemplars.nonEmpty) {
       import org.apache.spark.sql.functions._
@@ -122,7 +122,7 @@ object Scraper {
               .as("date"),
             col("name"), col("tags"), col("ex_tags"), col("val"),
             timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts")),
-        tablePath + "_exemplars")
+        tablePath + "_exemplars", rowsHint = rows.size.toLong)
     }
     samples.size.toLong
   }

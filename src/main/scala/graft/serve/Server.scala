@@ -562,7 +562,7 @@ class Server(spark: SparkSession, tablePath: String,
         col("name"), col("tags"), col("ex_tags"), col("val"),
         timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
     appendLock.synchronized {
-      WritePipeline.append(df, exemplarPath)
+      WritePipeline.append(df, exemplarPath, rowsHint = rows.size.toLong)
       // per-series bound (Prometheus's max-exemplars circular-buffer
       // discipline): a high-frequency exemplar producer must not grow
       // the side table linearly between retention sweeps. Appends stay
@@ -605,8 +605,18 @@ class Server(spark: SparkSession, tablePath: String,
       .select(col("date"), col("name"), col("tags"), col("ex_tags"),
         col("val"), col("ts"))
     val staging = exemplarPath + ".compacting"
+    // kept-rows bound is a free driver-side fact (live exemplar series ×
+    // the per-series cap), so the rewrite width derives from the data
+    // like WritePipeline.append's rowsHint path
+    val keptBound = math.max(1L,
+      exemplarCounts.size.toLong * maxExemplarsPerSeries)
+    val perTask = spark.conf.getOption("spark.graft.append.rowsPerTask")
+      .map(_.toLong).getOrElse(262144L)
+    val nParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      (keptBound + perTask - 1) / perTask)).toInt
     kept
-      .repartitionByRange(col("date"), col("name"), col("tags"))
+      .repartitionByRange(nParts, col("date"), col("name"), col("tags"))
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("overwrite").partitionBy("date").parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -650,7 +660,9 @@ class Server(spark: SparkSession, tablePath: String,
           col("h_count"), col("h_sum"), col("h_zero"),
           transform(col("b"), x => struct(x.getField("_1").as("idx"),
             x.getField("_2").as("cnt"))).as("h_buckets"))
-      appendLock.synchronized { WritePipeline.append(df, histPath) }
+      appendLock.synchronized {
+        WritePipeline.append(df, histPath, rowsHint = rows.size.toLong)
+      }
     }
   }
 
@@ -669,7 +681,9 @@ class Server(spark: SparkSession, tablePath: String,
           .as("date"),
         col("name"), col("tags"),
         timestamp_seconds((col("tsMs") / 1000).cast("long")).as("ts"))
-    appendLock.synchronized { WritePipeline.append(df, stalePath) }
+    appendLock.synchronized {
+      WritePipeline.append(df, stalePath, rowsHint = rows.size.toLong)
+    }
   }
 
   private def ingestDecoded(ex: HttpExchange,
@@ -712,7 +726,8 @@ class Server(spark: SparkSession, tablePath: String,
           // Only the commit serializes; decode and row prep above stay
           // concurrent, and executors parallelize within each append.
           appendLock.synchronized {
-            WritePipeline.append(rows, tablePath)
+            WritePipeline.append(rows, tablePath,
+              rowsHint = samples.size.toLong)
             // the retention sweep is a directory listing + partition
             // drops — cheap enough to run on every committed batch,
             // like Prometheus's head-truncation cadence. The SIDE

@@ -43,9 +43,18 @@ object FanOut {
                   sinks: Seq[(String, DataFrame => Transport.WriteStats)],
                   timeout: Duration = 10.minutes): Seq[SinkOutcome] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
-    batch.persist()
+    // persist only when MORE THAN ONE sink will read the batch — a
+    // single-sink fan-out (the common server ingest) consumes it exactly
+    // once, where the cache write is pure overhead
+    val shared = sinks.size > 1
+    if (shared) batch.persist()
+    // the batch size is only REPORTED when a sink throws (failed=total);
+    // computing it eagerly costs one full job per ingest batch that the
+    // success path throws away — lazy keeps the failure contract intact
+    // at zero cost to the happy path (optimization guide §1.2: don't
+    // compute things you discard)
+    lazy val total = batch.count()
     try {
-      val total = batch.count()
       val outcomes = sinks.map { case (name, write) =>
         Future {
           val begin = System.nanoTime()
@@ -62,7 +71,7 @@ object FanOut {
       }
       Await.result(Future.sequence(outcomes), timeout)
     } finally {
-      batch.unpersist()
+      if (shared) batch.unpersist()
       ()
     }
   }
