@@ -455,11 +455,19 @@ object Sampling {
                   scoreCol: String, idCol: String): DataFrame = {
     require(nBuckets >= 1, "need at least one bucket")
     val spark = scored.sparkSession
-    val total = scored.count()
+    // (id, score) is the LIGHTWEIGHT PROXY of the scoring pipeline above
+    // (16 bytes/row — guide §8's decide-on-small-rows shape): persist it,
+    // because THREE jobs consume it — the total count, zipWithIndex's
+    // partition-size job, and the ranked result itself. Unpersisted,
+    // each re-ran the entire upstream scorer (measured: the ccnet entry
+    // evaluated its trigram pipeline 3×).
+    val proj = scored
+      .select(col(idCol).cast("long"), col(scoreCol).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = proj.count()
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (total / 1000 + 1).toInt))
-    val sorted = scored
-      .select(col(idCol).cast("long"), col(scoreCol).cast("long"))
+    val sorted = proj
       .repartitionByRange(parts, col(scoreCol), col(idCol))
       .sortWithinPartitions(col(scoreCol), col(idCol))
     val nb = nBuckets.toLong

@@ -40,6 +40,35 @@ object TextAnalysis {
         sequence(lit(1), size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))
 
+  /** ONE corpus pass producing every requested n-gram ORDER's count
+    * table at once: a single tokenize feeds one combined (order, gram)
+    * explode and ONE partially-aggregated exchange; the persisted
+    * combined table (vocabulary-bounded, exactly like the per-order
+    * tables it replaces) slices per order with a filter. Counts per
+    * (order, gram) are IDENTICAL to separate per-order builds — only
+    * the pass structure changes: the n-gram scorers used to re-run the
+    * full tokenize+explode+shuffle once per order (3 corpus passes, 3
+    * exchanges), where one of each suffices (optimization guide §2.3
+    * aggregate-before-shuffle / §2.4 remove shuffles outright).
+    *
+    * @return order → (g, c) count table, each a filter over the one
+    *         persisted combined table (zero further corpus passes)
+    */
+  private def ngramCounts(docs: DataFrame, wsArr: Column,
+                          orders: Seq[Int]): Map[Int, DataFrame] = {
+    val tagged = orders.map { n =>
+      val grams = if (n == 1) wsArr else wordShingles(wsArr, n)
+      transform(grams, x => struct(lit(n).as("n"), x.as("g")))
+    }
+    val combined = docs
+      .select(explode(concat(tagged: _*)).as("x"))
+      .select(col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    orders.map(n => n ->
+      combined.filter(col("n") === n).select(col("g"), col("c"))).toMap
+  }
+
   /** Canonical text cleanup — the first pass of every web-corpus pipeline,
     * run before any hashing/dedup so that byte-level encoding noise cannot
     * split identical content into distinct hash keys:
@@ -887,15 +916,19 @@ object TextAnalysis {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
     val bgStream = docs.select(col(idCol).as("doc_id"),
       explode(wordShingles(wsArr, 2)).as("bg"))
-    // persisted: feeds both the context-sum derivation and the score
-    // join — unpersisted, Spark re-explodes the corpus per consumer
-    val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bigram and unigram counts in ONE corpus pass / one exchange (see
+    // ngramCounts); the persisted combined table feeds the context-sum
+    // derivation, the score join, and the vocab-size stat — previously
+    // each was its own explode+shuffle of the corpus
+    val grams = ngramCounts(docs, wsArr, Seq(2, 1))
+    val bgCounts = grams(2)
+      .select(col("g").as("bg"), col("c").as("c_bg"))
     val leftCounts = bgCounts
       .groupBy(split(col("bg"), " ").getItem(0).as("w1"))
       .agg(sum(col("c_bg")).as("c_w1"))
-    val vocabSize = docs.select(explode(wsArr).as("w"))
-      .agg(count_distinct(col("w")).as("vsz"))
+    // |vocab| = row count of the unigram TYPE table — identical to the
+    // count_distinct over a third corpus re-explode it replaces
+    val vocabSize = grams(1).agg(count(lit(1)).as("vsz"))
     val scored = bgStream
       .join(bgCounts, Seq("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -951,23 +984,19 @@ object TextAnalysis {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
     val tgStream = docs.select(col(idCol).as("doc_id"),
       explode(wordShingles(wsArr, 3)).as("tg"))
-    val bgStream = docs.select(explode(wordShingles(wsArr, 2)).as("bg"))
-    val wStream = docs.select(explode(wsArr).as("w"))
-    // The three count tables each feed MULTIPLE consumers below (the type
-    // assembly, their own context-sum derivation, the corpus stats), and
-    // Spark SQL performs no cross-join common-subplan sharing — unpersisted,
-    // every consumer re-runs the full explode+shuffle from the parquet scan
-    // (the corpus is re-exploded ~3x for trigrams alone; measured 4.9 s →
-    // the persisted form at sf0.1). The tables are trigram/bigram/word
-    // TYPES — vocabulary-bounded, orders of magnitude below corpus scale —
-    // so materializing them is exactly the state a KenLM-style counter
-    // keeps. (The Bench/Verify harness unpersists between entries.)
-    val tgCounts = tgStream.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bgCounts = bgStream.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uniCounts = wStream.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // All three count tables build in ONE corpus pass / one exchange
+    // (see ngramCounts — this replaced three separate explode+shuffle
+    // builds; each table still feeds multiple consumers below through
+    // the one persisted combined table, which is vocabulary-bounded,
+    // exactly the state a KenLM-style counter keeps; the Bench/Verify
+    // harness unpersists between entries).
+    val grams = ngramCounts(docs, wsArr, Seq(3, 2, 1))
+    val tgCounts = grams(3)
+      .select(col("g").as("tg"), col("c").as("c_tg"))
+    val bgCounts = grams(2)
+      .select(col("g").as("bg"), col("c").as("c_bg"))
+    val uniCounts = grams(1)
+      .select(col("g").as("w"), col("c").as("c_w"))
     // context sums derive from the next table up, one tiny agg each
     val ctx2 = tgCounts
       .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
@@ -1038,19 +1067,17 @@ object TextAnalysis {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     val wsArr = filter(words(col(textCol)), w => length(w) > 0)
-    // reference-side count tables
-    // persisted: each ref count table feeds both its context-sum
-    // derivation and the type assembly (see trigramLmScore — unpersisted,
-    // Spark re-explodes the reference corpus once per consumer)
-    val refTg = ref.select(explode(wordShingles(wsArr, 3)).as("tg"))
-      .groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val refBg = ref.select(explode(wordShingles(wsArr, 2)).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val refUni = ref.select(explode(wsArr).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reference-side count tables — all three orders in ONE reference
+    // pass / one exchange (see ngramCounts); each still feeds both its
+    // context-sum derivation and the type assembly through the one
+    // persisted combined table
+    val refGrams = ngramCounts(ref, wsArr, Seq(3, 2, 1))
+    val refTg = refGrams(3)
+      .select(col("g").as("tg"), col("c").as("c_tg"))
+    val refBg = refGrams(2)
+      .select(col("g").as("bg"), col("c").as("c_bg"))
+    val refUni = refGrams(1)
+      .select(col("g").as("w"), col("c").as("c_w"))
     val ctx2 = refTg
       .groupBy(concat_ws(" ", split(col("tg"), " ").getItem(0),
         split(col("tg"), " ").getItem(1)).as("w12"))
