@@ -283,6 +283,26 @@ object SparkEntry {
       d
     }
 
+  /** Child session for the STREAMING entries, shuffle/state width sized
+    * to per-batch state volume instead of the scan-parallelism default
+    * (spark.sql.shuffle.partitions = core count): every stateful
+    * streaming operator instantiates one state store per shuffle
+    * partition per micro-batch (× sides for joins), each paying
+    * open/commit I/O per batch, and per-batch exchanges schedule one
+    * task per partition — at these per-batch volumes the session
+    * default is pure fixed overhead. This is the s1_rollup_append /
+    * llm_stream_join / ts_stream_sessions discipline, factored out. A
+    * production deployment sizes this to its key cardinality — override
+    * with spark.graft.stream.stateParts; the child session keeps the
+    * smaller width from leaking into concurrently-planned queries.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.stateParts").getOrElse("8"))
+    s2
+  }
+
   /** Two-micro-batch parquet input: the ≤mid slice as batch 1, the rest
     * as batch 2 (order flipped when `firstLow` is false), mtime-staggered
     * so `maxFilesPerTrigger=1` replays them in deterministic order.
@@ -1636,8 +1656,8 @@ object SparkEntry {
         Prompb.snappyCompress(
           NativeHist.encodeWriteRequest(nativeHistSeries(s, dir))))
       val table = s"$base/metrics"
-      RemoteWriteStream.ingestStream(s, inDir, table, s"$base/ck")
-        .awaitTermination()
+      RemoteWriteStream.ingestStream(streamSession(s), inDir, table,
+        s"$base/ck").awaitTermination()
       s.read.parquet(table).select(
           col("name"),
           LabelOps.labelValue(col("tags"), "le").as("le"),
@@ -1650,8 +1670,8 @@ object SparkEntry {
     "s1_stream_ingest" -> ((s, dir) => {
       val (base, inDir) = writePayloadFiles(s, dir)
       val table = s"$base/metrics"
-      RemoteWriteStream.ingestStream(s, inDir, table, s"$base/ck")
-        .awaitTermination()
+      RemoteWriteStream.ingestStream(streamSession(s), inDir, table,
+        s"$base/ck").awaitTermination()
       s.read.parquet(table)
         .groupBy(col("name"))
         .agg(count(lit(1)).as("cnt"),
@@ -1669,8 +1689,9 @@ object SparkEntry {
     // README.md:71-85, done at ingest instead).
     "s1_stream_rollup" -> ((s, dir) => {
       val (_, inDir) = writePayloadFiles(s, dir)
+      val s2 = streamSession(s)
       val flat = RemoteWriteStream.decodeFlat(
-        s.readStream.format("binaryFile")
+        s2.readStream.format("binaryFile")
           .schema(RemoteWriteStream.binaryFilePayloadSchema).load(inDir))
       val qname = "rollup_" + math.abs(inDir.hashCode).toString
       // complete output mode is what guarantees nothing is dropped (it
@@ -1684,7 +1705,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname)
+      s2.table(qname)
         .groupBy(col("name"), array_join(col("tags"), ",").as("tags"))
         .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_samples"),
           round(sum(col("val")), 4).as("sum_of_avgs"))
@@ -1702,8 +1723,9 @@ object SparkEntry {
     // by s1_rollup_append's append-mode sibling).
     "s1_stream_downsample" -> ((s, dir) => {
       val (_, inDir) = writePayloadFiles(s, dir)
+      val s2 = streamSession(s)
       val flat = RemoteWriteStream.decodeFlat(
-        s.readStream.format("binaryFile")
+        s2.readStream.format("binaryFile")
           .schema(RemoteWriteStream.binaryFilePayloadSchema).load(inDir))
       val qname = "downsample_" + math.abs(inDir.hashCode).toString
       RemoteWriteStream.streamingDownsample(flat, 300L, "90 days")
@@ -1712,7 +1734,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname)
+      s2.table(qname)
         .select(col("name"), array_join(col("tags"), ",").as("tags"),
           col("bucket_ts"), col("cnt"), col("sum_fp"), col("min_fp"),
           col("max_fp"), col("first_fp"), col("last_fp"))
@@ -1762,8 +1784,7 @@ object SparkEntry {
       // partition — at 3 batches × 32 partitions that fixed cost dwarfs
       // the actual data here (a real deployment sizes state partitions
       // to state volume, not to the scan parallelism default)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = streamSession(s)
       val flat = RemoteWriteStream.decodeFlat(
         s2.readStream.format("binaryFile")
           .schema(RemoteWriteStream.binaryFilePayloadSchema)
@@ -2845,7 +2866,8 @@ object SparkEntry {
         val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
         writeTwoBatchParquet(docs, mid, d)
       }
-      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      val s2 = streamSession(s)
+      val stream = s2.readStream.schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(in)
       val qname = "sdd_" + math.abs(in.hashCode).toString
       graft.streaming.StatefulDedup.firstSeen(stream)
@@ -2855,7 +2877,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname)
+      s2.table(qname)
         .select(col("content_hash"), col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -2885,7 +2907,8 @@ object SparkEntry {
         array_repeat(concat(lit("graft_hot_"),
           (col("doc_id") % 2).cast("string")), 60))).as("w"))
       val k = 4
-      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      val stream = streamSession(s).readStream
+        .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(in)
       stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
@@ -2965,7 +2988,8 @@ object SparkEntry {
       def shingles(df: DataFrame) = df.select(explode(
         TextAnalysis.wordShingles(TextAnalysis.words(col("text")), 3))
         .as("item"))
-      val stream = s.readStream.schema("doc_id BIGINT, text STRING")
+      val stream = streamSession(s).readStream
+        .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", 1).parquet(in)
       stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
@@ -3023,38 +3047,34 @@ object SparkEntry {
         writeTwoBatchParquet(docs, mid, s"$d/docs")
         writeTwoBatchParquet(scores, mid, s"$d/scores", firstLow = false)
       }
-      val left = s.readStream.schema("doc_id BIGINT, ts TIMESTAMP")
+      // the join's state store instantiates per shuffle partition per
+      // micro-batch (×2 sides) — at this input volume 32 partitions are
+      // pure fixed overhead, so the STREAMING query runs in the sized
+      // child session. A production deployment sizes this to its key
+      // cardinality, not to the session default.
+      val s2 = streamSession(s)
+      val left = s2.readStream.schema("doc_id BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1).parquet(s"$in/docs")
         .withWatermark("ts", "24 hours")
-      val right = s.readStream
+      val right = s2.readStream
         .schema("doc_id BIGINT, score BIGINT, ts TIMESTAMP")
         .option("maxFilesPerTrigger", 1).parquet(s"$in/scores")
         .select(col("doc_id").as("s_doc_id"), col("score"),
           col("ts").as("s_ts"))
         .withWatermark("s_ts", "24 hours")
       val qname = "ssj_" + math.abs(in.hashCode).toString
-      // the join's state store instantiates per shuffle partition per
-      // micro-batch (×2 sides) — at this input volume 32 partitions are
-      // pure fixed overhead, so the STREAMING query runs at 8 (the conf
-      // is captured at query start; restored right after for the batch
-      // read-back). A production deployment sizes this to its key
-      // cardinality, not to the session default.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        left.join(right,
-            col("doc_id") === col("s_doc_id") &&
-              col("s_ts") >= col("ts") &&
-              col("s_ts") <= col("ts") + expr("interval 10 seconds"))
-          .select(col("doc_id"), col("score"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", s"$base/ck")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(qname).orderBy(col("doc_id"))
+      left.join(right,
+          col("doc_id") === col("s_doc_id") &&
+            col("s_ts") >= col("ts") &&
+            col("s_ts") <= col("ts") + expr("interval 10 seconds"))
+        .select(col("doc_id"), col("score"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s2.table(qname).orderBy(col("doc_id"))
     }),
 
     // Text analysis: tokenization (whitespace + BPE-ish regex), type-token
@@ -5274,8 +5294,7 @@ object SparkEntry {
       // child session with few shuffle partitions: each micro-batch's
       // window/join state is batch-sized, and 32-partition fixed costs
       // per batch dwarf the data (same reasoning as s1_rollup_append)
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = streamSession(s)
       val stream = CorpusIO.readJsonlStream(s2, in, schema,
           maxFilesPerTrigger = 1)
         .filter(col(CorpusIO.CorruptCol).isNull)
@@ -7049,7 +7068,8 @@ object SparkEntry {
         val r = ev.agg(min(col("ts")), max(col("ts"))).head()
         writeTwoBatchParquet(ev, (r.getLong(0) + r.getLong(1)) / 2, d)
       }
-      val stream = s.readStream
+      val s2 = streamSession(s)
+      val stream = s2.readStream
         .schema("event_type STRING, user_id BIGINT, event_id BIGINT, " +
           "ts BIGINT, value DOUBLE, doc_id BIGINT")
         .option("maxFilesPerTrigger", 1).parquet(in)
@@ -7061,7 +7081,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname)
+      s2.table(qname)
         .groupBy(col("event_type"), col("user_id"),
           floor(col("ts") / 3600).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_samples"),
@@ -7106,7 +7126,8 @@ object SparkEntry {
         val r = deltas.agg(min(col("ts")), max(col("ts"))).head()
         writeTwoBatchParquet(deltas, (r.getLong(0) + r.getLong(1)) / 2, d)
       }
-      val stream = s.readStream
+      val s2 = streamSession(s)
+      val stream = s2.readStream
         .schema("series STRING, ts BIGINT, value DOUBLE, doc_id BIGINT")
         .option("maxFilesPerTrigger", 1).parquet(in)
       val qname = "d2c_" + math.abs(in.hashCode).toString
@@ -7118,7 +7139,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      s.table(qname).select(
+      s2.table(qname).select(
           substring(col("series"), 2, 100).cast("long").as("user_id"),
           (col("ts") / 1000).cast("long").as("t"),
           col("value").cast("long").as("level"))
@@ -7157,8 +7178,7 @@ object SparkEntry {
       // partitions are fixed overhead at this volume. The stream runs in
       // a CHILD session (the s1_rollup_append pattern) so the smaller
       // partition count never leaks into concurrently-planned queries.
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val s2 = streamSession(s)
       s2.readStream.schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
         .option("maxFilesPerTrigger", 1).parquet(in)
         .withWatermark("ts", "1 hour")
@@ -8546,7 +8566,8 @@ object SparkEntry {
           (r.getLong(0) + r.getLong(1)) / 2, d)
       }
       val ckpt = JFiles.createTempDirectory("graft_d2ch").toString
-      val stream = s.readStream
+      val s2 = streamSession(s)
+      val stream = s2.readStream
         .schema("series STRING, ts BIGINT, count BIGINT, sum DOUBLE, " +
           "zero BIGINT, buckets MAP<INT, BIGINT>, doc_id BIGINT")
         .option("maxFilesPerTrigger", 1).parquet(in)
@@ -8564,7 +8585,7 @@ object SparkEntry {
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))
       val bRows = exploded(batch).collect().toSeq.map(key).sorted
-      val sRows = exploded(s.table(qname)).collect().toSeq.map(key).sorted
+      val sRows = exploded(s2.table(qname)).collect().toSeq.map(key).sorted
       require(bRows == sRows,
         s"streamed ≢ batch: ${sRows.size} vs ${bRows.size} rows")
       exploded(batch).orderBy(col("series"), col("t"), col("idx"))
