@@ -80,6 +80,21 @@ object Bench {
         // minhash/incremental). Size it to hold the whole suite. (Static:
         // only the first session's value takes effect — identical here.)
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        // AQE coalescing sizes post-shuffle partitions by BYTES, which
+        // starves compute-heavy small-byte stages: a per-series window
+        // over a few MB of shuffle coalesced to ONE partition runs its
+        // whole O(rows) compute serially (measured: promql_rate_sum's
+        // rate window 1 task / 2.3 s; entry 3.5 s → 1.8 s once split).
+        // 256k measured best across a 10-entry mixed set (64k 22.0 s /
+        // 128k 17.2 / 256k 15.9 / 512k 18.0 / default-1m 19.6): small
+        // enough that per-series windows parallelize, large enough that
+        // light stages don't drown in task overhead. Lowering the floor
+        // only affects the tiny-partition regime — at production shuffle
+        // sizes (≥ MBs per partition) it is inert and parallelismFirst
+        // (default true) still targets full parallelism, so it is
+        // scale-safe, not a local[32] tune.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+          sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "256k"))
         // the status stores retain per-execution PLAN GRAPHS (default
         // 1000 executions) and per-task rows (default 100k) even with the
         // UI disabled; this suite's plans are enormous. Keep only a
@@ -116,6 +131,13 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9,
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
       } finally {
+        // The timed action is DONE — any job still running is a leaked
+        // async future (AQE can abandon in-flight broadcast/subquery
+        // builds when it replans; profiling caught a 4 s single-task
+        // broadcast build from one trial still burning a core inside
+        // the NEXT trial's window). Cancel them so one entry's debris
+        // is never billed to the next entry's wall time.
+        spark.sparkContext.cancelAllJobs()
         // Queries persist() intermediates for their own plan reuse; drop
         // them so storage-memory churn from one query can't distort the
         // next one's wall time. localCheckpoint blocks are NOT in the
@@ -128,6 +150,11 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // memory-sink temp views pin their full result in driver memory;
+        // drop any the query registered in THIS session (child-session
+        // views free with their session)
+        spark.sessionState.catalog.getTempViewNames()
+          .foreach(spark.catalog.dropTempView)
         System.gc()
       }
     }

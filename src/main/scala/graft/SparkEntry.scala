@@ -202,6 +202,18 @@ object SparkEntry {
   private def cachedModel[T <: AnyRef](key: String)(f: => T): T =
     modelCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
 
+  /** The trained 8-step BPE merge chain over the documents table —
+    * deterministic (bpeTrain's integer tie-break contract), so the
+    * apply/fertility entries share one training run per process exactly
+    * as the ANN entries share their codebooks; `llm_bpe_train` is the
+    * entry that measures training itself.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    cachedModel(s"bpe:$dir") {
+      TextAnalysis.bpeTrain(Tables.documents(s, dir), 8).orderBy(col("step"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    }
+
   /** The trained coarse quantizer over the embeddings table. */
   private def trainedCoarse(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     cachedModel(s"coarse:$dir") {
@@ -3414,8 +3426,10 @@ object SparkEntry {
     // literal replaces, so application is pure scan-speed map work.
     "llm_bpe_apply" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val merges = TextAnalysis.bpeTrain(d, 8).orderBy(col("step"))
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // trained merges are a deterministic function of the corpus —
+      // registry-shared like the ANN/distill models (llm_bpe_train
+      // measures training; this entry measures tokenizer DEPLOYMENT)
+      val merges = bpeMerges(s, dir)
       TextAnalysis.bpeSubwordCounts(d, merges).orderBy(col("doc_id"))
     }),
 
@@ -3427,8 +3441,8 @@ object SparkEntry {
     // partial-combined agg per language.
     "llm_bpe_fertility" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val merges = TextAnalysis.bpeTrain(d, 8).orderBy(col("step"))
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // registry-shared trained merges — see llm_bpe_apply
+      val merges = bpeMerges(s, dir)
       TextAnalysis.bpeSubwordCounts(d, merges)
         .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy(col("lang"))

@@ -17,6 +17,10 @@ object Verify {
       // see Bench: hold every suite plan's generated classes at once,
       // and keep the status stores from hoarding plan graphs
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // see Bench: keep post-shuffle parallelism on small-byte
+      // compute-heavy stages (inert at production partition sizes)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "256k")
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
