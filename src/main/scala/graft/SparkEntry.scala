@@ -308,12 +308,31 @@ object SparkEntry {
     * with spark.graft.stream.stateParts; the child session keeps the
     * smaller width from leaking into concurrently-planned queries.
     */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.stateParts").getOrElse("8"))
-    s2
-  }
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]
+
+  private def streamSession(s: SparkSession): SparkSession =
+    // ONE child per parent session, reused across entries and trials:
+    // every newSession() whose streams run attaches a fresh
+    // StreamingQueryListenerBus to the CONTEXT-level listener bus and
+    // never detaches it, so a child session per trial grows the bus —
+    // and every Spark event then fans out to each leaked listener —
+    // linearly with suite length. Entries run sequentially and use
+    // unique sink names, so sharing one sized child is safe.
+    streamSessions.compute(s, (p, cached) =>
+      if (cached != null && !cached.sparkContext.isStopped) {
+        // previous entries' memory-sink views pin their results — drop
+        // them on reuse so the shared child stays memory-bounded
+        cached.sessionState.catalog.getTempViewNames()
+          .foreach(cached.catalog.dropTempView)
+        cached
+      }
+      else {
+        val s2 = p.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions",
+          p.conf.getOption("spark.graft.stream.stateParts").getOrElse("8"))
+        s2
+      })
 
   /** Two-micro-batch parquet input: the ≤mid slice as batch 1, the rest
     * as batch 2 (order flipped when `firstLow` is false), mtime-staggered
