@@ -95,6 +95,15 @@ object Bench {
         // scale-safe, not a local[32] tune.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
           sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "256k"))
+        // InferFiltersFromGenerate turns an explode of a COMPUTED array
+        // column into a size(expr)>0 filter whose alias-substituted form
+        // (here: the full PQ-encode fold) is pushed to the scan and
+        // evaluated once more per row, interpreted (profiled: a 2.4 s
+        // one-task Filter stage under llm_ann_ivfpq_res). The arrays these
+        // entries explode are never empty, so the inferred filter removes
+        // zero rows at any scale - pure duplicate evaluation; exclude it.
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         // the status stores retain per-execution PLAN GRAPHS (default
         // 1000 executions) and per-task rows (default 100k) even with the
         // UI disabled; this suite's plans are enormous. Keep only a

@@ -21,6 +21,15 @@ object Verify {
       // compute-heavy stages (inert at production partition sizes)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "256k")
+      // InferFiltersFromGenerate turns an explode of a COMPUTED array
+      // column into a size(expr)>0 filter whose alias-substituted form
+      // (here: the full PQ-encode fold) is pushed to the scan and
+      // evaluated once more per row, interpreted (profiled: a 2.4 s
+      // one-task Filter stage under llm_ann_ivfpq_res). The arrays these
+      // entries explode are never empty, so the inferred filter removes
+      // zero rows at any scale - pure duplicate evaluation; exclude it.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")

@@ -534,7 +534,7 @@ object VectorOps {
     val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
-    aggregate(centLit,
+    val best = aggregate(centLit,
       struct(lit(-1).as("cid"), lit(-3.0).as("cos")),
       (acc, c) => {
         // NULL cosine (zero-norm vector or centroid) coalesces to a
@@ -546,6 +546,18 @@ object VectorOps {
         when(cs > acc.getField("cos"),
           struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
       }).getField("cid")
+    // The fold is total (the -1/-3.0 seed always yields a row), but the
+    // aggregate() HOF is NULLABLE to Catalyst — so every equi-join on
+    // cid inferred an isnotnull(cid) constraint whose alias-substituted
+    // form (the ENTIRE centroid fold) was pushed below the local-mode
+    // spread repartition onto the single-split scan: the fold ran twice
+    // per row, once of that serially in an interpreted Filter (profiled:
+    // a 2.5 s one-task stage under llm_ann_ivfpq_res). coalesce with a
+    // dead literal makes the column provably non-nullable, so the
+    // inferred filter constant-folds away — same values, no duplicate
+    // evaluation (guide §4.4's duplicated-evaluation trap, Catalyst-
+    // expression form).
+    coalesce(best, lit(-1))
   }
 
   /** The TOP-2 nearest centroids (by cosine) as a 2-element cid array —
@@ -645,13 +657,15 @@ object VectorOps {
     val centLit = array(centroids.sortBy(_._1).map { case (cid, cvec) =>
       struct(lit(cid).as("cid"), array(cvec.map(lit): _*).as("cvec"))
     }: _*)
-    aggregate(centLit,
+    val best = aggregate(centLit,
       struct(lit(-1).as("cid"), lit(Double.MaxValue).as("dist")),
       (acc, c) => {
         val d = sqDist(vec, c.getField("cvec"))
         when(d < acc.getField("dist"),
           struct(c.getField("cid").as("cid"), d.as("dist"))).otherwise(acc)
       }).getField("cid")
+    // non-nullable wrap — see nearestCentroid
+    coalesce(best, lit(-1))
   }
 
   /** Metric dispatch for the assignment fold. */
