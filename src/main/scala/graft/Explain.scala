@@ -24,6 +24,12 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // mirror the Bench/Verify session's plan-affecting settings so the
+      // audited plans are the plans the driver actually executes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "256k")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
