@@ -65,54 +65,15 @@ object Bench {
     // canary is blind to exactly that axis).
     val taskMetrics = new org.apache.spark.graft.TaskMetricsListener
 
+    // One shared engine definition — every plan-affecting setting (and
+    // its rationale) lives in GraftSession.engineConfs, so the session
+    // benched here is config-identical to the ones Verify dumps results
+    // from and Explain/Prof audit. (The round-17 session-wide
+    // InferFiltersFromGenerate exclusion is gone: the injected
+    // FoldSizeOfCreateArray optimizer rule now removes the pathological
+    // inferred filter per-expression instead.)
     def newSession(): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        // static conf, default 100: a 100-entry generated-class cache
-        // thrashes under a 300+-query suite — late entries then RECOMPILE
-        // their codegen on every trial, which read as phantom 4-5x
-        // regressions on unchanged code (r9's llm_dedup_cluster, r11's
-        // minhash/incremental). Size it to hold the whole suite. (Static:
-        // only the first session's value takes effect — identical here.)
-        .config("spark.sql.codegen.cache.maxEntries", "5000")
-        // AQE coalescing sizes post-shuffle partitions by BYTES, which
-        // starves compute-heavy small-byte stages: a per-series window
-        // over a few MB of shuffle coalesced to ONE partition runs its
-        // whole O(rows) compute serially (measured: promql_rate_sum's
-        // rate window 1 task / 2.3 s; entry 3.5 s → 1.8 s once split).
-        // 256k measured best across a 10-entry mixed set (64k 22.0 s /
-        // 128k 17.2 / 256k 15.9 / 512k 18.0 / default-1m 19.6): small
-        // enough that per-series windows parallelize, large enough that
-        // light stages don't drown in task overhead. Lowering the floor
-        // only affects the tiny-partition regime — at production shuffle
-        // sizes (≥ MBs per partition) it is inert and parallelismFirst
-        // (default true) still targets full parallelism, so it is
-        // scale-safe, not a local[32] tune.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-          sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "256k"))
-        // InferFiltersFromGenerate turns an explode of a COMPUTED array
-        // column into a size(expr)>0 filter whose alias-substituted form
-        // (here: the full PQ-encode fold) is pushed to the scan and
-        // evaluated once more per row, interpreted (profiled: a 2.4 s
-        // one-task Filter stage under llm_ann_ivfpq_res). The arrays these
-        // entries explode are never empty, so the inferred filter removes
-        // zero rows at any scale - pure duplicate evaluation; exclude it.
-        .config("spark.sql.optimizer.excludedRules",
-          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-        // the status stores retain per-execution PLAN GRAPHS (default
-        // 1000 executions) and per-task rows (default 100k) even with the
-        // UI disabled; this suite's plans are enormous. Keep only a
-        // handful of executions around.
-        .config("spark.sql.ui.retainedExecutions", "8")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "100")
-        .config("spark.ui.retainedTasks", "2000")
-        .getOrCreate()
+      val s = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s.sparkContext.addSparkListener(taskMetrics)
       s
@@ -160,10 +121,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         // memory-sink temp views pin their full result in driver memory;
-        // drop any the query registered in THIS session (child-session
-        // views free with their session)
+        // drop any the query registered in THIS session, plus the
+        // streaming entries' child-session views and the process-wide
+        // state-store provider cache (a finished streaming query never
+        // frees its in-memory state maps on its own — the r17 GC-wall
+        // channel)
         spark.sessionState.catalog.getTempViewNames()
           .foreach(spark.catalog.dropTempView)
+        SparkEntry.releaseStreamState()
         System.gc()
       }
     }

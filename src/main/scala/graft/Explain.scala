@@ -17,20 +17,10 @@ object Explain {
       else Seq("a1_bucket_quantile", "llm_ann_cosine", "llm_dedup_minhash",
         "s4_write_roundtrip", "llm_text_stats", "llm_sem_dedup",
         "llm_ann_pq", "llm_bigram_lm")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // mirror the Bench/Verify session's plan-affecting settings so the
-      // audited plans are the plans the driver actually executes
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "256k")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .getOrCreate()
+    // the shared engine definition — the audited plans are the plans
+    // Bench/Verify actually execute (including any SPARK_GRAFT_MIN_PART
+    // override, which previously diverged here)
+    val spark = GraftSession.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -15,8 +15,12 @@ import org.apache.spark.sql.graft.{BottomK, MisraGries, MjpegFrames, CdcChunks, 
   * session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // expression-level fix for InferFiltersFromGenerate's duplicate
+    // evaluation of computed array columns — see the rule's scaladoc
+    ext.injectOptimizerRule(_ => FoldSizeOfCreateArray)
+  }
 }
 
 object GraftExtensions {

@@ -16,26 +16,10 @@ object Prof {
     val name = args(1)
     val trials = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("PROF_MIN_PART", "1m"))
-      // InferFiltersFromGenerate turns an explode of a COMPUTED array
-      // column into a size(expr)>0 filter whose alias-substituted form
-      // (here: the full PQ-encode fold) is pushed to the scan and
-      // evaluated once more per row, interpreted (profiled: a 2.4 s
-      // one-task Filter stage under llm_ann_ivfpq_res). The arrays these
-      // entries explode are never empty, so the inferred filter removes
-      // zero rows at any scale - pure duplicate evaluation; exclude it.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .getOrCreate()
+    // the shared engine definition — profiles the exact session Bench
+    // times (override the AQE floor via SPARK_GRAFT_MIN_PART if a sweep
+    // needs it; the old PROF_MIN_PART divergence is gone)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

@@ -7,34 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // see Bench: hold every suite plan's generated classes at once,
-      // and keep the status stores from hoarding plan graphs
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // see Bench: keep post-shuffle parallelism on small-byte
-      // compute-heavy stages (inert at production partition sizes)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        "256k")
-      // InferFiltersFromGenerate turns an explode of a COMPUTED array
-      // column into a size(expr)>0 filter whose alias-substituted form
-      // (here: the full PQ-encode fold) is pushed to the scan and
-      // evaluated once more per row, interpreted (profiled: a 2.4 s
-      // one-task Filter stage under llm_ann_ivfpq_res). The arrays these
-      // entries explode are never empty, so the inferred filter removes
-      // zero rows at any scale - pure duplicate evaluation; exclude it.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "2000")
-      .getOrCreate()
+    // the shared engine definition (GraftSession.engineConfs) — the
+    // session verified here is config-identical to the benched one
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=name1,name2 dumps just
@@ -48,7 +23,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sharedState.cacheManager.clearCache()
+      } finally {
+        spark.sharedState.cacheManager.clearCache()
+        SparkEntry.releaseStreamState()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

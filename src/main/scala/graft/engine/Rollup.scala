@@ -197,9 +197,29 @@ object Rollup {
     * `ts` = bucket start; per-date partitioning and in-partition
     * (name, tags, ts) ordering are preserved so reads keep pruning.
     */
+  /** Rewrite width from the input's ON-DISK bytes — a fact the scan's
+    * file listing already produced, so deriving the exchange width from
+    * it costs nothing (optimization guide §2: partitioning from data
+    * size, not a static constant). Post-rollup output never exceeds its
+    * input, so bytes/task bounds the rewrite task size without a
+    * counting pass; width 1 additionally skips RangePartitioner's
+    * bound-sampling job (the sf0.1 store compacts through one task,
+    * a 100 TB store fans out to the session cap).
+    */
+  private def rewriteWidth(df: org.apache.spark.sql.DataFrame): Int = {
+    val spark = df.sparkSession
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perTask = BigInt(spark.conf
+      .getOption("spark.graft.compact.bytesPerTask")
+      .map(_.toLong).getOrElse(64L << 20))
+    val cap = BigInt(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    ((bytes / perTask + 1) min cap max BigInt(1)).toInt
+  }
+
   def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
               nowSec: Long): Unit = {
-    val rolled = rollup(dedupLatest(spark.read.parquet(tablePath)), nowSec)
+    val store = spark.read.parquet(tablePath)
+    val rolled = rollup(dedupLatest(store), nowSec)
       .select(
         to_date(timestamp_seconds(col("bucket_ts"))).as("date"),
         col("name"), col("tags"), col("val"),
@@ -210,9 +230,10 @@ object Rollup {
     // rewrites the WHOLE store, and a per-date hash funnel would sort
     // each day on one task — see WritePipeline.append for the full
     // rationale; files per date hold disjoint (name, tags) ranges so
-    // row-group skipping survives.
+    // row-group skipping survives. Width from the store's on-disk size.
     rolled
-      .repartitionByRange(col("date"), col("name"), col("tags"))
+      .repartitionByRange(rewriteWidth(store),
+        col("date"), col("name"), col("tags"))
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("overwrite").partitionBy("date").parquet(staging)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -247,7 +268,11 @@ object Rollup {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       rolled
-        .repartitionByRange(col("date"), col("name"), col("tags"))
+        // width from the SELECTED partitions' on-disk size (partition
+        // pruning has already shrunk the scan, so the stats are the
+        // pruned bytes, not the whole table's)
+        .repartitionByRange(rewriteWidth(selected),
+          col("date"), col("name"), col("tags"))
         .sortWithinPartitions(col("name"), col("tags"), col("ts"))
         .write.mode("overwrite").partitionBy("date").parquet(tablePath)
     finally prev match {

@@ -128,9 +128,16 @@ object Tombstones {
       val rewrite = affectedDates.filterNot(emptyDates.contains)
       val scratch = tablePath + "_clean_tmp"
       rmTree(java.nio.file.Paths.get(scratch))
+      // the affected-dates job already counted the survivors, so the
+      // rewrite width derives from the DATA instead of the static
+      // session width (WritePipeline.rangeWidth: an admin-API-sized
+      // delete rewrites through one task with no range-bound sampling
+      // job; a bulk retraction still fans out)
+      val keepRows = affected.map(_.getAs[Long]("keeps")).sum
       if (rewrite.nonEmpty)
         store.filter(col("date").isin(rewrite.toSeq: _*)).filter(!del)
-          .repartitionByRange(col("date"), col("name"), col("tags"))
+          .repartitionByRange(WritePipeline.rangeWidth(spark, keepRows),
+            col("date"), col("name"), col("tags"))
           .sortWithinPartitions(col("name"), col("tags"), col("ts"))
           .write.mode(SaveMode.Append).partitionBy("date").parquet(scratch)
       affectedDates.foreach { d =>

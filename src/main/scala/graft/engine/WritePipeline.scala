@@ -90,19 +90,28 @@ object WritePipeline {
     * Default -1 (unknown) keeps the static width; the hint never
     * changes WHAT is written, only how many files carry it.
     */
+  /** Data-derived range-exchange width: ceil(rows / rowsPerTask), capped
+    * at the session shuffle width — the scale-adaptive partitioning rule
+    * (optimization guide §2) shared by [[append]]'s hinted path, the
+    * tombstone cleaner's partition rewrite and the compactor. Width 1
+    * additionally skips RangePartitioner's bound-sampling job.
+    */
+  def rangeWidth(spark: SparkSession, rows: Long): Int = {
+    val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val perTask = spark.conf.getOption("spark.graft.append.rowsPerTask")
+      .map(_.toLong).getOrElse(262144L)
+    math.max(1L, math.min(maxParts.toLong,
+      (rows + perTask - 1) / perTask)).toInt
+  }
+
   def append(metricRows: DataFrame, path: String,
              rowsHint: Long = -1L): Unit = {
     val parted =
-      if (rowsHint >= 0L) {
-        val spark = metricRows.sparkSession
-        val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        val perTask = spark.conf.getOption("spark.graft.append.rowsPerTask")
-          .map(_.toLong).getOrElse(262144L)
-        val n = math.max(1L, math.min(maxParts.toLong,
-          (rowsHint + perTask - 1) / perTask)).toInt
-        metricRows.repartitionByRange(n,
+      if (rowsHint >= 0L)
+        metricRows.repartitionByRange(
+          rangeWidth(metricRows.sparkSession, rowsHint),
           col("date"), col("name"), col("tags"))
-      } else metricRows
+      else metricRows
         .repartitionByRange(col("date"), col("name"), col("tags"))
     parted
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))

@@ -460,7 +460,10 @@ object Sampling {
     // because THREE jobs consume it — the total count, zipWithIndex's
     // partition-size job, and the ranked result itself. Unpersisted,
     // each re-ran the entire upstream scorer (measured: the ccnet entry
-    // evaluated its trigram pipeline 3×).
+    // evaluated its trigram pipeline 3×). Lifecycle: the returned frame
+    // reads this cache, so it cannot be unpersisted here — the harnesses
+    // release all persistent RDDs per entry; long-lived embeddings own
+    // the same duty after materializing (see TextAnalysis.ngramCounts).
     val proj = scored
       .select(col(idCol).cast("long"), col(scoreCol).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -51,6 +51,14 @@ object TextAnalysis {
     * exchanges), where one of each suffices (optimization guide §2.3
     * aggregate-before-shuffle / §2.4 remove shuffles outright).
     *
+    * Persist lifecycle: the cache must outlive the RETURNED frames (the
+    * caller's result plan reads it), so this method cannot unpersist it.
+    * The harnesses release every persistent RDD in their per-entry
+    * cleanup; a long-lived embedding owns the same duty
+    * (`sparkContext.getPersistentRDDs` → `unpersist`) once the derived
+    * results are materialized. Same contract as
+    * [[Sampling.rankBuckets]]'s proxy persist.
+    *
     * @return order → (g, c) count table, each a filter over the one
     *         persisted combined table (zero further corpus passes)
     */

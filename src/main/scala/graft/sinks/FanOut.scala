@@ -64,7 +64,13 @@ object FanOut {
             SinkOutcome(name, st.sent, st.failed, st.error, secs)
           } catch {
             case e: Throwable =>
-              SinkOutcome(name, 0L, total,
+              // the count itself can throw too (the sink failure may BE a
+              // lineage/executor failure) — a second throw here would
+              // escape the Future and fail the whole fan-out, losing the
+              // other sinks' outcomes and breaking the error-isolation
+              // contract (reference main.go:396-406). -1 = size unknown.
+              val failedTotal = scala.util.Try(total).getOrElse(-1L)
+              SinkOutcome(name, 0L, failedTotal,
                 Some(Option(e.getMessage).getOrElse(e.getClass.getName)), secs)
           }
         }
