@@ -3054,7 +3054,15 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(in)
       stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
-          val newRegs = Sketches.hllRegisters(shingles(df))
+          // one batch = one input file (the two-batch replay contract),
+          // so the scan is ONE split and the shingle+hash pass — the
+          // entry's whole compute — ran on one task (profiled: two
+          // ~0.9 s single-task stages). Spread the micro-batch across
+          // the stream session's width first: the exchange carries the
+          // raw docs once (tiny vs the exploded shingles), and register
+          // max-merge is order-free, so the registers are bit-identical.
+          val newRegs = Sketches.hllRegisters(shingles(df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism)))
           val merged =
             if (JFiles.exists(Paths.get(regDir))) {
               df.sparkSession.read.parquet(regDir).unionByName(newRegs)
@@ -5300,11 +5308,25 @@ object SparkEntry {
     "llm_stream_admission" -> ((s, dir) => {
       import java.nio.file.{Files => JFiles, Paths}
       val base = JFiles.createTempDirectory("graft_sd").toString
-      val in = s"$base/in"
-      JFiles.createDirectories(Paths.get(in))
       val d = Tables.documents(s, dir, spread = false)
         .select(col("doc_id"), col("text"))
-      Dedup.writeHashIndex(d, "text", s"$base/idx")
+      // the seeded index is MUTATED by the stream (admitted hashes
+      // append), so unlike the jsonl input below it cannot be a shared
+      // cached input — but re-HASHING the corpus per trial isn't the
+      // entry's work either: seed once into a registry template and
+      // file-copy it fresh per call
+      val idxTemplate = cachedModel(s"sadmidx:${math.abs(dir.hashCode)}") {
+        val p = JFiles.createTempDirectory("graft_sdidx").toString + "/idx"
+        Dedup.writeHashIndex(d, "text", p)
+        p
+      }
+      val idxDir = Paths.get(s"$base/idx")
+      JFiles.createDirectories(idxDir)
+      JFiles.list(Paths.get(idxTemplate)).toArray.map(_.toString).foreach {
+        f => JFiles.copy(Paths.get(f),
+          idxDir.resolve(Paths.get(f).getFileName),
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
       val batches = Seq(
         d.filter(col("doc_id") % 6 === 0)
           .select((col("doc_id") + 80000).as("doc_id"),
@@ -5335,16 +5357,22 @@ object SparkEntry {
             .select((col("doc_id") + 110000).as("doc_id"),
               concat(col("text"), lit(" novel gamma")).as("text"),
               lit(3L).as("batch_no"))))
-      val t0 = System.currentTimeMillis() - 120000
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val staging = s"$base/stage$i"
-        CorpusIO.writeJsonl(b, staging, shards = 1)
-        val part = JFiles.list(Paths.get(staging)).toArray.map(_.toString)
-          .filter(_.matches(".*part-.*json")).head
-        val dst = Paths.get(s"$in/b$i.jsonl")
-        JFiles.move(Paths.get(part), dst)
-        JFiles.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+      // the three jsonl micro-batch files are a deterministic function
+      // of the corpus — registry-cached input synthesis like every other
+      // streaming entry (the bench then times the stream, not the
+      // per-trial rewrite of identical fixtures)
+      val in = cachedInputDir(s"sadm${math.abs(dir.hashCode)}") { inDir =>
+        val t0 = System.currentTimeMillis() - 120000
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val staging = s"$inDir.stage$i"
+          CorpusIO.writeJsonl(b, staging, shards = 1)
+          val part = JFiles.list(Paths.get(staging)).toArray.map(_.toString)
+            .filter(_.matches(".*part-.*json")).head
+          val dst = Paths.get(s"$inDir/b$i.jsonl")
+          JFiles.move(Paths.get(part), dst)
+          JFiles.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000))
+        }
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -6095,23 +6123,39 @@ object SparkEntry {
       VectorOps.writeIvfPqIndex(e, coarse, cbs, path)
       val q = e.filter(col("id") < 3)
         .select(col("id").as("qid"), col("vec").as("qvec"))
+      // this entry is JOB-COUNT-bound (profiled: 90 jobs / 3.5 s of job
+      // time vs 6.5 s wall — the rest is inter-job driver latency), so
+      // every duplicate job matters: the probe set is collected ONCE
+      // (it depends only on queries × coarse model, not on the index
+      // state the three searches differ in), the masked/compacted
+      // comparison sorts its ≤ 3·k collected rows driver-side instead
+      // of paying a global-sort exchange per search, and the returned
+      // frame rebuilds from the post-compaction search's collected rows
+      // rather than scheduling a fourth identical search pipeline
+      // (guide §1.2: don't compute what you throw away).
+      val probes = VectorOps.collectedProbes(q, coarse, nprobe = 2)
       def search() = VectorOps.ivfPqSearchStored(
-        VectorOps.readIvfPqIndex(s, path), q, coarse, cbs, nprobe = 2, k = AnnK)
+        VectorOps.readIvfPqIndex(s, path), q, probes, cbs, k = AnnK)
+      def collectSorted() = search().collect()
+        .sortBy(r => (r.getLong(0), r.getInt(1)))
       // materialized driver-side (≤ nqueries ids — model-sized): the
       // lazy plan would re-list the pre-compaction files, which the
       // compaction swap deletes
-      val delSeq = search().filter(col("rank") === 1)
+      val s0 = search()
+      val delSeq = s0.filter(col("rank") === 1)
         .select(col("id")).distinct().collect().map(_.getLong(0)).toSeq
       val delIds = s.createDataFrame(delSeq.map(Tuple1(_))).toDF("id")
       VectorOps.deleteFromIvfPqIndex(delIds, path)
-      val masked = search().orderBy(col("qid"), col("rank")).collect()
+      val masked = collectSorted()
       val rawTombPre = s.read.parquet(path)
         .join(broadcast(delIds), Seq("id"), "left_semi").count()
       VectorOps.compactIvfPqIndex(s, path)
       val rawTombPost = s.read.parquet(path)
         .join(broadcast(delIds), Seq("id"), "left_semi").count()
-      val compacted = search().orderBy(col("qid"), col("rank")).collect()
-      search()
+      val compacted = collectSorted()
+      s.createDataFrame(
+          s.sparkContext.parallelize(compacted.toIndexedSeq, 1),
+          s0.schema)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("id"),
           round(col("score"), 4).as("score"),
           lit(rawTombPre).as("tomb_rows_precompact"),

@@ -1244,6 +1244,11 @@ object VectorOps {
       .join(broadcast(qlut),
         col("lqid") === col("qid") && col("esub") === col("sub") &&
           col("code") === col("code_cid"))
+      // (Deliberately NOT pre-partitioned by qid to share one exchange
+      // with the rank window: that would move the exchange BELOW the
+      // partial aggregation and ship m rows per (qid, id) instead of
+      // one — guide §2.3's aggregate-before-shuffle outweighs the saved
+      // stage at any real scale.)
       .groupBy(col("qid"), col("id"))
       .agg(parts.head, parts.tail: _*)
       .withColumn("score", score)
@@ -1477,16 +1482,39 @@ object VectorOps {
     * at file-listing time, visible in the scan's PartitionFilters, rather
     * than relying on runtime dynamic-pruning heuristics to fire.
     */
+  /** The probe set COLLECTED (model-sized: queries × nprobe rows).
+    * Index-maintenance flows search the same query set against several
+    * physical states of one stored index (pre-delete, masked, compacted);
+    * the probe set depends only on (queries, coarse, nprobe), so
+    * re-deriving it inside every search schedules pure duplicate probe
+    * jobs — collect it once and let each search join a LocalRelation.
+    */
+  def collectedProbes(queries: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                      nprobe: Int): Seq[(Long, Int)] =
+    probeClusters(queries, coarse, nprobe).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+
   def ivfPqSearchStored(index: DataFrame, queries: DataFrame,
                         coarse: Seq[(Int, Seq[Double])],
                         codebooks: Seq[Seq[(Int, Seq[Double])]],
-                        nprobe: Int, k: Int): DataFrame = {
-    val probes = probeClusters(queries, coarse, nprobe)
-    val probeCids = probes.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).sorted
+                        nprobe: Int, k: Int): DataFrame =
+    ivfPqSearchStored(index, queries,
+      collectedProbes(queries, coarse, nprobe), codebooks, k)
+
+  /** Search against a PRE-COLLECTED probe set (see [[collectedProbes]]):
+    * the probe side becomes a broadcast LocalRelation, so the only
+    * cluster work per search is the pruned index scan + ADC ranking.
+    */
+  def ivfPqSearchStored(index: DataFrame, queries: DataFrame,
+                        probes: Seq[(Long, Int)],
+                        codebooks: Seq[Seq[(Int, Seq[Double])]],
+                        k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probeCids = probes.map(_._2).distinct.sorted
+    val probesDf = spark.createDataFrame(probes).toDF("qid", "cid")
     val cand = index
       .filter(col("cid").isin(probeCids.toIndexedSeq: _*))
-      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(probesDf), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), col("codes"))
     adcRank(cand, queries, codebooks, k)
