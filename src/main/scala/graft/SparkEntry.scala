@@ -3356,25 +3356,40 @@ object SparkEntry {
       // final union's four count branches are independent stages the
       // scheduler runs concurrently, and concurrent first-readers of a
       // lazy cache each recompute the fill.
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .persist()
-      d.count()
+      // ONE text-bearing cache instead of the previous three (d, quality,
+      // unique each pinned a copy of the corpus text — 2 extra cache-fill
+      // jobs and the entry's GC bill): the flagged frame carries the
+      // quality verdict alongside the text, so every later stage filters
+      // the same InMemoryRelation. The persist stays the pushdown
+      // barrier the raw single-split scan needs (PushDownPredicate would
+      // otherwise run the quality HOFs serially on one core — 14 s vs
+      // 2.5 s at sf0.1, measured r16). The eager count also pins the one
+      // fill before the final union's four count branches read it
+      // concurrently (concurrent first-readers each recompute a lazy
+      // cache's fill).
       val qf = TextAnalysis.qualityFilter(col("text"))
-      val quality = d.filter(qf.getField("keep") === 1).persist()
-      quality.count()
+      val flags = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("keep", qf.getField("keep"))
+        .persist()
+      flags.count()
+      val quality = flags.filter(col("keep") === 1)
       val keepers = quality
         .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val unique = quality.join(keepers, Seq("doc_id")).persist()
-      unique.count()
-      val evalSet = d.filter(col("doc_id") % 37 === 0)
+      // unique is read twice (its count branch + decontaminate's shingle
+      // pass) but is join-derived from the cached flags — persist the
+      // small keeper-id join output, not another text copy
+      val unique = quality.select(col("doc_id"), col("text"))
+        .join(keepers, Seq("doc_id")).persist()
+      unique.count() // pin the fill before its two concurrent readers
+      val evalSet = flags.filter(col("doc_id") % 37 === 0)
         .select(substring(col("text"), 21, 180).as("text"))
       val clean = Dedup.decontaminate(unique, evalSet, n = 5)
         .filter(col("contaminated") === 0)
       def stage(name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
-      stage("a_total", d)
+      stage("a_total", flags)
         .unionByName(stage("b_quality", quality))
         .unionByName(stage("c_unique", unique))
         .unionByName(stage("d_clean", clean))
@@ -4864,6 +4879,13 @@ object SparkEntry {
         .select(col("r.target_uri").as("page_uri"),
           col("payload").substr(col("r.content_off") + 1,
             col("r.content_len")).as("content"))
+        // the fixture is 4 archives (the oracle's doc_id%4 contract), so
+        // everything downstream of the record explode inherits 4-way
+        // parallelism — the per-record htmlLinks+resolve pass, the
+        // entry's whole compute, ran as two 4-task ~1 s stages
+        // (profiled). Spread the exploded (page_uri, content) records
+        // first; the exchange carries each record's bytes exactly once.
+        .repartition(s.sparkContext.defaultParallelism)
       pages
         .select(col("page_uri"),
           posexplode(graft.llm.CrawlOps.htmlLinks(col("content")))
@@ -4875,6 +4897,11 @@ object SparkEntry {
             graft.llm.CrawlOps.resolveUrl(col("page_uri"), col("href")))
             .as("link_url"))
         .filter(col("link_url").isNotNull)
+        // reused twice: the global sort's range-bounds sampling job and
+        // the output pass — unpersisted, BOTH re-ran the extraction
+        // (guide §5: persist exactly the reused, expensive-to-recompute
+        // frame; the harness releases it per entry)
+        .persist()
         .orderBy(col("page_url"), col("link_no"))
     }),
 
@@ -4894,9 +4921,14 @@ object SparkEntry {
           explode(graft.llm.CrawlOps.warcRecords(col("payload"))).as("r"))
         .filter(col("r.warc_type") === "response")
         .select(col("r.target_uri").as("page_uri"),
-          explode(graft.llm.CrawlOps.htmlLinks(
-            col("payload").substr(col("r.content_off") + 1,
-              col("r.content_len")))).as("href"))
+          col("payload").substr(col("r.content_off") + 1,
+            col("r.content_len")).as("content"))
+        // spread the exploded records before the per-record htmlLinks
+        // pass — see llm_warc_links (4-archive fixture = 4-way
+        // parallelism otherwise)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("page_uri"),
+          explode(graft.llm.CrawlOps.htmlLinks(col("content"))).as("href"))
         .select(
           graft.llm.CrawlOps.hostOf(col("page_uri")).as("src"),
           graft.llm.CrawlOps.hostOf(
