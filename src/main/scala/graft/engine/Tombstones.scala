@@ -132,11 +132,18 @@ object Tombstones {
       // rewrite width derives from the DATA instead of the static
       // session width (WritePipeline.rangeWidth: an admin-API-sized
       // delete rewrites through one task with no range-bound sampling
-      // job; a bulk retraction still fans out)
+      // job; a bulk retraction still fans out). The date-count floor
+      // bounds per-task output-directory juggling the same way the
+      // compactor does (Rollup.rewriteWidth): a one-task dynamic-
+      // partition write opens every rewritten date's file serially.
       val keepRows = affected.map(_.getAs[Long]("keeps")).sum
+      val width = math.min(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        math.max(WritePipeline.rangeWidth(spark, keepRows),
+          (rewrite.length + 1) / 2))
       if (rewrite.nonEmpty)
         store.filter(col("date").isin(rewrite.toSeq: _*)).filter(!del)
-          .repartitionByRange(WritePipeline.rangeWidth(spark, keepRows),
+          .repartitionByRange(width,
             col("date"), col("name"), col("tags"))
           .sortWithinPartitions(col("name"), col("tags"), col("ts"))
           .write.mode(SaveMode.Append).partitionBy("date").parquet(scratch)
